@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Relational, Temporal, Text, Vector}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the declared operator surface (one entry per implemented
+  * operator family from SURVEY.md §2 plus the north_star LLM-pipeline ops);
+  * `oracleSql` carries the DuckDB-equivalent SQL for every query whose
+  * semantics are SQL-expressible. Column names and types are aligned
+  * between both sides (the driver sorts columns by name and hashes values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    GraftSession.ensureRuntimeConfs(spark)
+    Relational.q01_pricing_summary(spark, "/root/testdata/sf0.001")
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2. Each function is
+    * wrapped to pin runtime confs (UTC, nanos-parquet handling) so queries
+    * behave identically under a driver-provided session.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    (Relational.queries ++ Temporal.queries ++ Text.queries ++ Vector.queries)
+      .map { case (name, fn) =>
+        name -> { (s: SparkSession, d: String) =>
+          GraftSession.ensureRuntimeConfs(s)
+          fn(s, d)
+        }
+      }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q31_minhash_bands, q32_simhash, q34_ann_lsh_buckets) → rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Temporal.oracle ++ Text.oracle ++ Vector.oracle
 }

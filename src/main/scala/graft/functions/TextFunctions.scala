@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-pipeline surface (north_star):
+  * tokenization, quality stats, language ID, fingerprinting. All are pure
+  * `org.apache.spark.sql.functions` compositions — codegen'd, no UDFs, so
+  * they stay inside WholeStageCodegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (assumes trimmed-ish prose; `\S+` semantics). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count via regexp_count of `\S+` — robust to leading/trailing
+    * whitespace and consistent with the DuckDB oracle
+    * (`len(regexp_extract_all(text,'\S+'))`).
+    */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** Number of ASCII-alphabetic chars. */
+  def alphaCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", ""))
+
+  /** Number of punctuation chars (period/comma/quote-free heuristic set). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", ""))
+
+  /** Canonical document fingerprint: md5 of lowercased, space-normalized
+    * text — the exact-dedup key that survives whitespace/case jitter.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** n-gram word shingles (distinct), for Jaccard / MinHash. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), size(t) - lit(n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+  }
+
+  /** Stopword-marker counts per language (lowercased input). */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    regexp_count(lower(text), lit("\\b(" + markers.mkString("|") + ")\\b"))
+
+  val enMarkers = Seq("the", "and", "of", "to", "in")
+  val esMarkers = Seq("el", "la", "de", "que", "y")
+  val deMarkers = Seq("der", "die", "und", "das", "ist")
+  val frMarkers = Seq("le", "les", "et", "des", "une")
+
+  /** Heuristic language ID from marker-word counts; deterministic
+    * first-match-wins tie-break (en > es > de > fr > und).
+    */
+  def langId(text: Column): Column = {
+    val en = langScore(text, enMarkers)
+    val es = langScore(text, esMarkers)
+    val de = langScore(text, deMarkers)
+    val fr = langScore(text, frMarkers)
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector kernels over `array<float>` embedding columns, built from
+  * codegen'd higher-order functions (`zip_with` + `aggregate`) — no UDFs.
+  * Floats are widened to double before any arithmetic so results are
+  * engine-order-deterministic (sequential left fold on both Spark and the
+  * DuckDB oracle).
+  */
+object VectorFunctions {
+
+  /** Cast array<float> → array<double>. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product (sequential left fold — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Sum of squares. */
+  def normSq(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+
+  def l2Norm(v: Column): Column = sqrt(normSq(v))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: hp(j)(i) =
+    * sin(j*dim + i + 1) — reproducible everywhere, no RNG state. Good
+    * enough spread for bucketing; swap for seeded gaussians if recall
+    * tuning matters.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)((j, i) => math.sin((j * dim + i + 1).toDouble))
+
+  /** Sign-LSH bucket id (int in [0, 2^nPlanes)): bit j set iff v·hp(j) > 0.
+    * The standard random-hyperplane LSH for cosine similarity: vectors with
+    * high cosine land in the same bucket with high probability, so ANN
+    * search shrinks from all-pairs to per-bucket pairs.
+    */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
+    val hps = hyperplanes(nPlanes, dim)
+    val bits = hps.zipWithIndex.map { case (hp, j) =>
+      val hpCol = array(hp.map(lit): _*)
+      when(dot(v, hpCol) > 0, lit(1 << j)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+}

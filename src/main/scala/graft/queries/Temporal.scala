@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.{AsOfJoin, Cumulate}
+import graft.streaming.WindowOps
+import QueryDefs._
+
+/** Event-time operators over the `events` table, run here in batch mode.
+  * The same plan definitions run under Structured Streaming (Flink's
+  * batch/stream-unified RuntimeExecutionMode, SURVEY.md §2.10): WindowOps
+  * builders are shared between these batch queries and the streaming specs.
+  *
+  * Reference anchors: tumbling windows ([U] flink-streaming-java
+  * TumblingEventTimeWindows.java / TUMBLE TVF), interval join
+  * ([U] RowTimeIntervalJoin.java), temporal as-of join
+  * ([U] TemporalRowTimeJoinOperator.java), session windows
+  * ([U] EventTimeSessionWindows.java), CUMULATE TVF (SURVEY.md §2.5).
+  */
+object Temporal {
+
+  /** TUMBLE(5 min) count+sum per event_type — shared builder with the
+    * streaming path (WindowOps.tumbleAgg).
+    */
+  val q22_tumble_window: Q = (s, d) => {
+    WindowOps.tumbleAgg(Tables.events(s, d), "5 minutes")
+  }
+
+  /** Interval join: view→click pairs per user within [0, 5 min] — the SQL
+    * `b.ts BETWEEN a.ts AND a.ts + INTERVAL '5' MINUTE` shape. In batch
+    * this is a range-predicate equi join (hash join on user_id, range as
+    * residual); in streaming the identical predicate becomes a watermarked
+    * stream-stream join with bounded state.
+    */
+  val q23_interval_join: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d)
+    val v = e.filter($"event_type" === "view").select($"user_id", $"ts".as("v_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+    v.join(c, $"user_id" === $"c_user" &&
+        $"c_ts" >= $"v_ts" && $"c_ts" <= $"v_ts" + expr("INTERVAL 5 MINUTES"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** As-of join: each click picks up the latest view at-or-before it per
+    * user (views deduped to one row per (user, ts) so the match is
+    * well-defined; see AsOfJoin scaladoc).
+    */
+  val q24_asof_join: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d)
+    val views = e.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("v_id"))
+    val clicks = e.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id", $"ts")
+    AsOfJoin.backward(clicks, views, Seq("user_id"), "ts", "ts", Seq("v_id"))
+      .select($"c_id", $"user_id", $"v_id")
+  }
+
+  /** Session windows with a 30-minute gap, batch formulation: break rows
+    * where the gap exceeds the threshold, running-sum the breaks into
+    * session ids, aggregate. (Streaming uses session_window() — see the
+    * streaming specs; this is the classic batch sessionization plan.)
+    */
+  val q25_sessionize: Q = (s, d) => {
+    import s.implicits._
+    val wo = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val prev = lag($"ts", 1).over(wo)
+    val brk = when(prev.isNull ||
+      unix_millis($"ts") - unix_millis(prev) > 30L * 60 * 1000, 1).otherwise(0)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("sid", sum(brk).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_millis(min($"ts")).as("s_start_ms"),
+        unix_millis(max($"ts")).as("s_end_ms"))
+      .select($"user_id", $"sid".cast("int").as("session_id"),
+        $"n_events", $"s_start_ms", $"s_end_ms")
+  }
+
+  /** CUMULATE(max 10 min, step 2 min) via the Cumulate operator. */
+  val q26_cumulate_window: Q = (s, d) => {
+    import s.implicits._
+    Cumulate.assign(Tables.events(s, d), "ts", 600000L, 120000L)
+      .groupBy($"w_start", $"w_end", $"event_type")
+      .agg(count(lit(1)).as("n"), money(sum($"value")).as("sum_value"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q22_tumble_window" -> q22_tumble_window,
+    "q23_interval_join" -> q23_interval_join,
+    "q24_asof_join" -> q24_asof_join,
+    "q25_sessionize" -> q25_sessionize,
+    "q26_cumulate_window" -> q26_cumulate_window,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q22_tumble_window" ->
+      """SELECT make_timestamp((epoch_ms(CAST(ts AS TIMESTAMP))//300000)*300000000) AS wstart,
+        | event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q23_interval_join" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'click'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |GROUP BY a.user_id""".stripMargin,
+    "q24_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, ts, max(event_id) AS v_id FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id, ts),
+        |c AS (SELECT event_id AS c_id, user_id, ts FROM e WHERE event_type = 'click')
+        |SELECT c.c_id, c.user_id, v.v_id
+        |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
+    "q25_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |o AS (SELECT user_id, event_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |      FROM e),
+        |s AS (SELECT user_id, event_id, ts,
+        |             CASE WHEN pts IS NULL OR epoch_ms(ts) - epoch_ms(pts) > 1800000
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |t AS (SELECT user_id, ts,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM s)
+        |SELECT user_id, CAST(sid AS INTEGER) AS session_id, count(*) AS n_events,
+        |       epoch_ms(min(ts)) AS s_start_ms, epoch_ms(max(ts)) AS s_end_ms
+        |FROM t GROUP BY user_id, sid""".stripMargin,
+    "q26_cumulate_window" ->
+      """WITH e AS (SELECT event_type, value, epoch_ms(CAST(ts AS TIMESTAMP)) AS em FROM events),
+        |b AS (SELECT event_type, value, (em//600000)*600000 AS base,
+        |             ((em - (em//600000)*600000)//120000)+1 AS k0
+        |      FROM e),
+        |x AS (SELECT event_type, value, base, UNNEST(range(k0, 6)) AS k FROM b)
+        |SELECT make_timestamp(base*1000) AS w_start,
+        |       make_timestamp((base + k*120000)*1000) AS w_end,
+        |       event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
+  )
+}

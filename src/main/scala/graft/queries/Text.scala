@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import QueryDefs._
+
+/** LLM-pipeline text surface over `documents` (north_star): dedup (exact /
+  * MinHash-LSH / SimHash / n-gram Jaccard), text stats & quality, language
+  * ID, fingerprinting. q31/q32 are not SQL-expressible → no oracle entry
+  * (driver records a rows-only check); everything else is DuckDB-verified.
+  */
+object Text {
+
+  /** Exact dedup keyed on text (hash shown for identification). */
+  val q27_dedup_exact: Q = (s, d) => {
+    import s.implicits._
+    Dedup.exact(Tables.documents(s, d), Seq("text"), "doc_id")
+      .select(md5($"text").as("text_hash"), $"keep_id", $"n_dups")
+  }
+
+  /** Per-document token/char/quality stats. */
+  val q28_text_stats: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        $"doc_id",
+        tokenCount($"text").as("n_tokens"),
+        length($"text").as("len"),
+        alphaCount($"text").as("n_alpha"),
+        punctCount($"text").as("n_punct"),
+        $"text".rlike("[0-9]").as("has_digit"),
+        fingerprint($"text").as("fp"),
+        length(regexp_replace($"text", "\\s", "")).as("len_nospace"))
+      .withColumn("alpha_ratio", rate($"n_alpha" / $"len"))
+      .withColumn("avg_tok_len", rate($"len_nospace" / $"n_tokens"))
+  }
+
+  /** Heuristic language ID vs the labeled `lang` column. */
+  val q29_lang_id: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        $"doc_id", $"lang",
+        langScore($"text", enMarkers).as("en_n"),
+        langScore($"text", esMarkers).as("es_n"),
+        langScore($"text", deMarkers).as("de_n"),
+        langScore($"text", frMarkers).as("fr_n"),
+        langId($"text").as("pred"))
+  }
+
+  /** Exact 3-gram-shingle Jaccard similarity for same-source pairs — the
+    * ground truth the MinHash estimate approximates.
+    */
+  val q30_ngram_jaccard: Q = (s, d) => {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"doc_id", $"source", wordShingles($"text", 3).as("s"))
+      .filter(size($"s") > 0)
+    val a = sh.select($"source", $"doc_id".as("a_id"), $"s".as("sa"))
+    val b = sh.select($"source".as("src_b"), $"doc_id".as("b_id"), $"s".as("sb"))
+    a.join(b, $"source" === $"src_b" && $"a_id" < $"b_id")
+      .select($"source", $"a_id", $"b_id",
+        round(size(array_intersect($"sa", $"sb")).cast("double") /
+          size(array_union($"sa", $"sb")), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH banding summary (per-band bucket/candidate stats) —
+    * deterministic, non-SQL-expressible → rows-only check.
+    */
+  val q31_minhash_bands: Q = (s, d) => {
+    import s.implicits._
+    val sigs = Dedup.minHashSignatures(Tables.documents(s, d), "doc_id", "text")
+    Dedup.minHashBands(sigs, "doc_id", bands = 16)
+      .groupBy($"band", $"band_key").agg(count(lit(1)).as("bucket_size"))
+      .groupBy($"band")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max($"bucket_size").as("max_bucket"),
+        sum($"bucket_size" * ($"bucket_size" - 1) / 2).cast("long").as("n_candidate_pairs"))
+      .orderBy($"band")
+  }
+
+  /** Per-document 64-bit SimHash — rows-only check. */
+  val q32_simhash: Q = (s, d) => {
+    Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q27_dedup_exact" -> q27_dedup_exact,
+    "q28_text_stats" -> q28_text_stats,
+    "q29_lang_id" -> q29_lang_id,
+    "q30_ngram_jaccard" -> q30_ngram_jaccard,
+    "q31_minhash_bands" -> q31_minhash_bands,
+    "q32_simhash" -> q32_simhash,
+  )
+
+  private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
+
+  val oracle: Map[String, String] = Map(
+    "q27_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY text""".stripMargin,
+    "q28_text_stats" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        | CAST(length(text) AS INTEGER) AS len,
+        | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+        | CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+        | regexp_matches(text, '[0-9]') AS has_digit,
+        | md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        | CAST(length(regexp_replace(text, '\s', '', 'g')) AS INTEGER) AS len_nospace,
+        | round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |       / length(text), 4) AS alpha_ratio,
+        | round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |       / len(regexp_extract_all(text, '\S+')), 4) AS avg_tok_len
+        |FROM documents""".stripMargin,
+    "q29_lang_id" ->
+      s"""SELECT doc_id, lang,
+         | CAST(len(regexp_extract_all(lower(text), '${markerRe(graft.functions.TextFunctions.enMarkers)}')) AS INTEGER) AS en_n,
+         | CAST(len(regexp_extract_all(lower(text), '${markerRe(graft.functions.TextFunctions.esMarkers)}')) AS INTEGER) AS es_n,
+         | CAST(len(regexp_extract_all(lower(text), '${markerRe(graft.functions.TextFunctions.deMarkers)}')) AS INTEGER) AS de_n,
+         | CAST(len(regexp_extract_all(lower(text), '${markerRe(graft.functions.TextFunctions.frMarkers)}')) AS INTEGER) AS fr_n,
+         | CASE WHEN en_n >= es_n AND en_n >= de_n AND en_n >= fr_n AND en_n > 0 THEN 'en'
+         |      WHEN es_n >= de_n AND es_n >= fr_n AND es_n > 0 THEN 'es'
+         |      WHEN de_n >= fr_n AND de_n > 0 THEN 'de'
+         |      WHEN fr_n > 0 THEN 'fr'
+         |      ELSE 'und' END AS pred
+         |FROM documents""".stripMargin,
+    "q30_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |f AS (SELECT * FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, source,
+        |              list_distinct([array_to_string(t[i:i+2], ' ')
+        |                             for i in range(1, len(t)-1)]) AS s
+        |       FROM f)
+        |SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
+        |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+  )
+}

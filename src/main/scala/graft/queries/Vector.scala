@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+import QueryDefs._
+
+/** Similarity search over `embeddings` (north_star): brute-force cosine
+  * top-k as the verified baseline, sign-LSH bucketing as the scale path.
+  *
+  * Scale posture: brute force is O(n²·dim) — correct but only viable as a
+  * per-bucket kernel; the LSH variant shrinks candidate sets so the same
+  * top-k kernel runs inside buckets (shuffle on bucket id, no driver
+  * state). At 100 TB the bucketed plan is the only admissible one; the
+  * brute-force query doubles as its correctness oracle at test scale.
+  */
+object Vector {
+
+  /** Brute-force cosine top-5 neighbors per vector (DuckDB-verified). */
+  val q33_cosine_topk: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select($"vec_id", toDouble($"embedding").as("v"))
+    val n = e.withColumn("nrm", l2Norm($"v"))
+    val a = n.select($"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na"))
+    val b = n.select($"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb"))
+    val pairs = a.join(b, $"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id", (dot($"va", $"vb") / ($"na" * $"nb")).as("cos"))
+    pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"a_id").orderBy($"cos".desc, $"b_id")))
+      .filter($"rn" <= 5)
+      .select($"a_id", $"b_id".as("neighbor_id"), round($"cos", 6).as("cosine"), $"rn")
+  }
+
+  /** Sign-LSH bucket histogram (16 hyperplanes) — rows-only check; the
+    * bucketed ANN path reuses these buckets to restrict candidate pairs.
+    */
+  val q34_ann_lsh_buckets: Q = (s, d) => {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", lshBucket(toDouble($"embedding"), 16, 64).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec_id"))
+      .orderBy($"bucket")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q33_cosine_topk" -> q33_cosine_topk,
+    "q34_ann_lsh_buckets" -> q34_ann_lsh_buckets,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q33_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT a_id, b_id, cos,
+        |             row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+        |      FROM p)
+        |SELECT a_id, b_id AS neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 5""".stripMargin,
+  )
+}
