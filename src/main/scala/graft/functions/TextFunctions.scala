@@ -33,12 +33,16 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
-  /** n-gram word shingles (distinct), for Jaccard / MinHash. */
+  /** n-gram word shingles (distinct), for Jaccard / MinHash. Documents
+    * shorter than n tokens yield an empty array (guarded: Spark's
+    * sequence(1, 0) would count *down*, not produce an empty range).
+    */
   def wordShingles(text: Column, n: Int): Column = {
     val t = tokens(text)
-    array_distinct(
-      transform(sequence(lit(1), size(t) - lit(n - 1)),
-        i => array_join(slice(t, i, lit(n)), " ")))
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(t) - lit(n - 1)),
+          i => array_join(slice(t, i, lit(n)), " "))))
   }
 
   /** Stopword-marker counts per language (lowercased input). */

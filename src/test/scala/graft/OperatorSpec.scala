@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Cumulate, Dedup}
+
+/** Property/behavior tests for the custom operators (SURVEY.md §5: the
+  * pieces Spark doesn't give us are the pieces that need real tests).
+  */
+class OperatorSpec extends AnyFunSuite {
+
+  /** Deterministic hand-rolled property loop (scalatestplus bridge is not
+    * in the offline dep cache; plain ScalaCheck Gen is).
+    */
+  private def forAllSeeded[A](gen: Gen[A], n: Int)(check: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
+    }
+  lazy val spark = TestSpark.spark
+
+  // ---- AsOfJoin vs naive per-row scan -------------------------------
+  test("as-of join matches naive last-at-or-before scan (property)") {
+    import spark.implicits._
+    val genRows = for {
+      n <- Gen.choose(0, 40)
+      ks <- Gen.listOfN(n, Gen.choose(0, 4))
+      ts <- Gen.listOfN(n, Gen.choose(0L, 50L))
+    } yield ks.zip(ts)
+    forAllSeeded(Gen.zip(genRows, genRows), 20) { case (lRows, rRows) =>
+      // dedup right per (k,t): AsOfJoin contract (keep max rv, mirrored in naive)
+      val left = lRows.zipWithIndex.map { case ((k, t), i) => AsOfL(k, t, i) }
+      val right = rRows.zipWithIndex.map { case ((k, t), i) => AsOfR(k, t, i) }
+        .groupBy(r => (r.k, r.t)).values.map(_.maxBy(_.rv)).toSeq
+      val got = AsOfJoin.backward(
+        left.toDF(), right.toDF(), Seq("k"), "t", "t", Seq("rv"))
+        .collect()
+        .map(r => (r.getAs[Int]("k"), r.getAs[Long]("t"), r.getAs[Int]("lv"),
+          Option(r.getAs[Any]("rv")).map(_.asInstanceOf[Int])))
+        .toSet
+      val want = left.map { l =>
+        val m = right.filter(r => r.k == l.k && r.t <= l.t)
+          .sortBy(r => (r.t, r.rv)).lastOption.map(_.rv)
+        (l.k, l.t, l.lv, m)
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  // ---- Cumulate ------------------------------------------------------
+  test("cumulate assigns each row to exactly the step-windows covering it") {
+    import spark.implicits._
+    val maxMs = 600000L
+    val stepMs = 120000L
+    val ts = Seq(0L, 1L, 119999L, 120000L, 300000L, 599999L, 600000L, 1234567L)
+    val df = ts.map(t => Tuple1(new java.sql.Timestamp(t))).toDF("ts")
+    val out = Cumulate.assign(df, "ts", maxMs, stepMs)
+      .select(unix_millis(col("ts")).as("em"), unix_millis(col("w_start")).as("ws"),
+        unix_millis(col("w_end")).as("we"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    ts.foreach { t =>
+      val rows = out.filter(_._1 == t)
+      val base = (t / maxMs) * maxMs
+      val expected = ((t - base) / stepMs + 1 to maxMs / stepMs)
+        .map(k => (base, base + k * stepMs)).toSet
+      assert(rows.map(r => (r._2, r._3)).toSet == expected, s"ts=$t")
+      // every covering window contains the row; none starts after it
+      rows.foreach { case (em, ws, we) => assert(ws <= em && em < we) }
+    }
+  }
+
+  // ---- Dedup ---------------------------------------------------------
+  test("exact dedup keeps min id and is idempotent") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("id", "txt")
+    val out = Dedup.exact(df, Seq("txt"), "id")
+      .collect().map(r => (r.getAs[String]("txt"), r.getAs[Long]("keep_id"), r.getAs[Long]("n_dups")))
+      .toSet
+    assert(out == Set(("a", 1L, 2L), ("b", 3L, 3L), ("c", 6L, 1L)))
+    val again = Dedup.exact(
+      df.join(Dedup.exact(df, Seq("txt"), "id").select(col("keep_id").as("id")), "id"),
+      Seq("txt"), "id")
+    assert(again.filter(col("n_dups") > 1).count() == 0)
+  }
+
+  test("minhash signatures: identical docs identical, length = numHashes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "an entirely different set of words with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(df, "doc_id", "text", numHashes = 32)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Long]]("signature").toSeq).toMap
+    assert(sigs(1L).length == 32)
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("minhash LSH candidates find exact duplicates, not disjoint docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minHashCandidates(df, "doc_id", "text", numHashes = 32, bands = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  test("simhash: identical docs equal, near-dup closer than disjoint (hamming)") {
+    import spark.implicits._
+    val base = "spark flink query engine window aggregate join shuffle partition state"
+    val df = Seq(
+      (1L, base), (2L, base),
+      (3L, base.replace("state", "checkpoint")), // 1-token change
+      (4L, "totally unrelated corpus about cooking pasta sauce tomatoes basil olive"))
+      .toDF("doc_id", "text")
+    val hs = Dedup.simHash(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hs(1L) == hs(2L))
+    assert(ham(hs(1L), hs(3L)) < ham(hs(1L), hs(4L)))
+  }
+
+  // ---- Multiset Aggregator laws -------------------------------------
+  test("multiset aggregator equals groupBy-count (merge associativity via partitions)") {
+    import spark.implicits._
+    val data = (1 to 500).map(i => (i % 7, s"v${i % 5}"))
+    val df = data.toDF("g", "v").repartition(8) // force multi-partition merge
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.MultisetAgg.column(col("v")).as("ms"))
+      .collect().map(r => r.getAs[Int]("g") -> r.getAs[Map[String, Long]]("ms")).toMap
+    val want = data.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.groupBy(_._2).map { case (v, vs) => v -> vs.size.toLong }
+    }
+    assert(got == want)
+  }
+}

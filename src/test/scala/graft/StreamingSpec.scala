@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.WindowOps
+import java.sql.Timestamp
+
+/** Structured Streaming semantics, tested with the MemoryStream +
+  * processAllAvailable harness — the exact analog of Flink's
+  * KeyedOneInputStreamOperatorTestHarness (push elements, advance the
+  * watermark via late-closing data, assert emitted rows; SURVEY.md §5).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ev(id: Long, sec: Long, user: Long = 1L, typ: String = "click", v: Double = 1.0) =
+    Ev(id, new Timestamp(sec * 1000), user, typ, v)
+
+  private var qid = 0
+  private def nextName(): String = { qid += 1; s"stream_out_$qid" }
+
+  test("tumbling window agg (append mode) emits closed windows equal to batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    val q = WindowOps.tumbleAgg(input.toDF().withWatermark("ts", "10 seconds"), "1 minute")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name).start()
+    try {
+      val batch1 = Seq(ev(1, 5), ev(2, 30), ev(3, 59), ev(4, 65), ev(5, 90))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      // nothing closed yet (watermark = 90s - 10s = 80s < window ends)
+      // sentinel far in the future closes both earlier windows
+      input.addData(ev(99, 500))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select(unix_millis($"wstart").as("ws"), $"event_type", $"n", $"sum_value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = Set(
+        (0L, "click", 3L, 3.0),      // window [0, 60): ids 1,2,3
+        (60000L, "click", 2L, 2.0))  // window [60, 120): ids 4,5
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("batch and streaming share one query definition (tumbleAgg) and agree") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 200).map(i => ev(i, i * 7L, i % 3, if (i % 2 == 0) "a" else "b", 1.0))
+    // batch run of the same builder
+    val want = WindowOps.tumbleAgg(rows.toDF(), "1 minute")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    val q = WindowOps.tumbleAgg(input.toDF().withWatermark("ts", "5 seconds"), "1 minute")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(ev(9999, 100000)) // close everything
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming dedup: dropDuplicatesWithinWatermark keeps first per event_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    val q = input.toDF().withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name).start()
+    try {
+      input.addData(ev(1, 1, v = 1.0), ev(1, 2, v = 2.0), ev(2, 3))
+      q.processAllAvailable()
+      input.addData(ev(1, 4, v = 3.0), ev(3, 5))
+      q.processAllAvailable()
+      val got = spark.table(name).groupBy($"event_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally q.stop()
+  }
+
+  test("stream-static lookup join enriches events with customer dims") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables.customer(spark, TestSpark.sfDir)
+      .select($"c_custkey", $"c_mktsegment")
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    val q = input.toDF()
+      .join(dim, $"user_id" === $"c_custkey", "left")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name).start()
+    try {
+      input.addData(ev(1, 1, user = 0), ev(2, 2, user = 3), ev(3, 3, user = 999999))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select($"event_id", $"c_mktsegment")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got(1L).isDefined && got(2L).isDefined)
+      assert(got(3L).isEmpty) // no such customer
+    } finally q.stop()
+  }
+
+  test("session window (streaming) groups events by 30s gaps per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    val q = WindowOps.sessionAgg(input.toDF().withWatermark("ts", "5 seconds"), "30 seconds")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name).start()
+    try {
+      // user 1: two sessions (0-10 with 3 events, 100-105 with 2)
+      input.addData(ev(1, 0), ev(2, 5), ev(3, 10), ev(4, 100), ev(5, 105))
+      q.processAllAvailable()
+      input.addData(ev(99, 1000)) // close sessions
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .filter($"user_id" === 1)
+        .select(unix_millis($"wstart"), $"n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((0L, 3L), (100000L, 2L)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Kernels for the LLM-pipeline surface. */
+class VectorTextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("cosine: self-similarity 1, orthogonal 0, opposite -1") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), 2L, Seq(1.0, 0.0)),
+      (2L, Seq(1.0, 0.0), 3L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 0.0), 4L, Seq(-1.0, 0.0)))
+      .toDF("a", "va", "b", "vb")
+    val got = df.select($"a", VectorFunctions.cosine($"va", $"vb").as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 1.0) < 1e-12)
+    assert(math.abs(got(2L)) < 1e-12)
+    assert(math.abs(got(3L) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k on fixtures: each vec gets 5 distinct neighbors, cos in [-1,1]") {
+    val out = SparkEntry.queries("q33_cosine_topk")(spark, TestSpark.sfDir).collect()
+    val byA = out.groupBy(_.getAs[Long]("a_id"))
+    assert(byA.values.forall(_.length == 5))
+    byA.foreach { case (a, rs) =>
+      assert(rs.map(_.getAs[Long]("neighbor_id")).distinct.length == 5)
+      assert(!rs.map(_.getAs[Long]("neighbor_id")).contains(a))
+      rs.foreach(r => assert(math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
+      // rows are ranked by descending cosine
+      val cs = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("lsh bucket: identical vectors share a bucket; bucket in [0, 2^16)") {
+    import spark.implicits._
+    val v = Seq.tabulate(64)(i => math.cos(i.toDouble))
+    val df = Seq((1L, v), (2L, v), (3L, v.map(-_))).toDF("id", "v")
+    val got = df.select($"id", VectorFunctions.lshBucket($"v", 16, 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == got(2L))
+    assert(got(3L) == (~got(1L) & 0xFFFF)) // opposite vector flips every plane
+    got.values.foreach(b => assert(b >= 0 && b < (1 << 16)))
+  }
+
+  test("language id picks the language whose stopwords dominate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house went to the park in the rain"),
+      (2L, "el gato y la casa de la madre que vive en la calle"),
+      (3L, "der hund und die katze das haus ist hier und der baum"),
+      (4L, "le chien et les chats des villes une maison le soir"),
+      (5L, "xqz zzz qqq"))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextFunctions.langId($"text").as("pred"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "und"))
+  }
+
+  test("word shingles: n-grams in order, deduplicated, empty below n tokens") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y x y x y")).toDF("id", "text")
+    val got = df.select($"id", TextFunctions.wordShingles($"text", 3).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("s").toSeq).toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Seq.empty)
+    assert(got(3L) == Seq("x y x", "y x y")) // deduped from 4 raw shingles
+  }
+}
