@@ -24,6 +24,10 @@ object GraftSession {
       // events.parquet carries INT64 TIMESTAMP(NANOS) — Spark has no nanos
       // timestamp type; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // transformWithState (KeyedProcess operators) requires the RocksDB
+      // state store; it is also the at-scale choice (SURVEY.md §2.10).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   /** Local session for tests / bench. */
   def local(threads: Int = 32, appName: String = "graft"): SparkSession = {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational, Temporal, Text, Vector}
+import graft.queries.{Relational, Relational2, Temporal, Text, Vector}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
     * behave identically under a driver-provided session.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (Relational.queries ++ Temporal.queries ++ Text.queries ++ Vector.queries)
+    (Relational.queries ++ Relational2.queries ++ Temporal.queries ++
+      Text.queries ++ Vector.queries)
       .map { case (name, fn) =>
         name -> { (s: SparkSession, d: String) =>
           GraftSession.ensureRuntimeConfs(s)
@@ -37,5 +38,6 @@ object SparkEntry {
     * (q31_minhash_bands, q32_simhash, q34_ann_lsh_buckets) → rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Temporal.oracle ++ Text.oracle ++ Vector.oracle
+    Relational.oracle ++ Relational2.oracle ++ Temporal.oracle ++
+      Text.oracle ++ Vector.oracle
 }

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import QueryDefs._
+
+/** Second tranche of the relational surface: window-bucket joins,
+  * non-equi joins, UDTF/explode (LATERAL), FIRST/LAST_VALUE, LISTAGG,
+  * TRY_CAST — rounding out SURVEY.md §2.3/2.4/2.8/2.9 rows.
+  */
+object Relational2 {
+
+  /** Windowed join (SURVEY.md §2.3 "Window join"): events co-bucketed into
+    * the same 5-minute tumble per user — join on (window, key), the TVF
+    * window-join shape. Counts view→click co-occurrences per bucket.
+    */
+  val q35_windowed_join: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"user_id", $"event_type", $"event_id",
+        window($"ts", "5 minutes").getField("start").as("wstart"))
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id", $"wstart", $"event_id".as("v_id"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"wstart".as("c_w"), $"event_id".as("c_id"))
+    v.join(c, $"user_id" === $"c_user" && $"wstart" === $"c_w")
+      .groupBy($"user_id", $"wstart")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Theta/non-equi join → nested-loop/broadcast NL (SURVEY.md §2.3):
+    * same-nation customers strictly richer than the supplier.
+    */
+  val q36_theta_join: Q = (s, d) => {
+    import s.implicits._
+    Tables.supplier(s, d)
+      .join(Tables.customer(s, d),
+        $"c_nationkey" === $"s_nationkey" && $"c_acctbal" > $"s_acctbal")
+      .groupBy($"s_suppkey")
+      .agg(count(lit(1)).as("n_richer"))
+  }
+
+  /** UDTF / LATERAL TABLE / CROSS JOIN UNNEST (SURVEY.md §2.9): explode
+    * p_type words, global word frequencies.
+    */
+  val q37_explode_unnest: Q = (s, d) => {
+    import s.implicits._
+    Tables.part(s, d)
+      .select(explode(split($"p_type", " ")).as("word"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** FIRST_VALUE / LAST_VALUE / NTH over a total order (SURVEY.md §2.4). */
+  val q38_first_last_value: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal".desc, $"s_suppkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.supplier(s, d)
+      .select($"s_suppkey", $"s_nationkey",
+        first($"s_suppkey").over(w).as("richest"),
+        last($"s_suppkey").over(w).as("poorest"))
+  }
+
+  /** LISTAGG (Flink 1.19 LISTAGG ≙ Spark 4 listagg ≙ DuckDB string_agg). */
+  val q39_listagg: Q = (s, d) => {
+    import s.implicits._
+    Tables.nation(s, d)
+      .join(Tables.supplier(s, d), $"n_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)").as("suppliers"),
+        count(lit(1)).as("n_sup"))
+  }
+
+  /** CAST / TRY_CAST behavior (SURVEY.md §2.8 "Casts"): TRY_CAST yields
+    * null on junk where ANSI CAST would error.
+    */
+  val q40_try_cast: Q = (s, d) => {
+    import s.implicits._
+    Tables.part(s, d)
+      .select(
+        $"p_partkey",
+        expr("try_cast(substring(p_brand, 7, 2) as int)").as("brand_num"),
+        expr("try_cast(p_name as int)").as("junk_null"),
+        $"p_size".cast("string").as("size_str"),
+        // explicit floor: Spark's double→int cast truncates, DuckDB's rounds
+        floor($"p_retailprice").cast("int").as("price_int"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q35_windowed_join" -> q35_windowed_join,
+    "q36_theta_join" -> q36_theta_join,
+    "q37_explode_unnest" -> q37_explode_unnest,
+    "q38_first_last_value" -> q38_first_last_value,
+    "q39_listagg" -> q39_listagg,
+    "q40_try_cast" -> q40_try_cast,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q35_windowed_join" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |                  make_timestamp((epoch_ms(CAST(ts AS TIMESTAMP))//300000)*300000000) AS wstart
+        |           FROM events)
+        |SELECT v.user_id, v.wstart, count(*) AS n_pairs
+        |FROM (SELECT * FROM e WHERE event_type='view') v
+        |JOIN (SELECT * FROM e WHERE event_type='click') c
+        |  ON v.user_id = c.user_id AND v.wstart = c.wstart
+        |GROUP BY v.user_id, v.wstart""".stripMargin,
+    "q36_theta_join" ->
+      """SELECT s_suppkey, count(*) AS n_richer
+        |FROM supplier JOIN customer
+        |  ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+        |GROUP BY s_suppkey""".stripMargin,
+    "q37_explode_unnest" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT UNNEST(string_split(p_type, ' ')) AS word FROM part)
+        |GROUP BY word""".stripMargin,
+    "q38_first_last_value" ->
+      """SELECT s_suppkey, s_nationkey,
+        | first_value(s_suppkey) OVER w AS richest,
+        | last_value(s_suppkey) OVER w AS poorest
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q39_listagg" ->
+      """SELECT n_name,
+        | string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+        | count(*) AS n_sup
+        |FROM nation JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q40_try_cast" ->
+      """SELECT p_partkey,
+        | TRY_CAST(substring(p_brand, 7, 2) AS INTEGER) AS brand_num,
+        | TRY_CAST(p_name AS INTEGER) AS junk_null,
+        | CAST(p_size AS VARCHAR) AS size_str,
+        | CAST(floor(p_retailprice) AS INTEGER) AS price_int
+        |FROM part""".stripMargin,
+  )
+}

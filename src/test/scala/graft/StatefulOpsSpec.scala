@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming._
+
+/** The transformWithState-backed custom operators (KeyedProcess façade):
+  * streaming Top-N, count windows, keep-last dedup. Changelog outputs are
+  * asserted by NET effect (entries are unique, re-entry impossible), so
+  * batch-internal emission order doesn't matter.
+  */
+class StatefulOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private var qid = 0
+  private def nextName(): String = { qid += 1; s"stateful_out_$qid" }
+
+  test("streaming top-n changelog nets to the batch top-n per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = (1 to 60).map(i => KeyedScored(s"g${i % 3}", i.toLong, (i * 37 % 100).toDouble))
+    val input = MemoryStream[KeyedScored]
+    val name = nextName()
+    val q = StatefulOps.topN(input.toDS(), 5)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // three micro-batches, deliberately interleaved
+      input.addData(data.take(20): _*); q.processAllAvailable()
+      input.addData(data.slice(20, 40): _*); q.processAllAvailable()
+      input.addData(data.drop(40): _*); q.processAllAvailable()
+      val changes = spark.table(name).as[TopNChange].collect()
+      val net = changes.groupBy(c => (c.key, c.id, c.score)).collect {
+        case (k, cs) if cs.count(_.row_kind == "+I") - cs.count(_.row_kind == "-D") == 1 => k
+      }.toSet
+      val want = data.groupBy(_.key).flatMap { case (k, xs) =>
+        xs.sortBy(e => (-e.score, e.id)).take(5).map(e => (k, e.id, e.score))
+      }.toSet
+      assert(net == want)
+    } finally q.stop()
+  }
+
+  test("count window emits one aggregate per `size` rows per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedValue]
+    val name = nextName()
+    val q = StatefulOps.countWindow(input.toDS(), 3)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // key 1: 7 rows → 2 full windows (+1 partial, unemitted); key 2: 3 rows → 1
+      input.addData((1 to 5).map(i => KeyedValue(1L, i.toLong, i.toDouble)): _*)
+      q.processAllAvailable()
+      input.addData(KeyedValue(1L, 6, 6.0), KeyedValue(1L, 7, 7.0),
+        KeyedValue(2L, 8, 1.0), KeyedValue(2L, 9, 2.0), KeyedValue(2L, 10, 3.0))
+      q.processAllAvailable()
+      val got = spark.table(name).as[CountWindowOut].collect()
+        .map(o => (o.key, o.win_seq, o.n, o.sum_value)).toSet
+      assert(got == Set((1L, 0L, 3L, 6.0), (1L, 1L, 3L, 15.0), (2L, 0L, 3L, 6.0)))
+    } finally q.stop()
+  }
+
+  test("keep-last dedup changelog nets to the last row per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedValue]
+    val name = nextName()
+    val q = StatefulOps.keepLast(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(KeyedValue(1L, 1, 10.0), KeyedValue(2L, 2, 20.0))
+      q.processAllAvailable()
+      input.addData(KeyedValue(1L, 3, 30.0)) // replaces id=1 for key 1
+      q.processAllAvailable()
+      val changes = spark.table(name).as[KeepLastOut].collect()
+      val net = changes.groupBy(c => (c.key, c.id, c.value)).collect {
+        case (k, cs) if cs.count(_.row_kind == "+U") - cs.count(_.row_kind == "-U") == 1 => k
+      }.toSet
+      assert(net == Set((1L, 3L, 30.0), (2L, 2L, 20.0)))
+      // and the retraction for the replaced row was emitted
+      assert(changes.exists(c => c.row_kind == "-U" && c.id == 1L))
+    } finally q.stop()
+  }
+}
