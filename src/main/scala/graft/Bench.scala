@@ -18,6 +18,11 @@ object Bench {
       shufflePartitions = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // warm up JIT/codegen paths so the first timed query isn't charged
+    // for JVM startup (observed ~8s on q01 otherwise)
+    SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()

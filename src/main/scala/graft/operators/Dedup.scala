@@ -37,17 +37,19 @@ object Dedup {
       textCol: String,
       numHashes: Int = 64,
       shingleLen: Int = 3): DataFrame = {
-    val shingled = df
-      .select(col(idCol), TextFunctions.wordShingles(col(textCol), shingleLen).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    // one aggregate with numHashes min(xxhash64(shingle, seed)) columns:
+    // rows explode only by shingle (not shingle × seed), so the shuffle is
+    // numHashes× smaller than the naive two-level formulation; shingles
+    // come from the codegen'd exploded path (min is duplicate-insensitive,
+    // so the distinct pass is skipped)
+    val shingled = TextFunctions
+      .explodedWordShingles(df, Seq(idCol), textCol, shingleLen, distinctShingles = false)
+      .withColumnRenamed("shingle", "__s")
+    val minCols = (0 until numHashes).map(i => min(xxhash64(col("__s"), lit(i))).as(s"__mh$i"))
     shingled
-      .select(col(idCol), explode(col("__sh")).as("__s"))
-      .withColumn("__seed", explode(sequence(lit(0), lit(numHashes - 1))))
-      .groupBy(col(idCol), col("__seed"))
-      .agg(min(xxhash64(col("__s"), col("__seed"))).as("__mh"))
       .groupBy(col(idCol))
-      .agg(transform(array_sort(collect_list(struct(col("__seed"), col("__mh")))),
-        x => x.getField("__mh")).as("signature"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"__mh$i")): _*).as("signature"))
   }
 
   /** LSH banding over MinHash signatures: hash `rowsPerBand`-sized slices

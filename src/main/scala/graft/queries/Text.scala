@@ -50,20 +50,30 @@ object Text {
         langId($"text").as("pred"))
   }
 
-  /** Exact 3-gram-shingle Jaccard similarity for same-source pairs — the
-    * ground truth the MinHash estimate approximates.
+  /** Exact 3-gram-shingle Jaccard similarity for same-source pairs with at
+    * least one shared shingle — the ground truth the MinHash estimate
+    * approximates.
+    *
+    * Inverted-index formulation: explode shingles, self-join on
+    * (source, shingle), count commons per pair, then
+    * |A∩B| / (|A| + |B| − |A∩B|). Only overlapping pairs materialize —
+    * at 100 TB this is the difference between O(pairs·len) with every
+    * zero-overlap pair computed, and work proportional to actual overlap.
     */
   val q30_ngram_jaccard: Q = (s, d) => {
     import s.implicits._
-    val sh = Tables.documents(s, d)
-      .select($"doc_id", $"source", wordShingles($"text", 3).as("s"))
-      .filter(size($"s") > 0)
-    val a = sh.select($"source", $"doc_id".as("a_id"), $"s".as("sa"))
-    val b = sh.select($"source".as("src_b"), $"doc_id".as("b_id"), $"s".as("sb"))
-    a.join(b, $"source" === $"src_b" && $"a_id" < $"b_id")
+    val shingles = explodedWordShingles(
+      Tables.documents(s, d), Seq("doc_id", "source"), "text", 3)
+    val sz = shingles.groupBy($"doc_id", $"source").agg(count(lit(1)).as("sz"))
+    val ex = shingles.join(sz, Seq("doc_id", "source"))
+    val a = ex.select($"source", $"doc_id".as("a_id"), $"sz".as("sza"), $"shingle")
+    val b = ex.select($"source".as("src_b"), $"doc_id".as("b_id"), $"sz".as("szb"),
+      $"shingle".as("sh_b"))
+    a.join(b, $"source" === $"src_b" && $"shingle" === $"sh_b" && $"a_id" < $"b_id")
+      .groupBy($"source", $"a_id", $"b_id", $"sza", $"szb")
+      .agg(count(lit(1)).as("common"))
       .select($"source", $"a_id", $"b_id",
-        round(size(array_intersect($"sa", $"sb")).cast("double") /
-          size(array_union($"sa", $"sb")), 6).as("jaccard"))
+        round($"common".cast("double") / ($"sza" + $"szb" - $"common"), 6).as("jaccard"))
   }
 
   /** MinHash+LSH banding summary (per-band bucket/candidate stats) —
@@ -134,10 +144,15 @@ object Text {
         |sh AS (SELECT doc_id, source,
         |              list_distinct([array_to_string(t[i:i+2], ' ')
         |                             for i in range(1, len(t)-1)]) AS s
-        |       FROM f)
-        |SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
-        |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+        |       FROM f),
+        |ex AS (SELECT source, doc_id, len(s) AS sz, UNNEST(s) AS shingle FROM sh),
+        |c AS (SELECT a.source AS source, a.doc_id AS a_id, b.doc_id AS b_id,
+        |             a.sz AS sza, b.sz AS szb, count(*) AS common
+        |      FROM ex a JOIN ex b
+        |        ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4, 5)
+        |SELECT source, a_id, b_id,
+        |       round(CAST(common AS DOUBLE) / (sza + szb - common), 6) AS jaccard
+        |FROM c""".stripMargin,
   )
 }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge for graft's custom Catalyst expressions.
+  *
+  * Spark 4's unified `Column` no longer wraps an `Expression` publicly;
+  * the classic converters (`org.apache.spark.sql.classic.ExpressionUtils`)
+  * are `private[sql]`. This shim re-exports exactly the two conversions a
+  * library needs to expose a native `Expression` as a user-facing
+  * `Column` (e.g. graft.functions.DotProduct).
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
