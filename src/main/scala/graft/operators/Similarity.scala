@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{DotProduct, VectorFunctions}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north_star "similarity search"): sign-LSH bucketing + per-bucket
+  * brute-force cosine top-k.
+  *
+  * Scale shape: the all-pairs kernel (see queries.Vector.q33) is O(n²·d)
+  * and only admissible as a correctness oracle; here candidates are
+  * restricted to vectors sharing an LSH bucket, so work is
+  * Σ_buckets |bucket|² — with b well-chosen planes, ≈ n²/2^b·skew. The
+  * plan is: one narrow projection (id, bucket, normalized vec) → self-join
+  * on bucket (hash shuffle on bucket id, no broadcast of the full table) →
+  * codegen'd dot product → per-query top-k via WindowGroupLimit.
+  * Recall is tunable with nPlanes (fewer planes = bigger buckets = higher
+  * recall, more work) — the standard LSH trade.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors (brute force) — the oracle kernel. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val n = emb.select(col(idCol).as("a_id"),
+      VectorFunctions.normalize(VectorFunctions.toDouble(col(vecCol))).as("ua"))
+    val b = n.select(col("a_id").as("b_id"), col("ua").as("ub"))
+    n.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), DotProduct(col("ua"), col("ub")).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))))
+      .filter(col("rn") <= k)
+      .select(col("a_id"), col("b_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** ANN top-k within LSH buckets. Same output shape as bruteForceTopK;
+    * vectors alone in their bucket yield no rows (document: raise recall
+    * by lowering nPlanes or multi-probing).
+    */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 16, dim: Int = 64): DataFrame = {
+    val u = VectorFunctions.normalize(VectorFunctions.toDouble(col(vecCol)))
+    val n = emb.select(col(idCol).as("a_id"), u.as("ua"),
+      VectorFunctions.lshBucket(u, nPlanes, dim).as("bucket"))
+    val b = n.select(col("a_id").as("b_id"), col("ua").as("ub"), col("bucket").as("bucket_b"))
+    n.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("bucket"), col("b_id"), DotProduct(col("ua"), col("ub")).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))))
+      .filter(col("rn") <= k)
+      .select(col("a_id"), col("bucket"), col("b_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+}

@@ -92,7 +92,15 @@ object Temporal {
       .agg(count(lit(1)).as("n"), money(sum($"value")).as("sum_value"))
   }
 
+  /** HOP(10 min size, 5 min slide): each row lands in exactly 2 windows
+    * (shared builder with the streaming path).
+    */
+  val q41_hop_window: Q = (s, d) => {
+    WindowOps.hopAgg(Tables.events(s, d), "10 minutes", "5 minutes")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q41_hop_window" -> q41_hop_window,
     "q22_tumble_window" -> q22_tumble_window,
     "q23_interval_join" -> q23_interval_join,
     "q24_asof_join" -> q24_asof_join,
@@ -101,6 +109,15 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q41_hop_window" ->
+      """WITH e AS (SELECT event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS em FROM events),
+        |x AS (SELECT event_type,
+        |             ((em//300000) - UNNEST(range(0, 2)))*300000 AS ws
+        |      FROM e)
+        |SELECT make_timestamp(ws*1000) AS wstart,
+        |       make_timestamp((ws + 600000)*1000) AS wend,
+        |       event_type, count(*) AS n
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
     "q22_tumble_window" ->
       """SELECT make_timestamp((epoch_ms(CAST(ts AS TIMESTAMP))//300000)*300000000) AS wstart,
         | event_type, count(*) AS n, round(sum(value),2) AS sum_value

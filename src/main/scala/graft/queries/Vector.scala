@@ -51,9 +51,20 @@ object Vector {
       .orderBy($"bucket")
   }
 
+  /** Full ANN search: per-bucket cosine top-3 (rows-only check — LSH
+    * bucketing is not SQL-expressible; exactness within buckets is
+    * asserted against brute force in SimilaritySpec).
+    */
+  val q42_ann_topk: Q = (s, d) => {
+    graft.operators.Similarity.annTopK(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 3, nPlanes = 8)
+      .withColumn("cos", round(col("cos"), 6))
+  }
+
   val queries: Map[String, Q] = Map(
     "q33_cosine_topk" -> q33_cosine_topk,
     "q34_ann_lsh_buckets" -> q34_ann_lsh_buckets,
+    "q42_ann_topk" -> q42_ann_topk,
   )
 
   val oracle: Map[String, String] = Map(

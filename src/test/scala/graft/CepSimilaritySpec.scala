@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Cep, Similarity}
+import graft.operators.Cep.{Event, Match}
+
+/** CEP NFA semantics + ANN-vs-brute-force agreement. */
+class CepSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def run(events: Seq[Event], withinMs: Long = 1000): Set[Match] = {
+    import spark.implicits._
+    Cep.abcWithin(events.toDS(), "A", "B", "C", withinMs).collect().toSet
+  }
+
+  test("cep: A B+ C matches with one and many Bs") {
+    val es = Seq(
+      Event(1, 1, 10, "A"), Event(1, 2, 20, "B"), Event(1, 3, 30, "C"),
+      Event(2, 4, 10, "A"), Event(2, 5, 20, "B"), Event(2, 6, 30, "B"),
+      Event(2, 7, 40, "B"), Event(2, 8, 50, "C"))
+    assert(run(es) == Set(
+      Match(1, 1, 3, 1, 10, 30),
+      Match(2, 4, 8, 3, 10, 50)))
+  }
+
+  test("cep: A C without B does not match; strict contiguity aborts on noise") {
+    val es = Seq(
+      Event(1, 1, 10, "A"), Event(1, 2, 20, "C"), // no B
+      Event(2, 3, 10, "A"), Event(2, 4, 20, "B"), Event(2, 5, 25, "X"),
+      Event(2, 6, 30, "C")) // X breaks contiguity
+    assert(run(es).isEmpty)
+  }
+
+  test("cep: WITHIN bound expires matches; fresh A restarts") {
+    val es = Seq(
+      Event(1, 1, 0, "A"), Event(1, 2, 500, "B"), Event(1, 3, 2000, "C"), // too late
+      Event(1, 4, 3000, "A"), Event(1, 5, 3100, "B"), Event(1, 6, 3200, "C"))
+    assert(run(es) == Set(Match(1, 4, 6, 1, 3000, 3200)))
+  }
+
+  test("cep: skip-past-last-row — non-overlapping sequential matches") {
+    val es = Seq(
+      Event(1, 1, 0, "A"), Event(1, 2, 10, "B"), Event(1, 3, 20, "C"),
+      Event(1, 4, 30, "A"), Event(1, 5, 40, "B"), Event(1, 6, 50, "C"))
+    assert(run(es) == Set(Match(1, 1, 3, 1, 0, 20), Match(1, 4, 6, 1, 30, 50)))
+  }
+
+  test("cep: A B A restarts the pending match from the newer A") {
+    val es = Seq(
+      Event(1, 1, 0, "A"), Event(1, 2, 10, "B"),
+      Event(1, 3, 20, "A"), Event(1, 4, 30, "B"), Event(1, 5, 40, "C"))
+    assert(run(es) == Set(Match(1, 3, 5, 1, 20, 40)))
+  }
+
+  test("ann top-k agrees with brute force restricted to the bucket") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", k = 3, nPlanes = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("rn"))).toList
+    assert(ann.nonEmpty)
+    // buckets from the same deterministic planes
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val buckets = emb.select(col("vec_id"),
+      VectorFunctions.lshBucket(
+        VectorFunctions.normalize(VectorFunctions.toDouble(col("embedding"))), 8, 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every ANN neighbor shares the query's bucket; ranks are 1..k dense
+    ann.foreach { case (a, bkt, nb, _) =>
+      assert(buckets(a) == bkt && buckets(nb) == bkt)
+    }
+    ann.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).sorted == (1 to rs.length).toList)
+    }
+    // exact brute-force top-1 neighbor is found by ANN whenever it shares
+    // the bucket (the LSH contract)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("a_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val annByQuery = ann.groupBy(_._1)
+    brute.foreach { case (a, top1) =>
+      if (buckets(a) == buckets(top1))
+        assert(annByQuery(a).exists(_._3 == top1), s"query $a missed same-bucket top-1 $top1")
+    }
+  }
+}

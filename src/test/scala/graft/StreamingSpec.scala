@@ -108,6 +108,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks join views within [0, 60s] per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    // generous watermark delay: MemoryStream may split the two addData
+    // calls into separate micro-batches, and a tight watermark would evict
+    // the view state before the click batch arrives (correct semantics —
+    // just not what this test stages)
+    val v = views.toDF().withWatermark("ts", "10 minutes")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"), $"event_id".as("v_id"))
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val joined = v.join(c,
+      $"v_user" === $"c_user" &&
+        $"c_ts" >= $"v_ts" && $"c_ts" <= $"v_ts" + expr("INTERVAL 60 SECONDS"))
+    val name = nextName()
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // keep times well above epoch 0: a row AT the initial watermark (0)
+      // is dropped as late
+      views.addData(ev(1, 1000, user = 1, typ = "view"), ev(2, 1100, user = 2, typ = "view"))
+      clicks.addData(ev(10, 1030, user = 1), ev(11, 1070, user = 1), // +70s > 60 → no match
+        ev(12, 1130, user = 2))
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select($"v_id", $"c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L), (2L, 12L)))
+    } finally { q.stop() }
+  }
+
   test("session window (streaming) groups events by 30s gaps per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
