@@ -88,7 +88,42 @@ object Relational2 {
         floor($"p_retailprice").cast("int").as("price_int"))
   }
 
+  /** JSON_OBJECTAGG / JSON_ARRAYAGG (SURVEY.md §2.4): composed from
+    * collect_list + map_from_entries + to_json, entries sorted for a
+    * canonical rendering.
+    */
+  val q43_json_agg: Q = (s, d) => {
+    import s.implicits._
+    graft.Tables.customer(s, d)
+      .groupBy($"c_nationkey", $"c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .groupBy($"c_nationkey")
+      .agg(
+        to_json(map_from_entries(array_sort(collect_list(struct($"c_mktsegment", $"cnt")))))
+          .as("seg_json"),
+        to_json(array_sort(collect_list($"c_mktsegment"))).as("seg_arr"))
+  }
+
+  /** Second string-function tranche (SURVEY.md §2.8): ascii/chr, left/
+    * right, position, base64, starts/contains, printf-style formatting.
+    */
+  val q44_string_funcs2: Q = (s, d) => {
+    import s.implicits._
+    graft.Tables.part(s, d).select(
+      $"p_partkey",
+      ascii($"p_name").as("first_code"),
+      expr("chr(65 + p_size % 26)").as("size_chr"),
+      expr("left(p_name, 4)").as("l4"),
+      expr("right(p_name, 4)").as("r4"),
+      expr("position('a' in p_name)").as("a_at"),
+      base64($"p_brand".cast("binary")).as("brand_b64"),
+      $"p_name".startsWith("b").as("starts_b"),
+      $"p_name".contains("spark").as("has_spark"),
+      format_string("%s-%d", $"p_brand", $"p_size").as("brand_size"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q43_json_agg" -> q43_json_agg,
+    "q44_string_funcs2" -> q44_string_funcs2,
     "q35_windowed_join" -> q35_windowed_join,
     "q36_theta_join" -> q36_theta_join,
     "q37_explode_unnest" -> q37_explode_unnest,
@@ -98,6 +133,25 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q43_json_agg" ->
+      """WITH per AS (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+        |             FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey,
+        | '{' || string_agg('"' || c_mktsegment || '":' || cnt, ',' ORDER BY c_mktsegment) || '}' AS seg_json,
+        | '[' || string_agg('"' || c_mktsegment || '"', ',' ORDER BY c_mktsegment) || ']' AS seg_arr
+        |FROM per GROUP BY c_nationkey""".stripMargin,
+    "q44_string_funcs2" ->
+      """SELECT p_partkey,
+        | CAST(ascii(p_name) AS INTEGER) AS first_code,
+        | chr(65 + p_size % 26) AS size_chr,
+        | left(p_name, 4) AS l4,
+        | right(p_name, 4) AS r4,
+        | CAST(position('a' IN p_name) AS INTEGER) AS a_at,
+        | to_base64(CAST(p_brand AS BLOB)) AS brand_b64,
+        | starts_with(p_name, 'b') AS starts_b,
+        | contains(p_name, 'spark') AS has_spark,
+        | printf('%s-%d', p_brand, p_size) AS brand_size
+        |FROM part""".stripMargin,
     "q35_windowed_join" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
         |                  make_timestamp((epoch_ms(CAST(ts AS TIMESTAMP))//300000)*300000000) AS wstart

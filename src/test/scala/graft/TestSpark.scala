@@ -16,3 +16,4 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
 case class AsOfL(k: Int, t: Long, lv: Int)
 case class AsOfR(k: Int, t: Long, rv: Int)
+case class Raw(key: Long, id: Long, ts: java.sql.Timestamp, value: Double)
