@@ -40,9 +40,16 @@ object Similarity {
     */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 16, dim: Int = 64): DataFrame = {
-    val u = VectorFunctions.normalize(VectorFunctions.toDouble(col(vecCol)))
-    val n = emb.select(col(idCol).as("a_id"), u.as("ua"),
-      VectorFunctions.lshBucket(u, nPlanes, dim).as("bucket"))
+    // materialize the normalized vector BEFORE deriving buckets: inlining
+    // `normalize` into the nPlanes bucket dot-products re-evaluates the
+    // norm per element per plane (interpreted HOFs). The cache() is a
+    // CollapseProject barrier and is shared by both join sides; it holds
+    // one narrow (id, vec) projection, not the input table.
+    val n = emb
+      .select(col(idCol).as("a_id"),
+        VectorFunctions.normalize(VectorFunctions.toDouble(col(vecCol))).as("ua"))
+      .cache()
+      .withColumn("bucket", VectorFunctions.lshBucket(col("ua"), nPlanes, dim))
     val b = n.select(col("a_id").as("b_id"), col("ua").as("ub"), col("bucket").as("bucket_b"))
     n.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("bucket"), col("b_id"), DotProduct(col("ua"), col("ub")).as("cos"))
