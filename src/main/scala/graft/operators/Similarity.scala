@@ -34,6 +34,22 @@ object Similarity {
       .select(col("a_id"), col("b_id").as("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (north_star dedup family #5):
+    * all (a < b) pairs with cosine ≥ threshold. Exact all-pairs kernel —
+    * the correctness oracle; at scale restrict candidates with the LSH
+    * buckets of [[annTopK]] (same kernel inside buckets) and treat this
+    * as the per-bucket verifier.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val n = emb.select(col(idCol).as("a_id"),
+      VectorFunctions.normalize(VectorFunctions.toDouble(col(vecCol))).as("ua"))
+    val b = n.select(col("a_id").as("b_id"), col("ua").as("ub"))
+    n.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), DotProduct(col("ua"), col("ub")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** ANN top-k within LSH buckets. Same output shape as bruteForceTopK;
     * vectors alone in their bucket yield no rows (document: raise recall
     * by lowering nPlanes or multi-probing).

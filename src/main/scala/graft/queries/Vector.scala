@@ -61,13 +61,31 @@ object Vector {
       .withColumn("cos", round(col("cos"), 6))
   }
 
+  /** Embedding-cosine near-dup pairs at threshold 0.35 (fixture max
+    * pairwise cosine is ~0.51, so the threshold yields a stable non-empty
+    * candidate set), DuckDB-oracled.
+    */
+  val q45_embedding_neardup: Q = (s, d) => {
+    graft.operators.Similarity
+      .embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q33_cosine_topk" -> q33_cosine_topk,
     "q34_ann_lsh_buckets" -> q34_ann_lsh_buckets,
     "q42_ann_topk" -> q42_ann_topk,
+    "q45_embedding_neardup" -> q45_embedding_neardup,
   )
 
   val oracle: Map[String, String] = Map(
+    "q45_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(list_dot_product(a.u, b.u), 6) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.u, b.u) >= 0.35""".stripMargin,
     "q33_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),

@@ -108,6 +108,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming group agg in update mode emits revised counts per trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    val q = input.toDF().groupBy($"event_type").count()
+      .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+    try {
+      input.addData(ev(1, 1, typ = "a"), ev(2, 2, typ = "a"), ev(3, 3, typ = "b"))
+      q.processAllAvailable()
+      input.addData(ev(4, 4, typ = "a"))
+      q.processAllAvailable()
+      // update sink appends revisions; latest row per key is the truth
+      val latest = spark.table(name).groupBy($"event_type")
+        .agg(max($"count").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(latest == Map("a" -> 3L, "b" -> 1L))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink: batch-wise custom writer sees every row exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = input.toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select($"event_id").collect().foreach(r => seen.add(r.getLong(0)))
+        () // Unit: disambiguates the Scala/Java foreachBatch overloads
+      }
+      .start()
+    try {
+      input.addData(ev(1, 1), ev(2, 2))
+      q.processAllAvailable()
+      input.addData(ev(3, 3))
+      q.processAllAvailable()
+      assert(seen.toArray.map(_.asInstanceOf[Long]).sorted.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks join views within [0, 60s] per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
