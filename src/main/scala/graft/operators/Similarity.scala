@@ -21,13 +21,23 @@ import graft.functions.{DotProduct, VectorFunctions}
   */
 object Similarity {
 
+  /** Narrow (id, vec, norm) projection — norms once per row, codegen'd
+    * dot per pair downstream; no interpreted HOFs in any n² path.
+    */
+  private def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = VectorFunctions.toDouble(col(vecCol))
+    emb.select(col(idCol).as("a_id"), v.as("va"),
+      VectorFunctions.l2Norm(v).as("na"))
+  }
+
+  private def cosCol = DotProduct(col("va"), col("vb")) / (col("na") * col("nb"))
+
   /** Exact top-k neighbors (brute force) — the oracle kernel. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val n = emb.select(col(idCol).as("a_id"),
-      VectorFunctions.normalize(VectorFunctions.toDouble(col(vecCol))).as("ua"))
-    val b = n.select(col("a_id").as("b_id"), col("ua").as("ub"))
+    val n = withNorm(emb, idCol, vecCol)
+    val b = n.select(col("a_id").as("b_id"), col("va").as("vb"), col("na").as("nb"))
     n.join(b, col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"), DotProduct(col("ua"), col("ub")).as("cos"))
+      .select(col("a_id"), col("b_id"), cosCol.as("cos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))))
       .filter(col("rn") <= k)
@@ -42,11 +52,10 @@ object Similarity {
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val n = emb.select(col(idCol).as("a_id"),
-      VectorFunctions.normalize(VectorFunctions.toDouble(col(vecCol))).as("ua"))
-    val b = n.select(col("a_id").as("b_id"), col("ua").as("ub"))
+    val n = withNorm(emb, idCol, vecCol)
+    val b = n.select(col("a_id").as("b_id"), col("va").as("vb"), col("na").as("nb"))
     n.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), DotProduct(col("ua"), col("ub")).as("cos"))
+      .select(col("a_id"), col("b_id"), cosCol.as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -56,19 +65,14 @@ object Similarity {
     */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 16, dim: Int = 64): DataFrame = {
-    // materialize the normalized vector BEFORE deriving buckets: inlining
-    // `normalize` into the nPlanes bucket dot-products re-evaluates the
-    // norm per element per plane (interpreted HOFs). The cache() is a
-    // CollapseProject barrier and is shared by both join sides; it holds
-    // one narrow (id, vec) projection, not the input table.
-    val n = emb
-      .select(col(idCol).as("a_id"),
-        VectorFunctions.normalize(VectorFunctions.toDouble(col(vecCol))).as("ua"))
-      .cache()
-      .withColumn("bucket", VectorFunctions.lshBucket(col("ua"), nPlanes, dim))
-    val b = n.select(col("a_id").as("b_id"), col("ua").as("ub"), col("bucket").as("bucket_b"))
+    // buckets on RAW vectors (sign-LSH is scale-invariant) with the
+    // codegen'd per-plane dot — no normalization pass, no plan barrier
+    val n = withNorm(emb, idCol, vecCol)
+      .withColumn("bucket", VectorFunctions.lshBucket(col("va"), nPlanes, dim))
+    val b = n.select(col("a_id").as("b_id"), col("va").as("vb"), col("na").as("nb"),
+      col("bucket").as("bucket_b"))
     n.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("bucket"), col("b_id"), DotProduct(col("ua"), col("ub")).as("cos"))
+      .select(col("a_id"), col("bucket"), col("b_id"), cosCol.as("cos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))))
       .filter(col("rn") <= k)

@@ -19,19 +19,20 @@ object Vector {
 
   /** Brute-force cosine top-5 neighbors per vector (DuckDB-verified).
     *
-    * Kernel shape for n² pairs: vectors are L2-normalized ONCE (n rows),
-    * so each pair costs exactly one codegen'd DotProduct (no per-pair
-    * array allocation, no per-pair norm) — ~5× over the naive
-    * aggregate(zip_with)/norm-per-pair plan at sf0.1.
+    * Kernel shape for n² pairs: norms are computed ONCE as a scalar
+    * column (n rows), so each pair costs one codegen'd DotProduct plus a
+    * division — no per-pair array allocation and no interpreted
+    * higher-order functions anywhere in the n² hot path.
     */
   val q33_cosine_topk: Q = (s, d) => {
     import s.implicits._
     val e = Tables.embeddings(s, d).select($"vec_id", toDouble($"embedding").as("v"))
-    val n = e.select($"vec_id", normalize($"v").as("u"))
-    val a = n.select($"vec_id".as("a_id"), $"u".as("ua"))
-    val b = n.select($"vec_id".as("b_id"), $"u".as("ub"))
+    val n = e.select($"vec_id", $"v", l2Norm($"v").as("nrm"))
+    val a = n.select($"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na"))
+    val b = n.select($"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb"))
     val pairs = a.join(b, $"a_id" =!= $"b_id")
-      .select($"a_id", $"b_id", graft.functions.DotProduct($"ua", $"ub").as("cos"))
+      .select($"a_id", $"b_id",
+        (graft.functions.DotProduct($"va", $"vb") / ($"na" * $"nb")).as("cos"))
     pairs
       .withColumn("rn", row_number().over(
         Window.partitionBy($"a_id").orderBy($"cos".desc, $"b_id")))
@@ -81,16 +82,16 @@ object Vector {
   val oracle: Map[String, String] = Map(
     "q45_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e)
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |       round(list_dot_product(a.u, b.u), 6) AS cosine
+        |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.u, b.u) >= 0.35""".stripMargin,
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35""".stripMargin,
     "q33_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |             list_dot_product(a.u, b.u) AS cos
+        |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
         |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
         |r AS (SELECT a_id, b_id, cos,
         |             row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn

@@ -63,8 +63,7 @@ class CepSimilaritySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
     val buckets = emb.select(col("vec_id"),
-      VectorFunctions.lshBucket(
-        VectorFunctions.normalize(VectorFunctions.toDouble(col("embedding"))), 8, 64).as("b"))
+      VectorFunctions.lshBucket(VectorFunctions.toDouble(col("embedding")), 8, 64).as("b"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     // every ANN neighbor shares the query's bucket; ranks are 1..k dense
     ann.foreach { case (a, bkt, nb, _) =>
