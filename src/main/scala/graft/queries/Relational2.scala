@@ -121,7 +121,33 @@ object Relational2 {
       format_string("%s-%d", $"p_brand", $"p_size").as("brand_size"))
   }
 
+  /** Math scalar surface (SURVEY.md §2.8 "Math"): roots, logs, exp,
+    * trig, sign, angle conversion — rounded at 6 (libm vs java.lang.Math
+    * agree far below that).
+    */
+  val q46_math_funcs: Q = (s, d) => {
+    import s.implicits._
+    graft.Tables.part(s, d).select(
+      $"p_partkey",
+      round(sqrt($"p_retailprice"), 6).as("sq"),
+      round(cbrt($"p_retailprice"), 6).as("cb"),
+      round(log($"p_retailprice"), 6).as("ln_p"),
+      round(log10($"p_retailprice"), 6).as("l10"),
+      round(log2($"p_retailprice"), 6).as("l2"),
+      round(exp(($"p_size" % 10).cast("double")), 6).as("ex"),
+      pow($"p_size", 2).as("p2"),
+      round(sin($"p_size"), 6).as("sn"),
+      round(cos($"p_size"), 6).as("cs"),
+      round(atan($"p_size"), 6).as("at"),
+      signum($"p_retailprice" - 1000.0).cast("int").as("sg"),
+      round(degrees($"p_size"), 6).as("dg"),
+      round(radians($"p_size"), 6).as("rd"),
+      ($"p_size" % 7).as("m7"),
+      round(lit(math.Pi), 6).as("pi_c"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q46_math_funcs" -> q46_math_funcs,
     "q43_json_agg" -> q43_json_agg,
     "q44_string_funcs2" -> q44_string_funcs2,
     "q35_windowed_join" -> q35_windowed_join,
@@ -133,6 +159,24 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q46_math_funcs" ->
+      """SELECT p_partkey,
+        | round(sqrt(p_retailprice), 6) AS sq,
+        | round(cbrt(p_retailprice), 6) AS cb,
+        | round(ln(p_retailprice), 6) AS ln_p,
+        | round(log10(p_retailprice), 6) AS l10,
+        | round(log2(p_retailprice), 6) AS l2,
+        | round(exp(CAST(p_size % 10 AS DOUBLE)), 6) AS ex,
+        | pow(p_size, 2) AS p2,
+        | round(sin(p_size), 6) AS sn,
+        | round(cos(p_size), 6) AS cs,
+        | round(atan(p_size), 6) AS at,
+        | CAST(sign(p_retailprice - 1000.0) AS INTEGER) AS sg,
+        | round(degrees(p_size), 6) AS dg,
+        | round(radians(p_size), 6) AS rd,
+        | p_size % 7 AS m7,
+        | round(pi(), 6) AS pi_c
+        |FROM part""".stripMargin,
     "q43_json_agg" ->
       """WITH per AS (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
         |             FROM customer GROUP BY 1, 2)

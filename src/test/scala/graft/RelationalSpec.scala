@@ -63,6 +63,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.sorted(Ordering[Double].reverse).sameElements(all))
   }
 
+  test("approx_count_distinct within rsd of the exact count (extension sketch)") {
+    val o = Tables.orders(spark, d)
+    val row = o.agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey"), 0.05).as("approx")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15)
+  }
+
   test("q18 multiset counts agree with plain group counts") {
     val rows = SparkEntry.queries("q18_collect_multiset")(spark, d).collect()
     val perNation = Tables.customer(spark, d)

@@ -108,6 +108,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cumulate windows run on a stream (update mode): expanding counts per bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    // same Cumulate operator as batch q26: 10-min max, 2-min step
+    val q = graft.operators.Cumulate.assign(input.toDF(), "ts", 600000L, 120000L)
+      .groupBy($"w_start", $"w_end").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+    try {
+      input.addData(ev(1, 30), ev(2, 90)) // both in bucket [0,600s): steps 1..5
+      q.processAllAvailable()
+      val latest = spark.table(name).groupBy($"w_start", $"w_end")
+        .agg(max($"n").as("n")).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
+      // ev@30s covers ends 120..600s; ev@90s the same → every window n=2
+      assert(latest == (1 to 5).map(k => (0L, k * 120000L) -> 2L).toMap)
+    } finally q.stop()
+  }
+
   test("streaming group agg in update mode emits revised counts per trigger") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
