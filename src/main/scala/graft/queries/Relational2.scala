@@ -146,7 +146,33 @@ object Relational2 {
       round(lit(math.Pi), 6).as("pi_c"))
   }
 
+  /** One ANSI SQL text, two engines: the `TableEnvironment.executeSql`
+    * analog (SURVEY.md §3.1) — temp views + `spark.sql`, with the SAME
+    * string serving as the DuckDB oracle. Exercises the SQL entry point,
+    * IN-subquery rewrite (RewritePredicateSubquery → semi join), and the
+    * full parse→analyze→optimize pipeline.
+    */
+  val sqlEntryText: String =
+    """SELECT c_custkey, c_name, n_name,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      | count(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND c_custkey IN (SELECT o_custkey FROM orders
+      |                    WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY c_custkey, c_name, n_name""".stripMargin
+
+  val q47_sql_entry: Q = (s, d) => {
+    Seq("customer", "orders", "lineitem", "nation")
+      .foreach(t => graft.Tables(s, d, t).createOrReplaceTempView(t))
+    s.sql(sqlEntryText)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q47_sql_entry" -> q47_sql_entry,
     "q46_math_funcs" -> q46_math_funcs,
     "q43_json_agg" -> q43_json_agg,
     "q44_string_funcs2" -> q44_string_funcs2,
@@ -159,6 +185,7 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q47_sql_entry" -> sqlEntryText,
     "q46_math_funcs" ->
       """SELECT p_partkey,
         | round(sqrt(p_retailprice), 6) AS sq,

@@ -97,7 +97,20 @@ object Text {
     Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
   }
 
+  /** Winnowing rolling-hash fingerprints (per-doc summary; rows-only —
+    * hash selection is not SQL-expressible). The containment property is
+    * spec-tested in VectorTextSpec.
+    */
+  val q48_winnow_fingerprints: Q = (s, d) => {
+    import s.implicits._
+    winnowFingerprints(Tables.documents(s, d), Seq("doc_id"), "text")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fp"), min($"fingerprint").as("min_fp"),
+        max($"fingerprint").as("max_fp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q48_winnow_fingerprints" -> q48_winnow_fingerprints,
     "q27_dedup_exact" -> q27_dedup_exact,
     "q28_text_stats" -> q28_text_stats,
     "q29_lang_id" -> q29_lang_id,

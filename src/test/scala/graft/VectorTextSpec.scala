@@ -61,6 +61,27 @@ class VectorTextSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "und"))
   }
 
+  test("winnowing: shared long substring → shared fingerprint; short text → none") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val df = Seq(
+      (1L, s"AAAA unique prefix one $common"),
+      (2L, s"ZZZZ totally different lead-in text $common"),
+      (3L, "xyzw"), // shorter than k → no fingerprints
+      (4L, "0123456789 9876543210 numeric island without letters repeated"))
+      .toDF("doc_id", "text")
+    val fp = TextFunctions.winnowFingerprints(df, Seq("doc_id"), "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint"))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!byDoc.contains(3L))
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)  // winnowing guarantee
+    assert((byDoc(1L) & byDoc(4L)).isEmpty)   // disjoint content
+    // deterministic across runs
+    val fp2 = TextFunctions.winnowFingerprints(df, Seq("doc_id"), "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint")).toSet
+    assert(fp2 == fp.toSet)
+  }
+
   test("word shingles: n-grams in order, deduplicated, empty below n tokens") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y x y x y")).toDF("id", "text")
