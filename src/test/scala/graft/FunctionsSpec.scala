@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+
+/** Remaining scalar-function surface (SURVEY.md §2.8 rows with no DuckDB
+  * mirror) + the salted-join skew pattern.
+  */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("str_to_map / parse_url / overlay / encode-decode / bin-hex-conv") {
+    import spark.implicits._
+    val row = Seq(("a=1;b=2", "https://spark.apache.org/docs/latest?q=flink#frag"))
+      .toDF("kv", "url")
+      .select(
+        expr("str_to_map(kv, ';', '=')").as("m"),
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("QUERY"), lit("q")).as("qparam"),
+        expr("overlay('flink' PLACING 'spark' FROM 1)").as("ov"),
+        decode(encode(lit("graft"), "UTF-8"), "UTF-8").as("roundtrip"),
+        bin(lit(10)).as("b"),
+        hex(lit(255)).as("h"),
+        conv(lit("ff"), 16, 10).as("c"))
+      .head()
+    assert(row.getAs[Map[String, String]]("m") == Map("a" -> "1", "b" -> "2"))
+    assert(row.getAs[String]("host") == "spark.apache.org")
+    assert(row.getAs[String]("qparam") == "flink")
+    assert(row.getAs[String]("ov") == "spark")
+    assert(row.getAs[String]("roundtrip") == "graft")
+    assert(row.getAs[String]("b") == "1010")
+    assert(row.getAs[String]("h") == "FF")
+    assert(row.getAs[String]("c") == "255")
+  }
+
+  test("1-based array access convention: element_at everywhere (Flink parity)") {
+    import spark.implicits._
+    val row = Seq(Tuple1(Seq("x", "y", "z"))).toDF("arr")
+      .select(element_at($"arr", 1).as("first"), element_at($"arr", -1).as("last"))
+      .head()
+    assert(row.getString(0) == "x" && row.getString(1) == "z")
+  }
+
+  test("salted join equals plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 90% of left rows share one key — the classic hot-key shape
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i % 7 else 999, i))
+      .toDF("k", "lv")
+    val right = (0 to 999).map(i => (i, s"r$i")).toDF("rk", "rv")
+    val plain = left.join(right, $"k" === $"rk")
+      .select($"k", $"lv", $"rv").collect().map(_.toSeq).toSet
+    val salted = SkewJoin.salted(left, right, "k", "rk", 8)
+      .select($"k", $"lv", $"rv").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+}
