@@ -171,7 +171,24 @@ object Relational2 {
     s.sql(sqlEntryText)
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube) + exact interpolated
+    * median / percentile aggregates (SURVEY.md §2.4).
+    */
+  val q49_grouping_sets: Q = (s, d) => {
+    import s.implicits._
+    graft.Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("total"),
+        round(median($"o_totalprice"), 4).as("med"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q49_grouping_sets" -> q49_grouping_sets,
     "q47_sql_entry" -> q47_sql_entry,
     "q46_math_funcs" -> q46_math_funcs,
     "q43_json_agg" -> q43_json_agg,
@@ -185,6 +202,14 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q49_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total,
+        | round(median(o_totalprice), 4) AS med,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "q47_sql_entry" -> sqlEntryText,
     "q46_math_funcs" ->
       """SELECT p_partkey,
