@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.streaming._
+
+/** Streaming OVER window — the reference's row-time OVER aggregate
+  * ([U] flink-table-runtime operators/over/ RowTimeRangeUnboundedPreceding
+  * family; SURVEY.md §2.5 "streaming OVER → transformWithState with
+  * ordered ListState where truly needed").
+  *
+  * Structured Streaming has no analytic windows, so per key:
+  *  - out-of-order rows buffer in ListState with an event-time timer per
+  *    row timestamp;
+  *  - when the watermark passes, buffered rows ≤ watermark are sorted by
+  *    (ts, id) and emitted with the running aggregate (sum, count, row
+  *    number) carried in ValueState across emissions — i.e.
+  *    `SUM(v) OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED
+  *    PRECEDING)` with watermark-delayed, in-order emission.
+  *
+  * State: pending buffer is watermark-bounded; the running accumulator is
+  * O(1) per key. Rows arriving behind the emitted frontier (possible only
+  * inside the watermark slack) are folded in at the next firing in
+  * arrival order — same best-effort as Flink applies behind its watermark.
+  */
+case class OverIn(key: Long, id: Long, ts_ms: Long, value: Double)
+case class OverOut(key: Long, id: Long, ts_ms: Long,
+    running_sum: Double, running_cnt: Long, rn: Long)
+
+class StreamingOverProcess extends KeyedProcess[Long, OverIn, OverOut] {
+  @transient private var buf: ListState[OverIn] = _
+  @transient private var acc: ValueState[(Double, Long)] = _
+
+  override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
+    implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
+    implicit val accEnc: Encoder[(Double, Long)] = ExpressionEncoder()
+    buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
+    acc = h.getValueState[(Double, Long)]("acc", accEnc, TTLConfig.NONE)
+  }
+
+  override def onElement(key: Long, v: OverIn, tv: TimerValues,
+      emit: OverOut => Unit): Unit = {
+    buf.appendValue(v)
+    registerTimer(v.ts_ms)
+  }
+
+  override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
+      emit: OverOut => Unit): Unit = {
+    val wm = math.max(tv.getCurrentWatermarkInMs, expiryMs)
+    val (ready, pending) = buf.get().toArray.partition(_.ts_ms <= wm)
+    if (ready.nonEmpty) {
+      var (sum, cnt) = Option(acc.get()).getOrElse((0.0, 0L))
+      ready.sortBy(r => (r.ts_ms, r.id)).foreach { r =>
+        sum += r.value; cnt += 1
+        emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt))
+      }
+      acc.update((sum, cnt))
+      buf.clear()
+      if (pending.nonEmpty) buf.appendList(pending)
+    }
+  }
+}
+
+object OverOps {
+  /** Running sum/count/row_number per key ordered by event time, emitted
+    * behind the watermark; `ds` must carry an event-time watermark.
+    */
+  def runningAgg(ds: Dataset[OverIn]): Dataset[OverOut] = {
+    implicit val out: Encoder[OverOut] = Encoders.product[OverOut]
+    ds.groupByKey(_.key)(Encoders.scalaLong)
+      .transformWithState(new StreamingOverProcess, TimeMode.EventTime(), OutputMode.Append())
+  }
+}

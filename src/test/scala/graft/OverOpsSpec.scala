@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{OverIn, OverOps, OverOut}
+
+/** Streaming OVER window vs the batch Window oracle: out-of-order input
+  * across micro-batches must emit the same running aggregates as
+  * `SUM/COUNT OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED
+  * PRECEDING)` in batch.
+  */
+class OverOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming running agg equals batch OVER window on shuffled input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      // key 1, deliberately out of order within each batch
+      Raw(1, 3, new java.sql.Timestamp(1030 * 1000), 3.0),
+      Raw(1, 1, new java.sql.Timestamp(1010 * 1000), 1.0),
+      Raw(1, 2, new java.sql.Timestamp(1020 * 1000), 2.0),
+      Raw(2, 4, new java.sql.Timestamp(1015 * 1000), 10.0),
+      // second batch, still older than the final sentinel
+      Raw(1, 5, new java.sql.Timestamp(1060 * 1000), 5.0),
+      Raw(2, 6, new java.sql.Timestamp(1040 * 1000), 20.0))
+    val input = MemoryStream[Raw]
+    val toIn = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"key", $"id", unix_millis($"ts").as("ts_ms"), $"value").as[OverIn]
+    val q = OverOps.runningAgg(toIn(input.toDF().withWatermark("ts", "5 seconds")))
+      .writeStream.outputMode("append").format("memory").queryName("over_out").start()
+    try {
+      input.addData(rows.take(4): _*); q.processAllAvailable()
+      input.addData(rows.drop(4): _*); q.processAllAvailable()
+      input.addData(Raw(9, 99, new java.sql.Timestamp(9000 * 1000), 0.0)) // close
+      q.processAllAvailable()
+      val got = spark.table("over_out").as[OverOut].collect()
+        .filter(_.key != 9)
+        .map(o => (o.key, o.id, o.running_sum, o.running_cnt, o.rn)).toSet
+      val w = Window.partitionBy($"key").orderBy($"ts_ms", $"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = toIn(rows.toDF())
+        .select($"key", $"id", sum($"value").over(w).as("s"),
+          count(lit(1)).over(w).as("c"), row_number().over(
+            Window.partitionBy($"key").orderBy($"ts_ms", $"id")).as("rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getInt(4).toLong)).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+}
