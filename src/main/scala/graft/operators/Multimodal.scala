@@ -59,6 +59,32 @@ object Multimodal {
     transform(sequence(lit(0), lit(dim - 1)),
       i => pmod(xxhash64(content, i), lit(1000L)).cast("double") / 500.0 - 1.0)
 
+  /** Per-partition batched decode — the Scala analog of a Pandas-UDF /
+    * mapInPandas kernel: rows stream through in partition-sized batches,
+    * the decoder amortizes model/library setup once per partition, and
+    * output is one row per input with decoded fields appended. The decode
+    * itself is the deterministic stub (payload-hash dimensions); swap the
+    * body for a real library call — the batching contract is what's real.
+    */
+  def decodePartitions(df: DataFrame, contentCol: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("dec_width", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("dec_height", org.apache.spark.sql.types.IntegerType)))
+    val idx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      // per-partition setup would happen here (decoder/model init)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        var h = 1125899906842597L // deterministic FNV-ish fold
+        bytes.foreach(b => h = h * 31 + b)
+        val w = (math.floorMod(h, 1920L) + 1).toInt
+        val ht = (math.floorMod(h >> 16, 1080L) + 1).toInt
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(w, ht))
+      }
+    }(enc)
+  }
+
   /** Frame/chunk sampling stub for video/audio payloads: split the byte
     * stream into `n` equal chunks, one row each — the partition-friendly
     * fan-out a frame sampler produces.

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.Multimodal
+
+/** Scale-posture mechanics that only show up at cluster scale but are
+  * testable locally: bucketed co-located joins (no shuffle), per-batch
+  * dimension refresh (the broadcast-state pattern), and per-partition
+  * batched decode.
+  */
+class ScalePostureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_a")
+    (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "bv")
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bkt_b")
+    try {
+      // AQE would hide the exchange decision; read the final plan string
+      val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
+  test("foreachBatch dimension refresh: each micro-batch joins the CURRENT dim (broadcast-state analog)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // NOTE: a plain stream-static join pins the file listing at plan time
+    // (overwriting the dim mid-query throws FILE_NOT_EXIST) — the refresh
+    // pattern is re-reading the dimension INSIDE foreachBatch, the analog
+    // of Flink's broadcast-state updates from a control stream.
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    Seq((1L, "v1")).toDF("k", "tag").write.mode("overwrite").parquet(dimDir)
+    val input = MemoryStream[Ev]
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val q = input.toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val dim = spark.read.parquet(dimDir) // fresh listing per batch
+        batch.join(broadcast(dim), batch("user_id") === dim("k"), "left")
+          .select(batch("event_id"), dim("tag"))
+          .collect().foreach(r => seen.put(r.getLong(0), r.getString(1)))
+        ()
+      }
+      .start()
+    try {
+      input.addData(Ev(1, new java.sql.Timestamp(1000), 1, "a", 1.0))
+      q.processAllAvailable()
+      // "control stream" updates the dimension between batches
+      Seq((1L, "v2")).toDF("k", "tag").write.mode("overwrite").parquet(dimDir)
+      input.addData(Ev(2, new java.sql.Timestamp(2000), 1, "a", 1.0))
+      q.processAllAvailable()
+      assert(seen.get(1L) == "v1" && seen.get(2L) == "v2")
+    } finally q.stop()
+  }
+
+  test("mapPartitions batched decode appends decoded fields row-for-row, deterministically") {
+    import spark.implicits._
+    val df = Seq((1L, "payload-one"), (2L, "payload-two-longer"), (3L, "p3"))
+      .toDF("id", "s").select($"id", $"s".cast("binary").as("content"))
+      .repartition(3)
+    val out = Multimodal.decodePartitions(df, "content")
+    assert(out.count() == 3)
+    val rows = out.select($"id", $"dec_width", $"dec_height").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    rows.values.foreach { case (w, h) =>
+      assert(w >= 1 && w <= 1920 && h >= 1 && h <= 1080)
+    }
+    val again = Multimodal.decodePartitions(df, "content")
+      .select($"id", $"dec_width", $"dec_height").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(again == rows)
+  }
+}
