@@ -31,6 +31,9 @@ object AsOfJoin {
   /** For each left row, attach the latest `rightVals` from the right row
     * with `right(rightTime) <= left(leftTime)` per `keys` (backward as-of).
     * Unmatched left rows keep null payloads (left-outer semantics).
+    * `toleranceMs > 0` additionally requires
+    * `left(leftTime) − right(rightTime) <= tolerance` (pandas
+    * merge_asof-style staleness bound).
     */
   def backward(
       left: DataFrame,
@@ -38,24 +41,73 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String],
+      toleranceMs: Long = 0L): DataFrame =
+    directional(left, right, keys, leftTime, rightTime, rightVals, toleranceMs,
+      forward = false)
+
+  /** Forward as-of: the EARLIEST right row with
+    * `right(rightTime) >= left(leftTime)` per key (within tolerance if
+    * given) — implemented as backward over reversed time.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      toleranceMs: Long = 0L): DataFrame =
+    directional(left, right, keys, leftTime, rightTime, rightVals, toleranceMs,
+      forward = true)
+
+  private def directional(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      toleranceMs: Long,
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val r = right.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"),
         lit(0).as("__side"),
-        struct(rightVals.map(col): _*).as("__rv")): _*)
+        struct((col(rightTime).as("__rt") +: rightVals.map(col)): _*).as("__rv")): _*)
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // forward = backward over reversed time: order desc, rights still
+    // sort before lefts at equal time (side 0 first) so ties match
+    val ord =
+      if (forward) Seq(col("__t").desc, col("__side").asc, col("__rv").desc)
+      else Seq(col("__t").asc, col("__side").asc, col("__rv").asc)
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__rv").asc)
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned
+    val withMatch = unioned
       .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    matched.select(leftCols.map(col) ++ rightVals.map(v => col(s"__match.$v").as(v)): _*)
+    // tolerance units: ms for timestamp time columns; the column's native
+    // units for numeric time columns
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    def epoch(c: org.apache.spark.sql.Column) = unioned.schema("__t").dataType match {
+      case TimestampType    => unix_millis(c)
+      case TimestampNTZType => unix_millis(c.cast("timestamp"))
+      case _                => c
+    }
+    val gap =
+      if (forward) epoch(col("__match.__rt")) - epoch(col("__t"))
+      else epoch(col("__t")) - epoch(col("__match.__rt"))
+    val bounded =
+      if (toleranceMs > 0)
+        withMatch.withColumn("__match",
+          when(col("__match").isNotNull && gap <= toleranceMs, col("__match")))
+      else withMatch
+    bounded.select(leftCols.map(col) ++ rightVals.map(v => col(s"__match.$v").as(v)): _*)
   }
 }

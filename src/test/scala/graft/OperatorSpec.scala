@@ -48,6 +48,39 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("forward as-of + tolerance match naive scans (property)") {
+    import spark.implicits._
+    val genRows = for {
+      n <- Gen.choose(0, 30)
+      ks <- Gen.listOfN(n, Gen.choose(0, 3))
+      ts <- Gen.listOfN(n, Gen.choose(0L, 40L))
+    } yield ks.zip(ts)
+    forAllSeeded(Gen.zip(genRows, genRows), 15) { case (lRows, rRows) =>
+      val left = lRows.zipWithIndex.map { case ((k, t), i) => AsOfL(k, t, i) }
+      val right = rRows.zipWithIndex.map { case ((k, t), i) => AsOfR(k, t, i) }
+        .groupBy(r => (r.k, r.t)).values.map(_.maxBy(_.rv)).toSeq
+      def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Int]("k"), r.getAs[Long]("t"), r.getAs[Int]("lv"),
+          Option(r.getAs[Any]("rv")).map(_.asInstanceOf[Int]))).toSet
+      // forward: earliest right at-or-after
+      val gotF = collect(AsOfJoin.forward(left.toDF(), right.toDF(), Seq("k"), "t", "t", Seq("rv")))
+      val wantF = left.map { l =>
+        val m = right.filter(r => r.k == l.k && r.t >= l.t).sortBy(_.t).headOption.map(_.rv)
+        (l.k, l.t, l.lv, m)
+      }.toSet
+      assert(gotF == wantF)
+      // backward with tolerance 5 (native units)
+      val gotT = collect(AsOfJoin.backward(left.toDF(), right.toDF(), Seq("k"), "t", "t",
+        Seq("rv"), toleranceMs = 5))
+      val wantT = left.map { l =>
+        val m = right.filter(r => r.k == l.k && r.t <= l.t && l.t - r.t <= 5)
+          .sortBy(_.t).lastOption.map(_.rv)
+        (l.k, l.t, l.lv, m)
+      }.toSet
+      assert(gotT == wantT)
+    }
+  }
+
   // ---- Cumulate ------------------------------------------------------
   test("cumulate assigns each row to exactly the step-windows covering it") {
     import spark.implicits._
