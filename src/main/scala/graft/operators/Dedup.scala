@@ -80,19 +80,48 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** End-to-end MinHash near-dup pipeline: LSH candidates verified with
+    * exact shingle Jaccard ≥ `threshold` — candidates come from banding
+    * (cheap, high recall), verification touches only candidate pairs
+    * (the inverted-index all-pairs pass is avoided entirely). Returns
+    * (id_a, id_b, jaccard).
+    */
+  def minHashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 64, bands: Int = 16,
+      shingleLen: Int = 3): DataFrame = {
+    val cands = minHashCandidates(df, idCol, textCol, numHashes, bands, shingleLen)
+    val sh = TextFunctions
+      .explodedWordShingles(df, Seq(idCol), textCol, shingleLen)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("__s"), count(lit(1)).as("__sz"))
+    val a = sh.select(col(idCol).as("id_a"), col("__s").as("__sa"), col("__sz").as("__za"))
+    val b = sh.select(col(idCol).as("id_b"), col("__s").as("__sb"), col("__sz").as("__zb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("__common", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard",
+        col("__common").cast("double") / (col("__za") + col("__zb") - col("__common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 64-bit SimHash over word-token xxhash64 values: bit j of the result is
     * set iff more token hashes have bit j set than not. Near-dups have
-    * small Hamming distance. Plan: explode(tokens × 64 bit positions) →
-    * two hash aggregates — heavy fan-out but fully distributed.
+    * small Hamming distance. Plan: explode(tokens) → ONE aggregate with a
+    * per-bit vote column (same explode-free trick as minHashSignatures —
+    * no tokens×64 row fan-out), then assemble the bits.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .withColumn("__h", xxhash64(col("__tok")))
-      .withColumn("__j", explode(sequence(lit(0), lit(63))))
-      .withColumn("__w", expr("CASE WHEN (shiftright(__h, __j) & 1L) = 1L THEN 1 ELSE -1 END"))
-      .groupBy(col(idCol), col("__j"))
-      .agg(sum(col("__w")).as("__s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("__s") > 0, expr("shiftleft(1L, __j)")).otherwise(lit(0L)))
-        .as("simhash"))
+    val votes = (0 until 64).map(j =>
+      sum(expr(s"CASE WHEN (shiftright(__h, $j) & 1L) = 1L THEN 1 ELSE -1 END"))
+        .as(s"__s$j"))
+    val bits = (0 until 64)
+      .map(j => when(col(s"__s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    hashed.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.as("simhash"))
+  }
 }

@@ -42,6 +42,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getString(0) == "x" && row.getString(1) == "z")
   }
 
+  test("graft_dot registered as a SQL function matches the Column API") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .createOrReplaceTempView("graft_fn_demo")
+    val got = spark.sql("SELECT graft_dot(a, b) AS d FROM graft_fn_demo").head().getDouble(0)
+    assert(got == 32.0)
+  }
+
+  test("minhash verified pairs find the exact duplicate with jaccard 1.0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .minHashVerifiedPairs(df, "doc_id", "text", threshold = 0.8,
+        numHashes = 32, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     import spark.implicits._
     // 90% of left rows share one key — the classic hot-key shape
