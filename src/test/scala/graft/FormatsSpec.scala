@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Source/format surface (SURVEY.md §2.1): csv / json / orc / parquet
+  * round trips, schema inference, and compression. spark-avro /
+  * spark-protobuf datasource jars are not in this image — documented gap;
+  * the reference's remaining in-repo formats are covered.
+  */
+class FormatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def sample = {
+    import spark.implicits._
+    Seq((1L, "a,with[]chars", 1.5, true), (2L, "plain", -2.25, false),
+      (3L, null.asInstanceOf[String], 0.0, true))
+      .toDF("id", "s", "d", "b")
+  }
+
+  private def roundTrip(fmt: String, opts: Map[String, String] = Map.empty): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_fmt_$fmt").toString
+    val df = sample
+    df.write.mode("overwrite").options(opts).format(fmt).save(dir)
+    val back = spark.read.options(opts).format(fmt)
+      .schema(df.schema) // explicit schema: csv/json would otherwise infer
+      .load(dir)
+    val a = df.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b, s"$fmt round trip")
+  }
+
+  test("parquet round trip")(roundTrip("parquet"))
+  test("orc round trip")(roundTrip("orc"))
+  test("json round trip")(roundTrip("json"))
+  test("csv round trip (header + quoting + nulls)")(
+    roundTrip("csv", Map("header" -> "true", "nullValue" -> "\\N")))
+
+  test("csv/json schema inference recovers types") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_infer").toString
+    sample.write.mode("overwrite").option("header", "true").csv(dir)
+    val inferred = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    val types = inferred.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("id") == "integer" || types("id") == "long")
+    assert(types("d") == "double")
+    assert(types("b") == "boolean")
+  }
+
+  test("compressed parquet write (zstd) reads back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zstd").toString
+    sample.write.mode("overwrite").option("compression", "zstd").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 3)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.contains("zstd")))
+  }
+}
