@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that make these queries viable
+  * at 100 TB are locked in here so a refactor that silently loses
+  * pushdown/broadcast/rank-limit fails CI, not the cluster.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val d = TestSpark.sfDir
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, d)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate filter and column pruning reach the parquet scan") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double"))
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q04: dimension joins broadcast; no shuffle of nation/region") {
+    val p = planOf("q04_star_join_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("q09: top-n compiles to a rank-limited window (WindowGroupLimit), not a full sort+filter") {
+    val p = planOf("q09_topn_per_group")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q16: global sort+limit compiles to TakeOrderedAndProject") {
+    val p = planOf("q16_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q05: semi join stays a semi join (no materialized inner join)") {
+    val p = planOf("q05_semi_join")
+    assert(p.contains("LeftSemi"))
+  }
+
+  test("q02: whole-stage codegen covers the scan-filter-project pipeline") {
+    val p = planOf("q02_filter_project")
+    // codegen'd operators print with the "*(stageId)" prefix
+    assert(p.contains("*(1) Project") && p.contains("*(1) Filter"))
+  }
+}
