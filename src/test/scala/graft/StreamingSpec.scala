@@ -200,6 +200,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop() }
   }
 
+  test("allowedLateness analog: late row within the watermark revises its window (update mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    val q = WindowOps.tumbleAgg(input.toDF().withWatermark("ts", "120 seconds"), "1 minute")
+      .writeStream.outputMode(OutputMode.Update).format("memory").queryName(name).start()
+    try {
+      input.addData(ev(1, 1000), ev(2, 1010), ev(3, 1100))
+      q.processAllAvailable()
+      // late row for the [960,1020) window — still inside the 120s lateness
+      input.addData(ev(4, 1015))
+      q.processAllAvailable()
+      val revisions = spark.table(name)
+        .filter(unix_millis($"wstart") === 960000L)
+        .select($"n").collect().map(_.getLong(0)).sorted
+      assert(revisions.sameElements(Array(2L, 3L))) // first emit 2, revised to 3
+    } finally q.stop()
+  }
+
   test("checkpoint restart: a new query on the same checkpoint resumes exactly-once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
