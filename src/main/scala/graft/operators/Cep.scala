@@ -26,32 +26,44 @@ object Cep {
   case class Event(key: Long, id: Long, ts: Long, sym: String)
   case class Match(key: Long, a_id: Long, c_id: Long, n_b: Int, a_ts: Long, c_ts: Long)
 
-  /** Detect `a b+ c WITHIN withinMs` per key. */
+  /** NFA register: 0 = idle, 1 = saw A, 2 = saw A B+; plus the pending A
+    * and B-count. Pure value so batch and streaming share the stepper and
+    * streaming can persist it in ValueState between watermark firings.
+    */
+  case class NfaState(state: Int, aId: Long, aTs: Long, nB: Int)
+  val idle: NfaState = NfaState(0, 0L, 0L, 0)
+
+  /** One NFA transition on a time-ordered event. */
+  def step(s: NfaState, e: Event, a: String, b: String, c: String, withinMs: Long)
+      : (NfaState, Option[Match]) = {
+    val cur = if (s.state != 0 && e.ts - s.aTs > withinMs) idle else s
+    (cur.state, e.sym) match {
+      case (0, `a`) => (NfaState(1, e.id, e.ts, 0), None)
+      case (0, _)   => (cur, None)
+      case (1, `b`) => (cur.copy(state = 2, nB = 1), None)
+      case (2, `b`) => (cur.copy(nB = cur.nB + 1), None)
+      case (2, `c`) =>
+        (idle, Some(Match(e.key, cur.aId, e.id, cur.nB, cur.aTs, e.ts)))
+      case (_, `a`) => (NfaState(1, e.id, e.ts, 0), None) // restart on fresh A
+      case _        => (idle, None) // strict contiguity: abort
+    }
+  }
+
+  /** Detect `a b+ c WITHIN withinMs` per key (batch: in-memory sort per
+    * key, the analog of Flink's ordered ListState buffer).
+    */
   def abcWithin(ds: Dataset[Event], a: String, b: String, c: String, withinMs: Long)
       : Dataset[Match] = {
     implicit val matchEnc = Encoders.product[Match]
     ds.groupByKey(_.key)(Encoders.scalaLong)
-      .flatMapGroups { (key, it) =>
+      .flatMapGroups { (_, it) =>
         val events = it.toArray.sortBy(e => (e.ts, e.id))
         val out = scala.collection.mutable.ArrayBuffer.empty[Match]
-        // NFA states: 0 = idle, 1 = saw A, 2 = saw A B+
-        var state = 0
-        var aEv: Event = null
-        var nB = 0
+        var s = idle
         for (e <- events) {
-          val expired = state != 0 && e.ts - aEv.ts > withinMs
-          if (expired) { state = 0 }
-          (state, e.sym) match {
-            case (0, `a`) => aEv = e; nB = 0; state = 1
-            case (0, _)   => // idle, ignore
-            case (1, `b`) => nB = 1; state = 2
-            case (2, `b`) => nB += 1
-            case (2, `c`) =>
-              out += Match(key, aEv.id, e.id, nB, aEv.ts, e.ts)
-              state = 0 // skip past last row
-            case (_, `a`) => aEv = e; nB = 0; state = 1 // restart on fresh A
-            case _        => state = 0 // strict contiguity: abort
-          }
+          val (ns, m) = step(s, e, a, b, c, withinMs)
+          s = ns
+          m.foreach(out += _)
         }
         out.iterator
       }

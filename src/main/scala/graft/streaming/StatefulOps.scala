@@ -82,12 +82,15 @@ class CountWindow(size: Int) extends KeyedProcess[Long, KeyedValue, CountWindowO
   * keep-last is a changelog: each new row retracts the previous one
   * ("-U") and asserts itself ("+U"). State: one row per key.
   */
-class KeepLastDedup extends KeyedProcess[Long, KeyedValue, KeepLastOut] {
+class KeepLastDedup(ttl: TTLConfig = TTLConfig.NONE)
+    extends KeyedProcess[Long, KeyedValue, KeepLastOut] {
   @transient private var lastSeen: ValueState[KeyedValue] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val enc: Encoder[KeyedValue] = ExpressionEncoder()
-    lastSeen = h.getValueState[KeyedValue]("last", enc, TTLConfig.NONE)
+    // ttl = Flink StateTtlConfig analog: expired entries read as null, so
+    // a re-arriving key after the TTL emits no retraction
+    lastSeen = h.getValueState[KeyedValue]("last", enc, ttl)
   }
 
   override def onElement(key: Long, v: KeyedValue, tv: TimerValues,
@@ -114,10 +117,12 @@ object StatefulOps {
       .transformWithState(new CountWindow(size), TimeMode.None(), outputMode)
   }
 
-  def keepLast(ds: Dataset[KeyedValue], outputMode: OutputMode = OutputMode.Append())
-      : Dataset[KeepLastOut] = {
+  def keepLast(ds: Dataset[KeyedValue], outputMode: OutputMode = OutputMode.Append(),
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[KeepLastOut] = {
     implicit val out: Encoder[KeepLastOut] = Encoders.product[KeepLastOut]
+    // TTL state requires a time mode with a processing-time clock
+    val timeMode = if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     ds.groupByKey(_.key)(Encoders.scalaLong)
-      .transformWithState(new KeepLastDedup, TimeMode.None(), outputMode)
+      .transformWithState(new KeepLastDedup(ttl), timeMode, outputMode)
   }
 }

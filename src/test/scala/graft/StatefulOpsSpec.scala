@@ -59,6 +59,28 @@ class StatefulOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("retract changelog end-to-end: materialize(keep-last emissions) == batch keep-last") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedValue]
+    val name = nextName()
+    val q = StatefulOps.keepLast(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      val data = Seq(KeyedValue(1, 1, 10), KeyedValue(2, 2, 20), KeyedValue(1, 3, 30),
+        KeyedValue(3, 4, 40), KeyedValue(1, 5, 50), KeyedValue(2, 6, 60))
+      input.addData(data.take(3): _*); q.processAllAvailable()
+      input.addData(data.drop(3): _*); q.processAllAvailable()
+      // the memory sink preserves emission order per batch; tag a seq
+      val log = spark.table(name).as[KeepLastOut].collect().zipWithIndex
+        .map { case (o, i) => (o.row_kind, o.key, o.id, o.value, i.toLong) }
+        .toSeq.toDF("row_kind", "key", "id", "value", "seq")
+      val cur = graft.operators.Changelog.materialize(log, Seq("key"), "seq")
+        .select($"key", $"id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cur == Map(1L -> 5L, 2L -> 6L, 3L -> 4L))
+    } finally q.stop()
+  }
+
   test("keep-last dedup changelog nets to the last row per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

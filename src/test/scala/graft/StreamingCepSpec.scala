@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.Cep
+import graft.streaming.StreamingCep
+
+/** Streaming CEP: partial matches persist across micro-batches; the
+  * watermark orders out-of-order events before they reach the NFA.
+  */
+class StreamingCepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def raw(key: Long, id: Long, sec: Long, sym: String) =
+    Ev(id, new java.sql.Timestamp(sec * 1000), key, sym, 0.0)
+
+  private def run(batches: Seq[Seq[Ev]], name: String): Set[Cep.Match] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val events = input.toDF().withWatermark("ts", "5 seconds")
+      .select($"user_id".as("key"), $"event_id".as("id"),
+        unix_millis($"ts").as("ts"), $"event_type".as("sym"))
+      .as[Cep.Event]
+    val q = StreamingCep.abcWithin(events, "A", "B", "C", withinMs = 60000L)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(raw(99, 999, 9000, "X")) // close the watermark
+      q.processAllAvailable()
+      spark.table(name).as[Cep.Match].collect().toSet
+    } finally q.stop()
+  }
+
+  test("pattern spanning three micro-batches matches once watermark passes") {
+    val got = run(Seq(
+      Seq(raw(1, 1, 1000, "A")),
+      Seq(raw(1, 2, 1010, "B"), raw(1, 3, 1020, "B")),
+      Seq(raw(1, 4, 1030, "C"))), "scep1")
+    assert(got == Set(Cep.Match(1, 1, 4, 2, 1000000, 1030000)))
+  }
+
+  test("out-of-order arrival within watermark slack is reordered before the NFA") {
+    // B arrives after C in wall time, but event-time order is A,B,C
+    val got = run(Seq(
+      Seq(raw(1, 1, 1000, "A"), raw(1, 3, 1004, "C")),
+      Seq(raw(1, 2, 1002, "B"))), "scep2")
+    assert(got == Set(Cep.Match(1, 1, 3, 1, 1000000, 1004000)))
+  }
+
+  test("streaming agrees with the batch NFA on a mixed multi-key stream") {
+    import spark.implicits._
+    val evs = Seq(
+      raw(1, 1, 1000, "A"), raw(1, 2, 1010, "B"), raw(1, 3, 1015, "X"),
+      raw(1, 4, 1020, "C"), // aborted by X → no match
+      raw(2, 5, 1000, "A"), raw(2, 6, 1005, "B"), raw(2, 7, 1010, "C"),
+      raw(3, 8, 1000, "A"), raw(3, 9, 1200, "B")) // exceeds 60s window... within? 200s > 60s → expired
+    val batches = evs.grouped(3).toSeq
+    val got = run(batches, "scep3")
+    val batchGot = Cep.abcWithin(
+      evs.map(e => Cep.Event(e.user_id, e.event_id, e.ts.getTime, e.event_type)).toDS(),
+      "A", "B", "C", 60000L).collect().toSet
+    assert(got == batchGot)
+    assert(got == Set(Cep.Match(2, 5, 7, 1, 1000000, 1010000)))
+  }
+}
