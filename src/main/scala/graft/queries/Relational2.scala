@@ -187,7 +187,42 @@ object Relational2 {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
   }
 
+  /** Shared-ANSI-text query: registers views and runs the same string on
+    * both engines (see q47).
+    */
+  private def sharedSql(tables: Seq[String], text: String): Q = (s, d) => {
+    tables.foreach(t => graft.Tables(s, d, t).createOrReplaceTempView(t))
+    s.sql(text)
+  }
+
+  /** FULL OUTER join with coalesced null sides (only LEFT was covered). */
+  val fullOuterText: String =
+    """WITH c AS (SELECT c_nationkey AS k, count(*) AS cnt FROM customer GROUP BY 1),
+      |s AS (SELECT s_nationkey AS k, count(*) AS cnt FROM supplier GROUP BY 1)
+      |SELECT coalesce(c.k, s.k) AS nationkey,
+      |       coalesce(c.cnt, 0) AS n_cust,
+      |       coalesce(s.cnt, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON c.k = s.k""".stripMargin
+
+  /** Correlated scalar subqueries (beyond EXISTS/IN). */
+  val correlatedText: String =
+    """SELECT o_orderkey, o_totalprice,
+      | (SELECT max(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_qty,
+      | (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+      |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
+
+  /** LIKE pattern matching. */
+  val likeText: String =
+    """SELECT p_partkey,
+      | p_name LIKE '%spark%' AS has_spark,
+      | p_type LIKE 'a%' AS starts_a,
+      | p_name NOT LIKE '%z%' AS no_z
+      |FROM part""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q50_full_outer" -> sharedSql(Seq("customer", "supplier"), fullOuterText),
+    "q51_correlated_subquery" -> sharedSql(Seq("orders", "lineitem"), correlatedText),
+    "q52_like_patterns" -> sharedSql(Seq("part"), likeText),
     "q49_grouping_sets" -> q49_grouping_sets,
     "q47_sql_entry" -> q47_sql_entry,
     "q46_math_funcs" -> q46_math_funcs,
@@ -202,6 +237,9 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q50_full_outer" -> fullOuterText,
+    "q51_correlated_subquery" -> correlatedText,
+    "q52_like_patterns" -> likeText,
     "q49_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         | count(*) AS n,
