@@ -219,7 +219,19 @@ object Relational2 {
       | p_name NOT LIKE '%z%' AS no_z
       |FROM part""".stripMargin
 
+  /** TIMESTAMPADD / TIMESTAMPDIFF (Flink's SQL temporal arithmetic). */
+  val q53_ts_arith: Q = (s, d) => {
+    import s.implicits._
+    graft.Tables.orders(s, d).select(
+      $"o_orderkey",
+      expr("timestampadd(HOUR, 3, o_orderdate)").as("plus3h"),
+      expr("timestampadd(WEEK, 2, o_orderdate)").as("plus2w"),
+      expr("timestampdiff(DAY, o_orderdate, timestamp_ntz'2002-01-01 00:00:00')").as("days_left"),
+      expr("timestampdiff(HOUR, o_orderdate, timestamp_ntz'2002-01-01 00:00:00')").as("hours_left"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q53_ts_arith" -> q53_ts_arith,
     "q50_full_outer" -> sharedSql(Seq("customer", "supplier"), fullOuterText),
     "q51_correlated_subquery" -> sharedSql(Seq("orders", "lineitem"), correlatedText),
     "q52_like_patterns" -> sharedSql(Seq("part"), likeText),
@@ -237,6 +249,13 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q53_ts_arith" ->
+      """SELECT o_orderkey,
+        | o_orderdate + INTERVAL 3 HOUR AS plus3h,
+        | o_orderdate + INTERVAL 14 DAY AS plus2w,
+        | date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_left,
+        | date_diff('hour', o_orderdate, TIMESTAMP '2002-01-01') AS hours_left
+        |FROM orders""".stripMargin,
     "q50_full_outer" -> fullOuterText,
     "q51_correlated_subquery" -> correlatedText,
     "q52_like_patterns" -> likeText,

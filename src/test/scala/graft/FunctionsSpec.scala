@@ -65,6 +65,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("ANSI mode: overflowing cast errors (Flink error-on-overflow parity), try variants null") {
+    import spark.implicits._
+    val df = Seq(3000000000L).toDF("big")
+    intercept[Exception] { df.select($"big".cast("int")).collect() }
+    val viaTry = df.select(expr("try_cast(big as int)").as("t")).head()
+    assert(viaTry.isNullAt(0))
+    intercept[Exception] {
+      Seq((1, 0)).toDF("a", "b").selectExpr("a div b").collect()
+    }
+    assert(Seq((1, 0)).toDF("a", "b").selectExpr("try_divide(a, b) AS d").head().isNullAt(0))
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     import spark.implicits._
     // 90% of left rows share one key — the classic hot-key shape
