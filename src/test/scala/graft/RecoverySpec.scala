@@ -64,6 +64,26 @@ class RecoverySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate source (datagen analog) exposes the documented schema") {
+    val rate = spark.readStream.format("rate").option("rowsPerSecond", "5").load()
+    assert(rate.isStreaming)
+    assert(rate.schema.fieldNames.toSeq == Seq("timestamp", "value"))
+  }
+
+  test("Connect.side/connect feed the temporal join the same as hand-tagging") {
+    import spark.implicits._
+    val versions = Seq((1L, 10L, new java.sql.Timestamp(1000000), 1.5))
+      .toDF("user", "vid", "vts", "price")
+    val probes = Seq((1L, 20L, new java.sql.Timestamp(1050000), 0.0))
+      .toDF("u", "pid", "pts", "x")
+    val tagged = graft.streaming.Connect.connect(
+      graft.streaming.Connect.side(versions, 0, "user", "vid", "vts", "price"),
+      graft.streaming.Connect.side(probes, 1, "u", "pid", "pts", "x"))
+    val rows = tagged.collect().sortBy(_.side)
+    assert(rows.map(r => (r.key, r.side, r.id, r.ts_ms)).toSeq ==
+      Seq((1L, 0, 10L, 1000000L), (1L, 1, 20L, 1050000L)))
+  }
+
   test("observed metrics: per-action counters without a second pass (Flink metrics analog)") {
     val df = Tables.lineitem(spark, TestSpark.sfDir)
       .observe("stats", count(lit(1)).as("rows"), sum(col("l_quantity")).as("qty"))
