@@ -211,6 +211,13 @@ object Relational2 {
       | (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
       |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
 
+  /** Correlated aggregate subquery in WHERE (TPC-H Q17-shape decorrelation). */
+  val corrAggText: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o1
+      |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice)
+      |                      FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)""".stripMargin
+
   /** LIKE pattern matching. */
   val likeText: String =
     """SELECT p_partkey,
@@ -235,6 +242,7 @@ object Relational2 {
     "q50_full_outer" -> sharedSql(Seq("customer", "supplier"), fullOuterText),
     "q51_correlated_subquery" -> sharedSql(Seq("orders", "lineitem"), correlatedText),
     "q52_like_patterns" -> sharedSql(Seq("part"), likeText),
+    "q54_corr_agg_subquery" -> sharedSql(Seq("orders"), corrAggText),
     "q49_grouping_sets" -> q49_grouping_sets,
     "q47_sql_entry" -> q47_sql_entry,
     "q46_math_funcs" -> q46_math_funcs,
@@ -259,6 +267,7 @@ object Relational2 {
     "q50_full_outer" -> fullOuterText,
     "q51_correlated_subquery" -> correlatedText,
     "q52_like_patterns" -> likeText,
+    "q54_corr_agg_subquery" -> corrAggText,
     "q49_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         | count(*) AS n,
