@@ -183,8 +183,11 @@ object Relational2 {
       .agg(
         count(lit(1)).as("n"),
         round(sum($"o_totalprice"), 2).as("total"),
-        round(median($"o_totalprice"), 4).as("med"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        // one buffering pass for both quantiles (median == percentile 0.5)
+        expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("__ps"))
+      .select($"o_orderstatus", $"o_orderpriority", $"n", $"total",
+        round(element_at($"__ps", 1), 4).as("med"),
+        round(element_at($"__ps", 2), 4).as("p90"))
   }
 
   /** Shared-ANSI-text query: registers views and runs the same string on
