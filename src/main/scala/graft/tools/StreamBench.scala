@@ -1,0 +1,39 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.streaming.WindowOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming throughput bench (BASELINE.md row "streaming tumbling-window
+  * agg over events via MemoryStream"): replays the sf events table
+  * through MemoryStream in micro-batches into the shared tumbleAgg
+  * builder with a 10 s watermark, reports rows/s end-to-end.
+  */
+object StreamBench {
+  case class E(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batchSize = if (args.length > 1) args(1).toInt else 10000
+    val spark = GraftSession.local(32, "graft-streambench")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[E].collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[E]
+    val q = WindowOps.tumbleAgg(input.toDF().withWatermark("ts", "10 seconds"), "5 minutes")
+      .writeStream.outputMode("append").format("noop").start()
+    val t0 = System.nanoTime()
+    try {
+      rows.grouped(batchSize).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rps = rows.length / sec
+    println(f"""{"metric":"stream_tumble_rows_per_sec","value":$rps%.0f,"unit":"rows/s","rows":${rows.length},"sec":$sec%.2f,"batch":$batchSize,"sf":"$dir"}""")
+    spark.stop()
+  }
+}
