@@ -34,8 +34,10 @@ object SparkEntry {
       }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q31_minhash_bands, q32_simhash, q34_ann_lsh_buckets) → rows-only check.
+    * the same parquet tables. Omitted for non-SQL-expressible ops —
+    * q31_minhash_bands, q32_simhash, q34_ann_lsh_buckets, q42_ann_topk
+    * (hash-seeded LSH) — and q48_winnow_fingerprints (rolling-hash window
+    * minima) → rows-only check, each spec-tested instead.
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Temporal.oracle ++

@@ -173,21 +173,63 @@ object Relational2 {
 
   /** Explicit GROUPING SETS (beyond rollup/cube) + exact interpolated
     * median / percentile aggregates (SURVEY.md §2.4).
+    *
+    * Exact quantiles WITHOUT Spark's `percentile` ObjectAggregate (which
+    * collects every group value into one in-memory buffer — the empty
+    * grouping set would funnel the whole table through a single reducer).
+    * Instead: (1) expand each row into its grouping-set instances (what
+    * Catalyst's Expand does for GROUPING SETS), (2) hash-aggregate a
+    * value histogram (group, price) -> cnt — at scale prices repeat, so
+    * the sorted data is distinct values, not rows, (3) one window pass
+    * per group ordered by value computes cumulative counts, (4) a final
+    * hash aggregate picks the two straddling values per quantile and
+    * interpolates, matching `percentile`/`quantile_cont` semantics
+    * (pos = p*(n-1), linear interpolation between floor/ceil ranks).
+    * Every stage is a shuffle-parallel hash aggregate or external sort —
+    * no single-buffer ObjectAggregate anywhere (locked in PlanSpec).
     */
   val q49_grouping_sets: Q = (s, d) => {
     import s.implicits._
-    graft.Tables.orders(s, d)
-      .groupingSets(
-        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
-        $"o_orderstatus", $"o_orderpriority")
+    // (1) manual Expand: one copy of each row per grouping set
+    val expanded = graft.Tables.orders(s, d)
+      .select($"o_orderstatus", $"o_orderpriority", $"o_totalprice")
+      .select(explode(array(
+        struct(lit(0).as("gset"), $"o_orderstatus".as("gs"),
+          lit(null).cast("string").as("gp"), $"o_totalprice".as("v")),
+        struct(lit(1).as("gset"), lit(null).cast("string").as("gs"),
+          $"o_orderpriority".as("gp"), $"o_totalprice".as("v")),
+        struct(lit(2).as("gset"), lit(null).cast("string").as("gs"),
+          lit(null).cast("string").as("gp"), $"o_totalprice".as("v"))
+      )).as("g"))
+      .select($"g.gset", $"g.gs", $"g.gp", $"g.v")
+    // (2) per-group value histogram (map-side partial agg shrinks the shuffle)
+    val hist = expanded.groupBy($"gset", $"gs", $"gp", $"v")
+      .agg(count(lit(1)).as("cnt"))
+    // (3) cumulative + total counts per group
+    val grp = Window.partitionBy($"gset", $"gs", $"gp")
+    val withCum = hist
+      .withColumn("cum", sum($"cnt").over(grp.orderBy($"v")))
+      .withColumn("n", sum($"cnt").over(grp))
+    // (4) row-level contribution of each distinct value to quantile p:
+    // ranks are 0-based; this row covers [cum-cnt, cum-1]; pos = p*(n-1)
+    def contrib(p: Double): org.apache.spark.sql.Column = {
+      val pos = lit(p) * ($"n" - 1).cast("double")
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      val frac = pos - lo
+      when($"cum" - $"cnt" <= lo && lo < $"cum", $"v" * (lit(1.0) - frac))
+        .otherwise(lit(0.0)) +
+        when($"cum" - $"cnt" <= hi && hi < $"cum", $"v" * frac)
+          .otherwise(lit(0.0))
+    }
+    withCum.groupBy($"gset", $"gs", $"gp")
       .agg(
-        count(lit(1)).as("n"),
-        round(sum($"o_totalprice"), 2).as("total"),
-        // one buffering pass for both quantiles (median == percentile 0.5)
-        expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("__ps"))
-      .select($"o_orderstatus", $"o_orderpriority", $"n", $"total",
-        round(element_at($"__ps", 1), 4).as("med"),
-        round(element_at($"__ps", 2), 4).as("p90"))
+        sum($"cnt").as("n"),
+        round(sum($"v" * $"cnt"), 2).as("total"),
+        round(sum(contrib(0.5)), 4).as("med"),
+        round(sum(contrib(0.9)), 4).as("p90"))
+      .select($"gs".as("o_orderstatus"), $"gp".as("o_orderpriority"),
+        $"n", $"total", $"med", $"p90")
   }
 
   /** Shared-ANSI-text query: registers views and runs the same string on

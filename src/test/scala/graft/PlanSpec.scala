@@ -43,6 +43,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"))
   }
 
+  test("q49: exact quantiles run as hash aggregates + window sort, not a single-buffer ObjectAggregate") {
+    val p = planOf("q49_grouping_sets")
+    assert(!p.contains("ObjectHashAggregate"),
+      "percentile must not buffer whole groups in one aggregation buffer")
+    assert(!p.toLowerCase.contains("percentile"),
+      "no Percentile ObjectAggregateFunction anywhere in the plan")
+    assert(p.contains("Window") && p.contains("HashAggregate"))
+  }
+
   test("q02: whole-stage codegen covers the scan-filter-project pipeline") {
     val p = planOf("q02_filter_project")
     // codegen'd operators print with the "*(stageId)" prefix
