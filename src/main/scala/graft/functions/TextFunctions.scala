@@ -74,33 +74,22 @@ object TextFunctions {
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     * standard rolling-hash fingerprinting for near-dup/plagiarism
-    * detection at corpus scale): hash every k-gram char shingle, then
+    * detection at corpus scale): hash every k-gram byte shingle, then
     * keep the minimum hash in each sliding window of `w` consecutive
     * k-grams. Guarantees any shared substring of length ≥ w+k−1 yields a
     * shared fingerprint. Returns one (ids…, fingerprint) row per distinct
     * selected hash — the join key for index-based matching.
     *
-    * Formulation mirrors [[explodedWordShingles]]: posexplode chars via
-    * substring positions is avoided — k-gram extraction uses substring
-    * over a position sequence (codegen'd), the rolling min uses a
-    * windowed `min` over `w` rows.
+    * Backed by the fused single-pass [[WinnowFingerprints]] kernel
+    * (rolling hash + deque window-min per document, in-row): the only
+    * relational op left is the explode into index rows — no per-position
+    * shuffle, no window sort, no global distinct.
     */
   def winnowFingerprints(df: DataFrame, ids: Seq[String], textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     val idCols = ids.map(col)
-    // guard: sequence(1, n) with n < 1 counts down, so require ≥ 1 k-gram
-    val pos = df.filter(length(col(textCol)) >= k)
-      .select(idCols :+ col(textCol).as("__t"): _*)
-      .withColumn("__p", explode(sequence(lit(1), length(col("__t")) - lit(k - 1))))
-    val hashed = pos.select(idCols :+ col("__p") :+
-      xxhash64(col("__t").substr(col("__p"), lit(k))).as("__h"): _*)
-    val win = Window.partitionBy(idCols: _*).orderBy(col("__p"))
-      .rowsBetween(0, w - 1)
-    hashed
-      .withColumn("__winmin", min(col("__h")).over(win))
-      .filter(col("__h") === col("__winmin"))
-      .select(idCols :+ col("__h").as("fingerprint"): _*)
-      .distinct()
+    df.select(idCols :+
+      explode(WinnowFingerprints(col(textCol), k, w)).as("fingerprint"): _*)
   }
 
   /** Stopword-marker counts per language (lowercased input). */

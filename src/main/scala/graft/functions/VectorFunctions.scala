@@ -40,13 +40,30 @@ object VectorFunctions {
   /** Cosine similarity of two double arrays. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Deterministic pseudo-random hyperplanes for sign-LSH: hp(j)(i) =
-    * sin(j*dim + i + 1) — reproducible everywhere, no RNG state. Good
-    * enough spread for bucketing; swap for seeded gaussians if recall
-    * tuning matters.
+  /** splitmix64 finalizer — deterministic component hash. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH — reproducible
+    * everywhere, no RNG state.
     */
   def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(nPlanes, dim)((j, i) => math.sin((j * dim + i + 1).toDouble))
+    hyperplanes(nPlanes, dim, 0)
+
+  /** Seeded variant: independent hyperplane families per `seed`, for
+    * multi-table LSH (OR-amplification of recall). Components are
+    * splitmix64-hashed uniforms in (−1, 1) — NOT a low-dimensional
+    * analytic sequence like sin(c+i), whose vectors all lie in the 2-D
+    * span of (cos i, sin i) and therefore give correlated, recall-capped
+    * tables.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)((j, i) =>
+      mix(seed.toLong * 1000003L + j.toLong * 65537L + i).toDouble / 9.223372036854776e18)
 
   /** Sign-LSH bucket id (int in [0, 2^nPlanes)): bit j set iff v·hp(j) > 0.
     * The standard random-hyperplane LSH for cosine similarity: vectors with
@@ -56,8 +73,12 @@ object VectorFunctions {
     * to normalized ones — pass raw vectors and skip normalization. Uses the
     * codegen'd DotProduct kernel per plane.
     */
-  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column = {
-    val hps = hyperplanes(nPlanes, dim)
+  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
+    lshBucket(v, nPlanes, dim, 0)
+
+  /** Seeded variant (see [[hyperplanes]]). */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int, seed: Int): Column = {
+    val hps = hyperplanes(nPlanes, dim, seed)
     val bits = hps.zipWithIndex.map { case (hp, j) =>
       val hpCol = array(hp.map(lit): _*)
       when(DotProduct(v, hpCol) > 0, lit(1 << j)).otherwise(lit(0))

@@ -59,6 +59,45 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Bucketed near-duplicate pairs: multi-table sign-LSH candidate
+    * generation → exact cosine verification. The scale path for
+    * [[embeddingNearDupPairs]] (which stays as the per-bucket/spec oracle).
+    *
+    * Shape: each vector hashes into one bucket per table (`nTables`
+    * families of `nPlanes` seeded hyperplanes); candidates are same-bucket
+    * (table, bucket) pairs, dedup'd BEFORE vectors are re-attached, so the
+    * exact-cosine verify runs once per distinct candidate pair. Work is
+    * Σ_tables Σ_buckets |bucket|² candidate ids (narrow rows: two longs) +
+    * one codegen'd dot per distinct pair — never all-pairs. Recall for
+    * pairs at cosine θ is 1−(1−(1−θ/π)^nPlanes)^nTables: raise nTables
+    * (or lower nPlanes) for recall, raise nPlanes for speed. Defaults are
+    * tuned for recall=1 on the test fixtures (threshold 0.35 is a far
+    * looser angle than real near-dup thresholds ≥0.9, which need far
+    * fewer tables at scale).
+    */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 2, nTables: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val n = withNorm(emb, idCol, vecCol)
+    // (id, table, bucket) index rows — narrow, one per table per vector
+    val buckets = n.select(col("a_id"),
+      posexplode(array((0 until nTables).map(t =>
+        VectorFunctions.lshBucket(col("va"), nPlanes, dim, t)): _*))
+        .as(Seq("table", "bucket")))
+    val bb = buckets.select(col("a_id").as("b_id"), col("table").as("tb"),
+      col("bucket").as("bucket_b"))
+    val candidates = buckets
+      .join(bb, col("table") === col("tb") && col("bucket") === col("bucket_b") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    // re-attach vectors and verify exactly — one dot per distinct pair
+    val bn = n.select(col("a_id").as("b_id"), col("va").as("vb"), col("na").as("nb"))
+    candidates.join(n, "a_id").join(bn, "b_id")
+      .select(col("a_id"), col("b_id"), cosCol.as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** ANN top-k within LSH buckets. Same output shape as bruteForceTopK;
     * vectors alone in their bucket yield no rows (document: raise recall
     * by lowering nPlanes or multi-probing).

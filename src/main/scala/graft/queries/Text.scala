@@ -60,14 +60,37 @@ object Text {
     * at 100 TB this is the difference between O(pairs·len) with every
     * zero-overlap pair computed, and work proportional to actual overlap.
     */
-  val q30_ngram_jaccard: Q = (s, d) => {
+  val q30_ngram_jaccard: Q = ngramJaccard(maxDocFreq = None)
+
+  /** Inverted-index n-gram Jaccard with an optional document-frequency
+    * cap: a shingle present in m same-source docs contributes m² join
+    * rows, so a stop-phrase shingle ("of the", boilerplate headers) makes
+    * the self-join quadratic in its frequency at corpus scale. With
+    * `maxDocFreq = Some(τ)`, shingles whose DF exceeds τ are dropped from
+    * the index BEFORE the self-join — bounding per-shingle fan-out at τ²
+    * while barely moving the estimate (ubiquitous shingles carry no
+    * discriminating signal; both |A∩B| and the union shrink). τ=None keeps
+    * the exact semantics (the oracled q30 path); DFCapSpec locks the
+    * capped variant's bound + subset behavior.
+    */
+  def ngramJaccard(maxDocFreq: Option[Long]): Q = (s, d) => {
     import s.implicits._
     val shingles = explodedWordShingles(
       Tables.documents(s, d), Seq("doc_id", "source"), "text", 3)
     val sz = shingles.groupBy($"doc_id", $"source").agg(count(lit(1)).as("sz"))
     val ex = shingles.join(sz, Seq("doc_id", "source"))
-    val a = ex.select($"source", $"doc_id".as("a_id"), $"sz".as("sza"), $"shingle")
-    val b = ex.select($"source".as("src_b"), $"doc_id".as("b_id"), $"sz".as("szb"),
+    val indexed = maxDocFreq match {
+      case None => ex
+      case Some(tau) =>
+        // DF per (source, shingle); drop index entries above the cap
+        val dfreq = shingles.groupBy($"source", $"shingle")
+          .agg(count(lit(1)).as("__df"))
+          .filter($"__df" <= tau)
+          .select($"source", $"shingle")
+        ex.join(dfreq, Seq("source", "shingle"))
+    }
+    val a = indexed.select($"source", $"doc_id".as("a_id"), $"sz".as("sza"), $"shingle")
+    val b = indexed.select($"source".as("src_b"), $"doc_id".as("b_id"), $"sz".as("szb"),
       $"shingle".as("sh_b"))
     a.join(b, $"source" === $"src_b" && $"shingle" === $"sh_b" && $"a_id" < $"b_id")
       .groupBy($"source", $"a_id", $"b_id", $"sza", $"szb")
@@ -98,15 +121,22 @@ object Text {
   }
 
   /** Winnowing rolling-hash fingerprints (per-doc summary; rows-only —
-    * hash selection is not SQL-expressible). The containment property is
-    * spec-tested in VectorTextSpec.
+    * hash selection is not SQL-expressible; a golden-file spec at sf0.01
+    * pins the exact output). The fused kernel returns each document's
+    * sorted distinct fingerprint array in-row, so the per-doc summary is
+    * computed with array functions — zero shuffles, fully partition-local.
+    * The containment property is spec-tested in VectorTextSpec.
     */
   val q48_winnow_fingerprints: Q = (s, d) => {
     import s.implicits._
-    winnowFingerprints(Tables.documents(s, d), Seq("doc_id"), "text")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_fp"), min($"fingerprint").as("min_fp"),
-        max($"fingerprint").as("max_fp"))
+    Tables.documents(s, d)
+      .select($"doc_id",
+        graft.functions.WinnowFingerprints($"text").as("__fp"))
+      .filter(size($"__fp") > 0)
+      .select($"doc_id",
+        size($"__fp").cast("long").as("n_fp"),
+        array_min($"__fp").as("min_fp"),
+        array_max($"__fp").as("max_fp"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -64,11 +64,16 @@ object Vector {
 
   /** Embedding-cosine near-dup pairs at threshold 0.35 (fixture max
     * pairwise cosine is ~0.51, so the threshold yields a stable non-empty
-    * candidate set), DuckDB-oracled.
+    * candidate set), DuckDB-oracled against the all-pairs SQL — but
+    * computed with the bucketed multi-table LSH candidate path
+    * ([[graft.operators.Similarity.lshNearDupPairs]]): the hash match vs
+    * the exhaustive oracle doubles as a recall=1 check of the LSH
+    * parameters at fixture scale. The all-pairs kernel remains available
+    * as `embeddingNearDupPairs` (spec oracle).
     */
   val q45_embedding_neardup: Q = (s, d) => {
     graft.operators.Similarity
-      .embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
+      .lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
   }
 

@@ -82,4 +82,17 @@ class CepSimilaritySpec extends AnyFunSuite {
         assert(annByQuery(a).exists(_._3 == top1), s"query $a missed same-bucket top-1 $top1")
     }
   }
+
+  test("lsh near-dup pairs reproduce the exact all-pairs result at fixture scale") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        math.round(r.getAs[Double]("cos") * 1e6)))
+      .toSet
+    val exact = canon(Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.35))
+    val lsh = canon(Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.35))
+    assert(exact.nonEmpty)
+    assert(lsh == exact,
+      s"recall/precision drift: missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+  }
 }

@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-file checks for deterministic queries whose semantics are not
+  * SQL-expressible in the DuckDB oracle (hash selection). The golden CSVs
+  * were produced by the same implementation at a pinned fixture scale and
+  * committed — any change to the kernel's hash/selection contract fails
+  * here instead of silently drifting.
+  */
+class GoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("q48 winnowing fingerprints match the committed sf0.01 golden file") {
+    val got = SparkEntry.queries("q48_winnow_fingerprints")(spark, "/root/testdata/sf0.01")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => s"${r.getLong(0)},${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}")
+    val expected = scala.io.Source
+      .fromInputStream(getClass.getResourceAsStream("/q48_golden_sf001.csv"))
+      .getLines().drop(1).toArray
+    assert(got.length == expected.length,
+      s"row count drift: got ${got.length}, golden ${expected.length}")
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"row $i drifted")
+    }
+  }
+}
