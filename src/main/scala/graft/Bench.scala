@@ -4,10 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the declared query suite against
   * SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line
-  * {"metric":...,"value":total_sec,"unit":"sec","queries":{name:sec},"sf":dir}.
+  * {"metric":...,"value":total_sec,"unit":"sec","queries":{name:sec},
+  * "failed":[names],"sf":dir}. The same line is also written to
+  * SPARK_GRAFT_BENCH_OUT (default /tmp/graft_bench.json) so the driver
+  * can parse it without fishing it out of sbt's log stream.
   *
   * Each query is forced end-to-end with a noop-format write (full compute,
-  * no collect-to-driver, no sink I/O in the timing).
+  * no collect-to-driver, no sink I/O in the timing). A failed query is
+  * reported at -1 in "queries", listed in "failed", and makes "value"
+  * null — a regression can't silently shrink the headline total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,10 +41,18 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> run(n, SparkEntry.queries(n)))
-    val ok = results.filter(_._2 >= 0)
-    val total = ok.map(_._2).sum
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total =
+      if (failed.nonEmpty) "null"
+      else f"${results.map(_._2).sum}%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -19,10 +19,21 @@ object AsyncIO {
   /** Ordered async map: output order = input order (Flink orderedWait),
     * with a per-partition thread pool.
     */
+  /** The pool must not rely on full iterator drain for shutdown: a
+    * downstream limit/early-exit or an Await timeout abandons the
+    * iterator, so cleanup is tied to task completion.
+    */
+  private def poolFor(capacity: Int): java.util.concurrent.ExecutorService = {
+    val pool = Executors.newFixedThreadPool(capacity)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
+    pool
+  }
+
   def mapOrdered[I, O: Encoder](ds: Dataset[I], capacity: Int, timeout: Duration)(
       f: (I, ExecutionContext) => Future[O]): Dataset[O] =
     ds.mapPartitions { it =>
-      val pool = Executors.newFixedThreadPool(capacity)
+      val pool = poolFor(capacity)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       // sliding window of `capacity` in-flight futures, emitted in order
       new Iterator[O] {
@@ -40,7 +51,7 @@ object AsyncIO {
   def mapUnordered[I, O: Encoder](ds: Dataset[I], capacity: Int, timeout: Duration)(
       f: (I, ExecutionContext) => Future[O]): Dataset[O] =
     ds.mapPartitions { it =>
-      val pool = Executors.newFixedThreadPool(capacity)
+      val pool = poolFor(capacity)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val out = it.grouped(capacity).flatMap { wave =>
         val fs = wave.map(i => f(i, ec))

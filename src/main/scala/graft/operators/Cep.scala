@@ -68,4 +68,119 @@ object Cep {
         out.iterator
       }
   }
+
+  // ----- general pattern matching: quantifiers, optional steps, AFTER
+  // MATCH SKIP strategies ([U] flink-cep pattern/Pattern.java times()/
+  // optional(), aftermatch/AfterMatchSkipStrategy.java) -----
+
+  /** One pattern step: between `min` and `max` (inclusive) consecutive
+    * occurrences of `sym`. min=0 → optional; (1, MaxTimes) → `+`.
+    * Quantifiers are greedy with backtracking (Flink/regex default).
+    */
+  case class PStep(sym: String, min: Int, max: Int) {
+    require(min >= 0 && max >= min, s"bad quantifier {$min,$max}")
+  }
+  val MaxTimes: Int = Int.MaxValue
+  def once(sym: String): PStep = PStep(sym, 1, 1)
+  def opt(sym: String): PStep = PStep(sym, 0, 1)
+  def plus(sym: String): PStep = PStep(sym, 1, MaxTimes)
+  def times(sym: String, min: Int, max: Int): PStep = PStep(sym, min, max)
+
+  /** AFTER MATCH SKIP strategy: where the scan resumes after a match. */
+  sealed trait AfterMatch extends Serializable
+  /** Non-overlapping matches (Flink's default for MATCH_RECOGNIZE). */
+  case object SkipPastLastRow extends AfterMatch
+  /** Overlapping: resume at the row after the match's first row. */
+  case object SkipToNextRow extends AfterMatch
+
+  case class PMatch(key: Long, start_id: Long, end_id: Long,
+      start_ts: Long, end_ts: Long, n_events: Int)
+
+  /** Outcome of matching at one start position. */
+  private[graft] final val Fail = -1
+  private[graft] final val Pending = -2
+
+  /** Greedy backtracking match of `steps` against `syms` anchored at
+    * `start`, strict contiguity, all events within `withinMs` of the
+    * start event. Returns the exclusive end index, [[Fail]], or — when
+    * `openEnded` (streaming: events past the buffer may still arrive) —
+    * [[Pending]] if the outcome could change with more events: any step
+    * ran into the buffer end before exhausting its quantifier. Matches of
+    * zero length are failures.
+    */
+  private[graft] def tryMatchAt(syms: Array[String], ts: Array[Long], start: Int,
+      steps: IndexedSeq[PStep], withinMs: Long, openEnded: Boolean): Int = {
+    val n = syms.length
+    var pending = false
+    def rec(pos: Int, si: Int): Int = {
+      if (si == steps.length) return pos
+      val st = steps(si)
+      var cnt = 0
+      while (cnt < st.max && pos + cnt < n && syms(pos + cnt) == st.sym &&
+        ts(pos + cnt) - ts(start) <= withinMs) cnt += 1
+      // stopped at the buffer end with quantifier room left: a future
+      // event could extend this step (or enable later steps)
+      if (openEnded && pos + cnt == n && cnt < st.max) pending = true
+      var take = cnt
+      while (take >= st.min) {
+        val r = rec(pos + take, si + 1)
+        if (r >= 0) return r
+        take -= 1
+      }
+      Fail
+    }
+    val r = rec(start, 0)
+    if (pending) Pending
+    else if (r == start) Fail // empty match (all steps optional): no row consumed
+    else r
+  }
+
+  /** Scan a time-sorted run of events: emit resolved matches, return the
+    * resume index — the position from which a future scan must re-run
+    * (streaming keeps events from there; batch ignores it). `wm` closes
+    * the WITHIN window for pending decisions: once `wm - ts(start) >
+    * withinMs`, no future event can join a match anchored at `start`.
+    */
+  private[graft] def scan(events: Array[Event], steps: IndexedSeq[PStep],
+      withinMs: Long, skip: AfterMatch, openEnded: Boolean, wm: Long)
+      : (Seq[PMatch], Int) = {
+    val syms = events.map(_.sym)
+    val ts = events.map(_.ts)
+    val out = scala.collection.mutable.ArrayBuffer.empty[PMatch]
+    var i = 0
+    var halt = false
+    while (i < events.length && !halt) {
+      val open = openEnded && wm - ts(i) <= withinMs
+      tryMatchAt(syms, ts, i, steps, withinMs, open) match {
+        case Pending => halt = true // everything from i stays buffered
+        case Fail => i += 1
+        case end =>
+          val e0 = events(i)
+          val e1 = events(end - 1)
+          out += PMatch(e0.key, e0.id, e1.id, e0.ts, e1.ts, end - i)
+          i = skip match {
+            case SkipPastLastRow => end
+            case SkipToNextRow   => i + 1
+          }
+      }
+    }
+    (out.toSeq, i)
+  }
+
+  /** Batch pattern match per key: greedy quantified steps with strict
+    * contiguity, WITHIN window, and the chosen AFTER MATCH SKIP strategy.
+    * Same distribution shape as [[abcWithin]] (hash shuffle on key,
+    * per-key in-memory sort — state bounded by one key's history).
+    */
+  def matchPattern(ds: Dataset[Event], steps: Seq[PStep], withinMs: Long,
+      skip: AfterMatch = SkipPastLastRow): Dataset[PMatch] = {
+    implicit val enc = Encoders.product[PMatch]
+    val stepsIdx = steps.toIndexedSeq
+    ds.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroups { (_, it) =>
+        val events = it.toArray.sortBy(e => (e.ts, e.id))
+        scan(events, stepsIdx, withinMs, skip, openEnded = false, wm = Long.MaxValue)
+          ._1.iterator
+      }
+  }
 }

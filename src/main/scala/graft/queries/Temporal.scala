@@ -99,7 +99,36 @@ object Temporal {
     WindowOps.hopAgg(Tables.events(s, d), "10 minutes", "5 minutes")
   }
 
+  /** MATCH_RECOGNIZE-class quantified pattern per user over the event
+    * stream: `view{1,2} error? click` with greedy quantifiers, strict
+    * contiguity, AFTER MATCH SKIP PAST LAST ROW — the general NFA
+    * (quantifier bounds + optional steps), not the fixed A B+ C shape.
+    * Order is arrival order (event_id); WITHIN is unbounded here (bounded
+    * WITHIN + SKIP TO NEXT ROW are spec-covered in CepSimilaritySpec).
+    * DuckDB-oracled via RE2 `regexp_extract_all` over the per-user symbol
+    * string — non-overlapping leftmost-greedy regex scanning is exactly
+    * the SKIP PAST LAST ROW contiguity semantics.
+    */
+  val q55_cep_quantified: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Cep
+    val ev = Tables.events(s, d)
+      .select($"user_id".cast("long").as("key"),
+        $"event_id".cast("long").as("id"),
+        $"event_id".cast("long").as("ts"),
+        substring($"event_type", 1, 1).as("sym"))
+      .as[Cep.Event]
+    Cep.matchPattern(ev,
+        Seq(Cep.times("v", 1, 2), Cep.opt("e"), Cep.once("c")),
+        withinMs = Long.MaxValue / 4, skip = Cep.SkipPastLastRow)
+      .groupBy($"key")
+      .agg(count(lit(1)).as("n_matches"),
+        sum($"n_events").cast("long").as("n_matched_events"))
+      .select($"key".as("user_id"), $"n_matches", $"n_matched_events")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q55_cep_quantified" -> q55_cep_quantified,
     "q41_hop_window" -> q41_hop_window,
     "q22_tumble_window" -> q22_tumble_window,
     "q23_interval_join" -> q23_interval_join,
@@ -109,6 +138,14 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q55_cep_quantified" ->
+      """WITH s AS (SELECT user_id,
+        |                  string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS str
+        |           FROM events GROUP BY user_id),
+        |m AS (SELECT user_id, regexp_extract_all(str, 'v{1,2}e?c') AS ms FROM s)
+        |SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+        |       CAST(list_sum(list_transform(ms, x -> length(x))) AS BIGINT) AS n_matched_events
+        |FROM m WHERE len(ms) > 0""".stripMargin,
     "q41_hop_window" ->
       """WITH e AS (SELECT event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS em FROM events),
         |x AS (SELECT event_type,

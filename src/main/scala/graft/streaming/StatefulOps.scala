@@ -44,7 +44,9 @@ class StreamingTopN(n: Int) extends KeyedProcess[String, KeyedScored, TopNChange
   override def onElement(key: String, v: KeyedScored, tv: TimerValues,
       emit: TopNChange => Unit): Unit = {
     val cur = Option(top.get()).getOrElse(Nil)
-    val next = ordered(v :: cur).take(n)
+    // upsert per id (Flink RetractableTopNFunction): a re-arriving id
+    // replaces its old version, which is retracted below if it was ranked
+    val next = ordered(v :: cur.filterNot(_.id == v.id)).take(n)
     if (next != cur) {
       top.update(next)
       cur.filterNot(next.contains).foreach(e => emit(TopNChange("-D", e.key, e.id, e.score)))

@@ -53,6 +53,54 @@ class StreamingCepProcess(a: String, b: String, c: String, withinMs: Long)
   }
 }
 
+/** Streaming general pattern match (quantifiers, optional steps, AFTER
+  * MATCH SKIP) — the unbounded-stream counterpart of [[Cep.matchPattern]],
+  * sharing its scan/backtracking core. Events buffer in ListState until
+  * the watermark passes; the scan emits only RESOLVED matches — a match
+  * whose greedy quantifiers touch the buffer end stays pending (its
+  * events remain buffered) until either a later event resolves it or the
+  * watermark moves past the WITHIN window of its start event, after which
+  * no future event can join it. Consumed events are physically dropped
+  * from state, so state per key is the pending suffix + in-flight events
+  * — the same bound Flink's NFA SharedBuffer carries under a watermark.
+  */
+class StreamingPatternProcess(steps: IndexedSeq[Cep.PStep], withinMs: Long,
+    skip: Cep.AfterMatch)
+    extends KeyedProcess[Long, Cep.Event, Cep.PMatch] {
+  @transient private var buf: ListState[Cep.Event] = _
+
+  override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
+    implicit val evEnc: Encoder[Cep.Event] = Encoders.product[Cep.Event]
+    buf = h.getListState[Cep.Event]("buf", evEnc, TTLConfig.NONE)
+  }
+
+  override def onElement(key: Long, v: Cep.Event, tv: TimerValues,
+      emit: Cep.PMatch => Unit): Unit = {
+    buf.appendValue(v)
+    registerTimer(v.ts)
+  }
+
+  override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
+      emit: Cep.PMatch => Unit): Unit = {
+    val wm = math.max(tv.getCurrentWatermarkInMs, expiryMs)
+    val (readyRaw, pending) = buf.get().toArray.partition(_.ts <= wm)
+    if (readyRaw.nonEmpty) {
+      val ready = readyRaw.sortBy(e => (e.ts, e.id))
+      val (matches, resume) =
+        Cep.scan(ready, steps, withinMs, skip, openEnded = true, wm = wm)
+      matches.foreach(emit)
+      buf.clear()
+      val keep = ready.drop(resume) ++ pending
+      if (keep.nonEmpty) {
+        buf.appendList(keep)
+        // pending events need a revisit when the watermark advances —
+        // their own ts-timers have already fired
+        registerTimer(wm + 1)
+      }
+    }
+  }
+}
+
 object StreamingCep {
   /** `a b+ c WITHIN withinMs` over a watermarked keyed event stream. */
   def abcWithin(ds: Dataset[Cep.Event], a: String, b: String, c: String,
@@ -60,6 +108,16 @@ object StreamingCep {
     implicit val out: Encoder[Cep.Match] = Encoders.product[Cep.Match]
     ds.groupByKey(_.key)(Encoders.scalaLong)
       .transformWithState(new StreamingCepProcess(a, b, c, withinMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** General quantified pattern over a watermarked keyed event stream. */
+  def matchPattern(ds: Dataset[Cep.Event], steps: Seq[Cep.PStep],
+      withinMs: Long, skip: Cep.AfterMatch = Cep.SkipPastLastRow)
+      : Dataset[Cep.PMatch] = {
+    implicit val out: Encoder[Cep.PMatch] = Encoders.product[Cep.PMatch]
+    ds.groupByKey(_.key)(Encoders.scalaLong)
+      .transformWithState(new StreamingPatternProcess(steps.toIndexedSeq, withinMs, skip),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -13,48 +13,68 @@ case class GapSession(key: Long, n_events: Long, sum_value: Double, start_ms: Lo
   * ([U] flink-streaming-java api/functions/KeyedProcessFunction.java;
   * SURVEY.md §2.2 "process + timers").
   *
-  * Per key: accumulate (n, sum, min/max ts); on each element (re)register
-  * an event-time timer at last_ts + gap; when the watermark passes it, the
-  * timer fires → emit the closed session and clear state. Equivalent to
-  * session_window aggregation, but expressed through the timer API — the
-  * point is exercising timers, late re-registration, and state clearing.
+  * Per key: buffer events in ListState and register a timer at ts + gap
+  * per event; when the watermark passes, buffered events ≤ watermark are
+  * folded TIME-SORTED into the open session accumulator — so out-of-order
+  * arrivals within the watermark slack land in the right session instead
+  * of merging backward in arrival order. A session closes (emits) when the
+  * next sorted event exceeds the gap, or when the watermark moves gap-past
+  * its last event. Equivalent to session_window aggregation, but expressed
+  * through the timer API — the point is exercising timers, buffering, and
+  * state clearing.
   */
 class GapSessionProcess(gapMs: Long)
     extends KeyedProcess[Long, TimedValue, GapSession] {
+  @transient private var buf: ListState[TimedValue] = _
   @transient private var acc: ValueState[GapSession] = _
-  @transient private var pendingTimer: ValueState[Long] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
+    implicit val tvEnc: Encoder[TimedValue] = ExpressionEncoder()
     implicit val gsEnc: Encoder[GapSession] = ExpressionEncoder()
+    buf = h.getListState[TimedValue]("buf", tvEnc, TTLConfig.NONE)
     acc = h.getValueState[GapSession]("acc", gsEnc, TTLConfig.NONE)
-    pendingTimer = h.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
   }
 
   override def onElement(key: Long, v: TimedValue, tv: TimerValues,
       emit: GapSession => Unit): Unit = {
-    val cur = Option(acc.get()).getOrElse(GapSession(key, 0L, 0.0, v.ts_ms, v.ts_ms))
-    // gap exceeded within a batch: close the previous session inline
-    // (the timer handles the cross-batch case)
-    if (cur.n_events > 0 && v.ts_ms - cur.end_ms > gapMs) {
-      emit(cur)
-      acc.update(GapSession(key, 1L, v.value, v.ts_ms, v.ts_ms))
-    } else {
-      acc.update(GapSession(key, cur.n_events + 1, cur.sum_value + v.value,
-        math.min(cur.start_ms, v.ts_ms), math.max(cur.end_ms, v.ts_ms)))
-    }
-    // slide the session-close timer to last_ts + gap
-    Option(pendingTimer.get()).filter(_ > 0).foreach(deleteTimer)
-    val t = acc.get().end_ms + gapMs
-    registerTimer(t)
-    pendingTimer.update(t)
+    // buffer only: out-of-order events (within the watermark slack) must
+    // not merge backward into whatever session happens to be open — they
+    // are folded time-sorted on timer firing, like Flink's session-window
+    // merge on the ordered state backend view
+    buf.appendValue(v)
+    registerTimer(v.ts_ms + gapMs)
   }
 
   override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
       emit: GapSession => Unit): Unit = {
-    Option(acc.get()).filter(_.n_events > 0).foreach { s =>
-      emit(s)
-      acc.clear()
-      pendingTimer.clear()
+    val wm = math.max(tv.getCurrentWatermarkInMs, expiryMs)
+    val (readyRaw, pending) = buf.get().toArray.partition(_.ts_ms <= wm)
+    var cur = Option(acc.get()).filter(_.n_events > 0)
+    if (readyRaw.nonEmpty) {
+      readyRaw.sortBy(e => (e.ts_ms, e.id)).foreach { v =>
+        cur match {
+          case Some(s) if v.ts_ms - s.end_ms > gapMs =>
+            emit(s)
+            cur = Some(GapSession(v.key, 1L, v.value, v.ts_ms, v.ts_ms))
+          case Some(s) =>
+            cur = Some(GapSession(s.key, s.n_events + 1, s.sum_value + v.value,
+              math.min(s.start_ms, v.ts_ms), math.max(s.end_ms, v.ts_ms)))
+          case None =>
+            cur = Some(GapSession(v.key, 1L, v.value, v.ts_ms, v.ts_ms))
+        }
+      }
+      buf.clear()
+      if (pending.nonEmpty) buf.appendList(pending)
+    }
+    cur match {
+      case Some(s) if wm - s.end_ms > gapMs =>
+        // gap elapsed in event time with nothing arriving: session closed
+        emit(s)
+        acc.clear()
+      case Some(s) =>
+        acc.update(s)
+        registerTimer(s.end_ms + gapMs)
+      case None => ()
     }
   }
 }

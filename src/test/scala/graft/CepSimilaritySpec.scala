@@ -52,6 +52,92 @@ class CepSimilaritySpec extends AnyFunSuite {
     assert(run(es) == Set(Match(1, 3, 5, 1, 20, 40)))
   }
 
+  // ----- general pattern matching (quantifiers / optional / skip) vs a
+  // brute-force java-regex oracle over the sorted symbol string -----
+
+  /** Deterministic pseudo-random multi-key corpus; ts = position. */
+  private def corpus(nKeys: Int, len: Int, alphabet: String): Seq[Event] = {
+    val rnd = new scala.util.Random(7)
+    for (k <- 1 to nKeys; i <- 0 until len)
+      yield Event(k, i.toLong, i.toLong, alphabet(rnd.nextInt(alphabet.length)).toString)
+  }
+
+  private def patternSpans(events: Seq[Event], steps: Seq[Cep.PStep],
+      skip: Cep.AfterMatch, withinMs: Long = Long.MaxValue / 4): Map[Long, Seq[(Long, Long)]] = {
+    import spark.implicits._
+    Cep.matchPattern(events.toDS(), steps, withinMs, skip).collect()
+      .groupBy(_.key).view
+      .mapValues(_.map(m => (m.start_ts, m.end_ts + 1)).toSeq.sorted).toMap
+  }
+
+  private def regexSpansPastLast(s: String, re: String): Seq[(Long, Long)] = {
+    val m = java.util.regex.Pattern.compile(re).matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var from = 0
+    while (from <= s.length && m.find(from)) {
+      if (m.end > m.start) { out += ((m.start.toLong, m.end.toLong)); from = m.end }
+      else from = m.start + 1
+    }
+    out.toSeq
+  }
+
+  private def regexSpansNextRow(s: String, re: String): Seq[(Long, Long)] = {
+    val p = java.util.regex.Pattern.compile(re)
+    (0 until s.length).flatMap { i =>
+      val m = p.matcher(s)
+      m.region(i, s.length)
+      if (m.lookingAt() && m.end > m.start) Some((i.toLong, m.end.toLong)) else None
+    }
+  }
+
+  private def symString(events: Seq[Event], key: Long): String =
+    events.filter(_.key == key).sortBy(_.ts).map(_.sym).mkString
+
+  test("cep quantifier {2,3}: spans equal the greedy regex oracle (skip past last row)") {
+    val es = corpus(4, 300, "ab")
+    val got = patternSpans(es, Seq(Cep.times("a", 2, 3), Cep.once("b")), Cep.SkipPastLastRow)
+    for (k <- 1L to 4L) {
+      val expect = regexSpansPastLast(symString(es, k), "a{2,3}b")
+      assert(got.getOrElse(k, Seq.empty) == expect, s"key $k")
+    }
+  }
+
+  test("cep optional step: a{1,2}c?b spans equal the regex oracle") {
+    val es = corpus(4, 300, "abc")
+    val got = patternSpans(es,
+      Seq(Cep.times("a", 1, 2), Cep.opt("c"), Cep.once("b")), Cep.SkipPastLastRow)
+    for (k <- 1L to 4L) {
+      val expect = regexSpansPastLast(symString(es, k), "a{1,2}c?b")
+      assert(got.getOrElse(k, Seq.empty) == expect, s"key $k")
+    }
+  }
+
+  test("cep AFTER MATCH SKIP TO NEXT ROW: overlapping a+b spans equal the lookingAt oracle") {
+    val es = corpus(4, 200, "ab")
+    val got = patternSpans(es, Seq(Cep.plus("a"), Cep.once("b")), Cep.SkipToNextRow)
+    for (k <- 1L to 4L) {
+      val expect = regexSpansNextRow(symString(es, k), "a+b")
+      assert(got.getOrElse(k, Seq.empty) == expect, s"key $k")
+    }
+  }
+
+  test("cep WITHIN bounds the whole quantified match from its first event") {
+    val es = Seq(
+      // a a b inside 15ms → match
+      Event(1, 1, 0, "a"), Event(1, 2, 5, "a"), Event(1, 3, 10, "b"),
+      // a a b but b lands outside the window of the first a → backtracks
+      // to the shorter a-run anchored at the second a? no — strict
+      // contiguity anchors at first a only; rescan from the second a
+      // still reaches b within ITS window → one match (20..40)
+      Event(2, 1, 0, "a"), Event(2, 2, 20, "a"), Event(2, 3, 40, "b"))
+    val got = patternSpans(es, Seq(Cep.times("a", 1, 2), Cep.once("b")),
+      Cep.SkipPastLastRow, withinMs = 15L)
+    assert(got(1L) == Seq((0L, 11L)))
+    // key 2: anchored at ts=0 the window ends before b(40); anchored at
+    // ts=20, a(20) b(40) fits within 15? 40-20=20 > 15 → no match at all
+    assert(!got.contains(2L))
+  }
+
   test("ann top-k agrees with brute force restricted to the bucket") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val ann = Similarity.annTopK(emb, "vec_id", "embedding", k = 3, nPlanes = 8)

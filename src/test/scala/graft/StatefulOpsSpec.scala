@@ -102,4 +102,60 @@ class StatefulOpsSpec extends AnyFunSuite {
       assert(changes.exists(c => c.row_kind == "-U" && c.id == 1L))
     } finally q.stop()
   }
+
+  test("top-n upserts a re-arriving id: old version retracted, never two versions ranked") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedScored]
+    val name = nextName()
+    val q = StatefulOps.topN(input.toDS(), 3)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(KeyedScored("g", 1, 50.0), KeyedScored("g", 2, 40.0))
+      q.processAllAvailable()
+      input.addData(KeyedScored("g", 1, 90.0)) // id 1 re-arrives with a new score
+      q.processAllAvailable()
+      val changes = spark.table(name).as[TopNChange].collect()
+      // net state per (id, score): +I minus -D
+      val net = changes.groupBy(c => (c.id, c.score)).collect {
+        case (k, cs) if cs.count(_.row_kind == "+I") - cs.count(_.row_kind == "-D") == 1 => k
+      }.toSet
+      assert(net == Set((1L, 90.0), (2L, 40.0)), s"got $net")
+      // the old version of id 1 was explicitly retracted
+      assert(changes.exists(c => c.row_kind == "-D" && c.id == 1L && c.score == 50.0))
+    } finally q.stop()
+  }
+
+  test("state TTL: an expired key re-arrival emits no retraction (Flink StateTtlConfig analog)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // processing-time state (TimeMode.ProcessingTime) schedules no-data
+    // micro-batches continuously, which keeps processAllAvailable from
+    // ever settling — disable them for this query (TTL expiry is checked
+    // on state READ, not by background batches, so semantics are intact)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val input = MemoryStream[KeyedValue]
+    val name = nextName()
+    val q = StatefulOps.keepLast(input.toDS(),
+        ttl = org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofSeconds(5)))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(KeyedValue(1L, 1, 10.0))
+      q.processAllAvailable()
+      Thread.sleep(8000) // processing-time TTL elapses
+      input.addData(KeyedValue(1L, 2, 20.0)) // state expired: no -U for id 1
+      q.processAllAvailable()
+      input.addData(KeyedValue(1L, 3, 30.0)) // state live (same instant): -U for id 2
+      q.processAllAvailable()
+      val changes = spark.table(name).as[KeepLastOut].collect()
+      assert(!changes.exists(c => c.row_kind == "-U" && c.id == 1L),
+        "expired state must read as absent - no retraction of the pre-TTL row")
+      assert(changes.exists(c => c.row_kind == "-U" && c.id == 2L),
+        "live state still retracts normally")
+      assert(changes.count(_.row_kind == "+U") == 3)
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    }
+  }
 }

@@ -64,4 +64,40 @@ class StreamingCepSpec extends AnyFunSuite {
     assert(got == batchGot)
     assert(got == Set(Cep.Match(2, 5, 7, 1, 1000000, 1010000)))
   }
+
+  test("streaming quantified pattern agrees with batch across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // pattern: A{1,2} B? C within 60s — greedy quantifier + optional step
+    val steps = Seq(Cep.times("A", 1, 2), Cep.opt("B"), Cep.once("C"))
+    val evs = Seq(
+      raw(1, 1, 1000, "A"), raw(1, 2, 1010, "A"), raw(1, 3, 1020, "C"), // A A C
+      raw(1, 4, 1100, "A"), raw(1, 5, 1110, "B"), raw(1, 6, 1120, "C"), // A B C
+      raw(2, 7, 1000, "A"), raw(2, 8, 1005, "C"),                       // A C
+      raw(2, 9, 1200, "A"), raw(2, 10, 1210, "B"),                      // no C → no match
+      raw(3, 11, 1000, "A"), raw(3, 12, 1100, "C"))                     // 100s > 60s window
+    val input = MemoryStream[Ev]
+    val events = input.toDF().withWatermark("ts", "5 seconds")
+      .select($"user_id".as("key"), $"event_id".as("id"),
+        unix_millis($"ts").as("ts"), $"event_type".as("sym"))
+      .as[Cep.Event]
+    val q = StreamingCep.matchPattern(events, steps, withinMs = 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("scep4").start()
+    try {
+      evs.grouped(4).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(raw(99, 999, 9000, "X")) // close the watermark
+      q.processAllAvailable()
+      input.addData(raw(99, 998, 9100, "X")) // advance once more: resolve re-registered timers
+      q.processAllAvailable()
+      val got = spark.table("scep4").as[Cep.PMatch].collect().toSet
+      val batchGot = Cep.matchPattern(
+        evs.map(e => Cep.Event(e.user_id, e.event_id, e.ts.getTime, e.event_type)).toDS(),
+        steps, 60000L).collect().toSet
+      assert(got == batchGot)
+      assert(got == Set(
+        Cep.PMatch(1, 1, 3, 1000000, 1020000, 3),
+        Cep.PMatch(1, 4, 6, 1100000, 1120000, 3),
+        Cep.PMatch(2, 7, 8, 1000000, 1005000, 2)))
+    } finally q.stop()
+  }
 }

@@ -57,4 +57,30 @@ class TimerSpec extends AnyFunSuite {
       assert(got.contains(GapSession(1, 2, 2.0, 1000000, 1005000)))
     } finally q.stop()
   }
+
+  test("out-of-order event within the watermark slack joins the correct session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Raw]
+    val timed = input.toDS()
+      .withWatermark("ts", "60 seconds")
+      .select($"key", $"id", unix_millis($"ts").as("ts_ms"), $"value")
+      .as[TimedValue]
+    val q = TimerOps.gapSessions(timed, gapMs = 30000L)
+      .writeStream.outputMode("append").format("memory").queryName("timer_out3").start()
+    try {
+      // arrival order: 1000s, 1020s ... then 1010s arrives LATE (within
+      // the 60s slack) — it must still land inside the same session, and
+      // the session must fold in event-time order
+      input.addData(raw(1, 1, 1000, 1.0), raw(1, 3, 1020, 4.0))
+      q.processAllAvailable()
+      input.addData(raw(1, 2, 1010, 2.0))
+      q.processAllAvailable()
+      input.addData(raw(2, 99, 3000, 0.0)) // advance the watermark far past
+      q.processAllAvailable()
+      val got = spark.table("timer_out3").as[GapSession].collect().toSet
+      assert(got.contains(GapSession(1, 3, 7.0, 1000000, 1020000)),
+        s"late event must merge into its event-time session; got $got")
+    } finally q.stop()
+  }
 }
