@@ -38,6 +38,65 @@ object Changelog {
     rows.select(col("r.row_kind").as("row_kind"), col("r.payload.*"))
   }
 
+  /** Decode canal-style JSON
+    * (`{"data":[{…},…],"old":[{…},…],"type":"INSERT|UPDATE|DELETE"}`)
+    * into row_kind-tagged payload rows. `data` is an ARRAY of rows (canal
+    * batches rows per binlog event); for UPDATE, `old(i)` carries only the
+    * CHANGED columns of `data(i)` — the UPDATE_BEFORE row is `data(i)`
+    * overlaid with `old(i)`'s non-null fields, the same reconstruction
+    * the reference's canal-json decoder performs.
+    */
+  def fromCanalJson(df: DataFrame, jsonCol: String, payloadSchema: String): DataFrame = {
+    val payload = org.apache.spark.sql.types.StructType.fromDDL(payloadSchema)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      s"data ARRAY<STRUCT<$payloadSchema>>, old ARRAY<STRUCT<$payloadSchema>>, type STRING")
+    val parsed = df.withColumn("__cdc", from_json(col(jsonCol), schema))
+      .select(col("__cdc.type").as("__t"), col("__cdc.old").as("__old"),
+        posexplode(col("__cdc.data")).as(Seq("__pos", "__row")))
+    // UPDATE_BEFORE: changed columns from old(pos), the rest from data(pos)
+    val before = struct(payload.fieldNames.toSeq.map(f =>
+      coalesce(element_at(col("__old"), col("__pos") + 1).getField(f),
+        col("__row").getField(f)).as(f)): _*)
+    val rows = parsed.select(
+      explode(
+        when(col("__t") === "INSERT",
+          array(struct(lit("+I").as("row_kind"), col("__row").as("payload"))))
+          .when(col("__t") === "DELETE",
+            array(struct(lit("-D").as("row_kind"), col("__row").as("payload"))))
+          .when(col("__t") === "UPDATE", array(
+            struct(lit("-U").as("row_kind"), before.as("payload")),
+            struct(lit("+U").as("row_kind"), col("__row").as("payload"))))
+      ).as("r"))
+    rows.select(col("r.row_kind").as("row_kind"), col("r.payload.*"))
+  }
+
+  /** Decode maxwell-style JSON
+    * (`{"data":{…},"old":{…},"type":"insert|update|delete"}`) into
+    * row_kind-tagged payload rows — one row per message; `old` carries
+    * only the changed columns, overlaid onto `data` for UPDATE_BEFORE
+    * exactly as in [[fromCanalJson]].
+    */
+  def fromMaxwellJson(df: DataFrame, jsonCol: String, payloadSchema: String): DataFrame = {
+    val payload = org.apache.spark.sql.types.StructType.fromDDL(payloadSchema)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      s"data STRUCT<$payloadSchema>, old STRUCT<$payloadSchema>, type STRING")
+    val parsed = df.withColumn("__cdc", from_json(col(jsonCol), schema))
+    val before = struct(payload.fieldNames.toSeq.map(f =>
+      coalesce(col("__cdc.old").getField(f), col("__cdc.data").getField(f)).as(f)): _*)
+    val t = col("__cdc.type")
+    val rows = parsed.select(
+      explode(
+        when(t === "insert",
+          array(struct(lit("+I").as("row_kind"), col("__cdc.data").as("payload"))))
+          .when(t === "delete",
+            array(struct(lit("-D").as("row_kind"), col("__cdc.data").as("payload"))))
+          .when(t === "update", array(
+            struct(lit("-U").as("row_kind"), before.as("payload")),
+            struct(lit("+U").as("row_kind"), col("__cdc.data").as("payload"))))
+      ).as("r"))
+    rows.select(col("r.row_kind").as("row_kind"), col("r.payload.*"))
+  }
+
   /** Materialize a changelog to current state: net surviving rows are
     * those whose (payload) insert count exceeds retract count. For a
     * well-formed changelog keyed by `keys` this is "apply the log":

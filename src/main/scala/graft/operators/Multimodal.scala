@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.{ByteHistogram, ImageHeader, ImageHeaderKernel}
 
 /** Multimodal column convention (north_star): image/audio/video payloads
   * travel as opaque `binary` columns with a typed metadata struct beside
@@ -15,11 +16,14 @@ import org.apache.spark.sql.types._
   *   meta:     STRUCT<modality: STRING, format: STRING, width: INT,
   *                    height: INT, n_bytes: BIGINT, sha1: STRING>
   *
-  * The real decoders (image/audio libs) are NOT in this container — the
-  * decode step is STUBBED with a deterministic fake (parses dimensions
-  * from the payload hash) so the Spark-side plumbing — schema, batch
-  * shape, partitioning, pushdown — is real and tested while the kernel is
-  * swappable.
+  * The decode kernels are real, pure-JVM, and codegen'd: image headers
+  * (PNG/JPEG/GIF magic bytes → format/width/height) via the
+  * [[graft.functions.ImageHeader]] expression, and a deterministic
+  * byte-histogram embedding via [[graft.functions.ByteHistogram]]. A
+  * full pixel decode / learned embedding would slot into the same column
+  * positions (the container ships no image libraries); everything around
+  * them — schema, filter pushdown on metadata, per-partition batching —
+  * is the production shape.
   */
 object Multimodal {
 
@@ -27,7 +31,7 @@ object Multimodal {
     "modality STRING, format STRING, width INT, height INT, n_bytes BIGINT, sha1 STRING")
 
   /** Wrap a binary column into the convention (metadata computed from the
-    * payload itself; width/height filled by [[fakeDecode]] downstream).
+    * payload itself; format/width/height filled by [[decodeImageMeta]]).
     */
   def attachMeta(df: DataFrame, contentCol: String, modality: String, format: String): DataFrame =
     df.withColumn("meta", struct(
@@ -38,54 +42,53 @@ object Multimodal {
       length(col(contentCol)).cast("long").as("n_bytes"),
       sha1(col(contentCol)).as("sha1")))
 
-  /** STUB decode kernel: deterministically derives (width, height) from the
-    * payload bytes — stands in for a real image decode (???). The
-    * surrounding plan (projection of meta fields, filter pushdown on
-    * metadata, per-partition batching) is exactly what a real decoder
-    * sees; swap the two expressions for the real kernel.
+  /** Header-decode kernel: parses format/width/height from the payload's
+    * magic bytes (PNG IHDR, JPEG SOFn walk, GIF screen descriptor) into
+    * the meta struct — single codegen'd expression, no shuffle, no UDF.
+    * Unrecognized payloads keep the declared format and null dimensions.
     */
-  def fakeDecode(df: DataFrame, contentCol: String): DataFrame = {
-    val h = xxhash64(col(contentCol))
+  def decodeImageMeta(df: DataFrame, contentCol: String): DataFrame = {
+    val h = ImageHeader(col(contentCol))
     df.withColumn("meta", col("meta")
-      .withField("width", (pmod(h, lit(1920L)) + 1).cast("int"))
-      .withField("height", (pmod(shiftright(h, 16), lit(1080L)) + 1).cast("int")))
+      .withField("format", coalesce(h.getField("format"), col("meta.format")))
+      .withField("width", h.getField("width"))
+      .withField("height", h.getField("height")))
   }
 
-  /** Feature-extraction stub over the convention: fixed-size float vector
-    * per payload, derived deterministically — the shape of an embedding
-    * model output (swap for the real model).
+  /** Feature extraction over the convention: normalized byte-histogram
+    * vector per payload (fixed dim, deterministic) — the plumbing shape
+    * of an embedding model output, computed by a codegen'd kernel.
     */
-  def fakeEmbed(content: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => pmod(xxhash64(content, i), lit(1000L)).cast("double") / 500.0 - 1.0)
+  def embed(content: Column, dim: Int = 64): Column = ByteHistogram(content, dim)
 
   /** Per-partition batched decode — the Scala analog of a Pandas-UDF /
     * mapInPandas kernel: rows stream through in partition-sized batches,
-    * the decoder amortizes model/library setup once per partition, and
-    * output is one row per input with decoded fields appended. The decode
-    * itself is the deterministic stub (payload-hash dimensions); swap the
-    * body for a real library call — the batching contract is what's real.
+    * the decoder amortizes setup once per partition, and output is one
+    * row per input with decoded fields appended. Runs the same header
+    * kernel as [[decodeImageMeta]]; a heavyweight decoder (native lib,
+    * model weights) would initialize where marked and keep this exact
+    * batching contract.
     */
   def decodePartitions(df: DataFrame, contentCol: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(df.schema.fields ++ Seq(
-      org.apache.spark.sql.types.StructField("dec_width", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("dec_height", org.apache.spark.sql.types.IntegerType)))
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("dec_format", StringType),
+      StructField("dec_width", IntegerType),
+      StructField("dec_height", IntegerType)))
     val idx = df.schema.fieldIndex(contentCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
       // per-partition setup would happen here (decoder/model init)
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](idx)
-        var h = 1125899906842597L // deterministic FNV-ish fold
-        bytes.foreach(b => h = h * 31 + b)
-        val w = (math.floorMod(h, 1920L) + 1).toInt
-        val ht = (math.floorMod(h >> 16, 1080L) + 1).toInt
-        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(w, ht))
+        val hdr = ImageHeaderKernel.parse(r.getAs[Array[Byte]](idx))
+        val extra: Seq[Any] =
+          if (hdr == null) Seq(null, null, null)
+          else Seq(hdr.getUTF8String(0).toString, hdr.getInt(1), hdr.getInt(2))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ extra)
       }
     }(enc)
   }
 
-  /** Frame/chunk sampling stub for video/audio payloads: split the byte
+  /** Frame/chunk sampling for video/audio payloads: split the byte
     * stream into `n` equal chunks, one row each — the partition-friendly
     * fan-out a frame sampler produces.
     */

@@ -4,9 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 /** Source/format surface (SURVEY.md §2.1): csv / json / orc / parquet
-  * round trips, schema inference, and compression. spark-avro /
-  * spark-protobuf datasource jars are not in this image — documented gap;
-  * the reference's remaining in-repo formats are covered.
+  * round trips, schema inference, compression, and Avro record payloads
+  * (via avro-core + AvroFormat — the spark-avro CONNECTOR jar is absent
+  * from this image; protobuf exists only shaded and stays a documented
+  * environment gap).
   */
 class FormatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -51,5 +52,36 @@ class FormatsSpec extends AnyFunSuite {
     sample.write.mode("overwrite").option("compression", "zstd").parquet(dir)
     assert(spark.read.parquet(dir).count() == 3)
     assert(new java.io.File(dir).listFiles().exists(_.getName.contains("zstd")))
+  }
+
+  val avroSchema: String =
+    """{"type": "record", "name": "Rec", "fields": [
+      |  {"name": "id", "type": "long"},
+      |  {"name": "s", "type": ["null", "string"], "default": null},
+      |  {"name": "d", "type": "double"},
+      |  {"name": "b", "type": "boolean"}
+      |]}""".stripMargin
+
+  test("avro record payloads round-trip through binary encode/decode (incl. nulls)") {
+    val back = graft.sources.AvroFormat.roundTrip(sample, avroSchema)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s", "d", "b"))
+    assert(back.collect().map(_.toSeq).toSet == sample.collect().map(_.toSeq).toSet)
+  }
+
+  test("avro schema mapping: nullable unions and primitive types") {
+    val st = graft.sources.AvroFormat.sparkSchema(avroSchema)
+    assert(st("id").dataType.typeName == "long" && !st("id").nullable)
+    assert(st("s").dataType.typeName == "string" && st("s").nullable)
+    assert(st("d").dataType.typeName == "double")
+    assert(st("b").dataType.typeName == "boolean")
+  }
+
+  test("avro decode appends payload columns after passthrough columns") {
+    import spark.implicits._
+    val enc = graft.sources.AvroFormat.encodeAvro(sample, avroSchema)
+      .withColumn("tag", lit("k"))
+    val dec = graft.sources.AvroFormat.decodeAvro(enc, "avro", avroSchema)
+    assert(dec.schema.fieldNames.toSeq == Seq("tag", "id", "s", "d", "b"))
+    assert(dec.where($"tag" === "k").count() == 3)
   }
 }

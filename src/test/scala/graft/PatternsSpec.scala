@@ -46,6 +46,35 @@ class PatternsSpec extends AnyFunSuite {
       ("+I", 1L, 10.0), ("-U", 1L, 10.0), ("+U", 1L, 20.0), ("-D", 2L, 5.0)))
   }
 
+  test("canal json decodes batched data rows; update-before overlays old's changed columns") {
+    import spark.implicits._
+    val df = Seq(
+      """{"data": [{"id": 1, "v": 10.0}, {"id": 2, "v": 5.0}], "old": null, "type": "INSERT"}""",
+      """{"data": [{"id": 1, "v": 20.0}], "old": [{"v": 10.0}], "type": "UPDATE"}""",
+      """{"data": [{"id": 2, "v": 5.0}], "old": null, "type": "DELETE"}""")
+      .toDF("json")
+    val out = Changelog.fromCanalJson(df, "json", "id BIGINT, v DOUBLE")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      ("+I", 1L, 10.0), ("+I", 2L, 5.0),
+      // -U reconstructs the before-row: id from data, v from old
+      ("-U", 1L, 10.0), ("+U", 1L, 20.0),
+      ("-D", 2L, 5.0)))
+  }
+
+  test("maxwell json decodes single-row messages with partial old overlays") {
+    import spark.implicits._
+    val df = Seq(
+      """{"data": {"id": 1, "v": 10.0}, "old": null, "type": "insert"}""",
+      """{"data": {"id": 1, "v": 20.0}, "old": {"v": 10.0}, "type": "update"}""",
+      """{"data": {"id": 1, "v": 20.0}, "old": null, "type": "delete"}""")
+      .toDF("json")
+    val out = Changelog.fromMaxwellJson(df, "json", "id BIGINT, v DOUBLE")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      ("+I", 1L, 10.0), ("-U", 1L, 10.0), ("+U", 1L, 20.0), ("-D", 1L, 20.0)))
+  }
+
   test("changelog materialize applies the log: last version per key, deletes drop") {
     import spark.implicits._
     val log = Seq(
@@ -68,41 +97,71 @@ class PatternsSpec extends AnyFunSuite {
     assert(onTime.filter(col("ts") < wm).count() == 0)
   }
 
-  test("multimodal convention: meta struct + stub decode + chunk sampling") {
+  test("multimodal: image headers parse from real PNG/JPEG/GIF bytes into the meta struct") {
     import spark.implicits._
-    val df = Seq((1L, "fake-image-bytes-aaaa"), (2L, "fake-image-bytes-bbbb-longer"))
-      .toDF("id", "s")
-      .select($"id", $"s".cast("binary").as("content"))
-    val withMeta = Multimodal.fakeDecode(
-      Multimodal.attachMeta(df, "content", "image", "png"), "content")
-    val rows = withMeta.select($"id", $"meta.modality", $"meta.n_bytes",
-      $"meta.width", $"meta.height", $"meta.sha1").collect()
-    rows.foreach { r =>
-      assert(r.getString(1) == "image")
-      assert(r.getLong(2) > 0)
-      assert(r.getInt(3) >= 1 && r.getInt(3) <= 1920)
-      assert(r.getInt(4) >= 1 && r.getInt(4) <= 1080)
-      assert(r.getString(5).length == 40)
-    }
-    // deterministic: same payload → same fake dimensions
-    val again = Multimodal.fakeDecode(
-      Multimodal.attachMeta(df, "content", "image", "png"), "content")
-      .select($"id", $"meta.width").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
-    val first = rows.map(r => (r.getLong(0), r.getInt(3))).toMap
-    assert(again == first)
+    val df = Seq(
+      (1L, ImgFixtures.png(320, 240)),
+      (2L, ImgFixtures.jpeg(640, 480)),
+      (3L, ImgFixtures.gif(100, 50)),
+      (4L, "not-an-image-payload".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val decoded = Multimodal.decodeImageMeta(
+      Multimodal.attachMeta(df, "content", "image", "unknown"), "content")
+    val rows = decoded.select($"id", $"meta.format", $"meta.width", $"meta.height",
+      $"meta.n_bytes", $"meta.sha1").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(1) == "png" && rows(1L).getInt(2) == 320 && rows(1L).getInt(3) == 240)
+    assert(rows(2L).getString(1) == "jpeg" && rows(2L).getInt(2) == 640 && rows(2L).getInt(3) == 480)
+    assert(rows(3L).getString(1) == "gif" && rows(3L).getInt(2) == 100 && rows(3L).getInt(3) == 50)
+    // unrecognized payload: declared format kept, null dimensions
+    assert(rows(4L).getString(1) == "unknown" && rows(4L).isNullAt(2) && rows(4L).isNullAt(3))
+    rows.values.foreach { r => assert(r.getLong(4) > 0 && r.getString(5).length == 40) }
     val chunks = Multimodal.sampleChunks(df, "content", 4)
-    assert(chunks.count() == 8)
+    assert(chunks.count() == 16)
     assert(chunks.groupBy("id").count().collect().forall(_.getLong(1) == 4))
   }
 
-  test("embedding stub: fixed dim, deterministic, values in [-1,1]") {
+  test("byte-histogram embed: fixed dim, normalized, deterministic, content-sensitive") {
     import spark.implicits._
-    val df = Seq((1L, "payload-a"), (2L, "payload-b")).toDF("id", "s")
+    val df = Seq((1L, "payload-a"), (2L, "PAYLOAD?9!"), (3L, "")).toDF("id", "s")
       .select($"id", $"s".cast("binary").as("content"))
-    val out = df.select($"id", Multimodal.fakeEmbed($"content", 16).as("emb"))
-      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("emb")).toMap
+    val out = df.select($"id", Multimodal.embed($"content", 16).as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("emb").toSeq).toMap
     assert(out(1L).length == 16)
     assert(out(1L) != out(2L))
-    out.values.flatten.foreach(v => assert(v >= -1.0 && v <= 1.0))
+    assert(math.abs(out(1L).sum - 1.0) < 1e-9, "histogram is normalized")
+    assert(out(3L).forall(_ == 0.0), "empty payload embeds to zeros")
+    // exact bucket check: 'a' = 0x61 → bucket (0x61*16)/256 = 6
+    val single = Seq((9L, "a")).toDF("id", "s")
+      .select($"id", $"s".cast("binary").as("content"))
+      .select(Multimodal.embed($"content", 16).as("emb"))
+      .collect().head.getAs[scala.collection.Seq[Double]]("emb")
+    assert(single(6) == 1.0 && single.sum == 1.0)
   }
+}
+
+/** Minimal well-formed image headers built byte-by-byte (no image libs in
+  * the container): enough of each format for header parsing.
+  */
+object ImgFixtures {
+  private def be32(v: Int) =
+    Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+  private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+
+  def png(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII") ++
+      be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+
+  def jpeg(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++                       // SOI
+      Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 16) ++              // APP0, len 16
+      "JFIF".getBytes("US-ASCII") ++ Array.fill[Byte](10)(0) ++    // APP0 payload
+      Array[Byte](0xFF.toByte, 0xC0.toByte, 0, 17, 8) ++           // SOF0, len 17, precision
+      be16(h) ++ be16(w) ++ Array.fill[Byte](10)(0) ++             // dims + components
+      Array[Byte](0xFF.toByte, 0xD9.toByte)                        // EOI
+
+  def gif(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
 }

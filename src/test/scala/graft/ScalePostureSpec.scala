@@ -68,19 +68,24 @@ class ScalePostureSpec extends AnyFunSuite {
 
   test("mapPartitions batched decode appends decoded fields row-for-row, deterministically") {
     import spark.implicits._
-    val df = Seq((1L, "payload-one"), (2L, "payload-two-longer"), (3L, "p3"))
-      .toDF("id", "s").select($"id", $"s".cast("binary").as("content"))
+    val df = Seq(
+      (1L, ImgFixtures.png(800, 600)),
+      (2L, ImgFixtures.jpeg(1024, 768)),
+      (3L, "not-an-image".getBytes("UTF-8")))
+      .toDF("id", "content")
       .repartition(3)
     val out = Multimodal.decodePartitions(df, "content")
     assert(out.count() == 3)
-    val rows = out.select($"id", $"dec_width", $"dec_height").collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
-    rows.values.foreach { case (w, h) =>
-      assert(w >= 1 && w <= 1920 && h >= 1 && h <= 1080)
-    }
+    val rows = out.select($"id", $"dec_format", $"dec_width", $"dec_height").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(rows(1L) == ((Some("png"), Some(800), Some(600))))
+    assert(rows(2L) == ((Some("jpeg"), Some(1024), Some(768))))
+    assert(rows(3L) == ((None, None, None)))
     val again = Multimodal.decodePartitions(df, "content")
-      .select($"id", $"dec_width", $"dec_height").collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+      .select($"id", $"dec_format", $"dec_width", $"dec_height").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.get(2)), Option(r.get(3))))).toMap
     assert(again == rows)
   }
 }
