@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{DotProduct, VectorFunctions}
@@ -96,6 +96,53 @@ object Similarity {
     candidates.join(n, "a_id").join(bn, "b_id")
       .select(col("a_id"), col("b_id"), cosCol.as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** IVF(-flat) ANN top-k — the inverted-file alternative to sign-LSH
+    * bucketing: vectors are assigned to their nearest of `nCells`
+    * centroids (one cell each); each QUERY probes its `nProbe` nearest
+    * cells, and exact cosine top-k runs inside the probed cells only.
+    *
+    * Centroids are a deterministic data sample (the `nCells` vectors with
+    * smallest xxhash64(id) — no RNG, no k-means iterations; at 100 TB
+    * you'd k-means a sample offline and broadcast, which is exactly the
+    * shape here: the centroid collect is O(nCells × dim), a bounded
+    * broadcast-sized side input, not a data collect). Assignment is a
+    * per-row argmax over codegen'd centroid dots; the only shuffle is the
+    * (cell) equi-join. Work ≈ nProbe × n²/nCells vs n² brute — the
+    * recall/cost trade is nProbe (and cell count), the standard IVF knobs.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int = 32, nProbe: Int = 4): DataFrame = {
+    val n = withNorm(emb, idCol, vecCol)
+    val cents = n.withColumn("__h", xxhash64(col("a_id")))
+      .orderBy(col("__h")).limit(nCells)
+      .select(col("va"), col("na")).collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    // per-centroid cosine similarities (codegen'd dots; centroids are literals)
+    val sims = array(cents.map { case (cv, cn) =>
+      DotProduct(col("va"), array(cv.map(lit): _*)) / (col("na") * lit(cn))
+    }: _*)
+    // top-nProbe cell indices in ONE kernel expression — sims (nCells
+    // codegen'd dots) is referenced exactly once, so CollapseProject
+    // cannot blow the plan up (see TopKIndices scaladoc for the measured
+    // failure mode of the argmax-chain formulation)
+    require(nProbe >= 1 && nProbe <= cents.length)
+    val assigned = n.withColumn("__cells",
+      graft.functions.TopKIndices(sims, nProbe))
+    // index side: every vector lives in exactly its nearest cell
+    val index = assigned.select(col("a_id").as("b_id"), col("va").as("vb"),
+      col("na").as("nb"), element_at(col("__cells"), 1).as("cell"))
+    // query side: probe the nProbe nearest cells
+    val queries = assigned.select(col("a_id"), col("va"), col("na"),
+      explode(col("__cells")).as("cell"))
+    queries.join(index, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("cell"), col("b_id"), cosCol.as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))))
+      .filter(col("rn") <= k)
+      .select(col("a_id"), col("b_id").as("neighbor_id"), col("cos"), col("rn"))
   }
 
   /** ANN top-k within LSH buckets. Same output shape as bruteForceTopK;

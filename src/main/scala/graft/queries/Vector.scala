@@ -77,7 +77,18 @@ object Vector {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** IVF-flat ANN top-3 (rows-only — centroid assignment is not
+    * SQL-expressible; per-cell exactness + recall floor spec-tested in
+    * CepSimilaritySpec).
+    */
+  val q56_ivf_topk: Q = (s, d) => {
+    graft.operators.Similarity.ivfTopK(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 3, nCells = 32, nProbe = 4)
+      .withColumn("cos", round(col("cos"), 6))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q56_ivf_topk" -> q56_ivf_topk,
     "q33_cosine_topk" -> q33_cosine_topk,
     "q34_ann_lsh_buckets" -> q34_ann_lsh_buckets,
     "q42_ann_topk" -> q42_ann_topk,
