@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational, Relational2, Temporal, Text, Vector}
+import graft.queries.{Relational, Relational2, Relational3, Temporal, Text, Vector}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,8 +24,8 @@ object SparkEntry {
     * behave identically under a driver-provided session.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (Relational.queries ++ Relational2.queries ++ Temporal.queries ++
-      Text.queries ++ Vector.queries)
+    (Relational.queries ++ Relational2.queries ++ Relational3.queries ++
+      Temporal.queries ++ Text.queries ++ Vector.queries)
       .map { case (name, fn) =>
         name -> { (s: SparkSession, d: String) =>
           GraftSession.ensureRuntimeConfs(s)
@@ -40,6 +40,6 @@ object SparkEntry {
     * minima) → rows-only check, each spec-tested instead.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Relational2.oracle ++ Temporal.oracle ++
-      Text.oracle ++ Vector.oracle
+    Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++
+      Temporal.oracle ++ Text.oracle ++ Vector.oracle
 }

@@ -23,7 +23,7 @@ import org.apache.spark.sql.{Dataset, Encoders}
   */
 object Cep {
 
-  case class Event(key: Long, id: Long, ts: Long, sym: String)
+  case class Event(key: Long, id: Long, ts: Long, sym: String, value: Double = 0.0)
   case class Match(key: Long, a_id: Long, c_id: Long, n_b: Int, a_ts: Long, c_ts: Long)
 
   /** NFA register: 0 = idle, 1 = saw A, 2 = saw A B+; plus the pending A
@@ -74,17 +74,41 @@ object Cep {
   // optional(), aftermatch/AfterMatchSkipStrategy.java) -----
 
   /** One pattern step: between `min` and `max` (inclusive) consecutive
-    * occurrences of `sym`. min=0 → optional; (1, MaxTimes) → `+`.
-    * Quantifiers are greedy with backtracking (Flink/regex default).
+    * events accepted by the step's condition. min=0 → optional;
+    * (1, MaxTimes) → `+`. Quantifiers are greedy with backtracking
+    * (Flink/regex default).
     */
-  case class PStep(sym: String, min: Int, max: Int) {
-    require(min >= 0 && max >= min, s"bad quantifier {$min,$max}")
+  sealed trait Step extends Serializable {
+    def min: Int
+    def max: Int
+    def accepts(e: Event): Boolean
   }
+
+  /** Symbol-equality step (MATCH_RECOGNIZE pattern variable whose DEFINE
+    * is `CLASSIFIER() = sym`).
+    */
+  case class PStep(sym: String, min: Int, max: Int) extends Step {
+    require(min >= 0 && max >= min, s"bad quantifier {$min,$max}")
+    override def accepts(e: Event): Boolean = e.sym == sym
+  }
+
+  /** Predicate step — the general DEFINE clause ([U] flink-cep
+    * pattern/conditions/SimpleCondition.java): any per-event condition
+    * over the event's attributes.
+    */
+  case class CondStep(name: String, min: Int, max: Int)(val pred: Event => Boolean)
+      extends Step {
+    require(min >= 0 && max >= min, s"bad quantifier {$min,$max}")
+    override def accepts(e: Event): Boolean = pred(e)
+  }
+
   val MaxTimes: Int = Int.MaxValue
   def once(sym: String): PStep = PStep(sym, 1, 1)
   def opt(sym: String): PStep = PStep(sym, 0, 1)
   def plus(sym: String): PStep = PStep(sym, 1, MaxTimes)
   def times(sym: String, min: Int, max: Int): PStep = PStep(sym, min, max)
+  def when(name: String, min: Int = 1, max: Int = 1)(pred: Event => Boolean): CondStep =
+    CondStep(name, min, max)(pred)
 
   /** AFTER MATCH SKIP strategy: where the scan resumes after a match. */
   sealed trait AfterMatch extends Serializable
@@ -108,15 +132,15 @@ object Cep {
     * ran into the buffer end before exhausting its quantifier. Matches of
     * zero length are failures.
     */
-  private[graft] def tryMatchAt(syms: Array[String], ts: Array[Long], start: Int,
-      steps: IndexedSeq[PStep], withinMs: Long, openEnded: Boolean): Int = {
-    val n = syms.length
+  private[graft] def tryMatchAt(events: Array[Event], ts: Array[Long], start: Int,
+      steps: IndexedSeq[Step], withinMs: Long, openEnded: Boolean): Int = {
+    val n = events.length
     var pending = false
     def rec(pos: Int, si: Int): Int = {
       if (si == steps.length) return pos
       val st = steps(si)
       var cnt = 0
-      while (cnt < st.max && pos + cnt < n && syms(pos + cnt) == st.sym &&
+      while (cnt < st.max && pos + cnt < n && st.accepts(events(pos + cnt)) &&
         ts(pos + cnt) - ts(start) <= withinMs) cnt += 1
       // stopped at the buffer end with quantifier room left: a future
       // event could extend this step (or enable later steps)
@@ -141,17 +165,16 @@ object Cep {
     * the WITHIN window for pending decisions: once `wm - ts(start) >
     * withinMs`, no future event can join a match anchored at `start`.
     */
-  private[graft] def scan(events: Array[Event], steps: IndexedSeq[PStep],
+  private[graft] def scan(events: Array[Event], steps: IndexedSeq[Step],
       withinMs: Long, skip: AfterMatch, openEnded: Boolean, wm: Long)
       : (Seq[PMatch], Int) = {
-    val syms = events.map(_.sym)
     val ts = events.map(_.ts)
     val out = scala.collection.mutable.ArrayBuffer.empty[PMatch]
     var i = 0
     var halt = false
     while (i < events.length && !halt) {
       val open = openEnded && wm - ts(i) <= withinMs
-      tryMatchAt(syms, ts, i, steps, withinMs, open) match {
+      tryMatchAt(events, ts, i, steps, withinMs, open) match {
         case Pending => halt = true // everything from i stays buffered
         case Fail => i += 1
         case end =>
@@ -172,7 +195,7 @@ object Cep {
     * Same distribution shape as [[abcWithin]] (hash shuffle on key,
     * per-key in-memory sort — state bounded by one key's history).
     */
-  def matchPattern(ds: Dataset[Event], steps: Seq[PStep], withinMs: Long,
+  def matchPattern(ds: Dataset[Event], steps: Seq[Step], withinMs: Long,
       skip: AfterMatch = SkipPastLastRow): Dataset[PMatch] = {
     implicit val enc = Encoders.product[PMatch]
     val stepsIdx = steps.toIndexedSeq

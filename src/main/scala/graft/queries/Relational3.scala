@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import QueryDefs._
+
+/** Third tranche of the relational surface: window FRAMES (ROWS + RANGE
+  * with a value offset), ordered-set aggregates (percentile_disc),
+  * regexp functions, array/list functions, bitwise ops + bit aggregates
+  * (SURVEY.md §2.5 frames, §2.8 functions).
+  */
+object Relational3 {
+
+  /** Window frames: a 30-day RANGE frame (value-based — peers by order
+    * date distance, the frame Flink's RANGE OVER maps to) next to a
+    * 3-row ROWS frame, per customer. Order keys use epoch days so the
+    * range offset is numeric on both engines.
+    */
+  val q57_window_frames: Q = (s, d) => {
+    import s.implicits._
+    val day = (unix_millis($"o_orderdate".cast("timestamp")) / lit(86400000L)).cast("long")
+    val base = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", day.as("od"))
+    val byDay = Window.partitionBy($"o_custkey").orderBy($"od")
+    val w30 = byDay.rangeBetween(-30, 0)
+    val w3r = Window.partitionBy($"o_custkey").orderBy($"od", $"o_orderkey")
+      .rowsBetween(-2, 0)
+    base.select(
+      $"o_orderkey", $"o_custkey",
+      round(sum($"o_totalprice").over(w30), 2).as("sum_30d"),
+      count(lit(1)).over(w30).as("n_30d"),
+      round(avg($"o_totalprice").over(w3r), 4).as("avg_3rows"))
+  }
+
+  /** Ordered-set aggregates: exact discontinuous percentiles
+    * (percentile_disc WITHIN GROUP) — the value AT the quantile rank, no
+    * interpolation — per order status.
+    */
+  val q58_percentile_disc: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_disc"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90_disc"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Regexp functions: extract / replace-all / count / match over part
+    * names.
+    */
+  val q59_regexp: Q = (s, d) => {
+    import s.implicits._
+    Tables.part(s, d).select(
+      $"p_partkey",
+      regexp_extract($"p_name", "([a-z]+)", 1).as("first_word"),
+      regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"),
+      regexp_count($"p_name", lit("a")).cast("long").as("n_a"),
+      $"p_name".rlike("^[a-m]").as("starts_first_half"))
+  }
+
+  /** Array/list functions over tokenized part names: size, contains,
+    * sort, slice, join, distinct.
+    */
+  val q60_array_funcs: Q = (s, d) => {
+    import s.implicits._
+    val words = split($"p_name", " ")
+    Tables.part(s, d).select(
+      $"p_partkey",
+      size(words).cast("long").as("n_words"),
+      array_contains(words, "spark").as("has_spark"),
+      array_join(sort_array(words), "|").as("sorted_joined"),
+      slice(words, 1, 2).as("first_two"),
+      size(array_distinct(words)).cast("long").as("n_distinct"),
+      element_at(words, -1).as("last_word"))
+  }
+
+  /** Bitwise scalar ops + bit aggregates per brand. */
+  val q61_bit_ops: Q = (s, d) => {
+    import s.implicits._
+    Tables.part(s, d)
+      .select($"p_brand", $"p_size",
+        ($"p_size".bitwiseAND(lit(12))).as("band"),
+        ($"p_size".bitwiseOR(lit(3))).as("bor"),
+        ($"p_size".bitwiseXOR(lit(255))).as("bxor"),
+        shiftleft($"p_size", 2).as("shl"))
+      .groupBy($"p_brand")
+      .agg(
+        bit_and($"p_size").as("agg_and"),
+        bit_or($"p_size").as("agg_or"),
+        bit_xor($"p_size").as("agg_xor"),
+        sum($"band").cast("long").as("sum_band"),
+        sum($"bor").cast("long").as("sum_bor"),
+        sum($"bxor").cast("long").as("sum_bxor"),
+        sum($"shl").cast("long").as("sum_shl"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q57_window_frames" -> q57_window_frames,
+    "q58_percentile_disc" -> q58_percentile_disc,
+    "q59_regexp" -> q59_regexp,
+    "q60_array_funcs" -> q60_array_funcs,
+    "q61_bit_ops" -> q61_bit_ops,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q57_window_frames" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |                  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS od
+        |           FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY od
+        |       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum_30d,
+        | count(*) OVER (PARTITION BY o_custkey ORDER BY od
+        |       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d,
+        | round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+        |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg_3rows
+        |FROM o""".stripMargin,
+    "q58_percentile_disc" ->
+      """SELECT o_orderstatus,
+        | quantile_disc(o_totalprice, 0.5) AS p50_disc,
+        | quantile_disc(o_totalprice, 0.9) AS p90_disc,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q59_regexp" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        | CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a,
+        | regexp_matches(p_name, '^[a-m]') AS starts_first_half
+        |FROM part""".stripMargin,
+    "q60_array_funcs" ->
+      """WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+        |SELECT p_partkey,
+        | CAST(len(words) AS BIGINT) AS n_words,
+        | list_contains(words, 'spark') AS has_spark,
+        | list_aggregate(list_sort(words), 'string_agg', '|') AS sorted_joined,
+        | words[1:2] AS first_two,
+        | CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+        | words[-1] AS last_word
+        |FROM w""".stripMargin,
+    "q61_bit_ops" ->
+      """WITH b AS (SELECT p_brand, p_size,
+        |                  p_size & 12 AS band, p_size | 3 AS bor,
+        |                  xor(p_size, 255) AS bxor, p_size << 2 AS shl
+        |           FROM part)
+        |SELECT p_brand,
+        | bit_and(p_size) AS agg_and, bit_or(p_size) AS agg_or,
+        | bit_xor(p_size) AS agg_xor,
+        | sum(band) AS sum_band, sum(bor) AS sum_bor,
+        | sum(bxor) AS sum_bxor, sum(shl) AS sum_shl
+        |FROM b GROUP BY p_brand""".stripMargin,
+  )
+}

@@ -116,7 +116,8 @@ object Temporal {
       .select($"user_id".cast("long").as("key"),
         $"event_id".cast("long").as("id"),
         $"event_id".cast("long").as("ts"),
-        substring($"event_type", 1, 1).as("sym"))
+        substring($"event_type", 1, 1).as("sym"),
+        lit(0.0).as("value"))
       .as[Cep.Event]
     Cep.matchPattern(ev,
         Seq(Cep.times("v", 1, 2), Cep.opt("e"), Cep.once("c")),

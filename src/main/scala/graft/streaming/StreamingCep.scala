@@ -64,7 +64,7 @@ class StreamingCepProcess(a: String, b: String, c: String, withinMs: Long)
   * from state, so state per key is the pending suffix + in-flight events
   * — the same bound Flink's NFA SharedBuffer carries under a watermark.
   */
-class StreamingPatternProcess(steps: IndexedSeq[Cep.PStep], withinMs: Long,
+class StreamingPatternProcess(steps: IndexedSeq[Cep.Step], withinMs: Long,
     skip: Cep.AfterMatch)
     extends KeyedProcess[Long, Cep.Event, Cep.PMatch] {
   @transient private var buf: ListState[Cep.Event] = _
@@ -112,7 +112,7 @@ object StreamingCep {
   }
 
   /** General quantified pattern over a watermarked keyed event stream. */
-  def matchPattern(ds: Dataset[Cep.Event], steps: Seq[Cep.PStep],
+  def matchPattern(ds: Dataset[Cep.Event], steps: Seq[Cep.Step],
       withinMs: Long, skip: Cep.AfterMatch = Cep.SkipPastLastRow)
       : Dataset[Cep.PMatch] = {
     implicit val out: Encoder[Cep.PMatch] = Encoders.product[Cep.PMatch]

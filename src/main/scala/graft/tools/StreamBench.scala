@@ -17,7 +17,15 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batchSize = if (args.length > 1) args(1).toInt else 10000
-    val spark = GraftSession.local(32, "graft-streambench")
+    val parts = if (args.length > 2) args(2).toInt else 32
+    val changelog = args.length > 3 && args(3) == "changelog"
+    val spark = GraftSession.configure(
+      org.apache.spark.sql.SparkSession.builder()
+        .master("local[32]").appName("graft-streambench")
+        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          changelog.toString),
+      shufflePartitions = parts).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
@@ -33,7 +41,7 @@ object StreamBench {
     } finally q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
     val rps = rows.length / sec
-    println(f"""{"metric":"stream_tumble_rows_per_sec","value":$rps%.0f,"unit":"rows/s","rows":${rows.length},"sec":$sec%.2f,"batch":$batchSize,"sf":"$dir"}""")
+    println(f"""{"metric":"stream_tumble_rows_per_sec","value":$rps%.0f,"unit":"rows/s","rows":${rows.length},"sec":$sec%.2f,"batch":$batchSize,"parts":$parts,"changelog":$changelog,"sf":"$dir"}""")
     spark.stop()
   }
 }

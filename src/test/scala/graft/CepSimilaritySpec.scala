@@ -121,6 +121,34 @@ class CepSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cep predicate steps (DEFINE conditions): attribute conditions, not just symbols") {
+    import spark.implicits._
+    // pattern: one or two cheap events, then a spike (value >= 100),
+    // then optionally a cheap cooldown — conditions over `value`, with
+    // the symbol column deliberately ignored
+    val steps = Seq(
+      Cep.when("cheap", 1, 2)(_.value < 10),
+      Cep.when("spike")(_.value >= 100),
+      Cep.when("cool", 0, 1)(_.value < 10))
+    val es = Seq(
+      Event(1, 1, 0, "x", 3.0), Event(1, 2, 1, "y", 5.0), Event(1, 3, 2, "z", 150.0),
+      Event(1, 4, 3, "x", 2.0), // -> cheap,cheap,spike,cool = one greedy match [0..4)
+      Event(1, 5, 10, "x", 50.0), // mid value: breaks contiguity for any pending match
+      Event(2, 6, 0, "a", 1.0), Event(2, 7, 1, "b", 200.0), // cheap,spike (no cooldown)
+      Event(3, 8, 0, "a", 50.0), Event(3, 9, 1, "b", 120.0)) // no cheap prefix -> no match
+    val got = Cep.matchPattern(es.toDS(), steps, Long.MaxValue / 4).collect()
+      .map(m => (m.key, m.start_id, m.end_id, m.n_events)).toSet
+    assert(got == Set((1L, 1L, 4L, 4), (2L, 6L, 7L, 2)))
+    // equivalence: when predicates partition the value space, predicate
+    // steps agree with symbol steps over the predicate-mapped symbols
+    val mapped = es.map(e => e.copy(sym =
+      if (e.value < 10) "l" else if (e.value >= 100) "h" else "m"))
+    val symGot = Cep.matchPattern(mapped.toDS(),
+        Seq(Cep.times("l", 1, 2), Cep.once("h"), Cep.opt("l")), Long.MaxValue / 4)
+      .collect().map(m => (m.key, m.start_id, m.end_id, m.n_events)).toSet
+    assert(symGot == got)
+  }
+
   test("cep WITHIN bounds the whole quantified match from its first event") {
     val es = Seq(
       // a a b inside 15ms → match

@@ -21,7 +21,7 @@ class StreamingCepSpec extends AnyFunSuite {
     val input = MemoryStream[Ev]
     val events = input.toDF().withWatermark("ts", "5 seconds")
       .select($"user_id".as("key"), $"event_id".as("id"),
-        unix_millis($"ts").as("ts"), $"event_type".as("sym"))
+        unix_millis($"ts").as("ts"), $"event_type".as("sym"), $"value")
       .as[Cep.Event]
     val q = StreamingCep.abcWithin(events, "A", "B", "C", withinMs = 60000L)
       .writeStream.outputMode("append").format("memory").queryName(name).start()
@@ -79,7 +79,7 @@ class StreamingCepSpec extends AnyFunSuite {
     val input = MemoryStream[Ev]
     val events = input.toDF().withWatermark("ts", "5 seconds")
       .select($"user_id".as("key"), $"event_id".as("id"),
-        unix_millis($"ts").as("ts"), $"event_type".as("sym"))
+        unix_millis($"ts").as("ts"), $"event_type".as("sym"), $"value")
       .as[Cep.Event]
     val q = StreamingCep.matchPattern(events, steps, withinMs = 60000L)
       .writeStream.outputMode("append").format("memory").queryName("scep4").start()
