@@ -1,16 +1,37 @@
 package graft.functions
 
 import org.apache.spark.sql.{GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** SQL registration for graft's native expressions — the analog of the
   * reference's `CREATE TEMPORARY FUNCTION` / built-in operator table
   * ([U] flink-table-planner FlinkSqlOperatorTable.java): after
-  * `GraftFunctions.register(spark)`, `graft_dot(a, b)` is callable from
-  * `spark.sql` text alongside the built-ins.
+  * `GraftFunctions.register(spark)` (or with
+  * `spark.sql.extensions=graft.GraftExtensions` at session build), every
+  * kernel is callable from `spark.sql` text alongside the built-ins.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    GraftColumnBridge.registerFunction(spark, "graft_dot",
-      exprs => DotProduct(exprs(0), exprs(1)))
+
+  private def intArg(e: Expression, what: String): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
+
+  /** (name, builder) for every SQL-exposed kernel. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_winnow" -> (exprs => WinnowFingerprints(exprs(0),
+      if (exprs.length > 1) intArg(exprs(1), "k") else 8,
+      if (exprs.length > 2) intArg(exprs(2), "w") else 4)),
+    "graft_byte_histogram" -> (exprs => ByteHistogram(exprs(0),
+      if (exprs.length > 1) intArg(exprs(1), "bins") else 64)),
+    "graft_image_header" -> (exprs => ImageHeader(exprs(0))),
+    "graft_topk_indices" -> (exprs => TopKIndices(exprs(0), intArg(exprs(1), "k"))),
+  )
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      GraftColumnBridge.registerFunction(spark, name, b)
+    }
 }

@@ -52,6 +52,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window") && p.contains("HashAggregate"))
   }
 
+  test("q59/q60: function-heavy projections still prune the part scan to two columns") {
+    for (q <- Seq("q59_regexp", "q60_array_funcs")) {
+      val p = planOf(q)
+      assert(p.contains("ReadSchema: struct<p_partkey"), s"$q must read p_partkey")
+      assert(!p.contains("p_retailprice") && !p.contains("p_brand"),
+        s"$q must not scan unused part columns")
+    }
+  }
+
   test("q02: whole-stage codegen covers the scan-filter-project pipeline") {
     val p = planOf("q02_filter_project")
     // codegen'd operators print with the "*(stageId)" prefix

@@ -52,6 +52,37 @@ class TriggersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("count and time evictors trim the window buffer before aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{CountEvictor, EvictedWindow, Evictors, TimeEvictor, TimedValue}
+    def run(ev: graft.streaming.Evictor, name: String): Seq[EvictedWindow] = {
+      val input = MemoryStream[Raw]
+      val timed = input.toDS().withWatermark("ts", "5 seconds")
+        .select($"key", $"id", unix_millis($"ts").as("ts_ms"), $"value")
+        .as[TimedValue]
+      val q = Evictors.evictedTumble(timed, sizeMs = 60000L, ev)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      def raw(id: Long, sec: Long, v: Double) = Raw(1L, id, new java.sql.Timestamp(sec * 1000), v)
+      try {
+        // window [960s, 1020s): 4 events at 965/970/990/1015
+        input.addData(raw(1, 965, 1.0), raw(2, 970, 2.0))
+        q.processAllAvailable()
+        input.addData(raw(3, 990, 4.0), raw(4, 1015, 8.0))
+        q.processAllAvailable()
+        input.addData(Raw(9L, 99, new java.sql.Timestamp(2000 * 1000), 0.0)) // close
+        q.processAllAvailable()
+        spark.table(name).as[EvictedWindow].collect().toSeq.filter(_.key == 1L)
+      } finally q.stop()
+    }
+    // CountEvictor(2): keep the LAST two (990, 1015)
+    val c = run(CountEvictor(2), "evict_c")
+    assert(c == Seq(EvictedWindow(1, 960000, 1020000, 2, 12.0, 2)))
+    // TimeEvictor(30s): keep events within 30s of the window max (1015)
+    val t = run(TimeEvictor(30000), "evict_t")
+    assert(t == Seq(EvictedWindow(1, 960000, 1020000, 2, 12.0, 2)))
+  }
+
   test("cached async lookup: hits skip the fetch, results stay ordered and correct") {
     import spark.implicits._
     LookupCounter.calls.set(0)
