@@ -46,30 +46,22 @@ object TextFunctions {
           i => array_join(slice(t, i, lit(n)), " "))))
   }
 
-  /** Exploded n-gram word shingles: one (ids…, shingle) row per distinct
+  /** Exploded n-gram word shingles: one (ids…, shingle) row per (distinct)
     * shingle per document.
     *
-    * This is the hot-path formulation: [[wordShingles]] builds the array
-    * via higher-order functions (`transform`/`slice`/`array_join`), which
-    * Spark evaluates interpreted — measured ~1.4 ms/doc at 64-token docs.
-    * Here tokens are posexploded and shingles assembled with windowed
-    * `lead` + `concat_ws`, all codegen'd; the per-doc window sort is a
-    * cheap partition-local sort after one shuffle on the doc key, which
-    * the downstream per-shingle operators (MinHash min-agg, inverted-index
-    * Jaccard join) need anyway.
+    * Backed by the single-pass [[WordShinglesExpr]] kernel: tokenization,
+    * n-gram assembly, and dedup run in one codegen'd loop per document —
+    * no posexplode of tokens, no per-doc window sort, no global
+    * `distinct()` shuffle (dedup is in-row). The only relational op is
+    * the explode into index rows. (History: the HOF array build ran
+    * interpreted at ~1.4 ms/doc; the window formulation was codegen'd but
+    * shuffled every token through a per-doc sort first.)
     */
   def explodedWordShingles(df: DataFrame, ids: Seq[String], textCol: String, n: Int,
       distinctShingles: Boolean = true): DataFrame = {
     val idCols = ids.map(col)
-    val toks = df.select(idCols :+
-      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")): _*)
-    val w = Window.partitionBy(idCols: _*).orderBy(col("__pos"))
-    val parts = (0 until n).map(j => if (j == 0) col("__tok") else lead(col("__tok"), j).over(w))
-    val full = toks
-      .select(idCols ++ Seq(concat_ws(" ", parts: _*).as("shingle"),
-        lead(col("__tok"), n - 1).over(w).isNotNull.as("__full")): _*)
-      .filter(col("__full")).drop("__full")
-    if (distinctShingles) full.distinct() else full
+    df.select(idCols :+
+      explode(WordShinglesExpr(col(textCol), n, distinctShingles)).as("shingle"): _*)
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the

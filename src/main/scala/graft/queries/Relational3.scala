@@ -34,17 +34,38 @@ object Relational3 {
   }
 
   /** Ordered-set aggregates: exact discontinuous percentiles
-    * (percentile_disc WITHIN GROUP) — the value AT the quantile rank, no
-    * interpolation — per order status.
+    * (percentile_disc WITHIN GROUP semantics) — the smallest value whose
+    * cumulative row count reaches ceil(p·n) — per order status.
+    *
+    * Spark's `percentile_disc` is an ObjectAggregateFunction that buffers
+    * every group value in one aggregation buffer (the q49 scale hazard:
+    * 3 status groups would funnel a third of the table through each of 3
+    * reducers). Same cure as q49: hash-aggregated value histogram + one
+    * cumulative-count window over distinct values + a final hash
+    * aggregate picks the rank-straddling value. PlanSpec locks the
+    * ObjectAggregate out of the plan.
     */
   val q58_percentile_disc: Q = (s, d) => {
     import s.implicits._
-    Tables.orders(s, d)
-      .groupBy($"o_orderstatus")
+    val hist = Tables.orders(s, d)
+      .groupBy($"o_orderstatus", $"o_totalprice")
+      .agg(count(lit(1)).as("cnt"))
+    val grp = Window.partitionBy($"o_orderstatus")
+    val withCum = hist
+      .withColumn("cum", sum($"cnt").over(grp.orderBy($"o_totalprice")))
+      .withColumn("n", sum($"cnt").over(grp))
+    // percentile_disc(p) = value at 1-based rank ceil(p*n); this distinct
+    // value covers ranks (cum-cnt, cum]
+    def disc(p: Double): org.apache.spark.sql.Column = {
+      val rank = ceil(lit(p) * $"n")
+      sum(when($"cum" - $"cnt" < rank && rank <= $"cum", $"o_totalprice")
+        .otherwise(lit(0.0)))
+    }
+    withCum.groupBy($"o_orderstatus")
       .agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_disc"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90_disc"),
-        count(lit(1)).as("n"))
+        disc(0.5).as("p50_disc"),
+        disc(0.9).as("p90_disc"),
+        sum($"cnt").as("n"))
   }
 
   /** Regexp functions: extract / replace-all / count / match over part

@@ -52,6 +52,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window") && p.contains("HashAggregate"))
   }
 
+  test("q58: percentile_disc runs as hash aggregates + window, not a buffering ObjectAggregate") {
+    val p = planOf("q58_percentile_disc")
+    assert(!p.contains("ObjectHashAggregate") && !p.toLowerCase.contains("percentile"))
+    assert(p.contains("Window") && p.contains("HashAggregate"))
+  }
+
   test("q59/q60: function-heavy projections still prune the part scan to two columns") {
     for (q <- Seq("q59_regexp", "q60_array_funcs")) {
       val p = planOf(q)
