@@ -117,7 +117,24 @@ object Relational3 {
         sum($"shl").cast("long").as("sum_shl"))
   }
 
+  /** Gap sessions via Spark's NATIVE session_window function (the
+    * SESSION TVF analog) — complements q25's manual lag/running-sum
+    * formulation with the built-in operator; same 30-minute gap, same
+    * oracle shape. window.start = first event, window.end = last + gap.
+    */
+  val q62_session_window_fn: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_millis($"w.start").as("s_start_ms"),
+        unix_millis($"w.end").as("s_end_ms"),
+        $"n_events")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q62_session_window_fn" -> q62_session_window_fn,
     "q57_window_frames" -> q57_window_frames,
     "q58_percentile_disc" -> q58_percentile_disc,
     "q59_regexp" -> q59_regexp,
@@ -126,6 +143,23 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q62_session_window_fn" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |o AS (SELECT user_id, ts,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |      FROM e),
+        |s AS (SELECT user_id, ts,
+        |             CASE WHEN pts IS NULL OR epoch_ms(ts) - epoch_ms(pts) > 1800000
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |t AS (SELECT user_id, ts,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM s)
+        |SELECT user_id, epoch_ms(min(ts)) AS s_start_ms,
+        |       epoch_ms(max(ts)) + 1800000 AS s_end_ms,
+        |       count(*) AS n_events
+        |FROM t GROUP BY user_id, sid""".stripMargin,
     "q57_window_frames" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
         |                  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS od
