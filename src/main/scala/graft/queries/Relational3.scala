@@ -133,7 +133,33 @@ object Relational3 {
         $"n_events")
   }
 
+  /** posexplode / UNNEST WITH ORDINALITY: token positions survive the
+    * flatten (Flink's UNNEST WITH ORDINALITY; SURVEY.md §2.9).
+    */
+  val q63_posexplode: Q = (s, d) => {
+    import s.implicits._
+    Tables.part(s, d)
+      .select($"p_partkey", posexplode(split($"p_name", " ")).as(Seq("pos", "word")))
+      .select($"p_partkey", ($"pos" + 1).cast("long").as("ordinality"), $"word")
+  }
+
+  /** Bag-semantics set ops: UNION ALL / INTERSECT ALL / EXCEPT ALL over
+    * customer vs supplier nation keys (the multiset variants beyond q11's
+    * distinct set ops).
+    */
+  val q64_set_ops_all: Q = (s, d) => {
+    import s.implicits._
+    val c = Tables.customer(s, d).select($"c_nationkey".as("k")).filter($"k" < 13)
+    val sup = Tables.supplier(s, d).select($"s_nationkey".as("k")).filter($"k" >= 7)
+    val u = c.unionAll(sup).groupBy($"k").agg(count(lit(1)).as("n")).withColumn("op", lit("union_all"))
+    val i = c.intersectAll(sup).groupBy($"k").agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    val e = c.exceptAll(sup).groupBy($"k").agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    u.unionAll(i).unionAll(e).select($"op", $"k", $"n")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q63_posexplode" -> q63_posexplode,
+    "q64_set_ops_all" -> q64_set_ops_all,
     "q62_session_window_fn" -> q62_session_window_fn,
     "q57_window_frames" -> q57_window_frames,
     "q58_percentile_disc" -> q58_percentile_disc,
@@ -143,6 +169,22 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q63_posexplode" ->
+      """WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+        |SELECT p_partkey,
+        |       CAST(UNNEST(range(1, len(words) + 1)) AS BIGINT) AS ordinality,
+        |       UNNEST(words) AS word
+        |FROM w""".stripMargin,
+    "q64_set_ops_all" ->
+      """WITH c AS (SELECT c_nationkey AS k FROM customer WHERE c_nationkey < 13),
+        |s AS (SELECT s_nationkey AS k FROM supplier WHERE s_nationkey >= 7),
+        |u AS (SELECT 'union_all' AS op, k, count(*) AS n
+        |      FROM (SELECT k FROM c UNION ALL SELECT k FROM s) GROUP BY k),
+        |i AS (SELECT 'intersect_all' AS op, k, count(*) AS n
+        |      FROM (SELECT k FROM c INTERSECT ALL SELECT k FROM s) GROUP BY k),
+        |e AS (SELECT 'except_all' AS op, k, count(*) AS n
+        |      FROM (SELECT k FROM c EXCEPT ALL SELECT k FROM s) GROUP BY k)
+        |SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e""".stripMargin,
     "q62_session_window_fn" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |o AS (SELECT user_id, ts,

@@ -67,6 +67,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed similarity paths never degrade to nested-loop joins") {
+    // q33/q45's exhaustive oracle kernel is *allowed* a BNLJ by declared
+    // role; the scale paths (LSH ANN, IVF, bucketed near-dup candidates)
+    // must stay equi-joins on bucket/cell keys
+    for (q <- Seq("q42_ann_topk", "q56_ivf_topk")) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q must join on bucket/cell equi keys")
+    }
+    // q45's candidate generation must also be equi (the exact verify then
+    // re-attaches vectors by id equi-join)
+    val p45 = planOf("q45_embedding_neardup")
+    assert(!p45.contains("CartesianProduct"), "q45 candidates come from bucket equi-joins")
+  }
+
   test("q02: whole-stage codegen covers the scan-filter-project pipeline") {
     val p = planOf("q02_filter_project")
     // codegen'd operators print with the "*(stageId)" prefix
