@@ -157,7 +157,31 @@ object Relational3 {
     u.unionAll(i).unionAll(e).select($"op", $"k", $"n")
   }
 
+  /** Map functions (SURVEY.md §2.8 "collection functions"): construct,
+    * probe, enumerate, and parse maps. The oracle reconstructs the same
+    * scalar RESULTS without a map type (DuckDB's MAP doesn't round-trip
+    * the driver's parquet compare), so the map semantics are what's
+    * verified.
+    */
+  val q65_map_funcs: Q = (s, d) => {
+    import s.implicits._
+    val m = map(
+      lit("brand"), $"p_brand",
+      lit("type"), $"p_type",
+      lit("size"), $"p_size".cast("string"))
+    val parsed = str_to_map(concat(lit("a:"), $"p_size".cast("string"), lit(",b:1")), lit(","), lit(":"))
+    Tables.part(s, d).select(
+      $"p_partkey",
+      element_at(m, "brand").as("brand_v"),
+      size(m).cast("long").as("n_entries"),
+      array_join(map_keys(m), ",").as("keys"),
+      array_join(map_values(m), "|").as("vals"),
+      map_contains_key(m, "type").as("has_type"),
+      element_at(parsed, "a").as("a_val"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q65_map_funcs" -> q65_map_funcs,
     "q63_posexplode" -> q63_posexplode,
     "q64_set_ops_all" -> q64_set_ops_all,
     "q62_session_window_fn" -> q62_session_window_fn,
@@ -169,6 +193,15 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q65_map_funcs" ->
+      """SELECT p_partkey,
+        | p_brand AS brand_v,
+        | CAST(3 AS BIGINT) AS n_entries,
+        | 'brand,type,size' AS keys,
+        | p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR) AS vals,
+        | true AS has_type,
+        | CAST(p_size AS VARCHAR) AS a_val
+        |FROM part""".stripMargin,
     "q63_posexplode" ->
       """WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
         |SELECT p_partkey,
