@@ -53,6 +53,8 @@ object ImageHeaderKernel {
           marker != 0xcc) {
           if (i + 8 < n) return row("jpeg", be16(bytes, i + 7), be16(bytes, i + 5))
           return null
+        } else if (marker == 0xff) {
+          i += 1 // fill byte (FF padding before a marker)
         } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
           i += 2 // standalone marker, no length field
         } else if (marker == 0xd9) {

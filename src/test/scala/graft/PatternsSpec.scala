@@ -158,6 +158,7 @@ object ImgFixtures {
     Array[Byte](0xFF.toByte, 0xD8.toByte) ++                       // SOI
       Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 16) ++              // APP0, len 16
       "JFIF".getBytes("US-ASCII") ++ Array.fill[Byte](10)(0) ++    // APP0 payload
+      Array[Byte](0xFF.toByte) ++                                  // fill byte (FF padding)
       Array[Byte](0xFF.toByte, 0xC0.toByte, 0, 17, 8) ++           // SOF0, len 17, precision
       be16(h) ++ be16(w) ++ Array.fill[Byte](10)(0) ++             // dims + components
       Array[Byte](0xFF.toByte, 0xD9.toByte)                        // EOI
