@@ -130,10 +130,12 @@ object Cep {
     * `openEnded` (streaming: events past the buffer may still arrive) —
     * [[Pending]] if the outcome could change with more events: any step
     * ran into the buffer end before exhausting its quantifier. Matches of
-    * zero length are failures.
+    * zero length are failures. On success, `takesOut` (when non-null)
+    * receives how many events each step consumed — the MEASURES hook.
     */
   private[graft] def tryMatchAt(events: Array[Event], ts: Array[Long], start: Int,
-      steps: IndexedSeq[Step], withinMs: Long, openEnded: Boolean): Int = {
+      steps: IndexedSeq[Step], withinMs: Long, openEnded: Boolean,
+      takesOut: Array[Int] = null): Int = {
     val n = events.length
     var pending = false
     def rec(pos: Int, si: Int): Int = {
@@ -148,7 +150,10 @@ object Cep {
       var take = cnt
       while (take >= st.min) {
         val r = rec(pos + take, si + 1)
-        if (r >= 0) return r
+        if (r >= 0) {
+          if (takesOut != null) takesOut(si) = take
+          return r
+        }
         take -= 1
       }
       Fail
@@ -204,6 +209,59 @@ object Cep {
         val events = it.toArray.sortBy(e => (e.ts, e.id))
         scan(events, stepsIdx, withinMs, skip, openEnded = false, wm = Long.MaxValue)
           ._1.iterator
+      }
+  }
+
+  /** Match + per-step MEASURES ([U] flink-table-runtime operators/match/
+    * — MEASURES COUNT(B.*), SUM(B.value), FIRST/LAST ids): each match row
+    * carries, per pattern step, how many events it consumed, the sum of
+    * their `value`s, and the first/last consumed id (0/null-sentinel −1
+    * for optional steps that matched zero events).
+    */
+  case class PMeasures(key: Long, start_id: Long, end_id: Long, n_events: Int,
+      step_counts: Seq[Int], step_sums: Seq[Double],
+      step_first_id: Seq[Long], step_last_id: Seq[Long])
+
+  def matchPatternMeasures(ds: Dataset[Event], steps: Seq[Step], withinMs: Long,
+      skip: AfterMatch = SkipPastLastRow): Dataset[PMeasures] = {
+    implicit val enc = Encoders.product[PMeasures]
+    val stepsIdx = steps.toIndexedSeq
+    ds.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroups { (_, it) =>
+        val events = it.toArray.sortBy(e => (e.ts, e.id))
+        val ts = events.map(_.ts)
+        val out = scala.collection.mutable.ArrayBuffer.empty[PMeasures]
+        var i = 0
+        while (i < events.length) {
+          val takes = new Array[Int](stepsIdx.length)
+          val end = tryMatchAt(events, ts, i, stepsIdx, withinMs, openEnded = false, takes)
+          if (end > i) {
+            var pos = i
+            val counts = new Array[Int](stepsIdx.length)
+            val sums = new Array[Double](stepsIdx.length)
+            val firsts = Array.fill(stepsIdx.length)(-1L)
+            val lasts = Array.fill(stepsIdx.length)(-1L)
+            var si = 0
+            while (si < stepsIdx.length) {
+              counts(si) = takes(si)
+              if (takes(si) > 0) {
+                firsts(si) = events(pos).id
+                lasts(si) = events(pos + takes(si) - 1).id
+                var k = 0
+                while (k < takes(si)) { sums(si) += events(pos + k).value; k += 1 }
+              }
+              pos += takes(si)
+              si += 1
+            }
+            out += PMeasures(events(i).key, events(i).id, events(end - 1).id,
+              end - i, counts.toSeq, sums.toSeq, firsts.toSeq, lasts.toSeq)
+            i = skip match {
+              case SkipPastLastRow => end
+              case SkipToNextRow   => i + 1
+            }
+          } else i += 1
+        }
+        out.iterator
       }
   }
 }

@@ -180,7 +180,34 @@ object Relational3 {
       element_at(parsed, "a").as("a_val"))
   }
 
+  /** TPC-H Q5 shape: 6-way join (customer ⋈ orders ⋈ lineitem ⋈ supplier
+    * ⋈ nation ⋈ region) with local-supplier predicate and a year of
+    * orders — the multi-join planning gauntlet: Catalyst must broadcast
+    * nation/region, pick hash joins for the fact chain, and push the
+    * region/date filters to the scans.
+    */
+  val q66_local_supplier_volume: Q = (s, d) => {
+    import s.implicits._
+    val customer = Tables.customer(s, d)
+    val orders = Tables.orders(s, d)
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+    val lineitem = Tables.lineitem(s, d)
+    val supplier = Tables.supplier(s, d)
+    val nation = Tables.nation(s, d)
+    val region = Tables.region(s, d).filter($"r_name" === "ASIA")
+    customer
+      .join(orders, $"c_custkey" === $"o_custkey")
+      .join(lineitem, $"l_orderkey" === $"o_orderkey")
+      .join(supplier, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(nation, $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q66_local_supplier_volume" -> q66_local_supplier_volume,
     "q65_map_funcs" -> q65_map_funcs,
     "q63_posexplode" -> q63_posexplode,
     "q64_set_ops_all" -> q64_set_ops_all,
@@ -193,6 +220,20 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q66_local_supplier_volume" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
     "q65_map_funcs" ->
       """SELECT p_partkey,
         | p_brand AS brand_v,

@@ -149,6 +149,26 @@ class CepSimilaritySpec extends AnyFunSuite {
     assert(symGot == got)
   }
 
+  test("cep MEASURES: per-step counts, sums, and first/last ids") {
+    import spark.implicits._
+    val steps = Seq(Cep.once("a"), Cep.times("b", 1, 3), Cep.opt("c"))
+    val es = Seq(
+      Event(1, 10, 0, "a", 1.0), Event(1, 11, 1, "b", 2.0), Event(1, 12, 2, "b", 3.0),
+      Event(1, 13, 3, "c", 4.0), // a b b c
+      Event(2, 20, 0, "a", 1.0), Event(2, 21, 1, "b", 5.0)) // a b (no c)
+    val got = Cep.matchPatternMeasures(es.toDS(), steps, Long.MaxValue / 4)
+      .collect().map(m => m.key -> m).toMap
+    val m1 = got(1L)
+    assert(m1.step_counts.toSeq == Seq(1, 2, 1))
+    assert(m1.step_sums.toSeq == Seq(1.0, 5.0, 4.0))
+    assert(m1.step_first_id.toSeq == Seq(10L, 11L, 13L))
+    assert(m1.step_last_id.toSeq == Seq(10L, 12L, 13L))
+    val m2 = got(2L)
+    assert(m2.step_counts.toSeq == Seq(1, 1, 0))
+    assert(m2.step_sums.toSeq == Seq(1.0, 5.0, 0.0))
+    assert(m2.step_first_id(2) == -1L && m2.step_last_id(2) == -1L)
+  }
+
   test("cep WITHIN bounds the whole quantified match from its first event") {
     val es = Seq(
       // a a b inside 15ms → match

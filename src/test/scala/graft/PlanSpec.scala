@@ -82,6 +82,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p45.contains("CartesianProduct"), "q45 candidates come from bucket equi-joins")
   }
 
+  test("q66: 6-way join broadcasts dims and pushes the date filter to the orders scan") {
+    val p = planOf("q66_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"), "date range must reach the parquet scan")
+  }
+
   test("q02: whole-stage codegen covers the scan-filter-project pipeline") {
     val p = planOf("q02_filter_project")
     // codegen'd operators print with the "*(stageId)" prefix

@@ -200,6 +200,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop() }
   }
 
+  test("stream-stream LEFT OUTER join: unmatched left rows emit with nulls after state expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Flink's outer stream joins emit the null-padded row once the other
+    // side can no longer match (state eviction); Spark's watermarked outer
+    // join has the same contract — the null row appears when the
+    // watermark passes the join window.
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val v = views.toDF().withWatermark("ts", "10 seconds")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"), $"event_id".as("v_id"))
+    val c = clicks.toDF().withWatermark("ts", "10 seconds")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val joined = v.join(c,
+      $"v_user" === $"c_user" &&
+        $"c_ts" >= $"v_ts" && $"c_ts" <= $"v_ts" + expr("INTERVAL 60 SECONDS"),
+      "left_outer")
+    val name = nextName()
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      views.addData(ev(1, 1000, user = 1, typ = "view"), ev(2, 1000, user = 2, typ = "view"))
+      clicks.addData(ev(10, 1030, user = 1))
+      q.processAllAvailable()
+      // matched pair emits promptly; user 2's null row must NOT exist yet
+      val early = spark.table(name).collect()
+      assert(early.exists(r => r.getAs[Long]("v_id") == 1L && r.getAs[Long]("c_id") == 10L))
+      assert(!early.exists(r => r.getAs[Long]("v_id") == 2L))
+      // advance the watermark far past view(2)'s join window
+      clicks.addData(ev(99, 2000, user = 9))
+      q.processAllAvailable()
+      views.addData(ev(98, 2000, user = 9, typ = "view"))
+      q.processAllAvailable()
+      val late = spark.table(name).collect()
+      val nullRow = late.filter(r => r.getAs[Long]("v_id") == 2L)
+      assert(nullRow.length == 1 && nullRow.head.isNullAt(nullRow.head.fieldIndex("c_id")),
+        s"expected exactly one null-padded row for the unmatched view; got ${late.toSeq}")
+    } finally q.stop()
+  }
+
   test("allowedLateness analog: late row within the watermark revises its window (update mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
