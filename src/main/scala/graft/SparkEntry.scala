@@ -35,9 +35,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops —
-    * q31_minhash_bands, q32_simhash, q34_ann_lsh_buckets, q42_ann_topk
-    * (hash-seeded LSH) — and q48_winnow_fingerprints (rolling-hash window
-    * minima) → rows-only check, each spec-tested instead.
+    * q31_minhash_bands, q32_simhash, q34_ann_lsh_buckets, q42_ann_topk,
+    * q56_ivf_topk (hash-seeded LSH / sampled centroids),
+    * q48_winnow_fingerprints (rolling-hash minima; golden-file pinned),
+    * q67_approx_aggs (engine-specific sketches; tolerance-spec'd) →
+    * rows-only check, each spec-tested instead.
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++

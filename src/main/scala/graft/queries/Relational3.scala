@@ -206,7 +206,24 @@ object Relational3 {
         count(lit(1)).as("n_items"))
   }
 
+  /** Approximate aggregates (Flink's APPROX_COUNT_DISTINCT; Spark's HLL++
+    * and approx quantile sketches) next to their exact counterparts —
+    * rows-only (sketch outputs are engine-specific; the ≤2% relative
+    * error vs exact is locked in ApproxSpec).
+    */
+  val q67_approx_aggs: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(
+        approx_count_distinct($"o_custkey", 0.02).as("approx_custs"),
+        countDistinct($"o_custkey").as("exact_custs"),
+        round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 4).as("approx_p50"),
+        count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q67_approx_aggs" -> q67_approx_aggs,
     "q66_local_supplier_volume" -> q66_local_supplier_volume,
     "q65_map_funcs" -> q65_map_funcs,
     "q63_posexplode" -> q63_posexplode,
