@@ -100,4 +100,33 @@ class StreamingCepSpec extends AnyFunSuite {
         Cep.PMatch(2, 7, 8, 1000000, 1005000, 2)))
     } finally q.stop()
   }
+
+  test("streaming SKIP TO NEXT ROW emits overlapping matches like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq(Cep.plus("A"), Cep.once("C"))
+    // A A C: overlapping matches at [1,3] and [2,3]
+    val evs = Seq(raw(1, 1, 1000, "A"), raw(1, 2, 1010, "A"), raw(1, 3, 1020, "C"))
+    val input = MemoryStream[Ev]
+    val events = input.toDF().withWatermark("ts", "5 seconds")
+      .select($"user_id".as("key"), $"event_id".as("id"),
+        unix_millis($"ts").as("ts"), $"event_type".as("sym"), $"value")
+      .as[Cep.Event]
+    val q = StreamingCep.matchPattern(events, steps, withinMs = 60000L,
+        skip = Cep.SkipToNextRow)
+      .writeStream.outputMode("append").format("memory").queryName("scep5").start()
+    try {
+      evs.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(raw(99, 999, 9000, "X")); q.processAllAvailable()
+      input.addData(raw(99, 998, 9100, "X")); q.processAllAvailable()
+      val got = spark.table("scep5").as[Cep.PMatch].collect().toSet
+      val batchGot = Cep.matchPattern(
+        evs.map(e => Cep.Event(e.user_id, e.event_id, e.ts.getTime, e.event_type)).toDS(),
+        steps, 60000L, Cep.SkipToNextRow).collect().toSet
+      assert(got == batchGot)
+      assert(got == Set(
+        Cep.PMatch(1, 1, 3, 1000000, 1020000, 3),
+        Cep.PMatch(1, 2, 3, 1010000, 1020000, 2)))
+    } finally q.stop()
+  }
 }
