@@ -54,6 +54,39 @@ class FormatsSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().exists(_.getName.contains("zstd")))
   }
 
+  test("streaming file source picks up files as they arrive (FileSource streaming mode)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fstream").toString
+    // seed one file so the schema is known, then drop another mid-stream
+    sample.limit(2).write.mode("append").parquet(dir)
+    val q = spark.readStream.schema(sample.schema).parquet(dir)
+      .groupBy().count()
+      .writeStream.outputMode("complete").format("memory").queryName("fsrc").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("fsrc").as[Long].head() == 2L)
+      sample.write.mode("append").parquet(dir) // 3 more rows land
+      q.processAllAvailable()
+      assert(spark.table("fsrc").as[Long].head() == 5L)
+    } finally q.stop()
+  }
+
+  test("datagen source: deterministic typed columns in batch and streaming shape") {
+    import spark.implicits._
+    val b = graft.sources.DataGen.batch(spark, 1000, nKeys = 7)
+    assert(b.schema.fieldNames.toSeq == Seq("ts", "seq", "key", "amount", "tag"))
+    val keys = b.select($"key").distinct().as[Long].collect().toSet
+    assert(keys.subsetOf((0L until 7L).toSet) && keys.size == 7)
+    val again = graft.sources.DataGen.batch(spark, 1000, nKeys = 7)
+      .select($"seq", $"amount").as[(Long, Double)].collect().toMap
+    val first = b.select($"seq", $"amount").as[(Long, Double)].collect().toMap
+    assert(again == first, "hash-derived columns are reproducible")
+    b.select($"amount").as[Double].collect().foreach(a => assert(a >= 0 && a < 1000))
+    // streaming variant compiles to a rate-source plan with the same shape
+    val s = graft.sources.DataGen.stream(spark, 10, nKeys = 7)
+    assert(s.isStreaming && s.schema.fieldNames.toSeq == b.schema.fieldNames.toSeq)
+  }
+
   val avroSchema: String =
     """{"type": "record", "name": "Rec", "fields": [
       |  {"name": "id", "type": "long"},
