@@ -222,7 +222,25 @@ object Relational3 {
         count(lit(1)).as("n"))
   }
 
+  /** Calendar functions: add_months / last_day / quarter / weekofyear /
+    * dayofyear / date_trunc — the month-calendar arithmetic family beyond
+    * q14/q53's interval math.
+    */
+  val q68_calendar: Q = (s, d) => {
+    import s.implicits._
+    val od = $"o_orderdate".cast("timestamp")
+    Tables.orders(s, d).select(
+      $"o_orderkey",
+      add_months(od, 3).cast("date").as("plus_3m"),
+      last_day(od).as("month_end"),
+      quarter(od).cast("long").as("qtr"),
+      weekofyear(od).cast("long").as("iso_week"),
+      dayofyear(od).cast("long").as("doy"),
+      date_trunc("quarter", od).cast("date").as("qtr_start"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q68_calendar" -> q68_calendar,
     "q67_approx_aggs" -> q67_approx_aggs,
     "q66_local_supplier_volume" -> q66_local_supplier_volume,
     "q65_map_funcs" -> q65_map_funcs,
@@ -237,6 +255,15 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q68_calendar" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+        | CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        | CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        | CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        | CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start
+        |FROM orders""".stripMargin,
     "q66_local_supplier_volume" ->
       """SELECT n_name,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
