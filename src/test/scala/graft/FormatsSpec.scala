@@ -109,6 +109,25 @@ class FormatsSpec extends AnyFunSuite {
     assert(st("b").dataType.typeName == "boolean")
   }
 
+  test("avro decode runs on a stream (Kafka-shaped binary payload pipeline)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // pre-encode fixture rows to avro bytes, then replay them as a stream
+    val payloads = graft.sources.AvroFormat.encodeAvro(sample, avroSchema)
+      .select("avro").as[Array[Byte]].collect()
+    val input = MemoryStream[Array[Byte]]
+    val decoded = graft.sources.AvroFormat.decodeAvro(
+      input.toDF().withColumnRenamed("value", "avro"), "avro", avroSchema)
+    val q = decoded.writeStream.outputMode("append").format("memory")
+      .queryName("avro_stream").start()
+    try {
+      payloads.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("avro_stream").collect().map(_.toSeq).toSet
+      assert(got == sample.collect().map(_.toSeq).toSet)
+    } finally q.stop()
+  }
+
   test("avro decode appends payload columns after passthrough columns") {
     import spark.implicits._
     val enc = graft.sources.AvroFormat.encodeAvro(sample, avroSchema)
