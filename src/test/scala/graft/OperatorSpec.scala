@@ -20,6 +20,34 @@ class OperatorSpec extends AnyFunSuite {
     }
   lazy val spark = TestSpark.spark
 
+  // ---- Winnowing kernel: Schleimer guarantee + density (property) ----
+  test("winnowing kernel: any shared substring of length >= w+k-1 yields a shared fingerprint") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 8
+    val w = 4
+    def fps(s: String): Set[Long] = {
+      val arr = graft.functions.WinnowKernel.fingerprints(UTF8String.fromString(s), k, w)
+      (0 until arr.numElements()).map(arr.getLong).toSet
+    }
+    val genCase = for {
+      common <- Gen.listOfN(k + w - 1 + 10, Gen.alphaLowerChar).map(_.mkString)
+      pre1 <- Gen.listOfN(20, Gen.alphaNumChar).map(_.mkString)
+      pre2 <- Gen.listOfN(35, Gen.numChar).map(_.mkString)
+      suf1 <- Gen.listOfN(15, Gen.alphaUpperChar).map(_.mkString)
+    } yield (s"$pre1$common$suf1", s"$pre2$common")
+    forAllSeeded(genCase, 50) { case (doc1, doc2) =>
+      val shared = fps(doc1) & fps(doc2)
+      assert(shared.nonEmpty, s"guarantee violated for <$doc1> vs <$doc2>")
+    }
+    // density + boundary behavior on a single doc
+    forAllSeeded(Gen.listOfN(60, Gen.alphaLowerChar).map(_.mkString), 30) { s =>
+      val f = fps(s)
+      assert(f.nonEmpty && f.size <= s.length - k + 1)
+      assert(fps(s) == fps(s), "deterministic")
+    }
+    assert(fps("short").isEmpty, "text shorter than k has no fingerprints")
+  }
+
   // ---- AsOfJoin vs naive per-row scan -------------------------------
   test("as-of join matches naive last-at-or-before scan (property)") {
     import spark.implicits._
