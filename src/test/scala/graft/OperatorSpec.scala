@@ -48,6 +48,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(fps("short").isEmpty, "text shorter than k has no fingerprints")
   }
 
+  // ---- Shingle kernel vs plain-Scala sliding-window oracle ----------
+  test("shingle kernel equals tokens.sliding(n) with and without dedup (property)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def kernel(s: String, n: Int, distinct: Boolean): Seq[String] = {
+      val arr = graft.functions.ShingleKernel.shingles(UTF8String.fromString(s), n, distinct)
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+    val genText = for {
+      words <- Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e"))
+      seps <- Gen.listOfN(words.length + 1, Gen.oneOf(" ", "  ", "\t", " \n "))
+    } yield seps.zipAll(words, "", "").map { case (sep, w) => sep + w }.mkString
+    forAllSeeded(Gen.zip(genText, Gen.choose(1, 4)), 60) { case (text, n) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val expectRaw =
+        if (toks.length < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+      assert(kernel(text, n, distinct = false) == expectRaw, s"raw <$text> n=$n")
+      assert(kernel(text, n, distinct = true) == expectRaw.distinct, s"distinct <$text> n=$n")
+    }
+  }
+
   // ---- AsOfJoin vs naive per-row scan -------------------------------
   test("as-of join matches naive last-at-or-before scan (property)") {
     import spark.implicits._
