@@ -239,7 +239,24 @@ object Relational3 {
       date_trunc("quarter", od).cast("date").as("qtr_start"))
   }
 
+  /** String shaping family: pad / trim variants / repeat / translate /
+    * reverse / space collapsing (SURVEY.md §2.8, beyond q13/q44).
+    */
+  val q69_string_shape: Q = (s, d) => {
+    import s.implicits._
+    Tables.part(s, d).select(
+      $"p_partkey",
+      lpad($"p_brand", 12, "*").as("padded_l"),
+      rpad($"p_brand", 12, ".").as("padded_r"),
+      ltrim(rtrim(concat(lit("  "), $"p_name", lit("  ")))).as("trimmed"),
+      repeat(lit("ab"), $"p_size" % 4).as("repeated"),
+      translate($"p_name", "aeiou", "AEIOU").as("upvoweled"),
+      reverse($"p_brand").as("reversed"),
+      regexp_replace($"p_name", " +", " ").as("collapsed"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q69_string_shape" -> q69_string_shape,
     "q68_calendar" -> q68_calendar,
     "q67_approx_aggs" -> q67_approx_aggs,
     "q66_local_supplier_volume" -> q66_local_supplier_volume,
@@ -255,6 +272,16 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q69_string_shape" ->
+      """SELECT p_partkey,
+        | lpad(p_brand, 12, '*') AS padded_l,
+        | rpad(p_brand, 12, '.') AS padded_r,
+        | ltrim(rtrim('  ' || p_name || '  ')) AS trimmed,
+        | repeat('ab', p_size % 4) AS repeated,
+        | translate(p_name, 'aeiou', 'AEIOU') AS upvoweled,
+        | reverse(p_brand) AS reversed,
+        | regexp_replace(p_name, ' +', ' ', 'g') AS collapsed
+        |FROM part""".stripMargin,
     "q68_calendar" ->
       """SELECT o_orderkey,
         | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,

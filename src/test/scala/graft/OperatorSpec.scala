@@ -68,6 +68,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  // ---- TopKIndices kernel vs sort oracle ----------------------------
+  test("topk-indices kernel equals the sort-based oracle, ties to the lower index (property)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def kernel(xs: Seq[Double], k: Int): Seq[Int] = {
+      val arr = graft.functions.TopKIndicesKernel.topk(new GenericArrayData(xs.toArray), k)
+      (0 until arr.numElements()).map(arr.getInt)
+    }
+    val gen = for {
+      xs <- Gen.listOf(Gen.chooseNum(-5.0, 5.0).map(v => math.rint(v * 2) / 2)) // coarse → ties
+      k <- Gen.choose(1, 6)
+    } yield (xs, k)
+    forAllSeeded(gen, 60) { case (xs, k) =>
+      val expect = xs.zipWithIndex.sortBy { case (v, i) => (-v, i) }
+        .take(math.min(k, xs.length)).map(_._2)
+      assert(kernel(xs, k) == expect, s"xs=$xs k=$k")
+    }
+  }
+
   // ---- AsOfJoin vs naive per-row scan -------------------------------
   test("as-of join matches naive last-at-or-before scan (property)") {
     import spark.implicits._
