@@ -255,7 +255,25 @@ object Relational3 {
       regexp_replace($"p_name", " +", " ").as("collapsed"))
   }
 
+  /** Null-handling + comparison scalars: nullif / coalesce chains /
+    * greatest / least / nvl2-shape (SURVEY.md §2.8 conditional family
+    * beyond q15's CASE buckets).
+    */
+  val q70_null_funcs: Q = (s, d) => {
+    import s.implicits._
+    val maybe = nullif($"o_orderpriority", lit("1-URGENT"))
+    Tables.orders(s, d).select(
+      $"o_orderkey",
+      maybe.as("prio_or_null"),
+      coalesce(maybe, lit("(urgent)")).as("prio_filled"),
+      when(maybe.isNotNull, lit("kept")).otherwise(lit("nulled")).as("nvl2_shape"),
+      greatest($"o_totalprice", lit(150000.0)).as("floor_150k"),
+      least($"o_custkey" % 10, lit(5L)).as("cust_mod_min"),
+      isnull(maybe).as("was_urgent"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q70_null_funcs" -> q70_null_funcs,
     "q69_string_shape" -> q69_string_shape,
     "q68_calendar" -> q68_calendar,
     "q67_approx_aggs" -> q67_approx_aggs,
@@ -272,6 +290,16 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q70_null_funcs" ->
+      """SELECT o_orderkey,
+        | nullif(o_orderpriority, '1-URGENT') AS prio_or_null,
+        | coalesce(nullif(o_orderpriority, '1-URGENT'), '(urgent)') AS prio_filled,
+        | CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NOT NULL
+        |      THEN 'kept' ELSE 'nulled' END AS nvl2_shape,
+        | greatest(o_totalprice, 150000.0) AS floor_150k,
+        | least(o_custkey % 10, 5) AS cust_mod_min,
+        | nullif(o_orderpriority, '1-URGENT') IS NULL AS was_urgent
+        |FROM orders""".stripMargin,
     "q69_string_shape" ->
       """SELECT p_partkey,
         | lpad(p_brand, 12, '*') AS padded_l,
