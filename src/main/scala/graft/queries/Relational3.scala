@@ -272,7 +272,38 @@ object Relational3 {
       isnull(maybe).as("was_urgent"))
   }
 
+  /** Shared-ANSI-text query runner (same string on both engines). */
+  private def sharedSql(tables: Seq[String], text: String): Q = (s, d) => {
+    tables.foreach(t => graft.Tables(s, d, t).createOrReplaceTempView(t))
+    s.sql(text)
+  }
+
+  /** Correlated LATERAL join (Flink's correlated table function / SQL
+    * LATERAL): per nation, the top-2 customers by account balance —
+    * identical SQL text runs on both engines.
+    */
+  val lateralText: String =
+    """SELECT n_name, t.c_custkey, t.c_acctbal
+      |FROM nation,
+      |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+      |         WHERE c_nationkey = n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) AS t""".stripMargin
+
+  /** EXISTS / NOT EXISTS correlated subqueries (SQL surface of semi/anti
+    * joins, beyond q05/q06's DataFrame formulation) — shared text.
+    */
+  val existsText: String =
+    """SELECT s_suppkey, s_nationkey,
+      | EXISTS (SELECT 1 FROM customer
+      |         WHERE c_nationkey = s_nationkey AND c_acctbal > 9000) AS rich_neighbor
+      |FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)
+      |  AND NOT EXISTS (SELECT 1 FROM customer
+      |                  WHERE c_nationkey = s_nationkey AND c_acctbal < -900)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q71_lateral" -> sharedSql(Seq("nation", "customer"), lateralText),
+    "q72_exists" -> sharedSql(Seq("supplier", "customer", "nation"), existsText),
     "q70_null_funcs" -> q70_null_funcs,
     "q69_string_shape" -> q69_string_shape,
     "q68_calendar" -> q68_calendar,
@@ -290,6 +321,8 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q71_lateral" -> lateralText,
+    "q72_exists" -> existsText,
     "q70_null_funcs" ->
       """SELECT o_orderkey,
         | nullif(o_orderpriority, '1-URGENT') AS prio_or_null,
