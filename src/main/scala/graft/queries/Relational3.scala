@@ -92,7 +92,7 @@ object Relational3 {
       size(words).cast("long").as("n_words"),
       array_contains(words, "spark").as("has_spark"),
       array_join(sort_array(words), "|").as("sorted_joined"),
-      slice(words, 1, 2).as("first_two"),
+      array_join(slice(words, 1, 2), "|").as("first_two"),
       size(array_distinct(words)).cast("long").as("n_distinct"),
       element_at(words, -1).as("last_word"))
   }
@@ -439,7 +439,7 @@ object Relational3 {
         | CAST(len(words) AS BIGINT) AS n_words,
         | list_contains(words, 'spark') AS has_spark,
         | list_aggregate(list_sort(words), 'string_agg', '|') AS sorted_joined,
-        | words[1:2] AS first_two,
+        | list_aggregate(words[1:2], 'string_agg', '|') AS first_two,
         | CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
         | words[-1] AS last_word
         |FROM w""".stripMargin,
@@ -451,8 +451,8 @@ object Relational3 {
         |SELECT p_brand,
         | bit_and(p_size) AS agg_and, bit_or(p_size) AS agg_or,
         | bit_xor(p_size) AS agg_xor,
-        | sum(band) AS sum_band, sum(bor) AS sum_bor,
-        | sum(bxor) AS sum_bxor, sum(shl) AS sum_shl
+        | CAST(sum(band) AS BIGINT) AS sum_band, CAST(sum(bor) AS BIGINT) AS sum_bor,
+        | CAST(sum(bxor) AS BIGINT) AS sum_bxor, CAST(sum(shl) AS BIGINT) AS sum_shl
         |FROM b GROUP BY p_brand""".stripMargin,
   )
 }
