@@ -36,10 +36,18 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops —
     * q31_minhash_bands, q32_simhash, q34_ann_lsh_buckets, q42_ann_topk,
-    * q56_ivf_topk (hash-seeded LSH / sampled centroids),
-    * q48_winnow_fingerprints (rolling-hash minima; golden-file pinned),
-    * q67_approx_aggs (engine-specific sketches; tolerance-spec'd) →
-    * rows-only check, each spec-tested instead.
+    * q56_ivf_topk (hash-seeded LSH / sampled centroids) and
+    * q48_winnow_fingerprints (rolling-hash minima): all six are
+    * deterministic and pinned to committed golden CSVs (GoldenSpec /
+    * graft.tools.Golden.pinned); q67_approx_aggs (engine-specific
+    * sketches) is tolerance-spec'd in ApproxSpec.
+    *
+    * NOTE on q33_cosine_topk (and Vector.bruteForceTopK /
+    * Similarity.embeddingNearDupPairs): these are the declared CORRECTNESS
+    * ORACLES for the ANN family — deliberately all-pairs O(n²·d). Do not
+    * route a production path onto them; the scale paths are q42 (sign-LSH),
+    * q45 (bucketed LSH near-dup) and q56 (IVF), plan-locked to equi-joins
+    * in PlanSpec.
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++

@@ -19,6 +19,10 @@ object Vector {
 
   /** Brute-force cosine top-5 neighbors per vector (DuckDB-verified).
     *
+    * CORRECTNESS ORACLE ONLY — deliberately all-pairs O(n²·d); the scale
+    * paths for production are q42 (sign-LSH), q45 (bucketed LSH) and q56
+    * (IVF). Never route a large input through this kernel.
+    *
     * Kernel shape for n² pairs: norms are computed ONCE as a scalar
     * column (n rows), so each pair costs one codegen'd DotProduct plus a
     * division — no per-pair array allocation and no interpreted

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+
+/** Canonical row serialization shared by the golden-file generator
+  * ([[MakeGolden]]) and the test that checks against it (GoldenSpec), so
+  * the two can never disagree on formatting. Mirrors the driver's compare
+  * contract: columns sorted by name, doubles rounded (1e-6 here — all
+  * pinned kernels are deterministic, rounding only guards printf drift),
+  * rows sorted lexicographically.
+  */
+object Golden {
+
+  /** Queries pinned to committed golden CSVs: deterministic (seeded
+    * xxhash64 / splitmix64, no RNG) but not SQL-expressible in DuckDB.
+    */
+  val pinned: Seq[String] = Seq(
+    "q31_minhash_bands",
+    "q32_simhash",
+    "q34_ann_lsh_buckets",
+    "q42_ann_topk",
+    "q56_ivf_topk")
+
+  def canonical(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    val proj = df.selectExpr(cols.map(c => s"`$c`"): _*)
+    proj.collect().map { row =>
+      cols.indices.map { i =>
+        row.get(i) match {
+          case null      => "NULL"
+          case d: Double => f"$d%.6f"
+          case f: Float  => f"${f.toDouble}%.6f"
+          case v         => v.toString
+        }
+      }.mkString(",")
+    }.sorted.toSeq
+  }
+}

@@ -11,6 +11,24 @@ import org.scalatest.funsuite.AnyFunSuite
 class GoldenSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  // Every declared query therefore carries either a DuckDB oracle entry or
+  // one of these committed goldens (regenerate ONLY on intentional contract
+  // change: sbt "runMain graft.tools.MakeGolden", then review the diff).
+  graft.tools.Golden.pinned.foreach { name =>
+    test(s"$name matches the committed sf0.01 golden file") {
+      val got = graft.tools.Golden.canonical(
+        SparkEntry.queries(name)(spark, "/root/testdata/sf0.01"))
+      val expected = scala.io.Source
+        .fromInputStream(getClass.getResourceAsStream(s"/golden/${name}_sf001.csv"))
+        .getLines().drop(1).toVector
+      assert(got.length == expected.length,
+        s"row count drift: got ${got.length}, golden ${expected.length}")
+      got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g == e, s"row $i drifted")
+      }
+    }
+  }
+
   test("q48 winnowing fingerprints match the committed sf0.01 golden file") {
     val got = SparkEntry.queries("q48_winnow_fingerprints")(spark, "/root/testdata/sf0.01")
       .orderBy("doc_id")
