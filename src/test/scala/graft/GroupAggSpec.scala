@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming._
+
+/** Retract-emitting streaming group aggregate (Flink GroupAggFunction
+  * semantics): exact changelog trace, materialize==batch equivalence, and
+  * consuming an upstream retract stream.
+  */
+class GroupAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private var qid = 0
+  private def nextName(): String = { qid += 1; s"groupagg_out_$qid" }
+
+  test("changelog trace matches Flink's documented +I/-U/+U/-D sequence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeIn]
+    val name = nextName()
+    val q = GroupAgg.retractingAgg(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // single key so the memory sink's per-batch order IS the trace
+      input.addData(ChangeIn("+I", 1, 10.0)); q.processAllAvailable()
+      input.addData(ChangeIn("+I", 1, 20.0)); q.processAllAvailable()
+      input.addData(ChangeIn("-U", 1, 10.0)); q.processAllAvailable()
+      input.addData(ChangeIn("-D", 1, 20.0)); q.processAllAvailable()
+      val trace = spark.table(name).as[GroupAggChange].collect()
+        .map(c => (c.row_kind, c.cnt, c.sum_value)).toList
+      assert(trace == List(
+        ("+I", 1L, 10.0),                      // first row of the group
+        ("-U", 1L, 10.0), ("+U", 2L, 30.0),    // refinement pair
+        ("-U", 2L, 30.0), ("+U", 1L, 20.0),    // retraction refines too
+        ("-D", 1L, 20.0)))                     // count hits zero: delete
+    } finally q.stop()
+  }
+
+  test("aggregate-value-unchanged input emits nothing (equaliser)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeIn]
+    val name = nextName()
+    val q = GroupAgg.retractingAgg(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(ChangeIn("+I", 7, 5.0)); q.processAllAvailable()
+      // +1 row of 0.0 changes cnt → emits; then -U of 0.0 restores → emits;
+      // a (+I 0.0, -U 0.0) net-zero pair in ONE batch still emits all four
+      // intermediate refinements (per-record semantics like Flink)
+      input.addData(ChangeIn("+I", 7, 0.0), ChangeIn("-U", 7, 0.0))
+      q.processAllAvailable()
+      val trace = spark.table(name).as[GroupAggChange].collect()
+        .map(c => (c.row_kind, c.cnt, c.sum_value)).toList
+      assert(trace == List(
+        ("+I", 1L, 5.0),
+        ("-U", 1L, 5.0), ("+U", 2L, 5.0),
+        ("-U", 2L, 5.0), ("+U", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("materialize(retract stream) == batch group aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = (1 to 90).map(i => ChangeIn("+I", (i % 7).toLong, (i * 13 % 50).toDouble))
+    val input = MemoryStream[ChangeIn]
+    val name = nextName()
+    val q = GroupAgg.retractingAgg(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(data.take(40): _*); q.processAllAvailable()
+      input.addData(data.slice(40, 70): _*); q.processAllAvailable()
+      input.addData(data.drop(70): _*); q.processAllAvailable()
+      val log = spark.table(name).as[GroupAggChange].collect().zipWithIndex
+        .map { case (c, i) => (c.row_kind, c.key, c.cnt, c.sum_value, c.avg_value, i.toLong) }
+        .toSeq.toDF("row_kind", "key", "cnt", "sum_value", "avg_value", "seq")
+      val got = graft.operators.Changelog.materialize(log, Seq("key"), "seq")
+        .select($"key", $"cnt", $"sum_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = data.groupBy(_.key).map { case (k, xs) =>
+        (k, xs.size.toLong, xs.map(_.value).sum)
+      }.toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("consumes an upstream retract stream: agg over keep-last dedup == batch latest-per-key agg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // upstream: keep-last dedup per sensor id emits -U/+U; downstream:
+    // retracting SUM of the LATEST value per sensor, grouped sensor%2
+    val data = Seq(
+      KeyedValue(1, 0, 10.0), KeyedValue(2, 0, 20.0), KeyedValue(3, 0, 30.0),
+      KeyedValue(1, 0, 11.0), KeyedValue(4, 0, 40.0), KeyedValue(2, 0, 22.0),
+      KeyedValue(1, 0, 12.0), KeyedValue(3, 0, 33.0))
+    val input = MemoryStream[KeyedValue]
+    val name = nextName()
+    val dedup = StatefulOps.keepLast(input.toDS())
+    val agg = GroupAgg.retractingAgg(
+      dedup.map(o => ChangeIn(o.row_kind, o.key % 2, o.value)))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(data.take(5): _*); q.processAllAvailable()
+      input.addData(data.drop(5): _*); q.processAllAvailable()
+      val log = spark.table(name).as[GroupAggChange].collect().zipWithIndex
+        .map { case (c, i) => (c.row_kind, c.key, c.cnt, c.sum_value, c.avg_value, i.toLong) }
+        .toSeq.toDF("row_kind", "key", "cnt", "sum_value", "avg_value", "seq")
+      val got = graft.operators.Changelog.materialize(log, Seq("key"), "seq")
+        .select($"key", $"cnt", $"sum_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch oracle: latest value per sensor, summed per sensor%2
+      val latest = data.zipWithIndex.groupBy(_._1.key)
+        .map { case (k, xs) => k -> xs.maxBy(_._2)._1.value }
+      val want = latest.groupBy { case (k, _) => k % 2 }.map { case (g, m) =>
+        (g, m.size.toLong, m.values.sum)
+      }.toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+}
