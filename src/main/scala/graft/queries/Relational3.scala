@@ -303,7 +303,39 @@ object Relational3 {
       |  AND NOT EXISTS (SELECT 1 FROM customer
       |                  WHERE c_nationkey = s_nationkey AND c_acctbal < -900)""".stripMargin
 
+  /** Protobuf wire-format round trip (SURVEY.md §2.1 "formats: protobuf",
+    * [U] flink-formats/flink-protobuf): lineitem columns encode to proto3
+    * wire bytes and decode back via graft.sources.ProtobufFormat (the
+    * from-scratch public-spec codec), then aggregate over the DECODED
+    * frame — the DuckDB oracle computes the same aggregate on the raw
+    * table, so any wire-level corruption fails the hash. Quantities are
+    * integral doubles (exact under summation); integer sums are cast to
+    * BIGINT on both engines (DuckDB HUGEINT gotcha).
+    */
+  val q74_protobuf_roundtrip: Q = (s, d) => {
+    import s.implicits._
+    import graft.sources.ProtobufFormat
+    import graft.sources.ProtobufFormat._
+    val msg = PbMessage(Seq(
+      PbField(1, "l_orderkey", PInt64), PbField(2, "l_linenumber", PInt32),
+      PbField(3, "l_quantity", PDouble), PbField(4, "l_returnflag", PString),
+      PbField(5, "l_linestatus", PString)))
+    val src = Tables.lineitem(s, d).select(
+      $"l_orderkey".cast("long").as("l_orderkey"),
+      $"l_linenumber".cast("int").as("l_linenumber"),
+      $"l_quantity".cast("double").as("l_quantity"),
+      $"l_returnflag", $"l_linestatus")
+    ProtobufFormat.roundTrip(src, msg)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        sum($"l_linenumber").cast("long").as("sum_line"),
+        max($"l_orderkey").as("max_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q74_protobuf_roundtrip" -> q74_protobuf_roundtrip,
     "q71_lateral" -> sharedSql(Seq("nation", "customer"), lateralText),
     "q72_exists" -> sharedSql(Seq("supplier", "customer", "nation"), existsText),
     "q70_null_funcs" -> q70_null_funcs,
@@ -323,6 +355,14 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q74_protobuf_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus,
+        | count(*) AS n,
+        | round(sum(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+        | CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
+        | CAST(max(l_orderkey) AS BIGINT) AS max_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q71_lateral" -> lateralText,
     "q72_exists" -> existsText,
     "q70_null_funcs" ->
