@@ -97,6 +97,30 @@ object Changelog {
     rows.select(col("r.row_kind").as("row_kind"), col("r.payload.*"))
   }
 
+  /** Decode Oracle GoldenGate (ogg) style JSON
+    * (`{"before":{…},"after":{…},"op_type":"I|U|D"}`) into row_kind-tagged
+    * payload rows — the reference's ogg-json format. GoldenGate emits a
+    * full before image on UPDATE (when supplemental logging provides it),
+    * so `U` expands to UPDATE_BEFORE from `before` and UPDATE_AFTER from
+    * `after` with no overlay reconstruction; `I` carries only `after`,
+    * `D` only `before`.
+    */
+  def fromOggJson(df: DataFrame, jsonCol: String, payloadSchema: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      s"before STRUCT<$payloadSchema>, after STRUCT<$payloadSchema>, op_type STRING")
+    val parsed = df.withColumn("__cdc", from_json(col(jsonCol), schema))
+    val op = col("__cdc.op_type")
+    val rows = parsed.select(
+      explode(
+        when(op === "I", array(struct(lit("+I").as("row_kind"), col("__cdc.after").as("payload"))))
+          .when(op === "D", array(struct(lit("-D").as("row_kind"), col("__cdc.before").as("payload"))))
+          .when(op === "U", array(
+            struct(lit("-U").as("row_kind"), col("__cdc.before").as("payload")),
+            struct(lit("+U").as("row_kind"), col("__cdc.after").as("payload"))))
+      ).as("r"))
+    rows.select(col("r.row_kind").as("row_kind"), col("r.payload.*"))
+  }
+
   /** Materialize a changelog to current state: net surviving rows are
     * those whose (payload) insert count exceeds retract count. For a
     * well-formed changelog keyed by `keys` this is "apply the log":

@@ -37,6 +37,12 @@ class StreamingWindowRank(windowMs: Long, n: Int)
 
   private def windowStart(tsMs: Long): Long = tsMs - Math.floorMod(tsMs, windowMs)
 
+  /** Within-window emission order; rank = position + 1. Top-N orders by
+    * (score desc, id asc); [[StreamingWindowDedup]] overrides with rowtime.
+    */
+  protected def ordered(rows: Array[WinRankIn]): Seq[WinRankIn] =
+    rows.toSeq.sortBy(r => (-r.score, r.id))
+
   override def onElement(key: String, v: WinRankIn, tv: TimerValues,
       emit: WinRankOut => Unit): Unit = {
     val frontier = Option(closedUpTo.get()).getOrElse(Long.MinValue)
@@ -54,7 +60,7 @@ class StreamingWindowRank(windowMs: Long, n: Int)
     if (closed.nonEmpty) {
       closed.groupBy(r => windowStart(r.ts_ms)).toSeq.sortBy(_._1).foreach {
         case (ws, rows) =>
-          rows.sortBy(r => (-r.score, r.id)).take(n).zipWithIndex.foreach {
+          ordered(rows).take(n).zipWithIndex.foreach {
             case (r, i) => emit(WinRankOut(ws, ws + windowMs, key, r.id, r.score, i + 1))
           }
       }
@@ -65,6 +71,21 @@ class StreamingWindowRank(windowMs: Long, n: Int)
   }
 }
 
+/** Streaming window deduplication — the reference's window dedup TVF
+  * post-op ([U] flink-table-runtime operators/deduplicate/window;
+  * SURVEY.md §2.5 "window Top-N / window deduplication"): keep the first
+  * (or last) row by rowtime per (tumbling window × key), append-only on
+  * window close — `ROW_NUMBER() OVER (PARTITION BY window, key ORDER BY
+  * rowtime [ASC|DESC]) = 1` in Flink SQL. Same watermark-bounded buffer
+  * as [[StreamingWindowRank]]; only the within-window order differs.
+  */
+class StreamingWindowDedup(windowMs: Long, keepFirst: Boolean)
+    extends StreamingWindowRank(windowMs, 1) {
+  override protected def ordered(rows: Array[WinRankIn]): Seq[WinRankIn] =
+    if (keepFirst) rows.toSeq.sortBy(r => (r.ts_ms, r.id))
+    else rows.toSeq.sortBy(r => (-r.ts_ms, -r.id))
+}
+
 object WindowRank {
   /** Top-N per (tumbling window, key), append-only on window close; `ds`
     * must carry an event-time watermark on the column backing `ts_ms`.
@@ -73,6 +94,17 @@ object WindowRank {
     implicit val out: Encoder[WinRankOut] = Encoders.product[WinRankOut]
     ds.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(new StreamingWindowRank(windowMs, n),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Keep-first/keep-last row by rowtime per (tumbling window, key),
+    * append-only on window close (window dedup TVF semantics).
+    */
+  def windowDedup(ds: Dataset[WinRankIn], windowMs: Long,
+      keepFirst: Boolean): Dataset[WinRankOut] = {
+    implicit val out: Encoder[WinRankOut] = Encoders.product[WinRankOut]
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new StreamingWindowDedup(windowMs, keepFirst),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -75,6 +75,19 @@ class PatternsSpec extends AnyFunSuite {
       ("+I", 1L, 10.0), ("-U", 1L, 10.0), ("+U", 1L, 20.0), ("-D", 1L, 20.0)))
   }
 
+  test("ogg json decodes full before/after images; U expands to -U/+U") {
+    import spark.implicits._
+    val df = Seq(
+      """{"before": null, "after": {"id": 1, "v": 10.0}, "op_type": "I"}""",
+      """{"before": {"id": 1, "v": 10.0}, "after": {"id": 1, "v": 20.0}, "op_type": "U"}""",
+      """{"before": {"id": 1, "v": 20.0}, "after": null, "op_type": "D"}""")
+      .toDF("json")
+    val out = Changelog.fromOggJson(df, "json", "id BIGINT, v DOUBLE")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      ("+I", 1L, 10.0), ("-U", 1L, 10.0), ("+U", 1L, 20.0), ("-D", 1L, 20.0)))
+  }
+
   test("changelog materialize applies the log: last version per key, deletes drop") {
     import spark.implicits._
     val log = Seq(

@@ -78,4 +78,40 @@ class WindowRankSpec extends AnyFunSuite {
       assert(rowsOut.count(_.window_start == 1000000L) == 1)
     } finally q.stop()
   }
+
+  test("streaming window dedup keep-first/keep-last equals batch rowtime rank=1") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val windowMs = 10000L
+    val rows = Seq( // duplicates per (window,key) at distinct rowtimes, out of order
+      raw("a", 1, 1003, 5.0), raw("a", 2, 1001, 9.0), raw("a", 3, 1007, 7.0),
+      raw("b", 4, 1002, 1.0), raw("b", 5, 1008, 4.0),
+      raw("a", 6, 1012, 2.0), raw("a", 7, 1015, 6.0), raw("b", 8, 1011, 8.0))
+    val toIn = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"key", $"id", unix_millis($"ts").as("ts_ms"), $"score").as[WinRankIn]
+    def run(keepFirst: Boolean, name: String): Set[(Long, String, Long)] = {
+      val input = MemoryStream[WRaw]
+      val q = WindowRank.windowDedup(
+          toIn(input.toDF().withWatermark("ts", "2 seconds")), windowMs, keepFirst)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        input.addData(rows.take(5): _*); q.processAllAvailable()
+        input.addData(rows.drop(5): _*); q.processAllAvailable()
+        input.addData(raw("z", 99, 2000, 0.0)); q.processAllAvailable()
+        spark.table(name).as[WinRankOut].collect()
+          .filter(_.key != "z").map(o => (o.window_start, o.key, o.id)).toSet
+      } finally q.stop()
+    }
+    def want(desc: Boolean): Set[(Long, String, Long)] = {
+      val ord = if (desc) Seq($"ts_ms".desc, $"id".desc) else Seq($"ts_ms".asc, $"id".asc)
+      val w = Window.partitionBy($"ws", $"key").orderBy(ord: _*)
+      toIn(rows.toDF())
+        .withColumn("ws", $"ts_ms" - ($"ts_ms" % windowMs))
+        .select($"ws", $"key", $"id", row_number().over(w).as("rn"))
+        .filter($"rn" === 1)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    }
+    assert(run(keepFirst = true, "windedup_first") == want(desc = false))
+    assert(run(keepFirst = false, "windedup_last") == want(desc = true))
+  }
 }
