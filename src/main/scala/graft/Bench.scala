@@ -39,7 +39,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // optional focus list for local probes (e.g. the sf1 scale runs);
+    // unset for the driver's full-suite runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> run(n, SparkEntry.queries(n)))
     val failed = results.filter(_._2 < 0).map(_._1)
     val total =

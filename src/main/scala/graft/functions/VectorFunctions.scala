@@ -76,13 +76,12 @@ object VectorFunctions {
   def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
     lshBucket(v, nPlanes, dim, 0)
 
-  /** Seeded variant (see [[hyperplanes]]). */
-  def lshBucket(v: Column, nPlanes: Int, dim: Int, seed: Int): Column = {
-    val hps = hyperplanes(nPlanes, dim, seed)
-    val bits = hps.zipWithIndex.map { case (hp, j) =>
-      val hpCol = array(hp.map(lit): _*)
-      when(DotProduct(v, hpCol) > 0, lit(1 << j)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Seeded variant (see [[hyperplanes]]). Backed by the matrix kernel
+    * (one compiled loop over all planes) — bit-identical buckets to the
+    * historical per-plane `when(dot > 0, …)` composition, which inlined
+    * one generated dot loop per plane and stopped scaling past ~16 planes
+    * (see MatrixKernels scaladoc).
+    */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int, seed: Int): Column =
+    element_at(LshBucketsExpr.seeded(v, nPlanes, dim, Array(seed)), 1)
 }

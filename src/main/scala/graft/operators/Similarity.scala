@@ -79,10 +79,11 @@ object Similarity {
       threshold: Double, nPlanes: Int = 2, nTables: Int = 16,
       dim: Int = 64): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
-    // (id, table, bucket) index rows — narrow, one per table per vector
+    // (id, table, bucket) index rows — narrow, one per table per vector;
+    // all nTables×nPlanes plane dots in ONE matrix-kernel call per row
+    // (posexplode index = table, matching the historical seeded order)
     val buckets = n.select(col("a_id"),
-      posexplode(array((0 until nTables).map(t =>
-        VectorFunctions.lshBucket(col("va"), nPlanes, dim, t)): _*))
+      posexplode(graft.functions.LshBucketsExpr(col("va"), nPlanes, dim, nTables))
         .as(Seq("table", "bucket")))
     val bb = buckets.select(col("a_id").as("b_id"), col("table").as("tb"),
       col("bucket").as("bucket_b"))
@@ -112,24 +113,51 @@ object Similarity {
     * (cell) equi-join. Work ≈ nProbe × n²/nCells vs n² brute — the
     * recall/cost trade is nProbe (and cell count), the standard IVF knobs.
     */
+  /** Sign-LSH parameter rule from the public recall identity
+    * P[pair at cosine θ shares a bucket in ≥1 of T tables of b planes]
+    * = 1 − (1 − p^b)^T with p = 1 − acos(θ)/π:
+    * b = ⌈log2(n / targetBucket)⌉ bounds expected bucket size (candidate
+    * work per table ≈ Σ|bucket|² ≈ n·targetBucket), then T is the
+    * smallest table count reaching `targetRecall` for pairs at
+    * `threshold`. Loose thresholds (the fixture's 0.35) drive T into the
+    * hundreds — sign-LSH genuinely cannot prune wide angles, which is
+    * why the sf1 scale record in BASELINE.md demonstrates the bucketed
+    * path at a realistic ≥0.9 near-dup threshold instead.
+    */
+  def lshParams(n: Long, threshold: Double, targetRecall: Double = 0.99,
+      targetBucket: Int = 64): (Int, Int) = {
+    val b = math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val perTable = math.pow(p, b)
+    val t = math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-perTable)).toInt)
+    (b, t)
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nCells: Int = 32, nProbe: Int = 4): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
+    // nCells <= 0 → auto-scale with the table: n/64 keeps probe work per
+    // query (nProbe × n/nCells dots) bounded as n grows, clamped to
+    // [32, 256] — the lower bound keeps fixture-scale behavior identical
+    // (golden-pinned results), the upper bounds the per-row assignment
+    // fan-out (nCells codegen'd centroid dots). Beyond the cap, cells
+    // would come from an offline k-means + a two-level (coarse-quantizer)
+    // assignment, not more literal centroids.
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(32, math.min(256, (emb.count() / 64L).toInt))
     val cents = n.withColumn("__h", xxhash64(col("a_id")))
-      .orderBy(col("__h")).limit(nCells)
+      .orderBy(col("__h")).limit(cells)
       .select(col("va"), col("na")).collect()
       .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
-    // per-centroid cosine similarities (codegen'd dots; centroids are literals)
-    val sims = array(cents.map { case (cv, cn) =>
-      DotProduct(col("va"), array(cv.map(lit): _*)) / (col("na") * lit(cn))
-    }: _*)
-    // top-nProbe cell indices in ONE kernel expression — sims (nCells
-    // codegen'd dots) is referenced exactly once, so CollapseProject
-    // cannot blow the plan up (see TopKIndices scaladoc for the measured
-    // failure mode of the argmax-chain formulation)
+    // top-nProbe cell indices in ONE matrix-kernel call per row: all
+    // centroid dots in a compiled loop (the per-centroid literal-dot
+    // composition generated one inlined loop per centroid and collapsed
+    // to interpreted eval past ~32 cells — see MatrixKernels scaladoc;
+    // ranking by dot/|c| is the cosine ranking, |v| being constant per row)
     require(nProbe >= 1 && nProbe <= cents.length)
     val assigned = n.withColumn("__cells",
-      graft.functions.TopKIndices(sims, nProbe))
+      graft.functions.CentroidTopKExpr(col("va"), cents.map(_._1), cents.map(_._2), nProbe))
     // index side: every vector lives in exactly its nearest cell
     val index = assigned.select(col("a_id").as("b_id"), col("va").as("vb"),
       col("na").as("nb"), element_at(col("__cells"), 1).as("cell"))

@@ -139,7 +139,29 @@ object Text {
         array_max($"__fp").as("max_fp"))
   }
 
+  /** BPE-style pre-tokenization counts (north_star "token counting:
+    * whitespace + a BPE-ish regex"): the GPT-2-family pre-tokenizer
+    * pattern shape — contractions, space-prefixed letter runs, digit
+    * runs, punctuation runs, whitespace — restricted to RE2-compatible
+    * constructs (no lookahead) so the DuckDB oracle runs the SAME
+    * pattern. Whitespace tokenization (q28's `\S+`) sits alongside for
+    * the ws-vs-BPE fertility ratio.
+    */
+  val q75_bpe_tokens: Q = (s, d) => {
+    import s.implicits._
+    val bpe = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9']+|\\s+"
+    Tables.documents(s, d)
+      .select(
+        $"doc_id",
+        regexp_count($"text", lit(bpe)).cast("long").as("n_bpe"),
+        regexp_count($"text", lit("[a-z]+")).cast("long").as("n_word"),
+        regexp_count($"text", lit("[0-9]+")).cast("long").as("n_num"),
+        tokenCount($"text").cast("long").as("n_ws"))
+      .withColumn("fertility", rate($"n_bpe" / $"n_ws"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q75_bpe_tokens" -> q75_bpe_tokens,
     "q48_winnow_fingerprints" -> q48_winnow_fingerprints,
     "q27_dedup_exact" -> q27_dedup_exact,
     "q28_text_stats" -> q28_text_stats,
@@ -152,6 +174,15 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q75_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+|\s+')) AS BIGINT) AS n_bpe,
+        | CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+        | round(CAST(len(regexp_extract_all(text, '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+|\s+')) AS DOUBLE)
+        |       / len(regexp_extract_all(text, '\S+')), 4) AS fertility
+        |FROM documents""".stripMargin,
     "q27_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,

@@ -83,11 +83,15 @@ object Vector {
 
   /** IVF-flat ANN top-3 (rows-only — centroid assignment is not
     * SQL-expressible; per-cell exactness + recall floor spec-tested in
-    * CepSimilaritySpec).
+    * CepSimilaritySpec). nCells = 0 → auto-scale (n/64 clamped to
+    * [32, 256]): identical to the old fixed 32 at every fixture SF
+    * (golden stays pinned), but probe work stays ~n·nProbe·64 instead of
+    * n²·nProbe/32 when the table grows — the sf1 probe measured 6.2×
+    * super-linear at 10× data with fixed cells.
     */
   val q56_ivf_topk: Q = (s, d) => {
     graft.operators.Similarity.ivfTopK(
-      Tables.embeddings(s, d), "vec_id", "embedding", k = 3, nCells = 32, nProbe = 4)
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 3, nCells = 0, nProbe = 4)
       .withColumn("cos", round(col("cos"), 6))
   }
 

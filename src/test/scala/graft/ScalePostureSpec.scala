@@ -13,6 +13,25 @@ import graft.operators.Multimodal
 class ScalePostureSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("lshParams meets the target recall by the public sign-LSH identity") {
+    import graft.operators.Similarity.lshParams
+    def recall(b: Int, t: Int, threshold: Double): Double = {
+      val p = 1.0 - math.acos(threshold) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, b), t)
+    }
+    for (n <- Seq(2000L, 20000L, 2000000L); th <- Seq(0.5, 0.8, 0.9, 0.95)) {
+      val (b, t) = lshParams(n, th, targetRecall = 0.99)
+      assert(recall(b, t, th) >= 0.99, s"n=$n th=$th -> b=$b t=$t")
+      // bucket-size control: b planes split n rows into 2^b buckets
+      assert((n >> b) <= 64, s"expected bucket <= target at n=$n th=$th (b=$b)")
+    }
+    // tighter thresholds need FEWER tables at the same bucket budget —
+    // the reason loose thresholds (0.35) are not a scale path
+    val (_, tLoose) = lshParams(20000L, 0.5)
+    val (_, tTight) = lshParams(20000L, 0.95)
+    assert(tTight < tLoose)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
