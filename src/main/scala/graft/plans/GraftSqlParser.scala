@@ -9,9 +9,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Parser injected by `graft.GraftExtensions` (the SparkSessionExtensions
   * `injectParser` hook — Spark's public custom-dialect entry point):
-  * statements embedding MATCH_RECOGNIZE route through
-  * [[MatchRecognize.sql]]; everything else delegates to Spark's parser
-  * untouched, so the dialect is a strict superset.
+  * window TVFs (TUMBLE/HOP/CUMULATE over `TABLE(...)`) are text-rewritten
+  * by [[WindowTvf.rewrite]] into plain-Spark subqueries, statements
+  * embedding MATCH_RECOGNIZE route through [[MatchRecognize.sql]];
+  * everything else delegates to Spark's parser untouched, so the dialect
+  * is a strict superset.
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
@@ -19,13 +21,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def viaMr(sqlText: String): LogicalPlan =
     MatchRecognize.sql(session, sqlText).queryExecution.logical
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    if (MatchRecognize.containsClause(sqlText)) viaMr(sqlText)
-    else delegate.parsePlan(sqlText)
+  private def tvf(sqlText: String): String =
+    if (WindowTvf.containsClause(sqlText)) WindowTvf.rewrite(sqlText) else sqlText
 
-  override def parseQuery(sqlText: String): LogicalPlan =
-    if (MatchRecognize.containsClause(sqlText)) viaMr(sqlText)
-    else delegate.parseQuery(sqlText)
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val t = tvf(sqlText)
+    if (MatchRecognize.containsClause(t)) viaMr(t)
+    else delegate.parsePlan(t)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = {
+    val t = tvf(sqlText)
+    if (MatchRecognize.containsClause(t)) viaMr(t)
+    else delegate.parseQuery(t)
+  }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

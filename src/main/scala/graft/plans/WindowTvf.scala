@@ -1,0 +1,148 @@
+package graft.plans
+
+/** SQL-text window TVFs — the reference's windowing-TVF surface
+  * ([U] flink-table-planner SqlWindowTableFunction: TUMBLE / HOP /
+  * CUMULATE over `TABLE(...)` + `DESCRIPTOR(...)`; SURVEY.md §2.5):
+  *
+  * {{{
+  * SELECT ... FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+  * SELECT ... FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))
+  * SELECT ... FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), INTERVAL '2' MINUTE, INTERVAL '10' MINUTE))
+  * }}}
+  *
+  * Pure text→text rewrite: the `TABLE(WTF(...))` span becomes a
+  * parenthesized subquery appending `window_start` / `window_end`
+  * timestamp columns (each row replicated across its covering windows for
+  * HOP/CUMULATE via `explode(sequence(...))`), then Spark's own parser
+  * takes over — bucketing stays a scalar projection + explode, so
+  * grouping by (window_start, window_end, keys) is an ordinary
+  * shuffle-parallel hash aggregate; nothing about the plan is custom.
+  *
+  * Subset notes (clear error outside it): second-or-coarser granularity
+  * (intervals map to whole seconds); HOP arg order is Flink's
+  * (slide, size); CUMULATE's is (step, size); the optional `offset` arg
+  * and named-argument syntax are not supported; `window_time` is not
+  * emitted (Spark has no per-row watermark column — SURVEY §2.8 delta).
+  * Flink window bounds are [start, end): a row at exactly `end` falls in
+  * the next window, which the `div`-based bucketing reproduces.
+  */
+object WindowTvf {
+
+  private val head = raw"(?is)\bTABLE\s*\(\s*(TUMBLE|HOP|CUMULATE)\s*\(".r
+
+  def containsClause(sqlText: String): Boolean = head.findFirstIn(sqlText).isDefined
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"window TVF: $msg")
+
+  private val intervalRe =
+    raw"(?is)^INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?$$".r
+
+  private def seconds(arg: String): Long = arg.trim match {
+    case intervalRe(n, unit) =>
+      n.toLong * (unit.toUpperCase match {
+        case "SECOND" => 1L
+        case "MINUTE" => 60L
+        case "HOUR"   => 3600L
+        case "DAY"    => 86400L
+      })
+    case other => fail(s"expected INTERVAL '<n>' <unit>, got `$other`")
+  }
+
+  /** Split a TVF argument list on top-level commas. */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur += c
+    }
+    out += cur.result().trim
+    out.result()
+  }
+
+  private val tableRe = raw"(?is)^TABLE\s+([A-Za-z_][\w.]*)$$".r
+  private val descRe = raw"(?is)^DESCRIPTOR\s*\(\s*([A-Za-z_]\w*)\s*\)$$".r
+
+  /** Rewrite ALL window-TVF spans in `sqlText` to plain-Spark subqueries. */
+  def rewrite(sqlText: String): String = {
+    var text = sqlText
+    var m = head.findFirstMatchIn(text)
+    var guard = 0
+    while (m.isDefined && guard < 16) {
+      val mm = m.get
+      // span of the INNER argument list (balanced from the fn's open paren)
+      val innerOpen = mm.end - 1
+      val innerClose = matchParen(text, innerOpen)
+      // the OUTER `TABLE(` paren closes right after, possibly with spaces
+      val afterInner = text.indexWhere(!_.isWhitespace, innerClose + 1)
+      if (afterInner < 0 || text.charAt(afterInner) != ')')
+        fail("expected `TABLE( <fn>(...) )`")
+      val fn = mm.group(1).toUpperCase
+      val args = splitArgs(text.substring(innerOpen + 1, innerClose))
+      val sub = buildSubquery(fn, args)
+      text = text.substring(0, mm.start) + sub + text.substring(afterInner + 1)
+      m = head.findFirstMatchIn(text)
+      guard += 1
+    }
+    text
+  }
+
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    fail("unbalanced parentheses")
+  }
+
+  private def buildSubquery(fn: String, args: Seq[String]): String = {
+    val table = args.headOption.collect { case tableRe(t) => t }
+      .getOrElse(fail(s"first arg of $fn must be TABLE <name>"))
+    val ts = args.lift(1).collect { case descRe(c) => c }
+      .getOrElse(fail(s"second arg of $fn must be DESCRIPTOR(<col>)"))
+    val es = s"unix_seconds(CAST($ts AS TIMESTAMP))"
+    fn match {
+      case "TUMBLE" =>
+        if (args.size != 3) fail("TUMBLE takes (TABLE t, DESCRIPTOR(ts), size)")
+        val sz = seconds(args(2))
+        s"""(SELECT *,
+           |  timestamp_seconds(($es div $sz) * $sz) AS window_start,
+           |  timestamp_seconds(($es div $sz) * $sz + $sz) AS window_end
+           | FROM $table)""".stripMargin
+      case "HOP" =>
+        if (args.size != 4) fail("HOP takes (TABLE t, DESCRIPTOR(ts), slide, size)")
+        val sl = seconds(args(2))
+        val sz = seconds(args(3))
+        if (sz % sl != 0) fail("HOP size must be a multiple of slide")
+        s"""(SELECT * EXCEPT(__k),
+           |  timestamp_seconds(__k * $sl) AS window_start,
+           |  timestamp_seconds(__k * $sl + $sz) AS window_end
+           | FROM (SELECT *,
+           |   explode(sequence(($es - $sz) div $sl + 1, $es div $sl)) AS __k
+           |  FROM $table))""".stripMargin
+      case "CUMULATE" =>
+        if (args.size != 4) fail("CUMULATE takes (TABLE t, DESCRIPTOR(ts), step, size)")
+        val st = seconds(args(2))
+        val sz = seconds(args(3))
+        if (sz % st != 0) fail("CUMULATE size must be a multiple of step")
+        s"""(SELECT * EXCEPT(__k),
+           |  timestamp_seconds(($es div $sz) * $sz) AS window_start,
+           |  timestamp_seconds(($es div $sz) * $sz + __k * $st) AS window_end
+           | FROM (SELECT *,
+           |   explode(sequence(($es - ($es div $sz) * $sz) div $st + 1, ${sz / st})) AS __k
+           |  FROM $table))""".stripMargin
+    }
+  }
+}

@@ -155,7 +155,26 @@ object Temporal {
         |GROUP BY user_id""".stripMargin)
   }
 
+  /** SQL-text window TVF ([U] flink-table-planner SqlWindowTableFunction):
+    * the q41 hop-window class driven through Flink's SQL surface —
+    * `TABLE(HOP(TABLE t, DESCRIPTOR(ts), slide, size))` rewritten by
+    * `graft.plans.WindowTvf` into a plain-Spark subquery (under a
+    * `spark.sql.extensions=graft.GraftExtensions` session, plain
+    * `spark.sql` accepts the syntax too). Oracled by manual hop-bucket
+    * expansion in DuckDB.
+    */
+  val q76_window_tvf_sql: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("q76_events")
+    s.sql(graft.plans.WindowTvf.rewrite(
+      """SELECT window_start, window_end, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM TABLE(HOP(TABLE q76_events, DESCRIPTOR(ts),
+        |               INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))
+        |GROUP BY window_start, window_end, event_type""".stripMargin))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q76_window_tvf_sql" -> q76_window_tvf_sql,
     "q73_match_recognize_sql" -> q73_match_recognize_sql,
     "q55_cep_quantified" -> q55_cep_quantified,
     "q41_hop_window" -> q41_hop_window,
@@ -167,6 +186,17 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q76_window_tvf_sql" ->
+      """WITH e AS (SELECT event_type, value,
+        |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS es
+        |           FROM events),
+        |x AS (SELECT event_type, value,
+        |             UNNEST(range((es - 600) // 300 + 1, es // 300 + 1)) AS k
+        |      FROM e)
+        |SELECT make_timestamp(k * 300 * 1000000) AS window_start,
+        |       make_timestamp((k * 300 + 600) * 1000000) AS window_end,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
     "q73_match_recognize_sql" ->
       """WITH s AS (SELECT user_id,
         |                  string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS str

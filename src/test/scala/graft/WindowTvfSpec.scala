@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.WindowTvf
+
+/** SQL-text window TVFs (TUMBLE/HOP/CUMULATE over TABLE(...)): the
+  * rewritten subqueries must agree with the DataFrame-native
+  * formulations (window(), Cumulate.assign) on the events fixture, and
+  * the injected parser must accept the raw syntax.
+  */
+class WindowTvfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def events = {
+    val df = Tables.events(spark, TestSpark.sfDir)
+    df.createOrReplaceTempView("tvf_events")
+    df
+  }
+
+  private def agg(bucketed: org.apache.spark.sql.DataFrame) =
+    bucketed.groupBy("window_start", "window_end", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .collect().map(r => r.toSeq).toSet
+
+  test("TUMBLE TVF equals the native window() bucketing") {
+    val df = events
+    val got = agg(spark.sql(WindowTvf.rewrite(
+      "SELECT * FROM TABLE(TUMBLE(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '5' MINUTE))")))
+    val want = agg(df.select(col("*"),
+      window(col("ts"), "5 minutes").getField("start").as("window_start"),
+      window(col("ts"), "5 minutes").getField("end").as("window_end")))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("HOP TVF equals the native sliding window() bucketing") {
+    val df = events
+    val got = agg(spark.sql(WindowTvf.rewrite(
+      """SELECT * FROM TABLE(HOP(TABLE tvf_events, DESCRIPTOR(ts),
+        |INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))""".stripMargin)))
+    val want = agg(df.select(col("*"),
+      window(col("ts"), "10 minutes", "5 minutes").getField("start").as("window_start"),
+      window(col("ts"), "10 minutes", "5 minutes").getField("end").as("window_end")))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("CUMULATE TVF equals the Cumulate.assign operator") {
+    val df = events
+    val got = agg(spark.sql(WindowTvf.rewrite(
+      """SELECT * FROM TABLE(CUMULATE(TABLE tvf_events, DESCRIPTOR(ts),
+        |INTERVAL '2' MINUTE, INTERVAL '10' MINUTE))""".stripMargin)))
+    val want = agg(graft.operators.Cumulate
+      .assign(df, "ts", 600000L, 120000L)
+      .withColumnRenamed("w_start", "window_start")
+      .withColumnRenamed("w_end", "window_end"))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("injected parser path accepts the TVF syntax; malformed args fail clearly") {
+    events
+    val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
+    val plan = parser.parsePlan(
+      """SELECT window_start, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        |GROUP BY window_start""".stripMargin)
+    assert(plan != null)
+    val e = intercept[IllegalArgumentException] {
+      WindowTvf.rewrite("SELECT * FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), INTERVAL '7' MINUTE, INTERVAL '10' MINUTE))")
+    }
+    assert(e.getMessage.contains("multiple of slide"))
+    val e2 = intercept[IllegalArgumentException] {
+      WindowTvf.rewrite("SELECT * FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' MONTH))")
+    }
+    assert(e2.getMessage.contains("INTERVAL"))
+  }
+}
