@@ -265,4 +265,28 @@ class CepSimilaritySpec extends AnyFunSuite {
     assert(lsh == exact,
       s"recall/precision drift: missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
   }
+
+  test("tight-threshold LSH with lshParams finds exactly the exact-kernel pairs on planted near-dups") {
+    import org.apache.spark.sql.functions._
+    // The fixture's max pairwise cosine is ~0.51 — no natural pairs at a
+    // production threshold — so plant them: each vector gets a shifted
+    // twin (unit-norm vectors; component +0.02, cos(v, twin) ≈ 0.97-0.99), deterministic.
+    val base = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val twins = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.02f)).as("embedding"))
+    val planted = base.unionByName(twins)
+    val n = planted.count()
+    val (b, t) = Similarity.lshParams(n, 0.9, targetRecall = 0.999999)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        math.round(r.getAs[Double]("cos") * 1e6)))
+      .toSet
+    val exact = canon(Similarity.embeddingNearDupPairs(planted, "vec_id", "embedding", 0.9))
+    val lsh = canon(Similarity.lshNearDupPairs(planted, "vec_id", "embedding", 0.9,
+      nPlanes = b, nTables = t))
+    assert(exact.size >= 100, s"expected planted twins above threshold, got ${exact.size}")
+    assert(lsh == exact,
+      s"recall/precision drift: missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+  }
 }
