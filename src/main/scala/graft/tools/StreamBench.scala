@@ -19,12 +19,17 @@ object StreamBench {
     val batchSize = if (args.length > 1) args(1).toInt else 10000
     val parts = if (args.length > 2) args(2).toInt else 32
     val changelog = args.length > 3 && args(3) == "changelog"
-    val spark = GraftSession.configure(
-      org.apache.spark.sql.SparkSession.builder()
-        .master("local[32]").appName("graft-streambench")
-        .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-          changelog.toString),
-      shufflePartitions = parts).getOrCreate()
+    // `hdfs` swaps in the in-JVM HDFSBackedStateStoreProvider — a plain
+    // windowed agg doesn't need RocksDB (only transformWithState does),
+    // and the per-micro-batch state commit is the measured bottleneck
+    val hdfs = args.length > 3 && args(3) == "hdfs"
+    val builder = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").appName("graft-streambench")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        changelog.toString)
+    val spark = GraftSession.configure(builder, shufflePartitions = parts).getOrCreate()
+    if (hdfs) spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
