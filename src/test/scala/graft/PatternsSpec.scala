@@ -88,6 +88,56 @@ class PatternsSpec extends AnyFunSuite {
       ("+I", 1L, 10.0), ("-U", 1L, 10.0), ("+U", 1L, 20.0), ("-D", 1L, 20.0)))
   }
 
+  test("windowed coGroup: both sides per (key, window); one-sided keys still emit") {
+    import spark.implicits._
+    import graft.operators.CoGroup
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val a = Seq((1L, ts(1001), 10.0), (1L, ts(1003), 11.0), (2L, ts(1002), 20.0),
+      (1L, ts(1012), 12.0)).toDF("k", "ts", "v")
+    val b = Seq((1L, ts(1004), 100.0), (3L, ts(1005), 300.0), (1L, ts(1015), 101.0))
+      .toDF("k", "ts", "v")
+    val got = CoGroup.tumbling(a, b, "k", "ts", "v", "10 seconds")
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.sql.Timestamp]("window_start").getTime / 1000,
+        r.getAs[scala.collection.Seq[Double]]("a_values").toSeq,
+        r.getAs[scala.collection.Seq[Double]]("b_values").toSeq)).toSet
+    assert(got == Set(
+      (1L, 1000L, Seq(10.0, 11.0), Seq(100.0)),
+      (2L, 1000L, Seq(20.0), Seq()),
+      (3L, 1000L, Seq(), Seq(300.0)),
+      (1L, 1010L, Seq(12.0), Seq(101.0))))
+    // single-shuffle plan: one aggregate over the union, no join operator
+    val plan = CoGroup.tumbling(a, b, "k", "ts", "v", "10 seconds")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "coGroup must not plan a join")
+  }
+
+  test("windowed coGroup emits append-only under streaming with watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val inA = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val inB = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("k", "ts", "v").withWatermark("ts", "2 seconds")
+    val out = graft.operators.CoGroup.tumbling(
+      shape(inA.toDF()), shape(inB.toDF()), "k", "ts", "v", "10 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("cogroup_stream").start()
+    try {
+      inA.addData((1L, ts(1001), 10.0)); inB.addData((1L, ts(1004), 100.0))
+      q.processAllAvailable()
+      inA.addData((9L, ts(1100), 0.0)); inB.addData((9L, ts(1100), 0.0)) // close window
+      q.processAllAvailable()
+      val rows = spark.table("cogroup_stream")
+        .collect().map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Double]]("a_values").toSeq,
+          r.getAs[scala.collection.Seq[Double]]("b_values").toSeq)).toSet
+      assert(rows.contains((1L, Seq(10.0), Seq(100.0))))
+    } finally q.stop()
+  }
+
   test("changelog materialize applies the log: last version per key, deletes drop") {
     import spark.implicits._
     val log = Seq(

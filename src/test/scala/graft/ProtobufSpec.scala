@@ -104,6 +104,26 @@ class ProtobufSpec extends AnyFunSuite {
     assert(decodeRow(narrow, bytes) == Row("kept"))
   }
 
+  test("protobuf decode runs on a stream (Kafka-shaped binary payload pipeline)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val msg = PbMessage(Seq(
+      PbField(1, "id", PInt64), PbField(2, "s", PString), PbField(3, "d", PDouble)))
+    val sample = Seq((1L, "a", 1.5), (2L, "", -2.25), (3L, "c", 0.0)).toDF("id", "s", "d")
+    val payloads = encodeProtobuf(sample, msg).select("proto").as[Array[Byte]].collect()
+    val input = MemoryStream[Array[Byte]]
+    val decoded = decodeProtobuf(
+      input.toDF().withColumnRenamed("value", "proto"), "proto", msg)
+    val q = decoded.writeStream.outputMode("append").format("memory")
+      .queryName("proto_stream").start()
+    try {
+      payloads.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("proto_stream").collect().map(_.toSeq).toSet
+      assert(got == sample.collect().map(_.toSeq).toSet)
+    } finally q.stop()
+  }
+
   test("DataFrame round trip over lineitem columns matches the source") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
