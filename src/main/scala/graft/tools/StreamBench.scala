@@ -34,19 +34,30 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
+    val topn = args.length > 3 && args(3) == "topn"
     val rows = Tables.events(spark, dir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[E].collect().sortBy(_.ts.getTime)
     val input = MemoryStream[E]
-    val q = WindowOps.tumbleAgg(input.toDF().withWatermark("ts", "10 seconds"), "5 minutes")
-      .writeStream.outputMode("append").format("noop").start()
+    // `topn` drives the transformWithState stack (keyed state + per-id
+    // upsert/retract) instead of the stateless windowed agg — the
+    // BASELINE row for stateful-operator throughput
+    val metric = if (topn) "stream_topn_rows_per_sec" else "stream_tumble_rows_per_sec"
+    val out =
+      if (topn)
+        graft.streaming.StatefulOps.topN(
+          input.toDF().select($"event_type".as("key"), $"event_id".as("id"),
+            $"value".as("score")).as[graft.streaming.KeyedScored], 10)
+          .toDF()
+      else WindowOps.tumbleAgg(input.toDF().withWatermark("ts", "10 seconds"), "5 minutes")
+    val q = out.writeStream.outputMode("append").format("noop").start()
     val t0 = System.nanoTime()
     try {
       rows.grouped(batchSize).foreach { b => input.addData(b: _*); q.processAllAvailable() }
     } finally q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
     val rps = rows.length / sec
-    println(f"""{"metric":"stream_tumble_rows_per_sec","value":$rps%.0f,"unit":"rows/s","rows":${rows.length},"sec":$sec%.2f,"batch":$batchSize,"parts":$parts,"changelog":$changelog,"sf":"$dir"}""")
+    println(f"""{"metric":"$metric","value":$rps%.0f,"unit":"rows/s","rows":${rows.length},"sec":$sec%.2f,"batch":$batchSize,"parts":$parts,"changelog":$changelog,"sf":"$dir"}""")
     spark.stop()
   }
 }
