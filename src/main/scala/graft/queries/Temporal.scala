@@ -173,7 +173,45 @@ object Temporal {
         |GROUP BY window_start, window_end, event_type""".stripMargin))
   }
 
+  /** Windowed coGroup (SURVEY.md §2.3 "windowed join / coGroup"): views
+    * and clicks per (user, 10-min window) presented TOGETHER — keys
+    * active on only one side still emit (unlike a join). Per-side sums
+    * fold the sorted arrays so both engines add in the same order.
+    */
+  val q77_cogroup_window: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d)
+    val views = e.filter($"event_type" === "view").select($"user_id", $"ts", $"value")
+    val clicks = e.filter($"event_type" === "click").select($"user_id", $"ts", $"value")
+    graft.operators.CoGroup.tumbling(views, clicks, "user_id", "ts", "value", "10 minutes")
+      .select($"key".as("user_id"), $"window_start",
+        size($"a_values").cast("long").as("n_views"),
+        size($"b_values").cast("long").as("n_clicks"),
+        round(aggregate($"a_values", lit(0.0), (acc, x) => acc + x), 2).as("sum_views"),
+        round(aggregate($"b_values", lit(0.0), (acc, x) => acc + x), 2).as("sum_clicks"))
+  }
+
+  /** Batch window deduplication (SURVEY.md §2.5/§2.6 "window dedup" TVF
+    * post-op): first event per (user, 5-min window) by (ts, event_id) —
+    * the `ROW_NUMBER() OVER (PARTITION BY window, key ORDER BY rowtime)
+    * = 1` Flink shape; the streaming counterpart is StreamingWindowDedup
+    * (WindowRankSpec).
+    */
+  val q78_window_dedup: Q = (s, d) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(window($"ts", "5 minutes"), $"user_id")
+      .orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", window($"ts", "5 minutes").getField("start").as("window_start"),
+        $"event_id", $"event_type", round($"value", 2).as("value"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q78_window_dedup" -> q78_window_dedup,
+    "q77_cogroup_window" -> q77_cogroup_window,
     "q76_window_tvf_sql" -> q76_window_tvf_sql,
     "q73_match_recognize_sql" -> q73_match_recognize_sql,
     "q55_cep_quantified" -> q55_cep_quantified,
@@ -186,6 +224,35 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q77_cogroup_window" ->
+      """WITH v AS (SELECT user_id,
+        |                  make_timestamp((epoch_ms(CAST(ts AS TIMESTAMP))//600000)*600000000) AS ws,
+        |                  value FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id,
+        |             make_timestamp((epoch_ms(CAST(ts AS TIMESTAMP))//600000)*600000000) AS ws,
+        |             value FROM events WHERE event_type = 'click'),
+        |va AS (SELECT user_id, ws, count(*) AS nv,
+        |              list_aggregate(list_sort(list(value)), 'sum') AS sv
+        |       FROM v GROUP BY 1, 2),
+        |ca AS (SELECT user_id, ws, count(*) AS nc,
+        |              list_aggregate(list_sort(list(value)), 'sum') AS sc
+        |       FROM c GROUP BY 1, 2)
+        |SELECT user_id, ws AS window_start,
+        |       coalesce(nv, 0) AS n_views, coalesce(nc, 0) AS n_clicks,
+        |       round(coalesce(sv, 0.0), 2) AS sum_views,
+        |       round(coalesce(sc, 0.0), 2) AS sum_clicks
+        |FROM va FULL OUTER JOIN ca USING (user_id, ws)""".stripMargin,
+    "q78_window_dedup" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |                  CAST(ts AS TIMESTAMP) AS t,
+        |                  make_timestamp((epoch_ms(CAST(ts AS TIMESTAMP))//300000)*300000000) AS ws
+        |           FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY ws, user_id
+        |                                   ORDER BY t, event_id) AS rn
+        |      FROM e)
+        |SELECT user_id, ws AS window_start, event_id, event_type,
+        |       round(value, 2) AS value
+        |FROM r WHERE rn = 1""".stripMargin,
     "q76_window_tvf_sql" ->
       """WITH e AS (SELECT event_type, value,
         |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS es
