@@ -21,9 +21,9 @@ import scala.jdk.CollectionConverters._
   * class the reference's avro table format decodes
   * ([U] flink-formats/flink-avro AvroRowDataDeserializationSchema).
   *
-  * protobuf is genuinely unavailable here: the only protobuf classes on
-  * the classpath are shaded (org.sparkproject.connect.protobuf) — noted
-  * in SURVEY §8 as environment-blocked, not scoped out.
+  * protobuf has no runtime on this classpath either (only shaded
+  * org.sparkproject.connect.protobuf classes) — see [[ProtobufFormat]]
+  * for the from-scratch wire-format codec that covers it.
   */
 object AvroFormat {
 

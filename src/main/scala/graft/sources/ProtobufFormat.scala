@@ -54,6 +54,9 @@ object ProtobufFormat {
   final case class PbMessage(fields: Seq[PbField]) {
     require(fields.map(_.number).distinct.size == fields.size, "duplicate field numbers")
     val byNumber: Map[Int, PbField] = fields.map(f => f.number -> f).toMap
+    /** field number → position in `fields` (hoisted out of the per-row decode loop). */
+    val indexByNumber: Map[Int, Int] =
+      fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
   }
 
   /** Spark schema equivalent of a message descriptor. All fields nullable
@@ -232,6 +235,13 @@ object ProtobufFormat {
     w.toBytes
   }
 
+  /** Per-partition variant: reuse one growable buffer across rows. */
+  private def encodeRowReusing(w: Writer, msg: PbMessage, row: Row): Array[Byte] = {
+    w.reset()
+    writeMessage(w, msg, row)
+    w.toBytes
+  }
+
   // ---- decode ---------------------------------------------------------
 
   private def readScalar(r: Reader, t: PbType, wire: Int): Any = t match {
@@ -261,7 +271,7 @@ object ProtobufFormat {
 
   def decodeMessage(msg: PbMessage, bytes: Array[Byte], from: Int, to: Int): Row = {
     val r = new Reader(bytes, from, to)
-    val idx = msg.fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+    val idx = msg.indexByNumber
     val vals = new Array[Any](msg.fields.size)
     val reps = scala.collection.mutable.Map.empty[Int, ArrayBuffer[Any]]
     while (r.hasMore) {
@@ -346,9 +356,10 @@ object ProtobufFormat {
     val keepIdx = keep.map(df.schema.fieldIndex)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
+      val w = new Writer
       rows.map { r =>
         val payload = Row.fromSeq(idx.map(r.get))
-        Row.fromSeq(keepIdx.map(r.get) :+ encodeRow(msg, payload))
+        Row.fromSeq(keepIdx.map(r.get) :+ encodeRowReusing(w, msg, payload))
       }
     }(enc)
   }

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** Source/format surface (SURVEY.md §2.1): csv / json / orc / parquet
   * round trips, schema inference, compression, and Avro record payloads
   * (via avro-core + AvroFormat — the spark-avro CONNECTOR jar is absent
-  * from this image; protobuf exists only shaded and stays a documented
-  * environment gap).
+  * from this image; protobuf is covered by the from-scratch wire codec,
+  * see ProtobufSpec).
   */
 class FormatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
