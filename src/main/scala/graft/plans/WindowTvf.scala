@@ -8,12 +8,15 @@ package graft.plans
   * SELECT ... FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
   * SELECT ... FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))
   * SELECT ... FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), INTERVAL '2' MINUTE, INTERVAL '10' MINUTE))
+  * SELECT ... FROM TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), INTERVAL '5' MINUTE))
   * }}}
   *
   * Pure text→text rewrite: the `TABLE(WTF(...))` span becomes a
   * parenthesized subquery appending `window_start` / `window_end`
   * timestamp columns (each row replicated across its covering windows for
-  * HOP/CUMULATE via `explode(sequence(...))`), then Spark's own parser
+  * HOP/CUMULATE via `explode(sequence(...))`; SESSION assigned by a
+  * gaps-and-islands window-function pass per partition key), then
+  * Spark's own parser
   * takes over — bucketing stays a scalar projection + explode, so
   * grouping by (window_start, window_end, keys) is an ordinary
   * shuffle-parallel hash aggregate; nothing about the plan is custom.
@@ -28,7 +31,7 @@ package graft.plans
   */
 object WindowTvf {
 
-  private val head = raw"(?is)\bTABLE\s*\(\s*(TUMBLE|HOP|CUMULATE)\s*\(".r
+  private val head = raw"(?is)\bTABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(".r
 
   def containsClause(sqlText: String): Boolean = head.findFirstIn(sqlText).isDefined
 
@@ -65,6 +68,8 @@ object WindowTvf {
   }
 
   private val tableRe = raw"(?is)^TABLE\s+([A-Za-z_][\w.]*)$$".r
+  private val tablePartRe =
+    raw"(?is)^TABLE\s+([A-Za-z_][\w.]*)\s+PARTITION\s+BY\s+([A-Za-z_]\w*)$$".r
   private val descRe = raw"(?is)^DESCRIPTOR\s*\(\s*([A-Za-z_]\w*)\s*\)$$".r
 
   /** Rewrite ALL window-TVF spans in `sqlText` to plain-Spark subqueries. */
@@ -108,11 +113,38 @@ object WindowTvf {
   }
 
   private def buildSubquery(fn: String, args: Seq[String]): String = {
-    val table = args.headOption.collect { case tableRe(t) => t }
-      .getOrElse(fail(s"first arg of $fn must be TABLE <name>"))
     val ts = args.lift(1).collect { case descRe(c) => c }
       .getOrElse(fail(s"second arg of $fn must be DESCRIPTOR(<col>)"))
     val es = s"unix_seconds(CAST($ts AS TIMESTAMP))"
+    if (fn == "SESSION") {
+      // SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), gap) — 1.19's
+      // session TVF. Merged-session assignment is not row-local, but it
+      // IS window-function-expressible (gaps-and-islands): a new session
+      // starts when the gap to the previous row in the partition is
+      // >= gap (Flink merges [ts,ts+gap) windows that OVERLAP, so an
+      // exact-gap step does not merge — same rule as Spark's
+      // session_window); window_end = last rowtime + gap.
+      val (table, key) = args.headOption.collect { case tablePartRe(t, k) => (t, k) }
+        .getOrElse(fail("SESSION takes (TABLE t PARTITION BY key, DESCRIPTOR(ts), gap)"))
+      if (args.size != 3) fail("SESSION takes (TABLE t PARTITION BY key, DESCRIPTOR(ts), gap)")
+      // micros, not seconds: session boundaries depend on exact rowtime
+      // deltas (unlike the div-bucketed TVFs, whose edges are whole-second
+      // aligned), so truncating would merge/split sub-second gaps
+      val gapUs = seconds(args(2)) * 1000000L
+      val us = s"unix_micros(CAST($ts AS TIMESTAMP))"
+      return s"""(SELECT * EXCEPT(__sid),
+        |  timestamp_micros(min($us) OVER (PARTITION BY $key, __sid)) AS window_start,
+        |  timestamp_micros(max($us) OVER (PARTITION BY $key, __sid) + ${gapUs}L) AS window_end
+        | FROM (SELECT * EXCEPT(__new),
+        |   sum(__new) OVER (PARTITION BY $key ORDER BY $ts
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __sid
+        |  FROM (SELECT *,
+        |    CASE WHEN $us - lag($us) OVER (PARTITION BY $key ORDER BY $ts) >= ${gapUs}L
+        |         THEN 1 ELSE 0 END AS __new
+        |   FROM $table)))""".stripMargin
+    }
+    val table = args.headOption.collect { case tableRe(t) => t }
+      .getOrElse(fail(s"first arg of $fn must be TABLE <name>"))
     fn match {
       case "TUMBLE" =>
         if (args.size != 3) fail("TUMBLE takes (TABLE t, DESCRIPTOR(ts), size)")

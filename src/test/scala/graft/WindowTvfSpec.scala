@@ -56,6 +56,25 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("SESSION TVF equals the native session_window aggregation") {
+    val df = events
+    val got = spark.sql(WindowTvf.rewrite(
+      """SELECT user_id, window_start, window_end, count(*) AS n
+        |FROM TABLE(SESSION(TABLE tvf_events PARTITION BY user_id,
+        |                   DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        |GROUP BY user_id, window_start, window_end""".stripMargin))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.sql.Timestamp](1).getTime, r.getAs[java.sql.Timestamp](2).getTime,
+        r.getLong(3))).toSet
+    val want = df.groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start"), col("w.end"), col("n"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.sql.Timestamp](1).getTime, r.getAs[java.sql.Timestamp](2).getTime,
+        r.getLong(3))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("injected parser path accepts the TVF syntax; malformed args fail clearly") {
     events
     val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
