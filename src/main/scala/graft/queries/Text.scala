@@ -160,7 +160,34 @@ object Text {
       .withColumn("fertility", rate($"n_bpe" / $"n_ws"))
   }
 
+  /** Document quality scoring (north_star "quality scoring: length/punct/
+    * stopword ratios"): the classic pre-training corpus filters — length
+    * band, punctuation density, stopword density (en markers / tokens,
+    * the Gopher-style "has common words" signal) — folded into one
+    * keep/flag classification per document.
+    */
+  val q79_quality_score: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        $"doc_id",
+        length($"text").as("len"),
+        tokenCount($"text").as("n_tok"),
+        langScore($"text", enMarkers).as("n_stop"),
+        punctCount($"text").as("n_punct"))
+      .select(
+        $"doc_id",
+        rate($"n_stop" / $"n_tok").as("stopword_ratio"),
+        rate($"n_punct" / $"len").as("punct_ratio"),
+        rate($"len" / $"n_tok").as("chars_per_tok"),
+        when($"n_tok" < 5, "too_short")
+          .when($"n_punct" / $"len" > 0.1, "punct_heavy")
+          .when($"n_stop" === 0, "no_stopwords")
+          .otherwise("keep").as("quality"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q79_quality_score" -> q79_quality_score,
     "q75_bpe_tokens" -> q75_bpe_tokens,
     "q48_winnow_fingerprints" -> q48_winnow_fingerprints,
     "q27_dedup_exact" -> q27_dedup_exact,
@@ -174,6 +201,22 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q79_quality_score" ->
+      s"""WITH x AS (SELECT doc_id,
+         |                  CAST(length(text) AS BIGINT) AS len,
+         |                  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+         |                  CAST(len(regexp_extract_all(lower(text), '${markerRe(graft.functions.TextFunctions.enMarkers)}')) AS BIGINT) AS n_stop,
+         |                  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct
+         |           FROM documents)
+         |SELECT doc_id,
+         |       round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stopword_ratio,
+         |       round(CAST(n_punct AS DOUBLE) / len, 4) AS punct_ratio,
+         |       round(CAST(len AS DOUBLE) / n_tok, 4) AS chars_per_tok,
+         |       CASE WHEN n_tok < 5 THEN 'too_short'
+         |            WHEN CAST(n_punct AS DOUBLE) / len > 0.1 THEN 'punct_heavy'
+         |            WHEN n_stop = 0 THEN 'no_stopwords'
+         |            ELSE 'keep' END AS quality
+         |FROM x""".stripMargin,
     "q75_bpe_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+|\s+')) AS BIGINT) AS n_bpe,
