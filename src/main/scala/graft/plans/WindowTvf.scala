@@ -28,6 +28,13 @@ package graft.plans
   * emitted (Spark has no per-row watermark column — SURVEY §2.8 delta).
   * Flink window bounds are [start, end): a row at exactly `end` falls in
   * the next window, which the `div`-based bucketing reproduces.
+  *
+  * Streaming note: these rewrites are BATCH SQL parity. Structured
+  * Streaming only evicts window state for groupings built from its own
+  * `window()`/`session_window()` functions — grouping by a derived
+  * window_start column cannot be watermark-tracked — so streaming
+  * queries use the WindowOps/Cumulate builders (same semantics, native
+  * state management) rather than this text rewrite.
   */
 object WindowTvf {
 
