@@ -66,7 +66,10 @@ object MatrixKernels {
       var s = 0.0
       var i = 0
       while (i < n) { s += v.getDouble(i) * c(i); i += 1 }
-      sims(j) = s / cnorms(j)
+      // a zero-norm centroid yields NaN, which fails every > comparison
+      // below and would leave best = -1; rank it last instead
+      val sim = s / cnorms(j)
+      sims(j) = if (java.lang.Double.isNaN(sim)) Double.NegativeInfinity else sim
       j += 1
     }
     val kk = math.min(k, m)
@@ -78,7 +81,7 @@ object MatrixKernels {
       var bestV = Double.NegativeInfinity
       var i = 0
       while (i < m) {
-        if (!used(i) && sims(i) > bestV) { bestV = sims(i); best = i }
+        if (!used(i) && (best < 0 || sims(i) > bestV)) { bestV = sims(i); best = i }
         i += 1
       }
       used(best) = true

@@ -99,20 +99,6 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
-  /** IVF(-flat) ANN top-k — the inverted-file alternative to sign-LSH
-    * bucketing: vectors are assigned to their nearest of `nCells`
-    * centroids (one cell each); each QUERY probes its `nProbe` nearest
-    * cells, and exact cosine top-k runs inside the probed cells only.
-    *
-    * Centroids are a deterministic data sample (the `nCells` vectors with
-    * smallest xxhash64(id) — no RNG, no k-means iterations; at 100 TB
-    * you'd k-means a sample offline and broadcast, which is exactly the
-    * shape here: the centroid collect is O(nCells × dim), a bounded
-    * broadcast-sized side input, not a data collect). Assignment is a
-    * per-row argmax over codegen'd centroid dots; the only shuffle is the
-    * (cell) equi-join. Work ≈ nProbe × n²/nCells vs n² brute — the
-    * recall/cost trade is nProbe (and cell count), the standard IVF knobs.
-    */
   /** Sign-LSH parameter rule from the public recall identity
     * P[pair at cosine θ shares a bucket in ≥1 of T tables of b planes]
     * = 1 − (1 − p^b)^T with p = 1 − acos(θ)/π:
@@ -133,6 +119,20 @@ object Similarity {
     (b, t)
   }
 
+  /** IVF(-flat) ANN top-k — the inverted-file alternative to sign-LSH
+    * bucketing: vectors are assigned to their nearest of `nCells`
+    * centroids (one cell each); each QUERY probes its `nProbe` nearest
+    * cells, and exact cosine top-k runs inside the probed cells only.
+    *
+    * Centroids are a deterministic data sample (the `nCells` vectors with
+    * smallest xxhash64(id) — no RNG, no k-means iterations; at 100 TB
+    * you'd k-means a sample offline and broadcast, which is exactly the
+    * shape here: the centroid collect is O(nCells × dim), a bounded
+    * broadcast-sized side input, not a data collect). Assignment is a
+    * per-row argmax over codegen'd centroid dots; the only shuffle is the
+    * (cell) equi-join. Work ≈ nProbe × n²/nCells vs n² brute — the
+    * recall/cost trade is nProbe (and cell count), the standard IVF knobs.
+    */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nCells: Int = 32, nProbe: Int = 4): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
@@ -146,7 +146,11 @@ object Similarity {
     val cells =
       if (nCells > 0) nCells
       else math.max(32, math.min(256, (emb.count() / 64L).toInt))
-    val cents = n.withColumn("__h", xxhash64(col("a_id")))
+    // zero-norm vectors can't anchor a cell (cos undefined; the kernel
+    // ranks NaN sims last, but an all-zero centroid would still be a
+    // dead cell) — exclude them from the sample, not from the data
+    val cents = n.filter(col("na") > 0.0)
+      .withColumn("__h", xxhash64(col("a_id")))
       .orderBy(col("__h")).limit(cells)
       .select(col("va"), col("na")).collect()
       .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))

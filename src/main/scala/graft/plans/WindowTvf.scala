@@ -127,10 +127,12 @@ object WindowTvf {
       // SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), gap) — 1.19's
       // session TVF. Merged-session assignment is not row-local, but it
       // IS window-function-expressible (gaps-and-islands): a new session
-      // starts when the gap to the previous row in the partition is
-      // >= gap (Flink merges [ts,ts+gap) windows that OVERLAP, so an
-      // exact-gap step does not merge — same rule as Spark's
-      // session_window); window_end = last rowtime + gap.
+      // starts only when the gap to the previous row in the partition is
+      // STRICTLY greater than gap. Flink's TimeWindow.intersects treats
+      // abutting [ts,ts+gap)/[ts+gap,ts+2gap) windows as intersecting,
+      // so events exactly `gap` apart merge into ONE session — and
+      // Spark's native session_window agrees (both pinned in
+      // WindowTvfSpec); window_end = last rowtime + gap.
       val (table, key) = args.headOption.collect { case tablePartRe(t, k) => (t, k) }
         .getOrElse(fail("SESSION takes (TABLE t PARTITION BY key, DESCRIPTOR(ts), gap)"))
       if (args.size != 3) fail("SESSION takes (TABLE t PARTITION BY key, DESCRIPTOR(ts), gap)")
@@ -146,41 +148,52 @@ object WindowTvf {
         |   sum(__new) OVER (PARTITION BY $key ORDER BY $ts
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __sid
         |  FROM (SELECT *,
-        |    CASE WHEN $us - lag($us) OVER (PARTITION BY $key ORDER BY $ts) >= ${gapUs}L
+        |    CASE WHEN $us - lag($us) OVER (PARTITION BY $key ORDER BY $ts) > ${gapUs}L
         |         THEN 1 ELSE 0 END AS __new
         |   FROM $table)))""".stripMargin
     }
     val table = args.headOption.collect { case tableRe(t) => t }
       .getOrElse(fail(s"first arg of $fn must be TABLE <name>"))
+    // Floor division, not Spark's truncate-toward-zero `div`: for
+    // pre-epoch rowtimes (negative seconds) truncation would shift
+    // window starts up one bucket and drop the earliest covering HOP
+    // windows, diverging from native window(). floordiv stays in BIGINT
+    // arithmetic (no double round-trip) so large epochs stay exact.
+    def floordiv(num: String, den: Long): String =
+      s"(($num) div $den + (CASE WHEN ($num) % $den < 0 THEN -1 ELSE 0 END))"
     fn match {
       case "TUMBLE" =>
         if (args.size != 3) fail("TUMBLE takes (TABLE t, DESCRIPTOR(ts), size)")
         val sz = seconds(args(2))
+        val k = floordiv(es, sz)
         s"""(SELECT *,
-           |  timestamp_seconds(($es div $sz) * $sz) AS window_start,
-           |  timestamp_seconds(($es div $sz) * $sz + $sz) AS window_end
+           |  timestamp_seconds($k * $sz) AS window_start,
+           |  timestamp_seconds($k * $sz + $sz) AS window_end
            | FROM $table)""".stripMargin
       case "HOP" =>
         if (args.size != 4) fail("HOP takes (TABLE t, DESCRIPTOR(ts), slide, size)")
         val sl = seconds(args(2))
         val sz = seconds(args(3))
         if (sz % sl != 0) fail("HOP size must be a multiple of slide")
+        val lo = floordiv(s"$es - $sz", sl)
+        val hi = floordiv(es, sl)
         s"""(SELECT * EXCEPT(__k),
            |  timestamp_seconds(__k * $sl) AS window_start,
            |  timestamp_seconds(__k * $sl + $sz) AS window_end
            | FROM (SELECT *,
-           |   explode(sequence(($es - $sz) div $sl + 1, $es div $sl)) AS __k
+           |   explode(sequence($lo + 1, $hi)) AS __k
            |  FROM $table))""".stripMargin
       case "CUMULATE" =>
         if (args.size != 4) fail("CUMULATE takes (TABLE t, DESCRIPTOR(ts), step, size)")
         val st = seconds(args(2))
         val sz = seconds(args(3))
         if (sz % st != 0) fail("CUMULATE size must be a multiple of step")
+        val k = floordiv(es, sz)
         s"""(SELECT * EXCEPT(__k),
-           |  timestamp_seconds(($es div $sz) * $sz) AS window_start,
-           |  timestamp_seconds(($es div $sz) * $sz + __k * $st) AS window_end
+           |  timestamp_seconds($k * $sz) AS window_start,
+           |  timestamp_seconds($k * $sz + __k * $st) AS window_end
            | FROM (SELECT *,
-           |   explode(sequence(($es - ($es div $sz) * $sz) div $st + 1, ${sz / st})) AS __k
+           |   explode(sequence(($es - $k * $sz) div $st + 1, ${sz / st})) AS __k
            |  FROM $table))""".stripMargin
     }
   }

@@ -109,9 +109,16 @@ object ProtobufFormat {
 
   private final class Reader(val b: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
+    // every read is bounds-checked against `end` (the enclosing
+    // sub-message slice, not b.length): a truncated or malformed nested
+    // message must fail loudly, not read the parent's bytes
+    private def need(n: Int): Unit =
+      if (pos + n > end) throw new IllegalArgumentException(
+        s"truncated protobuf: need $n byte(s) at offset $pos, message ends at $end")
     def varint(): Long = {
       var shift = 0; var v = 0L
       while (shift < 64) {
+        need(1)
         val x = b(pos); pos += 1
         v |= (x & 0x7fL) << shift
         if ((x & 0x80) == 0) return v
@@ -120,6 +127,7 @@ object ProtobufFormat {
       throw new IllegalArgumentException("malformed varint")
     }
     def fixed32(): Int = {
+      need(4)
       val v = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8) |
         ((b(pos + 2) & 0xff) << 16) | ((b(pos + 3) & 0xff) << 24)
       pos += 4; v
@@ -132,9 +140,9 @@ object ProtobufFormat {
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
-      case 1 => pos += 8
+      case 1 => need(8); pos += 8
       case 2 => lenDelim()
-      case 5 => pos += 4
+      case 5 => need(4); pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
   }

@@ -253,6 +253,20 @@ class CepSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall@1 $recall below floor")
   }
 
+  test("centroid top-k survives zero-norm centroids and vectors (NaN sims rank last)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val v = ArrayData.toArrayData(Array(1.0, 0.0))
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    val norms = Array(0.0, 1.0, 1.0) // centroid 0 is degenerate → NaN sim
+    val got = graft.functions.MatrixKernels.centroidTopK(v, cents, norms, 3)
+      .toIntArray().toSeq
+    assert(got == Seq(1, 2, 0)) // real sims first, the NaN cell dead-last
+    // an all-degenerate centroid set must not throw either
+    val allZero = graft.functions.MatrixKernels
+      .centroidTopK(v, Array(Array(0.0, 0.0)), Array(0.0), 1).toIntArray().toSeq
+    assert(allZero == Seq(0))
+  }
+
   test("lsh near-dup pairs reproduce the exact all-pairs result at fixture scale") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -104,6 +104,28 @@ class ProtobufSpec extends AnyFunSuite {
     assert(decodeRow(narrow, bytes) == Row("kept"))
   }
 
+  test("truncated or overrunning messages fail loudly, never read past their slice") {
+    val msg = PbMessage(Seq(PbField(1, "a", PInt64), PbField(2, "d", PDouble)))
+    val good = encodeRow(msg, Row(150L, 2.5))
+    // cut mid-varint, mid-fixed64, and right after a tag: every prefix
+    // that severs a value must throw, not decode garbage (cut=3 is the
+    // field-1/field-2 boundary — a VALID message with field 2 defaulted)
+    for (cut <- 1 until good.length if cut != 3) {
+      val e = intercept[IllegalArgumentException] {
+        decodeRow(msg, java.util.Arrays.copyOf(good, cut))
+      }
+      assert(e.getMessage.contains("truncated") || e.getMessage.contains("overruns"),
+        s"cut=$cut: ${e.getMessage}")
+    }
+    // a nested message whose declared length exceeds its payload must not
+    // consume the parent's trailing fields as its own
+    val inner = PbMessage(Seq(PbField(1, "x", PInt32)))
+    val outer = PbMessage(Seq(PbField(1, "m", PNested(inner)), PbField(2, "y", PInt32)))
+    val innerBytes = encodeRow(inner, Row(7))
+    val bad = Array[Byte](0x0a, (innerBytes.length + 1).toByte) ++ innerBytes
+    intercept[IllegalArgumentException] { decodeRow(outer, bad) }
+  }
+
   test("protobuf decode runs on a stream (Kafka-shaped binary payload pipeline)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -75,6 +75,51 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("SESSION TVF merges events exactly gap apart (Flink TimeWindow.intersects rule)") {
+    import spark.implicits._
+    // [t, t+gap) and [t+gap, t+2gap) abut; Flink's intersects() treats
+    // abutting windows as intersecting, so these two events are ONE
+    // session — and (verified here) Spark's native session_window agrees,
+    // so a strictly-greater-than-gap new-session predicate matches both
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val next = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    Seq((1L, base), (1L, next)).toDF("user_id", "ts")
+      .createOrReplaceTempView("gap_events")
+    val got = spark.sql(WindowTvf.rewrite(
+      """SELECT user_id, window_start, window_end, count(*) AS n
+        |FROM TABLE(SESSION(TABLE gap_events PARTITION BY user_id,
+        |                   DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        |GROUP BY user_id, window_start, window_end""".stripMargin)).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[java.sql.Timestamp]("window_start") == base)
+    assert(got(0).getAs[java.sql.Timestamp]("window_end") ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:10:00"))
+    assert(got(0).getAs[Long]("n") == 2L)
+    val native = spark.table("gap_events")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .count().collect()
+    assert(native.length == 1) // Spark merges the abutting windows too
+  }
+
+  test("TVF bucketing uses floor division for pre-epoch rowtimes") {
+    import spark.implicits._
+    // -90 s sits in tumble window [-120, 0) and in HOP(60s slide, 120s
+    // size) windows [-180,-60) and [-120,0); truncate-toward-zero `div`
+    // would misplace the start and drop the earliest covering window
+    Seq((1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(-90L))))
+      .toDF("user_id", "ts").createOrReplaceTempView("preepoch_events")
+    val t = spark.sql(WindowTvf.rewrite(
+      "SELECT window_start, window_end FROM TABLE(TUMBLE(TABLE preepoch_events, DESCRIPTOR(ts), INTERVAL '2' MINUTE))"))
+      .collect().map(r => (r.getAs[java.sql.Timestamp](0).toInstant.getEpochSecond,
+        r.getAs[java.sql.Timestamp](1).toInstant.getEpochSecond)).toSet
+    assert(t == Set((-120L, 0L)))
+    val h = spark.sql(WindowTvf.rewrite(
+      "SELECT window_start, window_end FROM TABLE(HOP(TABLE preepoch_events, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE))"))
+      .collect().map(r => (r.getAs[java.sql.Timestamp](0).toInstant.getEpochSecond,
+        r.getAs[java.sql.Timestamp](1).toInstant.getEpochSecond)).toSet
+    assert(h == Set((-180L, -60L), (-120L, 0L)))
+  }
+
   test("injected parser path accepts the TVF syntax; malformed args fail clearly") {
     events
     val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
