@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** Flink-named scalar functions Spark lacks, so Flink SQL text runs
+  * unmodified ([U] flink-table-planner FlinkSqlOperatorTable /
+  * BuiltInFunctionDefinitions; SURVEY.md §2.8). Each is COMPOSED from
+  * Spark's own codegen'd Catalyst expressions — no UDFs, no interpreted
+  * eval — so they inline into whole-stage codegen like any built-in:
+  *
+  *  - SPLIT_INDEX(str, sep, idx)  — 0-based element of a literal-string
+  *    split, NULL when idx is negative or out of bounds (Flink returns
+  *    NULL where Spark's split_part returns '' / is 1-based).
+  *  - FROM_BASE64(s) / TO_BASE64(s) — Flink's names for Spark's
+  *    unbase64/base64, with Flink's STRING-in/STRING-out typing.
+  *  - JSON_VALUE(json, path) — SQL/JSON scalar access; the lax-mode
+  *    2-arg form maps onto get_json_object. RETURNING / ON EMPTY /
+  *    ON ERROR clauses are parser-level syntax and not supported.
+  *  - JSON_EXISTS(json, path) — NULL json → NULL, else whether the path
+  *    hits. Delta: a JSON null at the path reads as absent (mapping
+  *    through get_json_object), where Flink's strict mode sees the key.
+  *  - TRUNCATE(x[, n]) — truncate toward zero to n decimals
+  *    (floor for x ≥ 0, ceil below). Like Spark's own floor/ceil-with-
+  *    scale it widens to DECIMAL; cast if the input type must persist.
+  *  - TO_TIMESTAMP_LTZ(epoch, p) — numeric epoch at precision p ∈
+  *    {0 s, 3 ms, 6 µs}; any other argument shape falls through to
+  *    Spark's native string-parsing to_timestamp_ltz, so registering
+  *    the name loses nothing.
+  */
+object FlinkFunctions {
+
+  private def nArgs(name: String, e: Seq[Expression], n: Int*): Unit =
+    if (!n.contains(e.length))
+      throw new IllegalArgumentException(
+        s"$name takes ${n.mkString(" or ")} argument(s), got ${e.length}")
+
+  private val nullString = Literal.create(null, StringType)
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "split_index" -> { e =>
+      nArgs("split_index", e, 3)
+      // ElementAt(failOnError=false) yields NULL out of bounds; a
+      // negative Flink index would become a valid from-the-end Spark
+      // index after +1, so it is nulled explicitly first
+      CaseWhen(
+        Seq((LessThan(e(2), Literal(0)), nullString)),
+        Some(ElementAt(StringSplitSQL(e(0), e(1)), Add(e(2), Literal(1)),
+          failOnError = false)))
+    },
+    "from_base64" -> { e =>
+      nArgs("from_base64", e, 1)
+      Cast(UnBase64(e(0)), StringType)
+    },
+    "to_base64" -> { e =>
+      nArgs("to_base64", e, 1)
+      Base64(Cast(e(0), BinaryType))
+    },
+    "json_value" -> { e =>
+      nArgs("json_value", e, 2)
+      GetJsonObject(e(0), e(1))
+    },
+    "json_exists" -> { e =>
+      nArgs("json_exists", e, 2)
+      If(IsNull(e(0)), Literal.create(null, BooleanType),
+        IsNotNull(GetJsonObject(e(0), e(1))))
+    },
+    "truncate" -> { e =>
+      nArgs("truncate", e, 1, 2)
+      val n = if (e.length > 1) e(1) else Literal(0)
+      If(GreaterThanOrEqual(e(0), Literal(0)),
+        RoundFloor(e(0), n), RoundCeil(e(0), n))
+    },
+    "to_timestamp_ltz" -> { e =>
+      (e.lift(1), e.length) match {
+        case (Some(Literal(0, IntegerType)), 2) => SecondsToTimestamp(e(0))
+        case (Some(Literal(3, IntegerType)), 2) => MillisToTimestamp(e(0))
+        case (Some(Literal(6, IntegerType)), 2) => MicrosToTimestamp(e(0))
+        case (_, 1) => ParseToTimestamp(e(0), None, TimestampType)
+        case (Some(fmt), 2) => ParseToTimestamp(e(0), Some(fmt), TimestampType)
+        case _ => throw new IllegalArgumentException(
+          "to_timestamp_ltz takes (epoch, 0|3|6) or (str[, fmt])")
+      }
+    },
+  )
+}

@@ -18,8 +18,10 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
-  /** (name, builder) for every SQL-exposed kernel. */
-  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  /** (name, builder) for every SQL-exposed kernel, plus the Flink-named
+    * dialect functions ([[FlinkFunctions]]).
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = FlinkFunctions.builders ++ Seq(
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_winnow" -> (exprs => WinnowFingerprints(exprs(0),
       if (exprs.length > 1) intArg(exprs(1), "k") else 8,

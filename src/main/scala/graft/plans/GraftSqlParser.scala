@@ -21,8 +21,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def viaMr(sqlText: String): LogicalPlan =
     MatchRecognize.sql(session, sqlText).queryExecution.logical
 
-  private def tvf(sqlText: String): String =
-    if (WindowTvf.containsClause(sqlText)) WindowTvf.rewrite(sqlText) else sqlText
+  private def tvf(sqlText: String): String = {
+    // legacy group windows lower onto the TVF form, so they run first
+    val lowered =
+      if (LegacyGroupWindow.containsClause(sqlText)) LegacyGroupWindow.rewrite(sqlText)
+      else sqlText
+    if (WindowTvf.containsClause(lowered)) WindowTvf.rewrite(lowered) else lowered
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val t = tvf(sqlText)

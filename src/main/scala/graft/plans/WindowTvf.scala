@@ -60,7 +60,7 @@ object WindowTvf {
   }
 
   /** Split a TVF argument list on top-level commas. */
-  private def splitArgs(s: String): Seq[String] = {
+  private[plans] def splitArgs(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
     val cur = new StringBuilder
@@ -76,7 +76,7 @@ object WindowTvf {
 
   private val tableRe = raw"(?is)^TABLE\s+([A-Za-z_][\w.]*)$$".r
   private val tablePartRe =
-    raw"(?is)^TABLE\s+([A-Za-z_][\w.]*)\s+PARTITION\s+BY\s+([A-Za-z_]\w*)$$".r
+    raw"(?is)^TABLE\s+([A-Za-z_][\w.]*)\s+PARTITION\s+BY\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)$$".r
   private val descRe = raw"(?is)^DESCRIPTOR\s*\(\s*([A-Za-z_]\w*)\s*\)$$".r
 
   /** Rewrite ALL window-TVF spans in `sqlText` to plain-Spark subqueries. */
@@ -103,7 +103,7 @@ object WindowTvf {
     text
   }
 
-  private def matchParen(s: String, open: Int): Int = {
+  private[plans] def matchParen(s: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < s.length) {
@@ -133,8 +133,13 @@ object WindowTvf {
       // so events exactly `gap` apart merge into ONE session — and
       // Spark's native session_window agrees (both pinned in
       // WindowTvfSpec); window_end = last rowtime + gap.
-      val (table, key) = args.headOption.collect { case tablePartRe(t, k) => (t, k) }
-        .getOrElse(fail("SESSION takes (TABLE t PARTITION BY key, DESCRIPTOR(ts), gap)"))
+      // PARTITION BY may list several keys or be absent (global session):
+      // the key list lands verbatim in the window specs; `1` (a literal
+      // in window PARTITION BY) makes the partition-less case one group
+      val (table, key) = args.headOption.collect {
+        case tablePartRe(t, k) => (t, k)
+        case tableRe(t) => (t, "1")
+      }.getOrElse(fail("SESSION takes (TABLE t [PARTITION BY k1, ...], DESCRIPTOR(ts), gap)"))
       if (args.size != 3) fail("SESSION takes (TABLE t PARTITION BY key, DESCRIPTOR(ts), gap)")
       // micros, not seconds: session boundaries depend on exact rowtime
       // deltas (unlike the div-bucketed TVFs, whose edges are whole-second

@@ -334,7 +334,33 @@ object Relational3 {
         max($"l_orderkey").as("max_ok"))
   }
 
+  /** Flink-named scalar functions (SURVEY.md §2.8; [U] flink-table-planner
+    * BuiltInFunctionDefinitions): SPLIT_INDEX / JSON_VALUE / JSON_EXISTS /
+    * FROM_BASE64 / TO_BASE64 / TRUNCATE / TO_TIMESTAMP_LTZ registered by
+    * `graft.functions.FlinkFunctions` so this Flink SQL text runs as-is —
+    * each composed from Spark's codegen'd built-in expressions, oracled
+    * with DuckDB's native equivalents.
+    */
+  val q80_flink_funcs: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, d).createOrReplaceTempView("q80_events")
+    s.sql(
+      """SELECT event_id,
+        |  json_value(props, '$.k') AS k_str,
+        |  json_exists(props, '$.k') AS has_k,
+        |  json_exists(props, '$.missing') AS has_missing,
+        |  split_index(event_type, 'e', 1) AS seg1,
+        |  split_index(event_type, 'e', -1) AS seg_neg,
+        |  from_base64(to_base64(event_type)) AS b64_roundtrip,
+        |  CAST(truncate(value, 1) AS DOUBLE) AS trunc_pos,
+        |  CAST(truncate(0.0 - value, 1) AS DOUBLE) AS trunc_neg,
+        |  CAST(unix_millis(to_timestamp_ltz(unix_millis(ts), 3)) AS BIGINT) AS ts_ms,
+        |  CAST(unix_seconds(to_timestamp_ltz(unix_seconds(ts), 0)) AS BIGINT) AS ts_s
+        |FROM q80_events""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q80_flink_funcs" -> q80_flink_funcs,
     "q74_protobuf_roundtrip" -> q74_protobuf_roundtrip,
     "q71_lateral" -> sharedSql(Seq("nation", "customer"), lateralText),
     "q72_exists" -> sharedSql(Seq("supplier", "customer", "nation"), existsText),
@@ -355,6 +381,19 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q80_flink_funcs" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  (json_extract(props, '$.k') IS NOT NULL) AS has_k,
+        |  (json_extract(props, '$.missing') IS NOT NULL) AS has_missing,
+        |  list_extract(string_split(event_type, 'e'), 2) AS seg1,
+        |  CAST(NULL AS VARCHAR) AS seg_neg,
+        |  decode(from_base64(base64(encode(event_type)))) AS b64_roundtrip,
+        |  CAST(floor(CAST(value AS DECIMAL(18,9)) * 10) / 10 AS DOUBLE) AS trunc_pos,
+        |  CAST(ceil(CAST(0.0 - value AS DECIMAL(18,9)) * 10) / 10 AS DOUBLE) AS trunc_neg,
+        |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms,
+        |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS BIGINT) AS ts_s
+        |FROM events""".stripMargin,
     "q74_protobuf_roundtrip" ->
       """SELECT l_returnflag, l_linestatus,
         | count(*) AS n,

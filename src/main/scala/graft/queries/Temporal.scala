@@ -209,7 +209,26 @@ object Temporal {
         $"event_id", $"event_type", round($"value", 2).as("value"))
   }
 
+  /** Flink 1.x LEGACY group-window SQL ([U] flink-table-planner
+    * SqlStdOperatorTable TUMBLE group function + TUMBLE_START/TUMBLE_END
+    * auxiliaries; SURVEY.md §2.5): the pre-TVF syntax old pipelines still
+    * carry, lowered by `graft.plans.LegacyGroupWindow` onto the window-TVF
+    * form and from there to a plain-Spark subquery (under a
+    * `spark.sql.extensions=graft.GraftExtensions` session, plain
+    * `spark.sql` accepts the syntax too). Same oracle technique as q76.
+    */
+  val q81_legacy_group_window: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("q81_events")
+    s.sql(graft.plans.WindowTvf.rewrite(graft.plans.LegacyGroupWindow.rewrite(
+      """SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) AS window_start,
+        |  TUMBLE_END(ts, INTERVAL '5' MINUTE) AS window_end,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM q81_events
+        |GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE), event_type""".stripMargin)))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q81_legacy_group_window" -> q81_legacy_group_window,
     "q78_window_dedup" -> q78_window_dedup,
     "q77_cogroup_window" -> q77_cogroup_window,
     "q76_window_tvf_sql" -> q76_window_tvf_sql,
@@ -224,6 +243,14 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q81_legacy_group_window" ->
+      """WITH e AS (SELECT event_type, value,
+        |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS es
+        |           FROM events)
+        |SELECT make_timestamp((es // 300) * 300 * 1000000) AS window_start,
+        |       make_timestamp(((es // 300) * 300 + 300) * 1000000) AS window_end,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
     "q77_cogroup_window" ->
       """WITH v AS (SELECT user_id,
         |                  make_timestamp((epoch_ms(CAST(ts AS TIMESTAMP))//600000)*600000000) AS ws,

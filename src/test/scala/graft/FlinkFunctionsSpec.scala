@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+/** Flink-named scalar functions (graft.functions.FlinkFunctions;
+  * SURVEY.md §2.8): semantics pinned against the reference's documented
+  * behavior — SPLIT_INDEX's 0-based NULL-out-of-bounds contract,
+  * FROM/TO_BASE64 string typing, JSON_VALUE/JSON_EXISTS lax access,
+  * TRUNCATE toward zero, TO_TIMESTAMP_LTZ numeric-epoch precisions —
+  * and Spark's own to_timestamp_ltz string form must survive the
+  * name being shadowed.
+  */
+class FlinkFunctionsSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+
+  private def one(sql: String): Row = spark.sql(s"SELECT $sql").head()
+
+  test("split_index: 0-based, NULL out of bounds or negative, keeps empty segments") {
+    assert(one("split_index('a,b,c', ',', 0)").getString(0) == "a")
+    assert(one("split_index('a,b,c', ',', 2)").getString(0) == "c")
+    assert(one("split_index('a,b,c', ',', 3)").isNullAt(0)) // OOB → NULL, not ''
+    assert(one("split_index('a,b,c', ',', -1)").isNullAt(0)) // negative → NULL
+    assert(one("split_index('error', 'e', 1)").getString(0) == "rror")
+    assert(one("split_index('purchase', 'e', 1)").getString(0) == "") // trailing empty kept
+    assert(one("split_index('click', 'e', 1)").isNullAt(0)) // separator absent
+    assert(one("split_index(CAST(NULL AS STRING), ',', 0)").isNullAt(0))
+  }
+
+  test("to_base64 / from_base64: Flink's names, string in/string out") {
+    assert(one("to_base64('flink')").getString(0) == "Zmxpbms=")
+    assert(one("from_base64('Zmxpbms=')").getString(0) == "flink")
+    assert(one("from_base64(to_base64('héllo, wörld'))").getString(0) == "héllo, wörld")
+  }
+
+  test("json_value / json_exists: lax scalar access; NULL json propagates") {
+    assert(one("""json_value('{"k": 69}', '$.k')""").getString(0) == "69")
+    assert(one("""json_value('{"a": {"b": "x"}}', '$.a.b')""").getString(0) == "x")
+    assert(one("""json_value('{"k": 69}', '$.missing')""").isNullAt(0))
+    assert(one("""json_exists('{"k": 69}', '$.k')""").getBoolean(0))
+    assert(!one("""json_exists('{"k": 69}', '$.missing')""").getBoolean(0))
+    assert(one("""json_exists(CAST(NULL AS STRING), '$.k')""").isNullAt(0))
+  }
+
+  test("truncate: toward zero at scale n (floor above zero, ceil below), default scale 0") {
+    assert(one("CAST(truncate(3.35, 1) AS DOUBLE)").getDouble(0) == 3.3)
+    assert(one("CAST(truncate(-3.35, 1) AS DOUBLE)").getDouble(0) == -3.3)
+    assert(one("CAST(truncate(42.73) AS DOUBLE)").getDouble(0) == 42.0)
+    assert(one("CAST(truncate(-42.73) AS DOUBLE)").getDouble(0) == -42.0)
+    assert(one("CAST(truncate(CAST(2.999 AS DOUBLE), 2) AS DOUBLE)").getDouble(0) == 2.99)
+  }
+
+  test("to_timestamp_ltz: numeric epoch at precision 0/3/6; string form still Spark's") {
+    assert(one("unix_seconds(to_timestamp_ltz(1700000000, 0))").getLong(0) == 1700000000L)
+    assert(one("unix_millis(to_timestamp_ltz(1700000000123, 3))").getLong(0) == 1700000000123L)
+    assert(one("unix_micros(to_timestamp_ltz(1700000000123456, 6))").getLong(0) == 1700000000123456L)
+    // registering the Flink form must not break Spark's native string form
+    assert(one("unix_seconds(to_timestamp_ltz('2023-11-14 22:13:20'))").getLong(0) == 1700000000L)
+    assert(one("unix_seconds(to_timestamp_ltz('14/11/2023 22:13:20', 'dd/MM/yyyy HH:mm:ss'))")
+      .getLong(0) == 1700000000L)
+  }
+
+  test("the pack stays codegen-resident (no interpreted eval in the plan)") {
+    Tables.events(spark, TestSpark.sfDir).createOrReplaceTempView("ff_events")
+    val df = spark.sql(
+      """SELECT split_index(event_type, 'e', 1) AS a,
+        |  json_value(props, '$.k') AS b,
+        |  CAST(truncate(value, 1) AS DOUBLE) AS c
+        |FROM ff_events""".stripMargin)
+    // `*(n)` prefixes mark operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(df.limit(5).collect().nonEmpty)
+  }
+}

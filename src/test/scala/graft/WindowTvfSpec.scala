@@ -120,6 +120,72 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(h == Set((-180L, -60L), (-120L, 0L)))
   }
 
+  test("legacy GROUP BY TUMBLE lowers onto the TVF and equals native window()") {
+    import graft.plans.LegacyGroupWindow
+    val df = events
+    val got = spark.sql(WindowTvf.rewrite(LegacyGroupWindow.rewrite(
+      """SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) AS ws,
+        |  TUMBLE_END(ts, INTERVAL '5' MINUTE) AS we,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM tvf_events
+        |GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE), event_type""".stripMargin)))
+      .collect().map(_.toSeq).toSet
+    val want = df.groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start"), col("w.end"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("legacy GROUP BY HOP and SESSION lower with Flink arg orders and implicit keys") {
+    import graft.plans.LegacyGroupWindow
+    val df = events
+    val hop = spark.sql(WindowTvf.rewrite(LegacyGroupWindow.rewrite(
+      """SELECT HOP_START(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE) AS ws,
+        |  count(*) AS n
+        |FROM tvf_events
+        |GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)""".stripMargin)))
+      .collect().map(r => (r.getAs[java.sql.Timestamp](0).getTime, r.getLong(1))).toSet
+    val hopWant = df.groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start"), col("n"))
+      .collect().map(r => (r.getAs[java.sql.Timestamp](0).getTime, r.getLong(1))).toSet
+    assert(hop == hopWant && hop.nonEmpty)
+    // SESSION: the remaining group keys become the TVF's PARTITION BY, so
+    // per-user sessionization matches the native session_window
+    val sess = spark.sql(WindowTvf.rewrite(LegacyGroupWindow.rewrite(
+      """SELECT user_id, SESSION_START(ts, INTERVAL '5' MINUTE) AS ws,
+        |  count(*) AS n
+        |FROM tvf_events
+        |GROUP BY SESSION(ts, INTERVAL '5' MINUTE), user_id""".stripMargin)))
+      .collect().map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1).getTime, r.getLong(2))).toSet
+    val sessWant = df.groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1).getTime, r.getLong(2))).toSet
+    assert(sess == sessWant && sess.nonEmpty)
+  }
+
+  test("legacy group windows reject unsupported shapes with clear errors") {
+    import graft.plans.LegacyGroupWindow
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](LegacyGroupWindow.rewrite(sql)).getMessage
+    assert(err("SELECT count(*) FROM a JOIN b ON a.x = b.x GROUP BY TUMBLE(ts, INTERVAL '1' MINUTE)")
+      .contains("single table"))
+    assert(err("""SELECT TUMBLE_START(ts, INTERVAL '2' MINUTE) FROM t
+                 |GROUP BY TUMBLE(ts, INTERVAL '1' MINUTE)""".stripMargin)
+      .contains("repeat"))
+    assert(err("SELECT TUMBLE_PROCTIME(ts, INTERVAL '1' MINUTE) FROM t GROUP BY TUMBLE(ts, INTERVAL '1' MINUTE)")
+      .contains("no batch equivalent"))
+    // TUMBLE_ROWTIME maps to Flink's max-timestamp (end - 1 ms)
+    val rt = LegacyGroupWindow.rewrite(
+      "SELECT TUMBLE_ROWTIME(ts, INTERVAL '1' MINUTE) FROM t GROUP BY TUMBLE(ts, INTERVAL '1' MINUTE)")
+    assert(rt.contains("window_end - INTERVAL '1' MILLISECOND"))
+    // statements without a legacy group window pass through untouched
+    val plain = "SELECT event_type, count(*) FROM t GROUP BY event_type"
+    assert(LegacyGroupWindow.rewrite(plain) == plain)
+  }
+
   test("injected parser path accepts the TVF syntax; malformed args fail clearly") {
     events
     val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
