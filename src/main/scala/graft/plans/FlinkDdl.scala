@@ -1,0 +1,242 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Flink `CREATE TABLE ... WITH ('connector' = ...)` DDL — the first
+  * statement every migrating pipeline runs ([U] flink-table-planner
+  * SqlCreateTable + flink-connector-files / flink-connector-datagen;
+  * SURVEY.md §3.1). Translated onto Spark's own readers and registered
+  * as a session temp view (the zero-egress analog of Flink's in-memory
+  * catalog; TEMPORARY and permanent tables land in the same place,
+  * documented delta):
+  *
+  * {{{
+  * CREATE TABLE orders (
+  *   o_orderkey BIGINT,
+  *   o_totalprice DOUBLE,
+  *   ship_ts TIMESTAMP(3),
+  *   total_cents AS CAST(o_totalprice * 100 AS BIGINT),
+  *   WATERMARK FOR ship_ts AS ship_ts - INTERVAL '5' SECOND
+  * ) WITH ('connector' = 'filesystem', 'path' = '/data/orders.parquet',
+  *         'format' = 'parquet')
+  * }}}
+  *
+  * Supported connectors: `filesystem` (formats parquet/csv/json/orc —
+  * Spark's DataFrameReader with the declared schema), `datagen` (bounded
+  * deterministic rows shaped to the DECLARED schema, hash-derived like
+  * [[graft.sources.DataGen]]; `number-of-rows` option), `print` /
+  * `blackhole` (registered as zero-row sink markers so downstream DDL
+  * referencing them resolves). Computed columns (`name AS expr`) become
+  * view projections. `WATERMARK FOR c AS c - INTERVAL ...` is parsed and
+  * recorded in [[watermarkOf]] (batch reads ignore it; streaming readers
+  * apply it via `withWatermark` — Spark has no table-attached watermark).
+  * `PRIMARY KEY ... NOT ENFORCED` is accepted and ignored (Flink does
+  * not enforce it either). Everything else fails with a clear error.
+  */
+object FlinkDdl {
+
+  private val createRe =
+    raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\(".r
+  private val withRe = raw"(?is)\bWITH\s*\(".r
+  private val optRe = raw"(?s)'((?:[^'\\]|\\.)*)'\s*=\s*'((?:[^'\\]|\\.)*)'".r
+  private val watermarkRe =
+    raw"(?is)^WATERMARK\s+FOR\s+([A-Za-z_]\w*)\s+AS\s+(.+)$$".r
+  private val computedRe = raw"(?is)^([A-Za-z_]\w*)\s+AS\s+(.+)$$".r
+  private val pkRe = raw"(?is)^(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\b.*$$".r
+  private val physicalRe = raw"(?is)^([A-Za-z_]\w*)\s+(.+?)(\s+NOT\s+NULL)?(\s+COMMENT\s+'[^']*')?$$".r
+  private val delayRe = raw"(?is)^([A-Za-z_]\w*)\s*-\s*INTERVAL\s+'([\d.]+)'\s+(\w+)$$".r
+
+  /** table → (rowtime column, watermark delay, e.g. "5 seconds"). */
+  private val wmRegistry = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** table → (connector, path, format, declared schema) for every
+    * DDL-registered table — lets INSERT INTO route to the sink and
+    * streaming reads re-derive the source.
+    */
+  private val tableRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, StructType)]()
+
+  def watermarkOf(table: String): Option[(String, String)] =
+    Option(wmRegistry.get(table.toLowerCase))
+
+  def registered(table: String): Option[(String, String, String, StructType)] =
+    Option(tableRegistry.get(table.toLowerCase))
+
+  def containsClause(sqlText: String): Boolean =
+    createRe.findFirstIn(sqlText).isDefined &&
+      raw"(?i)'\s*connector\s*'".r.findFirstIn(sqlText).isDefined
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"Flink DDL: $msg")
+
+  /** Execute the DDL: register `name` as a temp view over the translated
+    * source. Returns the table name.
+    */
+  def execute(spark: SparkSession, sqlText: String): String = {
+    val m = createRe.findFirstMatchIn(sqlText).getOrElse(fail("not a CREATE TABLE"))
+    val name = m.group(1)
+    val colsClose = WindowTvf.matchParen(sqlText, m.end - 1)
+    val colDefs = WindowTvf.splitArgs(sqlText.substring(m.end, colsClose))
+    val wm = withRe.findFirstMatchIn(sqlText.substring(colsClose + 1))
+      .getOrElse(fail("WITH ('connector' = ...) options are required"))
+    val withOpen = colsClose + 1 + wm.end - 1
+    val withClose = WindowTvf.matchParen(sqlText, withOpen)
+    val opts = optRe.findAllMatchIn(sqlText.substring(withOpen + 1, withClose))
+      .map(o => o.group(1).toLowerCase -> o.group(2)).toMap
+
+    var physical = Vector.empty[(String, String)] // (name, spark type DDL)
+    var computed = Vector.empty[(String, String)] // (name, expr)
+    colDefs.foreach {
+      case w if watermarkRe.findFirstIn(w).isDefined =>
+        val wmm = watermarkRe.findFirstMatchIn(w).get
+        wmm.group(2).trim match {
+          case delayRe(c, n, unit) if c == wmm.group(1) =>
+            wmRegistry.put(name.toLowerCase, (c, s"$n ${unit.toLowerCase}s"))
+          case other => fail(s"unsupported watermark expression `$other` " +
+            "(supported: <col> - INTERVAL '<n>' <unit>)")
+        }
+      case p if pkRe.findFirstIn(p).isDefined => // accepted, not enforced
+      case computedRe(n, expr) if !raw"(?is)^(NOT|COMMENT)\b".r.findFirstIn(expr).isDefined =>
+        computed :+= (n -> expr)
+      case physicalRe(n, tpe, _, _) => physical :+= (n -> sparkType(tpe.trim))
+      case other => fail(s"unsupported column definition `$other`")
+    }
+    if (physical.isEmpty) fail("at least one physical column is required")
+    val schema = StructType.fromDDL(physical.map { case (n, t) => s"$n $t" }.mkString(", "))
+
+    val connector = opts.getOrElse("connector", fail("'connector' option is required"))
+    val base: DataFrame = connector match {
+      case "filesystem" =>
+        val path = opts.getOrElse("path", fail("filesystem connector requires 'path'"))
+        val fmt = opts.getOrElse("format", fail("filesystem connector requires 'format'"))
+        // a sink-role table's path may not exist yet (Flink's filesystem
+        // table is source and sink in one) — start empty; INSERT INTO
+        // re-registers the view over the written data
+        if (!pathExists(spark, path)) empty(spark, schema)
+        else readFs(spark, fmt, schema, path, opts)
+      case "datagen" =>
+        datagen(spark, schema, opts.getOrElse("number-of-rows", "1000").toLong)
+      case "print" | "blackhole" =>
+        // sink-only connectors: register an empty relation so the name
+        // resolves; INSERT INTO routing is the caller's concern
+        empty(spark, schema)
+      case other => fail(s"unsupported connector '$other' " +
+        "(supported: filesystem, datagen, print, blackhole)")
+    }
+    val df = if (computed.isEmpty) base
+      else base.selectExpr("*" +: computed.map { case (n, e) => s"($e) AS $n" }: _*)
+    df.createOrReplaceTempView(name)
+    tableRegistry.put(name.toLowerCase,
+      (connector, opts.getOrElse("path", ""), opts.getOrElse("format", ""), schema))
+    name
+  }
+
+  private val insertRe = raw"(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(SELECT\b.*|VALUES\b.*)$$".r
+
+  /** True iff `sqlText` is INSERT INTO a DDL-registered table — the
+    * statement shape every Flink pipeline ends with.
+    */
+  def isInsert(sqlText: String): Boolean =
+    insertRe.findFirstMatchIn(sqlText).exists(m => registered(m.group(1)).isDefined)
+
+  /** Execute INSERT INTO a DDL-registered sink: `blackhole` discards via
+    * Spark's noop writer (the load-test shape), `print` shows the rows,
+    * `filesystem` appends with the declared format. Returns the sunk
+    * row count (Flink's INSERT result is a job handle; a count is the
+    * batch analog).
+    */
+  def executeInsert(spark: SparkSession, sqlText: String): Long = {
+    val m = insertRe.findFirstMatchIn(sqlText).getOrElse(fail("not an INSERT INTO"))
+    val name = m.group(1)
+    val (connector, path, fmt, _) = registered(name).getOrElse(fail(s"unknown table $name"))
+    val df = spark.sql(m.group(2))
+    connector match {
+      case "blackhole" => df.write.format("noop").mode("overwrite").save()
+      case "print" => df.show(20, truncate = false)
+      case "filesystem" =>
+        df.write.format(fmt).mode("append").save(path)
+        // the view may have been registered over a then-absent path;
+        // re-point it at the written data (physical columns only)
+        registered(name).foreach { case (_, _, _, schema) =>
+          readFs(spark, fmt, schema, path, Map.empty).createOrReplaceTempView(name)
+        }
+      case other => fail(s"INSERT INTO a '$other' table is not supported")
+    }
+    df.count()
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def empty(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def readFs(spark: SparkSession, fmt: String, schema: StructType,
+      path: String, opts: Map[String, String]): DataFrame = fmt match {
+    case "parquet" | "orc" => spark.read.format(fmt).schema(schema).load(path)
+    case "json" => spark.read.schema(schema).json(path)
+    case "csv" => spark.read.schema(schema)
+      .option("header", opts.getOrElse("csv.include-header", "false"))
+      .option("sep", opts.getOrElse("csv.field-delimiter", ","))
+      .csv(path)
+    case other => fail(s"unsupported filesystem format '$other'")
+  }
+
+  /** Streaming read of a DDL-registered filesystem table, applying the
+    * recorded WATERMARK clause via `withWatermark` (Spark's equivalent
+    * of Flink's table-attached watermark; no-op if none was declared).
+    */
+  def readStream(spark: SparkSession, table: String): DataFrame = {
+    val (connector, path, fmt, schema) = registered(table)
+      .getOrElse(fail(s"unknown table $table"))
+    if (connector != "filesystem") fail(s"readStream supports filesystem tables, not '$connector'")
+    val df = spark.readStream.schema(schema).format(fmt).load(path)
+    watermarkOf(table) match {
+      case Some((c, delay)) => df.withWatermark(c, delay)
+      case None => df
+    }
+  }
+
+  /** Flink type name → Spark DDL type (recursive constructors handled
+    * textually: ROW< → STRUCT<; precision-carrying timestamps collapse
+    * to Spark's microsecond timestamp).
+    */
+  private[plans] def sparkType(t: String): String = {
+    var s = t
+    s = raw"(?i)\bTIMESTAMP_LTZ\s*(\(\d\))?".r.replaceAllIn(s, "TIMESTAMP")
+    s = raw"(?i)\bTIMESTAMP\s*\(\d\)".r.replaceAllIn(s, "TIMESTAMP")
+    s = raw"(?i)\bVARCHAR\s*\(\d+\)|\bCHAR\s*\(\d+\)".r.replaceAllIn(s, "STRING")
+    s = raw"(?i)\bVARBINARY\s*\(\d+\)|\bBYTES\b".r.replaceAllIn(s, "BINARY")
+    s = raw"(?i)\bROW\s*<".r.replaceAllIn(s, "STRUCT<")
+    s
+  }
+
+  /** Bounded rows shaped to the declared schema — per-column values are
+    * hash-derived from the row sequence (deterministic, no RNG), the
+    * same posture as [[graft.sources.DataGen]].
+    */
+  private def datagen(spark: SparkSession, schema: StructType, n: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val seq = spark.range(n)
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      val h = xxhash64(col("id"), lit(i))
+      val c = f.dataType match {
+        case LongType | IntegerType | ShortType => pmod(h, lit(1000000L)).cast(f.dataType)
+        case DoubleType | FloatType | _: DecimalType =>
+          (pmod(h, lit(100000L)).cast("double") / 100.0).cast(f.dataType)
+        case StringType => concat(lit("v"), pmod(h, lit(1000L)))
+        case BooleanType => pmod(h, lit(2L)) === 0
+        case TimestampType => timestamp_seconds(lit(1700000000L) + pmod(h, lit(86400L)))
+        case DateType => date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          pmod(h, lit(365L)).cast("int"))
+        case other => fail(s"datagen cannot shape type $other for column ${f.name}")
+      }
+      c.as(f.name)
+    }
+    seq.select(cols.toIndexedSeq: _*)
+  }
+}

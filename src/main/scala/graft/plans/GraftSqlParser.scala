@@ -30,6 +30,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = {
+    if (FlinkDdl.containsClause(sqlText)) {
+      // connector DDL registers its view eagerly; the statement itself
+      // resolves to Flink's `OK` result row
+      val name = FlinkDdl.execute(session, sqlText)
+      return delegate.parsePlan(s"SELECT 'OK' AS result, '$name' AS table_name")
+    }
+    if (FlinkDdl.isInsert(sqlText)) {
+      val n = FlinkDdl.executeInsert(session, sqlText)
+      return delegate.parsePlan(s"SELECT 'OK' AS result, ${n}L AS rows_sunk")
+    }
     val t = tvf(sqlText)
     if (MatchRecognize.containsClause(t)) viaMr(t)
     else delegate.parsePlan(t)

@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.FlinkDdl
+
+/** Flink connector DDL (graft.plans.FlinkDdl; SURVEY.md §3.1): CREATE
+  * TABLE ... WITH ('connector' = ...) statements register Spark temp
+  * views over the translated sources — filesystem formats read with the
+  * declared schema, computed columns project, watermark clauses are
+  * recorded, datagen shapes deterministic rows to the declared schema.
+  */
+class FlinkDdlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("filesystem parquet table reads with the declared schema; computed column projects") {
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_orders (
+         |  o_orderkey BIGINT,
+         |  o_custkey BIGINT,
+         |  o_totalprice DOUBLE,
+         |  o_orderpriority VARCHAR(15),
+         |  total_cents AS CAST(round(o_totalprice * 100, 0) AS BIGINT)
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${TestSpark.sfDir}/orders.parquet',
+         |  'format' = 'parquet'
+         |)""".stripMargin)
+    val got = spark.table("ddl_orders")
+    assert(got.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "total_cents"))
+    val direct = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+    assert(got.count() == direct.count() && got.count() > 0)
+    // column pruning must still reach the scan through the view
+    val one = got.filter(col("o_orderkey") === direct.select("o_orderkey").head().getLong(0))
+      .head()
+    assert(one.getAs[Long]("total_cents") ==
+      math.round(one.getAs[Double]("o_totalprice") * 100))
+  }
+
+  test("watermark clause is recorded; PRIMARY KEY NOT ENFORCED is accepted") {
+    FlinkDdl.execute(spark,
+      s"""CREATE TEMPORARY TABLE IF NOT EXISTS ddl_events (
+         |  event_id BIGINT NOT NULL,
+         |  ts TIMESTAMP(3),
+         |  value DOUBLE,
+         |  PRIMARY KEY (event_id) NOT ENFORCED,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${TestSpark.sfDir}/orders.parquet',
+         |  'format' = 'parquet'
+         |)""".stripMargin)
+    assert(FlinkDdl.watermarkOf("ddl_events") == Some(("ts", "5 seconds")))
+    assert(FlinkDdl.watermarkOf("DDL_EVENTS") == Some(("ts", "5 seconds")))
+    assert(FlinkDdl.watermarkOf("nope").isEmpty)
+  }
+
+  test("datagen connector shapes deterministic rows to the declared schema") {
+    FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen (
+        |  k BIGINT,
+        |  name STRING,
+        |  amount DOUBLE,
+        |  flag BOOLEAN,
+        |  ts TIMESTAMP(3),
+        |  d DATE
+        |) WITH ('connector' = 'datagen', 'number-of-rows' = '100')""".stripMargin)
+    val df = spark.table("ddl_gen")
+    assert(df.count() == 100)
+    assert(df.schema.map(_.dataType.typeName).toSeq ==
+      Seq("long", "string", "double", "boolean", "timestamp", "date"))
+    // deterministic: same DDL, same rows
+    FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen2 (
+        |  k BIGINT,
+        |  name STRING,
+        |  amount DOUBLE,
+        |  flag BOOLEAN,
+        |  ts TIMESTAMP(3),
+        |  d DATE
+        |) WITH ('connector' = 'datagen', 'number-of-rows' = '100')""".stripMargin)
+    assert(df.collect().toSeq == spark.table("ddl_gen2").collect().toSeq)
+  }
+
+  test("the injected parser executes connector DDL inside spark.sql") {
+    val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
+    parser.parsePlan(
+      s"""CREATE TABLE ddl_parsed (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE
+         |) WITH ('connector' = 'filesystem',
+         |        'path' = '${TestSpark.sfDir}/orders.parquet',
+         |        'format' = 'parquet')""".stripMargin)
+    assert(spark.table("ddl_parsed").count() > 0)
+    // plain DDL (no connector) still goes to Spark's parser untouched
+    assert(!FlinkDdl.containsClause("CREATE TABLE t (a INT) USING parquet"))
+  }
+
+  private def createOrders(): Unit = FlinkDdl.execute(spark,
+    s"""CREATE TABLE ddl_orders (
+       |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE
+       |) WITH ('connector' = 'filesystem',
+       |        'path' = '${TestSpark.sfDir}/orders.parquet',
+       |        'format' = 'parquet')""".stripMargin)
+
+  test("INSERT INTO routes to blackhole and filesystem sinks through the parser") {
+    createOrders()
+    val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
+    FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_sink_bh (k BIGINT, n BIGINT)
+        |WITH ('connector' = 'blackhole')""".stripMargin)
+    // parse executes the sink write eagerly; the plan resolves to OK
+    parser.parsePlan(
+      "INSERT INTO ddl_sink_bh SELECT o_custkey AS k, count(*) AS n FROM ddl_orders GROUP BY o_custkey")
+    val out = java.nio.file.Files.createTempDirectory("ddl_fs_sink").toString
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_sink_fs (k BIGINT, n BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$out/t', 'format' = 'parquet')""".stripMargin)
+    val sunk = FlinkDdl.executeInsert(spark,
+      "INSERT INTO ddl_sink_fs SELECT o_custkey AS k, count(*) AS n FROM ddl_orders GROUP BY o_custkey")
+    assert(sunk > 0)
+    assert(spark.read.parquet(s"$out/t").count() == sunk)
+    // the table view now serves the written data (it was empty pre-insert)
+    assert(spark.table("ddl_sink_fs").count() == sunk)
+    // INSERT INTO an unregistered table is NOT intercepted
+    assert(!FlinkDdl.isInsert("INSERT INTO some_other_table SELECT 1"))
+  }
+
+  test("readStream re-derives a filesystem table as a stream with its declared watermark") {
+    // fixture events.parquet has nanos ts; stage a micros copy in /tmp
+    val dir = java.nio.file.Files.createTempDirectory("ddl_stream").toString
+    Tables.events(spark, TestSpark.sfDir)
+      .select("event_id", "user_id", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events_ts.parquet")
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_stream_src (
+         |  event_id BIGINT,
+         |  user_id BIGINT,
+         |  value DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '10' SECOND,
+         |  ts TIMESTAMP(3)
+         |) WITH ('connector' = 'filesystem',
+         |        'path' = '$dir/events_ts.parquet',
+         |        'format' = 'parquet')""".stripMargin)
+    val df = FlinkDdl.readStream(spark, "ddl_stream_src")
+    assert(df.isStreaming)
+    assert(df.queryExecution.logical.toString.contains("EventTimeWatermark"))
+  }
+
+  test("unsupported shapes fail with clear errors") {
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](FlinkDdl.execute(spark, sql)).getMessage
+    assert(err("CREATE TABLE t (a INT) WITH ('connector' = 'kafka')").contains("unsupported connector"))
+    assert(err("CREATE TABLE t (a INT) WITH ('path' = '/x')").contains("'connector'"))
+    assert(err("""CREATE TABLE t (a INT, WATERMARK FOR a AS now())
+                 |WITH ('connector' = 'datagen')""".stripMargin)
+      .contains("watermark"))
+  }
+}

@@ -73,7 +73,10 @@ class FunctionsSpec extends AnyFunSuite {
     // unit-level: the extension registers exactly the declared builders
     val names = graft.functions.GraftFunctions.builders.map(_._1).toSet
     assert(names == Set("graft_dot", "graft_winnow", "graft_byte_histogram",
-      "graft_image_header", "graft_topk_indices"))
+      "graft_image_header", "graft_topk_indices",
+      // the Flink-named dialect pack rides the same injection path
+      "split_index", "from_base64", "to_base64", "json_value", "json_exists",
+      "truncate", "to_timestamp_ltz"))
     // integration-level: a fresh session with the extensions conf resolves
     // the functions without any explicit register() call
     val s2 = org.apache.spark.sql.SparkSession.builder()
