@@ -60,6 +60,13 @@ object FlinkFunctions {
       nArgs("json_value", e, 2)
       GetJsonObject(e(0), e(1))
     },
+    // JSON_QUERY returns the JSON TEXT at the path (objects/arrays);
+    // get_json_object already yields raw fragments for non-scalars, so
+    // the lax 2-arg forms coincide (WITHOUT ARRAY wrapper behavior)
+    "json_query" -> { e =>
+      nArgs("json_query", e, 2)
+      GetJsonObject(e(0), e(1))
+    },
     "json_exists" -> { e =>
       nArgs("json_exists", e, 2)
       If(IsNull(e(0)), Literal.create(null, BooleanType),

@@ -55,6 +55,13 @@ object MakeScale {
         .withColumn("l_partkey", col("l_partkey") + lit(i * keyOffset))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * keyOffset))
     }
+    // events: ids/users shifted per copy, rowtimes unchanged — the
+    // per-user event-time structure (sessions, windows, patterns) stays
+    // identical per copy while user count and window sizes grow ×N
+    replicate("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * keyOffset))
+        .withColumn("user_id", col("user_id") + lit(i * keyOffset))
+    }
     replicate("documents") { (df, i) =>
       val d = df.withColumn("doc_id", col("doc_id") + lit(i * keyOffset))
         .withColumn("source", concat(col("source"), lit(s"_$i")))

@@ -147,6 +147,40 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(df.queryExecution.logical.toString.contains("EventTimeWatermark"))
   }
 
+  test("end-to-end Flink script shape: DDL source → watermarked stream → windowed agg") {
+    val dir = java.nio.file.Files.createTempDirectory("ddl_e2e").toString
+    Tables.events(spark, TestSpark.sfDir)
+      .select("event_id", "user_id", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/ev.parquet")
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_e2e_src (
+         |  event_id BIGINT, user_id BIGINT, value DOUBLE, ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '10' SECOND
+         |) WITH ('connector' = 'filesystem',
+         |        'path' = '$dir/ev.parquet', 'format' = 'parquet')""".stripMargin)
+    val q = FlinkDdl.readStream(spark, "ddl_e2e_src")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+      .writeStream.outputMode("append").format("memory").queryName("ddl_e2e").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ddl_e2e").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("ws").getTime -> r.getAs[Long]("n")).toMap
+      val batch = spark.read.parquet(s"$dir/ev.parquet")
+        .groupBy(window(col("ts"), "10 minutes").as("w")).agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getAs[org.apache.spark.sql.Row]("w")
+          .getAs[java.sql.Timestamp]("start").getTime -> r.getAs[Long]("n")).toMap
+      // append mode emits only watermark-closed windows: every emitted
+      // window must carry the exact batch count, and all but the tail
+      // window (held open by the 10 s delay) must have emitted
+      assert(got.nonEmpty)
+      got.foreach { case (ws, n) => assert(batch(ws) == n, s"window $ws") }
+      assert(got.size >= batch.size - 1)
+    } finally q.stop()
+  }
+
   test("unsupported shapes fail with clear errors") {
     def err(sql: String): String =
       intercept[IllegalArgumentException](FlinkDdl.execute(spark, sql)).getMessage

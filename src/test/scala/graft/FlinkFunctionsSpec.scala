@@ -44,6 +44,9 @@ class FlinkFunctionsSpec extends AnyFunSuite {
     assert(one("""json_exists('{"k": 69}', '$.k')""").getBoolean(0))
     assert(!one("""json_exists('{"k": 69}', '$.missing')""").getBoolean(0))
     assert(one("""json_exists(CAST(NULL AS STRING), '$.k')""").isNullAt(0))
+    // JSON_QUERY: fragment (object/array) access as JSON text
+    assert(one("""json_query('{"a": {"b": 1}}', '$.a')""").getString(0) == """{"b":1}""")
+    assert(one("""json_query('{"a": [1, 2, 3]}', '$.a')""").getString(0) == "[1,2,3]")
   }
 
   test("truncate: toward zero at scale n (floor above zero, ceil below), default scale 0") {

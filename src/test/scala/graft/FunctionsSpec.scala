@@ -75,8 +75,8 @@ class FunctionsSpec extends AnyFunSuite {
     assert(names == Set("graft_dot", "graft_winnow", "graft_byte_histogram",
       "graft_image_header", "graft_topk_indices",
       // the Flink-named dialect pack rides the same injection path
-      "split_index", "from_base64", "to_base64", "json_value", "json_exists",
-      "truncate", "to_timestamp_ltz"))
+      "split_index", "from_base64", "to_base64", "json_value", "json_query",
+      "json_exists", "truncate", "to_timestamp_ltz"))
     // integration-level: a fresh session with the extensions conf resolves
     // the functions without any explicit register() call
     val s2 = org.apache.spark.sql.SparkSession.builder()
