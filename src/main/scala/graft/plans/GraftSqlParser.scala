@@ -42,12 +42,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     }
     val t = tvf(sqlText)
     if (MatchRecognize.containsClause(t)) viaMr(t)
+    else if (SystemTimeJoin.containsClause(t))
+      SystemTimeJoin.sql(session, t).queryExecution.logical
     else delegate.parsePlan(t)
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = {
     val t = tvf(sqlText)
     if (MatchRecognize.containsClause(t)) viaMr(t)
+    else if (SystemTimeJoin.containsClause(t))
+      SystemTimeJoin.sql(session, t).queryExecution.logical
     else delegate.parseQuery(t)
   }
 

@@ -227,7 +227,32 @@ object Temporal {
         |GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE), event_type""".stripMargin)))
   }
 
+  /** Flink temporal-join SQL (`FOR SYSTEM_TIME AS OF`, [U]
+    * flink-table-planner SqlSnapshot): the q24 as-of class driven through
+    * the SQL surface — `graft.plans.SystemTimeJoin` lowers the clause
+    * onto the AsOfJoin carry-forward plan (under a
+    * `spark.sql.extensions=graft.GraftExtensions` session, plain
+    * `spark.sql` accepts it too). INNER semantics (version-less clicks
+    * drop); oracled by DuckDB's native ASOF JOIN.
+    */
+  val q82_system_time_join: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d)
+    e.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("v_id"))
+      .createOrReplaceTempView("q82_views")
+    e.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id", $"ts")
+      .createOrReplaceTempView("q82_clicks")
+    graft.plans.SystemTimeJoin.sql(s,
+      """SELECT c.c_id, c.user_id, r.v_id
+        |FROM q82_clicks AS c
+        |JOIN q82_views FOR SYSTEM_TIME AS OF c.ts AS r
+        |  ON r.user_id = c.user_id""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q82_system_time_join" -> q82_system_time_join,
     "q81_legacy_group_window" -> q81_legacy_group_window,
     "q78_window_dedup" -> q78_window_dedup,
     "q77_cogroup_window" -> q77_cogroup_window,
@@ -243,6 +268,13 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q82_system_time_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, ts, max(event_id) AS v_id FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id, ts),
+        |c AS (SELECT event_id AS c_id, user_id, ts FROM e WHERE event_type = 'click')
+        |SELECT c.c_id, c.user_id, v.v_id
+        |FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
     "q81_legacy_group_window" ->
       """WITH e AS (SELECT event_type, value,
         |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS es

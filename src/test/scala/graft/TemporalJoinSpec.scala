@@ -15,6 +15,63 @@ class TemporalJoinSpec extends AnyFunSuite {
   private def in(key: Long, side: Int, id: Long, sec: Long, v: Double) =
     Raw(key, side.toLong * 1000000 + id, new java.sql.Timestamp(sec * 1000), v)
 
+  test("FOR SYSTEM_TIME AS OF SQL lowers onto the as-of carry-forward plan") {
+    import spark.implicits._
+    // rates versioned at t=0/100/200 for ccy A, t=50 for ccy B
+    Seq(("A", ts(0), 1.0), ("A", ts(100), 2.0), ("A", ts(200), 3.0), ("B", ts(50), 9.0))
+      .toDF("ccy", "rts", "rate").createOrReplaceTempView("stj_rates")
+    Seq((1L, "A", ts(99)), (2L, "A", ts(100)), (3L, "A", ts(500)),
+        (4L, "B", ts(10)), (5L, "C", ts(100)))
+      .toDF("oid", "ccy", "ots").createOrReplaceTempView("stj_orders")
+    // rowtime columns are differently named → the AS OF column must exist
+    // on the right too; re-expose the rate rowtime under the probe's name
+    spark.table("stj_rates").withColumnRenamed("rts", "ots")
+      .createOrReplaceTempView("stj_rates2")
+    val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
+    val inner = graft.plans.SystemTimeJoin.sql(spark,
+      """SELECT o.oid, r.rate FROM stj_orders AS o
+        |JOIN stj_rates2 FOR SYSTEM_TIME AS OF o.ots AS r ON r.ccy = o.ccy""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // order 1 @99 → rate 1.0; order 2 @100 → 2.0 (at-or-before includes
+    // the equal-time version); order 3 @500 → 3.0; order 4 @10 → no
+    // version yet (B starts at 50) → dropped; order 5 ccy C → dropped
+    assert(inner == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    // LEFT JOIN keeps version-less probes with null rate
+    val louter = graft.plans.SystemTimeJoin.sql(spark,
+      """SELECT o.oid, r.rate FROM stj_orders AS o
+        |LEFT JOIN stj_rates2 FOR SYSTEM_TIME AS OF o.ots AS r ON r.ccy = o.ccy""".stripMargin)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1))).toSet
+    assert(louter == Set((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, null), (5L, null)))
+    // the injected parser accepts the syntax inside a plain statement
+    assert(parser.parsePlan(
+      """SELECT o.oid FROM stj_orders AS o
+        |JOIN stj_rates2 FOR SYSTEM_TIME AS OF o.ots AS r ON r.ccy = o.ccy""".stripMargin) != null)
+    // a DDL-declared watermark names the versioned side's rowtime, so
+    // differently-named time columns need no rename
+    val dir = java.nio.file.Files.createTempDirectory("stj_ddl").toString
+    spark.table("stj_rates").write.mode("overwrite").parquet(s"$dir/rates.parquet")
+    graft.plans.FlinkDdl.execute(spark,
+      s"""CREATE TABLE stj_rates_ddl (
+         |  ccy STRING, rts TIMESTAMP(3), rate DOUBLE,
+         |  WATERMARK FOR rts AS rts - INTERVAL '1' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/rates.parquet',
+         |        'format' = 'parquet')""".stripMargin)
+    val viaDdl = graft.plans.SystemTimeJoin.sql(spark,
+      """SELECT o.oid, r.rate FROM stj_orders AS o
+        |JOIN stj_rates_ddl FOR SYSTEM_TIME AS OF o.ots AS r ON r.ccy = o.ccy""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(viaDdl == inner)
+    // unsupported shapes fail clearly
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.SystemTimeJoin.sql(spark,
+        """SELECT o.oid FROM stj_orders AS o
+          |JOIN stj_rates2 FOR SYSTEM_TIME AS OF o.ots AS r ON r.ccy < o.ccy""".stripMargin)
+    }
+    assert(e.getMessage.contains("ON condition"))
+  }
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
   test("as-of join resolves probes against the latest version at-or-before") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
