@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Max}
 import org.apache.spark.sql.types._
 
 /** Flink-named scalar functions Spark lacks, so Flink SQL text runs
@@ -77,6 +78,19 @@ object FlinkFunctions {
       val n = if (e.length > 1) e(1) else Literal(0)
       If(GreaterThanOrEqual(e(0), Literal(0)),
         RoundFloor(e(0), n), RoundCeil(e(0), n))
+    },
+    // SINGLE_VALUE(x): the group's sole value, error on >1 row — Flink's
+    // scalar-subquery enforcement aggregate. Composed as
+    // if(count(1) > 1, <raise>, max(x)): two partial-merge aggregates in
+    // one buffer row, still map-side combinable; AssertTrue's NullType
+    // coerces to max(x)'s type in the If branches.
+    "single_value" -> { e =>
+      nArgs("single_value", e, 1)
+      val rows = Count(Seq(Literal(1))).toAggregateExpression()
+      If(GreaterThan(rows, Literal(1L)),
+        new AssertTrue(Literal(false),
+          Literal("SINGLE_VALUE: more than one row in group")),
+        Max(e(0)).toAggregateExpression())
     },
     "to_timestamp_ltz" -> { e =>
       (e.lift(1), e.length) match {

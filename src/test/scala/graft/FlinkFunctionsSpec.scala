@@ -67,6 +67,22 @@ class FlinkFunctionsSpec extends AnyFunSuite {
       .getLong(0) == 1700000000L)
   }
 
+  test("single_value: the group's sole value; >1 row in a group raises") {
+    import spark.implicits._
+    Seq((1, "a"), (2, "b"), (2, "c")).toDF("k", "v").createOrReplaceTempView("sv_t")
+    val ok = spark.sql("SELECT single_value(v) AS v FROM sv_t WHERE k = 1 GROUP BY k")
+      .head().getString(0)
+    assert(ok == "a")
+    val e = intercept[Exception] {
+      spark.sql("SELECT single_value(v) AS v FROM sv_t GROUP BY k").collect()
+    }
+    assert(e.getMessage.contains("SINGLE_VALUE") ||
+      Option(e.getCause).exists(_.getMessage.contains("SINGLE_VALUE")))
+    // a single NULL row is one row, not an error
+    assert(spark.sql("SELECT single_value(CAST(NULL AS STRING)) AS v FROM range(1)")
+      .head().isNullAt(0))
+  }
+
   test("the pack stays codegen-resident (no interpreted eval in the plan)") {
     Tables.events(spark, TestSpark.sfDir).createOrReplaceTempView("ff_events")
     val df = spark.sql(

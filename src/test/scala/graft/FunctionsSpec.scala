@@ -76,7 +76,7 @@ class FunctionsSpec extends AnyFunSuite {
       "graft_image_header", "graft_topk_indices",
       // the Flink-named dialect pack rides the same injection path
       "split_index", "from_base64", "to_base64", "json_value", "json_query",
-      "json_exists", "truncate", "to_timestamp_ltz"))
+      "json_exists", "truncate", "to_timestamp_ltz", "single_value"))
     // integration-level: a fresh session with the extensions conf resolves
     // the functions without any explicit register() call
     val s2 = org.apache.spark.sql.SparkSession.builder()
