@@ -251,7 +251,28 @@ object Temporal {
         |  ON r.user_id = c.user_id""".stripMargin)
   }
 
+  /** Time-range OVER aggregation (SURVEY.md §2.5 OVER windows; [U]
+    * flink-table-runtime operators/over/RowTimeRangeBoundedPrecedingFunction):
+    * the Flink SQL `RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND
+    * CURRENT ROW` rowtime frame — per-user rolling 10-minute sums/counts.
+    * Spark evaluates the same frame natively (range frame over a
+    * timestamp ordering); equal-rowtime peers are all included, so the
+    * result is deterministic under ts ties. Same SQL text on both
+    * engines (DuckDB evaluates the identical frame).
+    */
+  val q83_time_range_over: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("q83_events")
+    s.sql(
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 2) AS sum_10m,
+        |  count(*) OVER w AS n_10m
+        |FROM q83_events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW)""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q83_time_range_over" -> q83_time_range_over,
     "q82_system_time_join" -> q82_system_time_join,
     "q81_legacy_group_window" -> q81_legacy_group_window,
     "q78_window_dedup" -> q78_window_dedup,
@@ -268,6 +289,15 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q83_time_range_over" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |                  CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 2) AS sum_10m,
+        |  count(*) OVER w AS n_10m
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW)""".stripMargin,
     "q82_system_time_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |v AS (SELECT user_id, ts, max(event_id) AS v_id FROM e

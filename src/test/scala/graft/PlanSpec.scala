@@ -89,6 +89,17 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("GreaterThanOrEqual(o_orderdate"), "date range must reach the parquet scan")
   }
 
+  test("q82: FOR SYSTEM_TIME AS OF compiles to one key shuffle + window, never a join") {
+    val p = planOf("q82_system_time_join")
+    // the carry-forward plan: union + single hash partitioning on the key
+    // + running window — no join operator at all, so no broadcast of the
+    // versioned side and no nested-loop fallback at any scale
+    assert(p.contains("Window"), p)
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "as-of must lower to union+window, not a join")
+  }
+
   test("q02: whole-stage codegen covers the scan-filter-project pipeline") {
     val p = planOf("q02_filter_project")
     // codegen'd operators print with the "*(stageId)" prefix
