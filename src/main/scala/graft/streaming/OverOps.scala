@@ -61,6 +61,62 @@ class StreamingOverProcess extends KeyedProcess[Long, OverIn, OverOut] {
   }
 }
 
+/** Bounded time-range OVER output: the RANGE [ts − range, ts] frame
+  * aggregate for each row (all equal-rowtime peers share one frame, as
+  * in the batch RANGE semantics).
+  */
+case class BoundedOverOut(key: Long, id: Long, ts_ms: Long,
+    range_sum: Double, range_cnt: Long)
+
+/** Streaming bounded-range OVER — the reference's
+  * RowTimeRangeBoundedPrecedingFunction ([U] flink-table-runtime
+  * operators/over/; the batch shape is q83's `RANGE BETWEEN INTERVAL ...
+  * PRECEDING AND CURRENT ROW`). Same buffer-until-watermark plan as
+  * [[StreamingOverProcess]], but instead of an O(1) running accumulator
+  * the state retains the rows inside the trailing range window —
+  * exactly Flink's retained state for bounded frames, evicted as the
+  * frontier advances, so per-key state is O(rows within `rangeMs`).
+  */
+class StreamingBoundedOverProcess(rangeMs: Long)
+    extends KeyedProcess[Long, OverIn, BoundedOverOut] {
+  @transient private var buf: ListState[OverIn] = _
+  @transient private var recent: ListState[OverIn] = _
+
+  override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
+    implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
+    buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
+    recent = h.getListState[OverIn]("recent", inEnc, TTLConfig.NONE)
+  }
+
+  override def onElement(key: Long, v: OverIn, tv: TimerValues,
+      emit: BoundedOverOut => Unit): Unit = {
+    buf.appendValue(v)
+    registerTimer(v.ts_ms)
+  }
+
+  override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
+      emit: BoundedOverOut => Unit): Unit = {
+    val wm = math.max(tv.getCurrentWatermarkInMs, expiryMs)
+    val (ready, pending) = buf.get().toArray.partition(_.ts_ms <= wm)
+    if (ready.nonEmpty) {
+      var window = recent.get().toArray
+      // per distinct rowtime: evict, then every peer shares the frame of
+      // [ts − range, ts] — the batch RANGE-frame peer semantics
+      ready.sortBy(r => (r.ts_ms, r.id)).groupBy(_.ts_ms).toSeq.sortBy(_._1)
+        .foreach { case (ts, peers) =>
+          window = (window ++ peers).filter(_.ts_ms >= ts - rangeMs)
+          val sum = window.map(_.value).sum
+          val cnt = window.length.toLong
+          peers.foreach(r => emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt)))
+        }
+      recent.clear()
+      if (window.nonEmpty) recent.appendList(window)
+      buf.clear()
+      if (pending.nonEmpty) buf.appendList(pending)
+    }
+  }
+}
+
 object OverOps {
   /** Running sum/count/row_number per key ordered by event time, emitted
     * behind the watermark; `ds` must carry an event-time watermark.
@@ -69,5 +125,16 @@ object OverOps {
     implicit val out: Encoder[OverOut] = Encoders.product[OverOut]
     ds.groupByKey(_.key)(Encoders.scalaLong)
       .transformWithState(new StreamingOverProcess, TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Bounded trailing-range aggregate per key: each row's sum/count over
+    * rows with `ts ∈ [ts − rangeMs, ts]` (peers share frames), emitted
+    * behind the watermark; `ds` must carry an event-time watermark.
+    */
+  def boundedRangeAgg(ds: Dataset[OverIn], rangeMs: Long): Dataset[BoundedOverOut] = {
+    implicit val out: Encoder[BoundedOverOut] = Encoders.product[BoundedOverOut]
+    ds.groupByKey(_.key)(Encoders.scalaLong)
+      .transformWithState(new StreamingBoundedOverProcess(rangeMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

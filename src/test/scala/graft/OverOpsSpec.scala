@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.{OverIn, OverOps, OverOut}
+import graft.streaming.{BoundedOverOut, OverIn, OverOps, OverOut}
 
 /** Streaming OVER window vs the batch Window oracle: out-of-order input
   * across micro-batches must emit the same running aggregates as
@@ -48,6 +48,48 @@ class OverOpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
           r.getLong(3), r.getInt(4).toLong)).toSet
       assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming bounded-range agg equals the batch RANGE INTERVAL PRECEDING frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 120 s trailing range; includes an exact-boundary pair (1100/1220:
+    // 1100 >= 1220-120 → included) and equal-rowtime peers (ids 5/6)
+    val rows = Seq(
+      Raw(1, 1, new java.sql.Timestamp(1100 * 1000), 1.0),
+      Raw(1, 2, new java.sql.Timestamp(1220 * 1000), 2.0),
+      Raw(1, 3, new java.sql.Timestamp(1260 * 1000), 3.0),
+      Raw(1, 4, new java.sql.Timestamp(1400 * 1000), 4.0),
+      Raw(1, 5, new java.sql.Timestamp(1500 * 1000), 5.0),
+      Raw(1, 6, new java.sql.Timestamp(1500 * 1000), 6.0),
+      Raw(2, 7, new java.sql.Timestamp(1250 * 1000), 10.0))
+    val input = MemoryStream[Raw]
+    val toIn = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"key", $"id", unix_millis($"ts").as("ts_ms"), $"value").as[OverIn]
+    val q = OverOps.boundedRangeAgg(
+        toIn(input.toDF().withWatermark("ts", "5 seconds")), 120000L)
+      .writeStream.outputMode("append").format("memory").queryName("bover_out").start()
+    try {
+      input.addData(rows.take(3): _*); q.processAllAvailable()
+      input.addData(rows.drop(3): _*); q.processAllAvailable()
+      input.addData(Raw(9, 99, new java.sql.Timestamp(9000 * 1000), 0.0)) // close
+      q.processAllAvailable()
+      val got = spark.table("bover_out").as[BoundedOverOut].collect()
+        .filter(_.key != 9)
+        .map(o => (o.key, o.id, o.range_sum, o.range_cnt)).toSet
+      // batch oracle: the same frame via SQL RANGE BETWEEN INTERVAL
+      rows.toDF().createOrReplaceTempView("bover_batch")
+      val want = spark.sql(
+        """SELECT key, id,
+          |  sum(value) OVER w AS s, count(*) OVER w AS c
+          |FROM bover_batch
+          |WINDOW w AS (PARTITION BY key ORDER BY ts
+          |             RANGE BETWEEN INTERVAL '2' MINUTE PRECEDING AND CURRENT ROW)""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(got == want)
+      // spot-pin the peer frame: ids 5 and 6 share {4, 5, 6} → sum 15
+      assert(got.contains((1L, 5L, 15.0, 3L)) && got.contains((1L, 6L, 15.0, 3L)))
     } finally q.stop()
   }
 }
