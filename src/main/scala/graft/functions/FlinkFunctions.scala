@@ -28,6 +28,9 @@ import org.apache.spark.sql.types._
   *    {0 s, 3 ms, 6 µs}; any other argument shape falls through to
   *    Spark's native string-parsing to_timestamp_ltz, so registering
   *    the name loses nothing.
+  *  - IS_ALPHA / IS_DIGIT / IS_DECIMAL — the legacy scalar predicates.
+  *  - RAND_INTEGER(bound[, seed]) — uniform int in [0, bound).
+  *  - SINGLE_VALUE(x) — the group's sole value, error on >1-row groups.
   */
 object FlinkFunctions {
 
@@ -78,6 +81,29 @@ object FlinkFunctions {
       val n = if (e.length > 1) e(1) else Literal(0)
       If(GreaterThanOrEqual(e(0), Literal(0)),
         RoundFloor(e(0), n), RoundCeil(e(0), n))
+    },
+    // the legacy scalar predicates (still in the reference's function
+    // catalog): all-letters / all-digits / parses-as-number. Empty or
+    // NULL strings are false/NULL respectively, per the reference.
+    "is_alpha" -> { e =>
+      nArgs("is_alpha", e, 1)
+      RLike(e(0), Literal("^[A-Za-z]+$"))
+    },
+    "is_digit" -> { e =>
+      nArgs("is_digit", e, 1)
+      RLike(e(0), Literal("^[0-9]+$"))
+    },
+    "is_decimal" -> { e =>
+      nArgs("is_decimal", e, 1)
+      If(IsNull(e(0)), Literal.create(null, BooleanType),
+        IsNotNull(Cast(e(0), DoubleType, None, EvalMode.TRY)))
+    },
+    // RAND_INTEGER(bound[, seed]): uniform int in [0, bound) — seeded
+    // form is deterministic per partition seed, like the reference's
+    "rand_integer" -> { e =>
+      nArgs("rand_integer", e, 1, 2)
+      val r = if (e.length > 1) new Rand(e(1)) else new Rand()
+      Cast(Multiply(r, Cast(e(0), DoubleType)), IntegerType)
     },
     // SINGLE_VALUE(x): the group's sole value, error on >1 row — Flink's
     // scalar-subquery enforcement aggregate. Composed as

@@ -67,6 +67,25 @@ class FlinkFunctionsSpec extends AnyFunSuite {
       .getLong(0) == 1700000000L)
   }
 
+  test("is_alpha / is_digit / is_decimal legacy predicates; rand_integer bounds") {
+    assert(one("is_alpha('Spark')").getBoolean(0))
+    assert(!one("is_alpha('Spark4')").getBoolean(0))
+    assert(!one("is_alpha('')").getBoolean(0))
+    assert(one("is_digit('0042')").getBoolean(0))
+    assert(!one("is_digit('42.5')").getBoolean(0))
+    assert(one("is_decimal('42.5')").getBoolean(0))
+    assert(one("is_decimal('-1e3')").getBoolean(0))
+    assert(!one("is_decimal('4a')").getBoolean(0))
+    assert(one("is_decimal(CAST(NULL AS STRING))").isNullAt(0))
+    val draws = spark.sql(
+      "SELECT rand_integer(10, 7) AS x FROM range(1000)").collect().map(_.getInt(0))
+    assert(draws.forall(x => x >= 0 && x < 10) && draws.distinct.length > 5)
+    // seeded form is reproducible
+    val again = spark.sql(
+      "SELECT rand_integer(10, 7) AS x FROM range(1000)").collect().map(_.getInt(0))
+    assert(draws.toSeq == again.toSeq)
+  }
+
   test("single_value: the group's sole value; >1 row in a group raises") {
     import spark.implicits._
     Seq((1, "a"), (2, "b"), (2, "c")).toDF("k", "v").createOrReplaceTempView("sv_t")

@@ -76,7 +76,8 @@ class FunctionsSpec extends AnyFunSuite {
       "graft_image_header", "graft_topk_indices",
       // the Flink-named dialect pack rides the same injection path
       "split_index", "from_base64", "to_base64", "json_value", "json_query",
-      "json_exists", "truncate", "to_timestamp_ltz", "single_value"))
+      "json_exists", "truncate", "to_timestamp_ltz", "single_value",
+      "is_alpha", "is_digit", "is_decimal", "rand_integer"))
     // integration-level: a fresh session with the extensions conf resolves
     // the functions without any explicit register() call
     val s2 = org.apache.spark.sql.SparkSession.builder()
