@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+
+/** One-call entry point for running Flink SQL text — single statements
+  * or whole `;`-separated scripts — on ANY Spark session, extensions or
+  * not ([U] flink-table-api TableEnvironment.executeSql; SURVEY.md §3.1).
+  *
+  * {{{
+  * graft.FlinkSql.run(spark, """
+  *   CREATE TABLE orders (...) WITH ('connector'='filesystem', ...);
+  *   CREATE TABLE sink (...) WITH ('connector'='blackhole');
+  *   INSERT INTO sink SELECT ... FROM orders;
+  *   SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE), count(*)
+  *   FROM orders GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)
+  * """)
+  * }}}
+  *
+  * Registers the Flink-named functions, then routes every statement
+  * through the full dialect chain ([[graft.plans.GraftSqlParser]]:
+  * connector DDL, INSERT INTO sinks, window TVFs, legacy group windows,
+  * MATCH_RECOGNIZE, FOR SYSTEM_TIME AS OF) and executes the parsed plan
+  * directly, so nothing requires the session to have been built with
+  * `spark.sql.extensions`. Returns the LAST statement's DataFrame
+  * (DDL/INSERT statements yield Flink-style `OK` result rows).
+  *
+  * Statement splitting ignores `;` inside single-quoted literals;
+  * quoted literals cannot span statements.
+  */
+object FlinkSql {
+
+  def sql(spark: SparkSession, statement: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
+    GraftColumnBridge.ofRows(spark, parser.parsePlan(statement))
+  }
+
+  def run(spark: SparkSession, script: String): DataFrame = {
+    val stmts = statements(script)
+    require(stmts.nonEmpty, "empty script")
+    stmts.map(sql(spark, _)).last
+  }
+
+  /** Split a script on top-level `;` (quote-aware). */
+  private[graft] def statements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      c match {
+        case '\'' =>
+          // '' inside a quoted literal is an escaped quote, not a close
+          if (inQuote && i + 1 < script.length && script.charAt(i + 1) == '\'') {
+            cur += c; cur += c; i += 1
+          } else { inQuote = !inQuote; cur += c }
+        case ';' if !inQuote => out += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}
