@@ -23,8 +23,9 @@ package graft.plans
   *
   * Subset notes (clear error outside it): second-or-coarser granularity
   * (intervals map to whole seconds); HOP arg order is Flink's
-  * (slide, size); CUMULATE's is (step, size); the optional `offset` arg
-  * and named-argument syntax are not supported; `window_time` is not
+  * (slide, size); CUMULATE's is (step, size); TUMBLE/HOP accept the
+  * optional trailing `offset` (window alignment, = Spark window()'s
+  * startTime); named-argument syntax is not supported; `window_time` is not
   * emitted (Spark has no per-row watermark column — SURVEY §2.8 delta).
   * Flink window bounds are [start, end): a row at exactly `end` falls in
   * the next window, which the `div`-based bucketing reproduces.
@@ -168,23 +169,28 @@ object WindowTvf {
       s"(($num) div $den + (CASE WHEN ($num) % $den < 0 THEN -1 ELSE 0 END))"
     fn match {
       case "TUMBLE" =>
-        if (args.size != 3) fail("TUMBLE takes (TABLE t, DESCRIPTOR(ts), size)")
+        // optional trailing arg: Flink's window offset (alignment shift)
+        if (args.size < 3 || args.size > 4)
+          fail("TUMBLE takes (TABLE t, DESCRIPTOR(ts), size [, offset])")
         val sz = seconds(args(2))
-        val k = floordiv(es, sz)
+        val off = if (args.size > 3) seconds(args(3)) else 0L
+        val k = floordiv(s"$es - $off", sz)
         s"""(SELECT *,
-           |  timestamp_seconds($k * $sz) AS window_start,
-           |  timestamp_seconds($k * $sz + $sz) AS window_end
+           |  timestamp_seconds($k * $sz + $off) AS window_start,
+           |  timestamp_seconds($k * $sz + $off + $sz) AS window_end
            | FROM $table)""".stripMargin
       case "HOP" =>
-        if (args.size != 4) fail("HOP takes (TABLE t, DESCRIPTOR(ts), slide, size)")
+        if (args.size < 4 || args.size > 5)
+          fail("HOP takes (TABLE t, DESCRIPTOR(ts), slide, size [, offset])")
         val sl = seconds(args(2))
         val sz = seconds(args(3))
+        val off = if (args.size > 4) seconds(args(4)) else 0L
         if (sz % sl != 0) fail("HOP size must be a multiple of slide")
-        val lo = floordiv(s"$es - $sz", sl)
-        val hi = floordiv(es, sl)
+        val lo = floordiv(s"$es - $off - $sz", sl)
+        val hi = floordiv(s"$es - $off", sl)
         s"""(SELECT * EXCEPT(__k),
-           |  timestamp_seconds(__k * $sl) AS window_start,
-           |  timestamp_seconds(__k * $sl + $sz) AS window_end
+           |  timestamp_seconds(__k * $sl + $off) AS window_start,
+           |  timestamp_seconds(__k * $sl + $off + $sz) AS window_end
            | FROM (SELECT *,
            |   explode(sequence($lo + 1, $hi)) AS __k
            |  FROM $table))""".stripMargin

@@ -120,6 +120,24 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(h == Set((-180L, -60L), (-120L, 0L)))
   }
 
+  test("TUMBLE/HOP offset arg aligns windows like native window() startTime") {
+    val df = events
+    val t = agg(spark.sql(WindowTvf.rewrite(
+      """SELECT * FROM TABLE(TUMBLE(TABLE tvf_events, DESCRIPTOR(ts),
+        |INTERVAL '5' MINUTE, INTERVAL '90' SECOND))""".stripMargin)))
+    val tWant = agg(df.select(col("*"),
+      window(col("ts"), "5 minutes", "5 minutes", "90 seconds").getField("start").as("window_start"),
+      window(col("ts"), "5 minutes", "5 minutes", "90 seconds").getField("end").as("window_end")))
+    assert(t == tWant && t.nonEmpty)
+    val h = agg(spark.sql(WindowTvf.rewrite(
+      """SELECT * FROM TABLE(HOP(TABLE tvf_events, DESCRIPTOR(ts),
+        |INTERVAL '5' MINUTE, INTERVAL '10' MINUTE, INTERVAL '1' MINUTE))""".stripMargin)))
+    val hWant = agg(df.select(col("*"),
+      window(col("ts"), "10 minutes", "5 minutes", "1 minute").getField("start").as("window_start"),
+      window(col("ts"), "10 minutes", "5 minutes", "1 minute").getField("end").as("window_end")))
+    assert(h == hWant && h.nonEmpty)
+  }
+
   test("legacy GROUP BY TUMBLE lowers onto the TVF and equals native window()") {
     import graft.plans.LegacyGroupWindow
     val df = events
