@@ -25,8 +25,10 @@ package graft.plans
   * (intervals map to whole seconds); HOP arg order is Flink's
   * (slide, size); CUMULATE's is (step, size); TUMBLE/HOP accept the
   * optional trailing `offset` (window alignment, = Spark window()'s
-  * startTime); named-argument syntax is not supported; `window_time` is not
-  * emitted (Spark has no per-row watermark column — SURVEY §2.8 delta).
+  * startTime); named-argument syntax is not supported; `window_time`
+  * (the reference's window rowtime, window_end − 1 ms) IS emitted as a
+  * plain column — what it cannot carry here is Spark watermark/rowtime
+  * semantics (SURVEY §2.8 delta).
   * Flink window bounds are [start, end): a row at exactly `end` falls in
   * the next window, which the `div`-based bucketing reproduces.
   *
@@ -149,7 +151,8 @@ object WindowTvf {
       val us = s"unix_micros(CAST($ts AS TIMESTAMP))"
       return s"""(SELECT * EXCEPT(__sid),
         |  timestamp_micros(min($us) OVER (PARTITION BY $key, __sid)) AS window_start,
-        |  timestamp_micros(max($us) OVER (PARTITION BY $key, __sid) + ${gapUs}L) AS window_end
+        |  timestamp_micros(max($us) OVER (PARTITION BY $key, __sid) + ${gapUs}L) AS window_end,
+        |  timestamp_micros(max($us) OVER (PARTITION BY $key, __sid) + ${gapUs}L - 1000L) AS window_time
         | FROM (SELECT * EXCEPT(__new),
         |   sum(__new) OVER (PARTITION BY $key ORDER BY $ts
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __sid
@@ -177,7 +180,8 @@ object WindowTvf {
         val k = floordiv(s"$es - $off", sz)
         s"""(SELECT *,
            |  timestamp_seconds($k * $sz + $off) AS window_start,
-           |  timestamp_seconds($k * $sz + $off + $sz) AS window_end
+           |  timestamp_seconds($k * $sz + $off + $sz) AS window_end,
+           |  timestamp_seconds($k * $sz + $off + $sz) - INTERVAL '1' MILLISECOND AS window_time
            | FROM $table)""".stripMargin
       case "HOP" =>
         if (args.size < 4 || args.size > 5)
@@ -190,21 +194,25 @@ object WindowTvf {
         val hi = floordiv(s"$es - $off", sl)
         s"""(SELECT * EXCEPT(__k),
            |  timestamp_seconds(__k * $sl + $off) AS window_start,
-           |  timestamp_seconds(__k * $sl + $off + $sz) AS window_end
+           |  timestamp_seconds(__k * $sl + $off + $sz) AS window_end,
+           |  timestamp_seconds(__k * $sl + $off + $sz) - INTERVAL '1' MILLISECOND AS window_time
            | FROM (SELECT *,
            |   explode(sequence($lo + 1, $hi)) AS __k
            |  FROM $table))""".stripMargin
       case "CUMULATE" =>
-        if (args.size != 4) fail("CUMULATE takes (TABLE t, DESCRIPTOR(ts), step, size)")
+        if (args.size < 4 || args.size > 5)
+          fail("CUMULATE takes (TABLE t, DESCRIPTOR(ts), step, size [, offset])")
         val st = seconds(args(2))
         val sz = seconds(args(3))
+        val off = if (args.size > 4) seconds(args(4)) else 0L
         if (sz % st != 0) fail("CUMULATE size must be a multiple of step")
-        val k = floordiv(es, sz)
+        val k = floordiv(s"$es - $off", sz)
         s"""(SELECT * EXCEPT(__k),
-           |  timestamp_seconds($k * $sz) AS window_start,
-           |  timestamp_seconds($k * $sz + __k * $st) AS window_end
+           |  timestamp_seconds($k * $sz + $off) AS window_start,
+           |  timestamp_seconds($k * $sz + $off + __k * $st) AS window_end,
+           |  timestamp_seconds($k * $sz + $off + __k * $st) - INTERVAL '1' MILLISECOND AS window_time
            | FROM (SELECT *,
-           |   explode(sequence(($es - $k * $sz) div $st + 1, ${sz / st})) AS __k
+           |   explode(sequence(($es - $off - $k * $sz) div $st + 1, ${sz / st})) AS __k
            |  FROM $table))""".stripMargin
     }
   }

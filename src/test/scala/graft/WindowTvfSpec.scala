@@ -120,6 +120,28 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(h == Set((-180L, -60L), (-120L, 0L)))
   }
 
+  test("window_time is emitted as window_end minus 1 ms (the reference's window rowtime)") {
+    events
+    val r = spark.sql(WindowTvf.rewrite(
+      """SELECT window_start, window_end, window_time
+        |FROM TABLE(TUMBLE(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        |LIMIT 50""".stripMargin)).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[java.sql.Timestamp]("window_time").getTime ==
+        row.getAs[java.sql.Timestamp]("window_end").getTime - 1)
+    }
+    val s = spark.sql(WindowTvf.rewrite(
+      """SELECT window_end, window_time
+        |FROM TABLE(SESSION(TABLE tvf_events PARTITION BY user_id,
+        |                   DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        |LIMIT 50""".stripMargin)).collect()
+    s.foreach { row =>
+      assert(row.getAs[java.sql.Timestamp]("window_time").getTime ==
+        row.getAs[java.sql.Timestamp]("window_end").getTime - 1)
+    }
+  }
+
   test("TUMBLE/HOP offset arg aligns windows like native window() startTime") {
     val df = events
     val t = agg(spark.sql(WindowTvf.rewrite(
