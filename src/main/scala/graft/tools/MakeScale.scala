@@ -55,6 +55,24 @@ object MakeScale {
         .withColumn("l_partkey", col("l_partkey") + lit(i * keyOffset))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * keyOffset))
     }
+    // dimensions: keys shifted in lockstep with the fact-side foreign
+    // keys so joins stay closed per copy; nation/region are fixed-size
+    // catalogs (25/5 rows) and pass through unscaled, which is also how
+    // real growth behaves — facts grow, geo catalogs don't
+    replicate("customer") { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * keyOffset))
+    }
+    replicate("supplier") { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * keyOffset))
+    }
+    replicate("part") { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * keyOffset))
+    }
+    Seq("nation", "region").foreach { name =>
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode("overwrite").parquet(s"$dest/$name.parquet")
+      println(s"[makescale] $name copied verbatim -> $dest")
+    }
     // events: ids/users shifted per copy, rowtimes unchanged — the
     // per-user event-time structure (sessions, windows, patterns) stays
     // identical per copy while user count and window sizes grow ×N
