@@ -56,4 +56,30 @@ class FlinkScriptSpec extends AnyFunSuite {
     // the quote-aware splitter held the statements together correctly
     assert(FlinkSql.statements("SELECT ';'; SELECT 'a''b;c'").size == 2)
   }
+
+  test("MATCH_RECOGNIZE and FOR SYSTEM_TIME AS OF route through FlinkSql too") {
+    import spark.implicits._
+    Seq((1L, 1L, "v"), (1L, 2L, "v"), (1L, 3L, "c"), (2L, 4L, "v"))
+      .toDF("user_id", "event_id", "sym").createOrReplaceTempView("fs_cep")
+    val cep = FlinkSql.sql(spark,
+      """SELECT user_id, count(*) AS n
+        |FROM fs_cep MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V V C)
+        |  DEFINE V AS sym = 'v', C AS sym = 'c'
+        |) AS m
+        |GROUP BY user_id""".stripMargin).collect()
+    assert(cep.length == 1 && cep(0).getLong(0) == 1L)
+    Seq(("A", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.5))
+      .toDF("ccy", "ots", "rate").createOrReplaceTempView("fs_rates")
+    Seq((7L, "A", java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+      .toDF("oid", "ccy", "ots").createOrReplaceTempView("fs_orders")
+    val asof = FlinkSql.sql(spark,
+      """SELECT o.oid, r.rate FROM fs_orders AS o
+        |JOIN fs_rates FOR SYSTEM_TIME AS OF o.ots AS r ON r.ccy = o.ccy""".stripMargin)
+      .collect()
+    assert(asof.length == 1 && asof(0).getLong(0) == 7L && asof(0).getDouble(1) == 1.5)
+  }
 }
