@@ -117,6 +117,52 @@ class StreamingBoundedOverProcess(rangeMs: Long)
   }
 }
 
+/** Streaming ROWS-bounded OVER — the reference's
+  * RowTimeRowsBoundedPrecedingFunction ([U] flink-table-runtime
+  * operators/over/): each row's aggregate over itself and the previous
+  * `nRows − 1` rows per key in (ts, id) order (the batch
+  * `ROWS BETWEEN n−1 PRECEDING AND CURRENT ROW` frame — count-based,
+  * so unlike the RANGE variant equal-rowtime peers do NOT share
+  * frames). State retains exactly the trailing `nRows − 1` emitted
+  * rows per key.
+  */
+class StreamingBoundedRowsProcess(nRows: Int)
+    extends KeyedProcess[Long, OverIn, BoundedOverOut] {
+  @transient private var buf: ListState[OverIn] = _
+  @transient private var recent: ListState[OverIn] = _
+
+  override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
+    implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
+    buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
+    recent = h.getListState[OverIn]("recent", inEnc, TTLConfig.NONE)
+  }
+
+  override def onElement(key: Long, v: OverIn, tv: TimerValues,
+      emit: BoundedOverOut => Unit): Unit = {
+    buf.appendValue(v)
+    registerTimer(v.ts_ms)
+  }
+
+  override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
+      emit: BoundedOverOut => Unit): Unit = {
+    val wm = math.max(tv.getCurrentWatermarkInMs, expiryMs)
+    val (ready, pending) = buf.get().toArray.partition(_.ts_ms <= wm)
+    if (ready.nonEmpty) {
+      var window = recent.get().toArray
+      ready.sortBy(r => (r.ts_ms, r.id)).foreach { r =>
+        window = (window :+ r).takeRight(nRows)
+        emit(BoundedOverOut(key, r.id, r.ts_ms,
+          window.map(_.value).sum, window.length.toLong))
+      }
+      recent.clear()
+      val keep = window.takeRight(math.max(nRows - 1, 0))
+      if (keep.nonEmpty) recent.appendList(keep)
+      buf.clear()
+      if (pending.nonEmpty) buf.appendList(pending)
+    }
+  }
+}
+
 object OverOps {
   /** Running sum/count/row_number per key ordered by event time, emitted
     * behind the watermark; `ds` must carry an event-time watermark.
@@ -135,6 +181,18 @@ object OverOps {
     implicit val out: Encoder[BoundedOverOut] = Encoders.product[BoundedOverOut]
     ds.groupByKey(_.key)(Encoders.scalaLong)
       .transformWithState(new StreamingBoundedOverProcess(rangeMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Count-bounded trailing frame per key: each row's sum/count over
+    * itself and the previous `nRows − 1` rows in (ts, id) order,
+    * emitted behind the watermark.
+    */
+  def boundedRowsAgg(ds: Dataset[OverIn], nRows: Int): Dataset[BoundedOverOut] = {
+    require(nRows >= 1, "nRows must be >= 1")
+    implicit val out: Encoder[BoundedOverOut] = Encoders.product[BoundedOverOut]
+    ds.groupByKey(_.key)(Encoders.scalaLong)
+      .transformWithState(new StreamingBoundedRowsProcess(nRows),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

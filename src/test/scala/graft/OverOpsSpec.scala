@@ -92,4 +92,40 @@ class OverOpsSpec extends AnyFunSuite {
       assert(got.contains((1L, 5L, 15.0, 3L)) && got.contains((1L, 6L, 15.0, 3L)))
     } finally q.stop()
   }
+
+  test("streaming rows-bounded agg equals the batch ROWS n PRECEDING frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      Raw(1, 2, new java.sql.Timestamp(1020 * 1000), 2.0),
+      Raw(1, 1, new java.sql.Timestamp(1010 * 1000), 1.0),
+      Raw(1, 3, new java.sql.Timestamp(1030 * 1000), 3.0),
+      Raw(1, 4, new java.sql.Timestamp(1040 * 1000), 4.0),
+      // equal-rowtime peers: ROWS frames are count-based, ids order them
+      Raw(1, 5, new java.sql.Timestamp(1050 * 1000), 5.0),
+      Raw(1, 6, new java.sql.Timestamp(1050 * 1000), 6.0),
+      Raw(2, 7, new java.sql.Timestamp(1025 * 1000), 10.0))
+    val input = MemoryStream[Raw]
+    val toIn = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"key", $"id", unix_millis($"ts").as("ts_ms"), $"value").as[OverIn]
+    val q = OverOps.boundedRowsAgg(
+        toIn(input.toDF().withWatermark("ts", "5 seconds")), 3)
+      .writeStream.outputMode("append").format("memory").queryName("rover_out").start()
+    try {
+      input.addData(rows.take(4): _*); q.processAllAvailable()
+      input.addData(rows.drop(4): _*); q.processAllAvailable()
+      input.addData(Raw(9, 99, new java.sql.Timestamp(9000 * 1000), 0.0)) // close
+      q.processAllAvailable()
+      val got = spark.table("rover_out").as[BoundedOverOut].collect()
+        .filter(_.key != 9)
+        .map(o => (o.key, o.id, o.range_sum, o.range_cnt)).toSet
+      val w = Window.partitionBy($"key").orderBy($"ts_ms", $"id").rowsBetween(-2, 0)
+      val want = toIn(rows.toDF())
+        .select($"key", $"id", sum($"value").over(w).as("s"), count(lit(1)).over(w).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(got == want)
+      // id 6's frame is {4, 5, 6} — its equal-ts peer 5 counts as one row
+      assert(got.contains((1L, 6L, 15.0, 3L)) && got.contains((1L, 5L, 12.0, 3L)))
+    } finally q.stop()
+  }
 }
