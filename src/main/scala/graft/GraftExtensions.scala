@@ -19,8 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
     }
-    // SQL-text MATCH_RECOGNIZE subset (graft.plans.MatchRecognize): a
-    // strict-superset dialect — non-CEP statements delegate untouched.
+    // the Flink SQL dialect (graft.plans.GraftSqlParser): connector DDL +
+    // INSERT INTO sinks, window TVFs, legacy group windows,
+    // MATCH_RECOGNIZE subset, FOR SYSTEM_TIME AS OF — a strict superset;
+    // plain statements delegate untouched.
     ext.injectParser((session, parser) =>
       new graft.plans.GraftSqlParser(session, parser))
   }

@@ -8,12 +8,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Parser injected by `graft.GraftExtensions` (the SparkSessionExtensions
-  * `injectParser` hook — Spark's public custom-dialect entry point):
-  * window TVFs (TUMBLE/HOP/CUMULATE over `TABLE(...)`) are text-rewritten
-  * by [[WindowTvf.rewrite]] into plain-Spark subqueries, statements
-  * embedding MATCH_RECOGNIZE route through [[MatchRecognize.sql]];
-  * everything else delegates to Spark's parser untouched, so the dialect
-  * is a strict superset.
+  * `injectParser` hook — Spark's public custom-dialect entry point).
+  * Statement routing, in order: connector DDL and INSERT INTO registered
+  * sinks execute via [[FlinkDdl]]; legacy group windows
+  * ([[LegacyGroupWindow]]) lower onto the window TVFs; TVF spans
+  * ([[WindowTvf]]) become plain-Spark subqueries; MATCH_RECOGNIZE routes
+  * through [[MatchRecognize.sql]]; `FOR SYSTEM_TIME AS OF` through
+  * [[SystemTimeJoin.sql]]; everything else delegates to Spark's parser
+  * untouched, so the dialect is a strict superset. (`graft.FlinkSql`
+  * drives the same chain without session extensions.)
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
