@@ -271,7 +271,24 @@ object Temporal {
         |             RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW)""".stripMargin)
   }
 
+  /** SQL-text CUMULATE TVF (q76's class for the expanding-window
+    * function): 2-minute steps inside a 10-minute span, rewritten by
+    * `plans/WindowTvf`; oracled by manual cumulate expansion in DuckDB
+    * (each row lands in every step-window from its own step to span
+    * end — the same explode the rewrite generates).
+    */
+  val q84_cumulate_tvf_sql: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("q84_events")
+    s.sql(graft.plans.WindowTvf.rewrite(
+      """SELECT window_start, window_end, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM TABLE(CUMULATE(TABLE q84_events, DESCRIPTOR(ts),
+        |               INTERVAL '2' MINUTE, INTERVAL '10' MINUTE))
+        |GROUP BY window_start, window_end, event_type""".stripMargin))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q84_cumulate_tvf_sql" -> q84_cumulate_tvf_sql,
     "q83_time_range_over" -> q83_time_range_over,
     "q82_system_time_join" -> q82_system_time_join,
     "q81_legacy_group_window" -> q81_legacy_group_window,
@@ -289,6 +306,17 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q84_cumulate_tvf_sql" ->
+      """WITH e AS (SELECT event_type, value,
+        |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS es
+        |           FROM events),
+        |x AS (SELECT event_type, value, (es // 600) * 600 AS ws,
+        |             UNNEST(range((es - (es // 600) * 600) // 120 + 1, 6)) AS k
+        |      FROM e)
+        |SELECT make_timestamp(ws * 1000000) AS window_start,
+        |       make_timestamp((ws + k * 120) * 1000000) AS window_end,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
     "q83_time_range_over" ->
       """WITH e AS (SELECT event_id, user_id, value,
         |                  CAST(ts AS TIMESTAMP) AS ts FROM events)
