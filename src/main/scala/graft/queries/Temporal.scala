@@ -287,7 +287,36 @@ object Temporal {
         |GROUP BY window_start, window_end, event_type""".stripMargin))
   }
 
+  /** Window join through the SQL surface ([U] flink-table-planner
+    * StreamPhysicalWindowJoin; SURVEY.md §2.3 "windowed join"): both
+    * sides windowed by TUMBLE TVFs, joined on (window_start, key) —
+    * the rewrite replaces every TVF span in the statement, so Flink's
+    * window-join SQL shape runs as plain Spark joins over the
+    * bucketed subqueries. Views joined to clicks per (10-min window,
+    * user); oracled by the same two-sided expansion in DuckDB.
+    */
+  val q85_window_join_sql: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d)
+    e.filter($"event_type" === "view").select($"user_id", $"ts", $"value")
+      .createOrReplaceTempView("q85_views")
+    e.filter($"event_type" === "click").select($"user_id", $"ts", $"value")
+      .createOrReplaceTempView("q85_clicks")
+    s.sql(graft.plans.WindowTvf.rewrite(
+      """SELECT v.window_start, v.user_id,
+        |  v.n AS n_views, c.n AS n_clicks,
+        |  round(v.sv + c.sv, 2) AS sum_both
+        |FROM (SELECT window_start, user_id, count(*) AS n, sum(value) AS sv
+        |      FROM TABLE(TUMBLE(TABLE q85_views, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+        |      GROUP BY window_start, user_id) v
+        |JOIN (SELECT window_start, user_id, count(*) AS n, sum(value) AS sv
+        |      FROM TABLE(TUMBLE(TABLE q85_clicks, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+        |      GROUP BY window_start, user_id) c
+        |  ON v.window_start = c.window_start AND v.user_id = c.user_id""".stripMargin))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q85_window_join_sql" -> q85_window_join_sql,
     "q84_cumulate_tvf_sql" -> q84_cumulate_tvf_sql,
     "q83_time_range_over" -> q83_time_range_over,
     "q82_system_time_join" -> q82_system_time_join,
@@ -306,6 +335,20 @@ object Temporal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q85_window_join_sql" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS es
+        |           FROM events),
+        |v AS (SELECT make_timestamp((es // 600) * 600 * 1000000) AS ws, user_id,
+        |             count(*) AS n, sum(value) AS sv
+        |      FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT make_timestamp((es // 600) * 600 * 1000000) AS ws, user_id,
+        |             count(*) AS n, sum(value) AS sv
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT v.ws AS window_start, v.user_id,
+        |       v.n AS n_views, c.n AS n_clicks,
+        |       round(v.sv + c.sv, 2) AS sum_both
+        |FROM v JOIN c ON v.ws = c.ws AND v.user_id = c.user_id""".stripMargin,
     "q84_cumulate_tvf_sql" ->
       """WITH e AS (SELECT event_type, value,
         |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS es
