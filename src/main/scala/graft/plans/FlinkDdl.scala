@@ -24,7 +24,11 @@ import org.apache.spark.sql.types.StructType
   * }}}
   *
   * Supported connectors: `filesystem` (formats parquet/csv/json/orc —
-  * Spark's DataFrameReader with the declared schema), `datagen` (bounded
+  * Spark's DataFrameReader with the declared schema — plus the CDC
+  * formats debezium-/canal-/maxwell-/ogg-json: JSON lines decoded to a
+  * `row_kind` changelog, and materialized to current state when a
+  * PRIMARY KEY is declared, Flink's batch-SELECT-over-CDC semantics),
+  * `datagen` (bounded
   * deterministic rows shaped to the DECLARED schema, hash-derived like
   * [[graft.sources.DataGen]]; `number-of-rows` option), `print` /
   * `blackhole` (registered as zero-row sink markers so downstream DDL
@@ -44,7 +48,7 @@ object FlinkDdl {
   private val watermarkRe =
     raw"(?is)^WATERMARK\s+FOR\s+([A-Za-z_]\w*)\s+AS\s+(.+)$$".r
   private val computedRe = raw"(?is)^([A-Za-z_]\w*)\s+AS\s+(.+)$$".r
-  private val pkRe = raw"(?is)^(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\b.*$$".r
+  private val pkRe = raw"(?is)^(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\).*$$".r
   private val physicalRe = raw"(?is)^([A-Za-z_]\w*)\s+(.+?)(\s+NOT\s+NULL)?(\s+COMMENT\s+'[^']*')?$$".r
   private val delayRe = raw"(?is)^([A-Za-z_]\w*)\s*-\s*INTERVAL\s+'([\d.]+)'\s+(\w+)$$".r
 
@@ -88,6 +92,7 @@ object FlinkDdl {
 
     var physical = Vector.empty[(String, String)] // (name, spark type DDL)
     var computed = Vector.empty[(String, String)] // (name, expr)
+    var primaryKey = Seq.empty[String]
     colDefs.foreach {
       case w if watermarkRe.findFirstIn(w).isDefined =>
         val wmm = watermarkRe.findFirstMatchIn(w).get
@@ -97,7 +102,8 @@ object FlinkDdl {
           case other => fail(s"unsupported watermark expression `$other` " +
             "(supported: <col> - INTERVAL '<n>' <unit>)")
         }
-      case p if pkRe.findFirstIn(p).isDefined => // accepted, not enforced
+      case pkRe(cols) => // not enforced (Flink doesn't either); CDC formats key on it
+        primaryKey = cols.split(",").toSeq.map(_.trim)
       case computedRe(n, expr) if !raw"(?is)^(NOT|COMMENT)\b".r.findFirstIn(expr).isDefined =>
         computed :+= (n -> expr)
       case physicalRe(n, tpe, _, _) => physical :+= (n -> sparkType(tpe.trim))
@@ -115,6 +121,7 @@ object FlinkDdl {
         // table is source and sink in one) — start empty; INSERT INTO
         // re-registers the view over the written data
         if (!pathExists(spark, path)) empty(spark, schema)
+        else if (cdcDecoders.contains(fmt)) readCdc(spark, fmt, physical, path, primaryKey)
         else readFs(spark, fmt, schema, path, opts)
       case "datagen" =>
         datagen(spark, schema, opts.getOrElse("number-of-rows", "1000").toLong)
@@ -165,6 +172,30 @@ object FlinkDdl {
       case other => fail(s"INSERT INTO a '$other' table is not supported")
     }
     df.count()
+  }
+
+  private val cdcDecoders: Map[String, (org.apache.spark.sql.DataFrame, String, String) => DataFrame] = Map(
+    "debezium-json" -> graft.operators.Changelog.fromDebeziumJson,
+    "canal-json" -> graft.operators.Changelog.fromCanalJson,
+    "maxwell-json" -> graft.operators.Changelog.fromMaxwellJson,
+    "ogg-json" -> graft.operators.Changelog.fromOggJson)
+
+  /** CDC-format filesystem table: JSON-lines decoded to a `row_kind`
+    * changelog with the DECLARED payload schema. With a PRIMARY KEY the
+    * view materializes to current state (Flink's batch SELECT over a
+    * CDC table), sequenced by file order — per-partition monotonic ids,
+    * the order CDC files are written in; without one, the raw changelog
+    * (payload + row_kind) is the view.
+    */
+  private def readCdc(spark: SparkSession, fmt: String,
+      physical: Seq[(String, String)], path: String, pk: Seq[String]): DataFrame = {
+    val payloadDdl = physical.map { case (n, t) => s"$n $t" }.mkString(", ")
+    val raw = spark.read.text(path).withColumnRenamed("value", "__json")
+    val changelog = cdcDecoders(fmt)(raw, "__json", payloadDdl)
+    if (pk.isEmpty) changelog
+    else graft.operators.Changelog.materialize(
+      changelog.withColumn("__seq", org.apache.spark.sql.functions.monotonically_increasing_id()),
+      pk, "__seq").drop("__seq", "row_kind") // current state = declared columns only
   }
 
   private def pathExists(spark: SparkSession, path: String): Boolean = {

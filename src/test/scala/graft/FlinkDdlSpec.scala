@@ -181,6 +181,34 @@ class FlinkDdlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC formats decode in connector DDL; PRIMARY KEY materializes current state") {
+    val dir = java.nio.file.Files.createTempDirectory("ddl_cdc").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cdc.json"), java.util.Arrays.asList(
+      """{"before": null, "after": {"id": 1, "v": 10.0}, "op": "c"}""",
+      """{"before": null, "after": {"id": 2, "v": 20.0}, "op": "c"}""",
+      """{"before": {"id": 1, "v": 10.0}, "after": {"id": 1, "v": 11.0}, "op": "u"}""",
+      """{"before": {"id": 2, "v": 20.0}, "after": null, "op": "d"}"""))
+    // with PRIMARY KEY: the view is the materialized current state
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_cdc_state (
+         |  id BIGINT, v DOUBLE,
+         |  PRIMARY KEY (id) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/cdc.json',
+         |        'format' = 'debezium-json')""".stripMargin)
+    val state = spark.table("ddl_cdc_state").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"))).toSet
+    assert(state == Set((1L, 11.0))) // id 1 updated, id 2 deleted
+    assert(spark.table("ddl_cdc_state").columns.toSeq == Seq("id", "v"))
+    // without a key: the raw row_kind changelog is the view
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_cdc_log (id BIGINT, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/cdc.json',
+         |      'format' = 'debezium-json')""".stripMargin)
+    val kinds = spark.table("ddl_cdc_log").collect()
+      .map(r => r.getAs[String]("row_kind")).groupBy(identity).view.mapValues(_.length).toMap
+    assert(kinds == Map("+I" -> 2, "-U" -> 1, "+U" -> 1, "-D" -> 1))
+  }
+
   test("unsupported shapes fail with clear errors") {
     def err(sql: String): String =
       intercept[IllegalArgumentException](FlinkDdl.execute(spark, sql)).getMessage
