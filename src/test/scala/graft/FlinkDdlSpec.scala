@@ -181,6 +181,26 @@ class FlinkDdlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("csv and json filesystem formats read with the declared schema and options") {
+    val dir = java.nio.file.Files.createTempDirectory("ddl_fmt").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.csv"),
+      java.util.Arrays.asList("1|a|1.5", "2|b|2.5"))
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_csv (id BIGINT, s STRING, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/t.csv',
+         |      'format' = 'csv', 'csv.field-delimiter' = '|')""".stripMargin)
+    assert(spark.table("ddl_csv").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet == Set((1L, "a", 1.5), (2L, "b", 2.5)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.json"),
+      java.util.Arrays.asList("""{"id": 3, "s": "c"}""", """{"id": 4, "s": "d"}"""))
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_json (id BIGINT, s STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/t.json',
+         |      'format' = 'json')""".stripMargin)
+    assert(spark.table("ddl_json").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set((3L, "c"), (4L, "d")))
+  }
+
   test("CDC formats decode in connector DDL; PRIMARY KEY materializes current state") {
     val dir = java.nio.file.Files.createTempDirectory("ddl_cdc").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cdc.json"), java.util.Arrays.asList(

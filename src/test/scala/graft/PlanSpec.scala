@@ -100,6 +100,12 @@ class PlanSpec extends AnyFunSuite {
       "as-of must lower to union+window, not a join")
   }
 
+  test("q85: window join stays an equi-join over bucketed aggregates") {
+    val p = planOf("q85_window_join_sql")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q02: whole-stage codegen covers the scan-filter-project pipeline") {
     val p = planOf("q02_filter_project")
     // codegen'd operators print with the "*(stageId)" prefix
