@@ -24,8 +24,9 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
   * `spark.sql.extensions`. Returns the LAST statement's DataFrame
   * (DDL/INSERT statements yield Flink-style `OK` result rows).
   *
-  * Statement splitting ignores `;` inside single-quoted literals;
-  * quoted literals cannot span statements.
+  * Statement splitting ignores `;` inside single-quoted literals and
+  * inside `--` / `/* ... */` comments (an apostrophe in a comment does
+  * not open a literal); quoted literals cannot span statements.
   */
 object FlinkSql {
 
@@ -41,24 +42,39 @@ object FlinkSql {
     stmts.map(sql(spark, _)).last
   }
 
-  /** Split a script on top-level `;` (quote-aware). */
+  /** Split a script on top-level `;` (quote- and comment-aware: a `;`
+    * or `'` inside a `--` line comment or a `/* */` block comment is
+    * plain text — comments are copied through for the SQL parser to
+    * strip, but never open literals or split statements).
+    */
   private[graft] def statements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inQuote = false
     var i = 0
+    def startsWith(s: String): Boolean = script.startsWith(s, i)
     while (i < script.length) {
       val c = script.charAt(i)
-      c match {
-        case '\'' =>
-          // '' inside a quoted literal is an escaped quote, not a close
-          if (inQuote && i + 1 < script.length && script.charAt(i + 1) == '\'') {
-            cur += c; cur += c; i += 1
-          } else { inQuote = !inQuote; cur += c }
-        case ';' if !inQuote => out += cur.result(); cur.clear()
-        case _ => cur += c
+      if (!inQuote && startsWith("--")) {
+        // line comment: copy to end of line verbatim
+        while (i < script.length && script.charAt(i) != '\n') { cur += script.charAt(i); i += 1 }
+      } else if (!inQuote && startsWith("/*")) {
+        // block comment: copy to the closing */ (or end of script)
+        cur ++= "/*"; i += 2
+        while (i < script.length && !startsWith("*/")) { cur += script.charAt(i); i += 1 }
+        if (i < script.length) { cur ++= "*/"; i += 2 }
+      } else {
+        c match {
+          case '\'' =>
+            // '' inside a quoted literal is an escaped quote, not a close
+            if (inQuote && i + 1 < script.length && script.charAt(i + 1) == '\'') {
+              cur += c; cur += c; i += 1
+            } else { inQuote = !inQuote; cur += c }
+          case ';' if !inQuote => out += cur.result(); cur.clear()
+          case _ => cur += c
+        }
+        i += 1
       }
-      i += 1
     }
     out += cur.result()
     out.result().map(_.trim).filter(_.nonEmpty)

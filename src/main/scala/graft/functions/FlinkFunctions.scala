@@ -29,7 +29,9 @@ import org.apache.spark.sql.types._
   *    Spark's native string-parsing to_timestamp_ltz, so registering
   *    the name loses nothing.
   *  - IS_ALPHA / IS_DIGIT / IS_DECIMAL — the legacy scalar predicates.
-  *  - RAND_INTEGER(bound[, seed]) — uniform int in [0, bound).
+  *  - RAND_INTEGER(bound) / RAND_INTEGER(seed, bound) — uniform int in
+  *    [0, bound); the two-arg form leads with the seed, matching the
+  *    reference's RAND_INTEGER(INT seed, INT bound) signature.
   *  - SINGLE_VALUE(x) — the group's sole value, error on >1-row groups.
   */
 object FlinkFunctions {
@@ -98,12 +100,14 @@ object FlinkFunctions {
       If(IsNull(e(0)), Literal.create(null, BooleanType),
         IsNotNull(Cast(e(0), DoubleType, None, EvalMode.TRY)))
     },
-    // RAND_INTEGER(bound[, seed]): uniform int in [0, bound) — seeded
-    // form is deterministic per partition seed, like the reference's
+    // RAND_INTEGER(bound) / RAND_INTEGER(seed, bound): uniform int in
+    // [0, bound). Flink's two-arg form is (seed, bound) — seed FIRST —
+    // and the seeded draw is deterministic per partition seed.
     "rand_integer" -> { e =>
       nArgs("rand_integer", e, 1, 2)
-      val r = if (e.length > 1) new Rand(e(1)) else new Rand()
-      Cast(Multiply(r, Cast(e(0), DoubleType)), IntegerType)
+      val (r, bound) =
+        if (e.length > 1) (new Rand(e(0)), e(1)) else (new Rand(), e(0))
+      Cast(Multiply(r, Cast(bound, DoubleType)), IntegerType)
     },
     // SINGLE_VALUE(x): the group's sole value, error on >1 row — Flink's
     // scalar-subquery enforcement aggregate. Composed as

@@ -52,21 +52,37 @@ object FlinkDdl {
   private val physicalRe = raw"(?is)^([A-Za-z_]\w*)\s+(.+?)(\s+NOT\s+NULL)?(\s+COMMENT\s+'[^']*')?$$".r
   private val delayRe = raw"(?is)^([A-Za-z_]\w*)\s*-\s*INTERVAL\s+'([\d.]+)'\s+(\w+)$$".r
 
-  /** table → (rowtime column, watermark delay, e.g. "5 seconds"). */
-  private val wmRegistry = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-
-  /** table → (connector, path, format, declared schema) for every
-    * DDL-registered table — lets INSERT INTO route to the sink and
-    * streaming reads re-derive the source.
+  /** Registries are scoped to the owning SparkSession (weak keys — the
+    * metadata dies with the session, like the temp views it describes),
+    * with tables keyed by lowercased name inside each session. A
+    * re-registered name replaces its old entry, so INSERT INTO and
+    * SystemTimeJoin never see stale metadata from another session or
+    * from before a rebind.
     */
-  private val tableRegistry =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, StructType)]()
+  private val wmBySession =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (String, String)]]()
+  private val tablesBySession =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (String, String, String, StructType)]]()
 
-  def watermarkOf(table: String): Option[(String, String)] =
-    Option(wmRegistry.get(table.toLowerCase))
+  private def wmRegistry(spark: SparkSession) = wmBySession.synchronized {
+    wmBySession.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, (String, String)]())
+  }
+  private def tableRegistry(spark: SparkSession) = tablesBySession.synchronized {
+    tablesBySession.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, StructType)]())
+  }
 
-  def registered(table: String): Option[(String, String, String, StructType)] =
-    Option(tableRegistry.get(table.toLowerCase))
+  /** (rowtime column, watermark delay e.g. "5 seconds") of `table` as
+    * declared in this session's DDL, if any.
+    */
+  def watermarkOf(spark: SparkSession, table: String): Option[(String, String)] =
+    Option(wmRegistry(spark).get(table.toLowerCase))
+
+  def registered(spark: SparkSession, table: String): Option[(String, String, String, StructType)] =
+    Option(tableRegistry(spark).get(table.toLowerCase))
 
   def containsClause(sqlText: String): Boolean =
     createRe.findFirstIn(sqlText).isDefined &&
@@ -81,6 +97,9 @@ object FlinkDdl {
   def execute(spark: SparkSession, sqlText: String): String = {
     val m = createRe.findFirstMatchIn(sqlText).getOrElse(fail("not a CREATE TABLE"))
     val name = m.group(1)
+    // re-registering a name drops its old metadata even if this DDL fails
+    wmRegistry(spark).remove(name.toLowerCase)
+    tableRegistry(spark).remove(name.toLowerCase)
     val colsClose = WindowTvf.matchParen(sqlText, m.end - 1)
     val colDefs = WindowTvf.splitArgs(sqlText.substring(m.end, colsClose))
     val wm = withRe.findFirstMatchIn(sqlText.substring(colsClose + 1))
@@ -98,7 +117,7 @@ object FlinkDdl {
         val wmm = watermarkRe.findFirstMatchIn(w).get
         wmm.group(2).trim match {
           case delayRe(c, n, unit) if c == wmm.group(1) =>
-            wmRegistry.put(name.toLowerCase, (c, s"$n ${unit.toLowerCase}s"))
+            wmRegistry(spark).put(name.toLowerCase, (c, s"$n ${unit.toLowerCase}s"))
           case other => fail(s"unsupported watermark expression `$other` " +
             "(supported: <col> - INTERVAL '<n>' <unit>)")
         }
@@ -135,18 +154,18 @@ object FlinkDdl {
     val df = if (computed.isEmpty) base
       else base.selectExpr("*" +: computed.map { case (n, e) => s"($e) AS $n" }: _*)
     df.createOrReplaceTempView(name)
-    tableRegistry.put(name.toLowerCase,
+    tableRegistry(spark).put(name.toLowerCase,
       (connector, opts.getOrElse("path", ""), opts.getOrElse("format", ""), schema))
     name
   }
 
   private val insertRe = raw"(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(SELECT\b.*|VALUES\b.*)$$".r
 
-  /** True iff `sqlText` is INSERT INTO a DDL-registered table — the
-    * statement shape every Flink pipeline ends with.
+  /** True iff `sqlText` is INSERT INTO a table DDL-registered in this
+    * session — the statement shape every Flink pipeline ends with.
     */
-  def isInsert(sqlText: String): Boolean =
-    insertRe.findFirstMatchIn(sqlText).exists(m => registered(m.group(1)).isDefined)
+  def isInsert(spark: SparkSession, sqlText: String): Boolean =
+    insertRe.findFirstMatchIn(sqlText).exists(m => registered(spark, m.group(1)).isDefined)
 
   /** Execute INSERT INTO a DDL-registered sink: `blackhole` discards via
     * Spark's noop writer (the load-test shape), `print` shows the rows,
@@ -157,7 +176,7 @@ object FlinkDdl {
   def executeInsert(spark: SparkSession, sqlText: String): Long = {
     val m = insertRe.findFirstMatchIn(sqlText).getOrElse(fail("not an INSERT INTO"))
     val name = m.group(1)
-    val (connector, path, fmt, _) = registered(name).getOrElse(fail(s"unknown table $name"))
+    val (connector, path, fmt, _) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
     val df = spark.sql(m.group(2))
     connector match {
       case "blackhole" => df.write.format("noop").mode("overwrite").save()
@@ -166,7 +185,7 @@ object FlinkDdl {
         df.write.format(fmt).mode("append").save(path)
         // the view may have been registered over a then-absent path;
         // re-point it at the written data (physical columns only)
-        registered(name).foreach { case (_, _, _, schema) =>
+        registered(spark, name).foreach { case (_, _, _, schema) =>
           readFs(spark, fmt, schema, path, Map.empty).createOrReplaceTempView(name)
         }
       case other => fail(s"INSERT INTO a '$other' table is not supported")
@@ -222,11 +241,11 @@ object FlinkDdl {
     * of Flink's table-attached watermark; no-op if none was declared).
     */
   def readStream(spark: SparkSession, table: String): DataFrame = {
-    val (connector, path, fmt, schema) = registered(table)
+    val (connector, path, fmt, schema) = registered(spark, table)
       .getOrElse(fail(s"unknown table $table"))
     if (connector != "filesystem") fail(s"readStream supports filesystem tables, not '$connector'")
     val df = spark.readStream.schema(schema).format(fmt).load(path)
-    watermarkOf(table) match {
+    watermarkOf(spark, table) match {
       case Some((c, delay)) => df.withWatermark(c, delay)
       case None => df
     }

@@ -1,16 +1,18 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 
 /** Parser injected by `graft.GraftExtensions` (the SparkSessionExtensions
   * `injectParser` hook — Spark's public custom-dialect entry point).
   * Statement routing, in order: connector DDL and INSERT INTO registered
-  * sinks execute via [[FlinkDdl]]; legacy group windows
+  * sinks parse to lazily-run commands over [[FlinkDdl]] (side effects at
+  * plan execution, never at parse); legacy group windows
   * ([[LegacyGroupWindow]]) lower onto the window TVFs; TVF spans
   * ([[WindowTvf]]) become plain-Spark subqueries; MATCH_RECOGNIZE routes
   * through [[MatchRecognize.sql]]; `FOR SYSTEM_TIME AS OF` through
@@ -33,16 +35,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = {
-    if (FlinkDdl.containsClause(sqlText)) {
-      // connector DDL registers its view eagerly; the statement itself
-      // resolves to Flink's `OK` result row
-      val name = FlinkDdl.execute(session, sqlText)
-      return delegate.parsePlan(s"SELECT 'OK' AS result, '$name' AS table_name")
-    }
-    if (FlinkDdl.isInsert(sqlText)) {
-      val n = FlinkDdl.executeInsert(session, sqlText)
-      return delegate.parsePlan(s"SELECT 'OK' AS result, ${n}L AS rows_sunk")
-    }
+    // DDL / INSERT parse to lazily-run command plans (Spark executes a
+    // Command when the DataFrame over it materializes, like its own DDL)
+    // — parsing alone has no side effects, so EXPLAIN, plan caching, and
+    // view-text re-parsing never register views or perform writes
+    if (FlinkDdl.containsClause(sqlText)) return FlinkDdlCommand(sqlText)
+    if (FlinkDdl.isInsert(session, sqlText)) return FlinkInsertCommand(sqlText)
     val t = tvf(sqlText)
     if (MatchRecognize.containsClause(t)) viaMr(t)
     else if (SystemTimeJoin.containsClause(t))
@@ -78,4 +76,28 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parseDataType(sqlText: String): DataType =
     delegate.parseDataType(sqlText)
+}
+
+/** Flink connector `CREATE TABLE` as a lazily-run Spark command: the
+  * view registration happens when the plan EXECUTES (Dataset
+  * materialization / `spark.sql(...)` eager-command semantics), never
+  * at parse time. Resolves to Flink's `OK` result row.
+  */
+case class FlinkDdlCommand(sqlText: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("result", StringType, nullable = false)(),
+    AttributeReference("table_name", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row("OK", FlinkDdl.execute(spark, sqlText)))
+}
+
+/** `INSERT INTO <ddl sink> SELECT ...` as a lazily-run command — the
+  * write happens at execution, so EXPLAIN / parse-only paths stay pure.
+  */
+case class FlinkInsertCommand(sqlText: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("result", StringType, nullable = false)(),
+    AttributeReference("rows_sunk", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row("OK", FlinkDdl.executeInsert(spark, sqlText)))
 }

@@ -76,7 +76,7 @@ object SystemTimeJoin {
 
     val left = session.table(leftTable)
     val right = session.table(rightTable)
-    val rightTs = FlinkDdl.watermarkOf(rightTable).map(_._1).getOrElse(asOfCol)
+    val rightTs = FlinkDdl.watermarkOf(session, rightTable).map(_._1).getOrElse(asOfCol)
     if (!right.columns.contains(rightTs))
       fail(s"versioned table $rightTable has no rowtime column `$rightTs` " +
         "(declare a WATERMARK in its DDL or name the columns alike)")
@@ -100,10 +100,45 @@ object SystemTimeJoin {
     // result (alias qualifiers now refer to one flat row shape)
     val view = s"__system_time_join_${viewCounter.incrementAndGet()}"
     result.createOrReplaceTempView(view)
-    val strip = (raw"(?i)\b(${java.util.regex.Pattern.quote(leftAlias)}|" +
-      raw"${java.util.regex.Pattern.quote(rightAlias)})\.").r
-    val cleanSelect = strip.replaceAllIn(selectList, "")
-    val cleanWhere = whereOpt.map(w => strip.replaceAllIn(w, "")).getOrElse("")
+    val aliases = Set(leftAlias.toLowerCase, rightAlias.toLowerCase)
+    val cleanSelect = stripQualifiers(selectList, aliases)
+    val cleanWhere = whereOpt.map(stripQualifiers(_, aliases)).getOrElse("")
     session.sql(s"SELECT $cleanSelect FROM $view$cleanWhere")
+  }
+
+  /** Remove `alias.` qualifiers outside single-quoted literals. A
+    * literal-aware token scan, not a regex: `'c.x'` with left alias `c`
+    * stays intact, and only a whole identifier equal to an alias
+    * followed by `.` is dropped (case-insensitive, like SQL names).
+    */
+  private[graft] def stripQualifiers(text: String, aliases: Set[String]): String = {
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    val sb = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\'') {
+        // copy the quoted literal verbatim ('' is an escaped quote)
+        sb += c; i += 1
+        var closed = false
+        while (i < text.length && !closed) {
+          sb += text.charAt(i)
+          if (text.charAt(i) == '\'') {
+            if (i + 1 < text.length && text.charAt(i + 1) == '\'') { sb += '\''; i += 1 }
+            else closed = true
+          }
+          i += 1
+        }
+      } else if ((c.isLetter || c == '_') &&
+          (i == 0 || !isWordChar(text.charAt(i - 1)))) {
+        var j = i
+        while (j < text.length && isWordChar(text.charAt(j))) j += 1
+        val word = text.substring(i, j)
+        if (j < text.length && text.charAt(j) == '.' && aliases.contains(word.toLowerCase))
+          i = j + 1 // drop `alias.`
+        else { sb ++= word; i = j }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 }

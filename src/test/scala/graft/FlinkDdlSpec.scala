@@ -51,9 +51,20 @@ class FlinkDdlSpec extends AnyFunSuite {
          |  'path' = '${TestSpark.sfDir}/orders.parquet',
          |  'format' = 'parquet'
          |)""".stripMargin)
-    assert(FlinkDdl.watermarkOf("ddl_events") == Some(("ts", "5 seconds")))
-    assert(FlinkDdl.watermarkOf("DDL_EVENTS") == Some(("ts", "5 seconds")))
-    assert(FlinkDdl.watermarkOf("nope").isEmpty)
+    assert(FlinkDdl.watermarkOf(spark, "ddl_events") == Some(("ts", "5 seconds")))
+    assert(FlinkDdl.watermarkOf(spark, "DDL_EVENTS") == Some(("ts", "5 seconds")))
+    assert(FlinkDdl.watermarkOf(spark, "nope").isEmpty)
+    // registries are session-scoped: a sibling session sees nothing
+    val sibling = spark.newSession()
+    assert(FlinkDdl.watermarkOf(sibling, "ddl_events").isEmpty)
+    assert(FlinkDdl.registered(sibling, "ddl_events").isEmpty)
+    // re-registering WITHOUT a watermark drops the stale one
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_events (event_id BIGINT, ts TIMESTAMP(3), value DOUBLE)
+         |WITH ('connector' = 'filesystem',
+         |      'path' = '${TestSpark.sfDir}/orders.parquet',
+         |      'format' = 'parquet')""".stripMargin)
+    assert(FlinkDdl.watermarkOf(spark, "ddl_events").isEmpty)
   }
 
   test("datagen connector shapes deterministic rows to the declared schema") {
@@ -83,14 +94,21 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(df.collect().toSeq == spark.table("ddl_gen2").collect().toSeq)
   }
 
-  test("the injected parser executes connector DDL inside spark.sql") {
+  test("connector DDL parses to a lazy command; execution registers the view") {
     val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
-    parser.parsePlan(
+    val ddl =
       s"""CREATE TABLE ddl_parsed (
          |  o_orderkey BIGINT, o_totalprice DOUBLE
          |) WITH ('connector' = 'filesystem',
          |        'path' = '${TestSpark.sfDir}/orders.parquet',
-         |        'format' = 'parquet')""".stripMargin)
+         |        'format' = 'parquet')""".stripMargin
+    // parse alone is side-effect free (EXPLAIN / plan-caching safety)
+    val plan = parser.parsePlan(ddl)
+    assert(plan.isInstanceOf[graft.plans.FlinkDdlCommand])
+    assert(!spark.catalog.tableExists("ddl_parsed"))
+    // executing the parsed plan registers the view and returns OK
+    val ok = org.apache.spark.sql.GraftColumnBridge.ofRows(spark, plan).head()
+    assert(ok.getString(0) == "OK" && ok.getString(1) == "ddl_parsed")
     assert(spark.table("ddl_parsed").count() > 0)
     // plain DDL (no connector) still goes to Spark's parser untouched
     assert(!FlinkDdl.containsClause("CREATE TABLE t (a INT) USING parquet"))
@@ -109,9 +127,12 @@ class FlinkDdlSpec extends AnyFunSuite {
     FlinkDdl.execute(spark,
       """CREATE TABLE ddl_sink_bh (k BIGINT, n BIGINT)
         |WITH ('connector' = 'blackhole')""".stripMargin)
-    // parse executes the sink write eagerly; the plan resolves to OK
-    parser.parsePlan(
+    // parsing the INSERT is pure; executing the plan performs the write
+    val ins = parser.parsePlan(
       "INSERT INTO ddl_sink_bh SELECT o_custkey AS k, count(*) AS n FROM ddl_orders GROUP BY o_custkey")
+    assert(ins.isInstanceOf[graft.plans.FlinkInsertCommand])
+    val res = org.apache.spark.sql.GraftColumnBridge.ofRows(spark, ins).head()
+    assert(res.getString(0) == "OK" && res.getLong(1) > 0)
     val out = java.nio.file.Files.createTempDirectory("ddl_fs_sink").toString
     FlinkDdl.execute(spark,
       s"""CREATE TABLE ddl_sink_fs (k BIGINT, n BIGINT)
@@ -123,7 +144,7 @@ class FlinkDdlSpec extends AnyFunSuite {
     // the table view now serves the written data (it was empty pre-insert)
     assert(spark.table("ddl_sink_fs").count() == sunk)
     // INSERT INTO an unregistered table is NOT intercepted
-    assert(!FlinkDdl.isInsert("INSERT INTO some_other_table SELECT 1"))
+    assert(!FlinkDdl.isInsert(spark, "INSERT INTO some_other_table SELECT 1"))
   }
 
   test("readStream re-derives a filesystem table as a stream with its declared watermark") {

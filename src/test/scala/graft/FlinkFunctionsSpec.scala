@@ -77,12 +77,17 @@ class FlinkFunctionsSpec extends AnyFunSuite {
     assert(one("is_decimal('-1e3')").getBoolean(0))
     assert(!one("is_decimal('4a')").getBoolean(0))
     assert(one("is_decimal(CAST(NULL AS STRING))").isNullAt(0))
+    // one-arg form: the sole argument is the bound
+    val unseeded = spark.sql(
+      "SELECT rand_integer(10) AS x FROM range(1000)").collect().map(_.getInt(0))
+    assert(unseeded.forall(x => x >= 0 && x < 10) && unseeded.distinct.length > 5)
+    // two-arg form is (seed, bound) — Flink's RAND_INTEGER(INT seed, INT bound)
     val draws = spark.sql(
-      "SELECT rand_integer(10, 7) AS x FROM range(1000)").collect().map(_.getInt(0))
+      "SELECT rand_integer(7, 10) AS x FROM range(1000)").collect().map(_.getInt(0))
     assert(draws.forall(x => x >= 0 && x < 10) && draws.distinct.length > 5)
     // seeded form is reproducible
     val again = spark.sql(
-      "SELECT rand_integer(10, 7) AS x FROM range(1000)").collect().map(_.getInt(0))
+      "SELECT rand_integer(7, 10) AS x FROM range(1000)").collect().map(_.getInt(0))
     assert(draws.toSeq == again.toSeq)
   }
 

@@ -57,6 +57,25 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(FlinkSql.statements("SELECT ';'; SELECT 'a''b;c'").size == 2)
   }
 
+  test("statements(): comments never open literals or split statements") {
+    // an apostrophe in a -- comment must not flip quote state
+    assert(FlinkSql.statements(
+      "SELECT 1 -- don't trip\n; SELECT 2").size == 2)
+    // a ; inside a -- comment is not a statement boundary
+    assert(FlinkSql.statements(
+      "SELECT 1 -- a;b\nFROM range(1); SELECT 2").size == 2)
+    // a ; or ' inside a /* */ block is plain text, even spanning lines
+    val block = FlinkSql.statements(
+      "SELECT 1 /* don't; really\n don't */; SELECT 2 /* fin */")
+    assert(block.size == 2 && block(0).contains("/* don't; really"))
+    // unterminated block comment swallows the rest (no phantom split)
+    assert(FlinkSql.statements("SELECT 1 /* open; forever").size == 1)
+    // comments survive end-to-end through the SQL parser
+    assert(FlinkSql.run(spark,
+      "-- header; with 'quotes'\nSELECT 40 + 2 AS x /* don't split; */")
+      .head().getInt(0) == 42)
+  }
+
   test("MATCH_RECOGNIZE and FOR SYSTEM_TIME AS OF route through FlinkSql too") {
     import spark.implicits._
     Seq((1L, 1L, "v"), (1L, 2L, "v"), (1L, 3L, "c"), (2L, 4L, "v"))

@@ -70,6 +70,32 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ON condition"))
   }
 
+  test("alias stripping is literal-aware: quoted 'alias.' text survives") {
+    import graft.plans.SystemTimeJoin.stripQualifiers
+    // a literal containing `c.x` is untouched; real qualifiers drop
+    assert(stripQualifiers("c.x, r.rate, 'c.x' AS lit", Set("c", "r")) ==
+      "x, rate, 'c.x' AS lit")
+    // escaped quotes keep the literal open across ''
+    assert(stripQualifiers("'don''t c.x', c.v", Set("c")) == "'don''t c.x', v")
+    // whole-identifier match only — `crate.x` is not alias `c`
+    assert(stripQualifiers("crate.x, c.y", Set("c")) == "crate.x, y")
+    // SQL identifiers are case-insensitive
+    assert(stripQualifiers(" WHERE C.note = 'C.note'", Set("c")) ==
+      " WHERE note = 'C.note'")
+    // end-to-end: a WHERE literal that names the alias is compared, not corrupted
+    import spark.implicits._
+    Seq(("A", ts(0), 1.0)).toDF("ccy", "ots", "rate")
+      .createOrReplaceTempView("stj_lit_rates")
+    Seq((1L, "A", ts(10), "c.x"), (2L, "A", ts(10), "other"))
+      .toDF("oid", "ccy", "ots", "note").createOrReplaceTempView("stj_lit_orders")
+    val got = graft.plans.SystemTimeJoin.sql(spark,
+      """SELECT c.oid, r.rate FROM stj_lit_orders AS c
+        |JOIN stj_lit_rates FOR SYSTEM_TIME AS OF c.ots AS r ON r.ccy = c.ccy
+        |WHERE c.note = 'c.x'""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 1.0)))
+  }
+
   private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
 
   test("as-of join resolves probes against the latest version at-or-before") {
