@@ -42,6 +42,28 @@ object FlinkSql {
     stmts.map(sql(spark, _)).last
   }
 
+  /** The streaming deployment shape: every statement up to the last
+    * runs as in [[run]] (typically connector DDL), and the final
+    * statement — which must be `INSERT INTO <ddl sink> SELECT ...` —
+    * starts as a Structured Streaming job ([[graft.plans.FlinkDdl
+    * .executeInsertStream]]: DDL filesystem sources become watermarked
+    * readStreams, the sink a writeStream). Returns the running
+    * StreamingQuery; `AvailableNow` by default (process everything
+    * present, then stop — await termination for the bounded analog of
+    * a Flink batch-mode INSERT).
+    */
+  def runStream(spark: SparkSession, script: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stmts = statements(script)
+    require(stmts.nonEmpty, "empty script")
+    stmts.init.foreach(sql(spark, _))
+    require(graft.plans.FlinkDdl.isInsert(spark, stmts.last),
+      "the last statement of a streaming script must be INSERT INTO a DDL-registered sink")
+    graft.plans.FlinkDdl.executeInsertStream(spark, stmts.last, trigger)
+  }
+
   /** Split a script on top-level `;` (quote- and comment-aware: a `;`
     * or `'` inside a `--` line comment or a `/* */` block comment is
     * plain text — comments are copied through for the SQL parser to

@@ -193,6 +193,63 @@ object FlinkDdl {
     df.count()
   }
 
+  /** Streaming INSERT INTO — Flink's actual deployment shape: the
+    * SELECT's DDL-registered filesystem sources become `readStream`s
+    * (with their declared watermarks) and the sink becomes a
+    * `writeStream` (filesystem → file sink in append mode, the
+    * Flink file-sink analog; blackhole → noop; print → console; the
+    * latter two in update mode when the query refines aggregates,
+    * Flink's retract emission). Runs with the given trigger —
+    * `AvailableNow` by default, the bounded "process what's there then
+    * stop" mode — and returns the started StreamingQuery. Source views
+    * are re-pointed at their batch reads once the query starts, so the
+    * session's other statements keep batch semantics.
+    */
+  def executeInsertStream(spark: SparkSession, sqlText: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val m = insertRe.findFirstMatchIn(sqlText).getOrElse(fail("not an INSERT INTO"))
+    val name = m.group(1)
+    val select = m.group(2)
+    val (connector, path, fmt, _) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
+    // every DDL filesystem table the SELECT references streams
+    val sources = tableRegistry(spark).entrySet().toArray(
+        Array.empty[java.util.Map.Entry[String, (String, String, String, StructType)]])
+      .map(_.getKey)
+      .filter(t => t != name.toLowerCase &&
+        raw"(?i)\b${java.util.regex.Pattern.quote(t)}\b".r.findFirstIn(select).isDefined &&
+        registered(spark, t).exists(_._1 == "filesystem"))
+    if (sources.isEmpty) fail("streaming INSERT needs at least one DDL filesystem source in the SELECT")
+    sources.foreach(t => readStream(spark, t).createOrReplaceTempView(t))
+    val df = try spark.sql(select) finally {
+      // restore batch views for subsequent statements; the started
+      // query keeps its own resolved streaming plan
+      sources.foreach { t =>
+        val (_, p, f, schema) = registered(spark, t).get
+        if (pathExists(spark, p)) readFs(spark, f, schema, p, Map.empty)
+          .createOrReplaceTempView(t)
+      }
+    }
+    val ckpt = checkpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory(s"graft_ins_$name").toString)
+    val appendOnly = df.queryExecution.analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty
+    val w = df.writeStream.trigger(trigger).option("checkpointLocation", ckpt)
+    connector match {
+      case "filesystem" =>
+        // file sinks are append-only; aggregates need a watermark so
+        // closed windows emit as appends (Flink's file-sink constraint)
+        w.outputMode("append").format(fmt).start(path)
+      case "blackhole" =>
+        w.outputMode(if (appendOnly) "append" else "update").format("noop").start()
+      case "print" =>
+        w.outputMode(if (appendOnly) "append" else "update").format("console").start()
+      case other => fail(s"streaming INSERT INTO a '$other' table is not supported")
+    }
+  }
+
   private val cdcDecoders: Map[String, (org.apache.spark.sql.DataFrame, String, String) => DataFrame] = Map(
     "debezium-json" -> graft.operators.Changelog.fromDebeziumJson,
     "canal-json" -> graft.operators.Changelog.fromCanalJson,

@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
   * sinks parse to lazily-run commands over [[FlinkDdl]] (side effects at
   * plan execution, never at parse); legacy group windows
   * ([[LegacyGroupWindow]]) lower onto the window TVFs; TVF spans
-  * ([[WindowTvf]]) become plain-Spark subqueries; MATCH_RECOGNIZE routes
+  * ([[WindowTvf]]) become plain-Spark subqueries; `UNNEST` joins
+  * ([[UnnestRewrite]]) become LATERAL VIEW generators; MATCH_RECOGNIZE routes
   * through [[MatchRecognize.sql]]; `FOR SYSTEM_TIME AS OF` through
   * [[SystemTimeJoin.sql]]; everything else delegates to Spark's parser
   * untouched, so the dialect is a strict superset. (`graft.FlinkSql`
@@ -31,7 +32,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     val lowered =
       if (LegacyGroupWindow.containsClause(sqlText)) LegacyGroupWindow.rewrite(sqlText)
       else sqlText
-    if (WindowTvf.containsClause(lowered)) WindowTvf.rewrite(lowered) else lowered
+    val tvfed =
+      if (WindowTvf.containsClause(lowered)) WindowTvf.rewrite(lowered) else lowered
+    if (UnnestRewrite.containsClause(tvfed)) UnnestRewrite.rewrite(tvfed) else tvfed
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = {

@@ -106,18 +106,28 @@ object WindowTvf {
     text
   }
 
+  /** Index of the `)` closing the `(` at `open`; parens inside
+    * single-quoted literals don't count ('' is an escaped quote).
+    */
   private[plans] def matchParen(s: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < s.length) {
-      s.charAt(i) match {
-        case '(' => depth += 1
-        case ')' =>
-          depth -= 1
-          if (depth == 0) return i
-        case _ =>
+      val c = s.charAt(i)
+      if (c == '\'') {
+        i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) return i }
+        i += 1
       }
-      i += 1
     }
     fail("unbalanced parentheses")
   }

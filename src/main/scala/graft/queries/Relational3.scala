@@ -359,7 +359,24 @@ object Relational3 {
         |FROM q80_events""".stripMargin)
   }
 
+  /** Flink's UNNEST join SQL ([U] flink-table-planner SqlUnnestOperator,
+    * runtime UnnestRowsFunction; SURVEY.md §2.9): `CROSS JOIN
+    * UNNEST(array) AS t (c)` rewritten onto a LATERAL VIEW explode
+    * correlate by `graft.plans.UnnestRewrite` (the injected parser and
+    * `graft.FlinkSql` route the same text). Tags are split out of
+    * event_type and aggregated; oracled by DuckDB's native UNNEST.
+    */
+  val q86_unnest_sql: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("q86_events")
+    s.sql(graft.plans.UnnestRewrite.rewrite(
+      """SELECT t.tag, count(*) AS n, round(sum(e.value), 2) AS sum_value
+        |FROM q86_events AS e
+        |CROSS JOIN UNNEST(split(e.event_type, 'i')) AS t (tag)
+        |GROUP BY t.tag""".stripMargin))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q86_unnest_sql" -> q86_unnest_sql,
     "q80_flink_funcs" -> q80_flink_funcs,
     "q74_protobuf_roundtrip" -> q74_protobuf_roundtrip,
     "q71_lateral" -> sharedSql(Seq("nation", "customer"), lateralText),
@@ -381,6 +398,11 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q86_unnest_sql" ->
+      """WITH x AS (SELECT value, unnest(string_split(event_type, 'i')) AS tag
+        |           FROM events)
+        |SELECT tag, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY tag""".stripMargin,
     "q80_flink_funcs" ->
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,

@@ -76,6 +76,42 @@ class FlinkScriptSpec extends AnyFunSuite {
       .head().getInt(0) == 42)
   }
 
+  test("runStream: INSERT INTO runs as a streaming job (source → file sink)") {
+    val dir = java.nio.file.Files.createTempDirectory("flink_stream_ins").toString
+    Tables.events(spark, TestSpark.sfDir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/src.parquet")
+    val q = FlinkSql.runStream(spark,
+      s"""
+         |CREATE TABLE ins_src (
+         |  event_id BIGINT, user_id BIGINT, event_type STRING,
+         |  value DOUBLE, ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem',
+         |        'path' = '$dir/src.parquet', 'format' = 'parquet');
+         |
+         |CREATE TABLE ins_sink (event_id BIGINT, user_id BIGINT, v2 DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/out', 'format' = 'parquet');
+         |
+         |INSERT INTO ins_sink
+         |SELECT event_id, user_id, value * 2 AS v2 FROM ins_src WHERE user_id % 2 = 0
+         |""".stripMargin)
+    q.awaitTermination(120000)
+    val want = spark.read.parquet(s"$dir/src.parquet")
+      .filter(expr("user_id % 2 = 0")).count()
+    assert(want > 0 && spark.read.parquet(s"$dir/out").count() == want)
+    // the source view reverted to batch for subsequent statements
+    assert(!spark.table("ins_src").isStreaming)
+    // a refining aggregate streams to blackhole in update mode
+    val q2 = FlinkSql.runStream(spark,
+      s"""CREATE TABLE ins_bh (user_id BIGINT, n BIGINT)
+         |WITH ('connector' = 'blackhole');
+         |INSERT INTO ins_bh SELECT user_id, count(*) AS n FROM ins_src GROUP BY user_id
+         |""".stripMargin)
+    q2.awaitTermination(120000)
+    assert(q2.lastProgress != null)
+  }
+
   test("MATCH_RECOGNIZE and FOR SYSTEM_TIME AS OF route through FlinkSql too") {
     import spark.implicits._
     Seq((1L, 1L, "v"), (1L, 2L, "v"), (1L, 3L, "c"), (2L, 4L, "v"))
