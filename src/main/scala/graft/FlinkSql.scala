@@ -18,11 +18,21 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
   *
   * Registers the Flink-named functions, then routes every statement
   * through the full dialect chain ([[graft.plans.GraftSqlParser]]:
-  * connector DDL, INSERT INTO sinks, window TVFs, legacy group windows,
-  * MATCH_RECOGNIZE, FOR SYSTEM_TIME AS OF) and executes the parsed plan
-  * directly, so nothing requires the session to have been built with
-  * `spark.sql.extensions`. Returns the LAST statement's DataFrame
-  * (DDL/INSERT statements yield Flink-style `OK` result rows).
+  * connector DDL, INSERT INTO sinks, window TVFs, UNNEST joins, legacy
+  * group windows, MATCH_RECOGNIZE, FOR SYSTEM_TIME AS OF) and executes
+  * the parsed plan directly, so nothing requires the session to have
+  * been built with `spark.sql.extensions`. Returns the LAST statement's
+  * DataFrame (DDL/INSERT statements yield Flink-style `OK` result rows).
+  *
+  * SQL-client script statements are honored too: `SET 'key' = 'value'`
+  * maps the keys with a Spark analog onto session confs
+  * (parallelism.default → spark.sql.shuffle.partitions,
+  * table.local-time-zone → spark.sql.session.timeZone, spark.* verbatim)
+  * and accepts-and-ignores the rest, `RESET 'key'` unsets, and
+  * `EXECUTE STATEMENT SET BEGIN <INSERT...;> ... END` (or the legacy
+  * `BEGIN STATEMENT SET;` form) runs every INSERT of the multi-sink
+  * deployment shape in order, and `EXPLAIN PLAN FOR <stmt>` plans the
+  * statement through the dialect chain without executing it.
   *
   * Statement splitting ignores `;` inside single-quoted literals and
   * inside `--` / `/* ... */` comments (an apostrophe in a comment does
@@ -30,10 +40,59 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
   */
 object FlinkSql {
 
+  private val setRe = raw"(?is)^\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*$$".r
+  private val resetRe = raw"(?is)^\s*RESET\s+'([^']+)'\s*$$".r
+  private val stmtSetRe =
+    raw"(?is)^\s*(?:EXECUTE\s+STATEMENT\s+SET\s+BEGIN|BEGIN\s+STATEMENT\s+SET)\s*;?\s*(.*?)\s*;?\s*END\s*$$".r
+  private val explainRe = raw"(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.*)$$".r
+
+  /** Flink config keys with a direct Spark analog; everything else is
+    * accepted and ignored (a migrating script must not die on its SET
+    * preamble — runtime-tuning keys have no meaning here). `spark.*`
+    * keys pass through verbatim.
+    */
+  private val confMap = Map(
+    "parallelism.default" -> "spark.sql.shuffle.partitions",
+    "table.local-time-zone" -> "spark.sql.session.timeZone")
+
   def sql(spark: SparkSession, statement: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
-    GraftColumnBridge.ofRows(spark, parser.parsePlan(statement))
+    statement match {
+      // script-level statements (Flink SQL-client surface), routed
+      // before the plan parser: SET / RESET map onto session confs,
+      // statement sets run every INSERT in order
+      case setRe(k, v) =>
+        confMap.get(k).orElse(Some(k).filter(_.startsWith("spark.")))
+          .foreach(spark.conf.set(_, v))
+        okRow(spark, "key", k)
+      case resetRe(k) =>
+        confMap.get(k).orElse(Some(k).filter(_.startsWith("spark.")))
+          .foreach(spark.conf.unset)
+        okRow(spark, "key", k)
+      case stmtSetRe(body) =>
+        val inserts = statements(body)
+        require(inserts.nonEmpty, "empty STATEMENT SET")
+        inserts.map(sql(spark, _)).reduce(_ unionByName _)
+      case explainRe(body) =>
+        // Flink's EXPLAIN PLAN FOR: plan the body through the dialect
+        // chain WITHOUT executing it (commands stay unrun — they print
+        // as the deferred command node)
+        val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
+        val plan = parser.parsePlan(body)
+        val text = plan match {
+          case c: org.apache.spark.sql.execution.command.LeafRunnableCommand => c.toString
+          case p => GraftColumnBridge.ofRows(spark, p).queryExecution.toString
+        }
+        okRow(spark, "plan", text)
+      case _ =>
+        val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
+        GraftColumnBridge.ofRows(spark, parser.parsePlan(statement))
+    }
+  }
+
+  private def okRow(spark: SparkSession, col: String, v: String): DataFrame = {
+    import spark.implicits._
+    Seq(("OK", v)).toDF("result", col)
   }
 
   def run(spark: SparkSession, script: String): DataFrame = {
@@ -99,6 +158,55 @@ object FlinkSql {
       }
     }
     out += cur.result()
-    out.result().map(_.trim).filter(_.nonEmpty)
+    regroupStatementSets(
+      out.result().map(s => stripLeadingComments(s).trim).filter(_.nonEmpty))
+  }
+
+  /** Drop comments BEFORE a statement's first token (they'd defeat the
+    * dialect routers' anchored regexes); inner comments stay for the
+    * SQL parser to handle.
+    */
+  private def stripLeadingComments(s: String): String = {
+    var t = s
+    var changed = true
+    while (changed) {
+      val trimmed = t.dropWhile(_.isWhitespace)
+      val next =
+        if (trimmed.startsWith("--"))
+          trimmed.dropWhile(_ != '\n')
+        else if (trimmed.startsWith("/*")) {
+          val close = trimmed.indexOf("*/", 2)
+          if (close < 0) "" else trimmed.substring(close + 2)
+        } else trimmed
+      changed = next != trimmed
+      t = next
+    }
+    t
+  }
+
+  private val setOpenRe =
+    raw"(?is)^\s*(EXECUTE\s+STATEMENT\s+SET\s+BEGIN|BEGIN\s+STATEMENT\s+SET)\b".r
+
+  /** `EXECUTE STATEMENT SET BEGIN ...; ...; END` spans `;` boundaries —
+    * re-join the split pieces (with `;`) until the closing END so the
+    * whole set reaches [[sql]] as one statement.
+    */
+  private def regroupStatementSets(stmts: Seq[String]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var open: Option[StringBuilder] = None
+    stmts.foreach { s =>
+      open match {
+        case Some(buf) =>
+          buf ++= ";"; buf ++= s
+          if (s.trim.equalsIgnoreCase("END")) { out += buf.result(); open = None }
+        case None =>
+          if (setOpenRe.findFirstIn(s).isDefined &&
+              !raw"(?is)\bEND\s*$$".r.findFirstIn(s).isDefined)
+            open = Some(new StringBuilder(s))
+          else out += s
+      }
+    }
+    open.foreach(buf => out += buf.result()) // unterminated: surface as-is
+    out.result()
   }
 }

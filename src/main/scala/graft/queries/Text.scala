@@ -186,7 +186,37 @@ object Text {
           .otherwise("keep").as("quality"))
   }
 
+  /** Within-document repetition scoring (north_star quality filters —
+    * the Gopher-style "fraction of duplicate n-grams" signal used to
+    * drop looping/boilerplate pages from pre-training corpora): per
+    * document, the duplicate-token and duplicate-bigram fractions
+    * (1 − distinct/total), folded into a keep/repetitive/loopy verdict.
+    * Pure per-row array expressions — one narrow scan, no shuffle, no
+    * explode: the 100 TB shape for a per-document score. Single-token
+    * docs have no bigrams (NULL ratio via nullif), never an error.
+    */
+  val q87_repetition: Q = (s, d) => {
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "regexp_extract_all(text, '\\\\S+', 0) AS t")
+      .selectExpr(
+        "doc_id",
+        "CAST(size(t) AS BIGINT) AS n_tok",
+        "CAST(size(array_distinct(t)) AS BIGINT) AS n_uniq",
+        """CAST(size(array_distinct(CASE WHEN size(t) < 2 THEN array()
+          |  ELSE transform(sequence(1, size(t) - 1),
+          |                 i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+          |  END)) AS BIGINT) AS n_uniq_2g""".stripMargin)
+      .selectExpr(
+        "doc_id", "n_tok", "n_uniq", "n_uniq_2g",
+        "round(1.0 - CAST(n_uniq AS DOUBLE) / n_tok, 4) AS dup_tok_ratio",
+        "round(1.0 - CAST(n_uniq_2g AS DOUBLE) / nullif(n_tok - 1, 0), 4) AS dup_2g_ratio",
+        """CASE WHEN 1.0 - CAST(n_uniq AS DOUBLE) / n_tok > 0.6 THEN 'repetitive'
+          |     WHEN 1.0 - CAST(n_uniq_2g AS DOUBLE) / nullif(n_tok - 1, 0) > 0.3 THEN 'loopy'
+          |     ELSE 'keep' END AS verdict""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q87_repetition" -> q87_repetition,
     "q79_quality_score" -> q79_quality_score,
     "q75_bpe_tokens" -> q75_bpe_tokens,
     "q48_winnow_fingerprints" -> q48_winnow_fingerprints,
@@ -201,6 +231,21 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q87_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |x AS (SELECT doc_id,
+        |             CAST(len(tk) AS BIGINT) AS n_tok,
+        |             CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq,
+        |             CAST(len(list_distinct(list_transform(range(1, len(tk)),
+        |                    i -> tk[i] || ' ' || tk[i + 1]))) AS BIGINT) AS n_uniq_2g
+        |      FROM t)
+        |SELECT doc_id, n_tok, n_uniq, n_uniq_2g,
+        |       round(1.0 - CAST(n_uniq AS DOUBLE) / n_tok, 4) AS dup_tok_ratio,
+        |       round(1.0 - CAST(n_uniq_2g AS DOUBLE) / nullif(n_tok - 1, 0), 4) AS dup_2g_ratio,
+        |       CASE WHEN 1.0 - CAST(n_uniq AS DOUBLE) / n_tok > 0.6 THEN 'repetitive'
+        |            WHEN 1.0 - CAST(n_uniq_2g AS DOUBLE) / nullif(n_tok - 1, 0) > 0.3 THEN 'loopy'
+        |            ELSE 'keep' END AS verdict
+        |FROM x""".stripMargin,
     "q79_quality_score" ->
       s"""WITH x AS (SELECT doc_id,
          |                  CAST(length(text) AS BIGINT) AS len,

@@ -76,6 +76,78 @@ class FlinkScriptSpec extends AnyFunSuite {
       .head().getInt(0) == 42)
   }
 
+  test("SET/RESET and EXECUTE STATEMENT SET run as script statements") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // SET with a mapped key lands on the Spark conf; RESET unsets
+      assert(FlinkSql.sql(spark, "SET 'parallelism.default' = '7'")
+        .head().getString(0) == "OK")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      // unknown Flink runtime keys are accepted and ignored
+      FlinkSql.sql(spark, "SET 'table.exec.state.ttl' = '1 h'")
+      // spark.* keys pass through verbatim
+      FlinkSql.sql(spark, "SET 'spark.sql.shuffle.partitions' = '9'")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "9")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    // a whole script: SET preamble, DDL, multi-sink statement set
+    val dir = java.nio.file.Files.createTempDirectory("flink_stmt_set").toString
+    Tables.orders(spark, TestSpark.sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val last = FlinkSql.run(spark,
+      s"""
+         |SET 'pipeline.name' = 'nightly sync';  -- ignored, doesn't fail
+         |CREATE TABLE ss_orders (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/orders.parquet',
+         |      'format' = 'parquet');
+         |CREATE TABLE ss_sink_a (k BIGINT, n BIGINT) WITH ('connector' = 'blackhole');
+         |CREATE TABLE ss_sink_b (k BIGINT, total DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/out_b', 'format' = 'parquet');
+         |EXECUTE STATEMENT SET
+         |BEGIN
+         |INSERT INTO ss_sink_a SELECT o_custkey AS k, count(*) AS n
+         |FROM ss_orders GROUP BY o_custkey;
+         |INSERT INTO ss_sink_b SELECT o_custkey AS k, sum(o_totalprice) AS total
+         |FROM ss_orders GROUP BY o_custkey;
+         |END;
+         |""".stripMargin)
+    // one OK row per INSERT in the set; the filesystem sink has the rows
+    assert(last.collect().map(_.getString(0)).toSeq == Seq("OK", "OK"))
+    val custs = spark.table("ss_orders").select("o_custkey").distinct().count()
+    assert(spark.read.parquet(s"$dir/out_b").count() == custs)
+    // the legacy BEGIN STATEMENT SET; form regroups and runs too
+    val legacy = FlinkSql.run(spark,
+      """BEGIN STATEMENT SET;
+        |INSERT INTO ss_sink_a SELECT o_custkey AS k, count(*) AS n
+        |FROM ss_orders GROUP BY o_custkey;
+        |END""".stripMargin)
+    assert(legacy.head().getString(0) == "OK")
+  }
+
+  test("EXPLAIN PLAN FOR plans dialect statements without executing them") {
+    import spark.implicits._
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      .toDF("k", "ts", "v").createOrReplaceTempView("ex_src")
+    // a TVF query plans (physical plan text), nothing runs
+    val planned = FlinkSql.sql(spark,
+      """EXPLAIN PLAN FOR
+        |SELECT window_start, count(*) AS n
+        |FROM TABLE(TUMBLE(TABLE ex_src, DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        |GROUP BY window_start""".stripMargin).head().getString(1)
+    assert(planned.contains("Physical Plan"))
+    // an INSERT plans as a deferred command — and the write does NOT happen
+    val out = java.nio.file.Files.createTempDirectory("ex_sink").toString
+    FlinkSql.sql(spark,
+      s"""CREATE TABLE ex_sink (k BIGINT, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$out/t', 'format' = 'parquet')""".stripMargin)
+    val cmd = FlinkSql.sql(spark,
+      "EXPLAIN PLAN FOR INSERT INTO ex_sink SELECT k, v FROM ex_src")
+      .head().getString(1)
+    assert(cmd.contains("FlinkInsertCommand"))
+    assert(!new java.io.File(s"$out/t").exists())
+  }
+
   test("runStream: INSERT INTO runs as a streaming job (source → file sink)") {
     val dir = java.nio.file.Files.createTempDirectory("flink_stream_ins").toString
     Tables.events(spark, TestSpark.sfDir)
