@@ -37,12 +37,17 @@ import org.apache.spark.sql.types.StructType
   * recorded in [[watermarkOf]] (batch reads ignore it; streaming readers
   * apply it via `withWatermark` — Spark has no table-attached watermark).
   * `PRIMARY KEY ... NOT ENFORCED` is accepted and ignored (Flink does
-  * not enforce it either). Everything else fails with a clear error.
+  * not enforce it either). `PARTITIONED BY (cols)` — Flink's
+  * partitioned filesystem table — is recorded: INSERT INTO writes
+  * Spark partition directories and reads prune on the partition
+  * columns (the layout that makes a 100 TB table scannable).
+  * Everything else fails with a clear error.
   */
 object FlinkDdl {
 
   private val createRe =
     raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\(".r
+  private val partitionedRe = raw"(?is)\bPARTITIONED\s+BY\s*\(".r
   private val withRe = raw"(?is)\bWITH\s*\(".r
   private val optRe = raw"(?s)'((?:[^'\\]|\\.)*)'\s*=\s*'((?:[^'\\]|\\.)*)'".r
   private val watermarkRe =
@@ -75,6 +80,18 @@ object FlinkDdl {
       _ => new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, StructType)]())
   }
 
+  private val partsBySession =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[String]]]()
+  private def partRegistry(spark: SparkSession) = partsBySession.synchronized {
+    partsBySession.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]())
+  }
+
+  /** PARTITIONED BY columns of a DDL-registered table (empty if none). */
+  def partitionsOf(spark: SparkSession, table: String): Seq[String] =
+    Option(partRegistry(spark).get(table.toLowerCase)).getOrElse(Seq.empty)
+
   /** (rowtime column, watermark delay e.g. "5 seconds") of `table` as
     * declared in this session's DDL, if any.
     */
@@ -100,8 +117,18 @@ object FlinkDdl {
     // re-registering a name drops its old metadata even if this DDL fails
     wmRegistry(spark).remove(name.toLowerCase)
     tableRegistry(spark).remove(name.toLowerCase)
+    partRegistry(spark).remove(name.toLowerCase)
     val colsClose = WindowTvf.matchParen(sqlText, m.end - 1)
     val colDefs = WindowTvf.splitArgs(sqlText.substring(m.end, colsClose))
+    // Flink's partitioned filesystem table: PARTITIONED BY between the
+    // column list and WITH — written as Spark partition directories, so
+    // reads get partition pruning (the 100 TB layout lever)
+    val partitionCols = partitionedRe.findFirstMatchIn(sqlText.substring(colsClose + 1))
+      .map { pm =>
+        val pOpen = colsClose + 1 + pm.end - 1
+        sqlText.substring(pOpen + 1, WindowTvf.matchParen(sqlText, pOpen))
+          .split(",").toSeq.map(_.trim)
+      }.getOrElse(Seq.empty)
     val wm = withRe.findFirstMatchIn(sqlText.substring(colsClose + 1))
       .getOrElse(fail("WITH ('connector' = ...) options are required"))
     val withOpen = colsClose + 1 + wm.end - 1
@@ -156,6 +183,11 @@ object FlinkDdl {
     df.createOrReplaceTempView(name)
     tableRegistry(spark).put(name.toLowerCase,
       (connector, opts.getOrElse("path", ""), opts.getOrElse("format", ""), schema))
+    if (partitionCols.nonEmpty) {
+      partitionCols.find(c => !schema.fieldNames.contains(c)).foreach(c =>
+        fail(s"PARTITIONED BY column `$c` is not a physical column"))
+      partRegistry(spark).put(name.toLowerCase, partitionCols)
+    }
     name
   }
 
@@ -182,7 +214,9 @@ object FlinkDdl {
       case "blackhole" => df.write.format("noop").mode("overwrite").save()
       case "print" => df.show(20, truncate = false)
       case "filesystem" =>
-        df.write.format(fmt).mode("append").save(path)
+        // a declared PARTITIONED BY layout writes partition directories
+        df.write.format(fmt).partitionBy(partitionsOf(spark, name): _*)
+          .mode("append").save(path)
         // the view may have been registered over a then-absent path;
         // re-point it at the written data (physical columns only)
         registered(spark, name).foreach { case (_, _, _, schema) =>

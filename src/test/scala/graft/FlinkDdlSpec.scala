@@ -147,6 +147,37 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(!FlinkDdl.isInsert(spark, "INSERT INTO some_other_table SELECT 1"))
   }
 
+  test("PARTITIONED BY writes partition directories; reads prune on them") {
+    val dir = java.nio.file.Files.createTempDirectory("ddl_part").toString
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_part_t (
+         |  id BIGINT, v DOUBLE, bucket STRING
+         |) PARTITIONED BY (bucket)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')""".stripMargin)
+    assert(FlinkDdl.partitionsOf(spark, "ddl_part_t") == Seq("bucket"))
+    val sunk = FlinkDdl.executeInsert(spark,
+      """INSERT INTO ddl_part_t
+        |SELECT id, CAST(id AS DOUBLE) / 2 AS v,
+        |       CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS bucket
+        |FROM range(100)""".stripMargin)
+    assert(sunk == 100)
+    // partition directories on disk
+    assert(new java.io.File(s"$dir/t/bucket=even").exists())
+    // the re-registered view reads back every column, typed per the DDL
+    val got = spark.table("ddl_part_t")
+    assert(got.count() == 100 && got.columns.toSet == Set("id", "v", "bucket"))
+    // a partition-column filter reaches the scan as a partition filter
+    val plan = got.filter(col("bucket") === "even")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
+    assert(got.filter(col("bucket") === "even").count() == 50)
+    // a partition column must be physical
+    val e = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_part_bad (id BIGINT) PARTITIONED BY (nope)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/x', 'format' = 'parquet')""".stripMargin))
+    assert(e.getMessage.contains("PARTITIONED BY"))
+  }
+
   test("readStream re-derives a filesystem table as a stream with its declared watermark") {
     // fixture events.parquet has nanos ts; stage a micros copy in /tmp
     val dir = java.nio.file.Files.createTempDirectory("ddl_stream").toString
