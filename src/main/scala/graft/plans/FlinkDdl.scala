@@ -101,18 +101,76 @@ object FlinkDdl {
   def registered(spark: SparkSession, table: String): Option[(String, String, String, StructType)] =
     Option(tableRegistry(spark).get(table.toLowerCase))
 
+  private val ctasRe =
+    raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+WITH\s*\(".r
+  private val dropRe =
+    raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*$$".r
+
   def containsClause(sqlText: String): Boolean =
-    createRe.findFirstIn(sqlText).isDefined &&
+    (createRe.findFirstIn(sqlText).isDefined || ctasRe.findFirstIn(sqlText).isDefined) &&
       raw"(?i)'\s*connector\s*'".r.findFirstIn(sqlText).isDefined
+
+  /** True iff `sqlText` drops a table this session's DDL registered. */
+  def isDrop(spark: SparkSession, sqlText: String): Boolean =
+    dropRe.findFirstMatchIn(sqlText).exists(m => registered(spark, m.group(1)).isDefined)
+
+  /** Drop a DDL-registered table: the temp view and every registry
+    * entry go (files stay on disk — Flink's filesystem connector does
+    * not delete data on DROP either). Returns the table name.
+    */
+  def executeDrop(spark: SparkSession, sqlText: String): String = {
+    val m = dropRe.findFirstMatchIn(sqlText).getOrElse(fail("not a DROP TABLE"))
+    val name = m.group(1)
+    spark.catalog.dropTempView(name)
+    wmRegistry(spark).remove(name.toLowerCase)
+    tableRegistry(spark).remove(name.toLowerCase)
+    partRegistry(spark).remove(name.toLowerCase)
+    name
+  }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"Flink DDL: $msg")
 
   /** Execute the DDL: register `name` as a temp view over the translated
-    * source. Returns the table name.
+    * source. Returns the table name. `CREATE TABLE ... WITH (...) AS
+    * SELECT ...` (Flink 1.19 CTAS, FLIP-218) routes to [[executeCtas]].
     */
-  def execute(spark: SparkSession, sqlText: String): String = {
-    val m = createRe.findFirstMatchIn(sqlText).getOrElse(fail("not a CREATE TABLE"))
+  def execute(spark: SparkSession, sqlText: String): String =
+    createRe.findFirstMatchIn(sqlText) match {
+      case Some(m) => executeCreate(spark, sqlText, m)
+      case None => executeCtas(spark, sqlText)
+    }
+
+  /** CTAS: run the SELECT, write it to the filesystem sink, register
+    * the view over the written data (schema = the SELECT's). Only the
+    * filesystem connector can host CTAS here (datagen/print/blackhole
+    * have no storage).
+    */
+  private def executeCtas(spark: SparkSession, sqlText: String): String = {
+    val m = ctasRe.findFirstMatchIn(sqlText).getOrElse(fail("not a CREATE TABLE"))
+    val name = m.group(1)
+    val withOpen = m.end - 1
+    val withClose = WindowTvf.matchParen(sqlText, withOpen)
+    val opts = optRe.findAllMatchIn(sqlText.substring(withOpen + 1, withClose))
+      .map(o => o.group(1).toLowerCase -> o.group(2)).toMap
+    val select = raw"(?is)^\s*AS\s+(SELECT\b.*)$$".r
+      .findFirstMatchIn(sqlText.substring(withClose + 1))
+      .map(_.group(1)).getOrElse(fail("CTAS requires `AS SELECT ...` after WITH (...)"))
+    if (opts.getOrElse("connector", fail("'connector' option is required")) != "filesystem")
+      fail("CTAS is supported for the filesystem connector only")
+    val path = opts.getOrElse("path", fail("filesystem connector requires 'path'"))
+    val fmt = opts.getOrElse("format", fail("filesystem connector requires 'format'"))
+    wmRegistry(spark).remove(name.toLowerCase)
+    partRegistry(spark).remove(name.toLowerCase)
+    val df = spark.sql(select)
+    df.write.format(fmt).mode("overwrite").save(path)
+    readFs(spark, fmt, df.schema, path, opts).createOrReplaceTempView(name)
+    tableRegistry(spark).put(name.toLowerCase, ("filesystem", path, fmt, df.schema))
+    name
+  }
+
+  private def executeCreate(spark: SparkSession, sqlText: String,
+      m: scala.util.matching.Regex.Match): String = {
     val name = m.group(1)
     // re-registering a name drops its old metadata even if this DDL fails
     wmRegistry(spark).remove(name.toLowerCase)

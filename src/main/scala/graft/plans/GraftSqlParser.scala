@@ -44,6 +44,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     // view-text re-parsing never register views or perform writes
     if (FlinkDdl.containsClause(sqlText)) return FlinkDdlCommand(sqlText)
     if (FlinkDdl.isInsert(session, sqlText)) return FlinkInsertCommand(sqlText)
+    if (FlinkDdl.isDrop(session, sqlText)) return FlinkDropCommand(sqlText)
     val t = tvf(sqlText)
     if (MatchRecognize.containsClause(t)) viaMr(t)
     else if (SystemTimeJoin.containsClause(t))
@@ -103,4 +104,16 @@ case class FlinkInsertCommand(sqlText: String) extends LeafRunnableCommand {
     AttributeReference("rows_sunk", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row("OK", FlinkDdl.executeInsert(spark, sqlText)))
+}
+
+/** `DROP TABLE <ddl table>` — unregisters the temp view and the DDL
+  * metadata at execution time (data files stay, like Flink's
+  * filesystem connector).
+  */
+case class FlinkDropCommand(sqlText: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("result", StringType, nullable = false)(),
+    AttributeReference("table_name", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row("OK", FlinkDdl.executeDrop(spark, sqlText)))
 }

@@ -178,6 +178,38 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("PARTITIONED BY"))
   }
 
+  test("CTAS writes the SELECT to the sink and registers the view; DROP TABLE unregisters") {
+    createOrders()
+    val dir = java.nio.file.Files.createTempDirectory("ddl_ctas").toString
+    val name = FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_ctas_t
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')
+         |AS SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         |   FROM ddl_orders GROUP BY o_custkey""".stripMargin)
+    assert(name == "ddl_ctas_t")
+    val got = spark.table("ddl_ctas_t")
+    val custs = spark.table("ddl_orders").select("o_custkey").distinct().count()
+    assert(got.count() == custs)
+    assert(got.columns.toSeq == Seq("o_custkey", "n", "total"))
+    // the data is on disk in the declared format, and INSERT INTO works
+    assert(spark.read.parquet(s"$dir/t").count() == custs)
+    assert(FlinkDdl.isInsert(spark, "INSERT INTO ddl_ctas_t SELECT 1, 2, 3.0"))
+    // non-filesystem CTAS fails clearly
+    val e = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      "CREATE TABLE ddl_ctas_bh WITH ('connector' = 'blackhole') AS SELECT 1"))
+    assert(e.getMessage.contains("filesystem connector only"))
+    // DROP TABLE through the parser: lazy command, unregisters on run
+    val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
+    val drop = parser.parsePlan("DROP TABLE ddl_ctas_t")
+    assert(drop.isInstanceOf[graft.plans.FlinkDropCommand])
+    assert(spark.catalog.tableExists("ddl_ctas_t")) // parse alone: still there
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark, drop).collect()
+    assert(!spark.catalog.tableExists("ddl_ctas_t"))
+    assert(FlinkDdl.registered(spark, "ddl_ctas_t").isEmpty)
+    // DROP of a non-DDL table is NOT intercepted
+    assert(!FlinkDdl.isDrop(spark, "DROP TABLE something_else"))
+  }
+
   test("readStream re-derives a filesystem table as a stream with its declared watermark") {
     // fixture events.parquet has nanos ts; stage a micros copy in /tmp
     val dir = java.nio.file.Files.createTempDirectory("ddl_stream").toString
