@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-JVM audio kernel for the multimodal column convention (the
+  * audio sibling of [[ImageHeaderKernel]]): typed metadata straight
+  * from a WAV container's RIFF header — no audio library exists in the
+  * container, and none is needed to read the public RIFF/WAVE layout.
+  * The expression runs inside whole-stage codegen like any builtin;
+  * payload DECODE beyond the header stays an opaque-binary concern
+  * ([[graft.operators.Multimodal]] batching, chunk sampling).
+  */
+object WavHeaderKernel {
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** (codec, channels, sample_rate, bits, n_frames, duration_ms) from a
+    * RIFF/WAVE header, or null when the payload is not a WAV. Chunks are
+    * walked (word-aligned) to the `fmt ` and `data` chunks; frames =
+    * data bytes / block align, duration from the declared sample rate.
+    */
+  def parse(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null) return null
+    val n = bytes.length
+    if (n < 44 || bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+      bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' ||
+      bytes(11) != 'E') return null
+    var i = 12
+    var fmtTag = -1; var channels = -1; var rate = -1L; var bits = -1
+    var blockAlign = -1; var dataLen = -1L
+    while (i + 8 <= n && (fmtTag < 0 || dataLen < 0)) {
+      val size = le32(bytes, i + 4)
+      val body = i + 8
+      if (bytes(i) == 'f' && bytes(i + 1) == 'm' && bytes(i + 2) == 't' &&
+        bytes(i + 3) == ' ') {
+        if (size < 16 || body + 16 > n) return null // truncated fmt chunk
+        fmtTag = le16(bytes, body)
+        channels = le16(bytes, body + 2)
+        rate = le32(bytes, body + 4)
+        blockAlign = le16(bytes, body + 12)
+        bits = le16(bytes, body + 14)
+      } else if (bytes(i) == 'd' && bytes(i + 1) == 'a' && bytes(i + 2) == 't' &&
+        bytes(i + 3) == 'a') {
+        dataLen = size
+      }
+      i = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (fmtTag < 0 || dataLen < 0 || channels <= 0 || rate <= 0 || blockAlign <= 0)
+      return null
+    val codec = fmtTag match {
+      case 1 => "pcm"
+      case 3 => "float"
+      case 6 => "alaw"
+      case 7 => "mulaw"
+      case other => s"fmt_$other"
+    }
+    val frames = dataLen / blockAlign
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(codec), channels, rate.toInt, bits, frames,
+      frames * 1000.0 / rate))
+  }
+}
+
+/** struct<codec, channels, sample_rate, bits, n_frames, duration_ms>
+  * parsed from WAV bytes; null for non-WAV payloads.
+  */
+case class WavHeader(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WavHeader.schema
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    WavHeaderKernel.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.WavHeaderKernel.parse($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WavHeader {
+  val schema: StructType = StructType(Seq(
+    StructField("codec", StringType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", DoubleType)))
+
+  def apply(content: Column): Column =
+    GraftColumnBridge.column(WavHeader(GraftColumnBridge.expression(content)))
+}

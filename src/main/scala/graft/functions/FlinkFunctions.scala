@@ -29,6 +29,9 @@ import org.apache.spark.sql.types._
   *    Spark's native string-parsing to_timestamp_ltz, so registering
   *    the name loses nothing.
   *  - IS_ALPHA / IS_DIGIT / IS_DECIMAL — the legacy scalar predicates.
+  *  - CONVERT_TZ(ts, tzFrom, tzTo) — wall-clock rebase between zones
+  *    (STRING in/out, like the reference).
+  *  - SHA224/SHA256/SHA384/SHA512(s) — fixed-width names over sha2.
   *  - RAND_INTEGER(bound) / RAND_INTEGER(seed, bound) — uniform int in
   *    [0, bound); the two-arg form leads with the seed, matching the
   *    reference's RAND_INTEGER(INT seed, INT bound) signature.
@@ -122,6 +125,19 @@ object FlinkFunctions {
           Literal("SINGLE_VALUE: more than one row in group")),
         Max(e(0)).toAggregateExpression())
     },
+    // CONVERT_TZ(ts, tzFrom, tzTo): reinterpret a wall-clock timestamp
+    // string from one zone into another — composed from Spark's UTC
+    // shift pair, both codegen'd
+    "convert_tz" -> { e =>
+      nArgs("convert_tz", e, 3)
+      Cast(FromUTCTimestamp(ToUTCTimestamp(Cast(e(0), TimestampType), e(1)), e(2)),
+        StringType)
+    },
+    // the reference's fixed-width SHA names over Spark's sha2(x, bits)
+    "sha224" -> { e => nArgs("sha224", e, 1); Sha2(Cast(e(0), BinaryType), Literal(224)) },
+    "sha256" -> { e => nArgs("sha256", e, 1); Sha2(Cast(e(0), BinaryType), Literal(256)) },
+    "sha384" -> { e => nArgs("sha384", e, 1); Sha2(Cast(e(0), BinaryType), Literal(384)) },
+    "sha512" -> { e => nArgs("sha512", e, 1); Sha2(Cast(e(0), BinaryType), Literal(512)) },
     "to_timestamp_ltz" -> { e =>
       (e.lift(1), e.length) match {
         case (Some(Literal(0, IntegerType)), 2) => SecondsToTimestamp(e(0))

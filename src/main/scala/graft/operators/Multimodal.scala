@@ -55,6 +55,14 @@ object Multimodal {
       .withField("height", h.getField("height")))
   }
 
+  /** Audio sibling of [[decodeImageMeta]]: typed metadata from WAV
+    * container headers ([[graft.functions.WavHeader]] — codec, channels,
+    * sample rate, bit depth, frame count, duration) appended as an
+    * `audio` struct column; null for non-WAV payloads.
+    */
+  def decodeAudioMeta(df: DataFrame, contentCol: String): DataFrame =
+    df.withColumn("audio", graft.functions.WavHeader(col(contentCol)))
+
   /** Feature extraction over the convention: normalized byte-histogram
     * vector per payload (fixed dim, deterministic) — the plumbing shape
     * of an embedding model output, computed by a codegen'd kernel.

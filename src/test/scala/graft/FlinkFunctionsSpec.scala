@@ -91,6 +91,25 @@ class FlinkFunctionsSpec extends AnyFunSuite {
     assert(draws.toSeq == again.toSeq)
   }
 
+  test("convert_tz rebases wall-clock strings; SHA names hit the NIST vectors") {
+    assert(one("convert_tz('2024-01-01 12:00:00', 'UTC', 'Asia/Shanghai')")
+      .getString(0) == "2024-01-01 20:00:00")
+    // DST-aware: New York is UTC-4 in July
+    assert(one("convert_tz('2024-07-01 00:00:00', 'America/New_York', 'UTC')")
+      .getString(0) == "2024-07-01 04:00:00")
+    // the FIPS-180 'abc' test vectors
+    assert(one("sha224('abc')").getString(0) ==
+      "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7")
+    assert(one("sha256('abc')").getString(0) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(one("sha384('abc')").getString(0) ==
+      "cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed" +
+      "8086072ba1e7cc2358baeca134c825a7")
+    assert(one("sha512('abc')").getString(0) ==
+      "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a" +
+      "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f")
+  }
+
   test("single_value: the group's sole value; >1 row in a group raises") {
     import spark.implicits._
     Seq((1, "a"), (2, "b"), (2, "c")).toDF("k", "v").createOrReplaceTempView("sv_t")

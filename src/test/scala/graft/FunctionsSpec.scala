@@ -73,11 +73,12 @@ class FunctionsSpec extends AnyFunSuite {
     // unit-level: the extension registers exactly the declared builders
     val names = graft.functions.GraftFunctions.builders.map(_._1).toSet
     assert(names == Set("graft_dot", "graft_winnow", "graft_byte_histogram",
-      "graft_image_header", "graft_topk_indices",
+      "graft_image_header", "graft_wav_header", "graft_topk_indices",
       // the Flink-named dialect pack rides the same injection path
       "split_index", "from_base64", "to_base64", "json_value", "json_query",
       "json_exists", "truncate", "to_timestamp_ltz", "single_value",
-      "is_alpha", "is_digit", "is_decimal", "rand_integer"))
+      "is_alpha", "is_digit", "is_decimal", "rand_integer", "convert_tz",
+      "sha224", "sha256", "sha384", "sha512"))
     // integration-level: a fresh session with the extensions conf resolves
     // the functions without any explicit register() call
     val s2 = org.apache.spark.sql.SparkSession.builder()

@@ -184,6 +184,39 @@ class PatternsSpec extends AnyFunSuite {
     assert(chunks.groupBy("id").count().collect().forall(_.getLong(1) == 4))
   }
 
+  test("multimodal: WAV audio headers parse into typed metadata (RIFF walker)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ImgFixtures.wav(channels = 2, rate = 44100, bits = 16, frames = 44100)),
+      (2L, ImgFixtures.wavWithListChunk(channels = 1, rate = 16000, bits = 8, frames = 8000)),
+      (3L, "RIFFnope".getBytes("US-ASCII")),
+      (4L, ImgFixtures.png(8, 8)))
+      .toDF("id", "content")
+    val rows = Multimodal.decodeAudioMeta(df, "content")
+      .select($"id", $"audio.codec", $"audio.channels", $"audio.sample_rate",
+        $"audio.bits", $"audio.n_frames", $"audio.duration_ms")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(1) == "pcm" && rows(1L).getInt(2) == 2 &&
+      rows(1L).getInt(3) == 44100 && rows(1L).getInt(4) == 16 &&
+      rows(1L).getLong(5) == 44100L && rows(1L).getDouble(6) == 1000.0)
+    // a LIST chunk before data must be skipped by the walker
+    assert(rows(2L).getString(1) == "pcm" && rows(2L).getInt(2) == 1 &&
+      rows(2L).getInt(3) == 16000 && rows(2L).getLong(5) == 8000L &&
+      rows(2L).getDouble(6) == 500.0)
+    // truncated RIFF and non-audio payloads are null, not errors
+    assert(rows(3L).isNullAt(1) && rows(4L).isNullAt(1))
+    // SQL-callable and codegen-resident (parquet scan, so the projection
+    // can't constant-fold into a LocalTableScan)
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("wav_t").toString
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("wav_t")
+    val plan = spark.sql(
+      "SELECT graft_wav_header(content).duration_ms AS d FROM wav_t")
+    assert(plan.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(plan.collect().count(!_.isNullAt(0)) == 2)
+  }
+
   test("byte-histogram embed: fixed dim, normalized, deterministic, content-sensitive") {
     import spark.implicits._
     val df = Seq((1L, "payload-a"), (2L, "PAYLOAD?9!"), (3L, "")).toDF("id", "s")
@@ -228,4 +261,29 @@ object ImgFixtures {
 
   def gif(w: Int, h: Int): Array[Byte] =
     "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+
+  private def le32(v: Int) =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  /** Canonical 44-byte PCM WAV header + zeroed sample data. */
+  def wav(channels: Int, rate: Int, bits: Int, frames: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val dataLen = frames * blockAlign
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(rate) ++ le32(rate * blockAlign) ++
+      le16(blockAlign) ++ le16(bits) ++
+      "data".getBytes("US-ASCII") ++ le32(dataLen) ++ Array.fill[Byte](dataLen)(0)
+  }
+
+  /** Same, with an odd-sized LIST metadata chunk between fmt and data —
+    * exercises the word-aligned chunk walk.
+    */
+  def wavWithListChunk(channels: Int, rate: Int, bits: Int, frames: Int): Array[Byte] = {
+    val base = wav(channels, rate, bits, frames)
+    val (head, tail) = base.splitAt(36) // end of fmt chunk
+    head ++ "LIST".getBytes("US-ASCII") ++ le32(5) ++
+      "INFOx".getBytes("US-ASCII") ++ Array[Byte](0) ++ // pad to even
+      tail
+  }
 }
