@@ -123,6 +123,30 @@ object FlinkSql {
     graft.plans.FlinkDdl.executeInsertStream(spark, stmts.last, trigger)
   }
 
+  /** Streaming multi-sink deployment — Flink's `EXECUTE STATEMENT SET`
+    * as ONE submission: the script's final statement must be a
+    * statement set, and every INSERT inside it starts as its own
+    * Structured Streaming query (Spark's unit of execution is the
+    * query; Flink's one-job fan-out is N queries over the same
+    * sources). Returns the running queries in statement order.
+    */
+  def runStreamSet(spark: SparkSession, script: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val stmts = statements(script)
+    require(stmts.nonEmpty, "empty script")
+    stmts.init.foreach(sql(spark, _))
+    val body = stmtSetRe.findFirstMatchIn(stmts.last).map(_.group(1)).getOrElse(
+      throw new IllegalArgumentException(
+        "the last statement must be EXECUTE STATEMENT SET BEGIN ...; ...; END"))
+    statements(body).map { ins =>
+      require(graft.plans.FlinkDdl.isInsert(spark, ins),
+        s"statement set members must be INSERT INTO a DDL sink, got: ${ins.take(60)}")
+      graft.plans.FlinkDdl.executeInsertStream(spark, ins, trigger)
+    }
+  }
+
   /** Split a script on top-level `;` (quote- and comment-aware: a `;`
     * or `'` inside a `--` line comment or a `/* */` block comment is
     * plain text — comments are copied through for the SQL parser to

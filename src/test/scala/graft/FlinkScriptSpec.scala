@@ -184,6 +184,34 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(q2.lastProgress != null)
   }
 
+  test("runStreamSet: a statement set starts one streaming query per sink") {
+    val dir = java.nio.file.Files.createTempDirectory("flink_stream_set").toString
+    Tables.events(spark, TestSpark.sfDir)
+      .select("event_id", "user_id", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/src.parquet")
+    val qs = FlinkSql.runStreamSet(spark,
+      s"""
+         |CREATE TABLE sset_src (
+         |  event_id BIGINT, user_id BIGINT, value DOUBLE, ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem',
+         |        'path' = '$dir/src.parquet', 'format' = 'parquet');
+         |CREATE TABLE sset_a (event_id BIGINT, v2 DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/a', 'format' = 'parquet');
+         |CREATE TABLE sset_b (user_id BIGINT, n BIGINT)
+         |WITH ('connector' = 'blackhole');
+         |EXECUTE STATEMENT SET
+         |BEGIN
+         |INSERT INTO sset_a SELECT event_id, value * 2 AS v2 FROM sset_src;
+         |INSERT INTO sset_b SELECT user_id, count(*) AS n FROM sset_src GROUP BY user_id;
+         |END
+         |""".stripMargin)
+    assert(qs.size == 2)
+    try qs.foreach(_.awaitTermination(120000)) finally qs.foreach(_.stop())
+    val want = spark.read.parquet(s"$dir/src.parquet").count()
+    assert(want > 0 && spark.read.parquet(s"$dir/a").count() == want)
+  }
+
   test("MATCH_RECOGNIZE and FOR SYSTEM_TIME AS OF route through FlinkSql too") {
     import spark.implicits._
     Seq((1L, 1L, "v"), (1L, 2L, "v"), (1L, 3L, "c"), (2L, 4L, "v"))

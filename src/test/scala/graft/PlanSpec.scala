@@ -106,6 +106,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q86: UNNEST lowers to a pre-shuffle generate (explode before the agg exchange)") {
+    val p = planOf("q86_unnest_sql")
+    assert(p.contains("Generate explode"))
+    // the generate feeds the partial aggregate map-side: exactly the one
+    // agg exchange, nothing shuffles the exploded rows beforehand
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"))
+  }
+
+  test("q87: repetition scoring is a single narrow scan — no shuffle, no generate") {
+    val p = planOf("q87_repetition")
+    assert(!p.contains("Exchange"), "per-document scores must not shuffle")
+    assert(!p.contains("Generate"), "array stats stay per-row, never exploded")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string"),
+      "only doc_id+text read from the documents scan")
+  }
+
   test("q02: whole-stage codegen covers the scan-filter-project pipeline") {
     val p = planOf("q02_filter_project")
     // codegen'd operators print with the "*(stageId)" prefix
