@@ -375,7 +375,29 @@ object Relational3 {
         |GROUP BY t.tag""".stripMargin))
   }
 
+  /** Hash + timezone function family (SURVEY.md §2.8; [U]
+    * BuiltInFunctionDefinitions SHA256 / CONVERT_TZ): the Flink-named
+    * functions registered by `graft.functions.FlinkFunctions` — SHA256
+    * digests and CONVERT_TZ wall-clock rebases (DST-sensitive: New York
+    * offset differs between the January fixture dates and July) —
+    * oracled with DuckDB's sha256 and AT TIME ZONE chain. SHA224/384/512
+    * have no DuckDB native and stay FIPS-vector-pinned in
+    * FlinkFunctionsSpec.
+    */
+  val q88_hash_tz: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, d).createOrReplaceTempView("q88_events")
+    s.sql(
+      """SELECT event_id,
+        |  sha256(event_type) AS h256,
+        |  md5(event_type) AS h_md5,
+        |  convert_tz(date_trunc('second', ts), 'UTC', 'Asia/Shanghai') AS ts_cn,
+        |  convert_tz(date_trunc('second', ts), 'UTC', 'America/New_York') AS ts_ny
+        |FROM q88_events""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q88_hash_tz" -> q88_hash_tz,
     "q86_unnest_sql" -> q86_unnest_sql,
     "q80_flink_funcs" -> q80_flink_funcs,
     "q74_protobuf_roundtrip" -> q74_protobuf_roundtrip,
@@ -398,6 +420,17 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q88_hash_tz" ->
+      """SELECT event_id,
+        |  sha256(event_type) AS h256,
+        |  md5(event_type) AS h_md5,
+        |  strftime(date_trunc('second', CAST(ts AS TIMESTAMP))
+        |           AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Shanghai',
+        |           '%Y-%m-%d %H:%M:%S') AS ts_cn,
+        |  strftime(date_trunc('second', CAST(ts AS TIMESTAMP))
+        |           AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York',
+        |           '%Y-%m-%d %H:%M:%S') AS ts_ny
+        |FROM events""".stripMargin,
     "q86_unnest_sql" ->
       """WITH x AS (SELECT value, unnest(string_split(event_type, 'i')) AS tag
         |           FROM events)
