@@ -138,6 +138,15 @@ object FlinkFunctions {
     "sha256" -> { e => nArgs("sha256", e, 1); Sha2(Cast(e(0), BinaryType), Literal(256)) },
     "sha384" -> { e => nArgs("sha384", e, 1); Sha2(Cast(e(0), BinaryType), Literal(384)) },
     "sha512" -> { e => nArgs("sha512", e, 1); Sha2(Cast(e(0), BinaryType), Literal(512)) },
+    // PROCTIME(): the processing-time attribute. Documented delta: here
+    // processing time is micro-batch/query time (CurrentTimestamp —
+    // query-start constant in batch, batch-start in streaming), not
+    // per-operator wall clock; the reference's own docs allow this
+    // coarsening for time attributes on bounded sources.
+    "proctime" -> { e =>
+      nArgs("proctime", e, 0)
+      CurrentTimestamp()
+    },
     "to_timestamp_ltz" -> { e =>
       (e.lift(1), e.length) match {
         case (Some(Literal(0, IntegerType)), 2) => SecondsToTimestamp(e(0))

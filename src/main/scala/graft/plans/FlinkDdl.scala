@@ -135,11 +135,14 @@ object FlinkDdl {
     * source. Returns the table name. `CREATE TABLE ... WITH (...) AS
     * SELECT ...` (Flink 1.19 CTAS, FLIP-218) routes to [[executeCtas]].
     */
-  def execute(spark: SparkSession, sqlText: String): String =
+  def execute(spark: SparkSession, sqlText: String): String = {
+    // computed columns may use the Flink-named functions (PROCTIME etc.)
+    graft.functions.GraftFunctions.register(spark)
     createRe.findFirstMatchIn(sqlText) match {
       case Some(m) => executeCreate(spark, sqlText, m)
       case None => executeCtas(spark, sqlText)
     }
+  }
 
   /** CTAS: run the SELECT, write it to the filesystem sink, register
     * the view over the written data (schema = the SELECT's). Only the
@@ -208,6 +211,12 @@ object FlinkDdl {
         }
       case pkRe(cols) => // not enforced (Flink doesn't either); CDC formats key on it
         primaryKey = cols.split(",").toSeq.map(_.trim)
+      case md if raw"(?is)^\w+\s+.+\bMETADATA\b".r.findFirstIn(md).isDefined =>
+        // Flink metadata columns are connector-specific (Kafka offsets,
+        // file paths); the filesystem translation has none to offer —
+        // same error Flink raises for an unsupported metadata key
+        fail(s"METADATA columns are not supported (no connector metadata " +
+          s"in the filesystem translation): `$md`")
       case computedRe(n, expr) if !raw"(?is)^(NOT|COMMENT)\b".r.findFirstIn(expr).isDefined =>
         computed :+= (n -> expr)
       case physicalRe(n, tpe, _, _) => physical :+= (n -> sparkType(tpe.trim))

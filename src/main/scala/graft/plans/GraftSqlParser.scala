@@ -27,11 +27,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def viaMr(sqlText: String): LogicalPlan =
     MatchRecognize.sql(session, sqlText).queryExecution.logical
 
+  private val optionsHintRe = raw"(?is)/\*\+\s*OPTIONS\s*\([^)]*\)\s*\*/".r
+
   private def tvf(sqlText: String): String = {
+    // Flink's dynamic table options hint carries connector-runtime
+    // options with no meaning here — dropped (other hints pass through
+    // to Spark, which understands its own and warns on unknowns)
+    val noOpts = optionsHintRe.replaceAllIn(sqlText, " ")
     // legacy group windows lower onto the TVF form, so they run first
     val lowered =
-      if (LegacyGroupWindow.containsClause(sqlText)) LegacyGroupWindow.rewrite(sqlText)
-      else sqlText
+      if (LegacyGroupWindow.containsClause(noOpts)) LegacyGroupWindow.rewrite(noOpts)
+      else noOpts
     val tvfed =
       if (WindowTvf.containsClause(lowered)) WindowTvf.rewrite(lowered) else lowered
     if (UnnestRewrite.containsClause(tvfed)) UnnestRewrite.rewrite(tvfed) else tvfed

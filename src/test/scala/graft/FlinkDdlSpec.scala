@@ -321,5 +321,9 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(err("""CREATE TABLE t (a INT, WATERMARK FOR a AS now())
                  |WITH ('connector' = 'datagen')""".stripMargin)
       .contains("watermark"))
+    // connector metadata columns have no filesystem translation
+    assert(err("""CREATE TABLE t (a INT, ts TIMESTAMP(3) METADATA FROM 'timestamp' VIRTUAL)
+                 |WITH ('connector' = 'datagen')""".stripMargin)
+      .contains("METADATA"))
   }
 }

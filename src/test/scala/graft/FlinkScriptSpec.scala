@@ -212,6 +212,29 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(want > 0 && spark.read.parquet(s"$dir/a").count() == want)
   }
 
+  test("OPTIONS hints strip; PROCTIME() computed columns resolve") {
+    // Flink's dynamic table-options hint must not reach Spark's parser
+    assert(FlinkSql.sql(spark,
+      "SELECT /*+ OPTIONS('scan.startup.mode'='earliest-offset') */ 40 + 2 AS x")
+      .head().getInt(0) == 42)
+    // Spark's own hints still pass through the same path
+    assert(FlinkSql.sql(spark,
+      "SELECT /*+ REPARTITION(2) */ 40 + 2 AS x").head().getInt(0) == 42)
+    // a proctime attribute column in DDL resolves (processing time ≈
+    // query time, the documented delta)
+    val dir = java.nio.file.Files.createTempDirectory("flink_proctime").toString
+    Tables.orders(spark, TestSpark.sfDir).select("o_orderkey")
+      .limit(10).write.mode("overwrite").parquet(s"$dir/o.parquet")
+    FlinkSql.sql(spark,
+      s"""CREATE TABLE pt_orders (
+         |  o_orderkey BIGINT,
+         |  p AS PROCTIME()
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/o.parquet',
+         |        'format' = 'parquet')""".stripMargin)
+    val rows = spark.table("pt_orders").collect()
+    assert(rows.length == 10 && rows.forall(!_.isNullAt(1)))
+  }
+
   test("MATCH_RECOGNIZE and FOR SYSTEM_TIME AS OF route through FlinkSql too") {
     import spark.implicits._
     Seq((1L, 1L, "v"), (1L, 2L, "v"), (1L, 3L, "c"), (2L, 4L, "v"))

@@ -78,7 +78,7 @@ class FunctionsSpec extends AnyFunSuite {
       "split_index", "from_base64", "to_base64", "json_value", "json_query",
       "json_exists", "truncate", "to_timestamp_ltz", "single_value",
       "is_alpha", "is_digit", "is_decimal", "rand_integer", "convert_tz",
-      "sha224", "sha256", "sha384", "sha512"))
+      "sha224", "sha256", "sha384", "sha512", "proctime"))
     // integration-level: a fresh session with the extensions conf resolves
     // the functions without any explicit register() call
     val s2 = org.apache.spark.sql.SparkSession.builder()
