@@ -258,32 +258,39 @@ object FlinkDdl {
     name
   }
 
-  private val insertRe = raw"(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(SELECT\b.*|VALUES\b.*)$$".r
+  private val insertRe =
+    raw"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_]\w*)\s+(SELECT\b.*|VALUES\b.*)$$".r
 
-  /** True iff `sqlText` is INSERT INTO a table DDL-registered in this
-    * session — the statement shape every Flink pipeline ends with.
+  /** True iff `sqlText` is INSERT INTO/OVERWRITE a table DDL-registered
+    * in this session — the statement shape every Flink pipeline ends
+    * with.
     */
   def isInsert(spark: SparkSession, sqlText: String): Boolean =
-    insertRe.findFirstMatchIn(sqlText).exists(m => registered(spark, m.group(1)).isDefined)
+    insertRe.findFirstMatchIn(sqlText).exists(m => registered(spark, m.group(2)).isDefined)
 
-  /** Execute INSERT INTO a DDL-registered sink: `blackhole` discards via
-    * Spark's noop writer (the load-test shape), `print` shows the rows,
-    * `filesystem` appends with the declared format. Returns the sunk
-    * row count (Flink's INSERT result is a job handle; a count is the
-    * batch analog).
+  /** Execute INSERT INTO/OVERWRITE a DDL-registered sink: `blackhole`
+    * discards via Spark's noop writer (the load-test shape), `print`
+    * shows the rows, `filesystem` appends — or replaces, for OVERWRITE —
+    * with the declared format (partitioned tables overwrite only the
+    * TOUCHED partitions, Flink's dynamic INSERT OVERWRITE semantics,
+    * via Spark's dynamic partitionOverwriteMode). Returns the sunk row
+    * count (Flink's INSERT result is a job handle; a count is the batch
+    * analog).
     */
   def executeInsert(spark: SparkSession, sqlText: String): Long = {
     val m = insertRe.findFirstMatchIn(sqlText).getOrElse(fail("not an INSERT INTO"))
-    val name = m.group(1)
+    val overwrite = m.group(1).equalsIgnoreCase("OVERWRITE")
+    val name = m.group(2)
     val (connector, path, fmt, _) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
-    val df = spark.sql(m.group(2))
+    val df = spark.sql(m.group(3))
     connector match {
       case "blackhole" => df.write.format("noop").mode("overwrite").save()
       case "print" => df.show(20, truncate = false)
       case "filesystem" =>
         // a declared PARTITIONED BY layout writes partition directories
         df.write.format(fmt).partitionBy(partitionsOf(spark, name): _*)
-          .mode("append").save(path)
+          .option("partitionOverwriteMode", "dynamic")
+          .mode(if (overwrite) "overwrite" else "append").save(path)
         // the view may have been registered over a then-absent path;
         // re-point it at the written data (physical columns only)
         registered(spark, name).foreach { case (_, _, _, schema) =>
@@ -311,8 +318,10 @@ object FlinkDdl {
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val m = insertRe.findFirstMatchIn(sqlText).getOrElse(fail("not an INSERT INTO"))
-    val name = m.group(1)
-    val select = m.group(2)
+    if (m.group(1).equalsIgnoreCase("OVERWRITE"))
+      fail("INSERT OVERWRITE is a batch statement; streaming sinks append")
+    val name = m.group(2)
+    val select = m.group(3)
     val (connector, path, fmt, _) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
     // every DDL filesystem table the SELECT references streams
     val sources = tableRegistry(spark).entrySet().toArray(

@@ -176,6 +176,23 @@ class FlinkDdlSpec extends AnyFunSuite {
       s"""CREATE TABLE ddl_part_bad (id BIGINT) PARTITIONED BY (nope)
          |WITH ('connector' = 'filesystem', 'path' = '$dir/x', 'format' = 'parquet')""".stripMargin))
     assert(e.getMessage.contains("PARTITIONED BY"))
+    // INSERT OVERWRITE on a partitioned table replaces only the touched
+    // partition (Flink's dynamic overwrite semantics)
+    val sunk2 = FlinkDdl.executeInsert(spark,
+      """INSERT OVERWRITE ddl_part_t
+        |SELECT id, 0.0 AS v, 'even' AS bucket FROM range(7)""".stripMargin)
+    assert(sunk2 == 7)
+    val after = spark.table("ddl_part_t")
+    assert(after.filter(col("bucket") === "even").count() == 7)
+    assert(after.filter(col("bucket") === "odd").count() == 50, "untouched partition kept")
+    // on an unpartitioned table OVERWRITE replaces everything
+    val out2 = java.nio.file.Files.createTempDirectory("ddl_ovw").toString
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_ovw_t (id BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$out2/t', 'format' = 'parquet')""".stripMargin)
+    FlinkDdl.executeInsert(spark, "INSERT INTO ddl_ovw_t SELECT id FROM range(100)")
+    FlinkDdl.executeInsert(spark, "INSERT OVERWRITE ddl_ovw_t SELECT id FROM range(3)")
+    assert(spark.table("ddl_ovw_t").count() == 3)
   }
 
   test("CTAS writes the SELECT to the sink and registers the view; DROP TABLE unregisters") {
