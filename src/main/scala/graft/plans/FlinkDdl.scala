@@ -411,7 +411,15 @@ object FlinkDdl {
     val (connector, path, fmt, schema) = registered(spark, table)
       .getOrElse(fail(s"unknown table $table"))
     if (connector != "filesystem") fail(s"readStream supports filesystem tables, not '$connector'")
-    val df = spark.readStream.schema(schema).format(fmt).load(path)
+    val df =
+      if (cdcDecoders.contains(fmt)) {
+        // CDC formats stream as an unbounded row_kind changelog — the
+        // reference's debezium/canal/maxwell/ogg source shape; keyed
+        // materialization is the consumer's choice (GroupAgg /
+        // KeepLastDedup keep the same row_kind convention)
+        val raw = spark.readStream.text(path).withColumnRenamed("value", "__json")
+        cdcDecoders(fmt)(raw, "__json", schema.toDDL)
+      } else spark.readStream.schema(schema).format(fmt).load(path)
     watermarkOf(spark, table) match {
       case Some((c, delay)) => df.withWatermark(c, delay)
       case None => df

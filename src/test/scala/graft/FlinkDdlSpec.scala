@@ -330,6 +330,29 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(kinds == Map("+I" -> 2, "-U" -> 1, "+U" -> 1, "-D" -> 1))
   }
 
+  test("a CDC-format table streams as a row_kind changelog") {
+    val dir = java.nio.file.Files.createTempDirectory("ddl_cdc_stream").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c1.json"), java.util.Arrays.asList(
+      """{"before": null, "after": {"id": 1, "v": 10.0}, "op": "c"}""",
+      """{"before": {"id": 1, "v": 10.0}, "after": {"id": 1, "v": 11.0}, "op": "u"}""",
+      """{"before": {"id": 1, "v": 11.0}, "after": null, "op": "d"}"""))
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_cdc_s (id BIGINT, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir',
+         |      'format' = 'debezium-json')""".stripMargin)
+    val df = FlinkDdl.readStream(spark, "ddl_cdc_s")
+    assert(df.isStreaming && df.columns.contains("row_kind"))
+    val q = df.writeStream.outputMode("append").format("memory")
+      .queryName("cdc_stream_t").start()
+    try {
+      q.processAllAvailable()
+      val kinds = spark.table("cdc_stream_t").collect()
+        .map(r => (r.getAs[String]("row_kind"), r.getAs[Long]("id"), r.getAs[Double]("v")))
+      assert(kinds.toSet == Set(("+I", 1L, 10.0), ("-U", 1L, 10.0),
+        ("+U", 1L, 11.0), ("-D", 1L, 11.0)))
+    } finally q.stop()
+  }
+
   test("unsupported shapes fail with clear errors") {
     def err(sql: String): String =
       intercept[IllegalArgumentException](FlinkDdl.execute(spark, sql)).getMessage
