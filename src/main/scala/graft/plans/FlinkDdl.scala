@@ -259,7 +259,7 @@ object FlinkDdl {
   }
 
   private val insertRe =
-    raw"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_]\w*)\s+(SELECT\b.*|VALUES\b.*)$$".r
+    raw"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_]\w*)\s*(?:\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?\s+(SELECT\b.*|VALUES\b.*)$$".r
 
   /** True iff `sqlText` is INSERT INTO/OVERWRITE a table DDL-registered
     * in this session — the statement shape every Flink pipeline ends
@@ -281,8 +281,26 @@ object FlinkDdl {
     val m = insertRe.findFirstMatchIn(sqlText).getOrElse(fail("not an INSERT INTO"))
     val overwrite = m.group(1).equalsIgnoreCase("OVERWRITE")
     val name = m.group(2)
-    val (connector, path, fmt, _) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
-    val df = spark.sql(m.group(3))
+    val (connector, path, fmt, schema) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
+    val selected = spark.sql(m.group(4))
+    // a partial column list maps the SELECT's outputs positionally onto
+    // the named columns; unlisted columns fill NULL (Flink's semantics)
+    val df = Option(m.group(3)) match {
+      case None => selected
+      case Some(colList) =>
+        val listed = colList.split(",").toSeq.map(_.trim)
+        listed.find(c => !schema.fieldNames.contains(c)).foreach(c =>
+          fail(s"INSERT column `$c` is not a column of $name"))
+        if (listed.length != selected.columns.length)
+          fail(s"INSERT column list has ${listed.length} columns but the " +
+            s"query produces ${selected.columns.length}")
+        val byName = listed.zip(selected.columns).toMap
+        selected.select(schema.fields.toSeq.map { f =>
+          byName.get(f.name)
+            .map(src => col(s"`$src`").cast(f.dataType).as(f.name))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
+        }: _*)
+    }
     connector match {
       case "blackhole" => df.write.format("noop").mode("overwrite").save()
       case "print" => df.show(20, truncate = false)
@@ -320,8 +338,10 @@ object FlinkDdl {
     val m = insertRe.findFirstMatchIn(sqlText).getOrElse(fail("not an INSERT INTO"))
     if (m.group(1).equalsIgnoreCase("OVERWRITE"))
       fail("INSERT OVERWRITE is a batch statement; streaming sinks append")
+    if (m.group(3) != null)
+      fail("column lists are not supported for streaming INSERT; select every sink column")
     val name = m.group(2)
-    val select = m.group(3)
+    val select = m.group(4)
     val (connector, path, fmt, _) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
     // every DDL filesystem table the SELECT references streams
     val sources = tableRegistry(spark).entrySet().toArray(

@@ -195,6 +195,24 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(spark.table("ddl_ovw_t").count() == 3)
   }
 
+  test("INSERT with a partial column list fills unlisted columns with NULL") {
+    val out = java.nio.file.Files.createTempDirectory("ddl_collist").toString
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_cl_t (id BIGINT, name STRING, score DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$out/t', 'format' = 'parquet')""".stripMargin)
+    // positional mapping: SELECT's 1st output → score, 2nd → id
+    val sunk = FlinkDdl.executeInsert(spark,
+      "INSERT INTO ddl_cl_t (score, id) SELECT CAST(id AS DOUBLE) / 2, id + 100 FROM range(4)")
+    assert(sunk == 4)
+    val got = spark.table("ddl_cl_t").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getDouble(2)))
+    assert(got.toSet == (0 until 4).map(i => (i + 100L, null, i / 2.0)).toSet)
+    // unknown column in the list errors clearly
+    val e = intercept[IllegalArgumentException](FlinkDdl.executeInsert(spark,
+      "INSERT INTO ddl_cl_t (nope) SELECT 1"))
+    assert(e.getMessage.contains("not a column"))
+  }
+
   test("CTAS writes the SELECT to the sink and registers the view; DROP TABLE unregisters") {
     createOrders()
     val dir = java.nio.file.Files.createTempDirectory("ddl_ctas").toString
