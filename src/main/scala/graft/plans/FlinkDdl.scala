@@ -105,6 +105,17 @@ object FlinkDdl {
     raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+WITH\s*\(".r
   private val dropRe =
     raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*$$".r
+  private val truncateRe =
+    raw"(?is)^\s*TRUNCATE\s+TABLE\s+([A-Za-z_]\w*)\s*$$".r
+
+  private val optionsHintRe = raw"(?is)/\*\+\s*OPTIONS\s*\([^)]*\)\s*\*/".r
+
+  /** Drop Flink's dynamic table-options hint (`/*+ OPTIONS('k'='v') */`)
+    * — connector-runtime options with no meaning here; Spark's own
+    * hints pass through untouched.
+    */
+  private[plans] def stripOptionsHints(s: String): String =
+    optionsHintRe.replaceAllIn(s, " ")
 
   def containsClause(sqlText: String): Boolean =
     (createRe.findFirstIn(sqlText).isDefined || ctasRe.findFirstIn(sqlText).isDefined) &&
@@ -113,6 +124,26 @@ object FlinkDdl {
   /** True iff `sqlText` drops a table this session's DDL registered. */
   def isDrop(spark: SparkSession, sqlText: String): Boolean =
     dropRe.findFirstMatchIn(sqlText).exists(m => registered(spark, m.group(1)).isDefined)
+
+  /** True iff `sqlText` truncates a table this session's DDL registered. */
+  def isTruncate(spark: SparkSession, sqlText: String): Boolean =
+    truncateRe.findFirstMatchIn(sqlText).exists(m => registered(spark, m.group(1)).isDefined)
+
+  /** TRUNCATE TABLE (the reference's batch data-delete, 1.18+): remove
+    * the filesystem table's data files and re-register the view empty;
+    * the DDL metadata stays so later INSERTs refill it.
+    */
+  def executeTruncate(spark: SparkSession, sqlText: String): String = {
+    val m = truncateRe.findFirstMatchIn(sqlText).getOrElse(fail("not a TRUNCATE TABLE"))
+    val name = m.group(1)
+    val (connector, path, _, schema) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
+    if (connector != "filesystem") fail(s"TRUNCATE TABLE supports filesystem tables, not '$connector'")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    empty(spark, schema).createOrReplaceTempView(name)
+    name
+  }
 
   /** Drop a DDL-registered table: the temp view and every registry
     * entry go (files stay on disk — Flink's filesystem connector does
@@ -158,7 +189,8 @@ object FlinkDdl {
       .map(o => o.group(1).toLowerCase -> o.group(2)).toMap
     val select = raw"(?is)^\s*AS\s+(SELECT\b.*)$$".r
       .findFirstMatchIn(sqlText.substring(withClose + 1))
-      .map(_.group(1)).getOrElse(fail("CTAS requires `AS SELECT ...` after WITH (...)"))
+      .map(m => stripOptionsHints(m.group(1)))
+      .getOrElse(fail("CTAS requires `AS SELECT ...` after WITH (...)"))
     if (opts.getOrElse("connector", fail("'connector' option is required")) != "filesystem")
       fail("CTAS is supported for the filesystem connector only")
     val path = opts.getOrElse("path", fail("filesystem connector requires 'path'"))
@@ -282,11 +314,20 @@ object FlinkDdl {
     val overwrite = m.group(1).equalsIgnoreCase("OVERWRITE")
     val name = m.group(2)
     val (connector, path, fmt, schema) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
-    val selected = spark.sql(m.group(4))
-    // a partial column list maps the SELECT's outputs positionally onto
-    // the named columns; unlisted columns fill NULL (Flink's semantics)
+    val selected = spark.sql(stripOptionsHints(m.group(4)))
+    // INSERT maps the SELECT's outputs POSITIONALLY onto the declared
+    // schema (Flink/SQL semantics — names in the query don't matter);
+    // a partial column list maps positionally onto the named columns
+    // and fills unlisted columns with NULL
     val df = Option(m.group(3)) match {
-      case None => selected
+      case None =>
+        if (selected.columns.length != schema.fields.length)
+          fail(s"INSERT query produces ${selected.columns.length} columns " +
+            s"but $name declares ${schema.fields.length}")
+        // rename positionally first (duplicate query-output names are
+        // legal SQL), then cast to the declared types
+        selected.toDF(schema.fieldNames.toIndexedSeq: _*)
+          .select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       case Some(colList) =>
         val listed = colList.split(",").toSeq.map(_.trim)
         listed.find(c => !schema.fieldNames.contains(c)).foreach(c =>
@@ -341,7 +382,7 @@ object FlinkDdl {
     if (m.group(3) != null)
       fail("column lists are not supported for streaming INSERT; select every sink column")
     val name = m.group(2)
-    val select = m.group(4)
+    val select = stripOptionsHints(m.group(4))
     val (connector, path, fmt, _) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
     // every DDL filesystem table the SELECT references streams
     val sources = tableRegistry(spark).entrySet().toArray(

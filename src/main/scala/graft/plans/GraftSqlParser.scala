@@ -27,13 +27,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def viaMr(sqlText: String): LogicalPlan =
     MatchRecognize.sql(session, sqlText).queryExecution.logical
 
-  private val optionsHintRe = raw"(?is)/\*\+\s*OPTIONS\s*\([^)]*\)\s*\*/".r
-
   private def tvf(sqlText: String): String = {
     // Flink's dynamic table options hint carries connector-runtime
     // options with no meaning here — dropped (other hints pass through
     // to Spark, which understands its own and warns on unknowns)
-    val noOpts = optionsHintRe.replaceAllIn(sqlText, " ")
+    val noOpts = FlinkDdl.stripOptionsHints(sqlText)
     // legacy group windows lower onto the TVF form, so they run first
     val lowered =
       if (LegacyGroupWindow.containsClause(noOpts)) LegacyGroupWindow.rewrite(noOpts)
@@ -51,6 +49,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     if (FlinkDdl.containsClause(sqlText)) return FlinkDdlCommand(sqlText)
     if (FlinkDdl.isInsert(session, sqlText)) return FlinkInsertCommand(sqlText)
     if (FlinkDdl.isDrop(session, sqlText)) return FlinkDropCommand(sqlText)
+    if (FlinkDdl.isTruncate(session, sqlText)) return FlinkTruncateCommand(sqlText)
     val t = tvf(sqlText)
     if (MatchRecognize.containsClause(t)) viaMr(t)
     else if (SystemTimeJoin.containsClause(t))
@@ -122,4 +121,15 @@ case class FlinkDropCommand(sqlText: String) extends LeafRunnableCommand {
     AttributeReference("table_name", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row("OK", FlinkDdl.executeDrop(spark, sqlText)))
+}
+
+/** `TRUNCATE TABLE <ddl table>` — deletes the filesystem table's data
+  * at execution time and leaves the registration in place.
+  */
+case class FlinkTruncateCommand(sqlText: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("result", StringType, nullable = false)(),
+    AttributeReference("table_name", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row("OK", FlinkDdl.executeTruncate(spark, sqlText)))
 }

@@ -235,6 +235,68 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(rows.length == 10 && rows.forall(!_.isNullAt(1)))
   }
 
+  test("acceptance: one realistic script composes the whole dialect surface") {
+    val dir = java.nio.file.Files.createTempDirectory("flink_accept").toString
+    Tables.events(spark, TestSpark.sfDir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val last = FlinkSql.run(spark,
+      s"""
+         |-- conf preamble (unknown keys must not fail; ';' in comment ok)
+         |SET 'pipeline.name' = 'acceptance';
+         |SET 'table.exec.state.ttl' = '1 h';
+         |
+         |CREATE TABLE acc_events (
+         |  event_id BIGINT,
+         |  user_id BIGINT,
+         |  event_type STRING,
+         |  value DOUBLE,
+         |  ts TIMESTAMP(3),
+         |  seen AS PROCTIME(),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem',
+         |        'path' = '$dir/events.parquet', 'format' = 'parquet');
+         |
+         |/* CTAS snapshot of per-user view counts */
+         |CREATE TABLE acc_user_views
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/uv', 'format' = 'parquet')
+         |AS SELECT user_id, count(*) AS n_views
+         |   FROM acc_events WHERE event_type = 'view' GROUP BY user_id;
+         |
+         |CREATE TABLE acc_sink (bucket STRING, k BIGINT, n BIGINT)
+         |PARTITIONED BY (bucket)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/sink', 'format' = 'parquet');
+         |
+         |EXECUTE STATEMENT SET
+         |BEGIN
+         |INSERT INTO acc_sink
+         |SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS bucket,
+         |       user_id AS k, n_views AS n
+         |FROM acc_user_views;
+         |INSERT INTO acc_sink (k, n, bucket)
+         |SELECT /*+ OPTIONS('scan.startup.mode'='earliest') */
+         |       user_id, count(*), 'click'
+         |FROM acc_events WHERE event_type = 'click' GROUP BY user_id;
+         |END;
+         |
+         |-- legacy group window over the watermarked source
+         |SELECT TUMBLE_START(ts, INTERVAL '10' MINUTE) AS ws, count(*) AS n
+         |FROM acc_events GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)
+         |""".stripMargin)
+    assert(last.count() > 0) // window rows
+    // both statement-set inserts landed in the partitioned sink
+    val sink = spark.table("acc_sink")
+    assert(sink.filter(col("bucket") === "click").count() > 0)
+    assert(sink.filter(col("bucket").isin("even", "odd")).count() > 0)
+    // TRUNCATE empties the table but keeps it insertable; DROP removes it
+    FlinkSql.run(spark, "TRUNCATE TABLE acc_sink")
+    assert(spark.table("acc_sink").count() == 0)
+    FlinkSql.run(spark, "INSERT INTO acc_sink SELECT 'x', 1, 1")
+    assert(spark.table("acc_sink").count() == 1)
+    FlinkSql.run(spark, "DROP TABLE acc_sink")
+    assert(!spark.catalog.tableExists("acc_sink"))
+  }
+
   test("MATCH_RECOGNIZE and FOR SYSTEM_TIME AS OF route through FlinkSql too") {
     import spark.implicits._
     Seq((1L, 1L, "v"), (1L, 2L, "v"), (1L, 3L, "c"), (2L, 4L, "v"))
