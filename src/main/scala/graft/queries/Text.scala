@@ -215,7 +215,27 @@ object Text {
           |     ELSE 'keep' END AS verdict""".stripMargin)
   }
 
+  /** Deterministic stratified sampling (north_star curation: fix a
+    * per-stratum quota without an RNG so the sample is reproducible
+    * across runs and engines): rank documents inside each (lang,
+    * source) stratum by md5(text) — a uniform, content-derived order —
+    * and keep the first 3. The 100 TB shape: one hash-shuffle on the
+    * stratum key + WindowGroupLimit rank pruning, no global sort, no
+    * driver sampling.
+    */
+  val q89_stratified_sample: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"source", md5($"text").as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang", $"source").orderBy($"h", $"doc_id")))
+      .filter($"rn" <= 3)
+      .select($"lang", $"source", $"doc_id", $"rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q89_stratified_sample" -> q89_stratified_sample,
     "q87_repetition" -> q87_repetition,
     "q79_quality_score" -> q79_quality_score,
     "q75_bpe_tokens" -> q75_bpe_tokens,
@@ -231,6 +251,13 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q89_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang, source,
+        |                  row_number() OVER (PARTITION BY lang, source
+        |                                     ORDER BY md5(text), doc_id) AS rn
+        |           FROM documents)
+        |SELECT lang, source, doc_id, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3""".stripMargin,
     "q87_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
         |x AS (SELECT doc_id,

@@ -123,6 +123,11 @@ class PlanSpec extends AnyFunSuite {
       "only doc_id+text read from the documents scan")
   }
 
+  test("q89: stratified sample prunes via WindowGroupLimit before the full rank") {
+    val p = planOf("q89_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q02: whole-stage codegen covers the scan-filter-project pipeline") {
     val p = planOf("q02_filter_project")
     // codegen'd operators print with the "*(stageId)" prefix

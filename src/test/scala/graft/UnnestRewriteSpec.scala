@@ -31,6 +31,10 @@ class UnnestRewriteSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("ON TRUE"))
     assert(!UnnestRewrite.containsClause("SELECT unnest FROM t"))
+    // chained unnests in one statement all rewrite (left to right)
+    val two = UnnestRewrite.rewrite(
+      "SELECT t.x, u.y FROM src CROSS JOIN UNNEST(a) AS t (x) CROSS JOIN UNNEST(b) AS u (y)")
+    assert(two.contains("explode(a) t AS x") && two.contains("explode(b) u AS y"))
   }
 
   test("array / row / map unnest end-to-end through FlinkSql") {
