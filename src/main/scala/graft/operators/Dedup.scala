@@ -104,6 +104,51 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over an undirected edge list — the clustering
+    * step that turns near-dup PAIRS (LSH / jaccard / cosine candidates)
+    * into dedup GROUPS, so one canonical document per component survives.
+    * Returns (id, component) for every node incident to an edge, with
+    * `component` = the minimum node id reachable from `id`.
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * label over itself and its neighbors (one equi-join + one hash
+    * aggregate per round), until a round changes nothing. Rounds needed =
+    * graph diameter — near-dup graphs are unions of small dense clusters,
+    * so a handful in practice; `maxIter` bounds adversarial chains.
+    *
+    * Scale shape: everything is key-partitioned joins/aggregates — no
+    * driver-side graph, no all-pairs; per-round lineage is truncated with
+    * localCheckpoint so plans stay flat (on a real cluster prefer a
+    * reliable `checkpoint` dir for fault tolerance across rounds). The
+    * convergence probe is an `isEmpty` on the changed-label set, never a
+    * data collect.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .localCheckpoint(true) // compute the candidate graph once, not per round
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val fromNeighbors = sym.join(labels, sym("v") === labels("id"))
+        .select(col("u").as("id"), col("component"))
+      val next = labels.union(fromNeighbors)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("component", "__old"), "id")
+        .filter(col("component") =!= col("__old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over word-token xxhash64 values: bit j of the result is
     * set iff more token hashes have bit j set than not. Near-dups have
     * small Hamming distance. Plan: explode(tokens) → ONE aggregate with a

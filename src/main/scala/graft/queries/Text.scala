@@ -234,7 +234,54 @@ object Text {
       .select($"lang", $"source", $"doc_id", $"rn")
   }
 
+  /** Per-document TF-IDF top terms (north_star text analysis): term
+    * frequency per (doc, term), document frequency per term, idf =
+    * ln(N/df), keep each document's 3 highest-weighted terms. The 100 TB
+    * shape: two hash aggregates on keys that scale with data, a
+    * broadcast-able term-level DF side, and the 1-row corpus count joined
+    * as a broadcast — no global sort (WindowGroupLimit prunes the rank).
+    */
+  val q91_tfidf_topterms: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = docs.select($"doc_id",
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("__tfidf", $"tf" * log($"__n".cast("double") / $"df"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"__tfidf".desc, $"term")))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"term", $"tf", $"df", rate($"__tfidf").as("tfidf"), $"rn")
+  }
+
+  /** Train/eval contamination detection (north_star curation: the
+    * decontamination pass every pre-training pipeline runs before
+    * evaluation): document pairs from DIFFERENT sources sharing at least
+    * one distinct 5-gram, with the shared-shingle count as the overlap
+    * strength. Same inverted-index shape as q30 — only colliding pairs
+    * materialize; at corpus scale the q30 document-frequency cap bounds
+    * boilerplate-shingle fan-out.
+    */
+  val q93_contamination: Q = (s, d) => {
+    import s.implicits._
+    val sh = explodedWordShingles(
+      Tables.documents(s, d), Seq("doc_id", "source"), "text", 5)
+    val a = sh.select($"source".as("src_a"), $"doc_id".as("a_id"), $"shingle")
+    val b = sh.select($"source".as("src_b"), $"doc_id".as("b_id"),
+      $"shingle".as("sh_b"))
+    a.join(b, $"shingle" === $"sh_b" && $"src_a" < $"src_b")
+      .groupBy($"src_a", $"a_id", $"src_b", $"b_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q93_contamination" -> q93_contamination,
+    "q91_tfidf_topterms" -> q91_tfidf_topterms,
     "q89_stratified_sample" -> q89_stratified_sample,
     "q87_repetition" -> q87_repetition,
     "q79_quality_score" -> q79_quality_score,
@@ -251,6 +298,33 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q91_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+        |      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, df, tfidf,
+        |             row_number() OVER (PARTITION BY doc_id
+        |                                ORDER BY tfidf DESC, term) AS rn
+        |      FROM w)
+        |SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3""".stripMargin,
+    "q93_contamination" ->
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |f AS (SELECT * FROM t WHERE len(t) >= 5),
+        |sh AS (SELECT doc_id, source,
+        |              list_distinct([array_to_string(t[i:i+4], ' ')
+        |                             for i in range(1, len(t)-3)]) AS s
+        |       FROM f),
+        |ex AS (SELECT source, doc_id, UNNEST(s) AS shingle FROM sh)
+        |SELECT a.source AS src_a, a.doc_id AS a_id,
+        |       b.source AS src_b, b.doc_id AS b_id, count(*) AS n_shared
+        |FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.source < b.source
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     "q89_stratified_sample" ->
       """WITH r AS (SELECT doc_id, lang, source,
         |                  row_number() OVER (PARTITION BY lang, source

@@ -95,7 +95,50 @@ object Vector {
       .withColumn("cos", round(col("cos"), 6))
   }
 
+  /** Near-dup clustering: connected components over the q45 cosine ≥ 0.35
+    * pair graph — the step that turns candidate PAIRS into dedup GROUPS
+    * (keep `component` as the canonical id, drop the rest). Pairs come
+    * from the bucketed LSH path; components from iterative min-label
+    * propagation ([[graft.operators.Dedup.connectedComponents]]) — joins
+    * and aggregates only, rounds = cluster diameter. DuckDB-oracled via a
+    * recursive min-reachable-id CTE over the all-pairs cosine graph.
+    */
+  val q90_neardup_components: Q = (s, d) => {
+    import s.implicits._
+    val pairs = graft.operators.Similarity
+      .lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
+      .select($"a_id", $"b_id")
+    graft.operators.Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy($"component")))
+      .select($"id".as("vec_id"), $"component", $"csize")
+  }
+
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * storage/serving compression for vector corpora (scale = amax/127 per
+    * vector, values rounded to [-127, 127]) — with reconstruction-error
+    * stats. Pure per-row array expressions: one narrow scan, no shuffle,
+    * no explode — the 100 TB shape for a per-vector transform. The
+    * quantized checksums (q_sum/q_l1/n_sat) are exact integers, so the
+    * oracle hash pins every quantized value, not just the error summary.
+    */
+  val q92_embedding_quantize: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "v",
+        "nullif(array_max(transform(v, x -> abs(x))) / 127.0, 0.0) AS scale",
+        "array_max(transform(v, x -> abs(x))) AS amax")
+      .selectExpr(
+        "vec_id",
+        "round(amax, 6) AS amax",
+        "CAST(aggregate(v, 0L, (acc, x) -> acc + CAST(round(x / scale) AS LONG)) AS BIGINT) AS q_sum",
+        "CAST(aggregate(v, 0L, (acc, x) -> acc + abs(CAST(round(x / scale) AS LONG))) AS BIGINT) AS q_l1",
+        "CAST(aggregate(v, 0L, (acc, x) -> acc + CASE WHEN abs(CAST(round(x / scale) AS LONG)) >= 127 THEN 1L ELSE 0L END) AS BIGINT) AS n_sat",
+        "round(sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + pow(x - round(x / scale) * scale, 2)) / size(v)), 6) AS rmse")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q92_embedding_quantize" -> q92_embedding_quantize,
+    "q90_neardup_components" -> q90_neardup_components,
     "q56_ivf_topk" -> q56_ivf_topk,
     "q33_cosine_topk" -> q33_cosine_topk,
     "q34_ann_lsh_buckets" -> q34_ann_lsh_buckets,
@@ -104,6 +147,30 @@ object Vector {
   )
 
   val oracle: Map[String, String] = Map(
+    "q90_neardup_components" ->
+      """WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+        |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |          FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35),
+        |e AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) nn
+        |                UNION
+        |                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |comp AS (SELECT u AS vec_id, min(v) AS component FROM reach GROUP BY u)
+        |SELECT vec_id, component, count(*) OVER (PARTITION BY component) AS csize
+        |FROM comp""".stripMargin,
+    "q92_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+        |sc AS (SELECT vec_id, v, amax, nullif(amax / 127.0, 0.0) AS scale FROM a)
+        |SELECT vec_id,
+        |       round(amax, 6) AS amax,
+        |       CAST(list_sum(list_transform(v, x -> CAST(round(x / scale) AS BIGINT))) AS BIGINT) AS q_sum,
+        |       CAST(list_sum(list_transform(v, x -> abs(CAST(round(x / scale) AS BIGINT)))) AS BIGINT) AS q_l1,
+        |       CAST(list_sum(list_transform(v, x -> CASE WHEN abs(CAST(round(x / scale) AS BIGINT)) >= 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat,
+        |       round(sqrt(list_sum(list_transform(v, x -> pow(x - round(x / scale) * scale, 2))) / len(v)), 6) AS rmse
+        |FROM sc""".stripMargin,
     "q45_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)

@@ -82,6 +82,64 @@ class VectorTextSpec extends AnyFunSuite {
     assert(fp2 == fp.toSet)
   }
 
+  test("connected components: chain, ring, and singles resolve to min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 → needs several propagation rounds),
+    // ring 10-11-12-10, isolated edge 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L)).toDF("src", "dst")
+    val got = graft.operators.Dedup.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components match union-find on a pseudo-random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(180)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> find(id.toInt).toLong).toMap
+    // union-find parents point at, but are not necessarily, the min member;
+    // normalize both sides to min-of-component
+    val byRoot = want.groupBy(_._2).values
+      .flatMap(m => { val mn = m.keys.min; m.keys.map(_ -> mn) }).toMap
+    val got = graft.operators.Dedup
+      .connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(got == byRoot)
+  }
+
+  test("embedding quantize: per-row plan (no shuffle), values bounded by int8") {
+    val df = SparkEntry.queries("q92_embedding_quantize")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free per-row plan:\n$plan")
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("q_l1") <= 127L * 64)
+      assert(math.abs(r.getAs[Long]("q_sum")) <= r.getAs[Long]("q_l1"))
+      assert(r.getAs[Long]("n_sat") >= 1) // amax element always saturates
+      assert(r.getAs[Double]("rmse") < r.getAs[Double]("amax") / 127.0)
+    }
+  }
+
+  test("contamination pairs are strictly cross-source with positive overlap") {
+    val rows = SparkEntry.queries("q93_contamination")(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(r.getAs[Long]("n_shared") >= 1L)
+    }
+  }
+
   test("word shingles: n-grams in order, deduplicated, empty below n tokens") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y x y x y")).toDF("id", "text")
