@@ -95,7 +95,7 @@ object Vector {
       .withColumn("cos", round(col("cos"), 6))
   }
 
-  /** Near-dup clustering: connected components over the q45 cosine ≥ 0.35
+  /** Near-dup clustering: connected components over the cosine ≥ 0.40
     * pair graph — the step that turns candidate PAIRS into dedup GROUPS
     * (keep `component` as the canonical id, drop the rest). Pairs come
     * from the bucketed LSH path; components from iterative min-label
@@ -106,7 +106,7 @@ object Vector {
   val q90_neardup_components: Q = (s, d) => {
     import s.implicits._
     val pairs = graft.operators.Similarity
-      .lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.35)
+      .lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.40)
       .select($"a_id", $"b_id")
     graft.operators.Dedup.connectedComponents(pairs, "a_id", "b_id")
       .withColumn("csize", count(lit(1)).over(Window.partitionBy($"component")))
@@ -152,7 +152,7 @@ object Vector {
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |          FROM n a JOIN n b ON a.vec_id < b.vec_id
-        |          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35),
+        |          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.40),
         |e AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
         |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) nn
         |                UNION
