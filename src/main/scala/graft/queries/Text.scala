@@ -279,7 +279,72 @@ object Text {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Fixed-size token chunking with stride (north_star curation: the
+    * context-window splitting step every pre-training pipeline runs
+    * before packing): 64-token chunks every 48 tokens (16-token overlap),
+    * each with its start offset, length, and content hash. Pure per-row
+    * array expressions + one explode — narrow scan, no shuffle, no
+    * driver involvement: the 100 TB shape for a doc → chunk fan-out.
+    */
+  val q94_doc_chunks: Q = (s, d) => {
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "regexp_extract_all(text, '\\\\S+', 0) AS tk")
+      .filter("size(tk) > 0")
+      .selectExpr("doc_id", "tk",
+        "1 + greatest(0, (size(tk) - 64 + 47) div 48) AS n_chunks")
+      .selectExpr("doc_id", "tk", "explode(sequence(0, n_chunks - 1)) AS ci")
+      .selectExpr(
+        "doc_id",
+        "CAST(ci AS INT) AS chunk_idx",
+        "CAST(1 + ci * 48 AS BIGINT) AS start_tok",
+        "CAST(size(slice(tk, CAST(1 + ci * 48 AS INT), 64)) AS BIGINT) AS n_chunk_tok",
+        "md5(concat_ws(' ', slice(tk, CAST(1 + ci * 48 AS INT), 64))) AS chunk_hash")
+  }
+
+  /** Context-window packing plan (north_star curation: how documents fill
+    * fixed 2048-token training windows): per source shard, documents are
+    * laid out in id order, each assigned to the window its first token
+    * lands in; per (shard, window) the doc count, token count, and fill
+    * ratio. The running sum is PER SOURCE — packing at corpus scale is a
+    * per-shard operation, so the window never needs a global ordering.
+    */
+  val q95_packing_plan: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        expr("CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)").as("n_tok"))
+      .withColumn("cum_before",
+        sum($"n_tok").over(Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)) - $"n_tok")
+      .withColumn("bin", expr("cum_before div 2048"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        rate(sum($"n_tok").cast("double") / 2048).as("fill"))
+  }
+
+  /** Boilerplate shingle detection (north_star curation: repeated
+    * headers/footers poison training corpora): the 3 most document-
+    * frequent distinct 5-grams per source with DF ≥ 2 — the candidates a
+    * removal pass would strip. Inverted index + hash aggregate + rank
+    * pruned by WindowGroupLimit; DF capping (q30) bounds the index at
+    * corpus scale.
+    */
+  val q96_boilerplate: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    explodedWordShingles(Tables.documents(s, d), Seq("doc_id", "source"), "text", 5)
+      .groupBy($"source", $"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"df".desc, $"shingle")))
+      .filter($"rn" <= 3)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q96_boilerplate" -> q96_boilerplate,
+    "q95_packing_plan" -> q95_packing_plan,
+    "q94_doc_chunks" -> q94_doc_chunks,
     "q93_contamination" -> q93_contamination,
     "q91_tfidf_topterms" -> q91_tfidf_topterms,
     "q89_stratified_sample" -> q89_stratified_sample,
@@ -298,6 +363,41 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q94_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |k AS (SELECT doc_id, tk, 1 + greatest(0, (len(tk) - 64 + 47) // 48) AS n_chunks
+        |      FROM t WHERE len(tk) > 0),
+        |c AS (SELECT doc_id, tk, UNNEST(range(0, n_chunks)) AS ci FROM k)
+        |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+        |       CAST(1 + ci * 48 AS BIGINT) AS start_tok,
+        |       CAST(len(tk[1 + ci * 48 : ci * 48 + 64]) AS BIGINT) AS n_chunk_tok,
+        |       md5(array_to_string(tk[1 + ci * 48 : ci * 48 + 64], ' ')) AS chunk_hash
+        |FROM c""".stripMargin,
+    "q95_packing_plan" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                              ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+        |      FROM t)
+        |SELECT source, cum_before // 2048 AS bin, count(*) AS n_docs,
+        |       sum(n_tok) AS n_tokens,
+        |       round(CAST(sum(n_tok) AS DOUBLE) / 2048, 4) AS fill
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q96_boilerplate" ->
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |f AS (SELECT * FROM t WHERE len(t) >= 5),
+        |sh AS (SELECT doc_id, source,
+        |              list_distinct([array_to_string(t[i:i+4], ' ')
+        |                             for i in range(1, len(t)-3)]) AS s
+        |       FROM f),
+        |ex AS (SELECT source, doc_id, UNNEST(s) AS shingle FROM sh),
+        |df AS (SELECT source, shingle, count(*) AS df FROM ex GROUP BY 1, 2),
+        |r AS (SELECT source, shingle, df,
+        |             row_number() OVER (PARTITION BY source ORDER BY df DESC, shingle) AS rn
+        |      FROM df WHERE df >= 2)
+        |SELECT source, shingle, df, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 3""".stripMargin,
     "q91_tfidf_topterms" ->
       """WITH toks AS (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS term
         |              FROM documents),

@@ -140,6 +140,33 @@ class VectorTextSpec extends AnyFunSuite {
     }
   }
 
+  test("doc chunks: stride-48 starts, full 64-token chunks except the tail") {
+    val rows = SparkEntry.queries("q94_doc_chunks")(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("chunk_idx") == i)
+        assert(r.getAs[Long]("start_tok") == 1 + i.toLong * 48)
+        val n = r.getAs[Long]("n_chunk_tok")
+        assert(n >= 1 && n <= 64)
+        if (i < sorted.length - 1) assert(n == 64) // only the tail is short
+      }
+    }
+  }
+
+  test("packing plan: per-source token totals survive the window binning") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q95_packing_plan")(spark, TestSpark.sfDir)
+      .groupBy($"source").agg(sum($"n_tokens").as("packed"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("packed")).toMap
+    val want = graft.Tables.documents(spark, TestSpark.sfDir)
+      .selectExpr("source", "CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT) AS n")
+      .groupBy($"source").agg(sum($"n").as("total"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("total")).toMap
+    assert(rows == want) // every token lands in exactly one bin
+  }
+
   test("word shingles: n-grams in order, deduplicated, empty below n tokens") {
     import spark.implicits._
     val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y x y x y")).toDF("id", "text")
