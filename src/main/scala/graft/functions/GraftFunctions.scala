@@ -31,6 +31,9 @@ object GraftFunctions {
     "graft_image_header" -> (exprs => ImageHeader(exprs(0))),
     "graft_wav_header" -> (exprs => WavHeader(exprs(0))),
     "graft_topk_indices" -> (exprs => TopKIndices(exprs(0), intArg(exprs(1), "k"))),
+    "graft_shingles" -> (exprs => WordShinglesExpr(exprs(0),
+      if (exprs.length > 1) intArg(exprs(1), "n") else 3,
+      distinct = true)),
   )
 
   def register(spark: SparkSession): Unit =

@@ -61,12 +61,14 @@ class FunctionsSpec extends AnyFunSuite {
         |       size(graft_winnow(t, 8, 4)) AS n_fp_k,
         |       graft_byte_histogram(cast(t AS BINARY), 16) AS hist,
         |       graft_image_header(cast(t AS BINARY)) AS hdr,
-        |       graft_topk_indices(arr, 2) AS top2
+        |       graft_topk_indices(arr, 2) AS top2,
+        |       graft_shingles(t, 3) AS sh3
         |FROM graft_sql_demo""".stripMargin).head()
     assert(row.getInt(0) > 0 && row.getInt(0) == row.getInt(1))
     assert(math.abs(row.getAs[scala.collection.Seq[Double]]("hist").sum - 1.0) < 1e-9)
     assert(row.isNullAt(3)) // not an image
     assert(row.getAs[scala.collection.Seq[Int]]("top2").toSeq == Seq(0, 2))
+    assert(row.getAs[scala.collection.Seq[String]]("sh3").head == "the quick brown")
   }
 
   test("GraftExtensions injects the full function set at session build time") {
@@ -74,6 +76,7 @@ class FunctionsSpec extends AnyFunSuite {
     val names = graft.functions.GraftFunctions.builders.map(_._1).toSet
     assert(names == Set("graft_dot", "graft_winnow", "graft_byte_histogram",
       "graft_image_header", "graft_wav_header", "graft_topk_indices",
+      "graft_shingles",
       // the Flink-named dialect pack rides the same injection path
       "split_index", "from_base64", "to_base64", "json_value", "json_query",
       "json_exists", "truncate", "to_timestamp_ltz", "single_value",
