@@ -154,9 +154,10 @@ object Dedup {
   }
 
   private def connectedComponentsLoop(sym: DataFrame, maxIter: Int): DataFrame = {
-    def labelSum(df: DataFrame): java.math.BigDecimal = df
+    def labelSum(df: DataFrame): java.math.BigDecimal = Option(df
       .agg(sum(col("component").cast("decimal(38,0)")).as("s"))
-      .head.getDecimal(0)
+      .head.getDecimal(0))
+      .getOrElse(java.math.BigDecimal.ZERO) // empty graph: sum(…) is NULL
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)

@@ -128,6 +128,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q91: corpus count joins as a broadcast, rank prunes via WindowGroupLimit") {
+    val p = planOf("q91_tfidf_topterms")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row corpus count must broadcast, never shuffle the tf side")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), "top-3 terms must prune before the full rank")
+  }
+
+  test("q94: chunking is scan + per-row explode — no shuffle") {
+    val p = planOf("q94_doc_chunks")
+    assert(!p.contains("Exchange"), "doc->chunk fan-out must not shuffle")
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q96: boilerplate rank prunes via WindowGroupLimit") {
+    val p = planOf("q96_boilerplate")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q02: whole-stage codegen covers the scan-filter-project pipeline") {
     val p = planOf("q02_filter_project")
     // codegen'd operators print with the "*(stageId)" prefix

@@ -94,6 +94,12 @@ class VectorTextSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components of an empty edge list is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Dedup.connectedComponents(empty, "src", "dst").count() == 0)
+  }
+
   test("connected components match union-find on a pseudo-random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
