@@ -136,7 +136,36 @@ object Vector {
         "round(sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + pow(x - round(x / scale) * scale, 2)) / size(v)), 6) AS rmse")
   }
 
+  /** Per-label centroid cohesion (north_star embedding analysis: cluster
+    * quality of a labeled vector corpus): each label's centroid is the
+    * per-dimension mean, then every vector's cosine to its own centroid
+    * is aggregated to per-label cohesion stats. Plan: posexplode →
+    * (label, dim) hash aggregate — the centroid shuffle scales with
+    * labels×dim, not vectors — then the labels×dim centroid table
+    * re-joins broadcast-sized, and the cosine runs as one codegen'd dot
+    * per vector. No all-pairs anywhere.
+    */
+  val q97_label_centroids: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", toDouble($"embedding").as("v"))
+    val cent = e.select($"label", posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"label", $"i").agg(avg($"x").as("cx"))
+      .groupBy($"label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cx))), p -> p.cx)").as("cv"))
+    e.join(broadcast(cent), "label")
+      .select($"label",
+        (graft.functions.DotProduct($"v", $"cv") / (l2Norm($"v") * l2Norm($"cv")))
+          .as("cos_c"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        rate(avg($"cos_c")).as("avg_cos"),
+        rate(min($"cos_c")).as("min_cos"),
+        rate(max($"cos_c")).as("max_cos"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q97_label_centroids" -> q97_label_centroids,
     "q92_embedding_quantize" -> q92_embedding_quantize,
     "q90_neardup_components" -> q90_neardup_components,
     "q56_ivf_topk" -> q56_ivf_topk,
@@ -147,6 +176,20 @@ object Vector {
   )
 
   val oracle: Map[String, String] = Map(
+    "q97_label_centroids" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT label, UNNEST(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+        |c AS (SELECT label, i, avg(x) AS cx FROM u GROUP BY 1, 2),
+        |cent AS (SELECT label, list(cx ORDER BY i) AS cv FROM c GROUP BY 1),
+        |j AS (SELECT e.vec_id, e.label,
+        |             list_dot_product(e.v, cent.cv)
+        |               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))) AS cos_c
+        |      FROM e JOIN cent USING (label))
+        |SELECT label, count(*) AS n_vecs,
+        |       round(avg(cos_c), 4) AS avg_cos,
+        |       round(min(cos_c), 4) AS min_cos,
+        |       round(max(cos_c), 4) AS max_cos
+        |FROM j GROUP BY 1""".stripMargin,
     "q90_neardup_components" ->
       """WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),

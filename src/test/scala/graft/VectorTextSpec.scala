@@ -137,6 +137,18 @@ class VectorTextSpec extends AnyFunSuite {
     }
   }
 
+  test("label centroids: every label present, cohesion bounded, counts conserved") {
+    val rows = SparkEntry.queries("q97_label_centroids")(spark, TestSpark.sfDir).collect()
+    assert(rows.map(_.getAs[Int]("label")).toSet.size == rows.length)
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == graft.Tables.embeddings(spark, TestSpark.sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_cos") <= r.getAs[Double]("avg_cos"))
+      assert(r.getAs[Double]("avg_cos") <= r.getAs[Double]("max_cos"))
+      assert(math.abs(r.getAs[Double]("max_cos")) <= 1.0 + 1e-9)
+    }
+  }
+
   test("contamination pairs are strictly cross-source with positive overlap") {
     val rows = SparkEntry.queries("q93_contamination")(spark, TestSpark.sfDir).collect()
     assert(rows.nonEmpty)
