@@ -32,7 +32,14 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
   * `EXECUTE STATEMENT SET BEGIN <INSERT...;> ... END` (or the legacy
   * `BEGIN STATEMENT SET;` form) runs every INSERT of the multi-sink
   * deployment shape in order, and `EXPLAIN PLAN FOR <stmt>` plans the
-  * statement through the dialect chain without executing it.
+  * statement through the dialect chain without executing it. The
+  * catalog statements answer from the session's DDL registry with
+  * Flink's column names: `SHOW TABLES`, `SHOW CREATE TABLE t` (the
+  * re-rendered DDL round-trips through the parser), `DESCRIBE t`
+  * (registered tables get Flink-style rows incl. the watermark;
+  * other names fall through to Spark), `SHOW FUNCTIONS`,
+  * `SHOW CATALOGS` / `SHOW DATABASES` / `USE ...` (single-catalog
+  * stubs).
   *
   * Statement splitting ignores `;` inside single-quoted literals and
   * inside `--` / `/* ... */` comments (an apostrophe in a comment does
@@ -45,6 +52,13 @@ object FlinkSql {
   private val stmtSetRe =
     raw"(?is)^\s*(?:EXECUTE\s+STATEMENT\s+SET\s+BEGIN|BEGIN\s+STATEMENT\s+SET)\s*;?\s*(.*?)\s*;?\s*END\s*$$".r
   private val explainRe = raw"(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.*)$$".r
+  private val showTablesRe = raw"(?is)^\s*SHOW\s+TABLES\s*$$".r
+  private val showCreateRe = raw"(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*$$".r
+  private val showFunctionsRe = raw"(?is)^\s*SHOW\s+(?:USER\s+)?FUNCTIONS\s*$$".r
+  private val showCatalogsRe = raw"(?is)^\s*SHOW\s+CATALOGS\s*$$".r
+  private val showDatabasesRe = raw"(?is)^\s*SHOW\s+(?:DATABASES|SCHEMAS)\s*$$".r
+  private val useRe = raw"(?is)^\s*USE\s+\S.*$$".r
+  private val describeRe = raw"(?is)^\s*DESC(?:RIBE)?\s+([A-Za-z_]\w*)\s*$$".r
 
   /** Flink config keys with a direct Spark analog; everything else is
     * accepted and ignored (a migrating script must not die on its SET
@@ -84,10 +98,97 @@ object FlinkSql {
           case p => GraftColumnBridge.ofRows(spark, p).queryExecution.toString
         }
         okRow(spark, "plan", text)
+      // SQL-client catalog statements (Flink column names kept verbatim)
+      case showTablesRe() =>
+        import spark.implicits._
+        val ddl = graft.plans.FlinkDdl.registeredTables(spark).keys
+        val views = spark.catalog.listTables().collect()
+          .filter(_.isTemporary).map(_.name.toLowerCase)
+        (ddl ++ views).toSeq.distinct.sorted.toDF("table name")
+      case showCreateRe(name) =>
+        import spark.implicits._
+        Seq(renderCreateTable(spark, name)).toDF("create table")
+      case showFunctionsRe() =>
+        import spark.implicits._
+        graft.functions.GraftFunctions.builders.map(_._1).sorted
+          .toDF("function name")
+      case showCatalogsRe() =>
+        import spark.implicits._
+        Seq("default_catalog").toDF("catalog name")
+      case showDatabasesRe() =>
+        import spark.implicits._
+        Seq("default_database").toDF("database name")
+      case useRe() =>
+        // single-catalog engine: USE [CATALOG] accepted as a no-op
+        okRow(spark, "use", statement.trim)
+      case describeRe(name)
+          if graft.plans.FlinkDdl.registered(spark, name).isDefined =>
+        import spark.implicits._
+        val (_, _, _, schema) = graft.plans.FlinkDdl.registered(spark, name).get
+        val wm = graft.plans.FlinkDdl.watermarkOf(spark, name)
+        schema.fields.toSeq.map { f =>
+          (f.name, flinkTypeName(f.dataType), f.nullable,
+            wm.filter(_._1 == f.name)
+              .map { case (c, delay) => s"`$c` - INTERVAL ${intervalSql(delay)}" }
+              .orNull)
+        }.toDF("name", "type", "null", "watermark")
       case _ =>
         val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
         GraftColumnBridge.ofRows(spark, parser.parsePlan(statement))
     }
+  }
+
+  /** Spark type → Flink DDL type name (the reverse of the connector-DDL
+    * schema parse; TIMESTAMP renders at the rowtime-conventional
+    * precision 3).
+    */
+  private[graft] def flinkTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INT"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case StringType => "STRING"
+      case BooleanType => "BOOLEAN"
+      case BinaryType => "BYTES"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP(3)"
+      case d: DecimalType => s"DECIMAL(${d.precision}, ${d.scale})"
+      case ArrayType(e, _) => s"ARRAY<${flinkTypeName(e)}>"
+      case MapType(k, v, _) => s"MAP<${flinkTypeName(k)}, ${flinkTypeName(v)}>"
+      case s: StructType =>
+        s"ROW<${s.fields.map(f => s"`${f.name}` ${flinkTypeName(f.dataType)}").mkString(", ")}>"
+      case other => other.sql
+    }
+  }
+
+  /** "5 seconds" (registry form) → "'5' SECOND" (DDL form). */
+  private def intervalSql(delay: String): String = {
+    val Array(n, unit) = delay.split("\\s+", 2)
+    s"'$n' ${unit.stripSuffix("s").toUpperCase}"
+  }
+
+  /** Re-render a registered connector table as its CREATE TABLE DDL. */
+  private def renderCreateTable(spark: SparkSession, name: String): String = {
+    val (connector, path, fmt, schema) = graft.plans.FlinkDdl
+      .registered(spark, name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"SHOW CREATE TABLE: '$name' is not a DDL-registered table"))
+    val wm = graft.plans.FlinkDdl.watermarkOf(spark, name)
+    val parts = graft.plans.FlinkDdl.partitionsOf(spark, name)
+    val cols = schema.fields.map(f => s"  `${f.name}` ${flinkTypeName(f.dataType)}")
+    val wmLine = wm.map { case (c, delay) =>
+      s"  WATERMARK FOR `$c` AS `$c` - INTERVAL ${intervalSql(delay)}" }
+    val partLine =
+      if (parts.isEmpty) "" else parts.mkString(" PARTITIONED BY (`", "`, `", "`)")
+    val opts = Seq(Some("connector" -> connector),
+      Option(path).filter(_.nonEmpty).map("path" -> _),
+      Option(fmt).filter(_.nonEmpty).map("format" -> _)).flatten
+      .map { case (k, v) => s"  '$k' = '$v'" }
+    s"CREATE TABLE `$name` (\n${(cols ++ wmLine).mkString(",\n")}\n)$partLine\nWITH (\n${opts.mkString(",\n")}\n)"
   }
 
   private def okRow(spark: SparkSession, col: String, v: String): DataFrame = {

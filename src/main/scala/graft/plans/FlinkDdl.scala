@@ -46,7 +46,7 @@ import org.apache.spark.sql.types.StructType
 object FlinkDdl {
 
   private val createRe =
-    raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\(".r
+    raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*\(".r
   private val partitionedRe = raw"(?is)\bPARTITIONED\s+BY\s*\(".r
   private val withRe = raw"(?is)\bWITH\s*\(".r
   private val optRe = raw"(?s)'((?:[^'\\]|\\.)*)'\s*=\s*'((?:[^'\\]|\\.)*)'".r
@@ -100,6 +100,15 @@ object FlinkDdl {
 
   def registered(spark: SparkSession, table: String): Option[(String, String, String, StructType)] =
     Option(tableRegistry(spark).get(table.toLowerCase))
+
+  /** Every connector-DDL table registered in this session:
+    * name → (connector, path, format, schema). For the SQL-client
+    * catalog statements (SHOW TABLES / SHOW CREATE TABLE).
+    */
+  def registeredTables(spark: SparkSession): Map[String, (String, String, String, StructType)] = {
+    import scala.jdk.CollectionConverters._
+    tableRegistry(spark).asScala.toMap
+  }
 
   private val ctasRe =
     raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+WITH\s*\(".r
@@ -212,7 +221,11 @@ object FlinkDdl {
     tableRegistry(spark).remove(name.toLowerCase)
     partRegistry(spark).remove(name.toLowerCase)
     val colsClose = WindowTvf.matchParen(sqlText, m.end - 1)
+    // Flink DDL may backtick-quote identifiers (SHOW CREATE TABLE emits
+    // them); plain-identifier quotes carry no information — strip before
+    // the definition regexes
     val colDefs = WindowTvf.splitArgs(sqlText.substring(m.end, colsClose))
+      .map(raw"`([A-Za-z_]\w*)`".r.replaceAllIn(_, "$1"))
     // Flink's partitioned filesystem table: PARTITIONED BY between the
     // column list and WITH — written as Spark partition directories, so
     // reads get partition pruning (the 100 TB layout lever)
@@ -220,7 +233,7 @@ object FlinkDdl {
       .map { pm =>
         val pOpen = colsClose + 1 + pm.end - 1
         sqlText.substring(pOpen + 1, WindowTvf.matchParen(sqlText, pOpen))
-          .split(",").toSeq.map(_.trim)
+          .split(",").toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
       }.getOrElse(Seq.empty)
     val wm = withRe.findFirstMatchIn(sqlText.substring(colsClose + 1))
       .getOrElse(fail("WITH ('connector' = ...) options are required"))

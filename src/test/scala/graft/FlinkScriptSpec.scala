@@ -125,6 +125,47 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(legacy.head().getString(0) == "OK")
   }
 
+  test("catalog statements: SHOW TABLES / SHOW CREATE TABLE / DESCRIBE / SHOW FUNCTIONS") {
+    val dir = java.nio.file.Files.createTempDirectory("flink_catalog").toString
+    Tables.events(spark, TestSpark.sfDir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    FlinkSql.run(spark,
+      s"""
+         |CREATE TABLE cat_events (
+         |  event_id BIGINT,
+         |  event_type STRING,
+         |  value DOUBLE,
+         |  ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) PARTITIONED BY (event_type)
+         |  WITH ('connector' = 'filesystem',
+         |        'path' = '$dir/events.parquet', 'format' = 'parquet')
+         |""".stripMargin)
+    val tables = FlinkSql.sql(spark, "SHOW TABLES")
+      .collect().map(_.getString(0)).toSet
+    assert(tables.contains("cat_events"))
+    val ddl = FlinkSql.sql(spark, "SHOW CREATE TABLE cat_events").head().getString(0)
+    assert(ddl.contains("CREATE TABLE `cat_events`"))
+    assert(ddl.contains("`event_id` BIGINT"))
+    assert(ddl.contains("`ts` TIMESTAMP(3)"))
+    assert(ddl.contains("WATERMARK FOR `ts` AS `ts` - INTERVAL '5' SECOND"))
+    assert(ddl.contains("PARTITIONED BY (`event_type`)"))
+    assert(ddl.contains("'connector' = 'filesystem'") && ddl.contains("'format' = 'parquet'"))
+    // the re-rendered DDL round-trips through the parser
+    FlinkSql.run(spark, ddl.replace("`cat_events`", "cat_events_rt"))
+    assert(FlinkSql.sql(spark, "SELECT count(*) AS n FROM cat_events_rt").head().getLong(0)
+      == FlinkSql.sql(spark, "SELECT count(*) AS n FROM cat_events").head().getLong(0))
+    val desc = FlinkSql.sql(spark, "DESCRIBE cat_events").collect()
+    assert(desc.map(_.getString(0)).toSeq == Seq("event_id", "event_type", "value", "ts"))
+    assert(desc.find(_.getString(0) == "ts").get.getString(3)
+      == "`ts` - INTERVAL '5' SECOND")
+    val fns = FlinkSql.sql(spark, "SHOW FUNCTIONS").collect().map(_.getString(0)).toSet
+    assert(fns.contains("graft_dot") && fns.contains("split_index"))
+    assert(FlinkSql.sql(spark, "SHOW CATALOGS").head().getString(0) == "default_catalog")
+    assert(FlinkSql.sql(spark, "USE CATALOG default_catalog").head().getString(0) == "OK")
+  }
+
   test("EXPLAIN PLAN FOR plans dialect statements without executing them") {
     import spark.implicits._
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
