@@ -341,7 +341,36 @@ object Text {
       .filter($"rn" <= 3)
   }
 
+  /** Corpus-LM surprisal scoring (north_star quality: the perplexity
+    * proxy pipelines use to flag out-of-distribution text without an
+    * external model): a word-bigram model is estimated from the corpus
+    * itself (P(w2|w1) = count(w1 w2)/count(w1)), then each document is
+    * scored by its mean and max bigram surprisal −ln P. Two hash
+    * aggregates build the model; scoring re-joins it on the bigram keys
+    * — Zipf skew on common-word keys is the q30 DF-cap / AQE-skew story
+    * at corpus scale.
+    */
+  val q98_bigram_surprisal: Q = (s, d) => {
+    import s.implicits._
+    val bg = Tables.documents(s, d)
+      .selectExpr("doc_id", "regexp_extract_all(lower(text), '[a-z]+', 0) AS w")
+      .filter("size(w) >= 2")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))) AS b""".stripMargin)
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val uni = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val bi = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    bg.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .withColumn("s", -log($"c2".cast("double") / $"c1"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        rate(avg($"s")).as("avg_surprisal"),
+        rate(max($"s")).as("max_surprisal"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q98_bigram_surprisal" -> q98_bigram_surprisal,
     "q96_boilerplate" -> q96_boilerplate,
     "q95_packing_plan" -> q95_packing_plan,
     "q94_doc_chunks" -> q94_doc_chunks,
@@ -363,6 +392,17 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q98_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+        |f AS (SELECT * FROM t WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM f, UNNEST(range(1, len(w))) AS u(i)),
+        |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |sc AS (SELECT bg.doc_id, -ln(CAST(bi.c2 AS DOUBLE) / uni.c1) AS s
+        |       FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(s), 4) AS avg_surprisal,
+        |       round(max(s), 4) AS max_surprisal
+        |FROM sc GROUP BY 1""".stripMargin,
     "q94_doc_chunks" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
         |k AS (SELECT doc_id, tk, 1 + greatest(0, (len(tk) - 64 + 47) // 48) AS n_chunks
