@@ -125,10 +125,14 @@ object Dedup {
     * round is ONE job: the lazy checkpoint materializes inside the
     * convergence probe, which is a 1-row aggregate — labels only ever
     * decrease, so an unchanged label sum means a fixed point, no
-    * changed-row join and never a data collect.
+    * changed-row join and never a data collect. Small graphs (sized
+    * partition count 1, i.e. ≲1M edges, integral ids) skip the loop
+    * entirely: one executor-side mapPartitions union-find pass — the
+    * "contract locally, iterate globally" degenerate case where local
+    * IS everything.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, localThresholdEdges: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
@@ -141,15 +145,46 @@ object Dedup {
     // fixed-size rounds.
     val nEdges = sym.count()
     val p = math.max(1, math.min(spark.sparkContext.defaultParallelism,
-      (nEdges / 500000L).toInt + 1))
-    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions", "32")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
-    try connectedComponentsLoop(sym, maxIter)
-    finally {
-      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
-      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      (nEdges / math.max(localThresholdEdges, 500000L)).toInt + 1))
+    val integralIds = sym.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (nEdges <= localThresholdEdges && integralIds) {
+      // The sized graph fits ONE task: a single mapPartitions union-find
+      // pass replaces the round loop (exact same result — min id per
+      // component). This runs executor-side on ≤ ~1M narrow rows, never
+      // on the driver; bigger graphs take the iterative path below.
+      import spark.implicits._
+      sym.select(col("u").cast("long"), col("v").cast("long")).as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+          it.foreach { case (u, v) =>
+            nodes += u += v
+            val (ru, rv) = (find(u), find(v))
+            if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+          }
+          nodes.iterator.map(id => (id, find(id)))
+        }
+        .toDF("id", "component")
+    } else {
+      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val savedParts = spark.conf.get("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      try connectedComponentsLoop(sym, maxIter)
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      }
     }
   }
 

@@ -49,7 +49,11 @@ object ProbeCC {
     t0 = System.nanoTime()
     Dedup.connectedComponents(edges.toDF, "src", "dst")
       .write.mode("overwrite").format("noop").save()
-    println(f"[cc] components(synthetic ${n * 10} nodes) in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println(f"[cc] components(synthetic ${n * 10} nodes, auto path) in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime()
+    Dedup.connectedComponents(edges.toDF, "src", "dst", localThresholdEdges = 0L)
+      .write.mode("overwrite").format("noop").save()
+    println(f"[cc] components(synthetic ${n * 10} nodes, forced loop) in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }

@@ -123,6 +123,13 @@ class VectorTextSpec extends AnyFunSuite {
       .connectedComponents(edges.toDF("src", "dst"), "src", "dst")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
     assert(got == byRoot)
+    // the iterative path (forced past the single-task union-find fast
+    // path) must agree exactly
+    val gotLoop = graft.operators.Dedup
+      .connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+        localThresholdEdges = 0L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(gotLoop == byRoot)
   }
 
   test("embedding quantize: per-row plan (no shuffle), values bounded by int8") {
