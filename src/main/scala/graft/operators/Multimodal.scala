@@ -63,6 +63,16 @@ object Multimodal {
   def decodeAudioMeta(df: DataFrame, contentCol: String): DataFrame =
     df.withColumn("audio", graft.functions.WavHeader(col(contentCol)))
 
+  /** Video sibling of [[decodeImageMeta]]: typed metadata from ISO-BMFF
+    * (MP4/MOV/M4A) container boxes ([[graft.functions.Mp4Header]] —
+    * major brand, movie timescale, duration, track count) appended as a
+    * `video` struct column; null for non-MP4 payloads. Header-prefix
+    * sampling works: a truncated payload keeps the brand with null
+    * duration once `moov` is out of reach.
+    */
+  def decodeVideoMeta(df: DataFrame, contentCol: String): DataFrame =
+    df.withColumn("video", graft.functions.Mp4Header(col(contentCol)))
+
   /** Feature extraction over the convention: normalized byte-histogram
     * vector per payload (fixed dim, deterministic) — the plumbing shape
     * of an embedding model output, computed by a codegen'd kernel.

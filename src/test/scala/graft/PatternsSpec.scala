@@ -217,6 +217,35 @@ class PatternsSpec extends AnyFunSuite {
     assert(plan.collect().count(!_.isNullAt(0)) == 2)
   }
 
+  test("multimodal: MP4 headers parse into typed metadata (ISO-BMFF box walker)") {
+    import spark.implicits._
+    val full = ImgFixtures.mp4("isom", timescale = 1000, duration = 5000, tracks = 2)
+    val df = Seq(
+      (1L, full),
+      (2L, ImgFixtures.mp4("mp42", timescale = 600, duration = 1200, tracks = 1)),
+      (3L, full.take(24)),                    // ftyp only — moov out of reach
+      (4L, ImgFixtures.wav(1, 8000, 16, 80)), // not a video
+      (5L, ImgFixtures.png(4, 4)))
+      .toDF("id", "content")
+    val rows = Multimodal.decodeVideoMeta(df, "content")
+      .select($"id", $"video.major_brand", $"video.timescale",
+        $"video.duration_ms", $"video.n_tracks")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(1) == "isom" && rows(1L).getInt(2) == 1000 &&
+      rows(1L).getDouble(3) == 5000.0 && rows(1L).getInt(4) == 2)
+    assert(rows(2L).getString(1) == "mp42" && rows(2L).getDouble(3) == 2000.0 &&
+      rows(2L).getInt(4) == 1)
+    // header-prefix sampling: brand survives, duration is null
+    assert(rows(3L).getString(1) == "isom" && rows(3L).isNullAt(2) &&
+      rows(3L).isNullAt(3) && rows(3L).getInt(4) == 0)
+    assert(rows(4L).isNullAt(1) && rows(5L).isNullAt(1))
+    // SQL-callable via the registered kernel
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("mp4_t")
+    assert(spark.sql("SELECT graft_mp4_header(content).duration_ms FROM mp4_t")
+      .collect().count(!_.isNullAt(0)) == 2)
+  }
+
   test("byte-histogram embed: fixed dim, normalized, deterministic, content-sensitive") {
     import spark.implicits._
     val df = Seq((1L, "payload-a"), (2L, "PAYLOAD?9!"), (3L, "")).toDF("id", "s")
@@ -285,5 +314,22 @@ object ImgFixtures {
     head ++ "LIST".getBytes("US-ASCII") ++ le32(5) ++
       "INFOx".getBytes("US-ASCII") ++ Array[Byte](0) ++ // pad to even
       tail
+  }
+
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32(8 + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+
+  /** Minimal ISO-BMFF container: ftyp + mdat + moov(mvhd v0 + tracks). */
+  def mp4(brand: String, timescale: Int, duration: Int, tracks: Int): Array[Byte] = {
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ be32(0) ++
+      "isom".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ // version 0 + flags
+      be32(0) ++ be32(0) ++                           // creation, modification
+      be32(timescale) ++ be32(duration) ++
+      Array.fill[Byte](80)(0))                        // rate..next_track_ID
+    val trak = box("trak", Array.fill[Byte](8)(0))
+    val moov = box("moov", mvhd ++ Array.fill(tracks)(trak).flatten)
+    val mdat = box("mdat", Array.fill[Byte](16)(0))
+    ftyp ++ mdat ++ moov
   }
 }
