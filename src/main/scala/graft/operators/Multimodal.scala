@@ -116,4 +116,20 @@ object Multimodal {
         val sz = greatest((length(col(contentCol)) / n).cast("int"), lit(1))
         col(contentCol).substr(col("chunk_id") * sz + 1, sz)
       })
+
+  /** Time-based frame-sample plan for video payloads: duration comes
+    * from the ISO-BMFF header ([[graft.functions.Mp4Header]]), and each
+    * video fans out into `n` evenly-spaced sample timestamps — the rows
+    * a frame decoder would fill with pixels (the decode itself stays
+    * stubbed: no codec exists in this image; the Spark-side shape —
+    * per-row header parse, explode fan-out, no shuffle — is the real
+    * contract). Payloads without a parseable duration produce no rows.
+    */
+  def sampleFrameTimes(df: DataFrame, contentCol: String, n: Int): DataFrame =
+    df.withColumn("__dur",
+        graft.functions.Mp4Header(col(contentCol)).getField("duration_ms"))
+      .filter(col("__dur").isNotNull && col("__dur") > 0)
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("t_ms", round(col("frame_idx") * col("__dur") / n, 3))
+      .drop("__dur")
 }

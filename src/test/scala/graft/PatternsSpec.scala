@@ -244,6 +244,13 @@ class PatternsSpec extends AnyFunSuite {
     df.createOrReplaceTempView("mp4_t")
     assert(spark.sql("SELECT graft_mp4_header(content).duration_ms FROM mp4_t")
       .collect().count(!_.isNullAt(0)) == 2)
+    // frame-sample plan: evenly spaced timestamps from the parsed
+    // duration, only for payloads with one
+    val frames = Multimodal.sampleFrameTimes(df, "content", 4)
+      .select($"id", $"frame_idx", $"t_ms").collect()
+    assert(frames.map(_.getLong(0)).distinct.sorted.toSeq == Seq(1L, 2L))
+    val v1 = frames.filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+    assert(v1.map(_.getDouble(2)).toSeq == Seq(0.0, 1250.0, 2500.0, 3750.0))
   }
 
   test("byte-histogram embed: fixed dim, normalized, deterministic, content-sensitive") {
