@@ -36,6 +36,16 @@ import org.apache.spark.sql.types._
   *    [0, bound); the two-arg form leads with the seed, matching the
   *    reference's RAND_INTEGER(INT seed, INT bound) signature.
   *  - SINGLE_VALUE(x) — the group's sole value, error on >1-row groups.
+  *  - CURRENT_ROW_TIMESTAMP() — per-row time in Flink; query-start
+  *    constant here (same documented coarsening as PROCTIME).
+  *  - IS_JSON / JSON_STRING / JSON_ARRAY — SQL/JSON predicates and
+  *    constructors composed from the JSON built-ins (JSON_OBJECT's
+  *    KEY/VALUE clause is parser syntax and not supported).
+  *  - ELEMENT(arr) — sole element of a 1-element array, NULL when
+  *    empty, error on more.
+  *
+  * The `ARRAY[...]` / `MAP[...]` bracket constructors are a dialect
+  * rewrite ([[graft.plans.BracketConstructors]]), not functions.
   */
 object FlinkFunctions {
 
@@ -146,6 +156,46 @@ object FlinkFunctions {
     "proctime" -> { e =>
       nArgs("proctime", e, 0)
       CurrentTimestamp()
+    },
+    // CURRENT_ROW_TIMESTAMP(): Flink evaluates per row; here it is the
+    // query-start constant (same documented coarsening as PROCTIME)
+    "current_row_timestamp" -> { e =>
+      nArgs("current_row_timestamp", e, 0)
+      CurrentTimestamp()
+    },
+    // IS_JSON(s): valid JSON text. Mapped through get_json_object('$'):
+    // non-null result ⇔ parseable; the JSON literal null (which the
+    // mapping reads as absent) is special-cased true.
+    "is_json" -> { e =>
+      nArgs("is_json", e, 1)
+      If(IsNull(e(0)), Literal.create(null, BooleanType),
+        Or(IsNotNull(GetJsonObject(e(0), Literal("$"))),
+          EqualTo(StringTrim(e(0)), Literal("null"))))
+    },
+    // JSON_STRING(x): the value serialized as JSON text (strings get
+    // quoted, structs/arrays/maps render structurally). Composed as
+    // to_json(struct(v AS v)) with the {"v": … } wrapper sliced off.
+    "json_string" -> { e =>
+      nArgs("json_string", e, 1)
+      val wrapped = StructsToJson(Map.empty,
+        CreateNamedStruct(Seq(Literal("v"), e(0))))
+      If(IsNull(e(0)), nullString,
+        Substring(wrapped, Literal(6), Subtract(Length(wrapped), Literal(6))))
+    },
+    // JSON_ARRAY(v1, v2, ...): common-type elements serialized as a JSON
+    // array (Flink's ON NULL clauses are parser-level; ABSENT ON NULL —
+    // the default — is approximated by to_json null omission)
+    "json_array" -> { e =>
+      StructsToJson(Map.empty, CreateArray(e))
+    },
+    // ELEMENT(arr): the sole element of a 1-element array, NULL for an
+    // empty array, error on more (Flink semantics)
+    "element" -> { e =>
+      nArgs("element", e, 1)
+      If(GreaterThan(Size(e(0)), Literal(1)),
+        new AssertTrue(Literal(false),
+          Literal("ELEMENT(): array has more than one element")),
+        ElementAt(e(0), Literal(1), failOnError = false))
     },
     "to_timestamp_ltz" -> { e =>
       (e.lift(1), e.length) match {

@@ -38,7 +38,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       else noOpts
     val tvfed =
       if (WindowTvf.containsClause(lowered)) WindowTvf.rewrite(lowered) else lowered
-    if (UnnestRewrite.containsClause(tvfed)) UnnestRewrite.rewrite(tvfed) else tvfed
+    val unnested =
+      if (UnnestRewrite.containsClause(tvfed)) UnnestRewrite.rewrite(tvfed) else tvfed
+    // ARRAY[...] / MAP[...] bracket constructors → array(...) / map(...)
+    BracketConstructors.rewrite(unnested)
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = {

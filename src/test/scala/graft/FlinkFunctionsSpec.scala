@@ -126,6 +126,44 @@ class FlinkFunctionsSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("json predicates and constructors: is_json / json_string / json_array / element") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT is_json('{"a": 1}') AS j1, is_json('not json') AS j2,
+        |  is_json('null') AS j3, is_json(CAST(NULL AS STRING)) AS j4,
+        |  json_string('abc') AS s1, json_string(42) AS s2,
+        |  json_string(CAST(NULL AS STRING)) AS s3,
+        |  json_array(1, 2, 3) AS a1,
+        |  element(array(7)) AS e1, element(array()) AS e2
+        |""".stripMargin).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && r.isNullAt(3))
+    assert(r.getString(4) == "\"abc\"" && r.getString(5) == "42" && r.isNullAt(6))
+    assert(r.getString(7) == "[1,2,3]")
+    assert(r.getInt(8) == 7 && r.isNullAt(9))
+    val err = intercept[Exception] {
+      spark.sql("SELECT element(array(1, 2))").collect()
+    }
+    assert(err.getMessage.contains("ELEMENT") ||
+      Option(err.getCause).exists(_.getMessage.contains("ELEMENT")))
+  }
+
+  test("ARRAY[...] / MAP[...] bracket constructors rewrite through the dialect") {
+    import graft.plans.BracketConstructors._
+    assert(rewrite("SELECT ARRAY[1, 2] AS v") == "SELECT array(1, 2) AS v")
+    assert(rewrite("SELECT MAP['a', 1]['a'] AS v") == "SELECT map('a', 1)['a'] AS v")
+    // nesting, embedded subscripts, literals with brackets stay intact
+    assert(rewrite("SELECT ARRAY[ARRAY[1], ARRAY[2]] AS v")
+      == "SELECT array(array(1), array(2)) AS v")
+    assert(rewrite("SELECT 'ARRAY[9]' AS s") == "SELECT 'ARRAY[9]' AS s")
+    assert(rewrite("SELECT ARRAY['it''s', 'ok'] AS v")
+      == "SELECT array('it''s', 'ok') AS v")
+    assert(rewrite("SELECT str_to_map('a=1')['a'] AS v")
+      == "SELECT str_to_map('a=1')['a'] AS v") // MAP-suffixed names untouched
+    // end-to-end through FlinkSql
+    assert(FlinkSql.sql(spark, "SELECT ELEMENT(ARRAY[5]) + MAP['k', 2]['k'] AS v")
+      .head().getInt(0) == 7)
+  }
+
   test("the pack stays codegen-resident (no interpreted eval in the plan)") {
     Tables.events(spark, TestSpark.sfDir).createOrReplaceTempView("ff_events")
     val df = spark.sql(

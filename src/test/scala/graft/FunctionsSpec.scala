@@ -81,6 +81,7 @@ class FunctionsSpec extends AnyFunSuite {
       "split_index", "from_base64", "to_base64", "json_value", "json_query",
       "json_exists", "truncate", "to_timestamp_ltz", "single_value",
       "is_alpha", "is_digit", "is_decimal", "rand_integer", "convert_tz",
+      "current_row_timestamp", "is_json", "json_string", "json_array", "element",
       "sha224", "sha256", "sha384", "sha512", "proctime"))
     // integration-level: a fresh session with the extensions conf resolves
     // the functions without any explicit register() call
