@@ -359,6 +359,24 @@ object Relational3 {
         |FROM q80_events""".stripMargin)
   }
 
+  /** The round-6 Flink scalar additions driven as SQL TEXT through the
+    * dialect chain — IS_JSON / JSON_STRING / JSON_ARRAY / ELEMENT plus
+    * the ARRAY[...] / MAP[...] bracket constructors
+    * ([[graft.plans.BracketConstructors]]) — DuckDB-oracled via its
+    * native json_valid/to_json/list functions.
+    */
+  val q99_flink_funcs2: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("q99_events")
+    graft.FlinkSql.sql(s,
+      """SELECT event_id,
+        |  is_json(props) AS props_is_json,
+        |  json_string(event_type) AS type_json,
+        |  json_array(event_id, user_id) AS ids_json,
+        |  element(ARRAY[event_id]) AS elem,
+        |  MAP['len', char_length(props)]['len'] AS props_len
+        |FROM q99_events""".stripMargin)
+  }
+
   /** Flink's UNNEST join SQL ([U] flink-table-planner SqlUnnestOperator,
     * runtime UnnestRowsFunction; SURVEY.md §2.9): `CROSS JOIN
     * UNNEST(array) AS t (c)` rewritten onto a LATERAL VIEW explode
@@ -400,6 +418,7 @@ object Relational3 {
     "q88_hash_tz" -> q88_hash_tz,
     "q86_unnest_sql" -> q86_unnest_sql,
     "q80_flink_funcs" -> q80_flink_funcs,
+    "q99_flink_funcs2" -> q99_flink_funcs2,
     "q74_protobuf_roundtrip" -> q74_protobuf_roundtrip,
     "q71_lateral" -> sharedSql(Seq("nation", "customer"), lateralText),
     "q72_exists" -> sharedSql(Seq("supplier", "customer", "nation"), existsText),
@@ -436,6 +455,14 @@ object Relational3 {
         |           FROM events)
         |SELECT tag, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM x GROUP BY tag""".stripMargin,
+    "q99_flink_funcs2" ->
+      """SELECT event_id,
+        |  json_valid(props) AS props_is_json,
+        |  CAST(to_json(event_type) AS VARCHAR) AS type_json,
+        |  CAST(to_json([event_id, user_id]) AS VARCHAR) AS ids_json,
+        |  [event_id][1] AS elem,
+        |  CAST(length(props) AS INTEGER) AS props_len
+        |FROM events""".stripMargin,
     "q80_flink_funcs" ->
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,
