@@ -369,7 +369,33 @@ object Text {
         rate(max($"s")).as("max_surprisal"))
   }
 
+  /** End-to-end curation pipeline (north_star capstone): the composition
+    * every pre-training corpus runs — quality filter (q79's keep rule) →
+    * exact dedup keeping the lowest doc_id → per-(lang, source) corpus
+    * stats of what survives. One declared query proving the curation ops
+    * compose; each stage is the same scale shape it has standalone
+    * (narrow scan + hash aggregates + key joins, no collect, no sort).
+    */
+  val q100_curation_pipeline: Q = (s, d) => {
+    import s.implicits._
+    val scored = Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"source", $"text",
+        tokenCount($"text").as("n_tok"),
+        langScore($"text", enMarkers).as("n_stop"),
+        punctCount($"text").as("n_punct"),
+        length($"text").as("len"))
+      .filter($"n_tok" >= 5 && $"n_punct" / $"len" <= 0.1 && $"n_stop" > 0)
+    val keep = scored.groupBy($"text".as("__t")).agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    scored.join(keep, "doc_id")
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").cast("long").as("n_tokens"),
+        rate(avg($"n_tok".cast("double"))).as("avg_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q100_curation_pipeline" -> q100_curation_pipeline,
     "q98_bigram_surprisal" -> q98_bigram_surprisal,
     "q96_boilerplate" -> q96_boilerplate,
     "q95_packing_plan" -> q95_packing_plan,
@@ -392,6 +418,22 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q100_curation_pipeline" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, source, text,
+         |         CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tok,
+         |         CAST(len(regexp_extract_all(lower(text), '${markerRe(graft.functions.TextFunctions.enMarkers)}')) AS INTEGER) AS n_stop,
+         |         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+         |         CAST(length(text) AS INTEGER) AS len
+         |  FROM documents),
+         |f AS (SELECT * FROM scored
+         |      WHERE n_tok >= 5 AND CAST(n_punct AS DOUBLE) / len <= 0.1 AND n_stop > 0),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text)
+         |SELECT lang, source, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       round(avg(CAST(n_tok AS DOUBLE)), 4) AS avg_tokens
+         |FROM f JOIN keep USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
     "q98_bigram_surprisal" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
         |f AS (SELECT * FROM t WHERE len(w) >= 2),
