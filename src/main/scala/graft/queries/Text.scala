@@ -13,11 +13,18 @@ import QueryDefs._
   */
 object Text {
 
-  /** Exact dedup keyed on text (hash shown for identification). */
+  /** Exact dedup keyed on md5(text): the digest IS the dedup key, so the
+    * shuffle carries 32 bytes per row instead of the document body — at
+    * corpus scale that is the difference between shuffling the whole
+    * corpus text and shuffling ~1% of it (collision probability 2^-64-
+    * scale, the standard trade every content-addressed dedup makes).
+    */
   val q27_dedup_exact: Q = (s, d) => {
     import s.implicits._
-    Dedup.exact(Tables.documents(s, d), Seq("text"), "doc_id")
-      .select(md5($"text").as("text_hash"), $"keep_id", $"n_dups")
+    Dedup.exact(
+      Tables.documents(s, d).select(md5($"text").as("text_hash"), $"doc_id"),
+      Seq("text_hash"), "doc_id")
+      .select($"text_hash", $"keep_id", $"n_dups")
   }
 
   /** Per-document token/char/quality stats. */
@@ -385,7 +392,9 @@ object Text {
         punctCount($"text").as("n_punct"),
         length($"text").as("len"))
       .filter($"n_tok" >= 5 && $"n_punct" / $"len" <= 0.1 && $"n_stop" > 0)
-    val keep = scored.groupBy($"text".as("__t")).agg(min($"doc_id").as("doc_id"))
+    // dedup keys on the digest, not the body (see q27) — the join back
+    // to `scored` is on doc_id only, so document text never shuffles
+    val keep = scored.groupBy(md5($"text").as("__h")).agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
     scored.join(keep, "doc_id")
       .groupBy($"lang", $"source")
@@ -428,7 +437,7 @@ object Text {
          |  FROM documents),
          |f AS (SELECT * FROM scored
          |      WHERE n_tok >= 5 AND CAST(n_punct AS DOUBLE) / len <= 0.1 AND n_stop > 0),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text)
+         |keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text))
          |SELECT lang, source, count(*) AS n_docs,
          |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          |       round(avg(CAST(n_tok AS DOUBLE)), 4) AS avg_tokens
@@ -556,7 +565,7 @@ object Text {
         |FROM documents""".stripMargin,
     "q27_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
-        |FROM documents GROUP BY text""".stripMargin,
+        |FROM documents GROUP BY md5(text)""".stripMargin,
     "q28_text_stats" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
