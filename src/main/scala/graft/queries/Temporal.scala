@@ -173,6 +173,29 @@ object Temporal {
         |GROUP BY window_start, window_end, event_type""".stripMargin))
   }
 
+  /** Flink's windowed Top-N SQL pattern ([U] flink-table-runtime
+    * rank/WindowRankOperator; the docs' canonical "top N per window"
+    * recipe): ROW_NUMBER over (PARTITION BY window_start) on top of a
+    * TUMBLE TVF aggregate, filtered to rn <= 3 — the whole statement as
+    * SQL text through the dialect chain. Spark prunes the rank with
+    * WindowGroupLimit, so no window sorts more than N+ rows per
+    * partition at any scale.
+    */
+  val q101_window_topn_sql: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("q101_events")
+    s.sql(graft.plans.WindowTvf.rewrite(
+      """SELECT window_start, event_type, cnt, sum_value, rn FROM (
+        |  SELECT window_start, event_type, cnt, sum_value,
+        |         ROW_NUMBER() OVER (PARTITION BY window_start
+        |                            ORDER BY cnt DESC, event_type) AS rn
+        |  FROM (
+        |    SELECT window_start, event_type, count(*) AS cnt,
+        |           round(sum(value), 2) AS sum_value
+        |    FROM TABLE(TUMBLE(TABLE q101_events, DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        |    GROUP BY window_start, event_type))
+        |WHERE rn <= 3""".stripMargin))
+  }
+
   /** Windowed coGroup (SURVEY.md §2.3 "windowed join / coGroup"): views
     * and clicks per (user, 10-min window) presented TOGETHER — keys
     * active on only one side still emit (unlike a join). Per-side sums
@@ -324,6 +347,7 @@ object Temporal {
     "q78_window_dedup" -> q78_window_dedup,
     "q77_cogroup_window" -> q77_cogroup_window,
     "q76_window_tvf_sql" -> q76_window_tvf_sql,
+    "q101_window_topn_sql" -> q101_window_topn_sql,
     "q73_match_recognize_sql" -> q73_match_recognize_sql,
     "q55_cep_quantified" -> q55_cep_quantified,
     "q41_hop_window" -> q41_hop_window,
@@ -413,6 +437,16 @@ object Temporal {
         |SELECT user_id, ws AS window_start, event_id, event_type,
         |       round(value, 2) AS value
         |FROM r WHERE rn = 1""".stripMargin,
+    "q101_window_topn_sql" ->
+      """WITH w AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+        |                  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT window_start, event_type, cnt, sum_value,
+        |             row_number() OVER (PARTITION BY window_start
+        |                                ORDER BY cnt DESC, event_type) AS rn
+        |      FROM w)
+        |SELECT window_start, event_type, cnt, sum_value, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3""".stripMargin,
     "q76_window_tvf_sql" ->
       """WITH e AS (SELECT event_type, value,
         |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS es

@@ -147,6 +147,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q101: windowed top-n SQL prunes via WindowGroupLimit") {
+    val p = planOf("q101_window_topn_sql")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q02: whole-stage codegen covers the scan-filter-project pipeline") {
     val p = planOf("q02_filter_project")
     // codegen'd operators print with the "*(stageId)" prefix
