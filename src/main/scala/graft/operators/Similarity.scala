@@ -140,9 +140,9 @@ object Similarity {
     // query (nProbe × n/nCells dots) bounded as n grows, clamped to
     // [32, 256] — the lower bound keeps fixture-scale behavior identical
     // (golden-pinned results), the upper bounds the per-row assignment
-    // fan-out (nCells codegen'd centroid dots). Beyond the cap, cells
-    // would come from an offline k-means + a two-level (coarse-quantizer)
-    // assignment, not more literal centroids.
+    // fan-out (nCells codegen'd centroid dots). Beyond the cap, use
+    // [[ivfTopK2]]: the two-level coarse-quantizer assignment whose fine
+    // centroids stay a distributed table.
     val cells =
       if (nCells > 0) nCells
       else math.max(32, math.min(256, (emb.count() / 64L).toInt))
@@ -171,6 +171,76 @@ object Similarity {
     queries.join(index, Seq("cell"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("cell"), col("b_id"), cosCol.as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))))
+      .filter(col("rn") <= k)
+      .select(col("a_id"), col("b_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** Two-level IVF top-k — the beyond-the-cap design [[ivfTopK]]
+    * documents, as code: a small coarse quantizer (nCoarse hash-sampled
+    * centroids, the only driver-side collect — bounded, same contract as
+    * the flat path) routes every vector to a coarse cell, and each
+    * coarse cell's fine centroids (its `nFinePerCell` members with the
+    * smallest id-hash, picked by a per-cell window rank) stay a
+    * DISTRIBUTED table: fine assignment and probing are equi-joins on
+    * the coarse key + `max_by`/rank aggregates. Total centroid count is
+    * nCoarse × nFinePerCell — thousands of cells with no driver matrix
+    * and no codegen blowup, which is exactly what the 256-cell cap on
+    * the flat path exists to prevent.
+    *
+    * Probing: a query ranks its nProbeCoarse nearest coarse cells
+    * (matrix kernel), then within those the nProbeFine nearest fine
+    * centroids (equi-join + rank), and exact cosine top-k runs inside
+    * the probed fine cells only. With exhaustive probes the result
+    * equals brute force (spec-locked); bounded probes trade recall for
+    * candidate count like any IVF.
+    */
+  def ivfTopK2(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCoarse: Int = 32, nFinePerCell: Int = 16,
+      nProbeCoarse: Int = 4, nProbeFine: Int = 4): DataFrame = {
+    val n = withNorm(emb, idCol, vecCol)
+    val cents = n.filter(col("na") > 0.0)
+      .withColumn("__h", xxhash64(col("a_id")))
+      .orderBy(col("__h")).limit(nCoarse)
+      .select(col("va"), col("na")).collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    require(nProbeCoarse >= 1 && nProbeCoarse <= cents.length)
+    val assigned = n.withColumn("__cc",
+      graft.functions.CentroidTopKExpr(col("va"), cents.map(_._1), cents.map(_._2),
+        nProbeCoarse))
+    val home = assigned.withColumn("coarse", element_at(col("__cc"), 1))
+    // fine centroids: per coarse cell, the nFinePerCell members with the
+    // smallest id-hash — a window rank, never a collect
+    val fineCents = home.filter(col("na") > 0.0)
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("coarse")).orderBy(xxhash64(col("a_id")), col("a_id"))))
+      .filter(col("__r") <= nFinePerCell)
+      .select(col("coarse"), col("__r").as("fine"),
+        col("va").as("fv"), col("na").as("fn"))
+    def fineSim = DotProduct(col("va"), col("fv")) / col("fn") // |v| constant per row
+    // index side: each vector lands in its nearest fine cell within its
+    // own coarse cell (equi-join fan-out ≤ nFinePerCell, then max_by)
+    val index = home.join(fineCents, "coarse")
+      .groupBy(col("a_id"))
+      .agg(max_by(struct(col("coarse"), col("fine")), fineSim).as("__f"),
+        first(col("va")).as("va"), first(col("na")).as("na"))
+      .select(col("a_id").as("b_id"), col("va").as("vb"), col("na").as("nb"),
+        col("__f.coarse").as("coarse"), col("__f.fine").as("fine"))
+    // query side: nProbeFine nearest fine cells across the probed coarse
+    val probes = assigned.select(col("a_id"), col("va"), col("na"),
+        explode(col("__cc")).as("coarse"))
+      .join(fineCents, "coarse")
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("a_id")).orderBy(fineSim.desc, col("coarse"), col("fine"))))
+      .filter(col("__pr") <= nProbeFine)
+      .select(col("a_id"), col("va"), col("na"), col("coarse"), col("fine"))
+    // every index vector lives in exactly one fine cell and probes are
+    // distinct cells, so a candidate pair appears at most once — no
+    // dedup shuffle needed before the rank
+    probes.join(index, Seq("coarse", "fine"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), cosCol.as("cos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))))
       .filter(col("rn") <= k)

@@ -253,6 +253,39 @@ class CepSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall@1 $recall below floor")
   }
 
+  test("two-level ivf: exhaustive probes equal brute force; bounded probes keep recall") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    // probing every coarse cell and every fine cell covers every index
+    // vector exactly once → identical to the brute-force top-k
+    val full = Similarity.ivfTopK2(emb, "vec_id", "embedding", k = 3,
+      nCoarse = 8, nFinePerCell = 1000, nProbeCoarse = 8, nProbeFine = 100000)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rn")))
+      .toSet
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rn")))
+      .toSet
+    assert(full == brute)
+    // bounded probes: dense ranks, true cosines, recall@1 above a floor
+    // set well under the measured fixture value
+    val ivf = Similarity.ivfTopK2(emb, "vec_id", "embedding", k = 3,
+      nCoarse = 8, nFinePerCell = 8, nProbeCoarse = 4, nProbeFine = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rn")))
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length))
+    }
+    val top1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("a_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val byQuery = ivf.groupBy(_._1)
+    val hits = top1.count { case (a, nb) => byQuery.get(a).exists(_.exists(_._2 == nb)) }
+    assert(hits.toDouble / top1.size >= 0.25,
+      s"two-level recall@1 ${hits.toDouble / top1.size} below floor")
+  }
+
   test("centroid top-k survives zero-norm centroids and vectors (NaN sims rank last)") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val v = ArrayData.toArrayData(Array(1.0, 0.0))
