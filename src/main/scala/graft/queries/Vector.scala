@@ -164,8 +164,23 @@ object Vector {
         rate(max($"cos_c")).as("max_cos"))
   }
 
+  /** Two-level IVF ANN top-3 ([[graft.operators.Similarity.ivfTopK2]] —
+    * the beyond-256-cells scale path: coarse quantizer + per-cell fine
+    * centroids as a distributed table). Deterministic (hash-sampled
+    * centroids, no RNG) but not SQL-expressible → golden-pinned;
+    * exhaustive-probe ≡ brute-force equivalence is spec-locked in
+    * CepSimilaritySpec.
+    */
+  val q102_ivf2_topk: Q = (s, d) => {
+    graft.operators.Similarity.ivfTopK2(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 3,
+      nCoarse = 16, nFinePerCell = 8, nProbeCoarse = 4, nProbeFine = 8)
+      .withColumn("cos", round(col("cos"), 6))
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_label_centroids" -> q97_label_centroids,
+    "q102_ivf2_topk" -> q102_ivf2_topk,
     "q92_embedding_quantize" -> q92_embedding_quantize,
     "q90_neardup_components" -> q90_neardup_components,
     "q56_ivf_topk" -> q56_ivf_topk,

@@ -19,7 +19,8 @@ object Golden {
     "q32_simhash",
     "q34_ann_lsh_buckets",
     "q42_ann_topk",
-    "q56_ivf_topk")
+    "q56_ivf_topk",
+    "q102_ivf2_topk")
 
   def canonical(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
