@@ -94,6 +94,29 @@ class VectorTextSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("minhash pairs + components cluster synthetic near-dup docs end-to-end") {
+    import spark.implicits._
+    // three clusters of near-identical docs (small token edits) plus two
+    // unrelated docs; the pipeline is verified pairs -> components
+    val base1 = "the quick brown fox jumps over the lazy dog by the river bank today again"
+    val base2 = "large scale data processing engines shuffle partition and aggregate rows quickly"
+    val base3 = "vector embeddings enable semantic similarity search across huge document corpora"
+    val docs = Seq(
+      1L -> base1, 2L -> (base1 + " extra"), 3L -> ("prefix " + base1),
+      10L -> base2, 11L -> (base2 + " now"),
+      20L -> base3, 21L -> (base3 + " daily"), 22L -> ("well " + base3),
+      30L -> "completely different content one", 31L -> "another unrelated text body two")
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .minHashVerifiedPairs(docs, "doc_id", "text", threshold = 0.5)
+    val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(comp.filter(_._1 < 10).values.toSet == Set(1L))
+    assert(comp.filter(k => k._1 >= 10 && k._1 < 20).values.toSet == Set(10L))
+    assert(comp.filter(k => k._1 >= 20 && k._1 < 30).values.toSet == Set(20L))
+    assert(!comp.contains(30L) && !comp.contains(31L)) // singletons never pair
+  }
+
   test("connected components of an empty edge list is empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
