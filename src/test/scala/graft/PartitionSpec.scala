@@ -58,4 +58,34 @@ class PartitionSpec extends AnyFunSuite {
         spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
     }
   }
+
+  test("bucketed tables make the key join and aggregation shuffle-free") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    graft.operators.Layout.writeBucketed(
+      Tables.lineitem(spark, TestSpark.sfDir).select("l_orderkey", "l_quantity"),
+      "bkt_lineitem", s"$dir/l", "l_orderkey", buckets = 8)
+    graft.operators.Layout.writeBucketed(
+      Tables.orders(spark, TestSpark.sfDir).select("o_orderkey", "o_totalprice"),
+      "bkt_orders", s"$dir/o", "o_orderkey", buckets = 8)
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_lineitem")
+        .join(spark.table("bkt_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")), first(col("o_totalprice")))
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides arrive hash-distributed from the bucketed layout: the
+      // join AND the aggregation run with ZERO exchanges
+      assert(!plan.contains("Exchange"),
+        s"bucketed join/agg must be shuffle-free:\n$plan")
+      assert(joined.count() ==
+        Tables.lineitem(spark, TestSpark.sfDir).select("l_orderkey").distinct().count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    }
+  }
 }
