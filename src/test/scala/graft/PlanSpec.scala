@@ -152,6 +152,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("bracket-constructor rewrite is an identity on every committed oracle SQL") {
+    // DuckDB oracle texts are full of non-constructor brackets (list
+    // comprehensions, slices, subscripts) — none may be touched
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(graft.plans.BracketConstructors.rewrite(sql) == sql,
+        s"$name oracle text altered by the rewrite")
+    }
+  }
+
+  test("plan audit: no cartesian/nested-loop join outside the declared whitelist") {
+    // q33: the all-pairs correctness oracle (declared role); q36: theta
+    // join is nested-loop by definition; q91: 1-row corpus count BNLJ
+    // broadcast. Everything else must stay equi-join shaped.
+    val allowed = Set("q33_cosine_topk", "q36_theta_join", "q91_tfidf_topterms")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed)
+      .flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty, s"unexpected cartesian/NL joins in: $offenders")
+  }
+
   test("q02: whole-stage codegen covers the scan-filter-project pipeline") {
     val p = planOf("q02_filter_project")
     // codegen'd operators print with the "*(stageId)" prefix
