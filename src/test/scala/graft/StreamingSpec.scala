@@ -306,4 +306,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Set((0L, 3L), (100000L, 2L)))
     } finally q.stop()
   }
+
+  test("incremental near-dup dedup: stream batches dedupe against the persistent store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("inc_store").toString + "/fps"
+    val out = java.nio.file.Files.createTempDirectory("inc_out").toString + "/docs"
+    val base = "the quick brown fox jumps over the lazy dog by the river bank in summer light"
+    val other = "distributed analytics engines aggregate shuffle and join massive columnar tables"
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.IncrementalDedup.run(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", store, out,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // batch 1: two distinct docs + one same-batch near-dup of doc 1
+    input.addData((1L, base), (2L, other), (3L, "intro " + base))
+    q.processAllAvailable()
+    // batch 2: a near-dup of batch-1 content, an exact copy, and a novel doc
+    val novel = "embedding vectors power approximate nearest neighbor search at corpus scale"
+    input.addData((10L, base + " postfix"), (11L, other), (12L, novel))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // doc 3 lost to same-batch doc 1; docs 10/11 lost to the store; 12 novel
+    assert(kept == Set(1L, 2L, 12L), s"kept $kept")
+  }
 }
