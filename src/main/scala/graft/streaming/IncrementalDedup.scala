@@ -14,13 +14,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * keyed state; near-dup membership over a multi-valued key set maps
   * naturally onto the micro-batch + store-join formulation instead.
   *
-  * Semantics per batch (deterministic): a document is DROPPED iff it
-  * shares ≥ `minShared` fingerprints with the store or with a
-  * same-batch document of smaller doc_id; its fingerprints enter
-  * the store either way (a rejected near-dup still blocks its own
-  * future copies, matching the sequential-reading semantics). Batch
-  * internals are ordered by doc_id, so replays produce identical
-  * verdicts.
+  * Semantics per batch (deterministic): a document is DROPPED iff the
+  * CONTAINMENT ratio — the fraction of its fingerprints already in the
+  * store or carried by a same-batch document of smaller doc_id —
+  * reaches `minSharedRatio` (the standard winnowing containment score;
+  * a ratio is corpus-robust where absolute overlap counts are not).
+  * Its fingerprints enter the store either way (a rejected near-dup
+  * still blocks its own future copies, matching sequential-reading
+  * semantics). Batch internals are ordered by doc_id, so replays
+  * produce identical verdicts.
   *
   * Scale shape: fingerprints and the store are narrow (fp, doc_id)
   * parquet rows; the membership check is one equi-join on fp per batch
@@ -35,8 +37,10 @@ object IncrementalDedup {
     * foreachBatch wiring in [[run]].
     */
   def processBatch(batch: DataFrame, idCol: String, textCol: String,
-      storePath: String, minShared: Int = 1, k: Int = 8, w: Int = 4): DataFrame = {
+      storePath: String, minSharedRatio: Double = 0.5,
+      k: Int = 8, w: Int = 4): DataFrame = {
     val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
     val fps = graft.functions.TextFunctions
       .winnowFingerprints(batch.select(col(idCol), col(textCol)), Seq(idCol), textCol, k, w)
       .localCheckpoint(true)
@@ -47,22 +51,20 @@ object IncrementalDedup {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("fingerprint",
             org.apache.spark.sql.types.LongType))))
-    // hits vs the persistent store
-    val storeHits = fps.join(store.select("fingerprint").distinct(), Seq("fingerprint"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minShared)
+    // a (doc, fp) row is BLOCKED when the fp is in the store, or a
+    // same-batch document with a smaller id carries it (per-fp window
+    // min — one shuffle on fp, no self-join)
+    val flagged = fps
+      .join(store.select(col("fingerprint")).distinct()
+        .withColumn("__in_store", lit(true)), Seq("fingerprint"), "left")
+      .withColumn("__min_carrier",
+        min(col(idCol)).over(Window.partitionBy(col("fingerprint"))))
+      .withColumn("__blocked",
+        coalesce(col("__in_store"), lit(false)) || col("__min_carrier") < col(idCol))
+    val dropped = flagged.groupBy(col(idCol))
+      .agg(avg(col("__blocked").cast("int")).as("__ratio"))
+      .filter(col("__ratio") >= minSharedRatio)
       .select(col(idCol))
-    // hits vs smaller-id documents of the SAME batch (deterministic
-    // within-batch order: doc_id ascending); explicit renames keep the
-    // self-join unambiguous
-    val left = fps.select(col("fingerprint").as("__fp"), col(idCol))
-    val peers = fps.select(col("fingerprint").as("__fp_p"), col(idCol).as("__peer"))
-    val batchHits = left.join(peers,
-        col("__fp") === col("__fp_p") && col("__peer") < col(idCol))
-      .groupBy(col(idCol)).agg(countDistinct(col("__fp")).as("__n"))
-      .filter(col("__n") >= minShared)
-      .select(col(idCol))
-    val dropped = storeHits.union(batchHits).distinct()
     val kept = batch.join(dropped, Seq(idCol), "left_anti")
     // every batch fingerprint enters the store (rejected docs still
     // block their own future copies); append keeps the write cheap
@@ -75,14 +77,14 @@ object IncrementalDedup {
     * deduped against the store and the survivors land at `outPath`.
     */
   def run(docs: DataFrame, idCol: String, textCol: String, storePath: String,
-      outPath: String, minShared: Int = 1,
+      outPath: String, minSharedRatio: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_inc_dedup").toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, idCol, textCol, storePath, minShared)
+        processBatch(batch, idCol, textCol, storePath, minSharedRatio)
           .write.mode("append").parquet(outPath)
       }
       .start()
