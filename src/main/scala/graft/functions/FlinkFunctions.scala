@@ -39,8 +39,9 @@ import org.apache.spark.sql.types._
   *  - CURRENT_ROW_TIMESTAMP() — per-row time in Flink; query-start
   *    constant here (same documented coarsening as PROCTIME).
   *  - IS_JSON / JSON_STRING / JSON_ARRAY — SQL/JSON predicates and
-  *    constructors composed from the JSON built-ins (JSON_OBJECT's
-  *    KEY/VALUE clause is parser syntax and not supported).
+  *    constructors composed from the JSON built-ins; JSON_OBJECT's
+  *    KEY/VALUE clause is a dialect rewrite
+  *    ([[graft.plans.JsonObjectRewrite]] → to_json(named_struct)).
   *  - ELEMENT(arr) — sole element of a 1-element array, NULL when
   *    empty, error on more.
   *

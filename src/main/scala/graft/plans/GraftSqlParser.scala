@@ -40,8 +40,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       if (WindowTvf.containsClause(lowered)) WindowTvf.rewrite(lowered) else lowered
     val unnested =
       if (UnnestRewrite.containsClause(tvfed)) UnnestRewrite.rewrite(tvfed) else tvfed
+    val jsonObj =
+      if (JsonObjectRewrite.containsClause(unnested)) JsonObjectRewrite.rewrite(unnested)
+      else unnested
     // ARRAY[...] / MAP[...] bracket constructors → array(...) / map(...)
-    BracketConstructors.rewrite(unnested)
+    BracketConstructors.rewrite(jsonObj)
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = {

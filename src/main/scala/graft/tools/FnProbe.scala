@@ -31,6 +31,7 @@ object FnProbe {
       "IS_JSON('{}')",
       "JSON_STRING(1)",
       "JSON_OBJECT('k' VALUE 1)",
+      "JSON_OBJECT(KEY 'a' VALUE 1, 'b' VALUE 'x')",
       "JSON_ARRAY(1, 2)",
       "MAP_FROM_ARRAYS(ARRAY[1,2], ARRAY['a','b'])[1]",
       "ARRAY_CONTAINS(ARRAY[1,2], 2)",

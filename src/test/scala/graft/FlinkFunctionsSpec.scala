@@ -147,6 +147,24 @@ class FlinkFunctionsSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("ELEMENT")))
   }
 
+  test("JSON_OBJECT KEY/VALUE syntax rewrites onto to_json(named_struct)") {
+    import graft.plans.JsonObjectRewrite._
+    assert(rewrite("SELECT JSON_OBJECT('k' VALUE 1) AS j")
+      == "SELECT to_json(named_struct('k', 1)) AS j")
+    assert(rewrite("SELECT JSON_OBJECT(KEY 'a' VALUE x, 'b' VALUE y + 1) AS j")
+      == "SELECT to_json(named_struct('a', x, 'b', y + 1)) AS j")
+    // ON NULL clause strips (ABSENT semantics via to_json, documented)
+    assert(rewrite("SELECT JSON_OBJECT('k' VALUE v NULL ON NULL) AS j")
+      == "SELECT to_json(named_struct('k', v)) AS j")
+    // nested objects recurse
+    assert(rewrite("SELECT JSON_OBJECT('o' VALUE JSON_OBJECT('i' VALUE 2)) AS j")
+      == "SELECT to_json(named_struct('o', to_json(named_struct('i', 2)))) AS j")
+    // end-to-end through the dialect
+    val r = FlinkSql.sql(spark,
+      "SELECT JSON_OBJECT('t' VALUE 'x', 'n' VALUE 7) AS j").head().getString(0)
+    assert(r == "{\"t\":\"x\",\"n\":7}")
+  }
+
   test("ARRAY[...] / MAP[...] bracket constructors rewrite through the dialect") {
     import graft.plans.BracketConstructors._
     assert(rewrite("SELECT ARRAY[1, 2] AS v") == "SELECT array(1, 2) AS v")
