@@ -30,6 +30,12 @@ object Mp4HeaderKernel {
     * container, or null when the payload does not start with `ftyp`.
     * Truncated payloads (header-prefix sampling) yield the brand with
     * null duration fields once `moov` is out of reach.
+    *
+    * Crawl-safety contract: the walk tracks every offset as a Long and
+    * bails out (returning the partial row) whenever a declared box size
+    * would make the next offset non-increasing or out of range, so a
+    * crafted 64-bit size (e.g. exactly 2^32, or one that wraps negative
+    * when truncated) can neither spin the task nor index out of bounds.
     */
   def parse(bytes: Array[Byte]): InternalRow = {
     if (bytes == null) return null
@@ -39,34 +45,38 @@ object Mp4HeaderKernel {
     var timescale: Any = null
     var durationMs: Any = null
     var nTracks = 0
-    var i = 0
+    var i = 0L
     var sawMoov = false
     while (i + 8 <= n) {
-      val size32 = be32(bytes, i)
+      val at = i.toInt // i + 8 <= n <= Int.MaxValue, so the cast is exact
+      val size32 = be32(bytes, at)
       val hdr = if (size32 == 1L) 16 else 8
-      val size = if (size32 == 1L) {
+      val size: Long = if (size32 == 1L) {
         if (i + 16 > n) return finish(brand, timescale, durationMs, nTracks)
-        be64(bytes, i + 8)
+        be64(bytes, at + 8)
       } else if (size32 == 0L) n - i // box runs to end of payload
       else size32
+      // be64 is a raw bit pattern: negative, < header, or non-advancing
+      // sizes are all malformed geometry — stop and keep what we have.
       if (size < hdr) return finish(brand, timescale, durationMs, nTracks)
-      if (fourcc(bytes, i + 4) == "moov") {
+      if (fourcc(bytes, at + 4) == "moov") {
         sawMoov = true
         // walk moov children within the declared extent that is present
         val end = math.min(i + size, n.toLong).toInt
         var j = i + hdr
         while (j + 8 <= end) {
-          val csize32 = be32(bytes, j)
+          val cat = j.toInt
+          val csize32 = be32(bytes, cat)
           val chdr = if (csize32 == 1L) 16 else 8
-          val csize = if (csize32 == 1L) {
+          val csize: Long = if (csize32 == 1L) {
             if (j + 16 > end) return finish(brand, timescale, durationMs, nTracks)
-            be64(bytes, j + 8)
-          } else if (csize32 == 0L) (end - j).toLong
+            be64(bytes, cat + 8)
+          } else if (csize32 == 0L) end - j
           else csize32
           if (csize < chdr) return finish(brand, timescale, durationMs, nTracks)
-          fourcc(bytes, j + 4) match {
+          fourcc(bytes, cat + 4) match {
             case "mvhd" =>
-              val body = j + chdr
+              val body = cat + chdr
               if (body < end) {
                 val version = bytes(body) & 0xff
                 // FullBox: version+flags (4), then creation/modification
@@ -84,11 +94,14 @@ object Mp4HeaderKernel {
             case "trak" => nTracks += 1
             case _ =>
           }
-          j += math.max(csize, chdr.toLong).toInt
+          val jNext = j + csize // Long math: a 2^32 child size advances, not spins
+          if (jNext <= j) return finish(brand, timescale, durationMs, nTracks)
+          j = jNext
         }
       }
-      i += (if (size > Int.MaxValue) return finish(brand, timescale, durationMs, nTracks)
-            else size.toInt)
+      val iNext = i + size
+      if (iNext <= i) return finish(brand, timescale, durationMs, nTracks)
+      i = iNext
     }
     if (!sawMoov && nTracks == 0 && timescale == null) finish(brand, null, null, 0)
     else finish(brand, timescale, durationMs, nTracks)

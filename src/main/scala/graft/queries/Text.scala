@@ -472,8 +472,8 @@ object Text {
         |             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
         |                              ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
         |      FROM t)
-        |SELECT source, cum_before // 2048 AS bin, count(*) AS n_docs,
-        |       sum(n_tok) AS n_tokens,
+        |SELECT source, CAST(cum_before // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |       round(CAST(sum(n_tok) AS DOUBLE) / 2048, 4) AS fill
         |FROM c GROUP BY 1, 2""".stripMargin,
     "q96_boilerplate" ->

@@ -253,6 +253,42 @@ class PatternsSpec extends AnyFunSuite {
     assert(v1.map(_.getDouble(2)).toSeq == Seq(0.0, 1250.0, 2500.0, 3750.0))
   }
 
+  test("multimodal: MP4 walker survives malformed box geometry (crawl-safety contract)") {
+    import java.nio.ByteBuffer
+    def be32(v: Long) = ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def be64(v: Long) = ByteBuffer.allocate(8).putLong(v).array()
+    val ftyp = be32(16) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be32(0)
+    // moov whose first child declares a 64-bit size of exactly 2^32: the
+    // truncated-to-Int advance would be 0 (task spins forever pre-fix)
+    def moovWithChildSize(csize: Long): Array[Byte] = {
+      val child = be32(1) ++ "free".getBytes("US-ASCII") ++ be64(csize) ++
+        Array.fill[Byte](8)(0)
+      be32(8L + child.length) ++ "moov".getBytes("US-ASCII") ++ child
+    }
+    val spin = ftyp ++ moovWithChildSize(1L << 32)
+    val wrapNeg = ftyp ++ moovWithChildSize((1L << 32) + 24L) // .toInt wraps to 24... craft truly negative below
+    val negative = ftyp ++ moovWithChildSize(-64L)            // be64 high bit set
+    // top-level 64-bit size near Long.MaxValue: i + size overflows Long
+    val hugeTop = ftyp ++ (be32(1) ++ "mdat".getBytes("US-ASCII") ++
+      be64(Long.MaxValue - 4) ++ Array.fill[Byte](8)(0))
+    // top-level size that would push i past 2^31 when truncated to Int
+    val bigTop = ftyp ++ (be32(1) ++ "mdat".getBytes("US-ASCII") ++
+      be64((1L << 31) + 100) ++ Array.fill[Byte](8)(0))
+    for (payload <- Seq(spin, wrapNeg, negative, hugeTop, bigTop)) {
+      val row = graft.functions.Mp4HeaderKernel.parse(payload)
+      assert(row != null && row.getUTF8String(0).toString == "isom",
+        "malformed geometry yields the partial row, not a hang or throw")
+    }
+    // well-formed 64-bit (size32 == 1) top-level box still walks past
+    val fixture = ImgFixtures.mp4("isom", 1000, 3000, 1)
+    val moov = fixture.drop(44) // fixture layout: ftyp(20) + mdat(24) + moov
+    val largeOk = ftyp ++ (be32(1) ++ "mdat".getBytes("US-ASCII") ++
+      be64(24) ++ Array.fill[Byte](8)(0)) ++ moov
+    val ok = graft.functions.Mp4HeaderKernel.parse(largeOk)
+    assert(ok.getInt(1) == 1000 && ok.getDouble(2) == 3000.0 && ok.getInt(3) == 1)
+  }
+
   test("byte-histogram embed: fixed dim, normalized, deterministic, content-sensitive") {
     import spark.implicits._
     val df = Seq((1L, "payload-a"), (2L, "PAYLOAD?9!"), (3L, "")).toDF("id", "s")
