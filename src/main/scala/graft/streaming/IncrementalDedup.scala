@@ -24,6 +24,20 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * semantics). Batch internals are ordered by doc_id, so replays
   * produce identical verdicts.
   *
+  * Exactly-once under at-least-once replay: foreachBatch may re-run a
+  * micro-batch whose store append already committed (e.g. the sink
+  * write failed mid-batch, or the query was killed between the two
+  * writes). Both writes are therefore keyed by the micro-batch id —
+  * store rows carry a `batch_id` provenance column, the store read
+  * EXCLUDES the current batch's own rows (so a replay cannot score its
+  * documents against the fingerprints its failed attempt committed),
+  * and both the store and the survivor output are written with dynamic
+  * partition overwrite on `batch_id` (a replay replaces its own
+  * partition instead of appending a duplicate). Combined with a
+  * durable caller-supplied `checkpointLocation`, a killed query
+  * restarted on the same checkpoint resumes at the committed offset
+  * with no batch re-admitted or lost.
+  *
   * Scale shape: fingerprints and the store are narrow (fp, doc_id)
   * parquet rows; the membership check is one equi-join on fp per batch
   * (store side partitioned by fp hash on disk at real scale); no state
@@ -35,18 +49,29 @@ object IncrementalDedup {
   /** Process one batch against the store at `storePath`; returns the
     * kept documents. Exposed for batch-incremental use and the
     * foreachBatch wiring in [[run]].
+    *
+    * `batchId` ≥ 0 keys the store write for idempotent replay (see the
+    * class doc); the default −1 is the unmanaged-append mode for
+    * callers that sequence batches themselves and never retry one.
     */
   def processBatch(batch: DataFrame, idCol: String, textCol: String,
       storePath: String, minSharedRatio: Double = 0.5,
-      k: Int = 8, w: Int = 4): DataFrame = {
+      k: Int = 8, w: Int = 4, batchId: Long = -1L): DataFrame = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.expressions.Window
     val fps = graft.functions.TextFunctions
       .winnowFingerprints(batch.select(col(idCol), col(textCol)), Seq(idCol), textCol, k, w)
       .localCheckpoint(true)
     val store: DataFrame =
-      if (pathExists(spark, storePath)) spark.read.parquet(storePath)
-      else spark.createDataFrame(
+      if (pathExists(spark, storePath)) {
+        val raw = spark.read.parquet(storePath)
+        val tagged =
+          if (raw.columns.contains("batch_id")) raw
+          else raw.withColumn("batch_id", lit(-1L)) // pre-provenance store layout
+        // replay safety: never score a batch against the fingerprints
+        // its own failed attempt already committed
+        if (batchId >= 0) tagged.filter(col("batch_id") =!= batchId) else tagged
+      } else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("fingerprint",
@@ -67,25 +92,37 @@ object IncrementalDedup {
       .select(col(idCol))
     val kept = batch.join(dropped, Seq(idCol), "left_anti")
     // every batch fingerprint enters the store (rejected docs still
-    // block their own future copies); append keeps the write cheap
-    fps.select("fingerprint").distinct()
-      .write.mode("append").parquet(storePath)
+    // block their own future copies); a keyed batch replaces its own
+    // partition so a replayed batch cannot double-commit
+    val fpOut = fps.select("fingerprint").distinct()
+      .withColumn("batch_id", lit(math.max(batchId, -1L)))
+    if (batchId >= 0)
+      fpOut.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(storePath)
+    else
+      fpOut.write.mode("append").partitionBy("batch_id").parquet(storePath)
     kept
   }
 
   /** Deploy over a streaming Dataset of documents: each micro-batch is
-    * deduped against the store and the survivors land at `outPath`.
+    * deduped against the store and the survivors land at `outPath`,
+    * partitioned by micro-batch id (replays overwrite in place).
+    * `checkpointLocation` must be a durable path — restarting the
+    * stream on the same checkpoint resumes at the committed offset.
     */
   def run(docs: DataFrame, idCol: String, textCol: String, storePath: String,
-      outPath: String, minSharedRatio: Double = 0.5,
+      outPath: String, checkpointLocation: String,
+      minSharedRatio: Double = 0.5,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     docs.writeStream
       .trigger(trigger)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_inc_dedup").toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, idCol, textCol, storePath, minSharedRatio)
-          .write.mode("append").parquet(outPath)
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, idCol, textCol, storePath, minSharedRatio,
+            batchId = batchId)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outPath)
       }
       .start()
   }

@@ -22,7 +22,8 @@ object ProbeIncDedup {
     (0 until nBatches).foreach { i =>
       val batch = docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
       kept += graft.streaming.IncrementalDedup
-        .processBatch(batch, "doc_id", "text", store, minSharedRatio = 0.95).count()
+        .processBatch(batch, "doc_id", "text", store, minSharedRatio = 0.95,
+          batchId = i.toLong).count()
     }
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[incdedup] ratio=0.95 $total docs in $nBatches batches: ${total / sec}%.0f docs/s, kept=$kept, ${sec}%.1f s")
