@@ -176,15 +176,18 @@ object Dedup {
         }
         .toDF("id", "component")
     } else {
-      val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-      val savedParts = spark.conf.get("spark.sql.shuffle.partitions", "32")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
-      try connectedComponentsLoop(sym, maxIter)
-      finally {
-        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
-        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-      }
+      // Scope the loop's conf overrides (AQE off, right-sized shuffle
+      // partitions) to a CLONED session so concurrent queries on the
+      // caller's session never observe them and concurrent
+      // connectedComponents calls cannot clobber each other's settings.
+      // The checkpointed edge RDD re-binds to the clone without
+      // recomputation, and the result re-binds back the same way.
+      val scoped = org.apache.spark.sql.GraftColumnBridge.cloneSession(spark)
+      scoped.conf.set("spark.sql.adaptive.enabled", "false")
+      scoped.conf.set("spark.sql.shuffle.partitions", p.toString)
+      val labels =
+        connectedComponentsLoop(scoped.createDataFrame(sym.rdd, sym.schema), maxIter)
+      spark.createDataFrame(labels.rdd, labels.schema)
     }
   }
 

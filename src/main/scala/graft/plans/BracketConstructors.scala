@@ -23,7 +23,10 @@ object BracketConstructors {
     def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
     while (i < n) {
       val c = sql.charAt(i)
-      if (c == '\'') {
+      if (c == '\'' || c == '"' || c == '`') {
+        // copy quoted spans wholesale: single-quoted literals, Spark's
+        // default-mode double-quoted string literals, and backtick-quoted
+        // identifiers may all contain brackets or the ARRAY/MAP keywords
         val end = endOfLiteral(sql, i)
         out.append(sql.substring(i, end))
         i = end
@@ -41,7 +44,7 @@ object BracketConstructors {
           val bodyStart = k
           while (k < n && depth > 0) {
             sql.charAt(k) match {
-              case '\'' => k = endOfLiteral(sql, k) - 1
+              case '\'' | '"' | '`' => k = endOfLiteral(sql, k) - 1
               case '[' => depth += 1
               case ']' => depth -= 1
               case _ =>
@@ -65,12 +68,15 @@ object BracketConstructors {
     out.toString
   }
 
-  /** Index just past the literal's closing quote ('' escapes included). */
+  /** Index just past the span's closing quote, for whichever quote char
+    * opened it (doubled-quote escapes included — `''`, `""`, ` `` `).
+    */
   private def endOfLiteral(s: String, start: Int): Int = {
+    val q = s.charAt(start)
     var i = start + 1
     while (i < s.length) {
-      if (s.charAt(i) == '\'') {
-        if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+      if (s.charAt(i) == q) {
+        if (i + 1 < s.length && s.charAt(i + 1) == q) i += 2
         else return i + 1
       } else i += 1
     }

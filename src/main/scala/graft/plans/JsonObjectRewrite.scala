@@ -5,11 +5,12 @@ package graft.plans
   * SqlJsonObjectFunction; the KEY/VALUE clause is parser grammar, so no
   * FunctionRegistry builder can accept it).
   *
-  * Deltas, documented: the optional `NULL ON NULL` / `ABSENT ON NULL`
-  * clause is stripped and to_json's null-omission applies — ABSENT ON
-  * NULL semantics (the SQL-standard default for JSON_OBJECT is NULL ON
-  * NULL); keys must be string literals (named_struct's requirement —
-  * the overwhelmingly common form).
+  * ON NULL semantics follow the standard: the bare form and an explicit
+  * `NULL ON NULL` emit JSON nulls (to_json with ignoreNullFields=false —
+  * the SQL-standard/Flink default for JSON_OBJECT), while `ABSENT ON
+  * NULL` drops null-valued keys (to_json's plain omission). Delta,
+  * documented: keys must be string literals (named_struct's
+  * requirement — the overwhelmingly common form).
   */
 object JsonObjectRewrite {
 
@@ -25,7 +26,10 @@ object JsonObjectRewrite {
     val m = callRe.findFirstMatchIn(sql).getOrElse(return sql)
     val open = m.end - 1
     val close = WindowTvf.matchParen(sql, open)
-    val body = onNullRe.replaceFirstIn(sql.substring(open + 1, close), "")
+    val bodyRaw = sql.substring(open + 1, close)
+    val absent =
+      raw"(?is)\s+ABSENT\s+ON\s+NULL\s*$$".r.findFirstIn(bodyRaw).isDefined
+    val body = onNullRe.replaceFirstIn(bodyRaw, "")
     val args = WindowTvf.splitArgs(body)
     val rewritten =
       if (args.forall(pairRe.findFirstIn(_).isDefined)) {
@@ -33,7 +37,8 @@ object JsonObjectRewrite {
           val pm = pairRe.findFirstMatchIn(a).get
           s"${pm.group(1)}, ${rewrite(pm.group(2))}" // nested calls recurse
         }
-        s"to_json(named_struct(${pairs.mkString(", ")}))"
+        val opts = if (absent) "" else ", map('ignoreNullFields', 'false')"
+        s"to_json(named_struct(${pairs.mkString(", ")})$opts)"
       } else sql.substring(m.start, close + 1) // not KEY/VALUE form: untouched
     sql.substring(0, m.start) + rewritten + rewrite(sql.substring(close + 1))
   }

@@ -22,6 +22,14 @@ object GraftColumnBridge {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Clone a session — same SparkContext and a COPY of the session
+    * state, so conf overrides scoped to an operator (e.g. the
+    * connected-components loop) never leak into the caller's session.
+    * (`cloneSession` is `private[sql]` on the classic session.)
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** Execute an already-parsed logical plan (`Dataset.ofRows` is
     * `private[sql]`) — lets a custom parser's output run on a session
     * that was built WITHOUT `spark.sql.extensions`.

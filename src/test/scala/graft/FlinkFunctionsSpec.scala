@@ -149,20 +149,34 @@ class FlinkFunctionsSpec extends AnyFunSuite {
 
   test("JSON_OBJECT KEY/VALUE syntax rewrites onto to_json(named_struct)") {
     import graft.plans.JsonObjectRewrite._
+    val keepNulls = ", map('ignoreNullFields', 'false')"
     assert(rewrite("SELECT JSON_OBJECT('k' VALUE 1) AS j")
-      == "SELECT to_json(named_struct('k', 1)) AS j")
+      == s"SELECT to_json(named_struct('k', 1)$keepNulls) AS j")
     assert(rewrite("SELECT JSON_OBJECT(KEY 'a' VALUE x, 'b' VALUE y + 1) AS j")
-      == "SELECT to_json(named_struct('a', x, 'b', y + 1)) AS j")
-    // ON NULL clause strips (ABSENT semantics via to_json, documented)
+      == s"SELECT to_json(named_struct('a', x, 'b', y + 1)$keepNulls) AS j")
+    // bare form and explicit NULL ON NULL both emit JSON nulls (the
+    // SQL-standard/Flink default); ABSENT ON NULL drops the key
     assert(rewrite("SELECT JSON_OBJECT('k' VALUE v NULL ON NULL) AS j")
+      == s"SELECT to_json(named_struct('k', v)$keepNulls) AS j")
+    assert(rewrite("SELECT JSON_OBJECT('k' VALUE v ABSENT ON NULL) AS j")
       == "SELECT to_json(named_struct('k', v)) AS j")
     // nested objects recurse
     assert(rewrite("SELECT JSON_OBJECT('o' VALUE JSON_OBJECT('i' VALUE 2)) AS j")
-      == "SELECT to_json(named_struct('o', to_json(named_struct('i', 2)))) AS j")
+      == s"SELECT to_json(named_struct('o', to_json(named_struct('i', 2)$keepNulls))$keepNulls) AS j")
     // end-to-end through the dialect
     val r = FlinkSql.sql(spark,
       "SELECT JSON_OBJECT('t' VALUE 'x', 'n' VALUE 7) AS j").head().getString(0)
     assert(r == "{\"t\":\"x\",\"n\":7}")
+    // a null value serializes as a JSON null by default...
+    val rn = FlinkSql.sql(spark,
+      "SELECT JSON_OBJECT('t' VALUE CAST(NULL AS STRING), 'n' VALUE 7) AS j")
+      .head().getString(0)
+    assert(rn == "{\"t\":null,\"n\":7}")
+    // ...and is omitted under explicit ABSENT ON NULL
+    val ra = FlinkSql.sql(spark,
+      "SELECT JSON_OBJECT('t' VALUE CAST(NULL AS STRING), 'n' VALUE 7 ABSENT ON NULL) AS j")
+      .head().getString(0)
+    assert(ra == "{\"n\":7}")
   }
 
   test("ARRAY[...] / MAP[...] bracket constructors rewrite through the dialect") {
@@ -177,6 +191,11 @@ class FlinkFunctionsSpec extends AnyFunSuite {
       == "SELECT array('it''s', 'ok') AS v")
     assert(rewrite("SELECT str_to_map('a=1')['a'] AS v")
       == "SELECT str_to_map('a=1')['a'] AS v") // MAP-suffixed names untouched
+    // double-quoted literals and backtick identifiers are copied wholesale
+    assert(rewrite("SELECT \"ARRAY[1]\" AS s") == "SELECT \"ARRAY[1]\" AS s")
+    assert(rewrite("SELECT `my ARRAY[x]` FROM t") == "SELECT `my ARRAY[x]` FROM t")
+    assert(rewrite("SELECT ARRAY[\"a[\", `b]`] AS v")
+      == "SELECT array(\"a[\", `b]`) AS v") // quoted spans inside a body too
     // end-to-end through FlinkSql
     assert(FlinkSql.sql(spark, "SELECT ELEMENT(ARRAY[5]) + MAP['k', 2]['k'] AS v")
       .head().getInt(0) == 7)
