@@ -502,17 +502,44 @@ object FlinkDdl {
 
   /** Flink type name → Spark DDL type (recursive constructors handled
     * textually: ROW< → STRUCT<; precision-carrying timestamps collapse
-    * to Spark's microsecond timestamp).
+    * to Spark's microsecond timestamp; per SURVEY §1.2, `TIME(p)` has no
+    * Spark analog and maps to INT millis-of-day, and `MULTISET<T>` maps
+    * to `MAP<T, INT>` — element → multiplicity, Flink's own internal
+    * representation of a multiset).
     */
   private[plans] def sparkType(t: String): String = {
-    var s = t
+    var s = rewriteMultiset(t)
     s = raw"(?i)\bTIMESTAMP_LTZ\s*(\(\d\))?".r.replaceAllIn(s, "TIMESTAMP")
     s = raw"(?i)\bTIMESTAMP\s*\(\d\)".r.replaceAllIn(s, "TIMESTAMP")
+    s = raw"(?i)\bTIME\s*(\(\d\))?(?!\w)".r.replaceAllIn(s, "INT")
     s = raw"(?i)\bVARCHAR\s*\(\d+\)|\bCHAR\s*\(\d+\)".r.replaceAllIn(s, "STRING")
     s = raw"(?i)\bVARBINARY\s*\(\d+\)|\bBYTES\b".r.replaceAllIn(s, "BINARY")
     s = raw"(?i)\bROW\s*<".r.replaceAllIn(s, "STRUCT<")
     s
   }
+
+  /** `MULTISET<T>` → `MAP<T, INT>`, depth-counted so nested generics
+    * (`MULTISET<ROW<a INT>>`, `MULTISET<MULTISET<STRING>>`) survive.
+    */
+  private def rewriteMultiset(t: String): String =
+    raw"(?i)\bMULTISET\s*<".r.findFirstMatchIn(t) match {
+      case None => t
+      case Some(m) =>
+        val open = m.end - 1
+        var depth = 1
+        var k = open + 1
+        while (k < t.length && depth > 0) {
+          t.charAt(k) match {
+            case '<' => depth += 1
+            case '>' => depth -= 1
+            case _ =>
+          }
+          k += 1
+        }
+        if (depth != 0) fail(s"unbalanced MULTISET<...> in type '$t'")
+        val inner = rewriteMultiset(t.substring(open + 1, k - 1))
+        t.substring(0, m.start) + s"MAP<$inner, INT>" + rewriteMultiset(t.substring(k))
+    }
 
   /** Bounded rows shaped to the declared schema — per-column values are
     * hash-derived from the row sequence (deterministic, no RNG), the

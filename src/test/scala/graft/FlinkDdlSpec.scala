@@ -371,6 +371,46 @@ class FlinkDdlSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TIME(p) and MULTISET<T> map to INT millis-of-day and MAP<T, INT>") {
+    val dir = java.nio.file.Files.createTempDirectory("ddl_types").toString
+    // stage data in the MAPPED physical shape (what an engine writing
+    // these Flink types to parquet produces)
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 43200000, map('a', 2, 'b', 1), 1000),
+        |  (2L, 600000, map('c', 1), 2000)
+        |AS t(id, t_of_day, tags, t2)""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/t")
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_time_ms (
+         |  id BIGINT,
+         |  t_of_day TIME(3),
+         |  tags MULTISET<STRING>,
+         |  t2 TIME
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+         |        'format' = 'parquet')""".stripMargin)
+    val got = spark.table("ddl_time_ms")
+    import org.apache.spark.sql.types._
+    assert(got.schema("t_of_day").dataType == IntegerType)
+    assert(got.schema("t2").dataType == IntegerType)
+    assert(got.schema("tags").dataType == MapType(StringType, IntegerType))
+    // the scan serves the declared-and-mapped types
+    val r1 = got.filter(col("id") === 1L).head()
+    assert(r1.getAs[Int]("t_of_day") == 43200000) // 12:00:00.000
+    assert(r1.getAs[Map[String, Int]]("tags") == Map("a" -> 2, "b" -> 1))
+    // nested generics survive the depth-counted rewrite
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ddl_multiset_row (
+         |  id BIGINT,
+         |  t_of_day INT,
+         |  tags MULTISET<VARCHAR(10)>,
+         |  t2 INT
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+         |        'format' = 'parquet')""".stripMargin)
+    assert(spark.table("ddl_multiset_row").schema("tags").dataType ==
+      MapType(StringType, IntegerType))
+  }
+
   test("unsupported shapes fail with clear errors") {
     def err(sql: String): String =
       intercept[IllegalArgumentException](FlinkDdl.execute(spark, sql)).getMessage
