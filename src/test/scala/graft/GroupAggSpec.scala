@@ -118,4 +118,31 @@ class GroupAggSpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("changelog chain: group agg feeds retractable Top-N in ONE query; nets to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeIn]
+    val name = nextName()
+    val q = ChangelogChain.aggTopN(input.toDS(), 2)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(ChangeIn("+I", 1, 10.0), ChangeIn("+I", 2, 25.0))
+      q.processAllAvailable()
+      input.addData(ChangeIn("+I", 1, 20.0), ChangeIn("+I", 3, 40.0))
+      q.processAllAvailable()
+      // retracting key 1's 20.0 row demotes it out of the top-2: the
+      // rank operator must PROMOTE key 2 back in — the move the
+      // append-only StreamingTopN cannot make, and the reason the
+      // retractable rank keeps full state
+      input.addData(ChangeIn("-U", 1, 20.0))
+      q.processAllAvailable()
+      val net = scala.collection.mutable.LinkedHashMap[Long, Double]()
+      spark.table(name).as[TopNChange].collect().foreach { c =>
+        if (c.row_kind == "+I") net(c.id) = c.score else net.remove(c.id)
+      }
+      // batch answer: sums are k1=10, k2=25, k3=40 → top-2 {3:40, 2:25}
+      assert(net.toMap == Map(3L -> 40.0, 2L -> 25.0), s"netted $net")
+    } finally q.stop()
+  }
 }
