@@ -109,6 +109,13 @@ object Cep {
   def times(sym: String, min: Int, max: Int): PStep = PStep(sym, min, max)
   def when(name: String, min: Int = 1, max: Int = 1)(pred: Event => Boolean): CondStep =
     CondStep(name, min, max)(pred)
+  /** Alternation step — `(A|B)` class patterns ([U] flink-cep
+    * GroupPattern): accepts an event whose symbol is ANY of `syms`.
+    */
+  def anyOf(min: Int, max: Int, syms: String*): CondStep = {
+    val set = syms.toSet
+    CondStep(syms.mkString("(", "|", ")"), min, max)(e => set.contains(e.sym))
+  }
 
   /** AFTER MATCH SKIP strategy: where the scan resumes after a match. */
   sealed trait AfterMatch extends Serializable

@@ -18,7 +18,8 @@ import graft.operators.Cep
   *   ORDER BY <col>                       -- long/int column, or timestamp
   *   [ONE ROW PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
-  *   PATTERN ( V1[q] V2[q] ... )          -- q ∈ {  +  ?  *  {n}  {n,m}  }
+  *   PATTERN ( S1[q] S2[q] ... )          -- S ∈ { V, (V1|V2|...) },
+  *                                        -- q ∈ {  +  ?  *  {n}  {n,m}  }
   *   [WITHIN INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY | WITHIN <n>]
   *   DEFINE V1 AS <bool expr>, ...        -- any Spark SQL boolean expr
   * ) [AS alias] ...
@@ -46,7 +47,12 @@ import graft.operators.Cep
 object MatchRecognize {
 
   // ---------- parsed form ----------
-  final case class PatternStep(variable: String, min: Int, max: Int)
+  /** One pattern step; `variables.size > 1` is an alternation group
+    * `(V1|V2|...)` — the step accepts an event matching ANY listed
+    * variable's DEFINE ([U] flink-cep GroupPattern alternation; a union
+    * of step predicates on the shared NFA).
+    */
+  final case class PatternStep(variables: Seq[String], min: Int, max: Int)
   final case class Clause(
       table: String,
       partitionBy: String,
@@ -113,35 +119,86 @@ object MatchRecognize {
       case Some("TO NEXT ROW") => Cep.SkipToNextRow
       case _                   => Cep.SkipPastLastRow // Flink default
     }
-    val patternStr = req(body, raw"(?is)PATTERN\s*\(([^)]*)\)", "PATTERN (...)")
-    val pattern = parsePattern(patternStr)
+    val pattern = parsePattern(extractPattern(body))
     val withinMs = parseWithin(body)
     val defines = parseDefines(body)
-    pattern.foreach { s =>
-      if (!defines.contains(s.variable))
-        fail(s"pattern variable ${s.variable} has no DEFINE")
-    }
+    pattern.foreach(s => s.variables.foreach { v =>
+      if (!defines.contains(v)) fail(s"pattern variable $v has no DEFINE")
+    })
     if (defines.size > 52) fail("at most 52 DEFINE variables")
     Clause(table, part, ord, skip, pattern, withinMs, defines)
   }
 
-  private def parsePattern(p: String): Seq[PatternStep] = {
-    val tok = raw"([A-Za-z_]\w*)\s*(\+|\?|\*|\{\s*\d+\s*(?:,\s*\d+\s*)?\})?".r
-    val steps = tok.findAllMatchIn(p).filter(_.group(1) != null).map { m =>
-      val v = m.group(1)
-      m.group(2) match {
-        case null => PatternStep(v, 1, 1)
-        case "+"  => PatternStep(v, 1, Cep.MaxTimes)
-        case "?"  => PatternStep(v, 0, 1)
-        case "*"  => PatternStep(v, 0, Cep.MaxTimes)
-        case q =>
-          val nums = raw"\d+".r.findAllIn(q).map(_.toInt).toSeq
-          if (nums.size == 1) PatternStep(v, nums.head, nums.head)
-          else PatternStep(v, nums.head, nums(1))
+  /** The PATTERN clause's own balanced parens (alternation groups nest
+    * parens, so the old first-`)` cut would truncate `(A|B) C`).
+    */
+  private def extractPattern(body: String): String = {
+    val m = raw"(?is)\bPATTERN\s*\(".r.findFirstMatchIn(body)
+      .getOrElse(fail("missing PATTERN (...)"))
+    val open = m.end - 1
+    var depth = 0
+    var i = open
+    while (i < body.length && (depth != 0 || i == open)) {
+      body.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _   =>
       }
-    }.toSeq
+      i += 1
+    }
+    if (depth != 0) fail("unbalanced parentheses in PATTERN")
+    body.substring(open + 1, i - 1)
+  }
+
+  private def parsePattern(p: String): Seq[PatternStep] = {
+    val steps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
+    val n = p.length
+    var i = 0
+    def skipWs(): Unit = while (i < n && p.charAt(i).isWhitespace) i += 1
+    def readIdent(): String = {
+      val s = i
+      while (i < n && (p.charAt(i).isLetterOrDigit || p.charAt(i) == '_')) i += 1
+      if (i == s) fail(s"bad PATTERN near `${p.substring(math.min(s, n - 1))}`")
+      p.substring(s, i)
+    }
+    while ({ skipWs(); i < n }) {
+      val vars: Seq[String] =
+        if (p.charAt(i) == '(') { // alternation group (V1 | V2 | ...)
+          i += 1
+          val vs = scala.collection.mutable.ArrayBuffer.empty[String]
+          var done = false
+          while (!done) {
+            skipWs()
+            vs += readIdent()
+            skipWs()
+            if (i < n && p.charAt(i) == '|') i += 1
+            else if (i < n && p.charAt(i) == ')') { i += 1; done = true }
+            else fail("alternation group must be `(V1 | V2 | ...)`")
+          }
+          vs.toSeq
+        } else Seq(readIdent())
+      skipWs()
+      val (min, max) =
+        if (i < n) p.charAt(i) match {
+          case '+' => i += 1; (1, Cep.MaxTimes)
+          case '?' => i += 1; (0, 1)
+          case '*' => i += 1; (0, Cep.MaxTimes)
+          case '{' =>
+            val close = p.indexOf('}', i)
+            if (close < 0) fail("unclosed `{` quantifier")
+            val nums = raw"\d+".r.findAllIn(p.substring(i, close + 1)).map(_.toInt).toSeq
+            i = close + 1
+            nums.size match {
+              case 1 => (nums.head, nums.head)
+              case 2 => (nums.head, nums(1))
+              case _ => fail("bad `{n[,m]}` quantifier")
+            }
+          case _ => (1, 1)
+        } else (1, 1)
+      steps += PatternStep(vars, min, max)
+    }
     if (steps.isEmpty) fail("empty PATTERN")
-    steps
+    steps.toSeq
   }
 
   private def parseWithin(body: String): Long = {
@@ -202,7 +259,7 @@ object MatchRecognize {
       case _             => col(ordField.name).cast(LongType)
     }
     // stable variable order: pattern order, then any extra defines
-    val vars = (clause.pattern.map(_.variable) ++ clause.defines.keys).distinct
+    val vars = (clause.pattern.flatMap(_.variables) ++ clause.defines.keys).distinct
     val defCols = vars.map(v => expr(clause.defines(v)).cast("boolean"))
     val varIdx = vars.zipWithIndex.toMap
 
@@ -213,8 +270,9 @@ object MatchRecognize {
       array(defCols: _*).as("defs")).as[MrRow]
 
     val steps: IndexedSeq[Cep.Step] = clause.pattern.map { s =>
-      val bit = varIdx(s.variable)
-      Cep.when(s.variable, s.min, s.max)(e => ((e.value.toLong >> bit) & 1L) == 1L)
+      // alternation = union of the variables' predicate bits
+      val mask = s.variables.foldLeft(0L)((m, v) => m | (1L << varIdx(v)))
+      Cep.when(s.variables.mkString("|"), s.min, s.max)(e => (e.value.toLong & mask) != 0L)
     }.toIndexedSeq
     val withinMs = clause.withinMs
     val skip = clause.skip

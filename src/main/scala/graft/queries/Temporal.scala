@@ -155,6 +155,34 @@ object Temporal {
         |GROUP BY user_id""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE alternation ([U] flink-cep GroupPattern; Flink's
+    * `(A|B)` pattern class): `(V | E)+ C` — a run of views-or-errors
+    * ending in a click — through the SQL surface; the alternation step
+    * runs as the UNION of the two DEFINE predicates on the shared NFA
+    * (one bitmask test per event, no extra state). Oracled with the q55
+    * RE2 technique: `[ve]+c` non-overlapping greedy scanning is exactly
+    * strict contiguity + SKIP PAST LAST ROW.
+    */
+  val q103_mr_alternation: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"),
+        substring($"event_type", 1, 1).as("sym"))
+      .createOrReplaceTempView("q103_events")
+    graft.plans.MatchRecognize.sql(s,
+      """SELECT user_id, count(*) AS n_matches,
+        | CAST(sum(n_events) AS BIGINT) AS n_matched_events
+        |FROM q103_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ((V | E)+ C)
+        |  DEFINE V AS sym = 'v', E AS sym = 'e', C AS sym = 'c'
+        |) AS m
+        |GROUP BY user_id""".stripMargin)
+  }
+
   /** SQL-text window TVF ([U] flink-table-planner SqlWindowTableFunction):
     * the q41 hop-window class driven through Flink's SQL surface —
     * `TABLE(HOP(TABLE t, DESCRIPTOR(ts), slide, size))` rewritten by
@@ -349,6 +377,7 @@ object Temporal {
     "q76_window_tvf_sql" -> q76_window_tvf_sql,
     "q101_window_topn_sql" -> q101_window_topn_sql,
     "q73_match_recognize_sql" -> q73_match_recognize_sql,
+    "q103_mr_alternation" -> q103_mr_alternation,
     "q55_cep_quantified" -> q55_cep_quantified,
     "q41_hop_window" -> q41_hop_window,
     "q22_tumble_window" -> q22_tumble_window,
@@ -463,6 +492,14 @@ object Temporal {
         |                  string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS str
         |           FROM events GROUP BY user_id),
         |m AS (SELECT user_id, regexp_extract_all(str, 'v{2,3}c') AS ms FROM s)
+        |SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+        |       CAST(list_sum(list_transform(ms, x -> length(x))) AS BIGINT) AS n_matched_events
+        |FROM m WHERE len(ms) > 0""".stripMargin,
+    "q103_mr_alternation" ->
+      """WITH s AS (SELECT user_id,
+        |                  string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS str
+        |           FROM events GROUP BY user_id),
+        |m AS (SELECT user_id, regexp_extract_all(str, '[ve]+c') AS ms FROM s)
         |SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
         |       CAST(list_sum(list_transform(ms, x -> length(x))) AS BIGINT) AS n_matched_events
         |FROM m WHERE len(ms) > 0""".stripMargin,

@@ -81,6 +81,48 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(got == Set((1L, 0L, 1L))) // k=2 is HIGH→LOW: no match
   }
 
+  test("alternation groups: (A|B) steps accept either variable") {
+    import spark.implicits._
+    // k=1: a b c — (A|B)+ C matches all 3; k=2: b b c — matches too;
+    // k=3: x c — the group matches nothing, no match
+    mkView("mr_alt", Seq(
+      (1L, 0L, "a", 0.0), (1L, 1L, "b", 0.0), (1L, 2L, "c", 0.0),
+      (2L, 0L, "b", 0.0), (2L, 1L, "b", 0.0), (2L, 2L, "c", 0.0),
+      (3L, 0L, "x", 0.0), (3L, 1L, "c", 0.0)))
+    val got = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_alt MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN ((A | B)+ C)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == Set((1L, 0L, 2L, 3), (2L, 0L, 2L, 3)))
+    // quantified group with bounds + a plain step after
+    val got2 = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_alt MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN ((A | B){2} C)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+        |)""".stripMargin).count()
+    assert(got2 == 2L)
+    // an unDEFINEd variable inside a group still fails loudly
+    val e = intercept[IllegalArgumentException](MatchRecognize.sql(spark,
+      """SELECT * FROM mr_alt MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN ((A | Z) C)
+        |  DEFINE A AS sym = 'a', C AS sym = 'c'
+        |)""".stripMargin))
+    assert(e.getMessage.contains("no DEFINE"))
+    // API-level alternation helper agrees
+    val ev = Seq(
+      Cep.Event(1L, 0L, 0L, "a"), Cep.Event(1L, 1L, 1L, "b"), Cep.Event(1L, 2L, 2L, "c"))
+      .toDS()
+    val api = Cep.matchPattern(ev,
+      Seq(Cep.anyOf(1, Cep.MaxTimes, "a", "b"), Cep.once("c")),
+      withinMs = Long.MaxValue / 4, skip = Cep.SkipPastLastRow).collect()
+    assert(api.map(m => (m.key, m.n_events)).toSeq == Seq((1L, 3)))
+  }
+
   test("out-of-subset constructs fail loudly") {
     mkView("mr_err", Seq((1L, 0L, "a", 0.0)))
     def bad(sql: String) =
