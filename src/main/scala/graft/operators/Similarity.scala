@@ -32,6 +32,65 @@ object Similarity {
 
   private def cosCol = DotProduct(col("va"), col("vb")) / (col("na") * col("nb"))
 
+  /** Deterministic centroid init shared by the IVF paths: the `nCells`
+    * vectors with smallest xxhash64(id) — no RNG. Zero-norm vectors
+    * can't anchor a cell (cos undefined; the kernel ranks NaN sims last,
+    * but an all-zero centroid would still be a dead cell), so they're
+    * excluded from the sample, not from the data. The collect is
+    * O(nCells × dim) — a bounded broadcast-sized side input.
+    */
+  private def sampleCentroids(n: DataFrame, nCells: Int): Array[(Array[Double], Double)] =
+    n.filter(col("na") > 0.0)
+      .withColumn("__h", xxhash64(col("a_id")))
+      .orderBy(col("__h")).limit(nCells)
+      .select(col("va"), col("na")).collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+
+  /** Offline k-means refinement of an IVF quantizer (Lloyd's with a
+    * fixed iteration budget — the "k-means a sample offline and
+    * broadcast" step the IVF scaladocs prescribe, as code): starting
+    * from the deterministic hash sample, each round assigns every vector
+    * to its nearest centroid (the codegen matrix kernel) and recomputes
+    * centroids as per-cell means via a (cell, dim) aggregate — joins and
+    * aggregates only; the sole driver-side object stays the bounded
+    * nCells × dim centroid array (the same broadcast contract as the
+    * init). A cell that loses all members, or whose mean degenerates to
+    * zero norm, keeps its previous centroid (no dead cells). Determinism:
+    * hash-seeded init + mean updates — same data, same centroids.
+    */
+  def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int): Array[(Array[Double], Double)] = {
+    val n = withNorm(emb, idCol, vecCol).filter(col("na") > 0.0)
+      .select(col("a_id"), col("va"), col("na"))
+      .localCheckpoint(true) // scanned once per iteration, not recomputed
+    var cents = sampleCentroids(n, nCells)
+    for (_ <- 0 until iters) {
+      val assigned = n.withColumn("cell", element_at(
+        graft.functions.CentroidTopKExpr(col("va"), cents.map(_._1), cents.map(_._2), 1), 1))
+      // SPHERICAL k-means update (the cosine-geometry variant): average
+      // UNIT vectors, or long vectors dominate the mean and drag the
+      // centroid off the angular center of the cell
+      val means = assigned
+        .select(col("cell"), col("na"), posexplode(col("va")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x") / col("na")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), expr("transform(pm, p -> p.m)").as("mv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      cents = cents.indices.map { i =>
+        means.get(i) match {
+          case Some(v) =>
+            val norm = math.sqrt(v.map(x => x * x).sum)
+            if (norm > 0.0) (v, norm) else cents(i)
+          case None => cents(i) // empty cell keeps its previous centroid
+        }
+      }.toArray
+    }
+    cents
+  }
+
   /** Exact top-k neighbors (brute force) — the oracle kernel. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
@@ -146,14 +205,7 @@ object Similarity {
     val cells =
       if (nCells > 0) nCells
       else math.max(32, math.min(256, (emb.count() / 64L).toInt))
-    // zero-norm vectors can't anchor a cell (cos undefined; the kernel
-    // ranks NaN sims last, but an all-zero centroid would still be a
-    // dead cell) — exclude them from the sample, not from the data
-    val cents = n.filter(col("na") > 0.0)
-      .withColumn("__h", xxhash64(col("a_id")))
-      .orderBy(col("__h")).limit(cells)
-      .select(col("va"), col("na")).collect()
-      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    val cents = sampleCentroids(n, cells)
     // top-nProbe cell indices in ONE matrix-kernel call per row: all
     // centroid dots in a compiled loop (the per-centroid literal-dot
     // composition generated one inlined loop per centroid and collapsed
@@ -198,13 +250,15 @@ object Similarity {
     */
   def ivfTopK2(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nCoarse: Int = 32, nFinePerCell: Int = 16,
-      nProbeCoarse: Int = 4, nProbeFine: Int = 4): DataFrame = {
+      nProbeCoarse: Int = 4, nProbeFine: Int = 4,
+      trainIters: Int = 0): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
-    val cents = n.filter(col("na") > 0.0)
-      .withColumn("__h", xxhash64(col("a_id")))
-      .orderBy(col("__h")).limit(nCoarse)
-      .select(col("va"), col("na")).collect()
-      .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    // trainIters > 0 refines the coarse quantizer with offline k-means
+    // ([[trainCentroids]]) — better-balanced cells raise recall at the
+    // same probe budget; 0 keeps the deterministic hash sample
+    val cents =
+      if (trainIters > 0) trainCentroids(emb, idCol, vecCol, nCoarse, trainIters)
+      else sampleCentroids(n, nCoarse)
     require(nProbeCoarse >= 1 && nProbeCoarse <= cents.length)
     val assigned = n.withColumn("__cc",
       graft.functions.CentroidTopKExpr(col("va"), cents.map(_._1), cents.map(_._2),
