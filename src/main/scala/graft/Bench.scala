@@ -55,9 +55,22 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
     println(line)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // the stdout line can be truncated mid-stream by log interleaving
+    // (BENCH_r06's tail was); the files are the canonical whole-suite
+    // records — one at a caller-set path, one at a stable repo-relative
+    // path a later reader can always find
+    val outs = Seq(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
+      "tmp/bench_last.json")
+    outs.foreach { out =>
+      try {
+        val p = java.nio.file.Paths.get(out)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, line + "\n")
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }
