@@ -124,14 +124,30 @@ object FlinkSql {
       case describeRe(name)
           if graft.plans.FlinkDdl.registered(spark, name).isDefined =>
         import spark.implicits._
+        // Flink's DESCRIBE shape, all six columns verbatim:
+        // name | type | null | key | extras | watermark
         val (_, _, _, schema) = graft.plans.FlinkDdl.registered(spark, name).get
         val wm = graft.plans.FlinkDdl.watermarkOf(spark, name)
-        schema.fields.toSeq.map { f =>
+        val pk = graft.plans.FlinkDdl.primaryKeyOf(spark, name)
+        val computed = graft.plans.FlinkDdl.computedColumnsOf(spark, name)
+        val keyTag = if (pk.isEmpty) null else pk.mkString("PRI(", ", ", ")")
+        val viewSchema = spark.table(name).schema
+        val physRows = schema.fields.toSeq.map { f =>
           (f.name, flinkTypeName(f.dataType), f.nullable,
+            if (pk.contains(f.name)) keyTag else null,
+            null: String,
             wm.filter(_._1 == f.name)
               .map { case (c, delay) => s"`$c` - INTERVAL ${intervalSql(delay)}" }
               .orNull)
-        }.toDF("name", "type", "null", "watermark")
+        }
+        // computed columns render after the physical ones (declaration
+        // order), typed from the registered view, extras = `AS <expr>`
+        val compRows = computed.map { case (n, e) =>
+          val dt = viewSchema.find(_.name.equalsIgnoreCase(n))
+          (n, dt.map(f => flinkTypeName(f.dataType)).getOrElse("STRING"),
+            dt.forall(_.nullable), null: String, s"AS $e", null: String)
+        }
+        (physRows ++ compRows).toDF("name", "type", "null", "key", "extras", "watermark")
       case _ =>
         val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
         GraftColumnBridge.ofRows(spark, parser.parsePlan(statement))

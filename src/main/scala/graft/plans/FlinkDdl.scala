@@ -92,6 +92,33 @@ object FlinkDdl {
   def partitionsOf(spark: SparkSession, table: String): Seq[String] =
     Option(partRegistry(spark).get(table.toLowerCase)).getOrElse(Seq.empty)
 
+  private val pkBySession =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[String]]]()
+  private def pkRegistry(spark: SparkSession) = pkBySession.synchronized {
+    pkBySession.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]())
+  }
+  private val computedBySession =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]]()
+  private def computedRegistry(spark: SparkSession) = computedBySession.synchronized {
+    computedBySession.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]())
+  }
+
+  /** PRIMARY KEY columns of a DDL-registered table (empty if none) —
+    * for DESCRIBE's `key` column (declared NOT ENFORCED, like Flink).
+    */
+  def primaryKeyOf(spark: SparkSession, table: String): Seq[String] =
+    Option(pkRegistry(spark).get(table.toLowerCase)).getOrElse(Seq.empty)
+
+  /** Computed columns (name, expression) of a DDL-registered table —
+    * for DESCRIBE's `extras` column (`AS <expr>`).
+    */
+  def computedColumnsOf(spark: SparkSession, table: String): Seq[(String, String)] =
+    Option(computedRegistry(spark).get(table.toLowerCase)).getOrElse(Seq.empty)
+
   /** (rowtime column, watermark delay e.g. "5 seconds") of `table` as
     * declared in this session's DDL, if any.
     */
@@ -165,6 +192,8 @@ object FlinkDdl {
     wmRegistry(spark).remove(name.toLowerCase)
     tableRegistry(spark).remove(name.toLowerCase)
     partRegistry(spark).remove(name.toLowerCase)
+    pkRegistry(spark).remove(name.toLowerCase)
+    computedRegistry(spark).remove(name.toLowerCase)
     name
   }
 
@@ -206,6 +235,8 @@ object FlinkDdl {
     val fmt = opts.getOrElse("format", fail("filesystem connector requires 'format'"))
     wmRegistry(spark).remove(name.toLowerCase)
     partRegistry(spark).remove(name.toLowerCase)
+    pkRegistry(spark).remove(name.toLowerCase)
+    computedRegistry(spark).remove(name.toLowerCase)
     val df = spark.sql(select)
     df.write.format(fmt).mode("overwrite").save(path)
     readFs(spark, fmt, df.schema, path, opts).createOrReplaceTempView(name)
@@ -220,6 +251,8 @@ object FlinkDdl {
     wmRegistry(spark).remove(name.toLowerCase)
     tableRegistry(spark).remove(name.toLowerCase)
     partRegistry(spark).remove(name.toLowerCase)
+    pkRegistry(spark).remove(name.toLowerCase)
+    computedRegistry(spark).remove(name.toLowerCase)
     val colsClose = WindowTvf.matchParen(sqlText, m.end - 1)
     // Flink DDL may backtick-quote identifiers (SHOW CREATE TABLE emits
     // them); plain-identifier quotes carry no information — strip before
@@ -295,6 +328,8 @@ object FlinkDdl {
     df.createOrReplaceTempView(name)
     tableRegistry(spark).put(name.toLowerCase,
       (connector, opts.getOrElse("path", ""), opts.getOrElse("format", ""), schema))
+    if (primaryKey.nonEmpty) pkRegistry(spark).put(name.toLowerCase, primaryKey)
+    if (computed.nonEmpty) computedRegistry(spark).put(name.toLowerCase, computed)
     if (partitionCols.nonEmpty) {
       partitionCols.find(c => !schema.fieldNames.contains(c)).foreach(c =>
         fail(s"PARTITIONED BY column `$c` is not a physical column"))

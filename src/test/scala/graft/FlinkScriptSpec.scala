@@ -156,14 +156,56 @@ class FlinkScriptSpec extends AnyFunSuite {
     FlinkSql.run(spark, ddl.replace("`cat_events`", "cat_events_rt"))
     assert(FlinkSql.sql(spark, "SELECT count(*) AS n FROM cat_events_rt").head().getLong(0)
       == FlinkSql.sql(spark, "SELECT count(*) AS n FROM cat_events").head().getLong(0))
-    val desc = FlinkSql.sql(spark, "DESCRIBE cat_events").collect()
+    val descDf = FlinkSql.sql(spark, "DESCRIBE cat_events")
+    // output columns locked to Flink's DESCRIBE verbatim
+    assert(descDf.columns.toSeq == Seq("name", "type", "null", "key", "extras", "watermark"))
+    val desc = descDf.collect()
     assert(desc.map(_.getString(0)).toSeq == Seq("event_id", "event_type", "value", "ts"))
-    assert(desc.find(_.getString(0) == "ts").get.getString(3)
+    assert(desc.find(_.getString(0) == "ts").get.getString(5)
       == "`ts` - INTERVAL '5' SECOND")
     val fns = FlinkSql.sql(spark, "SHOW FUNCTIONS").collect().map(_.getString(0)).toSet
     assert(fns.contains("graft_dot") && fns.contains("split_index"))
     assert(FlinkSql.sql(spark, "SHOW CATALOGS").head().getString(0) == "default_catalog")
     assert(FlinkSql.sql(spark, "USE CATALOG default_catalog").head().getString(0) == "OK")
+  }
+
+  test("DESCRIBE parity: key and extras columns carry PRIMARY KEY and computed columns") {
+    val dir = java.nio.file.Files.createTempDirectory("flink_desc").toString
+    Tables.orders(spark, TestSpark.sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    FlinkSql.run(spark,
+      s"""CREATE TABLE desc_orders (
+         |  o_orderkey BIGINT NOT NULL,
+         |  o_custkey BIGINT,
+         |  o_totalprice DOUBLE,
+         |  total_cents AS CAST(round(o_totalprice * 100, 0) AS BIGINT),
+         |  PRIMARY KEY (o_orderkey) NOT ENFORCED
+         |) WITH ('connector' = 'filesystem',
+         |        'path' = '$dir/orders.parquet', 'format' = 'parquet')""".stripMargin)
+    val desc = FlinkSql.sql(spark, "DESCRIBE desc_orders")
+    assert(desc.columns.toSeq == Seq("name", "type", "null", "key", "extras", "watermark"))
+    val rows = desc.collect().map(r => r.getString(0) ->
+      (r.getString(1), if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) null else r.getString(4))).toMap
+    // key column: PRI(...) on the PK member row, null elsewhere
+    assert(rows("o_orderkey")._2 == "PRI(o_orderkey)")
+    assert(rows("o_custkey")._2 == null)
+    // extras: the computed column renders AS <expr>, typed from the view
+    assert(rows("total_cents")._1 == "BIGINT")
+    assert(rows("total_cents")._3 == "AS CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    assert(rows("o_totalprice")._3 == null)
+    // declaration order: physical columns then computed
+    assert(desc.collect().map(_.getString(0)).toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice", "total_cents"))
+    // re-registering WITHOUT the key/computed drops the stale metadata
+    FlinkSql.run(spark,
+      s"""CREATE TABLE desc_orders (o_orderkey BIGINT)
+         |WITH ('connector' = 'filesystem',
+         |      'path' = '$dir/orders.parquet', 'format' = 'parquet')""".stripMargin)
+    val again = FlinkSql.sql(spark, "DESCRIBE desc_orders").collect()
+    assert(again.map(_.getString(0)).toSeq == Seq("o_orderkey"))
+    assert(again.head.isNullAt(3) && again.head.isNullAt(4))
   }
 
   test("EXPLAIN PLAN FOR plans dialect statements without executing them") {
