@@ -34,27 +34,35 @@ object WavHeaderKernel {
     if (n < 44 || bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
       bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' ||
       bytes(11) != 'E') return null
-    var i = 12
+    // crawl-safety: offsets advance in Long arithmetic — an unsigned
+    // 32-bit chunk size truncated to Int could make the advance zero
+    // (task spins) or negative (walks backwards); any non-advancing
+    // geometry aborts to null instead
+    var i = 12L
     var fmtTag = -1; var channels = -1; var rate = -1L; var bits = -1
     var blockAlign = -1; var dataLen = -1L
     while (i + 8 <= n && (fmtTag < 0 || dataLen < 0)) {
-      val size = le32(bytes, i + 4)
-      val body = i + 8
-      if (bytes(i) == 'f' && bytes(i + 1) == 'm' && bytes(i + 2) == 't' &&
-        bytes(i + 3) == ' ') {
+      val at = i.toInt // i + 8 <= n, so the cast is exact
+      val size = le32(bytes, at + 4)
+      val body = at + 8
+      if (bytes(at) == 'f' && bytes(at + 1) == 'm' && bytes(at + 2) == 't' &&
+        bytes(at + 3) == ' ') {
         if (size < 16 || body + 16 > n) return null // truncated fmt chunk
         fmtTag = le16(bytes, body)
         channels = le16(bytes, body + 2)
         rate = le32(bytes, body + 4)
         blockAlign = le16(bytes, body + 12)
         bits = le16(bytes, body + 14)
-      } else if (bytes(i) == 'd' && bytes(i + 1) == 'a' && bytes(i + 2) == 't' &&
-        bytes(i + 3) == 'a') {
+      } else if (bytes(at) == 'd' && bytes(at + 1) == 'a' && bytes(at + 2) == 't' &&
+        bytes(at + 3) == 'a') {
         dataLen = size
       }
-      i = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      val next = body.toLong + size + (size & 1L) // chunks are word-aligned
+      if (next <= i) return null // malformed: non-advancing chunk geometry
+      i = next
     }
-    if (fmtTag < 0 || dataLen < 0 || channels <= 0 || rate <= 0 || blockAlign <= 0)
+    if (fmtTag < 0 || dataLen < 0 || channels <= 0 || rate <= 0 ||
+      rate > Int.MaxValue || blockAlign <= 0)
       return null
     val codec = fmtTag match {
       case 1 => "pcm"

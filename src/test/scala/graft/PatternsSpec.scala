@@ -253,6 +253,30 @@ class PatternsSpec extends AnyFunSuite {
     assert(v1.map(_.getDouble(2)).toSeq == Seq(0.0, 1250.0, 2500.0, 3750.0))
   }
 
+  test("multimodal: WAV walker survives malformed chunk geometry (crawl-safety contract)") {
+    def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val riff = "RIFF".getBytes("US-ASCII") ++ le32(1000) ++ "WAVE".getBytes("US-ASCII")
+    // a chunk whose unsigned 32-bit size (0xFFFFFFF8) truncates to -8:
+    // the pre-fix advance was body + (-8) = the same offset — a spin
+    val spin = riff ++ "JUNK".getBytes("US-ASCII") ++ le32(0xFFFFFFF8L) ++
+      Array.fill[Byte](32)(0)
+    // a size that truncates to a larger negative: walks backwards pre-fix
+    val backwards = riff ++ "JUNK".getBytes("US-ASCII") ++ le32(0x80000000L) ++
+      Array.fill[Byte](32)(0)
+    // declared sample rate beyond Int.MaxValue must not wrap negative
+    val hugeRate = riff ++ "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      Array[Byte](1, 0, 1, 0) ++ le32(0x90000000L) ++ le32(0) ++
+      Array[Byte](2, 0, 16, 0) ++
+      "data".getBytes("US-ASCII") ++ le32(4) ++ Array.fill[Byte](4)(0)
+    for (payload <- Seq(spin, backwards, hugeRate)) {
+      assert(graft.functions.WavHeaderKernel.parse(payload) == null,
+        "malformed RIFF geometry parses to null, not a hang or crash")
+    }
+    // well-formed payloads still parse after the hardening
+    val ok = graft.functions.WavHeaderKernel.parse(ImgFixtures.wav(2, 44100, 16, 441))
+    assert(ok.getInt(2) == 44100 && ok.getLong(4) == 441L)
+  }
+
   test("multimodal: MP4 walker survives malformed box geometry (crawl-safety contract)") {
     import java.nio.ByteBuffer
     def be32(v: Long) = ByteBuffer.allocate(4).putInt(v.toInt).array()
