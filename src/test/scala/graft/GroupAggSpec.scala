@@ -119,6 +119,37 @@ class GroupAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("three-operator chain: keep-last -> group agg -> retractable Top-N nets to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the full canonical Flink pipeline (dedup -> agg -> rank), one
+    // streaming query, the row_kind changelog threaded through all
+    // three stateful operators
+    val data = Seq(
+      KeyedValue(1, 0, 10.0), KeyedValue(2, 0, 20.0), KeyedValue(3, 0, 30.0),
+      KeyedValue(1, 0, 11.0), KeyedValue(4, 0, 40.0), KeyedValue(2, 0, 22.0),
+      KeyedValue(1, 0, 12.0), KeyedValue(3, 0, 33.0))
+    val input = MemoryStream[KeyedValue]
+    val name = nextName()
+    val dedup = StatefulOps.keepLast(input.toDS())
+    val agg = GroupAgg.retractingAgg(
+      dedup.map(o => ChangeIn(o.row_kind, o.key % 2, o.value)))
+    val top = ChangelogChain.retractableTopN(
+      agg.map(c => ChangeScored(c.row_kind, "all", c.key, c.sum_value)), 1)
+    val q = top.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(data.take(5): _*); q.processAllAvailable()
+      input.addData(data.drop(5): _*); q.processAllAvailable()
+      val net = scala.collection.mutable.LinkedHashMap[Long, Double]()
+      spark.table(name).as[TopNChange].collect().foreach { c =>
+        if (c.row_kind == "+I") net(c.id) = c.score else net.remove(c.id)
+      }
+      // batch: latest per sensor {1:12, 2:22, 3:33, 4:40}; group sums
+      // {g1: 45, g0: 62}; top-1 group is 0 at 62
+      assert(net.toMap == Map(0L -> 62.0), s"netted $net")
+    } finally q.stop()
+  }
+
   test("changelog chain: group agg feeds retractable Top-N in ONE query; nets to batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
