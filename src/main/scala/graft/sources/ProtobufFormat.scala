@@ -134,9 +134,13 @@ object ProtobufFormat {
     }
     def fixed64(): Long = (fixed32() & 0xffffffffL) | (fixed32().toLong << 32)
     def lenDelim(): (Int, Int) = { // (start, end) of the payload
-      val n = varint().toInt
-      require(n >= 0 && pos + n <= end, "length-delimited field overruns buffer")
-      val s = pos; pos += n; (s, pos)
+      // check on the Long varint: a declared length near 2^31 would
+      // overflow `pos + n` in Int and slip past the bound into an
+      // out-of-bounds read instead of this loud error
+      val nl = varint()
+      require(nl >= 0 && nl <= (end - pos).toLong,
+        "length-delimited field overruns buffer")
+      val s = pos; pos += nl.toInt; (s, pos)
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()

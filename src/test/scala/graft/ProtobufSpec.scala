@@ -124,6 +124,19 @@ class ProtobufSpec extends AnyFunSuite {
     val innerBytes = encodeRow(inner, Row(7))
     val bad = Array[Byte](0x0a, (innerBytes.length + 1).toByte) ++ innerBytes
     intercept[IllegalArgumentException] { decodeRow(outer, bad) }
+    // a declared length near 2^31 must hit the loud overrun error, not
+    // overflow `pos + n` into an out-of-bounds read
+    val strMsg = PbMessage(Seq(PbField(1, "s", PString)))
+    val hugeLen = Array[Byte](0x0a, // field 1, wire 2
+      0xfa.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x07, // varint 0x7ffffffa
+      'x', 'x')
+    val e2 = intercept[IllegalArgumentException] { decodeRow(strMsg, hugeLen) }
+    assert(e2.getMessage.contains("overruns"), e2.getMessage)
+    // and one past Long truncation territory (2^35): same loud error
+    val hugeLen2 = Array[Byte](0x0a,
+      0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x01) // 2^35
+    val e3 = intercept[IllegalArgumentException] { decodeRow(strMsg, hugeLen2) }
+    assert(e3.getMessage.contains("overruns"), e3.getMessage)
   }
 
   test("protobuf decode runs on a stream (Kafka-shaped binary payload pipeline)") {
