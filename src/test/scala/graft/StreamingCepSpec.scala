@@ -101,6 +101,38 @@ class StreamingCepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming alternation (A|B)+ C agrees with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the CondStep family serializes into the streaming NFA unchanged,
+    // so the SQL surface's alternation semantics hold on streams too
+    val steps = Seq(Cep.anyOf(1, Cep.MaxTimes, "A", "B"), Cep.once("C"))
+    val evs = Seq(
+      raw(1, 1, 1000, "A"), raw(1, 2, 1010, "B"), raw(1, 3, 1020, "C"), // A B C
+      raw(2, 4, 1000, "B"), raw(2, 5, 1010, "C"),                       // B C
+      raw(3, 6, 1000, "X"), raw(3, 7, 1010, "C"))                       // no A/B run
+    val input = MemoryStream[Ev]
+    val events = input.toDF().withWatermark("ts", "5 seconds")
+      .select($"user_id".as("key"), $"event_id".as("id"),
+        unix_millis($"ts").as("ts"), $"event_type".as("sym"), $"value")
+      .as[Cep.Event]
+    val q = StreamingCep.matchPattern(events, steps, withinMs = 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("scep_alt").start()
+    try {
+      evs.grouped(3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(raw(99, 999, 9000, "X")); q.processAllAvailable()
+      input.addData(raw(99, 998, 9100, "X")); q.processAllAvailable()
+      val got = spark.table("scep_alt").as[Cep.PMatch].collect().toSet
+      val batchGot = Cep.matchPattern(
+        evs.map(e => Cep.Event(e.user_id, e.event_id, e.ts.getTime, e.event_type)).toDS(),
+        steps, 60000L).collect().toSet
+      assert(got == batchGot)
+      assert(got == Set(
+        Cep.PMatch(1, 1, 3, 1000000, 1020000, 3),
+        Cep.PMatch(2, 4, 5, 1000000, 1010000, 2)))
+    } finally q.stop()
+  }
+
   test("streaming SKIP TO NEXT ROW emits overlapping matches like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
