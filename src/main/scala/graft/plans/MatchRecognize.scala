@@ -16,6 +16,9 @@ import graft.operators.Cep
   * SELECT ... FROM <table> MATCH_RECOGNIZE (
   *   PARTITION BY <col>
   *   ORDER BY <col>                       -- long/int column, or timestamp
+  *   [MEASURES agg(V.col) AS alias, ...]  -- agg ∈ { FIRST LAST COUNT
+  *                                        --   SUM MIN MAX AVG }; bare
+  *                                        --   V.col ≡ LAST; COUNT(V.*)
   *   [ONE ROW PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
   *   PATTERN ( S1[q] S2[q] ... )          -- S ∈ { V, (V1|V2|...) },
@@ -27,10 +30,11 @@ import graft.operators.Cep
   *
   * Each match emits ONE row: the partition column (original name + type),
   * `match_start`/`match_end` (the ORDER BY value of the first/last matched
-  * row, as long — millis when the order column is a timestamp) and
-  * `n_events`. MEASURES is not in the subset (the API surface
-  * [[Cep.matchPatternMeasures]] covers it); strict contiguity, greedy
-  * quantifiers, ONE ROW PER MATCH — Flink's defaults.
+  * row, as long — millis when the order column is a timestamp),
+  * `n_events`, then the MEASURES aliases (doubles; COUNT is BIGINT;
+  * measured columns are evaluated numerically — the analytics subset).
+  * Strict contiguity, greedy quantifiers, ONE ROW PER MATCH — Flink's
+  * defaults; ALL ROWS PER MATCH raises.
   *
   * Execution: DEFINE predicates are evaluated by Catalyst as boolean
   * columns (codegen, pushdown-friendly — classification happens in the
@@ -53,6 +57,8 @@ object MatchRecognize {
     * of step predicates on the shared NFA).
     */
   final case class PatternStep(variables: Seq[String], min: Int, max: Int)
+  /** One MEASURES entry: `agg(variable.column) AS alias`. */
+  final case class Measure(agg: String, variable: String, column: String, alias: String)
   final case class Clause(
       table: String,
       partitionBy: String,
@@ -60,11 +66,17 @@ object MatchRecognize {
       skip: Cep.AfterMatch,
       pattern: Seq[PatternStep],
       withinMs: Long,
-      defines: Map[String, String])
+      defines: Map[String, String],
+      measures: Seq[Measure] = Seq.empty)
 
   final case class MrRow(k: String, ord: Long, defs: Seq[Boolean])
 
   final case class MrMatch(k: String, match_start: Long, match_end: Long, n_events: Int)
+
+  final case class MrRowM(k: String, ord: Long, defs: Seq[Boolean], mv: Seq[Double])
+
+  final case class MrMatchM(k: String, match_start: Long, match_end: Long,
+      n_events: Int, m: Seq[Double])
 
   /** Detect (case-insensitively) whether a statement embeds the clause. */
   def containsClause(sqlText: String): Boolean =
@@ -109,8 +121,8 @@ object MatchRecognize {
 
   /** Parse the parenthesized body. */
   private[plans] def parseBody(table: String, body: String): Clause = {
-    if (raw"(?i)\bMEASURES\b".r.findFirstIn(body).isDefined)
-      fail("MEASURES is not supported; use graft.operators.Cep.matchPatternMeasures")
+    if (raw"(?i)\bALL\s+ROWS\s+PER\s+MATCH\b".r.findFirstIn(body).isDefined)
+      fail("ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)")
     val part = req(body, raw"(?is)PARTITION\s+BY\s+([A-Za-z_]\w*)", "PARTITION BY <col>")
     val ord = req(body, raw"(?is)ORDER\s+BY\s+([A-Za-z_]\w*)", "ORDER BY <col>")
     val skip = raw"(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)".r
@@ -122,11 +134,48 @@ object MatchRecognize {
     val pattern = parsePattern(extractPattern(body))
     val withinMs = parseWithin(body)
     val defines = parseDefines(body)
+    val measures = parseMeasures(body)
     pattern.foreach(s => s.variables.foreach { v =>
       if (!defines.contains(v)) fail(s"pattern variable $v has no DEFINE")
     })
+    val patternVars = pattern.flatMap(_.variables).toSet
+    measures.foreach { m =>
+      if (!patternVars.contains(m.variable))
+        fail(s"MEASURES references ${m.variable}, which is not a pattern variable")
+    }
     if (defines.size > 52) fail("at most 52 DEFINE variables")
-    Clause(table, part, ord, skip, pattern, withinMs, defines)
+    Clause(table, part, ord, skip, pattern, withinMs, defines, measures)
+  }
+
+  /** MEASURES subset: `agg(VAR.col) AS alias` with agg ∈ FIRST | LAST |
+    * COUNT | SUM | MIN | MAX | AVG (COUNT also takes `VAR.*`), plus the
+    * bare `VAR.col AS alias` form (≡ LAST, Flink's ONE-ROW-PER-MATCH
+    * reading). Measured columns are evaluated as doubles (numeric
+    * measures — the analytics shape; COUNT emits BIGINT).
+    */
+  private def parseMeasures(body: String): Seq[Measure] = {
+    val m = raw"(?is)\bMEASURES\b".r.findFirstMatchIn(body) match {
+      case None     => return Seq.empty
+      case Some(mm) => mm
+    }
+    val tail = body.substring(m.end)
+    val stop = raw"(?is)\b(ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN)\b".r
+      .findFirstMatchIn(tail)
+      .getOrElse(fail("MEASURES must be followed by [ONE ROW PER MATCH |] AFTER MATCH | PATTERN"))
+    val entries = WindowTvf.splitArgs(tail.substring(0, stop.start))
+    val aggRe =
+      raw"(?is)^\s*(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*(\w+|\*)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
+    val bareRe =
+      raw"(?is)^\s*([A-Za-z_]\w*)\s*\.\s*(\w+)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
+    entries.map {
+      case aggRe(agg, v, c, alias) =>
+        val a = agg.toUpperCase
+        if (c == "*" && a != "COUNT") fail(s"$a requires a column, not ${v}.*")
+        Measure(a, v, c, alias)
+      case bareRe(v, c, alias) => Measure("LAST", v, c, alias)
+      case other => fail(s"bad MEASURES entry `${other.trim}` " +
+        "(subset: agg(VAR.col) AS alias, agg in FIRST/LAST/COUNT/SUM/MIN/MAX/AVG)")
+    }
   }
 
   /** The PATTERN clause's own balanced parens (alternation groups nest
@@ -262,6 +311,8 @@ object MatchRecognize {
     val vars = (clause.pattern.flatMap(_.variables) ++ clause.defines.keys).distinct
     val defCols = vars.map(v => expr(clause.defines(v)).cast("boolean"))
     val varIdx = vars.zipWithIndex.toMap
+    if (clause.measures.nonEmpty)
+      return runMeasured(clause, src, keyField, ordCol, defCols, varIdx)
 
     implicit val rowEnc = Encoders.product[MrRow]
     val tagged = src.select(
@@ -295,6 +346,116 @@ object MatchRecognize {
     matches.select(
       col("k").cast(keyField.dataType).as(keyField.name),
       col("match_start"), col("match_end"), col("n_events"))
+  }
+
+  /** The MEASURES execution path: same NFA, but each match also walks
+    * its consumed rows once to evaluate the measures. A consumed row is
+    * CLASSIFIED to the first listed variable of its step whose DEFINE
+    * held (single-variable steps trivially; alternation groups pick the
+    * first matching alternative, Flink's greedy classifier order). A
+    * variable that matched zero rows (optional step) measures as NULL —
+    * except COUNT, which is 0.
+    */
+  private def runMeasured(clause: Clause, src: DataFrame,
+      keyField: org.apache.spark.sql.types.StructField, ordCol: Column,
+      defCols: Seq[Column], varIdx: Map[String, Int]): DataFrame = {
+    val schema = src.schema
+    clause.measures.foreach { m =>
+      if (m.column != "*" && !schema.fieldNames.exists(_.equalsIgnoreCase(m.column)))
+        fail(s"MEASURES column ${m.column} is not a column of ${clause.table}")
+    }
+    // one evaluated double per measure per row; null values surface as
+    // NaN in the kernel and come back out as SQL NULLs
+    val mvCols = clause.measures.map { m =>
+      if (m.column == "*") lit(0.0)
+      else coalesce(col(m.column).cast("double"), lit(Double.NaN))
+    }
+    implicit val rowEnc = Encoders.product[MrRowM]
+    val tagged = src.select(
+      col(keyField.name).cast("string").as("k"),
+      ordCol.as("ord"),
+      array(defCols: _*).as("defs"),
+      array(mvCols: _*).as("mv")).as[MrRowM]
+    val steps: IndexedSeq[Cep.Step] = clause.pattern.map { s =>
+      val mask = s.variables.foldLeft(0L)((m, v) => m | (1L << varIdx(v)))
+      Cep.when(s.variables.mkString("|"), s.min, s.max)(e => (e.value.toLong & mask) != 0L)
+    }.toIndexedSeq
+    val stepVars: IndexedSeq[Seq[(String, Int)]] =
+      clause.pattern.map(s => s.variables.map(v => v -> varIdx(v))).toIndexedSeq
+    val measures = clause.measures
+    val withinMs = clause.withinMs
+    val skip = clause.skip
+
+    implicit val outEnc = Encoders.product[MrMatchM]
+    val matches = tagged.groupByKey(_.k)(Encoders.STRING).flatMapGroups { (k, it) =>
+      val rows = it.toArray.sortBy(_.ord)
+      val masks = rows.map { r =>
+        var mask = 0L
+        var i = 0
+        while (i < r.defs.length) { if (r.defs(i)) mask |= (1L << i); i += 1 }
+        mask
+      }
+      val events = Array.tabulate(rows.length)(i =>
+        Cep.Event(0L, rows(i).ord, rows(i).ord, "", masks(i).toDouble))
+      val ts = events.map(_.ts)
+      val out = scala.collection.mutable.ArrayBuffer.empty[MrMatchM]
+      var i = 0
+      while (i < events.length) {
+        val takes = new Array[Int](steps.length)
+        val end = Cep.tryMatchAt(events, ts, i, steps, withinMs, openEnded = false, takes)
+        if (end > i) {
+          val byVar = scala.collection.mutable.Map
+            .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+          var pos = i
+          var si = 0
+          while (si < steps.length) {
+            var r = 0
+            while (r < takes(si)) {
+              val idx = pos + r
+              stepVars(si).find { case (_, bit) => ((masks(idx) >> bit) & 1L) == 1L }
+                .foreach { case (v, _) =>
+                  byVar.getOrElseUpdate(v,
+                    scala.collection.mutable.ArrayBuffer.empty[Int]) += idx
+                }
+              r += 1
+            }
+            pos += takes(si)
+            si += 1
+          }
+          val mvals = measures.zipWithIndex.map { case (m, mi) =>
+            val idxs = byVar.getOrElse(m.variable,
+              scala.collection.mutable.ArrayBuffer.empty[Int])
+            def vals = idxs.iterator.map(ix => rows(ix).mv(mi))
+            m.agg match {
+              case "COUNT"             => idxs.length.toDouble
+              case _ if idxs.isEmpty   => Double.NaN // optional step, no rows
+              case "FIRST"             => rows(idxs.head).mv(mi)
+              case "LAST"              => rows(idxs.last).mv(mi)
+              case "SUM"               => vals.sum
+              case "MIN"               => vals.min
+              case "MAX"               => vals.max
+              case "AVG"               => vals.sum / idxs.length
+            }
+          }
+          out += MrMatchM(k, ts(i), ts(end - 1), end - i, mvals)
+          i = skip match {
+            case Cep.SkipPastLastRow => end
+            case Cep.SkipToNextRow   => i + 1
+          }
+        } else i += 1
+      }
+      out.iterator
+    }
+    val base = Seq(
+      col("k").cast(keyField.dataType).as(keyField.name),
+      col("match_start"), col("match_end"), col("n_events"))
+    val mCols = measures.zipWithIndex.map { case (m, mi) =>
+      val v = element_at(col("m"), mi + 1)
+      val c = if (m.agg == "COUNT") v.cast("long")
+              else when(isnan(v), lit(null)).otherwise(v)
+      c.as(m.alias)
+    }
+    matches.select(base ++ mCols: _*)
   }
 
   /** Run a full SQL statement that may embed one MATCH_RECOGNIZE clause:

@@ -123,6 +123,56 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(api.map(m => (m.key, m.n_events)).toSeq == Seq((1L, 3)))
   }
 
+  test("MEASURES subset agrees with hand-computed per-variable aggregates") {
+    mkView("mr_meas", Seq(
+      (1L, 0L, "a", 10.0), (1L, 1L, "b", 1.0), (1L, 2L, "b", 3.0), (1L, 3L, "c", 7.0),
+      (2L, 0L, "a", 5.0), (2L, 1L, "c", 2.0)))
+    val df = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_meas MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  MEASURES SUM(B.value) AS b_sum, COUNT(B.*) AS n_b, AVG(B.value) AS b_avg,
+        |           FIRST(B.value) AS b_first, LAST(B.value) AS b_last,
+        |           A.value AS a_val, MIN(B.value) AS b_min, MAX(B.value) AS b_max
+        |  PATTERN (A B* C)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+        |)""".stripMargin)
+    assert(df.columns.toSeq == Seq("k", "match_start", "match_end", "n_events",
+      "b_sum", "n_b", "b_avg", "b_first", "b_last", "a_val", "b_min", "b_max"))
+    val rows = df.collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L) // A(10) B(1) B(3) C(7)
+    assert(r1.getInt(3) == 4 && r1.getDouble(4) == 4.0 && r1.getLong(5) == 2L &&
+      r1.getDouble(6) == 2.0 && r1.getDouble(7) == 1.0 && r1.getDouble(8) == 3.0 &&
+      r1.getDouble(9) == 10.0 && r1.getDouble(10) == 1.0 && r1.getDouble(11) == 3.0)
+    // B matched zero rows for k=2: COUNT is 0, the rest are NULL
+    val r2 = rows(2L)
+    assert(r2.getInt(3) == 2 && r2.getLong(5) == 0L && r2.isNullAt(4) &&
+      r2.isNullAt(6) && r2.isNullAt(7) && r2.isNullAt(8) && r2.getDouble(9) == 5.0)
+    // measures classify alternation rows to the matching alternative
+    val alt = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_meas MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  MEASURES COUNT(A.*) AS n_a, COUNT(B.*) AS n_b, SUM(B.value) AS b_sum
+        |  PATTERN ((A | B)+ C)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+        |)""".stripMargin).collect().map(r => r.getLong(0) -> r).toMap
+    assert(alt(1L).getLong(4) == 1L && alt(1L).getLong(5) == 2L &&
+      alt(1L).getDouble(6) == 4.0)
+    assert(alt(2L).getLong(4) == 1L && alt(2L).getLong(5) == 0L)
+    // unknown measure column / non-pattern variable fail loudly
+    def bad(sql: String) =
+      intercept[IllegalArgumentException](MatchRecognize.sql(spark, sql))
+    assert(bad("""SELECT * FROM mr_meas MATCH_RECOGNIZE (
+      | PARTITION BY k ORDER BY ord
+      | MEASURES SUM(A.nope) AS s
+      | PATTERN (A) DEFINE A AS sym = 'a')""".stripMargin)
+      .getMessage.contains("not a column"))
+    assert(bad("""SELECT * FROM mr_meas MATCH_RECOGNIZE (
+      | PARTITION BY k ORDER BY ord
+      | MEASURES SUM(Z.value) AS s
+      | PATTERN (A) DEFINE A AS sym = 'a', Z AS sym = 'z')""".stripMargin)
+      .getMessage.contains("not a pattern variable"))
+  }
+
   test("out-of-subset constructs fail loudly") {
     mkView("mr_err", Seq((1L, 0L, "a", 0.0)))
     def bad(sql: String) =
@@ -132,6 +182,11 @@ class MatchRecognizeSpec extends AnyFunSuite {
       | MEASURES COUNT(*) AS c
       | PATTERN (A) DEFINE A AS sym = 'a')""".stripMargin)
       .getMessage.contains("MEASURES"))
+    assert(bad("""SELECT * FROM mr_err MATCH_RECOGNIZE (
+      | PARTITION BY k ORDER BY ord
+      | ALL ROWS PER MATCH
+      | PATTERN (A) DEFINE A AS sym = 'a')""".stripMargin)
+      .getMessage.contains("ALL ROWS"))
     assert(bad("""SELECT * FROM mr_err MATCH_RECOGNIZE (
       | PARTITION BY k ORDER BY ord
       | PATTERN (A B) DEFINE A AS sym = 'a')""".stripMargin)
