@@ -183,6 +183,32 @@ object Temporal {
         |GROUP BY user_id""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE MEASURES ([U] flink-sql-parser SqlMatchRecognize
+    * MEASURES clause): per-variable aggregates on the one-row-per-match
+    * output. Pattern `A C` (a view immediately followed by a click, per
+    * user in arrival order) keeps every match exactly two consecutive
+    * rows, so the DuckDB oracle is exact: a `lead()` window over the
+    * same ordering — no regex needed, and SKIP PAST LAST ROW can't
+    * differ because 'v' ≠ 'c' makes overlaps impossible.
+    */
+  val q104_mr_measures: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"),
+        substring($"event_type", 1, 1).as("sym"), $"value")
+      .createOrReplaceTempView("q104_events")
+    graft.plans.MatchRecognize.sql(s,
+      """SELECT user_id, match_start, match_end, n_events, a_val, c_val
+        |FROM q104_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  MEASURES FIRST(A.value) AS a_val, LAST(C.value) AS c_val
+        |  PATTERN (A C)
+        |  DEFINE A AS sym = 'v', C AS sym = 'c'
+        |) AS m""".stripMargin)
+  }
+
   /** SQL-text window TVF ([U] flink-table-planner SqlWindowTableFunction):
     * the q41 hop-window class driven through Flink's SQL surface —
     * `TABLE(HOP(TABLE t, DESCRIPTOR(ts), slide, size))` rewritten by
@@ -378,6 +404,7 @@ object Temporal {
     "q101_window_topn_sql" -> q101_window_topn_sql,
     "q73_match_recognize_sql" -> q73_match_recognize_sql,
     "q103_mr_alternation" -> q103_mr_alternation,
+    "q104_mr_measures" -> q104_mr_measures,
     "q55_cep_quantified" -> q55_cep_quantified,
     "q41_hop_window" -> q41_hop_window,
     "q22_tumble_window" -> q22_tumble_window,
@@ -495,6 +522,16 @@ object Temporal {
         |SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
         |       CAST(list_sum(list_transform(ms, x -> length(x))) AS BIGINT) AS n_matched_events
         |FROM m WHERE len(ms) > 0""".stripMargin,
+    "q104_mr_measures" ->
+      """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym, value,
+        |                  lead(event_id) OVER w AS nid,
+        |                  lead(substr(event_type, 1, 1)) OVER w AS nsym,
+        |                  lead(value) OVER w AS nval
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, event_id AS match_start, nid AS match_end,
+        |       CAST(2 AS INTEGER) AS n_events, value AS a_val, nval AS c_val
+        |FROM e WHERE sym = 'v' AND nsym = 'c'""".stripMargin,
     "q103_mr_alternation" ->
       """WITH s AS (SELECT user_id,
         |                  string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS str
