@@ -19,7 +19,7 @@ import graft.operators.Cep
   *   [MEASURES agg(V.col) AS alias, ...]  -- agg ∈ { FIRST LAST COUNT
   *                                        --   SUM MIN MAX AVG }; bare
   *                                        --   V.col ≡ LAST; COUNT(V.*)
-  *   [ONE ROW PER MATCH]
+  *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
   *   PATTERN ( S1[q] S2[q] ... )          -- S ∈ { V, (V1|V2|...) },
   *                                        -- q ∈ {  +  ?  *  {n}  {n,m}  }
@@ -28,13 +28,15 @@ import graft.operators.Cep
   * ) [AS alias] ...
   * }}}
   *
-  * Each match emits ONE row: the partition column (original name + type),
-  * `match_start`/`match_end` (the ORDER BY value of the first/last matched
-  * row, as long — millis when the order column is a timestamp),
-  * `n_events`, then the MEASURES aliases (doubles; COUNT is BIGINT;
-  * measured columns are evaluated numerically — the analytics subset).
-  * Strict contiguity, greedy quantifiers, ONE ROW PER MATCH — Flink's
-  * defaults; ALL ROWS PER MATCH raises.
+  * ONE ROW PER MATCH (the default) emits the partition column (original
+  * name + type), `match_start`/`match_end` (the ORDER BY value of the
+  * first/last matched row, as long — millis when the order column is a
+  * timestamp), `n_events`, then the MEASURES aliases (doubles; COUNT is
+  * BIGINT; measured columns are evaluated numerically — the analytics
+  * subset). ALL ROWS PER MATCH emits every MATCHED input row with all
+  * its columns plus `match_seq`, `classifier`, and RUNNING measures
+  * (see [[runAllRows]]). Strict contiguity, greedy quantifiers —
+  * Flink's defaults.
   *
   * Execution: DEFINE predicates are evaluated by Catalyst as boolean
   * columns (codegen, pushdown-friendly — classification happens in the
@@ -67,7 +69,8 @@ object MatchRecognize {
       pattern: Seq[PatternStep],
       withinMs: Long,
       defines: Map[String, String],
-      measures: Seq[Measure] = Seq.empty)
+      measures: Seq[Measure] = Seq.empty,
+      allRows: Boolean = false)
 
   final case class MrRow(k: String, ord: Long, defs: Seq[Boolean])
 
@@ -77,6 +80,9 @@ object MatchRecognize {
 
   final case class MrMatchM(k: String, match_start: Long, match_end: Long,
       n_events: Int, m: Seq[Double])
+
+  final case class MrAllRow(k: String, ord: Long, match_seq: Long,
+      classifier: String, m: Seq[Double])
 
   /** Detect (case-insensitively) whether a statement embeds the clause. */
   def containsClause(sqlText: String): Boolean =
@@ -121,8 +127,11 @@ object MatchRecognize {
 
   /** Parse the parenthesized body. */
   private[plans] def parseBody(table: String, body: String): Clause = {
-    if (raw"(?i)\bALL\s+ROWS\s+PER\s+MATCH\b".r.findFirstIn(body).isDefined)
-      fail("ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)")
+    val allRows =
+      raw"(?i)\bALL\s+ROWS\s+PER\s+MATCH\b".r.findFirstIn(body).isDefined
+    if (raw"(?i)\bFINAL\s*\(".r.findFirstIn(body).isDefined)
+      fail("FINAL(...) measures are not supported " +
+        "(ALL ROWS PER MATCH uses RUNNING semantics, Flink's default)")
     val part = req(body, raw"(?is)PARTITION\s+BY\s+([A-Za-z_]\w*)", "PARTITION BY <col>")
     val ord = req(body, raw"(?is)ORDER\s+BY\s+([A-Za-z_]\w*)", "ORDER BY <col>")
     val skip = raw"(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)".r
@@ -144,7 +153,7 @@ object MatchRecognize {
         fail(s"MEASURES references ${m.variable}, which is not a pattern variable")
     }
     if (defines.size > 52) fail("at most 52 DEFINE variables")
-    Clause(table, part, ord, skip, pattern, withinMs, defines, measures)
+    Clause(table, part, ord, skip, pattern, withinMs, defines, measures, allRows)
   }
 
   /** MEASURES subset: `agg(VAR.col) AS alias` with agg ∈ FIRST | LAST |
@@ -311,6 +320,8 @@ object MatchRecognize {
     val vars = (clause.pattern.flatMap(_.variables) ++ clause.defines.keys).distinct
     val defCols = vars.map(v => expr(clause.defines(v)).cast("boolean"))
     val varIdx = vars.zipWithIndex.toMap
+    if (clause.allRows)
+      return runAllRows(clause, src, keyField, ordCol, defCols, varIdx)
     if (clause.measures.nonEmpty)
       return runMeasured(clause, src, keyField, ordCol, defCols, varIdx)
 
@@ -456,6 +467,139 @@ object MatchRecognize {
       c.as(m.alias)
     }
     matches.select(base ++ mCols: _*)
+  }
+
+  /** ALL ROWS PER MATCH: one output row per MATCHED input row, in match
+    * order, carrying every input column (recovered by an equi-join on
+    * (partition, order) — ORDER BY values must therefore be unique per
+    * partition, the same determinism Flink's time attributes provide)
+    * plus `match_seq` (MATCH_NUMBER() analog, 1-based per partition),
+    * `classifier` (the variable the row matched), and the MEASURES with
+    * RUNNING semantics — each aggregate sees the variable's rows up to
+    * and including the current row, Flink's ALL-ROWS default (FINAL is
+    * rejected at parse). Unmatched rows are omitted (Flink omits them
+    * under AFTER MATCH SKIP PAST LAST ROW too).
+    */
+  private def runAllRows(clause: Clause, src: DataFrame,
+      keyField: org.apache.spark.sql.types.StructField, ordCol: Column,
+      defCols: Seq[Column], varIdx: Map[String, Int]): DataFrame = {
+    val schema = src.schema
+    clause.measures.foreach { m =>
+      if (m.column != "*" && !schema.fieldNames.exists(_.equalsIgnoreCase(m.column)))
+        fail(s"MEASURES column ${m.column} is not a column of ${clause.table}")
+    }
+    val mvCols = clause.measures.map { m =>
+      if (m.column == "*") lit(0.0)
+      else coalesce(col(m.column).cast("double"), lit(Double.NaN))
+    }
+    val mvArray = if (mvCols.isEmpty) typedLit(Seq.empty[Double]) else array(mvCols: _*)
+    implicit val rowEnc = Encoders.product[MrRowM]
+    val tagged = src.select(
+      col(keyField.name).cast("string").as("k"),
+      ordCol.as("ord"),
+      array(defCols: _*).as("defs"),
+      mvArray.as("mv")).as[MrRowM]
+    val steps: IndexedSeq[Cep.Step] = clause.pattern.map { s =>
+      val mask = s.variables.foldLeft(0L)((m, v) => m | (1L << varIdx(v)))
+      Cep.when(s.variables.mkString("|"), s.min, s.max)(e => (e.value.toLong & mask) != 0L)
+    }.toIndexedSeq
+    val stepVars: IndexedSeq[Seq[(String, Int)]] =
+      clause.pattern.map(s => s.variables.map(v => v -> varIdx(v))).toIndexedSeq
+    val measures = clause.measures
+    val withinMs = clause.withinMs
+    val skip = clause.skip
+
+    implicit val outEnc = Encoders.product[MrAllRow]
+    val kernel = tagged.groupByKey(_.k)(Encoders.STRING).flatMapGroups { (k, it) =>
+      val rows = it.toArray.sortBy(_.ord)
+      val masks = rows.map { r =>
+        var mask = 0L
+        var i = 0
+        while (i < r.defs.length) { if (r.defs(i)) mask |= (1L << i); i += 1 }
+        mask
+      }
+      val events = Array.tabulate(rows.length)(i =>
+        Cep.Event(0L, rows(i).ord, rows(i).ord, "", masks(i).toDouble))
+      val ts = events.map(_.ts)
+      val out = scala.collection.mutable.ArrayBuffer.empty[MrAllRow]
+      var i = 0
+      var matchSeq = 0L
+      while (i < events.length) {
+        val takes = new Array[Int](steps.length)
+        val end = Cep.tryMatchAt(events, ts, i, steps, withinMs, openEnded = false, takes)
+        if (end > i) {
+          matchSeq += 1
+          // RUNNING aggregates per measure, updated as the match's rows
+          // stream by in order
+          val cnt = new Array[Long](measures.length)
+          val sum = new Array[Double](measures.length)
+          val mn = new Array[Double](measures.length)
+          val mx = new Array[Double](measures.length)
+          val first = new Array[Double](measures.length)
+          val last = new Array[Double](measures.length)
+          var pos = i
+          var si = 0
+          while (si < steps.length) {
+            var r = 0
+            while (r < takes(si)) {
+              val idx = pos + r
+              val cls = stepVars(si)
+                .find { case (_, bit) => ((masks(idx) >> bit) & 1L) == 1L }
+                .map(_._1).getOrElse(stepVars(si).head._1)
+              var mi = 0
+              while (mi < measures.length) {
+                if (measures(mi).variable == cls) {
+                  val v = rows(idx).mv(mi)
+                  if (cnt(mi) == 0) { first(mi) = v; mn(mi) = v; mx(mi) = v }
+                  else { mn(mi) = math.min(mn(mi), v); mx(mi) = math.max(mx(mi), v) }
+                  last(mi) = v
+                  sum(mi) += v
+                  cnt(mi) += 1
+                }
+                mi += 1
+              }
+              val snapshot = measures.indices.map { m =>
+                measures(m).agg match {
+                  case "COUNT"              => cnt(m).toDouble
+                  case _ if cnt(m) == 0     => Double.NaN // var not seen yet
+                  case "FIRST"              => first(m)
+                  case "LAST"               => last(m)
+                  case "SUM"                => sum(m)
+                  case "MIN"                => mn(m)
+                  case "MAX"                => mx(m)
+                  case "AVG"                => sum(m) / cnt(m)
+                }
+              }
+              out += MrAllRow(k, rows(idx).ord, matchSeq, cls, snapshot)
+              r += 1
+            }
+            pos += takes(si)
+            si += 1
+          }
+          i = skip match {
+            case Cep.SkipPastLastRow => end
+            case Cep.SkipToNextRow   => i + 1
+          }
+        } else i += 1
+      }
+      out.iterator
+    }
+    // recover the full input row: equi-join on (partition, order) —
+    // aliased, since the kernel frame derives from src (self-join lineage)
+    val withOrd = src.withColumn("__mr_ord", ordCol).as("__mr_src")
+    val mCols = measures.zipWithIndex.map { case (m, mi) =>
+      val v = element_at(col("__mr_k.m"), mi + 1)
+      val c = if (m.agg == "COUNT") v.cast("long")
+              else when(isnan(v), lit(null)).otherwise(v)
+      c.as(m.alias)
+    }
+    kernel.toDF().as("__mr_k")
+      .join(withOrd,
+        col("__mr_k.k") === col(s"__mr_src.${keyField.name}").cast("string") &&
+          col("__mr_k.ord") === col("__mr_src.__mr_ord"))
+      .select(schema.fieldNames.map(n => col(s"__mr_src.$n")) ++
+        Seq(col("__mr_k.match_seq").as("match_seq"),
+          col("__mr_k.classifier").as("classifier")) ++ mCols: _*)
   }
 
   /** Run a full SQL statement that may embed one MATCH_RECOGNIZE clause:

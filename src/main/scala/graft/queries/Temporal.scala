@@ -209,6 +209,32 @@ object Temporal {
         |) AS m""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE ALL ROWS PER MATCH ([U] flink-table-runtime
+    * operators/match/ one-row vs all-rows emit): every matched row comes
+    * back with its full payload plus match_seq / classifier / RUNNING
+    * measures. The fixed two-row `A C` pattern keeps the oracle exact:
+    * the q104 lead() match table expanded to two output rows per match
+    * (the A row sees only FIRST(A.value); the C row both).
+    */
+  val q105_mr_all_rows: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"),
+        substring($"event_type", 1, 1).as("sym"), $"value")
+      .createOrReplaceTempView("q105_events")
+    graft.plans.MatchRecognize.sql(s,
+      """SELECT user_id, event_id, match_seq, classifier, a_run, c_run
+        |FROM q105_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  MEASURES FIRST(A.value) AS a_run, LAST(C.value) AS c_run
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A C)
+        |  DEFINE A AS sym = 'v', C AS sym = 'c'
+        |) AS m""".stripMargin)
+  }
+
   /** SQL-text window TVF ([U] flink-table-planner SqlWindowTableFunction):
     * the q41 hop-window class driven through Flink's SQL surface —
     * `TABLE(HOP(TABLE t, DESCRIPTOR(ts), slide, size))` rewritten by
@@ -405,6 +431,7 @@ object Temporal {
     "q73_match_recognize_sql" -> q73_match_recognize_sql,
     "q103_mr_alternation" -> q103_mr_alternation,
     "q104_mr_measures" -> q104_mr_measures,
+    "q105_mr_all_rows" -> q105_mr_all_rows,
     "q55_cep_quantified" -> q55_cep_quantified,
     "q41_hop_window" -> q41_hop_window,
     "q22_tumble_window" -> q22_tumble_window,
@@ -522,6 +549,24 @@ object Temporal {
         |SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
         |       CAST(list_sum(list_transform(ms, x -> length(x))) AS BIGINT) AS n_matched_events
         |FROM m WHERE len(ms) > 0""".stripMargin,
+    "q105_mr_all_rows" ->
+      """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym, value,
+        |                  lead(event_id) OVER w AS nid,
+        |                  lead(substr(event_type, 1, 1)) OVER w AS nsym,
+        |                  lead(value) OVER w AS nval
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |m AS (SELECT user_id, event_id AS a_id, nid AS c_id,
+        |             value AS a_val, nval AS c_val,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS match_seq
+        |      FROM e WHERE sym = 'v' AND nsym = 'c')
+        |SELECT user_id, a_id AS event_id, CAST(match_seq AS BIGINT) AS match_seq,
+        |       'A' AS classifier, a_val AS a_run, CAST(NULL AS DOUBLE) AS c_run
+        |FROM m
+        |UNION ALL
+        |SELECT user_id, c_id AS event_id, CAST(match_seq AS BIGINT) AS match_seq,
+        |       'C' AS classifier, a_val AS a_run, c_val AS c_run
+        |FROM m""".stripMargin,
     "q104_mr_measures" ->
       """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym, value,
         |                  lead(event_id) OVER w AS nid,

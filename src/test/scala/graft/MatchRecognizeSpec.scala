@@ -173,6 +173,58 @@ class MatchRecognizeSpec extends AnyFunSuite {
       .getMessage.contains("not a pattern variable"))
   }
 
+  test("ALL ROWS PER MATCH emits matched rows with classifier and RUNNING measures") {
+    mkView("mr_all", Seq(
+      (1L, 0L, "a", 10.0), (1L, 1L, "b", 1.0), (1L, 2L, "b", 3.0), (1L, 3L, "c", 7.0),
+      (2L, 0L, "a", 5.0), (2L, 1L, "c", 2.0),
+      (3L, 0L, "x", 9.0))) // unmatched: omitted from the output
+    val df = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_all MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  MEASURES SUM(B.value) AS b_run, COUNT(B.*) AS n_b, LAST(C.value) AS c_val
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B* C)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+        |)""".stripMargin)
+    // every input column survives, then match_seq/classifier/measures
+    assert(df.columns.toSeq ==
+      Seq("k", "ord", "sym", "value", "match_seq", "classifier", "b_run", "n_b", "c_val"))
+    val rows = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getString(5),
+          if (r.isNullAt(6)) null else r.getDouble(6), r.getLong(7),
+          if (r.isNullAt(8)) null else r.getDouble(8))
+    }.toMap
+    assert(rows.size == 6, s"got ${rows.keys.toSeq.sorted}")
+    // k=1: RUNNING sum of B grows 1.0 -> 4.0; C appears only on its row
+    assert(rows((1L, 0L)) == ((1L, "A", null, 0L, null)))
+    assert(rows((1L, 1L)) == ((1L, "B", 1.0, 1L, null)))
+    assert(rows((1L, 2L)) == ((1L, "B", 4.0, 2L, null)))
+    assert(rows((1L, 3L)) == ((1L, "C", 4.0, 2L, 7.0)))
+    // k=2: optional B matched zero rows throughout
+    assert(rows((2L, 0L)) == ((1L, "A", null, 0L, null)))
+    assert(rows((2L, 1L)) == ((1L, "C", null, 0L, 2.0)))
+    // the original row payload (sym, value) rides along
+    val payload = df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getString(2), r.getDouble(3))).toMap
+    assert(payload((1L, 3L)) == (("c", 7.0)))
+    // match_seq counts per partition: two matches for a SKIP TO NEXT ROW
+    // overlap shape
+    mkView("mr_all2", Seq(
+      (1L, 0L, "a", 1.0), (1L, 1L, "a", 2.0), (1L, 2L, "c", 3.0)))
+    val seqs = MatchRecognize.sql(spark,
+      """SELECT ord, match_seq, classifier FROM mr_all2 MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A+ C)
+        |  DEFINE A AS sym = 'a', C AS sym = 'c'
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(seqs == Set((0L, 1L, "A"), (1L, 1L, "A"), (2L, 1L, "C"),
+      (1L, 2L, "A"), (2L, 2L, "C")))
+  }
+
   test("out-of-subset constructs fail loudly") {
     mkView("mr_err", Seq((1L, 0L, "a", 0.0)))
     def bad(sql: String) =
@@ -184,9 +236,10 @@ class MatchRecognizeSpec extends AnyFunSuite {
       .getMessage.contains("MEASURES"))
     assert(bad("""SELECT * FROM mr_err MATCH_RECOGNIZE (
       | PARTITION BY k ORDER BY ord
+      | MEASURES FINAL(SUM(A.value)) AS s
       | ALL ROWS PER MATCH
       | PATTERN (A) DEFINE A AS sym = 'a')""".stripMargin)
-      .getMessage.contains("ALL ROWS"))
+      .getMessage.contains("FINAL"))
     assert(bad("""SELECT * FROM mr_err MATCH_RECOGNIZE (
       | PARTITION BY k ORDER BY ord
       | PATTERN (A B) DEFINE A AS sym = 'a')""".stripMargin)
