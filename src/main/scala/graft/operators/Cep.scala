@@ -82,6 +82,10 @@ object Cep {
     def min: Int
     def max: Int
     def accepts(e: Event): Boolean
+    /** Step label — the pattern variable for simple steps; used by the
+      * SKIP TO FIRST/LAST `<variable>` strategies to locate the step.
+      */
+    def name: String
   }
 
   /** Symbol-equality step (MATCH_RECOGNIZE pattern variable whose DEFINE
@@ -90,6 +94,7 @@ object Cep {
   case class PStep(sym: String, min: Int, max: Int) extends Step {
     require(min >= 0 && max >= min, s"bad quantifier {$min,$max}")
     override def accepts(e: Event): Boolean = e.sym == sym
+    override def name: String = sym
   }
 
   /** Predicate step — the general DEFINE clause ([U] flink-cep
@@ -123,6 +128,48 @@ object Cep {
   case object SkipPastLastRow extends AfterMatch
   /** Overlapping: resume at the row after the match's first row. */
   case object SkipToNextRow extends AfterMatch
+  /** Resume AT the first row the named step matched ([U] flink-cep
+    * aftermatch/AfterMatchSkipStrategy.skipToFirst). Like Flink, a
+    * resume that would land on the match's own first row (an infinite
+    * loop) or on a step that matched no rows raises.
+    */
+  case class SkipToFirst(variable: String) extends AfterMatch
+  /** Resume AT the last row the named step matched (skipToLast). */
+  case class SkipToLast(variable: String) extends AfterMatch
+
+  /** Next scan position after a match at [i, end) whose per-step
+    * consumption is `takes` — shared by the batch scan, the streaming
+    * process, and the SQL rewrite's measured walks. SKIP TO FIRST/LAST
+    * resolves the variable to the FIRST step bearing that name (a
+    * variable reused across several steps lands on its first step — a
+    * documented simplification of Flink's row-level mapping).
+    */
+  private[graft] def resumeAfter(skip: AfterMatch, i: Int, end: Int,
+      steps: IndexedSeq[Step], takes: Array[Int]): Int = {
+    def stepPos(v: String, last: Boolean): Int = {
+      val si = steps.indexWhere(_.name == v)
+      if (si < 0)
+        throw new IllegalArgumentException(
+          s"AFTER MATCH SKIP TO $v: no pattern step named $v")
+      if (takes(si) == 0)
+        throw new IllegalArgumentException(
+          s"AFTER MATCH SKIP TO $v: the variable matched no rows in this match")
+      var pos = i
+      var s = 0
+      while (s < si) { pos += takes(s); s += 1 }
+      val target = if (last) pos + takes(si) - 1 else pos
+      if (target == i) // resume on the match's own first row: infinite loop
+        throw new IllegalArgumentException(
+          s"AFTER MATCH SKIP TO $v would loop on the match's first row")
+      target
+    }
+    skip match {
+      case SkipPastLastRow   => end
+      case SkipToNextRow     => i + 1
+      case SkipToFirst(v)    => stepPos(v, last = false)
+      case SkipToLast(v)     => stepPos(v, last = true)
+    }
+  }
 
   case class PMatch(key: Long, start_id: Long, end_id: Long,
       start_ts: Long, end_ts: Long, n_events: Int)
@@ -186,17 +233,15 @@ object Cep {
     var halt = false
     while (i < events.length && !halt) {
       val open = openEnded && wm - ts(i) <= withinMs
-      tryMatchAt(events, ts, i, steps, withinMs, open) match {
+      val takes = new Array[Int](steps.length)
+      tryMatchAt(events, ts, i, steps, withinMs, open, takes) match {
         case Pending => halt = true // everything from i stays buffered
         case Fail => i += 1
         case end =>
           val e0 = events(i)
           val e1 = events(end - 1)
           out += PMatch(e0.key, e0.id, e1.id, e0.ts, e1.ts, end - i)
-          i = skip match {
-            case SkipPastLastRow => end
-            case SkipToNextRow   => i + 1
-          }
+          i = resumeAfter(skip, i, end, steps, takes)
       }
     }
     (out.toSeq, i)
@@ -262,10 +307,7 @@ object Cep {
             }
             out += PMeasures(events(i).key, events(i).id, events(end - 1).id,
               end - i, counts.toSeq, sums.toSeq, firsts.toSeq, lasts.toSeq)
-            i = skip match {
-              case SkipPastLastRow => end
-              case SkipToNextRow   => i + 1
-            }
+            i = resumeAfter(skip, i, end, stepsIdx, takes)
           } else i += 1
         }
         out.iterator

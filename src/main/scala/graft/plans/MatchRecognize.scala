@@ -20,7 +20,7 @@ import graft.operators.Cep
   *                                        --   SUM MIN MAX AVG }; bare
   *                                        --   V.col ≡ LAST; COUNT(V.*)
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
-  *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+  *   [AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO FIRST V | TO LAST V]
   *   PATTERN ( S1[q] S2[q] ... )          -- S ∈ { V, (V1|V2|...) },
   *                                        -- q ∈ {  +  ?  *  {n}  {n,m}  }
   *   [WITHIN INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY | WITHIN <n>]
@@ -134,13 +134,23 @@ object MatchRecognize {
         "(ALL ROWS PER MATCH uses RUNNING semantics, Flink's default)")
     val part = req(body, raw"(?is)PARTITION\s+BY\s+([A-Za-z_]\w*)", "PARTITION BY <col>")
     val ord = req(body, raw"(?is)ORDER\s+BY\s+([A-Za-z_]\w*)", "ORDER BY <col>")
-    val skip = raw"(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)".r
+    val skip = raw"(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+(?:FIRST|LAST)\s+[A-Za-z_]\w*)".r
       .findFirstMatchIn(body)
-      .map(_.group(1).toUpperCase.replaceAll("\\s+", " ")) match {
-      case Some("TO NEXT ROW") => Cep.SkipToNextRow
-      case _                   => Cep.SkipPastLastRow // Flink default
+      .map(_.group(1).replaceAll("\\s+", " ")) match {
+      case Some(s) if s.equalsIgnoreCase("TO NEXT ROW")      => Cep.SkipToNextRow
+      case Some(s) if s.equalsIgnoreCase("PAST LAST ROW")    => Cep.SkipPastLastRow
+      case Some(s) if s.toUpperCase.startsWith("TO FIRST ")  =>
+        Cep.SkipToFirst(s.split("\\s+").last)
+      case Some(s) if s.toUpperCase.startsWith("TO LAST ")   =>
+        Cep.SkipToLast(s.split("\\s+").last)
+      case _ => Cep.SkipPastLastRow // Flink default
     }
     val pattern = parsePattern(extractPattern(body))
+    skip match {
+      case Cep.SkipToFirst(v) => validateSkipVar(pattern, v)
+      case Cep.SkipToLast(v)  => validateSkipVar(pattern, v)
+      case _                  =>
+    }
     val withinMs = parseWithin(body)
     val defines = parseDefines(body)
     val measures = parseMeasures(body)
@@ -155,6 +165,14 @@ object MatchRecognize {
     if (defines.size > 52) fail("at most 52 DEFINE variables")
     Clause(table, part, ord, skip, pattern, withinMs, defines, measures, allRows)
   }
+
+  /** SKIP TO FIRST/LAST targets a SINGLE-variable step (an alternation
+    * group has no one variable to land on — same restriction Flink's
+    * planner enforces for group patterns).
+    */
+  private def validateSkipVar(pattern: Seq[PatternStep], v: String): Unit =
+    if (!pattern.exists(s => s.variables == Seq(v)))
+      fail(s"AFTER MATCH SKIP TO $v: $v is not a single-variable pattern step")
 
   /** MEASURES subset: `agg(VAR.col) AS alias` with agg ∈ FIRST | LAST |
     * COUNT | SUM | MIN | MAX | AVG (COUNT also takes `VAR.*`), plus the
@@ -449,10 +467,7 @@ object MatchRecognize {
             }
           }
           out += MrMatchM(k, ts(i), ts(end - 1), end - i, mvals)
-          i = skip match {
-            case Cep.SkipPastLastRow => end
-            case Cep.SkipToNextRow   => i + 1
-          }
+          i = Cep.resumeAfter(skip, i, end, steps, takes)
         } else i += 1
       }
       out.iterator
@@ -576,10 +591,7 @@ object MatchRecognize {
             pos += takes(si)
             si += 1
           }
-          i = skip match {
-            case Cep.SkipPastLastRow => end
-            case Cep.SkipToNextRow   => i + 1
-          }
+          i = Cep.resumeAfter(skip, i, end, steps, takes)
         } else i += 1
       }
       out.iterator

@@ -225,6 +225,39 @@ class MatchRecognizeSpec extends AnyFunSuite {
       (1L, 2L, "A"), (2L, 2L, "C")))
   }
 
+  test("AFTER MATCH SKIP TO FIRST/LAST variable resumes inside the match") {
+    // A accepts everything, B only >= 10: the B row of one match can
+    // START the next — TO FIRST B finds the overlapping match that
+    // PAST LAST ROW skips over
+    mkView("mr_skipvar", Seq(
+      (1L, 0L, "x", 1.0), (1L, 1L, "x", 2.0), (1L, 2L, "x", 10.0),
+      (1L, 3L, "x", 3.0), (1L, 4L, "x", 11.0)))
+    def run(skip: String) = MatchRecognize.sql(spark,
+      s"""SELECT * FROM mr_skipvar MATCH_RECOGNIZE (
+         |  PARTITION BY k ORDER BY ord
+         |  AFTER MATCH SKIP $skip
+         |  PATTERN (A{2} B)
+         |  DEFINE A AS value >= 1, B AS value >= 10
+         |)""".stripMargin)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(run("PAST LAST ROW") == Set((0L, 2L)))
+    assert(run("TO FIRST B") == Set((0L, 2L), (2L, 4L)), "resumes AT the B row")
+    assert(run("TO LAST A") == Set((0L, 2L), (2L, 4L)), "resumes at the last A row")
+    // resuming on the match's own first row is a loud loop error (Flink
+    // raises the same way)
+    val e = intercept[Exception](run("TO FIRST A"))
+    assert(e.getMessage.contains("loop"), e.getMessage)
+    // a skip target inside an alternation group is rejected at parse
+    val e2 = intercept[IllegalArgumentException](MatchRecognize.sql(spark,
+      """SELECT * FROM mr_skipvar MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  AFTER MATCH SKIP TO FIRST A
+        |  PATTERN ((A | B)+ C)
+        |  DEFINE A AS value < 10, B AS value >= 10, C AS value > 100
+        |)""".stripMargin))
+    assert(e2.getMessage.contains("single-variable"), e2.getMessage)
+  }
+
   test("out-of-subset constructs fail loudly") {
     mkView("mr_err", Seq((1L, 0L, "a", 0.0)))
     def bad(sql: String) =
