@@ -161,4 +161,39 @@ class StreamingCepSpec extends AnyFunSuite {
         Cep.PMatch(1, 2, 3, 1010000, 1020000, 2)))
     } finally q.stop()
   }
+
+  test("streaming SKIP TO FIRST variable agrees with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // A{2} B with A = anything, B = high value: the B row of one match
+    // starts the next; scan's resume index feeds the buffer drop, so
+    // the shared-row event must stay buffered across the micro-batches
+    val steps = Seq(
+      Cep.when("A", 2, 2)(_.value >= 1.0),
+      Cep.when("B", 1, 1)(_.value >= 10.0))
+    def mk(id: Long, sec: Long, v: Double) =
+      Ev(id, new java.sql.Timestamp(sec * 1000), 1L, "x", v)
+    val evs = Seq(mk(1, 1000, 1.0), mk(2, 1010, 2.0), mk(3, 1020, 10.0),
+      mk(4, 1030, 3.0), mk(5, 1040, 11.0))
+    val input = MemoryStream[Ev]
+    val events = input.toDF().withWatermark("ts", "5 seconds")
+      .select($"user_id".as("key"), $"event_id".as("id"),
+        unix_millis($"ts").as("ts"), $"event_type".as("sym"), $"value")
+      .as[Cep.Event]
+    val q = StreamingCep.matchPattern(events, steps, withinMs = 60000L,
+        skip = Cep.SkipToFirst("B"))
+      .writeStream.outputMode("append").format("memory").queryName("scep_sv").start()
+    try {
+      evs.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(mk(999, 9000, 0.5)); q.processAllAvailable()
+      input.addData(mk(998, 9100, 0.5)); q.processAllAvailable()
+      val got = spark.table("scep_sv").as[Cep.PMatch].collect()
+        .filter(_.key == 1L).toSet
+      val batchGot = Cep.matchPattern(
+        evs.map(e => Cep.Event(e.user_id, e.event_id, e.ts.getTime, e.event_type, e.value)).toDS(),
+        steps, 60000L, Cep.SkipToFirst("B")).collect().toSet
+      assert(got == batchGot)
+      assert(got.map(m => (m.start_id, m.end_id)) == Set((1L, 3L), (3L, 5L)))
+    } finally q.stop()
+  }
 }
