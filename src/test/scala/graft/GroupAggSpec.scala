@@ -150,6 +150,44 @@ class GroupAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("retract-consuming window agg: -U cancels its insert from the row's window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, java.sql.Timestamp, Double)]
+    val name = nextName()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val q = ChangelogChain.retractWindowAgg(
+        input.toDF().toDF("row_kind", "key", "ts", "value")
+          .withWatermark("ts", "5 seconds")
+          .select($"row_kind", $"key", unix_millis($"ts").as("ts_ms"), $"value")
+          .as[WinChangeIn], 60000L)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // window [0, 60s): a keeps 20 after a retraction; b nets to zero;
+      // window [60s, 120s): a gets 5
+      input.addData(
+        ("+I", "a", t(1), 10.0), ("+I", "a", t(2), 20.0), ("-U", "a", t(3), 10.0),
+        ("+I", "b", t(4), 7.0), ("-U", "b", t(5), 7.0),
+        ("+I", "a", t(61), 5.0))
+      q.processAllAvailable()
+      input.addData(("+I", "z", t(200), 0.0)) // advance watermark past both
+      q.processAllAvailable()
+      // late changelog row for the closed window must drop silently
+      input.addData(("-U", "a", t(3), 20.0))
+      q.processAllAvailable()
+      input.addData(("+I", "z", t(400), 0.0)) // close z's window too
+      q.processAllAvailable()
+      val got = spark.table(name).as[WinAggOut].collect()
+        .map(o => (o.window_start, o.key, o.cnt, o.sum_value)).toSet
+      assert(got == Set(
+        (0L, "a", 1L, 20.0),       // retraction cancelled the 10.0 insert
+        (60000L, "a", 1L, 5.0),
+        (180000L, "z", 1L, 0.0)),  // b's net-zero window emitted nothing
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("changelog chain: group agg feeds retractable Top-N in ONE query; nets to batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
