@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.plans.{BracketConstructors, JsonObjectRewrite, UnnestRewrite}
+
+/** Fuzz the dialect text rewrites: every statement a user can type must
+  * either pass through byte-identical (no trigger construct present) or
+  * be rewritten/rejected with a clean IllegalArgumentException — never a
+  * crash, never silent corruption of non-dialect SQL. The generator
+  * leans into the hostile shapes: stray quotes of all three kinds,
+  * unbalanced brackets/parens, keyword fragments in odd positions.
+  */
+class RewriteFuzzSpec extends AnyFunSuite {
+
+  private def forAllSeeded[A](gen: Gen[A], n: Int)(check: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
+    }
+
+  private val junk: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('\'', '"', '`', '[', ']', '(', ')',
+        ',', '.', ' ', '|', '*', '='))).map(_.mkString))
+  private val token: Gen[String] = Gen.frequency(
+    6 -> junk,
+    3 -> Gen.oneOf("ARRAY", "MAP", "array", "Map", "JSON_OBJECT", "VALUE",
+      "KEY", "UNNEST", "JOIN", "SELECT", "FROM t", "AS x", "ON TRUE"),
+    2 -> Gen.oneOf("'ARRAY[1]'", "\"MAP[2]\"", "`weird [id]`", "'it''s'",
+      "ARRAY[1, 2]", "MAP['k', 1]", "JSON_OBJECT('k' VALUE 1)",
+      "UNNEST(arr)", "(a, b)", "[9]"))
+  private val stmt: Gen[String] =
+    Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, token).map(_.mkString(" ")))
+
+  test("bracket constructors: identity without a trigger, total with one") {
+    val trigger = raw"(?is)\b(ARRAY|MAP)\s*\[".r
+    forAllSeeded(stmt, 600) { s =>
+      try {
+        val out = BracketConstructors.rewrite(s)
+        if (trigger.findFirstIn(s).isEmpty)
+          assert(out == s, s"altered a trigger-free statement: <$s> -> <$out>")
+      } catch {
+        case e: IllegalArgumentException =>
+          assert(trigger.findFirstIn(s).isDefined,
+            s"threw on a trigger-free statement <$s>: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("JSON_OBJECT rewrite: identity without a trigger, total with one") {
+    forAllSeeded(stmt, 600) { s =>
+      try {
+        val out = JsonObjectRewrite.rewrite(s)
+        if (!JsonObjectRewrite.containsClause(s))
+          assert(out == s, s"altered a trigger-free statement: <$s> -> <$out>")
+      } catch {
+        case _: IllegalArgumentException =>
+          assert(raw"(?i)JSON_OBJECT".r.findFirstIn(s).isDefined,
+            s"threw on a statement without JSON_OBJECT: <$s>")
+      }
+    }
+  }
+
+  test("UNNEST rewrite: identity without a trigger, total with one") {
+    forAllSeeded(stmt, 600) { s =>
+      try {
+        val out = UnnestRewrite.rewrite(s)
+        if (!UnnestRewrite.containsClause(s))
+          assert(out == s, s"altered a trigger-free statement: <$s> -> <$out>")
+      } catch {
+        case _: IllegalArgumentException =>
+          assert(raw"(?i)UNNEST".r.findFirstIn(s).isDefined,
+            s"threw on a statement without UNNEST: <$s>")
+      }
+    }
+  }
+}
