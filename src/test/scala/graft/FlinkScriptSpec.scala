@@ -169,6 +169,34 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(FlinkSql.sql(spark, "USE CATALOG default_catalog").head().getString(0) == "OK")
   }
 
+  test("script shape: DDL source + MATCH_RECOGNIZE MEASURES end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("flink_mr_script").toString
+    Tables.events(spark, TestSpark.sfDir)
+      .selectExpr("user_id", "event_id", "substring(event_type, 1, 1) AS sym", "value")
+      .write.mode("overwrite").parquet(s"$dir/ev.parquet")
+    val got = FlinkSql.run(spark,
+      s"""CREATE TABLE mr_script_ev (
+         |  user_id BIGINT, event_id BIGINT, sym STRING, value DOUBLE
+         |) WITH ('connector' = 'filesystem',
+         |        'path' = '$dir/ev.parquet', 'format' = 'parquet');
+         |
+         |SELECT user_id, match_start, n_events, a_val
+         |FROM mr_script_ev MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY event_id
+         |  MEASURES FIRST(A.value) AS a_val
+         |  PATTERN (A C)
+         |  DEFINE A AS sym = 'v', C AS sym = 'c'
+         |) AS m""".stripMargin)
+    // agrees with the declared q104 result restricted to these columns
+    val want = SparkEntry.queries("q104_mr_measures")(spark, TestSpark.sfDir)
+      .selectExpr("user_id", "match_start", "n_events", "a_val")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet == want)
+    assert(want.nonEmpty)
+  }
+
   test("DESCRIBE parity: key and extras columns carry PRIMARY KEY and computed columns") {
     val dir = java.nio.file.Files.createTempDirectory("flink_desc").toString
     Tables.orders(spark, TestSpark.sfDir)
