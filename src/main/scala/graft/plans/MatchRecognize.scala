@@ -31,9 +31,11 @@ import graft.operators.Cep
   * ONE ROW PER MATCH (the default) emits the partition column (original
   * name + type), `match_start`/`match_end` (the ORDER BY value of the
   * first/last matched row, as long — millis when the order column is a
-  * timestamp), `n_events`, then the MEASURES aliases (doubles; COUNT is
-  * BIGINT; measured columns are evaluated numerically — the analytics
-  * subset). ALL ROWS PER MATCH emits every MATCHED input row with all
+  * timestamp), `n_events`, then the MEASURES aliases — FIRST/LAST keep
+  * the column's original type (any atomic column), COUNT is BIGINT, and
+  * SUM/MIN/MAX/AVG are doubles over numeric columns (a non-numeric
+  * column under those raises at parse). ALL ROWS PER MATCH emits every
+  * MATCHED input row with all
   * its columns plus `match_seq`, `classifier`, and RUNNING measures
   * (see [[runAllRows]]). Strict contiguity, greedy quantifiers —
   * Flink's defaults.
@@ -76,13 +78,19 @@ object MatchRecognize {
 
   final case class MrMatch(k: String, match_start: Long, match_end: Long, n_events: Int)
 
-  final case class MrRowM(k: String, ord: Long, defs: Seq[Boolean], mv: Seq[Double])
+  /** `mv` carries the numeric view of every measured column (NaN for
+    * null/non-numeric), `sv` the string view — FIRST/LAST read `sv` and
+    * cast back to the column's original type, so they work on ANY
+    * atomic column; SUM/MIN/MAX/AVG require a numeric column.
+    */
+  final case class MrRowM(k: String, ord: Long, defs: Seq[Boolean],
+      mv: Seq[Double], sv: Seq[String])
 
   final case class MrMatchM(k: String, match_start: Long, match_end: Long,
-      n_events: Int, m: Seq[Double])
+      n_events: Int, m: Seq[Double], sm: Seq[String])
 
   final case class MrAllRow(k: String, ord: Long, match_seq: Long,
-      classifier: String, m: Seq[Double])
+      classifier: String, m: Seq[Double], sm: Seq[String])
 
   /** Detect (case-insensitively) whether a statement embeds the clause. */
   def containsClause(sqlText: String): Boolean =
@@ -177,8 +185,8 @@ object MatchRecognize {
   /** MEASURES subset: `agg(VAR.col) AS alias` with agg ∈ FIRST | LAST |
     * COUNT | SUM | MIN | MAX | AVG (COUNT also takes `VAR.*`), plus the
     * bare `VAR.col AS alias` form (≡ LAST, Flink's ONE-ROW-PER-MATCH
-    * reading). Measured columns are evaluated as doubles (numeric
-    * measures — the analytics shape; COUNT emits BIGINT).
+    * reading). FIRST/LAST/COUNT take any atomic column;
+    * SUM/MIN/MAX/AVG require a numeric one.
     */
   private def parseMeasures(body: String): Seq[Measure] = {
     val m = raw"(?is)\bMEASURES\b".r.findFirstMatchIn(body) match {
@@ -385,26 +393,73 @@ object MatchRecognize {
     * variable that matched zero rows (optional step) measures as NULL —
     * except COUNT, which is 0.
     */
+  /** Validate the measures against the source schema and build the
+    * per-row numeric (`mv`) and string (`sv`) measure arrays. Null
+    * numeric values surface as NaN in the kernel and come back out as
+    * SQL NULLs; SUM/MIN/MAX/AVG demand a numeric column up front.
+    */
+  private def measureArrays(clause: Clause,
+      schema: org.apache.spark.sql.types.StructType): (Column, Column) = {
+    clause.measures.foreach { m =>
+      if (m.column != "*") {
+        val f = schema.find(_.name.equalsIgnoreCase(m.column))
+          .getOrElse(fail(s"MEASURES column ${m.column} is not a column of ${clause.table}"))
+        if (Set("SUM", "MIN", "MAX", "AVG")(m.agg) &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          fail(s"${m.agg}(${m.variable}.${m.column}) needs a numeric column, " +
+            s"got ${f.dataType.simpleString} (FIRST/LAST/COUNT take any type)")
+      }
+    }
+    val mvCols = clause.measures.map { m =>
+      val numeric = m.column != "*" &&
+        schema.find(_.name.equalsIgnoreCase(m.column))
+          .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      if (numeric) coalesce(col(m.column).cast("double"), lit(Double.NaN))
+      // non-numeric columns reach here only under FIRST/LAST (validated
+      // above), which read the string view — an ANSI cast would throw
+      else lit(if (m.column == "*") 0.0 else Double.NaN)
+    }
+    val svCols = clause.measures.map { m =>
+      if (m.column == "*") lit(null).cast("string")
+      else col(m.column).cast("string")
+    }
+    (if (mvCols.isEmpty) typedLit(Seq.empty[Double]) else array(mvCols: _*),
+      if (svCols.isEmpty) typedLit(Seq.empty[String]) else array(svCols: _*))
+  }
+
+  /** Output columns for the measure aliases: COUNT is BIGINT, FIRST/LAST
+    * cast the string view back to the column's ORIGINAL type, the
+    * numeric aggregates are doubles with NaN → NULL.
+    */
+  private def measureOutCols(measures: Seq[Measure],
+      schema: org.apache.spark.sql.types.StructType,
+      mArr: Column, smArr: Column): Seq[Column] =
+    measures.zipWithIndex.map { case (m, mi) =>
+      (m.agg match {
+        case "COUNT" => element_at(mArr, mi + 1).cast("long")
+        case "FIRST" | "LAST" =>
+          val dt = schema.find(_.name.equalsIgnoreCase(m.column))
+            .map(_.dataType)
+            .getOrElse(org.apache.spark.sql.types.StringType)
+          element_at(smArr, mi + 1).cast(dt)
+        case _ =>
+          val v = element_at(mArr, mi + 1)
+          when(isnan(v), lit(null)).otherwise(v)
+      }).as(m.alias)
+    }
+
   private def runMeasured(clause: Clause, src: DataFrame,
       keyField: org.apache.spark.sql.types.StructField, ordCol: Column,
       defCols: Seq[Column], varIdx: Map[String, Int]): DataFrame = {
     val schema = src.schema
-    clause.measures.foreach { m =>
-      if (m.column != "*" && !schema.fieldNames.exists(_.equalsIgnoreCase(m.column)))
-        fail(s"MEASURES column ${m.column} is not a column of ${clause.table}")
-    }
-    // one evaluated double per measure per row; null values surface as
-    // NaN in the kernel and come back out as SQL NULLs
-    val mvCols = clause.measures.map { m =>
-      if (m.column == "*") lit(0.0)
-      else coalesce(col(m.column).cast("double"), lit(Double.NaN))
-    }
+    val (mvArr, svArr) = measureArrays(clause, schema)
     implicit val rowEnc = Encoders.product[MrRowM]
     val tagged = src.select(
       col(keyField.name).cast("string").as("k"),
       ordCol.as("ord"),
       array(defCols: _*).as("defs"),
-      array(mvCols: _*).as("mv")).as[MrRowM]
+      mvArr.as("mv"),
+      svArr.as("sv")).as[MrRowM]
     val steps: IndexedSeq[Cep.Step] = clause.pattern.map { s =>
       val mask = s.variables.foldLeft(0L)((m, v) => m | (1L << varIdx(v)))
       Cep.when(s.variables.mkString("|"), s.min, s.max)(e => (e.value.toLong & mask) != 0L)
@@ -466,7 +521,16 @@ object MatchRecognize {
               case "AVG"               => vals.sum / idxs.length
             }
           }
-          out += MrMatchM(k, ts(i), ts(end - 1), end - i, mvals)
+          val svals = measures.zipWithIndex.map { case (m, mi) =>
+            val idxs = byVar.getOrElse(m.variable,
+              scala.collection.mutable.ArrayBuffer.empty[Int])
+            m.agg match {
+              case "FIRST" if idxs.nonEmpty => rows(idxs.head).sv(mi)
+              case "LAST" if idxs.nonEmpty  => rows(idxs.last).sv(mi)
+              case _                        => null
+            }
+          }
+          out += MrMatchM(k, ts(i), ts(end - 1), end - i, mvals, svals)
           i = Cep.resumeAfter(skip, i, end, steps, takes)
         } else i += 1
       }
@@ -475,13 +539,8 @@ object MatchRecognize {
     val base = Seq(
       col("k").cast(keyField.dataType).as(keyField.name),
       col("match_start"), col("match_end"), col("n_events"))
-    val mCols = measures.zipWithIndex.map { case (m, mi) =>
-      val v = element_at(col("m"), mi + 1)
-      val c = if (m.agg == "COUNT") v.cast("long")
-              else when(isnan(v), lit(null)).otherwise(v)
-      c.as(m.alias)
-    }
-    matches.select(base ++ mCols: _*)
+    matches.select(base ++
+      measureOutCols(measures, schema, col("m"), col("sm")): _*)
   }
 
   /** ALL ROWS PER MATCH: one output row per MATCHED input row, in match
@@ -499,21 +558,14 @@ object MatchRecognize {
       keyField: org.apache.spark.sql.types.StructField, ordCol: Column,
       defCols: Seq[Column], varIdx: Map[String, Int]): DataFrame = {
     val schema = src.schema
-    clause.measures.foreach { m =>
-      if (m.column != "*" && !schema.fieldNames.exists(_.equalsIgnoreCase(m.column)))
-        fail(s"MEASURES column ${m.column} is not a column of ${clause.table}")
-    }
-    val mvCols = clause.measures.map { m =>
-      if (m.column == "*") lit(0.0)
-      else coalesce(col(m.column).cast("double"), lit(Double.NaN))
-    }
-    val mvArray = if (mvCols.isEmpty) typedLit(Seq.empty[Double]) else array(mvCols: _*)
+    val (mvArr, svArr) = measureArrays(clause, schema)
     implicit val rowEnc = Encoders.product[MrRowM]
     val tagged = src.select(
       col(keyField.name).cast("string").as("k"),
       ordCol.as("ord"),
       array(defCols: _*).as("defs"),
-      mvArray.as("mv")).as[MrRowM]
+      mvArr.as("mv"),
+      svArr.as("sv")).as[MrRowM]
     val steps: IndexedSeq[Cep.Step] = clause.pattern.map { s =>
       val mask = s.variables.foldLeft(0L)((m, v) => m | (1L << varIdx(v)))
       Cep.when(s.variables.mkString("|"), s.min, s.max)(e => (e.value.toLong & mask) != 0L)
@@ -552,6 +604,8 @@ object MatchRecognize {
           val mx = new Array[Double](measures.length)
           val first = new Array[Double](measures.length)
           val last = new Array[Double](measures.length)
+          val firstS = new Array[String](measures.length)
+          val lastS = new Array[String](measures.length)
           var pos = i
           var si = 0
           while (si < steps.length) {
@@ -565,9 +619,11 @@ object MatchRecognize {
               while (mi < measures.length) {
                 if (measures(mi).variable == cls) {
                   val v = rows(idx).mv(mi)
-                  if (cnt(mi) == 0) { first(mi) = v; mn(mi) = v; mx(mi) = v }
+                  if (cnt(mi) == 0) { first(mi) = v; mn(mi) = v; mx(mi) = v
+                    firstS(mi) = rows(idx).sv(mi) }
                   else { mn(mi) = math.min(mn(mi), v); mx(mi) = math.max(mx(mi), v) }
                   last(mi) = v
+                  lastS(mi) = rows(idx).sv(mi)
                   sum(mi) += v
                   cnt(mi) += 1
                 }
@@ -585,7 +641,14 @@ object MatchRecognize {
                   case "AVG"                => sum(m) / cnt(m)
                 }
               }
-              out += MrAllRow(k, rows(idx).ord, matchSeq, cls, snapshot)
+              val snapshotS = measures.indices.map { m =>
+                measures(m).agg match {
+                  case "FIRST" if cnt(m) > 0 => firstS(m)
+                  case "LAST" if cnt(m) > 0  => lastS(m)
+                  case _                     => null
+                }
+              }
+              out += MrAllRow(k, rows(idx).ord, matchSeq, cls, snapshot, snapshotS)
               r += 1
             }
             pos += takes(si)
@@ -599,19 +662,14 @@ object MatchRecognize {
     // recover the full input row: equi-join on (partition, order) —
     // aliased, since the kernel frame derives from src (self-join lineage)
     val withOrd = src.withColumn("__mr_ord", ordCol).as("__mr_src")
-    val mCols = measures.zipWithIndex.map { case (m, mi) =>
-      val v = element_at(col("__mr_k.m"), mi + 1)
-      val c = if (m.agg == "COUNT") v.cast("long")
-              else when(isnan(v), lit(null)).otherwise(v)
-      c.as(m.alias)
-    }
     kernel.toDF().as("__mr_k")
       .join(withOrd,
         col("__mr_k.k") === col(s"__mr_src.${keyField.name}").cast("string") &&
           col("__mr_k.ord") === col("__mr_src.__mr_ord"))
       .select(schema.fieldNames.map(n => col(s"__mr_src.$n")) ++
         Seq(col("__mr_k.match_seq").as("match_seq"),
-          col("__mr_k.classifier").as("classifier")) ++ mCols: _*)
+          col("__mr_k.classifier").as("classifier")) ++
+        measureOutCols(measures, schema, col("__mr_k.m"), col("__mr_k.sm")): _*)
   }
 
   /** Run a full SQL statement that may embed one MATCH_RECOGNIZE clause:

@@ -132,12 +132,24 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  PARTITION BY k ORDER BY ord
         |  MEASURES SUM(B.value) AS b_sum, COUNT(B.*) AS n_b, AVG(B.value) AS b_avg,
         |           FIRST(B.value) AS b_first, LAST(B.value) AS b_last,
-        |           A.value AS a_val, MIN(B.value) AS b_min, MAX(B.value) AS b_max
+        |           A.value AS a_val, MIN(B.value) AS b_min, MAX(B.value) AS b_max,
+        |           FIRST(A.sym) AS a_sym, LAST(C.sym) AS c_sym
         |  PATTERN (A B* C)
         |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
         |)""".stripMargin)
     assert(df.columns.toSeq == Seq("k", "match_start", "match_end", "n_events",
-      "b_sum", "n_b", "b_avg", "b_first", "b_last", "a_val", "b_min", "b_max"))
+      "b_sum", "n_b", "b_avg", "b_first", "b_last", "a_val", "b_min", "b_max",
+      "a_sym", "c_sym"))
+    // FIRST/LAST on a string column keep the original type
+    assert(df.schema("a_sym").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.collect().forall(r => r.getString(12) == "a" && r.getString(13) == "c"))
+    // SUM over a non-numeric column is rejected up front
+    val eStr = intercept[IllegalArgumentException](MatchRecognize.sql(spark,
+      """SELECT * FROM mr_meas MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  MEASURES SUM(A.sym) AS s
+        |  PATTERN (A) DEFINE A AS sym = 'a')""".stripMargin))
+    assert(eStr.getMessage.contains("numeric"), eStr.getMessage)
     val rows = df.collect().map(r => r.getLong(0) -> r).toMap
     val r1 = rows(1L) // A(10) B(1) B(3) C(7)
     assert(r1.getInt(3) == 4 && r1.getDouble(4) == 4.0 && r1.getLong(5) == 2L &&
