@@ -672,6 +672,67 @@ object MatchRecognize {
         measureOutCols(measures, schema, col("__mr_k.m"), col("__mr_k.sm")): _*)
   }
 
+  /** STREAMING MATCH_RECOGNIZE — the clause over an unbounded source
+    * (Flink's MATCH_RECOGNIZE is streaming-first; [U] flink-table-runtime
+    * operators/match/ behind a watermark): the same parsed body runs as
+    * [[graft.streaming.StreamingPatternProcess]], so matches emit
+    * append-only as the watermark closes them and the state bound is the
+    * pending suffix per key. `df` must be a STREAMING DataFrame carrying
+    * an event-time watermark on the ORDER BY column (e.g.
+    * `FlinkDdl.readStream`). Subset on top of the batch clause: integral
+    * PARTITION BY key (the streaming process keys by Long), ONE ROW PER
+    * MATCH without MEASURES. Output: key (original name/type),
+    * match_start/match_end/n_events — the batch shape.
+    */
+  def stream(df: DataFrame, mrBody: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(df.isStreaming, "MatchRecognize.stream expects a streaming DataFrame")
+    val clause = parseBody("<stream>", mrBody)
+    if (clause.measures.nonEmpty)
+      fail("streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH without MEASURES")
+    if (clause.allRows)
+      fail("streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH only")
+    val schema = df.schema
+    val keyField = schema.find(_.name.equalsIgnoreCase(clause.partitionBy))
+      .getOrElse(fail(s"unknown PARTITION BY column ${clause.partitionBy}"))
+    keyField.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+      case other => fail(s"streaming MATCH_RECOGNIZE needs an integral " +
+        s"PARTITION BY key, got ${other.simpleString}")
+    }
+    val ordField = schema.find(_.name.equalsIgnoreCase(clause.orderBy))
+      .getOrElse(fail(s"unknown ORDER BY column ${clause.orderBy}"))
+    val ordCol: Column = ordField.dataType match {
+      case TimestampType => unix_millis(col(ordField.name))
+      case _             => col(ordField.name).cast(LongType)
+    }
+    val vars = (clause.pattern.flatMap(_.variables) ++ clause.defines.keys).distinct
+    val varIdx = vars.zipWithIndex.toMap
+    // DEFINE bits folded into one double-backed bitmask, evaluated by
+    // Catalyst in the scan projection (same trick as the batch path)
+    val maskCol = vars.map(v =>
+        when(expr(clause.defines(v)).cast("boolean"), lit(1L << varIdx(v)))
+          .otherwise(lit(0L)))
+      .reduce(_ + _)
+    implicit val evEnc = Encoders.product[Cep.Event]
+    val events = df.select(
+      col(keyField.name).cast("long").as("key"),
+      ordCol.as("id"),
+      ordCol.as("ts"),
+      lit("").as("sym"),
+      maskCol.cast("double").as("value")).as[Cep.Event]
+    val steps: IndexedSeq[Cep.Step] = clause.pattern.map { s =>
+      val mask = s.variables.foldLeft(0L)((m, v) => m | (1L << varIdx(v)))
+      Cep.when(s.variables.mkString("|"), s.min, s.max)(e => (e.value.toLong & mask) != 0L)
+    }.toIndexedSeq
+    graft.streaming.StreamingCep.matchPattern(events, steps, clause.withinMs, clause.skip)
+      .select(
+        col("key").cast(keyField.dataType).as(keyField.name),
+        col("start_ts").as("match_start"),
+        col("end_ts").as("match_end"),
+        col("n_events"))
+  }
+
   /** Run a full SQL statement that may embed one MATCH_RECOGNIZE clause:
     * the clause is parsed, executed, registered as a temp view, and the
     * statement is re-issued with the clause replaced by that view. Works

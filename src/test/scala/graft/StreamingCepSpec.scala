@@ -162,6 +162,52 @@ class StreamingCepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SQL MATCH_RECOGNIZE agrees with the batch rewrite") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val body =
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (V{1,2} C)
+        |DEFINE V AS sym = 'v', C AS sym = 'c'""".stripMargin
+    val evs = Seq(
+      raw(1, 1, 1000, "v"), raw(1, 2, 1010, "v"), raw(1, 3, 1020, "c"),
+      raw(1, 4, 1100, "v"), raw(1, 5, 1110, "c"),
+      raw(2, 6, 1000, "v"), raw(2, 7, 1010, "e"), raw(2, 8, 1020, "c"))
+    val input = MemoryStream[Ev]
+    val df = input.toDF().withWatermark("ts", "5 seconds")
+      .select($"user_id", $"ts", substring($"event_type", 1, 1).as("sym"))
+    val q = graft.plans.MatchRecognize.stream(df, body)
+      .writeStream.outputMode("append").format("memory").queryName("scep_sql").start()
+    try {
+      evs.grouped(3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(raw(99, 999, 9000, "x")); q.processAllAvailable()
+      input.addData(raw(99, 998, 9100, "x")); q.processAllAvailable()
+      val got = spark.table("scep_sql").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .filter(_._1 != 99L).toSet
+      evs.toDF().select($"user_id", $"ts",
+          substring($"event_type", 1, 1).as("sym"))
+        .createOrReplaceTempView("scep_sql_batch")
+      val want = graft.plans.MatchRecognize.sql(spark,
+        s"SELECT * FROM scep_sql_batch MATCH_RECOGNIZE (\n$body\n)")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(got == want, s"streaming $got vs batch $want")
+      assert(got.nonEmpty && got.map(_._1) == Set(1L)) // user 2: e breaks contiguity
+    } finally q.stop()
+    // guard rails: non-streaming input and out-of-subset clauses
+    val e1 = intercept[IllegalArgumentException](
+      graft.plans.MatchRecognize.stream(spark.range(1).toDF(), body))
+    assert(e1.getMessage.contains("streaming DataFrame"))
+    val e2 = intercept[IllegalArgumentException](graft.plans.MatchRecognize.stream(
+      input.toDF().withWatermark("ts", "5 seconds")
+        .select($"user_id", $"ts", substring($"event_type", 1, 1).as("sym")),
+      body.replace("DEFINE", "MEASURES FIRST(V.sym) AS s\nDEFINE")))
+    assert(e2.getMessage.contains("MEASURES"))
+  }
+
   test("streaming SKIP TO FIRST variable agrees with batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
