@@ -441,7 +441,13 @@ object FlinkDdl {
         registered(spark, t).exists(_._1 == "filesystem"))
     if (sources.isEmpty) fail("streaming INSERT needs at least one DDL filesystem source in the SELECT")
     sources.foreach(t => readStream(spark, t).createOrReplaceTempView(t))
-    val df = try spark.sql(select) finally {
+    // a MATCH_RECOGNIZE clause routes onto the streaming NFA (the CEP
+    // deployment shape: INSERT INTO sink SELECT ... MATCH_RECOGNIZE)
+    val df = try {
+      if (MatchRecognize.containsClause(select))
+        MatchRecognize.sqlStream(spark, select, t => spark.table(t))
+      else spark.sql(select)
+    } finally {
       // restore batch views for subsequent statements; the started
       // query keeps its own resolved streaming plan
       sources.foreach { t =>

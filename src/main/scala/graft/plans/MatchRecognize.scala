@@ -733,6 +733,26 @@ object MatchRecognize {
         col("n_events"))
   }
 
+  /** Streaming analog of [[sql]]: the clause's source resolves through
+    * `source` (a STREAMING DataFrame, e.g. a streaming temp view or
+    * `FlinkDdl.readStream`), the matches stream registers as a temp
+    * view, and the statement re-issues with the clause replaced — so
+    * `INSERT INTO sink SELECT ... FROM src MATCH_RECOGNIZE (...)`
+    * deploys exactly like any other streaming statement.
+    */
+  def sqlStream(session: SparkSession, sqlText: String,
+      source: String => DataFrame): DataFrame = {
+    val (prefix, table, body, alias, suffix) = extract(sqlText)
+    val df = stream(source(table), body)
+    val view = s"__graft_mrs_${Integer.toHexString(sqlText.hashCode).replace('-', 'n')}"
+    df.createOrReplaceTempView(view)
+    val replacement = alias match {
+      case Some(a) => s"$view AS $a"
+      case None    => view
+    }
+    session.sql(prefix + replacement + suffix)
+  }
+
   /** Run a full SQL statement that may embed one MATCH_RECOGNIZE clause:
     * the clause is parsed, executed, registered as a temp view, and the
     * statement is re-issued with the clause replaced by that view. Works

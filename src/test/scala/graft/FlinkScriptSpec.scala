@@ -197,6 +197,56 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming CEP deployment: INSERT INTO sink SELECT ... MATCH_RECOGNIZE") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flink_cep_stream").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val wave1 = Seq(
+      (1L, t(1), "v"), (1L, t(2), "v"), (1L, t(3), "c"),
+      (1L, t(100), "v"), (1L, t(101), "c"),
+      (2L, t(1), "v"), (2L, t(2), "e"), (2L, t(3), "c"))
+    wave1.toDF("user_id", "ts", "sym").write.mode("append").parquet(s"$dir/src")
+    val body =
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |PATTERN (V{1,2} C)
+        |DEFINE V AS sym = 'v', C AS sym = 'c'""".stripMargin
+    val q = FlinkSql.runStream(spark,
+      s"""CREATE TABLE cep_stream_src (
+         |  user_id BIGINT, ts TIMESTAMP(3), sym STRING,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/src',
+         |        'format' = 'parquet');
+         |CREATE TABLE cep_stream_sink (
+         |  user_id BIGINT, match_start BIGINT, match_end BIGINT, n_events INT
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/sink',
+         |        'format' = 'parquet');
+         |INSERT INTO cep_stream_sink
+         |SELECT user_id, match_start, match_end, n_events
+         |FROM cep_stream_src MATCH_RECOGNIZE (
+         |$body
+         |) AS m""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      // far-future rows push the watermark past every real match
+      Seq((99L, t(90000), "x")).toDF("user_id", "ts", "sym")
+        .write.mode("append").parquet(s"$dir/src")
+      q.processAllAvailable()
+      Seq((99L, t(90100), "x")).toDF("user_id", "ts", "sym")
+        .write.mode("append").parquet(s"$dir/src")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    spark.read.parquet(s"$dir/src").createOrReplaceTempView("cep_stream_batch")
+    val want = FlinkSql.sql(spark,
+      s"SELECT * FROM cep_stream_batch MATCH_RECOGNIZE (\n$body\n)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == want, s"streaming $got vs batch $want")
+    assert(got.nonEmpty && got.map(_._1) == Set(1L))
+  }
+
   test("DESCRIBE parity: key and extras columns carry PRIMARY KEY and computed columns") {
     val dir = java.nio.file.Files.createTempDirectory("flink_desc").toString
     Tables.orders(spark, TestSpark.sfDir)
