@@ -442,11 +442,16 @@ object FlinkDdl {
     if (sources.isEmpty) fail("streaming INSERT needs at least one DDL filesystem source in the SELECT")
     sources.foreach(t => readStream(spark, t).createOrReplaceTempView(t))
     // a MATCH_RECOGNIZE clause routes onto the streaming NFA (the CEP
-    // deployment shape: INSERT INTO sink SELECT ... MATCH_RECOGNIZE)
+    // deployment shape); everything else parses through the DIALECT
+    // chain, so window TVFs, bracket constructors, and the Flink-named
+    // functions deploy in streaming INSERTs exactly as in batch
     val df = try {
       if (MatchRecognize.containsClause(select))
         MatchRecognize.sqlStream(spark, select, t => spark.table(t))
-      else spark.sql(select)
+      else {
+        val parser = new GraftSqlParser(spark, spark.sessionState.sqlParser)
+        org.apache.spark.sql.GraftColumnBridge.ofRows(spark, parser.parsePlan(select))
+      }
     } finally {
       // restore batch views for subsequent statements; the started
       // query keeps its own resolved streaming plan

@@ -247,6 +247,48 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.map(_._1) == Set(1L))
   }
 
+  test("streaming INSERT parses the full dialect; TVF window aggs keep their documented delta") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flink_dialect_stream").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    Seq((1L, t(10), "alpha_beta"), (2L, t(20), "gamma_delta"))
+      .toDF("user_id", "ts", "s").write.mode("append").parquet(s"$dir/src")
+    // Flink-named scalar functions + bracket constructors in a
+    // STREAMING INSERT — the dialect chain, not plain spark.sql
+    val q = FlinkSql.runStream(spark,
+      s"""CREATE TABLE dial_stream_src (
+         |  user_id BIGINT, ts TIMESTAMP(3), s STRING,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/src',
+         |        'format' = 'parquet');
+         |CREATE TABLE dial_stream_sink (
+         |  user_id BIGINT, part STRING, arr_len INT
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/sink',
+         |        'format' = 'parquet');
+         |INSERT INTO dial_stream_sink
+         |SELECT user_id, SPLIT_INDEX(s, '_', 1) AS part,
+         |       CAST(cardinality(ARRAY[user_id, 9]) AS INT) AS arr_len
+         |FROM dial_stream_src""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/sink").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((1L, "beta", 2), (2L, "delta", 2)), s"got $got")
+    // a TVF window AGGREGATE in a streaming INSERT hits Spark's own
+    // watermark-tracking error — grouping on a derived window_start
+    // cannot be evicted (SURVEY §7.4.6 delta: streaming windows go
+    // through the native builders / legacy GROUP BY instead)
+    val e = intercept[org.apache.spark.sql.AnalysisException](FlinkSql.runStream(spark,
+      s"""CREATE TABLE dial_stream_sink2 (window_start TIMESTAMP(3), n BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/sink2',
+         |      'format' = 'parquet');
+         |INSERT INTO dial_stream_sink2
+         |SELECT window_start, count(*) AS n
+         |FROM TABLE(TUMBLE(TABLE dial_stream_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+         |GROUP BY window_start, window_end""".stripMargin))
+    assert(e.getMessage.contains("watermark"), e.getMessage)
+  }
+
   test("DESCRIBE parity: key and extras columns carry PRIMARY KEY and computed columns") {
     val dir = java.nio.file.Files.createTempDirectory("flink_desc").toString
     Tables.orders(spark, TestSpark.sfDir)
