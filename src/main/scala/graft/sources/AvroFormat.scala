@@ -16,10 +16,15 @@ import scala.jdk.CollectionConverters._
   * mapPartitions kernel with per-partition reader/decoder reuse — the
   * same amortization the connector's deserializer performs.
   *
-  * Supported Avro types: boolean, int, long, float, double, string,
-  * bytes, and nullable unions `[null, T]` of those — the flat-record
-  * class the reference's avro table format decodes
-  * ([U] flink-formats/flink-avro AvroRowDataDeserializationSchema).
+  * Supported Avro types ([U] flink-formats/flink-avro
+  * AvroRowDataDeserializationSchema's type matrix): boolean, int, long,
+  * float, double, string, bytes; nested RECORD (→ struct, avro field
+  * order), ARRAY (→ array), MAP (→ map<string, T> — avro map keys are
+  * strings); the `date` / `timestamp-millis` / `timestamp-micros`
+  * logical types (→ DATE / TIMESTAMP); and nullable `[null, T]` unions
+  * of all of the above at any nesting depth. Struct values on the
+  * encode side must carry fields in avro field order (the order
+  * [[sparkSchema]] produces).
   *
   * protobuf has no runtime on this classpath either (only shaded
   * org.sparkproject.connect.protobuf classes) — see [[ProtobufFormat]]
@@ -37,6 +42,9 @@ object AvroFormat {
     })
   }
 
+  private def logicalName(s: Schema): String =
+    Option(s.getLogicalType).map(_.getName).orNull
+
   private def fieldType(s: Schema): (DataType, Boolean) = s.getType match {
     case Schema.Type.UNION =>
       val branches = s.getTypes.asScala.toSeq
@@ -44,12 +52,27 @@ object AvroFormat {
       require(nonNull.size == 1, s"only [null, T] unions supported, got $s")
       (fieldType(nonNull.head)._1, true)
     case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.INT if logicalName(s) == "date" => (DateType, false)
     case Schema.Type.INT     => (IntegerType, false)
+    case Schema.Type.LONG
+        if logicalName(s) == "timestamp-millis" ||
+          logicalName(s) == "timestamp-micros" => (TimestampType, false)
     case Schema.Type.LONG    => (LongType, false)
     case Schema.Type.FLOAT   => (FloatType, false)
     case Schema.Type.DOUBLE  => (DoubleType, false)
     case Schema.Type.STRING  => (StringType, false)
     case Schema.Type.BYTES   => (BinaryType, false)
+    case Schema.Type.RECORD =>
+      (StructType(s.getFields.asScala.toSeq.map { f =>
+        val (t, n) = fieldType(f.schema())
+        StructField(f.name(), t, n)
+      }), false)
+    case Schema.Type.ARRAY =>
+      val (et, en) = fieldType(s.getElementType)
+      (ArrayType(et, containsNull = en), false)
+    case Schema.Type.MAP =>
+      val (vt, vn) = fieldType(s.getValueType)
+      (MapType(StringType, vt, valueContainsNull = vn), false)
     case other => throw new IllegalArgumentException(s"unsupported Avro type $other")
   }
 
@@ -75,7 +98,7 @@ object AvroFormat {
       rows.map { r =>
         decoder = DecoderFactory.get().binaryDecoder(r.getAs[Array[Byte]](binIdx), decoder)
         record = reader.read(record, decoder)
-        val vals = fields.map(f => fromAvroValue(record.get(f.pos())))
+        val vals = fields.map(f => fromAvro(record.get(f.pos()), f.schema()))
         Row.fromSeq(keepIdx.toSeq.map(r.get) ++ vals)
       }
     }(enc)
@@ -101,7 +124,7 @@ object AvroFormat {
       val fields = schema.getFields.asScala.toSeq
       rows.map { r =>
         val rec = new GenericData.Record(schema)
-        fields.zip(idx).foreach { case (f, i) => rec.put(f.pos(), toAvroValue(r.get(i))) }
+        fields.zip(idx).foreach { case (f, i) => rec.put(f.pos(), toAvro(r.get(i), f.schema())) }
         baos.reset()
         encoder = EncoderFactory.get().binaryEncoder(baos, encoder)
         writer.write(rec, encoder)
@@ -111,16 +134,77 @@ object AvroFormat {
     }(enc)
   }
 
-  private def fromAvroValue(v: Any): Any = v match {
-    case u: org.apache.avro.util.Utf8 => u.toString
-    case b: java.nio.ByteBuffer =>
-      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
-    case other => other
+  private def nonNullBranch(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  /** Avro runtime value → Spark external value, schema-directed so
+    * nested records/arrays/maps and logical types convert at any depth.
+    */
+  private def fromAvro(v: Any, s0: Schema): Any = {
+    if (v == null) return null
+    val s = nonNullBranch(s0)
+    s.getType match {
+      case Schema.Type.RECORD =>
+        val rec = v.asInstanceOf[GenericRecord]
+        Row.fromSeq(s.getFields.asScala.toSeq.map(f => fromAvro(rec.get(f.pos()), f.schema())))
+      case Schema.Type.ARRAY =>
+        v.asInstanceOf[java.util.Collection[_]].asScala.toSeq
+          .map(fromAvro(_, s.getElementType))
+      case Schema.Type.MAP =>
+        v.asInstanceOf[java.util.Map[_, _]].asScala
+          .map { case (k, x) => k.toString -> fromAvro(x, s.getValueType) }.toMap
+      case Schema.Type.INT if logicalName(s) == "date" =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case Schema.Type.LONG if logicalName(s) == "timestamp-millis" =>
+        new java.sql.Timestamp(v.asInstanceOf[Long])
+      case Schema.Type.LONG if logicalName(s) == "timestamp-micros" =>
+        val us = v.asInstanceOf[Long]
+        val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        t
+      case _ => v match {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case b: java.nio.ByteBuffer =>
+          val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+        case other => other
+      }
+    }
   }
 
-  private def toAvroValue(v: Any): Any = v match {
-    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-    case other => other
+  /** Spark external value → Avro runtime value (inverse of [[fromAvro]];
+    * struct fields must be in avro field order).
+    */
+  private def toAvro(v: Any, s0: Schema): Any = {
+    if (v == null) return null
+    val s = nonNullBranch(s0)
+    s.getType match {
+      case Schema.Type.RECORD =>
+        val row = v.asInstanceOf[Row]
+        val rec = new GenericData.Record(s)
+        s.getFields.asScala.foreach(f => rec.put(f.pos(), toAvro(row.get(f.pos()), f.schema())))
+        rec
+      case Schema.Type.ARRAY =>
+        v.asInstanceOf[scala.collection.Seq[_]]
+          .map(toAvro(_, s.getElementType)).asJava
+      case Schema.Type.MAP =>
+        val m = new java.util.HashMap[String, Any]()
+        v.asInstanceOf[scala.collection.Map[_, _]]
+          .foreach { case (k, x) => m.put(k.toString, toAvro(x, s.getValueType)) }
+        m
+      case Schema.Type.INT if logicalName(s) == "date" =>
+        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case Schema.Type.LONG if logicalName(s) == "timestamp-millis" =>
+        v.asInstanceOf[java.sql.Timestamp].getTime
+      case Schema.Type.LONG if logicalName(s) == "timestamp-micros" =>
+        val t = v.asInstanceOf[java.sql.Timestamp]
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      case _ => v match {
+        case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+        case other => other
+      }
+    }
   }
 
   /** Convenience: round-trip a DataFrame's payload columns through the

@@ -109,6 +109,50 @@ class FormatsSpec extends AnyFunSuite {
     assert(st("b").dataType.typeName == "boolean")
   }
 
+  test("avro nested records, arrays, maps, and logical types round-trip") {
+    import spark.implicits._
+    val nestedSchema =
+      """{"type": "record", "name": "Doc", "fields": [
+        |  {"name": "id", "type": "long"},
+        |  {"name": "meta", "type": {"type": "record", "name": "Meta", "fields": [
+        |    {"name": "lang", "type": "string"},
+        |    {"name": "score", "type": ["null", "double"], "default": null}
+        |  ]}},
+        |  {"name": "tags", "type": {"type": "array", "items": "string"}},
+        |  {"name": "counts", "type": {"type": "map", "values": "int"}},
+        |  {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        |  {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        |  {"name": "opt_arr", "type": ["null", {"type": "array", "items": "long"}],
+        |   "default": null}
+        |]}""".stripMargin
+    // schema mapping: struct in avro field order, array/map elements typed
+    val st = graft.sources.AvroFormat.sparkSchema(nestedSchema)
+    import org.apache.spark.sql.types._
+    assert(st("meta").dataType == StructType(Seq(
+      StructField("lang", StringType, nullable = false),
+      StructField("score", DoubleType, nullable = true))))
+    assert(st("tags").dataType == ArrayType(StringType, containsNull = false))
+    assert(st("counts").dataType == MapType(StringType, IntegerType, valueContainsNull = false))
+    assert(st("d").dataType == DateType)
+    assert(st("ts").dataType == TimestampType && !st("ts").nullable)
+    assert(st("opt_arr").nullable)
+    val ts = java.sql.Timestamp.valueOf("2024-03-04 05:06:07.123456")
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row("en", 0.9),
+        Seq("a", "b"), Map("x" -> 1, "y" -> 2),
+        java.sql.Date.valueOf("2024-03-04"), ts, Seq(7L)),
+      org.apache.spark.sql.Row(2L, org.apache.spark.sql.Row("de", null),
+        Seq.empty[String], Map.empty[String, Int],
+        java.sql.Date.valueOf("1969-12-31"), ts, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), st)
+    val back = graft.sources.AvroFormat.roundTrip(df, nestedSchema)
+    assert(back.schema == st)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    // micros survive exactly (not truncated to millis)
+    assert(back.select($"ts").head().getTimestamp(0).getNanos == 123456000)
+  }
+
   test("avro decode runs on a stream (Kafka-shaped binary payload pipeline)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
