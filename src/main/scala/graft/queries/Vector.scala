@@ -81,6 +81,23 @@ object Vector {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Trained two-level IVF under the EXACTNESS gate: with exhaustive
+    * probes every index vector is scanned, so the k-means-trained
+    * quantizer ([[graft.operators.Similarity.trainCentroids]]) must
+    * return exactly the brute-force top-3 — the DuckDB all-pairs oracle
+    * checks the trained path end-to-end, centroid training included.
+    * Like q33, the exhaustive sweep is a declared correctness-oracle
+    * role, not a production plan (bounded probes are the scale path).
+    */
+  val q106_ivf_trained_topk: Q = (s, d) => {
+    graft.operators.Similarity.ivfTopK2(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 3,
+      nCoarse = 8, nFinePerCell = 1000000, nProbeCoarse = 8,
+      nProbeFine = 1000000, trainIters = 2)
+      .select(col("a_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rn"))
+  }
+
   /** IVF-flat ANN top-3 (rows-only — centroid assignment is not
     * SQL-expressible; per-cell exactness + recall floor spec-tested in
     * CepSimilaritySpec). nCells = 0 → auto-scale (n/64 clamped to
@@ -188,6 +205,7 @@ object Vector {
     "q34_ann_lsh_buckets" -> q34_ann_lsh_buckets,
     "q42_ann_topk" -> q42_ann_topk,
     "q45_embedding_neardup" -> q45_embedding_neardup,
+    "q106_ivf_trained_topk" -> q106_ivf_trained_topk,
   )
 
   val oracle: Map[String, String] = Map(
@@ -236,6 +254,17 @@ object Vector {
         |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35""".stripMargin,
+    "q106_ivf_trained_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT a_id, b_id, cos,
+        |             row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+        |      FROM p)
+        |SELECT a_id, b_id AS neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3""".stripMargin,
     "q33_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
