@@ -90,8 +90,12 @@ object Vector {
     * role, not a production plan (bounded probes are the scale path).
     */
   val q106_ivf_trained_topk: Q = (s, d) => {
+    // the vec_id < 800 bound keeps the exhaustive sweep's pair cost flat
+    // across fixture SFs while still exercising training + probing end
+    // to end (sf0.01's 500 ids are all < 800 — the full table there)
     graft.operators.Similarity.ivfTopK2(
-      Tables.embeddings(s, d), "vec_id", "embedding", k = 3,
+      Tables.embeddings(s, d).filter(col("vec_id") < 800),
+      "vec_id", "embedding", k = 3,
       nCoarse = 8, nFinePerCell = 1000000, nProbeCoarse = 8,
       nProbeFine = 1000000, trainIters = 2)
       .select(col("a_id"), col("neighbor_id"),
@@ -255,7 +259,8 @@ object Vector {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35""".stripMargin,
     "q106_ivf_trained_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |           WHERE vec_id < 800),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
