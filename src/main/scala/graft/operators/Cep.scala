@@ -218,6 +218,32 @@ object Cep {
     else r
   }
 
+  /** Sequence alternation — the PERMUTE / pattern-alternative form: try
+    * each alternative step sequence in order at `start`; the FIRST that
+    * matches wins (the SQL standard's leftmost-alternative preference —
+    * PERMUTE(A, B) ≡ (A B | B A) with the permutations in lexicographic
+    * order of the listed variables). A higher-preference alternative
+    * that is [[Pending]] makes the whole outcome Pending even when a
+    * later alternative matches on the buffered events: a future event
+    * could still complete the preferred alternative, and committing the
+    * lesser one now would emit a match a full-history scan would not.
+    * Returns (altIdx, end, takes) on success; (-1, Fail/Pending, null).
+    */
+  private[graft] def tryMatchAlts(events: Array[Event], ts: Array[Long], start: Int,
+      alts: IndexedSeq[IndexedSeq[Step]], withinMs: Long, openEnded: Boolean)
+      : (Int, Int, Array[Int]) = {
+    var ai = 0
+    while (ai < alts.length) {
+      val takes = new Array[Int](alts(ai).length)
+      tryMatchAt(events, ts, start, alts(ai), withinMs, openEnded, takes) match {
+        case Pending => return (-1, Pending, null)
+        case Fail    => ai += 1
+        case end     => return (ai, end, takes)
+      }
+    }
+    (-1, Fail, null)
+  }
+
   /** Scan a time-sorted run of events: emit resolved matches, return the
     * resume index — the position from which a future scan must re-run
     * (streaming keeps events from there; batch ignores it). `wm` closes
@@ -226,6 +252,16 @@ object Cep {
     */
   private[graft] def scan(events: Array[Event], steps: IndexedSeq[Step],
       withinMs: Long, skip: AfterMatch, openEnded: Boolean, wm: Long)
+      : (Seq[PMatch], Int) =
+    scanAlts(events, IndexedSeq(steps), withinMs, skip, openEnded, wm)
+
+  /** [[scan]] over alternative step sequences ([[tryMatchAlts]]'
+    * preference order); AFTER MATCH SKIP resumes against the matched
+    * alternative's own steps, so SKIP TO FIRST/LAST a permuted variable
+    * lands wherever THAT permutation placed it.
+    */
+  private[graft] def scanAlts(events: Array[Event], alts: IndexedSeq[IndexedSeq[Step]],
+      withinMs: Long, skip: AfterMatch, openEnded: Boolean, wm: Long)
       : (Seq[PMatch], Int) = {
     val ts = events.map(_.ts)
     val out = scala.collection.mutable.ArrayBuffer.empty[PMatch]
@@ -233,15 +269,14 @@ object Cep {
     var halt = false
     while (i < events.length && !halt) {
       val open = openEnded && wm - ts(i) <= withinMs
-      val takes = new Array[Int](steps.length)
-      tryMatchAt(events, ts, i, steps, withinMs, open, takes) match {
-        case Pending => halt = true // everything from i stays buffered
-        case Fail => i += 1
-        case end =>
+      tryMatchAlts(events, ts, i, alts, withinMs, open) match {
+        case (_, Pending, _) => halt = true // everything from i stays buffered
+        case (_, Fail, _) => i += 1
+        case (ai, end, takes) =>
           val e0 = events(i)
           val e1 = events(end - 1)
           out += PMatch(e0.key, e0.id, e1.id, e0.ts, e1.ts, end - i)
-          i = resumeAfter(skip, i, end, steps, takes)
+          i = resumeAfter(skip, i, end, alts(ai), takes)
       }
     }
     (out.toSeq, i)
@@ -260,6 +295,23 @@ object Cep {
       .flatMapGroups { (_, it) =>
         val events = it.toArray.sortBy(e => (e.ts, e.id))
         scan(events, stepsIdx, withinMs, skip, openEnded = false, wm = Long.MaxValue)
+          ._1.iterator
+      }
+  }
+
+  /** [[matchPattern]] over alternative step sequences — the API-level
+    * PERMUTE form ([U] flink-sql-parser's Calcite row-pattern PERMUTE):
+    * alternatives try in listed order at each start position and the
+    * first match wins ([[tryMatchAlts]]).
+    */
+  def matchPatternAlts(ds: Dataset[Event], alts: Seq[Seq[Step]], withinMs: Long,
+      skip: AfterMatch = SkipPastLastRow): Dataset[PMatch] = {
+    implicit val enc = Encoders.product[PMatch]
+    val a = alts.map(_.toIndexedSeq).toIndexedSeq
+    ds.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroups { (_, it) =>
+        val events = it.toArray.sortBy(e => (e.ts, e.id))
+        scanAlts(events, a, withinMs, skip, openEnded = false, wm = Long.MaxValue)
           ._1.iterator
       }
   }

@@ -18,10 +18,13 @@ import graft.operators.Cep
   *   ORDER BY <col>                       -- long/int column, or timestamp
   *   [MEASURES agg(V.col) AS alias, ...]  -- agg ∈ { FIRST LAST COUNT
   *                                        --   SUM MIN MAX AVG }; bare
-  *                                        --   V.col ≡ LAST; COUNT(V.*)
+  *                                        --   V.col ≡ LAST; COUNT(V.*);
+  *                                        --   FINAL/RUNNING(...) wrappers
+  *                                        --   accepted one-row-per-match
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO FIRST V | TO LAST V]
-  *   PATTERN ( S1[q] S2[q] ... )          -- S ∈ { V, (V1|V2|...) },
+  *   PATTERN ( S1[q] S2[q] ... )          -- S ∈ { V, (V1|V2|...),
+  *                                        --   PERMUTE(V1[q], ..., V6[q]) },
   *                                        -- q ∈ {  +  ?  *  {n}  {n,m}  }
   *   [WITHIN INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY | WITHIN <n>]
   *   DEFINE V1 AS <bool expr>, ...        -- any Spark SQL boolean expr
@@ -72,7 +75,15 @@ object MatchRecognize {
       withinMs: Long,
       defines: Map[String, String],
       measures: Seq[Measure] = Seq.empty,
-      allRows: Boolean = false)
+      allRows: Boolean = false,
+      alts: Seq[Seq[PatternStep]] = Seq.empty) {
+    /** All alternative step sequences in preference order — `pattern`
+      * (the head) plus PERMUTE's other orderings; a PERMUTE-free clause
+      * has exactly one.
+      */
+    def sequences: Seq[Seq[PatternStep]] =
+      if (alts.isEmpty) Seq(pattern) else alts
+  }
 
   final case class MrRow(k: String, ord: Long, defs: Seq[Boolean])
 
@@ -137,9 +148,10 @@ object MatchRecognize {
   private[plans] def parseBody(table: String, body: String): Clause = {
     val allRows =
       raw"(?i)\bALL\s+ROWS\s+PER\s+MATCH\b".r.findFirstIn(body).isDefined
-    if (raw"(?i)\bFINAL\s*\(".r.findFirstIn(body).isDefined)
-      fail("FINAL(...) measures are not supported " +
-        "(ALL ROWS PER MATCH uses RUNNING semantics, Flink's default)")
+    if (allRows && raw"(?i)\bFINAL\s*\(".r.findFirstIn(body).isDefined)
+      fail("FINAL(...) measures are not supported under ALL ROWS PER MATCH " +
+        "(RUNNING semantics only, Flink's default); in ONE ROW PER MATCH " +
+        "FINAL is the default and is accepted")
     val part = req(body, raw"(?is)PARTITION\s+BY\s+([A-Za-z_]\w*)", "PARTITION BY <col>")
     val ord = req(body, raw"(?is)ORDER\s+BY\s+([A-Za-z_]\w*)", "ORDER BY <col>")
     val skip = raw"(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+(?:FIRST|LAST)\s+[A-Za-z_]\w*)".r
@@ -153,10 +165,14 @@ object MatchRecognize {
         Cep.SkipToLast(s.split("\\s+").last)
       case _ => Cep.SkipPastLastRow // Flink default
     }
-    val pattern = parsePattern(extractPattern(body))
+    val alts = parsePattern(extractPattern(body))
+    val pattern = alts.head
     skip match {
-      case Cep.SkipToFirst(v) => validateSkipVar(pattern, v)
-      case Cep.SkipToLast(v)  => validateSkipVar(pattern, v)
+      // every alternative must carry the target as a single-variable
+      // step (PERMUTE's orderings all do when the head does, but a
+      // hand-written mix could not)
+      case Cep.SkipToFirst(v) => alts.foreach(validateSkipVar(_, v))
+      case Cep.SkipToLast(v)  => alts.foreach(validateSkipVar(_, v))
       case _                  =>
     }
     val withinMs = parseWithin(body)
@@ -171,7 +187,8 @@ object MatchRecognize {
         fail(s"MEASURES references ${m.variable}, which is not a pattern variable")
     }
     if (defines.size > 52) fail("at most 52 DEFINE variables")
-    Clause(table, part, ord, skip, pattern, withinMs, defines, measures, allRows)
+    Clause(table, part, ord, skip, pattern, withinMs, defines, measures, allRows,
+      alts = alts)
   }
 
   /** SKIP TO FIRST/LAST targets a SINGLE-variable step (an alternation
@@ -197,7 +214,18 @@ object MatchRecognize {
     val stop = raw"(?is)\b(ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN)\b".r
       .findFirstMatchIn(tail)
       .getOrElse(fail("MEASURES must be followed by [ONE ROW PER MATCH |] AFTER MATCH | PATTERN"))
-    val entries = WindowTvf.splitArgs(tail.substring(0, stop.start))
+    // FINAL(...)/RUNNING(...) wrappers: in ONE ROW PER MATCH both read
+    // the completed match (FINAL is the standard's default there, and
+    // RUNNING evaluated at the last row sees every consumed row), so
+    // the wrapper is semantics-preservingly stripped; ALL ROWS PER
+    // MATCH rejects FINAL up front in parseBody, where it would differ.
+    val wrapRe = raw"(?is)^\s*(?:FINAL|RUNNING)\s*\((.+)\)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
+    val entries = WindowTvf.splitArgs(tail.substring(0, stop.start)).map { e =>
+      wrapRe.findFirstMatchIn(e) match {
+        case Some(w) => s"${w.group(1)} AS ${w.group(2)}"
+        case None    => e
+      }
+    }
     val aggRe =
       raw"(?is)^\s*(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*(\w+|\*)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
     val bareRe =
@@ -234,8 +262,25 @@ object MatchRecognize {
     body.substring(open + 1, i - 1)
   }
 
-  private def parsePattern(p: String): Seq[PatternStep] = {
-    val steps = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
+  /** Alternative-sequence cap: PERMUTE(k vars) expands k!-fold and
+    * PERMUTEs in sequence multiply, so a runaway pattern is rejected at
+    * parse rather than materialized (6 permuted variables = 720
+    * alternatives is already past any real migration script).
+    */
+  private[plans] val MaxAlternatives = 720
+
+  /** Parse the PATTERN body into its alternative step SEQUENCES: a
+    * pattern without PERMUTE is one sequence; each `PERMUTE(V1[q],
+    * V2[q], ...)` element expands to the k! orderings of its steps, in
+    * lexicographic order of the listed variables (the SQL standard's
+    * defined equivalence — PERMUTE(A, B) ≡ (A B | B A) — which is also
+    * the match-preference order), and several PERMUTEs in one pattern
+    * combine as a cartesian product. Subset, failing clearly otherwise:
+    * PERMUTE elements are quantified single variables, and the
+    * PERMUTE(...) itself takes no quantifier ([U] flink-sql-parser
+    * accepts PERMUTE via Calcite's row-pattern grammar).
+    */
+  private def parsePattern(p: String): Seq[Seq[PatternStep]] = {
     val n = p.length
     var i = 0
     def skipWs(): Unit = while (i < n && p.charAt(i).isWhitespace) i += 1
@@ -245,44 +290,83 @@ object MatchRecognize {
       if (i == s) fail(s"bad PATTERN near `${p.substring(math.min(s, n - 1))}`")
       p.substring(s, i)
     }
+    def readQuantifier(): (Int, Int) =
+      if (i < n) p.charAt(i) match {
+        case '+' => i += 1; (1, Cep.MaxTimes)
+        case '?' => i += 1; (0, 1)
+        case '*' => i += 1; (0, Cep.MaxTimes)
+        case '{' =>
+          val close = p.indexOf('}', i)
+          if (close < 0) fail("unclosed `{` quantifier")
+          val nums = raw"\d+".r.findAllIn(p.substring(i, close + 1)).map(_.toInt).toSeq
+          i = close + 1
+          nums.size match {
+            case 1 => (nums.head, nums.head)
+            case 2 => (nums.head, nums(1))
+            case _ => fail("bad `{n[,m]}` quantifier")
+          }
+        case _ => (1, 1)
+      } else (1, 1)
+    // each element is a set of alternative sub-sequences; a linear
+    // pattern contributes one-sequence elements and PERMUTE contributes
+    // its permutations
+    val elements = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[PatternStep]]]
     while ({ skipWs(); i < n }) {
-      val vars: Seq[String] =
-        if (p.charAt(i) == '(') { // alternation group (V1 | V2 | ...)
+      if (p.charAt(i) == '(') { // alternation group (V1 | V2 | ...)
+        i += 1
+        val vs = scala.collection.mutable.ArrayBuffer.empty[String]
+        var done = false
+        while (!done) {
+          skipWs()
+          vs += readIdent()
+          skipWs()
+          if (i < n && p.charAt(i) == '|') i += 1
+          else if (i < n && p.charAt(i) == ')') { i += 1; done = true }
+          else fail("alternation group must be `(V1 | V2 | ...)`")
+        }
+        skipWs()
+        val (min, max) = readQuantifier()
+        elements += Seq(Seq(PatternStep(vs.toSeq, min, max)))
+      } else {
+        val word = readIdent()
+        skipWs()
+        if (word.equalsIgnoreCase("PERMUTE") && i < n && p.charAt(i) == '(') {
           i += 1
-          val vs = scala.collection.mutable.ArrayBuffer.empty[String]
+          val perm = scala.collection.mutable.ArrayBuffer.empty[PatternStep]
           var done = false
           while (!done) {
             skipWs()
-            vs += readIdent()
+            val v = readIdent()
             skipWs()
-            if (i < n && p.charAt(i) == '|') i += 1
+            val (mn, mx) = readQuantifier()
+            perm += PatternStep(Seq(v), mn, mx)
+            skipWs()
+            if (i < n && p.charAt(i) == ',') i += 1
             else if (i < n && p.charAt(i) == ')') { i += 1; done = true }
-            else fail("alternation group must be `(V1 | V2 | ...)`")
+            else fail("PERMUTE must be `PERMUTE(V1[q], V2[q], ...)`")
           }
-          vs.toSeq
-        } else Seq(readIdent())
-      skipWs()
-      val (min, max) =
-        if (i < n) p.charAt(i) match {
-          case '+' => i += 1; (1, Cep.MaxTimes)
-          case '?' => i += 1; (0, 1)
-          case '*' => i += 1; (0, Cep.MaxTimes)
-          case '{' =>
-            val close = p.indexOf('}', i)
-            if (close < 0) fail("unclosed `{` quantifier")
-            val nums = raw"\d+".r.findAllIn(p.substring(i, close + 1)).map(_.toInt).toSeq
-            i = close + 1
-            nums.size match {
-              case 1 => (nums.head, nums.head)
-              case 2 => (nums.head, nums(1))
-              case _ => fail("bad `{n[,m]}` quantifier")
-            }
-          case _ => (1, 1)
-        } else (1, 1)
-      steps += PatternStep(vars, min, max)
+          skipWs()
+          if (i < n && "+?*{".indexOf(p.charAt(i)) >= 0)
+            fail("a quantifier on PERMUTE(...) itself is not supported " +
+              "(quantify the variables inside)")
+          if (perm.size > 6)
+            fail(s"PERMUTE of ${perm.size} variables expands to ${perm.size}! " +
+              s"sequences — at most 6 supported")
+          elements += perm.toSeq.permutations.toSeq
+        } else {
+          val (min, max) = readQuantifier()
+          elements += Seq(Seq(PatternStep(Seq(word), min, max)))
+        }
+      }
     }
-    if (steps.isEmpty) fail("empty PATTERN")
-    steps.toSeq
+    if (elements.isEmpty) fail("empty PATTERN")
+    elements.foldLeft(Seq(Seq.empty[PatternStep])) { (acc, el) =>
+      val next = for { a <- acc; b <- el } yield a ++ b
+      if (next.size > MaxAlternatives)
+        fail(s"pattern expands to more than $MaxAlternatives alternative " +
+          "sequences (nested PERMUTEs multiply)")
+      next
+    }
   }
 
   private def parseWithin(body: String): Long = {
@@ -330,6 +414,16 @@ object MatchRecognize {
 
   // ---------- execution ----------
 
+  /** Bitmask NFA steps for one alternative step sequence (alternation
+    * group = union of the variables' predicate bits).
+    */
+  private def buildSteps(seq: Seq[PatternStep],
+      varIdx: Map[String, Int]): IndexedSeq[Cep.Step] =
+    seq.map { s =>
+      val mask = s.variables.foldLeft(0L)((m, v) => m | (1L << varIdx(v)))
+      Cep.when(s.variables.mkString("|"), s.min, s.max)(e => (e.value.toLong & mask) != 0L)
+    }.toIndexedSeq
+
   /** Build the one-row-per-match DataFrame for a parsed clause. */
   def run(session: SparkSession, clause: Clause): DataFrame = {
     val src = session.table(clause.table)
@@ -357,11 +451,8 @@ object MatchRecognize {
       ordCol.as("ord"),
       array(defCols: _*).as("defs")).as[MrRow]
 
-    val steps: IndexedSeq[Cep.Step] = clause.pattern.map { s =>
-      // alternation = union of the variables' predicate bits
-      val mask = s.variables.foldLeft(0L)((m, v) => m | (1L << varIdx(v)))
-      Cep.when(s.variables.mkString("|"), s.min, s.max)(e => (e.value.toLong & mask) != 0L)
-    }.toIndexedSeq
+    val stepAlts: IndexedSeq[IndexedSeq[Cep.Step]] =
+      clause.sequences.map(buildSteps(_, varIdx)).toIndexedSeq
     val withinMs = clause.withinMs
     val skip = clause.skip
 
@@ -376,7 +467,7 @@ object MatchRecognize {
           while (i < r.defs.length) { if (r.defs(i)) mask |= (1L << i); i += 1 }
           Cep.Event(0L, r.ord, r.ord, "", mask.toDouble)
         }
-        Cep.scan(events, steps, withinMs, skip, openEnded = false, wm = Long.MaxValue)
+        Cep.scanAlts(events, stepAlts, withinMs, skip, openEnded = false, wm = Long.MaxValue)
           ._1.iterator
           .map(m => MrMatch(k, m.start_ts, m.end_ts, m.n_events))
       }
@@ -460,12 +551,11 @@ object MatchRecognize {
       array(defCols: _*).as("defs"),
       mvArr.as("mv"),
       svArr.as("sv")).as[MrRowM]
-    val steps: IndexedSeq[Cep.Step] = clause.pattern.map { s =>
-      val mask = s.variables.foldLeft(0L)((m, v) => m | (1L << varIdx(v)))
-      Cep.when(s.variables.mkString("|"), s.min, s.max)(e => (e.value.toLong & mask) != 0L)
-    }.toIndexedSeq
-    val stepVars: IndexedSeq[Seq[(String, Int)]] =
-      clause.pattern.map(s => s.variables.map(v => v -> varIdx(v))).toIndexedSeq
+    val stepAlts: IndexedSeq[IndexedSeq[Cep.Step]] =
+      clause.sequences.map(buildSteps(_, varIdx)).toIndexedSeq
+    val stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]] =
+      clause.sequences.map(_.map(s => s.variables.map(v => v -> varIdx(v))).toIndexedSeq)
+        .toIndexedSeq
     val measures = clause.measures
     val withinMs = clause.withinMs
     val skip = clause.skip
@@ -485,9 +575,11 @@ object MatchRecognize {
       val out = scala.collection.mutable.ArrayBuffer.empty[MrMatchM]
       var i = 0
       while (i < events.length) {
-        val takes = new Array[Int](steps.length)
-        val end = Cep.tryMatchAt(events, ts, i, steps, withinMs, openEnded = false, takes)
+        val (ai, end, takes) =
+          Cep.tryMatchAlts(events, ts, i, stepAlts, withinMs, openEnded = false)
         if (end > i) {
+          val steps = stepAlts(ai)
+          val stepVars = stepVarsAlts(ai)
           val byVar = scala.collection.mutable.Map
             .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
           var pos = i
@@ -566,12 +658,11 @@ object MatchRecognize {
       array(defCols: _*).as("defs"),
       mvArr.as("mv"),
       svArr.as("sv")).as[MrRowM]
-    val steps: IndexedSeq[Cep.Step] = clause.pattern.map { s =>
-      val mask = s.variables.foldLeft(0L)((m, v) => m | (1L << varIdx(v)))
-      Cep.when(s.variables.mkString("|"), s.min, s.max)(e => (e.value.toLong & mask) != 0L)
-    }.toIndexedSeq
-    val stepVars: IndexedSeq[Seq[(String, Int)]] =
-      clause.pattern.map(s => s.variables.map(v => v -> varIdx(v))).toIndexedSeq
+    val stepAlts: IndexedSeq[IndexedSeq[Cep.Step]] =
+      clause.sequences.map(buildSteps(_, varIdx)).toIndexedSeq
+    val stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]] =
+      clause.sequences.map(_.map(s => s.variables.map(v => v -> varIdx(v))).toIndexedSeq)
+        .toIndexedSeq
     val measures = clause.measures
     val withinMs = clause.withinMs
     val skip = clause.skip
@@ -592,9 +683,11 @@ object MatchRecognize {
       var i = 0
       var matchSeq = 0L
       while (i < events.length) {
-        val takes = new Array[Int](steps.length)
-        val end = Cep.tryMatchAt(events, ts, i, steps, withinMs, openEnded = false, takes)
+        val (ai, end, takes) =
+          Cep.tryMatchAlts(events, ts, i, stepAlts, withinMs, openEnded = false)
         if (end > i) {
+          val steps = stepAlts(ai)
+          val stepVars = stepVarsAlts(ai)
           matchSeq += 1
           // RUNNING aggregates per measure, updated as the match's rows
           // stream by in order
@@ -721,11 +814,10 @@ object MatchRecognize {
       ordCol.as("ts"),
       lit("").as("sym"),
       maskCol.cast("double").as("value")).as[Cep.Event]
-    val steps: IndexedSeq[Cep.Step] = clause.pattern.map { s =>
-      val mask = s.variables.foldLeft(0L)((m, v) => m | (1L << varIdx(v)))
-      Cep.when(s.variables.mkString("|"), s.min, s.max)(e => (e.value.toLong & mask) != 0L)
-    }.toIndexedSeq
-    graft.streaming.StreamingCep.matchPattern(events, steps, clause.withinMs, clause.skip)
+    val stepAlts: IndexedSeq[IndexedSeq[Cep.Step]] =
+      clause.sequences.map(buildSteps(_, varIdx)).toIndexedSeq
+    graft.streaming.StreamingCep.matchPatternAlts(events, stepAlts,
+      clause.withinMs, clause.skip)
       .select(
         col("key").cast(keyField.dataType).as(keyField.name),
         col("start_ts").as("match_start"),

@@ -183,6 +183,36 @@ object Temporal {
         |GROUP BY user_id""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE PERMUTE ([U] flink-sql-parser via Calcite's
+    * row-pattern grammar; SQL standard R010 PERMUTE): `PERMUTE(V, E) C`
+    * — a view and an error in EITHER order, then a click. The engine
+    * expands the permutations into alternative step sequences tried in
+    * lexicographic order (PERMUTE(V, E) ≡ (V E | E V)); the DuckDB
+    * oracle is the q55 RE2 technique with the same expansion,
+    * `(ve|ev)c` — regex alternation is leftmost-first like the NFA, and
+    * every alternative here has the same length, so the match spans
+    * cannot differ.
+    */
+  val q107_mr_permute: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"),
+        substring($"event_type", 1, 1).as("sym"))
+      .createOrReplaceTempView("q107_events")
+    graft.plans.MatchRecognize.sql(s,
+      """SELECT user_id, count(*) AS n_matches,
+        | CAST(sum(n_events) AS BIGINT) AS n_matched_events
+        |FROM q107_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (PERMUTE(V, E) C)
+        |  DEFINE V AS sym = 'v', E AS sym = 'e', C AS sym = 'c'
+        |) AS m
+        |GROUP BY user_id""".stripMargin)
+  }
+
   /** MATCH_RECOGNIZE MEASURES ([U] flink-sql-parser SqlMatchRecognize
     * MEASURES clause): per-variable aggregates on the one-row-per-match
     * output. Pattern `A C` (a view immediately followed by a click, per
@@ -430,6 +460,7 @@ object Temporal {
     "q101_window_topn_sql" -> q101_window_topn_sql,
     "q73_match_recognize_sql" -> q73_match_recognize_sql,
     "q103_mr_alternation" -> q103_mr_alternation,
+    "q107_mr_permute" -> q107_mr_permute,
     "q104_mr_measures" -> q104_mr_measures,
     "q105_mr_all_rows" -> q105_mr_all_rows,
     "q55_cep_quantified" -> q55_cep_quantified,
@@ -577,6 +608,14 @@ object Temporal {
         |SELECT user_id, event_id AS match_start, nid AS match_end,
         |       CAST(2 AS INTEGER) AS n_events, value AS a_val, nval AS c_val
         |FROM e WHERE sym = 'v' AND nsym = 'c'""".stripMargin,
+    "q107_mr_permute" ->
+      """WITH s AS (SELECT user_id,
+        |                  string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS str
+        |           FROM events GROUP BY user_id),
+        |m AS (SELECT user_id, regexp_extract_all(str, '(ve|ev)c') AS ms FROM s)
+        |SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+        |       CAST(list_sum(list_transform(ms, x -> length(x))) AS BIGINT) AS n_matched_events
+        |FROM m WHERE len(ms) > 0""".stripMargin,
     "q103_mr_alternation" ->
       """WITH s AS (SELECT user_id,
         |                  string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS str

@@ -64,7 +64,7 @@ class StreamingCepProcess(a: String, b: String, c: String, withinMs: Long)
   * from state, so state per key is the pending suffix + in-flight events
   * — the same bound Flink's NFA SharedBuffer carries under a watermark.
   */
-class StreamingPatternProcess(steps: IndexedSeq[Cep.Step], withinMs: Long,
+class StreamingPatternProcess(alts: IndexedSeq[IndexedSeq[Cep.Step]], withinMs: Long,
     skip: Cep.AfterMatch)
     extends KeyedProcess[Long, Cep.Event, Cep.PMatch] {
   @transient private var buf: ListState[Cep.Event] = _
@@ -87,7 +87,7 @@ class StreamingPatternProcess(steps: IndexedSeq[Cep.Step], withinMs: Long,
     if (readyRaw.nonEmpty) {
       val ready = readyRaw.sortBy(e => (e.ts, e.id))
       val (matches, resume) =
-        Cep.scan(ready, steps, withinMs, skip, openEnded = true, wm = wm)
+        Cep.scanAlts(ready, alts, withinMs, skip, openEnded = true, wm = wm)
       matches.foreach(emit)
       buf.clear()
       val keep = ready.drop(resume) ++ pending
@@ -114,10 +114,19 @@ object StreamingCep {
   /** General quantified pattern over a watermarked keyed event stream. */
   def matchPattern(ds: Dataset[Cep.Event], steps: Seq[Cep.Step],
       withinMs: Long, skip: Cep.AfterMatch = Cep.SkipPastLastRow)
+      : Dataset[Cep.PMatch] =
+    matchPatternAlts(ds, IndexedSeq(steps.toIndexedSeq), withinMs, skip)
+
+  /** [[matchPattern]] over alternative step sequences (PERMUTE): first
+    * matching alternative wins; a pending higher-preference alternative
+    * keeps the scan buffered (Cep.tryMatchAlts' preference rule).
+    */
+  def matchPatternAlts(ds: Dataset[Cep.Event], alts: IndexedSeq[IndexedSeq[Cep.Step]],
+      withinMs: Long, skip: Cep.AfterMatch = Cep.SkipPastLastRow)
       : Dataset[Cep.PMatch] = {
     implicit val out: Encoder[Cep.PMatch] = Encoders.product[Cep.PMatch]
     ds.groupByKey(_.key)(Encoders.scalaLong)
-      .transformWithState(new StreamingPatternProcess(steps.toIndexedSeq, withinMs, skip),
+      .transformWithState(new StreamingPatternProcess(alts, withinMs, skip),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

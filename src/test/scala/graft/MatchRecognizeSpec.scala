@@ -123,6 +123,78 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(api.map(m => (m.key, m.n_events)).toSeq == Seq((1L, 3)))
   }
 
+  test("PERMUTE matches the variables in any order") {
+    // k=1: a b c (order A B); k=2: b a c (order B A); k=3: a x c (no B)
+    mkView("mr_perm", Seq(
+      (1L, 0L, "a", 0.0), (1L, 1L, "b", 0.0), (1L, 2L, "c", 0.0),
+      (2L, 0L, "b", 0.0), (2L, 1L, "a", 0.0), (2L, 2L, "c", 0.0),
+      (3L, 0L, "a", 0.0), (3L, 1L, "x", 0.0), (3L, 2L, "c", 0.0)))
+    val got = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_perm MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN (PERMUTE(A, B) C)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == Set((1L, 0L, 2L, 3), (2L, 0L, 2L, 3)))
+
+    // 3 variables: the CAB ordering is one of the 3! = 6 expansions
+    mkView("mr_perm3", Seq(
+      (1L, 0L, "c", 0.0), (1L, 1L, "a", 0.0), (1L, 2L, "b", 0.0)))
+    assert(MatchRecognize.sql(spark,
+      """SELECT * FROM mr_perm3 MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN (PERMUTE(A, B, C))
+        |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+        |)""".stripMargin).count() == 1L)
+
+    // quantified element: PERMUTE(A, B+) accepts b b a via its B+ A order
+    mkView("mr_permq", Seq(
+      (1L, 0L, "b", 0.0), (1L, 1L, "b", 0.0), (1L, 2L, "a", 0.0)))
+    val q = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_permq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN (PERMUTE(A, B+))
+        |  DEFINE A AS sym = 'a', B AS sym = 'b'
+        |)""".stripMargin).collect()
+    assert(q.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+      == Seq((1L, 0L, 2L, 3)))
+  }
+
+  test("PERMUTE prefers the listed ordering when several could classify") {
+    // both rows satisfy A and B — the SQL-standard expansion order
+    // (A B before B A) must classify row 0 as A and row 1 as B
+    mkView("mr_perm_pref", Seq((1L, 0L, "p", 10.0), (1L, 1L, "q", 20.0)))
+    val pref = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_perm_pref MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  MEASURES FIRST(A.value) AS a_val, FIRST(B.value) AS b_val
+        |  PATTERN (PERMUTE(A, B))
+        |  DEFINE A AS value > 0, B AS value > 0
+        |)""".stripMargin).collect()
+    assert(pref.length == 1)
+    assert(pref(0).getDouble(4) == 10.0 && pref(0).getDouble(5) == 20.0)
+  }
+
+  test("PERMUTE out-of-subset shapes fail loudly") {
+    mkView("mr_perm_err", Seq((1L, 0L, "a", 0.0)))
+    val quant = intercept[IllegalArgumentException](MatchRecognize.sql(spark,
+      """SELECT * FROM mr_perm_err MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN (PERMUTE(A, B)+)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b'
+        |)""".stripMargin))
+    assert(quant.getMessage.contains("quantifier on PERMUTE"))
+    val wide = intercept[IllegalArgumentException](MatchRecognize.sql(spark,
+      """SELECT * FROM mr_perm_err MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN (PERMUTE(A, B, C, D, E, F, G))
+        |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c',
+        |         D AS sym = 'd', E AS sym = 'e', F AS sym = 'f', G AS sym = 'g'
+        |)""".stripMargin))
+    assert(wide.getMessage.contains("at most 6"))
+  }
+
   test("MEASURES subset agrees with hand-computed per-variable aggregates") {
     mkView("mr_meas", Seq(
       (1L, 0L, "a", 10.0), (1L, 1L, "b", 1.0), (1L, 2L, "b", 3.0), (1L, 3L, "c", 7.0),
@@ -268,6 +340,25 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  DEFINE A AS value < 10, B AS value >= 10, C AS value > 100
         |)""".stripMargin))
     assert(e2.getMessage.contains("single-variable"), e2.getMessage)
+  }
+
+  test("FINAL/RUNNING measure wrappers are accepted in ONE ROW PER MATCH") {
+    // ONE ROW PER MATCH evaluates measures on the completed match, so
+    // FINAL (the standard's default there) and RUNNING-at-last-row are
+    // both the plain aggregate — the wrapped forms must equal unwrapped
+    mkView("mr_final", Seq(
+      (1L, 0L, "a", 2.0), (1L, 1L, "a", 3.0), (1L, 2L, "c", 9.0)))
+    def run(measure: String) = MatchRecognize.sql(spark,
+      s"""SELECT * FROM mr_final MATCH_RECOGNIZE (
+         |  PARTITION BY k ORDER BY ord
+         |  MEASURES $measure AS s
+         |  PATTERN (A+ C)
+         |  DEFINE A AS sym = 'a', C AS sym = 'c'
+         |)""".stripMargin).collect().map(r => (r.getLong(0), r.getDouble(4))).toSeq
+    val plain = run("SUM(A.value)")
+    assert(plain == Seq((1L, 5.0)))
+    assert(run("FINAL(SUM(A.value))") == plain)
+    assert(run("RUNNING(SUM(A.value))") == plain)
   }
 
   test("out-of-subset constructs fail loudly") {

@@ -133,6 +133,40 @@ class StreamingCepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PERMUTE alternatives agree with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // PERMUTE(A, B+) ≡ alternatives [A B+] then [B+ A]; a pending
+    // preferred alternative must hold the buffer until resolved
+    val alts = IndexedSeq(
+      IndexedSeq[Cep.Step](Cep.once("A"), Cep.plus("B")),
+      IndexedSeq[Cep.Step](Cep.plus("B"), Cep.once("A")))
+    val evs = Seq(
+      raw(1, 1, 1000, "A"), raw(1, 2, 1010, "B"), raw(1, 3, 1020, "B"), // A B+
+      raw(2, 4, 1000, "B"), raw(2, 5, 1010, "B"), raw(2, 6, 1020, "A"), // B+ A
+      raw(3, 7, 1000, "B"), raw(3, 8, 1010, "X"), raw(3, 9, 1020, "A")) // broken run
+    val input = MemoryStream[Ev]
+    val events = input.toDF().withWatermark("ts", "5 seconds")
+      .select($"user_id".as("key"), $"event_id".as("id"),
+        unix_millis($"ts").as("ts"), $"event_type".as("sym"), $"value")
+      .as[Cep.Event]
+    val q = StreamingCep.matchPatternAlts(events, alts, withinMs = 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("scep_perm").start()
+    try {
+      evs.grouped(3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(raw(99, 999, 9000, "X")); q.processAllAvailable()
+      input.addData(raw(99, 998, 9100, "X")); q.processAllAvailable()
+      val got = spark.table("scep_perm").as[Cep.PMatch].collect().toSet
+      val batchGot = Cep.matchPatternAlts(
+        evs.map(e => Cep.Event(e.user_id, e.event_id, e.ts.getTime, e.event_type)).toDS(),
+        alts.map(_.toSeq), 60000L).collect().toSet
+      assert(got == batchGot)
+      assert(got == Set(
+        Cep.PMatch(1, 1, 3, 1000000, 1020000, 3),
+        Cep.PMatch(2, 4, 6, 1000000, 1020000, 3)))
+    } finally q.stop()
+  }
+
   test("streaming SKIP TO NEXT ROW emits overlapping matches like batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
