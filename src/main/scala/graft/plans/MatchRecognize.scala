@@ -20,7 +20,10 @@ import graft.operators.Cep
   *                                        --   SUM MIN MAX AVG }; bare
   *                                        --   V.col ≡ LAST; COUNT(V.*);
   *                                        --   FINAL/RUNNING(...) wrappers
-  *                                        --   accepted one-row-per-match
+  *                                        --   (FINAL ≡ default one-row-
+  *                                        --   per-match; under ALL ROWS
+  *                                        --   FINAL repeats the completed
+  *                                        --   match's value per row)
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO FIRST V | TO LAST V]
   *   PATTERN ( S1[q] S2[q] ... )          -- S ∈ { V, (V1|V2|...),
@@ -35,9 +38,11 @@ import graft.operators.Cep
   * name + type), `match_start`/`match_end` (the ORDER BY value of the
   * first/last matched row, as long — millis when the order column is a
   * timestamp), `n_events`, then the MEASURES aliases — FIRST/LAST keep
-  * the column's original type (any atomic column), COUNT is BIGINT, and
-  * SUM/MIN/MAX/AVG are doubles over numeric columns (a non-numeric
-  * column under those raises at parse). ALL ROWS PER MATCH emits every
+  * the column's original type (any atomic column), COUNT is BIGINT,
+  * SUM/AVG are doubles over numeric columns, and MIN/MAX take numeric
+  * columns (double out) or string/date/timestamp/boolean ones (original
+  * type out, ordered by the canonical string form — which equals the
+  * natural order for those types). ALL ROWS PER MATCH emits every
   * MATCHED input row with all
   * its columns plus `match_seq`, `classifier`, and RUNNING measures
   * (see [[runAllRows]]). Strict contiguity, greedy quantifiers —
@@ -64,8 +69,13 @@ object MatchRecognize {
     * of step predicates on the shared NFA).
     */
   final case class PatternStep(variables: Seq[String], min: Int, max: Int)
-  /** One MEASURES entry: `agg(variable.column) AS alias`. */
-  final case class Measure(agg: String, variable: String, column: String, alias: String)
+  /** One MEASURES entry: `agg(variable.column) AS alias`. `isFinal`
+    * records an explicit `FINAL(...)` wrapper — meaningful only under
+    * ALL ROWS PER MATCH, where the measure reports the completed
+    * match's value on every row instead of the running one.
+    */
+  final case class Measure(agg: String, variable: String, column: String,
+      alias: String, isFinal: Boolean = false)
   final case class Clause(
       table: String,
       partitionBy: String,
@@ -148,10 +158,6 @@ object MatchRecognize {
   private[plans] def parseBody(table: String, body: String): Clause = {
     val allRows =
       raw"(?i)\bALL\s+ROWS\s+PER\s+MATCH\b".r.findFirstIn(body).isDefined
-    if (allRows && raw"(?i)\bFINAL\s*\(".r.findFirstIn(body).isDefined)
-      fail("FINAL(...) measures are not supported under ALL ROWS PER MATCH " +
-        "(RUNNING semantics only, Flink's default); in ONE ROW PER MATCH " +
-        "FINAL is the default and is accepted")
     val part = req(body, raw"(?is)PARTITION\s+BY\s+([A-Za-z_]\w*)", "PARTITION BY <col>")
     val ord = req(body, raw"(?is)ORDER\s+BY\s+([A-Za-z_]\w*)", "ORDER BY <col>")
     val skip = raw"(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+(?:FIRST|LAST)\s+[A-Za-z_]\w*)".r
@@ -217,13 +223,16 @@ object MatchRecognize {
     // FINAL(...)/RUNNING(...) wrappers: in ONE ROW PER MATCH both read
     // the completed match (FINAL is the standard's default there, and
     // RUNNING evaluated at the last row sees every consumed row), so
-    // the wrapper is semantics-preservingly stripped; ALL ROWS PER
-    // MATCH rejects FINAL up front in parseBody, where it would differ.
-    val wrapRe = raw"(?is)^\s*(?:FINAL|RUNNING)\s*\((.+)\)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
+    // the wrapper only changes semantics under ALL ROWS PER MATCH —
+    // there RUNNING (Flink's default) is per-row and FINAL repeats the
+    // completed match's value on every row; the flag is recorded and
+    // applied in runAllRows.
+    val wrapRe = raw"(?is)^\s*(FINAL|RUNNING)\s*\((.+)\)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
     val entries = WindowTvf.splitArgs(tail.substring(0, stop.start)).map { e =>
       wrapRe.findFirstMatchIn(e) match {
-        case Some(w) => s"${w.group(1)} AS ${w.group(2)}"
-        case None    => e
+        case Some(w) =>
+          (s"${w.group(2)} AS ${w.group(3)}", w.group(1).equalsIgnoreCase("FINAL"))
+        case None => (e, false)
       }
     }
     val aggRe =
@@ -231,12 +240,12 @@ object MatchRecognize {
     val bareRe =
       raw"(?is)^\s*([A-Za-z_]\w*)\s*\.\s*(\w+)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
     entries.map {
-      case aggRe(agg, v, c, alias) =>
+      case (aggRe(agg, v, c, alias), fin) =>
         val a = agg.toUpperCase
         if (c == "*" && a != "COUNT") fail(s"$a requires a column, not ${v}.*")
-        Measure(a, v, c, alias)
-      case bareRe(v, c, alias) => Measure("LAST", v, c, alias)
-      case other => fail(s"bad MEASURES entry `${other.trim}` " +
+        Measure(a, v, c, alias, isFinal = fin)
+      case (bareRe(v, c, alias), fin) => Measure("LAST", v, c, alias, isFinal = fin)
+      case (other, _) => fail(s"bad MEASURES entry `${other.trim}` " +
         "(subset: agg(VAR.col) AS alias, agg in FIRST/LAST/COUNT/SUM/MIN/MAX/AVG)")
     }
   }
@@ -484,10 +493,35 @@ object MatchRecognize {
     * variable that matched zero rows (optional step) measures as NULL —
     * except COUNT, which is 0.
     */
+  /** Non-numeric types whose natural order equals the lexicographic
+    * order of their canonical string form (Spark's fixed-width
+    * date/timestamp rendering and "false" < "true" make this exact), so
+    * MIN/MAX can run on the string view and cast back losslessly.
+    */
+  private def strOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | DateType | TimestampType | BooleanType => true
+      case _                                                   => false
+    }
+  }
+
+  /** Per-measure flag: MIN/MAX running on the string view (non-numeric
+    * orderable column) instead of the numeric one.
+    */
+  private def strOrdFlags(measures: Seq[Measure],
+      schema: org.apache.spark.sql.types.StructType): Array[Boolean] =
+    measures.map { m =>
+      Set("MIN", "MAX")(m.agg) && m.column != "*" &&
+        schema.find(_.name.equalsIgnoreCase(m.column))
+          .exists(f => !f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    }.toArray
+
   /** Validate the measures against the source schema and build the
     * per-row numeric (`mv`) and string (`sv`) measure arrays. Null
     * numeric values surface as NaN in the kernel and come back out as
-    * SQL NULLs; SUM/MIN/MAX/AVG demand a numeric column up front.
+    * SQL NULLs; SUM/AVG demand a numeric column up front, MIN/MAX an
+    * orderable one.
     */
   private def measureArrays(clause: Clause,
       schema: org.apache.spark.sql.types.StructType): (Column, Column) = {
@@ -495,10 +529,14 @@ object MatchRecognize {
       if (m.column != "*") {
         val f = schema.find(_.name.equalsIgnoreCase(m.column))
           .getOrElse(fail(s"MEASURES column ${m.column} is not a column of ${clause.table}"))
-        if (Set("SUM", "MIN", "MAX", "AVG")(m.agg) &&
-          !f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        val numeric = f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        if (Set("SUM", "AVG")(m.agg) && !numeric)
           fail(s"${m.agg}(${m.variable}.${m.column}) needs a numeric column, " +
-            s"got ${f.dataType.simpleString} (FIRST/LAST/COUNT take any type)")
+            s"got ${f.dataType.simpleString} (FIRST/LAST/COUNT take any type; " +
+            "MIN/MAX also string/date/timestamp/boolean)")
+        if (Set("MIN", "MAX")(m.agg) && !numeric && !strOrderable(f.dataType))
+          fail(s"${m.agg}(${m.variable}.${m.column}) needs an orderable column " +
+            s"(numeric, string, date, timestamp, boolean), got ${f.dataType.simpleString}")
       }
     }
     val mvCols = clause.measures.map { m =>
@@ -506,8 +544,9 @@ object MatchRecognize {
         schema.find(_.name.equalsIgnoreCase(m.column))
           .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       if (numeric) coalesce(col(m.column).cast("double"), lit(Double.NaN))
-      // non-numeric columns reach here only under FIRST/LAST (validated
-      // above), which read the string view — an ANSI cast would throw
+      // non-numeric columns reach here only under FIRST/LAST/MIN/MAX
+      // (validated above), which read the string view — an ANSI cast
+      // would throw
       else lit(if (m.column == "*") 0.0 else Double.NaN)
     }
     val svCols = clause.measures.map { m =>
@@ -518,17 +557,20 @@ object MatchRecognize {
       if (svCols.isEmpty) typedLit(Seq.empty[String]) else array(svCols: _*))
   }
 
-  /** Output columns for the measure aliases: COUNT is BIGINT, FIRST/LAST
-    * cast the string view back to the column's ORIGINAL type, the
-    * numeric aggregates are doubles with NaN → NULL.
+  /** Output columns for the measure aliases: COUNT is BIGINT,
+    * FIRST/LAST — and MIN/MAX on a non-numeric column — cast the string
+    * view back to the column's ORIGINAL type, the numeric aggregates
+    * are doubles with NaN → NULL.
     */
   private def measureOutCols(measures: Seq[Measure],
       schema: org.apache.spark.sql.types.StructType,
-      mArr: Column, smArr: Column): Seq[Column] =
+      mArr: Column, smArr: Column): Seq[Column] = {
+    val strOrd = strOrdFlags(measures, schema)
     measures.zipWithIndex.map { case (m, mi) =>
       (m.agg match {
         case "COUNT" => element_at(mArr, mi + 1).cast("long")
-        case "FIRST" | "LAST" =>
+        case "FIRST" | "LAST" | "MIN" | "MAX"
+            if m.agg == "FIRST" || m.agg == "LAST" || strOrd(mi) =>
           val dt = schema.find(_.name.equalsIgnoreCase(m.column))
             .map(_.dataType)
             .getOrElse(org.apache.spark.sql.types.StringType)
@@ -538,12 +580,116 @@ object MatchRecognize {
           when(isnan(v), lit(null)).otherwise(v)
       }).as(m.alias)
     }
+  }
+
+  /** DEFINE bit-vector → bitmask. */
+  private[graft] def maskOf(defs: Seq[Boolean]): Long = {
+    var mask = 0L
+    var i = 0
+    while (i < defs.length) { if (defs(i)) mask |= (1L << i); i += 1 }
+    mask
+  }
+
+  /** Match-ordered (row index, classifier) pairs for a match at `start`
+    * with per-step consumption `takes`: each consumed row is CLASSIFIED
+    * to the first listed variable of its step whose DEFINE held
+    * (single-variable steps trivially; alternation groups pick the first
+    * matching alternative, Flink's greedy classifier order).
+    */
+  private def classifyRows(masks: Array[Long],
+      stepVars: IndexedSeq[Seq[(String, Int)]], start: Int, takes: Array[Int])
+      : IndexedSeq[(Int, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var pos = start
+    var si = 0
+    while (si < stepVars.length) {
+      var r = 0
+      while (r < takes(si)) {
+        val idx = pos + r
+        val cls = stepVars(si)
+          .find { case (_, bit) => ((masks(idx) >> bit) & 1L) == 1L }
+          .map(_._1).getOrElse(stepVars(si).head._1)
+        out += ((idx, cls))
+        r += 1
+      }
+      pos += takes(si)
+      si += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** One resolved measured match in a per-key time-ordered run. */
+  private[graft] final case class MMatch(start: Long, end: Long, n: Int,
+      m: Seq[Double], sm: Seq[String])
+
+  /** Shared measured scan over one key's time-sorted rows — the batch
+    * [[runMeasured]] kernel and the streaming process run this same
+    * code. `ords` are the order values (also the event times), `masks`
+    * the DEFINE bitmasks, `mv`/`sv` the per-row measure views. Under
+    * `openEnded` (streaming: events past the buffer may still arrive)
+    * only RESOLVED matches emit — a pending higher-preference outcome
+    * halts the scan exactly like [[Cep.scanAlts]] — and the returned
+    * resume index is where a future scan must re-run.
+    */
+  private[graft] def scanMeasured(ords: Array[Long], masks: Array[Long],
+      mv: Int => Seq[Double], sv: Int => Seq[String],
+      stepAlts: IndexedSeq[IndexedSeq[Cep.Step]],
+      stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]],
+      measures: Seq[Measure], strOrd: Array[Boolean],
+      withinMs: Long, skip: Cep.AfterMatch,
+      openEnded: Boolean, wm: Long): (Seq[MMatch], Int) = {
+    val events = Array.tabulate(ords.length)(i =>
+      Cep.Event(0L, ords(i), ords(i), "", masks(i).toDouble))
+    val out = scala.collection.mutable.ArrayBuffer.empty[MMatch]
+    var i = 0
+    var halt = false
+    while (i < events.length && !halt) {
+      val open = openEnded && wm - ords(i) <= withinMs
+      val (ai, end, takes) = Cep.tryMatchAlts(events, ords, i, stepAlts, withinMs, open)
+      if (end == Cep.Pending) halt = true
+      else if (end == Cep.Fail) i += 1
+      else {
+        val rowCls = classifyRows(masks, stepVarsAlts(ai), i, takes)
+        val byVar = rowCls.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+        val mvals = measures.zipWithIndex.map { case (m, mi) =>
+          val idxs = byVar.getOrElse(m.variable, IndexedSeq.empty)
+          def vals = idxs.iterator.map(ix => mv(ix)(mi))
+          m.agg match {
+            case "COUNT"           => idxs.length.toDouble
+            case _ if idxs.isEmpty => Double.NaN // optional step, no rows
+            case _ if strOrd(mi)   => Double.NaN // MIN/MAX on the string view
+            case "FIRST"           => mv(idxs.head)(mi)
+            case "LAST"            => mv(idxs.last)(mi)
+            case "SUM"             => vals.sum
+            case "MIN"             => vals.min
+            case "MAX"             => vals.max
+            case "AVG"             => vals.sum / idxs.length
+          }
+        }
+        val svals = measures.zipWithIndex.map { case (m, mi) =>
+          val idxs = byVar.getOrElse(m.variable, IndexedSeq.empty)
+          lazy val nn = idxs.map(ix => sv(ix)(mi)).filter(_ != null)
+          m.agg match {
+            case "FIRST" if idxs.nonEmpty => sv(idxs.head)(mi)
+            case "LAST" if idxs.nonEmpty  => sv(idxs.last)(mi)
+            case "MIN" if strOrd(mi)      => if (nn.isEmpty) null else nn.min
+            case "MAX" if strOrd(mi)      => if (nn.isEmpty) null else nn.max
+            case _                        => null
+          }
+        }
+        out += MMatch(ords(i), ords(end - 1), end - i, mvals, svals)
+        i = Cep.resumeAfter(skip, i, end, stepAlts(ai), takes)
+      }
+    }
+    (out.toSeq, i)
+  }
 
   private def runMeasured(clause: Clause, src: DataFrame,
       keyField: org.apache.spark.sql.types.StructField, ordCol: Column,
       defCols: Seq[Column], varIdx: Map[String, Int]): DataFrame = {
     val schema = src.schema
     val (mvArr, svArr) = measureArrays(clause, schema)
+    val strOrd = strOrdFlags(clause.measures, schema)
     implicit val rowEnc = Encoders.product[MrRowM]
     val tagged = src.select(
       col(keyField.name).cast("string").as("k"),
@@ -563,76 +709,82 @@ object MatchRecognize {
     implicit val outEnc = Encoders.product[MrMatchM]
     val matches = tagged.groupByKey(_.k)(Encoders.STRING).flatMapGroups { (k, it) =>
       val rows = it.toArray.sortBy(_.ord)
-      val masks = rows.map { r =>
-        var mask = 0L
-        var i = 0
-        while (i < r.defs.length) { if (r.defs(i)) mask |= (1L << i); i += 1 }
-        mask
-      }
-      val events = Array.tabulate(rows.length)(i =>
-        Cep.Event(0L, rows(i).ord, rows(i).ord, "", masks(i).toDouble))
-      val ts = events.map(_.ts)
-      val out = scala.collection.mutable.ArrayBuffer.empty[MrMatchM]
-      var i = 0
-      while (i < events.length) {
-        val (ai, end, takes) =
-          Cep.tryMatchAlts(events, ts, i, stepAlts, withinMs, openEnded = false)
-        if (end > i) {
-          val steps = stepAlts(ai)
-          val stepVars = stepVarsAlts(ai)
-          val byVar = scala.collection.mutable.Map
-            .empty[String, scala.collection.mutable.ArrayBuffer[Int]]
-          var pos = i
-          var si = 0
-          while (si < steps.length) {
-            var r = 0
-            while (r < takes(si)) {
-              val idx = pos + r
-              stepVars(si).find { case (_, bit) => ((masks(idx) >> bit) & 1L) == 1L }
-                .foreach { case (v, _) =>
-                  byVar.getOrElseUpdate(v,
-                    scala.collection.mutable.ArrayBuffer.empty[Int]) += idx
-                }
-              r += 1
-            }
-            pos += takes(si)
-            si += 1
-          }
-          val mvals = measures.zipWithIndex.map { case (m, mi) =>
-            val idxs = byVar.getOrElse(m.variable,
-              scala.collection.mutable.ArrayBuffer.empty[Int])
-            def vals = idxs.iterator.map(ix => rows(ix).mv(mi))
-            m.agg match {
-              case "COUNT"             => idxs.length.toDouble
-              case _ if idxs.isEmpty   => Double.NaN // optional step, no rows
-              case "FIRST"             => rows(idxs.head).mv(mi)
-              case "LAST"              => rows(idxs.last).mv(mi)
-              case "SUM"               => vals.sum
-              case "MIN"               => vals.min
-              case "MAX"               => vals.max
-              case "AVG"               => vals.sum / idxs.length
-            }
-          }
-          val svals = measures.zipWithIndex.map { case (m, mi) =>
-            val idxs = byVar.getOrElse(m.variable,
-              scala.collection.mutable.ArrayBuffer.empty[Int])
-            m.agg match {
-              case "FIRST" if idxs.nonEmpty => rows(idxs.head).sv(mi)
-              case "LAST" if idxs.nonEmpty  => rows(idxs.last).sv(mi)
-              case _                        => null
-            }
-          }
-          out += MrMatchM(k, ts(i), ts(end - 1), end - i, mvals, svals)
-          i = Cep.resumeAfter(skip, i, end, steps, takes)
-        } else i += 1
-      }
-      out.iterator
+      val masks = rows.map(r => maskOf(r.defs))
+      val ords = rows.map(_.ord)
+      scanMeasured(ords, masks, i => rows(i).mv, i => rows(i).sv,
+        stepAlts, stepVarsAlts, measures, strOrd, withinMs, skip,
+        openEnded = false, wm = Long.MaxValue)
+        ._1.iterator
+        .map(mm => MrMatchM(k, mm.start, mm.end, mm.n, mm.m, mm.sm))
     }
     val base = Seq(
       col("k").cast(keyField.dataType).as(keyField.name),
       col("match_start"), col("match_end"), col("n_events"))
     matches.select(base ++
       measureOutCols(measures, schema, col("m"), col("sm")): _*)
+  }
+
+  /** Running MEASURES accumulator for the ALL ROWS walk — one instance
+    * per match, updated as the match's rows stream by in order. The
+    * string-side arrays carry FIRST/LAST verbatim values and the
+    * lexicographic MIN/MAX for [[strOrdFlags]] measures.
+    */
+  private final class RunAcc(measures: Seq[Measure], strOrd: Array[Boolean]) {
+    private val n = measures.length
+    private val cnt = new Array[Long](n)
+    private val sum = new Array[Double](n)
+    private val mn = new Array[Double](n)
+    private val mx = new Array[Double](n)
+    private val first = new Array[Double](n)
+    private val last = new Array[Double](n)
+    private val firstS = new Array[String](n)
+    private val lastS = new Array[String](n)
+    private val mnS = new Array[String](n)
+    private val mxS = new Array[String](n)
+
+    def update(cls: String, mv: Seq[Double], sv: Seq[String]): Unit = {
+      var mi = 0
+      while (mi < n) {
+        if (measures(mi).variable == cls) {
+          val v = mv(mi)
+          val s = sv(mi)
+          if (cnt(mi) == 0) {
+            first(mi) = v; mn(mi) = v; mx(mi) = v
+            firstS(mi) = s; mnS(mi) = s; mxS(mi) = s
+          } else {
+            mn(mi) = math.min(mn(mi), v)
+            mx(mi) = math.max(mx(mi), v)
+            if (s != null && (mnS(mi) == null || s < mnS(mi))) mnS(mi) = s
+            if (s != null && (mxS(mi) == null || s > mxS(mi))) mxS(mi) = s
+          }
+          last(mi) = v
+          lastS(mi) = s
+          sum(mi) += v
+          cnt(mi) += 1
+        }
+        mi += 1
+      }
+    }
+
+    def snapM(m: Int): Double = measures(m).agg match {
+      case "COUNT"          => cnt(m).toDouble
+      case _ if cnt(m) == 0 => Double.NaN // var not seen (yet)
+      case _ if strOrd(m)   => Double.NaN // MIN/MAX on the string view
+      case "FIRST"          => first(m)
+      case "LAST"           => last(m)
+      case "SUM"            => sum(m)
+      case "MIN"            => mn(m)
+      case "MAX"            => mx(m)
+      case "AVG"            => sum(m) / cnt(m)
+    }
+
+    def snapS(m: Int): String = measures(m).agg match {
+      case "FIRST" if cnt(m) > 0            => firstS(m)
+      case "LAST" if cnt(m) > 0             => lastS(m)
+      case "MIN" if strOrd(m) && cnt(m) > 0 => mnS(m)
+      case "MAX" if strOrd(m) && cnt(m) > 0 => mxS(m)
+      case _                                => null
+    }
   }
 
   /** ALL ROWS PER MATCH: one output row per MATCHED input row, in match
@@ -642,15 +794,18 @@ object MatchRecognize {
     * plus `match_seq` (MATCH_NUMBER() analog, 1-based per partition),
     * `classifier` (the variable the row matched), and the MEASURES with
     * RUNNING semantics — each aggregate sees the variable's rows up to
-    * and including the current row, Flink's ALL-ROWS default (FINAL is
-    * rejected at parse). Unmatched rows are omitted (Flink omits them
-    * under AFTER MATCH SKIP PAST LAST ROW too).
+    * and including the current row, Flink's ALL-ROWS default — except
+    * measures wrapped in `FINAL(...)`, which report the COMPLETED
+    * match's value on every row (the SQL standard's FINAL semantics).
+    * Unmatched rows are omitted (Flink omits them under AFTER MATCH
+    * SKIP PAST LAST ROW too).
     */
   private def runAllRows(clause: Clause, src: DataFrame,
       keyField: org.apache.spark.sql.types.StructField, ordCol: Column,
       defCols: Seq[Column], varIdx: Map[String, Int]): DataFrame = {
     val schema = src.schema
     val (mvArr, svArr) = measureArrays(clause, schema)
+    val strOrd = strOrdFlags(clause.measures, schema)
     implicit val rowEnc = Encoders.product[MrRowM]
     val tagged = src.select(
       col(keyField.name).cast("string").as("k"),
@@ -666,16 +821,12 @@ object MatchRecognize {
     val measures = clause.measures
     val withinMs = clause.withinMs
     val skip = clause.skip
+    val anyFinal = measures.exists(_.isFinal)
 
     implicit val outEnc = Encoders.product[MrAllRow]
     val kernel = tagged.groupByKey(_.k)(Encoders.STRING).flatMapGroups { (k, it) =>
       val rows = it.toArray.sortBy(_.ord)
-      val masks = rows.map { r =>
-        var mask = 0L
-        var i = 0
-        while (i < r.defs.length) { if (r.defs(i)) mask |= (1L << i); i += 1 }
-        mask
-      }
+      val masks = rows.map(r => maskOf(r.defs))
       val events = Array.tabulate(rows.length)(i =>
         Cep.Event(0L, rows(i).ord, rows(i).ord, "", masks(i).toDouble))
       val ts = events.map(_.ts)
@@ -686,68 +837,25 @@ object MatchRecognize {
         val (ai, end, takes) =
           Cep.tryMatchAlts(events, ts, i, stepAlts, withinMs, openEnded = false)
         if (end > i) {
-          val steps = stepAlts(ai)
-          val stepVars = stepVarsAlts(ai)
           matchSeq += 1
-          // RUNNING aggregates per measure, updated as the match's rows
-          // stream by in order
-          val cnt = new Array[Long](measures.length)
-          val sum = new Array[Double](measures.length)
-          val mn = new Array[Double](measures.length)
-          val mx = new Array[Double](measures.length)
-          val first = new Array[Double](measures.length)
-          val last = new Array[Double](measures.length)
-          val firstS = new Array[String](measures.length)
-          val lastS = new Array[String](measures.length)
-          var pos = i
-          var si = 0
-          while (si < steps.length) {
-            var r = 0
-            while (r < takes(si)) {
-              val idx = pos + r
-              val cls = stepVars(si)
-                .find { case (_, bit) => ((masks(idx) >> bit) & 1L) == 1L }
-                .map(_._1).getOrElse(stepVars(si).head._1)
-              var mi = 0
-              while (mi < measures.length) {
-                if (measures(mi).variable == cls) {
-                  val v = rows(idx).mv(mi)
-                  if (cnt(mi) == 0) { first(mi) = v; mn(mi) = v; mx(mi) = v
-                    firstS(mi) = rows(idx).sv(mi) }
-                  else { mn(mi) = math.min(mn(mi), v); mx(mi) = math.max(mx(mi), v) }
-                  last(mi) = v
-                  lastS(mi) = rows(idx).sv(mi)
-                  sum(mi) += v
-                  cnt(mi) += 1
-                }
-                mi += 1
-              }
-              val snapshot = measures.indices.map { m =>
-                measures(m).agg match {
-                  case "COUNT"              => cnt(m).toDouble
-                  case _ if cnt(m) == 0     => Double.NaN // var not seen yet
-                  case "FIRST"              => first(m)
-                  case "LAST"               => last(m)
-                  case "SUM"                => sum(m)
-                  case "MIN"                => mn(m)
-                  case "MAX"                => mx(m)
-                  case "AVG"                => sum(m) / cnt(m)
-                }
-              }
-              val snapshotS = measures.indices.map { m =>
-                measures(m).agg match {
-                  case "FIRST" if cnt(m) > 0 => firstS(m)
-                  case "LAST" if cnt(m) > 0  => lastS(m)
-                  case _                     => null
-                }
-              }
-              out += MrAllRow(k, rows(idx).ord, matchSeq, cls, snapshot, snapshotS)
-              r += 1
-            }
-            pos += takes(si)
-            si += 1
+          val rowCls = classifyRows(masks, stepVarsAlts(ai), i, takes)
+          // FINAL measures read the completed match: pre-aggregate once
+          val finAcc = if (anyFinal) {
+            val a = new RunAcc(measures, strOrd)
+            rowCls.foreach { case (idx, cls) =>
+              a.update(cls, rows(idx).mv, rows(idx).sv) }
+            a
+          } else null
+          val acc = new RunAcc(measures, strOrd)
+          rowCls.foreach { case (idx, cls) =>
+            acc.update(cls, rows(idx).mv, rows(idx).sv)
+            val snapshot = measures.indices.map(m =>
+              if (measures(m).isFinal) finAcc.snapM(m) else acc.snapM(m))
+            val snapshotS = measures.indices.map(m =>
+              if (measures(m).isFinal) finAcc.snapS(m) else acc.snapS(m))
+            out += MrAllRow(k, rows(idx).ord, matchSeq, cls, snapshot, snapshotS)
           }
-          i = Cep.resumeAfter(skip, i, end, steps, takes)
+          i = Cep.resumeAfter(skip, i, end, stepAlts(ai), takes)
         } else i += 1
       }
       out.iterator
@@ -768,30 +876,34 @@ object MatchRecognize {
   /** STREAMING MATCH_RECOGNIZE — the clause over an unbounded source
     * (Flink's MATCH_RECOGNIZE is streaming-first; [U] flink-table-runtime
     * operators/match/ behind a watermark): the same parsed body runs as
-    * [[graft.streaming.StreamingPatternProcess]], so matches emit
+    * [[graft.streaming.StreamingMatchProcess]], so matches emit
     * append-only as the watermark closes them and the state bound is the
     * pending suffix per key. `df` must be a STREAMING DataFrame carrying
     * an event-time watermark on the ORDER BY column (e.g.
-    * `FlinkDdl.readStream`). Subset on top of the batch clause: integral
-    * PARTITION BY key (the streaming process keys by Long), ONE ROW PER
-    * MATCH without MEASURES. Output: key (original name/type),
-    * match_start/match_end/n_events — the batch shape.
+    * `FlinkDdl.readStream`). The PARTITION BY key may be any atomic
+    * non-binary column (keyed by its canonical string form, cast back on
+    * output), and the MEASURES subset is the batch one — the measured
+    * scan is literally the batch kernel ([[scanMeasured]]) behind the
+    * watermark. Remaining subset: ONE ROW PER MATCH (ALL ROWS is not
+    * append-only friendly). Output: key (original name/type),
+    * match_start/match_end/n_events, then the measure aliases — the
+    * batch shape.
     */
   def stream(df: DataFrame, mrBody: String): DataFrame = {
     import org.apache.spark.sql.types._
     require(df.isStreaming, "MatchRecognize.stream expects a streaming DataFrame")
     val clause = parseBody("<stream>", mrBody)
-    if (clause.measures.nonEmpty)
-      fail("streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH without MEASURES")
     if (clause.allRows)
-      fail("streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH only")
+      fail("streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH only " +
+        "(ALL ROWS PER MATCH is not append-only)")
     val schema = df.schema
     val keyField = schema.find(_.name.equalsIgnoreCase(clause.partitionBy))
       .getOrElse(fail(s"unknown PARTITION BY column ${clause.partitionBy}"))
     keyField.dataType match {
-      case LongType | IntegerType | ShortType | ByteType =>
-      case other => fail(s"streaming MATCH_RECOGNIZE needs an integral " +
-        s"PARTITION BY key, got ${other.simpleString}")
+      case BinaryType | _: StructType | _: ArrayType | _: MapType =>
+        fail(s"streaming MATCH_RECOGNIZE needs an atomic non-binary " +
+          s"PARTITION BY key, got ${keyField.dataType.simpleString}")
+      case _ =>
     }
     val ordField = schema.find(_.name.equalsIgnoreCase(clause.orderBy))
       .getOrElse(fail(s"unknown ORDER BY column ${clause.orderBy}"))
@@ -801,28 +913,33 @@ object MatchRecognize {
     }
     val vars = (clause.pattern.flatMap(_.variables) ++ clause.defines.keys).distinct
     val varIdx = vars.zipWithIndex.toMap
-    // DEFINE bits folded into one double-backed bitmask, evaluated by
-    // Catalyst in the scan projection (same trick as the batch path)
+    // DEFINE bits folded into one long bitmask, evaluated by Catalyst in
+    // the scan projection (same trick as the batch path)
     val maskCol = vars.map(v =>
         when(expr(clause.defines(v)).cast("boolean"), lit(1L << varIdx(v)))
           .otherwise(lit(0L)))
       .reduce(_ + _)
-    implicit val evEnc = Encoders.product[Cep.Event]
+    val (mvArr, svArr) = measureArrays(clause, schema)
+    val strOrd = strOrdFlags(clause.measures, schema)
+    implicit val evEnc = Encoders.product[graft.streaming.StreamingMatch.MrSEvent]
     val events = df.select(
-      col(keyField.name).cast("long").as("key"),
-      ordCol.as("id"),
-      ordCol.as("ts"),
-      lit("").as("sym"),
-      maskCol.cast("double").as("value")).as[Cep.Event]
+      col(keyField.name).cast("string").as("key"),
+      ordCol.as("ord"),
+      maskCol.as("mask"),
+      mvArr.as("mv"),
+      svArr.as("sv")).as[graft.streaming.StreamingMatch.MrSEvent]
     val stepAlts: IndexedSeq[IndexedSeq[Cep.Step]] =
       clause.sequences.map(buildSteps(_, varIdx)).toIndexedSeq
-    graft.streaming.StreamingCep.matchPatternAlts(events, stepAlts,
-      clause.withinMs, clause.skip)
-      .select(
-        col("key").cast(keyField.dataType).as(keyField.name),
-        col("start_ts").as("match_start"),
-        col("end_ts").as("match_end"),
-        col("n_events"))
+    val stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]] =
+      clause.sequences.map(_.map(s => s.variables.map(v => v -> varIdx(v))).toIndexedSeq)
+        .toIndexedSeq
+    val matches = graft.streaming.StreamingMatch.run(events, stepAlts,
+      stepVarsAlts, clause.measures, strOrd, clause.withinMs, clause.skip)
+    val base = Seq(
+      col("key").cast(keyField.dataType).as(keyField.name),
+      col("match_start"), col("match_end"), col("n_events"))
+    matches.select(base ++
+      measureOutCols(clause.measures, schema, col("m"), col("sm")): _*)
   }
 
   /** Streaming analog of [[sql]]: the clause's source resolves through

@@ -265,6 +265,63 @@ object Temporal {
         |) AS m""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE FINAL measures under ALL ROWS PER MATCH ([U]
+    * flink-table-runtime operators/match/ — Flink evaluates FINAL
+    * against the completed match on every emitted row) plus MIN/MAX on
+    * a non-numeric column (running lexicographic max of `event_type`,
+    * which for Spark's canonical string forms equals the natural
+    * order). Pattern `A{2} C` with A ∈ {view, error}: two candidate
+    * starts can never overlap (either overlap position would need the
+    * 'c' row to also satisfy A), so the DuckDB lead()-window oracle is
+    * exact — the match table is the candidate table, expanded to its
+    * three output rows with hand-computed running/final values.
+    */
+  val q108_mr_final_all_rows: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"),
+        substring($"event_type", 1, 1).as("sym"), $"event_type", $"value")
+      .createOrReplaceTempView("q108_events")
+    graft.plans.MatchRecognize.sql(s,
+      """SELECT user_id, event_id, match_seq, classifier,
+        | round(a_sum_final, 2) AS a_sum_final, et_max
+        |FROM q108_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  MEASURES FINAL(SUM(A.value)) AS a_sum_final,
+        |           RUNNING(MAX(A.event_type)) AS et_max
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A{2} C)
+        |  DEFINE A AS sym IN ('v', 'e'), C AS sym = 'c'
+        |) AS m""".stripMargin)
+  }
+
+  /** MATCH_RECOGNIZE MIN/MAX on a non-numeric column under ONE ROW PER
+    * MATCH — same `A{2} C` candidate-table oracle as q108 (matches
+    * provably cannot overlap), with the per-match least/greatest of the
+    * two A rows' `event_type` strings and the numeric SUM alongside.
+    */
+  val q109_mr_minmax: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"),
+        substring($"event_type", 1, 1).as("sym"), $"event_type", $"value")
+      .createOrReplaceTempView("q109_events")
+    graft.plans.MatchRecognize.sql(s,
+      """SELECT user_id, match_start, match_end, n_events, et_min, et_max,
+        | round(a_sum, 2) AS a_sum
+        |FROM q109_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  MEASURES MIN(A.event_type) AS et_min, MAX(A.event_type) AS et_max,
+        |           SUM(A.value) AS a_sum
+        |  PATTERN (A{2} C)
+        |  DEFINE A AS sym IN ('v', 'e'), C AS sym = 'c'
+        |) AS m""".stripMargin)
+  }
+
   /** SQL-text window TVF ([U] flink-table-planner SqlWindowTableFunction):
     * the q41 hop-window class driven through Flink's SQL surface —
     * `TABLE(HOP(TABLE t, DESCRIPTOR(ts), slide, size))` rewritten by
@@ -463,6 +520,8 @@ object Temporal {
     "q107_mr_permute" -> q107_mr_permute,
     "q104_mr_measures" -> q104_mr_measures,
     "q105_mr_all_rows" -> q105_mr_all_rows,
+    "q108_mr_final_all_rows" -> q108_mr_final_all_rows,
+    "q109_mr_minmax" -> q109_mr_minmax,
     "q55_cep_quantified" -> q55_cep_quantified,
     "q41_hop_window" -> q41_hop_window,
     "q22_tumble_window" -> q22_tumble_window,
@@ -598,6 +657,48 @@ object Temporal {
         |SELECT user_id, c_id AS event_id, CAST(match_seq AS BIGINT) AS match_seq,
         |       'C' AS classifier, a_val AS a_run, c_val AS c_run
         |FROM m""".stripMargin,
+    "q108_mr_final_all_rows" ->
+      """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym,
+        |                  event_type, value,
+        |                  lead(event_id) OVER w AS id1,
+        |                  lead(substr(event_type, 1, 1)) OVER w AS sym1,
+        |                  lead(event_type) OVER w AS et1,
+        |                  lead(value) OVER w AS v1,
+        |                  lead(event_id, 2) OVER w AS id2,
+        |                  lead(substr(event_type, 1, 1), 2) OVER w AS sym2
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |m AS (SELECT user_id, event_id AS id0, id1, id2,
+        |             event_type AS et0, et1, value AS v0, v1,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS match_seq
+        |      FROM e WHERE sym IN ('v','e') AND sym1 IN ('v','e') AND sym2 = 'c')
+        |SELECT user_id, id0 AS event_id, CAST(match_seq AS BIGINT) AS match_seq,
+        |       'A' AS classifier, round(v0 + v1, 2) AS a_sum_final, et0 AS et_max
+        |FROM m
+        |UNION ALL
+        |SELECT user_id, id1, CAST(match_seq AS BIGINT), 'A',
+        |       round(v0 + v1, 2), greatest(et0, et1)
+        |FROM m
+        |UNION ALL
+        |SELECT user_id, id2, CAST(match_seq AS BIGINT), 'C',
+        |       round(v0 + v1, 2), greatest(et0, et1)
+        |FROM m""".stripMargin,
+    "q109_mr_minmax" ->
+      """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym,
+        |                  event_type, value,
+        |                  lead(event_id) OVER w AS id1,
+        |                  lead(substr(event_type, 1, 1)) OVER w AS sym1,
+        |                  lead(event_type) OVER w AS et1,
+        |                  lead(value) OVER w AS v1,
+        |                  lead(event_id, 2) OVER w AS id2,
+        |                  lead(substr(event_type, 1, 1), 2) OVER w AS sym2
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, event_id AS match_start, id2 AS match_end,
+        |       CAST(3 AS INTEGER) AS n_events,
+        |       least(event_type, et1) AS et_min, greatest(event_type, et1) AS et_max,
+        |       round(value + v1, 2) AS a_sum
+        |FROM e WHERE sym IN ('v','e') AND sym1 IN ('v','e') AND sym2 = 'c'""".stripMargin,
     "q104_mr_measures" ->
       """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym, value,
         |                  lead(event_id) OVER w AS nid,

@@ -361,6 +361,49 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(run("RUNNING(SUM(A.value))") == plain)
   }
 
+  test("FINAL measures under ALL ROWS PER MATCH report the completed match per row") {
+    // B spans syms 'd' then 'b' so the string MIN/MAX move as the match
+    // runs; FINAL variants must show the completed value on EVERY row
+    mkView("mr_finall", Seq(
+      (1L, 0L, "a", 10.0), (1L, 1L, "d", 1.0), (1L, 2L, "b", 3.0), (1L, 3L, "c", 7.0)))
+    val df = MatchRecognize.sql(spark,
+      """SELECT ord, classifier, b_fin, b_run, s_fin, s_run
+        |FROM mr_finall MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  MEASURES FINAL(SUM(B.value)) AS b_fin, RUNNING(SUM(B.value)) AS b_run,
+        |           FINAL(MAX(B.sym)) AS s_fin, RUNNING(MIN(B.sym)) AS s_run
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B* C)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b' OR sym = 'd', C AS sym = 'c'
+        |)""".stripMargin)
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(rows.size == 4)
+    // FINAL columns are constant across the match; RUNNING ones evolve
+    assert(rows(0L) == (("A", 4.0, null, "d", null)))
+    assert(rows(1L) == (("B", 4.0, 1.0, "d", "d")))
+    assert(rows(2L) == (("B", 4.0, 4.0, "d", "b")))
+    assert(rows(3L) == (("C", 4.0, 4.0, "d", "b")))
+  }
+
+  test("MIN/MAX measures on a string column keep the original type") {
+    mkView("mr_strmm", Seq(
+      (1L, 0L, "a", 10.0), (1L, 1L, "d", 1.0), (1L, 2L, "b", 3.0), (1L, 3L, "c", 7.0)))
+    val df = MatchRecognize.sql(spark,
+      """SELECT k, s_min, s_max FROM mr_strmm MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  MEASURES MIN(B.sym) AS s_min, MAX(B.sym) AS s_max
+        |  PATTERN (A B* C)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b' OR sym = 'd', C AS sym = 'c'
+        |)""".stripMargin)
+    assert(df.schema("s_min").dataType == org.apache.spark.sql.types.StringType)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      == Seq((1L, "b", "d")))
+  }
+
   test("out-of-subset constructs fail loudly") {
     mkView("mr_err", Seq((1L, 0L, "a", 0.0)))
     def bad(sql: String) =
@@ -372,10 +415,9 @@ class MatchRecognizeSpec extends AnyFunSuite {
       .getMessage.contains("MEASURES"))
     assert(bad("""SELECT * FROM mr_err MATCH_RECOGNIZE (
       | PARTITION BY k ORDER BY ord
-      | MEASURES FINAL(SUM(A.value)) AS s
-      | ALL ROWS PER MATCH
+      | MEASURES AVG(A.sym) AS s
       | PATTERN (A) DEFINE A AS sym = 'a')""".stripMargin)
-      .getMessage.contains("FINAL"))
+      .getMessage.contains("numeric"))
     assert(bad("""SELECT * FROM mr_err MATCH_RECOGNIZE (
       | PARTITION BY k ORDER BY ord
       | PATTERN (A B) DEFINE A AS sym = 'a')""".stripMargin)

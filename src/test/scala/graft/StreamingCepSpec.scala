@@ -237,9 +237,56 @@ class StreamingCepSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("streaming DataFrame"))
     val e2 = intercept[IllegalArgumentException](graft.plans.MatchRecognize.stream(
       input.toDF().withWatermark("ts", "5 seconds")
-        .select($"user_id", $"ts", substring($"event_type", 1, 1).as("sym")),
-      body.replace("DEFINE", "MEASURES FIRST(V.sym) AS s\nDEFINE")))
-    assert(e2.getMessage.contains("MEASURES"))
+        .select(array($"user_id").as("user_id"), $"ts",
+          substring($"event_type", 1, 1).as("sym")),
+      body))
+    assert(e2.getMessage.contains("atomic"))
+  }
+
+  test("streaming MEASURES and a string partition key agree with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val body =
+      """PARTITION BY uid
+        |ORDER BY ts
+        |MEASURES SUM(V.value) AS v_sum, LAST(C.value) AS c_val, MAX(V.sym) AS v_max
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (V{1,2} C)
+        |DEFINE V AS sym = 'v', C AS sym = 'c'""".stripMargin
+    def rawv(key: Long, id: Long, sec: Long, sym: String, v: Double) =
+      Ev(id, new java.sql.Timestamp(sec * 1000), key, sym, v)
+    val evs = Seq(
+      rawv(1, 1, 1000, "v", 2.0), rawv(1, 2, 1010, "v", 3.0), rawv(1, 3, 1020, "c", 9.0),
+      rawv(1, 4, 1100, "v", 1.5), rawv(1, 5, 1110, "c", 0.5),
+      rawv(2, 6, 1000, "v", 4.0), rawv(2, 7, 1010, "e", 0.0), rawv(2, 8, 1020, "c", 1.0))
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select(concat(lit("u"), $"user_id").as("uid"), $"ts",
+        substring($"event_type", 1, 1).as("sym"), $"value")
+    val input = MemoryStream[Ev]
+    val q = graft.plans.MatchRecognize
+      .stream(proj(input.toDF().withWatermark("ts", "5 seconds")), body)
+      .writeStream.outputMode("append").format("memory").queryName("scep_meas").start()
+    try {
+      evs.grouped(3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(rawv(99, 999, 9000, "x", 0.0)); q.processAllAvailable()
+      input.addData(rawv(99, 998, 9100, "x", 0.0)); q.processAllAvailable()
+      def shape(rs: Array[org.apache.spark.sql.Row]) = rs
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getDouble(4), r.getDouble(5), r.getString(6))).toSet
+      val got = shape(spark.table("scep_meas").collect()).filter(_._1 != "u99")
+      proj(evs.toDF()).createOrReplaceTempView("scep_meas_batch")
+      val want = shape(graft.plans.MatchRecognize.sql(spark,
+        s"SELECT * FROM scep_meas_batch MATCH_RECOGNIZE (\n$body\n)").collect())
+      assert(got == want, s"streaming $got vs batch $want")
+      assert(got.map(_._1) == Set("u1")) // u2: e breaks contiguity
+      assert(got.map(_._5) == Set(5.0, 1.5)) // per-match SUM(V.value)
+      assert(got.forall(_._7 == "v")) // string MAX keeps the type
+    } finally q.stop()
+    // ALL ROWS stays out of the streaming subset
+    val e = intercept[IllegalArgumentException](graft.plans.MatchRecognize.stream(
+      proj(input.toDF().withWatermark("ts", "5 seconds")),
+      body.replace("AFTER MATCH", "ALL ROWS PER MATCH\nAFTER MATCH")))
+    assert(e.getMessage.contains("ALL ROWS"))
   }
 
   test("streaming SKIP TO FIRST variable agrees with batch") {
