@@ -71,7 +71,7 @@ object BracketConstructors {
   /** Index just past the span's closing quote, for whichever quote char
     * opened it (doubled-quote escapes included — `''`, `""`, ` `` `).
     */
-  private def endOfLiteral(s: String, start: Int): Int = {
+  private[plans] def endOfLiteral(s: String, start: Int): Int = {
     val q = s.charAt(start)
     var i = start + 1
     while (i < s.length) {

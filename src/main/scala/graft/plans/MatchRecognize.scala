@@ -19,6 +19,9 @@ import graft.operators.Cep
   *   [MEASURES agg(V.col) AS alias, ...]  -- agg ∈ { FIRST LAST COUNT
   *                                        --   SUM MIN MAX AVG }; bare
   *                                        --   V.col ≡ LAST; COUNT(V.*);
+  *                                        --   CLASSIFIER() / MATCH_NUMBER()
+  *                                        --   (one-row-per-match; V may
+  *                                        --   also be a SUBSET name);
   *                                        --   FINAL/RUNNING(...) wrappers
   *                                        --   (FINAL ≡ default one-row-
   *                                        --   per-match; under ALL ROWS
@@ -30,7 +33,12 @@ import graft.operators.Cep
   *                                        --   PERMUTE(V1[q], ..., V6[q]) },
   *                                        -- q ∈ {  +  ?  *  {n}  {n,m}  }
   *   [WITHIN INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY | WITHIN <n>]
-  *   DEFINE V1 AS <bool expr>, ...        -- any Spark SQL boolean expr
+  *   [SUBSET U = (V1, V2), ...]           -- union variables for MEASURES
+  *   DEFINE V1 AS <bool expr>, ...        -- any Spark SQL boolean expr;
+  *                                        --   PREV(expr[, n]) / NEXT(expr[, n])
+  *                                        --   physical navigation (batch);
+  *                                        --   V1.col ≡ col for the variable
+  *                                        --   being defined
   * ) [AS alias] ...
   * }}}
   *
@@ -86,7 +94,8 @@ object MatchRecognize {
       defines: Map[String, String],
       measures: Seq[Measure] = Seq.empty,
       allRows: Boolean = false,
-      alts: Seq[Seq[PatternStep]] = Seq.empty) {
+      alts: Seq[Seq[PatternStep]] = Seq.empty,
+      subsets: Map[String, Seq[String]] = Map.empty) {
     /** All alternative step sequences in preference order — `pattern`
       * (the head) plus PERMUTE's other orderings; a PERMUTE-free clause
       * has exactly one.
@@ -184,17 +193,51 @@ object MatchRecognize {
     val withinMs = parseWithin(body)
     val defines = parseDefines(body)
     val measures = parseMeasures(body)
+    val subsets = parseSubsets(body)
     pattern.foreach(s => s.variables.foreach { v =>
       if (!defines.contains(v)) fail(s"pattern variable $v has no DEFINE")
     })
     val patternVars = pattern.flatMap(_.variables).toSet
+    subsets.foreach { case (name, members) =>
+      if (patternVars.contains(name))
+        fail(s"SUBSET $name collides with a pattern variable")
+      members.foreach(v => if (!patternVars.contains(v))
+        fail(s"SUBSET $name member $v is not a pattern variable"))
+    }
     measures.foreach { m =>
-      if (!patternVars.contains(m.variable))
-        fail(s"MEASURES references ${m.variable}, which is not a pattern variable")
+      if (Set("CLASSIFIER", "MATCH_NUMBER")(m.agg)) {
+        if (allRows) fail(s"${m.agg}() under ALL ROWS PER MATCH: use the " +
+          "built-in classifier / match_seq output columns")
+      } else if (!patternVars.contains(m.variable) && !subsets.contains(m.variable))
+        fail(s"MEASURES references ${m.variable}, which is not a pattern " +
+          "variable (and not a SUBSET)")
     }
     if (defines.size > 52) fail("at most 52 DEFINE variables")
     Clause(table, part, ord, skip, pattern, withinMs, defines, measures, allRows,
-      alts = alts)
+      alts = alts, subsets = subsets)
+  }
+
+  /** SUBSET U = (A, B), W = (C): union variables for MEASURES ([U]
+    * flink-sql-parser SqlMatchRecognize SUBSET clause — a subset's rows
+    * are the union, in row order, of its members' rows).
+    */
+  private def parseSubsets(body: String): Map[String, Seq[String]] = {
+    val m = raw"(?is)\bSUBSET\b".r.findFirstMatchIn(body) match {
+      case None     => return Map.empty
+      case Some(mm) => mm
+    }
+    val tail = body.substring(m.end)
+    val stop = raw"(?is)\bDEFINE\b".r.findFirstMatchIn(tail)
+      .getOrElse(fail("SUBSET must precede DEFINE"))
+    val entryRe = raw"(?is)^\s*([A-Za-z_]\w*)\s*=\s*\(([^)]*)\)\s*$$".r
+    WindowTvf.splitArgs(tail.substring(0, stop.start)).map {
+      case entryRe(name, members) =>
+        val ms = members.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        if (ms.isEmpty) fail(s"SUBSET $name has no members")
+        name -> ms
+      case other => fail(s"bad SUBSET entry `${other.trim}` " +
+        "(subset: NAME = (V1, V2, ...))")
+    }.toMap
   }
 
   /** SKIP TO FIRST/LAST targets a SINGLE-variable step (an alternation
@@ -239,7 +282,11 @@ object MatchRecognize {
       raw"(?is)^\s*(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*(\w+|\*)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
     val bareRe =
       raw"(?is)^\s*([A-Za-z_]\w*)\s*\.\s*(\w+)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
+    val fnRe =
+      raw"(?is)^\s*(CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
     entries.map {
+      case (fnRe(fn, alias), fin) =>
+        Measure(fn.toUpperCase, "", "*", alias, isFinal = fin)
       case (aggRe(agg, v, c, alias), fin) =>
         val a = agg.toUpperCase
         if (c == "*" && a != "COUNT") fail(s"$a requires a column, not ${v}.*")
@@ -421,6 +468,129 @@ object MatchRecognize {
     }.toMap
   }
 
+  // ---------- PREV/NEXT navigation ----------
+
+  /** One rewritten navigation call: `PREV(expr, n)` / `NEXT(expr, n)`
+    * becomes a generated lag/lead window column named `name`.
+    */
+  private[plans] final case class NavCol(name: String, fn: String,
+      inner: String, offset: Int)
+
+  /** Rewrite PREV/NEXT navigation and self-variable qualifiers in the
+    * DEFINE bodies ([U] flink-docs dev/table/sql/queries/match_recognize
+    * "Pattern Navigation" — PREV/NEXT map to PHYSICAL offsets over the
+    * partition, not to the variable's own rows). A physical offset is
+    * exactly `lag/lead(expr, n) OVER (PARTITION BY key ORDER BY ord)`,
+    * so after one window projection every DEFINE predicate is again a
+    * row-local boolean evaluated by Catalyst in the scan — codegen, no
+    * NFA-side evaluation. The defining variable's qualifier (`DOWN.price`
+    * inside `DEFINE DOWN`) refers to the current row and is stripped;
+    * referencing ANOTHER variable in DEFINE is Flink's stateful
+    * LAST(B.col) semantics, which is out of the declared subset and
+    * raises a clear error rather than silently mis-evaluating.
+    */
+  private[plans] def rewriteNav(defines: Map[String, String],
+      allVars: Set[String]): (Map[String, String], Seq[NavCol]) = {
+    val navs = scala.collection.mutable.LinkedHashMap.empty[(String, String, Int), NavCol]
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+
+    // strip `selfVar.` qualifiers; fail on any other pattern variable's
+    // qualifier (quote-aware: quoted spans copy wholesale)
+    def stripQualifiers(s: String, selfVar: String, where: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '\'' || c == '"' || c == '`') {
+          val end = BracketConstructors.endOfLiteral(s, i)
+          out.append(s.substring(i, end)); i = end
+        } else if (isWordChar(c) && (i == 0 || !isWordChar(s.charAt(i - 1)))) {
+          var j = i
+          while (j < n && isWordChar(s.charAt(j))) j += 1
+          val word = s.substring(i, j)
+          if (j < n && s.charAt(j) == '.' && allVars.exists(_.equalsIgnoreCase(word))) {
+            if (!word.equalsIgnoreCase(selfVar))
+              fail(s"DEFINE $where references $word.<col>: navigating another " +
+                "variable's rows (LAST/FIRST semantics) is not in the subset — " +
+                "only the defining variable's qualifier or unqualified columns")
+            i = j + 1 // drop `selfVar.`
+          } else { out.append(word); i = j }
+        } else { out.append(c); i += 1 }
+      }
+      out.toString
+    }
+
+    val rewritten = defines.map { case (v, exprText) =>
+      val out = new StringBuilder
+      var i = 0
+      val n = exprText.length
+      while (i < n) {
+        val c = exprText.charAt(i)
+        if (c == '\'' || c == '"' || c == '`') {
+          val end = BracketConstructors.endOfLiteral(exprText, i)
+          out.append(exprText.substring(i, end)); i = end
+        } else if (isWordChar(c) && (i == 0 || !isWordChar(exprText.charAt(i - 1)))) {
+          var j = i
+          while (j < n && isWordChar(exprText.charAt(j))) j += 1
+          val word = exprText.substring(i, j)
+          val isNav = (word.equalsIgnoreCase("PREV") || word.equalsIgnoreCase("NEXT")) &&
+            j < n && exprText.charAt(j) == '('
+          if (isNav) {
+            // balanced-paren argument span (quote-aware)
+            var k = j + 1
+            var depth = 1
+            while (k < n && depth > 0) {
+              exprText.charAt(k) match {
+                case '\'' | '"' | '`' =>
+                  k = BracketConstructors.endOfLiteral(exprText, k) - 1
+                case '(' => depth += 1
+                case ')' => depth -= 1
+                case _ =>
+              }
+              k += 1
+            }
+            if (depth != 0) fail(s"unbalanced parens in ${word.toUpperCase} in DEFINE $v")
+            val argText = exprText.substring(j + 1, k - 1)
+            // top-level comma → expr [, offset]
+            var depth2 = 0
+            var split = -1
+            var p = 0
+            while (p < argText.length && split < 0) {
+              argText.charAt(p) match {
+                case '\'' | '"' | '`' =>
+                  p = BracketConstructors.endOfLiteral(argText, p) - 1
+                case '(' => depth2 += 1
+                case ')' => depth2 -= 1
+                case ',' if depth2 == 0 => split = p
+                case _ =>
+              }
+              p += 1
+            }
+            val (innerRaw, offset) =
+              if (split < 0) (argText, 1)
+              else {
+                val off = argText.substring(split + 1).trim
+                if (!off.matches(raw"\d+")) fail(
+                  s"${word.toUpperCase} offset must be an integer literal, got `$off`")
+                (argText.substring(0, split), off.toInt)
+              }
+            if (raw"(?i)\b(PREV|NEXT)\s*\(".r.findFirstIn(innerRaw).isDefined)
+              fail("nested PREV/NEXT navigation is not in the subset")
+            val inner = stripQualifiers(innerRaw, v, v).trim
+            val fn = word.toUpperCase
+            val nav = navs.getOrElseUpdate((fn, inner, offset),
+              NavCol(s"__mr_nav${navs.size}", fn, inner, offset))
+            out.append(nav.name)
+            i = k
+          } else { out.append(word); i = j }
+        } else { out.append(c); i += 1 }
+      }
+      v -> stripQualifiers(out.toString, v, v)
+    }
+    (rewritten, navs.values.toSeq)
+  }
+
   // ---------- execution ----------
 
   /** Bitmask NFA steps for one alternative step sequence (alternation
@@ -435,8 +605,8 @@ object MatchRecognize {
 
   /** Build the one-row-per-match DataFrame for a parsed clause. */
   def run(session: SparkSession, clause: Clause): DataFrame = {
-    val src = session.table(clause.table)
-    val schema = src.schema
+    val src0 = session.table(clause.table)
+    val schema = src0.schema
     val keyField = schema.find(_.name.equalsIgnoreCase(clause.partitionBy))
       .getOrElse(fail(s"unknown PARTITION BY column ${clause.partitionBy}"))
     val ordField = schema.find(_.name.equalsIgnoreCase(clause.orderBy))
@@ -447,7 +617,20 @@ object MatchRecognize {
     }
     // stable variable order: pattern order, then any extra defines
     val vars = (clause.pattern.flatMap(_.variables) ++ clause.defines.keys).distinct
-    val defCols = vars.map(v => expr(clause.defines(v)).cast("boolean"))
+    // PREV/NEXT physical navigation → lag/lead window columns, so every
+    // DEFINE predicate stays a row-local Catalyst boolean
+    val (defs, navs) = rewriteNav(clause.defines, vars.toSet)
+    val src = if (navs.isEmpty) src0 else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyField.name)).orderBy(ordCol)
+      navs.foldLeft(src0) { (d, nc) =>
+        val e = expr(nc.inner)
+        d.withColumn(nc.name,
+          (if (nc.fn == "PREV") lag(e, nc.offset) else lead(e, nc.offset)).over(w))
+      }
+    }
+    // NULL predicate (e.g. PREV at the partition start) = no match
+    val defCols = vars.map(v => coalesce(expr(defs(v)).cast("boolean"), lit(false)))
     val varIdx = vars.zipWithIndex.toMap
     if (clause.allRows)
       return runAllRows(clause, src, keyField, ordCol, defCols, varIdx)
@@ -568,6 +751,8 @@ object MatchRecognize {
     val strOrd = strOrdFlags(measures, schema)
     measures.zipWithIndex.map { case (m, mi) =>
       (m.agg match {
+        case "MATCH_NUMBER" => element_at(mArr, mi + 1).cast("long")
+        case "CLASSIFIER"   => element_at(smArr, mi + 1)
         case "COUNT" => element_at(mArr, mi + 1).cast("long")
         case "FIRST" | "LAST" | "MIN" | "MAX"
             if m.agg == "FIRST" || m.agg == "LAST" || strOrd(mi) =>
@@ -637,9 +822,13 @@ object MatchRecognize {
       stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]],
       measures: Seq[Measure], strOrd: Array[Boolean],
       withinMs: Long, skip: Cep.AfterMatch,
-      openEnded: Boolean, wm: Long): (Seq[MMatch], Int) = {
+      openEnded: Boolean, wm: Long,
+      subsets: Map[String, Seq[String]] = Map.empty): (Seq[MMatch], Int) = {
     val events = Array.tabulate(ords.length)(i =>
       Cep.Event(0L, ords(i), ords(i), "", masks(i).toDouble))
+    // a SUBSET measure listens to the union of its members' rows
+    val memberSets: IndexedSeq[Option[Set[String]]] =
+      measures.map(m => subsets.get(m.variable).map(_.toSet)).toIndexedSeq
     val out = scala.collection.mutable.ArrayBuffer.empty[MMatch]
     var i = 0
     var halt = false
@@ -651,10 +840,16 @@ object MatchRecognize {
       else {
         val rowCls = classifyRows(masks, stepVarsAlts(ai), i, takes)
         val byVar = rowCls.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+        def idxsOf(mi: Int): IndexedSeq[Int] = memberSets(mi) match {
+          case Some(set) => rowCls.collect { case (ix, c) if set(c) => ix }
+          case None => byVar.getOrElse(measures(mi).variable, IndexedSeq.empty)
+        }
         val mvals = measures.zipWithIndex.map { case (m, mi) =>
-          val idxs = byVar.getOrElse(m.variable, IndexedSeq.empty)
+          val idxs = idxsOf(mi)
           def vals = idxs.iterator.map(ix => mv(ix)(mi))
           m.agg match {
+            case "MATCH_NUMBER"    => (out.length + 1).toDouble
+            case "CLASSIFIER"      => Double.NaN // string-side measure
             case "COUNT"           => idxs.length.toDouble
             case _ if idxs.isEmpty => Double.NaN // optional step, no rows
             case _ if strOrd(mi)   => Double.NaN // MIN/MAX on the string view
@@ -667,9 +862,10 @@ object MatchRecognize {
           }
         }
         val svals = measures.zipWithIndex.map { case (m, mi) =>
-          val idxs = byVar.getOrElse(m.variable, IndexedSeq.empty)
+          val idxs = idxsOf(mi)
           lazy val nn = idxs.map(ix => sv(ix)(mi)).filter(_ != null)
           m.agg match {
+            case "CLASSIFIER"             => rowCls.last._2
             case "FIRST" if idxs.nonEmpty => sv(idxs.head)(mi)
             case "LAST" if idxs.nonEmpty  => sv(idxs.last)(mi)
             case "MIN" if strOrd(mi)      => if (nn.isEmpty) null else nn.min
@@ -705,6 +901,7 @@ object MatchRecognize {
     val measures = clause.measures
     val withinMs = clause.withinMs
     val skip = clause.skip
+    val subsets = clause.subsets
 
     implicit val outEnc = Encoders.product[MrMatchM]
     val matches = tagged.groupByKey(_.k)(Encoders.STRING).flatMapGroups { (k, it) =>
@@ -713,7 +910,7 @@ object MatchRecognize {
       val ords = rows.map(_.ord)
       scanMeasured(ords, masks, i => rows(i).mv, i => rows(i).sv,
         stepAlts, stepVarsAlts, measures, strOrd, withinMs, skip,
-        openEnded = false, wm = Long.MaxValue)
+        openEnded = false, wm = Long.MaxValue, subsets = subsets)
         ._1.iterator
         .map(mm => MrMatchM(k, mm.start, mm.end, mm.n, mm.m, mm.sm))
     }
@@ -729,8 +926,12 @@ object MatchRecognize {
     * string-side arrays carry FIRST/LAST verbatim values and the
     * lexicographic MIN/MAX for [[strOrdFlags]] measures.
     */
-  private final class RunAcc(measures: Seq[Measure], strOrd: Array[Boolean]) {
+  private final class RunAcc(measures: Seq[Measure], strOrd: Array[Boolean],
+      subsets: Map[String, Seq[String]] = Map.empty) {
     private val n = measures.length
+    // a SUBSET measure listens to any of its members' classifiers
+    private val listens: IndexedSeq[Set[String]] = measures.map(m =>
+      subsets.get(m.variable).map(_.toSet).getOrElse(Set(m.variable))).toIndexedSeq
     private val cnt = new Array[Long](n)
     private val sum = new Array[Double](n)
     private val mn = new Array[Double](n)
@@ -745,7 +946,7 @@ object MatchRecognize {
     def update(cls: String, mv: Seq[Double], sv: Seq[String]): Unit = {
       var mi = 0
       while (mi < n) {
-        if (measures(mi).variable == cls) {
+        if (listens(mi)(cls)) {
           val v = mv(mi)
           val s = sv(mi)
           if (cnt(mi) == 0) {
@@ -821,6 +1022,7 @@ object MatchRecognize {
     val measures = clause.measures
     val withinMs = clause.withinMs
     val skip = clause.skip
+    val subsets = clause.subsets
     val anyFinal = measures.exists(_.isFinal)
 
     implicit val outEnc = Encoders.product[MrAllRow]
@@ -841,12 +1043,12 @@ object MatchRecognize {
           val rowCls = classifyRows(masks, stepVarsAlts(ai), i, takes)
           // FINAL measures read the completed match: pre-aggregate once
           val finAcc = if (anyFinal) {
-            val a = new RunAcc(measures, strOrd)
+            val a = new RunAcc(measures, strOrd, subsets)
             rowCls.foreach { case (idx, cls) =>
               a.update(cls, rows(idx).mv, rows(idx).sv) }
             a
           } else null
-          val acc = new RunAcc(measures, strOrd)
+          val acc = new RunAcc(measures, strOrd, subsets)
           rowCls.foreach { case (idx, cls) =>
             acc.update(cls, rows(idx).mv, rows(idx).sv)
             val snapshot = measures.indices.map(m =>
@@ -867,7 +1069,8 @@ object MatchRecognize {
       .join(withOrd,
         col("__mr_k.k") === col(s"__mr_src.${keyField.name}").cast("string") &&
           col("__mr_k.ord") === col("__mr_src.__mr_ord"))
-      .select(schema.fieldNames.map(n => col(s"__mr_src.$n")) ++
+      .select(schema.fieldNames.filterNot(_.startsWith("__mr_nav"))
+          .map(n => col(s"__mr_src.$n")) ++
         Seq(col("__mr_k.match_seq").as("match_seq"),
           col("__mr_k.classifier").as("classifier")) ++
         measureOutCols(measures, schema, col("__mr_k.m"), col("__mr_k.sm")): _*)
@@ -913,10 +1116,13 @@ object MatchRecognize {
     }
     val vars = (clause.pattern.flatMap(_.variables) ++ clause.defines.keys).distinct
     val varIdx = vars.zipWithIndex.toMap
+    val (defs, navs) = rewriteNav(clause.defines, vars.toSet)
+    if (navs.nonEmpty) fail("PREV/NEXT navigation is batch-only — a " +
+      "physical-offset window over an unbounded stream is not append-only")
     // DEFINE bits folded into one long bitmask, evaluated by Catalyst in
     // the scan projection (same trick as the batch path)
     val maskCol = vars.map(v =>
-        when(expr(clause.defines(v)).cast("boolean"), lit(1L << varIdx(v)))
+        when(expr(defs(v)).cast("boolean"), lit(1L << varIdx(v)))
           .otherwise(lit(0L)))
       .reduce(_ + _)
     val (mvArr, svArr) = measureArrays(clause, schema)
@@ -933,8 +1139,12 @@ object MatchRecognize {
     val stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]] =
       clause.sequences.map(_.map(s => s.variables.map(v => v -> varIdx(v))).toIndexedSeq)
         .toIndexedSeq
+    if (clause.measures.exists(_.agg == "MATCH_NUMBER"))
+      fail("MATCH_NUMBER() is batch-only (the streaming scan's per-buffer " +
+        "match counter resets across micro-batches)")
     val matches = graft.streaming.StreamingMatch.run(events, stepAlts,
-      stepVarsAlts, clause.measures, strOrd, clause.withinMs, clause.skip)
+      stepVarsAlts, clause.measures, strOrd, clause.withinMs, clause.skip,
+      clause.subsets)
     val base = Seq(
       col("key").cast(keyField.dataType).as(keyField.name),
       col("match_start"), col("match_end"), col("n_events"))

@@ -322,6 +322,61 @@ object Temporal {
         |) AS m""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE SUBSET union variables + CLASSIFIER()/MATCH_NUMBER()
+    * ([U] flink-sql-parser SqlMatchRecognize SUBSET; flink-table-runtime
+    * MATCH_NUMBER). Same provably-non-overlapping `A{2} C` pattern as
+    * q108/q109, so every candidate is a match and MATCH_NUMBER() is the
+    * candidate's row_number in event order — the DuckDB oracle is exact.
+    * `U = (A, C)` makes SUM/COUNT over the union of both variables' rows.
+    */
+  val q111_mr_subset: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"),
+        substring($"event_type", 1, 1).as("sym"), $"value")
+      .createOrReplaceTempView("q111_events")
+    graft.plans.MatchRecognize.sql(s,
+      """SELECT user_id, match_start, match_end, round(u_sum, 2) AS u_sum,
+        | u_n, last_var, mn
+        |FROM q111_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  MEASURES SUM(U.value) AS u_sum, COUNT(U.*) AS u_n,
+        |           CLASSIFIER() AS last_var, MATCH_NUMBER() AS mn
+        |  PATTERN (A{2} C)
+        |  SUBSET U = (A, C)
+        |  DEFINE A AS sym IN ('v', 'e'), C AS sym = 'c'
+        |) AS m""".stripMargin)
+  }
+
+  /** MATCH_RECOGNIZE PREV navigation ([U] flink-docs match_recognize
+    * "Pattern Navigation" — PREV/NEXT are physical offsets over the
+    * partition): the classic V-shape price pattern, two falling rows then
+    * two rising rows, with the defining variable's own qualifier in
+    * DEFINE (`D.value < PREV(D.value)`). AFTER MATCH SKIP TO NEXT ROW +
+    * a fixed-length pattern means every qualifying position emits, so
+    * the DuckDB lag/lead-window oracle is exact.
+    */
+  val q110_mr_prev_nav: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"), $"value")
+      .createOrReplaceTempView("q110_events")
+    graft.plans.MatchRecognize.sql(s,
+      """SELECT user_id, match_start, match_end, n_events,
+        | round(d_sum, 2) AS d_sum, round(u_sum, 2) AS u_sum
+        |FROM q110_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  MEASURES SUM(D.value) AS d_sum, SUM(U.value) AS u_sum
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (D{2} U{2})
+        |  DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+        |) AS m""".stripMargin)
+  }
+
   /** SQL-text window TVF ([U] flink-table-planner SqlWindowTableFunction):
     * the q41 hop-window class driven through Flink's SQL surface —
     * `TABLE(HOP(TABLE t, DESCRIPTOR(ts), slide, size))` rewritten by
@@ -522,6 +577,8 @@ object Temporal {
     "q105_mr_all_rows" -> q105_mr_all_rows,
     "q108_mr_final_all_rows" -> q108_mr_final_all_rows,
     "q109_mr_minmax" -> q109_mr_minmax,
+    "q110_mr_prev_nav" -> q110_mr_prev_nav,
+    "q111_mr_subset" -> q111_mr_subset,
     "q55_cep_quantified" -> q55_cep_quantified,
     "q41_hop_window" -> q41_hop_window,
     "q22_tumble_window" -> q22_tumble_window,
@@ -699,6 +756,36 @@ object Temporal {
         |       least(event_type, et1) AS et_min, greatest(event_type, et1) AS et_max,
         |       round(value + v1, 2) AS a_sum
         |FROM e WHERE sym IN ('v','e') AND sym1 IN ('v','e') AND sym2 = 'c'""".stripMargin,
+    "q111_mr_subset" ->
+      """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym, value,
+        |                  lead(substr(event_type, 1, 1)) OVER w AS sym1,
+        |                  lead(value) OVER w AS v1,
+        |                  lead(substr(event_type, 1, 1), 2) OVER w AS sym2,
+        |                  lead(value, 2) OVER w AS v2,
+        |                  lead(event_id, 2) OVER w AS id2
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |m AS (SELECT user_id, event_id, id2, value, v1, v2,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS mn
+        |      FROM e WHERE sym IN ('v','e') AND sym1 IN ('v','e') AND sym2 = 'c')
+        |SELECT user_id, event_id AS match_start, id2 AS match_end,
+        |       round(value + v1 + v2, 2) AS u_sum, CAST(3 AS BIGINT) AS u_n,
+        |       'C' AS last_var, CAST(mn AS BIGINT) AS mn
+        |FROM m""".stripMargin,
+    "q110_mr_prev_nav" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |                  lag(value) OVER w AS pv,
+        |                  lead(value, 1) OVER w AS v1,
+        |                  lead(value, 2) OVER w AS v2,
+        |                  lead(value, 3) OVER w AS v3,
+        |                  lead(event_id, 3) OVER w AS id3
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, event_id AS match_start, id3 AS match_end,
+        |       CAST(4 AS INTEGER) AS n_events,
+        |       round(value + v1, 2) AS d_sum, round(v2 + v3, 2) AS u_sum
+        |FROM e
+        |WHERE value < pv AND v1 < value AND v2 > v1 AND v3 > v2""".stripMargin,
     "q104_mr_measures" ->
       """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym, value,
         |                  lead(event_id) OVER w AS nid,

@@ -24,7 +24,8 @@ class StreamingMatchProcess(
     stepAlts: IndexedSeq[IndexedSeq[Cep.Step]],
     stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]],
     measures: Seq[MatchRecognize.Measure], strOrd: Array[Boolean],
-    withinMs: Long, skip: Cep.AfterMatch)
+    withinMs: Long, skip: Cep.AfterMatch,
+    subsets: Map[String, Seq[String]])
     extends KeyedProcess[String, StreamingMatch.MrSEvent, StreamingMatch.MrSMatch] {
   @transient private var buf: ListState[StreamingMatch.MrSEvent] = _
 
@@ -50,7 +51,7 @@ class StreamingMatchProcess(
         ready.map(_.ord), ready.map(_.mask),
         i => ready(i).mv, i => ready(i).sv,
         stepAlts, stepVarsAlts, measures, strOrd,
-        withinMs, skip, openEnded = true, wm = wm)
+        withinMs, skip, openEnded = true, wm = wm, subsets = subsets)
       matches.foreach(m =>
         emit(StreamingMatch.MrSMatch(key, m.start, m.end, m.n, m.m, m.sm)))
       buf.clear()
@@ -83,12 +84,13 @@ object StreamingMatch {
       stepAlts: IndexedSeq[IndexedSeq[Cep.Step]],
       stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]],
       measures: Seq[MatchRecognize.Measure], strOrd: Array[Boolean],
-      withinMs: Long, skip: Cep.AfterMatch): Dataset[MrSMatch] = {
+      withinMs: Long, skip: Cep.AfterMatch,
+      subsets: Map[String, Seq[String]] = Map.empty): Dataset[MrSMatch] = {
     implicit val out: Encoder[MrSMatch] = Encoders.product[MrSMatch]
     ds.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(
         new StreamingMatchProcess(stepAlts, stepVarsAlts, measures, strOrd,
-          withinMs, skip),
+          withinMs, skip, subsets),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

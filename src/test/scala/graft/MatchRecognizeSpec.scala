@@ -404,6 +404,126 @@ class MatchRecognizeSpec extends AnyFunSuite {
       == Seq((1L, "b", "d")))
   }
 
+  test("PREV/NEXT navigation: the V-shape price pattern") {
+    // classic falling-then-rising price: DOWN rows have price < previous
+    // row's, UP rows price > previous row's (physical navigation, so the
+    // first DOWN compares against the pre-match STRT-less row)
+    mkView("mr_nav", Seq(
+      (1L, 1L, "x", 10.0), (1L, 2L, "x", 8.0), (1L, 3L, "x", 5.0),
+      (1L, 4L, "x", 7.0), (1L, 5L, "x", 9.0),
+      (2L, 1L, "x", 3.0), (2L, 2L, "x", 4.0))) // rising only: no match
+    val got = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_nav MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  MEASURES FIRST(DOWN.value) AS top, MIN(DOWN.value) AS bottom,
+        |           LAST(UP.value) AS rebound
+        |  PATTERN (DOWN+ UP+)
+        |  DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+        |         UP AS UP.value > PREV(UP.value)
+        |)""".stripMargin).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 5L)
+    assert(r.getDouble(4) == 8.0 && r.getDouble(5) == 5.0 && r.getDouble(6) == 9.0)
+  }
+
+  test("NEXT with an explicit offset and PREV at the partition start") {
+    // B requires the value two rows AHEAD to exist and exceed 5: rows 1,2
+    // qualify (see 3->ord+2? ord 1 sees ord 3's 6.0) — and a PREV-based
+    // pattern never matches on the first row (NULL predicate = false)
+    mkView("mr_nav2", Seq(
+      (1L, 1L, "x", 1.0), (1L, 2L, "x", 2.0), (1L, 3L, "x", 6.0),
+      (1L, 4L, "x", 7.0)))
+    val next2 = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_nav2 MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN (B) AFTER MATCH SKIP TO NEXT ROW
+        |  DEFINE B AS NEXT(value, 2) > 5
+        |)""".stripMargin).collect().map(_.getLong(1)).toSet
+    assert(next2 == Set(1L, 2L)) // ords 3,4 have no row two ahead -> NULL -> false
+    val prevStart = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_nav2 MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN (B) AFTER MATCH SKIP TO NEXT ROW
+        |  DEFINE B AS PREV(value) < 100
+        |)""".stripMargin).collect().map(_.getLong(1)).toSet
+    assert(prevStart == Set(2L, 3L, 4L)) // row 1: PREV is NULL -> no match
+  }
+
+  test("SUBSET union variables, CLASSIFIER() and MATCH_NUMBER() measures") {
+    // two matches per partition: (a b c) at ords 1-3 and 5-7; U = (A, C)
+    mkView("mr_sub", Seq(
+      (1L, 1L, "a", 1.0), (1L, 2L, "b", 10.0), (1L, 3L, "c", 100.0),
+      (1L, 4L, "x", 0.0),
+      (1L, 5L, "a", 2.0), (1L, 6L, "b", 20.0), (1L, 7L, "c", 200.0)))
+    val got = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_sub MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  MEASURES SUM(U.value) AS u_sum, COUNT(U.*) AS u_n,
+        |           FIRST(U.value) AS u_first, LAST(U.value) AS u_last,
+        |           CLASSIFIER() AS last_var, MATCH_NUMBER() AS mn
+        |  PATTERN (A B C)
+        |  SUBSET U = (A, C)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+        |)""".stripMargin).collect()
+      .map(r => (r.getLong(1), r.getDouble(4), r.getLong(5),
+        r.getDouble(6), r.getDouble(7), r.getString(8), r.getLong(9))).toSet
+    assert(got == Set(
+      (1L, 101.0, 2L, 1.0, 100.0, "C", 1L),
+      (5L, 202.0, 2L, 2.0, 200.0, "C", 2L)))
+    // SUBSET under ALL ROWS: running union aggregate per row
+    val all = MatchRecognize.sql(spark,
+      """SELECT ord, classifier, u_sum FROM mr_sub MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  MEASURES SUM(U.value) AS u_sum
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B C)
+        |  SUBSET U = (A, C)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+        |) WHERE ord <= 3 ORDER BY ord""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(all.toSeq == Seq((1L, "A", 1.0), (2L, "B", 1.0), (3L, "C", 101.0)))
+    // guard rails
+    def bad(sql: String) =
+      intercept[IllegalArgumentException](MatchRecognize.sql(spark, sql))
+    assert(bad("""SELECT * FROM mr_sub MATCH_RECOGNIZE (
+      | PARTITION BY k ORDER BY ord
+      | MEASURES SUM(W.value) AS s
+      | PATTERN (A) SUBSET U = (A)
+      | DEFINE A AS sym = 'a')""".stripMargin)
+      .getMessage.contains("not a SUBSET"))
+    assert(bad("""SELECT * FROM mr_sub MATCH_RECOGNIZE (
+      | PARTITION BY k ORDER BY ord
+      | PATTERN (A) SUBSET A = (A)
+      | DEFINE A AS sym = 'a')""".stripMargin)
+      .getMessage.contains("collides"))
+    assert(bad("""SELECT * FROM mr_sub MATCH_RECOGNIZE (
+      | PARTITION BY k ORDER BY ord
+      | PATTERN (A) SUBSET U = (A, Z)
+      | DEFINE A AS sym = 'a')""".stripMargin)
+      .getMessage.contains("not a pattern variable"))
+    assert(bad("""SELECT * FROM mr_sub MATCH_RECOGNIZE (
+      | PARTITION BY k ORDER BY ord
+      | MEASURES MATCH_NUMBER() AS mn
+      | ALL ROWS PER MATCH
+      | PATTERN (A) DEFINE A AS sym = 'a')""".stripMargin)
+      .getMessage.contains("match_seq"))
+  }
+
+  test("navigation out-of-subset shapes fail loudly") {
+    mkView("mr_nav3", Seq((1L, 1L, "a", 1.0)))
+    def bad(define: String) = intercept[IllegalArgumentException](
+      MatchRecognize.sql(spark,
+        s"""SELECT * FROM mr_nav3 MATCH_RECOGNIZE (
+           |  PARTITION BY k ORDER BY ord
+           |  PATTERN (A B) DEFINE A AS sym = 'a', B AS $define
+           |)""".stripMargin))
+    assert(bad("B.value < PREV(A.value)").getMessage.contains("another"))
+    assert(bad("value < A.value").getMessage.contains("another"))
+    assert(bad("PREV(PREV(value)) < 1").getMessage.contains("nested"))
+    assert(bad("PREV(value, k) < 1").getMessage.contains("integer literal"))
+  }
+
   test("out-of-subset constructs fail loudly") {
     mkView("mr_err", Seq((1L, 0L, "a", 0.0)))
     def bad(sql: String) =

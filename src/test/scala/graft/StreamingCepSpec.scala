@@ -282,11 +282,15 @@ class StreamingCepSpec extends AnyFunSuite {
       assert(got.map(_._5) == Set(5.0, 1.5)) // per-match SUM(V.value)
       assert(got.forall(_._7 == "v")) // string MAX keeps the type
     } finally q.stop()
-    // ALL ROWS stays out of the streaming subset
+    // ALL ROWS and PREV/NEXT navigation stay out of the streaming subset
     val e = intercept[IllegalArgumentException](graft.plans.MatchRecognize.stream(
       proj(input.toDF().withWatermark("ts", "5 seconds")),
       body.replace("AFTER MATCH", "ALL ROWS PER MATCH\nAFTER MATCH")))
     assert(e.getMessage.contains("ALL ROWS"))
+    val e2 = intercept[IllegalArgumentException](graft.plans.MatchRecognize.stream(
+      proj(input.toDF().withWatermark("ts", "5 seconds")),
+      body.replace("V AS sym = 'v'", "V AS value > PREV(value)")))
+    assert(e2.getMessage.contains("batch-only"))
   }
 
   test("streaming SKIP TO FIRST variable agrees with batch") {
