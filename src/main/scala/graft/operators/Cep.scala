@@ -76,11 +76,14 @@ object Cep {
   /** One pattern step: between `min` and `max` (inclusive) consecutive
     * events accepted by the step's condition. min=0 → optional;
     * (1, MaxTimes) → `+`. Quantifiers are greedy with backtracking
-    * (Flink/regex default).
+    * (Flink/regex default); `reluctant` flips the backtrack order to
+    * fewest-first ([U] flink-cep Quantifier.java greedy()/reluctant() —
+    * `+?` `*?` `??` `{n,m}?`).
     */
   sealed trait Step extends Serializable {
     def min: Int
     def max: Int
+    def reluctant: Boolean
     def accepts(e: Event): Boolean
     /** Step label — the pattern variable for simple steps; used by the
       * SKIP TO FIRST/LAST `<variable>` strategies to locate the step.
@@ -91,7 +94,8 @@ object Cep {
   /** Symbol-equality step (MATCH_RECOGNIZE pattern variable whose DEFINE
     * is `CLASSIFIER() = sym`).
     */
-  case class PStep(sym: String, min: Int, max: Int) extends Step {
+  case class PStep(sym: String, min: Int, max: Int,
+      reluctant: Boolean = false) extends Step {
     require(min >= 0 && max >= min, s"bad quantifier {$min,$max}")
     override def accepts(e: Event): Boolean = e.sym == sym
     override def name: String = sym
@@ -101,7 +105,8 @@ object Cep {
     * pattern/conditions/SimpleCondition.java): any per-event condition
     * over the event's attributes.
     */
-  case class CondStep(name: String, min: Int, max: Int)(val pred: Event => Boolean)
+  case class CondStep(name: String, min: Int, max: Int,
+      reluctant: Boolean = false)(val pred: Event => Boolean)
       extends Step {
     require(min >= 0 && max >= min, s"bad quantifier {$min,$max}")
     override def accepts(e: Event): Boolean = pred(e)
@@ -112,8 +117,9 @@ object Cep {
   def opt(sym: String): PStep = PStep(sym, 0, 1)
   def plus(sym: String): PStep = PStep(sym, 1, MaxTimes)
   def times(sym: String, min: Int, max: Int): PStep = PStep(sym, min, max)
-  def when(name: String, min: Int = 1, max: Int = 1)(pred: Event => Boolean): CondStep =
-    CondStep(name, min, max)(pred)
+  def when(name: String, min: Int = 1, max: Int = 1, reluctant: Boolean = false)(
+      pred: Event => Boolean): CondStep =
+    CondStep(name, min, max, reluctant)(pred)
   /** Alternation step — `(A|B)` class patterns ([U] flink-cep
     * GroupPattern): accepts an event whose symbol is ANY of `syms`.
     */
@@ -201,6 +207,19 @@ object Cep {
       // stopped at the buffer end with quantifier room left: a future
       // event could extend this step (or enable later steps)
       if (openEnded && pos + cnt == n && cnt < st.max) pending = true
+      if (st.reluctant) {
+        // fewest-first: extend only when the remainder fails
+        var take = st.min
+        while (take <= cnt) {
+          val r = rec(pos + take, si + 1)
+          if (r >= 0) {
+            if (takesOut != null) takesOut(si) = take
+            return r
+          }
+          take += 1
+        }
+        return Fail
+      }
       var take = cnt
       while (take >= st.min) {
         val r = rec(pos + take, si + 1)

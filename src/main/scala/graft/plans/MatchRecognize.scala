@@ -32,6 +32,7 @@ import graft.operators.Cep
   *   PATTERN ( S1[q] S2[q] ... )          -- S ∈ { V, (V1|V2|...),
   *                                        --   PERMUTE(V1[q], ..., V6[q]) },
   *                                        -- q ∈ {  +  ?  *  {n}  {n,m}  }
+  *                                        --   (+ trailing ? = reluctant)
   *   [WITHIN INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY | WITHIN <n>]
   *   [SUBSET U = (V1, V2), ...]           -- union variables for MEASURES
   *   DEFINE V1 AS <bool expr>, ...        -- any Spark SQL boolean expr;
@@ -76,7 +77,8 @@ object MatchRecognize {
     * variable's DEFINE ([U] flink-cep GroupPattern alternation; a union
     * of step predicates on the shared NFA).
     */
-  final case class PatternStep(variables: Seq[String], min: Int, max: Int)
+  final case class PatternStep(variables: Seq[String], min: Int, max: Int,
+      reluctant: Boolean = false)
   /** One MEASURES entry: `agg(variable.column) AS alias`. `isFinal`
     * records an explicit `FINAL(...)` wrapper — meaningful only under
     * ALL ROWS PER MATCH, where the measure reports the completed
@@ -346,23 +348,30 @@ object MatchRecognize {
       if (i == s) fail(s"bad PATTERN near `${p.substring(math.min(s, n - 1))}`")
       p.substring(s, i)
     }
-    def readQuantifier(): (Int, Int) =
-      if (i < n) p.charAt(i) match {
-        case '+' => i += 1; (1, Cep.MaxTimes)
-        case '?' => i += 1; (0, 1)
-        case '*' => i += 1; (0, Cep.MaxTimes)
-        case '{' =>
-          val close = p.indexOf('}', i)
-          if (close < 0) fail("unclosed `{` quantifier")
-          val nums = raw"\d+".r.findAllIn(p.substring(i, close + 1)).map(_.toInt).toSeq
-          i = close + 1
-          nums.size match {
-            case 1 => (nums.head, nums.head)
-            case 2 => (nums.head, nums(1))
-            case _ => fail("bad `{n[,m]}` quantifier")
-          }
-        case _ => (1, 1)
-      } else (1, 1)
+    // (min, max, reluctant): a trailing '?' after +/*/?/{n,m} flips the
+    // quantifier to fewest-first ([U] flink-cep Quantifier reluctant mode)
+    def readQuantifier(): (Int, Int, Boolean) = {
+      val (min, max, explicit) =
+        if (i < n) p.charAt(i) match {
+          case '+' => i += 1; (1, Cep.MaxTimes, true)
+          case '?' => i += 1; (0, 1, true)
+          case '*' => i += 1; (0, Cep.MaxTimes, true)
+          case '{' =>
+            val close = p.indexOf('}', i)
+            if (close < 0) fail("unclosed `{` quantifier")
+            val nums = raw"\d+".r.findAllIn(p.substring(i, close + 1)).map(_.toInt).toSeq
+            i = close + 1
+            nums.size match {
+              case 1 => (nums.head, nums.head, true)
+              case 2 => (nums.head, nums(1), true)
+              case _ => fail("bad `{n[,m]}` quantifier")
+            }
+          case _ => (1, 1, false)
+        } else (1, 1, false)
+      val rel = explicit && i < n && p.charAt(i) == '?'
+      if (rel) i += 1
+      (min, max, rel)
+    }
     // each element is a set of alternative sub-sequences; a linear
     // pattern contributes one-sequence elements and PERMUTE contributes
     // its permutations
@@ -381,8 +390,8 @@ object MatchRecognize {
           else fail("alternation group must be `(V1 | V2 | ...)`")
         }
         skipWs()
-        val (min, max) = readQuantifier()
-        elements += Seq(Seq(PatternStep(vs.toSeq, min, max)))
+        val (min, max, rel) = readQuantifier()
+        elements += Seq(Seq(PatternStep(vs.toSeq, min, max, rel)))
       } else {
         val word = readIdent()
         skipWs()
@@ -394,8 +403,8 @@ object MatchRecognize {
             skipWs()
             val v = readIdent()
             skipWs()
-            val (mn, mx) = readQuantifier()
-            perm += PatternStep(Seq(v), mn, mx)
+            val (mn, mx, rel) = readQuantifier()
+            perm += PatternStep(Seq(v), mn, mx, rel)
             skipWs()
             if (i < n && p.charAt(i) == ',') i += 1
             else if (i < n && p.charAt(i) == ')') { i += 1; done = true }
@@ -410,8 +419,8 @@ object MatchRecognize {
               s"sequences — at most 6 supported")
           elements += perm.toSeq.permutations.toSeq
         } else {
-          val (min, max) = readQuantifier()
-          elements += Seq(Seq(PatternStep(Seq(word), min, max)))
+          val (min, max, rel) = readQuantifier()
+          elements += Seq(Seq(PatternStep(Seq(word), min, max, rel)))
         }
       }
     }
@@ -600,7 +609,8 @@ object MatchRecognize {
       varIdx: Map[String, Int]): IndexedSeq[Cep.Step] =
     seq.map { s =>
       val mask = s.variables.foldLeft(0L)((m, v) => m | (1L << varIdx(v)))
-      Cep.when(s.variables.mkString("|"), s.min, s.max)(e => (e.value.toLong & mask) != 0L)
+      Cep.when(s.variables.mkString("|"), s.min, s.max, s.reluctant)(
+        e => (e.value.toLong & mask) != 0L)
     }.toIndexedSeq
 
   /** Build the one-row-per-match DataFrame for a parsed clause. */

@@ -350,6 +350,31 @@ object Temporal {
         |) AS m""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE reluctant quantifier ([U] flink-cep Quantifier.java
+    * reluctant mode — `*?` prefers the FEWEST rows): `(A*? C)` with
+    * A = TRUE consumes up to the NEAREST c, so AFTER MATCH SKIP PAST
+    * LAST ROW tiles each partition into segments ending at each c —
+    * expressible exactly in DuckDB as grouping by the count of
+    * preceding c rows. The greedy `(A* C)` would instead emit one
+    * match to the LAST c per partition.
+    */
+  val q112_mr_reluctant: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"),
+        substring($"event_type", 1, 1).as("sym"))
+      .createOrReplaceTempView("q112_events")
+    graft.plans.MatchRecognize.sql(s,
+      """SELECT user_id, match_start, match_end, n_events
+        |FROM q112_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  PATTERN (A*? C)
+        |  DEFINE A AS TRUE, C AS sym = 'c'
+        |) AS m""".stripMargin)
+  }
+
   /** MATCH_RECOGNIZE PREV navigation ([U] flink-docs match_recognize
     * "Pattern Navigation" — PREV/NEXT are physical offsets over the
     * partition): the classic V-shape price pattern, two falling rows then
@@ -579,6 +604,7 @@ object Temporal {
     "q109_mr_minmax" -> q109_mr_minmax,
     "q110_mr_prev_nav" -> q110_mr_prev_nav,
     "q111_mr_subset" -> q111_mr_subset,
+    "q112_mr_reluctant" -> q112_mr_reluctant,
     "q55_cep_quantified" -> q55_cep_quantified,
     "q41_hop_window" -> q41_hop_window,
     "q22_tumble_window" -> q22_tumble_window,
@@ -756,6 +782,20 @@ object Temporal {
         |       least(event_type, et1) AS et_min, greatest(event_type, et1) AS et_max,
         |       round(value + v1, 2) AS a_sum
         |FROM e WHERE sym IN ('v','e') AND sym1 IN ('v','e') AND sym2 = 'c'""".stripMargin,
+    "q112_mr_reluctant" ->
+      """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym,
+        |                  coalesce(sum(CASE WHEN substr(event_type, 1, 1) = 'c'
+        |                               THEN 1 ELSE 0 END)
+        |                    OVER (PARTITION BY user_id ORDER BY event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                    0) AS seg
+        |           FROM events),
+        |g AS (SELECT user_id, seg, min(event_id) AS match_start,
+        |             max(event_id) AS match_end, count(*) AS n,
+        |             max(CASE WHEN sym = 'c' THEN 1 ELSE 0 END) AS has_c
+        |      FROM e GROUP BY 1, 2)
+        |SELECT user_id, match_start, match_end, CAST(n AS INTEGER) AS n_events
+        |FROM g WHERE has_c = 1""".stripMargin,
     "q111_mr_subset" ->
       """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym, value,
         |                  lead(substr(event_type, 1, 1)) OVER w AS sym1,

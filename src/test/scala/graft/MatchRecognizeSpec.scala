@@ -524,6 +524,28 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(bad("PREV(value, k) < 1").getMessage.contains("integer literal"))
   }
 
+  test("reluctant quantifiers prefer the shortest match") {
+    // A = TRUE, C = 'c': greedy (A+ C) backtracks from the longest A-run
+    // to the LAST c; reluctant (A+? C) stops at the FIRST c, tiling the
+    // partition into segments ending at each c
+    mkView("mr_rel", Seq(
+      (1L, 1L, "a", 0.0), (1L, 2L, "c", 0.0), (1L, 3L, "a", 0.0),
+      (1L, 4L, "a", 0.0), (1L, 5L, "c", 0.0), (1L, 6L, "a", 0.0)))
+    def run(q: String) = MatchRecognize.sql(spark,
+      s"""SELECT * FROM mr_rel MATCH_RECOGNIZE (
+         |  PARTITION BY k ORDER BY ord
+         |  PATTERN ($q) DEFINE A AS TRUE, C AS sym = 'c'
+         |)""".stripMargin).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(run("A+? C") == Set((1L, 2L), (3L, 5L)))
+    assert(run("A+ C") == Set((1L, 5L)))
+    assert(run("A{1,2}? C") == Set((1L, 2L), (3L, 5L)))
+    // reluctant optional: prefers zero rows, so every row is its own match
+    assert(run("A C??") == (1L to 6L).map(i => (i, i)).toSet)
+    // greedy optional takes the c when present
+    assert(run("A C?") == Set((1L, 2L), (3L, 3L), (4L, 5L), (6L, 6L)))
+  }
+
   test("out-of-subset constructs fail loudly") {
     mkView("mr_err", Seq((1L, 0L, "a", 0.0)))
     def bad(sql: String) =
