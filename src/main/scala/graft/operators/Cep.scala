@@ -204,11 +204,13 @@ object Cep {
       var cnt = 0
       while (cnt < st.max && pos + cnt < n && st.accepts(events(pos + cnt)) &&
         ts(pos + cnt) - ts(start) <= withinMs) cnt += 1
-      // stopped at the buffer end with quantifier room left: a future
-      // event could extend this step (or enable later steps)
-      if (openEnded && pos + cnt == n && cnt < st.max) pending = true
+      val atEdge = openEnded && pos + cnt == n && cnt < st.max
       if (st.reluctant) {
-        // fewest-first: extend only when the remainder fails
+        // fewest-first: extend only when the remainder fails. A success
+        // is RESOLVED even at the buffer edge — a future event could
+        // only extend this step, which reluctant preference rejects —
+        // so the edge makes the outcome pending only when every take
+        // fails (more events could then enable a longer take).
         var take = st.min
         while (take <= cnt) {
           val r = rec(pos + take, si + 1)
@@ -218,8 +220,13 @@ object Cep {
           }
           take += 1
         }
+        if (atEdge) pending = true
         return Fail
       }
+      // greedy stopped at the buffer end with quantifier room left: a
+      // future event could extend this step into a MORE preferred
+      // (longer) match, so even a present success is unresolved
+      if (atEdge) pending = true
       var take = cnt
       while (take >= st.min) {
         val r = rec(pos + take, si + 1)

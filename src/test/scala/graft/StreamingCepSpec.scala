@@ -293,6 +293,44 @@ class StreamingCepSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("batch-only"))
   }
 
+  test("streaming reluctant quantifier agrees with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (A*? C) tiles each partition into segments ending at each c; the
+    // reluctant scan must emit the same tiling when the c arrives in a
+    // LATER micro-batch than its segment's opening rows
+    val body =
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |PATTERN (A*? C)
+        |DEFINE A AS TRUE, C AS sym = 'c'""".stripMargin
+    val evs = Seq(
+      raw(1, 1, 1000, "v"), raw(1, 2, 1010, "e"), raw(1, 3, 1020, "c"),
+      raw(1, 4, 1030, "v"), raw(1, 5, 1040, "c"), raw(1, 6, 1050, "v"))
+    val input = MemoryStream[Ev]
+    val df = input.toDF().withWatermark("ts", "5 seconds")
+      .select($"user_id", $"ts", substring($"event_type", 1, 1).as("sym"))
+    val q = graft.plans.MatchRecognize.stream(df, body)
+      .writeStream.outputMode("append").format("memory").queryName("scep_rel").start()
+    try {
+      evs.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(raw(99, 999, 9000, "x")); q.processAllAvailable()
+      input.addData(raw(99, 998, 9100, "x")); q.processAllAvailable()
+      val got = spark.table("scep_rel").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .filter(_._1 != 99L).toSet
+      evs.toDF().select($"user_id", $"ts", substring($"event_type", 1, 1).as("sym"))
+        .createOrReplaceTempView("scep_rel_batch")
+      val want = graft.plans.MatchRecognize.sql(spark,
+        s"SELECT * FROM scep_rel_batch MATCH_RECOGNIZE (\n$body\n)")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(got == want, s"streaming $got vs batch $want")
+      assert(want.map(t => (t._2, t._3)) == // ord = unix millis of ts
+        Set((1000000L, 1020000L), (1030000L, 1040000L))) // trailing v never closes
+    } finally q.stop()
+  }
+
   test("streaming SKIP TO FIRST variable agrees with batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
