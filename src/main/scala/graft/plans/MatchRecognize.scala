@@ -498,7 +498,7 @@ object MatchRecognize {
     * LAST(B.col) semantics, which is out of the declared subset and
     * raises a clear error rather than silently mis-evaluating.
     */
-  private[plans] def rewriteNav(defines: Map[String, String],
+  private[graft] def rewriteNav(defines: Map[String, String],
       allVars: Set[String]): (Map[String, String], Seq[NavCol]) = {
     val navs = scala.collection.mutable.LinkedHashMap.empty[(String, String, Int), NavCol]
     def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'

@@ -62,6 +62,32 @@ class RewriteFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("PREV/NEXT DEFINE rewrite: identity without a trigger, total with one") {
+    val vars = Set("A", "B")
+    // triggers: a nav call, or a pattern variable's dot-qualifier
+    val trigger = raw"(?i)(\b(PREV|NEXT)\s*\(|\b(A|B)\s*\.)".r
+    val defToken: Gen[String] = Gen.frequency(
+      6 -> junk,
+      3 -> Gen.oneOf("PREV", "NEXT", "prev(", "A.", "B .", "value", "< 10",
+        "PREV(value)", "NEXT(value, 2)", "PREV(A.value)", "B.value",
+        "PREV(PREV(x))", "PREV(value, k)", "'PREV(x)'", "\"A.b\"", "`B.c`"))
+    val defBody: Gen[String] =
+      Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, defToken).map(_.mkString(" ")))
+    forAllSeeded(defBody, 600) { s =>
+      try {
+        val (out, navs) = graft.plans.MatchRecognize.rewriteNav(Map("A" -> s), vars)
+        if (trigger.findFirstIn(s).isEmpty) {
+          assert(out("A") == s, s"altered a trigger-free DEFINE: <$s> -> <${out("A")}>")
+          assert(navs.isEmpty)
+        }
+      } catch {
+        case e: IllegalArgumentException =>
+          assert(trigger.findFirstIn(s).isDefined,
+            s"threw on a trigger-free DEFINE <$s>: ${e.getMessage}")
+      }
+    }
+  }
+
   test("UNNEST rewrite: identity without a trigger, total with one") {
     forAllSeeded(stmt, 600) { s =>
       try {
