@@ -813,9 +813,14 @@ object MatchRecognize {
     out.toIndexedSeq
   }
 
-  /** One resolved measured match in a per-key time-ordered run. */
+  /** One resolved measured match in a per-key time-ordered run.
+    * `rowCls` (buffer index, classifier) pairs are populated only when
+    * the caller asked for per-row output (`wantRows` — the streaming
+    * ALL ROWS walk).
+    */
   private[graft] final case class MMatch(start: Long, end: Long, n: Int,
-      m: Seq[Double], sm: Seq[String])
+      m: Seq[Double], sm: Seq[String],
+      rowCls: IndexedSeq[(Int, String)] = IndexedSeq.empty)
 
   /** Shared measured scan over one key's time-sorted rows — the batch
     * [[runMeasured]] kernel and the streaming process run this same
@@ -833,7 +838,9 @@ object MatchRecognize {
       measures: Seq[Measure], strOrd: Array[Boolean],
       withinMs: Long, skip: Cep.AfterMatch,
       openEnded: Boolean, wm: Long,
-      subsets: Map[String, Seq[String]] = Map.empty): (Seq[MMatch], Int) = {
+      subsets: Map[String, Seq[String]] = Map.empty,
+      matchSeqBase: Long = 0L,
+      wantRows: Boolean = false): (Seq[MMatch], Int) = {
     val events = Array.tabulate(ords.length)(i =>
       Cep.Event(0L, ords(i), ords(i), "", masks(i).toDouble))
     // a SUBSET measure listens to the union of its members' rows
@@ -858,7 +865,7 @@ object MatchRecognize {
           val idxs = idxsOf(mi)
           def vals = idxs.iterator.map(ix => mv(ix)(mi))
           m.agg match {
-            case "MATCH_NUMBER"    => (out.length + 1).toDouble
+            case "MATCH_NUMBER"    => (matchSeqBase + out.length + 1).toDouble
             case "CLASSIFIER"      => Double.NaN // string-side measure
             case "COUNT"           => idxs.length.toDouble
             case _ if idxs.isEmpty => Double.NaN // optional step, no rows
@@ -883,7 +890,8 @@ object MatchRecognize {
             case _                        => null
           }
         }
-        out += MMatch(ords(i), ords(end - 1), end - i, mvals, svals)
+        out += MMatch(ords(i), ords(end - 1), end - i, mvals, svals,
+          if (wantRows) rowCls else IndexedSeq.empty)
         i = Cep.resumeAfter(skip, i, end, stepAlts(ai), takes)
       }
     }
@@ -936,7 +944,7 @@ object MatchRecognize {
     * string-side arrays carry FIRST/LAST verbatim values and the
     * lexicographic MIN/MAX for [[strOrdFlags]] measures.
     */
-  private final class RunAcc(measures: Seq[Measure], strOrd: Array[Boolean],
+  private[graft] final class RunAcc(measures: Seq[Measure], strOrd: Array[Boolean],
       subsets: Map[String, Seq[String]] = Map.empty) {
     private val n = measures.length
     // a SUBSET measure listens to any of its members' classifiers
@@ -1097,18 +1105,22 @@ object MatchRecognize {
     * non-binary column (keyed by its canonical string form, cast back on
     * output), and the MEASURES subset is the batch one — the measured
     * scan is literally the batch kernel ([[scanMeasured]]) behind the
-    * watermark. Remaining subset: ONE ROW PER MATCH (ALL ROWS is not
-    * append-only friendly). Output: key (original name/type),
-    * match_start/match_end/n_events, then the measure aliases — the
-    * batch shape.
+    * watermark, with MATCH_NUMBER numbered continuously across
+    * micro-batches by a per-key counter state. ALL ROWS PER MATCH is
+    * supported too: matches resolve only behind the watermark, so
+    * replaying their consumed rows is still append-only — the full input
+    * row rides through state as a JSON payload and is parsed back with
+    * the source schema ([[graft.streaming.StreamingMatchAllRowsProcess]]).
+    * Out of the streaming subset: PREV/NEXT navigation (a physical-offset
+    * window over an unbounded stream). Output: the batch shape — one-row:
+    * key (original name/type) + match_start/match_end/n_events + measure
+    * aliases; all-rows: every input column + match_seq/classifier +
+    * running measures.
     */
   def stream(df: DataFrame, mrBody: String): DataFrame = {
     import org.apache.spark.sql.types._
     require(df.isStreaming, "MatchRecognize.stream expects a streaming DataFrame")
     val clause = parseBody("<stream>", mrBody)
-    if (clause.allRows)
-      fail("streaming MATCH_RECOGNIZE supports ONE ROW PER MATCH only " +
-        "(ALL ROWS PER MATCH is not append-only)")
     val schema = df.schema
     val keyField = schema.find(_.name.equalsIgnoreCase(clause.partitionBy))
       .getOrElse(fail(s"unknown PARTITION BY column ${clause.partitionBy}"))
@@ -1138,20 +1150,34 @@ object MatchRecognize {
     val (mvArr, svArr) = measureArrays(clause, schema)
     val strOrd = strOrdFlags(clause.measures, schema)
     implicit val evEnc = Encoders.product[graft.streaming.StreamingMatch.MrSEvent]
+    // ALL ROWS carries the full input row through state as a JSON
+    // payload (parsed back below with the known schema); one-row mode
+    // keeps the buffered state narrow with a null payload
+    val payloadCol: Column =
+      if (clause.allRows) to_json(struct(schema.fieldNames.map(col): _*))
+      else lit(null).cast("string")
     val events = df.select(
       col(keyField.name).cast("string").as("key"),
       ordCol.as("ord"),
       maskCol.as("mask"),
       mvArr.as("mv"),
-      svArr.as("sv")).as[graft.streaming.StreamingMatch.MrSEvent]
+      svArr.as("sv"),
+      payloadCol.as("payload")).as[graft.streaming.StreamingMatch.MrSEvent]
     val stepAlts: IndexedSeq[IndexedSeq[Cep.Step]] =
       clause.sequences.map(buildSteps(_, varIdx)).toIndexedSeq
     val stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]] =
       clause.sequences.map(_.map(s => s.variables.map(v => v -> varIdx(v))).toIndexedSeq)
         .toIndexedSeq
-    if (clause.measures.exists(_.agg == "MATCH_NUMBER"))
-      fail("MATCH_NUMBER() is batch-only (the streaming scan's per-buffer " +
-        "match counter resets across micro-batches)")
+    if (clause.allRows) {
+      val matches = graft.streaming.StreamingMatch.runAllRows(events, stepAlts,
+        stepVarsAlts, clause.measures, strOrd, clause.withinMs, clause.skip,
+        clause.subsets)
+      return matches.toDF()
+        .withColumn("__row", from_json(col("payload"), schema))
+        .select(schema.fieldNames.map(n => col(s"__row.`$n`")) ++
+          Seq(col("match_seq"), col("classifier")) ++
+          measureOutCols(clause.measures, schema, col("m"), col("sm")): _*)
+    }
     val matches = graft.streaming.StreamingMatch.run(events, stepAlts,
       stepVarsAlts, clause.measures, strOrd, clause.withinMs, clause.skip,
       clause.subsets)

@@ -282,15 +282,74 @@ class StreamingCepSpec extends AnyFunSuite {
       assert(got.map(_._5) == Set(5.0, 1.5)) // per-match SUM(V.value)
       assert(got.forall(_._7 == "v")) // string MAX keeps the type
     } finally q.stop()
-    // ALL ROWS and PREV/NEXT navigation stay out of the streaming subset
-    val e = intercept[IllegalArgumentException](graft.plans.MatchRecognize.stream(
-      proj(input.toDF().withWatermark("ts", "5 seconds")),
-      body.replace("AFTER MATCH", "ALL ROWS PER MATCH\nAFTER MATCH")))
-    assert(e.getMessage.contains("ALL ROWS"))
+    // PREV/NEXT navigation stays out of the streaming subset
     val e2 = intercept[IllegalArgumentException](graft.plans.MatchRecognize.stream(
       proj(input.toDF().withWatermark("ts", "5 seconds")),
       body.replace("V AS sym = 'v'", "V AS value > PREV(value)")))
     assert(e2.getMessage.contains("batch-only"))
+  }
+
+  test("streaming ALL ROWS PER MATCH and MATCH_NUMBER agree with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val allRowsBody =
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES SUM(V.value) AS v_run
+        |ALL ROWS PER MATCH
+        |PATTERN (V{1,2} C)
+        |DEFINE V AS sym = 'v', C AS sym = 'c'""".stripMargin
+    def rawv(key: Long, id: Long, sec: Long, sym: String, v: Double) =
+      Ev(id, new java.sql.Timestamp(sec * 1000), key, sym, v)
+    // two matches for user 1 split across micro-batches: match_seq must
+    // number them 1, 2 continuously (per-key counter state), and each
+    // matched row must come back with its full payload + running measure
+    val evs = Seq(
+      rawv(1, 1, 1000, "v", 2.0), rawv(1, 2, 1010, "v", 3.0), rawv(1, 3, 1020, "c", 9.0),
+      rawv(1, 4, 1100, "v", 1.5), rawv(1, 5, 1110, "c", 0.5),
+      rawv(2, 6, 1000, "e", 0.0), rawv(2, 7, 1010, "v", 4.0), rawv(2, 8, 1020, "c", 1.0))
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", $"ts", substring($"event_type", 1, 1).as("sym"), $"value")
+    val input = MemoryStream[Ev]
+    val q = graft.plans.MatchRecognize
+      .stream(proj(input.toDF().withWatermark("ts", "5 seconds")), allRowsBody)
+      .writeStream.outputMode("append").format("memory").queryName("scep_ar").start()
+    try {
+      evs.grouped(3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(rawv(99, 999, 9000, "x", 0.0)); q.processAllAvailable()
+      input.addData(rawv(99, 998, 9100, "x", 0.0)); q.processAllAvailable()
+      def shape(rs: Array[org.apache.spark.sql.Row]) = rs
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2),
+          r.getDouble(3), r.getLong(4), r.getString(5), r.getDouble(6)))
+        .filter(_._1 != 99L).toSet
+      val got = shape(spark.table("scep_ar").collect())
+      proj(evs.toDF()).createOrReplaceTempView("scep_ar_batch")
+      val want = shape(graft.plans.MatchRecognize.sql(spark,
+        s"SELECT * FROM scep_ar_batch MATCH_RECOGNIZE (\n$allRowsBody\n)").collect())
+      assert(got == want, s"streaming $got vs batch $want")
+      // user 1: two matches, numbered continuously across batches
+      assert(got.filter(_._1 == 1L).map(_._5) == Set(1L, 2L))
+      assert(got.map(_._6).subsetOf(Set("V", "C"))) // classifier column
+    } finally q.stop()
+    // MATCH_NUMBER() in ONE ROW mode: continuous per-key numbering
+    val mnBody =
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES MATCH_NUMBER() AS mn, SUM(V.value) AS v_sum
+        |PATTERN (V{1,2} C)
+        |DEFINE V AS sym = 'v', C AS sym = 'c'""".stripMargin
+    val input2 = MemoryStream[Ev]
+    val q2 = graft.plans.MatchRecognize
+      .stream(proj(input2.toDF().withWatermark("ts", "5 seconds")), mnBody)
+      .writeStream.outputMode("append").format("memory").queryName("scep_mn").start()
+    try {
+      evs.grouped(3).foreach { b => input2.addData(b: _*); q2.processAllAvailable() }
+      input2.addData(rawv(99, 999, 9000, "x", 0.0)); q2.processAllAvailable()
+      input2.addData(rawv(99, 998, 9100, "x", 0.0)); q2.processAllAvailable()
+      val got = spark.table("scep_mn").collect()
+        .map(r => (r.getLong(0), r.getLong(4))).filter(_._1 != 99L).toSet
+      assert(got == Set((1L, 1L), (1L, 2L), (2L, 1L)), s"match numbers $got")
+    } finally q2.stop()
   }
 
   test("streaming reluctant quantifier agrees with batch") {
