@@ -342,6 +342,202 @@ object Cep {
       }
   }
 
+  // ----- relaxed contiguity + negative patterns ([U] flink-cep
+  // Pattern.next/followedBy/followedByAny/notNext/notFollowedBy) -----
+
+  /** Contiguity of a step to the previous one: [[NextC]] = strict
+    * (Flink `next`), [[FollowedByC]] = skip-till-next — non-matching
+    * events between the steps are skipped and the FIRST occurrence is
+    * taken, no backtracking to later ones (Flink `followedBy` /
+    * SKIP_TILL_NEXT), [[FollowedByAnyC]] = skip-till-any — later
+    * occurrences are tried when the remainder fails (Flink
+    * `followedByAny` / SKIP_TILL_ANY).
+    */
+  sealed trait Contiguity extends Serializable
+  case object NextC extends Contiguity
+  case object FollowedByC extends Contiguity
+  case object FollowedByAnyC extends Contiguity
+
+  /** One element of a relaxed-contiguity pattern. */
+  sealed trait RelElem extends Serializable
+  /** A positive step (consumes events) with its contiguity. The FIRST
+    * positive element anchors at the scan position (Flink `begin`), so
+    * its contiguity is ignored.
+    */
+  final case class PosElem(step: Step, contiguity: Contiguity = NextC) extends RelElem
+  /** A negative pattern (consumes nothing): `strict` asserts the
+    * immediate next event does not match (Flink `notNext`); relaxed
+    * asserts NO matching event occurs in the span skipped before the
+    * next positive step's match (Flink `notFollowedBy`). Like Flink, a
+    * pattern cannot END with a relaxed negative element.
+    */
+  final case class NegElem(name: String, strict: Boolean)(val pred: Event => Boolean)
+      extends RelElem
+
+  def next(s: Step): RelElem = PosElem(s, NextC)
+  def followedBy(s: Step): RelElem = PosElem(s, FollowedByC)
+  def followedByAny(s: Step): RelElem = PosElem(s, FollowedByAnyC)
+  def notNext(name: String)(pred: Event => Boolean): RelElem =
+    NegElem(name, strict = true)(pred)
+  def notFollowedBy(name: String)(pred: Event => Boolean): RelElem =
+    NegElem(name, strict = false)(pred)
+
+  /** Relaxed-contiguity match anchored at `start`: returns (end, consumed
+    * indices) or (Fail/Pending, null). Pending (openEnded only) when the
+    * outcome could change with more events — a quantifier or an
+    * occurrence search ran into the buffer end, or a strict negative had
+    * no next event to test yet.
+    */
+  private[graft] def tryMatchRelaxed(events: Array[Event], ts: Array[Long],
+      start: Int, elems: IndexedSeq[RelElem], withinMs: Long,
+      openEnded: Boolean): (Int, IndexedSeq[Int]) = {
+    val n = events.length
+    var pending = false
+    val consumed = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val firstPos = elems.indexWhere(_.isInstanceOf[PosElem])
+
+    def inWindow(j: Int): Boolean = ts(j) - ts(start) <= withinMs
+
+    // guard: pending notFollowedBy predicates to verify over the span
+    // skipped before the next positive match
+    def rec(pos: Int, ei: Int, guards: List[Event => Boolean]): Int = {
+      if (ei == elems.length) return pos
+      elems(ei) match {
+        case ne: NegElem if ne.strict =>
+          if (pos >= n) { if (openEnded) pending = true; return Fail }
+          if (ne.pred(events(pos))) Fail else rec(pos, ei + 1, guards)
+        case ne: NegElem =>
+          rec(pos, ei + 1, ne.pred :: guards)
+        case PosElem(st, contig0) =>
+          // first positive element anchors at the scan position (begin)
+          val contig = if (ei == firstPos) NextC else contig0
+          def guarded(j: Int): Boolean = guards.exists(g => g(events(j)))
+          def attempt(j: Int): Int = {
+            // greedy (or reluctant) consecutive consumption at j, then rest
+            var cnt = 0
+            while (cnt < st.max && j + cnt < n && st.accepts(events(j + cnt)) &&
+              inWindow(j + cnt)) cnt += 1
+            val atEdge = openEnded && j + cnt == n && cnt < st.max
+            val mark = consumed.length
+            def tryTake(take: Int): Int = {
+              consumed.remove(mark, consumed.length - mark)
+              var k = 0
+              while (k < take) { consumed += j + k; k += 1 }
+              rec(j + take, ei + 1, Nil)
+            }
+            if (st.reluctant) {
+              var take = st.min
+              while (take <= cnt) {
+                val r = tryTake(take)
+                if (r >= 0) return r
+                take += 1
+              }
+              if (atEdge) pending = true
+              consumed.remove(mark, consumed.length - mark)
+              Fail
+            } else {
+              if (atEdge) pending = true
+              var take = cnt
+              while (take >= st.min) {
+                val r = tryTake(take)
+                if (r >= 0) return r
+                take -= 1
+              }
+              consumed.remove(mark, consumed.length - mark)
+              Fail
+            }
+          }
+          contig match {
+            case NextC =>
+              // the skipped span is empty under strict contiguity, so
+              // any pending notFollowedBy guards hold vacuously
+              attempt(pos)
+            case FollowedByC | FollowedByAnyC =>
+              var j = pos
+              while (j < n && inWindow(j)) {
+                if (guarded(j)) return Fail // negative pattern hit first
+                if (st.min == 0 || st.accepts(events(j))) {
+                  val r = attempt(j)
+                  if (r >= 0) return r
+                  if (contig == FollowedByC && st.accepts(events(j)))
+                    return Fail // skip-till-next commits to the first occurrence
+                }
+                j += 1
+              }
+              if (openEnded && j == n) pending = true // occurrence may still arrive
+              Fail
+          }
+      }
+    }
+
+    val r = rec(start, 0, Nil)
+    if (pending) (Pending, null)
+    else if (r == Fail || consumed.isEmpty) (Fail, null) // zero-length: no match
+    else (r, consumed.toIndexedSeq)
+  }
+
+  /** One relaxed-pattern match: span ends plus how many events were
+    * CONSUMED (skipped events in relaxed gaps are not counted).
+    */
+  case class RMatch(key: Long, start_id: Long, end_id: Long,
+      start_ts: Long, end_ts: Long, n_events: Int)
+
+  /** Batch relaxed-contiguity pattern match per key ([U] flink-cep
+    * CEP.pattern with followedBy/notFollowedBy chains). AFTER MATCH:
+    * non-overlapping — the scan resumes past the last CONSUMED row
+    * (Flink's NO_SKIP emits overlapping branch matches; the reference's
+    * common deployment uses skip-past, which is what a non-branching
+    * scan produces). Same distribution shape as [[matchPattern]].
+    */
+  def matchPatternRelaxed(ds: Dataset[Event], elems: Seq[RelElem],
+      withinMs: Long, overlapping: Boolean = false): Dataset[RMatch] = {
+    implicit val enc = Encoders.product[RMatch]
+    val el = elems.toIndexedSeq
+    validateRelaxed(el) // fail on the driver, not wrapped in a task error
+    ds.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroups { (_, it) =>
+        val events = it.toArray.sortBy(e => (e.ts, e.id))
+        val ts = events.map(_.ts)
+        scanRelaxed(events, ts, el, withinMs, overlapping,
+          openEnded = false, wm = Long.MaxValue)._1.iterator
+      }
+  }
+
+  private[graft] def validateRelaxed(elems: IndexedSeq[RelElem]): Unit = {
+    if (!elems.exists(_.isInstanceOf[PosElem]))
+      throw new IllegalArgumentException("pattern needs at least one positive step")
+    elems.lastOption match {
+      case Some(ne: NegElem) if !ne.strict =>
+        throw new IllegalArgumentException(
+          "pattern cannot end with notFollowedBy (no following step bounds the span)")
+      case _ =>
+    }
+  }
+
+  /** Shared relaxed scan (batch + streaming): emit resolved matches,
+    * return the resume index for the streaming buffer.
+    */
+  private[graft] def scanRelaxed(events: Array[Event], ts: Array[Long],
+      elems: IndexedSeq[RelElem], withinMs: Long, overlapping: Boolean,
+      openEnded: Boolean, wm: Long): (Seq[RMatch], Int) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RMatch]
+    var i = 0
+    var halt = false
+    while (i < events.length && !halt) {
+      val open = openEnded && wm - ts(i) <= withinMs
+      tryMatchRelaxed(events, ts, i, elems, withinMs, open) match {
+        case (Pending, _) => halt = true
+        case (Fail, _)    => i += 1
+        case (_, idxs)    =>
+          val e0 = events(idxs.head)
+          val e1 = events(idxs.last)
+          out += RMatch(e0.key, e0.id, e1.id, e0.ts, e1.ts, idxs.length)
+          i = if (overlapping) i + 1 else idxs.last + 1
+      }
+    }
+    (out.toSeq, i)
+  }
+
   /** Match + per-step MEASURES ([U] flink-table-runtime operators/match/
     * — MEASURES COUNT(B.*), SUM(B.value), FIRST/LAST ids): each match row
     * carries, per pattern step, how many events it consumed, the sum of

@@ -101,6 +101,48 @@ class StreamingPatternProcess(alts: IndexedSeq[IndexedSeq[Cep.Step]], withinMs: 
   }
 }
 
+/** Relaxed-contiguity pattern (followedBy / notFollowedBy chains) over a
+  * watermarked stream — [[StreamingPatternProcess]] with the relaxed
+  * scan ([U] flink-cep NFA under SKIP_TILL_NEXT/SKIP_TILL_ANY). The
+  * same resolution rule applies: an occurrence search or quantifier
+  * that runs into the buffer end stays pending until more events or the
+  * watermark close the WITHIN window.
+  */
+class StreamingRelaxedProcess(elems: IndexedSeq[Cep.RelElem], withinMs: Long,
+    overlapping: Boolean)
+    extends KeyedProcess[Long, Cep.Event, Cep.RMatch] {
+  @transient private var buf: ListState[Cep.Event] = _
+
+  override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
+    implicit val evEnc: Encoder[Cep.Event] = Encoders.product[Cep.Event]
+    buf = h.getListState[Cep.Event]("buf", evEnc, TTLConfig.NONE)
+  }
+
+  override def onElement(key: Long, v: Cep.Event, tv: TimerValues,
+      emit: Cep.RMatch => Unit): Unit = {
+    buf.appendValue(v)
+    registerTimer(v.ts)
+  }
+
+  override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
+      emit: Cep.RMatch => Unit): Unit = {
+    val wm = math.max(tv.getCurrentWatermarkInMs, expiryMs)
+    val (readyRaw, pending) = buf.get().toArray.partition(_.ts <= wm)
+    if (readyRaw.nonEmpty) {
+      val ready = readyRaw.sortBy(e => (e.ts, e.id))
+      val (matches, resume) = Cep.scanRelaxed(ready, ready.map(_.ts), elems,
+        withinMs, overlapping, openEnded = true, wm = wm)
+      matches.foreach(emit)
+      buf.clear()
+      val keep = ready.drop(resume) ++ pending
+      if (keep.nonEmpty) {
+        buf.appendList(keep)
+        registerTimer(wm + 1)
+      }
+    }
+  }
+}
+
 object StreamingCep {
   /** `a b+ c WITHIN withinMs` over a watermarked keyed event stream. */
   def abcWithin(ds: Dataset[Cep.Event], a: String, b: String, c: String,
@@ -127,6 +169,19 @@ object StreamingCep {
     implicit val out: Encoder[Cep.PMatch] = Encoders.product[Cep.PMatch]
     ds.groupByKey(_.key)(Encoders.scalaLong)
       .transformWithState(new StreamingPatternProcess(alts, withinMs, skip),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Relaxed-contiguity pattern (followedBy / followedByAny / notNext /
+    * notFollowedBy) over a watermarked keyed event stream.
+    */
+  def matchPatternRelaxed(ds: Dataset[Cep.Event], elems: Seq[Cep.RelElem],
+      withinMs: Long, overlapping: Boolean = false): Dataset[Cep.RMatch] = {
+    implicit val out: Encoder[Cep.RMatch] = Encoders.product[Cep.RMatch]
+    val el = elems.toIndexedSeq
+    Cep.validateRelaxed(el)
+    ds.groupByKey(_.key)(Encoders.scalaLong)
+      .transformWithState(new StreamingRelaxedProcess(el, withinMs, overlapping),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }
