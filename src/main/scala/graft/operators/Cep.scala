@@ -112,6 +112,27 @@ object Cep {
     override def accepts(e: Event): Boolean = pred(e)
   }
 
+  /** Iterative condition ([U] flink-cep pattern/conditions/
+    * IterativeCondition.java — Flink's signature CEP feature): the
+    * predicate also sees the events already CONSUMED by the current
+    * partial match (previous steps plus this step's earlier
+    * repetitions, in match order), so conditions like "price above the
+    * first event's" are expressible. Supported by the relaxed pattern
+    * API ([[matchPatternRelaxed]]); the strict kernel rejects it
+    * up front.
+    */
+  case class CtxStep(name: String, min: Int, max: Int,
+      reluctant: Boolean = false)(
+      val pred: (Event, IndexedSeq[Event]) => Boolean) extends Step {
+    override def accepts(e: Event): Boolean =
+      throw new UnsupportedOperationException(
+        s"iterative condition $name needs the partial-match context")
+  }
+
+  def whenCtx(name: String, min: Int = 1, max: Int = 1, reluctant: Boolean = false)(
+      pred: (Event, IndexedSeq[Event]) => Boolean): CtxStep =
+    CtxStep(name, min, max, reluctant)(pred)
+
   val MaxTimes: Int = Int.MaxValue
   def once(sym: String): PStep = PStep(sym, 1, 1)
   def opt(sym: String): PStep = PStep(sym, 0, 1)
@@ -313,9 +334,15 @@ object Cep {
     * Same distribution shape as [[abcWithin]] (hash shuffle on key,
     * per-key in-memory sort — state bounded by one key's history).
     */
+  private[graft] def requireNonIterative(steps: Seq[Step]): Unit =
+    steps.find(_.isInstanceOf[CtxStep]).foreach(s =>
+      throw new IllegalArgumentException(s"iterative condition ${s.name} is " +
+        "supported only by the relaxed pattern API (matchPatternRelaxed)"))
+
   def matchPattern(ds: Dataset[Event], steps: Seq[Step], withinMs: Long,
       skip: AfterMatch = SkipPastLastRow): Dataset[PMatch] = {
     implicit val enc = Encoders.product[PMatch]
+    requireNonIterative(steps)
     val stepsIdx = steps.toIndexedSeq
     ds.groupByKey(_.key)(Encoders.scalaLong)
       .flatMapGroups { (_, it) =>
@@ -333,6 +360,7 @@ object Cep {
   def matchPatternAlts(ds: Dataset[Event], alts: Seq[Seq[Step]], withinMs: Long,
       skip: AfterMatch = SkipPastLastRow): Dataset[PMatch] = {
     implicit val enc = Encoders.product[PMatch]
+    alts.foreach(requireNonIterative)
     val a = alts.map(_.toIndexedSeq).toIndexedSeq
     ds.groupByKey(_.key)(Encoders.scalaLong)
       .flatMapGroups { (_, it) =>
@@ -412,13 +440,22 @@ object Cep {
           // first positive element anchors at the scan position (begin)
           val contig = if (ei == firstPos) NextC else contig0
           def guarded(j: Int): Boolean = guards.exists(g => g(events(j)))
+          // iterative conditions see the partial match: prior steps'
+          // consumed events plus this step's earlier repetitions
+          def acceptsAt(j: Int, p: Int, taken: Int, mark: Int): Boolean = st match {
+            case cs: CtxStep =>
+              val ctx = (consumed.view.take(mark).map(events(_)) ++
+                (j until j + taken).map(events(_))).toIndexedSeq
+              cs.pred(events(p), ctx)
+            case _ => st.accepts(events(p))
+          }
           def attempt(j: Int): Int = {
+            val mark = consumed.length
             // greedy (or reluctant) consecutive consumption at j, then rest
             var cnt = 0
-            while (cnt < st.max && j + cnt < n && st.accepts(events(j + cnt)) &&
-              inWindow(j + cnt)) cnt += 1
+            while (cnt < st.max && j + cnt < n &&
+              acceptsAt(j, j + cnt, cnt, mark) && inWindow(j + cnt)) cnt += 1
             val atEdge = openEnded && j + cnt == n && cnt < st.max
-            val mark = consumed.length
             def tryTake(take: Int): Int = {
               consumed.remove(mark, consumed.length - mark)
               var k = 0
@@ -456,10 +493,12 @@ object Cep {
               var j = pos
               while (j < n && inWindow(j)) {
                 if (guarded(j)) return Fail // negative pattern hit first
-                if (st.min == 0 || st.accepts(events(j))) {
+                val occ = st.min == 0 ||
+                  acceptsAt(j, j, 0, consumed.length) // first repetition at j
+                if (occ) {
                   val r = attempt(j)
                   if (r >= 0) return r
-                  if (contig == FollowedByC && st.accepts(events(j)))
+                  if (contig == FollowedByC && st.min > 0)
                     return Fail // skip-till-next commits to the first occurrence
                 }
                 j += 1
@@ -551,6 +590,7 @@ object Cep {
   def matchPatternMeasures(ds: Dataset[Event], steps: Seq[Step], withinMs: Long,
       skip: AfterMatch = SkipPastLastRow): Dataset[PMeasures] = {
     implicit val enc = Encoders.product[PMeasures]
+    requireNonIterative(steps)
     val stepsIdx = steps.toIndexedSeq
     ds.groupByKey(_.key)(Encoders.scalaLong)
       .flatMapGroups { (_, it) =>

@@ -167,6 +167,7 @@ object StreamingCep {
       withinMs: Long, skip: Cep.AfterMatch = Cep.SkipPastLastRow)
       : Dataset[Cep.PMatch] = {
     implicit val out: Encoder[Cep.PMatch] = Encoders.product[Cep.PMatch]
+    alts.foreach(Cep.requireNonIterative)
     ds.groupByKey(_.key)(Encoders.scalaLong)
       .transformWithState(new StreamingPatternProcess(alts, withinMs, skip),
         TimeMode.EventTime(), OutputMode.Append())

@@ -122,6 +122,42 @@ class RelaxedCepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("iterative conditions see the partial match") {
+    import spark.implicits._
+    // B+ accepts only values above the FIRST event's value (the classic
+    // flink-cep IterativeCondition example): from a=5.0, the 6.0 and 7.0
+    // qualify, the 4.0 breaks the consecutive run
+    val es = Seq(
+      Event(1, 1, 1, "a", 5.0), Event(1, 2, 2, "x", 0.0),
+      Event(1, 3, 3, "b", 6.0), Event(1, 4, 4, "b", 7.0),
+      Event(1, 5, 5, "b", 4.0))
+    val elems = Seq(
+      Cep.next(Cep.once("a")),
+      Cep.followedBy(Cep.whenCtx("B", 1, Cep.MaxTimes) { (e, ctx) =>
+        e.sym == "b" && e.value > ctx.head.value
+      }))
+    val got = Cep.matchPatternRelaxed(es.toDS(), elems, Long.MaxValue / 4)
+      .collect().map(m => (m.start_ts, m.end_ts, m.n_events)).toSeq
+    assert(got == Seq((1L, 4L, 3))) // a@1, b@3, b@4; b@5 (4.0 <= 5.0) excluded
+    // this step's own earlier repetitions are part of the context
+    val strictlyRising = Seq(
+      Cep.next(Cep.once("a")),
+      Cep.followedBy(Cep.whenCtx("B", 1, Cep.MaxTimes) { (e, ctx) =>
+        e.sym == "b" && e.value > ctx.last.value
+      }))
+    val es2 = Seq(
+      Event(1, 1, 1, "a", 5.0), Event(1, 2, 2, "b", 6.0),
+      Event(1, 3, 3, "b", 6.0), Event(1, 4, 4, "b", 8.0))
+    val got2 = Cep.matchPatternRelaxed(es2.toDS(), strictlyRising, Long.MaxValue / 4)
+      .collect().map(m => (m.start_ts, m.end_ts, m.n_events)).toSeq
+    assert(got2 == Seq((1L, 2L, 2))) // 6.0 > 5.0, but the second 6.0 is not > 6.0
+    // the strict kernel rejects iterative conditions up front
+    val e = intercept[IllegalArgumentException](
+      Cep.matchPattern(es.toDS(), Seq(Cep.whenCtx("B")((e, _) => true)),
+        Long.MaxValue / 4))
+    assert(e.getMessage.contains("relaxed"))
+  }
+
   test("randomized regex oracle: followedBy and a notFollowedBy guard") {
     val rnd = new scala.util.Random(11)
     val alphabet = "abxyz"
