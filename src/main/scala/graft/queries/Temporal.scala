@@ -350,6 +350,29 @@ object Temporal {
         |) AS m""".stripMargin)
   }
 
+  /** Relaxed-contiguity CEP ([U] flink-cep Pattern.followedBy +
+    * notFollowedBy): every view followed by a purchase with NO error in
+    * between — skip-till-next commits each view to its FIRST following
+    * purchase, and the error guard kills the span. Overlapping anchors
+    * (every view tried), so the DuckDB oracle is a pure
+    * next-purchase/next-error window comparison.
+    */
+  val q113_cep_followed_by: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      $"user_id".cast("long").as("key"),
+      $"event_id".cast("long").as("id"),
+      $"event_id".cast("long").as("ts"),
+      substring($"event_type", 1, 1).as("sym"),
+      lit(0.0).as("value")).as[graft.operators.Cep.Event]
+    graft.operators.Cep.matchPatternRelaxed(ev, Seq(
+        graft.operators.Cep.next(graft.operators.Cep.once("v")),
+        graft.operators.Cep.notFollowedBy("E")(_.sym == "e"),
+        graft.operators.Cep.followedBy(graft.operators.Cep.once("p"))),
+      withinMs = Long.MaxValue / 4, overlapping = true)
+      .toDF().select($"key".as("user_id"), $"start_id", $"end_id", $"n_events")
+  }
+
   /** MATCH_RECOGNIZE reluctant quantifier ([U] flink-cep Quantifier.java
     * reluctant mode — `*?` prefers the FEWEST rows): `(A*? C)` with
     * A = TRUE consumes up to the NEAREST c, so AFTER MATCH SKIP PAST
@@ -605,6 +628,7 @@ object Temporal {
     "q110_mr_prev_nav" -> q110_mr_prev_nav,
     "q111_mr_subset" -> q111_mr_subset,
     "q112_mr_reluctant" -> q112_mr_reluctant,
+    "q113_cep_followed_by" -> q113_cep_followed_by,
     "q55_cep_quantified" -> q55_cep_quantified,
     "q41_hop_window" -> q41_hop_window,
     "q22_tumble_window" -> q22_tumble_window,
@@ -782,6 +806,21 @@ object Temporal {
         |       least(event_type, et1) AS et_min, greatest(event_type, et1) AS et_max,
         |       round(value + v1, 2) AS a_sum
         |FROM e WHERE sym IN ('v','e') AND sym1 IN ('v','e') AND sym2 = 'c'""".stripMargin,
+    "q113_cep_followed_by" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         min(CASE WHEN event_type = 'purchase' THEN event_id END)
+        |           OVER (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p,
+        |         min(CASE WHEN event_type = 'error' THEN event_id END)
+        |           OVER (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_e
+        |  FROM events)
+        |SELECT user_id, event_id AS start_id, next_p AS end_id,
+        |       CAST(2 AS INTEGER) AS n_events
+        |FROM e
+        |WHERE event_type = 'view' AND next_p IS NOT NULL
+        |  AND (next_e IS NULL OR next_p < next_e)""".stripMargin,
     "q112_mr_reluctant" ->
       """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym,
         |                  coalesce(sum(CASE WHEN substr(event_type, 1, 1) = 'c'
