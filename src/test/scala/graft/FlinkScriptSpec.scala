@@ -247,6 +247,55 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.map(_._1) == Set(1L))
   }
 
+  test("streaming ALL ROWS PER MATCH deployment through INSERT INTO") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flink_cep_allrows").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    Seq((1L, t(1), "v", 2.0), (1L, t(2), "v", 3.0), (1L, t(3), "c", 9.0),
+        (2L, t(1), "e", 0.0), (2L, t(2), "v", 4.0), (2L, t(3), "c", 1.0))
+      .toDF("user_id", "ts", "sym", "value")
+      .write.mode("append").parquet(s"$dir/src")
+    val body =
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES SUM(V.value) AS v_run
+        |ALL ROWS PER MATCH
+        |PATTERN (V{1,2} C)
+        |DEFINE V AS sym = 'v', C AS sym = 'c'""".stripMargin
+    val q = FlinkSql.runStream(spark,
+      s"""CREATE TABLE ar_stream_src (
+         |  user_id BIGINT, ts TIMESTAMP(3), sym STRING, `value` DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/src',
+         |        'format' = 'parquet');
+         |CREATE TABLE ar_stream_sink (
+         |  user_id BIGINT, match_seq BIGINT, classifier STRING, v_run DOUBLE
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/sink',
+         |        'format' = 'parquet');
+         |INSERT INTO ar_stream_sink
+         |SELECT user_id, match_seq, classifier, v_run
+         |FROM ar_stream_src MATCH_RECOGNIZE (
+         |$body
+         |) AS m""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      Seq((99L, t(90000), "x", 0.0)).toDF("user_id", "ts", "sym", "value")
+        .write.mode("append").parquet(s"$dir/src")
+      q.processAllAvailable()
+      Seq((99L, t(90100), "x", 0.0)).toDF("user_id", "ts", "sym", "value")
+        .write.mode("append").parquet(s"$dir/src")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .filter(_._1 != 99L).toSet
+    // user 1: V(2.0) V(5.0) C(5.0); user 2: V(4.0) C(4.0)
+    assert(got == Set(
+      (1L, 1L, "V", 2.0), (1L, 1L, "V", 5.0), (1L, 1L, "C", 5.0),
+      (2L, 1L, "V", 4.0), (2L, 1L, "C", 4.0)), s"got $got")
+  }
+
   test("streaming INSERT parses the full dialect; TVF window aggs keep their documented delta") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("flink_dialect_stream").toString
