@@ -418,11 +418,18 @@ object Cep {
     */
   private[graft] def tryMatchRelaxed(events: Array[Event], ts: Array[Long],
       start: Int, elems: IndexedSeq[RelElem], withinMs: Long,
-      openEnded: Boolean): (Int, IndexedSeq[Int]) = {
+      openEnded: Boolean,
+      partialOut: scala.collection.mutable.ArrayBuffer[Int] = null)
+      : (Int, IndexedSeq[Int]) = {
     val n = events.length
     var pending = false
     val consumed = scala.collection.mutable.ArrayBuffer.empty[Int]
     val firstPos = elems.indexWhere(_.isInstanceOf[PosElem])
+    // deepest partial ever reached — the timed-out/abandoned prefix
+    def snapshotPartial(): Unit =
+      if (partialOut != null && consumed.length > partialOut.length) {
+        partialOut.clear(); partialOut ++= consumed
+      }
 
     def inWindow(j: Int): Boolean = ts(j) - ts(start) <= withinMs
 
@@ -460,6 +467,7 @@ object Cep {
               consumed.remove(mark, consumed.length - mark)
               var k = 0
               while (k < take) { consumed += j + k; k += 1 }
+              if (take >= st.min) snapshotPartial()
               rec(j + take, ei + 1, Nil)
             }
             if (st.reluctant) {
@@ -540,6 +548,68 @@ object Cep {
         scanRelaxed(events, ts, el, withinMs, overlapping,
           openEnded = false, wm = Long.MaxValue)._1.iterator
       }
+  }
+
+  /** One funnel outcome: a COMPLETED match, or an ABANDONED start — the
+    * deepest partial the anchor reached without completing ([U]
+    * flink-cep TimedOutPartialMatchHandler / CEP.select timeout tag:
+    * Flink surfaces partial matches pruned by the WITHIN window; here
+    * every anchored start resolves to exactly one outcome — completed,
+    * abandoned, or nothing if even the first step never matched).
+    */
+  case class FunnelOut(key: Long, start_id: Long, end_id: Long,
+      start_ts: Long, end_ts: Long, n_events: Int, completed: Boolean)
+
+  /** Funnel analysis over a relaxed-contiguity pattern: OVERLAPPING
+    * anchors (every event that satisfies the first step opens a funnel),
+    * each resolving to completed=true with its consumed rows or
+    * completed=false with the deepest partial reached. Batch; the
+    * streaming counterpart is `StreamingCep.matchFunnel`, where an open
+    * funnel resolves as abandoned once the watermark passes its WITHIN
+    * window.
+    */
+  def matchFunnel(ds: Dataset[Event], elems: Seq[RelElem],
+      withinMs: Long): Dataset[FunnelOut] = {
+    implicit val enc = Encoders.product[FunnelOut]
+    val el = elems.toIndexedSeq
+    validateRelaxed(el)
+    ds.groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroups { (_, it) =>
+        val events = it.toArray.sortBy(e => (e.ts, e.id))
+        scanFunnel(events, events.map(_.ts), el, withinMs,
+          openEnded = false, wm = Long.MaxValue)._1.iterator
+      }
+  }
+
+  private[graft] def scanFunnel(events: Array[Event], ts: Array[Long],
+      elems: IndexedSeq[RelElem], withinMs: Long,
+      openEnded: Boolean, wm: Long): (Seq[FunnelOut], Int) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+    val partial = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    var halt = false
+    while (i < events.length && !halt) {
+      val open = openEnded && wm - ts(i) <= withinMs
+      partial.clear()
+      tryMatchRelaxed(events, ts, i, elems, withinMs, open, partial) match {
+        case (Pending, _) => halt = true
+        case (Fail, _) =>
+          if (partial.nonEmpty) { // anchored partial: an abandoned funnel
+            val e0 = events(partial.head)
+            val e1 = events(partial.last)
+            out += FunnelOut(e0.key, e0.id, e1.id, e0.ts, e1.ts,
+              partial.length, completed = false)
+          }
+          i += 1
+        case (_, idxs) =>
+          val e0 = events(idxs.head)
+          val e1 = events(idxs.last)
+          out += FunnelOut(e0.key, e0.id, e1.id, e0.ts, e1.ts,
+            idxs.length, completed = true)
+          i += 1 // overlapping: every anchor gets an outcome
+      }
+    }
+    (out.toSeq, i)
   }
 
   private[graft] def validateRelaxed(elems: IndexedSeq[RelElem]): Unit = {

@@ -373,6 +373,30 @@ object Temporal {
       .toDF().select($"key".as("user_id"), $"start_id", $"end_id", $"n_events")
   }
 
+  /** Funnel analysis with abandoned starts ([U] flink-cep
+    * TimedOutPartialMatchHandler — partial matches pruned by the WITHIN
+    * window surface as outcomes): every view opens a funnel that either
+    * COMPLETES at its first following purchase within the window or
+    * resolves as ABANDONED (the deepest partial — here just the view).
+    * event_id doubles as the time axis, so the window is 100 ids and
+    * the DuckDB oracle is one next-purchase window comparison.
+    */
+  val q114_funnel: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      $"user_id".cast("long").as("key"),
+      $"event_id".cast("long").as("id"),
+      $"event_id".cast("long").as("ts"),
+      substring($"event_type", 1, 1).as("sym"),
+      lit(0.0).as("value")).as[graft.operators.Cep.Event]
+    graft.operators.Cep.matchFunnel(ev, Seq(
+        graft.operators.Cep.next(graft.operators.Cep.once("v")),
+        graft.operators.Cep.followedBy(graft.operators.Cep.once("p"))),
+      withinMs = 100L)
+      .toDF().select($"key".as("user_id"), $"start_id", $"end_id",
+        $"n_events", $"completed")
+  }
+
   /** MATCH_RECOGNIZE reluctant quantifier ([U] flink-cep Quantifier.java
     * reluctant mode — `*?` prefers the FEWEST rows): `(A*? C)` with
     * A = TRUE consumes up to the NEAREST c, so AFTER MATCH SKIP PAST
@@ -629,6 +653,7 @@ object Temporal {
     "q111_mr_subset" -> q111_mr_subset,
     "q112_mr_reluctant" -> q112_mr_reluctant,
     "q113_cep_followed_by" -> q113_cep_followed_by,
+    "q114_funnel" -> q114_funnel,
     "q55_cep_quantified" -> q55_cep_quantified,
     "q41_hop_window" -> q41_hop_window,
     "q22_tumble_window" -> q22_tumble_window,
@@ -806,6 +831,20 @@ object Temporal {
         |       least(event_type, et1) AS et_min, greatest(event_type, et1) AS et_max,
         |       round(value + v1, 2) AS a_sum
         |FROM e WHERE sym IN ('v','e') AND sym1 IN ('v','e') AND sym2 = 'c'""".stripMargin,
+    "q114_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         min(CASE WHEN event_type = 'purchase' THEN event_id END)
+        |           OVER (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+        |  FROM events)
+        |SELECT user_id, event_id AS start_id,
+        |       CASE WHEN next_p IS NOT NULL AND next_p - event_id <= 100
+        |            THEN next_p ELSE event_id END AS end_id,
+        |       CASE WHEN next_p IS NOT NULL AND next_p - event_id <= 100
+        |            THEN CAST(2 AS INTEGER) ELSE CAST(1 AS INTEGER) END AS n_events,
+        |       (next_p IS NOT NULL AND next_p - event_id <= 100) AS completed
+        |FROM e WHERE event_type = 'view'""".stripMargin,
     "q113_cep_followed_by" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

@@ -143,6 +143,47 @@ class StreamingRelaxedProcess(elems: IndexedSeq[Cep.RelElem], withinMs: Long,
   }
 }
 
+/** Streaming funnel analysis: every anchored start resolves to exactly
+  * one outcome — completed when the pattern finishes, or ABANDONED once
+  * the watermark passes the anchor's WITHIN window without completion
+  * ([U] flink-cep TimedOutPartialMatchHandler behind event time).
+  */
+class StreamingFunnelProcess(elems: IndexedSeq[Cep.RelElem], withinMs: Long)
+    extends KeyedProcess[Long, Cep.Event, Cep.FunnelOut] {
+  @transient private var buf: ListState[Cep.Event] = _
+
+  override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
+    implicit val evEnc: Encoder[Cep.Event] = Encoders.product[Cep.Event]
+    buf = h.getListState[Cep.Event]("buf", evEnc, TTLConfig.NONE)
+  }
+
+  override def onElement(key: Long, v: Cep.Event, tv: TimerValues,
+      emit: Cep.FunnelOut => Unit): Unit = {
+    buf.appendValue(v)
+    registerTimer(v.ts)
+    // the anchor resolves as abandoned when its window closes
+    if (withinMs < Long.MaxValue / 8) registerTimer(v.ts + withinMs + 1)
+  }
+
+  override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
+      emit: Cep.FunnelOut => Unit): Unit = {
+    val wm = math.max(tv.getCurrentWatermarkInMs, expiryMs)
+    val (readyRaw, pending) = buf.get().toArray.partition(_.ts <= wm)
+    if (readyRaw.nonEmpty) {
+      val ready = readyRaw.sortBy(e => (e.ts, e.id))
+      val (matches, resume) = Cep.scanFunnel(ready, ready.map(_.ts), elems,
+        withinMs, openEnded = true, wm = wm)
+      matches.foreach(emit)
+      buf.clear()
+      val keep = ready.drop(resume) ++ pending
+      if (keep.nonEmpty) {
+        buf.appendList(keep)
+        registerTimer(wm + 1)
+      }
+    }
+  }
+}
+
 object StreamingCep {
   /** `a b+ c WITHIN withinMs` over a watermarked keyed event stream. */
   def abcWithin(ds: Dataset[Cep.Event], a: String, b: String, c: String,
@@ -170,6 +211,21 @@ object StreamingCep {
     alts.foreach(Cep.requireNonIterative)
     ds.groupByKey(_.key)(Encoders.scalaLong)
       .transformWithState(new StreamingPatternProcess(alts, withinMs, skip),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Streaming funnel analysis over a relaxed pattern: completed
+    * matches emit when the pattern finishes; an open anchor emits as
+    * ABANDONED (completed=false, deepest partial) once the watermark
+    * passes its WITHIN window.
+    */
+  def matchFunnel(ds: Dataset[Cep.Event], elems: Seq[Cep.RelElem],
+      withinMs: Long): Dataset[Cep.FunnelOut] = {
+    implicit val out: Encoder[Cep.FunnelOut] = Encoders.product[Cep.FunnelOut]
+    val el = elems.toIndexedSeq
+    Cep.validateRelaxed(el)
+    ds.groupByKey(_.key)(Encoders.scalaLong)
+      .transformWithState(new StreamingFunnelProcess(el, withinMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

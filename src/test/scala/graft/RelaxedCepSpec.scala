@@ -158,6 +158,58 @@ class RelaxedCepSpec extends AnyFunSuite {
     assert(e.getMessage.contains("relaxed"))
   }
 
+  test("funnel: every anchored start resolves to completed or abandoned") {
+    import spark.implicits._
+    // views at 1, 10, 30; purchases at 12, 100: view@1 completes at 12
+    // (within 20), view@10 completes at 12, view@30 has no purchase
+    // within its window -> abandoned with just the view consumed
+    def e(id: Long, sym: String) = Event(1L, id, id, sym)
+    val es = Seq(e(1, "v"), e(5, "x"), e(10, "v"), e(12, "p"),
+      e(30, "v"), e(100, "p"))
+    val elems = Seq(Cep.next(Cep.once("v")), Cep.followedBy(Cep.once("p")))
+    val got = Cep.matchFunnel(es.toDS(), elems, withinMs = 20L).collect()
+      .map(f => (f.start_id, f.end_id, f.n_events, f.completed)).toSet
+    assert(got == Set((1L, 12L, 2, true), (10L, 12L, 2, true),
+      (30L, 30L, 1, false)))
+  }
+
+  test("streaming funnel agrees with batch; abandonment waits for the window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{lit, unix_millis}
+    implicit val sqlCtx = spark.sqlContext
+    val elems = Seq(Cep.next(Cep.once("v")), Cep.followedBy(Cep.once("p")))
+    def e(id: Long, sym: String) = Event(1L, id, id * 1000, sym)
+    val es = Seq(e(1, "v"), e(2, "x"), e(3, "p"), e(10, "v"), e(11, "x"))
+    val withinMs = 5000L
+    val input = MemoryStream[RelaxedCepSpec.REv]
+    def rev(ev: Event) = RelaxedCepSpec.REv(ev.key, ev.id,
+      new java.sql.Timestamp(ev.ts), ev.sym)
+    val q = StreamingCep.matchFunnel(
+        input.toDF().withWatermark("ts", "1 second")
+          .select($"key", $"id", unix_millis($"ts").as("ts"), $"sym",
+            lit(0.0).as("value")).as[Event],
+        elems, withinMs)
+      .writeStream.outputMode("append").format("memory").queryName("funnel_s").start()
+    try {
+      es.grouped(2).foreach { b => input.addData(b.map(rev): _*); q.processAllAvailable() }
+      // v@10 is still an OPEN funnel: its 5 s window has not closed
+      val early = spark.table("funnel_s").as[Cep.FunnelOut].collect()
+        .filter(_.key == 1L).map(f => (f.start_id, f.completed)).toSet
+      assert(early == Set((1L, true)), s"early $early")
+      // advance the watermark past the window -> v@10 resolves abandoned
+      input.addData(rev(e(999, "z"))); q.processAllAvailable()
+      input.addData(rev(e(1000, "z"))); q.processAllAvailable()
+      val got = spark.table("funnel_s").as[Cep.FunnelOut].collect()
+        .filter(f => f.key == 1L && f.start_id < 900)
+        .map(f => (f.start_id, f.end_id, f.n_events, f.completed)).toSet
+      val want = Cep.matchFunnel(es.toDS(), elems, withinMs).collect()
+        .map(f => (f.start_id, f.end_id, f.n_events, f.completed)).toSet
+      assert(got == want, s"streaming $got vs batch $want")
+      assert(got == Set((1L, 3L, 2, true), (10L, 10L, 1, false)))
+    } finally q.stop()
+  }
+
   test("randomized regex oracle: followedBy and a notFollowedBy guard") {
     val rnd = new scala.util.Random(11)
     val alphabet = "abxyz"
