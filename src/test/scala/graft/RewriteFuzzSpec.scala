@@ -88,6 +88,32 @@ class RewriteFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("MATCH_RECOGNIZE extraction/parse: clean rejection, never a crash") {
+    val spark = TestSpark.spark
+    spark.range(3).selectExpr("id AS k", "id AS ord", "'a' AS sym")
+      .createOrReplaceTempView("fuzz_mr_t")
+    val mrToken: Gen[String] = Gen.frequency(
+      5 -> junk,
+      4 -> Gen.oneOf("MATCH_RECOGNIZE", "MATCH_RECOGNIZE (", "PARTITION BY k",
+        "ORDER BY ord", "PATTERN (A)", "PATTERN (A B+", "DEFINE A AS sym = 'a'",
+        "DEFINE", "MEASURES SUM(A.x) AS s", "SUBSET U = (A", "WITHIN 5",
+        "AFTER MATCH SKIP TO", "ALL ROWS PER MATCH", "PERMUTE(A, B)",
+        "PREV(", "NEXT(value, 2)", "A??", "{2,}"),
+      2 -> Gen.oneOf("SELECT * FROM fuzz_mr_t", ") AS m", "(A|B)", "'lit (' ",
+        "FROM fuzz_mr_t"))
+    val mrStmt: Gen[String] =
+      Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, mrToken).map(_.mkString(" ")))
+    forAllSeeded(mrStmt, 400) { s =>
+      try { graft.plans.MatchRecognize.sql(spark, s); () }
+      catch {
+        case _: IllegalArgumentException => // the subset's own clean rejection
+        case _: org.apache.spark.sql.AnalysisException => // plain-SQL fallthrough
+        case e: Throwable =>
+          fail(s"unclean failure ${e.getClass.getName} on <$s>: ${e.getMessage}")
+      }
+    }
+  }
+
   test("UNNEST rewrite: identity without a trigger, total with one") {
     forAllSeeded(stmt, 600) { s =>
       try {
