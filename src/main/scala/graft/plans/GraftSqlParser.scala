@@ -40,9 +40,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       if (WindowTvf.containsClause(lowered)) WindowTvf.rewrite(lowered) else lowered
     val unnested =
       if (UnnestRewrite.containsClause(tvfed)) UnnestRewrite.rewrite(tvfed) else tvfed
-    val jsonObj =
-      if (JsonObjectRewrite.containsClause(unnested)) JsonObjectRewrite.rewrite(unnested)
+    val temporal =
+      if (TemporalFunctions.containsClause(unnested))
+        TemporalFunctions.rewrite(session, unnested)
       else unnested
+    val jsonObj =
+      if (JsonObjectRewrite.containsClause(temporal)) JsonObjectRewrite.rewrite(temporal)
+      else temporal
     // ARRAY[...] / MAP[...] bracket constructors → array(...) / map(...)
     BracketConstructors.rewrite(jsonObj)
   }

@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/** Legacy temporal table FUNCTIONS ([U] flink-table-api
+  * TemporalTableFunction / flink-docs "Temporal Table Function" — the
+  * pre-`FOR SYSTEM_TIME` temporal-join surface):
+  *
+  * {{{
+  *   TemporalFunctions.register(spark, "rates", "rates_history",
+  *     timeAttr = "rate_ts", primaryKey = Seq("currency"))
+  *   FlinkSql.sql(spark, """
+  *     SELECT o.amount * r.rate
+  *     FROM orders AS o, LATERAL TABLE (rates(o.order_ts)) AS r
+  *     WHERE r.currency = o.currency""")
+  * }}}
+  *
+  * `LATERAL TABLE (fn(t))` is the version of the history table valid at
+  * time `t`: per primary key, the row with the greatest time attribute
+  * ≤ t. The rewrite derives validity INTERVALS once (`lead(timeAttr)
+  * OVER (PARTITION BY pk ORDER BY timeAttr)` as the exclusive end) and
+  * replaces the correlated call with a plain range join — no correlated
+  * subquery, so Catalyst needs no decorrelation, and when the user's
+  * WHERE carries the usual key equation (`r.currency = o.currency`) the
+  * optimizer folds it into the join, making it an equi+range as-of join
+  * exactly like [[SystemTimeJoin]]'s plan. Subset notes: the comma-join
+  * form only (Flink's documented shape); the function alias exposes one
+  * internal `__v_to` column (the validity end) alongside the table's
+  * own; a column-list alias `AS r (a, b)` is rejected loudly.
+  */
+object TemporalFunctions {
+
+  private case class TemporalFn(table: String, timeAttr: String, pk: Seq[String])
+
+  private val registry =
+    new java.util.WeakHashMap[SparkSession, Map[String, TemporalFn]]()
+
+  /** Register `name` as a temporal table function over `table` (a table
+    * or view name), versioned by `timeAttr` per `primaryKey`.
+    */
+  def register(spark: SparkSession, name: String, table: String,
+      timeAttr: String, primaryKey: Seq[String]): Unit = registry.synchronized {
+    require(primaryKey.nonEmpty, "temporal table function needs a primary key")
+    val cur = Option(registry.get(spark)).getOrElse(Map.empty)
+    registry.put(spark, cur + (name.toLowerCase -> TemporalFn(table, timeAttr, primaryKey)))
+  }
+
+  private def registered(spark: SparkSession): Map[String, TemporalFn] =
+    registry.synchronized(Option(registry.get(spark)).getOrElse(Map.empty))
+
+  def containsClause(sqlText: String): Boolean =
+    raw"(?i)\bLATERAL\s+TABLE\b".r.findFirstIn(sqlText).isDefined
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"LATERAL TABLE subset: $msg")
+
+  /** Rewrite every `, LATERAL TABLE (fn(expr)) [AS alias]` whose `fn` is
+    * registered into the validity-interval range join. Unregistered
+    * names fail loudly (a UDTF-style LATERAL TABLE is the UNNEST
+    * rewrite's domain and uses Spark's own LATERAL VIEW after
+    * migration).
+    */
+  def rewrite(spark: SparkSession, sqlText: String): String = {
+    val fns = registered(spark)
+    val callRe = raw"(?is),\s*LATERAL\s+TABLE\s*\(\s*([A-Za-z_]\w*)\s*\(".r
+    var out = sqlText
+    var m = callRe.findFirstMatchIn(out)
+    var guard = 0
+    while (m.isDefined && guard < 64) {
+      guard += 1
+      val mm = m.get
+      val name = mm.group(1).toLowerCase
+      val fn = fns.getOrElse(name,
+        fail(s"no temporal table function named ${mm.group(1)} is registered " +
+          "(TemporalFunctions.register)"))
+      // balanced argument span from the inner open paren (quote-aware)
+      val argStart = mm.end
+      var i = argStart
+      var depth = 1
+      val n = out.length
+      while (i < n && depth > 0) {
+        out.charAt(i) match {
+          case '\'' | '"' | '`' => i = BracketConstructors.endOfLiteral(out, i) - 1
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      if (depth != 0) fail(s"unbalanced parens in LATERAL TABLE ($name(...))")
+      val arg = out.substring(argStart, i - 1).trim
+      if (arg.isEmpty) fail(s"$name(...) needs a time argument")
+      // the outer `)` closing LATERAL TABLE ( ... )
+      var j = i
+      while (j < n && out.charAt(j).isWhitespace) j += 1
+      if (j >= n || out.charAt(j) != ')')
+        fail(s"expected `)` closing LATERAL TABLE ($name(...))")
+      j += 1
+      // optional `AS alias`; a column list is out of the subset
+      val aliasRe = raw"(?is)^\s+AS\s+([A-Za-z_]\w*)(\s*\()?".r
+      val (alias, end) = aliasRe.findFirstMatchIn(out.substring(j)) match {
+        case Some(am) if am.group(2) != null =>
+          fail("a column-list alias on LATERAL TABLE is not in the subset " +
+            "(alias the columns in the SELECT instead)")
+        case Some(am) => (am.group(1), j + am.end)
+        case None     => (name, j)
+      }
+      val versions =
+        s"(SELECT *, lead(${fn.timeAttr}) OVER (PARTITION BY ${fn.pk.mkString(", ")} " +
+          s"ORDER BY ${fn.timeAttr}) AS __v_to FROM ${fn.table})"
+      val replacement =
+        s" JOIN $versions AS $alias ON ($arg) >= $alias.${fn.timeAttr} " +
+          s"AND ($alias.__v_to IS NULL OR ($arg) < $alias.__v_to)"
+      out = out.substring(0, mm.start) + replacement + out.substring(end)
+      m = callRe.findFirstMatchIn(out)
+    }
+    if (containsClause(out))
+      fail("only the comma-join form `FROM t, LATERAL TABLE (fn(expr))` of a " +
+        "registered temporal table function is supported (UDTF-style LATERAL " +
+        "TABLE migrates to Spark's LATERAL VIEW explode/inline)")
+    out
+  }
+}

@@ -98,6 +98,35 @@ class TemporalJoinSpec extends AnyFunSuite {
 
   private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
 
+  test("legacy temporal table function: LATERAL TABLE (rates(o.ts))") {
+    import spark.implicits._
+    Seq(("USD", 1.0, 0L), ("USD", 1.2, 10L), ("EUR", 2.0, 5L))
+      .toDF("currency", "rate", "rts").createOrReplaceTempView("tf_rates")
+    Seq((100.0, "USD", 4L), (100.0, "USD", 12L), (50.0, "EUR", 7L),
+        (50.0, "EUR", 3L)) // EUR@3: before the first version -> no row
+      .toDF("amount", "currency", "ots").createOrReplaceTempView("tf_orders")
+    graft.plans.TemporalFunctions.register(spark, "rates", "tf_rates",
+      timeAttr = "rts", primaryKey = Seq("currency"))
+    val df = FlinkSql.sql(spark,
+      """SELECT o.amount * r.rate AS conv, o.currency, o.ots
+        |FROM tf_orders AS o, LATERAL TABLE (rates(o.ots)) AS r
+        |WHERE r.currency = o.currency""".stripMargin)
+    val got = df.collect().map(r => (r.getDouble(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((100.0, "USD", 4L), (120.0, "USD", 12L), (100.0, "EUR", 7L)))
+    // the key equation folds into the join: no cartesian/nested-loop
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"temporal-fn join fell back to a cross product:\n$plan")
+    // guard rails
+    def bad(sql: String) =
+      intercept[IllegalArgumentException](FlinkSql.sql(spark, sql))
+    assert(bad("""SELECT * FROM tf_orders AS o, LATERAL TABLE (nope(o.ots)) AS r""")
+      .getMessage.contains("registered"))
+    assert(bad("""SELECT * FROM tf_orders AS o,
+      | LATERAL TABLE (rates(o.ots)) AS r (a, b, c)""".stripMargin)
+      .getMessage.contains("column-list"))
+  }
+
   test("as-of join resolves probes against the latest version at-or-before") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
