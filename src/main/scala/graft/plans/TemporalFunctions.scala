@@ -49,7 +49,26 @@ object TemporalFunctions {
     registry.synchronized(Option(registry.get(spark)).getOrElse(Map.empty))
 
   def containsClause(sqlText: String): Boolean =
-    raw"(?i)\bLATERAL\s+TABLE\b".r.findFirstIn(sqlText).isDefined
+    raw"(?i)\bLATERAL\s+TABLE\b".r.findFirstIn(masked(sqlText)).isDefined
+
+  /** Index-preserving shadow with quoted-literal INTERIORS blanked, so
+    * regex matching never triggers on `'... LATERAL TABLE ...'` text
+    * while offsets stay valid against the real string.
+    */
+  private def masked(s: String): String = {
+    val b = new StringBuilder(s)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val end = BracketConstructors.endOfLiteral(s, i)
+        var k = i + 1
+        while (k < end - 1) { b.setCharAt(k, ' '); k += 1 }
+        i = end
+      } else i += 1
+    }
+    b.toString
+  }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"LATERAL TABLE subset: $msg")
@@ -64,7 +83,7 @@ object TemporalFunctions {
     val fns = registered(spark)
     val callRe = raw"(?is),\s*LATERAL\s+TABLE\s*\(\s*([A-Za-z_]\w*)\s*\(".r
     var out = sqlText
-    var m = callRe.findFirstMatchIn(out)
+    var m = callRe.findFirstMatchIn(masked(out))
     var guard = 0
     while (m.isDefined && guard < 64) {
       guard += 1
@@ -112,7 +131,7 @@ object TemporalFunctions {
         s" JOIN $versions AS $alias ON ($arg) >= $alias.${fn.timeAttr} " +
           s"AND ($alias.__v_to IS NULL OR ($arg) < $alias.__v_to)"
       out = out.substring(0, mm.start) + replacement + out.substring(end)
-      m = callRe.findFirstMatchIn(out)
+      m = callRe.findFirstMatchIn(masked(out))
     }
     if (containsClause(out))
       fail("only the comma-join form `FROM t, LATERAL TABLE (fn(expr))` of a " +

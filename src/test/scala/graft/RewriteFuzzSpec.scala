@@ -88,6 +88,31 @@ class RewriteFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal-function rewrite: identity without a trigger, total with one") {
+    val spark = TestSpark.spark
+    graft.plans.TemporalFunctions.register(spark, "fz_rates", "fz_rates_t",
+      timeAttr = "rts", primaryKey = Seq("ccy"))
+    val tfToken: Gen[String] = Gen.frequency(
+      5 -> junk,
+      4 -> Gen.oneOf("LATERAL TABLE", ", LATERAL TABLE (fz_rates(o.ts))",
+        ", LATERAL TABLE (nope(o.ts))", "LATERAL TABLE (fz_rates(", "AS r",
+        "', LATERAL TABLE (fz_rates(o.ts))'",
+        "AS r (a, b)", "(o.ts)", "FROM t", "'LATERAL TABLE'"))
+    val tfStmt: Gen[String] =
+      Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, tfToken).map(_.mkString(" ")))
+    forAllSeeded(tfStmt, 400) { s =>
+      try {
+        val out = graft.plans.TemporalFunctions.rewrite(spark, s)
+        if (!graft.plans.TemporalFunctions.containsClause(s))
+          assert(out == s, s"altered a trigger-free statement: <$s> -> <$out>")
+      } catch {
+        case _: IllegalArgumentException =>
+          assert(graft.plans.TemporalFunctions.containsClause(s),
+            s"threw on a trigger-free statement <$s>")
+      }
+    }
+  }
+
   test("MATCH_RECOGNIZE extraction/parse: clean rejection, never a crash") {
     val spark = TestSpark.spark
     spark.range(3).selectExpr("id AS k", "id AS ord", "'a' AS sym")
