@@ -26,7 +26,10 @@ import org.apache.spark.sql.SparkSession
   * exactly like [[SystemTimeJoin]]'s plan. Subset notes: the comma-join
   * form only (Flink's documented shape); the function alias exposes one
   * internal `__v_to` column (the validity end) alongside the table's
-  * own; a column-list alias `AS r (a, b)` is rejected loudly.
+  * own; a column-list alias `AS r (a, b)` is rejected loudly. The SQL
+  * form is BATCH-only (the validity-interval window cannot run on an
+  * unbounded stream) — streaming temporal joins use
+  * [[graft.streaming.TemporalJoin]] or `FOR SYSTEM_TIME AS OF`.
   */
 object TemporalFunctions {
 

@@ -390,6 +390,48 @@ class StreamingCepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MATCH_RECOGNIZE state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_mr_ckpt").toString
+    val body =
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES MATCH_NUMBER() AS mn
+        |PATTERN (V{1,2} C)
+        |DEFINE V AS sym = 'v', C AS sym = 'c'""".stripMargin
+    val input = MemoryStream[Ev]
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "5 seconds")
+      .select($"user_id", $"ts", substring($"event_type", 1, 1).as("sym"))
+    def start() = graft.plans.MatchRecognize.stream(proj(input.toDF()), body)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt").start()
+    val q1 = start()
+    try {
+      // match 1 completes; v@100,v@101 stay BUFFERED as an open partial
+      input.addData(raw(1, 1, 10, "v"), raw(1, 2, 11, "v"), raw(1, 3, 12, "c"))
+      q1.processAllAvailable()
+      input.addData(raw(1, 4, 100, "v"), raw(1, 5, 101, "v"),
+        raw(99, 900, 5000, "x"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // the c closing the buffered partial arrives AFTER the restart:
+      // both the event buffer and the match counter must be restored
+      input.addData(raw(1, 6, 102, "c"), raw(99, 901, 9000, "x"))
+      q2.processAllAvailable()
+      input.addData(raw(99, 902, 9100, "x"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(s"$base/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .filter(_._1 == 1L).toSet
+    assert(got == Set((1L, 10000L, 12000L, 1L), (1L, 100000L, 102000L, 2L)),
+      s"restart lost buffered events or the match counter: $got")
+  }
+
   test("streaming SKIP TO FIRST variable agrees with batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
