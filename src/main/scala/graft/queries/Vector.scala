@@ -199,7 +199,87 @@ object Vector {
       .withColumn("cos", round(col("cos"), 6))
   }
 
+  /** Embedding dimensionality of the fixture corpus. */
+  private val Dim = 64
+
+  /** Gram matrix X'X of the embedding corpus in long form ([U] the
+    * standard whitening/PCA reduction of an embedding pipeline): ONE
+    * mergeable aggregate carries the d(d+1)/2 upper-triangle sums
+    * ([[graft.functions.GramAgg]] — map-side combine, embeddings never
+    * shuffle, scale-independent output), then the packed row joins a
+    * generated (i, j) index table to unpack. 1-based indices, matching
+    * the DuckDB generate_subscripts oracle.
+    */
+  val q115_gram_matrix: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val packed = emb.agg(graft.functions.GramAgg.column($"embedding", Dim).as("g"))
+    val dimL = Dim.toLong
+    val pairs = s.range(dimL * dimL)
+      .select(($"id" / dimL).cast("int").as("i0"), ($"id" % dimL).cast("int").as("j0"))
+      .filter($"j0" >= $"i0")
+      // the kernel's packed row-major upper-triangle index
+      .withColumn("k",
+        ($"i0" * Dim - ($"i0" * ($"i0" - 1)) / 2 + $"j0" - $"i0").cast("int"))
+    packed.crossJoin(pairs)
+      .select(($"i0" + 1).as("i"), ($"j0" + 1).as("j"),
+        round(element_at($"g", $"k" + 1), 4).as("g"))
+  }
+
+  /** Top-k principal components of the embedding corpus: the Gram
+    * matrix reduces distributedly ([[graft.functions.GramAgg]], one
+    * d(d+1)/2-double row — a bounded driver side-input like the IVF
+    * centroid collects), then deterministic power iteration with
+    * deflation runs locally on the d×d problem. Returns k unit rows.
+    */
+  def pcaTopComponents(df: org.apache.spark.sql.DataFrame, embCol: String,
+      dim: Int, k: Int, iters: Int = 50): Array[Array[Double]] = {
+    val packed = df.agg(graft.functions.GramAgg.column(col(embCol), dim))
+      .head().getSeq[Double](0).toArray
+    val g = Array.ofDim[Double](dim, dim)
+    var idx = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) { g(i)(j) = packed(idx); g(j)(i) = packed(idx); idx += 1; j += 1 }
+      i += 1
+    }
+    val comps = Array.ofDim[Double](k, dim)
+    var c = 0
+    while (c < k) {
+      // deterministic start: index-skewed, then orthogonalized
+      var v = Array.tabulate(dim)(x => 1.0 + (x + 1).toDouble / dim)
+      var it = 0
+      while (it < iters) {
+        // deflate against found components, multiply, normalize
+        var p = 0
+        while (p < c) {
+          val d0 = (0 until dim).map(x => v(x) * comps(p)(x)).sum
+          var x = 0
+          while (x < dim) { v(x) -= d0 * comps(p)(x); x += 1 }
+          p += 1
+        }
+        val nv = new Array[Double](dim)
+        var r = 0
+        while (r < dim) {
+          var s0 = 0.0
+          var x = 0
+          while (x < dim) { s0 += g(r)(x) * v(x); x += 1 }
+          nv(r) = s0
+          r += 1
+        }
+        val nrm = math.sqrt(nv.map(x => x * x).sum)
+        v = if (nrm > 0) nv.map(_ / nrm) else nv
+        it += 1
+      }
+      comps(c) = v
+      c += 1
+    }
+    comps
+  }
+
   val queries: Map[String, Q] = Map(
+    "q115_gram_matrix" -> q115_gram_matrix,
     "q97_label_centroids" -> q97_label_centroids,
     "q102_ivf2_topk" -> q102_ivf2_topk,
     "q92_embedding_quantize" -> q92_embedding_quantize,
@@ -213,6 +293,13 @@ object Vector {
   )
 
   val oracle: Map[String, String] = Map(
+    "q115_gram_matrix" ->
+      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |                  CAST(UNNEST(embedding) AS DOUBLE) AS v
+        |           FROM embeddings)
+        |SELECT a.i AS i, b.i AS j, round(sum(a.v * b.v), 4) AS g
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |GROUP BY 1, 2""".stripMargin,
     "q97_label_centroids" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |u AS (SELECT label, UNNEST(v) AS x, generate_subscripts(v, 1) AS i FROM e),

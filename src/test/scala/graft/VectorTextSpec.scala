@@ -47,6 +47,33 @@ class VectorTextSpec extends AnyFunSuite {
     got.values.foreach(b => assert(b >= 0 && b < (1 << 16)))
   }
 
+  test("PCA: top components recover the dominant directions of a planted corpus") {
+    import spark.implicits._
+    val dim = 8
+    // u dominates (variance ~100x), w is the clear second direction
+    val u = Array.tabulate(dim)(i => (i + 1).toDouble)
+    val un = math.sqrt(u.map(x => x * x).sum)
+    val uHat = u.map(_ / un)
+    val w = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0 else -1.0)
+    val wProj = (0 until dim).map(i => w(i) * uHat(i)).sum
+    val wOrth = (0 until dim).map(i => w(i) - wProj * uHat(i)).toArray
+    val wn = math.sqrt(wOrth.map(x => x * x).sum)
+    val wHat = wOrth.map(_ / wn)
+    val rows = (1 to 200).map { t =>
+      val a = (t % 21 - 10).toDouble     // dominant coefficient in [-10, 10]
+      val b = (t % 5 - 2).toDouble * 0.3 // secondary in [-0.6, 0.6]
+      Array.tabulate(dim)(i => (a * uHat(i) + b * wHat(i)).toFloat).toSeq
+    }
+    val df = rows.toDF("embedding")
+    val comps = graft.queries.Vector.pcaTopComponents(df, "embedding", dim, k = 2)
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      (0 until dim).map(i => a(i) * b(i)).sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    assert(math.abs(cos(comps(0), uHat)) > 0.999, s"top component off: ${comps(0).toSeq}")
+    assert(math.abs(cos(comps(1), wHat)) > 0.999, s"second component off: ${comps(1).toSeq}")
+    assert(math.abs(cos(comps(0), comps(1))) < 1e-6) // deflation keeps them orthogonal
+  }
+
   test("language id picks the language whose stopwords dominate") {
     import spark.implicits._
     val df = Seq(
