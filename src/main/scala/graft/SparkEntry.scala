@@ -36,8 +36,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops —
     * q31_minhash_bands, q32_simhash, q34_ann_lsh_buckets, q42_ann_topk,
-    * q56_ivf_topk, q102_ivf2_topk (hash-seeded LSH / sampled centroids)
-    * and q48_winnow_fingerprints (rolling-hash minima): all seven are
+    * q56_ivf_topk, q102_ivf2_topk (hash-seeded LSH / sampled centroids),
+    * q116_pca_project (power-iteration eigenvectors)
+    * and q48_winnow_fingerprints (rolling-hash minima): all eight are
     * deterministic and pinned to committed golden CSVs (GoldenSpec /
     * graft.tools.Golden.pinned); q67_approx_aggs (engine-specific
     * sketches) is tolerance-spec'd in ApproxSpec.

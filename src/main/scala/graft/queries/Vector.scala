@@ -278,7 +278,27 @@ object Vector {
     comps
   }
 
+  /** Embedding compression: project every vector onto the corpus's top-4
+    * principal components ([U] the whitening/PCA reduction of an
+    * embedding pipeline). The components come from the distributed Gram
+    * reduction + local power iteration ([[pcaTopComponents]] —
+    * deterministic); the projection itself is a per-row dot product with
+    * 4 broadcast literal vectors — shuffle-free, codegen. Golden-pinned
+    * (eigenvectors are not DuckDB-expressible); rounded to 3 decimals so
+    * float-sum association drift cannot move a pinned digit.
+    */
+  val q116_pca_project: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val comps = pcaTopComponents(emb, "embedding", Dim, k = 4)
+    val projCols = comps.toSeq.zipWithIndex.map { case (comp, c) =>
+      round(dot(toDouble($"embedding"), typedLit(comp.toSeq)), 3).as(s"p${c + 1}")
+    }
+    emb.select($"vec_id" +: projCols: _*)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q116_pca_project" -> q116_pca_project,
     "q115_gram_matrix" -> q115_gram_matrix,
     "q97_label_centroids" -> q97_label_centroids,
     "q102_ivf2_topk" -> q102_ivf2_topk,

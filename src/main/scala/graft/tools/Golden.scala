@@ -20,7 +20,8 @@ object Golden {
     "q34_ann_lsh_buckets",
     "q42_ann_topk",
     "q56_ivf_topk",
-    "q102_ivf2_topk")
+    "q102_ivf2_topk",
+    "q116_pca_project")
 
   def canonical(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
