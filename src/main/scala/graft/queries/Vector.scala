@@ -214,16 +214,14 @@ object Vector {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val packed = emb.agg(graft.functions.GramAgg.column($"embedding", Dim).as("g"))
-    val dimL = Dim.toLong
-    val pairs = s.range(dimL * dimL)
-      .select(($"id" / dimL).cast("int").as("i0"), ($"id" % dimL).cast("int").as("j0"))
-      .filter($"j0" >= $"i0")
-      // the kernel's packed row-major upper-triangle index
-      .withColumn("k",
-        ($"i0" * Dim - ($"i0" * ($"i0" - 1)) / 2 + $"j0" - $"i0").cast("int"))
-    packed.crossJoin(pairs)
-      .select(($"i0" + 1).as("i"), ($"j0" + 1).as("j"),
-        round(element_at($"g", $"k" + 1), 4).as("g"))
+    // unpack by exploding the single packed row against literal (i, j)
+    // index arrays (the inverse of the kernel's row-major triangle
+    // layout) — no join, so the 1×2080 unpack can't read as a cartesian
+    val idx = for (i <- 1 to Dim; j <- i to Dim) yield (i, j)
+    packed.select(posexplode($"g").as(Seq("k", "v")))
+      .select(element_at(typedLit(idx.map(_._1)), $"k" + 1).as("i"),
+        element_at(typedLit(idx.map(_._2)), $"k" + 1).as("j"),
+        round($"v", 4).as("g"))
   }
 
   /** Top-k principal components of the embedding corpus: the Gram
