@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated fixture tables (TESTDATA.md).
   *
@@ -34,16 +34,22 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** events.ts is INT64 TIMESTAMP(NANOS) in parquet. Spark's timestamp is
-    * microsecond-precision, so depending on `spark.sql.legacy.parquet
-    * .nanosAsLong` the column arrives as either a long (nanos) or already a
-    * timestamp. Normalize to TimestampType truncated to micros — matching
-    * the oracle convention (`CAST(ts AS TIMESTAMP)` in DuckDB truncates the
-    * same way).
+  /** Loader contract: `events.ts` always surfaces as `TimestampType`,
+    * whatever parquet logical type the fixture generator emitted. Observed
+    * layouts across driver regenerations:
+    *   - INT64 TIMESTAMP(NANOS) → arrives as `LongType` nanos (under
+    *     `spark.sql.legacy.parquet.nanosAsLong`); truncate to micros.
+    *   - plain `timestamp[us]` without timezone → arrives as
+    *     `TimestampNTZType`; cast to `TimestampType` (value-identical under
+    *     the pinned UTC session zone).
+    *   - micros with UTC adjustment → already `TimestampType`; pass through.
+    * The oracle does `CAST(ts AS TIMESTAMP)` in DuckDB, which agrees with
+    * all three. Pinned by the events-timestamp-layouts case in FormatsSpec.
     */
-  private def normalizeEvents(df: DataFrame): DataFrame =
+  private[graft] def normalizeEvents(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => df
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
     }
 }

@@ -172,6 +172,41 @@ class FormatsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("loader contract: events.ts arrives as TimestampType for all three parquet layouts") {
+    // The driver regenerates /root/testdata between rounds and has emitted
+    // events.ts as INT64-nanos (round ≤6), micros-NTZ (round 7), and may
+    // emit micros-UTC. Tables.events must normalize all three to
+    // TimestampType with identical values, or every unix_millis(ts) site
+    // breaks (the round-7 regression).
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    val base = Seq(
+      (1L, "u1", "click", java.sql.Timestamp.valueOf("2024-03-01 10:15:30.123456")),
+      (2L, "u2", "view",  java.sql.Timestamp.valueOf("2024-03-02 23:59:59.999999")))
+      .toDF("event_id", "user_id", "kind", "ts")
+    val want = base.select($"event_id", $"ts").collect().map(_.toSeq).toSet
+
+    def stage(df: org.apache.spark.sql.DataFrame): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ev_layout").toString
+      df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // layout 1: INT64 (what TIMESTAMP(NANOS) arrives as under nanosAsLong)
+    val nanosDir = stage(base.withColumn("ts",
+      (unix_micros($"ts") * 1000L).as("ts")))
+    // layout 2: micros without timezone → TIMESTAMP_NTZ
+    val ntzDir = stage(base.withColumn("ts", $"ts".cast("timestamp_ntz")))
+    // layout 3: micros with UTC adjustment → TimestampType (passthrough)
+    val utcDir = stage(base)
+
+    for ((dir, label) <- Seq(nanosDir -> "nanos", ntzDir -> "ntz", utcDir -> "utc")) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType, s"layout $label")
+      val got = ev.select($"event_id", $"ts").collect().map(_.toSeq).toSet
+      assert(got == want, s"layout $label values")
+    }
+  }
+
   test("avro decode appends payload columns after passthrough columns") {
     import spark.implicits._
     val enc = graft.sources.AvroFormat.encodeAvro(sample, avroSchema)
