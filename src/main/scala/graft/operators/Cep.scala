@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions.col
 
 /** Minimal CEP — the reference's MATCH_RECOGNIZE / CEP library
   * ([U] flink-cep nfa/NFA.java, pattern/Pattern.java; SURVEY.md §7.4.5:
@@ -15,11 +16,16 @@ import org.apache.spark.sql.{Dataset, Encoders}
   *  - AFTER MATCH SKIP PAST LAST ROW: matches don't overlap;
   *  - events processed in (ts, id) order per key.
   *
-  * Execution: flatMapGroups with an in-memory sort per key — the batch
-  * analog of Flink's ordered ListState buffer + NFA. State is bounded by
-  * one key's events (a user's history), which is the same bound Flink's
-  * CEP buffer carries; keys are processed independently and distributed
-  * by the groupBy shuffle, so the operator scales with executors.
+  * Execution: hash-repartition on key + `sortWithinPartitions(key, ts,
+  * id)` (Spark's external sort — spills, never materializes a key in
+  * memory) + a `mapPartitions` scan holding only a WITHIN-bounded
+  * lookback buffer ([[boundedScanPartition]]). Per-task memory is
+  * bounded by one WITHIN window's occupancy — the same bound Flink's
+  * NFA carries via its pruned SharedBuffer — NOT by a key's whole
+  * history, so a hot key (one user with 10⁸ events) sorts externally
+  * and streams through the scan instead of OOMing the task. Keys are
+  * processed independently and distributed by the shuffle, so the
+  * operator scales with executors.
   */
 object Cep {
 
@@ -49,24 +55,85 @@ object Cep {
     }
   }
 
-  /** Detect `a b+ c WITHIN withinMs` per key (batch: in-memory sort per
-    * key, the analog of Flink's ordered ListState buffer).
+  /** Hash-shuffle on key and sort each partition (key, ts, id) — the
+    * shared input shape of every batch kernel here. Spark's sort is
+    * external (spills past memory), so a hot key never has to fit in RAM.
+    */
+  private def sortedByKey(ds: Dataset[Event]): Dataset[Event] =
+    ds.repartition(col("key")).sortWithinPartitions(col("key"), col("ts"), col("id"))
+
+  /** Events appended to the lookback buffer between rescans. Smaller =
+    * tighter memory, more rescan passes over the retained window; the
+    * scan cost per event is O(retained/chunk) extra passes.
+    */
+  private val ScanChunk = 4096
+
+  /** Bounded-memory scan of a key-clustered, (key, ts, id)-sorted
+    * partition iterator. `scanFn(events, openEnded, wm)` is one of the
+    * shared batch/streaming scans ([[scanAlts]], [[scanRelaxed]],
+    * [[scanFunnel]], [[scanMeasures]] via adapters): it emits every match
+    * RESOLVED given events up to the horizon and returns the resume
+    * index — the first position a future event could still affect.
+    * Everything before the resume index is evicted, so the buffer
+    * retains at most one WITHIN window of events (plus a chunk): with
+    * `wm` = the last buffered timestamp, any anchor older than
+    * `withinMs` is closed and resolves definitively, exactly the
+    * streaming eviction contract (StreamingCep) replayed over a batch
+    * iterator.
+    */
+  private[graft] def boundedScanPartition[Out](rows: Iterator[Event])(
+      scanFn: (Array[Event], Boolean, Long) => (Seq[Out], Int)): Iterator[Out] =
+    new Iterator[Out] {
+      private val it = rows.buffered
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Event]
+      private var outIt: Iterator[Out] = Iterator.empty
+      override def hasNext: Boolean = {
+        while (!outIt.hasNext && (it.hasNext || buf.nonEmpty)) advance()
+        outIt.hasNext
+      }
+      override def next(): Out = {
+        if (!hasNext) throw new NoSuchElementException("end of scan")
+        outIt.next()
+      }
+      private def advance(): Unit = {
+        if (buf.isEmpty) buf += it.next()
+        val key = buf.head.key
+        var added = 0
+        while (added < ScanChunk && it.hasNext && it.head.key == key) {
+          buf += it.next(); added += 1
+        }
+        val keyDone = !it.hasNext || it.head.key != key
+        if (keyDone) {
+          // complete history for this key is in view: close the scan
+          val (ms, _) = scanFn(buf.toArray, false, Long.MaxValue)
+          buf.clear()
+          outIt = ms.iterator
+        } else {
+          val (ms, resume) = scanFn(buf.toArray, true, buf.last.ts)
+          buf.dropInPlace(resume)
+          outIt = ms.iterator
+        }
+      }
+    }
+
+  /** Detect `a b+ c WITHIN withinMs` per key. The NFA state is O(1), so
+    * the scan is a pure single pass over the sorted run — no buffer at
+    * all, state resets at each key boundary.
     */
   def abcWithin(ds: Dataset[Event], a: String, b: String, c: String, withinMs: Long)
       : Dataset[Match] = {
     implicit val matchEnc = Encoders.product[Match]
-    ds.groupByKey(_.key)(Encoders.scalaLong)
-      .flatMapGroups { (_, it) =>
-        val events = it.toArray.sortBy(e => (e.ts, e.id))
-        val out = scala.collection.mutable.ArrayBuffer.empty[Match]
-        var s = idle
-        for (e <- events) {
-          val (ns, m) = step(s, e, a, b, c, withinMs)
-          s = ns
-          m.foreach(out += _)
-        }
-        out.iterator
+    sortedByKey(ds).mapPartitions { rows =>
+      var s = idle
+      var curKey = Long.MinValue
+      var first = true
+      rows.flatMap { e =>
+        if (first || e.key != curKey) { s = idle; curKey = e.key; first = false }
+        val (ns, m) = step(s, e, a, b, c, withinMs)
+        s = ns
+        m
       }
+    }
   }
 
   // ----- general pattern matching: quantifiers, optional steps, AFTER
@@ -331,8 +398,9 @@ object Cep {
 
   /** Batch pattern match per key: greedy quantified steps with strict
     * contiguity, WITHIN window, and the chosen AFTER MATCH SKIP strategy.
-    * Same distribution shape as [[abcWithin]] (hash shuffle on key,
-    * per-key in-memory sort — state bounded by one key's history).
+    * Hash shuffle on key + external sort + WITHIN-bounded lookback scan
+    * ([[boundedScanPartition]]) — task memory bounded by the window, not
+    * the key's history.
     */
   private[graft] def requireNonIterative(steps: Seq[Step]): Unit =
     steps.find(_.isInstanceOf[CtxStep]).foreach(s =>
@@ -344,12 +412,11 @@ object Cep {
     implicit val enc = Encoders.product[PMatch]
     requireNonIterative(steps)
     val stepsIdx = steps.toIndexedSeq
-    ds.groupByKey(_.key)(Encoders.scalaLong)
-      .flatMapGroups { (_, it) =>
-        val events = it.toArray.sortBy(e => (e.ts, e.id))
-        scan(events, stepsIdx, withinMs, skip, openEnded = false, wm = Long.MaxValue)
-          ._1.iterator
+    sortedByKey(ds).mapPartitions { rows =>
+      boundedScanPartition(rows) { (events, open, wm) =>
+        scan(events, stepsIdx, withinMs, skip, open, wm)
       }
+    }
   }
 
   /** [[matchPattern]] over alternative step sequences — the API-level
@@ -362,12 +429,11 @@ object Cep {
     implicit val enc = Encoders.product[PMatch]
     alts.foreach(requireNonIterative)
     val a = alts.map(_.toIndexedSeq).toIndexedSeq
-    ds.groupByKey(_.key)(Encoders.scalaLong)
-      .flatMapGroups { (_, it) =>
-        val events = it.toArray.sortBy(e => (e.ts, e.id))
-        scanAlts(events, a, withinMs, skip, openEnded = false, wm = Long.MaxValue)
-          ._1.iterator
+    sortedByKey(ds).mapPartitions { rows =>
+      boundedScanPartition(rows) { (events, open, wm) =>
+        scanAlts(events, a, withinMs, skip, open, wm)
       }
+    }
   }
 
   // ----- relaxed contiguity + negative patterns ([U] flink-cep
@@ -541,13 +607,11 @@ object Cep {
     implicit val enc = Encoders.product[RMatch]
     val el = elems.toIndexedSeq
     validateRelaxed(el) // fail on the driver, not wrapped in a task error
-    ds.groupByKey(_.key)(Encoders.scalaLong)
-      .flatMapGroups { (_, it) =>
-        val events = it.toArray.sortBy(e => (e.ts, e.id))
-        val ts = events.map(_.ts)
-        scanRelaxed(events, ts, el, withinMs, overlapping,
-          openEnded = false, wm = Long.MaxValue)._1.iterator
+    sortedByKey(ds).mapPartitions { rows =>
+      boundedScanPartition(rows) { (events, open, wm) =>
+        scanRelaxed(events, events.map(_.ts), el, withinMs, overlapping, open, wm)
       }
+    }
   }
 
   /** One funnel outcome: a COMPLETED match, or an ABANDONED start — the
@@ -573,12 +637,11 @@ object Cep {
     implicit val enc = Encoders.product[FunnelOut]
     val el = elems.toIndexedSeq
     validateRelaxed(el)
-    ds.groupByKey(_.key)(Encoders.scalaLong)
-      .flatMapGroups { (_, it) =>
-        val events = it.toArray.sortBy(e => (e.ts, e.id))
-        scanFunnel(events, events.map(_.ts), el, withinMs,
-          openEnded = false, wm = Long.MaxValue)._1.iterator
+    sortedByKey(ds).mapPartitions { rows =>
+      boundedScanPartition(rows) { (events, open, wm) =>
+        scanFunnel(events, events.map(_.ts), el, withinMs, open, wm)
       }
+    }
   }
 
   private[graft] def scanFunnel(events: Array[Event], ts: Array[Long],
@@ -657,44 +720,59 @@ object Cep {
       step_counts: Seq[Int], step_sums: Seq[Double],
       step_first_id: Seq[Long], step_last_id: Seq[Long])
 
+  /** [[scan]]-shaped measures walk: emit resolved matches with per-step
+    * measures, halt at the first anchor whose outcome is still open
+    * (openEnded), return the resume index — so it plugs into
+    * [[boundedScanPartition]] like the other scans.
+    */
+  private[graft] def scanMeasures(events: Array[Event], steps: IndexedSeq[Step],
+      withinMs: Long, skip: AfterMatch, openEnded: Boolean, wm: Long)
+      : (Seq[PMeasures], Int) = {
+    val ts = events.map(_.ts)
+    val out = scala.collection.mutable.ArrayBuffer.empty[PMeasures]
+    var i = 0
+    var halt = false
+    while (i < events.length && !halt) {
+      val open = openEnded && wm - ts(i) <= withinMs
+      val takes = new Array[Int](steps.length)
+      tryMatchAt(events, ts, i, steps, withinMs, open, takes) match {
+        case Pending => halt = true
+        case Fail    => i += 1
+        case end =>
+          var pos = i
+          val counts = new Array[Int](steps.length)
+          val sums = new Array[Double](steps.length)
+          val firsts = Array.fill(steps.length)(-1L)
+          val lasts = Array.fill(steps.length)(-1L)
+          var si = 0
+          while (si < steps.length) {
+            counts(si) = takes(si)
+            if (takes(si) > 0) {
+              firsts(si) = events(pos).id
+              lasts(si) = events(pos + takes(si) - 1).id
+              var k = 0
+              while (k < takes(si)) { sums(si) += events(pos + k).value; k += 1 }
+            }
+            pos += takes(si)
+            si += 1
+          }
+          out += PMeasures(events(i).key, events(i).id, events(end - 1).id,
+            end - i, counts.toSeq, sums.toSeq, firsts.toSeq, lasts.toSeq)
+          i = resumeAfter(skip, i, end, steps, takes)
+      }
+    }
+    (out.toSeq, i)
+  }
+
   def matchPatternMeasures(ds: Dataset[Event], steps: Seq[Step], withinMs: Long,
       skip: AfterMatch = SkipPastLastRow): Dataset[PMeasures] = {
     implicit val enc = Encoders.product[PMeasures]
     requireNonIterative(steps)
     val stepsIdx = steps.toIndexedSeq
-    ds.groupByKey(_.key)(Encoders.scalaLong)
-      .flatMapGroups { (_, it) =>
-        val events = it.toArray.sortBy(e => (e.ts, e.id))
-        val ts = events.map(_.ts)
-        val out = scala.collection.mutable.ArrayBuffer.empty[PMeasures]
-        var i = 0
-        while (i < events.length) {
-          val takes = new Array[Int](stepsIdx.length)
-          val end = tryMatchAt(events, ts, i, stepsIdx, withinMs, openEnded = false, takes)
-          if (end > i) {
-            var pos = i
-            val counts = new Array[Int](stepsIdx.length)
-            val sums = new Array[Double](stepsIdx.length)
-            val firsts = Array.fill(stepsIdx.length)(-1L)
-            val lasts = Array.fill(stepsIdx.length)(-1L)
-            var si = 0
-            while (si < stepsIdx.length) {
-              counts(si) = takes(si)
-              if (takes(si) > 0) {
-                firsts(si) = events(pos).id
-                lasts(si) = events(pos + takes(si) - 1).id
-                var k = 0
-                while (k < takes(si)) { sums(si) += events(pos + k).value; k += 1 }
-              }
-              pos += takes(si)
-              si += 1
-            }
-            out += PMeasures(events(i).key, events(i).id, events(end - 1).id,
-              end - i, counts.toSeq, sums.toSeq, firsts.toSeq, lasts.toSeq)
-            i = resumeAfter(skip, i, end, stepsIdx, takes)
-          } else i += 1
-        }
-        out.iterator
+    sortedByKey(ds).mapPartitions { rows =>
+      boundedScanPartition(rows) { (events, open, wm) =>
+        scanMeasures(events, stepsIdx, withinMs, skip, open, wm)
       }
+    }
   }
 }
