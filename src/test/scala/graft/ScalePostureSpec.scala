@@ -107,4 +107,58 @@ class ScalePostureSpec extends AnyFunSuite {
         ((Option(r.getString(1)), Option(r.get(2)), Option(r.get(3))))).toMap
     assert(again == rows)
   }
+
+  test("CEP bounded scan: a hot key retains one WITHIN window, not its history") {
+    import graft.operators.Cep
+    // one key with 200k events, 1 ms apart, WITHIN = 1 s → a full-history
+    // buffer would hold 200k events; the bounded scan must never see more
+    // than ~window occupancy (1000) + one chunk (4096) at a time.
+    val n = 200000
+    val withinMs = 1000L
+    def mkEvents: Iterator[Cep.Event] = (0 until n).iterator.map { i =>
+      val sym = i % 10 match {
+        case 0 => "A"
+        case 1 | 2 => "B"
+        case 3 => "C"
+        case _ => "X"
+      }
+      Cep.Event(key = 1L, id = i.toLong, ts = i.toLong, sym = sym, value = i.toDouble)
+    }
+    val steps = IndexedSeq(Cep.once("A"), Cep.plus("B"), Cep.once("C"))
+    var maxSeen = 0
+    val bounded = Cep.boundedScanPartition(mkEvents) { (events, open, wm) =>
+      maxSeen = math.max(maxSeen, events.length)
+      Cep.scan(events, steps, withinMs, Cep.SkipPastLastRow, open, wm)
+    }.toVector
+    assert(maxSeen <= 6000, s"lookback buffer grew to $maxSeen events")
+    assert(maxSeen < n / 10, "buffer must be far below the key's history")
+    // and the bounded scan emits exactly what the unbounded scan would
+    val all = mkEvents.toArray
+    val (unbounded, _) = Cep.scan(all, steps, withinMs, Cep.SkipPastLastRow,
+      openEnded = false, wm = Long.MaxValue)
+    assert(bounded == unbounded.toVector)
+  }
+
+  test("CEP bounded scan matches unbounded across skip strategies and key changes") {
+    import graft.operators.Cep
+    val rnd = new scala.util.Random(42)
+    val syms = Array("A", "B", "C", "X")
+    // several keys back-to-back in one sorted run, random symbol soup
+    val events = (0 until 3).flatMap { k =>
+      (0 until 5000).map { i =>
+        Cep.Event(key = k.toLong, id = i.toLong, ts = i.toLong * 3,
+          sym = syms(rnd.nextInt(syms.length)), value = i.toDouble)
+      }
+    }
+    val steps = IndexedSeq(Cep.once("A"), Cep.times("B", 1, 3), Cep.once("C"))
+    for (skip <- Seq(Cep.SkipPastLastRow, Cep.SkipToNextRow)) {
+      val bounded = Cep.boundedScanPartition(events.iterator) { (ev, open, wm) =>
+        Cep.scan(ev, steps, 120L, skip, open, wm)
+      }.toVector
+      val unbounded = events.groupBy(_.key).toSeq.sortBy(_._1).flatMap { case (_, ks) =>
+        Cep.scan(ks.toArray, steps, 120L, skip, openEnded = false, wm = Long.MaxValue)._1
+      }.toVector
+      assert(bounded == unbounded, s"skip=$skip")
+    }
+  }
 }
