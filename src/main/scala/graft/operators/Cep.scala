@@ -83,10 +83,24 @@ object Cep {
     */
   private[graft] def boundedScanPartition[Out](rows: Iterator[Event])(
       scanFn: (Array[Event], Boolean, Long) => (Seq[Out], Int)): Iterator[Out] =
+    boundedScanPartitionBy(rows)(_.key, _.ts)(scanFn)
+
+  /** [[boundedScanPartition]] over any row type — the MATCH_RECOGNIZE
+    * kernels scan tagged rows keyed by a canonical string, so the key
+    * extractor compares by value equality and `tsOf` supplies the order
+    * value that closes WITHIN windows. `onNewKey` fires before the first
+    * scan of each key run, for per-key carry state (MATCH_NUMBER bases).
+    */
+  private[graft] def boundedScanPartitionBy[E: scala.reflect.ClassTag, Out](
+      rows: Iterator[E])(keyOf: E => Any, tsOf: E => Long)(
+      scanFn: (Array[E], Boolean, Long) => (Seq[Out], Int),
+      onNewKey: () => Unit = () => ()): Iterator[Out] =
     new Iterator[Out] {
       private val it = rows.buffered
-      private val buf = scala.collection.mutable.ArrayBuffer.empty[Event]
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[E]
       private var outIt: Iterator[Out] = Iterator.empty
+      private var curKey: Any = null
+      private var started = false
       override def hasNext: Boolean = {
         while (!outIt.hasNext && (it.hasNext || buf.nonEmpty)) advance()
         outIt.hasNext
@@ -96,20 +110,28 @@ object Cep {
         outIt.next()
       }
       private def advance(): Unit = {
-        if (buf.isEmpty) buf += it.next()
-        val key = buf.head.key
+        if (buf.isEmpty) {
+          val e = it.next()
+          // the buffer also drains mid-key when a scan resolves everything
+          // in view — only a genuine key change resets per-key carry state
+          if (!started || keyOf(e) != curKey) {
+            onNewKey(); curKey = keyOf(e); started = true
+          }
+          buf += e
+        }
+        val key = keyOf(buf.head)
         var added = 0
-        while (added < ScanChunk && it.hasNext && it.head.key == key) {
+        while (added < ScanChunk && it.hasNext && keyOf(it.head) == key) {
           buf += it.next(); added += 1
         }
-        val keyDone = !it.hasNext || it.head.key != key
+        val keyDone = !it.hasNext || keyOf(it.head) != key
         if (keyDone) {
           // complete history for this key is in view: close the scan
           val (ms, _) = scanFn(buf.toArray, false, Long.MaxValue)
           buf.clear()
           outIt = ms.iterator
         } else {
-          val (ms, resume) = scanFn(buf.toArray, true, buf.last.ts)
+          val (ms, resume) = scanFn(buf.toArray, true, tsOf(buf.last))
           buf.dropInPlace(resume)
           outIt = ms.iterator
         }

@@ -659,19 +659,22 @@ object MatchRecognize {
     val skip = clause.skip
 
     implicit val outEnc = Encoders.product[MrMatch]
+    // key-clustered external sort + WITHIN-bounded lookback scan: task
+    // memory holds one window of tagged rows, never a key's full history
     val matches = tagged
-      .groupByKey(_.k)(Encoders.STRING)
-      .flatMapGroups { (k, it) =>
-        val rows = it.toArray.sortBy(_.ord)
-        val events = rows.map { r =>
-          var mask = 0L
-          var i = 0
-          while (i < r.defs.length) { if (r.defs(i)) mask |= (1L << i); i += 1 }
-          Cep.Event(0L, r.ord, r.ord, "", mask.toDouble)
-        }
-        Cep.scanAlts(events, stepAlts, withinMs, skip, openEnded = false, wm = Long.MaxValue)
-          ._1.iterator
-          .map(m => MrMatch(k, m.start_ts, m.end_ts, m.n_events))
+      .repartition(col("k")).sortWithinPartitions(col("k"), col("ord"))
+      .mapPartitions { part =>
+        Cep.boundedScanPartitionBy(part)(_.k, _.ord)({ (rows, open, wm) =>
+          val k = rows(0).k
+          val events = rows.map { r =>
+            var mask = 0L
+            var i = 0
+            while (i < r.defs.length) { if (r.defs(i)) mask |= (1L << i); i += 1 }
+            Cep.Event(0L, r.ord, r.ord, "", mask.toDouble)
+          }
+          val (ms, resume) = Cep.scanAlts(events, stepAlts, withinMs, skip, open, wm)
+          (ms.map(m => MrMatch(k, m.start_ts, m.end_ts, m.n_events)), resume)
+        })
       }
     matches.select(
       col("k").cast(keyField.dataType).as(keyField.name),
@@ -922,16 +925,23 @@ object MatchRecognize {
     val subsets = clause.subsets
 
     implicit val outEnc = Encoders.product[MrMatchM]
-    val matches = tagged.groupByKey(_.k)(Encoders.STRING).flatMapGroups { (k, it) =>
-      val rows = it.toArray.sortBy(_.ord)
-      val masks = rows.map(r => maskOf(r.defs))
-      val ords = rows.map(_.ord)
-      scanMeasured(ords, masks, i => rows(i).mv, i => rows(i).sv,
-        stepAlts, stepVarsAlts, measures, strOrd, withinMs, skip,
-        openEnded = false, wm = Long.MaxValue, subsets = subsets)
-        ._1.iterator
-        .map(mm => MrMatchM(k, mm.start, mm.end, mm.n, mm.m, mm.sm))
-    }
+    // bounded lookback scan (see `run`); MATCH_NUMBER carries across
+    // rescans of a key via seqBase, reset at each key boundary
+    val matches = tagged
+      .repartition(col("k")).sortWithinPartitions(col("k"), col("ord"))
+      .mapPartitions { part =>
+        var seqBase = 0L
+        Cep.boundedScanPartitionBy(part)(_.k, _.ord)({ (rows, open, wm) =>
+          val k = rows(0).k
+          val masks = rows.map(r => maskOf(r.defs))
+          val (ms, resume) = scanMeasured(rows.map(_.ord), masks,
+            i => rows(i).mv, i => rows(i).sv,
+            stepAlts, stepVarsAlts, measures, strOrd, withinMs, skip,
+            openEnded = open, wm = wm, subsets = subsets, matchSeqBase = seqBase)
+          seqBase += ms.size
+          (ms.map(mm => MrMatchM(k, mm.start, mm.end, mm.n, mm.m, mm.sm)), resume)
+        }, onNewKey = () => seqBase = 0L)
+      }
     val base = Seq(
       col("k").cast(keyField.dataType).as(keyField.name),
       col("match_start"), col("match_end"), col("n_events"))
@@ -1044,42 +1054,46 @@ object MatchRecognize {
     val anyFinal = measures.exists(_.isFinal)
 
     implicit val outEnc = Encoders.product[MrAllRow]
-    val kernel = tagged.groupByKey(_.k)(Encoders.STRING).flatMapGroups { (k, it) =>
-      val rows = it.toArray.sortBy(_.ord)
-      val masks = rows.map(r => maskOf(r.defs))
-      val events = Array.tabulate(rows.length)(i =>
-        Cep.Event(0L, rows(i).ord, rows(i).ord, "", masks(i).toDouble))
-      val ts = events.map(_.ts)
-      val out = scala.collection.mutable.ArrayBuffer.empty[MrAllRow]
-      var i = 0
-      var matchSeq = 0L
-      while (i < events.length) {
-        val (ai, end, takes) =
-          Cep.tryMatchAlts(events, ts, i, stepAlts, withinMs, openEnded = false)
-        if (end > i) {
-          matchSeq += 1
-          val rowCls = classifyRows(masks, stepVarsAlts(ai), i, takes)
-          // FINAL measures read the completed match: pre-aggregate once
-          val finAcc = if (anyFinal) {
-            val a = new RunAcc(measures, strOrd, subsets)
-            rowCls.foreach { case (idx, cls) =>
-              a.update(cls, rows(idx).mv, rows(idx).sv) }
-            a
-          } else null
-          val acc = new RunAcc(measures, strOrd, subsets)
-          rowCls.foreach { case (idx, cls) =>
-            acc.update(cls, rows(idx).mv, rows(idx).sv)
-            val snapshot = measures.indices.map(m =>
-              if (measures(m).isFinal) finAcc.snapM(m) else acc.snapM(m))
-            val snapshotS = measures.indices.map(m =>
-              if (measures(m).isFinal) finAcc.snapS(m) else acc.snapS(m))
-            out += MrAllRow(k, rows(idx).ord, matchSeq, cls, snapshot, snapshotS)
+    // bounded lookback scan; each resolved match replays its consumed
+    // rows with the RUNNING/FINAL accumulators (the streaming all-rows
+    // walk, StreamingMatchAllRowsProcess, run against a batch buffer).
+    // rowCls indices are buffer-relative, so rows resolve inside scanFn.
+    val kernel = tagged
+      .repartition(col("k")).sortWithinPartitions(col("k"), col("ord"))
+      .mapPartitions { part =>
+        var seqBase = 0L
+        Cep.boundedScanPartitionBy(part)(_.k, _.ord)({ (rows, open, wm) =>
+          val k = rows(0).k
+          val masks = rows.map(r => maskOf(r.defs))
+          val (ms, resume) = scanMeasured(rows.map(_.ord), masks,
+            i => rows(i).mv, i => rows(i).sv,
+            stepAlts, stepVarsAlts, measures, strOrd, withinMs, skip,
+            openEnded = open, wm = wm, subsets = subsets,
+            matchSeqBase = seqBase, wantRows = true)
+          val out = scala.collection.mutable.ArrayBuffer.empty[MrAllRow]
+          ms.zipWithIndex.foreach { case (m, mi) =>
+            val matchSeq = seqBase + mi + 1
+            // FINAL measures read the completed match: pre-aggregate once
+            val finAcc = if (anyFinal) {
+              val a = new RunAcc(measures, strOrd, subsets)
+              m.rowCls.foreach { case (idx, cls) =>
+                a.update(cls, rows(idx).mv, rows(idx).sv) }
+              a
+            } else null
+            val acc = new RunAcc(measures, strOrd, subsets)
+            m.rowCls.foreach { case (idx, cls) =>
+              acc.update(cls, rows(idx).mv, rows(idx).sv)
+              val snapshot = measures.indices.map(mj =>
+                if (measures(mj).isFinal) finAcc.snapM(mj) else acc.snapM(mj))
+              val snapshotS = measures.indices.map(mj =>
+                if (measures(mj).isFinal) finAcc.snapS(mj) else acc.snapS(mj))
+              out += MrAllRow(k, rows(idx).ord, matchSeq, cls, snapshot, snapshotS)
+            }
           }
-          i = Cep.resumeAfter(skip, i, end, stepAlts(ai), takes)
-        } else i += 1
+          seqBase += ms.size
+          (out.toSeq, resume)
+        }, onNewKey = () => seqBase = 0L)
       }
-      out.iterator
-    }
     // recover the full input row: equi-join on (partition, order) —
     // aliased, since the kernel frame derives from src (self-join lineage)
     val withOrd = src.withColumn("__mr_ord", ordCol).as("__mr_src")
