@@ -39,7 +39,12 @@ import graft.operators.Cep
   *                                        --   PREV(expr[, n]) / NEXT(expr[, n])
   *                                        --   physical navigation (batch);
   *                                        --   V1.col ≡ col for the variable
-  *                                        --   being defined
+  *                                        --   being defined; top-level
+  *                                        --   conjuncts SUM|COUNT|AVG(V.col)
+  *                                        --   <op> <literal> are RUNNING
+  *                                        --   aggregates over the partial
+  *                                        --   match's V rows incl. the
+  *                                        --   current row (batch)
   * ) [AS alias] ...
   * }}}
   *
@@ -86,6 +91,21 @@ object MatchRecognize {
     */
   final case class Measure(agg: String, variable: String, column: String,
       alias: String, isFinal: Boolean = false)
+
+  /** One running aggregate referenced by a DEFINE predicate ([U]
+    * flink-cep IterativeCondition surfacing as SQL aggregates in DEFINE):
+    * `SUM(V.col)` / `AVG(V.col)` / `COUNT(V.col | V.*)`. The aggregate
+    * ranges over the rows the CURRENT PARTIAL MATCH has assigned to `V`,
+    * including the candidate row when it would be assigned to `V` —
+    * Flink's running semantics.
+    */
+  final case class AggTerm(fn: String, variable: String, column: String)
+
+  /** One extracted DEFINE conjunct `AGG(...) <op> <literal>` (or the
+    * literal-first mirror): `term` indexes [[Clause.aggTerms]].
+    */
+  final case class AggCond(term: Int, op: String, lit: Double)
+
   final case class Clause(
       table: String,
       partitionBy: String,
@@ -97,7 +117,9 @@ object MatchRecognize {
       measures: Seq[Measure] = Seq.empty,
       allRows: Boolean = false,
       alts: Seq[Seq[PatternStep]] = Seq.empty,
-      subsets: Map[String, Seq[String]] = Map.empty) {
+      subsets: Map[String, Seq[String]] = Map.empty,
+      aggTerms: Seq[AggTerm] = Seq.empty,
+      aggConds: Map[String, Seq[AggCond]] = Map.empty) {
     /** All alternative step sequences in preference order — `pattern`
       * (the head) plus PERMUTE's other orderings; a PERMUTE-free clause
       * has exactly one.
@@ -116,7 +138,7 @@ object MatchRecognize {
     * atomic column; SUM/MIN/MAX/AVG require a numeric column.
     */
   final case class MrRowM(k: String, ord: Long, defs: Seq[Boolean],
-      mv: Seq[Double], sv: Seq[String])
+      mv: Seq[Double], sv: Seq[String], av: Seq[Double])
 
   final case class MrMatchM(k: String, match_start: Long, match_end: Long,
       n_events: Int, m: Seq[Double], sm: Seq[String])
@@ -193,13 +215,27 @@ object MatchRecognize {
       case _                  =>
     }
     val withinMs = parseWithin(body)
-    val defines = parseDefines(body)
+    val rawDefines = parseDefines(body)
+    val (resDefines, aggTerms, aggConds) = extractAggDefines(rawDefines)
+    // leave untouched defines verbatim when nothing was extracted
+    val defines = if (aggTerms.isEmpty) rawDefines else resDefines
     val measures = parseMeasures(body)
     val subsets = parseSubsets(body)
     pattern.foreach(s => s.variables.foreach { v =>
       if (!defines.contains(v)) fail(s"pattern variable $v has no DEFINE")
     })
     val patternVars = pattern.flatMap(_.variables).toSet
+    aggTerms.foreach(t => if (!patternVars.contains(t.variable))
+      fail(s"DEFINE aggregates over ${t.variable}, which is not a pattern variable"))
+    if (aggConds.nonEmpty) {
+      // classification inside the NFA must agree with the mask-based
+      // classifier: a multi-variable step may not mix in agg-defined vars
+      pattern.foreach { s =>
+        if (s.variables.size > 1 && s.variables.exists(aggConds.contains))
+          fail("aggregate DEFINE conditions on a variable inside an " +
+            "alternation group are not in the subset")
+      }
+    }
     subsets.foreach { case (name, members) =>
       if (patternVars.contains(name))
         fail(s"SUBSET $name collides with a pattern variable")
@@ -216,7 +252,7 @@ object MatchRecognize {
     }
     if (defines.size > 52) fail("at most 52 DEFINE variables")
     Clause(table, part, ord, skip, pattern, withinMs, defines, measures, allRows,
-      alts = alts, subsets = subsets)
+      alts = alts, subsets = subsets, aggTerms = aggTerms, aggConds = aggConds)
   }
 
   /** SUBSET U = (A, B), W = (C): union variables for MEASURES ([U]
@@ -477,6 +513,90 @@ object MatchRecognize {
     }.toMap
   }
 
+  // ---------- aggregate DEFINE conditions ----------
+
+  /** Split a predicate on top-level `AND` keywords (quote/paren-aware). */
+  private def splitTopAnd(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var depth = 0
+    val n = s.length
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val end = BracketConstructors.endOfLiteral(s, i)
+        cur.append(s.substring(i, end)); i = end
+      } else if (depth == 0 && (c == 'A' || c == 'a') && i + 3 <= n &&
+        s.substring(i, i + 3).equalsIgnoreCase("AND") &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + 3 == n || !isWordChar(s.charAt(i + 3)))) {
+        parts += cur.toString; cur.clear(); i += 3
+      } else {
+        if (c == '(') depth += 1
+        if (c == ')') depth -= 1
+        cur.append(c); i += 1
+      }
+    }
+    parts += cur.toString
+    parts.toSeq
+  }
+
+  private val aggCmpRe =
+    raw"(?is)^\s*(SUM|COUNT|AVG)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*|\*)\s*\)\s*(<=|>=|<>|!=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*$$".r
+  private val aggCmpRevRe =
+    raw"(?is)^\s*(-?\d+(?:\.\d+)?)\s*(<=|>=|<>|!=|=|<|>)\s*(SUM|COUNT|AVG)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*|\*)\s*\)\s*$$".r
+
+  private def flipOp(op: String): String = op match {
+    case "<" => ">"
+    case ">" => "<"
+    case "<=" => ">="
+    case ">=" => "<="
+    case other => other // = and <> are symmetric
+  }
+
+  /** Pull running-aggregate comparisons out of the DEFINE bodies: each
+    * top-level conjunct of the form `SUM|COUNT|AVG(V.col) <op> <numeric
+    * literal>` (either operand order; `COUNT(V.*)` too) becomes an
+    * [[AggCond]] evaluated inside the NFA with running semantics, and
+    * the residual conjuncts stay a row-local Catalyst boolean (TRUE when
+    * nothing remains). Anything aggregate-shaped that does NOT fit the
+    * supported form fails clearly rather than reaching Catalyst, which
+    * would reject an aggregate outside GROUP BY anyway.
+    */
+  private[plans] def extractAggDefines(defines: Map[String, String])
+      : (Map[String, String], Seq[AggTerm], Map[String, Seq[AggCond]]) = {
+    val terms = scala.collection.mutable.LinkedHashMap.empty[AggTerm, Int]
+    val conds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[AggCond]]
+    def termIdx(fn: String, v: String, c: String): Int = {
+      if (fn != "COUNT" && c == "*") fail(s"$fn(${v}.*) is not defined — " +
+        "only COUNT takes the `.*` form")
+      terms.getOrElseUpdate(AggTerm(fn, v, c), terms.size)
+    }
+    val residual = defines.map { case (v, body) =>
+      val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+      splitTopAnd(body).foreach { conjunct =>
+        conjunct match {
+          case aggCmpRe(fn, av, ac, op, lit) =>
+            conds(v) = conds.getOrElse(v, Seq.empty) :+
+              AggCond(termIdx(fn.toUpperCase, av, ac), op, lit.toDouble)
+          case aggCmpRevRe(lit, op, fn, av, ac) =>
+            conds(v) = conds.getOrElse(v, Seq.empty) :+
+              AggCond(termIdx(fn.toUpperCase, av, ac), flipOp(op), lit.toDouble)
+          case other =>
+            if (raw"(?i)\b(SUM|COUNT|AVG|MIN|MAX)\s*\(".r.findFirstIn(other).isDefined)
+              fail(s"DEFINE $v: aggregate predicates are supported only as " +
+                "top-level conjuncts `SUM|COUNT|AVG(V.col) <op> <numeric " +
+                s"literal>` — got `${other.trim}`")
+            keep += other.trim
+        }
+      }
+      v -> (if (keep.isEmpty) "TRUE" else keep.mkString("(", ") AND (", ")"))
+    }
+    (residual, terms.keys.toSeq, conds.toMap)
+  }
+
   // ---------- PREV/NEXT navigation ----------
 
   /** One rewritten navigation call: `PREV(expr, n)` / `NEXT(expr, n)`
@@ -644,7 +764,10 @@ object MatchRecognize {
     val varIdx = vars.zipWithIndex.toMap
     if (clause.allRows)
       return runAllRows(clause, src, keyField, ordCol, defCols, varIdx)
-    if (clause.measures.nonEmpty)
+    if (clause.measures.nonEmpty || clause.aggTerms.nonEmpty)
+      // aggregate DEFINEs ride the measured kernel (it carries the
+      // per-row aggregate inputs); with no measures the output shape
+      // degenerates to the plain one-row form
       return runMeasured(clause, src, keyField, ordCol, defCols, varIdx)
 
     implicit val rowEnc = Encoders.product[MrRow]
@@ -780,6 +903,39 @@ object MatchRecognize {
     }
   }
 
+  /** Per-row aggregate-input array for the DEFINE aggregates: one double
+    * per term — the (qualifier-stripped) column value for SUM/AVG/COUNT
+    * over a column, 0.0 for `COUNT(V.*)`. Nulls read as 0 and count
+    * toward COUNT/AVG denominators (documented subset simplification).
+    */
+  private def aggInputArr(clause: Clause,
+      schema: org.apache.spark.sql.types.StructType): Column = {
+    val cols = clause.aggTerms.map { t =>
+      if (t.column == "*") lit(0.0)
+      else {
+        val f = schema.find(_.name.equalsIgnoreCase(t.column)).getOrElse(fail(
+          s"DEFINE aggregate column ${t.column} is not a column of ${clause.table}"))
+        if (t.fn != "COUNT" &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          fail(s"${t.fn}(${t.variable}.${t.column}) needs a numeric column, " +
+            s"got ${f.dataType.simpleString}")
+        coalesce(col(t.column).cast("double"), lit(0.0))
+      }
+    }
+    if (cols.isEmpty) typedLit(Seq.empty[Double]) else array(cols: _*)
+  }
+
+  /** Build the NFA-side aggregate evaluator for a clause (null when the
+    * DEFINEs carry no aggregates).
+    */
+  private def aggEvalOf(clause: Clause, varIdx: Map[String, Int],
+      av: Int => Seq[Double]): AggEval =
+    if (clause.aggTerms.isEmpty) null
+    else AggEval(av,
+      clause.aggTerms.map(t => varIdx(t.variable)).toArray,
+      clause.aggConds.map { case (v, cs) => varIdx(v) -> cs },
+      clause.aggTerms.toIndexedSeq)
+
   /** DEFINE bit-vector → bitmask. */
   private[graft] def maskOf(defs: Seq[Boolean]): Long = {
     var mask = 0L
@@ -825,6 +981,165 @@ object MatchRecognize {
       m: Seq[Double], sm: Seq[String],
       rowCls: IndexedSeq[(Int, String)] = IndexedSeq.empty)
 
+  /** Per-run agg-DEFINE plumbing handed to the scan: per-row aggregate
+    * input values (`av`), each term's variable bit, and the conditions
+    * keyed by the DEFINED variable's bit.
+    */
+  private[plans] final case class AggEval(av: Int => Seq[Double],
+      termBit: Array[Int], condsByBit: Map[Int, Seq[AggCond]],
+      terms: IndexedSeq[AggTerm])
+
+  /** Strict-contiguity matcher with running-aggregate DEFINE conditions
+    * — [[Cep.tryMatchAt]]'s greedy/reluctant backtracking walk, plus
+    * per-term running (count, sum) state over the rows the partial match
+    * has assigned to each variable. Acceptance of a row by a step:
+    * the row's mask bit for a member variable holds AND that variable's
+    * aggregate conditions hold with the row tentatively included
+    * (running semantics — the condition sees the row it classifies).
+    * State commits/rewinds exactly follow the backtracking order, so a
+    * failed branch leaves the running aggregates untouched.
+    */
+  private[plans] def tryMatchAtAgg(masks: Array[Long], ts: Array[Long],
+      start: Int, steps: IndexedSeq[Cep.Step],
+      stepVars: IndexedSeq[Seq[(String, Int)]], agg: AggEval,
+      withinMs: Long, openEnded: Boolean, takesOut: Array[Int]): Int = {
+    val n = masks.length
+    val nT = agg.termBit.length
+    val runCnt = new Array[Long](nT)
+    val runSum = new Array[Double](nT)
+    var pending = false
+
+    def condsHold(bit: Int, p: Int): Boolean =
+      agg.condsByBit.getOrElse(bit, Nil).forall { c =>
+        val own = agg.termBit(c.term) == bit
+        val cnt = runCnt(c.term) + (if (own) 1L else 0L)
+        val sum = runSum(c.term) + (if (own) agg.av(p)(c.term) else 0.0)
+        val fn = agg.terms(c.term).fn
+        if (fn != "COUNT" && cnt == 0) false // SUM/AVG over no rows: SQL NULL
+        else {
+          val x = fn match {
+            case "COUNT" => cnt.toDouble
+            case "SUM"   => sum
+            case _       => sum / cnt // AVG
+          }
+          c.op match {
+            case "<"         => x < c.lit
+            case "<="        => x <= c.lit
+            case ">"         => x > c.lit
+            case ">="        => x >= c.lit
+            case "="         => x == c.lit
+            case "<>" | "!=" => x != c.lit
+          }
+        }
+      }
+
+    // first member variable whose DEFINE holds for row p — the same
+    // greedy order classifyRows uses (agg-defined vars are barred from
+    // multi-variable steps, so the two classifiers cannot disagree)
+    def assignVar(si: Int, p: Int): Int = {
+      val vars = stepVars(si)
+      var k = 0
+      while (k < vars.length) {
+        val bit = vars(k)._2
+        if (((masks(p) >> bit) & 1L) == 1L && condsHold(bit, p)) return bit
+        k += 1
+      }
+      -1
+    }
+    def commit(p: Int, bit: Int): Unit = {
+      var t = 0
+      while (t < nT) {
+        if (agg.termBit(t) == bit) { runCnt(t) += 1; runSum(t) += agg.av(p)(t) }
+        t += 1
+      }
+    }
+    def rewind(p: Int, bit: Int): Unit = {
+      var t = 0
+      while (t < nT) {
+        if (agg.termBit(t) == bit) { runCnt(t) -= 1; runSum(t) -= agg.av(p)(t) }
+        t += 1
+      }
+    }
+
+    def rec(pos: Int, si: Int): Int = {
+      if (si == steps.length) return pos
+      val st = steps(si)
+      val room = math.max(0, math.min(st.max.toLong, (n - pos).toLong).toInt)
+      val bits = new Array[Int](room) // assignment per consumed repetition
+      var cnt = 0
+      while (cnt < st.max && pos + cnt < n &&
+        ts(pos + cnt) - ts(start) <= withinMs && {
+          val b = assignVar(si, pos + cnt)
+          if (b >= 0) { bits(cnt) = b; commit(pos + cnt, b); true } else false
+        }) cnt += 1
+      val atEdge = openEnded && pos + cnt == n && cnt < st.max
+      var committed = cnt
+      def setCommitted(target: Int): Unit = {
+        while (committed > target) {
+          committed -= 1; rewind(pos + committed, bits(committed))
+        }
+        while (committed < target) {
+          commit(pos + committed, bits(committed)); committed += 1
+        }
+      }
+      if (st.reluctant) {
+        var take = st.min
+        while (take <= cnt) {
+          setCommitted(take)
+          val r = rec(pos + take, si + 1)
+          if (r >= 0) {
+            if (takesOut != null) takesOut(si) = take
+            return r
+          }
+          take += 1
+        }
+        if (atEdge) pending = true
+        setCommitted(0)
+        Cep.Fail
+      } else {
+        if (atEdge) pending = true
+        var take = cnt
+        while (take >= st.min) {
+          setCommitted(take)
+          val r = rec(pos + take, si + 1)
+          if (r >= 0) {
+            if (takesOut != null) takesOut(si) = take
+            return r
+          }
+          take -= 1
+        }
+        setCommitted(0)
+        Cep.Fail
+      }
+    }
+
+    val r = rec(start, 0)
+    if (pending) Cep.Pending
+    else if (r == start) Cep.Fail // empty match: no row consumed
+    else r
+  }
+
+  /** [[Cep.tryMatchAlts]] with running-aggregate conditions: alternatives
+    * in preference order, fresh aggregate state per alternative; a
+    * pending higher-preference alternative pends the whole outcome.
+    */
+  private[plans] def tryMatchAltsAgg(masks: Array[Long], ts: Array[Long],
+      start: Int, alts: IndexedSeq[IndexedSeq[Cep.Step]],
+      stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]], agg: AggEval,
+      withinMs: Long, openEnded: Boolean): (Int, Int, Array[Int]) = {
+    var ai = 0
+    while (ai < alts.length) {
+      val takes = new Array[Int](alts(ai).length)
+      tryMatchAtAgg(masks, ts, start, alts(ai), stepVarsAlts(ai), agg,
+        withinMs, openEnded, takes) match {
+        case Cep.Pending => return (-1, Cep.Pending, null)
+        case Cep.Fail    => ai += 1
+        case end         => return (ai, end, takes)
+      }
+    }
+    (-1, Cep.Fail, null)
+  }
+
   /** Shared measured scan over one key's time-sorted rows — the batch
     * [[runMeasured]] kernel and the streaming process run this same
     * code. `ords` are the order values (also the event times), `masks`
@@ -832,7 +1147,9 @@ object MatchRecognize {
     * `openEnded` (streaming: events past the buffer may still arrive)
     * only RESOLVED matches emit — a pending higher-preference outcome
     * halts the scan exactly like [[Cep.scanAlts]] — and the returned
-    * resume index is where a future scan must re-run.
+    * resume index is where a future scan must re-run. `agg` (when
+    * non-null) switches the matcher to the running-aggregate kernel
+    * ([[tryMatchAtAgg]]) for aggregate DEFINE conditions.
     */
   private[graft] def scanMeasured(ords: Array[Long], masks: Array[Long],
       mv: Int => Seq[Double], sv: Int => Seq[String],
@@ -843,7 +1160,8 @@ object MatchRecognize {
       openEnded: Boolean, wm: Long,
       subsets: Map[String, Seq[String]] = Map.empty,
       matchSeqBase: Long = 0L,
-      wantRows: Boolean = false): (Seq[MMatch], Int) = {
+      wantRows: Boolean = false,
+      agg: AggEval = null): (Seq[MMatch], Int) = {
     val events = Array.tabulate(ords.length)(i =>
       Cep.Event(0L, ords(i), ords(i), "", masks(i).toDouble))
     // a SUBSET measure listens to the union of its members' rows
@@ -854,7 +1172,10 @@ object MatchRecognize {
     var halt = false
     while (i < events.length && !halt) {
       val open = openEnded && wm - ords(i) <= withinMs
-      val (ai, end, takes) = Cep.tryMatchAlts(events, ords, i, stepAlts, withinMs, open)
+      val (ai, end, takes) =
+        if (agg == null) Cep.tryMatchAlts(events, ords, i, stepAlts, withinMs, open)
+        else tryMatchAltsAgg(masks, ords, i, stepAlts, stepVarsAlts, agg,
+          withinMs, open)
       if (end == Cep.Pending) halt = true
       else if (end == Cep.Fail) i += 1
       else {
@@ -913,7 +1234,8 @@ object MatchRecognize {
       ordCol.as("ord"),
       array(defCols: _*).as("defs"),
       mvArr.as("mv"),
-      svArr.as("sv")).as[MrRowM]
+      svArr.as("sv"),
+      aggInputArr(clause, schema).as("av")).as[MrRowM]
     val stepAlts: IndexedSeq[IndexedSeq[Cep.Step]] =
       clause.sequences.map(buildSteps(_, varIdx)).toIndexedSeq
     val stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]] =
@@ -923,6 +1245,8 @@ object MatchRecognize {
     val withinMs = clause.withinMs
     val skip = clause.skip
     val subsets = clause.subsets
+    val mkAgg: (Int => Seq[Double]) => AggEval = aggEvalOf(clause, varIdx, _)
+    val hasAgg = clause.aggTerms.nonEmpty
 
     implicit val outEnc = Encoders.product[MrMatchM]
     // bounded lookback scan (see `run`); MATCH_NUMBER carries across
@@ -937,7 +1261,8 @@ object MatchRecognize {
           val (ms, resume) = scanMeasured(rows.map(_.ord), masks,
             i => rows(i).mv, i => rows(i).sv,
             stepAlts, stepVarsAlts, measures, strOrd, withinMs, skip,
-            openEnded = open, wm = wm, subsets = subsets, matchSeqBase = seqBase)
+            openEnded = open, wm = wm, subsets = subsets, matchSeqBase = seqBase,
+            agg = if (hasAgg) mkAgg(i => rows(i).av) else null)
           seqBase += ms.size
           (ms.map(mm => MrMatchM(k, mm.start, mm.end, mm.n, mm.m, mm.sm)), resume)
         }, onNewKey = () => seqBase = 0L)
@@ -1041,7 +1366,8 @@ object MatchRecognize {
       ordCol.as("ord"),
       array(defCols: _*).as("defs"),
       mvArr.as("mv"),
-      svArr.as("sv")).as[MrRowM]
+      svArr.as("sv"),
+      aggInputArr(clause, schema).as("av")).as[MrRowM]
     val stepAlts: IndexedSeq[IndexedSeq[Cep.Step]] =
       clause.sequences.map(buildSteps(_, varIdx)).toIndexedSeq
     val stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]] =
@@ -1052,6 +1378,8 @@ object MatchRecognize {
     val skip = clause.skip
     val subsets = clause.subsets
     val anyFinal = measures.exists(_.isFinal)
+    val mkAgg: (Int => Seq[Double]) => AggEval = aggEvalOf(clause, varIdx, _)
+    val hasAgg = clause.aggTerms.nonEmpty
 
     implicit val outEnc = Encoders.product[MrAllRow]
     // bounded lookback scan; each resolved match replays its consumed
@@ -1069,7 +1397,8 @@ object MatchRecognize {
             i => rows(i).mv, i => rows(i).sv,
             stepAlts, stepVarsAlts, measures, strOrd, withinMs, skip,
             openEnded = open, wm = wm, subsets = subsets,
-            matchSeqBase = seqBase, wantRows = true)
+            matchSeqBase = seqBase, wantRows = true,
+            agg = if (hasAgg) mkAgg(i => rows(i).av) else null)
           val out = scala.collection.mutable.ArrayBuffer.empty[MrAllRow]
           ms.zipWithIndex.foreach { case (m, mi) =>
             val matchSeq = seqBase + mi + 1
@@ -1155,6 +1484,9 @@ object MatchRecognize {
     val (defs, navs) = rewriteNav(clause.defines, vars.toSet)
     if (navs.nonEmpty) fail("PREV/NEXT navigation is batch-only — a " +
       "physical-offset window over an unbounded stream is not append-only")
+    if (clause.aggTerms.nonEmpty) fail("aggregate DEFINE conditions are " +
+      "batch-only for now — the streaming state schema does not carry the " +
+      "per-row aggregate inputs")
     // DEFINE bits folded into one long bitmask, evaluated by Catalyst in
     // the scan projection (same trick as the batch path)
     val maskCol = vars.map(v =>

@@ -422,6 +422,61 @@ object Temporal {
         |) AS m""".stripMargin)
   }
 
+  /** Aggregates in MATCH_RECOGNIZE DEFINE ([U] flink-cep
+    * pattern/conditions/IterativeCondition.java surfacing as SQL running
+    * aggregates — Flink evaluates `AVG(V.value) < x` in DEFINE against
+    * the partial match's V rows including the candidate row): two views
+    * whose RUNNING average spend stays under 40, then a click. `V{2} C`
+    * matches provably cannot overlap (an overlap would need a row to be
+    * both 'v' and 'c'), so the DuckDB lead-window candidate table is
+    * exact: first view under 40 (the one-row average), pair sum under 80
+    * (the two-row average — `(a+b)/2 < 40 ⟺ a+b < 80` exactly, division
+    * by two is lossless in IEEE doubles).
+    */
+  val q117_mr_agg_define: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"),
+        substring($"event_type", 1, 1).as("sym"), $"value")
+      .createOrReplaceTempView("q117_events")
+    graft.plans.MatchRecognize.sql(s,
+      """SELECT user_id, match_start, match_end, n_events,
+        | round(spend, 2) AS spend
+        |FROM q117_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  MEASURES SUM(V.value) AS spend
+        |  PATTERN (V{2} C)
+        |  DEFINE V AS sym = 'v' AND AVG(V.value) < 40, C AS sym = 'c'
+        |) AS m""".stripMargin)
+  }
+
+  /** Running COUNT cap in DEFINE ([U] flink-cep IterativeCondition — the
+    * `times()` quantifier expressed as a running aggregate): `V+` capped
+    * by `COUNT(V.*) <= 3` is exactly `V{1,3}`, and greedy regex scanning
+    * (`v{1,3}c`, non-overlapping, leftmost) is exactly strict contiguity
+    * + SKIP PAST LAST ROW — the q55/q103 oracle technique.
+    */
+  val q118_mr_count_cap: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"),
+        substring($"event_type", 1, 1).as("sym"))
+      .createOrReplaceTempView("q118_events")
+    graft.plans.MatchRecognize.sql(s,
+      """SELECT user_id, count(*) AS n_matches,
+        | CAST(sum(n_events) AS BIGINT) AS n_matched_events
+        |FROM q118_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  PATTERN (V+ C)
+        |  DEFINE V AS sym = 'v' AND COUNT(V.*) <= 3, C AS sym = 'c'
+        |) AS m
+        |GROUP BY user_id""".stripMargin)
+  }
+
   /** MATCH_RECOGNIZE PREV navigation ([U] flink-docs match_recognize
     * "Pattern Navigation" — PREV/NEXT are physical offsets over the
     * partition): the classic V-shape price pattern, two falling rows then
@@ -652,6 +707,8 @@ object Temporal {
     "q110_mr_prev_nav" -> q110_mr_prev_nav,
     "q111_mr_subset" -> q111_mr_subset,
     "q112_mr_reluctant" -> q112_mr_reluctant,
+    "q117_mr_agg_define" -> q117_mr_agg_define,
+    "q118_mr_count_cap" -> q118_mr_count_cap,
     "q113_cep_followed_by" -> q113_cep_followed_by,
     "q114_funnel" -> q114_funnel,
     "q55_cep_quantified" -> q55_cep_quantified,
@@ -914,6 +971,27 @@ object Temporal {
         |SELECT user_id, event_id AS match_start, nid AS match_end,
         |       CAST(2 AS INTEGER) AS n_events, value AS a_val, nval AS c_val
         |FROM e WHERE sym = 'v' AND nsym = 'c'""".stripMargin,
+    "q117_mr_agg_define" ->
+      """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym, value,
+        |                  lead(event_id, 2) OVER w AS id2,
+        |                  lead(substr(event_type, 1, 1)) OVER w AS sym1,
+        |                  lead(substr(event_type, 1, 1), 2) OVER w AS sym2,
+        |                  lead(value) OVER w AS v1
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, event_id AS match_start, id2 AS match_end,
+        |       CAST(3 AS INTEGER) AS n_events, round(value + v1, 2) AS spend
+        |FROM e
+        |WHERE sym = 'v' AND sym1 = 'v' AND sym2 = 'c'
+        |  AND value < 40 AND value + v1 < 80""".stripMargin,
+    "q118_mr_count_cap" ->
+      """WITH s AS (SELECT user_id,
+        |                  string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS str
+        |           FROM events GROUP BY user_id),
+        |m AS (SELECT user_id, regexp_extract_all(str, 'v{1,3}c') AS ms FROM s)
+        |SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+        |       CAST(list_sum(list_transform(ms, x -> length(x))) AS BIGINT) AS n_matched_events
+        |FROM m WHERE len(ms) > 0""".stripMargin,
     "q107_mr_permute" ->
       """WITH s AS (SELECT user_id,
         |                  string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS str

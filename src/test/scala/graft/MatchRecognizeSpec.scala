@@ -610,4 +610,92 @@ class MatchRecognizeSpec extends AnyFunSuite {
         assert(plan != null)
     }
   }
+
+  test("aggregate DEFINE: running SUM cap bounds the greedy take") {
+    // B rows accepted while cumulative B.value stays < 10; the row that
+    // would push the sum to >= 10 is rejected, ending the B run
+    mkView("mr_aggsum", Seq(
+      (1L, 0L, "b", 4.0), (1L, 1L, "b", 3.0), (1L, 2L, "b", 5.0), // 4+3 ok, +5 => 12 rejected
+      (1L, 3L, "c", 0.0),                                          // strict: b(2) blocks c? no — see below
+      (2L, 0L, "b", 9.0), (2L, 1L, "c", 0.0),                      // single b then c
+      (3L, 0L, "b", 11.0), (3L, 1L, "c", 0.0)))                    // first b already over cap
+    val got = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_aggsum MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN (B+ C)
+        |  DEFINE B AS sym = 'b' AND SUM(B.value) < 10, C AS sym = 'c'
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    // k=1: B takes ord 0,1 (sum 7), ord2 rejected (12) — but strict
+    // contiguity then needs C at ord 2, which is 'b' => no match at 0;
+    // anchor ord1: B takes 1 (3), ord2 (3+5=8 ok) -> B at 1,2, C at 3. Match (1, 1..3).
+    // k=2: b(9) then c => match. k=3: b rejected (11 >= 10) => none.
+    assert(got == Set((1L, 1L, 3L, 3), (2L, 0L, 1L, 2)))
+  }
+
+  test("aggregate DEFINE: COUNT cap equals an explicit quantifier bound") {
+    val rnd = new scala.util.Random(7)
+    val soup = (1L to 6L).flatMap { k =>
+      (0 until 40).map(i => (k, i.toLong,
+        if (rnd.nextInt(3) == 0) "c" else "v", rnd.nextDouble()))
+    }
+    mkView("mr_aggcnt", soup)
+    def run(q: String) = MatchRecognize.sql(spark, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val capped = run(
+      """SELECT * FROM mr_aggcnt MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN (V+ C)
+        |  DEFINE V AS sym = 'v' AND COUNT(V.*) <= 3, C AS sym = 'c'
+        |)""".stripMargin)
+    val explicit = run(
+      """SELECT * FROM mr_aggcnt MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN (V{1,3} C)
+        |  DEFINE V AS sym = 'v', C AS sym = 'c'
+        |)""".stripMargin)
+    assert(capped == explicit)
+    assert(capped.nonEmpty)
+  }
+
+  test("aggregate DEFINE: AVG, literal-first form, cross-variable COUNT, measures") {
+    // C requires at least two Bs before it (cross-variable COUNT), B runs
+    // while its AVG stays under 5 (literal-first spelling)
+    mkView("mr_aggavg", Seq(
+      (1L, 0L, "b", 4.0), (1L, 1L, "b", 2.0), (1L, 2L, "c", 0.0),  // avg 3 ok, 2 bs -> match
+      (2L, 0L, "b", 4.0), (2L, 1L, "c", 0.0)))                     // only 1 b -> no match
+    val got = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_aggavg MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  MEASURES SUM(B.value) AS spend
+        |  PATTERN (B+ C)
+        |  DEFINE B AS sym = 'b' AND 5 > AVG(B.value),
+        |         C AS sym = 'c' AND COUNT(B.*) >= 2
+        |)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getDouble(4))).toSet
+    assert(got == Set((1L, 3, 6.0)))
+  }
+
+  test("aggregate DEFINE: out-of-subset forms fail loudly; streaming rejects") {
+    mkView("mr_aggbad", Seq((1L, 0L, "a", 1.0)))
+    def bad(q: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](MatchRecognize.sql(spark, q))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""SELECT * FROM mr_aggbad MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ord
+          |  PATTERN (A B)
+          |  DEFINE A AS sym = 'a', B AS SUM(B.value) < value
+          |)""".stripMargin, "top-level conjuncts")
+    bad("""SELECT * FROM mr_aggbad MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ord
+          |  PATTERN ((A | B) C)
+          |  DEFINE A AS SUM(A.value) < 5, B AS sym = 'b', C AS sym = 'c'
+          |)""".stripMargin, "alternation group")
+    bad("""SELECT * FROM mr_aggbad MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ord
+          |  PATTERN (A B)
+          |  DEFINE A AS sym = 'a', B AS MIN(B.value) < 5
+          |)""".stripMargin, "top-level conjuncts")
+  }
 }
