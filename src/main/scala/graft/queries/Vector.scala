@@ -81,6 +81,34 @@ object Vector {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** The PRODUCTION near-dup rule, oracled: a tight threshold (0.95),
+    * `lshParams`-derived plane/table counts (the rule users should run
+    * at scale — q45's fixed loose-threshold tables are the documented
+    * stress case), exact DuckDB all-pairs as the oracle. The fixture
+    * embeddings have no tight pairs (max pairwise cosine ≈ 0.6), so the
+    * corpus is the fixture UNION a deterministic near-duplicate of every
+    * vector (`v'ᵢ = vᵢ + 0.25·v₍ᵢ₊₁ mod d₎`, cosine ≈ 0.89–0.98 vs the
+    * original — straddling the threshold, so the cut itself is
+    * exercised), built identically in both engines in double precision.
+    * targetRecall is six nines because the gate is hash-exact: the
+    * recall identity then makes a deterministic fixture miss
+    * (seeded planes) a ~1e-3-expected event across all pairs, and the
+    * committed result is verified green at sf0.001/0.01/0.1.
+    */
+  val q119_neardup_production: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("cast(embedding as array<double>)").as("v"))
+    val dup = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      expr("transform(v, (x, i) -> x + 0.25d * element_at(v, pmod(i + 1, size(v)) + 1))")
+        .as("v"))
+    val corpus = base.unionByName(dup)
+    val (b, t) = graft.operators.Similarity.lshParams(
+      corpus.count(), 0.95, targetRecall = 0.999999)
+    graft.operators.Similarity
+      .lshNearDupPairs(corpus, "vec_id", "v", 0.95, nPlanes = b, nTables = t)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** Trained two-level IVF under the EXACTNESS gate: with exhaustive
     * probes every index vector is scanned, so the k-means-trained
     * quantizer ([[graft.operators.Similarity.trainCentroids]]) must
@@ -307,6 +335,7 @@ object Vector {
     "q34_ann_lsh_buckets" -> q34_ann_lsh_buckets,
     "q42_ann_topk" -> q42_ann_topk,
     "q45_embedding_neardup" -> q45_embedding_neardup,
+    "q119_neardup_production" -> q119_neardup_production,
     "q106_ivf_trained_topk" -> q106_ivf_trained_topk,
   )
 
@@ -356,6 +385,18 @@ object Vector {
         |       CAST(list_sum(list_transform(v, x -> CASE WHEN abs(CAST(round(x / scale) AS BIGINT)) >= 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat,
         |       round(sqrt(list_sum(list_transform(v, x -> pow(x - round(x / scale) * scale, 2))) / len(v)), 6) AS rmse
         |FROM sc""".stripMargin,
+    "q119_neardup_production" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dup AS (SELECT vec_id + 1000000 AS vec_id,
+        |               list_transform(range(1, len(v) + 1),
+        |                              i -> v[i] + 0.25 * v[(i % len(v)) + 1]) AS v
+        |        FROM base),
+        |c AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95""".stripMargin,
     "q45_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
