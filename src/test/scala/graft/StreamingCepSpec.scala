@@ -466,4 +466,50 @@ class StreamingCepSpec extends AnyFunSuite {
       assert(got.map(m => (m.start_id, m.end_id)) == Set((1L, 3L), (3L, 5L)))
     } finally q.stop()
   }
+
+  test("streaming reluctant + SUBSET measures agree with batch (cross-engine lock)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the two newest MR features in one clause: a reluctant quantifier
+    // tiling segments at each 'c', and SUBSET measures aggregating the
+    // union of both variables' rows — streaming must emit exactly the
+    // batch result even when segments span micro-batches
+    val body =
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES SUM(U.value) AS u_sum, COUNT(U.*) AS u_n, LAST(C.value) AS c_val
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (A*? C)
+        |SUBSET U = (A, C)
+        |DEFINE A AS sym <> 'c', C AS sym = 'c'""".stripMargin
+    def rawv(key: Long, id: Long, sec: Long, sym: String, v: Double) =
+      Ev(id, new java.sql.Timestamp(sec * 1000), key, sym, v)
+    val evs = Seq(
+      rawv(1, 1, 1000, "v", 1.0), rawv(1, 2, 1010, "e", 2.0), rawv(1, 3, 1020, "c", 4.0),
+      rawv(1, 4, 1030, "v", 8.0), rawv(1, 5, 1040, "c", 16.0), rawv(1, 6, 1050, "v", 32.0),
+      rawv(2, 7, 1000, "c", 64.0), rawv(2, 8, 1010, "v", 0.5), rawv(2, 9, 1020, "c", 0.25))
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", $"ts", substring($"event_type", 1, 1).as("sym"), $"value")
+    val input = MemoryStream[Ev]
+    val q = graft.plans.MatchRecognize
+      .stream(proj(input.toDF().withWatermark("ts", "5 seconds")), body)
+      .writeStream.outputMode("append").format("memory").queryName("scep_relsub").start()
+    try {
+      evs.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(rawv(99, 999, 9000, "x", 0.0)); q.processAllAvailable()
+      input.addData(rawv(99, 998, 9100, "x", 0.0)); q.processAllAvailable()
+      def shape(rs: Array[org.apache.spark.sql.Row]) = rs
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getDouble(4), r.getLong(5), r.getDouble(6))).toSet
+      val got = shape(spark.table("scep_relsub").collect()).filter(_._1 != 99L)
+      proj(evs.toDF()).createOrReplaceTempView("scep_relsub_batch")
+      val want = shape(graft.plans.MatchRecognize.sql(spark,
+        s"SELECT * FROM scep_relsub_batch MATCH_RECOGNIZE (\n$body\n)").collect())
+      assert(got == want, s"streaming $got vs batch $want")
+      // u1 tiles (1,2,3)(4,5) — trailing v never closes; u2 tiles (7)(8,9)
+      assert(want.map(t => (t._1, t._5, t._6)) ==
+        Set((1L, 7.0, 3L), (1L, 24.0, 2L), (2L, 64.0, 1L), (2L, 0.75, 2L)))
+      assert(want.map(_._7) == Set(4.0, 16.0, 64.0, 0.25))
+    } finally q.stop()
+  }
 }
