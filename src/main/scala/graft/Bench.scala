@@ -58,10 +58,12 @@ object Bench {
     // the stdout line can be truncated mid-stream by log interleaving
     // (BENCH_r06's tail was); the files are the canonical whole-suite
     // records — one at a caller-set path, one at a stable repo-relative
-    // path a later reader can always find
+    // path a later reader can always find. Focused probe runs
+    // (SPARK_GRAFT_BENCH_ONLY) get their own file so they can never
+    // clobber the last full-suite record.
     val outs = Seq(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
-      "tmp/bench_last.json")
+      if (only.isDefined) "tmp/bench_focus.json" else "tmp/bench_last.json")
     outs.foreach { out =>
       try {
         val p = java.nio.file.Paths.get(out)
