@@ -44,7 +44,7 @@ import graft.operators.Cep
   *                                        --   <op> <literal> are RUNNING
   *                                        --   aggregates over the partial
   *                                        --   match's V rows incl. the
-  *                                        --   current row (batch)
+  *                                        --   current row (batch + streaming)
   * ) [AS alias] ...
   * }}}
   *
@@ -925,13 +925,12 @@ object MatchRecognize {
     if (cols.isEmpty) typedLit(Seq.empty[Double]) else array(cols: _*)
   }
 
-  /** Build the NFA-side aggregate evaluator for a clause (null when the
+  /** Build the serializable aggregate plan for a clause (null when the
     * DEFINEs carry no aggregates).
     */
-  private def aggEvalOf(clause: Clause, varIdx: Map[String, Int],
-      av: Int => Seq[Double]): AggEval =
+  private[plans] def aggSpecOf(clause: Clause, varIdx: Map[String, Int]): AggSpec =
     if (clause.aggTerms.isEmpty) null
-    else AggEval(av,
+    else AggSpec(
       clause.aggTerms.map(t => varIdx(t.variable)).toArray,
       clause.aggConds.map { case (v, cs) => varIdx(v) -> cs },
       clause.aggTerms.toIndexedSeq)
@@ -981,13 +980,17 @@ object MatchRecognize {
       m: Seq[Double], sm: Seq[String],
       rowCls: IndexedSeq[(Int, String)] = IndexedSeq.empty)
 
-  /** Per-run agg-DEFINE plumbing handed to the scan: per-row aggregate
-    * input values (`av`), each term's variable bit, and the conditions
-    * keyed by the DEFINED variable's bit.
+  /** Serializable agg-DEFINE plan: each term's variable bit and the
+    * conditions keyed by the DEFINED variable's bit — rides into the
+    * streaming processes' constructors.
     */
-  private[plans] final case class AggEval(av: Int => Seq[Double],
-      termBit: Array[Int], condsByBit: Map[Int, Seq[AggCond]],
-      terms: IndexedSeq[AggTerm])
+  private[graft] final case class AggSpec(termBit: Array[Int],
+      condsByBit: Map[Int, Seq[AggCond]], terms: IndexedSeq[AggTerm])
+
+  /** [[AggSpec]] plus the per-run row accessor for the aggregate input
+    * values — what the scan kernels actually consume.
+    */
+  private[graft] final case class AggEval(av: Int => Seq[Double], spec: AggSpec)
 
   /** Strict-contiguity matcher with running-aggregate DEFINE conditions
     * — [[Cep.tryMatchAt]]'s greedy/reluctant backtracking walk, plus
@@ -1004,17 +1007,17 @@ object MatchRecognize {
       stepVars: IndexedSeq[Seq[(String, Int)]], agg: AggEval,
       withinMs: Long, openEnded: Boolean, takesOut: Array[Int]): Int = {
     val n = masks.length
-    val nT = agg.termBit.length
+    val nT = agg.spec.termBit.length
     val runCnt = new Array[Long](nT)
     val runSum = new Array[Double](nT)
     var pending = false
 
     def condsHold(bit: Int, p: Int): Boolean =
-      agg.condsByBit.getOrElse(bit, Nil).forall { c =>
-        val own = agg.termBit(c.term) == bit
+      agg.spec.condsByBit.getOrElse(bit, Nil).forall { c =>
+        val own = agg.spec.termBit(c.term) == bit
         val cnt = runCnt(c.term) + (if (own) 1L else 0L)
         val sum = runSum(c.term) + (if (own) agg.av(p)(c.term) else 0.0)
-        val fn = agg.terms(c.term).fn
+        val fn = agg.spec.terms(c.term).fn
         if (fn != "COUNT" && cnt == 0) false // SUM/AVG over no rows: SQL NULL
         else {
           val x = fn match {
@@ -1049,14 +1052,14 @@ object MatchRecognize {
     def commit(p: Int, bit: Int): Unit = {
       var t = 0
       while (t < nT) {
-        if (agg.termBit(t) == bit) { runCnt(t) += 1; runSum(t) += agg.av(p)(t) }
+        if (agg.spec.termBit(t) == bit) { runCnt(t) += 1; runSum(t) += agg.av(p)(t) }
         t += 1
       }
     }
     def rewind(p: Int, bit: Int): Unit = {
       var t = 0
       while (t < nT) {
-        if (agg.termBit(t) == bit) { runCnt(t) -= 1; runSum(t) -= agg.av(p)(t) }
+        if (agg.spec.termBit(t) == bit) { runCnt(t) -= 1; runSum(t) -= agg.av(p)(t) }
         t += 1
       }
     }
@@ -1245,8 +1248,8 @@ object MatchRecognize {
     val withinMs = clause.withinMs
     val skip = clause.skip
     val subsets = clause.subsets
-    val mkAgg: (Int => Seq[Double]) => AggEval = aggEvalOf(clause, varIdx, _)
-    val hasAgg = clause.aggTerms.nonEmpty
+    val aggSpec = aggSpecOf(clause, varIdx)
+    val hasAgg = aggSpec != null
 
     implicit val outEnc = Encoders.product[MrMatchM]
     // bounded lookback scan (see `run`); MATCH_NUMBER carries across
@@ -1262,7 +1265,7 @@ object MatchRecognize {
             i => rows(i).mv, i => rows(i).sv,
             stepAlts, stepVarsAlts, measures, strOrd, withinMs, skip,
             openEnded = open, wm = wm, subsets = subsets, matchSeqBase = seqBase,
-            agg = if (hasAgg) mkAgg(i => rows(i).av) else null)
+            agg = if (hasAgg) AggEval(i => rows(i).av, aggSpec) else null)
           seqBase += ms.size
           (ms.map(mm => MrMatchM(k, mm.start, mm.end, mm.n, mm.m, mm.sm)), resume)
         }, onNewKey = () => seqBase = 0L)
@@ -1378,8 +1381,8 @@ object MatchRecognize {
     val skip = clause.skip
     val subsets = clause.subsets
     val anyFinal = measures.exists(_.isFinal)
-    val mkAgg: (Int => Seq[Double]) => AggEval = aggEvalOf(clause, varIdx, _)
-    val hasAgg = clause.aggTerms.nonEmpty
+    val aggSpec = aggSpecOf(clause, varIdx)
+    val hasAgg = aggSpec != null
 
     implicit val outEnc = Encoders.product[MrAllRow]
     // bounded lookback scan; each resolved match replays its consumed
@@ -1398,7 +1401,7 @@ object MatchRecognize {
             stepAlts, stepVarsAlts, measures, strOrd, withinMs, skip,
             openEnded = open, wm = wm, subsets = subsets,
             matchSeqBase = seqBase, wantRows = true,
-            agg = if (hasAgg) mkAgg(i => rows(i).av) else null)
+            agg = if (hasAgg) AggEval(i => rows(i).av, aggSpec) else null)
           val out = scala.collection.mutable.ArrayBuffer.empty[MrAllRow]
           ms.zipWithIndex.foreach { case (m, mi) =>
             val matchSeq = seqBase + mi + 1
@@ -1484,9 +1487,6 @@ object MatchRecognize {
     val (defs, navs) = rewriteNav(clause.defines, vars.toSet)
     if (navs.nonEmpty) fail("PREV/NEXT navigation is batch-only — a " +
       "physical-offset window over an unbounded stream is not append-only")
-    if (clause.aggTerms.nonEmpty) fail("aggregate DEFINE conditions are " +
-      "batch-only for now — the streaming state schema does not carry the " +
-      "per-row aggregate inputs")
     // DEFINE bits folded into one long bitmask, evaluated by Catalyst in
     // the scan projection (same trick as the batch path)
     val maskCol = vars.map(v =>
@@ -1508,16 +1508,19 @@ object MatchRecognize {
       maskCol.as("mask"),
       mvArr.as("mv"),
       svArr.as("sv"),
-      payloadCol.as("payload")).as[graft.streaming.StreamingMatch.MrSEvent]
+      payloadCol.as("payload"),
+      aggInputArr(clause, schema).as("av"))
+      .as[graft.streaming.StreamingMatch.MrSEvent]
     val stepAlts: IndexedSeq[IndexedSeq[Cep.Step]] =
       clause.sequences.map(buildSteps(_, varIdx)).toIndexedSeq
     val stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]] =
       clause.sequences.map(_.map(s => s.variables.map(v => v -> varIdx(v))).toIndexedSeq)
         .toIndexedSeq
+    val aggSpec = aggSpecOf(clause, varIdx)
     if (clause.allRows) {
       val matches = graft.streaming.StreamingMatch.runAllRows(events, stepAlts,
         stepVarsAlts, clause.measures, strOrd, clause.withinMs, clause.skip,
-        clause.subsets)
+        clause.subsets, aggSpec)
       return matches.toDF()
         .withColumn("__row", from_json(col("payload"), schema))
         .select(schema.fieldNames.map(n => col(s"__row.`$n`")) ++
@@ -1526,7 +1529,7 @@ object MatchRecognize {
     }
     val matches = graft.streaming.StreamingMatch.run(events, stepAlts,
       stepVarsAlts, clause.measures, strOrd, clause.withinMs, clause.skip,
-      clause.subsets)
+      clause.subsets, aggSpec)
     val base = Seq(
       col("key").cast(keyField.dataType).as(keyField.name),
       col("match_start"), col("match_end"), col("n_events"))

@@ -46,7 +46,8 @@ private[graft] trait MatchBuffer {
       stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]],
       measures: Seq[MatchRecognize.Measure], strOrd: Array[Boolean],
       withinMs: Long, skip: Cep.AfterMatch,
-      subsets: Map[String, Seq[String]], wantRows: Boolean)(
+      subsets: Map[String, Seq[String]], wantRows: Boolean,
+      aggSpec: MatchRecognize.AggSpec = null)(
       emitMatches: (Seq[MatchRecognize.MMatch],
         Array[StreamingMatch.MrSEvent], Long) => Unit): Unit = {
     val wm = math.max(tv.getCurrentWatermarkInMs, expiryMs)
@@ -59,7 +60,9 @@ private[graft] trait MatchBuffer {
         i => ready(i).mv, i => ready(i).sv,
         stepAlts, stepVarsAlts, measures, strOrd,
         withinMs, skip, openEnded = true, wm = wm, subsets = subsets,
-        matchSeqBase = base, wantRows = wantRows)
+        matchSeqBase = base, wantRows = wantRows,
+        agg = if (aggSpec == null) null
+              else MatchRecognize.AggEval(i => ready(i).av, aggSpec))
       emitMatches(matches, ready, base)
       if (matches.nonEmpty) seq.update(base + matches.size)
       buf.clear()
@@ -79,7 +82,8 @@ class StreamingMatchProcess(
     stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]],
     measures: Seq[MatchRecognize.Measure], strOrd: Array[Boolean],
     withinMs: Long, skip: Cep.AfterMatch,
-    subsets: Map[String, Seq[String]])
+    subsets: Map[String, Seq[String]],
+    aggSpec: MatchRecognize.AggSpec = null)
     extends KeyedProcess[String, StreamingMatch.MrSEvent, StreamingMatch.MrSMatch]
     with MatchBuffer {
 
@@ -95,7 +99,7 @@ class StreamingMatchProcess(
   override def onTimer(key: String, expiryMs: Long, tv: TimerValues,
       emit: StreamingMatch.MrSMatch => Unit): Unit =
     onTimerShared(expiryMs, tv, stepAlts, stepVarsAlts, measures, strOrd,
-      withinMs, skip, subsets, wantRows = false) { (matches, _, _) =>
+      withinMs, skip, subsets, wantRows = false, aggSpec = aggSpec) { (matches, _, _) =>
       matches.foreach(m =>
         emit(StreamingMatch.MrSMatch(key, m.start, m.end, m.n, m.m, m.sm)))
     }
@@ -114,7 +118,8 @@ class StreamingMatchAllRowsProcess(
     stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]],
     measures: Seq[MatchRecognize.Measure], strOrd: Array[Boolean],
     withinMs: Long, skip: Cep.AfterMatch,
-    subsets: Map[String, Seq[String]])
+    subsets: Map[String, Seq[String]],
+    aggSpec: MatchRecognize.AggSpec = null)
     extends KeyedProcess[String, StreamingMatch.MrSEvent, StreamingMatch.MrSAllRow]
     with MatchBuffer {
   private val anyFinal = measures.exists(_.isFinal)
@@ -131,7 +136,7 @@ class StreamingMatchAllRowsProcess(
   override def onTimer(key: String, expiryMs: Long, tv: TimerValues,
       emit: StreamingMatch.MrSAllRow => Unit): Unit =
     onTimerShared(expiryMs, tv, stepAlts, stepVarsAlts, measures, strOrd,
-      withinMs, skip, subsets, wantRows = true) { (matches, ready, base) =>
+      withinMs, skip, subsets, wantRows = true, aggSpec = aggSpec) { (matches, ready, base) =>
       matches.zipWithIndex.foreach { case (m, mi) =>
         val matchSeq = base + mi + 1
         val finAcc = if (anyFinal) {
@@ -161,7 +166,8 @@ object StreamingMatch {
     * buffered state stays narrow.
     */
   final case class MrSEvent(key: String, ord: Long, mask: Long,
-      mv: Seq[Double], sv: Seq[String], payload: String = null)
+      mv: Seq[Double], sv: Seq[String], payload: String = null,
+      av: Seq[Double] = Seq.empty)
 
   /** One resolved match with its measure values — the batch
     * `MrMatchM` shape, keyed by the canonical string key.
@@ -181,12 +187,13 @@ object StreamingMatch {
       stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]],
       measures: Seq[MatchRecognize.Measure], strOrd: Array[Boolean],
       withinMs: Long, skip: Cep.AfterMatch,
-      subsets: Map[String, Seq[String]] = Map.empty): Dataset[MrSMatch] = {
+      subsets: Map[String, Seq[String]] = Map.empty,
+      aggSpec: MatchRecognize.AggSpec = null): Dataset[MrSMatch] = {
     implicit val out: Encoder[MrSMatch] = Encoders.product[MrSMatch]
     ds.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(
         new StreamingMatchProcess(stepAlts, stepVarsAlts, measures, strOrd,
-          withinMs, skip, subsets),
+          withinMs, skip, subsets, aggSpec),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
@@ -196,12 +203,13 @@ object StreamingMatch {
       stepVarsAlts: IndexedSeq[IndexedSeq[Seq[(String, Int)]]],
       measures: Seq[MatchRecognize.Measure], strOrd: Array[Boolean],
       withinMs: Long, skip: Cep.AfterMatch,
-      subsets: Map[String, Seq[String]] = Map.empty): Dataset[MrSAllRow] = {
+      subsets: Map[String, Seq[String]] = Map.empty,
+      aggSpec: MatchRecognize.AggSpec = null): Dataset[MrSAllRow] = {
     implicit val out: Encoder[MrSAllRow] = Encoders.product[MrSAllRow]
     ds.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(
         new StreamingMatchAllRowsProcess(stepAlts, stepVarsAlts, measures,
-          strOrd, withinMs, skip, subsets),
+          strOrd, withinMs, skip, subsets, aggSpec),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

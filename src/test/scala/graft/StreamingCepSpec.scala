@@ -512,4 +512,48 @@ class StreamingCepSpec extends AnyFunSuite {
       assert(want.map(_._7) == Set(4.0, 16.0, 64.0, 0.25))
     } finally q.stop()
   }
+
+  test("streaming aggregate DEFINE agrees with batch across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // running SUM cap in DEFINE: B rows while cumulative B.value < 10,
+    // then c — the B run spans micro-batches, so the running aggregate
+    // must survive the state buffer
+    val body =
+      """PARTITION BY user_id
+        |ORDER BY ts
+        |MEASURES SUM(B.value) AS spend, COUNT(B.*) AS n_b
+        |PATTERN (B+ C)
+        |DEFINE B AS sym = 'b' AND SUM(B.value) < 10, C AS sym = 'c'""".stripMargin
+    def rawv(key: Long, id: Long, sec: Long, sym: String, v: Double) =
+      Ev(id, new java.sql.Timestamp(sec * 1000), key, sym, v)
+    val evs = Seq(
+      rawv(1, 1, 1000, "b", 4.0), rawv(1, 2, 1010, "b", 3.0), rawv(1, 3, 1020, "b", 5.0),
+      rawv(1, 4, 1030, "c", 0.0),
+      rawv(2, 5, 1000, "b", 9.0), rawv(2, 6, 1010, "c", 1.0),
+      rawv(3, 7, 1000, "b", 11.0), rawv(3, 8, 1010, "c", 2.0))
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", $"ts", substring($"event_type", 1, 1).as("sym"), $"value")
+    val input = MemoryStream[Ev]
+    val q = graft.plans.MatchRecognize
+      .stream(proj(input.toDF().withWatermark("ts", "5 seconds")), body)
+      .writeStream.outputMode("append").format("memory").queryName("scep_agg").start()
+    try {
+      evs.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(rawv(99, 999, 9000, "x", 0.0)); q.processAllAvailable()
+      input.addData(rawv(99, 998, 9100, "x", 0.0)); q.processAllAvailable()
+      def shape(rs: Array[org.apache.spark.sql.Row]) = rs
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getDouble(4), r.getLong(5))).toSet
+      val got = shape(spark.table("scep_agg").collect()).filter(_._1 != 99L)
+      proj(evs.toDF()).createOrReplaceTempView("scep_agg_batch")
+      val want = shape(graft.plans.MatchRecognize.sql(spark,
+        s"SELECT * FROM scep_agg_batch MATCH_RECOGNIZE (\n$body\n)").collect())
+      assert(got == want, s"streaming $got vs batch $want")
+      // u1: anchor at id2 (3+5=8<10) then c — ids 2..4; u2: 9<10 then c;
+      // u3: 11 over the cap, no match
+      assert(want.map(t => (t._1, t._5, t._6)) ==
+        Set((1L, 8.0, 2L), (2L, 9.0, 1L)))
+    } finally q.stop()
+  }
 }
