@@ -109,6 +109,32 @@ object Vector {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** The full PRODUCTION dedup chain, oracled: q119's tight-threshold
+    * LSH pair graph → connected components → cluster labels + sizes —
+    * the pipeline a crawl-dedup user actually deploys (bucketed
+    * candidates at θ≥0.95, never all-pairs, then the q90 CC machinery at
+    * its union-find fast path). The DuckDB oracle replays the corpus
+    * construction and runs min-label propagation as a recursive CTE
+    * (components here are tiny, so the fixpoint is cheap).
+    */
+  val q120_neardup_cc_production: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("cast(embedding as array<double>)").as("v"))
+    val dup = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      expr("transform(v, (x, i) -> x + 0.25d * element_at(v, pmod(i + 1, size(v)) + 1))")
+        .as("v"))
+    val corpus = base.unionByName(dup)
+    val (b, t) = graft.operators.Similarity.lshParams(
+      corpus.count(), 0.95, targetRecall = 0.999999)
+    val pairs = graft.operators.Similarity
+      .lshNearDupPairs(corpus, "vec_id", "v", 0.95, nPlanes = b, nTables = t)
+      .select($"a_id", $"b_id")
+    graft.operators.Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy($"component")))
+      .select($"id".as("vec_id"), $"component", $"csize")
+  }
+
   /** Trained two-level IVF under the EXACTNESS gate: with exhaustive
     * probes every index vector is scanned, so the k-means-trained
     * quantizer ([[graft.operators.Similarity.trainCentroids]]) must
@@ -336,6 +362,7 @@ object Vector {
     "q42_ann_topk" -> q42_ann_topk,
     "q45_embedding_neardup" -> q45_embedding_neardup,
     "q119_neardup_production" -> q119_neardup_production,
+    "q120_neardup_cc_production" -> q120_neardup_cc_production,
     "q106_ivf_trained_topk" -> q106_ivf_trained_topk,
   )
 
@@ -385,6 +412,24 @@ object Vector {
         |       CAST(list_sum(list_transform(v, x -> CASE WHEN abs(CAST(round(x / scale) AS BIGINT)) >= 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat,
         |       round(sqrt(list_sum(list_transform(v, x -> pow(x - round(x / scale) * scale, 2))) / len(v)), 6) AS rmse
         |FROM sc""".stripMargin,
+    "q120_neardup_cc_production" ->
+      """WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dup AS (SELECT vec_id + 1000000 AS vec_id,
+        |               list_transform(range(1, len(v) + 1),
+        |                              i -> v[i] + 0.25 * v[(i % len(v)) + 1]) AS v
+        |        FROM base),
+        |c AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c),
+        |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |          FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95),
+        |e AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) nn
+        |                UNION
+        |                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |comp AS (SELECT u AS vec_id, min(v) AS component FROM reach GROUP BY u)
+        |SELECT vec_id, component, count(*) OVER (PARTITION BY component) AS csize
+        |FROM comp""".stripMargin,
     "q119_neardup_production" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |dup AS (SELECT vec_id + 1000000 AS vec_id,
