@@ -698,4 +698,58 @@ class MatchRecognizeSpec extends AnyFunSuite {
           |  DEFINE A AS sym = 'a', B AS MIN(B.value) < 5
           |)""".stripMargin, "top-level conjuncts")
   }
+
+  test("aggregate DEFINE fuzz: kernel matches a slice-recomputing reference") {
+    // PATTERN (B+ C), DEFINE B AS value < 5 AND SUM(B.value) < cap,
+    //                 C AS value >= 3 — the defines OVERLAP on [3, 5), so
+    // greedy backtracking genuinely reassigns rows between B and C. The
+    // reference recomputes every aggregate from slices (no incremental
+    // commit/rewind), so a state-undo bug in the kernel cannot hide.
+    def refMatches(vals: IndexedSeq[Double], cap: Double): Set[(Int, Int, Int)] = {
+      val n = vals.length
+      def bOk(idx: Int, sumBefore: Double) =
+        vals(idx) < 5.0 && sumBefore + vals(idx) < cap
+      def cOk(idx: Int) = vals(idx) >= 3.0
+      def matchAt(st: Int): Option[Int] = {
+        var maxTake = 0
+        var sum = 0.0
+        while (st + maxTake < n && bOk(st + maxTake, sum)) {
+          sum += vals(st + maxTake); maxTake += 1
+        }
+        var take = maxTake
+        while (take >= 1) {
+          val pos = st + take
+          if (pos < n && cOk(pos)) return Some(pos + 1)
+          take -= 1
+        }
+        None
+      }
+      val out = scala.collection.mutable.Set.empty[(Int, Int, Int)]
+      var i = 0
+      while (i < n) matchAt(i) match {
+        case Some(end) => out += ((i, end - 1, end - i)); i = end
+        case None      => i += 1
+      }
+      out.toSet
+    }
+    val rnd = new scala.util.Random(2024)
+    for (trial <- 0 until 60) {
+      val n = 5 + rnd.nextInt(25)
+      val vals = IndexedSeq.fill(n)((rnd.nextInt(16) / 2.0)) // 0.0 .. 7.5
+      val cap = 2.0 + rnd.nextInt(5) * 2.0
+      mkView("mr_aggfuzz", vals.zipWithIndex.map { case (v, i) =>
+        (1L, i.toLong, "x", v) })
+      val got = MatchRecognize.sql(spark,
+        s"""SELECT * FROM mr_aggfuzz MATCH_RECOGNIZE (
+           |  PARTITION BY k ORDER BY ord
+           |  PATTERN (B+ C)
+           |  DEFINE B AS value < 5 AND SUM(B.value) < $cap,
+           |         C AS value >= 3
+           |)""".stripMargin)
+        .collect().map(r => (r.getLong(1).toInt, r.getLong(2).toInt, r.getInt(3))).toSet
+      val want = refMatches(vals, cap)
+      assert(got == want,
+        s"trial $trial cap=$cap vals=$vals\n got=$got\nwant=$want")
+    }
+  }
 }
