@@ -414,7 +414,27 @@ object Relational3 {
         |FROM q88_events""".stripMargin)
   }
 
+  /** Retract-stream snapshot diff ([U] flink-table-api
+    * `toChangelogStream` / RowKind): two deterministic snapshots of a
+    * per-customer order count — an earlier cutoff over all priorities vs
+    * a later cutoff restricted to urgent/high — diffed into the
+    * +I/-U/+U/-D changelog by [[graft.streaming.ChangelogStream
+    * .snapshotDiff]] (the batch kernel the streaming foreachBatch wrapper
+    * runs per micro-batch). All four row kinds occur; the DuckDB oracle
+    * replays the same FULL OUTER JOIN algebra in SQL.
+    */
+  val q121_changelog_diff: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val prev = orders.filter(col("o_orderdate") < lit("1998-01-01"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val cur = orders.filter(col("o_orderdate") < lit("1999-01-01") &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    graft.streaming.ChangelogStream.snapshotDiff(prev, cur, Seq("o_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q121_changelog_diff" -> q121_changelog_diff,
     "q88_hash_tz" -> q88_hash_tz,
     "q86_unnest_sql" -> q86_unnest_sql,
     "q80_flink_funcs" -> q80_flink_funcs,
@@ -439,6 +459,22 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q121_changelog_diff" ->
+      """WITH prev AS (SELECT o_custkey, count(*) AS n FROM orders
+        |              WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+        |cur AS (SELECT o_custkey, count(*) AS n FROM orders
+        |        WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        |          AND o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY 1),
+        |j AS (SELECT p.o_custkey AS pk, p.n AS pn, c.o_custkey AS ck, c.n AS cn
+        |      FROM prev p FULL OUTER JOIN cur c ON p.o_custkey = c.o_custkey)
+        |SELECT '+I' AS row_kind, 0 AS row_seq, ck AS o_custkey, cn AS n
+        |FROM j WHERE pk IS NULL
+        |UNION ALL
+        |SELECT '-D', 0, pk, pn FROM j WHERE ck IS NULL
+        |UNION ALL
+        |SELECT '-U', 0, pk, pn FROM j WHERE pk IS NOT NULL AND ck IS NOT NULL AND pn <> cn
+        |UNION ALL
+        |SELECT '+U', 1, ck, cn FROM j WHERE pk IS NOT NULL AND ck IS NOT NULL AND pn <> cn""".stripMargin,
     "q88_hash_tz" ->
       """SELECT event_id,
         |  sha256(event_type) AS h256,
