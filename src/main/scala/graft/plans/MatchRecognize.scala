@@ -40,7 +40,7 @@ import graft.operators.Cep
   *                                        --   physical navigation (batch);
   *                                        --   V1.col ≡ col for the variable
   *                                        --   being defined; top-level
-  *                                        --   conjuncts SUM|COUNT|AVG(V.col)
+  *                                        --   conjuncts SUM|COUNT|AVG|MIN|MAX
   *                                        --   <op> <literal> are RUNNING
   *                                        --   aggregates over the partial
   *                                        --   match's V rows incl. the
@@ -544,9 +544,9 @@ object MatchRecognize {
   }
 
   private val aggCmpRe =
-    raw"(?is)^\s*(SUM|COUNT|AVG)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*|\*)\s*\)\s*(<=|>=|<>|!=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*$$".r
+    raw"(?is)^\s*(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*|\*)\s*\)\s*(<=|>=|<>|!=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*$$".r
   private val aggCmpRevRe =
-    raw"(?is)^\s*(-?\d+(?:\.\d+)?)\s*(<=|>=|<>|!=|=|<|>)\s*(SUM|COUNT|AVG)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*|\*)\s*\)\s*$$".r
+    raw"(?is)^\s*(-?\d+(?:\.\d+)?)\s*(<=|>=|<>|!=|=|<|>)\s*(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*|\*)\s*\)\s*$$".r
 
   private def flipOp(op: String): String = op match {
     case "<" => ">"
@@ -557,8 +557,8 @@ object MatchRecognize {
   }
 
   /** Pull running-aggregate comparisons out of the DEFINE bodies: each
-    * top-level conjunct of the form `SUM|COUNT|AVG(V.col) <op> <numeric
-    * literal>` (either operand order; `COUNT(V.*)` too) becomes an
+    * top-level conjunct of the form `SUM|COUNT|AVG|MIN|MAX(V.col) <op>
+    * <numeric literal>` (either operand order; `COUNT(V.*)` too) becomes an
     * [[AggCond]] evaluated inside the NFA with running semantics, and
     * the residual conjuncts stay a row-local Catalyst boolean (TRUE when
     * nothing remains). Anything aggregate-shaped that does NOT fit the
@@ -587,8 +587,8 @@ object MatchRecognize {
           case other =>
             if (raw"(?i)\b(SUM|COUNT|AVG|MIN|MAX)\s*\(".r.findFirstIn(other).isDefined)
               fail(s"DEFINE $v: aggregate predicates are supported only as " +
-                "top-level conjuncts `SUM|COUNT|AVG(V.col) <op> <numeric " +
-                s"literal>` — got `${other.trim}`")
+                "top-level conjuncts `SUM|COUNT|AVG|MIN|MAX(V.col) <op> " +
+                s"<numeric literal>` — got `${other.trim}`")
             keep += other.trim
         }
       }
@@ -1010,6 +1010,14 @@ object MatchRecognize {
     val nT = agg.spec.termBit.length
     val runCnt = new Array[Long](nT)
     val runSum = new Array[Double](nT)
+    // MIN/MAX need the committed values (a scalar cannot undo): commits
+    // and rewinds are globally LIFO (the backtracking order), so a
+    // per-term value stack replays exactly
+    val runVals: Array[scala.collection.mutable.ArrayBuffer[Double]] =
+      Array.tabulate(nT)(t => agg.spec.terms(t).fn match {
+        case "MIN" | "MAX" => scala.collection.mutable.ArrayBuffer.empty[Double]
+        case _             => null
+      })
     var pending = false
 
     def condsHold(bit: Int, p: Int): Boolean =
@@ -1018,12 +1026,22 @@ object MatchRecognize {
         val cnt = runCnt(c.term) + (if (own) 1L else 0L)
         val sum = runSum(c.term) + (if (own) agg.av(p)(c.term) else 0.0)
         val fn = agg.spec.terms(c.term).fn
-        if (fn != "COUNT" && cnt == 0) false // SUM/AVG over no rows: SQL NULL
+        if (fn != "COUNT" && cnt == 0) false // SUM/AVG/MIN/MAX over no rows: NULL
         else {
           val x = fn match {
             case "COUNT" => cnt.toDouble
             case "SUM"   => sum
-            case _       => sum / cnt // AVG
+            case "AVG"   => sum / cnt
+            case "MIN" =>
+              val vs = runVals(c.term)
+              if (own) (if (vs.isEmpty) agg.av(p)(c.term)
+                        else math.min(vs.min, agg.av(p)(c.term)))
+              else vs.min
+            case "MAX" =>
+              val vs = runVals(c.term)
+              if (own) (if (vs.isEmpty) agg.av(p)(c.term)
+                        else math.max(vs.max, agg.av(p)(c.term)))
+              else vs.max
           }
           c.op match {
             case "<"         => x < c.lit
@@ -1052,14 +1070,20 @@ object MatchRecognize {
     def commit(p: Int, bit: Int): Unit = {
       var t = 0
       while (t < nT) {
-        if (agg.spec.termBit(t) == bit) { runCnt(t) += 1; runSum(t) += agg.av(p)(t) }
+        if (agg.spec.termBit(t) == bit) {
+          runCnt(t) += 1; runSum(t) += agg.av(p)(t)
+          if (runVals(t) != null) runVals(t) += agg.av(p)(t)
+        }
         t += 1
       }
     }
     def rewind(p: Int, bit: Int): Unit = {
       var t = 0
       while (t < nT) {
-        if (agg.spec.termBit(t) == bit) { runCnt(t) -= 1; runSum(t) -= agg.av(p)(t) }
+        if (agg.spec.termBit(t) == bit) {
+          runCnt(t) -= 1; runSum(t) -= agg.av(p)(t)
+          if (runVals(t) != null) runVals(t).remove(runVals(t).length - 1): Unit
+        }
         t += 1
       }
     }

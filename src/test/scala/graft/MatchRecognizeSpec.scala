@@ -695,8 +695,46 @@ class MatchRecognizeSpec extends AnyFunSuite {
     bad("""SELECT * FROM mr_aggbad MATCH_RECOGNIZE (
           |  PARTITION BY k ORDER BY ord
           |  PATTERN (A B)
-          |  DEFINE A AS sym = 'a', B AS MIN(B.value) < 5
-          |)""".stripMargin, "top-level conjuncts")
+          |  DEFINE A AS sym = 'a', B AS MIN(B.value) < value
+          |)""".stripMargin, "top-level conjuncts") // non-literal RHS
+  }
+
+  test("aggregate DEFINE: running MIN/MAX, own- and cross-variable") {
+    // running MIN(B.value) > 2 over B's own rows ≡ the row-local value > 2
+    val rnd = new scala.util.Random(11)
+    val soup = (1L to 4L).flatMap { k =>
+      (0 until 30).map(i => (k, i.toLong,
+        if (rnd.nextInt(3) == 0) "c" else "b", rnd.nextInt(8).toDouble))
+    }
+    mkView("mr_aggmin", soup)
+    def run(q: String) = MatchRecognize.sql(spark, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val viaMin = run(
+      """SELECT * FROM mr_aggmin MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN (B+ C)
+        |  DEFINE B AS sym = 'b' AND MIN(B.value) > 2, C AS sym = 'c'
+        |)""".stripMargin)
+    val rowLocal = run(
+      """SELECT * FROM mr_aggmin MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN (B+ C)
+        |  DEFINE B AS sym = 'b' AND value > 2, C AS sym = 'c'
+        |)""".stripMargin)
+    assert(viaMin == rowLocal)
+    assert(viaMin.nonEmpty)
+
+    // cross-variable MAX: C fires only if some prior B reached >= 6
+    mkView("mr_aggmax", Seq(
+      (1L, 0L, "b", 3.0), (1L, 1L, "b", 7.0), (1L, 2L, "c", 0.0), // max 7 -> match
+      (2L, 0L, "b", 3.0), (2L, 1L, "b", 5.0), (2L, 2L, "c", 0.0))) // max 5 -> none
+    val got = run(
+      """SELECT * FROM mr_aggmax MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  PATTERN (B+ C)
+        |  DEFINE B AS sym = 'b', C AS sym = 'c' AND MAX(B.value) >= 6
+        |)""".stripMargin)
+    assert(got == Set((1L, 0L, 2L, 3)))
   }
 
   test("aggregate DEFINE fuzz: kernel matches a slice-recomputing reference") {

@@ -161,4 +161,40 @@ class ScalePostureSpec extends AnyFunSuite {
       assert(bounded == unbounded, s"skip=$skip")
     }
   }
+
+  test("CEP bounded scan fuzz: random patterns, skips, windows vs unbounded") {
+    import graft.operators.Cep
+    val rnd = new scala.util.Random(77)
+    val syms = Array("A", "B", "C", "X")
+    for (trial <- 0 until 40) {
+      val events = (0 until 2).flatMap { k =>
+        val n = 200 + rnd.nextInt(400)
+        (0 until n).map(i => Cep.Event(key = k.toLong, id = i.toLong,
+          ts = i.toLong * (1 + rnd.nextInt(3)),
+          sym = syms(rnd.nextInt(syms.length)), value = rnd.nextInt(10).toDouble))
+      }
+      def randStep(): Cep.Step = {
+        val sym = syms(rnd.nextInt(3)) // A/B/C
+        val rel = rnd.nextBoolean()
+        rnd.nextInt(4) match {
+          case 0 => Cep.PStep(sym, 1, 1)
+          case 1 => Cep.PStep(sym, 0, 1, rel)
+          case 2 => Cep.PStep(sym, 1, Cep.MaxTimes, rel)
+          case 3 => Cep.PStep(sym, 1 + rnd.nextInt(2), 2 + rnd.nextInt(3), rel)
+        }
+      }
+      val steps = IndexedSeq.fill(2 + rnd.nextInt(3))(randStep())
+      val skip = if (rnd.nextBoolean()) Cep.SkipPastLastRow else Cep.SkipToNextRow
+      val within = Seq(30L, 120L, 600L, Long.MaxValue / 4)(rnd.nextInt(4))
+      val bounded = Cep.boundedScanPartition(events.iterator) { (ev, open, wm) =>
+        Cep.scan(ev, steps, within, skip, open, wm)
+      }.toVector
+      val unbounded = events.groupBy(_.key).toSeq.sortBy(_._1).flatMap { case (_, ks) =>
+        Cep.scan(ks.toArray, steps, within, skip,
+          openEnded = false, wm = Long.MaxValue)._1
+      }.toVector
+      assert(bounded == unbounded,
+        s"trial $trial steps=$steps skip=$skip within=$within")
+    }
+  }
 }
