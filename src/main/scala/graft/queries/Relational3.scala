@@ -133,6 +133,30 @@ object Relational3 {
         $"n_events")
   }
 
+  /** DYNAMIC session gaps ([U] flink-streaming-java `SessionWindowTimeGapExtractor`
+    * / `EventTimeSessionWindows.withDynamicGap`): the per-event gap is an
+    * expression — clicks close a session after 5 minutes of quiet, other
+    * events after 30. Spark's `session_window(ts, gapColumn)` is the
+    * native equivalent (per-event window [ts, ts+gap], overlapping-or-
+    * touching windows merge). The oracle is the q25/q62 cumulative
+    * technique generalized: a session breaks when the event's time
+    * exceeds the running max of (prior ts + prior gap) — the running max
+    * equals the current session's horizon by induction, since a session
+    * opener strictly exceeds everything before it.
+    */
+  val q122_dynamic_session_gap: Q = (s, d) => {
+    import s.implicits._
+    val gap = when($"event_type" === "click", lit("5 minutes"))
+      .otherwise(lit("30 minutes"))
+    Tables.events(s, d)
+      .groupBy($"user_id", session_window($"ts", gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_millis($"w.start").as("s_start_ms"),
+        unix_millis($"w.end").as("s_end_ms"),
+        $"n_events")
+  }
+
   /** posexplode / UNNEST WITH ORDINALITY: token positions survive the
     * flatten (Flink's UNNEST WITH ORDINALITY; SURVEY.md §2.9).
     */
@@ -451,6 +475,7 @@ object Relational3 {
     "q63_posexplode" -> q63_posexplode,
     "q64_set_ops_all" -> q64_set_ops_all,
     "q62_session_window_fn" -> q62_session_window_fn,
+    "q122_dynamic_session_gap" -> q122_dynamic_session_gap,
     "q57_window_frames" -> q57_window_frames,
     "q58_percentile_disc" -> q58_percentile_disc,
     "q59_regexp" -> q59_regexp,
@@ -590,6 +615,25 @@ object Relational3 {
         |e AS (SELECT 'except_all' AS op, k, count(*) AS n
         |      FROM (SELECT k FROM c EXCEPT ALL SELECT k FROM s) GROUP BY k)
         |SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e""".stripMargin,
+    "q122_dynamic_session_gap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS em,
+        |                  CASE WHEN event_type = 'click' THEN 300000 ELSE 1800000 END AS gap_ms
+        |           FROM events),
+        |o AS (SELECT user_id, em, gap_ms,
+        |             max(em + gap_ms) OVER (PARTITION BY user_id ORDER BY em, event_id
+        |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS horizon
+        |      FROM e),
+        |s AS (SELECT user_id, em, gap_ms,
+        |             CASE WHEN horizon IS NULL OR em > horizon THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |t AS (SELECT user_id, em, gap_ms,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY em
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM s)
+        |SELECT user_id, min(em) AS s_start_ms, max(em + gap_ms) AS s_end_ms,
+        |       count(*) AS n_events
+        |FROM t GROUP BY user_id, sid""".stripMargin,
     "q62_session_window_fn" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |o AS (SELECT user_id, ts,
