@@ -207,10 +207,153 @@ object FlinkDdl {
   def execute(spark: SparkSession, sqlText: String): String = {
     // computed columns may use the Flink-named functions (PROCTIME etc.)
     graft.functions.GraftFunctions.register(spark)
+    // CREATE TABLE ... LIKE base (...) — must be checked before the
+    // plain-create path (the body column list is OPTIONAL in LIKE form);
+    // a CTAS' SELECT may contain a LIKE predicate, so CTAS wins first
+    if (raw"(?is)\bAS\s+SELECT\b".r.findFirstIn(sqlText).isEmpty) {
+      likeTailRe.findFirstMatchIn(sqlText) match {
+        case Some(lm) => return executeCreateLike(spark, sqlText, lm)
+        case None     =>
+      }
+    }
     createRe.findFirstMatchIn(sqlText) match {
       case Some(m) => executeCreate(spark, sqlText, m)
       case None => executeCtas(spark, sqlText)
     }
+  }
+
+  private val likeTailRe =
+    raw"(?is)\bLIKE\s+`?([A-Za-z_]\w*)`?\s*(?:\(([^)]*)\))?\s*$$".r
+  private val createHeadRe =
+    raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?".r
+
+  /** `CREATE TABLE name ([extra defs]) [WITH (...)] LIKE base [(merge
+    * options)]` ([U] flink-table-planner SqlCreateTable LIKE clause,
+    * FLIP-110): the new table inherits the base table's schema, options,
+    * watermark, primary key, computed columns, and partitioning, with
+    * Flink's default merge strategies — INCLUDING everything except
+    * OPTIONS, which is OVERWRITING (new WITH entries override base
+    * per key). Merge options accepted: `{INCLUDING | EXCLUDING} {ALL |
+    * CONSTRAINTS | PARTITIONS | OPTIONS | GENERATED | WATERMARKS}` and
+    * `OVERWRITING {OPTIONS | GENERATED | WATERMARKS}`. The base must be
+    * DDL-registered in this session; extra physical/computed columns
+    * append (a name collision fails, as in Flink). Subset note: only
+    * connector/path/format survive as base OPTIONS (the registry's
+    * canonical triple) — extra reader options must be restated.
+    */
+  private def executeCreateLike(spark: SparkSession, sqlText: String,
+      lm: scala.util.matching.Regex.Match): String = {
+    val nameM = createHeadRe.findFirstMatchIn(sqlText)
+      .getOrElse(fail("bad CREATE TABLE ... LIKE statement"))
+    val name = nameM.group(1)
+    val base = lm.group(1)
+    val (bConnector, bPath, bFmt, bSchema) = registered(spark, base).getOrElse(
+      fail(s"LIKE references `$base`, which is not DDL-registered in this session"))
+
+    // ---- merge strategies (Flink defaults) ----
+    var modes = scala.collection.mutable.Map(
+      "options" -> "overwriting", "watermarks" -> "including",
+      "constraints" -> "including", "generated" -> "including",
+      "partitions" -> "including")
+    Option(lm.group(2)).foreach { optText =>
+      val toks = optText.trim.toLowerCase.split(raw"[\s,]+").filter(_.nonEmpty)
+      if (toks.length % 2 != 0) fail(s"bad LIKE merge options `$optText`")
+      toks.grouped(2).foreach { case Array(verb, feature) =>
+        if (!Set("including", "excluding", "overwriting")(verb))
+          fail(s"bad LIKE merge verb `$verb`")
+        val feats = feature match {
+          case "all" =>
+            if (verb == "overwriting") fail("OVERWRITING ALL is not a Flink form")
+            modes.keys.toSeq
+          case f if modes.contains(f) => Seq(f)
+          case f => fail(s"unknown LIKE merge feature `$f`")
+        }
+        if (verb == "overwriting" && feats.exists(Set("constraints", "partitions")))
+          fail("OVERWRITING applies to OPTIONS, GENERATED, WATERMARKS only")
+        feats.foreach(f => modes(f) = verb)
+      }
+    }
+
+    // ---- new-table body between the name and LIKE ----
+    val head = sqlText.substring(nameM.end, lm.start)
+    val bodyOpen = head.indexOf('(')
+    val hasBody = bodyOpen >= 0 &&
+      raw"(?is)^\s*\(".r.findFirstIn(head).isDefined
+    val (colDefs, afterBody) =
+      if (hasBody) {
+        val close = WindowTvf.matchParen(head, bodyOpen)
+        (WindowTvf.splitArgs(head.substring(bodyOpen + 1, close))
+          .map(raw"`([A-Za-z_]\w*)`".r.replaceAllIn(_, "$1"))
+          .filter(_.trim.nonEmpty), head.substring(close + 1))
+      } else (Seq.empty[String], head)
+    val newOpts = withRe.findFirstMatchIn(afterBody).map { wm =>
+      val o = afterBody.indexOf('(', wm.end - 1)
+      optRe.findAllMatchIn(afterBody.substring(o + 1, WindowTvf.matchParen(afterBody, o)))
+        .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+    }.getOrElse(Map.empty[String, String])
+
+    // extra definitions in the new body (verbatim lines; watermark/pk
+    // lines carry straight into the synthesized DDL and WIN over base)
+    val newWmLine = colDefs.find(w => watermarkRe.findFirstIn(w).isDefined)
+    val newPkLine = colDefs.find(c => pkRe.findFirstIn(c).isDefined)
+    val newColLines = colDefs.filterNot(c =>
+      newWmLine.contains(c) || newPkLine.contains(c))
+    val newColNames = newColLines.flatMap {
+      case computedRe(n, e) if !raw"(?is)^(NOT|COMMENT)\b".r.findFirstIn(e).isDefined =>
+        Some(n.toLowerCase)
+      case physicalRe(n, _, _, _) => Some(n.toLowerCase)
+      case _ => None
+    }
+    bSchema.fieldNames.find(f => newColNames.contains(f.toLowerCase)).foreach(c =>
+      fail(s"LIKE: column `$c` already exists in `$base` (Flink fails on " +
+        "duplicate columns too)"))
+
+    // ---- merged pieces ----
+    val baseOpts = Map("connector" -> bConnector) ++
+      (if (bPath.nonEmpty) Map("path" -> bPath) else Map.empty) ++
+      (if (bFmt.nonEmpty) Map("format" -> bFmt) else Map.empty)
+    val opts = modes("options") match {
+      case "excluding"   => newOpts
+      case "including"   =>
+        newOpts.keys.find(baseOpts.contains).foreach(k => fail(
+          s"INCLUDING OPTIONS forbids overriding base option '$k' " +
+            "(use OVERWRITING OPTIONS)"))
+        baseOpts ++ newOpts
+      case _ /* overwriting */ => baseOpts ++ newOpts
+    }
+    val basePhysical = bSchema.fields.map(f => s"${f.name} ${f.dataType.sql}")
+    val baseComputed =
+      if (modes("generated") == "excluding") Seq.empty
+      else computedColumnsOf(spark, base)
+    val pkLine: Option[String] = newPkLine.orElse {
+      if (modes("constraints") == "including")
+        Some(primaryKeyOf(spark, base)).filter(_.nonEmpty)
+          .map(pk => s"PRIMARY KEY (${pk.mkString(", ")}) NOT ENFORCED")
+      else None
+    }
+    val partCols =
+      if (modes("partitions") == "including") partitionsOf(spark, base) else Seq.empty
+    val inheritedWm: Option[(String, String)] =
+      if (newWmLine.isEmpty && modes("watermarks") != "excluding")
+        watermarkOf(spark, base)
+      else None
+
+    val colLines = basePhysical.toSeq ++
+      baseComputed.map { case (n, e) => s"$n AS $e" } ++
+      newColLines ++ pkLine.toSeq ++ newWmLine.toSeq
+    val partClause =
+      if (partCols.nonEmpty) s" PARTITIONED BY (${partCols.mkString(", ")})" else ""
+    val optLines = opts.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+    if (!opts.contains("connector"))
+      fail("LIKE with EXCLUDING OPTIONS needs a 'connector' in the new WITH(...)")
+    val ddl =
+      s"CREATE TABLE $name (\n  ${colLines.mkString(",\n  ")}\n)$partClause WITH ($optLines)"
+    val m = createRe.findFirstMatchIn(ddl).getOrElse(fail("internal: bad synthesized DDL"))
+    executeCreate(spark, ddl, m)
+    // the inherited watermark can't ride through the synthesized text
+    // (the registry's delay string is already normalized) — patch it in
+    inheritedWm.foreach(wm => wmRegistry(spark).put(name.toLowerCase, wm))
+    name
   }
 
   /** CTAS: run the SELECT, write it to the filesystem sink, register

@@ -424,4 +424,79 @@ class FlinkDdlSpec extends AnyFunSuite {
                  |WITH ('connector' = 'datagen')""".stripMargin)
       .contains("METADATA"))
   }
+
+  test("CREATE TABLE ... LIKE inherits schema, options, watermark, pk; merge options steer") {
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE like_base (
+         |  event_id BIGINT,
+         |  user_id BIGINT,
+         |  ts TIMESTAMP(3),
+         |  value DOUBLE,
+         |  v_cents AS CAST(round(value * 100, 0) AS BIGINT),
+         |  PRIMARY KEY (event_id) NOT ENFORCED,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${TestSpark.sfDir}/events.parquet',
+         |  'format' = 'parquet'
+         |)""".stripMargin)
+
+    // default merge: INCLUDING ALL, OVERWRITING OPTIONS — extra column appends
+    FlinkDdl.execute(spark,
+      """CREATE TABLE like_child (
+        |  doubled AS value * 2
+        |) LIKE like_base""".stripMargin)
+    val child = spark.table("like_child")
+    assert(child.schema.fieldNames.toSeq ==
+      Seq("event_id", "user_id", "ts", "value", "v_cents", "doubled"))
+    assert(child.count() > 0)
+    assert(FlinkDdl.watermarkOf(spark, "like_child") == Some(("ts", "5 seconds")))
+    assert(FlinkDdl.primaryKeyOf(spark, "like_child") == Seq("event_id"))
+    val one = child.head()
+    assert(one.getAs[Long]("v_cents") ==
+      math.round(one.getAs[Double]("value") * 100))
+    assert(one.getAs[Double]("doubled") == one.getAs[Double]("value") * 2)
+
+    // EXCLUDING WATERMARKS / CONSTRAINTS / GENERATED drop the inherited pieces
+    FlinkDdl.execute(spark,
+      """CREATE TABLE like_bare () LIKE like_base (
+        |  EXCLUDING WATERMARKS
+        |  EXCLUDING CONSTRAINTS
+        |  EXCLUDING GENERATED
+        |)""".stripMargin)
+    assert(spark.table("like_bare").schema.fieldNames.toSeq ==
+      Seq("event_id", "user_id", "ts", "value"))
+    assert(FlinkDdl.watermarkOf(spark, "like_bare").isEmpty)
+    assert(FlinkDdl.primaryKeyOf(spark, "like_bare").isEmpty)
+
+    // OVERWRITING OPTIONS (the default) lets the child point elsewhere
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE like_redir WITH (
+         |  'path' = '${TestSpark.sfDir}/orders.parquet'
+         |) LIKE like_base (EXCLUDING GENERATED EXCLUDING WATERMARKS EXCLUDING CONSTRAINTS)""".stripMargin)
+    // orders.parquet read with the events schema: columns resolve by
+    // position-independent name match -> missing ones are null; the point
+    // here is just that the path option OVERWROTE the base's
+    assert(FlinkDdl.registered(spark, "like_redir").get._2.endsWith("orders.parquet"))
+
+    // a new watermark in the child body wins over the base's
+    FlinkDdl.execute(spark,
+      """CREATE TABLE like_wm (
+        |  WATERMARK FOR ts AS ts - INTERVAL '30' SECOND
+        |) LIKE like_base""".stripMargin)
+    assert(FlinkDdl.watermarkOf(spark, "like_wm") == Some(("ts", "30 seconds")))
+
+    // duplicate column fails loudly; unknown base fails loudly
+    val e1 = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      "CREATE TABLE like_dup (value DOUBLE) LIKE like_base"))
+    assert(e1.getMessage.contains("already exists"))
+    val e2 = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      "CREATE TABLE like_nope () LIKE no_such_table"))
+    assert(e2.getMessage.contains("not DDL-registered"))
+    // INCLUDING OPTIONS forbids silent override
+    val e3 = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      s"""CREATE TABLE like_conflict WITH ('path' = '/tmp/x')
+         |LIKE like_base (INCLUDING OPTIONS)""".stripMargin))
+    assert(e3.getMessage.contains("INCLUDING OPTIONS"))
+  }
 }
