@@ -148,6 +148,9 @@ object FlinkSql {
             dt.forall(_.nullable), null: String, s"AS $e", null: String)
         }
         (physRows ++ compRows).toDF("name", "type", "null", "key", "extras", "watermark")
+      case _ if graft.plans.FlinkDdl.isAlter(spark, statement) =>
+        okRow(spark, "table",
+          graft.plans.FlinkDdl.executeAlter(spark, statement))
       case _ =>
         val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
         GraftColumnBridge.ofRows(spark, parser.parsePlan(statement))

@@ -341,18 +341,78 @@ object FlinkDdl {
     val colLines = basePhysical.toSeq ++
       baseComputed.map { case (n, e) => s"$n AS $e" } ++
       newColLines ++ pkLine.toSeq ++ newWmLine.toSeq
+    if (!opts.contains("connector"))
+      fail("LIKE with EXCLUDING OPTIONS needs a 'connector' in the new WITH(...)")
+    registerFromMeta(spark, name, colLines, partCols, opts, inheritedWm)
+    name
+  }
+
+  /** Synthesize a canonical CREATE from already-parsed metadata and run
+    * it through [[executeCreate]] (so every validation applies), then
+    * patch in a registry-normalized watermark that cannot ride through
+    * the synthesized text. Shared by LIKE and ALTER.
+    */
+  private def registerFromMeta(spark: SparkSession, name: String,
+      colLines: Seq[String], partCols: Seq[String],
+      opts: Map[String, String], wm: Option[(String, String)]): Unit = {
     val partClause =
       if (partCols.nonEmpty) s" PARTITIONED BY (${partCols.mkString(", ")})" else ""
     val optLines = opts.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
-    if (!opts.contains("connector"))
-      fail("LIKE with EXCLUDING OPTIONS needs a 'connector' in the new WITH(...)")
     val ddl =
       s"CREATE TABLE $name (\n  ${colLines.mkString(",\n  ")}\n)$partClause WITH ($optLines)"
     val m = createRe.findFirstMatchIn(ddl).getOrElse(fail("internal: bad synthesized DDL"))
     executeCreate(spark, ddl, m)
-    // the inherited watermark can't ride through the synthesized text
-    // (the registry's delay string is already normalized) — patch it in
-    inheritedWm.foreach(wm => wmRegistry(spark).put(name.toLowerCase, wm))
+    wm.foreach(w => wmRegistry(spark).put(name.toLowerCase, w))
+  }
+
+  private val alterSetRe =
+    raw"(?is)^\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+SET\s*\(".r
+  private val alterRenameRe =
+    raw"(?is)^\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+RENAME\s+TO\s+`?([A-Za-z_]\w*)`?\s*$$".r
+
+  /** True iff `sqlText` is an ALTER TABLE against a DDL-registered table. */
+  def isAlter(spark: SparkSession, sqlText: String): Boolean =
+    (alterSetRe.findFirstMatchIn(sqlText).map(_.group(1)) orElse
+      alterRenameRe.findFirstMatchIn(sqlText).map(_.group(1)))
+      .exists(registered(spark, _).isDefined)
+
+  /** `ALTER TABLE t SET ('k' = 'v', ...)` merges connector options and
+    * re-derives the view ([U] flink-table-planner SqlAlterTableOptions);
+    * `ALTER TABLE t RENAME TO t2` re-registers everything under the new
+    * name and drops the old one (SqlAlterTableRename). Returns the
+    * (possibly new) table name.
+    */
+  def executeAlter(spark: SparkSession, sqlText: String): String = {
+    def meta(name: String) = {
+      val (c, p, f, schema) = registered(spark, name).getOrElse(
+        fail(s"ALTER TABLE: `$name` is not DDL-registered in this session"))
+      val colLines = schema.fields.map(f0 => s"${f0.name} ${f0.dataType.sql}").toSeq ++
+        computedColumnsOf(spark, name).map { case (n, e) => s"$n AS $e" } ++
+        Some(primaryKeyOf(spark, name)).filter(_.nonEmpty)
+          .map(pk => s"PRIMARY KEY (${pk.mkString(", ")}) NOT ENFORCED").toSeq
+      val opts = Map("connector" -> c) ++
+        (if (p.nonEmpty) Map("path" -> p) else Map.empty) ++
+        (if (f.nonEmpty) Map("format" -> f) else Map.empty)
+      (colLines, partitionsOf(spark, name), opts, watermarkOf(spark, name))
+    }
+    alterRenameRe.findFirstMatchIn(sqlText) match {
+      case Some(m) =>
+        val (oldName, newName) = (m.group(1), m.group(2))
+        val (colLines, parts, opts, wm) = meta(oldName)
+        registerFromMeta(spark, newName, colLines, parts, opts, wm)
+        executeDrop(spark, s"DROP TABLE $oldName")
+        return newName
+      case None =>
+    }
+    val m = alterSetRe.findFirstMatchIn(sqlText).getOrElse(fail(
+      "unsupported ALTER TABLE form (supported: SET ('k'='v', ...), RENAME TO t)"))
+    val name = m.group(1)
+    val open = m.end - 1
+    val close = WindowTvf.matchParen(sqlText, open)
+    val newOpts = optRe.findAllMatchIn(sqlText.substring(open + 1, close))
+      .map(o => o.group(1).toLowerCase -> o.group(2)).toMap
+    val (colLines, parts, opts, wm) = meta(name)
+    registerFromMeta(spark, name, colLines, parts, opts ++ newOpts, wm)
     name
   }
 

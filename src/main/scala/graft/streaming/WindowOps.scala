@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Window-aggregation builders shared between batch and streaming — the
@@ -32,6 +32,14 @@ object WindowOps {
 
   /** SESSION(gap) per user: count + span. */
   def sessionAgg(events: DataFrame, gap: String): DataFrame =
+    sessionAggDynamic(events, lit(gap))
+
+  /** SESSION with a PER-EVENT gap expression ([U] flink-streaming-java
+    * `SessionWindowTimeGapExtractor` — dynamic gaps): works identically
+    * on batch and streaming frames, Spark's `session_window(ts, gapCol)`
+    * merges the per-event windows behind the watermark.
+    */
+  def sessionAggDynamic(events: DataFrame, gap: Column): DataFrame =
     events
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.plans.FlinkDdl
+import graft.FlinkSql
 
 /** Flink connector DDL (graft.plans.FlinkDdl; SURVEY.md §3.1): CREATE
   * TABLE ... WITH ('connector' = ...) statements register Spark temp
@@ -498,5 +499,44 @@ class FlinkDdlSpec extends AnyFunSuite {
       s"""CREATE TABLE like_conflict WITH ('path' = '/tmp/x')
          |LIKE like_base (INCLUDING OPTIONS)""".stripMargin))
     assert(e3.getMessage.contains("INCLUDING OPTIONS"))
+  }
+
+  test("ALTER TABLE SET merges options; RENAME TO moves every registration") {
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE alter_src (
+         |  event_id BIGINT,
+         |  ts TIMESTAMP(3),
+         |  value DOUBLE,
+         |  v2 AS value * 2,
+         |  WATERMARK FOR ts AS ts - INTERVAL '10' SECOND
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${TestSpark.sfDir}/events.parquet',
+         |  'format' = 'parquet'
+         |)""".stripMargin)
+    val before = spark.table("alter_src").count()
+    assert(before > 0)
+
+    // SET repoints the path; everything else carries over
+    val renamed = FlinkSql.sql(spark,
+      s"ALTER TABLE alter_src SET ('path' = '${TestSpark.sfDir}/orders.parquet')")
+    assert(renamed.collect().head.getString(1) == "alter_src")
+    assert(FlinkDdl.registered(spark, "alter_src").get._2.endsWith("orders.parquet"))
+    assert(FlinkDdl.watermarkOf(spark, "alter_src") == Some(("ts", "10 seconds")))
+    assert(FlinkDdl.computedColumnsOf(spark, "alter_src").map(_._1) == Seq("v2"))
+
+    // RENAME moves the registration and drops the old name
+    FlinkSql.sql(spark, "ALTER TABLE alter_src RENAME TO alter_dst")
+    assert(FlinkDdl.registered(spark, "alter_src").isEmpty)
+    assert(FlinkDdl.registered(spark, "alter_dst").isDefined)
+    assert(FlinkDdl.watermarkOf(spark, "alter_dst") == Some(("ts", "10 seconds")))
+    assert(spark.table("alter_dst").schema.fieldNames.contains("v2"))
+    val e = intercept[Exception](spark.table("alter_src"))
+    assert(e.getMessage.toLowerCase.contains("alter_src"))
+
+    // unknown table fails loudly
+    val e2 = intercept[IllegalArgumentException](
+      FlinkDdl.executeAlter(spark, "ALTER TABLE nope SET ('a' = 'b')"))
+    assert(e2.getMessage.contains("not DDL-registered"))
   }
 }

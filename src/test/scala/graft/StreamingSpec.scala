@@ -307,6 +307,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session window with DYNAMIC per-event gap agrees streaming vs batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // clicks hold a session open for only 5s; views for 30s — the same
+    // event spacing sessions differently depending on the PREVIOUS
+    // event's type, which a static gap cannot express
+    val gap = when($"event_type" === "click", lit("5 seconds"))
+      .otherwise(lit("30 seconds"))
+    val evs = Seq(
+      ev(1, 0, typ = "view"), ev(2, 20, typ = "click"), // view's 30s holds 0-20
+      ev(3, 40, typ = "view"),  // click's 5s lapsed at 25 → new session
+      ev(4, 60, typ = "view"))  // view's 30s holds 40-60
+    val input = MemoryStream[Ev]
+    val name = nextName()
+    val q = WindowOps.sessionAggDynamic(
+        input.toDF().withWatermark("ts", "5 seconds"), gap)
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName(name).start()
+    try {
+      evs.grouped(2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(ev(99, 1000)) // close sessions
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .filter($"user_id" === 1)
+        .select(unix_millis($"wstart"), unix_millis($"wend"), $"n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = shape(spark.table(name))
+      val want = shape(WindowOps.sessionAggDynamic(evs.toDF(), gap))
+      assert(got == want, s"streaming $got vs batch $want")
+      // sessions: [0, 30) — the view's 30s horizon outlives the click's
+      // 25s one (end = max over events of ts+gap) — then the click
+      // horizon having lapsed by 40 opens [40, 90)
+      assert(want == Set((0L, 30000L, 2L), (40000L, 90000L, 2L)))
+    } finally q.stop()
+  }
+
   test("incremental near-dup dedup: stream batches dedupe against the persistent store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
