@@ -477,6 +477,35 @@ object Temporal {
         |GROUP BY user_id""".stripMargin)
   }
 
+  /** Aggregate DEFINE under ALL ROWS PER MATCH: q117's running-average
+    * spend cap replayed row-by-row — each matched row carries the
+    * RUNNING SUM(V.value) (the V rows consumed so far; the C row
+    * repeats the completed V sum since C is not a V row), the
+    * classifier, and the per-partition match ordinal. The fixed-length
+    * non-overlapping pattern makes the DuckDB oracle exact: the q117
+    * candidate table expanded to three output rows per match with
+    * row_number() as match_seq.
+    */
+  val q123_mr_agg_all_rows: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"),
+        substring($"event_type", 1, 1).as("sym"), $"value")
+      .createOrReplaceTempView("q123_events")
+    graft.plans.MatchRecognize.sql(s,
+      """SELECT user_id, event_id, match_seq, classifier,
+        | round(spend, 2) AS spend
+        |FROM q123_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  MEASURES SUM(V.value) AS spend
+        |  ALL ROWS PER MATCH
+        |  PATTERN (V{2} C)
+        |  DEFINE V AS sym = 'v' AND AVG(V.value) < 40, C AS sym = 'c'
+        |) AS m""".stripMargin)
+  }
+
   /** MATCH_RECOGNIZE PREV navigation ([U] flink-docs match_recognize
     * "Pattern Navigation" — PREV/NEXT are physical offsets over the
     * partition): the classic V-shape price pattern, two falling rows then
@@ -709,6 +738,7 @@ object Temporal {
     "q112_mr_reluctant" -> q112_mr_reluctant,
     "q117_mr_agg_define" -> q117_mr_agg_define,
     "q118_mr_count_cap" -> q118_mr_count_cap,
+    "q123_mr_agg_all_rows" -> q123_mr_agg_all_rows,
     "q113_cep_followed_by" -> q113_cep_followed_by,
     "q114_funnel" -> q114_funnel,
     "q55_cep_quantified" -> q55_cep_quantified,
@@ -984,6 +1014,27 @@ object Temporal {
         |FROM e
         |WHERE sym = 'v' AND sym1 = 'v' AND sym2 = 'c'
         |  AND value < 40 AND value + v1 < 80""".stripMargin,
+    "q123_mr_agg_all_rows" ->
+      """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym, value,
+        |                  lead(event_id) OVER w AS id1,
+        |                  lead(event_id, 2) OVER w AS id2,
+        |                  lead(substr(event_type, 1, 1)) OVER w AS sym1,
+        |                  lead(substr(event_type, 1, 1), 2) OVER w AS sym2,
+        |                  lead(value) OVER w AS v1
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |m AS (SELECT user_id, event_id AS id0, id1, id2, value AS v0, v1
+        |      FROM e
+        |      WHERE sym = 'v' AND sym1 = 'v' AND sym2 = 'c'
+        |        AND value < 40 AND value + v1 < 80),
+        |n AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY id0) AS mseq
+        |      FROM m)
+        |SELECT user_id, id0 AS event_id, mseq AS match_seq, 'V' AS classifier,
+        |       round(v0, 2) AS spend FROM n
+        |UNION ALL
+        |SELECT user_id, id1, mseq, 'V', round(v0 + v1, 2) FROM n
+        |UNION ALL
+        |SELECT user_id, id2, mseq, 'C', round(v0 + v1, 2) FROM n""".stripMargin,
     "q118_mr_count_cap" ->
       """WITH s AS (SELECT user_id,
         |                  string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS str
