@@ -46,6 +46,14 @@ object ChangelogStream {
       struct(payload.map(col): _*).as(s"__p_$side"))
     val p = pack(prev, "p")
     val c = pack(cur, "c")
+    // join on the PACKED key struct, not the raw columns: struct equality
+    // compares null fields as equal (ordering semantics), so a NULL
+    // grouping key diffs as one changed row instead of a spurious -D/+I
+    // pair. The cost is that Catalyst cannot reuse an upstream groupBy's
+    // hash partitioning (partitioned by k, required by struct(k)) — one
+    // extra exchange per side, on RESULT snapshots, which is the right
+    // trade (a -D/+I mis-pairing under equal seq numbers would break
+    // Changelog.materialize's replay).
     val joined = p.join(c, col("__k_p") === col("__k_c"), "full_outer")
     // +I: new key; -D: vanished key; changed payload: -U(old) then +U(new)
     val tagged = joined.select(explode(
