@@ -58,6 +58,8 @@ object FlinkSql {
   private val showCatalogsRe = raw"(?is)^\s*SHOW\s+CATALOGS\s*$$".r
   private val showDatabasesRe = raw"(?is)^\s*SHOW\s+(?:DATABASES|SCHEMAS)\s*$$".r
   private val useRe = raw"(?is)^\s*USE\s+\S.*$$".r
+  private val createViewRe =
+    raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*".r
   private val describeRe = raw"(?is)^\s*DESC(?:RIBE)?\s+([A-Za-z_]\w*)\s*$$".r
 
   /** Flink config keys with a direct Spark analog; everything else is
@@ -151,6 +153,21 @@ object FlinkSql {
       case _ if graft.plans.FlinkDdl.isAlter(spark, statement) =>
         okRow(spark, "table",
           graft.plans.FlinkDdl.executeAlter(spark, statement))
+      // Flink `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] v AS SELECT ...`
+      // lands in the in-memory catalog; the Spark analog of that catalog
+      // is the session temp-view registry — and a PERMANENT Spark view
+      // cannot reference the temp views our connector DDL registers, so
+      // the dialect maps Flink views onto temp views wholesale
+      case _ if createViewRe.findFirstIn(statement).isDefined =>
+        val m = createViewRe.findFirstMatchIn(statement).get
+        val name = m.group(2)
+        if (m.group(1) != null && spark.catalog.tableExists(name))
+          okRow(spark, "view", name) // IF NOT EXISTS: silently keep
+        else {
+          spark.sql(createViewRe.replaceFirstIn(statement,
+            s"CREATE OR REPLACE TEMPORARY VIEW $name "))
+          okRow(spark, "view", name)
+        }
       case _ =>
         val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
         GraftColumnBridge.ofRows(spark, parser.parsePlan(statement))

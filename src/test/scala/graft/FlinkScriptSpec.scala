@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import graft.FlinkSql
 import org.apache.spark.sql.functions._
 
 /** The migration promise end-to-end: a multi-statement Flink SQL script
@@ -573,5 +574,26 @@ class FlinkScriptSpec extends AnyFunSuite {
         |JOIN fs_rates FOR SYSTEM_TIME AS OF o.ots AS r ON r.ccy = o.ccy""".stripMargin)
       .collect()
     assert(asof.length == 1 && asof(0).getLong(0) == 7L && asof(0).getDouble(1) == 1.5)
+  }
+
+  test("CREATE VIEW maps onto session temp views; IF NOT EXISTS keeps the first") {
+    import spark.implicits._
+    Seq((1L, "a", 2.0), (2L, "b", 4.0), (3L, "a", 6.0))
+      .toDF("id", "g", "v").createOrReplaceTempView("cv_src")
+    val r = FlinkSql.run(spark,
+      """CREATE VIEW cv_agg AS SELECT g, sum(v) AS s FROM cv_src GROUP BY g;
+        |SELECT * FROM cv_agg""".stripMargin)
+    assert(r.collect().map(x => (x.getString(0), x.getDouble(1))).toSet ==
+      Set(("a", 8.0), ("b", 4.0)))
+    // OR REPLACE swaps the definition
+    FlinkSql.sql(spark, "CREATE OR REPLACE VIEW cv_agg AS SELECT g FROM cv_src")
+    assert(spark.table("cv_agg").columns.toSeq == Seq("g"))
+    // IF NOT EXISTS keeps the existing definition
+    FlinkSql.sql(spark,
+      "CREATE VIEW IF NOT EXISTS cv_agg AS SELECT id FROM cv_src")
+    assert(spark.table("cv_agg").columns.toSeq == Seq("g"))
+    // views drop like temp views
+    FlinkSql.sql(spark, "DROP VIEW cv_agg")
+    assert(!spark.catalog.tableExists("cv_agg"))
   }
 }
