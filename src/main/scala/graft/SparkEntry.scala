@@ -37,8 +37,9 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops —
     * q31_minhash_bands, q32_simhash, q34_ann_lsh_buckets, q42_ann_topk,
     * q56_ivf_topk, q102_ivf2_topk (hash-seeded LSH / sampled centroids),
-    * q116_pca_project (power-iteration eigenvectors)
-    * and q48_winnow_fingerprints (rolling-hash minima): all eight are
+    * q116_pca_project (power-iteration eigenvectors),
+    * q128_semantic_dedup (trained k-means cells)
+    * and q48_winnow_fingerprints (rolling-hash minima): all nine are
     * deterministic and pinned to committed golden CSVs (GoldenSpec /
     * graft.tools.Golden.pinned); q67_approx_aggs (engine-specific
     * sketches) is tolerance-spec'd in ApproxSpec.

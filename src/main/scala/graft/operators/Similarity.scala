@@ -103,6 +103,37 @@ object Similarity {
       .select(col("a_id"), col("b_id").as("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    * method: cluster the corpus, then deduplicate only WITHIN clusters so
+    * the quadratic pair work is bounded by Σ_cells |cell|² instead of
+    * n²): k-means cells from [[trainCentroids]] (deterministic hash-seed
+    * init, broadcast centroid array), one matrix-kernel assignment pass,
+    * then within-cell domination — a vector is dropped iff a LOWER-id
+    * vector in the same cell has cosine ≥ `threshold` (lowest id in each
+    * dominance chain survives; deterministic, no RNG). Cross-cell
+    * near-dups are deliberately not examined — that recall trade IS the
+    * method's scale lever (raise nCells for speed, lower for recall).
+    * Returns one row per input vector: (idCol, cell, keep).
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double, trainIters: Int = 2): DataFrame = {
+    val cents = trainCentroids(emb, idCol, vecCol, nCells, trainIters)
+    val assigned = withNorm(emb, idCol, vecCol).withColumn("cell", element_at(
+      graft.functions.CentroidTopKExpr(col("va"), cents.map(_._1), cents.map(_._2), 1), 1))
+    val b = assigned.select(col("cell").as("cell_b"), col("a_id").as("b_id"),
+      col("va").as("vb"), col("na").as("nb"))
+    // lower-id same-cell dominators; distinct BEFORE the join back so a
+    // vector dominated by many neighbors still yields one row
+    val dropped = assigned
+      .join(b, col("cell") === col("cell_b") && col("b_id") < col("a_id"))
+      .filter(cosCol >= threshold)
+      .select(col("a_id")).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.join(dropped, Seq("a_id"), "left")
+      .select(col("a_id").as(idCol), col("cell"),
+        coalesce(!col("__dropped"), lit(true)).as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (north_star dedup family #5):
     * all (a < b) pairs with cosine ≥ threshold. Exact all-pairs kernel —
     * the correctness oracle; at scale restrict candidates with the LSH

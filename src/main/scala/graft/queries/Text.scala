@@ -403,7 +403,124 @@ object Text {
         rate(avg($"n_tok".cast("double"))).as("avg_tokens"))
   }
 
+  /** Span-level exact dedup tagging (north_star dedup: the paragraph/
+    * line-granular pass corpora run when whole-document dedup is too
+    * coarse — here at fixed 8-token span granularity since the fixture
+    * text has no paragraph breaks): every non-overlapping 8-token span is
+    * content-hashed; a span is a duplicate unless it is the corpus-wide
+    * first occurrence (lowest (doc_id, span index)); each document
+    * reports its duplicated-span fraction. The 100 TB shape: the shuffle
+    * key is the 32-byte digest (never the span text), first-occurrence is
+    * a map-side-combined min(struct) hash aggregate (no per-hash sort),
+    * and the join back reuses the same hash partitioning.
+    */
+  val q124_span_dedup: Q = (s, d) => {
+    import s.implicits._
+    val sp = Tables.documents(s, d)
+      .selectExpr("doc_id", "regexp_extract_all(text, '\\\\S+', 0) AS tk")
+      .filter("size(tk) >= 8")
+      .selectExpr("doc_id", "tk", "explode(sequence(0, size(tk) div 8 - 1)) AS i")
+      .selectExpr("doc_id", "CAST(i AS BIGINT) AS i",
+        "md5(concat_ws(' ', slice(tk, CAST(1 + i * 8 AS INT), 8))) AS h")
+    val first = sp.groupBy($"h")
+      .agg(min(struct($"doc_id", $"i")).as("f"))
+    sp.join(first, "h")
+      .withColumn("is_dup", !($"doc_id" === $"f.doc_id" && $"i" === $"f.i"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"is_dup", 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac", rate($"n_dup_spans" / $"n_spans"))
+  }
+
+  /** Sensitive-token scrubbing (north_star curation: the PII-masking map
+    * every corpus runs before training — here masking numeric runs in the
+    * events' JSON payload, the fixture's only digit-bearing column): a
+    * pure per-row rewrite plus a masked-run count. The 100 TB shape: a
+    * narrow projection inside one WholeStageCodegen span — no shuffle, no
+    * state, embarrassingly parallel.
+    */
+  val q125_props_scrub: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_id", $"event_type",
+        regexp_replace($"props", "[0-9]+", "#").as("scrubbed"),
+        expr("CAST(size(regexp_extract_all(props, '[0-9]+', 0)) AS BIGINT)")
+          .as("n_masked"))
+  }
+
+  /** Temperature-rebalanced mixture sampling (north_star curation: the
+    * α=0.5 temperature resample multilingual/multi-domain pipelines use
+    * to flatten a skewed source mixture): per-source targets ∝ √count,
+    * normalized to a 300-doc budget, filled deterministically by
+    * md5-rank (reproducible across runs and engines, no RNG). The 100 TB
+    * shape: the source histogram and the per-source targets are tiny
+    * broadcast sides; ranking is a per-shard hash-shuffle + sort on the
+    * stratum key; no global sort and no driver-side sampling.
+    */
+  val q126_mixture_sample: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text",
+      tokenCount($"text").cast("long").as("n_tok"))
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("cnt"))
+    val z = counts.agg(sum(sqrt($"cnt".cast("double"))).as("z"))
+    val target = counts.crossJoin(broadcast(z))
+      .withColumn("target",
+        floor(sqrt($"cnt".cast("double")) / $"z" * 300).cast("long"))
+      .select($"source", $"cnt", $"target")
+    docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy(md5($"text"), $"doc_id")))
+      .join(broadcast(target), "source")
+      .filter($"rn" <= $"target")
+      .groupBy($"source")
+      .agg(max($"cnt").as("cnt"), max($"target").as("target"),
+        count(lit(1)).as("n_kept"), sum($"n_tok").as("n_tokens"))
+  }
+
+  /** Filter-attrition funnel (north_star observability: the per-stage
+    * survivor report every curation pipeline publishes so a filter that
+    * silently eats the corpus is caught): the q100 filter chain — token
+    * floor → punctuation ratio → stopword presence → exact-dedup
+    * first-occurrence — evaluated in ONE pass per document (the deepest
+    * consecutive stage each document reaches), then survivors per stage
+    * via a 5-row explode of the per-depth aggregate. The 100 TB shape:
+    * one narrow scan + a ≤5-group hash aggregate; the dedup stage reuses
+    * q27's digest-keyed shuffle; no rescan per filter.
+    */
+  val q127_filter_attrition: Q = (s, d) => {
+    import s.implicits._
+    val flagged = Tables.documents(s, d)
+      .select($"doc_id", $"text",
+        tokenCount($"text").cast("long").as("n_tok"),
+        langScore($"text", enMarkers).as("n_stop"),
+        punctCount($"text").as("n_punct"),
+        length($"text").as("len"))
+      .withColumn("f1", $"n_tok" >= 5)
+      .withColumn("f2", $"n_punct" / $"len" <= 0.1)
+      .withColumn("f3", $"n_stop" > 0)
+    val keep = flagged.filter($"f1" && $"f2" && $"f3")
+      .groupBy(md5($"text").as("__h")).agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", lit(true).as("is_first"))
+    flagged.join(keep, Seq("doc_id"), "left")
+      .select($"n_tok",
+        when(!$"f1", 0).when(!$"f2", 1).when(!$"f3", 2)
+          .when($"is_first".isNull, 3).otherwise(4).as("reached"))
+      .groupBy($"reached")
+      .agg(count(lit(1)).as("c"), sum($"n_tok").as("t"))
+      .select(explode(sequence(lit(0), $"reached")).as("stage"), $"c", $"t")
+      .groupBy($"stage")
+      .agg(sum($"c").as("n_docs"), sum($"t").as("n_tokens"))
+      .withColumn("stage_name", element_at(
+        array(lit("all"), lit("min_tokens"), lit("punct_ratio"),
+          lit("stopwords"), lit("dedup_first")), $"stage" + 1))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q127_filter_attrition" -> q127_filter_attrition,
+    "q126_mixture_sample" -> q126_mixture_sample,
+    "q125_props_scrub" -> q125_props_scrub,
+    "q124_span_dedup" -> q124_span_dedup,
     "q100_curation_pipeline" -> q100_curation_pipeline,
     "q98_bigram_surprisal" -> q98_bigram_surprisal,
     "q96_boilerplate" -> q96_boilerplate,
@@ -427,6 +544,60 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q124_span_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |f AS (SELECT doc_id, tk, len(tk) // 8 AS ns FROM t WHERE len(tk) >= 8),
+        |sp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |              md5(array_to_string(tk[1 + i * 8 : i * 8 + 8], ' ')) AS h
+        |       FROM f, UNNEST(range(0, ns)) AS u(i)),
+        |r AS (SELECT doc_id, i,
+        |             (row_number() OVER (PARTITION BY h ORDER BY doc_id, i) > 1) AS is_dup
+        |      FROM sp)
+        |SELECT doc_id, count(*) AS n_spans,
+        |       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |       round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
+        |FROM r GROUP BY 1""".stripMargin,
+    "q125_props_scrub" ->
+      """SELECT event_id, event_type,
+        |       regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
+        |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked
+        |FROM events""".stripMargin,
+    "q126_mixture_sample" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT source, count(*) AS cnt FROM t GROUP BY 1),
+        |z AS (SELECT sum(sqrt(CAST(cnt AS DOUBLE))) AS z FROM c),
+        |g AS (SELECT source, cnt,
+        |             CAST(floor(sqrt(CAST(cnt AS DOUBLE)) / z * 300) AS BIGINT) AS target
+        |      FROM c, z),
+        |r AS (SELECT doc_id, source, n_tok,
+        |             row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        |      FROM t)
+        |SELECT source, max(cnt) AS cnt, max(target) AS target,
+        |       count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM r JOIN g USING (source) WHERE rn <= target GROUP BY 1""".stripMargin,
+    "q127_filter_attrition" ->
+      s"""WITH s AS (SELECT doc_id, text,
+         |        CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+         |        CAST(len(regexp_extract_all(lower(text), '${markerRe(graft.functions.TextFunctions.enMarkers)}')) AS BIGINT) AS n_stop,
+         |        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |        CAST(length(text) AS BIGINT) AS len
+         |      FROM documents),
+         |f AS (SELECT doc_id, text, n_tok, (n_tok >= 5) AS f1,
+         |             (CAST(n_punct AS DOUBLE) / len <= 0.1) AS f2, (n_stop > 0) AS f3
+         |      FROM s),
+         |k AS (SELECT min(doc_id) AS doc_id FROM f WHERE f1 AND f2 AND f3 GROUP BY md5(text)),
+         |r AS (SELECT f.n_tok,
+         |             CASE WHEN NOT f1 THEN 0 WHEN NOT f2 THEN 1 WHEN NOT f3 THEN 2
+         |                  WHEN k.doc_id IS NULL THEN 3 ELSE 4 END AS reached
+         |      FROM f LEFT JOIN k ON f.doc_id = k.doc_id),
+         |e AS (SELECT reached, count(*) AS c, sum(n_tok) AS t FROM r GROUP BY 1),
+         |x AS (SELECT c, t, UNNEST(range(0, reached + 1)) AS stage FROM e)
+         |SELECT CAST(stage AS INTEGER) AS stage,
+         |       ['all','min_tokens','punct_ratio','stopwords','dedup_first'][CAST(stage AS INTEGER) + 1] AS stage_name,
+         |       CAST(sum(c) AS BIGINT) AS n_docs, CAST(sum(t) AS BIGINT) AS n_tokens
+         |FROM x GROUP BY 1, 2""".stripMargin,
     "q100_curation_pipeline" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang, source, text,

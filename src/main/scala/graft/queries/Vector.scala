@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -96,12 +97,7 @@ object Vector {
     * committed result is verified green at sf0.001/0.01/0.1.
     */
   val q119_neardup_production: Q = (s, d) => {
-    val base = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr("cast(embedding as array<double>)").as("v"))
-    val dup = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
-      expr("transform(v, (x, i) -> x + 0.25d * element_at(v, pmod(i + 1, size(v)) + 1))")
-        .as("v"))
-    val corpus = base.unionByName(dup)
+    val corpus = plantedCorpus(s, d)
     val (b, t) = graft.operators.Similarity.lshParams(
       corpus.count(), 0.95, targetRecall = 0.999999)
     graft.operators.Similarity
@@ -119,12 +115,7 @@ object Vector {
     */
   val q120_neardup_cc_production: Q = (s, d) => {
     import s.implicits._
-    val base = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr("cast(embedding as array<double>)").as("v"))
-    val dup = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
-      expr("transform(v, (x, i) -> x + 0.25d * element_at(v, pmod(i + 1, size(v)) + 1))")
-        .as("v"))
-    val corpus = base.unionByName(dup)
+    val corpus = plantedCorpus(s, d)
     val (b, t) = graft.operators.Similarity.lshParams(
       corpus.count(), 0.95, targetRecall = 0.999999)
     val pairs = graft.operators.Similarity
@@ -349,7 +340,35 @@ object Vector {
     emb.select($"vec_id" +: projCols: _*)
   }
 
+  /** SemDeDup semantic dedup ([[graft.operators.Similarity.semanticDedup]]
+    * — cluster first, then near-dup only within cells so the pair work is
+    * Σ_cells |cell|², the public SemDeDup scale recipe): 8 trained cells,
+    * keep-lowest-id at cosine ≥ 0.9. Deterministic (hash-seeded k-means,
+    * no RNG) but not SQL-expressible → golden-pinned; the within-cell
+    * drop rule is re-derived against the exact pair kernel in
+    * CepSimilaritySpec.
+    */
+  val q128_semantic_dedup: Q = (s, d) => {
+    graft.operators.Similarity.semanticDedup(
+      plantedCorpus(s, d), "vec_id", "v",
+      nCells = 8, threshold = 0.9)
+  }
+
+  /** q119/q120/q128's shared planted-near-dup corpus: the fixture's raw
+    * embeddings have no pairs above cosine 0.7 (they model DISTINCT
+    * documents), so the dedup queries union a deterministic perturbed
+    * copy (cos(v, twin) ≈ 0.97) — the corpus a crawl-dedup actually sees.
+    */
+  private def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("cast(embedding as array<double>)").as("v"))
+    base.unionByName(base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      expr("transform(v, (x, i) -> x + 0.25d * element_at(v, pmod(i + 1, size(v)) + 1))")
+        .as("v")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q128_semantic_dedup" -> q128_semantic_dedup,
     "q116_pca_project" -> q116_pca_project,
     "q115_gram_matrix" -> q115_gram_matrix,
     "q97_label_centroids" -> q97_label_centroids,

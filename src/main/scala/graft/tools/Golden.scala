@@ -21,7 +21,8 @@ object Golden {
     "q42_ann_topk",
     "q56_ivf_topk",
     "q102_ivf2_topk",
-    "q116_pca_project")
+    "q116_pca_project",
+    "q128_semantic_dedup")
 
   def canonical(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted

@@ -386,4 +386,32 @@ class CepSimilaritySpec extends AnyFunSuite {
     assert(lsh == exact,
       s"recall/precision drift: missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
   }
+
+  test("semantic dedup: drop rule re-derived from the exact pair kernel within each cell") {
+    import org.apache.spark.sql.functions._
+    // the q119/q128 planted corpus: base ∪ perturbed twins (cos ≈ 0.97)
+    val base = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), expr("cast(embedding as array<double>)").as("v"))
+    val emb = base.unionByName(
+      base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(v, (x, i) -> x + 0.25d * element_at(v, pmod(i + 1, size(v)) + 1))")
+          .as("v")))
+    val out = Similarity.semanticDedup(emb, "vec_id", "v",
+      nCells = 8, threshold = 0.9).collect()
+    assert(out.length == emb.count(), "one row per input vector")
+    val cellOf = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val keep = out.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    // reference: exact all-pairs at the same threshold, restricted to
+    // same-cell pairs; dropped == exists lower same-cell id with cos >= τ
+    val pairs = Similarity.embeddingNearDupPairs(emb, "vec_id", "v", 0.9)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val expectedDropped = pairs
+      .filter { case (a, b) => cellOf(a) == cellOf(b) }
+      .map { case (a, b) => math.max(a, b) }
+      .toSet
+    assert(cellOf.keySet -- keep == expectedDropped,
+      "keep set must equal the lowest-id-per-dominance rule within cells")
+    // the fixture plants near-dups: the dedup must actually drop some
+    assert(expectedDropped.nonEmpty, "fixture should contain same-cell near-dups")
+  }
 }
