@@ -31,8 +31,13 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
   * and accepts-and-ignores the rest, `RESET 'key'` unsets, and
   * `EXECUTE STATEMENT SET BEGIN <INSERT...;> ... END` (or the legacy
   * `BEGIN STATEMENT SET;` form) runs every INSERT of the multi-sink
-  * deployment shape in order, and `EXPLAIN PLAN FOR <stmt>` plans the
-  * statement through the dialect chain without executing it. The
+  * deployment shape in order, and `EXPLAIN [PLAN FOR] <stmt>` (incl.
+  * the 1.19 ExplainDetails `ESTIMATED_COST` / `CHANGELOG_MODE` /
+  * `PLAN_ADVICE` / `JSON_EXECUTION_PLAN`) plans the statement through
+  * the dialect chain without executing it. `CREATE FUNCTION name AS
+  * 'impl'` aliases a resolvable session function (a Flink UDF class
+  * cannot load here — the error says how to port); `DROP FUNCTION`
+  * unregisters. The
   * catalog statements answer from the session's DDL registry with
   * Flink's column names: `SHOW TABLES`, `SHOW CREATE TABLE t` (the
   * re-rendered DDL round-trips through the parser), `DESCRIBE t`
@@ -52,6 +57,16 @@ object FlinkSql {
   private val stmtSetRe =
     raw"(?is)^\s*(?:EXECUTE\s+STATEMENT\s+SET\s+BEGIN|BEGIN\s+STATEMENT\s+SET)\s*;?\s*(.*?)\s*;?\s*END\s*$$".r
   private val explainRe = raw"(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.*)$$".r
+  // Flink's ExplainDetails + bare `EXPLAIN <stmt>` — Spark's own explain
+  // modes (EXTENDED/CODEGEN/COST/FORMATTED/ANALYZE) fall through to Spark
+  private val explainDetailRe =
+    raw"(?is)^\s*EXPLAIN\s+((?:ESTIMATED_COST|CHANGELOG_MODE|PLAN_ADVICE|JSON_EXECUTION_PLAN)(?:\s*,\s*(?:ESTIMATED_COST|CHANGELOG_MODE|PLAN_ADVICE|JSON_EXECUTION_PLAN))*)\s+(.*)$$".r
+  private val explainBareRe =
+    raw"(?is)^\s*EXPLAIN\s+(?!(?:EXTENDED|CODEGEN|COST|FORMATTED|ANALYZE)\b)((?:SELECT|INSERT|WITH|VALUES|TABLE|CREATE|EXECUTE)\b.*)$$".r
+  private val createFunctionRe =
+    raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s+AS\s+'([^']+)'\s*(?:LANGUAGE\s+(\w+))?\s*$$".r
+  private val dropFunctionRe =
+    raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*$$".r
   private val showTablesRe = raw"(?is)^\s*SHOW\s+TABLES\s*$$".r
   private val showCreateRe = raw"(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*$$".r
   private val showFunctionsRe = raw"(?is)^\s*SHOW\s+(?:USER\s+)?FUNCTIONS\s*$$".r
@@ -90,16 +105,46 @@ object FlinkSql {
         require(inserts.nonEmpty, "empty STATEMENT SET")
         inserts.map(sql(spark, _)).reduce(_ unionByName _)
       case explainRe(body) =>
-        // Flink's EXPLAIN PLAN FOR: plan the body through the dialect
-        // chain WITHOUT executing it (commands stay unrun — they print
-        // as the deferred command node)
-        val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
-        val plan = parser.parsePlan(body)
-        val text = plan match {
-          case c: org.apache.spark.sql.execution.command.LeafRunnableCommand => c.toString
-          case p => GraftColumnBridge.ofRows(spark, p).queryExecution.toString
+        okRow(spark, "plan", explainText(spark, body, Nil))
+      case explainDetailRe(details, body) =>
+        // Flink 1.19 ExplainDetails (comma list): ESTIMATED_COST /
+        // CHANGELOG_MODE / PLAN_ADVICE / JSON_EXECUTION_PLAN
+        okRow(spark, "plan", explainText(spark, body,
+          details.toUpperCase.split(',').map(_.trim).toSeq))
+      case explainBareRe(body) =>
+        // Flink's bare `EXPLAIN <stmt>` (plan, never execute); Spark's
+        // own EXPLAIN modes are excluded above and fall through
+        okRow(spark, "plan", explainText(spark, body, Nil))
+      case createFunctionRe(ifNotExists, name, impl, language) =>
+        require(language == null || language.equalsIgnoreCase("JAVA") ||
+          language.equalsIgnoreCase("SCALA"),
+          s"CREATE FUNCTION LANGUAGE $language is not supported — " +
+            "only JVM functions exist in this engine")
+        // the migration-practical mapping: the implementation name (or
+        // its simple class name) must resolve to a session function —
+        // builtin, graft-registered, or temp. A Flink UDF CLASS cannot
+        // load here (no flink-table on the classpath): port it to a
+        // Spark UDF / native expression and register, then alias it.
+        val exists = spark.catalog.functionExists(name)
+        if (exists && ifNotExists != null) okRow(spark, "function", name)
+        else {
+          val simple = impl.substring(impl.lastIndexOf('.') + 1)
+          val resolved = GraftColumnBridge.aliasFunction(spark, name, impl) ||
+            GraftColumnBridge.aliasFunction(spark, name, simple)
+          if (!resolved)
+            throw new IllegalArgumentException(
+              s"CREATE FUNCTION $name AS '$impl': '$impl' does not resolve to a " +
+                "known function. Flink UDF classes cannot load here — register " +
+                "the logic as a Spark function (spark.udf.register or a graft " +
+                "native expression) and point AS at its registered name.")
+          okRow(spark, "function", name)
         }
-        okRow(spark, "plan", text)
+      case dropFunctionRe(ifExists, name) =>
+        val dropped = GraftColumnBridge.dropTempFunction(spark, name)
+        if (!dropped && ifExists == null)
+          throw new IllegalArgumentException(
+            s"DROP FUNCTION $name: no such temporary function")
+        okRow(spark, "function", name)
       // SQL-client catalog statements (Flink column names kept verbatim)
       case showTablesRe() =>
         import spark.implicits._
@@ -171,6 +216,37 @@ object FlinkSql {
       case _ =>
         val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
         GraftColumnBridge.ofRows(spark, parser.parsePlan(statement))
+    }
+  }
+
+  /** Plan `body` through the dialect chain WITHOUT executing it
+    * (commands stay unrun — they print as the deferred command node) and
+    * render per Flink's ExplainDetails: ESTIMATED_COST → the
+    * stats-annotated plan, JSON_EXECUTION_PLAN → the optimized plan as
+    * JSON, CHANGELOG_MODE / PLAN_ADVICE → the plan plus the documented
+    * semantic delta (Spark plans carry no changelog coloring — row_kind
+    * columns do — and runtime re-planning is AQE's job).
+    */
+  private def explainText(spark: SparkSession, body: String,
+      details: Seq[String]): String = {
+    val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
+    parser.parsePlan(body) match {
+      case c: org.apache.spark.sql.execution.command.LeafRunnableCommand => c.toString
+      case p =>
+        val qe = GraftColumnBridge.ofRows(spark, p).queryExecution
+        val base =
+          if (details.contains("ESTIMATED_COST")) qe.stringWithStats
+          else if (details.contains("JSON_EXECUTION_PLAN")) qe.optimizedPlan.toJSON
+          else qe.toString
+        val notes = details.collect {
+          case "CHANGELOG_MODE" =>
+            "-- CHANGELOG_MODE: plans are insert-only here; retract/upsert " +
+              "changelogs travel as explicit row_kind columns (MIGRATION.md)"
+          case "PLAN_ADVICE" =>
+            "-- PLAN_ADVICE: no static advice; adaptive query execution " +
+              "re-plans joins/skew at runtime"
+        }
+        (base +: notes).mkString("\n")
     }
   }
 

@@ -516,7 +516,59 @@ object Text {
           lit("stopwords"), lit("dedup_first")), $"stage" + 1))
   }
 
+  /** Zipf-fit corpus QA (north_star corpus statistics: a healthy natural
+    * corpus has a log-log term-frequency slope near −1; boilerplate or
+    * synthetic contamination bends it): term frequencies, top-1000 by
+    * frequency via TakeOrderedAndProject (global sort prunes to k), rank
+    * within the bounded top-k (single 1000-row partition — bounded by
+    * construction), then the least-squares slope/intercept of
+    * ln freq ~ ln rank via the codegen'd regr_* aggregates. The 100 TB
+    * shape: one term hash-aggregate (vocabulary-sized, not corpus-sized)
+    * + a top-k + an O(k) fit.
+    */
+  val q129_zipf_fit: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"term").limit(1000)
+      .withColumn("rnk", row_number().over(Window.orderBy($"c".desc, $"term")))
+      .agg(count(lit(1)).as("n_terms"),
+        rate(expr("regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))")).as("slope"),
+        rate(expr("regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))")).as("intercept"))
+  }
+
+  /** Per-source distribution shift (north_star corpus QA: the KL
+    * divergence of each source's unigram distribution from the corpus
+    * mixture — the drift score pipelines monitor when a new crawl shard
+    * joins the mix): KL(P_src ‖ P_corpus) = Σ p_s ln(p_s/p_c) over the
+    * source's observed terms. The 100 TB shape: two vocabulary-keyed
+    * hash aggregates, the global term distribution joins per-term (same
+    * key partitioning), per-source totals broadcast — corpus text never
+    * shuffles, only (source, term) count rows.
+    */
+  val q130_source_kl: Q = (s, d) => {
+    import s.implicits._
+    val st = Tables.documents(s, d)
+      .select($"source",
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("cs"))
+    val gl = st.groupBy($"term").agg(sum($"cs").as("cg"))
+    val gtot = st.agg(sum($"cs").as("gt"))
+    val stot = st.groupBy($"source").agg(sum($"cs").as("ts"))
+    st.join(gl, "term")
+      .join(broadcast(stot), "source")
+      .crossJoin(broadcast(gtot))
+      .withColumn("kl_term",
+        ($"cs" / $"ts") * log(($"cs".cast("double") / $"ts") / ($"cg".cast("double") / $"gt")))
+      .groupBy($"source")
+      .agg(max($"ts").as("n_tokens"), rate(sum($"kl_term")).as("kl"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q130_source_kl" -> q130_source_kl,
+    "q129_zipf_fit" -> q129_zipf_fit,
     "q127_filter_attrition" -> q127_filter_attrition,
     "q126_mixture_sample" -> q126_mixture_sample,
     "q125_props_scrub" -> q125_props_scrub,
@@ -544,6 +596,26 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q129_zipf_fit" ->
+      """WITH t AS (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents),
+        |f AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+        |k AS (SELECT c, term FROM f ORDER BY c DESC, term LIMIT 1000),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk FROM k)
+        |SELECT count(*) AS n_terms,
+        |       round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS slope,
+        |       round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS intercept
+        |FROM r""".stripMargin,
+    "q130_source_kl" ->
+      """WITH t AS (SELECT source, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents),
+        |st AS (SELECT source, term, count(*) AS cs FROM t GROUP BY 1, 2),
+        |gl AS (SELECT term, sum(cs) AS cg FROM st GROUP BY 1),
+        |g AS (SELECT sum(cs) AS gt FROM st),
+        |tt AS (SELECT source, sum(cs) AS ts FROM st GROUP BY 1)
+        |SELECT st.source, CAST(max(tt.ts) AS BIGINT) AS n_tokens,
+        |       round(sum((CAST(cs AS DOUBLE) / tt.ts)
+        |             * ln((CAST(cs AS DOUBLE) / tt.ts) / (CAST(cg AS DOUBLE) / g.gt))), 4) AS kl
+        |FROM st JOIN gl USING (term) JOIN tt USING (source), g
+        |GROUP BY 1""".stripMargin,
     "q124_span_dedup" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
         |f AS (SELECT doc_id, tk, len(tk) // 8 AS ns FROM t WHERE len(tk) >= 8),

@@ -22,6 +22,25 @@ object GraftColumnBridge {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Alias an existing session function (builtin, graft-registered, or
+    * temp) under a new name — the mapping behind the dialect's
+    * `CREATE FUNCTION name AS 'impl'`. Returns false when the target
+    * does not resolve (caller raises the migration-guidance error).
+    */
+  def aliasFunction(spark: SparkSession, alias: String, target: String): Boolean = {
+    val reg = spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+    reg.lookupFunctionBuilder(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(target.toLowerCase)) match {
+      case Some(b) => reg.createOrReplaceTempFunction(alias, b, "scala_udf"); true
+      case None => false
+    }
+  }
+
+  /** Drop a temp function (dialect `DROP FUNCTION`); false if absent. */
+  def dropTempFunction(spark: SparkSession, name: String): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name.toLowerCase))
+
   /** Clone a session — same SparkContext and a COPY of the session
     * state, so conf overrides scoped to an operator (e.g. the
     * connected-components loop) never leak into the caller's session.

@@ -401,6 +401,59 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$out/t").exists())
   }
 
+  test("bare EXPLAIN and ExplainDetails variants plan without executing") {
+    import spark.implicits._
+    Seq((1L, 2.0)).toDF("k", "v").createOrReplaceTempView("exd_src")
+    // bare EXPLAIN <query> (Flink form, no PLAN FOR)
+    val bare = FlinkSql.sql(spark, "EXPLAIN SELECT k, sum(v) AS s FROM exd_src GROUP BY k")
+      .head().getString(1)
+    assert(bare.contains("Physical Plan"))
+    // ESTIMATED_COST carries stats annotations
+    val cost = FlinkSql.sql(spark,
+      "EXPLAIN ESTIMATED_COST SELECT k FROM exd_src").head().getString(1)
+    assert(cost.contains("Statistics") || cost.contains("sizeInBytes"))
+    // JSON_EXECUTION_PLAN renders the optimized plan as JSON
+    val json = FlinkSql.sql(spark,
+      "EXPLAIN JSON_EXECUTION_PLAN SELECT k FROM exd_src").head().getString(1)
+    assert(json.trim.startsWith("["))
+    // CHANGELOG_MODE, PLAN_ADVICE append their documented-delta notes
+    val multi = FlinkSql.sql(spark,
+      "EXPLAIN CHANGELOG_MODE, PLAN_ADVICE SELECT k FROM exd_src").head().getString(1)
+    assert(multi.contains("CHANGELOG_MODE:") && multi.contains("PLAN_ADVICE:"))
+    // Spark's own EXPLAIN modes still fall through to Spark
+    val sparkMode = FlinkSql.sql(spark, "EXPLAIN FORMATTED SELECT k FROM exd_src")
+    assert(sparkMode.columns.sameElements(Array("plan")))
+  }
+
+  test("CREATE FUNCTION aliases resolvable functions; unresolvable classes error with guidance") {
+    import spark.implicits._
+    // alias a builtin under a Flink-script name
+    FlinkSql.sql(spark, "CREATE TEMPORARY FUNCTION my_upper AS 'upper'")
+    assert(FlinkSql.sql(spark, "SELECT my_upper('ab') AS u").head().getString(0) == "AB")
+    // a dotted implementation resolves via its simple name too
+    FlinkSql.sql(spark, "CREATE FUNCTION my_split AS 'com.example.udfs.SPLIT_INDEX'")
+    assert(FlinkSql.sql(spark, "SELECT my_split('a-b', '-', 1) AS s").head().getString(0) == "b")
+    // IF NOT EXISTS keeps the first registration
+    FlinkSql.sql(spark, "CREATE FUNCTION IF NOT EXISTS my_upper AS 'lower'")
+    assert(FlinkSql.sql(spark, "SELECT my_upper('ab') AS u").head().getString(0) == "AB")
+    // unresolvable Flink UDF class → migration-guidance error
+    val e = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CREATE FUNCTION f AS 'com.example.udfs.NoSuchUdf'")
+    }
+    assert(e.getMessage.contains("spark.udf.register"))
+    // LANGUAGE PYTHON is rejected clearly
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CREATE FUNCTION g AS 'upper' LANGUAGE PYTHON")
+    }
+    // DROP FUNCTION unregisters; IF EXISTS tolerates absence
+    FlinkSql.sql(spark, "DROP FUNCTION my_upper")
+    intercept[Exception] { spark.sql("SELECT my_upper('ab')").collect() }
+    FlinkSql.sql(spark, "DROP FUNCTION IF EXISTS my_upper")
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "DROP FUNCTION my_upper")
+    }
+  }
+
   test("runStream: INSERT INTO runs as a streaming job (source → file sink)") {
     val dir = java.nio.file.Files.createTempDirectory("flink_stream_ins").toString
     Tables.events(spark, TestSpark.sfDir)

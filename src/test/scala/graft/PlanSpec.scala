@@ -152,6 +152,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q124: span-dedup first-occurrence is an aggregate, not a per-hash window sort") {
+    val p = planOf("q124_span_dedup")
+    assert(!p.contains("Window"), "min(struct) aggregate must replace row_number")
+    assert(p.contains("min(struct(doc_id") || p.contains("partial_min"), p.take(500))
+  }
+
+  test("q125: scrubbing is one shuffle-free codegen projection") {
+    val p = planOf("q125_props_scrub")
+    assert(!p.contains("Exchange"), "a per-row map must not shuffle")
+    assert(p.contains("*(1) Project"), "projection must sit inside whole-stage codegen")
+  }
+
+  test("q126: per-source targets join as a broadcast") {
+    val p = planOf("q126_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q127: funnel stages come from one aggregate + explode, not per-stage rescans") {
+    val p = planOf("q127_filter_attrition")
+    assert(p.contains("Generate"), "stage fan-out must be an explode")
+    // one documents scan per branch (flagged + dedup keys), never five
+    assert("documents\\.parquet".r.findAllIn(p).size <= 4, p.take(300))
+  }
+
   test("bracket-constructor rewrite is an identity on every committed oracle SQL") {
     // DuckDB oracle texts are full of non-constructor brackets (list
     // comprehensions, slices, subscripts) — none may be touched
@@ -163,9 +187,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("plan audit: no cartesian/nested-loop join outside the declared whitelist") {
     // q33: the all-pairs correctness oracle (declared role); q36: theta
-    // join is nested-loop by definition; q91: 1-row corpus count BNLJ
+    // join is nested-loop by definition; q91/q126/q130: 1-row scalar
+    // (corpus count / Σ√count normalizer / global token total) BNLJ
     // broadcast. Everything else must stay equi-join shaped.
-    val allowed = Set("q33_cosine_topk", "q36_theta_join", "q91_tfidf_topterms")
+    val allowed = Set("q33_cosine_topk", "q36_theta_join", "q91_tfidf_topterms",
+      "q126_mixture_sample", "q130_source_kl")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
