@@ -464,9 +464,12 @@ object Text {
       tokenCount($"text").cast("long").as("n_tok"))
     val counts = docs.groupBy($"source").agg(count(lit(1)).as("cnt"))
     val z = counts.agg(sum(sqrt($"cnt".cast("double"))).as("z"))
+    // round to 6 decimals BEFORE the floor: Σ√cnt is order-of-summation
+    // sensitive in the last ulp, and an unrounded knife-edge ratio could
+    // otherwise floor differently per engine/partitioning
     val target = counts.crossJoin(broadcast(z))
       .withColumn("target",
-        floor(sqrt($"cnt".cast("double")) / $"z" * 300).cast("long"))
+        floor(round(sqrt($"cnt".cast("double")) / $"z" * 300, 6)).cast("long"))
       .select($"source", $"cnt", $"target")
     docs
       .withColumn("rn", row_number().over(
@@ -641,7 +644,7 @@ object Text {
         |c AS (SELECT source, count(*) AS cnt FROM t GROUP BY 1),
         |z AS (SELECT sum(sqrt(CAST(cnt AS DOUBLE))) AS z FROM c),
         |g AS (SELECT source, cnt,
-        |             CAST(floor(sqrt(CAST(cnt AS DOUBLE)) / z * 300) AS BIGINT) AS target
+        |             CAST(floor(round(sqrt(CAST(cnt AS DOUBLE)) / z * 300, 6)) AS BIGINT) AS target
         |      FROM c, z),
         |r AS (SELECT doc_id, source, n_tok,
         |             row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn

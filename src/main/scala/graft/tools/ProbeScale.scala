@@ -37,6 +37,20 @@ object ProbeScale {
     time("neardup_t0.9_formula")(
       Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.9, nPlanes = b, nTables = t))
+    // round-9 additions: the new shuffle shapes whose cost moves with n.
+    // SemDeDup twice: fixed cells (per-cell pair work grows n²/c — the
+    // anti-pattern) vs cells ∝ n (constant occupancy — the method's
+    // linear scale path).
+    time("semantic_dedup_c64")(
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCells = 64, threshold = 0.9))
+    time(s"semantic_dedup_c${n / 30}")(
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCells = (n / 30).toInt, threshold = 0.9))
+    time("span_dedup")(
+      graft.queries.Text.q124_span_dedup(spark, dir))
+    time("source_kl")(
+      graft.queries.Text.q130_source_kl(spark, dir))
     spark.stop()
   }
 }
