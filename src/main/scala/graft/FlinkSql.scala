@@ -44,7 +44,12 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
   * (registered tables get Flink-style rows incl. the watermark;
   * other names fall through to Spark), `SHOW FUNCTIONS`,
   * `SHOW CATALOGS` / `SHOW DATABASES` / `USE ...` (single-catalog
-  * stubs).
+  * stubs). Job management (FLIP-291): `SHOW JOBS` lists active
+  * Structured Streaming queries, `STOP JOB 'id'` (id or query name;
+  * WITH SAVEPOINT/DRAIN accepted) stops one gracefully. `ANALYZE
+  * TABLE ... COMPUTE STATISTICS` scans and reports the row count;
+  * `TRUNCATE TABLE` empties filesystem connector tables; `CREATE/DROP
+  * CATALOG|DATABASE` are accepted single-catalog no-ops.
   *
   * Statement splitting ignores `;` inside single-quoted literals and
   * inside `--` / `/* ... */` comments (an apostrophe in a comment does
@@ -63,6 +68,16 @@ object FlinkSql {
     raw"(?is)^\s*EXPLAIN\s+((?:ESTIMATED_COST|CHANGELOG_MODE|PLAN_ADVICE|JSON_EXECUTION_PLAN)(?:\s*,\s*(?:ESTIMATED_COST|CHANGELOG_MODE|PLAN_ADVICE|JSON_EXECUTION_PLAN))*)\s+(.*)$$".r
   private val explainBareRe =
     raw"(?is)^\s*EXPLAIN\s+(?!(?:EXTENDED|CODEGEN|COST|FORMATTED|ANALYZE)\b)((?:SELECT|INSERT|WITH|VALUES|TABLE|CREATE|EXECUTE)\b.*)$$".r
+  private val showJobsRe = raw"(?is)^\s*SHOW\s+JOBS\s*$$".r
+  private val analyzeRe =
+    raw"(?is)^\s*ANALYZE\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+[\w`,\s]+))?\s*$$".r
+  private val truncateRe = raw"(?is)^\s*TRUNCATE\s+TABLE\s+`?([A-Za-z_]\w*)`?\s*$$".r
+  private val createCatalogDbRe =
+    raw"(?is)^\s*CREATE\s+(?:CATALOG|DATABASE)\s+(?:IF\s+NOT\s+EXISTS\s+)?\S.*$$".r
+  private val dropCatalogDbRe =
+    raw"(?is)^\s*DROP\s+(?:CATALOG|DATABASE)\s+(?:IF\s+EXISTS\s+)?\S.*$$".r
+  private val stopJobRe =
+    raw"(?is)^\s*STOP\s+JOB\s+'([^']+)'\s*(?:WITH\s+SAVEPOINT\s*)?(?:WITH\s+DRAIN\s*)?$$".r
   private val createFunctionRe =
     raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s+AS\s+'([^']+)'\s*(?:LANGUAGE\s+(\w+))?\s*$$".r
   private val dropFunctionRe =
@@ -115,6 +130,56 @@ object FlinkSql {
         // Flink's bare `EXPLAIN <stmt>` (plan, never execute); Spark's
         // own EXPLAIN modes are excluded above and fall through
         okRow(spark, "plan", explainText(spark, body, Nil))
+      case showJobsRe() =>
+        // FLIP-291 job management: active Structured Streaming queries
+        // ARE this engine's jobs (Flink columns: job id/name/status/
+        // start time)
+        import spark.implicits._
+        spark.streams.active.toSeq.map { q =>
+          (q.id.toString, Option(q.name).getOrElse(""),
+            if (q.isActive) "RUNNING" else "FINISHED",
+            q.recentProgress.headOption.map(_.timestamp).getOrElse(""))
+        }.toDF("job id", "job name", "status", "start time")
+      case analyzeRe(name) =>
+        // Flink 1.18+ ANALYZE TABLE: here the useful side is the scan
+        // itself (AQE owns runtime stats); returns the computed row
+        // count so scripts can assert on it
+        import spark.implicits._
+        val cnt = spark.table(name).count()
+        Seq((name, cnt)).toDF("table", "row count")
+      case truncateRe(name) =>
+        // Flink 1.18 TRUNCATE TABLE: real semantics for filesystem-
+        // backed connector tables (their data directory is emptied and
+        // the registered view re-reads as 0 rows); other connectors and
+        // plain views reject like Flink's non-supporting connectors do
+        val reg = graft.plans.FlinkDdl.registered(spark, name).getOrElse(
+          throw new IllegalArgumentException(
+            s"TRUNCATE TABLE $name: not a connector-DDL table"))
+        require(reg._1 == "filesystem",
+          s"TRUNCATE TABLE $name: connector '${reg._1}' does not support truncation")
+        val dir = new java.io.File(reg._2)
+        if (dir.exists()) {
+          def wipe(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(wipe)
+            f.delete()
+          }
+          dir.listFiles().foreach(wipe)
+        }
+        spark.catalog.refreshTable(name)
+        okRow(spark, "table", name)
+      case createCatalogDbRe() | dropCatalogDbRe() =>
+        // single-catalog, single-database engine: accepted as no-ops so
+        // a migrating script's catalog preamble does not die (the USE
+        // statements that follow are likewise accepted)
+        okRow(spark, "catalog", statement.trim.takeWhile(_ != '\n'))
+      case stopJobRe(id) =>
+        // WITH SAVEPOINT / WITH DRAIN accepted: Spark's graceful stop()
+        // commits the checkpoint (the savepoint analog) before returning
+        val q = spark.streams.active.find(q =>
+          q.id.toString == id || Option(q.name).contains(id)).getOrElse(
+          throw new IllegalArgumentException(s"STOP JOB '$id': no active job"))
+        q.stop()
+        okRow(spark, "job id", id)
       case createFunctionRe(ifNotExists, name, impl, language) =>
         require(language == null || language.equalsIgnoreCase("JAVA") ||
           language.equalsIgnoreCase("SCALA"),

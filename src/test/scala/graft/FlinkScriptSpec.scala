@@ -454,6 +454,56 @@ class FlinkScriptSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW JOBS lists active streaming queries; STOP JOB stops by id or name") {
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream.format("noop").queryName("graft_job_spec")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      val jobs = FlinkSql.sql(spark, "SHOW JOBS").collect()
+      assert(jobs.exists(r => r.getString(1) == "graft_job_spec" &&
+        r.getString(2) == "RUNNING"),
+        s"expected graft_job_spec RUNNING in ${jobs.mkString(";")}")
+      // Flink column names verbatim
+      assert(FlinkSql.sql(spark, "SHOW JOBS").columns
+        .sameElements(Array("job id", "job name", "status", "start time")))
+      FlinkSql.sql(spark, "STOP JOB 'graft_job_spec' WITH SAVEPOINT")
+      q.awaitTermination(30000)
+      assert(!q.isActive)
+      assert(!FlinkSql.sql(spark, "SHOW JOBS").collect()
+        .exists(_.getString(1) == "graft_job_spec"))
+      intercept[IllegalArgumentException] {
+        FlinkSql.sql(spark, "STOP JOB 'graft_job_spec'")
+      }
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("ANALYZE / TRUNCATE TABLE and catalog-preamble statements") {
+    val dir = java.nio.file.Files.createTempDirectory("flink_trunc").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.mode("overwrite")
+      .parquet(s"$dir/t")
+    FlinkSql.sql(spark,
+      s"""CREATE TABLE trunc_t (k BIGINT, s STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+         |      'format' = 'parquet')""".stripMargin)
+    // ANALYZE returns the computed row count
+    val stats = FlinkSql.sql(spark, "ANALYZE TABLE trunc_t COMPUTE STATISTICS").head()
+    assert(stats.getString(0) == "trunc_t" && stats.getLong(1) == 2L)
+    // TRUNCATE empties the filesystem table; the view re-reads as 0 rows
+    FlinkSql.sql(spark, "TRUNCATE TABLE trunc_t")
+    assert(spark.table("trunc_t").count() == 0L)
+    // a non-connector name rejects
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "TRUNCATE TABLE no_such_connector_table")
+    }
+    // catalog/database preamble statements are accepted single-catalog no-ops
+    FlinkSql.sql(spark, "CREATE CATALOG my_cat WITH ('type' = 'generic_in_memory')")
+    FlinkSql.sql(spark, "CREATE DATABASE IF NOT EXISTS my_db")
+    FlinkSql.sql(spark, "USE CATALOG my_cat")
+    FlinkSql.sql(spark, "DROP DATABASE IF EXISTS my_db")
+  }
+
   test("runStream: INSERT INTO runs as a streaming job (source → file sink)") {
     val dir = java.nio.file.Files.createTempDirectory("flink_stream_ins").toString
     Tables.events(spark, TestSpark.sfDir)

@@ -12,6 +12,8 @@ import java.sql.Timestamp
   * KeyedOneInputStreamOperatorTestHarness (push elements, advance the
   * watermark via late-closing data, assert emitted rows; SURVEY.md §5).
   */
+case class DriftDoc(ts: java.sql.Timestamp, source: String, text: String)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -406,5 +408,44 @@ class StreamingSpec extends AnyFunSuite {
     // the restart continued at batch 1, proving the offset was
     // recovered); doc 10 rejected against the store; doc 11 novel
     assert(rows == Set((1L, 0L), (2L, 0L), (11L, 1L)), s"got $rows")
+  }
+
+  test("drift monitor: streaming windowed KL equals the batch fold; drifted shard spikes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference corpus: in-distribution vocabulary
+    val ref = graft.streaming.DriftMonitor.referenceDistribution(
+      Seq("the quick brown fox", "the lazy dog", "quick dog fox the")
+        .toDF("text"), "text")
+    // stream: src_ok stays in-vocabulary, src_drift is out-of-vocabulary
+    def doc(sec: Long, src: String, text: String) =
+      DriftDoc(new Timestamp(sec * 1000), src, text)
+    val docs = Seq(
+      doc(5, "src_ok", "the quick fox"), doc(20, "src_ok", "lazy dog the"),
+      doc(10, "src_drift", "zebra quantum xylophone"),
+      doc(30, "src_drift", "warp nacelle zebra"))
+    val input = MemoryStream[DriftDoc]
+    val q = graft.streaming.DriftMonitor.sourceDrift(
+      input.toDF().withWatermark("ts", "5 seconds"), ref, "text", "1 minute")
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("drift_out").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      input.addData(doc(500, "src_ok", "the")) // sentinel closes the window
+      q.processAllAvailable()
+      val got = spark.table("drift_out")
+        .filter($"wstart" === lit(new Timestamp(0)))
+        .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("kl")).toMap
+      // batch fold of the same window must agree exactly
+      val batch = graft.streaming.DriftMonitor.sourceDrift(
+        docs.toDF(), ref, "text", "1 minute")
+        .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("kl")).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      // every src_drift term is out-of-reference → KL ≈ ln(1/(N·ε)) scale,
+      // decisively above the in-distribution shard
+      assert(got("src_drift") > got("src_ok") + 5.0,
+        s"drifted shard must spike: $got")
+    } finally q.stop()
   }
 }
