@@ -57,11 +57,26 @@ object Similarity {
     * init). A cell that loses all members, or whose mean degenerates to
     * zero norm, keeps its previous centroid (no dead cells). Determinism:
     * hash-seeded init + mean updates — same data, same centroids.
+    *
+    * Training-set cap (the 100 TB posture): Lloyd iterations must not
+    * scan the corpus — above `sampleCap` rows the training set is a
+    * deterministic hash-thinned sample (keep a_id where
+    * xxhash64(a_id) mod ⌈n/cap⌉ = 0 — one cheap filter, no sort, no
+    * RNG; E[kept] ≈ cap). Quantizer quality needs a sample, not the
+    * population — the standard IVF training recipe — and downstream
+    * EXACTNESS is unaffected where probes are exhaustive (q106's gate).
+    * Below the cap (every test fixture) behavior is bit-identical to
+    * the uncapped path, so pinned goldens stay pinned.
     */
   def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int): Array[(Array[Double], Double)] = {
-    val n = withNorm(emb, idCol, vecCol).filter(col("na") > 0.0)
+      nCells: Int, iters: Int, sampleCap: Int = 1 << 14): Array[(Array[Double], Double)] = {
+    val all = withNorm(emb, idCol, vecCol).filter(col("na") > 0.0)
       .select(col("a_id"), col("va"), col("na"))
+    val total = all.count()
+    val thinned =
+      if (total <= sampleCap) all
+      else all.filter(pmod(xxhash64(col("a_id")), lit(total / sampleCap + 1)) === 0)
+    val n = thinned
       .localCheckpoint(true) // scanned once per iteration, not recomputed
     var cents = sampleCentroids(n, nCells)
     for (_ <- 0 until iters) {
@@ -116,8 +131,9 @@ object Similarity {
     * Returns one row per input vector: (idCol, cell, keep).
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, threshold: Double, trainIters: Int = 2): DataFrame = {
-    val cents = trainCentroids(emb, idCol, vecCol, nCells, trainIters)
+      nCells: Int, threshold: Double, trainIters: Int = 2,
+      trainSampleCap: Int = 1 << 14): DataFrame = {
+    val cents = trainCentroids(emb, idCol, vecCol, nCells, trainIters, trainSampleCap)
     val assigned = withNorm(emb, idCol, vecCol).withColumn("cell", element_at(
       graft.functions.CentroidTopKExpr(col("va"), cents.map(_._1), cents.map(_._2), 1), 1))
     val b = assigned.select(col("cell").as("cell_b"), col("a_id").as("b_id"),

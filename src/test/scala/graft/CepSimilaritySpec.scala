@@ -413,5 +413,19 @@ class CepSimilaritySpec extends AnyFunSuite {
       "keep set must equal the lowest-id-per-dominance rule within cells")
     // the fixture plants near-dups: the dedup must actually drop some
     assert(expectedDropped.nonEmpty, "fixture should contain same-cell near-dups")
+
+    // training-sample cap: with a tiny cap the quantizer trains on a
+    // hash-thinned subset, yet the drop rule re-derived from the ACTUAL
+    // cell assignment still holds exactly — correctness is invariant to
+    // the training sample, only cell geometry moves
+    val capped = Similarity.semanticDedup(emb, "vec_id", "v",
+      nCells = 8, threshold = 0.9, trainSampleCap = 64).collect()
+    assert(capped.length == out.length)
+    val cellOf2 = capped.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val keep2 = capped.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    val expected2 = pairs.filter { case (a, b) => cellOf2(a) == cellOf2(b) }
+      .map { case (_, b) => b }.toSet
+    assert(cellOf2.keySet -- keep2 == expected2,
+      "capped-training dedup must still satisfy the within-cell drop rule")
   }
 }
