@@ -47,6 +47,10 @@ object ProbeScale {
     time(s"semantic_dedup_c${n / 30}")(
       Similarity.semanticDedup(emb, "vec_id", "embedding",
         nCells = (n / 30).toInt, threshold = 0.9))
+    time(s"semantic_dedup_c${n / 30}_uncapped")(
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCells = (n / 30).toInt, threshold = 0.9,
+        trainSampleCap = Int.MaxValue))
     time("span_dedup")(
       graft.queries.Text.q124_span_dedup(spark, dir))
     time("source_kl")(
