@@ -19,6 +19,8 @@ import graft.operators.Cep
   *   [MEASURES agg(V.col) AS alias, ...]  -- agg ∈ { FIRST LAST COUNT
   *                                        --   SUM MIN MAX AVG }; bare
   *                                        --   V.col ≡ LAST; COUNT(V.*);
+  *                                        --   FIRST/LAST(V.col, n) logical
+  *                                        --   offsets (out of range → NULL);
   *                                        --   CLASSIFIER() / MATCH_NUMBER()
   *                                        --   (one-row-per-match; V may
   *                                        --   also be a SUBSET name);
@@ -89,8 +91,12 @@ object MatchRecognize {
     * ALL ROWS PER MATCH, where the measure reports the completed
     * match's value on every row instead of the running one.
     */
+  /** `offset` is FIRST/LAST's logical offset (SQL:2016 / Flink
+    * `FIRST(A.x, n)` = the (n+1)-th row mapped to A from the start,
+    * `LAST(A.x, n)` = the (n+1)-th from the end; out of range → NULL).
+    */
   final case class Measure(agg: String, variable: String, column: String,
-      alias: String, isFinal: Boolean = false)
+      alias: String, isFinal: Boolean = false, offset: Int = 0)
 
   /** One running aggregate referenced by a DEFINE predicate ([U]
     * flink-cep IterativeCondition surfacing as SQL aggregates in DEFINE):
@@ -317,7 +323,7 @@ object MatchRecognize {
       }
     }
     val aggRe =
-      raw"(?is)^\s*(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*(\w+|\*)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
+      raw"(?is)^\s*(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*(\w+|\*)\s*(?:,\s*(\d+)\s*)?\)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
     val bareRe =
       raw"(?is)^\s*([A-Za-z_]\w*)\s*\.\s*(\w+)\s+AS\s+([A-Za-z_]\w*)\s*$$".r
     val fnRe =
@@ -325,10 +331,14 @@ object MatchRecognize {
     entries.map {
       case (fnRe(fn, alias), fin) =>
         Measure(fn.toUpperCase, "", "*", alias, isFinal = fin)
-      case (aggRe(agg, v, c, alias), fin) =>
+      case (aggRe(agg, v, c, off, alias), fin) =>
         val a = agg.toUpperCase
         if (c == "*" && a != "COUNT") fail(s"$a requires a column, not ${v}.*")
-        Measure(a, v, c, alias, isFinal = fin)
+        if (off != null && a != "FIRST" && a != "LAST")
+          fail(s"logical offset is only valid on FIRST/LAST, not $a")
+        val o = if (off == null) 0 else off.toInt
+        if (o > 1000) fail(s"FIRST/LAST offset $o exceeds the supported bound (1000)")
+        Measure(a, v, c, alias, isFinal = fin, offset = o)
       case (bareRe(v, c, alias), fin) => Measure("LAST", v, c, alias, isFinal = fin)
       case (other, _) => fail(s"bad MEASURES entry `${other.trim}` " +
         "(subset: agg(VAR.col) AS alias, agg in FIRST/LAST/COUNT/SUM/MIN/MAX/AVG)")
@@ -1221,8 +1231,11 @@ object MatchRecognize {
             case "COUNT"           => idxs.length.toDouble
             case _ if idxs.isEmpty => Double.NaN // optional step, no rows
             case _ if strOrd(mi)   => Double.NaN // MIN/MAX on the string view
-            case "FIRST"           => mv(idxs.head)(mi)
-            case "LAST"            => mv(idxs.last)(mi)
+            case "FIRST" =>
+              if (m.offset < idxs.length) mv(idxs(m.offset))(mi) else Double.NaN
+            case "LAST" =>
+              if (m.offset < idxs.length) mv(idxs(idxs.length - 1 - m.offset))(mi)
+              else Double.NaN
             case "SUM"             => vals.sum
             case "MIN"             => vals.min
             case "MAX"             => vals.max
@@ -1234,8 +1247,9 @@ object MatchRecognize {
           lazy val nn = idxs.map(ix => sv(ix)(mi)).filter(_ != null)
           m.agg match {
             case "CLASSIFIER"             => rowCls.last._2
-            case "FIRST" if idxs.nonEmpty => sv(idxs.head)(mi)
-            case "LAST" if idxs.nonEmpty  => sv(idxs.last)(mi)
+            case "FIRST" if m.offset < idxs.length => sv(idxs(m.offset))(mi)
+            case "LAST" if m.offset < idxs.length =>
+              sv(idxs(idxs.length - 1 - m.offset))(mi)
             case "MIN" if strOrd(mi)      => if (nn.isEmpty) null else nn.min
             case "MAX" if strOrd(mi)      => if (nn.isEmpty) null else nn.max
             case _                        => null
@@ -1322,6 +1336,18 @@ object MatchRecognize {
     private val lastS = new Array[String](n)
     private val mnS = new Array[String](n)
     private val mxS = new Array[String](n)
+    // logical-offset FIRST/LAST need the first (off+1) values (filled
+    // once) and a ring of the trailing (off+1) — bounded by the DECLARED
+    // offset, never by match length
+    private val offs: Array[Int] = measures.map(_.offset).toArray
+    private val firstBuf = Array.tabulate(n)(i =>
+      if (offs(i) > 0) new Array[Double](offs(i) + 1) else null)
+    private val firstBufS = Array.tabulate(n)(i =>
+      if (offs(i) > 0) new Array[String](offs(i) + 1) else null)
+    private val lastBuf = Array.tabulate(n)(i =>
+      if (offs(i) > 0) new Array[Double](offs(i) + 1) else null)
+    private val lastBufS = Array.tabulate(n)(i =>
+      if (offs(i) > 0) new Array[String](offs(i) + 1) else null)
 
     def update(cls: String, mv: Seq[Double], sv: Seq[String]): Unit = {
       var mi = 0
@@ -1340,6 +1366,13 @@ object MatchRecognize {
           }
           last(mi) = v
           lastS(mi) = s
+          if (offs(mi) > 0) {
+            val w = offs(mi) + 1
+            if (cnt(mi) < w) { firstBuf(mi)(cnt(mi).toInt) = v; firstBufS(mi)(cnt(mi).toInt) = s }
+            val ri = (cnt(mi) % w).toInt
+            lastBuf(mi)(ri) = v
+            lastBufS(mi)(ri) = s
+          }
           sum(mi) += v
           cnt(mi) += 1
         }
@@ -1351,8 +1384,14 @@ object MatchRecognize {
       case "COUNT"          => cnt(m).toDouble
       case _ if cnt(m) == 0 => Double.NaN // var not seen (yet)
       case _ if strOrd(m)   => Double.NaN // MIN/MAX on the string view
-      case "FIRST"          => first(m)
-      case "LAST"           => last(m)
+      case "FIRST" =>
+        if (offs(m) == 0) first(m)
+        else if (cnt(m) > offs(m)) firstBuf(m)(offs(m)) else Double.NaN
+      case "LAST" =>
+        if (offs(m) == 0) last(m)
+        else if (cnt(m) > offs(m))
+          lastBuf(m)(((cnt(m) - 1 - offs(m)) % (offs(m) + 1)).toInt)
+        else Double.NaN
       case "SUM"            => sum(m)
       case "MIN"            => mn(m)
       case "MAX"            => mx(m)
@@ -1360,8 +1399,14 @@ object MatchRecognize {
     }
 
     def snapS(m: Int): String = measures(m).agg match {
-      case "FIRST" if cnt(m) > 0            => firstS(m)
-      case "LAST" if cnt(m) > 0             => lastS(m)
+      case "FIRST" if cnt(m) > 0 =>
+        if (offs(m) == 0) firstS(m)
+        else if (cnt(m) > offs(m)) firstBufS(m)(offs(m)) else null
+      case "LAST" if cnt(m) > 0 =>
+        if (offs(m) == 0) lastS(m)
+        else if (cnt(m) > offs(m))
+          lastBufS(m)(((cnt(m) - 1 - offs(m)) % (offs(m) + 1)).toInt)
+        else null
       case "MIN" if strOrd(m) && cnt(m) > 0 => mnS(m)
       case "MAX" if strOrd(m) && cnt(m) > 0 => mxS(m)
       case _                                => null

@@ -506,6 +506,35 @@ object Temporal {
         |) AS m""".stripMargin)
   }
 
+  /** MEASURES FIRST/LAST with LOGICAL offsets ([U] flink-docs
+    * match_recognize "Logical Offsets" — `FIRST(V.x, n)` is the
+    * (n+1)-th row mapped to V from the start, `LAST(V.x, n)` the
+    * (n+1)-th from the end): a fixed-length V{3} C pattern so the
+    * DuckDB lead-window oracle is exact. `f1` (FIRST offset 1) and `l1`
+    * (LAST offset 1) both name the middle V row — the two navigation
+    * directions cross-check each other — and `l2` reaches the first.
+    */
+  val q131_mr_nav_offsets: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id".cast("long").as("user_id"),
+        $"event_id".cast("long").as("event_id"),
+        substring($"event_type", 1, 1).as("sym"), $"value")
+      .createOrReplaceTempView("q131_events")
+    graft.plans.MatchRecognize.sql(s,
+      """SELECT user_id, match_start, match_end, n_events,
+        | round(f1, 2) AS f1, round(l1, 2) AS l1, round(l2, 2) AS l2
+        |FROM q131_events MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY event_id
+        |  MEASURES FIRST(V.value, 1) AS f1, LAST(V.value, 1) AS l1,
+        |           LAST(V.value, 2) AS l2
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (V{3} C)
+        |  DEFINE V AS sym = 'v', C AS sym = 'c'
+        |) AS m""".stripMargin)
+  }
+
   /** MATCH_RECOGNIZE PREV navigation ([U] flink-docs match_recognize
     * "Pattern Navigation" — PREV/NEXT are physical offsets over the
     * partition): the classic V-shape price pattern, two falling rows then
@@ -739,6 +768,7 @@ object Temporal {
     "q117_mr_agg_define" -> q117_mr_agg_define,
     "q118_mr_count_cap" -> q118_mr_count_cap,
     "q123_mr_agg_all_rows" -> q123_mr_agg_all_rows,
+    "q131_mr_nav_offsets" -> q131_mr_nav_offsets,
     "q113_cep_followed_by" -> q113_cep_followed_by,
     "q114_funnel" -> q114_funnel,
     "q55_cep_quantified" -> q55_cep_quantified,
@@ -977,6 +1007,19 @@ object Temporal {
         |       round(value + v1 + v2, 2) AS u_sum, CAST(3 AS BIGINT) AS u_n,
         |       'C' AS last_var, CAST(mn AS BIGINT) AS mn
         |FROM m""".stripMargin,
+    "q131_mr_nav_offsets" ->
+      """WITH e AS (SELECT user_id, event_id, substr(event_type, 1, 1) AS sym, value,
+        |                  lead(substr(event_type, 1, 1), 1) OVER w AS s1,
+        |                  lead(substr(event_type, 1, 1), 2) OVER w AS s2,
+        |                  lead(substr(event_type, 1, 1), 3) OVER w AS s3,
+        |                  lead(value, 1) OVER w AS v1,
+        |                  lead(event_id, 3) OVER w AS id3
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, event_id AS match_start, id3 AS match_end,
+        |       CAST(4 AS INTEGER) AS n_events,
+        |       round(v1, 2) AS f1, round(v1, 2) AS l1, round(value, 2) AS l2
+        |FROM e WHERE sym = 'v' AND s1 = 'v' AND s2 = 'v' AND s3 = 'c'""".stripMargin,
     "q110_mr_prev_nav" ->
       """WITH e AS (SELECT user_id, event_id, value,
         |                  lag(value) OVER w AS pv,

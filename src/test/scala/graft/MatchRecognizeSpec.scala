@@ -257,6 +257,50 @@ class MatchRecognizeSpec extends AnyFunSuite {
       .getMessage.contains("not a pattern variable"))
   }
 
+  test("FIRST/LAST logical offsets: one-row, out-of-range NULL, ALL ROWS running") {
+    // B rows: values 1, 3, 5 at ords 1..3
+    mkView("mr_off", Seq(
+      (1L, 0L, "a", 10.0), (1L, 1L, "b", 1.0), (1L, 2L, "b", 3.0),
+      (1L, 3L, "b", 5.0), (1L, 4L, "c", 7.0)))
+    val df = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_off MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  MEASURES FIRST(B.value) AS f0, FIRST(B.value, 1) AS f1,
+        |           LAST(B.value, 1) AS l1, LAST(B.value, 2) AS l2,
+        |           FIRST(B.value, 5) AS f5, LAST(B.sym, 1) AS ls1
+        |  PATTERN (A B* C)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+        |)""".stripMargin).head()
+    assert(df.getDouble(4) == 1.0 && df.getDouble(5) == 3.0) // f0, f1
+    assert(df.getDouble(6) == 3.0 && df.getDouble(7) == 1.0) // l1, l2
+    assert(df.isNullAt(8), "offset past the variable's rows must be NULL")
+    assert(df.getString(9) == "b") // string view honors the offset
+    // offsets on non-navigation aggregates are rejected
+    val e = intercept[IllegalArgumentException](MatchRecognize.sql(spark,
+      """SELECT * FROM mr_off MATCH_RECOGNIZE (
+        | PARTITION BY k ORDER BY ord
+        | MEASURES SUM(B.value, 1) AS s
+        | PATTERN (B) DEFINE B AS sym = 'b')""".stripMargin))
+    assert(e.getMessage.contains("only valid on FIRST/LAST"))
+    // ALL ROWS: LAST(B.value, 1) is RUNNING — one value behind the last
+    val all = MatchRecognize.sql(spark,
+      """SELECT * FROM mr_off MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ord
+        |  MEASURES LAST(B.value, 1) AS l1
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B* C)
+        |  DEFINE A AS sym = 'a', B AS sym = 'b', C AS sym = 'c'
+        |)""".stripMargin)
+      .orderBy("ord").collect()
+      .map(r => (r.getLong(r.fieldIndex("ord")),
+        if (r.isNullAt(r.fieldIndex("l1"))) null
+        else java.lang.Double.valueOf(r.getDouble(r.fieldIndex("l1")))))
+    // rows: a(0) → null; b(1) → null (only one B); b(2) → 1.0; b(3) → 3.0;
+    // c(4) → 3.0 (B unchanged)
+    assert(all.toSeq == Seq(0L -> null, 1L -> null, 2L -> 1.0, 3L -> 3.0, 4L -> 3.0),
+      all.mkString(", "))
+  }
+
   test("ALL ROWS PER MATCH emits matched rows with classifier and RUNNING measures") {
     mkView("mr_all", Seq(
       (1L, 0L, "a", 10.0), (1L, 1L, "b", 1.0), (1L, 2L, "b", 3.0), (1L, 3L, "c", 7.0),

@@ -249,7 +249,8 @@ class StreamingCepSpec extends AnyFunSuite {
     val body =
       """PARTITION BY uid
         |ORDER BY ts
-        |MEASURES SUM(V.value) AS v_sum, LAST(C.value) AS c_val, MAX(V.sym) AS v_max
+        |MEASURES SUM(V.value) AS v_sum, LAST(C.value) AS c_val, MAX(V.sym) AS v_max,
+        |         FIRST(V.value, 1) AS v_f1
         |AFTER MATCH SKIP PAST LAST ROW
         |PATTERN (V{1,2} C)
         |DEFINE V AS sym = 'v', C AS sym = 'c'""".stripMargin
@@ -272,7 +273,9 @@ class StreamingCepSpec extends AnyFunSuite {
       input.addData(rawv(99, 998, 9100, "x", 0.0)); q.processAllAvailable()
       def shape(rs: Array[org.apache.spark.sql.Row]) = rs
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
-          r.getDouble(4), r.getDouble(5), r.getString(6))).toSet
+          r.getDouble(4), r.getDouble(5), r.getString(6),
+          if (r.isNullAt(7)) null
+          else java.lang.Double.valueOf(r.getDouble(7)))).toSet
       val got = shape(spark.table("scep_meas").collect()).filter(_._1 != "u99")
       proj(evs.toDF()).createOrReplaceTempView("scep_meas_batch")
       val want = shape(graft.plans.MatchRecognize.sql(spark,
@@ -281,6 +284,8 @@ class StreamingCepSpec extends AnyFunSuite {
       assert(got.map(_._1) == Set("u1")) // u2: e breaks contiguity
       assert(got.map(_._5) == Set(5.0, 1.5)) // per-match SUM(V.value)
       assert(got.forall(_._7 == "v")) // string MAX keeps the type
+      // FIRST(V.value, 1): 2-row V match → second value; 1-row → NULL
+      assert(got.map(_._8) == Set(java.lang.Double.valueOf(3.0), null))
     } finally q.stop()
     // PREV/NEXT navigation stays out of the streaming subset
     val e2 = intercept[IllegalArgumentException](graft.plans.MatchRecognize.stream(

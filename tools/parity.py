@@ -11,6 +11,7 @@ diffs them. Usage:
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -52,8 +53,12 @@ def main(sf_dir, out_dir):
         oracles = json.load(f)
 
     n_pass = n_fail = 0
+    n_skip = 0
     for name in sorted(oracles):
         sql = oracles[name]
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1  # not dumped (filtered Verify run) — not a failure
+            continue
         try:
             spark_rel = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
@@ -89,7 +94,7 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(s_rows)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    print(f"\n{n_pass} pass / {n_fail} fail" + (f" ({n_skip} not dumped)" if n_skip else ""))
     return 1 if n_fail else 0
 
 
