@@ -457,7 +457,31 @@ object Relational3 {
     graft.streaming.ChangelogStream.snapshotDiff(prev, cur, Seq("o_custkey"))
   }
 
+  /** User-defined TABLE aggregate ([U] flink-table-common
+    * TableAggregateFunction.java; the documentation's canonical Top2):
+    * per event_type, `flatAggregate` of the Top2 function emits the two
+    * best (event_id, value) pairs with ranks — an aggregate returning
+    * MULTIPLE rows per group, the API shape Spark's Aggregator cannot
+    * express. One shuffle on the group key, O(1) accumulator per group
+    * (see [[graft.operators.TableAgg]]); the DuckDB oracle is the
+    * equivalent row_number()-over rewrite.
+    */
+  val q132_table_agg_top2: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id").cast("long").as("event_id"),
+        col("value"))
+      .as[(String, Long, Double)]
+    graft.operators.TableAgg
+      .flatAggregate(ev, (t: (String, Long, Double)) => t._1,
+        new graft.operators.Top2().contramap[(String, Long, Double)](t => (t._2, t._3)))
+      .map { case (et, (id, v, r)) => (et, id, v, r) }
+      .toDF("event_type", "event_id", "value", "rnk")
+      .withColumn("value", round(col("value"), 2))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q132_table_agg_top2" -> q132_table_agg_top2,
     "q121_changelog_diff" -> q121_changelog_diff,
     "q88_hash_tz" -> q88_hash_tz,
     "q86_unnest_sql" -> q86_unnest_sql,
@@ -484,6 +508,14 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q132_table_agg_top2" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |                  row_number() OVER (PARTITION BY event_type
+        |                                     ORDER BY value DESC, event_id) AS rnk
+        |           FROM events)
+        |SELECT event_type, event_id, round(value, 2) AS value,
+        |       CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 2""".stripMargin,
     "q121_changelog_diff" ->
       """WITH prev AS (SELECT o_custkey, count(*) AS n FROM orders
         |              WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
