@@ -580,6 +580,24 @@ object Temporal {
         |GROUP BY window_start, window_end, event_type""".stripMargin))
   }
 
+  /** Window aggregation with GROUPING SETS ([U] flink-table-planner
+    * StreamExecWindowAggregate "window agg supports grouping sets" —
+    * Flink requires window_start/window_end OUTSIDE the sets, grouped in
+    * every combination): per tumbling window, per-event_type subtotals
+    * AND the window total in one pass, Flink's exact SQL shape. Spark's
+    * partial grouping-sets syntax matches verbatim; `grouping(...)`
+    * disambiguates the total rows from a NULL-typed group.
+    */
+  val q133_window_grouping_sets: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("q133_events")
+    s.sql(graft.plans.WindowTvf.rewrite(
+      """SELECT window_start, window_end, event_type,
+        | CAST(grouping(event_type) AS INT) AS g,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM TABLE(TUMBLE(TABLE q133_events, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+        |GROUP BY window_start, window_end, GROUPING SETS ((event_type), ())""".stripMargin))
+  }
+
   /** Flink's windowed Top-N SQL pattern ([U] flink-table-runtime
     * rank/WindowRankOperator; the docs' canonical "top N per window"
     * recipe): ROW_NUMBER over (PARTITION BY window_start) on top of a
@@ -754,6 +772,7 @@ object Temporal {
     "q78_window_dedup" -> q78_window_dedup,
     "q77_cogroup_window" -> q77_cogroup_window,
     "q76_window_tvf_sql" -> q76_window_tvf_sql,
+    "q133_window_grouping_sets" -> q133_window_grouping_sets,
     "q101_window_topn_sql" -> q101_window_topn_sql,
     "q73_match_recognize_sql" -> q73_match_recognize_sql,
     "q103_mr_alternation" -> q103_mr_alternation,
@@ -869,6 +888,16 @@ object Temporal {
         |      FROM w)
         |SELECT window_start, event_type, cnt, sum_value, CAST(rn AS INTEGER) AS rn
         |FROM r WHERE rn <= 3""".stripMargin,
+    "q133_window_grouping_sets" ->
+      """WITH e AS (SELECT event_type, value,
+        |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 600 AS k
+        |           FROM events)
+        |SELECT make_timestamp(k * 600 * 1000000) AS window_start,
+        |       make_timestamp((k + 1) * 600 * 1000000) AS window_end,
+        |       event_type, CAST(grouping(event_type) AS INT) AS g,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM e
+        |GROUP BY GROUPING SETS ((k, event_type), (k))""".stripMargin,
     "q76_window_tvf_sql" ->
       """WITH e AS (SELECT event_type, value,
         |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS es
