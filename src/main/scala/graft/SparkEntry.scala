@@ -38,8 +38,9 @@ object SparkEntry {
     * q31_minhash_bands, q32_simhash, q34_ann_lsh_buckets, q42_ann_topk,
     * q56_ivf_topk, q102_ivf2_topk (hash-seeded LSH / sampled centroids),
     * q116_pca_project (power-iteration eigenvectors),
-    * q128_semantic_dedup (trained k-means cells)
-    * and q48_winnow_fingerprints (rolling-hash minima): all nine are
+    * q128_semantic_dedup (trained k-means cells),
+    * q134_quality_classifier (iterative GD training)
+    * and q48_winnow_fingerprints (rolling-hash minima): all ten are
     * deterministic and pinned to committed golden CSVs (GoldenSpec /
     * graft.tools.Golden.pinned); q67_approx_aggs (engine-specific
     * sketches) is tolerance-spec'd in ApproxSpec.

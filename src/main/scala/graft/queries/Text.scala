@@ -569,7 +569,45 @@ object Text {
       .agg(max($"ts").as("n_tokens"), rate(sum($"kl_term")).as("kl"))
   }
 
+  /** Quality-classifier training + scoring (north_star text analysis —
+    * the fasttext-style weak-label model of CCNet-class curation
+    * pipelines): logistic regression over 64-bucket hashed bag-of-words,
+    * weak labels from the q127 heuristic chain (token floor, punctuation
+    * ratio, stopword presence), trained 30 full-batch GD iterations —
+    * each ONE scan + ONE mergeable 67-double reduction
+    * ([[graft.operators.QualityClassifier]]) — then the whole corpus
+    * scored and rolled up per source. Golden-pinned (iterative float
+    * training is not SQL-expressible); the spec asserts the loss
+    * trajectory decreases and the model separates the weak classes.
+    */
+  val q134_quality_classifier: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.QualityClassifier
+    val dim = 64
+    val labeled = Tables.documents(s, d)
+      .select($"doc_id", $"source", $"text",
+        tokenCount($"text").cast("long").as("n_tok"),
+        langScore($"text", enMarkers).as("n_stop"),
+        punctCount($"text").as("n_punct"),
+        length($"text").as("len"))
+      .withColumn("y",
+        ($"n_tok" >= 5 && $"n_punct" / $"len" <= 0.1 && $"n_stop" > 0).cast("double"))
+    val feats = QualityClassifier.featurize(labeled, "text", dim)
+    val model = QualityClassifier.train(feats, "f", "y", dim, iters = 30, lr = 2.0)
+    feats
+      .withColumn("score", QualityClassifier.score($"f", model))
+      .withColumn("pred", ($"score" > 0.5).cast("double"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"score"), 4).as("avg_score"),
+        sum($"pred").cast("long").as("n_pred_keep"),
+        sum($"y").cast("long").as("n_label_keep"),
+        round(avg(($"pred" === $"y").cast("double")), 4).as("accuracy"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q134_quality_classifier" -> q134_quality_classifier,
     "q130_source_kl" -> q130_source_kl,
     "q129_zipf_fit" -> q129_zipf_fit,
     "q127_filter_attrition" -> q127_filter_attrition,

@@ -22,7 +22,8 @@ object Golden {
     "q56_ivf_topk",
     "q102_ivf2_topk",
     "q116_pca_project",
-    "q128_semantic_dedup")
+    "q128_semantic_dedup",
+    "q134_quality_classifier")
 
   def canonical(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted
