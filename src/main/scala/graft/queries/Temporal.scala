@@ -598,6 +598,29 @@ object Temporal {
         |GROUP BY window_start, window_end, GROUPING SETS ((event_type), ())""".stripMargin))
   }
 
+  /** Window join in SQL ([U] flink-table-planner StreamExecWindowJoin;
+    * the reference docs' "window join" — two window-TVF'd streams joined
+    * on window_start + window_end + key, so only same-window rows pair):
+    * views joined to clicks per (user, 10-minute tumble), both sides
+    * driven through the TVF rewrite in ONE statement — the multi-span
+    * path of `plans/WindowTvf`. The rewrite leaves a plain equi-join on
+    * (window_start, window_end, user_id): an ordinary shuffle-hash join
+    * on the window keys, no custom operator, AQE-eligible.
+    */
+  val q135_window_join_sql: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    e.filter(col("event_type") === "view").createOrReplaceTempView("q135_views")
+    e.filter(col("event_type") === "click").createOrReplaceTempView("q135_clicks")
+    s.sql(graft.plans.WindowTvf.rewrite(
+      """SELECT L.window_start, L.user_id,
+        | L.event_id AS view_id, R.event_id AS click_id,
+        | round(L.value + R.value, 2) AS pair_value
+        |FROM TABLE(TUMBLE(TABLE q135_views, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) L
+        |JOIN TABLE(TUMBLE(TABLE q135_clicks, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) R
+        |  ON L.window_start = R.window_start AND L.window_end = R.window_end
+        | AND L.user_id = R.user_id""".stripMargin))
+  }
+
   /** Flink's windowed Top-N SQL pattern ([U] flink-table-runtime
     * rank/WindowRankOperator; the docs' canonical "top N per window"
     * recipe): ROW_NUMBER over (PARTITION BY window_start) on top of a
@@ -773,6 +796,7 @@ object Temporal {
     "q77_cogroup_window" -> q77_cogroup_window,
     "q76_window_tvf_sql" -> q76_window_tvf_sql,
     "q133_window_grouping_sets" -> q133_window_grouping_sets,
+    "q135_window_join_sql" -> q135_window_join_sql,
     "q101_window_topn_sql" -> q101_window_topn_sql,
     "q73_match_recognize_sql" -> q73_match_recognize_sql,
     "q103_mr_alternation" -> q103_mr_alternation,
@@ -888,6 +912,17 @@ object Temporal {
         |      FROM w)
         |SELECT window_start, event_type, cnt, sum_value, CAST(rn AS INTEGER) AS rn
         |FROM r WHERE rn <= 3""".stripMargin,
+    "q135_window_join_sql" ->
+      """WITH v AS (SELECT user_id, event_id, value,
+        |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 600 AS k
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id, value,
+        |             epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 600 AS k
+        |      FROM events WHERE event_type = 'click')
+        |SELECT make_timestamp(v.k * 600 * 1000000) AS window_start,
+        |       v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |       round(v.value + c.value, 2) AS pair_value
+        |FROM v JOIN c ON v.k = c.k AND v.user_id = c.user_id""".stripMargin,
     "q133_window_grouping_sets" ->
       """WITH e AS (SELECT event_type, value,
         |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 600 AS k
