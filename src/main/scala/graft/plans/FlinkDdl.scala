@@ -107,6 +107,18 @@ object FlinkDdl {
       _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]())
   }
 
+  private val optsBySession =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]]()
+  private def optsRegistry(spark: SparkSession) = optsBySession.synchronized {
+    optsBySession.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]())
+  }
+
+  /** Full WITH-options of a DDL-registered table (empty if none). */
+  def optionsOf(spark: SparkSession, table: String): Map[String, String] =
+    Option(optsRegistry(spark).get(table.toLowerCase)).getOrElse(Map.empty)
+
   /** PRIMARY KEY columns of a DDL-registered table (empty if none) —
     * for DESCRIBE's `key` column (declared NOT ENFORCED, like Flink).
     */
@@ -146,8 +158,8 @@ object FlinkDdl {
 
   private val optionsHintRe = raw"(?is)/\*\+\s*OPTIONS\s*\([^)]*\)\s*\*/".r
 
-  /** Drop Flink's dynamic table-options hint (`/*+ OPTIONS('k'='v') */`)
-    * — connector-runtime options with no meaning here; Spark's own
+  /** Drop any OPTIONS hints [[applyOptionsHints]] did not consume
+    * (SELECT-level hints, hints on non-registered names) — Spark's own
     * hints pass through untouched.
     */
   private[plans] def stripOptionsHints(s: String): String =
@@ -194,6 +206,7 @@ object FlinkDdl {
     partRegistry(spark).remove(name.toLowerCase)
     pkRegistry(spark).remove(name.toLowerCase)
     computedRegistry(spark).remove(name.toLowerCase)
+    optsRegistry(spark).remove(name.toLowerCase)
     name
   }
 
@@ -430,7 +443,7 @@ object FlinkDdl {
       .map(o => o.group(1).toLowerCase -> o.group(2)).toMap
     val select = raw"(?is)^\s*AS\s+(SELECT\b.*)$$".r
       .findFirstMatchIn(sqlText.substring(withClose + 1))
-      .map(m => stripOptionsHints(m.group(1)))
+      .map(m => applyOptionsHints(spark, m.group(1)))
       .getOrElse(fail("CTAS requires `AS SELECT ...` after WITH (...)"))
     if (opts.getOrElse("connector", fail("'connector' option is required")) != "filesystem")
       fail("CTAS is supported for the filesystem connector only")
@@ -456,6 +469,7 @@ object FlinkDdl {
     partRegistry(spark).remove(name.toLowerCase)
     pkRegistry(spark).remove(name.toLowerCase)
     computedRegistry(spark).remove(name.toLowerCase)
+    optsRegistry(spark).remove(name.toLowerCase)
     val colsClose = WindowTvf.matchParen(sqlText, m.end - 1)
     // Flink DDL may backtick-quote identifiers (SHOW CREATE TABLE emits
     // them); plain-identifier quotes carry no information — strip before
@@ -507,30 +521,13 @@ object FlinkDdl {
     val schema = StructType.fromDDL(physical.map { case (n, t) => s"$n $t" }.mkString(", "))
 
     val connector = opts.getOrElse("connector", fail("'connector' option is required"))
-    val base: DataFrame = connector match {
-      case "filesystem" =>
-        val path = opts.getOrElse("path", fail("filesystem connector requires 'path'"))
-        val fmt = opts.getOrElse("format", fail("filesystem connector requires 'format'"))
-        // a sink-role table's path may not exist yet (Flink's filesystem
-        // table is source and sink in one) — start empty; INSERT INTO
-        // re-registers the view over the written data
-        if (!pathExists(spark, path)) empty(spark, schema)
-        else if (cdcDecoders.contains(fmt)) readCdc(spark, fmt, physical, path, primaryKey)
-        else readFs(spark, fmt, schema, path, opts)
-      case "datagen" =>
-        datagen(spark, schema, opts.getOrElse("number-of-rows", "1000").toLong)
-      case "print" | "blackhole" =>
-        // sink-only connectors: register an empty relation so the name
-        // resolves; INSERT INTO routing is the caller's concern
-        empty(spark, schema)
-      case other => fail(s"unsupported connector '$other' " +
-        "(supported: filesystem, datagen, print, blackhole)")
-    }
+    val base = connectorRead(spark, schema, physical, primaryKey, opts)
     val df = if (computed.isEmpty) base
       else base.selectExpr("*" +: computed.map { case (n, e) => s"($e) AS $n" }: _*)
     df.createOrReplaceTempView(name)
     tableRegistry(spark).put(name.toLowerCase,
       (connector, opts.getOrElse("path", ""), opts.getOrElse("format", ""), schema))
+    optsRegistry(spark).put(name.toLowerCase, opts)
     if (primaryKey.nonEmpty) pkRegistry(spark).put(name.toLowerCase, primaryKey)
     if (computed.nonEmpty) computedRegistry(spark).put(name.toLowerCase, computed)
     if (partitionCols.nonEmpty) {
@@ -565,7 +562,7 @@ object FlinkDdl {
     val overwrite = m.group(1).equalsIgnoreCase("OVERWRITE")
     val name = m.group(2)
     val (connector, path, fmt, schema) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
-    val selected = spark.sql(stripOptionsHints(m.group(4)))
+    val selected = spark.sql(applyOptionsHints(spark, m.group(4)))
     // INSERT maps the SELECT's outputs POSITIONALLY onto the declared
     // schema (Flink/SQL semantics — names in the query don't matter);
     // a partial column list maps positionally onto the named columns
@@ -633,7 +630,7 @@ object FlinkDdl {
     if (m.group(3) != null)
       fail("column lists are not supported for streaming INSERT; select every sink column")
     val name = m.group(2)
-    val select = stripOptionsHints(m.group(4))
+    val select = applyOptionsHints(spark, m.group(4))
     val (connector, path, fmt, _) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
     // every DDL filesystem table the SELECT references streams
     val sources = tableRegistry(spark).entrySet().toArray(
@@ -714,6 +711,83 @@ object FlinkDdl {
 
   private def empty(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Build the connector-backed DataFrame for a table's options — the
+    * shared read path of CREATE TABLE registration and the dynamic
+    * table-options hint ([[applyOptionsHints]]).
+    */
+  private def connectorRead(spark: SparkSession, schema: StructType,
+      physical: Seq[(String, String)], primaryKey: Seq[String],
+      opts: Map[String, String]): DataFrame =
+    opts.getOrElse("connector", fail("'connector' option is required")) match {
+      case "filesystem" =>
+        val path = opts.getOrElse("path", fail("filesystem connector requires 'path'"))
+        val fmt = opts.getOrElse("format", fail("filesystem connector requires 'format'"))
+        // a sink-role table's path may not exist yet (Flink's filesystem
+        // table is source and sink in one) — start empty; INSERT INTO
+        // re-registers the view over the written data
+        if (!pathExists(spark, path)) empty(spark, schema)
+        else if (cdcDecoders.contains(fmt)) readCdc(spark, fmt, physical, path, primaryKey)
+        else readFs(spark, fmt, schema, path, opts)
+      case "datagen" =>
+        datagen(spark, schema, opts.getOrElse("number-of-rows", "1000").toLong)
+      case "print" | "blackhole" =>
+        // sink-only connectors: register an empty relation so the name
+        // resolves; INSERT INTO routing is the caller's concern
+        empty(spark, schema)
+      case other => fail(s"unsupported connector '$other' " +
+        "(supported: filesystem, datagen, print, blackhole)")
+    }
+
+  private val tableHintRe =
+    raw"(?is)\b([A-Za-z_]\w*)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/(?:\s+AS\s+([A-Za-z_]\w*))?".r
+
+  /** Flink's DYNAMIC TABLE OPTIONS ([U] flink-table-planner
+    * `DynamicTableSourceHintOptions` / docs "dynamic table options"):
+    * `SELECT ... FROM t /*+ OPTIONS('k'='v') */` re-reads a
+    * DDL-registered table with the hinted options merged over its WITH
+    * clause — a per-query connector override (row cap on a datagen
+    * source, alternate CSV delimiter) without re-declaring the table.
+    * The hinted read registers as a derived temp view (name keyed by
+    * table + merged options, so repeats reuse it) and the reference is
+    * substituted; hints on names the DDL registry does not know keep
+    * the old accepted-and-dropped behavior, so Spark-native tables and
+    * views tolerate a migrating script's hints.
+    */
+  def applyOptionsHints(spark: SparkSession, sqlText: String): String = {
+    val out = tableHintRe.replaceAllIn(sqlText, m => {
+      val name = m.group(1)
+      val alias = Option(m.group(3)).getOrElse(name)
+      registered(spark, name) match {
+        case Some((_, _, _, schema)) =>
+          val hintOpts = optRe.findAllMatchIn(m.group(2))
+            .map(o => o.group(1).toLowerCase -> o.group(2)).toMap
+          if (hintOpts.isEmpty) s"$name AS $alias"
+          else {
+            val merged = optionsOf(spark, name) ++ hintOpts
+            val key = merged.toSeq.sorted.mkString(";")
+            val view = s"${name}__opts_${Integer.toHexString(key.hashCode)}"
+            if (!spark.catalog.tableExists(view)) {
+              val physical = schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
+              val base = connectorRead(spark, schema, physical,
+                primaryKeyOf(spark, name), merged)
+              val computed = computedColumnsOf(spark, name)
+              val df = if (computed.isEmpty) base
+                else base.selectExpr(
+                  "*" +: computed.map { case (n, e) => s"($e) AS $n" }: _*)
+              df.createOrReplaceTempView(view)
+            }
+            // keep the user's alias resolution intact: the substituted
+            // view is referenced AS the original name (or explicit alias)
+            s"$view AS $alias"
+          }
+        case None =>
+          // unknown table: drop the hint (old behavior), keep any alias
+          if (m.group(3) != null) s"$name AS $alias" else name
+      }
+    })
+    stripOptionsHints(out)
+  }
 
   private def readFs(spark: SparkSession, fmt: String, schema: StructType,
       path: String, opts: Map[String, String]): DataFrame = fmt match {

@@ -28,10 +28,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     MatchRecognize.sql(session, sqlText).queryExecution.logical
 
   private def tvf(sqlText: String): String = {
-    // Flink's dynamic table options hint carries connector-runtime
-    // options with no meaning here — dropped (other hints pass through
-    // to Spark, which understands its own and warns on unknowns)
-    val noOpts = FlinkDdl.stripOptionsHints(sqlText)
+    // Flink's dynamic table options hint: applied for DDL-registered
+    // tables (per-query connector override via a derived view), dropped
+    // for names the registry doesn't know (other hints pass through to
+    // Spark, which understands its own and warns on unknowns)
+    val noOpts = FlinkDdl.applyOptionsHints(session, sqlText)
     // legacy group windows lower onto the TVF form, so they run first
     val lowered =
       if (LegacyGroupWindow.containsClause(noOpts)) LegacyGroupWindow.rewrite(noOpts)

@@ -539,4 +539,51 @@ class FlinkDdlSpec extends AnyFunSuite {
       FlinkDdl.executeAlter(spark, "ALTER TABLE nope SET ('a' = 'b')"))
     assert(e2.getMessage.contains("not DDL-registered"))
   }
+
+  test("dynamic table options hint overrides connector options per query") {
+    FlinkDdl.execute(spark,
+      """CREATE TABLE hint_gen (id BIGINT, name STRING)
+        |WITH ('connector' = 'datagen', 'number-of-rows' = '100')""".stripMargin)
+    // per-query row-cap override, the declared table untouched
+    val capped = FlinkSql.sql(spark,
+      "SELECT count(*) AS n FROM hint_gen /*+ OPTIONS('number-of-rows' = '7') */")
+    assert(capped.head().getLong(0) == 7L)
+    assert(spark.table("hint_gen").count() == 100L)
+    // explicit alias after the hint still resolves
+    val aliased = FlinkSql.sql(spark,
+      """SELECT g.id FROM hint_gen /*+ OPTIONS('number-of-rows' = '3') */ AS g
+        |WHERE g.id IS NOT NULL OR g.id IS NULL""".stripMargin)
+    assert(aliased.count() == 3L)
+    // computed columns survive the hinted re-read
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE hint_ord (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE,
+         |  cents AS CAST(round(o_totalprice * 100, 0) AS BIGINT)
+         |) WITH ('connector' = 'filesystem',
+         |        'path' = '${TestSpark.sfDir}/orders.parquet', 'format' = 'parquet')""".stripMargin)
+    val hinted = FlinkSql.sql(spark,
+      "SELECT cents FROM hint_ord /*+ OPTIONS('format' = 'parquet') */ LIMIT 3")
+    assert(hinted.count() == 3L)
+    // hints on non-registered names keep the accepted-and-dropped path
+    spark.range(5).toDF("id").createOrReplaceTempView("hint_plain")
+    val plain = FlinkSql.sql(spark,
+      "SELECT count(*) AS n FROM hint_plain /*+ OPTIONS('nope' = '1') */")
+    assert(plain.head().getLong(0) == 5L)
+  }
+
+  test("dynamic csv options hint switches the delimiter per query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hint_csv").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.csv"),
+      "1;a;1.5\n2;b;2.5\n".getBytes)
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE hint_csv (id BIGINT, s STRING, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/t.csv',
+         |      'format' = 'csv', 'csv.field-delimiter' = ',')""".stripMargin)
+    // with the declared comma delimiter the ;-separated lines don't parse
+    assert(spark.table("hint_csv").collect().forall(_.isNullAt(2)))
+    val fixed = FlinkSql.sql(spark,
+      "SELECT id, s, v FROM hint_csv /*+ OPTIONS('csv.field-delimiter' = ';') */ ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(fixed.toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
 }
