@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Matrix-at-once vector kernels: one Expression evaluation per row
   * computes ALL plane/centroid dot products in a compiled loop, with the
@@ -90,6 +90,33 @@ object MatrixKernels {
     }
     new GenericArrayData(picked)
   }
+
+  /** max_j cos(v, refs_j) — the decontamination kernel: one compiled
+    * loop over a broadcast reference matrix per row, full cosine (both
+    * norms), so the value itself is reportable, not just the argmax.
+    * Zero-norm rows or refs contribute NaN → skipped; no refs → -1.
+    */
+  def maxCosine(v: ArrayData, refs: Array[Array[Double]],
+      rnorms: Array[Double]): Double = {
+    val vn = v.numElements()
+    var vs = 0.0
+    var i = 0
+    while (i < vn) { val x = v.getDouble(i); vs += x * x; i += 1 }
+    val vnorm = math.sqrt(vs)
+    var best = -1.0
+    var j = 0
+    while (j < refs.length) {
+      val c = refs(j)
+      val n = math.min(vn, c.length)
+      var s = 0.0
+      i = 0
+      while (i < n) { s += v.getDouble(i) * c(i); i += 1 }
+      val sim = s / (vnorm * rnorms(j))
+      if (!java.lang.Double.isNaN(sim) && sim > best) best = sim
+      j += 1
+    }
+    best
+  }
 }
 
 /** array<int> of per-table sign-LSH bucket ids for an array<double>
@@ -153,4 +180,34 @@ object CentroidTopKExpr {
       k: Int): Column =
     GraftColumnBridge.column(
       CentroidTopKExpr(GraftColumnBridge.expression(vec), cents, cnorms, k))
+}
+
+/** Max cosine of an array<double> vector column against a broadcast
+  * reference matrix — the eval-set decontamination shape: the reference
+  * side (an eval/benchmark set) is small by nature, so it rides the
+  * plan as a codegen reference object and the corpus side is ONE
+  * narrow scan with no join at all.
+  */
+case class MaxCosineExpr(child: Expression, refs: Array[Array[Double]],
+    rnorms: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    MatrixKernels.maxCosine(input.asInstanceOf[ArrayData], refs, rnorms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cref = ctx.addReferenceObj("decontamRefs", refs, "double[][]")
+    val nref = ctx.addReferenceObj("decontamNorms", rnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MatrixKernels.maxCosine($c, $cref, $nref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MaxCosineExpr {
+  def apply(vec: Column, refs: Array[Array[Double]], rnorms: Array[Double]): Column =
+    GraftColumnBridge.column(
+      MaxCosineExpr(GraftColumnBridge.expression(vec), refs, rnorms))
 }

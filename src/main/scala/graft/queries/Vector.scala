@@ -367,7 +367,33 @@ object Vector {
         .as("v")))
   }
 
+  /** Eval-set decontamination by embedding similarity (north_star — the
+    * "remove training docs too close to the benchmark" pass every
+    * pre-training pipeline runs before a model ships): vectors with
+    * vec_id < 200 stand in for the eval/benchmark set; every remaining
+    * corpus vector reports its max cosine against that set and a
+    * contaminated flag at 0.9. The eval side is SMALL BY NATURE, so it
+    * rides the plan as a broadcast reference matrix inside ONE codegen
+    * kernel ([[graft.functions.MaxCosineExpr]]) — the corpus side is a
+    * single narrow scan, no join, no shuffle: the 100 TB decontamination
+    * shape (the planted corpus adds twins of eval members, so both flag
+    * outcomes occur). DuckDB-oracled by the exhaustive cross join.
+    */
+  val q136_eval_decontam: Q = (s, d) => {
+    import s.implicits._
+    val corpus = plantedCorpus(s, d)
+    val eval = corpus.filter($"vec_id" < 200)
+      .select($"v").collect().map(_.getSeq[Double](0).toArray)
+    val norms = eval.map(v => math.sqrt(v.map(x => x * x).sum))
+    corpus.filter($"vec_id" >= 200)
+      .select($"vec_id",
+        graft.functions.MaxCosineExpr($"v", eval, norms).as("mc"))
+      .select($"vec_id", round($"mc", 6).as("max_cos"),
+        ($"mc" >= 0.9).as("contaminated"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q136_eval_decontam" -> q136_eval_decontam,
     "q128_semantic_dedup" -> q128_semantic_dedup,
     "q116_pca_project" -> q116_pca_project,
     "q115_gram_matrix" -> q115_gram_matrix,
@@ -386,6 +412,21 @@ object Vector {
   )
 
   val oracle: Map[String, String] = Map(
+    "q136_eval_decontam" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dup AS (SELECT vec_id + 1000000 AS vec_id,
+        |               list_transform(range(1, len(v) + 1),
+        |                              i -> v[i] + 0.25 * v[(i % len(v)) + 1]) AS v
+        |        FROM base),
+        |c AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c),
+        |ev AS (SELECT * FROM n WHERE vec_id < 200),
+        |tr AS (SELECT * FROM n WHERE vec_id >= 200),
+        |m AS (SELECT tr.vec_id,
+        |             max(list_dot_product(tr.v, ev.v) / (tr.nrm * ev.nrm)) AS mc
+        |      FROM tr CROSS JOIN ev GROUP BY tr.vec_id)
+        |SELECT vec_id, round(mc, 6) AS max_cos, mc >= 0.9 AS contaminated
+        |FROM m""".stripMargin,
     "q115_gram_matrix" ->
       """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |                  CAST(UNNEST(embedding) AS DOUBLE) AS v
