@@ -27,12 +27,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def viaMr(sqlText: String): LogicalPlan =
     MatchRecognize.sql(session, sqlText).queryExecution.logical
 
+  // Flink's batch join hints ([U] flink-table-planner JoinStrategy,
+  // FLIP-229: BROADCAST / SHUFFLE_HASH / SHUFFLE_MERGE / NEST_LOOP):
+  // BROADCAST and SHUFFLE_HASH are Spark's own hint names already; the
+  // other two translate. Spark ignores-with-a-warning any hint it can't
+  // honor, matching Flink's advisory hint semantics.
+  private def joinHints(sqlText: String): String =
+    raw"(?i)\bNEST_LOOP\s*\(".r.replaceAllIn(
+      raw"(?i)\bSHUFFLE_MERGE\s*\(".r.replaceAllIn(sqlText, "MERGE("),
+      "SHUFFLE_REPLICATE_NL(")
+
   private def tvf(sqlText: String): String = {
     // Flink's dynamic table options hint: applied for DDL-registered
     // tables (per-query connector override via a derived view), dropped
     // for names the registry doesn't know (other hints pass through to
     // Spark, which understands its own and warns on unknowns)
-    val noOpts = FlinkDdl.applyOptionsHints(session, sqlText)
+    val noOpts = joinHints(FlinkDdl.applyOptionsHints(session, sqlText))
     // legacy group windows lower onto the TVF form, so they run first
     val lowered =
       if (LegacyGroupWindow.containsClause(noOpts)) LegacyGroupWindow.rewrite(noOpts)

@@ -568,6 +568,31 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(want > 0 && spark.read.parquet(s"$dir/a").count() == want)
   }
 
+  test("Flink join hints translate to Spark's join strategy hints") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").createOrReplaceTempView("jh_a")
+    Seq((1L, 1.5), (2L, 2.5)).toDF("id", "v").createOrReplaceTempView("jh_b")
+    def planOf(q: String): String =
+      FlinkSql.sql(spark, q).queryExecution.executedPlan.toString
+    // SHUFFLE_MERGE → MERGE: forces a sort-merge join where tiny tables
+    // would otherwise broadcast
+    val merge = planOf("""SELECT /*+ SHUFFLE_MERGE(a) */ a.id, b.v
+      |FROM jh_a a JOIN jh_b b ON a.id = b.id""".stripMargin)
+    assert(merge.contains("SortMergeJoin"))
+    // NEST_LOOP → SHUFFLE_REPLICATE_NL (equi-condition still honored as
+    // a nested-loop predicate under the cartesian strategy)
+    val nl = planOf("""SELECT /*+ NEST_LOOP(a) */ a.id, b.v
+      |FROM jh_a a JOIN jh_b b ON a.id = b.id""".stripMargin)
+    assert(nl.contains("CartesianProduct") || nl.contains("BroadcastNestedLoop"))
+    // BROADCAST is Spark's own name — passes through
+    val bc = planOf("""SELECT /*+ BROADCAST(b) */ a.id, b.v
+      |FROM jh_a a JOIN jh_b b ON a.id = b.id""".stripMargin)
+    assert(bc.contains("BroadcastHashJoin"))
+    // results unaffected by strategy
+    assert(FlinkSql.sql(spark, """SELECT /*+ SHUFFLE_MERGE(a) */ count(*) AS n
+      |FROM jh_a a JOIN jh_b b ON a.id = b.id""".stripMargin).head().getLong(0) == 2L)
+  }
+
   test("OPTIONS hints strip; PROCTIME() computed columns resolve") {
     // Flink's dynamic table-options hint must not reach Spark's parser
     assert(FlinkSql.sql(spark,
