@@ -30,6 +30,7 @@ object GraftFunctions {
       if (exprs.length > 1) intArg(exprs(1), "bins") else 64)),
     "graft_image_header" -> (exprs => ImageHeader(exprs(0))),
     "graft_wav_header" -> (exprs => WavHeader(exprs(0))),
+    "graft_wav_stats" -> (exprs => WavStats(exprs(0))),
     "graft_mp4_header" -> (exprs => Mp4Header(exprs(0))),
     "graft_topk_indices" -> (exprs => TopKIndices(exprs(0), intArg(exprs(1), "k"))),
     "graft_shingles" -> (exprs => WordShinglesExpr(exprs(0),

@@ -63,6 +63,14 @@ object Multimodal {
   def decodeAudioMeta(df: DataFrame, contentCol: String): DataFrame =
     df.withColumn("audio", graft.functions.WavHeader(col(contentCol)))
 
+  /** Signal-level triage over 16-bit PCM WAV payloads
+    * ([[graft.functions.WavStats]]): RMS/peak loudness, silence and
+    * clipping fractions — the pre-transcription audio-curation filter,
+    * one codegen pass per row, null for other codecs.
+    */
+  def decodeAudioStats(df: DataFrame, contentCol: String): DataFrame =
+    df.withColumn("audio_stats", graft.functions.WavStats(col(contentCol)))
+
   /** Video sibling of [[decodeImageMeta]]: typed metadata from ISO-BMFF
     * (MP4/MOV/M4A) container boxes ([[graft.functions.Mp4Header]] —
     * major brand, movie timescale, duration, track count) appended as a
