@@ -43,12 +43,15 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
   * re-rendered DDL round-trips through the parser), `DESCRIBE t`
   * (registered tables get Flink-style rows incl. the watermark;
   * other names fall through to Spark), `SHOW FUNCTIONS`,
+  * `SHOW COLUMNS FROM t [[NOT] LIKE 'p']`, `SHOW VIEWS`,
   * `SHOW CATALOGS` / `SHOW DATABASES` / `USE ...` (single-catalog
   * stubs). Job management (FLIP-291): `SHOW JOBS` lists active
   * Structured Streaming queries, `STOP JOB 'id'` (id or query name;
   * WITH SAVEPOINT/DRAIN accepted) stops one gracefully. `ANALYZE
   * TABLE ... COMPUTE STATISTICS` scans and reports the row count;
-  * `TRUNCATE TABLE` empties filesystem connector tables; `CREATE/DROP
+  * `TRUNCATE TABLE` empties filesystem connector tables; row-level
+  * `DELETE FROM` / `UPDATE ... SET` (FLIP-282) rewrite filesystem
+  * connector tables via stage-and-swap; `CREATE/DROP
   * CATALOG|DATABASE` are accepted single-catalog no-ops.
   *
   * Statement splitting ignores `;` inside single-quoted literals and
@@ -86,6 +89,9 @@ object FlinkSql {
   private val showCreateRe = raw"(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*$$".r
   private val showFunctionsRe = raw"(?is)^\s*SHOW\s+(?:USER\s+)?FUNCTIONS\s*$$".r
   private val showCatalogsRe = raw"(?is)^\s*SHOW\s+CATALOGS\s*$$".r
+  private val showColumnsRe =
+    raw"(?is)^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+`?([A-Za-z_]\w*)`?\s*(?:(NOT\s+)?LIKE\s+'([^']*)')?\s*$$".r
+  private val showViewsRe = raw"(?is)^\s*SHOW\s+VIEWS\s*$$".r
   private val showDatabasesRe = raw"(?is)^\s*SHOW\s+(?:DATABASES|SCHEMAS)\s*$$".r
   private val useRe = raw"(?is)^\s*USE\s+\S.*$$".r
   private val createViewRe =
@@ -227,6 +233,25 @@ object FlinkSql {
       case showCatalogsRe() =>
         import spark.implicits._
         Seq("default_catalog").toDF("catalog name")
+      case showColumnsRe(name, not, pat) =>
+        // Flink's SHOW COLUMNS FROM t [NOT] LIKE 'p' — DESCRIBE's shape
+        // filtered on the column name by SQL LIKE pattern
+        val desc = sql(spark, s"DESCRIBE $name")
+        val first = desc.columns.head
+        Option(pat) match {
+          case None => desc
+          case Some(p) =>
+            val m = org.apache.spark.sql.functions.col(s"`$first`").like(p)
+            desc.filter(if (not == null) m else !m)
+        }
+      case showViewsRe() =>
+        // views land in the temp-view registry; DDL-registered connector
+        // tables are temp views too, so subtract them
+        import spark.implicits._
+        val ddl = graft.plans.FlinkDdl.registeredTables(spark).keySet
+        spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && !ddl.contains(t.name.toLowerCase))
+          .map(_.name.toLowerCase).toSeq.distinct.sorted.toDF("view name")
       case showDatabasesRe() =>
         import spark.implicits._
         Seq("default_database").toDF("database name")

@@ -608,6 +608,88 @@ object FlinkDdl {
     df.count()
   }
 
+  private val deleteRe =
+    raw"(?is)^\s*DELETE\s+FROM\s+`?([A-Za-z_]\w*)`?(?:\s+WHERE\s+(.+?))?\s*$$".r
+  private val updateRe =
+    raw"(?is)^\s*UPDATE\s+`?([A-Za-z_]\w*)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*$$".r
+
+  /** True iff `sqlText` is a row-level DELETE/UPDATE against a table
+    * this session's DDL registered (FLIP-282).
+    */
+  def isRowLevel(spark: SparkSession, sqlText: String): Boolean =
+    (deleteRe.findFirstMatchIn(sqlText).map(_.group(1)) orElse
+      updateRe.findFirstMatchIn(sqlText).map(_.group(1)))
+      .exists(n => registered(spark, n).isDefined)
+
+  /** Row-level DELETE FROM / UPDATE ... SET (the reference's batch
+    * row-level modifications, FLIP-282 / 1.17+ [U] flink-table-api
+    * SupportsRowLevelDelete/Update): supported for filesystem connector
+    * tables, Flink's "rewrite the files" strategy made explicit — the
+    * surviving/updated rows stage to a sibling directory FIRST (a
+    * lazy-plan overwrite of the path being read would corrupt it), then
+    * swap in via filesystem rename, then the view re-registers. The
+    * WHERE condition evaluates against the full view (computed columns
+    * usable in predicates); only physical columns persist, and UPDATE
+    * may only assign physical columns, like the reference. Returns the
+    * affected-row count (Flink's OkStatus row count).
+    */
+  def executeRowLevel(spark: SparkSession, sqlText: String): Long = {
+    val (name, setClause, where, isDelete) =
+      deleteRe.findFirstMatchIn(sqlText) match {
+        case Some(d) => (d.group(1), null, Option(d.group(2)), true)
+        case None =>
+          val u = updateRe.findFirstMatchIn(sqlText)
+            .getOrElse(fail("not a DELETE/UPDATE statement"))
+          (u.group(1), u.group(2), Option(u.group(3)), false)
+      }
+    val (connector, path, fmt, schema) = registered(spark, name)
+      .getOrElse(fail(s"unknown table $name"))
+    if (connector != "filesystem")
+      fail(s"${if (isDelete) "DELETE" else "UPDATE"} supports filesystem tables, not '$connector'")
+    if (cdcDecoders.contains(fmt))
+      fail("row-level modifications over CDC-format tables are not supported " +
+        "(the changelog IS the modification record)")
+    val view = spark.table(name)
+    val cond = where.map(expr).getOrElse(lit(true))
+    val affected = view.filter(cond).count()
+    val physical = schema.fields.toSeq
+    val out: DataFrame =
+      if (isDelete) {
+        // survivors: rows where the condition is false OR null (SQL
+        // DELETE removes only definite matches)
+        view.filter(!coalesce(cond, lit(false)))
+          .select(physical.map(f => col(f.name)): _*)
+      } else {
+        val assigns = WindowTvf.splitArgs(setClause).map { a =>
+          val mm = raw"(?is)^`?([A-Za-z_]\w*)`?\s*=\s*(.+)$$".r.findFirstMatchIn(a)
+            .getOrElse(fail(s"unsupported SET clause `$a`"))
+          mm.group(1) -> mm.group(2)
+        }.toMap
+        assigns.keys.find(c => !schema.fieldNames.contains(c)).foreach(c =>
+          fail(s"UPDATE SET `$c`: not a physical column of $name"))
+        val hit = coalesce(cond, lit(false))
+        view.select(physical.map { f =>
+          assigns.get(f.name)
+            .map(e => when(hit, expr(e).cast(f.dataType)).otherwise(col(f.name))
+              .as(f.name))
+            .getOrElse(col(f.name))
+        }: _*)
+      }
+    // stage → swap: materialize the rewrite BEFORE touching the source
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
+    val stage = new org.apache.hadoop.fs.Path(path + "__rowlevel_stage")
+    out.write.format(fmt).partitionBy(partitionsOf(spark, name): _*)
+      .mode("overwrite").save(stage.toString)
+    if (!fs.delete(target, true) && fs.exists(target))
+      fail(s"could not replace '$path'")
+    if (!fs.rename(stage, target)) fail(s"could not swap staged rewrite into '$path'")
+    readFs(spark, fmt, schema, path, Map.empty).createOrReplaceTempView(name)
+    spark.catalog.refreshTable(name)
+    affected
+  }
+
   /** Streaming INSERT INTO — Flink's actual deployment shape: the
     * SELECT's DDL-registered filesystem sources become `readStream`s
     * (with their declared watermarks) and the sink becomes a

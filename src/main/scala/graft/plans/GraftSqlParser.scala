@@ -71,6 +71,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     if (FlinkDdl.isInsert(session, sqlText)) return FlinkInsertCommand(sqlText)
     if (FlinkDdl.isDrop(session, sqlText)) return FlinkDropCommand(sqlText)
     if (FlinkDdl.isTruncate(session, sqlText)) return FlinkTruncateCommand(sqlText)
+    if (FlinkDdl.isRowLevel(session, sqlText)) return FlinkRowLevelCommand(sqlText)
     val t = tvf(sqlText)
     if (MatchRecognize.containsClause(t)) viaMr(t)
     else if (SystemTimeJoin.containsClause(t))
@@ -153,4 +154,16 @@ case class FlinkTruncateCommand(sqlText: String) extends LeafRunnableCommand {
     AttributeReference("table_name", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row("OK", FlinkDdl.executeTruncate(spark, sqlText)))
+}
+
+/** Row-level `DELETE FROM` / `UPDATE ... SET` on a DDL-registered
+  * filesystem table (FLIP-282) — stages the rewrite, swaps it in, and
+  * reports the affected-row count at execution time.
+  */
+case class FlinkRowLevelCommand(sqlText: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("result", StringType, nullable = false)(),
+    AttributeReference("rows_affected", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row("OK", FlinkDdl.executeRowLevel(spark, sqlText)))
 }

@@ -540,6 +540,77 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not DDL-registered"))
   }
 
+  test("row-level DELETE and UPDATE rewrite filesystem tables (FLIP-282)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rowlevel").toString
+    Tables.orders(spark, TestSpark.sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders")
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE rl_orders (
+         |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+         |  bucket AS CAST(o_orderkey % 10 AS BIGINT)
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/orders',
+         |        'format' = 'parquet')""".stripMargin)
+    val total = spark.table("rl_orders").count()
+    val cheap = spark.table("rl_orders")
+      .filter(col("o_totalprice") < 50000).count()
+    assert(total > 0 && cheap > 0 && cheap < total)
+
+    // DELETE with a computed column in the predicate
+    val inBucket = spark.table("rl_orders").filter(col("bucket") === 3).count()
+    val del = FlinkSql.sql(spark, "DELETE FROM rl_orders WHERE bucket = 3")
+    assert(del.head().getLong(1) == inBucket)
+    assert(spark.table("rl_orders").count() == total - inBucket)
+
+    // UPDATE with WHERE: doubling the cheap rows raises the total by
+    // exactly the cheap rows' sum; untouched rows stay bit-identical
+    def priceSum() = spark.table("rl_orders")
+      .agg(sum("o_totalprice")).head().getDouble(0)
+    val sumBefore = priceSum()
+    val cheapSum = spark.table("rl_orders")
+      .filter(col("o_totalprice") < 50000)
+      .agg(sum("o_totalprice")).head().getDouble(0)
+    val nCheap = spark.table("rl_orders")
+      .filter(col("o_totalprice") < 50000).count()
+    val upd = FlinkSql.sql(spark,
+      "UPDATE rl_orders SET o_totalprice = o_totalprice * 2 WHERE o_totalprice < 50000")
+    assert(upd.head().getLong(1) == nCheap)
+    assert(math.abs(priceSum() - (sumBefore + cheapSum)) < 1e-6 * sumBefore)
+    // UPDATE without WHERE touches every row
+    val all = FlinkSql.sql(spark, "UPDATE rl_orders SET o_custkey = 1")
+    assert(all.head().getLong(1) == total - inBucket)
+    assert(spark.table("rl_orders").select("o_custkey").distinct().count() == 1)
+
+    // row-level ops on non-filesystem connectors reject
+    FlinkDdl.execute(spark,
+      "CREATE TABLE rl_gen (id BIGINT) WITH ('connector' = 'datagen')")
+    val e = intercept[Exception](FlinkSql.sql(spark, "DELETE FROM rl_gen WHERE id = 1"))
+    assert(e.getMessage.contains("filesystem"))
+    // assigning a computed column rejects
+    val e2 = intercept[Exception](
+      FlinkSql.sql(spark, "UPDATE rl_orders SET bucket = 1"))
+    assert(e2.getMessage.contains("physical"))
+  }
+
+  test("SHOW COLUMNS and SHOW VIEWS surface the catalog shape") {
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE sc_orders (o_orderkey BIGINT, o_totalprice DOUBLE)
+         |WITH ('connector' = 'filesystem',
+         |      'path' = '${TestSpark.sfDir}/orders.parquet', 'format' = 'parquet')""".stripMargin)
+    val cols = FlinkSql.sql(spark, "SHOW COLUMNS FROM sc_orders")
+      .collect().map(_.getString(0)).toSeq
+    assert(cols == Seq("o_orderkey", "o_totalprice"))
+    val liked = FlinkSql.sql(spark, "SHOW COLUMNS FROM sc_orders LIKE '%price%'")
+      .collect().map(_.getString(0)).toSeq
+    assert(liked == Seq("o_totalprice"))
+    val notLiked = FlinkSql.sql(spark, "SHOW COLUMNS FROM sc_orders NOT LIKE '%price%'")
+      .collect().map(_.getString(0)).toSeq
+    assert(notLiked == Seq("o_orderkey"))
+    FlinkSql.sql(spark, "CREATE VIEW sc_view AS SELECT o_orderkey FROM sc_orders")
+    val views = FlinkSql.sql(spark, "SHOW VIEWS").collect().map(_.getString(0)).toSet
+    assert(views.contains("sc_view") && !views.contains("sc_orders"))
+  }
+
   test("dynamic table options hint overrides connector options per query") {
     FlinkDdl.execute(spark,
       """CREATE TABLE hint_gen (id BIGINT, name STRING)
