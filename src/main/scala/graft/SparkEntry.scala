@@ -39,8 +39,9 @@ object SparkEntry {
     * q56_ivf_topk, q102_ivf2_topk (hash-seeded LSH / sampled centroids),
     * q116_pca_project (power-iteration eigenvectors),
     * q128_semantic_dedup (trained k-means cells),
-    * q134_quality_classifier (iterative GD training)
-    * and q48_winnow_fingerprints (rolling-hash minima): all ten are
+    * q134_quality_classifier (iterative GD training),
+    * q140_bpe_train (iterative argmax merge loop)
+    * and q48_winnow_fingerprints (rolling-hash minima): all eleven are
     * deterministic and pinned to committed golden CSVs (GoldenSpec /
     * graft.tools.Golden.pinned); q67_approx_aggs (engine-specific
     * sketches) is tolerance-spec'd in ApproxSpec.

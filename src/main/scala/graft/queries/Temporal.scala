@@ -621,6 +621,57 @@ object Temporal {
         | AND L.user_id = R.user_id""".stripMargin))
   }
 
+  /** Window LEFT OUTER join in SQL ([U] flink-table-planner
+    * StreamExecWindowJoin — Flink's window joins support INNER / LEFT /
+    * RIGHT / FULL / SEMI / ANTI; q135 covers INNER, this covers LEFT):
+    * every view row keeps its (10-minute window, user) identity even
+    * when no click shares the window — the unmatched side is NULL, the
+    * Flink left-window-join contract. The rewrite leaves an ordinary
+    * null-producing shuffle-hash equi-join on (window_start, window_end,
+    * user_id); AQE-eligible, no custom operator.
+    */
+  val q137_window_outer_join: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    e.filter(col("event_type") === "view").createOrReplaceTempView("q137_views")
+    e.filter(col("event_type") === "click").createOrReplaceTempView("q137_clicks")
+    s.sql(graft.plans.WindowTvf.rewrite(
+      """SELECT L.window_start, L.user_id,
+        | L.event_id AS view_id, R.event_id AS click_id,
+        | round(L.value + coalesce(R.value, 0.0), 2) AS pair_value
+        |FROM TABLE(TUMBLE(TABLE q137_views, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) L
+        |LEFT JOIN TABLE(TUMBLE(TABLE q137_clicks, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) R
+        |  ON L.window_start = R.window_start AND L.window_end = R.window_end
+        | AND L.user_id = R.user_id""".stripMargin))
+  }
+
+  /** Window SEMI + ANTI join in SQL ([U] flink-table-planner
+    * StreamExecWindowJoin semi/anti variants — Flink expresses them as
+    * [NOT] EXISTS / IN with both sides window-TVF'd): view rows tagged by
+    * whether the same (10-minute window, user) also saw a click. The
+    * EXISTS side plans as LeftSemi and the NOT EXISTS side as LeftAnti —
+    * exactly the physical shapes Flink's window semi/anti joins use; the
+    * correlated subquery's TVF span goes through the same text rewrite.
+    */
+  val q138_window_semi_anti: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    e.filter(col("event_type") === "view").createOrReplaceTempView("q138_views")
+    e.filter(col("event_type") === "click").createOrReplaceTempView("q138_clicks")
+    s.sql(graft.plans.WindowTvf.rewrite(
+      """SELECT L.window_start, L.user_id, L.event_id AS view_id, 'has_click' AS kind
+        |FROM TABLE(TUMBLE(TABLE q138_views, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) L
+        |WHERE EXISTS (
+        |  SELECT 1 FROM TABLE(TUMBLE(TABLE q138_clicks, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) R
+        |  WHERE R.window_start = L.window_start AND R.window_end = L.window_end
+        |    AND R.user_id = L.user_id)
+        |UNION ALL
+        |SELECT L.window_start, L.user_id, L.event_id AS view_id, 'no_click' AS kind
+        |FROM TABLE(TUMBLE(TABLE q138_views, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) L
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM TABLE(TUMBLE(TABLE q138_clicks, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) R
+        |  WHERE R.window_start = L.window_start AND R.window_end = L.window_end
+        |    AND R.user_id = L.user_id)""".stripMargin))
+  }
+
   /** Flink's windowed Top-N SQL pattern ([U] flink-table-runtime
     * rank/WindowRankOperator; the docs' canonical "top N per window"
     * recipe): ROW_NUMBER over (PARTITION BY window_start) on top of a
@@ -797,6 +848,8 @@ object Temporal {
     "q76_window_tvf_sql" -> q76_window_tvf_sql,
     "q133_window_grouping_sets" -> q133_window_grouping_sets,
     "q135_window_join_sql" -> q135_window_join_sql,
+    "q137_window_outer_join" -> q137_window_outer_join,
+    "q138_window_semi_anti" -> q138_window_semi_anti,
     "q101_window_topn_sql" -> q101_window_topn_sql,
     "q73_match_recognize_sql" -> q73_match_recognize_sql,
     "q103_mr_alternation" -> q103_mr_alternation,
@@ -923,6 +976,31 @@ object Temporal {
         |       v.user_id, v.event_id AS view_id, c.event_id AS click_id,
         |       round(v.value + c.value, 2) AS pair_value
         |FROM v JOIN c ON v.k = c.k AND v.user_id = c.user_id""".stripMargin,
+    "q137_window_outer_join" ->
+      """WITH v AS (SELECT user_id, event_id, value,
+        |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 600 AS k
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id, value,
+        |             epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 600 AS k
+        |      FROM events WHERE event_type = 'click')
+        |SELECT make_timestamp(v.k * 600 * 1000000) AS window_start,
+        |       v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |       round(v.value + coalesce(c.value, 0.0), 2) AS pair_value
+        |FROM v LEFT JOIN c ON v.k = c.k AND v.user_id = c.user_id""".stripMargin,
+    "q138_window_semi_anti" ->
+      """WITH v AS (SELECT user_id, event_id,
+        |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 600 AS k
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id,
+        |             epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 600 AS k
+        |      FROM events WHERE event_type = 'click')
+        |SELECT make_timestamp(v.k * 600 * 1000000) AS window_start,
+        |       v.user_id, v.event_id AS view_id, 'has_click' AS kind
+        |FROM v WHERE EXISTS (SELECT 1 FROM c WHERE c.k = v.k AND c.user_id = v.user_id)
+        |UNION ALL
+        |SELECT make_timestamp(v.k * 600 * 1000000) AS window_start,
+        |       v.user_id, v.event_id AS view_id, 'no_click' AS kind
+        |FROM v WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.k = v.k AND c.user_id = v.user_id)""".stripMargin,
     "q133_window_grouping_sets" ->
       """WITH e AS (SELECT event_type, value,
         |                  epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 // 600 AS k

@@ -606,7 +606,59 @@ object Text {
         round(avg(($"pred" === $"y").cast("double")), 4).as("accuracy"))
   }
 
+  /** DSIR-style importance weighting (north_star data selection — the
+    * hashed n-gram importance-resampling recipe of Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling":
+    * score raw documents by how target-like their hashed token
+    * distribution is). Features are 256 buckets keyed by the first two
+    * hex chars of md5(term) — a hash both engines share verbatim — with
+    * the target distribution taken from the `lang = 'en'` slice and the
+    * raw distribution from the whole corpus, add-1 smoothed. Per-doc
+    * weight = mean over tokens of ln(p_target(b)/p_raw(b)).
+    *
+    * The 100 TB shape: ONE tokenize+bucket pass over the corpus, two
+    * ≤256-row distribution aggregates, the log-ratio table broadcast
+    * back, and one (doc, bucket)-keyed aggregate — the text itself never
+    * joins or re-shuffles, and every reduction is mergeable map-side.
+    */
+  val q139_dsir_weights: Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"source",
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .withColumn("b", substring(md5($"term"), 1, 2))
+    val db = toks.groupBy($"doc_id", $"lang", $"source", $"b")
+      .agg(count(lit(1)).as("n"))
+    val raw = db.groupBy($"b").agg(sum($"n").as("cr"))
+    val tgt = db.filter($"lang" === "en").groupBy($"b").agg(sum($"n").as("ct"))
+    val rt = raw.agg(sum($"cr").as("rt"))
+    val tt = tgt.agg(sum($"ct").as("tt"))
+    val ratio = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(rt)).crossJoin(broadcast(tt))
+      .select($"b", log((($"ct" + 1.0) / ($"tt" + 256.0)) /
+        (($"cr" + 1.0) / ($"rt" + 256.0))).as("lr"))
+    db.join(broadcast(ratio), "b")
+      .groupBy($"doc_id", $"lang", $"source")
+      .agg(sum($"n").cast("long").as("n_tok"),
+        // + 0.0 normalizes IEEE negative zero after rounding (DuckDB parity)
+        (rate(sum($"n" * $"lr") / sum($"n")) + lit(0.0)).as("w"))
+  }
+
+  /** Tokenizer vocabulary induction (north_star tokenizer work): the top
+    * 20 BPE merges learned on the corpus — see [[graft.operators.BpeTrain]]
+    * for the algorithm and the 100 TB shape (one corpus scan to a word
+    * histogram; the merge loop iterates on the histogram only).
+    * Golden-pinned (iterative argmax training is not SQL-expressible);
+    * BpeSpec re-derives the table with an independent in-memory reference
+    * implementation and checks the greedy-merge contract.
+    */
+  val q140_bpe_train: Q = (s, d) =>
+    graft.operators.BpeTrain.trainOnCorpus(s, Tables.documents(s, d), "text", 20)
+
   val queries: Map[String, Q] = Map(
+    "q140_bpe_train" -> q140_bpe_train,
+    "q139_dsir_weights" -> q139_dsir_weights,
     "q134_quality_classifier" -> q134_quality_classifier,
     "q130_source_kl" -> q130_source_kl,
     "q129_zipf_fit" -> q129_zipf_fit,
@@ -637,6 +689,24 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q139_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |                  UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |           FROM documents),
+        |bk AS (SELECT doc_id, lang, source, substr(md5(term), 1, 2) AS b FROM t),
+        |db AS (SELECT doc_id, lang, source, b, count(*) AS n FROM bk GROUP BY 1, 2, 3, 4),
+        |raw AS (SELECT b, sum(n) AS cr FROM db GROUP BY 1),
+        |tgt AS (SELECT b, sum(n) AS ct FROM db WHERE lang = 'en' GROUP BY 1),
+        |rt AS (SELECT sum(cr) AS rt FROM raw),
+        |tt AS (SELECT sum(ct) AS tt FROM tgt),
+        |r AS (SELECT raw.b,
+        |             ln(((coalesce(ct, 0) + 1.0) / (tt + 256.0))
+        |                / ((cr + 1.0) / (rt + 256.0))) AS lr
+        |      FROM raw LEFT JOIN tgt USING (b), rt, tt)
+        |SELECT doc_id, lang, source, CAST(sum(n) AS BIGINT) AS n_tok,
+        |       round(sum(n * lr) / sum(n), 4) + 0.0 AS w
+        |FROM db JOIN r USING (b)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q129_zipf_fit" ->
       """WITH t AS (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents),
         |f AS (SELECT term, count(*) AS c FROM t GROUP BY 1),

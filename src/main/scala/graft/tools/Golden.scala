@@ -23,7 +23,8 @@ object Golden {
     "q102_ivf2_topk",
     "q116_pca_project",
     "q128_semantic_dedup",
-    "q134_quality_classifier")
+    "q134_quality_classifier",
+    "q140_bpe_train")
 
   def canonical(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted

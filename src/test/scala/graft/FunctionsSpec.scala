@@ -75,8 +75,8 @@ class FunctionsSpec extends AnyFunSuite {
     // unit-level: the extension registers exactly the declared builders
     val names = graft.functions.GraftFunctions.builders.map(_._1).toSet
     assert(names == Set("graft_dot", "graft_winnow", "graft_byte_histogram",
-      "graft_image_header", "graft_wav_header", "graft_mp4_header", "graft_topk_indices",
-      "graft_shingles",
+      "graft_image_header", "graft_wav_header", "graft_wav_stats", "graft_mp4_header",
+      "graft_topk_indices", "graft_shingles",
       // the Flink-named dialect pack rides the same injection path
       "split_index", "from_base64", "to_base64", "json_value", "json_query",
       "json_exists", "truncate", "to_timestamp_ltz", "single_value",
