@@ -106,6 +106,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q137: window left join is a null-producing equi-join, not a nested loop") {
+    val p = planOf("q137_window_outer_join")
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q138: window EXISTS/NOT EXISTS plan as LeftSemi + LeftAnti equi-joins") {
+    val p = planOf("q138_window_semi_anti")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q139: the 256-bucket log-ratio table joins back as a broadcast") {
+    val p = planOf("q139_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q86: UNNEST lowers to a pre-shuffle generate (explode before the agg exchange)") {
     val p = planOf("q86_unnest_sql")
     assert(p.contains("Generate explode"))
@@ -188,10 +207,11 @@ class PlanSpec extends AnyFunSuite {
   test("plan audit: no cartesian/nested-loop join outside the declared whitelist") {
     // q33: the all-pairs correctness oracle (declared role); q36: theta
     // join is nested-loop by definition; q91/q126/q130: 1-row scalar
-    // (corpus count / Σ√count normalizer / global token total) BNLJ
-    // broadcast. Everything else must stay equi-join shaped.
+    // (corpus count / Σ√count normalizer / global token total / DSIR
+    // raw+target totals) BNLJ broadcast. Everything else must stay
+    // equi-join shaped.
     val allowed = Set("q33_cosine_topk", "q36_theta_join", "q91_tfidf_topterms",
-      "q126_mixture_sample", "q130_source_kl")
+      "q126_mixture_sample", "q130_source_kl", "q139_dsir_weights")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
