@@ -448,4 +448,63 @@ class StreamingSpec extends AnyFunSuite {
         s"drifted shard must spike: $got")
     } finally q.stop()
   }
+
+  test("streaming window join: only same-window pairs emit, equal to the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = graft.streaming.WindowJoin.tumbling(
+      views.toDF(), clicks.toDF(), "user_id", "ts", "1 minute", "10 seconds")
+      .select($"user_id", $"l_event_id".as("v_id"), $"r_event_id".as("c_id"))
+    val name = nextName()
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      val vRows = Seq(ev(1, 1010, user = 1, typ = "view"), ev(2, 1050, user = 1, typ = "view"),
+        ev(3, 1070, user = 1, typ = "view"), ev(4, 1015, user = 3, typ = "view"))
+      val cRows = Seq(ev(10, 1030, user = 1), ev(11, 1080, user = 1), ev(12, 1040, user = 2))
+      views.addData(vRows: _*)
+      clicks.addData(cRows: _*)
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // window [960,1020): views 1,4 — no same-window click (click 12 is
+      // user 2); [1020,1080): views 2,3 × click 10 (user 1); [1080,1140):
+      // click 11 has no view in ITS window
+      assert(got == Set((1L, 2L, 10L), (1L, 3L, 10L)), s"got $got")
+      // batch fold of the same rows through the same builder must agree
+      val batch = graft.streaming.WindowJoin.tumbling(
+        vRows.toDF(), cRows.toDF(), "user_id", "ts", "1 minute", "10 seconds")
+        .select($"user_id", $"l_event_id", $"r_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("streaming window LEFT join: unmatched row null-pads once its window closes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = graft.streaming.WindowJoin.tumbling(
+      views.toDF(), clicks.toDF(), "user_id", "ts", "1 minute", "10 seconds", "left_outer")
+      .select($"user_id", $"l_event_id".as("v_id"), $"r_event_id".as("c_id"))
+    val name = nextName()
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      views.addData(ev(1, 1030, user = 1, typ = "view"), ev(2, 1040, user = 2, typ = "view"))
+      clicks.addData(ev(10, 1050, user = 1))
+      q.processAllAvailable()
+      val early = spark.table(name).collect()
+      assert(early.exists(r => r.getLong(1) == 1L && r.getLong(2) == 10L))
+      assert(!early.exists(r => r.getLong(1) == 2L), "null row must wait for window close")
+      // advance both watermarks far past the window
+      views.addData(ev(98, 2000, user = 9, typ = "view"))
+      clicks.addData(ev(99, 2000, user = 9))
+      q.processAllAvailable()
+      val late = spark.table(name).collect().filter(_.getLong(1) == 2L)
+      assert(late.length == 1 && late.head.isNullAt(2),
+        s"expected one null-padded row for the clickless view; got ${late.toSeq}")
+    } finally q.stop()
+  }
 }
