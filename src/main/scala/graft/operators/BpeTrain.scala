@@ -53,6 +53,11 @@ object BpeTrain {
       .map { case (w, c) => (w.map(_.toString).toIndexedSeq :+ "</w>", c) }
       .toDF("syms", "c")
       .localCheckpoint(true)
+    // truncate lineage every few merges, not every merge: between
+    // checkpoints the upstream is ≤3 in-memory maps over the
+    // vocabulary-sized frame, and skipping the per-iteration
+    // materialization job roughly halves the loop's scheduling cost
+    var lastCkpt = vocab
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var k = 1
     var done = false
@@ -71,16 +76,19 @@ object BpeTrain {
       else {
         val (l, r, cnt) = top.head
         merges += Merge(k, l, r, cnt)
-        val next = vocab.as[(Seq[String], Long)]
+        var next = vocab.as[(Seq[String], Long)]
           .map { case (syms, c) => (applyMerge(syms.toIndexedSeq, l, r), c) }
           .toDF("syms", "c")
-          .localCheckpoint(true)
-        vocab.unpersist()
+        if (k % 4 == 0) {
+          next = next.localCheckpoint(true)
+          lastCkpt.unpersist()
+          lastCkpt = next
+        }
         vocab = next
         k += 1
       }
     }
-    vocab.unpersist()
+    lastCkpt.unpersist()
     merges.toSeq
   }
 
