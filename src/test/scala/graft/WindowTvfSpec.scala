@@ -243,4 +243,36 @@ class WindowTvfSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("INTERVAL"))
   }
+
+  test("HOP window join: replicated rows pair only within a shared window") {
+    val df = events
+    df.filter(col("event_type") === "view").createOrReplaceTempView("tvf_hj_v")
+    df.filter(col("event_type") === "click").createOrReplaceTempView("tvf_hj_c")
+    val got = spark.sql(WindowTvf.rewrite(
+      """SELECT L.window_start, L.user_id, L.event_id AS v_id, R.event_id AS c_id
+        |FROM TABLE(HOP(TABLE tvf_hj_v, DESCRIPTOR(ts), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)) L
+        |JOIN TABLE(HOP(TABLE tvf_hj_c, DESCRIPTOR(ts), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)) R
+        |  ON L.window_start = R.window_start AND L.window_end = R.window_end
+        | AND L.user_id = R.user_id""".stripMargin))
+      .collect().map(_.toSeq).toSet
+    // native formulation: both sides through window() with the slide
+    def native(t: String) = df.filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"),
+        window(col("ts"), "10 minutes", "5 minutes").as("w"))
+    val want = native("view").as("L")
+      .join(native("click").as("R"), Seq("w", "user_id"))
+      .select(col("w.start"), col("user_id"), col("L.event_id"), col("R.event_id"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("window SEMI + ANTI partition every left row exactly once (q138 contract)") {
+    val d = TestSpark.sfDir
+    val both = SparkEntry.queries("q138_window_semi_anti")(spark, d)
+    val views = Tables.events(spark, d).filter(col("event_type") === "view")
+    // each view row lands in exactly one of the two branches
+    assert(both.count() == views.count())
+    assert(both.groupBy("view_id").count().filter(col("count") > 1).isEmpty)
+  }
 }
