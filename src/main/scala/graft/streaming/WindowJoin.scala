@@ -37,6 +37,13 @@ object WindowJoin {
       renamed
         .withWatermark(p + tsCol, delay)
         .withColumn("window", window(col(p + tsCol), size))
+        // the window struct is now the side's ONE event-time column (the
+        // Flink TVF likewise replaces rowtime with window_time): strip
+        // the watermark tag from the raw ts so the symmetric-hash join
+        // sees a single event-time column per side even when the caller
+        // keeps l_ts/r_ts in the output
+        .withColumn(p + tsCol,
+          col(p + tsCol).as(p + tsCol, org.apache.spark.sql.types.Metadata.empty))
     }
     side(left, "l_").join(side(right, "r_"), Seq("window", key), joinType)
   }

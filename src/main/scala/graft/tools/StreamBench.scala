@@ -22,7 +22,8 @@ object StreamBench {
     // `hdfs` swaps in the in-JVM HDFSBackedStateStoreProvider — a plain
     // windowed agg doesn't need RocksDB (only transformWithState does),
     // and the per-micro-batch state commit is the measured bottleneck
-    val hdfs = args.length > 3 && args(3) == "hdfs"
+    val hdfs = (args.length > 3 && args(3) == "hdfs") ||
+      (args.length > 4 && args(4) == "hdfs")
     val builder = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").appName("graft-streambench")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
@@ -35,29 +36,53 @@ object StreamBench {
     implicit val sqlCtx = spark.sqlContext
 
     val topn = args.length > 3 && args(3) == "topn"
+    // `wjoin` replays views and clicks into the streaming window join
+    // (two-sided symmetric-hash join state keyed by (window, user)) —
+    // the BASELINE row for stream-stream join throughput
+    val wjoin = args.length > 3 && args(3) == "wjoin"
     val rows = Tables.events(spark, dir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[E].collect().sortBy(_.ts.getTime)
     val input = MemoryStream[E]
+    val input2 = MemoryStream[E]
     // `topn` drives the transformWithState stack (keyed state + per-id
     // upsert/retract) instead of the stateless windowed agg — the
     // BASELINE row for stateful-operator throughput
-    val metric = if (topn) "stream_topn_rows_per_sec" else "stream_tumble_rows_per_sec"
+    val metric =
+      if (topn) "stream_topn_rows_per_sec"
+      else if (wjoin) "stream_wjoin_rows_per_sec"
+      else "stream_tumble_rows_per_sec"
     val out =
       if (topn)
         graft.streaming.StatefulOps.topN(
           input.toDF().select($"event_type".as("key"), $"event_id".as("id"),
             $"value".as("score")).as[graft.streaming.KeyedScored], 10)
           .toDF()
+      else if (wjoin)
+        graft.streaming.WindowJoin.tumbling(
+          input.toDF(), input2.toDF(), "user_id", "ts", "5 minutes", "10 seconds")
       else WindowOps.tumbleAgg(input.toDF().withWatermark("ts", "10 seconds"), "5 minutes")
     val q = out.writeStream.outputMode("append").format("noop").start()
     val t0 = System.nanoTime()
     try {
-      rows.grouped(batchSize).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      if (wjoin) {
+        val (views, clicks) = rows.partition(_.event_type == "view")
+        views.grouped(batchSize).zipAll(clicks.grouped(batchSize),
+          Array.empty[E], Array.empty[E]).foreach { case (v, c) =>
+          if (v.nonEmpty) input.addData(v.toIndexedSeq: _*)
+          if (c.nonEmpty) input2.addData(c.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      } else {
+        rows.grouped(batchSize).foreach { b => input.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      }
     } finally q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
-    val rps = rows.length / sec
-    println(f"""{"metric":"$metric","value":$rps%.0f,"unit":"rows/s","rows":${rows.length},"sec":$sec%.2f,"batch":$batchSize,"parts":$parts,"changelog":$changelog,"sf":"$dir"}""")
+    val fed =
+      if (wjoin) rows.count(r => r.event_type == "view" || r.event_type == "click")
+      else rows.length
+    val rps = fed / sec
+    println(f"""{"metric":"$metric","value":$rps%.0f,"unit":"rows/s","rows":$fed,"sec":$sec%.2f,"batch":$batchSize,"parts":$parts,"changelog":$changelog,"sf":"$dir"}""")
     spark.stop()
   }
 }
