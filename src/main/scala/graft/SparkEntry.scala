@@ -40,8 +40,8 @@ object SparkEntry {
     * q116_pca_project (power-iteration eigenvectors),
     * q128_semantic_dedup (trained k-means cells),
     * q134_quality_classifier (iterative GD training),
-    * q140_bpe_train (iterative argmax merge loop)
-    * and q48_winnow_fingerprints (rolling-hash minima): all eleven are
+    * q140_bpe_train / q141_bpe_encode (iterative argmax merge loop)
+    * and q48_winnow_fingerprints (rolling-hash minima): all twelve are
     * deterministic and pinned to committed golden CSVs (GoldenSpec /
     * graft.tools.Golden.pinned); q67_approx_aggs (engine-specific
     * sketches) is tolerance-spec'd in ApproxSpec.

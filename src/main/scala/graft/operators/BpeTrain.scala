@@ -92,6 +92,14 @@ object BpeTrain {
     merges.toSeq
   }
 
+  /** Token count of one word under a trained merge table, applying the
+    * merges in rank order (the BPE encode rule). */
+  def encodeCount(word: String, merges: Seq[(String, String)]): Int = {
+    var syms: IndexedSeq[String] = word.map(_.toString).toIndexedSeq :+ "</w>"
+    merges.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+    syms.length
+  }
+
   /** Train on a corpus text column: ONE corpus scan builds the word
     * histogram; the loop runs on the histogram only.
     */

@@ -656,7 +656,39 @@ object Text {
   val q140_bpe_train: Q = (s, d) =>
     graft.operators.BpeTrain.trainOnCorpus(s, Tables.documents(s, d), "text", 20)
 
+  /** Tokenizer application at corpus scale (north_star tokenizer work —
+    * the encode side of [[graft.operators.BpeTrain]]): train the 20-merge
+    * table, then encode EVERY DISTINCT WORD exactly once (vocabulary-sized
+    * typed map, the 20-merge list a closure constant) and join the
+    * per-word token counts back to the per-doc word counts — per-doc BPE
+    * token totals and chars-per-token compression without ever re-running
+    * the merge loop on corpus rows. The 100 TB shape: corpus tokenized
+    * once into (doc, word) counts; everything else is vocabulary-keyed.
+    * Golden-pinned like q140 (the trained table itself is not
+    * SQL-expressible).
+    */
+  val q141_bpe_encode: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.BpeTrain
+    val dw = Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy($"doc_id", $"lang", $"word").agg(count(lit(1)).as("cnt"))
+    val hist = dw.groupBy($"word").agg(sum($"cnt").as("c"))
+    val merges = BpeTrain.train(s, hist, 20).map(m => (m.left, m.right))
+    val enc = hist.select($"word").as[String]
+      .map(w => (w, BpeTrain.encodeCount(w, merges), w.length))
+      .toDF("word", "ntok", "nchr")
+    dw.join(enc, "word")
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"cnt").cast("long").as("n_words"),
+        sum($"cnt" * $"nchr").cast("long").as("n_chars"),
+        sum($"cnt" * $"ntok").cast("long").as("n_bpe_tokens"),
+        rate(sum($"cnt" * $"nchr") / sum($"cnt" * $"ntok")).as("chars_per_token"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q141_bpe_encode" -> q141_bpe_encode,
     "q140_bpe_train" -> q140_bpe_train,
     "q139_dsir_weights" -> q139_dsir_weights,
     "q134_quality_classifier" -> q134_quality_classifier,

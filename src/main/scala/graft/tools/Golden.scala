@@ -24,7 +24,8 @@ object Golden {
     "q116_pca_project",
     "q128_semantic_dedup",
     "q134_quality_classifier",
-    "q140_bpe_train")
+    "q140_bpe_train",
+    "q141_bpe_encode")
 
   def canonical(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted

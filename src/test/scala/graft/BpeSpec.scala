@@ -67,6 +67,15 @@ class BpeSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("encodeCount applies merges in rank order") {
+    // merges: (a,b)->ab then (ab,</w>)->ab</w>
+    val merges = Seq(("a", "b"), ("ab", "</w>"))
+    assert(BpeTrain.encodeCount("ab", merges) == 1)      // [ab</w>]
+    assert(BpeTrain.encodeCount("aab", merges) == 2)     // [a, ab</w>]
+    assert(BpeTrain.encodeCount("ba", merges) == 3)      // [b, a, </w>]
+    assert(BpeTrain.encodeCount("x", Seq.empty) == 2)    // [x, </w>]
+  }
+
   test("merges stop when no pair repeats") {
     import spark.implicits._
     val words = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "c")
