@@ -33,6 +33,8 @@ object ProbeRound11 {
       graft.queries.Text.q139_dsir_weights(spark, dir))
     time("q140_bpe_train")(
       graft.queries.Text.q140_bpe_train(spark, dir))
+    time("q141_bpe_encode")(
+      graft.queries.Text.q141_bpe_encode(spark, dir))
     spark.stop()
   }
 }
