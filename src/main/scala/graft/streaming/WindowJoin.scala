@@ -28,8 +28,30 @@ import org.apache.spark.sql.functions._
   */
 object WindowJoin {
 
+  /** Window join; `joinType` additionally accepts `left_semi` (native
+    * stream-stream semi) and `left_anti`. Structured Streaming has no
+    * stream-stream anti join, but the window shape gives an exact
+    * emulation: LEFT OUTER on (window, key) emits the null-padded row
+    * precisely when the window closes with no match — filtering to the
+    * null-padded rows IS the window anti join (same rows, same timing as
+    * Flink's). The anti output carries the left columns only.
+    */
   def tumbling(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                size: String, delay: String, joinType: String = "inner"): DataFrame = {
+    if (joinType == "left_anti") {
+      // probe column: non-nullable marker from the right side — null in
+      // the joined row ⇔ the window closed without a right match
+      val probed = tumblingImpl(left, right.withColumn("__r_probe", lit(1)),
+        key, tsCol, size, delay, "left_outer")
+      return probed.filter(col("r___r_probe").isNull)
+        .select(col("window") +: col(key) +:
+          left.columns.filterNot(_ == key).map(c => col("l_" + c)): _*)
+    }
+    tumblingImpl(left, right, key, tsCol, size, delay, joinType)
+  }
+
+  private def tumblingImpl(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                           size: String, delay: String, joinType: String): DataFrame = {
     def side(df: DataFrame, p: String): DataFrame = {
       val renamed = df.columns.foldLeft(df) { (d, c) =>
         if (c == key) d else d.withColumnRenamed(c, p + c)

@@ -507,4 +507,33 @@ class StreamingSpec extends AnyFunSuite {
         s"expected one null-padded row for the clickless view; got ${late.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming window SEMI and ANTI joins partition views by same-window clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def run(joinType: String): Set[Long] = {
+      val views = MemoryStream[Ev]
+      val clicks = MemoryStream[Ev]
+      val out = graft.streaming.WindowJoin.tumbling(
+        views.toDF(), clicks.toDF(), "user_id", "ts", "1 minute", "10 seconds", joinType)
+        .select(col("l_event_id"))
+      val name = nextName()
+      val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        // window [960,1020): view 1 (user 1, clicked), view 2 (user 2, not);
+        // window [1020,1080): view 3 (user 1, no click in that window)
+        views.addData(ev(1, 1000, user = 1, typ = "view"), ev(2, 1005, user = 2, typ = "view"),
+          ev(3, 1030, user = 1, typ = "view"))
+        clicks.addData(ev(10, 1010, user = 1))
+        q.processAllAvailable()
+        // close every window
+        views.addData(ev(98, 2000, user = 9, typ = "view"))
+        clicks.addData(ev(99, 2000, user = 9))
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getLong(0)).toSet - 98L - 99L
+      } finally q.stop()
+    }
+    assert(run("left_semi") == Set(1L), "semi: only the clicked same-window view")
+    assert(run("left_anti") == Set(2L, 3L), "anti: the clickless views, at window close")
+  }
 }
