@@ -724,15 +724,20 @@ object FlinkDdl {
     if (sources.isEmpty) fail("streaming INSERT needs at least one DDL filesystem source in the SELECT")
     sources.foreach(t => readStream(spark, t).createOrReplaceTempView(t))
     // a MATCH_RECOGNIZE clause routes onto the streaming NFA (the CEP
-    // deployment shape); everything else parses through the DIALECT
-    // chain, so window TVFs, bracket constructors, and the Flink-named
-    // functions deploy in streaming INSERTs exactly as in batch
+    // deployment shape); a window TVF routes onto the NATIVE window()
+    // grouping (WindowTvf.rewriteStreaming — the batch rewrite's derived
+    // window_start grouping cannot be watermark-tracked); everything
+    // else parses through the DIALECT chain, so bracket constructors and
+    // the Flink-named functions deploy in streaming INSERTs as in batch
     val df = try {
       if (MatchRecognize.containsClause(select))
         MatchRecognize.sqlStream(spark, select, t => spark.table(t))
       else {
+        val streamSelect =
+          if (WindowTvf.containsClause(select)) WindowTvf.rewriteStreaming(select)
+          else select
         val parser = new GraftSqlParser(spark, spark.sessionState.sqlParser)
-        org.apache.spark.sql.GraftColumnBridge.ofRows(spark, parser.parsePlan(select))
+        org.apache.spark.sql.GraftColumnBridge.ofRows(spark, parser.parsePlan(streamSelect))
       }
     } finally {
       // restore batch views for subsequent statements; the started

@@ -226,4 +226,81 @@ object WindowTvf {
            |  FROM $table))""".stripMargin
     }
   }
+
+  /** STREAMING rewrite: one TUMBLE/HOP span rewritten onto Spark's native
+    * `window()` so Structured Streaming can watermark-track the grouping
+    * (the batch [[rewrite]]'s derived `window_start` column cannot be —
+    * grouping state would never evict). Shape:
+    *
+    *  - the `TABLE(WTF(...))` span becomes a subquery projecting the
+    *    native window struct as `__gw` plus `window_start` / `window_end`
+    *    / `window_time` scalar aliases (so the user's SELECT text resolves
+    *    unchanged, and sink column names stay Flink's);
+    *  - `__gw` is prepended to the first GROUP BY after the span — the
+    *    struct carries the event-time watermark tag, which is what the
+    *    streaming aggregation checker requires; the extra key does not
+    *    change the groups (start/end are functions of the struct).
+    *
+    * Subset (clear error outside it): single span (streaming window JOINS
+    * deploy via `streaming/WindowJoin`); TUMBLE/HOP only — SESSION's
+    * native `session_window` must sit directly in the grouping (use the
+    * WindowOps/TimerOps builders), CUMULATE streams via
+    * `streaming/CumulateOps` (per-step emission).
+    */
+  def rewriteStreaming(sqlText: String): String = {
+    val ms = head.findAllMatchIn(sqlText).toSeq
+    if (ms.isEmpty) return sqlText
+    if (ms.size > 1)
+      fail("streaming supports ONE window-TVF span per statement " +
+        "(streaming window joins deploy via graft.streaming.WindowJoin)")
+    val mm = ms.head
+    val innerOpen = mm.end - 1
+    val innerClose = matchParen(sqlText, innerOpen)
+    val afterInner = sqlText.indexWhere(!_.isWhitespace, innerClose + 1)
+    if (afterInner < 0 || sqlText.charAt(afterInner) != ')')
+      fail("expected `TABLE( <fn>(...) )`")
+    val fn = mm.group(1).toUpperCase
+    val args = splitArgs(sqlText.substring(innerOpen + 1, innerClose))
+    val ts = args.lift(1).collect { case descRe(c) => c }
+      .getOrElse(fail(s"second arg of $fn must be DESCRIPTOR(<col>)"))
+    val table = args.headOption.collect { case tableRe(t) => t }
+      .getOrElse(fail(s"streaming $fn takes TABLE <name> first"))
+    val wexpr = fn match {
+      case "TUMBLE" =>
+        if (args.size < 3 || args.size > 4)
+          fail("TUMBLE takes (TABLE t, DESCRIPTOR(ts), size [, offset])")
+        val sz = seconds(args(2))
+        val off = if (args.size > 3) seconds(args(3)) else 0L
+        s"window($ts, '$sz seconds', '$sz seconds', '$off seconds')"
+      case "HOP" =>
+        if (args.size < 4 || args.size > 5)
+          fail("HOP takes (TABLE t, DESCRIPTOR(ts), slide, size [, offset])")
+        val sl = seconds(args(2))
+        val sz = seconds(args(3))
+        val off = if (args.size > 4) seconds(args(4)) else 0L
+        if (sz % sl != 0) fail("HOP size must be a multiple of slide")
+        s"window($ts, '$sz seconds', '$sl seconds', '$off seconds')"
+      case "SESSION" =>
+        fail("streaming SESSION windows use the native builders " +
+          "(graft.streaming.WindowOps / TimerOps.gapSessions) — " +
+          "session_window must sit directly in the streaming grouping")
+      case "CUMULATE" =>
+        fail("streaming CUMULATE deploys via graft.streaming.CumulateOps " +
+          "(per-step emission); the TVF text is batch parity")
+    }
+    val sub =
+      s"""(SELECT *, __gw.start AS window_start, __gw.end AS window_end,
+         |  __gw.end - INTERVAL '1' MILLISECOND AS window_time
+         | FROM (SELECT *, $wexpr AS __gw FROM $table))""".stripMargin
+    val replaced = sqlText.substring(0, mm.start) + sub + sqlText.substring(afterInner + 1)
+    // prepend the struct to the first GROUP BY after the span so the
+    // watermark-tagged column is among the grouping keys
+    val gb = raw"(?is)\bGROUP\s+BY\b".r.findAllMatchIn(replaced)
+      .find(_.start > mm.start)
+    gb match {
+      case Some(g) =>
+        replaced.substring(0, g.end) + " __gw," + replaced.substring(g.end)
+      case None => replaced // pure projection: stateless streaming map
+    }
+  }
 }

@@ -324,19 +324,33 @@ class FlinkScriptSpec extends AnyFunSuite {
     val got = spark.read.parquet(s"$dir/sink").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(got == Set((1L, "beta", 2), (2L, "delta", 2)), s"got $got")
-    // a TVF window AGGREGATE in a streaming INSERT hits Spark's own
-    // watermark-tracking error — grouping on a derived window_start
-    // cannot be evicted (SURVEY §7.4.6 delta: streaming windows go
-    // through the native builders / legacy GROUP BY instead)
-    val e = intercept[org.apache.spark.sql.AnalysisException](FlinkSql.runStream(spark,
+    // a TVF window AGGREGATE in a streaming INSERT deploys on the NATIVE
+    // window() grouping (WindowTvf.rewriteStreaming): closed windows land
+    // in the file sink as appends. A sentinel row far in the future
+    // closes the first window; the sentinel's own window stays open (the
+    // append contract — Flink's file sink behaves identically).
+    Seq((9L, t(600), "omega_end"))
+      .toDF("user_id", "ts", "s").write.mode("append").parquet(s"$dir/src")
+    val q2 = FlinkSql.runStream(spark,
       s"""CREATE TABLE dial_stream_sink2 (window_start TIMESTAMP(3), n BIGINT)
          |WITH ('connector' = 'filesystem', 'path' = '$dir/sink2',
          |      'format' = 'parquet');
          |INSERT INTO dial_stream_sink2
          |SELECT window_start, count(*) AS n
          |FROM TABLE(TUMBLE(TABLE dial_stream_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+         |GROUP BY window_start, window_end""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.awaitTermination()
+    val win = spark.read.parquet(s"$dir/sink2").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+    assert(win == Set((0L, 2L)), s"closed window [0,60) with both rows; got $win")
+    // streaming CUMULATE stays a documented delta with explicit guidance
+    val e = intercept[IllegalArgumentException](FlinkSql.runStream(spark,
+      s"""INSERT INTO dial_stream_sink2
+         |SELECT window_start, count(*) AS n
+         |FROM TABLE(CUMULATE(TABLE dial_stream_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '10' MINUTE))
          |GROUP BY window_start, window_end""".stripMargin))
-    assert(e.getMessage.contains("watermark"), e.getMessage)
+    assert(e.getMessage.contains("CumulateOps"), e.getMessage)
   }
 
   test("DESCRIBE parity: key and extras columns carry PRIMARY KEY and computed columns") {

@@ -267,6 +267,26 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("rewriteStreaming's native-window grouping equals the batch TVF rewrite") {
+    events
+    for (tvf <- Seq(
+      "TUMBLE(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '5' MINUTE)",
+      "HOP(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)")) {
+      val sqlText =
+        s"""SELECT window_start, window_end, event_type, count(*) AS n,
+           |       round(sum(value), 2) AS sum_value
+           |FROM TABLE($tvf)
+           |GROUP BY window_start, window_end, event_type""".stripMargin
+      val batch = spark.sql(WindowTvf.rewrite(sqlText)).collect().map(_.toSeq).toSet
+      val native = spark.sql(WindowTvf.rewriteStreaming(sqlText)).collect().map(_.toSeq).toSet
+      assert(native == batch, s"streaming rewrite diverges for $tvf")
+    }
+    val e = intercept[IllegalArgumentException](WindowTvf.rewriteStreaming(
+      """SELECT 1 FROM TABLE(TUMBLE(TABLE a, DESCRIPTOR(ts), INTERVAL '1' MINUTE)) L
+        |JOIN TABLE(TUMBLE(TABLE b, DESCRIPTOR(ts), INTERVAL '1' MINUTE)) R ON L.x = R.x""".stripMargin))
+    assert(e.getMessage.contains("WindowJoin"), e.getMessage)
+  }
+
   test("window SEMI + ANTI partition every left row exactly once (q138 contract)") {
     val d = TestSpark.sfDir
     val both = SparkEntry.queries("q138_window_semi_anti")(spark, d)
