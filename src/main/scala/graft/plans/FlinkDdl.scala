@@ -733,9 +733,14 @@ object FlinkDdl {
       if (MatchRecognize.containsClause(select))
         MatchRecognize.sqlStream(spark, select, t => spark.table(t))
       else {
-        val streamSelect =
-          if (WindowTvf.containsClause(select)) WindowTvf.rewriteStreaming(select)
+        // legacy GROUP BY TUMBLE/HOP lowers onto the TVF text first, so a
+        // pre-TVF Flink streaming job rides the same native-window path
+        val lowered =
+          if (LegacyGroupWindow.containsClause(select)) LegacyGroupWindow.rewrite(select)
           else select
+        val streamSelect =
+          if (WindowTvf.containsClause(lowered)) WindowTvf.rewriteStreaming(lowered)
+          else lowered
         val parser = new GraftSqlParser(spark, spark.sessionState.sqlParser)
         org.apache.spark.sql.GraftColumnBridge.ofRows(spark, parser.parsePlan(streamSelect))
       }

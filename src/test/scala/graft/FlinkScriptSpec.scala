@@ -344,6 +344,21 @@ class FlinkScriptSpec extends AnyFunSuite {
     val win = spark.read.parquet(s"$dir/sink2").collect()
       .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
     assert(win == Set((0L, 2L)), s"closed window [0,60) with both rows; got $win")
+    // a PRE-TVF Flink streaming job (legacy GROUP BY TUMBLE + selector
+    // functions) lowers onto the TVF text and rides the same native path
+    val q3 = FlinkSql.runStream(spark,
+      s"""CREATE TABLE dial_stream_sink3 (ws TIMESTAMP(3), n BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/sink3',
+         |      'format' = 'parquet');
+         |INSERT INTO dial_stream_sink3
+         |SELECT TUMBLE_START(ts, INTERVAL '1' MINUTE) AS ws, count(*) AS n
+         |FROM dial_stream_src
+         |GROUP BY TUMBLE(ts, INTERVAL '1' MINUTE)""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q3.awaitTermination()
+    val win3 = spark.read.parquet(s"$dir/sink3").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+    assert(win3 == Set((0L, 2L)), s"legacy streaming group window; got $win3")
     // streaming CUMULATE stays a documented delta with explicit guidance
     val e = intercept[IllegalArgumentException](FlinkSql.runStream(spark,
       s"""INSERT INTO dial_stream_sink2
