@@ -25,19 +25,20 @@ package graft.plans
   * (intervals map to whole seconds); HOP arg order is Flink's
   * (slide, size); CUMULATE's is (step, size); TUMBLE/HOP accept the
   * optional trailing `offset` (window alignment, = Spark window()'s
-  * startTime); named-argument syntax is not supported; `window_time`
+  * startTime); named arguments (FLIP-387 `DATA => ... , TIMECOL => ...`) normalize to
+  * positional, all-or-nothing per Flink; `window_time`
   * (the reference's window rowtime, window_end − 1 ms) IS emitted as a
   * plain column — what it cannot carry here is Spark watermark/rowtime
   * semantics (SURVEY §2.8 delta).
   * Flink window bounds are [start, end): a row at exactly `end` falls in
   * the next window, which the `div`-based bucketing reproduces.
   *
-  * Streaming note: these rewrites are BATCH SQL parity. Structured
+  * Streaming note: [[rewrite]] is BATCH SQL parity — Structured
   * Streaming only evicts window state for groupings built from its own
-  * `window()`/`session_window()` functions — grouping by a derived
-  * window_start column cannot be watermark-tracked — so streaming
-  * queries use the WindowOps/Cumulate builders (same semantics, native
-  * state management) rather than this text rewrite.
+  * `window()`/`session_window()` functions, and a derived window_start
+  * column cannot be watermark-tracked. Streaming INSERTs route through
+  * [[rewriteStreaming]] instead (TUMBLE/HOP onto native `window()`);
+  * SESSION/CUMULATE stream via the WindowOps/CumulateOps builders.
   */
 object WindowTvf {
 
@@ -77,6 +78,31 @@ object WindowTvf {
     out.result()
   }
 
+  /** Flink 1.19 named parameters (FLIP-387: `TUMBLE(DATA => TABLE t,
+    * TIMECOL => DESCRIPTOR(ts), SIZE => INTERVAL '10' MINUTE)`):
+    * normalize to positional order. All-or-nothing per Flink: mixing
+    * named and positional fails.
+    */
+  private[plans] def normalizeArgs(fn: String, args: Seq[String]): Seq[String] = {
+    val namedRe = raw"(?is)^([A-Za-z_]\w*)\s*=>\s*(.*)$$".r
+    val named = args.collect { case namedRe(k, v) => k.toUpperCase -> v.trim }
+    if (named.isEmpty) return args
+    if (named.size != args.size)
+      fail(s"$fn: mix of named and positional arguments")
+    val order = fn match {
+      case "TUMBLE"   => Seq("DATA", "TIMECOL", "SIZE", "OFFSET")
+      case "HOP"      => Seq("DATA", "TIMECOL", "SLIDE", "SIZE", "OFFSET")
+      case "CUMULATE" => Seq("DATA", "TIMECOL", "STEP", "SIZE", "OFFSET")
+      case "SESSION"  => Seq("DATA", "TIMECOL", "GAP")
+      case other      => fail(s"unknown window TVF $other")
+    }
+    val m = named.toMap
+    if (named.size != m.size) fail(s"$fn: duplicate named argument")
+    val unknown = m.keySet -- order.toSet
+    if (unknown.nonEmpty) fail(s"$fn: unknown named argument(s) ${unknown.mkString(", ")}")
+    order.flatMap(m.get)
+  }
+
   private val tableRe = raw"(?is)^TABLE\s+([A-Za-z_][\w.]*)$$".r
   private val tablePartRe =
     raw"(?is)^TABLE\s+([A-Za-z_][\w.]*)\s+PARTITION\s+BY\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)$$".r
@@ -97,7 +123,7 @@ object WindowTvf {
       if (afterInner < 0 || text.charAt(afterInner) != ')')
         fail("expected `TABLE( <fn>(...) )`")
       val fn = mm.group(1).toUpperCase
-      val args = splitArgs(text.substring(innerOpen + 1, innerClose))
+      val args = normalizeArgs(fn, splitArgs(text.substring(innerOpen + 1, innerClose)))
       val sub = buildSubquery(fn, args)
       text = text.substring(0, mm.start) + sub + text.substring(afterInner + 1)
       m = head.findFirstMatchIn(text)
@@ -260,7 +286,7 @@ object WindowTvf {
     if (afterInner < 0 || sqlText.charAt(afterInner) != ')')
       fail("expected `TABLE( <fn>(...) )`")
     val fn = mm.group(1).toUpperCase
-    val args = splitArgs(sqlText.substring(innerOpen + 1, innerClose))
+    val args = normalizeArgs(fn, splitArgs(sqlText.substring(innerOpen + 1, innerClose)))
     val ts = args.lift(1).collect { case descRe(c) => c }
       .getOrElse(fail(s"second arg of $fn must be DESCRIPTOR(<col>)"))
     val table = args.headOption.collect { case tableRe(t) => t }

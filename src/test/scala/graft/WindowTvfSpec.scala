@@ -267,6 +267,27 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("FLIP-387 named parameters normalize to positional (batch + streaming)") {
+    events
+    val positional =
+      """SELECT window_start, event_type, count(*) AS n
+        |FROM TABLE(HOP(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))
+        |GROUP BY window_start, window_end, event_type""".stripMargin
+    val named =
+      """SELECT window_start, event_type, count(*) AS n
+        |FROM TABLE(HOP(SIZE => INTERVAL '10' MINUTE, DATA => TABLE tvf_events,
+        |               SLIDE => INTERVAL '5' MINUTE, TIMECOL => DESCRIPTOR(ts)))
+        |GROUP BY window_start, window_end, event_type""".stripMargin
+    val a = spark.sql(WindowTvf.rewrite(positional)).collect().map(_.toSeq).toSet
+    val b = spark.sql(WindowTvf.rewrite(named)).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    val c = spark.sql(WindowTvf.rewriteStreaming(named)).collect().map(_.toSeq).toSet
+    assert(c == a)
+    val e = intercept[IllegalArgumentException](WindowTvf.rewrite(
+      "SELECT 1 FROM TABLE(TUMBLE(DATA => TABLE t, DESCRIPTOR(ts), INTERVAL '1' MINUTE))"))
+    assert(e.getMessage.contains("mix of named and positional"), e.getMessage)
+  }
+
   test("rewriteStreaming's native-window grouping equals the batch TVF rewrite") {
     events
     for (tvf <- Seq(
