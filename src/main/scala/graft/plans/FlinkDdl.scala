@@ -753,12 +753,20 @@ object FlinkDdl {
           .createOrReplaceTempView(t)
       }
     }
+    // Flink's INSERT maps the SELECT positionally onto the sink's
+    // declared columns (same contract as the batch path): rename so the
+    // files carry the DECLARED names whatever the SELECT aliases were
+    val sinkSchema = registered(spark, name).get._4
+    if (df.columns.length != sinkSchema.fields.length)
+      fail(s"streaming INSERT selects ${df.columns.length} columns; " +
+        s"sink $name declares ${sinkSchema.fields.length}")
+    val out = df.toDF(sinkSchema.fieldNames.toIndexedSeq: _*)
     val ckpt = checkpointDir.getOrElse(
       java.nio.file.Files.createTempDirectory(s"graft_ins_$name").toString)
     val appendOnly = df.queryExecution.analyzed.collectFirst {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.isEmpty
-    val w = df.writeStream.trigger(trigger).option("checkpointLocation", ckpt)
+    val w = out.writeStream.trigger(trigger).option("checkpointLocation", ckpt)
     connector match {
       case "filesystem" =>
         // file sinks are append-only; aggregates need a watermark so

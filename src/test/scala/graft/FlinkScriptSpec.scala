@@ -359,6 +359,22 @@ class FlinkScriptSpec extends AnyFunSuite {
     val win3 = spark.read.parquet(s"$dir/sink3").collect()
       .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
     assert(win3 == Set((0L, 2L)), s"legacy streaming group window; got $win3")
+    // Flink's INSERT maps positionally: the sink's DECLARED names win
+    // over the SELECT aliases (same contract as the batch path)
+    val q4 = FlinkSql.runStream(spark,
+      s"""CREATE TABLE dial_stream_sink4 (w_start TIMESTAMP(3), cnt BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/sink4',
+         |      'format' = 'parquet');
+         |INSERT INTO dial_stream_sink4
+         |SELECT window_start, count(*) AS n
+         |FROM TABLE(TUMBLE(TABLE dial_stream_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+         |GROUP BY window_start, window_end""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q4.awaitTermination()
+    val f4 = spark.read.parquet(s"$dir/sink4")
+    assert(f4.columns.toSeq == Seq("w_start", "cnt"), f4.columns.mkString(","))
+    assert(f4.collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet ==
+      Set((0L, 2L)))
     // streaming CUMULATE stays a documented delta with explicit guidance
     val e = intercept[IllegalArgumentException](FlinkSql.runStream(spark,
       s"""INSERT INTO dial_stream_sink2
