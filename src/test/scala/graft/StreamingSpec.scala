@@ -536,4 +536,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(run("left_semi") == Set(1L), "semi: only the clicked same-window view")
     assert(run("left_anti") == Set(2L, 3L), "anti: the clickless views, at window close")
   }
+
+  test("cascading window aggregation: 1-min windows roll up into 10-min windows in one stream") {
+    // Flink 1.19's cascading window aggregation (window_time as the outer
+    // rowtime) maps onto Spark's chained streaming window aggs: the outer
+    // window() takes the INNER WINDOW STRUCT directly, so both stateful
+    // aggs share one watermark lineage and evict correctly.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val inner = input.toDF().withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "1 minute").as("w1"), $"event_type")
+      .agg(count(lit(1)).as("n1"))
+    val outer = inner
+      .groupBy(window($"w1", "10 minutes").as("w10"), $"event_type")
+      .agg(sum($"n1").as("n"), count(lit(1)).as("n_minutes"))
+    val name = nextName()
+    val q = outer.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(ev(1, 10), ev(2, 30), ev(3, 70), ev(4, 130), ev(5, 610))
+      q.processAllAvailable()
+      input.addData(ev(99, 1300)) // close the 10-minute window [0, 600)
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select(unix_millis($"w10.start").as("ws"), $"n", $"n_minutes")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // [0,600): minutes 0 (ids 1,2), 1 (id 3), 2 (id 4) → n=4 over 3
+      // minute-buckets; [600,1200): id 5 alone — both closed by the sentinel
+      assert(got == Set((0L, 4L, 3L), (600000L, 1L, 1L)), s"got $got")
+    } finally q.stop()
+  }
 }
