@@ -616,9 +616,10 @@ object Text {
     * raw distribution from the whole corpus, add-1 smoothed. Per-doc
     * weight = mean over tokens of ln(p_target(b)/p_raw(b)).
     *
-    * The 100 TB shape: ONE tokenize+bucket pass over the corpus, two
-    * ≤256-row distribution aggregates, the log-ratio table broadcast
-    * back, and one (doc, bucket)-keyed aggregate — the text itself never
+    * The 100 TB shape: TWO corpus passes total — one 256-row bucket
+    * aggregate computing BOTH distributions at once (raw count + an
+    * en-conditional count), and one (doc, bucket)-keyed aggregate the
+    * broadcast log-ratio table joins back onto. The text itself never
     * joins or re-shuffles, and every reduction is mergeable map-side.
     */
   val q139_dsir_weights: Q = (s, d) => {
@@ -629,13 +630,15 @@ object Text {
       .withColumn("b", substring(md5($"term"), 1, 2))
     val db = toks.groupBy($"doc_id", $"lang", $"source", $"b")
       .agg(count(lit(1)).as("n"))
-    val raw = db.groupBy($"b").agg(sum($"n").as("cr"))
-    val tgt = db.filter($"lang" === "en").groupBy($"b").agg(sum($"n").as("ct"))
-    val rt = raw.agg(sum($"cr").as("rt"))
-    val tt = tgt.agg(sum($"ct").as("tt"))
-    val ratio = raw.join(tgt, Seq("b"), "left")
-      .na.fill(0L, Seq("ct"))
-      .crossJoin(broadcast(rt)).crossJoin(broadcast(tt))
+    // BOTH distributions from ONE bucket aggregate (one corpus pass — a
+    // conditional count, not a second tokenize): raw = every token,
+    // target = the en slice
+    val stats = toks.groupBy($"b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+    val tot = stats.agg(sum($"cr").as("rt"), sum($"ct").as("tt"))
+    val ratio = stats
+      .crossJoin(broadcast(tot))
       .select($"b", log((($"ct" + 1.0) / ($"tt" + 256.0)) /
         (($"cr" + 1.0) / ($"rt" + 256.0))).as("lr"))
     db.join(broadcast(ratio), "b")
