@@ -553,10 +553,14 @@ object Text {
     */
   val q130_source_kl: Q = (s, d) => {
     import s.implicits._
+    // (source, term) counts feed FOUR consumers (global dist, both
+    // totals, the final join): materialize the vocabulary-sized frame
+    // once so the corpus tokenize pass runs once, not four times
     val st = Tables.documents(s, d)
       .select($"source",
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
       .groupBy($"source", $"term").agg(count(lit(1)).as("cs"))
+      .localCheckpoint(true)
     val gl = st.groupBy($"term").agg(sum($"cs").as("cg"))
     val gtot = st.agg(sum($"cs").as("gt"))
     val stot = st.groupBy($"source").agg(sum($"cs").as("ts"))
