@@ -254,7 +254,11 @@ object Text {
     val docs = Tables.documents(s, d)
     val toks = docs.select($"doc_id",
       explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+    // the (doc, term) aggregate feeds BOTH the document-frequency rollup
+    // and the final join: materialize it once — recomputing it would
+    // repeat the tokenize AND its shuffle
     val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     tf.join(dfreq, "term")
