@@ -280,8 +280,11 @@ object Text {
     */
   val q93_contamination: Q = (s, d) => {
     import s.implicits._
+    // the self-join reads the shingle table twice: materialize the
+    // explode once instead of tokenizing the corpus on both sides
     val sh = explodedWordShingles(
       Tables.documents(s, d), Seq("doc_id", "source"), "text", 5)
+      .localCheckpoint(true)
     val a = sh.select($"source".as("src_a"), $"doc_id".as("a_id"), $"shingle")
     val b = sh.select($"source".as("src_b"), $"doc_id".as("b_id"),
       $"shingle".as("sh_b"))
@@ -370,6 +373,9 @@ object Text {
         """explode(transform(sequence(1, size(w) - 1),
           |  i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))) AS b""".stripMargin)
       .select($"doc_id", $"b.w1", $"b.w2")
+      // three consumers (unigram counts, bigram counts, the scoring
+      // join): materialize the tokenize+explode once, not three times
+      .localCheckpoint(true)
     val uni = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
     val bi = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
     bg.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
