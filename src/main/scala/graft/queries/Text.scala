@@ -82,8 +82,11 @@ object Text {
     */
   def ngramJaccard(maxDocFreq: Option[Long]): Q = (s, d) => {
     import s.implicits._
+    // the index is read by the size rollup, the optional DF filter and
+    // BOTH self-join sides: tokenize the corpus once, not four times
     val shingles = explodedWordShingles(
       Tables.documents(s, d), Seq("doc_id", "source"), "text", 3)
+      .localCheckpoint(true)
     val sz = shingles.groupBy($"doc_id", $"source").agg(count(lit(1)).as("sz"))
     val ex = shingles.join(sz, Seq("doc_id", "source"))
     val indexed = maxDocFreq match {
