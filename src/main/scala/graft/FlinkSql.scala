@@ -92,6 +92,8 @@ object FlinkSql {
   private val showColumnsRe =
     raw"(?is)^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+`?([A-Za-z_]\w*)`?\s*(?:(NOT\s+)?LIKE\s+'([^']*)')?\s*$$".r
   private val showViewsRe = raw"(?is)^\s*SHOW\s+VIEWS\s*$$".r
+  private val dropViewRe =
+    raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*$$".r
   private val showDatabasesRe = raw"(?is)^\s*SHOW\s+(?:DATABASES|SCHEMAS)\s*$$".r
   private val useRe = raw"(?is)^\s*USE\s+\S.*$$".r
   private val createViewRe =
@@ -299,10 +301,22 @@ object FlinkSql {
         if (m.group(1) != null && spark.catalog.tableExists(name))
           okRow(spark, "view", name) // IF NOT EXISTS: silently keep
         else {
-          spark.sql(createViewRe.replaceFirstIn(statement,
-            s"CREATE OR REPLACE TEMPORARY VIEW $name "))
+          val createSql = createViewRe.replaceFirstIn(statement,
+            s"CREATE OR REPLACE TEMPORARY VIEW $name ")
+          spark.sql(createSql)
+          // record the definition so streaming INSERTs can re-bind the
+          // view chain onto streaming sources (FlinkDdl.viewDefs)
+          val body = raw"(?is)^\s*AS\s+(.*)$$".r
+            .findFirstMatchIn(statement.substring(m.end)).map(_.group(1))
+            .getOrElse(statement.substring(m.end))
+          graft.plans.FlinkDdl.registerView(spark, name, createSql, body)
           okRow(spark, "view", name)
         }
+      case _ if dropViewRe.findFirstIn(statement).isDefined =>
+        val m = dropViewRe.findFirstMatchIn(statement).get
+        graft.plans.FlinkDdl.unregisterView(spark, m.group(2))
+        spark.sql(statement) // Spark handles DROP [TEMPORARY] VIEW itself
+        okRow(spark, "view", m.group(2))
       case _ =>
         val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
         GraftColumnBridge.ofRows(spark, parser.parsePlan(statement))

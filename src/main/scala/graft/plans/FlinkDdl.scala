@@ -80,6 +80,37 @@ object FlinkDdl {
       _ => new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, StructType)]())
   }
 
+  /** Flink views, in REGISTRATION ORDER (dependencies first): name →
+    * (the rewritten Spark CREATE text, the raw SELECT body). Kept so
+    * streaming INSERTs can RE-BIND a view chain onto streaming sources
+    * (a temp view captures its plan at creation — re-running the CREATE
+    * after the source swap re-resolves it against the readStreams).
+    */
+  private val viewsBySession =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.LinkedHashMap[String, (String, String)]]()
+  private def viewRegistry(spark: SparkSession) = viewsBySession.synchronized {
+    viewsBySession.computeIfAbsent(spark,
+      _ => new java.util.LinkedHashMap[String, (String, String)]())
+  }
+  def registerView(spark: SparkSession, name: String, createSql: String,
+      body: String): Unit = {
+    val r = viewRegistry(spark)
+    r.synchronized { r.remove(name.toLowerCase); r.put(name.toLowerCase, (createSql, body)) }
+  }
+  def unregisterView(spark: SparkSession, name: String): Unit = {
+    val r = viewRegistry(spark)
+    r.synchronized { r.remove(name.toLowerCase); () }
+  }
+  /** Ordered (name, createSql, body) of this session's Flink views. */
+  def viewDefs(spark: SparkSession): Seq[(String, String, String)] = {
+    val r = viewRegistry(spark)
+    r.synchronized {
+      r.entrySet().toArray(Array.empty[java.util.Map.Entry[String, (String, String)]])
+        .map(e => (e.getKey, e.getValue._1, e.getValue._2)).toSeq
+    }
+  }
+
   private val partsBySession =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, Seq[String]]]()
@@ -714,15 +745,34 @@ object FlinkDdl {
     val name = m.group(2)
     val select = applyOptionsHints(spark, m.group(4))
     val (connector, path, fmt, _) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
-    // every DDL filesystem table the SELECT references streams
+    // Flink jobs layer views over sources: collect the views the SELECT
+    // references (transitively) so their bodies join the source scan AND
+    // the view chain can re-bind onto the streaming sources below
+    val allViews = viewDefs(spark)
+    def viewRefs(text: String): Set[String] = allViews.map(_._1).filter(v =>
+      raw"(?i)\b${java.util.regex.Pattern.quote(v)}\b".r.findFirstIn(text).isDefined).toSet
+    var needed = viewRefs(select)
+    var grew = true
+    while (grew) {
+      val more = needed ++ needed.flatMap(v =>
+        viewRefs(allViews.find(_._1 == v).get._3))
+      grew = more.size != needed.size
+      needed = more
+    }
+    val neededViews = allViews.filter(t => needed(t._1))
+    val detectText = (select +: neededViews.map(_._3)).mkString(" ")
+    // every DDL filesystem table the SELECT (or a referenced view) reads
     val sources = tableRegistry(spark).entrySet().toArray(
         Array.empty[java.util.Map.Entry[String, (String, String, String, StructType)]])
       .map(_.getKey)
       .filter(t => t != name.toLowerCase &&
-        raw"(?i)\b${java.util.regex.Pattern.quote(t)}\b".r.findFirstIn(select).isDefined &&
+        raw"(?i)\b${java.util.regex.Pattern.quote(t)}\b".r.findFirstIn(detectText).isDefined &&
         registered(spark, t).exists(_._1 == "filesystem"))
     if (sources.isEmpty) fail("streaming INSERT needs at least one DDL filesystem source in the SELECT")
     sources.foreach(t => readStream(spark, t).createOrReplaceTempView(t))
+    // re-bind the referenced view chain (registration order) so each
+    // captures the STREAMING source plans
+    neededViews.foreach { case (_, createSql, _) => spark.sql(createSql) }
     // a MATCH_RECOGNIZE clause routes onto the streaming NFA (the CEP
     // deployment shape); a window TVF routes onto the NATIVE window()
     // grouping (WindowTvf.rewriteStreaming — the batch rewrite's derived
@@ -751,6 +801,11 @@ object FlinkDdl {
         val (_, p, f, schema) = registered(spark, t).get
         if (pathExists(spark, p)) readFs(spark, f, schema, p, Map.empty)
           .createOrReplaceTempView(t)
+      }
+      // re-bind the view chain back onto the batch sources (best-effort:
+      // a source whose path does not exist yet stays stream-bound)
+      neededViews.foreach { case (_, createSql, _) =>
+        try spark.sql(createSql) catch { case _: Exception => () }
       }
     }
     // Flink's INSERT maps the SELECT positionally onto the sink's

@@ -375,6 +375,26 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(f4.columns.toSeq == Seq("w_start", "cnt"), f4.columns.mkString(","))
     assert(f4.collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet ==
       Set((0L, 2L)))
+    // a VIEW CHAIN between source and INSERT re-binds onto the streaming
+    // sources (Flink jobs routinely layer views over connectors)
+    val q5 = FlinkSql.runStream(spark,
+      s"""CREATE VIEW dial_stream_v1 AS
+         |  SELECT user_id, ts, SPLIT_INDEX(s, '_', 0) AS head FROM dial_stream_src;
+         |CREATE VIEW dial_stream_v2 AS
+         |  SELECT user_id, head FROM dial_stream_v1 WHERE head <> 'omega';
+         |CREATE TABLE dial_stream_sink5 (user_id BIGINT, head STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/sink5',
+         |      'format' = 'parquet');
+         |INSERT INTO dial_stream_sink5 SELECT user_id, head FROM dial_stream_v2""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q5.awaitTermination()
+    val got5 = spark.read.parquet(s"$dir/sink5").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got5 == Set((1L, "alpha"), (2L, "gamma")), s"got $got5")
+    // after the INSERT the views are re-bound to BATCH sources for
+    // subsequent script statements
+    val batchV = spark.sql("SELECT count(*) FROM dial_stream_v2").head().getLong(0)
+    assert(batchV == 2L)
     // streaming CUMULATE stays a documented delta with explicit guidance
     val e = intercept[IllegalArgumentException](FlinkSql.runStream(spark,
       s"""INSERT INTO dial_stream_sink2
