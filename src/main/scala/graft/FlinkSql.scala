@@ -303,7 +303,9 @@ object FlinkSql {
         else {
           val createSql = createViewRe.replaceFirstIn(statement,
             s"CREATE OR REPLACE TEMPORARY VIEW $name ")
-          spark.sql(createSql)
+          // through the DIALECT parser, so view bodies may use the Flink
+          // SQL surface (bracket constructors, window TVFs, UNNEST, ...)
+          graft.plans.FlinkDdl.runDialectSql(spark, createSql)
           // record the definition so streaming INSERTs can re-bind the
           // view chain onto streaming sources (FlinkDdl.viewDefs)
           val body = raw"(?is)^\s*AS\s+(.*)$$".r

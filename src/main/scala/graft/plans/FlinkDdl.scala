@@ -102,6 +102,17 @@ object FlinkDdl {
     val r = viewRegistry(spark)
     r.synchronized { r.remove(name.toLowerCase); () }
   }
+  /** Execute one SQL statement through the DIALECT parser (text rewrites
+    * + lazy-command handling), materializing any command eagerly — used
+    * where a handler needs spark.sql semantics but Flink-dialect text.
+    */
+  def runDialectSql(spark: SparkSession, sqlText: String): Unit = {
+    val parser = new GraftSqlParser(spark, spark.sessionState.sqlParser)
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark, parser.parsePlan(sqlText))
+      .collect()
+    ()
+  }
+
   /** Ordered (name, createSql, body) of this session's Flink views. */
   def viewDefs(spark: SparkSession): Seq[(String, String, String)] = {
     val r = viewRegistry(spark)
@@ -772,7 +783,7 @@ object FlinkDdl {
     sources.foreach(t => readStream(spark, t).createOrReplaceTempView(t))
     // re-bind the referenced view chain (registration order) so each
     // captures the STREAMING source plans
-    neededViews.foreach { case (_, createSql, _) => spark.sql(createSql) }
+    neededViews.foreach { case (_, createSql, _) => runDialectSql(spark, createSql) }
     // a MATCH_RECOGNIZE clause routes onto the streaming NFA (the CEP
     // deployment shape); a window TVF routes onto the NATIVE window()
     // grouping (WindowTvf.rewriteStreaming — the batch rewrite's derived
@@ -805,7 +816,7 @@ object FlinkDdl {
       // re-bind the view chain back onto the batch sources (best-effort:
       // a source whose path does not exist yet stays stream-bound)
       neededViews.foreach { case (_, createSql, _) =>
-        try spark.sql(createSql) catch { case _: Exception => () }
+        try runDialectSql(spark, createSql) catch { case _: Exception => () }
       }
     }
     // Flink's INSERT maps the SELECT positionally onto the sink's
