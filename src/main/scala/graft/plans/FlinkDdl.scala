@@ -790,9 +790,21 @@ object FlinkDdl {
     // window_start grouping cannot be watermark-tracked); everything
     // else parses through the DIALECT chain, so bracket constructors and
     // the Flink-named functions deploy in streaming INSERTs as in batch
-    val df = try {
-      if (MatchRecognize.containsClause(select))
-        MatchRecognize.sqlStream(spark, select, t => spark.table(t))
+    // Flink's WINDOWED TOP-N streaming statement — ROW_NUMBER() OVER
+    // (PARTITION BY ... window_start ...) over a window-TVF aggregate,
+    // filtered on the rank. Structured Streaming has no stateful window-
+    // function operator, but the shape is per-closed-window work and a
+    // closed window's rows ALL emit in one micro-batch — so ranking
+    // inside foreachBatch (batch SQL over the micro-batch) IS the
+    // global per-window rank. Routed before the generic path.
+    val winTopNRe =
+      raw"(?is)ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*PARTITION\s+BY[^)]*\bwindow_start\b".r
+    val dfOrQuery = try {
+      if (WindowTvf.containsClause(select) && winTopNRe.findFirstIn(select).isDefined)
+        Right(startWindowTopN(spark, name, select, connector, path, fmt, trigger,
+          checkpointDir))
+      else if (MatchRecognize.containsClause(select))
+        Left(MatchRecognize.sqlStream(spark, select, t => spark.table(t)))
       else {
         // legacy GROUP BY TUMBLE/HOP lowers onto the TVF text first, so a
         // pre-TVF Flink streaming job rides the same native-window path
@@ -803,7 +815,7 @@ object FlinkDdl {
           if (WindowTvf.containsClause(lowered)) WindowTvf.rewriteStreaming(lowered)
           else lowered
         val parser = new GraftSqlParser(spark, spark.sessionState.sqlParser)
-        org.apache.spark.sql.GraftColumnBridge.ofRows(spark, parser.parsePlan(streamSelect))
+        Left(org.apache.spark.sql.GraftColumnBridge.ofRows(spark, parser.parsePlan(streamSelect)))
       }
     } finally {
       // restore batch views for subsequent statements; the started
@@ -818,6 +830,10 @@ object FlinkDdl {
       neededViews.foreach { case (_, createSql, _) =>
         try runDialectSql(spark, createSql) catch { case _: Exception => () }
       }
+    }
+    val df = dfOrQuery match {
+      case Right(q) => return q
+      case Left(d) => d
     }
     // Flink's INSERT maps the SELECT positionally onto the sink's
     // declared columns (same contract as the batch path): rename so the
@@ -844,6 +860,68 @@ object FlinkDdl {
         w.outputMode(if (appendOnly) "append" else "update").format("console").start()
       case other => fail(s"streaming INSERT INTO a '$other' table is not supported")
     }
+  }
+
+  /** Deploy a windowed Top-N streaming INSERT: the inner window-TVF
+    * aggregate streams on the native-window rewrite (closed windows
+    * append), and the OUTER statement text (rank + filter + projection)
+    * runs per micro-batch over a temp view of the batch — correct
+    * because a closed window's rows all arrive in one micro-batch.
+    * Requires the TVF span to sit inside a parenthesized `(SELECT ...
+    * GROUP BY ...)` subquery, the Flink windowed-Top-N statement shape.
+    */
+  private def startWindowTopN(spark: SparkSession, sinkName: String, select: String,
+      connector: String, path: String, fmt: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      checkpointDir: Option[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val (spanStart, spanEnd) = WindowTvf.firstSpan(select)
+    // innermost '(' enclosing the whole span whose body is a SELECT
+    val opens = (0 until spanStart).filter { i =>
+      select.charAt(i) == '(' &&
+        (try WindowTvf.matchParen(select, i) > spanEnd catch { case _: Exception => false })
+    }
+    val aggOpen = opens.filter { i =>
+      val body = select.substring(i + 1).dropWhile(_.isWhitespace)
+      body.toUpperCase.startsWith("SELECT")
+    }.sortBy(-_).headOption.getOrElse(
+      fail("windowed Top-N: the window TVF must sit in a (SELECT ... GROUP BY ...) subquery"))
+    val aggClose = WindowTvf.matchParen(select, aggOpen)
+    val innerText = select.substring(aggOpen + 1, aggClose)
+    if (raw"(?is)\bGROUP\s+BY\b".r.findFirstIn(innerText).isEmpty)
+      fail("windowed Top-N: the inner subquery must be a window aggregate (GROUP BY)")
+    val outerText = select.substring(0, aggOpen) + " __graft_winagg " +
+      select.substring(aggClose + 1)
+    val parser = new GraftSqlParser(spark, spark.sessionState.sqlParser)
+    val innerDf = org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+      parser.parsePlan(WindowTvf.rewriteStreaming(innerText)))
+    val sinkSchema = registered(spark, sinkName).get._4
+    // dry analysis over an empty frame: surface unresolved columns and
+    // the positional-arity mismatch at deploy time, not mid-stream
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], innerDf.schema)
+      .createOrReplaceTempView("__graft_winagg")
+    val dry = org.apache.spark.sql.GraftColumnBridge.ofRows(spark, parser.parsePlan(outerText))
+    if (dry.columns.length != sinkSchema.fields.length)
+      fail(s"streaming INSERT selects ${dry.columns.length} columns; " +
+        s"sink $sinkName declares ${sinkSchema.fields.length}")
+    val ckpt = checkpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory(s"graft_ins_$sinkName").toString)
+    innerDf.writeStream.trigger(trigger).option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s2 = batch.sparkSession
+        batch.createOrReplaceTempView("__graft_winagg")
+        val p2 = new GraftSqlParser(s2, s2.sessionState.sqlParser)
+        val res = org.apache.spark.sql.GraftColumnBridge.ofRows(s2, p2.parsePlan(outerText))
+          .toDF(sinkSchema.fieldNames.toIndexedSeq: _*)
+        connector match {
+          case "filesystem" => res.write.mode("append").format(fmt).save(path)
+          case "blackhole"  => res.write.mode("append").format("noop").save()
+          case "print"      => res.show(false)
+          case other        => fail(s"streaming INSERT INTO a '$other' table is not supported")
+        }
+        ()
+      }
+      .start()
   }
 
   private val cdcDecoders: Map[String, (org.apache.spark.sql.DataFrame, String, String) => DataFrame] = Map(

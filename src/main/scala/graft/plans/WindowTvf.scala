@@ -108,6 +108,16 @@ object WindowTvf {
     raw"(?is)^TABLE\s+([A-Za-z_][\w.]*)\s+PARTITION\s+BY\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)$$".r
   private val descRe = raw"(?is)^DESCRIPTOR\s*\(\s*([A-Za-z_]\w*)\s*\)$$".r
 
+  /** [start, end] bounds of the first `TABLE(WTF(...))` span. */
+  private[plans] def firstSpan(sqlText: String): (Int, Int) = {
+    val mm = head.findFirstMatchIn(sqlText).getOrElse(fail("no window-TVF span"))
+    val innerClose = matchParen(sqlText, mm.end - 1)
+    val afterInner = sqlText.indexWhere(!_.isWhitespace, innerClose + 1)
+    if (afterInner < 0 || sqlText.charAt(afterInner) != ')')
+      fail("expected `TABLE( <fn>(...) )`")
+    (mm.start, afterInner)
+  }
+
   /** Rewrite ALL window-TVF spans in `sqlText` to plain-Spark subqueries. */
   def rewrite(sqlText: String): String = {
     var text = sqlText

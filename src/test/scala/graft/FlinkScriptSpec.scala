@@ -395,6 +395,39 @@ class FlinkScriptSpec extends AnyFunSuite {
     // subsequent script statements
     val batchV = spark.sql("SELECT count(*) FROM dial_stream_v2").head().getLong(0)
     assert(batchV == 2L)
+    // Flink's WINDOWED TOP-N statement deploys: the inner TVF aggregate
+    // streams on native windows; the rank runs per micro-batch (all rows
+    // of a closed window emit together, so the batch rank IS the window
+    // rank); only closed windows reach the file sink
+    Seq((1L, t(5), "a"), (2L, t(10), "a"), (3L, t(15), "a"),
+      (4L, t(20), "b"), (5L, t(25), "b"), (6L, t(30), "c"),
+      (9L, t(600), "zz"))
+      .toDF("user_id", "ts", "s").write.mode("overwrite").parquet(s"$dir/topn_src")
+    val q6 = FlinkSql.runStream(spark,
+      s"""CREATE TABLE topn_src (
+         |  user_id BIGINT, ts TIMESTAMP(3), s STRING,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/topn_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE topn_sink (ws TIMESTAMP(3), s STRING, cnt BIGINT, rn BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/topn_sink',
+         |      'format' = 'parquet');
+         |INSERT INTO topn_sink
+         |SELECT window_start, s, cnt, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT window_start, window_end, s, cnt,
+         |         ROW_NUMBER() OVER (PARTITION BY window_start, window_end
+         |                            ORDER BY cnt DESC, s) AS rn
+         |  FROM (
+         |    SELECT window_start, window_end, s, count(*) AS cnt
+         |    FROM TABLE(TUMBLE(TABLE topn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+         |    GROUP BY window_start, window_end, s))
+         |WHERE rn <= 2""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q6.awaitTermination()
+    val topn = spark.read.parquet(s"$dir/topn_sink").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(topn == Set((0L, "a", 3L, 1L), (0L, "b", 2L, 2L)),
+      s"top-2 of the closed window only; got $topn")
     // streaming CUMULATE stays a documented delta with explicit guidance
     val e = intercept[IllegalArgumentException](FlinkSql.runStream(spark,
       s"""INSERT INTO dial_stream_sink2
