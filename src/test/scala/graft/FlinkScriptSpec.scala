@@ -428,6 +428,28 @@ class FlinkScriptSpec extends AnyFunSuite {
       .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(topn == Set((0L, "a", 3L, 1L), (0L, "b", 2L, 2L)),
       s"top-2 of the closed window only; got $topn")
+    // the same routing covers Flink's WINDOW DEDUPLICATION statement
+    // (rn = 1 ordered by rowtime inside the window)
+    val q7 = FlinkSql.runStream(spark,
+      s"""CREATE TABLE dedup_sink (ws TIMESTAMP(3), s STRING, first_user BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/dedup_sink',
+         |      'format' = 'parquet');
+         |INSERT INTO dedup_sink
+         |SELECT window_start, s, user_id FROM (
+         |  SELECT window_start, window_end, s, user_id,
+         |         ROW_NUMBER() OVER (PARTITION BY window_start, window_end, s
+         |                            ORDER BY min_ts, user_id) AS rn
+         |  FROM (
+         |    SELECT window_start, window_end, s, user_id, min(ts) AS min_ts
+         |    FROM TABLE(TUMBLE(TABLE topn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+         |    GROUP BY window_start, window_end, s, user_id))
+         |WHERE rn = 1""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q7.awaitTermination()
+    val dedup = spark.read.parquet(s"$dir/dedup_sink").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    assert(dedup == Set((0L, "a", 1L), (0L, "b", 4L), (0L, "c", 6L)),
+      s"first user per (window, s); got $dedup")
     // streaming CUMULATE stays a documented delta with explicit guidance
     val e = intercept[IllegalArgumentException](FlinkSql.runStream(spark,
       s"""INSERT INTO dial_stream_sink2
