@@ -37,8 +37,9 @@ package graft.plans
   * Streaming only evicts window state for groupings built from its own
   * `window()`/`session_window()` functions, and a derived window_start
   * column cannot be watermark-tracked. Streaming INSERTs route through
-  * [[rewriteStreaming]] instead (TUMBLE/HOP onto native `window()`);
-  * SESSION/CUMULATE stream via the WindowOps/CumulateOps builders.
+  * [[rewriteStreaming]] instead (TUMBLE/HOP onto native `window()`,
+  * SESSION onto native `session_window()` grouping); CUMULATE streams
+  * via the CumulateOps builder.
   */
 object WindowTvf {
 
@@ -277,10 +278,15 @@ object WindowTvf {
     *    streaming aggregation checker requires; the extra key does not
     *    change the groups (start/end are functions of the struct).
     *
+    * SESSION rewrites differently: `session_window()` must sit DIRECTLY
+    * in the grouping, so the GROUP BY's window_start/window_end keys
+    * become the session expression and remaining window_* references
+    * become field accesses on the struct (output names become the field
+    * names — the streaming INSERT's positional sink mapping restores
+    * Flink's).
+    *
     * Subset (clear error outside it): single span (streaming window JOINS
-    * deploy via `streaming/WindowJoin`); TUMBLE/HOP only — SESSION's
-    * native `session_window` must sit directly in the grouping (use the
-    * WindowOps/TimerOps builders), CUMULATE streams via
+    * deploy via `streaming/WindowJoin`); CUMULATE streams via
     * `streaming/CumulateOps` (per-step emission).
     */
   def rewriteStreaming(sqlText: String): String = {
@@ -299,8 +305,10 @@ object WindowTvf {
     val args = normalizeArgs(fn, splitArgs(sqlText.substring(innerOpen + 1, innerClose)))
     val ts = args.lift(1).collect { case descRe(c) => c }
       .getOrElse(fail(s"second arg of $fn must be DESCRIPTOR(<col>)"))
-    val table = args.headOption.collect { case tableRe(t) => t }
-      .getOrElse(fail(s"streaming $fn takes TABLE <name> first"))
+    val table = args.headOption.collect {
+      case tablePartRe(t, _) => t
+      case tableRe(t) => t
+    }.getOrElse(fail(s"streaming $fn takes TABLE <name> first"))
     val wexpr = fn match {
       case "TUMBLE" =>
         if (args.size < 3 || args.size > 4)
@@ -317,9 +325,41 @@ object WindowTvf {
         if (sz % sl != 0) fail("HOP size must be a multiple of slide")
         s"window($ts, '$sz seconds', '$sl seconds', '$off seconds')"
       case "SESSION" =>
-        fail("streaming SESSION windows use the native builders " +
-          "(graft.streaming.WindowOps / TimerOps.gapSessions) — " +
-          "session_window must sit directly in the streaming grouping")
+        // session_window() must sit DIRECTLY in the streaming grouping
+        // (Spark's SessionWindowing rule resolves it only there), so
+        // SESSION takes a different shape: the span becomes the bare
+        // table, the GROUP BY's window_start/window_end keys become the
+        // session_window expression, and remaining window_start/_end/
+        // _time references become field accesses on the struct. Output
+        // column NAMES become the field names (`start`/`end`) — the
+        // streaming INSERT path renames positionally onto the sink's
+        // declared columns, so sinks still see Flink's names.
+        val t = args.headOption.collect {
+          case tablePartRe(tn, _) => tn
+          case tableRe(tn) => tn
+        }.getOrElse(fail("SESSION takes (TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)"))
+        if (args.size != 3) fail("SESSION takes (TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)")
+        val gap = seconds(args(2))
+        val sw = s"session_window($ts, '$gap seconds')"
+        var text = sqlText.substring(0, mm.start) + t + sqlText.substring(afterInner + 1)
+        val gbm = raw"(?is)\bGROUP\s+BY\b".r.findAllMatchIn(text)
+          .find(_.start >= mm.start)
+          .getOrElse(fail("streaming SESSION needs a GROUP BY window_start, window_end aggregate"))
+        val tailStart = raw"(?is)\b(HAVING|ORDER\s+BY|LIMIT)\b".r
+          .findFirstMatchIn(text.substring(gbm.end)).map(gbm.end + _.start)
+          .getOrElse(text.length)
+        val items = splitArgs(text.substring(gbm.end, tailStart))
+        val isWin = (s: String) =>
+          s.equalsIgnoreCase("window_start") || s.equalsIgnoreCase("window_end")
+        if (!items.exists(isWin))
+          fail("streaming SESSION needs window_start/window_end among the GROUP BY keys")
+        val kept = items.filterNot(isWin)
+        text = text.substring(0, gbm.end) + " " + (sw +: kept).mkString(", ") +
+          text.substring(tailStart)
+        return replaceIdent(replaceIdent(replaceIdent(text,
+          "window_time", s"session_window.end - INTERVAL '1' MILLISECOND"),
+          "window_start", "session_window.start"),
+          "window_end", "session_window.end")
       case "CUMULATE" =>
         fail("streaming CUMULATE deploys via graft.streaming.CumulateOps " +
           "(per-step emission); the TVF text is batch parity")
@@ -338,5 +378,38 @@ object WindowTvf {
         replaced.substring(0, g.end) + " __gw," + replaced.substring(g.end)
       case None => replaced // pure projection: stateless streaming map
     }
+  }
+
+  /** Replace whole-word occurrences of `ident` outside single-quoted
+    * literals. */
+  private def replaceIdent(sqlText: String, ident: String, to: String): String = {
+    val re = raw"(?i)\b${java.util.regex.Pattern.quote(ident)}\b".r
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sqlText.length) {
+      val c = sqlText.charAt(i)
+      if (c == '\'') {
+        val close = matchQuote(sqlText, i)
+        sb.append(sqlText.substring(i, close + 1)); i = close + 1
+      } else {
+        val next = sqlText.indexOf('\'', i)
+        val seg = if (next < 0) sqlText.substring(i) else sqlText.substring(i, next)
+        sb.append(re.replaceAllIn(seg, java.util.regex.Matcher.quoteReplacement(to)))
+        i = if (next < 0) sqlText.length else next
+      }
+    }
+    sb.result()
+  }
+
+  /** Index of the `'` closing the literal opened at `open` ('' escapes). */
+  private def matchQuote(s: String, open: Int): Int = {
+    var i = open + 1
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+        else return i
+      } else i += 1
+    }
+    s.length - 1
   }
 }

@@ -450,6 +450,24 @@ class FlinkScriptSpec extends AnyFunSuite {
       .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
     assert(dedup == Set((0L, "a", 1L), (0L, "b", 4L), (0L, "c", 6L)),
       s"first user per (window, s); got $dedup")
+    // streaming SESSION TVF deploys on native session_window grouping
+    // (the positional sink mapping restores Flink's column names)
+    val q8 = FlinkSql.runStream(spark,
+      s"""CREATE TABLE sess_sink (ws TIMESTAMP(3), we TIMESTAMP(3), s STRING, n BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/sess_sink',
+         |      'format' = 'parquet');
+         |INSERT INTO sess_sink
+         |SELECT window_start, window_end, s, count(*) AS n
+         |FROM TABLE(SESSION(TABLE topn_src PARTITION BY s, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+         |GROUP BY window_start, window_end, s""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q8.awaitTermination()
+    val sess = spark.read.parquet(s"$dir/sess_sink").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getTimestamp(1).getTime / 1000,
+        r.getString(2), r.getLong(3))).toSet
+    // 1-min gap sessions per s closed by the zz sentinel; zz's own stays open
+    assert(sess == Set((5L, 75L, "a", 3L), (20L, 85L, "b", 2L), (30L, 90L, "c", 1L)),
+      s"closed sessions only; got $sess")
     // streaming CUMULATE stays a documented delta with explicit guidance
     val e = intercept[IllegalArgumentException](FlinkSql.runStream(spark,
       s"""INSERT INTO dial_stream_sink2

@@ -308,6 +308,18 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("WindowJoin"), e.getMessage)
   }
 
+  test("rewriteStreaming SESSION on native session_window equals the batch TVF rewrite") {
+    events
+    val sqlText =
+      """SELECT window_start, window_end, user_id, count(*) AS n,
+        |       round(sum(value), 2) AS sv
+        |FROM TABLE(SESSION(TABLE tvf_events PARTITION BY user_id, DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        |GROUP BY window_start, window_end, user_id""".stripMargin
+    val batch = spark.sql(WindowTvf.rewrite(sqlText)).collect().map(_.toSeq).toSet
+    val native = spark.sql(WindowTvf.rewriteStreaming(sqlText)).collect().map(_.toSeq).toSet
+    assert(native == batch && native.nonEmpty)
+  }
+
   test("window SEMI + ANTI partition every left row exactly once (q138 contract)") {
     val d = TestSpark.sfDir
     val both = SparkEntry.queries("q138_window_semi_anti")(spark, d)
