@@ -95,6 +95,8 @@ object FlinkSql {
   private val dropViewRe =
     raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*$$".r
   private val showDatabasesRe = raw"(?is)^\s*SHOW\s+(?:DATABASES|SCHEMAS)\s*$$".r
+  private val showPartitionsRe =
+    raw"(?is)^\s*SHOW\s+PARTITIONS\s+`?([A-Za-z_]\w*)`?\s*$$".r
   private val useRe = raw"(?is)^\s*USE\s+\S.*$$".r
   private val createViewRe =
     raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*".r
@@ -257,6 +259,29 @@ object FlinkSql {
       case showDatabasesRe() =>
         import spark.implicits._
         Seq("default_database").toDF("database name")
+      case showPartitionsRe(name) =>
+        // Flink's SHOW PARTITIONS over a PARTITIONED BY filesystem table:
+        // one `k1=v1[/k2=v2]` row per partition directory
+        import spark.implicits._
+        val parts = graft.plans.FlinkDdl.partitionsOf(spark, name)
+        if (parts.isEmpty)
+          throw new IllegalArgumentException(
+            s"SHOW PARTITIONS $name: not a partitioned DDL-registered table")
+        val (_, path, _, _) = graft.plans.FlinkDdl.registered(spark, name).get
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def walk(p: org.apache.hadoop.fs.Path, depth: Int): Seq[String] =
+          if (depth == parts.length) Seq("")
+          else if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+            .flatMap { s =>
+              walk(s.getPath, depth + 1).map { rest =>
+                if (rest.isEmpty) s.getPath.getName else s.getPath.getName + "/" + rest
+              }
+            }
+        walk(new org.apache.hadoop.fs.Path(path), 0)
+          .sorted.toDF("partition name")
       case useRe() =>
         // single-catalog engine: USE [CATALOG] accepted as a no-op
         okRow(spark, "use", statement.trim)

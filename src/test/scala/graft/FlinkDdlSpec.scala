@@ -172,6 +172,13 @@ class FlinkDdlSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
     assert(got.filter(col("bucket") === "even").count() == 50)
+    // SHOW PARTITIONS lists the partition directories, Flink's shape
+    val shown = graft.FlinkSql.run(spark, "SHOW PARTITIONS ddl_part_t")
+      .collect().map(_.getString(0)).toSeq
+    assert(shown == Seq("bucket=even", "bucket=odd"), shown.toString)
+    val eShow = intercept[IllegalArgumentException](
+      graft.FlinkSql.run(spark, "SHOW PARTITIONS ddl_part_bad2_missing"))
+    assert(eShow.getMessage.contains("partitioned"), eShow.getMessage)
     // a partition column must be physical
     val e = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
       s"""CREATE TABLE ddl_part_bad (id BIGINT) PARTITIONED BY (nope)
