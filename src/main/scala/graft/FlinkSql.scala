@@ -87,6 +87,8 @@ object FlinkSql {
     raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*$$".r
   private val showTablesRe = raw"(?is)^\s*SHOW\s+TABLES\s*$$".r
   private val showCreateRe = raw"(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*$$".r
+  private val showCreateViewRe =
+    raw"(?is)^\s*SHOW\s+CREATE\s+VIEW\s+`?([A-Za-z_]\w*)`?\s*$$".r
   private val showFunctionsRe = raw"(?is)^\s*SHOW\s+(?:USER\s+)?FUNCTIONS\s*$$".r
   private val showCatalogsRe = raw"(?is)^\s*SHOW\s+CATALOGS\s*$$".r
   private val showColumnsRe =
@@ -230,6 +232,14 @@ object FlinkSql {
       case showCreateRe(name) =>
         import spark.implicits._
         Seq(renderCreateTable(spark, name)).toDF("create table")
+      case showCreateViewRe(name) =>
+        // Flink's SHOW CREATE VIEW: re-render from the recorded body
+        import spark.implicits._
+        val body = graft.plans.FlinkDdl.viewDefs(spark)
+          .find(_._1 == name.toLowerCase).map(_._3)
+          .getOrElse(throw new IllegalArgumentException(
+            s"SHOW CREATE VIEW: '$name' is not a dialect-registered view"))
+        Seq(s"CREATE VIEW $name AS $body").toDF("create view")
       case showFunctionsRe() =>
         import spark.implicits._
         graft.functions.GraftFunctions.builders.map(_._1).sorted

@@ -395,6 +395,10 @@ class FlinkScriptSpec extends AnyFunSuite {
     // subsequent script statements
     val batchV = spark.sql("SELECT count(*) FROM dial_stream_v2").head().getLong(0)
     assert(batchV == 2L)
+    // SHOW CREATE VIEW re-renders the recorded definition
+    val scv = FlinkSql.run(spark, "SHOW CREATE VIEW dial_stream_v2")
+      .head().getString(0)
+    assert(scv.startsWith("CREATE VIEW dial_stream_v2 AS") && scv.contains("dial_stream_v1"), scv)
     // Flink's WINDOWED TOP-N statement deploys: the inner TVF aggregate
     // streams on native windows; the rank runs per micro-batch (all rows
     // of a closed window emit together, so the batch rank IS the window
