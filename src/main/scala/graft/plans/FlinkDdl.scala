@@ -581,7 +581,17 @@ object FlinkDdl {
   }
 
   private val insertRe =
-    raw"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_]\w*)\s*(?:\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?\s+(SELECT\b.*|VALUES\b.*)$$".r
+    raw"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_]\w*)\s*(?:PARTITION\s*\(\s*([^)]*?)\s*\)\s*)?(?:\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?\s+(SELECT\b.*|VALUES\b.*)$$".r
+
+  /** Parse `k='v', k2=3` static-partition assignments. */
+  private def staticPartitionSpec(spec: String): Seq[(String, String)] =
+    WindowTvf.splitArgs(spec).filter(_.nonEmpty).map { a =>
+      val kv = raw"(?is)^([A-Za-z_]\w*)\s*=\s*(?:'([^']*)'|(\S+))$$".r
+      a.trim match {
+        case kv(k, q, u) => (k, Option(q).getOrElse(u))
+        case other => fail(s"PARTITION clause: expected k='v', got `$other`")
+      }
+    }
 
   /** True iff `sqlText` is INSERT INTO/OVERWRITE a table DDL-registered
     * in this session — the statement shape every Flink pipeline ends
@@ -604,33 +614,50 @@ object FlinkDdl {
     val overwrite = m.group(1).equalsIgnoreCase("OVERWRITE")
     val name = m.group(2)
     val (connector, path, fmt, schema) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
-    val selected = spark.sql(applyOptionsHints(spark, m.group(4)))
+    val selected = spark.sql(applyOptionsHints(spark, m.group(5)))
+    // Flink's STATIC partition clause: `PARTITION (k='v')` pins the
+    // listed partition columns to literals; the SELECT supplies the rest
+    val statics = Option(m.group(3)).map(staticPartitionSpec).getOrElse(Seq.empty)
+    statics.foreach { case (k, _) =>
+      if (!partitionsOf(spark, name).contains(k))
+        fail(s"PARTITION ($k=...): `$k` is not a partition column of $name")
+    }
+    val staticKeys = statics.map(_._1).toSet
+    val dynFields = schema.fields.toSeq.filterNot(f => staticKeys.contains(f.name))
+    def withStatics(d: DataFrame): DataFrame =
+      statics.foldLeft(d) { case (acc, (k, v)) =>
+        val dt = schema.fields.find(_.name == k).get.dataType
+        acc.withColumn(k, lit(v).cast(dt))
+      }.select(schema.fields.toSeq.map(f => col(f.name)): _*)
     // INSERT maps the SELECT's outputs POSITIONALLY onto the declared
     // schema (Flink/SQL semantics — names in the query don't matter);
     // a partial column list maps positionally onto the named columns
     // and fills unlisted columns with NULL
-    val df = Option(m.group(3)) match {
+    val df = Option(m.group(4)) match {
       case None =>
-        if (selected.columns.length != schema.fields.length)
+        if (selected.columns.length != dynFields.length)
           fail(s"INSERT query produces ${selected.columns.length} columns " +
-            s"but $name declares ${schema.fields.length}")
+            s"but $name declares ${dynFields.length}" +
+            (if (statics.nonEmpty) s" (after the static PARTITION clause)" else ""))
         // rename positionally first (duplicate query-output names are
         // legal SQL), then cast to the declared types
-        selected.toDF(schema.fieldNames.toIndexedSeq: _*)
-          .select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        withStatics(selected.toDF(dynFields.map(_.name): _*)
+          .select(dynFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*))
       case Some(colList) =>
         val listed = colList.split(",").toSeq.map(_.trim)
         listed.find(c => !schema.fieldNames.contains(c)).foreach(c =>
           fail(s"INSERT column `$c` is not a column of $name"))
+        listed.find(staticKeys.contains).foreach(c =>
+          fail(s"INSERT column `$c` is already pinned by the PARTITION clause"))
         if (listed.length != selected.columns.length)
           fail(s"INSERT column list has ${listed.length} columns but the " +
             s"query produces ${selected.columns.length}")
         val byName = listed.zip(selected.columns).toMap
-        selected.select(schema.fields.toSeq.map { f =>
+        withStatics(selected.select(dynFields.map { f =>
           byName.get(f.name)
             .map(src => col(s"`$src`").cast(f.dataType).as(f.name))
             .getOrElse(lit(null).cast(f.dataType).as(f.name))
-        }: _*)
+        }: _*))
     }
     connector match {
       case "blackhole" => df.write.format("noop").mode("overwrite").save()
@@ -752,9 +779,11 @@ object FlinkDdl {
     if (m.group(1).equalsIgnoreCase("OVERWRITE"))
       fail("INSERT OVERWRITE is a batch statement; streaming sinks append")
     if (m.group(3) != null)
+      fail("static PARTITION clauses are not supported for streaming INSERT")
+    if (m.group(4) != null)
       fail("column lists are not supported for streaming INSERT; select every sink column")
     val name = m.group(2)
-    val select = applyOptionsHints(spark, m.group(4))
+    val select = applyOptionsHints(spark, m.group(5))
     val (connector, path, fmt, _) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
     // Flink jobs layer views over sources: collect the views the SELECT
     // references (transitively) so their bodies join the source scan AND

@@ -172,10 +172,21 @@ class FlinkDdlSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
     assert(got.filter(col("bucket") === "even").count() == 50)
+    // STATIC partition clause: PARTITION (k='v') pins the partition
+    // column; the SELECT supplies only the remaining columns
+    val sunkStatic = FlinkDdl.executeInsert(spark,
+      """INSERT INTO ddl_part_t PARTITION (bucket = 'static')
+        |SELECT id + 1000, 1.5 AS v FROM range(3)""".stripMargin)
+    assert(sunkStatic == 3)
+    assert(spark.table("ddl_part_t")
+      .filter(col("bucket") === "static").count() == 3)
+    val eStatic = intercept[IllegalArgumentException](FlinkDdl.executeInsert(spark,
+      "INSERT INTO ddl_part_t PARTITION (v = '1') SELECT id, 'x' FROM range(1)"))
+    assert(eStatic.getMessage.contains("not a partition column"), eStatic.getMessage)
     // SHOW PARTITIONS lists the partition directories, Flink's shape
     val shown = graft.FlinkSql.run(spark, "SHOW PARTITIONS ddl_part_t")
       .collect().map(_.getString(0)).toSeq
-    assert(shown == Seq("bucket=even", "bucket=odd"), shown.toString)
+    assert(shown == Seq("bucket=even", "bucket=odd", "bucket=static"), shown.toString)
     val eShow = intercept[IllegalArgumentException](
       graft.FlinkSql.run(spark, "SHOW PARTITIONS ddl_part_bad2_missing"))
     assert(eShow.getMessage.contains("partitioned"), eShow.getMessage)
