@@ -233,13 +233,16 @@ object FlinkSql {
         import spark.implicits._
         Seq(renderCreateTable(spark, name)).toDF("create table")
       case showCreateViewRe(name) =>
-        // Flink's SHOW CREATE VIEW: re-render from the recorded body
+        // Flink's SHOW CREATE VIEW: re-render from the recorded createSql
+        // (not the bare body) so an optional `(a, b)` alias list survives
         import spark.implicits._
-        val body = graft.plans.FlinkDdl.viewDefs(spark)
-          .find(_._1 == name.toLowerCase).map(_._3)
+        val createSql = graft.plans.FlinkDdl.viewDefs(spark)
+          .find(_._1 == name.toLowerCase).map(_._2)
           .getOrElse(throw new IllegalArgumentException(
             s"SHOW CREATE VIEW: '$name' is not a dialect-registered view"))
-        Seq(s"CREATE VIEW $name AS $body").toDF("create view")
+        val rest = raw"(?is)^\s*CREATE\s+OR\s+REPLACE\s+TEMPORARY\s+VIEW\s+\S+\s*".r
+          .replaceFirstIn(createSql, "")
+        Seq(s"CREATE VIEW $name $rest").toDF("create view")
       case showFunctionsRe() =>
         import spark.implicits._
         graft.functions.GraftFunctions.builders.map(_._1).sorted
@@ -343,7 +346,10 @@ object FlinkSql {
           graft.plans.FlinkDdl.runDialectSql(spark, createSql)
           // record the definition so streaming INSERTs can re-bind the
           // view chain onto streaming sources (FlinkDdl.viewDefs)
-          val body = raw"(?is)^\s*AS\s+(.*)$$".r
+          // skip an optional `(col [COMMENT ...], ...)` alias list before
+          // the AS so the recorded body is the bare SELECT (Flink allows
+          // `CREATE VIEW v (a, b) AS SELECT ...`)
+          val body = raw"(?is)^\s*(?:\([^)]*\)\s*)?AS\s+(.*)$$".r
             .findFirstMatchIn(statement.substring(m.end)).map(_.group(1))
             .getOrElse(statement.substring(m.end))
           graft.plans.FlinkDdl.registerView(spark, name, createSql, body)
@@ -351,8 +357,12 @@ object FlinkSql {
         }
       case _ if dropViewRe.findFirstIn(statement).isDefined =>
         val m = dropViewRe.findFirstMatchIn(statement).get
+        val ifExists = m.group(1) != null
         graft.plans.FlinkDdl.unregisterView(spark, m.group(2))
-        spark.sql(statement) // Spark handles DROP [TEMPORARY] VIEW itself
+        // rewrite: Spark's grammar has no TEMPORARY in DROP VIEW, so
+        // Flink's natural CREATE/DROP TEMPORARY VIEW pair must not be
+        // forwarded verbatim; IF EXISTS carries over
+        spark.sql(s"DROP VIEW ${if (ifExists) "IF EXISTS " else ""}`${m.group(2)}`")
         okRow(spark, "view", m.group(2))
       case _ =>
         val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)

@@ -871,7 +871,13 @@ object FlinkDdl {
     if (df.columns.length != sinkSchema.fields.length)
       fail(s"streaming INSERT selects ${df.columns.length} columns; " +
         s"sink $name declares ${sinkSchema.fields.length}")
+    // positional rename THEN cast to the declared types, same contract
+    // as the batch executeInsert — an INT expression into a BIGINT sink
+    // must write int64 files matching the registered read schema
     val out = df.toDF(sinkSchema.fieldNames.toIndexedSeq: _*)
+      .select(sinkSchema.fields.toIndexedSeq
+        .map(f => org.apache.spark.sql.functions.col(s"`${f.name}`")
+          .cast(f.dataType).as(f.name)): _*)
     val ckpt = checkpointDir.getOrElse(
       java.nio.file.Files.createTempDirectory(s"graft_ins_$name").toString)
     val appendOnly = df.queryExecution.analyzed.collectFirst {
@@ -942,6 +948,9 @@ object FlinkDdl {
         val p2 = new GraftSqlParser(s2, s2.sessionState.sqlParser)
         val res = org.apache.spark.sql.GraftColumnBridge.ofRows(s2, p2.parsePlan(outerText))
           .toDF(sinkSchema.fieldNames.toIndexedSeq: _*)
+          .select(sinkSchema.fields.toIndexedSeq
+            .map(f => org.apache.spark.sql.functions.col(s"`${f.name}`")
+              .cast(f.dataType).as(f.name)): _*)
         connector match {
           case "filesystem" => res.write.mode("append").format(fmt).save(path)
           case "blackhole"  => res.write.mode("append").format("noop").save()

@@ -101,6 +101,13 @@ object WindowTvf {
     if (named.size != m.size) fail(s"$fn: duplicate named argument")
     val unknown = m.keySet -- order.toSet
     if (unknown.nonEmpty) fail(s"$fn: unknown named argument(s) ${unknown.mkString(", ")}")
+    // every non-optional name must be present (OFFSET is the only
+    // optional one) — else e.g. TUMBLE(DATA=>, TIMECOL=>, OFFSET=>)
+    // would silently compact the OFFSET into the SIZE slot
+    val required = order.filterNot(_ == "OFFSET")
+    val missing = required.filterNot(m.contains)
+    if (missing.nonEmpty)
+      fail(s"$fn: missing required argument(s) ${missing.mkString(", ")}")
     order.flatMap(m.get)
   }
 

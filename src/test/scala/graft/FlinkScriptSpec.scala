@@ -391,6 +391,22 @@ class FlinkScriptSpec extends AnyFunSuite {
     val got5 = spark.read.parquet(s"$dir/sink5").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got5 == Set((1L, "alpha"), (2L, "gamma")), s"got $got5")
+    // a streaming INSERT casts to the DECLARED sink types like the batch
+    // path: an INT expression into a BIGINT column must write int64 files
+    // that the registered BIGINT read schema can read back
+    val q5b = FlinkSql.runStream(spark,
+      s"""CREATE TABLE dial_stream_sink5b (user_id BIGINT, tag STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/sink5b',
+         |      'format' = 'parquet');
+         |INSERT INTO dial_stream_sink5b
+         |SELECT CAST(user_id AS INT) + 10, head FROM dial_stream_v2""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q5b.awaitTermination()
+    val sink5b = spark.read.parquet(s"$dir/sink5b")
+    assert(sink5b.schema("user_id").dataType ==
+      org.apache.spark.sql.types.LongType, sink5b.schema.treeString)
+    val got5b = sink5b.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got5b == Set((11L, "alpha"), (12L, "gamma")), s"got $got5b")
     // after the INSERT the views are re-bound to BATCH sources for
     // subsequent script statements
     val batchV = spark.sql("SELECT count(*) FROM dial_stream_v2").head().getLong(0)
@@ -417,7 +433,7 @@ class FlinkScriptSpec extends AnyFunSuite {
          |WITH ('connector' = 'filesystem', 'path' = '$dir/topn_sink',
          |      'format' = 'parquet');
          |INSERT INTO topn_sink
-         |SELECT window_start, s, cnt, CAST(rn AS BIGINT) AS rn FROM (
+         |SELECT window_start, s, cnt, rn FROM (
          |  SELECT window_start, window_end, s, cnt,
          |         ROW_NUMBER() OVER (PARTITION BY window_start, window_end
          |                            ORDER BY cnt DESC, s) AS rn
@@ -865,5 +881,40 @@ class FlinkScriptSpec extends AnyFunSuite {
     // views drop like temp views
     FlinkSql.sql(spark, "DROP VIEW cv_agg")
     assert(!spark.catalog.tableExists("cv_agg"))
+  }
+
+  test("DROP TEMPORARY VIEW pairs with CREATE TEMPORARY VIEW; IF EXISTS tolerated") {
+    import spark.implicits._
+    Seq((1L, 2.0)).toDF("id", "v").createOrReplaceTempView("dtv_src")
+    // Flink's natural create/drop TEMPORARY pair must survive even though
+    // Spark's own grammar has no TEMPORARY in DROP VIEW
+    FlinkSql.run(spark,
+      """CREATE TEMPORARY VIEW dtv_v AS SELECT id FROM dtv_src;
+        |DROP TEMPORARY VIEW dtv_v""".stripMargin)
+    assert(!spark.catalog.tableExists("dtv_v"))
+    // IF EXISTS on an absent view is a no-op, not an error
+    FlinkSql.sql(spark, "DROP TEMPORARY VIEW IF EXISTS dtv_v")
+    FlinkSql.sql(spark, "DROP VIEW IF EXISTS dtv_v")
+  }
+
+  test("CREATE VIEW with a column alias list records the bare body") {
+    import spark.implicits._
+    Seq((1L, 2.0), (2L, 4.0)).toDF("id", "v").createOrReplaceTempView("cvl_src")
+    FlinkSql.sql(spark,
+      "CREATE VIEW cvl_v (a, b) AS SELECT id, v FROM cvl_src")
+    assert(spark.table("cvl_v").columns.toSeq == Seq("a", "b"))
+    // the recorded body is the bare SELECT (no leaked "(a, b) AS" prefix)
+    val body = graft.plans.FlinkDdl.viewDefs(spark)
+      .find(_._1 == "cvl_v").get._3
+    assert(body.trim.toUpperCase.startsWith("SELECT"), body)
+    // SHOW CREATE VIEW renders valid DDL retaining the alias list
+    val ddl = FlinkSql.sql(spark, "SHOW CREATE VIEW cvl_v")
+      .collect()(0).getString(0)
+    assert(ddl.matches("(?s)CREATE VIEW cvl_v\\s*\\(a,\\s*b\\)\\s*AS\\s+SELECT.*"), ddl)
+    // and the rendered DDL round-trips through the dialect
+    FlinkSql.sql(spark, "DROP VIEW cvl_v")
+    FlinkSql.sql(spark, ddl)
+    assert(spark.table("cvl_v").columns.toSeq == Seq("a", "b"))
+    FlinkSql.sql(spark, "DROP VIEW cvl_v")
   }
 }

@@ -286,6 +286,13 @@ class WindowTvfSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](WindowTvf.rewrite(
       "SELECT 1 FROM TABLE(TUMBLE(DATA => TABLE t, DESCRIPTOR(ts), INTERVAL '1' MINUTE))"))
     assert(e.getMessage.contains("mix of named and positional"), e.getMessage)
+    // all-named with a REQUIRED name omitted must error, not silently
+    // compact OFFSET into the SIZE slot (Flink rejects the missing SIZE)
+    val e2 = intercept[IllegalArgumentException](WindowTvf.rewrite(
+      """SELECT 1 FROM TABLE(TUMBLE(DATA => TABLE tvf_events,
+        |  TIMECOL => DESCRIPTOR(ts), OFFSET => INTERVAL '1' MINUTE))""".stripMargin))
+    assert(e2.getMessage.contains("missing required argument") &&
+      e2.getMessage.contains("SIZE"), e2.getMessage)
   }
 
   test("rewriteStreaming's native-window grouping equals the batch TVF rewrite") {
