@@ -44,15 +44,17 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
   * (registered tables get Flink-style rows incl. the watermark;
   * other names fall through to Spark), `SHOW FUNCTIONS`,
   * `SHOW COLUMNS FROM t [[NOT] LIKE 'p']`, `SHOW VIEWS`,
-  * `SHOW CATALOGS` / `SHOW DATABASES` / `USE ...` (single-catalog
-  * stubs). Job management (FLIP-291): `SHOW JOBS` lists active
+  * `SHOW CATALOGS` / `SHOW DATABASES` / `SHOW CURRENT CATALOG|DATABASE`
+  * / `USE [CATALOG] ...` (namespace bookkeeping over the one physical
+  * catalog — see FlinkDdl.resolveNames for three-part references). Job management (FLIP-291): `SHOW JOBS` lists active
   * Structured Streaming queries, `STOP JOB 'id'` (id or query name;
   * WITH SAVEPOINT/DRAIN accepted) stops one gracefully. `ANALYZE
   * TABLE ... COMPUTE STATISTICS` scans and reports the row count;
   * `TRUNCATE TABLE` empties filesystem connector tables; row-level
   * `DELETE FROM` / `UPDATE ... SET` (FLIP-282) rewrite filesystem
   * connector tables via stage-and-swap; `CREATE/DROP
-  * CATALOG|DATABASE` are accepted single-catalog no-ops.
+  * CATALOG|DATABASE` maintain the declared namespaces that qualified
+  * `cat.db.tbl` references resolve through.
   *
   * Statement splitting ignores `;` inside single-quoted literals and
   * inside `--` / `/* ... */` comments (an apostrophe in a comment does
@@ -75,10 +77,20 @@ object FlinkSql {
   private val analyzeRe =
     raw"(?is)^\s*ANALYZE\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+[\w`,\s]+))?\s*$$".r
   private val truncateRe = raw"(?is)^\s*TRUNCATE\s+TABLE\s+`?([A-Za-z_]\w*)`?\s*$$".r
-  private val createCatalogDbRe =
-    raw"(?is)^\s*CREATE\s+(?:CATALOG|DATABASE)\s+(?:IF\s+NOT\s+EXISTS\s+)?\S.*$$".r
-  private val dropCatalogDbRe =
-    raw"(?is)^\s*DROP\s+(?:CATALOG|DATABASE)\s+(?:IF\s+EXISTS\s+)?\S.*$$".r
+  private val createCatalogRe =
+    raw"(?is)^\s*CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*(?:WITH\s*\(.*\))?\s*$$".r
+  private val dropCatalogRe =
+    raw"(?is)^\s*DROP\s+CATALOG\s+(IF\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*$$".r
+  private val createDbRe =
+    raw"(?is)^\s*CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(?:`?([A-Za-z_]\w*)`?\s*\.\s*)?`?([A-Za-z_]\w*)`?\s*(?:COMMENT\s+'[^']*')?\s*(?:WITH\s*\(.*\))?\s*$$".r
+  private val dropDbRe =
+    raw"(?is)^\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(?:`?([A-Za-z_]\w*)`?\s*\.\s*)?`?([A-Za-z_]\w*)`?\s*(RESTRICT|CASCADE)?\s*$$".r
+  private val useCatalogRe =
+    raw"(?is)^\s*USE\s+CATALOG\s+`?([A-Za-z_]\w*)`?\s*$$".r
+  private val useDbRe =
+    raw"(?is)^\s*USE\s+(?:`?([A-Za-z_]\w*)`?\s*\.\s*)?`?([A-Za-z_]\w*)`?\s*$$".r
+  private val showCurrentRe =
+    raw"(?is)^\s*SHOW\s+CURRENT\s+(CATALOG|DATABASE)\s*$$".r
   private val stopJobRe =
     raw"(?is)^\s*STOP\s+JOB\s+'([^']+)'\s*(?:WITH\s+SAVEPOINT\s*)?(?:WITH\s+DRAIN\s*)?$$".r
   private val createFunctionRe =
@@ -99,7 +111,6 @@ object FlinkSql {
   private val showDatabasesRe = raw"(?is)^\s*SHOW\s+(?:DATABASES|SCHEMAS)\s*$$".r
   private val showPartitionsRe =
     raw"(?is)^\s*SHOW\s+PARTITIONS\s+`?([A-Za-z_]\w*)`?\s*$$".r
-  private val useRe = raw"(?is)^\s*USE\s+\S.*$$".r
   private val createViewRe =
     raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*".r
   private val describeRe = raw"(?is)^\s*DESC(?:RIBE)?\s+([A-Za-z_]\w*)\s*$$".r
@@ -113,8 +124,16 @@ object FlinkSql {
     "parallelism.default" -> "spark.sql.shuffle.partitions",
     "table.local-time-zone" -> "spark.sql.session.timeZone")
 
-  def sql(spark: SparkSession, statement: String): DataFrame = {
+  def sql(spark: SparkSession, statement0: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // three-part name resolution (FlinkDdl.resolveNames): qualified
+    // `cat.db.tbl` / `db.tbl` references over declared namespaces strip
+    // to the flat physical one. Catalog-management statements keep their
+    // raw text (their dotted operands are namespace names, not tables).
+    val statement =
+      if (raw"(?is)^\s*(USE|SHOW|CREATE\s+(?:CATALOG|DATABASE)|DROP\s+(?:CATALOG|DATABASE))\b".r
+          .findFirstIn(statement0).isDefined) statement0
+      else graft.plans.FlinkDdl.resolveNames(spark, statement0)
     statement match {
       // script-level statements (Flink SQL-client surface), routed
       // before the plan parser: SET / RESET map onto session confs,
@@ -179,11 +198,24 @@ object FlinkSql {
         }
         spark.catalog.refreshTable(name)
         okRow(spark, "table", name)
-      case createCatalogDbRe() | dropCatalogDbRe() =>
-        // single-catalog, single-database engine: accepted as no-ops so
-        // a migrating script's catalog preamble does not die (the USE
-        // statements that follow are likewise accepted)
-        okRow(spark, "catalog", statement.trim.takeWhile(_ != '\n'))
+      // catalog/database management: namespace bookkeeping over the ONE
+      // physical catalog (FlinkDdl's ns registry) — CREATE declares the
+      // names three-part references may use, USE switches the default
+      // prefix. Catalog WITH options (type, endpoints) are ignored: the
+      // only backing catalog is the in-memory session one.
+      case createCatalogRe(c) =>
+        graft.plans.FlinkDdl.createCatalog(spark, c)
+        okRow(spark, "catalog", c)
+      case dropCatalogRe(ifEx, c) =>
+        graft.plans.FlinkDdl.dropCatalog(spark, c, ifEx != null)
+        okRow(spark, "catalog", c)
+      case createDbRe(ifNot, cat, d) =>
+        graft.plans.FlinkDdl.createDatabase(spark, Option(cat), d, ifNot != null)
+        okRow(spark, "database", d)
+      case dropDbRe(ifEx, cat, d, mode) =>
+        graft.plans.FlinkDdl.dropDatabase(spark, Option(cat), d, ifEx != null,
+          mode != null && mode.equalsIgnoreCase("CASCADE"))
+        okRow(spark, "database", d)
       case stopJobRe(id) =>
         // WITH SAVEPOINT / WITH DRAIN accepted: Spark's graceful stop()
         // commits the checkpoint (the savepoint analog) before returning
@@ -249,7 +281,7 @@ object FlinkSql {
           .toDF("function name")
       case showCatalogsRe() =>
         import spark.implicits._
-        Seq("default_catalog").toDF("catalog name")
+        graft.plans.FlinkDdl.listCatalogs(spark).toDF("catalog name")
       case showColumnsRe(name, not, pat) =>
         // Flink's SHOW COLUMNS FROM t [NOT] LIKE 'p' — DESCRIBE's shape
         // filtered on the column name by SQL LIKE pattern
@@ -271,7 +303,7 @@ object FlinkSql {
           .map(_.name.toLowerCase).toSeq.distinct.sorted.toDF("view name")
       case showDatabasesRe() =>
         import spark.implicits._
-        Seq("default_database").toDF("database name")
+        graft.plans.FlinkDdl.listDatabases(spark).toDF("database name")
       case showPartitionsRe(name) =>
         // Flink's SHOW PARTITIONS over a PARTITIONED BY filesystem table:
         // one `k1=v1[/k2=v2]` row per partition directory
@@ -295,9 +327,17 @@ object FlinkSql {
             }
         walk(new org.apache.hadoop.fs.Path(path), 0)
           .sorted.toDF("partition name")
-      case useRe() =>
-        // single-catalog engine: USE [CATALOG] accepted as a no-op
-        okRow(spark, "use", statement.trim)
+      case useCatalogRe(c) =>
+        graft.plans.FlinkDdl.useCatalog(spark, c)
+        okRow(spark, "catalog", c)
+      case useDbRe(cat, d) =>
+        graft.plans.FlinkDdl.useDatabase(spark, Option(cat), d)
+        okRow(spark, "database", d)
+      case showCurrentRe(which) =>
+        import spark.implicits._
+        val (c, d) = graft.plans.FlinkDdl.currentNamespace(spark)
+        if (which.equalsIgnoreCase("CATALOG")) Seq(c).toDF("current catalog name")
+        else Seq(d).toDF("current database name")
       case describeRe(name)
           if graft.plans.FlinkDdl.registered(spark, name).isDefined =>
         import spark.implicits._
@@ -484,7 +524,8 @@ object FlinkSql {
     stmts.init.foreach(sql(spark, _))
     require(graft.plans.FlinkDdl.isInsert(spark, stmts.last),
       "the last statement of a streaming script must be INSERT INTO a DDL-registered sink")
-    graft.plans.FlinkDdl.executeInsertStream(spark, stmts.last, trigger)
+    graft.plans.FlinkDdl.executeInsertStream(spark,
+      graft.plans.FlinkDdl.resolveNames(spark, stmts.last), trigger)
   }
 
   /** Streaming multi-sink deployment — Flink's `EXECUTE STATEMENT SET`
@@ -507,7 +548,8 @@ object FlinkSql {
     statements(body).map { ins =>
       require(graft.plans.FlinkDdl.isInsert(spark, ins),
         s"statement set members must be INSERT INTO a DDL sink, got: ${ins.take(60)}")
-      graft.plans.FlinkDdl.executeInsertStream(spark, ins, trigger)
+      graft.plans.FlinkDdl.executeInsertStream(spark,
+        graft.plans.FlinkDdl.resolveNames(spark, ins), trigger)
     }
   }
 

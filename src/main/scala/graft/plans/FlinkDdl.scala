@@ -80,6 +80,147 @@ object FlinkDdl {
       _ => new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, StructType)]())
   }
 
+  /** Catalog/database bookkeeping for three-part name resolution ([U]
+    * flink-table-api `CatalogManager` / SqlUseCatalog / SqlUseDatabase;
+    * SURVEY §3.1). ONE physical namespace backs every
+    * `catalog.database`: qualified references `cat.db.tbl` / `db.tbl`
+    * over DECLARED catalogs/databases resolve by validated
+    * prefix-stripping, and `USE CATALOG` / `USE` switch the default
+    * prefix the bookkeeping reports. Distinct same-named tables in
+    * different databases are NOT modeled (documented MIGRATION.md
+    * delta — the last registration of a simple name wins, exactly like
+    * the temp views underneath).
+    */
+  private class NsState {
+    var currentCatalog = "default_catalog"
+    var currentDb = "default_database"
+    val catalogs = scala.collection.mutable.LinkedHashSet("default_catalog")
+    val dbs = scala.collection.mutable.Map(
+      "default_catalog" -> scala.collection.mutable.LinkedHashSet("default_database"))
+    // simple table name -> (catalog, db) it was last created under
+    val tableNs = scala.collection.mutable.Map.empty[String, (String, String)]
+  }
+  private val nsBySession = new java.util.WeakHashMap[SparkSession, NsState]()
+  private def ns(spark: SparkSession): NsState = nsBySession.synchronized {
+    nsBySession.computeIfAbsent(spark, _ => new NsState)
+  }
+
+  def currentNamespace(spark: SparkSession): (String, String) = {
+    val s = ns(spark); (s.currentCatalog, s.currentDb)
+  }
+  def listCatalogs(spark: SparkSession): Seq[String] = ns(spark).catalogs.toSeq
+  def listDatabases(spark: SparkSession): Seq[String] = {
+    val s = ns(spark)
+    s.dbs.getOrElse(s.currentCatalog, scala.collection.mutable.LinkedHashSet.empty[String]).toSeq
+  }
+  def createCatalog(spark: SparkSession, c0: String): Unit = {
+    val s = ns(spark); val c = c0.toLowerCase
+    s.catalogs += c
+    s.dbs.getOrElseUpdate(c, scala.collection.mutable.LinkedHashSet("default_database"))
+  }
+  def dropCatalog(spark: SparkSession, c0: String, ifExists: Boolean): Unit = {
+    val s = ns(spark); val c = c0.toLowerCase
+    if (c == s.currentCatalog) fail(s"cannot drop the current catalog `$c`")
+    if (!s.catalogs.remove(c) && !ifExists) fail(s"catalog `$c` does not exist")
+    s.dbs.remove(c)
+  }
+  def createDatabase(spark: SparkSession, cat0: Option[String], d0: String,
+      ifNotExists: Boolean): Unit = {
+    val s = ns(spark)
+    val c = cat0.map(_.toLowerCase).getOrElse(s.currentCatalog)
+    if (!s.catalogs.contains(c)) fail(s"catalog `$c` does not exist")
+    val d = d0.toLowerCase
+    if (s.dbs(c).contains(d) && !ifNotExists) fail(s"database `$c.$d` already exists")
+    s.dbs(c) += d
+  }
+  def dropDatabase(spark: SparkSession, cat0: Option[String], d0: String,
+      ifExists: Boolean, cascade: Boolean): Unit = {
+    val s = ns(spark)
+    val c = cat0.map(_.toLowerCase).getOrElse(s.currentCatalog)
+    val d = d0.toLowerCase
+    if (c == s.currentCatalog && d == s.currentDb) fail(s"cannot drop the current database `$d`")
+    if (!s.dbs.get(c).exists(_.contains(d))) {
+      if (ifExists) return else fail(s"database `$c.$d` does not exist")
+    }
+    val owned = s.tableNs.collect { case (t, (tc, td)) if tc == c && td == d => t }.toSeq
+    if (owned.nonEmpty && !cascade)
+      fail(s"database `$d` is not empty (RESTRICT); use CASCADE or drop: ${owned.mkString(", ")}")
+    owned.foreach { t =>
+      try executeDrop(spark, s"DROP TABLE IF EXISTS $t") catch { case _: Exception => () }
+      s.tableNs.remove(t)
+    }
+    s.dbs(c) -= d
+  }
+  def useCatalog(spark: SparkSession, c0: String): Unit = {
+    val s = ns(spark); val c = c0.toLowerCase
+    if (!s.catalogs.contains(c)) fail(s"catalog `$c` does not exist (CREATE CATALOG first)")
+    s.currentCatalog = c
+    if (!s.dbs(c).contains(s.currentDb))
+      s.currentDb = s.dbs(c).headOption.getOrElse("default_database")
+  }
+  def useDatabase(spark: SparkSession, cat0: Option[String], d0: String): Unit = {
+    val s = ns(spark)
+    cat0.foreach(c => useCatalog(spark, c))
+    val d = d0.toLowerCase
+    if (!s.dbs(s.currentCatalog).contains(d))
+      fail(s"database `${s.currentCatalog}.$d` does not exist (CREATE DATABASE first)")
+    s.currentDb = d
+  }
+  private[plans] def recordTableNs(spark: SparkSession, name: String): Unit = {
+    val s = ns(spark)
+    s.tableNs(name.toLowerCase) = (s.currentCatalog, s.currentDb)
+  }
+
+  private val dottedRe =
+    raw"(?s)(?<![\w.`])`?([A-Za-z_]\w*)`?\s*\.\s*(?:`?([A-Za-z_]\w*)`?\s*\.\s*)?`?([A-Za-z_]\w*)`?(?!\s*\.)".r
+
+  /** Resolve qualified `catalog.db.name` / `db.name` references over
+    * DECLARED catalogs/databases down to the flat physical namespace.
+    * Quote-aware (single-quoted literals are copied wholesale); dotted
+    * chains whose head is not a declared catalog/database — column
+    * accesses, struct fields, aliases — are left untouched. A
+    * `db.tbl.col` chain (db declared) strips just the db.
+    */
+  def resolveNames(spark: SparkSession, sqlText: String): String = {
+    val s = ns(spark)
+    if (s.catalogs.size == 1 && s.dbs("default_catalog").size == 1) return sqlText
+    def seg(text: String): String = dottedRe.replaceAllIn(text, m => {
+      val (a, bOpt, c) = (m.group(1), Option(m.group(2)), m.group(3))
+      val rep = bOpt match {
+        case Some(b) =>
+          if (s.catalogs.contains(a.toLowerCase) &&
+              s.dbs(a.toLowerCase).contains(b.toLowerCase)) c         // cat.db.tbl
+          else if (s.dbs(s.currentCatalog).contains(a.toLowerCase)) s"$b.$c" // db.tbl.col
+          else m.matched
+        case None =>
+          if (s.dbs(s.currentCatalog).contains(a.toLowerCase)) c       // db.tbl
+          else m.matched
+      }
+      java.util.regex.Matcher.quoteReplacement(rep)
+    })
+    // copy quoted literals wholesale, rewrite the segments between them
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sqlText.length) {
+      val q = sqlText.indexOf('\'', i)
+      if (q < 0) { sb.append(seg(sqlText.substring(i))); i = sqlText.length }
+      else {
+        sb.append(seg(sqlText.substring(i, q)))
+        var j = q + 1
+        var closed = false
+        while (j < sqlText.length && !closed) {
+          if (sqlText.charAt(j) == '\'') {
+            if (j + 1 < sqlText.length && sqlText.charAt(j + 1) == '\'') j += 2
+            else { closed = true; j += 1 }
+          } else j += 1
+        }
+        sb.append(sqlText.substring(q, j))
+        i = j
+      }
+    }
+    sb.result()
+  }
+
   /** Flink views, in REGISTRATION ORDER (dependencies first): name →
     * (the rewritten Spark CREATE text, the raw SELECT body). Kept so
     * streaming INSERTs can RE-BIND a view chain onto streaming sources
@@ -424,11 +565,20 @@ object FlinkDdl {
     raw"(?is)^\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+SET\s*\(".r
   private val alterRenameRe =
     raw"(?is)^\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+RENAME\s+TO\s+`?([A-Za-z_]\w*)`?\s*$$".r
+  private val alterRenameColRe =
+    raw"(?is)^\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+RENAME\s+`?([A-Za-z_]\w*)`?\s+TO\s+`?([A-Za-z_]\w*)`?\s*$$".r
+  private val alterAddModifyRe =
+    raw"(?is)^\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+(ADD|MODIFY)\s+(.+)$$".r
+  private val alterDropRe =
+    raw"(?is)^\s*ALTER\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+DROP\s+(.+)$$".r
 
   /** True iff `sqlText` is an ALTER TABLE against a DDL-registered table. */
   def isAlter(spark: SparkSession, sqlText: String): Boolean =
     (alterSetRe.findFirstMatchIn(sqlText).map(_.group(1)) orElse
-      alterRenameRe.findFirstMatchIn(sqlText).map(_.group(1)))
+      alterRenameRe.findFirstMatchIn(sqlText).map(_.group(1)) orElse
+      alterRenameColRe.findFirstMatchIn(sqlText).map(_.group(1)) orElse
+      alterAddModifyRe.findFirstMatchIn(sqlText).map(_.group(1)) orElse
+      alterDropRe.findFirstMatchIn(sqlText).map(_.group(1)))
       .exists(registered(spark, _).isDefined)
 
   /** `ALTER TABLE t SET ('k' = 'v', ...)` merges connector options and
@@ -459,8 +609,24 @@ object FlinkDdl {
         return newName
       case None =>
     }
+    alterRenameColRe.findFirstMatchIn(sqlText) match {
+      case Some(m) => return alterColumns(spark, m.group(1), "RENAME",
+        s"${m.group(2)} TO ${m.group(3)}")
+      case None =>
+    }
+    alterAddModifyRe.findFirstMatchIn(sqlText) match {
+      case Some(m) if registered(spark, m.group(1)).isDefined =>
+        return alterColumns(spark, m.group(1), m.group(2).toUpperCase, m.group(3))
+      case _ =>
+    }
+    alterDropRe.findFirstMatchIn(sqlText) match {
+      case Some(m) if registered(spark, m.group(1)).isDefined =>
+        return alterColumns(spark, m.group(1), "DROP", m.group(2))
+      case _ =>
+    }
     val m = alterSetRe.findFirstMatchIn(sqlText).getOrElse(fail(
-      "unsupported ALTER TABLE form (supported: SET ('k'='v', ...), RENAME TO t)"))
+      "unsupported ALTER TABLE form (supported: SET ('k'='v', ...), RENAME TO t, " +
+        "ADD/MODIFY/DROP columns, RENAME col TO col, ADD/MODIFY/DROP WATERMARK/PRIMARY KEY)"))
     val name = m.group(1)
     val open = m.end - 1
     val close = WindowTvf.matchParen(sqlText, open)
@@ -468,6 +634,159 @@ object FlinkDdl {
       .map(o => o.group(1).toLowerCase -> o.group(2)).toMap
     val (colLines, parts, opts, wm) = meta(name)
     registerFromMeta(spark, name, colLines, parts, opts ++ newOpts, wm)
+    name
+  }
+
+  /** Flink 1.19 schema evolution ([U] flink-sql-parser
+    * SqlAlterTableAdd / SqlAlterTableModify / SqlAlterTableDropColumn /
+    * SqlAlterTableRenameColumn): ADD/MODIFY of single or parenthesized
+    * column lists with optional `FIRST` / `AFTER col` positions,
+    * ADD/MODIFY WATERMARK and PRIMARY KEY, DROP of columns / WATERMARK /
+    * PRIMARY KEY, RENAME col TO col. The registry re-derives the reading
+    * view from the evolved schema, so parquet files written before the
+    * evolution read back with nulls for added columns, pruned dropped
+    * columns, and widened types (Spark's parquet reader upcasts).
+    */
+  private def alterColumns(spark: SparkSession, name: String, verb: String,
+      payloadRaw: String): String = {
+    val (connector, path, fmt, schema) = registered(spark, name).get
+    var phys = scala.collection.mutable.ArrayBuffer(
+      schema.fields.map(f0 => (f0.name, f0.dataType.sql)): _*)
+    var computed = computedColumnsOf(spark, name)
+    var pk = primaryKeyOf(spark, name)
+    val parts = partitionsOf(spark, name)
+    var wm = watermarkOf(spark, name)
+    val opts = Map("connector" -> connector) ++
+      (if (path.nonEmpty) Map("path" -> path) else Map.empty) ++
+      (if (fmt.nonEmpty) Map("format" -> fmt) else Map.empty)
+    def exists(c: String) = phys.exists(_._1.equalsIgnoreCase(c)) ||
+      computed.exists(_._1.equalsIgnoreCase(c))
+    // split a parenthesized list on top-level commas, tracking () and <>
+    // (ROW<a INT, b INT> and DECIMAL(10,2) must not split)
+    def splitSpecs(s: String): Seq[String] = {
+      val t = s.trim
+      val body =
+        if (t.startsWith("(") && WindowTvf.matchParen(t, 0) == t.length - 1)
+          t.substring(1, t.length - 1)
+        else t
+      val out = Seq.newBuilder[String]
+      var depth = 0
+      val cur = new StringBuilder
+      body.foreach {
+        case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+        case c =>
+          if (c == '(' || c == '<') depth += 1
+          else if (c == ')' || c == '>') depth -= 1
+          cur += c
+      }
+      out += cur.result().trim
+      out.result().filter(_.nonEmpty)
+    }
+    val posRe = raw"(?is)^(.*?)\s+(?:(FIRST)|AFTER\s+`?([A-Za-z_]\w*)`?)\s*$$".r
+    val commentRe = raw"(?is)^(.*?)\s+COMMENT\s+'[^']*'\s*$$".r
+    val colSpecRe = raw"(?is)^`?([A-Za-z_]\w*)`?\s+(.+)$$".r
+    def place(n: String, tpe: String, pos: Option[Either[Unit, String]]): Unit = {
+      val entry = (n, tpe)
+      pos match {
+        case None => phys += entry
+        case Some(Left(())) => phys.insert(0, entry)
+        case Some(Right(after)) =>
+          val i = phys.indexWhere(_._1.equalsIgnoreCase(after))
+          if (i < 0) fail(s"ALTER TABLE $name: AFTER `$after` — no such column")
+          phys.insert(i + 1, entry)
+      }
+    }
+    def parseWatermark(spec: String): Unit = watermarkRe.findFirstMatchIn(spec) match {
+      case Some(wmm) => wmm.group(2).trim match {
+        case delayRe(c, n0, unit) if c == wmm.group(1) =>
+          if (!exists(c)) fail(s"ALTER TABLE $name: WATERMARK column `$c` does not exist")
+          wm = Some((c, s"$n0 ${unit.toLowerCase.stripSuffix("s")}s"))
+        case other => fail(s"unsupported watermark expression `$other` " +
+          "(supported: <col> - INTERVAL '<n>' <unit>)")
+      }
+      case None => fail(s"ALTER TABLE $name: malformed WATERMARK clause")
+    }
+    verb match {
+      case "ADD" | "MODIFY" =>
+        splitSpecs(payloadRaw).foreach { spec0 =>
+          if (watermarkRe.findFirstIn(spec0).isDefined) parseWatermark(spec0)
+          else pkRe.findFirstMatchIn(spec0) match {
+            case Some(pkm) =>
+              val cols = pkm.group(1).split(",").map(_.trim)
+              cols.foreach(c => if (!exists(c))
+                fail(s"ALTER TABLE $name: PRIMARY KEY column `$c` does not exist"))
+              pk = cols.toSeq
+            case None =>
+              // column spec: name type [COMMENT '...'] [FIRST | AFTER col]
+              var spec = spec0
+              val pos = posRe.findFirstMatchIn(spec) match {
+                case Some(pm) if pm.group(2) != null => spec = pm.group(1); Some(Left(()))
+                case Some(pm) if pm.group(3) != null => spec = pm.group(1); Some(Right(pm.group(3)))
+                case _ => None
+              }
+              commentRe.findFirstMatchIn(spec).foreach(cm => spec = cm.group(1))
+              val (cn, tpe) = spec.trim match {
+                case colSpecRe(n0, t0) => (n0, t0.trim)
+                case other => fail(s"ALTER TABLE $name: malformed column spec `$other`")
+              }
+              if (verb == "ADD") {
+                if (exists(cn)) fail(s"ALTER TABLE $name: column `$cn` already exists")
+                place(cn, tpe, pos)
+              } else {
+                val i = phys.indexWhere(_._1.equalsIgnoreCase(cn))
+                if (i < 0) fail(s"ALTER TABLE $name: cannot MODIFY unknown column `$cn`" +
+                  (if (computed.exists(_._1.equalsIgnoreCase(cn)))
+                    " (it is a computed column)" else ""))
+                if (pos.isEmpty) phys(i) = (phys(i)._1, tpe)
+                else { phys.remove(i); place(cn, tpe, pos) }
+              }
+          }
+        }
+      case "DROP" =>
+        val t = payloadRaw.trim
+        if (raw"(?is)^WATERMARK\s*$$".r.findFirstIn(t).isDefined) wm = None
+        else if (raw"(?is)^PRIMARY\s+KEY\s*$$".r.findFirstIn(t).isDefined) pk = Seq.empty
+        else splitSpecs(t).foreach { c0 =>
+          val c = c0.stripPrefix("`").stripSuffix("`")
+          if (wm.exists(_._1.equalsIgnoreCase(c)))
+            fail(s"ALTER TABLE $name: `$c` carries the watermark; DROP WATERMARK first")
+          if (pk.exists(_.equalsIgnoreCase(c)))
+            fail(s"ALTER TABLE $name: `$c` is in the primary key; DROP PRIMARY KEY first")
+          if (parts.exists(_.equalsIgnoreCase(c)))
+            fail(s"ALTER TABLE $name: cannot drop partition column `$c`")
+          if (computed.exists(_._1.equalsIgnoreCase(c)))
+            computed = computed.filterNot(_._1.equalsIgnoreCase(c))
+          else {
+            val i = phys.indexWhere(_._1.equalsIgnoreCase(c))
+            if (i < 0) fail(s"ALTER TABLE $name: no such column `$c`")
+            if (computed.exists(_._2.toLowerCase.contains(c.toLowerCase)))
+              fail(s"ALTER TABLE $name: `$c` is referenced by a computed column")
+            phys.remove(i)
+          }
+        }
+      case "RENAME" =>
+        val rm = raw"(?is)^([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)$$".r
+          .findFirstMatchIn(payloadRaw).getOrElse(fail("malformed RENAME col TO col"))
+        val (from, to) = (rm.group(1), rm.group(2))
+        if (exists(to)) fail(s"ALTER TABLE $name: column `$to` already exists")
+        val i = phys.indexWhere(_._1.equalsIgnoreCase(from))
+        if (i >= 0) phys(i) = (to, phys(i)._2)
+        else if (computed.exists(_._1.equalsIgnoreCase(from)))
+          computed = computed.map(e =>
+            if (e._1.equalsIgnoreCase(from)) (to, e._2) else e)
+        else fail(s"ALTER TABLE $name: no such column `$from`")
+        if (computed.exists(_._2.toLowerCase.contains(from.toLowerCase)))
+          fail(s"ALTER TABLE $name: `$from` is referenced by a computed column")
+        pk = pk.map(c => if (c.equalsIgnoreCase(from)) to else c)
+        wm = wm.map { case (c, d) => (if (c.equalsIgnoreCase(from)) to else c, d) }
+      case other => fail(s"unsupported ALTER TABLE verb $other")
+    }
+    if (phys.isEmpty) fail(s"ALTER TABLE $name: a table needs at least one physical column")
+    val colLines = phys.toSeq.map { case (n0, t0) => s"$n0 $t0" } ++
+      computed.map { case (n0, e) => s"$n0 AS $e" } ++
+      Some(pk).filter(_.nonEmpty)
+        .map(k => s"PRIMARY KEY (${k.mkString(", ")}) NOT ENFORCED").toSeq
+    registerFromMeta(spark, name, colLines, parts, opts, wm)
     name
   }
 
@@ -499,6 +818,7 @@ object FlinkDdl {
     df.write.format(fmt).mode("overwrite").save(path)
     readFs(spark, fmt, df.schema, path, opts).createOrReplaceTempView(name)
     tableRegistry(spark).put(name.toLowerCase, ("filesystem", path, fmt, df.schema))
+    recordTableNs(spark, name)
     name
   }
 
@@ -570,6 +890,7 @@ object FlinkDdl {
     tableRegistry(spark).put(name.toLowerCase,
       (connector, opts.getOrElse("path", ""), opts.getOrElse("format", ""), schema))
     optsRegistry(spark).put(name.toLowerCase, opts)
+    recordTableNs(spark, name)
     if (primaryKey.nonEmpty) pkRegistry(spark).put(name.toLowerCase, primaryKey)
     if (computed.nonEmpty) computedRegistry(spark).put(name.toLowerCase, computed)
     if (partitionCols.nonEmpty) {
@@ -829,7 +1150,12 @@ object FlinkDdl {
     val winTopNRe =
       raw"(?is)ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*PARTITION\s+BY[^)]*\bwindow_start\b".r
     val dfOrQuery = try {
-      if (WindowTvf.containsClause(select) && winTopNRe.findFirstIn(select).isDefined)
+      if (WindowTvf.containsClause(select) &&
+          WindowTvf.firstSpanFn(select).contains("CUMULATE"))
+        Right(startCumulate(spark, name, select, connector, path, fmt, trigger,
+          checkpointDir,
+          sources.flatMap(t => watermarkOf(spark, t).map(_._2)).headOption))
+      else if (WindowTvf.containsClause(select) && winTopNRe.findFirstIn(select).isDefined)
         Right(startWindowTopN(spark, name, select, connector, path, fmt, trigger,
           checkpointDir))
       else if (MatchRecognize.containsClause(select))
@@ -895,6 +1221,175 @@ object FlinkDdl {
         w.outputMode(if (appendOnly) "append" else "update").format("console").start()
       case other => fail(s"streaming INSERT INTO a '$other' table is not supported")
     }
+  }
+
+  /** Deploy a streaming INSERT whose window-TVF span is CUMULATE — the
+    * reference's cumulative window ([U] flink-table-runtime
+    * operators/aggregate/window slicing operators): expanding
+    * step-aligned windows from a shared span start, one final emission
+    * per step as the watermark closes it. Structured Streaming has no
+    * native cumulate window (and a derived window_start grouping cannot
+    * be watermark-tracked), so the deployment runs the raw stream into
+    * `foreachBatch` and reproduces Flink's own watermark discipline:
+    *
+    *  - rows land in a span-partitioned parquet row store under the
+    *    checkpoint dir (idempotent: each batch overwrites its own
+    *    `batch=N` subtree);
+    *  - the watermark is the DDL's bounded-out-of-orderness contract,
+    *    `max(rowtime) - delay`, persisted per batch so a replayed batch
+    *    recomputes the same `(prevWm, wm]` closing range;
+    *  - step ends newly at-or-below the watermark are this batch's
+    *    closing cumulate windows: the USER'S original statement re-runs
+    *    with the TVF span swapped for a view of the store rows
+    *    replicated onto their closing windows — so arbitrary grouping
+    *    keys, arbitrary (even non-mergeable) SQL aggregates, and
+    *    windowed-Top-N shapes all deploy; emissions are final (append
+    *    semantics). Late rows inside the watermark slack fold into the
+    *    still-open steps of their span, exactly the
+    *    [[graft.streaming.StreamingCumulateProcess]] behavior.
+    *
+    * Scale: the store holds at most the open spans' rows (fully-emitted
+    * span partitions are pruned each batch, and fully-late rows are
+    * dropped at write); each span is re-aggregated at most size/step
+    * times — the cost of supporting non-mergeable aggregates,
+    * distributed as ordinary batch SQL over the store. Delta vs the
+    * reference: the watermark is global max-rowtime minus delay (Flink's
+    * single-source shape) rather than min-across-partitions.
+    */
+  private def startCumulate(spark: SparkSession, sinkName: String, select: String,
+      connector: String, path: String, fmt: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      checkpointDir: Option[String],
+      wmDelay: Option[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.functions._
+    val (table, ts, stepS, sizeS, offS, spanStart, spanEnd) =
+      WindowTvf.cumulateSpan(select)
+    val outerText = select.substring(0, spanStart) + " __graft_cum " +
+      select.substring(spanEnd + 1)
+    val src = spark.table(table) // the streaming-bound temp view
+    val srcCols = src.columns.toSeq
+    val sinkSchema = registered(spark, sinkName).get._4
+    val stepUs = stepS * 1000000L
+    val sizeUs = sizeS * 1000000L
+    val offUs = offS * 1000000L
+    val nSteps = (sizeS / stepS).toInt
+    val delayUs = wmDelay.map { d =>
+      val Array(n, unit) = d.trim.split("\\s+", 2)
+      n.toLong * (unit.stripSuffix("s").toLowerCase match {
+        case "millisecond" => 1000L
+        case "second"      => 1000000L
+        case "minute"      => 60000000L
+        case "hour"        => 3600000000L
+        case "day"         => 86400000000L
+        case other => fail(s"unsupported watermark delay unit '$other'")
+      })
+    }.getOrElse(fail("streaming CUMULATE needs a WATERMARK FOR declaration " +
+      "on the source table (the bounded-out-of-orderness contract drives emission)"))
+    // dry analysis: shape the view as foreachBatch will and surface
+    // unresolved columns / arity mismatches at deploy time
+    val viewSchema = StructType(src.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("window_start",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("window_end",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("window_time",
+        org.apache.spark.sql.types.TimestampType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], viewSchema)
+      .createOrReplaceTempView("__graft_cum")
+    val parser0 = new GraftSqlParser(spark, spark.sessionState.sqlParser)
+    val dry = org.apache.spark.sql.GraftColumnBridge.ofRows(spark, parser0.parsePlan(outerText))
+    if (dry.columns.length != sinkSchema.fields.length)
+      fail(s"streaming INSERT selects ${dry.columns.length} columns; " +
+        s"sink $sinkName declares ${sinkSchema.fields.length}")
+    val ckpt = checkpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory(s"graft_cum_$sinkName").toString)
+    val store = s"$ckpt/graft_cum_store"
+    val wmDir = java.nio.file.Paths.get(s"$ckpt/graft_cum_wm")
+    // integer floor-div (see WindowTvf.buildSubquery): exact for large
+    // epochs, correct for pre-epoch rowtimes
+    def floordivCol(num: org.apache.spark.sql.Column, den: Long) =
+      (num / den).cast("long").minus(when(num % den < 0, 1L).otherwise(0L))
+    src.writeStream.trigger(trigger).option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s2 = batch.sparkSession
+          // 1. tag raw rows with their span start (epoch micros)
+          val rows = batch
+            .withColumn("__graft_ts", unix_micros(col(s"`$ts`").cast("timestamp")))
+            .withColumn("__graft_span",
+              floordivCol(col("__graft_ts") - offUs, sizeUs) * sizeUs + offUs)
+          // 3. the watermark: max rowtime seen minus the DDL delay,
+          //    persisted per batch so a replay recomputes the same range
+          val wmBatch = rows.agg(max(col("__graft_ts"))).head().getLong(0) - delayUs
+          java.nio.file.Files.createDirectories(wmDir)
+          val prevWm = {
+            val prior = java.nio.file.Files.list(wmDir).toArray.toSeq
+              .map(_.toString)
+              .flatMap { p =>
+                val n = p.substring(p.lastIndexOf('=') + 1).toLong
+                if (n < batchId)
+                  Some(java.nio.file.Files.readString(java.nio.file.Paths.get(p)).trim.toLong)
+                else None
+              }
+            if (prior.isEmpty) Long.MinValue else prior.max
+          }
+          val wm = math.max(prevWm, wmBatch)
+          java.nio.file.Files.writeString(wmDir.resolve(s"batch=$batchId"), wm.toString)
+          // 2. idempotent store append (a replayed batch overwrites its
+          //    own subtree); rows whose whole span already emitted are
+          //    fully late — dropped, like the reference's late-data rule
+          rows.where(col("__graft_span") + sizeUs > prevWm)
+            .write.mode("overwrite")
+            .partitionBy("__graft_span").parquet(s"$store/batch=$batchId")
+          if (wm > prevWm) {
+            // 4. closing cumulate windows: step ends in (prevWm, wm] for
+            //    every span still open in the store
+            val stored = s2.read.parquet(store)
+              .where(col("__graft_span") + sizeUs > prevWm)
+            val closing = stored.select(col("__graft_span")).distinct()
+              .select(col("__graft_span").as("__graft_cspan"),
+                explode(sequence(lit(1), lit(nSteps))).as("__graft_k"))
+              .select(col("__graft_cspan"),
+                (col("__graft_cspan") + col("__graft_k") * stepUs).as("__graft_we"))
+              .where(col("__graft_we") > prevWm && col("__graft_we") <= wm)
+            // 5. replicate rows onto their closing windows and run the
+            //    user's statement over the view (final, append emissions)
+            val assigned = stored.join(broadcast(closing),
+                stored("__graft_span") === closing("__graft_cspan") &&
+                  stored("__graft_ts") < closing("__graft_we"))
+              .withColumn("window_start", timestamp_micros(col("__graft_cspan")))
+              .withColumn("window_end", timestamp_micros(col("__graft_we")))
+              .withColumn("window_time", timestamp_micros(col("__graft_we") - 1000L))
+              .drop("__graft_span", "__graft_cspan", "__graft_we", "__graft_ts", "batch")
+            assigned.createOrReplaceTempView("__graft_cum")
+            val p2 = new GraftSqlParser(s2, s2.sessionState.sqlParser)
+            val res = org.apache.spark.sql.GraftColumnBridge.ofRows(s2, p2.parsePlan(outerText))
+              .toDF(sinkSchema.fieldNames.toIndexedSeq: _*)
+              .select(sinkSchema.fields.toIndexedSeq
+                .map(f => col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+            connector match {
+              case "filesystem" => res.write.mode("append").format(fmt).save(path)
+              case "blackhole"  => res.write.mode("append").format("noop").save()
+              case "print"      => res.show(false)
+              case other => fail(s"streaming INSERT INTO a '$other' table is not supported")
+            }
+            // 6. prune spans fully emitted BEFORE this batch (safe under
+            //    replay: this batch's range starts above prevWm)
+            try {
+              val fs = new org.apache.hadoop.fs.Path(store)
+                .getFileSystem(s2.sparkContext.hadoopConfiguration)
+              fs.globStatus(new org.apache.hadoop.fs.Path(s"$store/batch=*/__graft_span=*"))
+                .foreach { st =>
+                  val sp = st.getPath.getName.substring("__graft_span=".length).toLong
+                  if (sp + sizeUs <= prevWm) fs.delete(st.getPath, true)
+                }
+            } catch { case _: Exception => () }
+          }
+        }
+        ()
+      }
+      .start()
   }
 
   /** Deploy a windowed Top-N streaming INSERT: the inner window-TVF
@@ -1017,8 +1512,19 @@ object FlinkDdl {
         // sink-only connectors: register an empty relation so the name
         // resolves; INSERT INTO routing is the caller's concern
         empty(spark, schema)
+      case "kafka" | "upsert-kafka" =>
+        // PLAN-level mapping (graft.sources.KafkaDdl): translate the
+        // options and dry-analyze the decode pipeline over an empty
+        // Kafka-shaped frame NOW, so option/format mistakes surface at
+        // CREATE TABLE time; the batch name resolves to the decoded
+        // (empty) relation. The runtime scan needs spark-sql-kafka on
+        // the classpath (absent in this zero-egress build — documented
+        // untested); see FlinkDdl.readStream.
+        graft.sources.KafkaDdl.translate(opts)
+        graft.sources.KafkaDdl.decode(
+          empty(spark, graft.sources.KafkaDdl.scanSchema), opts, schema, primaryKey)
       case other => fail(s"unsupported connector '$other' " +
-        "(supported: filesystem, datagen, print, blackhole)")
+        "(supported: filesystem, kafka, upsert-kafka, datagen, print, blackhole)")
     }
 
   private val tableHintRe =
@@ -1089,6 +1595,26 @@ object FlinkDdl {
   def readStream(spark: SparkSession, table: String): DataFrame = {
     val (connector, path, fmt, schema) = registered(spark, table)
       .getOrElse(fail(s"unknown table $table"))
+    if (connector == "kafka" || connector == "upsert-kafka") {
+      // deployment shape for the kafka mapping — translate + scan +
+      // decode. UNTESTED at runtime in this build: the zero-egress image
+      // carries no spark-sql-kafka jar and no broker; with the package
+      // on the classpath this is the standard Spark Kafka source.
+      val opts = optionsOf(spark, table)
+      val raw = try
+        spark.readStream.format("kafka")
+          .options(graft.sources.KafkaDdl.translate(opts)).load()
+      catch {
+        case e: Exception => fail("the kafka scan needs spark-sql-kafka on the " +
+          s"classpath (not shipped in this build): ${e.getMessage}")
+      }
+      val df = graft.sources.KafkaDdl.decode(raw, opts, schema,
+        primaryKeyOf(spark, table))
+      return watermarkOf(spark, table) match {
+        case Some((c, delay)) => df.withWatermark(c, delay)
+        case None => df
+      }
+    }
     if (connector != "filesystem") fail(s"readStream supports filesystem tables, not '$connector'")
     val df =
       if (cdcDecoders.contains(fmt)) {

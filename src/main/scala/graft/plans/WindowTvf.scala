@@ -47,6 +47,45 @@ object WindowTvf {
 
   def containsClause(sqlText: String): Boolean = head.findFirstIn(sqlText).isDefined
 
+  /** Uppercased fn name of the first window-TVF span, if any. */
+  def firstSpanFn(sqlText: String): Option[String] =
+    head.findFirstMatchIn(sqlText).map(_.group(1).toUpperCase)
+
+  /** Parse the first span as CUMULATE:
+    * (table, tsCol, stepSec, sizeSec, offsetSec, spanStart, spanEnd).
+    * Fails (with the streaming WindowJoin guidance) on multi-span text.
+    */
+  private[plans] def cumulateSpan(sqlText: String): (String, String, Long, Long, Long, Int, Int) = {
+    val ms = head.findAllMatchIn(sqlText).toSeq
+    if (ms.size > 1)
+      fail("streaming supports ONE window-TVF span per statement " +
+        "(streaming window joins deploy via graft.streaming.WindowJoin)")
+    val mm = ms.headOption.getOrElse(fail("no window-TVF span"))
+    val innerOpen = mm.end - 1
+    val innerClose = matchParen(sqlText, innerOpen)
+    val afterInner = sqlText.indexWhere(!_.isWhitespace, innerClose + 1)
+    if (afterInner < 0 || sqlText.charAt(afterInner) != ')')
+      fail("expected `TABLE( <fn>(...) )`")
+    if (mm.group(1).toUpperCase != "CUMULATE") fail("first span is not CUMULATE")
+    val args = normalizeArgs("CUMULATE",
+      splitArgs(sqlText.substring(innerOpen + 1, innerClose)))
+    if (args.size < 4 || args.size > 5)
+      fail("CUMULATE takes (TABLE t, DESCRIPTOR(ts), step, size [, offset])")
+    val table = args.head match {
+      case tableRe(t) => t
+      case other => fail(s"first arg of CUMULATE must be TABLE <name>, got `$other`")
+    }
+    val ts = args(1) match {
+      case descRe(c) => c
+      case other => fail(s"second arg of CUMULATE must be DESCRIPTOR(<col>), got `$other`")
+    }
+    val st = seconds(args(2))
+    val sz = seconds(args(3))
+    val off = if (args.size > 4) seconds(args(4)) else 0L
+    if (sz % st != 0) fail("CUMULATE size must be a multiple of step")
+    (table, ts, st, sz, off, mm.start, afterInner)
+  }
+
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"window TVF: $msg")
 
@@ -368,8 +407,9 @@ object WindowTvf {
           "window_start", "session_window.start"),
           "window_end", "session_window.end")
       case "CUMULATE" =>
-        fail("streaming CUMULATE deploys via graft.streaming.CumulateOps " +
-          "(per-step emission); the TVF text is batch parity")
+        fail("streaming CUMULATE deploys via the streaming-INSERT routing " +
+          "(FlinkDdl.startCumulate: native step slices + per-step re-aggregation); " +
+          "it has no single native-window equivalent")
     }
     val sub =
       s"""(SELECT *, __gw.start AS window_start, __gw.end AS window_end,

@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Kafka-shaped connector DDL, translated at the PLAN level — the
+  * reference's `'connector' = 'kafka'` / `'upsert-kafka'` table options
+  * ([U] flink-connector-kafka KafkaConnectorOptions; externalized from
+  * core in 1.19, but present in nearly every real deployment script).
+  *
+  * Spark has Kafka support built in (spark-sql-kafka), so the mapping is
+  * option translation plus a value/key decode pipeline over Spark's
+  * fixed Kafka scan shape (`key`/`value` BINARY, `topic`, `partition`,
+  * `offset`, `timestamp`, `timestampType`):
+  *
+  *  - [[translate]]: Flink WITH options → Spark kafka source options
+  *    (`topic` → `subscribe`, `properties.*` → `kafka.*`,
+  *    `scan.startup.mode` → `startingOffsets`/`startingTimestamp`, ...);
+  *  - [[decode]]: the declared row out of `key`/`value` per the
+  *    declared format — JSON / CSV via from_json/from_csv, the CDC
+  *    formats via [[graft.operators.Changelog]] (row_kind convention),
+  *    `value.fields-include = 'EXCEPT_KEY'` stitching key fields back
+  *    from `key`, and upsert-kafka's tombstone encoding (NULL value →
+  *    `-D` of the key, else `+U`) onto the same row_kind convention.
+  *
+  * ZERO-EGRESS CAVEAT: this container carries no spark-sql-kafka jar
+  * and no broker, so the runtime scan path is NOT exercised here —
+  * FlinkDdlSpec locks the translation and the decode plan against a
+  * hand-built Kafka-shaped frame instead. With the kafka package on the
+  * classpath, `spark.readStream.format("kafka").options(translate(o))
+  * .load()` then `decode(...)` is the deployment shape.
+  */
+object KafkaDdl {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"kafka connector: $msg")
+
+  /** Spark's fixed Kafka scan schema (what `format("kafka")` serves). */
+  val scanSchema: StructType = StructType.fromDDL(
+    "key BINARY, value BINARY, topic STRING, partition INT, " +
+      "offset BIGINT, timestamp TIMESTAMP, timestampType INT")
+
+  /** Flink kafka/upsert-kafka WITH options → Spark kafka source options.
+    * Unsupported scan modes fail clearly; sink-side and consumer-tuning
+    * options that have no Spark analog are accepted and dropped (a
+    * migrating script must not die on them).
+    */
+  def translate(opts: Map[String, String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    opts.get("topic").foreach { t =>
+      // Flink separates multiple topics with ';', Spark with ','
+      out += "subscribe" -> t.split(";").map(_.trim).mkString(",")
+    }
+    opts.get("topic-pattern").foreach(p => out += "subscribePattern" -> p)
+    if (!opts.contains("topic") && !opts.contains("topic-pattern"))
+      fail("requires 'topic' or 'topic-pattern'")
+    opts.get("properties.bootstrap.servers") match {
+      case Some(bs) => out += "kafka.bootstrap.servers" -> bs
+      case None => fail("requires 'properties.bootstrap.servers'")
+    }
+    // remaining consumer properties pass through under Spark's kafka. prefix
+    opts.collect {
+      case (k, v) if k.startsWith("properties.") &&
+          k != "properties.bootstrap.servers" && k != "properties.group.id" =>
+        out += s"kafka.${k.stripPrefix("properties.")}" -> v
+    }
+    opts.get("properties.group.id").foreach(g => out += "kafka.group.id" -> g)
+    opts.get("scan.startup.mode").getOrElse("group-offsets") match {
+      case "earliest-offset" => out += "startingOffsets" -> "earliest"
+      case "latest-offset"   => out += "startingOffsets" -> "latest"
+      case "group-offsets" =>
+        // Flink's default; Spark tracks its own offsets in the checkpoint,
+        // so the equivalent posture is "resume from checkpoint, else latest"
+        out += "startingOffsets" -> "latest"
+      case "timestamp" =>
+        out += "startingTimestamp" -> opts.getOrElse("scan.startup.timestamp-millis",
+          fail("'scan.startup.mode' = 'timestamp' requires 'scan.startup.timestamp-millis'"))
+      case "specific-offsets" =>
+        val topic = opts.getOrElse("topic", fail("specific-offsets requires 'topic'"))
+        val specs = opts.getOrElse("scan.startup.specific-offsets",
+          fail("'scan.startup.mode' = 'specific-offsets' requires 'scan.startup.specific-offsets'"))
+        // 'partition:0,offset:42;partition:1,offset:300' →
+        // {"topic":{"0":42,"1":300}}
+        val kvRe = raw"partition\s*:\s*(\d+)\s*,\s*offset\s*:\s*(\d+)".r
+        val pairs = specs.split(";").toSeq.map { s =>
+          kvRe.findFirstMatchIn(s.trim).map(m => (m.group(1), m.group(2)))
+            .getOrElse(fail(s"malformed specific-offsets entry `$s`"))
+        }
+        val body = pairs.map { case (p, o) => s""""$p": $o""" }.mkString(", ")
+        out += "startingOffsets" -> s"""{"$topic": {$body}}"""
+      case other => fail(s"unsupported 'scan.startup.mode' = '$other'")
+    }
+    opts.get("scan.bounded.mode").foreach {
+      case "latest-offset" => out += "endingOffsets" -> "latest"
+      case other => fail(s"unsupported 'scan.bounded.mode' = '$other'")
+    }
+    out.result()
+  }
+
+  private val cdcFormats = Set("debezium-json", "canal-json", "maxwell-json", "ogg-json")
+
+  /** Decode a Kafka-shaped frame ([[scanSchema]], as Spark's kafka
+    * source serves it) into rows of the declared `schema`. For
+    * `upsert-kafka` the output carries the row_kind convention
+    * (`+U` upserts, `-D` tombstones); CDC value formats likewise.
+    */
+  def decode(df: DataFrame, opts: Map[String, String], schema: StructType,
+      primaryKey: Seq[String]): DataFrame = {
+    val connector = opts.getOrElse("connector", "kafka")
+    val valueFmt = opts.get("value.format").orElse(opts.get("format"))
+      .getOrElse(fail("requires 'format' or 'value.format'"))
+    val keyFields: Seq[String] =
+      if (connector == "upsert-kafka") {
+        if (primaryKey.isEmpty) fail("upsert-kafka requires a PRIMARY KEY")
+        primaryKey
+      } else opts.get("key.fields").map(_.split(";").toSeq.map(_.trim)).getOrElse(Seq.empty)
+    val exceptKey = connector == "upsert-kafka" ||
+      opts.getOrElse("value.fields-include", "ALL").equalsIgnoreCase("EXCEPT_KEY")
+    val valueSchema =
+      if (exceptKey && keyFields.nonEmpty)
+        StructType(schema.fields.filterNot(f => keyFields.contains(f.name)))
+      else schema
+    val keySchema = StructType(schema.fields.filter(f => keyFields.contains(f.name)))
+    def parse(colName: String, target: StructType) =
+      opts.get("key.format").filter(_ => colName == "key").getOrElse(valueFmt) match {
+        case "json" => from_json(col(colName).cast("string"), target)
+        case "csv"  => from_csv(col(colName).cast("string"), target,
+          Map("sep" -> opts.getOrElse("csv.field-delimiter", ",")))
+        case other => fail(s"unsupported decode format '$other' " +
+          "(supported: json, csv, debezium-json, canal-json, maxwell-json, ogg-json)")
+      }
+    if (cdcFormats.contains(valueFmt)) {
+      if (connector == "upsert-kafka") fail("upsert-kafka takes a plain value format")
+      val raw = df.select(col("value").cast("string").as("__json"))
+      val dec: (DataFrame, String, String) => DataFrame = valueFmt match {
+        case "debezium-json" => graft.operators.Changelog.fromDebeziumJson
+        case "canal-json"    => graft.operators.Changelog.fromCanalJson
+        case "maxwell-json"  => graft.operators.Changelog.fromMaxwellJson
+        case "ogg-json"      => graft.operators.Changelog.fromOggJson
+      }
+      return dec(raw, "__json", schema.toDDL)
+    }
+    if (connector == "upsert-kafka") {
+      // NULL value = tombstone: -D of the key fields; else +U of the value
+      // (Flink's upsert-kafka changelog shape), on the row_kind convention
+      val keyed = df
+        .withColumn("__k", parse("key", keySchema))
+        .withColumn("__v", parse("value", valueSchema))
+      val cols = schema.fields.toSeq.map { f =>
+        if (keyFields.contains(f.name)) col(s"__k.`${f.name}`").as(f.name)
+        else when(col("value").isNull, lit(null).cast(f.dataType))
+          .otherwise(col(s"__v.`${f.name}`")).as(f.name)
+      }
+      return keyed.select(
+        when(col("value").isNull, "-D").otherwise("+U").as("row_kind") +: cols: _*)
+    }
+    if (exceptKey && keyFields.nonEmpty) {
+      val stitched = df
+        .withColumn("__k", parse("key", keySchema))
+        .withColumn("__v", parse("value", valueSchema))
+      stitched.select(schema.fields.toSeq.map { f =>
+        if (keyFields.contains(f.name)) col(s"__k.`${f.name}`").as(f.name)
+        else col(s"__v.`${f.name}`").as(f.name)
+      }: _*)
+    } else
+      df.select(parse("value", schema).as("__v")).select(col("__v.*"))
+  }
+}

@@ -433,7 +433,9 @@ class FlinkDdlSpec extends AnyFunSuite {
   test("unsupported shapes fail with clear errors") {
     def err(sql: String): String =
       intercept[IllegalArgumentException](FlinkDdl.execute(spark, sql)).getMessage
-    assert(err("CREATE TABLE t (a INT) WITH ('connector' = 'kafka')").contains("unsupported connector"))
+    assert(err("CREATE TABLE t (a INT) WITH ('connector' = 'pulsar')").contains("unsupported connector"))
+    // kafka IS mapped now, but an incomplete declaration still fails at CREATE
+    assert(err("CREATE TABLE t (a INT) WITH ('connector' = 'kafka')").contains("topic"))
     assert(err("CREATE TABLE t (a INT) WITH ('path' = '/x')").contains("'connector'"))
     assert(err("""CREATE TABLE t (a INT, WATERMARK FOR a AS now())
                  |WITH ('connector' = 'datagen')""".stripMargin)
@@ -556,6 +558,149 @@ class FlinkDdlSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       FlinkDdl.executeAlter(spark, "ALTER TABLE nope SET ('a' = 'b')"))
     assert(e2.getMessage.contains("not DDL-registered"))
+  }
+
+  test("kafka connector DDL translates options and decodes the scan shape (plan-level)") {
+    import graft.sources.KafkaDdl
+    import org.apache.spark.sql.Row
+    // -- option translation locks
+    val t1 = KafkaDdl.translate(Map(
+      "connector" -> "kafka", "topic" -> "orders;returns",
+      "properties.bootstrap.servers" -> "b1:9092,b2:9092",
+      "properties.group.id" -> "g1",
+      "properties.max.poll.records" -> "500",
+      "scan.startup.mode" -> "earliest-offset", "format" -> "json"))
+    assert(t1("subscribe") == "orders,returns")
+    assert(t1("kafka.bootstrap.servers") == "b1:9092,b2:9092")
+    assert(t1("kafka.group.id") == "g1")
+    assert(t1("kafka.max.poll.records") == "500")
+    assert(t1("startingOffsets") == "earliest")
+    val t2 = KafkaDdl.translate(Map(
+      "connector" -> "kafka", "topic" -> "t",
+      "properties.bootstrap.servers" -> "b:9092",
+      "scan.startup.mode" -> "specific-offsets",
+      "scan.startup.specific-offsets" -> "partition:0,offset:42;partition:1,offset:300"))
+    assert(t2("startingOffsets") == """{"t": {"0": 42, "1": 300}}""")
+    val t3 = KafkaDdl.translate(Map(
+      "connector" -> "kafka", "topic-pattern" -> "orders-.*",
+      "properties.bootstrap.servers" -> "b:9092",
+      "scan.startup.mode" -> "timestamp", "scan.startup.timestamp-millis" -> "1700000000000"))
+    assert(t3("subscribePattern") == "orders-.*" && t3("startingTimestamp") == "1700000000000")
+    val eT = intercept[IllegalArgumentException](KafkaDdl.translate(
+      Map("connector" -> "kafka", "properties.bootstrap.servers" -> "b:9092")))
+    assert(eT.getMessage.contains("topic"))
+    // -- CREATE TABLE registers (dry-analyzed decode; empty batch relation)
+    FlinkDdl.execute(spark,
+      """CREATE TABLE kafka_orders (
+        |  order_id BIGINT, item STRING, qty INT,
+        |  WATERMARK FOR ets AS ets - INTERVAL '5' SECOND,
+        |  ets AS CAST(now() AS TIMESTAMP)
+        |) WITH ('connector' = 'kafka', 'topic' = 'orders',
+        |        'properties.bootstrap.servers' = 'broker:9092',
+        |        'scan.startup.mode' = 'earliest-offset',
+        |        'format' = 'json')""".stripMargin)
+    assert(spark.table("kafka_orders").schema.fieldNames.toSeq ==
+      Seq("order_id", "item", "qty", "ets"))
+    assert(spark.table("kafka_orders").count() == 0)
+    // a bad format fails at CREATE time, not deploy time
+    val eF = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      """CREATE TABLE kafka_bad (id BIGINT)
+        |WITH ('connector' = 'kafka', 'topic' = 't',
+        |      'properties.bootstrap.servers' = 'b:9092', 'format' = 'protobuf3')""".stripMargin))
+    assert(eF.getMessage.contains("format"), eF.getMessage)
+    // -- decode plan over a hand-built kafka-shaped frame (what the real
+    //    scan serves): plain json value
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_id BIGINT, item STRING, qty INT")
+    def kframe(rows: Seq[(Array[Byte], Array[Byte])]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (k, v) =>
+          Row(k, v, "orders", 0, 0L, new java.sql.Timestamp(0L), 0) }),
+        KafkaDdl.scanSchema)
+    val plain = KafkaDdl.decode(
+      kframe(Seq((null, """{"order_id":7,"item":"ax","qty":2}""".getBytes))),
+      Map("connector" -> "kafka", "format" -> "json"), schema, Seq.empty)
+    assert(plain.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((7L, "ax", 2)))
+    // key fields stitched back under EXCEPT_KEY
+    val stitched = KafkaDdl.decode(
+      kframe(Seq(("""{"order_id":9}""".getBytes, """{"item":"bx","qty":3}""".getBytes))),
+      Map("connector" -> "kafka", "format" -> "json", "key.format" -> "json",
+        "key.fields" -> "order_id", "value.fields-include" -> "EXCEPT_KEY"),
+      schema, Seq.empty)
+    assert(stitched.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((9L, "bx", 3)))
+    // upsert-kafka: NULL value is a -D tombstone of the key, else +U
+    val upsert = KafkaDdl.decode(
+      kframe(Seq(
+        ("""{"order_id":1}""".getBytes, """{"order_id":1,"item":"a","qty":5}""".getBytes),
+        ("""{"order_id":1}""".getBytes, null))),
+      Map("connector" -> "upsert-kafka", "key.format" -> "json", "value.format" -> "json"),
+      schema, Seq("order_id"))
+    assert(upsert.collect().map(r =>
+      (r.getString(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toSet ==
+      Set(("+U", 1L, Some("a"), Some(5)), ("-D", 1L, None, None)))
+    // debezium value format reuses the row_kind changelog decoders
+    val dbz = KafkaDdl.decode(
+      kframe(Seq((null,
+        """{"before":{"order_id":3,"item":"c","qty":1},"after":null,"op":"d"}""".getBytes))),
+      Map("connector" -> "kafka", "format" -> "debezium-json"), schema, Seq.empty)
+    assert(dbz.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("-D", 3L)))
+  }
+
+  test("ALTER TABLE ADD/MODIFY/DROP/RENAME columns evolve the registered schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("ddl_evolve").toString
+    Seq((1, "a", 1.5), (2, "b", 2.5))
+      .toDF("id", "s", "v").write.mode("overwrite").parquet(s"$dir/t")
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE ev (
+         |  id INT, s STRING, v DOUBLE,
+         |  WATERMARK FOR ets AS ets - INTERVAL '5' SECOND,
+         |  ets AS CAST(now() AS TIMESTAMP)
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+         |        'format' = 'parquet')""".stripMargin)
+    // -- ADD with position: files written before the evolution read nulls
+    FlinkSql.sql(spark, "ALTER TABLE ev ADD tag STRING AFTER id")
+    assert(spark.table("ev").schema.fieldNames.take(3).toSeq == Seq("id", "tag", "s"))
+    assert(spark.table("ev").where($"tag".isNull).count() == 2)
+    FlinkSql.sql(spark, "ALTER TABLE ev ADD (pri INT FIRST, note STRING COMMENT 'free text')")
+    val names = spark.table("ev").schema.fieldNames.toSeq
+    assert(names.head == "pri" && names.contains("note"), names)
+    // -- MODIFY widens the declared type; existing int32 files upcast
+    FlinkSql.sql(spark, "ALTER TABLE ev MODIFY id BIGINT")
+    assert(spark.table("ev").schema("id").dataType == LongType)
+    assert(spark.table("ev").select(sum($"id")).head().getLong(0) == 3L)
+    // -- DROP column; guarded drops fail with guidance
+    FlinkSql.sql(spark, "ALTER TABLE ev DROP (note, pri)")
+    assert(!spark.table("ev").schema.fieldNames.contains("note"))
+    val eWm = intercept[IllegalArgumentException](
+      FlinkSql.sql(spark, "ALTER TABLE ev DROP ets"))
+    assert(eWm.getMessage.contains("WATERMARK"), eWm.getMessage)
+    FlinkSql.sql(spark, "ALTER TABLE ev DROP WATERMARK")
+    assert(FlinkDdl.watermarkOf(spark, "ev").isEmpty)
+    FlinkSql.sql(spark, "ALTER TABLE ev DROP ets") // computed col, now unguarded
+    assert(!spark.table("ev").schema.fieldNames.contains("ets"))
+    // -- RENAME col; MODIFY WATERMARK re-declares on the renamed column
+    FlinkSql.sql(spark, "ALTER TABLE ev RENAME s TO label")
+    assert(spark.table("ev").schema.fieldNames.contains("label"))
+    FlinkSql.sql(spark, "ALTER TABLE ev ADD ts2 TIMESTAMP(3)")
+    FlinkSql.sql(spark,
+      "ALTER TABLE ev MODIFY WATERMARK FOR ts2 AS ts2 - INTERVAL '1' MINUTE")
+    assert(FlinkDdl.watermarkOf(spark, "ev") == Some(("ts2", "1 minutes")))
+    // -- INSERT after evolution still routes on the evolved schema
+    FlinkSql.sql(spark,
+      "INSERT INTO ev SELECT CAST(9 AS BIGINT), 'x', 'c', 3.5, TIMESTAMP '2024-01-01 00:00:00'")
+    val evolved = spark.table("ev").where($"id" === 9L).collect()
+    assert(evolved.length == 1 && evolved(0).getAs[String]("tag") == "x")
+    // unknown column / bad position fail loudly
+    val e1 = intercept[IllegalArgumentException](
+      FlinkSql.sql(spark, "ALTER TABLE ev MODIFY ghost INT"))
+    assert(e1.getMessage.contains("ghost"))
+    val e2 = intercept[IllegalArgumentException](
+      FlinkSql.sql(spark, "ALTER TABLE ev ADD x2 INT AFTER ghost"))
+    assert(e2.getMessage.contains("ghost"))
   }
 
   test("row-level DELETE and UPDATE rewrite filesystem tables (FLIP-282)") {

@@ -488,13 +488,7 @@ class FlinkScriptSpec extends AnyFunSuite {
     // 1-min gap sessions per s closed by the zz sentinel; zz's own stays open
     assert(sess == Set((5L, 75L, "a", 3L), (20L, 85L, "b", 2L), (30L, 90L, "c", 1L)),
       s"closed sessions only; got $sess")
-    // streaming CUMULATE stays a documented delta with explicit guidance
-    val e = intercept[IllegalArgumentException](FlinkSql.runStream(spark,
-      s"""INSERT INTO dial_stream_sink2
-         |SELECT window_start, count(*) AS n
-         |FROM TABLE(CUMULATE(TABLE dial_stream_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '10' MINUTE))
-         |GROUP BY window_start, window_end""".stripMargin))
-    assert(e.getMessage.contains("CumulateOps"), e.getMessage)
+    // streaming CUMULATE deploys too — covered by its own two tests below
   }
 
   test("DESCRIBE parity: key and extras columns carry PRIMARY KEY and computed columns") {
@@ -655,7 +649,7 @@ class FlinkScriptSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       FlinkSql.sql(spark, "TRUNCATE TABLE no_such_connector_table")
     }
-    // catalog/database preamble statements are accepted single-catalog no-ops
+    // catalog/database preamble statements register real namespaces now
     FlinkSql.sql(spark, "CREATE CATALOG my_cat WITH ('type' = 'generic_in_memory')")
     FlinkSql.sql(spark, "CREATE DATABASE IF NOT EXISTS my_db")
     FlinkSql.sql(spark, "USE CATALOG my_cat")
@@ -881,6 +875,150 @@ class FlinkScriptSpec extends AnyFunSuite {
     // views drop like temp views
     FlinkSql.sql(spark, "DROP VIEW cv_agg")
     assert(!spark.catalog.tableExists("cv_agg"))
+  }
+
+  test("streaming CUMULATE TVF INSERT: per-step emissions equal the batch rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flink_cum_stream").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // span [0,240): rows across three steps; sentinel at 900 drives the
+    // final watermark to 895 so every span-0 step closes
+    Seq((1L, t(10), "a"), (2L, t(70), "a"), (3L, t(130), "b"),
+      (4L, t(150), "a"), (9L, t(900), "zz"))
+      .toDF("user_id", "ts", "s").write.mode("append").parquet(s"$dir/cum_src")
+    val stmt =
+      s"""CREATE TABLE cum_src (
+         |  user_id BIGINT, ts TIMESTAMP(3), s STRING,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/cum_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE cum_sink (ws TIMESTAMP(3), we TIMESTAMP(3), s STRING, n BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/cum_sink',
+         |      'format' = 'parquet');
+         |INSERT INTO cum_sink
+         |SELECT window_start, window_end, s, count(*) AS n
+         |FROM TABLE(CUMULATE(TABLE cum_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '4' MINUTE))
+         |GROUP BY window_start, window_end, s""".stripMargin
+    val q = FlinkSql.runStream(spark, stmt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/cum_sink").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getTimestamp(1).getTime / 1000,
+        r.getString(2), r.getLong(3))).toSet
+    // batch parity: the same statement's batch rewrite, filtered to the
+    // windows the final watermark (max ts - 5s = 895) closed
+    val batch = FlinkSql.sql(spark,
+      """SELECT window_start, window_end, s, count(*) AS n
+        |FROM TABLE(CUMULATE(TABLE cum_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '4' MINUTE))
+        |GROUP BY window_start, window_end, s""".stripMargin)
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getTimestamp(1).getTime / 1000,
+        r.getString(2), r.getLong(3)))
+      .filter(_._2 <= 895).toSet
+    assert(got == batch && got.nonEmpty, s"streaming $got vs batch $batch")
+    // the per-step shape explicitly: expanding windows from the span start
+    assert(got == Set(
+      (0L, 60L, "a", 1L), (0L, 120L, "a", 2L),
+      (0L, 180L, "a", 3L), (0L, 180L, "b", 1L),
+      (0L, 240L, "a", 3L), (0L, 240L, "b", 1L)), s"got $got")
+  }
+
+  test("streaming CUMULATE INSERT resumes from its checkpoint without duplicate emissions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flink_cum_resume").toString
+    val ckpt = s"$dir/ckpt"
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    FlinkSql.run(spark,
+      s"""CREATE TABLE cumr_src (
+         |  user_id BIGINT, ts TIMESTAMP(3), s STRING,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/cumr_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE cumr_sink (ws TIMESTAMP(3), we TIMESTAMP(3), s STRING, n BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/cumr_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    val ins =
+      """INSERT INTO cumr_sink
+        |SELECT window_start, window_end, s, count(*) AS n
+        |FROM TABLE(CUMULATE(TABLE cumr_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '4' MINUTE))
+        |GROUP BY window_start, window_end, s""".stripMargin
+    // phase A: span-0 rows + a row at 250 (wm 245 closes all of span 0)
+    Seq((1L, t(10), "a"), (2L, t(70), "a"), (3L, t(130), "b"),
+      (4L, t(150), "a"), (5L, t(250), "c"))
+      .toDF("user_id", "ts", "s").write.mode("append").parquet(s"$dir/cumr_src")
+    val qa = graft.plans.FlinkDdl.executeInsertStream(spark, ins,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      checkpointDir = Some(ckpt))
+    qa.awaitTermination()
+    val gotA = spark.read.parquet(s"$dir/cumr_sink").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getTimestamp(1).getTime / 1000,
+        r.getString(2), r.getLong(3))).toSet
+    assert(gotA == Set(
+      (0L, 60L, "a", 1L), (0L, 120L, "a", 2L),
+      (0L, 180L, "a", 3L), (0L, 180L, "b", 1L),
+      (0L, 240L, "a", 3L), (0L, 240L, "b", 1L)), s"phase A got $gotA")
+    // phase B: new file advances the watermark to 495 — the c-span's four
+    // steps close, using the phase-A row from the persisted store; span-0
+    // emissions must NOT repeat
+    Seq((6L, t(500), "d"))
+      .toDF("user_id", "ts", "s").write.mode("append").parquet(s"$dir/cumr_src")
+    val qb = graft.plans.FlinkDdl.executeInsertStream(spark, ins,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      checkpointDir = Some(ckpt))
+    qb.awaitTermination()
+    val all = spark.read.parquet(s"$dir/cumr_sink").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getTimestamp(1).getTime / 1000,
+        r.getString(2), r.getLong(3)))
+    assert(all.length == all.toSet.size, s"duplicate emissions: ${all.toSeq.sorted}")
+    assert(all.toSet == gotA ++ Set(
+      (240L, 300L, "c", 1L), (240L, 360L, "c", 1L),
+      (240L, 420L, "c", 1L), (240L, 480L, "c", 1L)), s"got ${all.toSet}")
+  }
+
+  test("three-part names: USE CATALOG/DATABASE switch the prefix; qualified refs resolve e2e") {
+    val dir = java.nio.file.Files.createTempDirectory("flink_ns").toString
+    val last = FlinkSql.run(spark,
+      s"""CREATE CATALOG prod WITH ('type' = 'generic_in_memory');
+         |CREATE DATABASE prod.sales;
+         |USE CATALOG prod;
+         |USE sales;
+         |CREATE TABLE prod.sales.ns_orders (id BIGINT, amt DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/ns_orders',
+         |      'format' = 'parquet');
+         |INSERT INTO ns_orders VALUES (1, 10.0), (2, 20.5);
+         |SELECT o.id, o.amt FROM prod.sales.ns_orders AS o WHERE o.amt > 15""".stripMargin)
+    assert(last.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((2L, 20.5)))
+    // two-part reference within the current catalog
+    assert(FlinkSql.sql(spark, "SELECT count(*) AS n FROM sales.ns_orders")
+      .head().getLong(0) == 2L)
+    assert(FlinkSql.sql(spark, "SHOW CURRENT CATALOG").head().getString(0) == "prod")
+    assert(FlinkSql.sql(spark, "SHOW CURRENT DATABASE").head().getString(0) == "sales")
+    assert(FlinkSql.sql(spark, "SHOW DATABASES").collect().map(_.getString(0)).toSet ==
+      Set("default_database", "sales"))
+    // from another catalog only the full three-part form resolves
+    FlinkSql.sql(spark, "USE CATALOG default_catalog")
+    assert(FlinkSql.sql(spark, "SELECT sum(amt) AS s FROM prod.sales.ns_orders")
+      .head().getDouble(0) == 30.5)
+    val eTwo = intercept[Exception](
+      FlinkSql.sql(spark, "SELECT 1 FROM sales.ns_orders"))
+    assert(eTwo.getMessage.toLowerCase.contains("sales"), eTwo.getMessage)
+    // USE of an undeclared namespace fails like Flink
+    val eUse = intercept[IllegalArgumentException](FlinkSql.sql(spark, "USE ghost_db"))
+    assert(eUse.getMessage.contains("ghost_db"))
+    // DROP DATABASE: RESTRICT refuses a non-empty database, CASCADE drops
+    FlinkSql.sql(spark, "USE CATALOG prod")
+    FlinkSql.sql(spark, "USE default_database")
+    val eDrop = intercept[IllegalArgumentException](
+      FlinkSql.sql(spark, "DROP DATABASE sales"))
+    assert(eDrop.getMessage.contains("ns_orders"), eDrop.getMessage)
+    FlinkSql.sql(spark, "DROP DATABASE sales CASCADE")
+    assert(graft.plans.FlinkDdl.registered(spark, "ns_orders").isEmpty)
+    FlinkSql.sql(spark, "USE CATALOG default_catalog")
+    FlinkSql.sql(spark, "DROP CATALOG prod")
+    // (other suite tests may have declared their own catalogs in the
+    // shared session — assert on ours only)
+    val cats = FlinkSql.sql(spark, "SHOW CATALOGS").collect().map(_.getString(0)).toSeq
+    assert(cats.head == "default_catalog" && !cats.contains("prod"), cats)
   }
 
   test("DROP TEMPORARY VIEW pairs with CREATE TEMPORARY VIEW; IF EXISTS tolerated") {
