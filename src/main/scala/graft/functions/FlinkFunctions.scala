@@ -198,6 +198,51 @@ object FlinkFunctions {
           Literal("ELEMENT(): array has more than one element")),
         ElementAt(e(0), Literal(1), failOnError = false))
     },
+    // MULTISET convention bridge (SURVEY §1.2: Flink MULTISET<T> maps to
+    // MAP<T, INT> — element → multiplicity, Flink's own internal
+    // representation). Flink's CARDINALITY counts elements INCLUDING
+    // duplicates (Σ multiplicities), unlike Spark's cardinality(map) =
+    // #entries; `x MEMBER OF ms` is multiset_contains.
+    "multiset_cardinality" -> { e =>
+      nArgs("multiset_cardinality", e, 1)
+      val summed = ArrayAggregate(
+        MapValues(e(0)), Literal(0L),
+        LambdaFunction(Add(UnresolvedNamedLambdaVariable(Seq("acc")),
+          Cast(UnresolvedNamedLambdaVariable(Seq("x")), LongType)),
+          Seq(UnresolvedNamedLambdaVariable(Seq("acc")),
+            UnresolvedNamedLambdaVariable(Seq("x")))),
+        LambdaFunction.identity)
+      If(IsNull(e(0)), Literal.create(null, LongType), summed)
+    },
+    "multiset_contains" -> { e =>
+      nArgs("multiset_contains", e, 2)
+      val cnt = ElementAt(e(0), e(1), failOnError = false)
+      If(IsNull(e(0)), Literal.create(null, BooleanType),
+        Coalesce(Seq(GreaterThan(cnt, Literal(0)), Literal(false))))
+    },
+    // TIME(p) convention bridge (SURVEY §1.2: Flink TIME maps to INT
+    // millis-of-day in connector DDL). TO_TIME parses 'HH:mm:ss[.SSS]'
+    // timezone-free; TIME_TO_STRING renders the INT back. Both are
+    // arithmetic/format compositions — codegen'd, no tz dependence.
+    "to_time" -> { e =>
+      nArgs("to_time", e, 1)
+      val parts = StringSplit(e(0), Literal(":"), Literal(-1))
+      val h = Cast(GetArrayItem(parts, Literal(0)), IntegerType)
+      val m = Cast(GetArrayItem(parts, Literal(1)), IntegerType)
+      val msec = Cast(Round(Multiply(
+        Cast(GetArrayItem(parts, Literal(2)), DoubleType), Literal(1000.0)),
+        Literal(0)), IntegerType)
+      Add(Add(Multiply(h, Literal(3600000)), Multiply(m, Literal(60000))), msec)
+    },
+    "time_to_string" -> { e =>
+      nArgs("time_to_string", e, 1)
+      val t = Cast(e(0), LongType)
+      def part(div: Long, mod: Long) =
+        Cast(Pmod(IntegralDivide(t, Literal(div)), Literal(mod)), IntegerType)
+      FormatString(Literal("%02d:%02d:%02d.%03d"),
+        part(3600000L, 24L), part(60000L, 60L), part(1000L, 60L),
+        Cast(Pmod(t, Literal(1000L)), IntegerType))
+    },
     "to_timestamp_ltz" -> { e =>
       (e.lift(1), e.length) match {
         case (Some(Literal(0, IntegerType)), 2) => SecondsToTimestamp(e(0))

@@ -38,8 +38,15 @@ object GraftFunctions {
       distinct = true)),
   )
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       GraftColumnBridge.registerFunction(spark, name, b)
     }
+    // Flink's COLLECT aggregate (MULTISET<T> as map<value, count> — the
+    // MultisetAgg convention) — a udaf, so it registers via the UDF
+    // registry rather than a Catalyst builder; once per session
+    if (!spark.catalog.functionExists("collect"))
+      spark.udf.register("collect",
+        org.apache.spark.sql.functions.udaf(MultisetAgg.agg))
+  }
 }

@@ -272,11 +272,15 @@ object Vector {
   /** Top-k principal components of the embedding corpus: the Gram
     * matrix reduces distributedly ([[graft.functions.GramAgg]], one
     * d(d+1)/2-double row — a bounded driver side-input like the IVF
-    * centroid collects), then deterministic power iteration with
-    * deflation runs locally on the d×d problem. Returns k unit rows.
+    * centroid collects), then a deterministic cyclic-JACOBI eigen-solve
+    * runs locally on the d×d problem — exact where power iteration
+    * stalls on tight spectra (VectorTextSpec certifies the eigen
+    * equation ||G·v − λv|| ≈ 0 and top-k-ness against the full
+    * spectrum). Returns k unit rows, descending eigenvalue, each
+    * sign-normalized so its largest-|coordinate| entry is positive.
     */
   def pcaTopComponents(df: org.apache.spark.sql.DataFrame, embCol: String,
-      dim: Int, k: Int, iters: Int = 50): Array[Array[Double]] = {
+      dim: Int, k: Int, iters: Int = 100): Array[Array[Double]] = {
     val packed = df.agg(graft.functions.GramAgg.column(col(embCol), dim))
       .head().getSeq[Double](0).toArray
     val g = Array.ofDim[Double](dim, dim)
@@ -287,38 +291,59 @@ object Vector {
       while (j < dim) { g(i)(j) = packed(idx); g(j)(i) = packed(idx); idx += 1; j += 1 }
       i += 1
     }
-    val comps = Array.ofDim[Double](k, dim)
-    var c = 0
-    while (c < k) {
-      // deterministic start: index-skewed, then orthogonalized
-      var v = Array.tabulate(dim)(x => 1.0 + (x + 1).toDouble / dim)
-      var it = 0
-      while (it < iters) {
-        // deflate against found components, multiply, normalize
-        var p = 0
-        while (p < c) {
-          val d0 = (0 until dim).map(x => v(x) * comps(p)(x)).sum
-          var x = 0
-          while (x < dim) { v(x) -= d0 * comps(p)(x); x += 1 }
-          p += 1
+    // cyclic Jacobi sweeps, rotations accumulated into vmat's COLUMNS
+    val a = g.map(_.clone())
+    val vmat = Array.tabulate(dim, dim)((r, c0) => if (r == c0) 1.0 else 0.0)
+    val scale = math.max(1e-300, (0 until dim).map(x => math.abs(g(x)(x))).max)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-13 * scale && sweep < iters) {
+      off = 0.0
+      var p = 0
+      while (p < dim) {
+        var q = p + 1
+        while (q < dim) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > off) off = math.abs(apq)
+          if (math.abs(apq) > 1e-300) {
+            val theta = 0.5 * math.atan2(2 * apq, a(q)(q) - a(p)(p))
+            val cth = math.cos(theta)
+            val sth = math.sin(theta)
+            var x = 0
+            while (x < dim) {
+              val (axp, axq) = (a(x)(p), a(x)(q))
+              a(x)(p) = cth * axp - sth * axq
+              a(x)(q) = sth * axp + cth * axq
+              x += 1
+            }
+            x = 0
+            while (x < dim) {
+              val (apx, aqx) = (a(p)(x), a(q)(x))
+              a(p)(x) = cth * apx - sth * aqx
+              a(q)(x) = sth * apx + cth * aqx
+              x += 1
+            }
+            x = 0
+            while (x < dim) {
+              val (vxp, vxq) = (vmat(x)(p), vmat(x)(q))
+              vmat(x)(p) = cth * vxp - sth * vxq
+              vmat(x)(q) = sth * vxp + cth * vxq
+              x += 1
+            }
+          }
+          q += 1
         }
-        val nv = new Array[Double](dim)
-        var r = 0
-        while (r < dim) {
-          var s0 = 0.0
-          var x = 0
-          while (x < dim) { s0 += g(r)(x) * v(x); x += 1 }
-          nv(r) = s0
-          r += 1
-        }
-        val nrm = math.sqrt(nv.map(x => x * x).sum)
-        v = if (nrm > 0) nv.map(_ / nrm) else nv
-        it += 1
+        p += 1
       }
-      comps(c) = v
-      c += 1
+      sweep += 1
     }
-    comps
+    val order = (0 until dim).sortBy(c0 => -a(c0)(c0)).take(k)
+    order.toArray.map { c0 =>
+      val v = Array.tabulate(dim)(r => vmat(r)(c0))
+      // deterministic sign: the largest-|coordinate| entry is positive
+      val m0 = v.indices.maxBy(x => (math.abs(v(x)), -x))
+      if (v(m0) < 0) v.map(-_) else v
+    }
   }
 
   /** Embedding compression: project every vector onto the corpus's top-4

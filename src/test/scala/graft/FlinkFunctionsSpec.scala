@@ -201,6 +201,40 @@ class FlinkFunctionsSpec extends AnyFunSuite {
       .head().getInt(0) == 7)
   }
 
+  test("multiset_cardinality / multiset_contains over the MAP<T, INT> convention") {
+    // COLLECT builds the multiset (map -> multiplicity); CARDINALITY
+    // counts elements INCLUDING duplicates, MEMBER OF is containment
+    val r = FlinkSql.sql(spark,
+      """SELECT multiset_cardinality(ms) AS n,
+        |       multiset_contains(ms, 'a') AS has_a,
+        |       multiset_contains(ms, 'zz') AS has_zz,
+        |       multiset_cardinality(CAST(NULL AS MAP<STRING, INT>)) AS n_null
+        |FROM (SELECT map('a', 2, 'b', 1) AS ms)""".stripMargin).head()
+    assert(r.getLong(0) == 3L) // 2 a's + 1 b, not 2 entries
+    assert(r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.isNullAt(3))
+    // composes with the COLLECT aggregate's output
+    import spark.implicits._
+    Seq("x", "x", "y").toDF("v").createOrReplaceTempView("ms_src")
+    val c = FlinkSql.sql(spark,
+      "SELECT multiset_cardinality(collect(v)) AS n FROM ms_src").head()
+    assert(c.getLong(0) == 3L)
+  }
+
+  test("to_time / time_to_string round-trip the TIME(p) millis-of-day convention") {
+    val r = FlinkSql.sql(spark,
+      """SELECT to_time('12:34:56.789') AS a,
+        |       to_time('00:00:07') AS b,
+        |       time_to_string(45296789) AS s,
+        |       time_to_string(to_time('23:59:59.999')) AS rt,
+        |       to_time(time_to_string(7000)) AS rt2""".stripMargin).head()
+    assert(r.getInt(0) == 12 * 3600000 + 34 * 60000 + 56789, r.toString)
+    assert(r.getInt(1) == 7000)
+    assert(r.getString(2) == "12:34:56.789")
+    assert(r.getString(3) == "23:59:59.999")
+    assert(r.getInt(4) == 7000)
+  }
+
   test("the pack stays codegen-resident (no interpreted eval in the plan)") {
     Tables.events(spark, TestSpark.sfDir).createOrReplaceTempView("ff_events")
     val df = spark.sql(

@@ -82,7 +82,9 @@ class FunctionsSpec extends AnyFunSuite {
       "json_exists", "truncate", "to_timestamp_ltz", "single_value",
       "is_alpha", "is_digit", "is_decimal", "rand_integer", "convert_tz",
       "current_row_timestamp", "is_json", "json_string", "json_array", "element",
-      "sha224", "sha256", "sha384", "sha512", "proctime"))
+      "sha224", "sha256", "sha384", "sha512", "proctime",
+      // the TIME(p) and MULTISET convention bridges
+      "to_time", "time_to_string", "multiset_cardinality", "multiset_contains"))
     // integration-level: a fresh session with the extensions conf resolves
     // the functions without any explicit register() call
     val s2 = org.apache.spark.sql.SparkSession.builder()

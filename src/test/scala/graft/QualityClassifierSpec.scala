@@ -70,4 +70,38 @@ class QualityClassifierSpec extends AnyFunSuite {
     val acc = out.getDouble(2) / out.getDouble(0)
     assert(acc >= base && acc >= 0.9)
   }
+
+  test("held-out AUC: the q134 model generalizes, not just memorizes its training split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the q134 weak-label recipe, but trained on 80% of docs (doc_id
+    // hash split) and evaluated on the UNSEEN 20% — independent evidence
+    // beyond the golden pin that the trained weights carry signal
+    val dim = 64
+    val labeled = Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id", $"text",
+        graft.functions.TextFunctions.tokenCount($"text").cast("long").as("n_tok"),
+        graft.functions.TextFunctions.langScore($"text", graft.functions.TextFunctions.enMarkers).as("n_stop"),
+        graft.functions.TextFunctions.punctCount($"text").as("n_punct"),
+        length($"text").as("len"))
+      .withColumn("y",
+        ($"n_tok" >= 5 && $"n_punct" / $"len" <= 0.1 && $"n_stop" > 0).cast("double"))
+    val feats = QualityClassifier.featurize(labeled, "text", dim)
+    val train = feats.where(pmod($"doc_id", lit(5)) =!= 0)
+    val heldOut = feats.where(pmod($"doc_id", lit(5)) === 0)
+    val model = QualityClassifier.train(train, "f", "y", dim, iters = 30, lr = 2.0)
+    // rank-based AUC (Mann-Whitney) over the held-out scores
+    val scored = heldOut.withColumn("score", QualityClassifier.score($"f", model))
+      .select($"y", $"score")
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"score", $"y")))
+    val agg = scored.agg(
+      sum(when($"y" === 1.0, $"r")).as("posRankSum"),
+      sum($"y").as("nPos"), count(lit(1)).as("n")).head()
+    val nPos = agg.getDouble(1)
+    val nNeg = agg.getLong(2) - nPos
+    val auc = (agg.getLong(0) - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
+    assert(nPos > 0 && nNeg > 0, s"degenerate held-out split: $nPos pos / $nNeg neg")
+    assert(auc >= 0.90, s"held-out AUC $auc below the pinned 0.90 bound")
+  }
 }

@@ -47,6 +47,74 @@ class VectorTextSpec extends AnyFunSuite {
     got.values.foreach(b => assert(b >= 0 && b < (1 << 16)))
   }
 
+  test("PCA: q116 components match an independent exact eigen-solve of the real Gram") {
+    import spark.implicits._
+    // independent evidence for the q116 golden: collect the REAL
+    // embeddings' 64x64 Gram (same mergeable aggregate the query uses),
+    // eigen-solve it with a from-scratch JACOBI rotation sweep (a
+    // different algorithm than the query's power iteration), and check
+    // the query's components are the top-4 eigenvectors: Rayleigh
+    // quotients equal to the top eigenvalues, tiny eigen-residuals,
+    // orthonormal.
+    val dim = 64 // graft.queries.Vector.Dim (private)
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val packed = emb.agg(graft.functions.GramAgg.column($"embedding", dim))
+      .head().getSeq[Double](0).toArray
+    val g = Array.ofDim[Double](dim, dim)
+    var idx = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      g(i)(j) = packed(idx); g(j)(i) = packed(idx); idx += 1
+    }
+    // Jacobi eigenvalue sweeps: rotate away the largest off-diagonal
+    // element until convergence — O(dim^3) driver-side, exact
+    val a = g.map(_.clone())
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-9 && sweep < 200) {
+      off = 0.0
+      for (p <- 0 until dim; q <- p + 1 until dim) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-12) {
+          val theta = 0.5 * math.atan2(2 * a(p)(q), a(q)(q) - a(p)(p))
+          val (c, s0) = (math.cos(theta), math.sin(theta))
+          for (k <- 0 until dim) {
+            val (akp, akq) = (a(k)(p), a(k)(q))
+            a(k)(p) = c * akp - s0 * akq
+            a(k)(q) = s0 * akp + c * akq
+          }
+          for (k <- 0 until dim) {
+            val (apk, aqk) = (a(p)(k), a(q)(k))
+            a(p)(k) = c * apk - s0 * aqk
+            a(q)(k) = s0 * apk + c * aqk
+          }
+        }
+      }
+      sweep += 1
+    }
+    val eigs = (0 until dim).map(i => a(i)(i)).sortBy(-_)
+    val comps = graft.queries.Vector.pcaTopComponents(emb, "embedding", dim, k = 4)
+    for (c <- 0 until 4) {
+      val v = comps(c)
+      // unit norm
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+      // Rayleigh quotient == c-th largest Jacobi eigenvalue
+      val gv = Array.tabulate(dim)(r => (0 until dim).map(x => g(r)(x) * v(x)).sum)
+      val lambda = (0 until dim).map(i => v(i) * gv(i)).sum: Double
+      assert(math.abs(lambda - eigs(c)) <= 1e-6 * eigs.head,
+        s"component $c Rayleigh $lambda vs Jacobi ${eigs(c)}")
+      // eigen-residual ||Gv - lambda v|| small relative to the spectrum
+      val res = math.sqrt((0 until dim).map(i => {
+        val r = gv(i) - lambda * v(i); r * r
+      }).sum)
+      assert(res <= 1e-4 * eigs.head, s"component $c residual $res")
+      // pairwise orthogonality
+      for (p <- 0 until c) {
+        val d0 = (0 until dim).map(i => v(i) * comps(p)(i)).sum
+        assert(math.abs(d0) < 1e-6, s"components $p,$c not orthogonal: $d0")
+      }
+    }
+  }
+
   test("PCA: top components recover the dominant directions of a planted corpus") {
     import spark.implicits._
     val dim = 8
