@@ -993,6 +993,19 @@ object FlinkDdl {
         registered(spark, name).foreach { case (_, _, _, schema) =>
           readFs(spark, fmt, schema, path, Map.empty).createOrReplaceTempView(name)
         }
+      case "kafka" | "upsert-kafka" =>
+        // plan-level encode (graft.sources.KafkaDdl), then Spark's own
+        // kafka batch writer — which needs spark-sql-kafka on the
+        // classpath (absent in this zero-egress build; encode itself is
+        // round-trip-tested offline)
+        val enc = graft.sources.KafkaDdl.encode(df, optionsOf(spark, name),
+          schema, primaryKeyOf(spark, name))
+        try enc.write.format("kafka")
+          .options(graft.sources.KafkaDdl.translateSink(optionsOf(spark, name))).save()
+        catch {
+          case e: Exception => fail("the kafka sink needs spark-sql-kafka on " +
+            s"the classpath (not shipped in this build): ${e.getMessage}")
+        }
       case other => fail(s"INSERT INTO a '$other' table is not supported")
     }
     df.count()
@@ -1219,6 +1232,21 @@ object FlinkDdl {
         w.outputMode(if (appendOnly) "append" else "update").format("noop").start()
       case "print" =>
         w.outputMode(if (appendOnly) "append" else "update").format("console").start()
+      case "kafka" | "upsert-kafka" =>
+        // encode to the kafka sink shape, then Spark's kafka stream
+        // writer (needs spark-sql-kafka on the classpath — absent here;
+        // the encode pipeline is round-trip-tested offline)
+        val opts = optionsOf(spark, name)
+        val enc = graft.sources.KafkaDdl.encode(out, opts,
+          registered(spark, name).get._4, primaryKeyOf(spark, name))
+        try enc.writeStream.trigger(trigger).option("checkpointLocation", ckpt)
+          .outputMode(if (appendOnly) "append" else "update")
+          .format("kafka").options(graft.sources.KafkaDdl.translateSink(opts))
+          .start()
+        catch {
+          case e: Exception => fail("the kafka sink needs spark-sql-kafka on " +
+            s"the classpath (not shipped in this build): ${e.getMessage}")
+        }
       case other => fail(s"streaming INSERT INTO a '$other' table is not supported")
     }
   }

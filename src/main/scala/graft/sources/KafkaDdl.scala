@@ -22,7 +22,11 @@ import org.apache.spark.sql.types.StructType
   *    formats via [[graft.operators.Changelog]] (row_kind convention),
   *    `value.fields-include = 'EXCEPT_KEY'` stitching key fields back
   *    from `key`, and upsert-kafka's tombstone encoding (NULL value →
-  *    `-D` of the key, else `+U`) onto the same row_kind convention.
+  *    `-D` of the key, else `+U`) onto the same row_kind convention;
+  *  - [[encode]] / [[translateSink]]: the SINK side — rows back into
+  *    `key`/`value` binaries (upsert tombstones for `-D`/`-U` row_kind
+  *    inputs) plus the writer options; decode∘encode is spec-locked as
+  *    the identity.
   *
   * ZERO-EGRESS CAVEAT: this container carries no spark-sql-kafka jar
   * and no broker, so the runtime scan path is NOT exercised here —
@@ -100,6 +104,72 @@ object KafkaDdl {
 
   private val cdcFormats = Set("debezium-json", "canal-json", "maxwell-json", "ogg-json")
 
+  /** Sink-side option translation (Spark's kafka writer takes the topic
+    * as an option plus `kafka.`-prefixed producer properties).
+    */
+  def translateSink(opts: Map[String, String]): Map[String, String] = {
+    val topic = opts.getOrElse("topic", fail("a kafka sink requires 'topic'"))
+    if (topic.contains(";")) fail("a kafka SINK takes exactly one topic")
+    Map("topic" -> topic,
+      "kafka.bootstrap.servers" -> opts.getOrElse("properties.bootstrap.servers",
+        fail("requires 'properties.bootstrap.servers'"))) ++
+      opts.collect {
+        case (k, v) if k.startsWith("properties.") && k != "properties.bootstrap.servers" =>
+          s"kafka.${k.stripPrefix("properties.")}" -> v
+      }
+  }
+
+  /** Encode rows carrying the declared `schema` columns into Spark's
+    * kafka sink shape (`key` / `value` BINARY) — the inverse of
+    * [[decode]] for json/csv. upsert-kafka writes the PRIMARY KEY as the
+    * message key and emits TOMBSTONES (NULL value) for `-D`/`-U` rows
+    * when the input carries a row_kind column (the changelog-stream
+    * convention); without one every row is an upsert.
+    */
+  def encode(df: DataFrame, opts: Map[String, String], schema: StructType,
+      primaryKey: Seq[String]): DataFrame = {
+    val connector = opts.getOrElse("connector", "kafka")
+    val valueFmt = opts.get("value.format").orElse(opts.get("format"))
+      .getOrElse(fail("requires 'format' or 'value.format'"))
+    if (cdcFormats.contains(valueFmt))
+      fail(s"kafka sink encode supports json/csv, not '$valueFmt' " +
+        "(CDC formats are source-side decodes)")
+    val keyFields: Seq[String] =
+      if (connector == "upsert-kafka") {
+        if (primaryKey.isEmpty) fail("upsert-kafka requires a PRIMARY KEY")
+        primaryKey
+      } else opts.get("key.fields").map(_.split(";").toSeq.map(_.trim)).getOrElse(Seq.empty)
+    // Flink default is ALL for kafka AND upsert-kafka ('value.fields-include');
+    // for upsert rows the message KEY stays authoritative for the pk fields
+    val exceptKey =
+      opts.getOrElse("value.fields-include", "ALL").equalsIgnoreCase("EXCEPT_KEY")
+    val valueSchema =
+      if (exceptKey && keyFields.nonEmpty)
+        StructType(schema.fields.filterNot(f => keyFields.contains(f.name)))
+      else schema
+    def ser(fmtName: String, fields: StructType) = {
+      val s0 = struct(fields.fields.toSeq.map(f => col(s"`${f.name}`")): _*)
+      fmtName match {
+        case "json" => to_json(s0)
+        case "csv"  => to_csv(s0, new java.util.HashMap[String, String] {
+          put("sep", opts.getOrElse("csv.field-delimiter", ","))
+        })
+        case other => fail(s"unsupported encode format '$other' (supported: json, csv)")
+      }
+    }
+    val keySchema = StructType(schema.fields.filter(f => keyFields.contains(f.name)))
+    val keyCol =
+      if (keyFields.isEmpty) lit(null).cast("binary")
+      else ser(opts.getOrElse("key.format", valueFmt), keySchema).cast("binary")
+    val valueEnc = ser(valueFmt, valueSchema).cast("binary")
+    val valueCol =
+      if (connector == "upsert-kafka" && df.columns.contains("row_kind"))
+        when(col("row_kind").isin("-D", "-U"), lit(null).cast("binary"))
+          .otherwise(valueEnc)
+      else valueEnc
+    df.select(keyCol.as("key"), valueCol.as("value"))
+  }
+
   /** Decode a Kafka-shaped frame ([[scanSchema]], as Spark's kafka
     * source serves it) into rows of the declared `schema`. For
     * `upsert-kafka` the output carries the row_kind convention
@@ -115,7 +185,9 @@ object KafkaDdl {
         if (primaryKey.isEmpty) fail("upsert-kafka requires a PRIMARY KEY")
         primaryKey
       } else opts.get("key.fields").map(_.split(";").toSeq.map(_.trim)).getOrElse(Seq.empty)
-    val exceptKey = connector == "upsert-kafka" ||
+    // Flink default is ALL for kafka AND upsert-kafka ('value.fields-include');
+    // for upsert rows the message KEY stays authoritative for the pk fields
+    val exceptKey =
       opts.getOrElse("value.fields-include", "ALL").equalsIgnoreCase("EXCEPT_KEY")
     val valueSchema =
       if (exceptKey && keyFields.nonEmpty)

@@ -35,6 +35,41 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
+    // `cumsql` measures the streaming CUMULATE TVF SQL deploy end-to-end
+    // (FlinkDdl.startCumulate: DDL parquet source → span store →
+    // per-step re-aggregation → parquet sink), AvailableNow over the
+    // whole events table — the BASELINE row for the cumulate deploy
+    if (args.length > 3 && args(3) == "cumsql") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cumsql").toString
+      val src = Tables.events(spark, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      src.write.mode("overwrite").parquet(s"$tmp/src")
+      val n = src.count()
+      graft.FlinkSql.run(spark,
+        s"""CREATE TABLE cb_src (
+           |  event_id BIGINT, ts TIMESTAMP(3), user_id BIGINT,
+           |  event_type STRING, value DOUBLE,
+           |  WATERMARK FOR ts AS ts - INTERVAL '10' SECOND
+           |) WITH ('connector' = 'filesystem', 'path' = '$tmp/src',
+           |        'format' = 'parquet');
+           |CREATE TABLE cb_sink (ws TIMESTAMP(3), we TIMESTAMP(3),
+           |  event_type STRING, n BIGINT, sum_v DOUBLE)
+           |WITH ('connector' = 'filesystem', 'path' = '$tmp/sink',
+           |      'format' = 'parquet')""".stripMargin)
+      val t0 = System.nanoTime()
+      val q = graft.plans.FlinkDdl.executeInsertStream(spark,
+        """INSERT INTO cb_sink
+          |SELECT window_start, window_end, event_type, count(*) AS n, sum(value) AS sum_v
+          |FROM TABLE(CUMULATE(TABLE cb_src, DESCRIPTOR(ts), INTERVAL '30' MINUTE, INTERVAL '2' HOUR))
+          |GROUP BY window_start, window_end, event_type""".stripMargin,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val emitted = spark.read.parquet(s"$tmp/sink").count()
+      println(f"""{"metric":"stream_cumulate_sql_rows_per_sec","value":${n / sec}%.0f,"unit":"rows/s","rows":$n,"emitted":$emitted,"sec":$sec%.2f,"parts":$parts,"sf":"$dir"}""")
+      spark.stop()
+      return
+    }
     val topn = args.length > 3 && args(3) == "topn"
     // `wjoin` replays views and clicks into the streaming window join
     // (two-sided symmetric-hash join state keyed by (window, user)) —

@@ -648,6 +648,57 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(dbz.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("-D", 3L)))
   }
 
+  test("kafka sink encode round-trips through decode; tombstones for -D row_kind") {
+    import graft.sources.KafkaDdl
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_id BIGINT, item STRING, qty INT")
+    val rows = Seq((7L, "ax", 2), (8L, "bx", 3)).toDF("order_id", "item", "qty")
+    def toScan(enc: org.apache.spark.sql.DataFrame) =
+      enc.select($"key", $"value", lit("t").as("topic"), lit(0).as("partition"),
+        lit(0L).as("offset"), lit(new java.sql.Timestamp(0L)).as("timestamp"),
+        lit(0).as("timestampType"))
+    // plain json value: encode(decode) is the identity on the rows
+    val plainOpts = Map("connector" -> "kafka", "format" -> "json", "topic" -> "t",
+      "properties.bootstrap.servers" -> "b:9092")
+    val rt = KafkaDdl.decode(toScan(KafkaDdl.encode(rows, plainOpts, schema, Seq.empty)),
+      plainOpts, schema, Seq.empty)
+    assert(rt.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet ==
+      Set((7L, "ax", 2), (8L, "bx", 3)))
+    // EXCEPT_KEY: key fields live only in the key, and stitch back
+    val keyOpts = plainOpts ++ Map("key.format" -> "json", "key.fields" -> "order_id",
+      "value.fields-include" -> "EXCEPT_KEY")
+    val encK = KafkaDdl.encode(rows, keyOpts, schema, Seq.empty)
+    assert(encK.select($"value".cast("string")).as[String].collect()
+      .forall(!_.contains("order_id")))
+    val rtK = KafkaDdl.decode(toScan(encK), keyOpts, schema, Seq.empty)
+    assert(rtK.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet ==
+      Set((7L, "ax", 2), (8L, "bx", 3)))
+    // upsert-kafka: -D rows become NULL-value tombstones and decode back as -D
+    val upOpts = Map("connector" -> "upsert-kafka", "key.format" -> "json",
+      "value.format" -> "json", "topic" -> "t",
+      "properties.bootstrap.servers" -> "b:9092")
+    val kinds = Seq(("+U", 7L, "ax", 2), ("-D", 8L, "bx", 3))
+      .toDF("row_kind", "order_id", "item", "qty")
+    val encU = KafkaDdl.encode(kinds, upOpts, schema, Seq("order_id"))
+    assert(encU.where($"value".isNull).count() == 1)
+    val rtU = KafkaDdl.decode(toScan(encU), upOpts, schema, Seq("order_id"))
+    assert(rtU.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("+U", 7L), ("-D", 8L)))
+    // sink option translation lock
+    val sinkOpts = KafkaDdl.translateSink(plainOpts)
+    assert(sinkOpts("topic") == "t" && sinkOpts("kafka.bootstrap.servers") == "b:9092")
+    // INSERT INTO a kafka table fails with classpath guidance (no jar here)
+    FlinkDdl.execute(spark,
+      """CREATE TABLE kafka_sink_t (order_id BIGINT, item STRING, qty INT)
+        |WITH ('connector' = 'kafka', 'topic' = 't',
+        |      'properties.bootstrap.servers' = 'b:9092',
+        |      'scan.startup.mode' = 'earliest-offset', 'format' = 'json')""".stripMargin)
+    val eIns = intercept[IllegalArgumentException](FlinkDdl.executeInsert(spark,
+      "INSERT INTO kafka_sink_t SELECT 1L, 'x', 2"))
+    assert(eIns.getMessage.contains("spark-sql-kafka"), eIns.getMessage)
+  }
+
   test("ALTER TABLE ADD/MODIFY/DROP/RENAME columns evolve the registered schema") {
     import spark.implicits._
     import org.apache.spark.sql.types._
