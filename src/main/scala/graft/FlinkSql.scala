@@ -97,7 +97,8 @@ object FlinkSql {
     raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s+AS\s+'([^']+)'\s*(?:LANGUAGE\s+(\w+))?\s*$$".r
   private val dropFunctionRe =
     raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*$$".r
-  private val showTablesRe = raw"(?is)^\s*SHOW\s+TABLES\s*$$".r
+  private val showTablesRe =
+    raw"(?is)^\s*SHOW\s+TABLES\s*(?:(?:FROM|IN)\s+(?:`?([A-Za-z_]\w*)`?\s*\.\s*)?`?([A-Za-z_]\w*)`?\s*)?(?:(NOT\s+)?LIKE\s+'([^']*)')?\s*$$".r
   private val showCreateRe = raw"(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*$$".r
   private val showCreateViewRe =
     raw"(?is)^\s*SHOW\s+CREATE\s+VIEW\s+`?([A-Za-z_]\w*)`?\s*$$".r
@@ -255,12 +256,28 @@ object FlinkSql {
             s"DROP FUNCTION $name: no such temporary function")
         okRow(spark, "function", name)
       // SQL-client catalog statements (Flink column names kept verbatim)
-      case showTablesRe() =>
+      case showTablesRe(cat, db, not, pat) =>
+        // Flink's SHOW TABLES [(FROM | IN) [cat.]db] [[NOT] LIKE 'p'] —
+        // the FROM/IN form answers from the namespace bookkeeping (which
+        // database each DDL table was created under); the bare form
+        // keeps the whole flat listing (temp views included)
         import spark.implicits._
-        val ddl = graft.plans.FlinkDdl.registeredTables(spark).keys
-        val views = spark.catalog.listTables().collect()
-          .filter(_.isTemporary).map(_.name.toLowerCase)
-        (ddl ++ views).toSeq.distinct.sorted.toDF("table name")
+        val base: Seq[String] =
+          if (db != null) graft.plans.FlinkDdl.tablesIn(spark, Option(cat), db)
+          else {
+            val ddl = graft.plans.FlinkDdl.registeredTables(spark).keys
+            val views = spark.catalog.listTables().collect()
+              .filter(_.isTemporary).map(_.name.toLowerCase)
+            (ddl ++ views).toSeq
+          }
+        val filtered = Option(pat) match {
+          case None => base
+          case Some(p) =>
+            val re = ("(?i)^" + java.util.regex.Pattern.quote(p)
+              .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r
+            base.filter(t => (not == null) == re.findFirstIn(t).isDefined)
+        }
+        filtered.distinct.sorted.toDF("table name")
       case showCreateRe(name) =>
         import spark.implicits._
         Seq(renderCreateTable(spark, name)).toDF("create table")

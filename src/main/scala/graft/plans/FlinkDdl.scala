@@ -170,6 +170,14 @@ object FlinkDdl {
     val s = ns(spark)
     s.tableNs(name.toLowerCase) = (s.currentCatalog, s.currentDb)
   }
+  /** DDL tables created under `[cat.]db` (SHOW TABLES FROM/IN). */
+  def tablesIn(spark: SparkSession, cat0: Option[String], d0: String): Seq[String] = {
+    val s = ns(spark)
+    val c = cat0.map(_.toLowerCase).getOrElse(s.currentCatalog)
+    val d = d0.toLowerCase
+    if (!s.dbs.get(c).exists(_.contains(d))) fail(s"database `$c.$d` does not exist")
+    s.tableNs.collect { case (t, (tc, td)) if tc == c && td == d => t }.toSeq
+  }
 
   private val dottedRe =
     raw"(?s)(?<![\w.`])`?([A-Za-z_]\w*)`?\s*\.\s*(?:`?([A-Za-z_]\w*)`?\s*\.\s*)?`?([A-Za-z_]\w*)`?(?!\s*\.)".r
@@ -1342,14 +1350,19 @@ object FlinkDdl {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val s2 = batch.sparkSession
-          // 1. tag raw rows with their span start (epoch micros)
+          // 1. tag raw rows with their span start (epoch micros); rows
+          //    with a NULL rowtime carry no event time — dropped, like
+          //    the reference's null-rowtime rule
           val rows = batch
             .withColumn("__graft_ts", unix_micros(col(s"`$ts`").cast("timestamp")))
+            .where(col("__graft_ts").isNotNull)
             .withColumn("__graft_span",
               floordivCol(col("__graft_ts") - offUs, sizeUs) * sizeUs + offUs)
           // 3. the watermark: max rowtime seen minus the DDL delay,
           //    persisted per batch so a replay recomputes the same range
-          val wmBatch = rows.agg(max(col("__graft_ts"))).head().getLong(0) - delayUs
+          val wmRow = rows.agg(max(col("__graft_ts"))).head()
+          if (!wmRow.isNullAt(0)) {
+          val wmBatch = wmRow.getLong(0) - delayUs
           java.nio.file.Files.createDirectories(wmDir)
           val prevWm = {
             val prior = java.nio.file.Files.list(wmDir).toArray.toSeq
@@ -1413,6 +1426,7 @@ object FlinkDdl {
                   if (sp + sizeUs <= prevWm) fs.delete(st.getPath, true)
                 }
             } catch { case _: Exception => () }
+          }
           }
         }
         ()

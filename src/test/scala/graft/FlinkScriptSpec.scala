@@ -995,6 +995,23 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(FlinkSql.sql(spark, "SHOW CURRENT DATABASE").head().getString(0) == "sales")
     assert(FlinkSql.sql(spark, "SHOW DATABASES").collect().map(_.getString(0)).toSet ==
       Set("default_database", "sales"))
+    // SHOW TABLES FROM/IN answers from the namespace bookkeeping; LIKE filters
+    assert(FlinkSql.sql(spark, "SHOW TABLES IN sales").collect()
+      .map(_.getString(0)).toSeq == Seq("ns_orders"))
+    assert(FlinkSql.sql(spark, "SHOW TABLES IN prod.sales LIKE 'ns%'").collect()
+      .map(_.getString(0)).toSeq == Seq("ns_orders"))
+    assert(FlinkSql.sql(spark, "SHOW TABLES IN sales NOT LIKE 'ns%'").collect().isEmpty)
+    assert(FlinkSql.sql(spark, "SHOW TABLES IN default_database").collect()
+      .map(_.getString(0)).isEmpty)
+    // resolveNames leaves non-namespace dotted chains alone: quoted
+    // literals, struct-ish accesses, aliases that are not declared dbs
+    val rn = graft.plans.FlinkDdl.resolveNames(spark,
+      "SELECT o.amt, 'sales.ns_orders', x.y.z FROM prod.sales.ns_orders AS o")
+    assert(rn == "SELECT o.amt, 'sales.ns_orders', x.y.z FROM ns_orders AS o", rn)
+    // db.tbl.col strips just the declared db
+    assert(graft.plans.FlinkDdl.resolveNames(spark,
+      "SELECT sales.ns_orders.amt FROM sales.ns_orders")
+      == "SELECT ns_orders.amt FROM ns_orders")
     // from another catalog only the full three-part form resolves
     FlinkSql.sql(spark, "USE CATALOG default_catalog")
     assert(FlinkSql.sql(spark, "SELECT sum(amt) AS s FROM prod.sales.ns_orders")
