@@ -115,6 +115,8 @@ object FlinkSql {
   private val createViewRe =
     raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*".r
   private val describeRe = raw"(?is)^\s*DESC(?:RIBE)?\s+([A-Za-z_]\w*)\s*$$".r
+  private val createTableHeadRe =
+    raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:`?([A-Za-z_]\w*)`?\s*\.\s*)?(?:`?([A-Za-z_]\w*)`?\s*\.\s*)?`?[A-Za-z_]\w*`?".r
 
   /** Flink config keys with a direct Spark analog; everything else is
     * accepted and ignored (a migrating script must not die on its SET
@@ -135,6 +137,17 @@ object FlinkSql {
       if (raw"(?is)^\s*(USE|SHOW|CREATE\s+(?:CATALOG|DATABASE)|DROP\s+(?:CATALOG|DATABASE))\b".r
           .findFirstIn(statement0).isDefined) statement0
       else graft.plans.FlinkDdl.resolveNames(spark, statement0)
+    // a head-qualified CREATE TABLE names the table's home database —
+    // note it for the registry bookkeeping before the stripped text runs
+    createTableHeadRe.findFirstMatchIn(statement0) match {
+      case Some(h) =>
+        // (g1, g2): (null, null) bare — (db, null) two-part — (cat, db) three-part
+        val (cat, db) =
+          if (h.group(2) != null) (Option(h.group(1)), Option(h.group(2)))
+          else (None, Option(h.group(1)))
+        graft.plans.FlinkDdl.notePendingCreateNs(spark, cat, db)
+      case None => graft.plans.FlinkDdl.clearPendingNs(spark)
+    }
     statement match {
       // script-level statements (Flink SQL-client surface), routed
       // before the plan parser: SET / RESET map onto session confs,

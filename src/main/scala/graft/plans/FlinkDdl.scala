@@ -99,6 +99,9 @@ object FlinkDdl {
       "default_catalog" -> scala.collection.mutable.LinkedHashSet("default_database"))
     // simple table name -> (catalog, db) it was last created under
     val tableNs = scala.collection.mutable.Map.empty[String, (String, String)]
+    // the namespace a head-qualified CREATE TABLE named (set by FlinkSql
+    // before resolveNames strips the prefix, consumed by recordTableNs)
+    var pendingNs: Option[(String, String)] = None
   }
   private val nsBySession = new java.util.WeakHashMap[SparkSession, NsState]()
   private def ns(spark: SparkSession): NsState = nsBySession.synchronized {
@@ -160,16 +163,43 @@ object FlinkDdl {
   }
   def useDatabase(spark: SparkSession, cat0: Option[String], d0: String): Unit = {
     val s = ns(spark)
-    cat0.foreach(c => useCatalog(spark, c))
+    // validate BOTH parts before committing either — a failed
+    // `USE cat.db` must not leave the session half-switched
+    val c = cat0.map(_.toLowerCase).getOrElse(s.currentCatalog)
+    if (!s.catalogs.contains(c)) fail(s"catalog `$c` does not exist (CREATE CATALOG first)")
     val d = d0.toLowerCase
-    if (!s.dbs(s.currentCatalog).contains(d))
-      fail(s"database `${s.currentCatalog}.$d` does not exist (CREATE DATABASE first)")
+    if (!s.dbs(c).contains(d))
+      fail(s"database `$c.$d` does not exist (CREATE DATABASE first)")
+    s.currentCatalog = c
     s.currentDb = d
   }
   private[plans] def recordTableNs(spark: SparkSession, name: String): Unit = {
     val s = ns(spark)
-    s.tableNs(name.toLowerCase) = (s.currentCatalog, s.currentDb)
+    // a head-qualified CREATE names its home explicitly; otherwise an
+    // internal re-registration (ALTER, LIKE) keeps the existing home and
+    // only a genuinely new name lands in the current namespace
+    val target = s.pendingNs.orElse(s.tableNs.get(name.toLowerCase))
+      .getOrElse((s.currentCatalog, s.currentDb))
+    s.pendingNs = None
+    s.tableNs(name.toLowerCase) = target
   }
+  /** FlinkSql notes a CREATE TABLE statement's (possibly qualified) home
+    * BEFORE resolveNames strips the prefix; an undeclared prefix leaves
+    * no note (the unresolved dots then fail downstream as before).
+    */
+  def notePendingCreateNs(spark: SparkSession, cat: Option[String],
+      db: Option[String]): Unit = {
+    val s = ns(spark)
+    db match {
+      case None => s.pendingNs = Some((s.currentCatalog, s.currentDb))
+      case Some(d0) =>
+        val c = cat.map(_.toLowerCase).getOrElse(s.currentCatalog)
+        val d = d0.toLowerCase
+        s.pendingNs =
+          if (s.catalogs.contains(c) && s.dbs(c).contains(d)) Some((c, d)) else None
+    }
+  }
+  def clearPendingNs(spark: SparkSession): Unit = ns(spark).pendingNs = None
   /** DDL tables created under `[cat.]db` (SHOW TABLES FROM/IN). */
   def tablesIn(spark: SparkSession, cat0: Option[String], d0: String): Seq[String] = {
     val s = ns(spark)
@@ -191,7 +221,10 @@ object FlinkDdl {
     */
   def resolveNames(spark: SparkSession, sqlText: String): String = {
     val s = ns(spark)
-    if (s.catalogs.size == 1 && s.dbs("default_catalog").size == 1) return sqlText
+    // fast path ONLY in the untouched-namespace state (guarding by
+    // content, not size — default_catalog itself may have been dropped)
+    if (s.catalogs.toSet == Set("default_catalog") &&
+      s.dbs.get("default_catalog").forall(_.size == 1)) return sqlText
     def seg(text: String): String = dottedRe.replaceAllIn(text, m => {
       val (a, bOpt, c) = (m.group(1), Option(m.group(2)), m.group(3))
       val rep = bOpt match {
@@ -206,19 +239,24 @@ object FlinkDdl {
       }
       java.util.regex.Matcher.quoteReplacement(rep)
     })
-    // copy quoted literals wholesale, rewrite the segments between them
+    // copy quoted literals wholesale (single- AND double-quoted — Spark
+    // reads "..." as a string literal by default), rewrite the segments
+    // between them
     val sb = new StringBuilder
     var i = 0
     while (i < sqlText.length) {
-      val q = sqlText.indexOf('\'', i)
+      val q1 = sqlText.indexOf('\'', i)
+      val q2 = sqlText.indexOf('"', i)
+      val q = if (q1 < 0) q2 else if (q2 < 0) q1 else math.min(q1, q2)
       if (q < 0) { sb.append(seg(sqlText.substring(i))); i = sqlText.length }
       else {
+        val qc = sqlText.charAt(q)
         sb.append(seg(sqlText.substring(i, q)))
         var j = q + 1
         var closed = false
         while (j < sqlText.length && !closed) {
-          if (sqlText.charAt(j) == '\'') {
-            if (j + 1 < sqlText.length && sqlText.charAt(j + 1) == '\'') j += 2
+          if (sqlText.charAt(j) == qc) {
+            if (j + 1 < sqlText.length && sqlText.charAt(j + 1) == qc) j += 2
             else { closed = true; j += 1 }
           } else j += 1
         }
@@ -398,11 +436,28 @@ object FlinkDdl {
     pkRegistry(spark).remove(name.toLowerCase)
     computedRegistry(spark).remove(name.toLowerCase)
     optsRegistry(spark).remove(name.toLowerCase)
+    ns(spark).tableNs.remove(name.toLowerCase)
     name
   }
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"Flink DDL: $msg")
+
+  /** Rethrow unless `e` is a missing-datasource/classpath failure — a
+    * REAL kafka error (auth, broker, serialization) must surface as
+    * itself, not be mislabeled as a classpath problem.
+    */
+  private def kafkaClasspathFail(e: Throwable): Nothing = {
+    def missing(t: Throwable): Boolean = t != null && (
+      t.isInstanceOf[ClassNotFoundException] || t.isInstanceOf[NoClassDefFoundError] ||
+        Option(t.getMessage).exists(_.toLowerCase.contains("failed to find")) ||
+        missing(t.getCause))
+    if (missing(e))
+      fail("the kafka source/sink needs spark-sql-kafka on the classpath " +
+        s"(not shipped in this zero-egress build): ${e.getMessage}")
+    else throw e
+  }
+
 
   /** Execute the DDL: register `name` as a temp view over the translated
     * source. Returns the table name. `CREATE TABLE ... WITH (...) AS
@@ -603,7 +658,9 @@ object FlinkDdl {
         computedColumnsOf(spark, name).map { case (n, e) => s"$n AS $e" } ++
         Some(primaryKeyOf(spark, name)).filter(_.nonEmpty)
           .map(pk => s"PRIMARY KEY (${pk.mkString(", ")}) NOT ENFORCED").toSeq
-      val opts = Map("connector" -> c) ++
+      // the FULL registered option map — dropping to connector/path/format
+      // would wipe csv delimiters, kafka topics, datagen row counts, ...
+      val opts = optionsOf(spark, name) ++ Map("connector" -> c) ++
         (if (p.nonEmpty) Map("path" -> p) else Map.empty) ++
         (if (f.nonEmpty) Map("format" -> f) else Map.empty)
       (colLines, partitionsOf(spark, name), opts, watermarkOf(spark, name))
@@ -664,11 +721,15 @@ object FlinkDdl {
     var pk = primaryKeyOf(spark, name)
     val parts = partitionsOf(spark, name)
     var wm = watermarkOf(spark, name)
-    val opts = Map("connector" -> connector) ++
+    // the FULL registered option map (csv delimiters, kafka topics, ...)
+    val opts = optionsOf(spark, name) ++ Map("connector" -> connector) ++
       (if (path.nonEmpty) Map("path" -> path) else Map.empty) ++
       (if (fmt.nonEmpty) Map("format" -> fmt) else Map.empty)
     def exists(c: String) = phys.exists(_._1.equalsIgnoreCase(c)) ||
       computed.exists(_._1.equalsIgnoreCase(c))
+    // whole-identifier reference check (`price * 2` does NOT refer to `i`)
+    def refersTo(expr: String, c: String): Boolean =
+      raw"(?i)\b${java.util.regex.Pattern.quote(c)}\b".r.findFirstIn(expr).isDefined
     // split a parenthesized list on top-level commas, tracking () and <>
     // (ROW<a INT, b INT> and DECIMAL(10,2) must not split)
     def splitSpecs(s: String): Seq[String] = {
@@ -767,7 +828,7 @@ object FlinkDdl {
           else {
             val i = phys.indexWhere(_._1.equalsIgnoreCase(c))
             if (i < 0) fail(s"ALTER TABLE $name: no such column `$c`")
-            if (computed.exists(_._2.toLowerCase.contains(c.toLowerCase)))
+            if (computed.exists(e => refersTo(e._2, c)))
               fail(s"ALTER TABLE $name: `$c` is referenced by a computed column")
             phys.remove(i)
           }
@@ -783,7 +844,7 @@ object FlinkDdl {
           computed = computed.map(e =>
             if (e._1.equalsIgnoreCase(from)) (to, e._2) else e)
         else fail(s"ALTER TABLE $name: no such column `$from`")
-        if (computed.exists(_._2.toLowerCase.contains(from.toLowerCase)))
+        if (computed.exists(e => refersTo(e._2, from)))
           fail(s"ALTER TABLE $name: `$from` is referenced by a computed column")
         pk = pk.map(c => if (c.equalsIgnoreCase(from)) to else c)
         wm = wm.map { case (c, d) => (if (c.equalsIgnoreCase(from)) to else c, d) }
@@ -1011,8 +1072,8 @@ object FlinkDdl {
         try enc.write.format("kafka")
           .options(graft.sources.KafkaDdl.translateSink(optionsOf(spark, name))).save()
         catch {
-          case e: Exception => fail("the kafka sink needs spark-sql-kafka on " +
-            s"the classpath (not shipped in this build): ${e.getMessage}")
+          case e: Exception => kafkaClasspathFail(e)
+          case e: NoClassDefFoundError => kafkaClasspathFail(e)
         }
       case other => fail(s"INSERT INTO a '$other' table is not supported")
     }
@@ -1252,8 +1313,8 @@ object FlinkDdl {
           .format("kafka").options(graft.sources.KafkaDdl.translateSink(opts))
           .start()
         catch {
-          case e: Exception => fail("the kafka sink needs spark-sql-kafka on " +
-            s"the classpath (not shipped in this build): ${e.getMessage}")
+          case e: Exception => kafkaClasspathFail(e)
+          case e: NoClassDefFoundError => kafkaClasspathFail(e)
         }
       case other => fail(s"streaming INSERT INTO a '$other' table is not supported")
     }
@@ -1365,14 +1426,15 @@ object FlinkDdl {
           val wmBatch = wmRow.getLong(0) - delayUs
           java.nio.file.Files.createDirectories(wmDir)
           val prevWm = {
-            val prior = java.nio.file.Files.list(wmDir).toArray.toSeq
-              .map(_.toString)
-              .flatMap { p =>
-                val n = p.substring(p.lastIndexOf('=') + 1).toLong
-                if (n < batchId)
-                  Some(java.nio.file.Files.readString(java.nio.file.Paths.get(p)).trim.toLong)
-                else None
-              }
+            val listing = java.nio.file.Files.list(wmDir)
+            val paths = try listing.toArray.toSeq.map(_.toString)
+              finally listing.close() // one leaked fd per micro-batch otherwise
+            val prior = paths.flatMap { p =>
+              val n = p.substring(p.lastIndexOf('=') + 1).toLong
+              if (n < batchId)
+                Some(java.nio.file.Files.readString(java.nio.file.Paths.get(p)).trim.toLong)
+              else None
+            }
             if (prior.isEmpty) Long.MinValue else prior.max
           }
           val wm = math.max(prevWm, wmBatch)
@@ -1410,7 +1472,28 @@ object FlinkDdl {
               .select(sinkSchema.fields.toIndexedSeq
                 .map(f => col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
             connector match {
-              case "filesystem" => res.write.mode("append").format(fmt).save(path)
+              case "filesystem" =>
+                // idempotent per-batch append: stage with overwrite, then
+                // move in under deterministic batch-tagged names, deleting
+                // this batch's own files first — a plain mode("append")
+                // would duplicate emissions when a batch replays after a
+                // crash between the sink write and the checkpoint commit
+                val stage = s"$ckpt/graft_cum_stage"
+                res.write.mode("overwrite").format(fmt).save(stage)
+                val fs = new org.apache.hadoop.fs.Path(path)
+                  .getFileSystem(s2.sparkContext.hadoopConfiguration)
+                val dst = new org.apache.hadoop.fs.Path(path)
+                fs.mkdirs(dst)
+                fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/graft-batch$batchId-*"))
+                  .foreach(st => fs.delete(st.getPath, false))
+                fs.globStatus(new org.apache.hadoop.fs.Path(s"$stage/part-*"))
+                  .sortBy(_.getPath.getName).zipWithIndex
+                  .foreach { case (st, i) =>
+                    val n = st.getPath.getName
+                    val ext = if (n.contains('.')) n.substring(n.indexOf('.')) else ""
+                    fs.rename(st.getPath,
+                      new org.apache.hadoop.fs.Path(dst, s"graft-batch$batchId-$i$ext"))
+                  }
               case "blackhole"  => res.write.mode("append").format("noop").save()
               case "print"      => res.show(false)
               case other => fail(s"streaming INSERT INTO a '$other' table is not supported")
@@ -1647,8 +1730,8 @@ object FlinkDdl {
         spark.readStream.format("kafka")
           .options(graft.sources.KafkaDdl.translate(opts)).load()
       catch {
-        case e: Exception => fail("the kafka scan needs spark-sql-kafka on the " +
-          s"classpath (not shipped in this build): ${e.getMessage}")
+        case e: Exception => kafkaClasspathFail(e)
+        case e: NoClassDefFoundError => kafkaClasspathFail(e)
       }
       val df = graft.sources.KafkaDdl.decode(raw, opts, schema,
         primaryKeyOf(spark, table))

@@ -1008,6 +1008,10 @@ class FlinkScriptSpec extends AnyFunSuite {
     val rn = graft.plans.FlinkDdl.resolveNames(spark,
       "SELECT o.amt, 'sales.ns_orders', x.y.z FROM prod.sales.ns_orders AS o")
     assert(rn == "SELECT o.amt, 'sales.ns_orders', x.y.z FROM ns_orders AS o", rn)
+    // double-quoted literals are protected too (Spark reads "..." as a string)
+    val rn2 = graft.plans.FlinkDdl.resolveNames(spark,
+      """SELECT "sales.ns_orders", amt FROM sales.ns_orders""")
+    assert(rn2 == """SELECT "sales.ns_orders", amt FROM ns_orders""", rn2)
     // db.tbl.col strips just the declared db
     assert(graft.plans.FlinkDdl.resolveNames(spark,
       "SELECT sales.ns_orders.amt FROM sales.ns_orders")
@@ -1036,6 +1040,60 @@ class FlinkScriptSpec extends AnyFunSuite {
     // shared session — assert on ours only)
     val cats = FlinkSql.sql(spark, "SHOW CATALOGS").collect().map(_.getString(0)).toSeq
     assert(cats.head == "default_catalog" && !cats.contains("prod"), cats)
+  }
+
+  test("namespace bookkeeping survives the review's failure scenarios") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flink_ns2").toString
+    // -- a failed USE cat.db must not half-switch the session
+    FlinkSql.run(spark,
+      "CREATE CATALOG nsr_cat; CREATE DATABASE nsr_cat.nsr_db")
+    val before = graft.plans.FlinkDdl.currentNamespace(spark)
+    intercept[IllegalArgumentException](FlinkSql.sql(spark, "USE nsr_cat.ghost"))
+    assert(graft.plans.FlinkDdl.currentNamespace(spark) == before)
+    // -- a qualified CREATE TABLE books the table under the NAMED db,
+    //    not the current one
+    FlinkSql.sql(spark,
+      s"""CREATE TABLE nsr_cat.nsr_db.nsr_t (id BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+         |      'format' = 'parquet')""".stripMargin)
+    assert(FlinkSql.sql(spark, "SHOW TABLES IN nsr_cat.nsr_db").collect()
+      .map(_.getString(0)).toSeq == Seq("nsr_t"))
+    // -- DROP TABLE clears the bookkeeping: RESTRICT drop then succeeds
+    FlinkSql.sql(spark, "DROP TABLE nsr_t")
+    FlinkSql.sql(spark, "DROP DATABASE nsr_cat.nsr_db") // RESTRICT default
+    // -- dropping default_catalog must not brick name resolution
+    FlinkSql.sql(spark, "USE CATALOG nsr_cat")
+    FlinkSql.sql(spark, "DROP CATALOG default_catalog")
+    assert(FlinkSql.sql(spark, "SELECT 1 AS one").head().getInt(0) == 1)
+    // restore the shared session's default state
+    FlinkSql.sql(spark, "CREATE CATALOG default_catalog")
+    FlinkSql.sql(spark, "USE CATALOG default_catalog")
+    FlinkSql.sql(spark, "USE default_database")
+    FlinkSql.sql(spark, "DROP CATALOG nsr_cat")
+  }
+
+  test("ALTER TABLE keeps the full option map (csv delimiter survives ADD COLUMN)") {
+    val dir = java.nio.file.Files.createTempDirectory("flink_altopt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/d.csv"), "1|a\n2|b\n")
+    FlinkSql.run(spark,
+      s"""CREATE TABLE altopt_t (id BIGINT, s STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/d.csv',
+         |      'format' = 'csv', 'csv.field-delimiter' = '|')""".stripMargin)
+    assert(spark.table("altopt_t").count() == 2)
+    FlinkSql.sql(spark, "ALTER TABLE altopt_t ADD extra STRING")
+    // the delimiter survived the re-registration: rows still parse as 2 cols
+    val got = spark.table("altopt_t").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b")), got.toString)
+    // and a DROP of a column whose NAME is a substring of an expression
+    // identifier is not falsely blocked
+    FlinkSql.sql(spark, "ALTER TABLE altopt_t ADD (price DOUBLE, i INT)")
+    FlinkSql.sql(spark, "ALTER TABLE altopt_t ADD total AS price * 2")
+    FlinkSql.sql(spark, "ALTER TABLE altopt_t DROP i") // 'price' contains 'i'
+    assert(!spark.table("altopt_t").schema.fieldNames.contains("i"))
+    val e = intercept[IllegalArgumentException](
+      FlinkSql.sql(spark, "ALTER TABLE altopt_t DROP price"))
+    assert(e.getMessage.contains("computed"), e.getMessage)
   }
 
   test("DROP TEMPORARY VIEW pairs with CREATE TEMPORARY VIEW; IF EXISTS tolerated") {
