@@ -42,6 +42,40 @@ object AvroFormat {
     })
   }
 
+  /** Spark schema → Avro record-schema JSON — the inverse of
+    * [[sparkSchema]], the derivation Flink's avro format applies to a
+    * table schema: nullable fields become `["null", T]` unions, dates
+    * and timestamps carry their logical types.
+    */
+  def avroJson(schema: StructType, recordName: String = "record"): String = {
+    var nested = 0
+    def rec(st: StructType, name: String): String = {
+      val fs = st.fields.toSeq.map(f =>
+        s"""{"name": "${f.name}", "type": ${tpe(f.dataType, f.nullable)}}""")
+      s"""{"type": "record", "name": "$name", "fields": [${fs.mkString(", ")}]}"""
+    }
+    def tpe(dt: DataType, nullable: Boolean): String = {
+      val base = dt match {
+        case BooleanType => "\"boolean\""
+        case IntegerType | ShortType | ByteType => "\"int\""
+        case LongType => "\"long\""
+        case FloatType => "\"float\""
+        case DoubleType => "\"double\""
+        case StringType => "\"string\""
+        case BinaryType => "\"bytes\""
+        case DateType => """{"type": "int", "logicalType": "date"}"""
+        case TimestampType => """{"type": "long", "logicalType": "timestamp-micros"}"""
+        case st: StructType => nested += 1; rec(st, s"${recordName}_n$nested")
+        case ArrayType(et, en) => s"""{"type": "array", "items": ${tpe(et, en)}}"""
+        case MapType(StringType, vt, vn) => s"""{"type": "map", "values": ${tpe(vt, vn)}}"""
+        case other => throw new IllegalArgumentException(
+          s"no Avro mapping for Spark type ${other.sql}")
+      }
+      if (nullable) s"""["null", $base]""" else base
+    }
+    rec(schema, recordName)
+  }
+
   private def logicalName(s: Schema): String =
     Option(s.getLogicalType).map(_.getName).orNull
 

@@ -132,8 +132,19 @@ object KafkaDdl {
     val valueFmt = opts.get("value.format").orElse(opts.get("format"))
       .getOrElse(fail("requires 'format' or 'value.format'"))
     if (cdcFormats.contains(valueFmt))
-      fail(s"kafka sink encode supports json/csv, not '$valueFmt' " +
+      fail(s"kafka sink encode supports json/csv/avro, not '$valueFmt' " +
         "(CDC formats are source-side decodes)")
+    if (valueFmt == "avro") {
+      // plain value path only, mirroring decode
+      if (connector == "upsert-kafka" ||
+          opts.get("key.fields").exists(_.nonEmpty))
+        fail("avro encode supports the plain value path " +
+          "(no key.fields / upsert-kafka) — use json for keyed shapes")
+      return AvroFormat
+        .encodeAvro(df.select(schema.fields.toSeq.map(f => col(s"`${f.name}`")): _*),
+          AvroFormat.avroJson(schema))
+        .select(lit(null).cast("binary").as("key"), col("avro").as("value"))
+    }
     val keyFields: Seq[String] =
       if (connector == "upsert-kafka") {
         if (primaryKey.isEmpty) fail("upsert-kafka requires a PRIMARY KEY")
@@ -202,6 +213,18 @@ object KafkaDdl {
         case other => fail(s"unsupported decode format '$other' " +
           "(supported: json, csv, debezium-json, canal-json, maxwell-json, ogg-json)")
       }
+    if (valueFmt == "avro") {
+      // binary Avro records via the from-scratch AvroFormat codec (the
+      // record schema derives from the table schema, Flink's own rule);
+      // supported on the PLAIN value path — keyed/upsert avro shapes
+      // need per-row null handling the codec doesn't model
+      if (keyFields.nonEmpty || connector == "upsert-kafka")
+        fail("avro decode supports the plain value path " +
+          "(no key.fields / upsert-kafka) — use json for keyed shapes")
+      return AvroFormat
+        .decodeAvro(df.select(col("value")), "value", AvroFormat.avroJson(schema))
+        .select(schema.fields.toSeq.map(f => col(s"`${f.name}`")): _*)
+    }
     if (cdcFormats.contains(valueFmt)) {
       if (connector == "upsert-kafka") fail("upsert-kafka takes a plain value format")
       val raw = df.select(col("value").cast("string").as("__json"))

@@ -685,6 +685,30 @@ class FlinkDdlSpec extends AnyFunSuite {
     val rtU = KafkaDdl.decode(toScan(encU), upOpts, schema, Seq("order_id"))
     assert(rtU.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
       Set(("+U", 7L), ("-D", 8L)))
+    // avro value format: derived record schema round-trips, and
+    // encode∘decode is the identity on the plain value path
+    val avroSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_id BIGINT, item STRING, qty INT, price DOUBLE, ts TIMESTAMP")
+    assert(graft.sources.AvroFormat.sparkSchema(
+      graft.sources.AvroFormat.avroJson(avroSchema)) == avroSchema)
+    val avroOpts = Map("connector" -> "kafka", "format" -> "avro", "topic" -> "t",
+      "properties.bootstrap.servers" -> "b:9092")
+    val avroRows = Seq(
+      (7L, "ax", 2, 1.5, new java.sql.Timestamp(1700000000123L)),
+      (8L, null.asInstanceOf[String], 3, 2.5, new java.sql.Timestamp(0L)))
+      .toDF("order_id", "item", "qty", "price", "ts")
+    val avroRt = KafkaDdl.decode(
+      toScan(KafkaDdl.encode(avroRows, avroOpts, avroSchema, Seq.empty)),
+      avroOpts, avroSchema, Seq.empty)
+    assert(avroRt.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+      r.getInt(2), r.getDouble(3), r.getTimestamp(4).getTime)).toSet ==
+      Set((7L, Some("ax"), 2, 1.5, 1700000000123L), (8L, None, 3, 2.5, 0L)))
+    // keyed avro shapes fail with guidance rather than mis-decoding
+    val eAvro = intercept[IllegalArgumentException](KafkaDdl.decode(
+      toScan(avroRows.limit(0).select(lit(null).cast("binary").as("key"),
+        lit(null).cast("binary").as("value"))),
+      avroOpts ++ Map("key.fields" -> "order_id"), avroSchema, Seq.empty))
+    assert(eAvro.getMessage.contains("plain value path"), eAvro.getMessage)
     // sink option translation lock
     val sinkOpts = KafkaDdl.translateSink(plainOpts)
     assert(sinkOpts("topic") == "t" && sinkOpts("kafka.bootstrap.servers") == "b:9092")
