@@ -28,7 +28,8 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
   * maps the keys with a Spark analog onto session confs
   * (parallelism.default → spark.sql.shuffle.partitions,
   * table.local-time-zone → spark.sql.session.timeZone, spark.* verbatim)
-  * and accepts-and-ignores the rest, `RESET 'key'` unsets, and
+  * and accepts-and-ignores the rest, `RESET 'key'` unsets, bare `SET;`
+  * lists the session's set keys and bare `RESET;` reverts them all, and
   * `EXECUTE STATEMENT SET BEGIN <INSERT...;> ... END` (or the legacy
   * `BEGIN STATEMENT SET;` form) runs every INSERT of the multi-sink
   * deployment shape in order, and `EXPLAIN [PLAN FOR] <stmt>` (incl.
@@ -46,7 +47,9 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
   * `SHOW COLUMNS FROM t [[NOT] LIKE 'p']`, `SHOW VIEWS`,
   * `SHOW CATALOGS` / `SHOW DATABASES` / `SHOW CURRENT CATALOG|DATABASE`
   * / `USE [CATALOG] ...` (namespace bookkeeping over the one physical
-  * catalog — see FlinkDdl.resolveNames for three-part references). Job management (FLIP-291): `SHOW JOBS` lists active
+  * catalog — see FlinkDdl.resolveNames for three-part references).
+  * `SHOW JARS` answers from Spark's jar registry (ADD JAR passes
+  * through). Job management (FLIP-291): `SHOW JOBS` lists active
   * Structured Streaming queries, `STOP JOB 'id'` (id or query name;
   * WITH SAVEPOINT/DRAIN accepted) stops one gracefully. `ANALYZE
   * TABLE ... COMPUTE STATISTICS` scans and reports the row count;
@@ -64,6 +67,16 @@ object FlinkSql {
 
   private val setRe = raw"(?is)^\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*$$".r
   private val resetRe = raw"(?is)^\s*RESET\s+'([^']+)'\s*$$".r
+  private val bareSetRe = raw"(?is)^\s*SET\s*$$".r
+  private val bareResetRe = raw"(?is)^\s*RESET\s*$$".r
+  // keys SET through the dialect this session (Flink's SQL client lists
+  // them on a bare `SET;` and reverts them on a bare `RESET;`)
+  private val setKeysBySession =
+    new java.util.WeakHashMap[SparkSession, java.util.LinkedHashMap[String, String]]()
+  private def setKeys(spark: SparkSession) = setKeysBySession.synchronized {
+    setKeysBySession.computeIfAbsent(spark,
+      _ => new java.util.LinkedHashMap[String, String]())
+  }
   private val stmtSetRe =
     raw"(?is)^\s*(?:EXECUTE\s+STATEMENT\s+SET\s+BEGIN|BEGIN\s+STATEMENT\s+SET)\s*;?\s*(.*?)\s*;?\s*END\s*$$".r
   private val explainRe = raw"(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.*)$$".r
@@ -74,6 +87,7 @@ object FlinkSql {
   private val explainBareRe =
     raw"(?is)^\s*EXPLAIN\s+(?!(?:EXTENDED|CODEGEN|COST|FORMATTED|ANALYZE)\b)((?:SELECT|INSERT|WITH|VALUES|TABLE|CREATE|EXECUTE)\b.*)$$".r
   private val showJobsRe = raw"(?is)^\s*SHOW\s+JOBS\s*$$".r
+  private val showJarsRe = raw"(?is)^\s*SHOW\s+JARS\s*$$".r
   private val analyzeRe =
     raw"(?is)^\s*ANALYZE\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+[\w`,\s]+))?\s*$$".r
   private val truncateRe = raw"(?is)^\s*TRUNCATE\s+TABLE\s+`?([A-Za-z_]\w*)`?\s*$$".r
@@ -155,11 +169,28 @@ object FlinkSql {
       case setRe(k, v) =>
         confMap.get(k).orElse(Some(k).filter(_.startsWith("spark.")))
           .foreach(spark.conf.set(_, v))
+        setKeys(spark).put(k, v)
         okRow(spark, "key", k)
       case resetRe(k) =>
         confMap.get(k).orElse(Some(k).filter(_.startsWith("spark.")))
           .foreach(spark.conf.unset)
+        setKeys(spark).remove(k)
         okRow(spark, "key", k)
+      case bareSetRe() =>
+        // Flink SQL client's bare `SET;`: list every key set this session
+        // (including accepted-and-ignored ones, which Flink also lists)
+        import spark.implicits._
+        import scala.jdk.CollectionConverters._
+        setKeys(spark).asScala.toSeq.toDF("key", "value")
+      case bareResetRe() =>
+        // bare `RESET;`: every session-set key reverts
+        import scala.jdk.CollectionConverters._
+        setKeys(spark).asScala.keys.toSeq.foreach { k =>
+          confMap.get(k).orElse(Some(k).filter(_.startsWith("spark.")))
+            .foreach(spark.conf.unset)
+        }
+        setKeys(spark).clear()
+        okRow(spark, "key", "*")
       case stmtSetRe(body) =>
         val inserts = statements(body)
         require(inserts.nonEmpty, "empty STATEMENT SET")
@@ -175,6 +206,12 @@ object FlinkSql {
         // Flink's bare `EXPLAIN <stmt>` (plan, never execute); Spark's
         // own EXPLAIN modes are excluded above and fall through
         okRow(spark, "plan", explainText(spark, body, Nil))
+      case showJarsRe() =>
+        // Flink's SHOW JARS over Spark's own jar registry (ADD JAR text
+        // is identical in both dialects and passes through to Spark)
+        import spark.implicits._
+        spark.sql("LIST JARS").collect().map(_.getString(0)).toSeq
+          .sorted.toDF("jars")
       case showJobsRe() =>
         // FLIP-291 job management: active Structured Streaming queries
         // ARE this engine's jobs (Flink columns: job id/name/status/

@@ -89,7 +89,28 @@ class FlinkScriptSpec extends AnyFunSuite {
       // spark.* keys pass through verbatim
       FlinkSql.sql(spark, "SET 'spark.sql.shuffle.partitions' = '9'")
       assert(spark.conf.get("spark.sql.shuffle.partitions") == "9")
+      // bare SET lists every session-set key (ignored ones too, like Flink)
+      val listed = FlinkSql.sql(spark, "SET").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(listed("parallelism.default") == "7" &&
+        listed("table.exec.state.ttl") == "1 h" &&
+        listed("spark.sql.shuffle.partitions") == "9", listed.toString)
+      // bare RESET reverts them all
+      FlinkSql.sql(spark, "RESET")
+      assert(FlinkSql.sql(spark, "SET").collect().isEmpty)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") != "9")
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    // ADD JAR passes through to Spark (identical text in both dialects);
+    // SHOW JARS answers from Spark's jar registry
+    val jarPath = java.nio.file.Files.createTempFile("graft_dummy", ".jar")
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(jarPath))
+    zos.putNextEntry(new java.util.zip.ZipEntry("META-INF/MANIFEST.MF"))
+    zos.write("Manifest-Version: 1.0\n".getBytes); zos.closeEntry(); zos.close()
+    FlinkSql.sql(spark, s"ADD JAR '$jarPath'")
+    val jars = FlinkSql.sql(spark, "SHOW JARS").collect().map(_.getString(0))
+    assert(jars.exists(_.contains(jarPath.getFileName.toString)), jars.mkString(","))
 
     // a whole script: SET preamble, DDL, multi-sink statement set
     val dir = java.nio.file.Files.createTempDirectory("flink_stmt_set").toString
