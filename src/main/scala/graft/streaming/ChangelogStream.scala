@@ -89,27 +89,29 @@ object ChangelogStream {
     snapshots.writeStream.outputMode("complete").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val cur = batch.localCheckpoint(true) // pin: foreachBatch frames are transient
-        val prevPath = s"$stateDir/prev"
+        // ALL snapshot I/O goes through Hadoop's FileSystem for the path —
+        // java.io.File would silently see a different (driver-local) view
+        // than the parquet reads/writes on HDFS/S3A, making every batch
+        // diff against an empty prev and re-emit the full snapshot
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val prevP = new org.apache.hadoop.fs.Path(s"$stateDir/prev")
+        val nextP = new org.apache.hadoop.fs.Path(s"$stateDir/next")
+        val hfs = prevP.getFileSystem(hconf)
         val prev =
-          if (new java.io.File(prevPath).exists()) spark.read.parquet(prevPath)
+          if (hfs.exists(prevP)) spark.read.parquet(prevP.toString)
           else cur.limit(0)
         val diff = snapshotDiff(prev, cur, keys)
           .withColumn("batch_id", lit(batchId))
           .localCheckpoint(true) // materialize BEFORE the snapshot swap
         sink(diff)
-        val nextPath = s"$stateDir/next"
-        cur.write.mode("overwrite").parquet(nextPath)
+        cur.write.mode("overwrite").parquet(nextP.toString)
         // atomic-enough swap on a local/posix fs; object stores would
-        // version the path by batchId instead
-        val fs = new java.io.File(prevPath)
-        if (fs.exists()) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(): Unit
-          }
-          rm(fs)
-        }
-        new java.io.File(nextPath).renameTo(fs): Unit
+        // version the path by batchId instead. A failed rename must
+        // SURFACE — a silent false return would freeze the snapshot.
+        if (hfs.exists(prevP) && !hfs.delete(prevP, true))
+          throw new java.io.IOException(s"could not delete $prevP for the snapshot swap")
+        if (!hfs.rename(nextP, prevP))
+          throw new java.io.IOException(s"could not rename $nextP to $prevP")
     }.start()
   }
 }

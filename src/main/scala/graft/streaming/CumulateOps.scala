@@ -38,14 +38,18 @@ class StreamingCumulateProcess(stepMs: Long, maxSizeMs: Long)
 
   override def onElement(key: Long, v: OverIn, tv: TimerValues,
       emit: CumulateOut => Unit): Unit = {
+    val span = Math.floorDiv(v.ts_ms, maxSizeMs) * maxSizeMs
+    val wm = tv.getCurrentWatermarkInMs()
+    // a row whose whole span already closed can never emit and no timer
+    // would ever evict it — dropped (fully late), or it would sit in
+    // ListState forever and break the documented per-key state bound
+    if (span + maxSizeMs <= wm) return
     buf.appendValue(v)
     // every step boundary of this row's span that is still ahead of it:
     // the row contributes to each of those step windows. Steps the
     // watermark already closed must NOT be re-registered — a late row
     // (inside the slack) would re-fire an emitted step and duplicate it;
     // it folds into the remaining open steps instead (append semantics).
-    val span = Math.floorDiv(v.ts_ms, maxSizeMs) * maxSizeMs
-    val wm = tv.getCurrentWatermarkInMs()
     var stepEnd = (Math.floorDiv(v.ts_ms - span, stepMs) + 1) * stepMs + span
     while (stepEnd <= span + maxSizeMs) {
       if (stepEnd > wm) registerTimer(stepEnd)

@@ -37,14 +37,20 @@ case class TimeEvictor(keepMs: Long) extends Evictor {
 class EvictedTumbleProcess(sizeMs: Long, evictor: Evictor)
     extends KeyedProcess[(Long, Long), TimedValue, EvictedWindow] {
   @transient private var buf: ListState[TimedValue] = _
+  @transient private var closed: ValueState[Boolean] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val enc: Encoder[TimedValue] = ExpressionEncoder()
     buf = h.getListState[TimedValue]("buf", enc, TTLConfig.NONE)
+    // guards late rows from re-opening a fired window (which would emit
+    // a duplicate EvictedWindow row); GC'd by an event-time timer one
+    // lateness horizon past the close — same trade as Triggers' marker
+    closed = h.getValueState[Boolean]("closed", Encoders.scalaBoolean, TTLConfig.NONE)
   }
 
   override def onElement(key: (Long, Long), v: TimedValue, tv: TimerValues,
       emit: EvictedWindow => Unit): Unit = {
+    if (Option(closed.get()).getOrElse(false)) return // late for a fired window
     buf.appendValue(v)
     registerTimer(key._2 + sizeMs) // window end
   }
@@ -52,12 +58,15 @@ class EvictedTumbleProcess(sizeMs: Long, evictor: Evictor)
   override def onTimer(key: (Long, Long), expiryMs: Long, tv: TimerValues,
       emit: EvictedWindow => Unit): Unit = {
     val (k, wStart) = key
+    if (expiryMs >= wStart + sizeMs + Triggers.markerGcMs) { closed.clear(); return }
     val all = buf.get().toArray.sortBy(e => (e.ts_ms, e.id))
     if (all.nonEmpty) {
       val kept = evictor.retain(all)
       emit(EvictedWindow(k, wStart, wStart + sizeMs,
         kept.length.toLong, kept.map(_.value).sum, (all.length - kept.length).toLong))
       buf.clear()
+      closed.update(true)
+      registerTimer(wStart + sizeMs + Triggers.markerGcMs) // marker GC
     }
   }
 }

@@ -96,6 +96,25 @@ object IncrementalDedup {
     // partition so a replayed batch cannot double-commit
     val fpOut = fps.select("fingerprint").distinct()
       .withColumn("batch_id", lit(math.max(batchId, -1L)))
+    // one-time migration of a pre-provenance store (data files at the
+    // directory root): partitioned writes on top of root files would mix
+    // layouts and break partition discovery on the next read — move the
+    // root files into their batch_id=-1 home first
+    if (pathExists(spark, storePath)) {
+      val p = new org.apache.hadoop.fs.Path(storePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rootFiles = fs.listStatus(p).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      if (rootFiles.nonEmpty) {
+        val legacy = new org.apache.hadoop.fs.Path(p, "batch_id=-1")
+        fs.mkdirs(legacy)
+        rootFiles.foreach { s =>
+          if (!fs.rename(s.getPath, new org.apache.hadoop.fs.Path(legacy, s.getPath.getName)))
+            throw new java.io.IOException(
+              s"could not migrate pre-provenance store file ${s.getPath}")
+        }
+      }
+    }
     if (batchId >= 0)
       fpOut.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(storePath)

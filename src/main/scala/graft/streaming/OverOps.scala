@@ -81,17 +81,24 @@ class StreamingBoundedOverProcess(rangeMs: Long)
     extends KeyedProcess[Long, OverIn, BoundedOverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var recent: ListState[OverIn] = _
+  @transient private var emittedUpTo: ValueState[Long] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
     recent = h.getListState[OverIn]("recent", inEnc, TTLConfig.NONE)
+    emittedUpTo = h.getValueState[Long]("emitted", Encoders.scalaLong, TTLConfig.NONE)
   }
 
   override def onElement(key: Long, v: OverIn, tv: TimerValues,
       emit: BoundedOverOut => Unit): Unit = {
-    buf.appendValue(v)
-    registerTimer(v.ts_ms)
+    // a row at-or-behind the emitted frontier is LATE: its emission point
+    // passed, and folding it in would put FUTURE rows inside its trailing
+    // frame — dropped, Flink's lastTriggeringTs rule
+    if (v.ts_ms > Option(emittedUpTo.get()).getOrElse(Long.MinValue)) {
+      buf.appendValue(v)
+      registerTimer(v.ts_ms)
+    }
   }
 
   override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
@@ -113,6 +120,7 @@ class StreamingBoundedOverProcess(rangeMs: Long)
       if (window.nonEmpty) recent.appendList(window)
       buf.clear()
       if (pending.nonEmpty) buf.appendList(pending)
+      emittedUpTo.update(ready.map(_.ts_ms).max)
     }
   }
 }
@@ -130,17 +138,24 @@ class StreamingBoundedRowsProcess(nRows: Int)
     extends KeyedProcess[Long, OverIn, BoundedOverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var recent: ListState[OverIn] = _
+  @transient private var emittedUpTo: ValueState[Long] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
     recent = h.getListState[OverIn]("recent", inEnc, TTLConfig.NONE)
+    emittedUpTo = h.getValueState[Long]("emitted", Encoders.scalaLong, TTLConfig.NONE)
   }
 
   override def onElement(key: Long, v: OverIn, tv: TimerValues,
       emit: BoundedOverOut => Unit): Unit = {
-    buf.appendValue(v)
-    registerTimer(v.ts_ms)
+    // late row (at-or-behind the emitted frontier): appending it now
+    // would make its frame contain its successors — dropped, like the
+    // reference's lastTriggeringTs rule
+    if (v.ts_ms > Option(emittedUpTo.get()).getOrElse(Long.MinValue)) {
+      buf.appendValue(v)
+      registerTimer(v.ts_ms)
+    }
   }
 
   override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
@@ -159,6 +174,7 @@ class StreamingBoundedRowsProcess(nRows: Int)
       if (keep.nonEmpty) recent.appendList(keep)
       buf.clear()
       if (pending.nonEmpty) buf.appendList(pending)
+      emittedUpTo.update(ready.map(_.ts_ms).max)
     }
   }
 }

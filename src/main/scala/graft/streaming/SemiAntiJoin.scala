@@ -28,11 +28,13 @@ class SemiAntiProcess(boundMs: Long) extends KeyedProcess[Long, TemporalIn, Semi
   // pending left rows: (id, ts, matched-already-emitted?)
   @transient private var lefts: ListState[(Long, Long, Boolean)] = _
   @transient private var rights: ListState[Long] = _ // right ts seen
+  @transient private var prunedUpTo: ValueState[Long] = _ // rights pruned ≤ this
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val lEnc: Encoder[(Long, Long, Boolean)] = ExpressionEncoder()
     lefts = h.getListState[(Long, Long, Boolean)]("lefts", lEnc, TTLConfig.NONE)
     rights = h.getListState[Long]("rights", Encoders.scalaLong, TTLConfig.NONE)
+    prunedUpTo = h.getValueState[Long]("pruned", Encoders.scalaLong, TTLConfig.NONE)
   }
 
   private def within(lts: Long, rts: Long): Boolean = math.abs(lts - rts) <= boundMs
@@ -51,10 +53,15 @@ class SemiAntiProcess(boundMs: Long) extends KeyedProcess[Long, TemporalIn, Semi
       lefts.clear(); if (updated.nonEmpty) lefts.appendList(updated)
       registerTimer(v.ts_ms + boundMs) // prune horizon
     } else {
-      val matchedNow = rights.get().exists(r => within(v.ts_ms, r))
-      if (matchedNow) emit(SemiAntiOut(key, v.id, v.ts_ms, matched = true))
-      lefts.appendValue((v.id, v.ts_ms, matchedNow))
-      registerTimer(v.ts_ms + boundMs) // ANTI decision point
+      // a left whose bound window reaches into pruned right state could
+      // get a FALSE anti answer (its match may be gone) — dropped as
+      // late, like the reference drops behind-watermark rows
+      if (v.ts_ms - boundMs > Option(prunedUpTo.get()).getOrElse(Long.MinValue)) {
+        val matchedNow = rights.get().exists(r => within(v.ts_ms, r))
+        if (matchedNow) emit(SemiAntiOut(key, v.id, v.ts_ms, matched = true))
+        lefts.appendValue((v.id, v.ts_ms, matchedNow))
+        registerTimer(v.ts_ms + boundMs) // ANTI decision point
+      }
     }
 
   override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
@@ -66,8 +73,14 @@ class SemiAntiProcess(boundMs: Long) extends KeyedProcess[Long, TemporalIn, Semi
       if (!done) emit(SemiAntiOut(key, id, lts, matched = false)) // ANTI
     }
     lefts.clear(); if (pending.nonEmpty) lefts.appendList(pending)
-    // prune rights beyond any possible future left within watermark
-    val keep = rights.get().toArray.filter(r => r + boundMs > wm - boundMs)
+    // prune rights beyond any possible future left within watermark,
+    // recording the frontier so late lefts that would need them drop
+    val all = rights.get().toArray
+    val keep = all.filter(r => r + boundMs > wm - boundMs)
+    if (keep.length != all.length) {
+      prunedUpTo.update(math.max(
+        Option(prunedUpTo.get()).getOrElse(Long.MinValue), wm - 2 * boundMs))
+    }
     rights.clear(); if (keep.nonEmpty) rights.appendList(keep)
   }
 }

@@ -43,8 +43,20 @@ class TableAggProcess[K, IN, ACC, OUT](
     val after = f.emitValue(next).toList
     if (after != before) {
       emitted.update(after)
-      before.filterNot(after.contains).foreach(o => emit(TableAggChange("-D", key, o)))
-      after.filterNot(before.contains).foreach(o => emit(TableAggChange("+I", key, o)))
+      // MULTISET diff (counted occurrences, not contains): with duplicate
+      // OUT values a set-style diff would under-emit — e.g. [5,5] → [6,5]
+      // must retract ONE 5, or applying the log no longer reconstructs
+      // emitValue
+      val beforeCnt = before.groupBy(identity).view.mapValues(_.size)
+      val afterCnt = after.groupBy(identity).view.mapValues(_.size)
+      beforeCnt.foreach { case (o, n) =>
+        val excess = n - afterCnt.getOrElse(o, 0)
+        (0 until excess).foreach(_ => emit(TableAggChange("-D", key, o)))
+      }
+      afterCnt.foreach { case (o, n) =>
+        val excess = n - beforeCnt.getOrElse(o, 0)
+        (0 until excess).foreach(_ => emit(TableAggChange("+I", key, o)))
+      }
     }
   }
 }

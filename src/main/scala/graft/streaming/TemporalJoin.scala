@@ -30,6 +30,7 @@ case class TemporalMatch(key: Long, probe_id: Long, probe_ts: Long,
 class TemporalJoinProcess extends KeyedProcess[Long, TemporalIn, TemporalMatch] {
   @transient private var versions: MapState[Long, (Long, Double)] = _
   @transient private var probes: ListState[(Long, Long)] = _ // (id, ts)
+  @transient private var prunedUpTo: ValueState[Long] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val payloadEnc: Encoder[(Long, Double)] = ExpressionEncoder()
@@ -37,6 +38,7 @@ class TemporalJoinProcess extends KeyedProcess[Long, TemporalIn, TemporalMatch] 
     versions = h.getMapState[Long, (Long, Double)]("versions", Encoders.scalaLong,
       payloadEnc, TTLConfig.NONE)
     probes = h.getListState[(Long, Long)]("probes", probeEnc, TTLConfig.NONE)
+    prunedUpTo = h.getValueState[Long]("pruned", Encoders.scalaLong, TTLConfig.NONE)
   }
 
   override def onElement(key: Long, v: TemporalIn, tv: TimerValues,
@@ -44,8 +46,13 @@ class TemporalJoinProcess extends KeyedProcess[Long, TemporalIn, TemporalMatch] 
     if (v.side == 0) {
       versions.updateValue(v.ts_ms, (v.id, v.value))
     } else {
-      probes.appendValue((v.id, v.ts_ms))
-      registerTimer(v.ts_ms) // fires once watermark passes probe time
+      // a probe at-or-behind the prune frontier is LATE: the versions
+      // its as-of lookup needs may already be gone, so answering it
+      // could be affirmatively wrong — dropped, like the reference
+      if (v.ts_ms >= Option(prunedUpTo.get()).getOrElse(Long.MinValue)) {
+        probes.appendValue((v.id, v.ts_ms))
+        registerTimer(v.ts_ms) // fires once watermark passes probe time
+      }
     }
 
   override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
@@ -59,9 +66,17 @@ class TemporalJoinProcess extends KeyedProcess[Long, TemporalIn, TemporalMatch] 
     }
     probes.clear()
     if (pending.nonEmpty) probes.appendList(pending)
-    // prune: drop versions behind the watermark except the latest of them
+    // prune: drop versions behind the watermark except the latest of
+    // them; record the frontier so later-arriving probes older than it
+    // are dropped rather than answered from pruned state
     val behind = vs.map(_._1).filter(_ <= wm)
-    if (behind.length > 1) behind.sorted.init.foreach(versions.removeKey)
+    if (behind.length > 1) {
+      behind.sorted.init.foreach(versions.removeKey)
+      // a probe older than the RETAINED behind-watermark version would
+      // need a pruned one for its as-of answer — that ts is the frontier
+      prunedUpTo.update(
+        math.max(Option(prunedUpTo.get()).getOrElse(Long.MinValue), behind.max))
+    }
   }
 }
 

@@ -98,4 +98,45 @@ class TableAggSpec extends AnyFunSuite {
     assert(kinds.count(_ == (("+I", (2L, 30.0, 1)))) == 1 &&
       !kinds.contains(("-D", (2L, 30.0, 1))))
   }
+
+  test("streaming changelog diff is a MULTISET diff: duplicate values retract one-for-one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val listEnc: Encoder[List[Double]] = ExpressionEncoder()
+    implicit val outEnc: Encoder[TableAggChange[String, Double]] = ExpressionEncoder()
+    // Top2 over VALUES only — equal scores produce duplicate OUT values,
+    // where a set-style diff would under-retract
+    val top2vals = new TableAggregateFunction[Double, List[Double], Double] {
+      def createAccumulator(): List[Double] = Nil
+      def accumulate(acc: List[Double], in: Double): List[Double] =
+        (in :: acc).sorted(Ordering[Double].reverse).take(2)
+      override def retract(acc: List[Double], in: Double): List[Double] = {
+        val i = acc.indexOf(in); if (i < 0) acc else acc.patch(i, Nil, 1)
+      }
+      def merge(a: List[Double], b: List[Double]): List[Double] =
+        (a ++ b).sorted(Ordering[Double].reverse).take(2)
+      def emitValue(acc: List[Double]): Seq[Double] = acc
+    }
+    val input = MemoryStream[(String, Double)]
+    val changes = TableAggStream.flatAggregate(
+      input.toDS(), (t: (String, Double)) => t._1,
+      top2vals.contramap[(String, Double)](_._2))
+    val q = changes.writeStream.format("memory").queryName("tagg_dup_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 5.0)); q.processAllAvailable()
+      input.addData(("a", 5.0)); q.processAllAvailable() // emitValue [5,5]
+      input.addData(("a", 6.0)); q.processAllAvailable() // emitValue [6,5]
+    } finally q.stop()
+    val log = spark.table("tagg_dup_sink")
+      .as[TableAggChange[String, Double]].collect().toList
+    // applying the log must reconstruct [6.0, 5.0] WITH multiplicities
+    val net = log.foldLeft(Map.empty[Double, Int].withDefaultValue(0)) { (m, c) =>
+      if (c.row_kind == "+I") m.updated(c.value, m(c.value) + 1)
+      else m.updated(c.value, m(c.value) - 1)
+    }.filter(_._2 != 0)
+    assert(net == Map(6.0 -> 1, 5.0 -> 1), s"net $net from $log")
+    // exactly ONE of the two 5.0s was retracted when 6.0 displaced it
+    assert(log.count(c => c.row_kind == "-D" && c.value == 5.0) == 1, log.toString)
+  }
 }

@@ -49,6 +49,14 @@ class TriggersSpec extends AnyFunSuite {
       val fin = all.filter(f => f.is_final && f.w_start == 960000L)
       assert(fin.length == 1 && fin.head.n == 3 && fin.head.sum_value == 7.0 &&
         fin.head.w_end == 1020000L)
+      // a LATE row for the closed window must not re-open it (no second
+      // final, no new partials for that window)
+      input.addData(ev(100, 970, 9.0))
+      q.processAllAvailable()
+      val after = spark.table("early_out").as[EarlyFire].collect()
+      assert(after.count(f => f.is_final && f.w_start == 960000L) == 1,
+        s"late row re-opened the window: ${after.toSeq}")
+      assert(after.length == all.length, s"late row emitted rows: ${after.toSeq}")
     } finally q.stop()
   }
 
