@@ -45,21 +45,45 @@ object AsyncIO {
       }
     }
 
-  /** Unordered async map: results emitted as they complete within each
-    * capacity-sized wave (Flink unorderedWait relaxation).
+  /** Unordered async map — Flink's unorderedWait: results emit in
+    * COMPLETION order and the in-flight window refills continuously, so
+    * one slow call never head-of-line-blocks the other capacity−1 slots
+    * (a wave-barrier shape would degrade to the slowest call per wave).
     */
   def mapUnordered[I, O: Encoder](ds: Dataset[I], capacity: Int, timeout: Duration)(
       f: (I, ExecutionContext) => Future[O]): Dataset[O] =
     ds.mapPartitions { it =>
       val pool = poolFor(capacity)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val out = it.grouped(capacity).flatMap { wave =>
-        val fs = wave.map(i => f(i, ec))
-        fs.map(fu => Await.result(fu, timeout))
-      }
+      val done = new java.util.concurrent.LinkedBlockingQueue[Either[Throwable, O]]()
       new Iterator[O] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) pool.shutdown(); h }
-        def next(): O = out.next()
+        private var inFlight = 0 // consumer-thread only
+        private def fill(): Unit =
+          while (inFlight < capacity && it.hasNext) {
+            inFlight += 1
+            f(it.next(), ec).onComplete {
+              case scala.util.Success(v) => done.put(Right(v))
+              case scala.util.Failure(e) => done.put(Left(e))
+            }
+          }
+        def hasNext: Boolean = {
+          fill()
+          if (inFlight == 0) { pool.shutdown(); false } else true
+        }
+        def next(): O = {
+          fill()
+          val r = done.poll(timeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (r == null) {
+            pool.shutdownNow()
+            throw new java.util.concurrent.TimeoutException(
+              s"async I/O result not ready within $timeout")
+          }
+          inFlight -= 1
+          r match {
+            case Right(v) => v
+            case Left(e) => pool.shutdownNow(); throw e
+          }
+        }
       }
     }
 }

@@ -42,6 +42,9 @@ object AsyncLookup {
         else Some(e._1)
       }
       val inFlight = scala.collection.mutable.Queue.empty[(I, Either[V, Future[V]])]
+      // one pending fetch per key: a burst of the same key shares the
+      // in-flight future instead of firing duplicate remote calls
+      val pending = scala.collection.mutable.Map.empty[K, Future[V]]
       def fill(): Unit =
         while (inFlight.size < capacity && it.hasNext) {
           val i = it.next()
@@ -49,10 +52,16 @@ object AsyncLookup {
           cached(k) match {
             case Some(v) => inFlight.enqueue((i, Left(v)))
             case None =>
-              val f = fetch(k, ec)
-              f.foreach(v => cache.synchronized {
-                cache.put(k, (v, System.currentTimeMillis()))
-              })
+              val f = pending.synchronized {
+                pending.getOrElseUpdate(k, {
+                  val nf = fetch(k, ec)
+                  nf.foreach { v =>
+                    cache.synchronized { cache.put(k, (v, System.currentTimeMillis())) }
+                    pending.synchronized { pending.remove(k) }
+                  }
+                  nf
+                })
+              }
               inFlight.enqueue((i, Right(f)))
           }
         }

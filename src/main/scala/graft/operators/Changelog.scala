@@ -29,7 +29,11 @@ object Changelog {
     val op = col("__cdc.op")
     val rows = parsed.select(
       explode(
-        when(op === "c", array(struct(lit("+I").as("row_kind"), col("__cdc.after").as("payload"))))
+        // 'r' is Debezium's snapshot READ — an insert of the initial
+        // state, exactly how the reference's decoder maps it; rows with
+        // an unrecognized/absent op drop (the ignore-parse-errors shape)
+        when(op === "c" || op === "r",
+          array(struct(lit("+I").as("row_kind"), col("__cdc.after").as("payload"))))
           .when(op === "d", array(struct(lit("-D").as("row_kind"), col("__cdc.before").as("payload"))))
           .when(op === "u", array(
             struct(lit("-U").as("row_kind"), col("__cdc.before").as("payload")),
@@ -50,13 +54,23 @@ object Changelog {
     val payload = org.apache.spark.sql.types.StructType.fromDDL(payloadSchema)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       s"data ARRAY<STRUCT<$payloadSchema>>, old ARRAY<STRUCT<$payloadSchema>>, type STRING")
+    // `old` parsed a second time as maps so KEY PRESENCE (not null-ness)
+    // decides which columns changed — a column updated FROM NULL must
+    // reconstruct a NULL before-image, like the reference's decoder
+    val oldKeysSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "old ARRAY<MAP<STRING, STRING>>")
     val parsed = df.withColumn("__cdc", from_json(col(jsonCol), schema))
+      .withColumn("__oldKeys",
+        from_json(col(jsonCol), oldKeysSchema).getField("old"))
       .select(col("__cdc.type").as("__t"), col("__cdc.old").as("__old"),
+        col("__oldKeys"),
         posexplode(col("__cdc.data")).as(Seq("__pos", "__row")))
     // UPDATE_BEFORE: changed columns from old(pos), the rest from data(pos)
     val before = struct(payload.fieldNames.toSeq.map(f =>
-      coalesce(element_at(col("__old"), col("__pos") + 1).getField(f),
-        col("__row").getField(f)).as(f)): _*)
+      when(array_contains(
+          map_keys(element_at(col("__oldKeys"), col("__pos") + 1)), f),
+        element_at(col("__old"), col("__pos") + 1).getField(f))
+        .otherwise(col("__row").getField(f)).as(f)): _*)
     val rows = parsed.select(
       explode(
         when(col("__t") === "INSERT",
@@ -80,9 +94,15 @@ object Changelog {
     val payload = org.apache.spark.sql.types.StructType.fromDDL(payloadSchema)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       s"data STRUCT<$payloadSchema>, old STRUCT<$payloadSchema>, type STRING")
+    // key presence in `old` (parsed as a map), not null-ness, marks a
+    // changed column — see fromCanalJson
     val parsed = df.withColumn("__cdc", from_json(col(jsonCol), schema))
+      .withColumn("__oldKeys", map_keys(from_json(col(jsonCol),
+        org.apache.spark.sql.types.StructType.fromDDL("old MAP<STRING, STRING>"))
+        .getField("old")))
     val before = struct(payload.fieldNames.toSeq.map(f =>
-      coalesce(col("__cdc.old").getField(f), col("__cdc.data").getField(f)).as(f)): _*)
+      when(array_contains(col("__oldKeys"), f), col("__cdc.old").getField(f))
+        .otherwise(col("__cdc.data").getField(f)).as(f)): _*)
     val t = col("__cdc.type")
     val rows = parsed.select(
       explode(

@@ -22,9 +22,12 @@ object Cumulate {
   def assign(df: DataFrame, tsCol: String, maxSizeMs: Long, stepMs: Long): DataFrame = {
     require(maxSizeMs % stepMs == 0, s"maxSize ($maxSizeMs) must be a multiple of step ($stepMs)")
     val nSteps = maxSizeMs / stepMs
-    // integer `div` (not fp division + floor) so bucket edges are exact
+    // integer FLOOR division (not `div`, which truncates toward zero and
+    // misassigns pre-epoch rowtimes — the same rule as WindowTvf's
+    // floordiv), exact bucket edges in long arithmetic
     df.withColumn("__em", expr(s"unix_millis(cast($tsCol as timestamp))"))
-      .withColumn("__base", expr(s"(__em div ${maxSizeMs}L) * ${maxSizeMs}L"))
+      .withColumn("__base", expr(
+        s"((__em div ${maxSizeMs}L) + (CASE WHEN __em % ${maxSizeMs}L < 0 THEN -1 ELSE 0 END)) * ${maxSizeMs}L"))
       .withColumn("__k",
         explode(expr(s"sequence(((__em - __base) div ${stepMs}L) + 1L, ${nSteps}L)")))
       .withColumn("w_start", timestamp_millis(col("__base")))

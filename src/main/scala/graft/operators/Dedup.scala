@@ -187,7 +187,11 @@ object Dedup {
       scoped.conf.set("spark.sql.shuffle.partitions", p.toString)
       val labels =
         connectedComponentsLoop(scoped.createDataFrame(sym.rdd, sym.schema), maxIter)
-      spark.createDataFrame(labels.rdd, labels.schema)
+      val out = spark.createDataFrame(labels.rdd, labels.schema)
+      // the edge set is dead once the final labels are materialized
+      // (the loop's convergence probe forced them); release its blocks
+      sym.unpersist()
+      out
     }
   }
 
@@ -227,6 +231,11 @@ object Dedup {
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      // the superseded round's checkpointed blocks are dead the moment
+      // `next` materializes — release them (same discipline as
+      // BpeTrain's lastCkpt) instead of pinning ~maxIter label tables
+      // in executor storage for the rest of the job
+      labels.unpersist()
       labels = next
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))

@@ -122,7 +122,12 @@ object Multimodal {
     df.withColumn("chunk_id", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("chunk", {
         val sz = greatest((length(col(contentCol)) / n).cast("int"), lit(1))
-        col(contentCol).substr(col("chunk_id") * sz + 1, sz)
+        // the LAST chunk runs to the end of the payload — flooring
+        // length/n would otherwise silently drop up to n-1 trailing bytes
+        when(col("chunk_id") === n - 1,
+          col(contentCol).substr(col("chunk_id") * sz + 1,
+            length(col(contentCol)) - col("chunk_id") * sz))
+          .otherwise(col(contentCol).substr(col("chunk_id") * sz + 1, sz))
       })
 
   /** Time-based frame-sample plan for video payloads: duration comes

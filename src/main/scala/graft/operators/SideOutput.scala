@@ -19,7 +19,11 @@ object SideOutput {
     * branches are consumed in the same job and the source is expensive.
     */
   def split(df: DataFrame, sidePredicate: Column): (DataFrame, DataFrame) = {
-    val tagged = df.withColumn("__side", sidePredicate)
+    // NULL-safe: a NULL predicate (e.g. a NULL rowtime under lateData)
+    // must not drop the row from BOTH outputs — it stays in the main one
+    val tagged = df.withColumn("__side",
+      org.apache.spark.sql.functions.coalesce(sidePredicate,
+        org.apache.spark.sql.functions.lit(false)))
     (tagged.filter(!col("__side")).drop("__side"),
       tagged.filter(col("__side")).drop("__side"))
   }

@@ -103,6 +103,7 @@ object Similarity {
         }
       }.toArray
     }
+    n.unpersist() // release the training sample's checkpointed blocks
     cents
   }
 

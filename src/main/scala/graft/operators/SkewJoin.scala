@@ -20,15 +20,30 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Inner equi-join `left.key == right.key` with `n`-way salting. */
+  /** Inner equi-join `left.key == right.key` with `n`-way salting.
+    * Same-named keys (the common equi-join shape) are handled — sides
+    * are disambiguated internally. The salt hashes the whole left row
+    * PLUS a per-partition row index, so fully-duplicate rows of a hot
+    * key still spread across the n salt buckets.
+    */
   def salted(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
       n: Int): DataFrame = {
-    val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(n.toLong)).cast("int"))
+    val leftCols = left.columns.toSeq
+    // the salt value only selects WHICH replicated right copy a left row
+    // joins, never whether it matches — so a retry-nondeterministic row
+    // index is safe here and spreads duplicate rows
+    val saltedLeft = left
+      .withColumn("__salt",
+        pmod(xxhash64(leftCols.map(col) :+ monotonically_increasing_id(): _*),
+          lit(n.toLong)).cast("int"))
     val saltedRight = right.withColumn("__salt_r",
       explode(sequence(lit(0), lit(n - 1))))
-    saltedLeft.join(saltedRight,
-        col(leftKey) === col(rightKey) && col("__salt") === col("__salt_r"))
+    // alias the sides so identical key names never resolve ambiguously
+    val l = saltedLeft.alias("__sl")
+    val r = saltedRight.alias("__sr")
+    l.join(r,
+        col(s"__sl.`$leftKey`") === col(s"__sr.`$rightKey`") &&
+          col("__sl.__salt") === col("__sr.__salt_r"))
       .drop("__salt", "__salt_r")
   }
 }

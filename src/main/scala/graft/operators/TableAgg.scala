@@ -97,9 +97,20 @@ object TableAgg {
       implicit kEnc: Encoder[K], outEnc: Encoder[(K, OUT)]): Dataset[(K, OUT)] =
     ds.groupByKey(t => keyFn(t._2))
       .flatMapGroups { (k: K, it: Iterator[(String, IN)]) =>
-        val acc = it.foldLeft(f.createAccumulator()) {
+        // Spark gives NO within-group order after the shuffle, so a
+        // retract could otherwise run before its matching insert
+        // (negative/validating accumulators break nondeterministically).
+        // For a BATCH changelog the net state is inserts minus retracts
+        // whatever the interleaving — apply every accumulate first, then
+        // every retract, a deterministic valid order.
+        val rows = it.toArray
+        val afterIns = rows.foldLeft(f.createAccumulator()) {
+          case (a, ("-D" | "-U", _)) => a
+          case (a, (_, in))          => f.accumulate(a, in)
+        }
+        val acc = rows.foldLeft(afterIns) {
           case (a, ("-D" | "-U", in)) => f.retract(a, in)
-          case (a, (_, in))           => f.accumulate(a, in)
+          case (a, _)                 => a
         }
         f.emitValue(acc).iterator.map(o => (k, o))
       }

@@ -145,5 +145,19 @@ class FunctionsSpec extends AnyFunSuite {
       .select($"k", $"lv", $"rv").collect().map(_.toSeq).toSet
     assert(salted == plain)
     assert(plain.nonEmpty)
+    // SAME-NAMED keys (the common equi-join shape) must not be ambiguous
+    val right2 = right.withColumnRenamed("rk", "k")
+    val salted2 = SkewJoin.salted(left, right2, "k", "k", 8)
+      .select($"lv", $"rv").collect().map(_.toSeq).toSet
+    assert(salted2 == plain.map(s => Seq(s(1), s(2))))
+    // fully-duplicate hot-key rows spread over multiple salt buckets
+    val dup = Seq.fill(512)((7, 1)).toDF("k", "lv")
+    val spread = dup.withColumn("__salt",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"k", $"lv",
+          org.apache.spark.sql.functions.monotonically_increasing_id()),
+        org.apache.spark.sql.functions.lit(8L)))
+      .select("__salt").distinct().count()
+    assert(spread > 1, "identical rows all landed in one salt bucket")
   }
 }

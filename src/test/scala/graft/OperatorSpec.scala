@@ -170,6 +170,20 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("cumulate floor-divides pre-epoch rowtimes (div truncation misassigned them)") {
+    import spark.implicits._
+    val maxMs = 60000L
+    val stepMs = 10000L
+    // 1969-12-31 23:59:35 → em = -25000; its span is [-60000, 0)
+    val df = Seq(Tuple1(new java.sql.Timestamp(-25000L))).toDF("ts")
+    val out = Cumulate.assign(df, "ts", maxMs, stepMs)
+      .select(unix_millis(col("w_start")).as("ws"), unix_millis(col("w_end")).as("we"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // covering step windows: ends at -20000, -10000, 0 — all containing -25000
+    assert(out == Set((-60000L, -20000L), (-60000L, -10000L), (-60000L, 0L)), out.toString)
+    out.foreach { case (ws, we) => assert(ws <= -25000L && -25000L < we) }
+  }
+
   // ---- Dedup ---------------------------------------------------------
   test("exact dedup keeps min id and is idempotent") {
     import spark.implicits._

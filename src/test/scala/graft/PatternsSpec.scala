@@ -33,6 +33,21 @@ class PatternsSpec extends AnyFunSuite {
     assert(out.toSet == (1 to 50).map(_ + 1000).toSet)
   }
 
+  test("async mapUnordered emits in completion order: one slow call does not block the pipe") {
+    import spark.implicits._
+    // single partition, first element sleeps 2s, the rest are instant —
+    // unorderedWait must surface the fast results FIRST (a wave-barrier
+    // implementation would emit nothing until the slow call resolves)
+    val ds = (1 to 20).toDS().coalesce(1)
+    val out = AsyncIO.mapUnordered(ds, capacity = 8, timeout = 30.seconds) { (i, ec) =>
+      Future { if (i == 1) Thread.sleep(2000); i }(ec)
+    }.collect()
+    assert(out.toSet == (1 to 20).toSet)
+    // the slow element cannot be first; fast elements overtook it
+    assert(out.head != 1, s"slow call head-of-line-blocked: ${out.toSeq}")
+    assert(out.indexOf(1) >= 7, s"expected 1 to finish late, got order ${out.toSeq}")
+  }
+
   test("debezium json decodes to row_kind changelog; updates expand to -U/+U") {
     import spark.implicits._
     val df = Seq(
@@ -73,6 +88,39 @@ class PatternsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(out == Set(
       ("+I", 1L, 10.0), ("-U", 1L, 10.0), ("+U", 1L, 20.0), ("-D", 1L, 20.0)))
+  }
+
+  test("CDC edge cases: debezium snapshot 'r' is +I; NULL-old columns reconstruct NULL before-images") {
+    import spark.implicits._
+    // Debezium's initial-snapshot READ op must land as an insert, not vanish
+    val snap = Seq("""{"before": null, "after": {"id": 9, "v": 1.5}, "op": "r"}""").toDF("json")
+    val snapOut = Changelog.fromDebeziumJson(snap, "json", "id BIGINT, v DOUBLE")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(snapOut == Set(("+I", 9L, 1.5)))
+    // canal: a column updated FROM NULL — key presence in `old`, not
+    // null-ness, marks it changed, so -U carries v=NULL
+    val canal = Seq(
+      """{"data": [{"id": 1, "v": 5.0}], "old": [{"v": null}], "type": "UPDATE"}""")
+      .toDF("json")
+    val canalOut = Changelog.fromCanalJson(canal, "json", "id BIGINT, v DOUBLE")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(canalOut == Set(("-U", 1L, None), ("+U", 1L, Some(5.0))), canalOut.toString)
+    // maxwell: same rule, single-row message shape
+    val mx = Seq(
+      """{"data": {"id": 2, "v": 7.0}, "old": {"v": null}, "type": "update"}""")
+      .toDF("json")
+    val mxOut = Changelog.fromMaxwellJson(mx, "json", "id BIGINT, v DOUBLE")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(mxOut == Set(("-U", 2L, None), ("+U", 2L, Some(7.0))), mxOut.toString)
+    // an UNCHANGED column still comes from data under the presence rule
+    val canal2 = Seq(
+      """{"data": [{"id": 3, "v": 8.0}], "old": [{"id": 30}], "type": "UPDATE"}""")
+      .toDF("json")
+    val c2 = Changelog.fromCanalJson(canal2, "json", "id BIGINT, v DOUBLE")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(c2 == Set(("-U", 30L, 8.0), ("+U", 3L, 8.0)), c2.toString)
   }
 
   test("ogg json decodes full before/after images; U expands to -U/+U") {
@@ -158,6 +206,13 @@ class PatternsSpec extends AnyFunSuite {
     assert(onTime.count() + late.count() == n)
     assert(late.filter(col("ts") >= wm).count() == 0)
     assert(onTime.filter(col("ts") < wm).count() == 0)
+    // a NULL rowtime must not vanish from BOTH outputs — it stays main
+    import spark.implicits._
+    val withNull = Seq((1L, Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+      (2L, None)).toDF("id", "ts")
+    val (m2, s2) = SideOutput.lateData(withNull, "ts", wm)
+    assert(m2.count() + s2.count() == 2)
+    assert(m2.filter($"id" === 2L).count() == 1)
   }
 
   test("multimodal: image headers parse from real PNG/JPEG/GIF bytes into the meta struct") {
@@ -182,6 +237,15 @@ class PatternsSpec extends AnyFunSuite {
     val chunks = Multimodal.sampleChunks(df, "content", 4)
     assert(chunks.count() == 16)
     assert(chunks.groupBy("id").count().collect().forall(_.getLong(1) == 4))
+    // full coverage: concatenating a payload's chunks in order yields the
+    // whole payload (the last chunk runs to the end — no dropped tail)
+    val rebuilt = chunks.orderBy($"id", $"chunk_id")
+      .select($"id", $"chunk").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.flatMap(_.getAs[Array[Byte]](1)).toSeq)
+    val originals = df.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    originals.foreach { case (id, bytes) =>
+      assert(rebuilt(id) == bytes, s"payload $id not fully covered by its chunks")
+    }
   }
 
   test("multimodal: WAV audio headers parse into typed metadata (RIFF walker)") {

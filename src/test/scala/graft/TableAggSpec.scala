@@ -65,6 +65,21 @@ class TableAggSpec extends AnyFunSuite {
     assert(out == Set(("g", 2L, 40.0, 1), ("g", 3L, 30.0, 2)))
   }
 
+  test("changelog fold is order-independent: a retract arriving before its insert still nets out") {
+    import spark.implicits._
+    // Spark gives no within-group order after the shuffle; the runner
+    // applies inserts before retracts, so this -D-first input must net
+    // to the same state as insert-then-retract
+    val rows = Seq(
+      ("-D", ("g", 1L, 50.0)), ("+I", ("g", 1L, 50.0)), ("+I", ("g", 2L, 40.0)))
+      .toDS()
+    val out = TableAgg
+      .flatAggregateChangelog(rows, (t: (String, Long, Double)) => t._1,
+        new Top2Retract().contramap[(String, Long, Double)](t => (t._2, t._3)))
+      .collect().map { case (k, (id, v, r)) => (k, id, v, r) }.toSet
+    assert(out == Set(("g", 2L, 40.0, 1)))
+  }
+
   test("streaming flatAggregate emits the emitUpdateWithRetract changelog") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
