@@ -424,14 +424,23 @@ object FlinkSql {
               .map { case (c, delay) => s"`$c` - INTERVAL ${intervalSql(delay)}" }
               .orNull)
         }
-        // computed columns render after the physical ones (declaration
-        // order), typed from the registered view, extras = `AS <expr>`
+        // metadata then computed columns render after the physical ones,
+        // extras = `METADATA FROM '<key>' [VIRTUAL]` / `AS <expr>` (the
+        // Flink DESCRIBE shapes for both)
+        val metaRows = graft.plans.FlinkDdl.metadataColumnsOf(spark, name).map { m =>
+          (m.name, flinkTypeName(
+            org.apache.spark.sql.types.DataType.fromDDL(m.typeDdl)), true,
+            null: String,
+            s"METADATA FROM '${m.key}'" + (if (m.virtual) " VIRTUAL" else ""),
+            null: String)
+        }
         val compRows = computed.map { case (n, e) =>
           val dt = viewSchema.find(_.name.equalsIgnoreCase(n))
           (n, dt.map(f => flinkTypeName(f.dataType)).getOrElse("STRING"),
             dt.forall(_.nullable), null: String, s"AS $e", null: String)
         }
-        (physRows ++ compRows).toDF("name", "type", "null", "key", "extras", "watermark")
+        (physRows ++ metaRows ++ compRows)
+          .toDF("name", "type", "null", "key", "extras", "watermark")
       case _ if graft.plans.FlinkDdl.isAlter(spark, statement) =>
         okRow(spark, "table",
           graft.plans.FlinkDdl.executeAlter(spark, statement))
@@ -550,15 +559,28 @@ object FlinkSql {
     val wm = graft.plans.FlinkDdl.watermarkOf(spark, name)
     val parts = graft.plans.FlinkDdl.partitionsOf(spark, name)
     val cols = schema.fields.map(f => s"  `${f.name}` ${flinkTypeName(f.dataType)}")
+    val metaLines = graft.plans.FlinkDdl.metadataColumnsOf(spark, name).map(m =>
+      s"  `${m.name}` ${flinkTypeName(
+        org.apache.spark.sql.types.DataType.fromDDL(m.typeDdl))} METADATA FROM " +
+        s"'${m.key}'" + (if (m.virtual) " VIRTUAL" else ""))
+    val compLines = graft.plans.FlinkDdl.computedColumnsOf(spark, name)
+      .map { case (n, e) => s"  `$n` AS $e" }
+    val pkLine = Some(graft.plans.FlinkDdl.primaryKeyOf(spark, name))
+      .filter(_.nonEmpty)
+      .map(_.mkString("  PRIMARY KEY (`", "`, `", "`) NOT ENFORCED"))
     val wmLine = wm.map { case (c, delay) =>
       s"  WATERMARK FOR `$c` AS `$c` - INTERVAL ${intervalSql(delay)}" }
     val partLine =
       if (parts.isEmpty) "" else parts.mkString(" PARTITIONED BY (`", "`, `", "`)")
-    val opts = Seq(Some("connector" -> connector),
+    // the FULL recorded WITH map (csv delimiters, kafka topics, ...);
+    // the canonical triple leads, the rest render sorted for stability
+    val triple = Seq(Some("connector" -> connector),
       Option(path).filter(_.nonEmpty).map("path" -> _),
       Option(fmt).filter(_.nonEmpty).map("format" -> _)).flatten
-      .map { case (k, v) => s"  '$k' = '$v'" }
-    s"CREATE TABLE `$name` (\n${(cols ++ wmLine).mkString(",\n")}\n)$partLine\nWITH (\n${opts.mkString(",\n")}\n)"
+    val extraOpts = (graft.plans.FlinkDdl.optionsOf(spark, name) --
+      triple.map(_._1)).toSeq.sortBy(_._1)
+    val opts = (triple ++ extraOpts).map { case (k, v) => s"  '$k' = '$v'" }
+    s"CREATE TABLE `$name` (\n${(cols ++ metaLines ++ compLines ++ pkLine ++ wmLine).mkString(",\n")}\n)$partLine\nWITH (\n${opts.mkString(",\n")}\n)"
   }
 
   private def okRow(spark: SparkSession, col: String, v: String): DataFrame = {

@@ -53,6 +53,34 @@ object FlinkDdl {
   private val watermarkRe =
     raw"(?is)^WATERMARK\s+FOR\s+([A-Za-z_]\w*)\s+AS\s+(.+)$$".r
   private val computedRe = raw"(?is)^([A-Za-z_]\w*)\s+AS\s+(.+)$$".r
+  private val metadataColRe =
+    raw"(?is)^([A-Za-z_]\w*)\s+(.+?)\s+METADATA(?:\s+FROM\s+'([^']+)')?(\s+VIRTUAL)?\s*$$".r
+
+  private val genericTailRe = raw"(?i)(ARRAY|MAP|ROW|MULTISET|STRUCT)\s*$$".r
+
+  /** Split a column-definition list on top-level commas, tracking () AND
+    * the generic-type brackets of `MAP<STRING, BYTES>`-style
+    * constructors. `<` nests only after a generic constructor name, so a
+    * computed column's `CASE WHEN a < b ...` cannot unbalance the scan.
+    */
+  private[plans] def splitColDefs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var paren = 0
+    var angle = 0
+    val cur = new StringBuilder
+    s.foreach { c =>
+      if (c == ',' && paren == 0 && angle == 0) { out += cur.result().trim; cur.clear() }
+      else {
+        if (c == '(') paren += 1
+        else if (c == ')') paren -= 1
+        else if (c == '<' && genericTailRe.findFirstIn(cur.result()).isDefined) angle += 1
+        else if (c == '>' && angle > 0) angle -= 1
+        cur += c
+      }
+    }
+    out += cur.result().trim
+    out.result().filter(_.nonEmpty)
+  }
   private val pkRe = raw"(?is)^(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\).*$$".r
   private val physicalRe = raw"(?is)^([A-Za-z_]\w*)\s+(.+?)(\s+NOT\s+NULL)?(\s+COMMENT\s+'[^']*')?$$".r
   private val delayRe = raw"(?is)^([A-Za-z_]\w*)\s*-\s*INTERVAL\s+'([\d.]+)'\s+(\w+)$$".r
@@ -344,6 +372,27 @@ object FlinkDdl {
       _ => new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]())
   }
 
+  /** A declared `name type METADATA [FROM 'key'] [VIRTUAL]` column
+    * ([U] flink-sql-parser SqlTableColumn.SqlMetadataColumn). `typeDdl`
+    * is the mapped Spark type; `key` defaults to the column name.
+    */
+  case class MetadataCol(name: String, typeDdl: String, key: String, virtual: Boolean) {
+    def render: String =
+      s"$name $typeDdl METADATA FROM '$key'" + (if (virtual) " VIRTUAL" else "")
+  }
+
+  private val metaColsBySession =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[MetadataCol]]]()
+  private def metaRegistry(spark: SparkSession) = metaColsBySession.synchronized {
+    metaColsBySession.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[MetadataCol]]())
+  }
+
+  /** METADATA columns of a DDL-registered table (empty if none). */
+  def metadataColumnsOf(spark: SparkSession, table: String): Seq[MetadataCol] =
+    Option(metaRegistry(spark).get(table.toLowerCase)).getOrElse(Seq.empty)
+
   /** Full WITH-options of a DDL-registered table (empty if none). */
   def optionsOf(spark: SparkSession, table: String): Map[String, String] =
     Option(optsRegistry(spark).get(table.toLowerCase)).getOrElse(Map.empty)
@@ -418,7 +467,10 @@ object FlinkDdl {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    empty(spark, schema).createOrReplaceTempView(name)
+    // full rebind: the path is gone, so the view lands on the empty
+    // relation — WITH its metadata/computed columns, so a later SELECT
+    // referencing them still analyzes
+    rebindView(spark, name)
     name
   }
 
@@ -435,6 +487,7 @@ object FlinkDdl {
     partRegistry(spark).remove(name.toLowerCase)
     pkRegistry(spark).remove(name.toLowerCase)
     computedRegistry(spark).remove(name.toLowerCase)
+    metaRegistry(spark).remove(name.toLowerCase)
     optsRegistry(spark).remove(name.toLowerCase)
     ns(spark).tableNs.remove(name.toLowerCase)
     name
@@ -493,8 +546,9 @@ object FlinkDdl {
     * Flink's default merge strategies — INCLUDING everything except
     * OPTIONS, which is OVERWRITING (new WITH entries override base
     * per key). Merge options accepted: `{INCLUDING | EXCLUDING} {ALL |
-    * CONSTRAINTS | PARTITIONS | OPTIONS | GENERATED | WATERMARKS}` and
-    * `OVERWRITING {OPTIONS | GENERATED | WATERMARKS}`. The base must be
+    * CONSTRAINTS | PARTITIONS | OPTIONS | GENERATED | METADATA |
+    * WATERMARKS}` and
+    * `OVERWRITING {OPTIONS | GENERATED | METADATA | WATERMARKS}`. The base must be
     * DDL-registered in this session; extra physical/computed columns
     * append (a name collision fails, as in Flink). Subset note: only
     * connector/path/format survive as base OPTIONS (the registry's
@@ -513,7 +567,7 @@ object FlinkDdl {
     var modes = scala.collection.mutable.Map(
       "options" -> "overwriting", "watermarks" -> "including",
       "constraints" -> "including", "generated" -> "including",
-      "partitions" -> "including")
+      "metadata" -> "including", "partitions" -> "including")
     Option(lm.group(2)).foreach { optText =>
       val toks = optText.trim.toLowerCase.split(raw"[\s,]+").filter(_.nonEmpty)
       if (toks.length % 2 != 0) fail(s"bad LIKE merge options `$optText`")
@@ -541,7 +595,7 @@ object FlinkDdl {
     val (colDefs, afterBody) =
       if (hasBody) {
         val close = WindowTvf.matchParen(head, bodyOpen)
-        (WindowTvf.splitArgs(head.substring(bodyOpen + 1, close))
+        (splitColDefs(head.substring(bodyOpen + 1, close))
           .map(raw"`([A-Za-z_]\w*)`".r.replaceAllIn(_, "$1"))
           .filter(_.trim.nonEmpty), head.substring(close + 1))
       } else (Seq.empty[String], head)
@@ -563,9 +617,11 @@ object FlinkDdl {
       case physicalRe(n, _, _, _) => Some(n.toLowerCase)
       case _ => None
     }
-    bSchema.fieldNames.find(f => newColNames.contains(f.toLowerCase)).foreach(c =>
-      fail(s"LIKE: column `$c` already exists in `$base` (Flink fails on " +
-        "duplicate columns too)"))
+    (bSchema.fieldNames.toSeq ++ metadataColumnsOf(spark, base).map(_.name) ++
+      computedColumnsOf(spark, base).map(_._1))
+      .find(f => newColNames.contains(f.toLowerCase)).foreach(c =>
+        fail(s"LIKE: column `$c` already exists in `$base` (Flink fails on " +
+          "duplicate columns too)"))
 
     // ---- merged pieces ----
     val baseOpts = Map("connector" -> bConnector) ++
@@ -584,6 +640,9 @@ object FlinkDdl {
     val baseComputed =
       if (modes("generated") == "excluding") Seq.empty
       else computedColumnsOf(spark, base)
+    val baseMeta =
+      if (modes("metadata") == "excluding") Seq.empty
+      else metadataColumnsOf(spark, base).map(_.render)
     val pkLine: Option[String] = newPkLine.orElse {
       if (modes("constraints") == "including")
         Some(primaryKeyOf(spark, base)).filter(_.nonEmpty)
@@ -597,7 +656,7 @@ object FlinkDdl {
         watermarkOf(spark, base)
       else None
 
-    val colLines = basePhysical.toSeq ++
+    val colLines = basePhysical.toSeq ++ baseMeta ++
       baseComputed.map { case (n, e) => s"$n AS $e" } ++
       newColLines ++ pkLine.toSeq ++ newWmLine.toSeq
     if (!opts.contains("connector"))
@@ -655,6 +714,7 @@ object FlinkDdl {
       val (c, p, f, schema) = registered(spark, name).getOrElse(
         fail(s"ALTER TABLE: `$name` is not DDL-registered in this session"))
       val colLines = schema.fields.map(f0 => s"${f0.name} ${f0.dataType.sql}").toSeq ++
+        metadataColumnsOf(spark, name).map(_.render) ++
         computedColumnsOf(spark, name).map { case (n, e) => s"$n AS $e" } ++
         Some(primaryKeyOf(spark, name)).filter(_.nonEmpty)
           .map(pk => s"PRIMARY KEY (${pk.mkString(", ")}) NOT ENFORCED").toSeq
@@ -718,6 +778,7 @@ object FlinkDdl {
     var phys = scala.collection.mutable.ArrayBuffer(
       schema.fields.map(f0 => (f0.name, f0.dataType.sql)): _*)
     var computed = computedColumnsOf(spark, name)
+    var metaC = metadataColumnsOf(spark, name)
     var pk = primaryKeyOf(spark, name)
     val parts = partitionsOf(spark, name)
     var wm = watermarkOf(spark, name)
@@ -726,30 +787,21 @@ object FlinkDdl {
       (if (path.nonEmpty) Map("path" -> path) else Map.empty) ++
       (if (fmt.nonEmpty) Map("format" -> fmt) else Map.empty)
     def exists(c: String) = phys.exists(_._1.equalsIgnoreCase(c)) ||
-      computed.exists(_._1.equalsIgnoreCase(c))
+      computed.exists(_._1.equalsIgnoreCase(c)) ||
+      metaC.exists(_.name.equalsIgnoreCase(c))
     // whole-identifier reference check (`price * 2` does NOT refer to `i`)
     def refersTo(expr: String, c: String): Boolean =
       raw"(?i)\b${java.util.regex.Pattern.quote(c)}\b".r.findFirstIn(expr).isDefined
-    // split a parenthesized list on top-level commas, tracking () and <>
-    // (ROW<a INT, b INT> and DECIMAL(10,2) must not split)
+    // split a parenthesized list on top-level commas ([[splitColDefs]]:
+    // ROW<a INT, b INT> and DECIMAL(10,2) must not split, and a computed
+    // spec's `a < b` must not unbalance the scan)
     def splitSpecs(s: String): Seq[String] = {
       val t = s.trim
       val body =
         if (t.startsWith("(") && WindowTvf.matchParen(t, 0) == t.length - 1)
           t.substring(1, t.length - 1)
         else t
-      val out = Seq.newBuilder[String]
-      var depth = 0
-      val cur = new StringBuilder
-      body.foreach {
-        case ',' if depth == 0 => out += cur.result().trim; cur.clear()
-        case c =>
-          if (c == '(' || c == '<') depth += 1
-          else if (c == ')' || c == '>') depth -= 1
-          cur += c
-      }
-      out += cur.result().trim
-      out.result().filter(_.nonEmpty)
+      splitColDefs(body)
     }
     val posRe = raw"(?is)^(.*?)\s+(?:(FIRST)|AFTER\s+`?([A-Za-z_]\w*)`?)\s*$$".r
     val commentRe = raw"(?is)^(.*?)\s+COMMENT\s+'[^']*'\s*$$".r
@@ -779,6 +831,21 @@ object FlinkDdl {
       case "ADD" | "MODIFY" =>
         splitSpecs(payloadRaw).foreach { spec0 =>
           if (watermarkRe.findFirstIn(spec0).isDefined) parseWatermark(spec0)
+          else if (metadataColRe.findFirstIn(spec0).isDefined) {
+            val mm = metadataColRe.findFirstMatchIn(spec0).get
+            val mc = MetadataCol(mm.group(1),
+              sparkType(mm.group(2).trim.replaceAll(raw"(?i)\s+NOT\s+NULL$$", "")),
+              Option(mm.group(3)).getOrElse(mm.group(1)), mm.group(4) != null)
+            if (verb == "ADD") {
+              if (exists(mc.name))
+                fail(s"ALTER TABLE $name: column `${mc.name}` already exists")
+              metaC :+= mc
+            } else {
+              if (!metaC.exists(_.name.equalsIgnoreCase(mc.name)))
+                fail(s"ALTER TABLE $name: cannot MODIFY unknown metadata column `${mc.name}`")
+              metaC = metaC.map(e => if (e.name.equalsIgnoreCase(mc.name)) mc else e)
+            }
+          }
           else pkRe.findFirstMatchIn(spec0) match {
             case Some(pkm) =>
               val cols = pkm.group(1).split(",").map(_.trim)
@@ -825,7 +892,11 @@ object FlinkDdl {
             fail(s"ALTER TABLE $name: cannot drop partition column `$c`")
           if (computed.exists(_._1.equalsIgnoreCase(c)))
             computed = computed.filterNot(_._1.equalsIgnoreCase(c))
-          else {
+          else if (metaC.exists(_.name.equalsIgnoreCase(c))) {
+            if (computed.exists(e => refersTo(e._2, c)))
+              fail(s"ALTER TABLE $name: `$c` is referenced by a computed column")
+            metaC = metaC.filterNot(_.name.equalsIgnoreCase(c))
+          } else {
             val i = phys.indexWhere(_._1.equalsIgnoreCase(c))
             if (i < 0) fail(s"ALTER TABLE $name: no such column `$c`")
             if (computed.exists(e => refersTo(e._2, c)))
@@ -843,6 +914,12 @@ object FlinkDdl {
         else if (computed.exists(_._1.equalsIgnoreCase(from)))
           computed = computed.map(e =>
             if (e._1.equalsIgnoreCase(from)) (to, e._2) else e)
+        else if (metaC.exists(_.name.equalsIgnoreCase(from)))
+          // the metadata KEY stays: renaming the column does not re-point
+          // it at a different connector key (the FROM was explicit or
+          // captured at declaration)
+          metaC = metaC.map(e =>
+            if (e.name.equalsIgnoreCase(from)) e.copy(name = to) else e)
         else fail(s"ALTER TABLE $name: no such column `$from`")
         if (computed.exists(e => refersTo(e._2, from)))
           fail(s"ALTER TABLE $name: `$from` is referenced by a computed column")
@@ -852,6 +929,7 @@ object FlinkDdl {
     }
     if (phys.isEmpty) fail(s"ALTER TABLE $name: a table needs at least one physical column")
     val colLines = phys.toSeq.map { case (n0, t0) => s"$n0 $t0" } ++
+      metaC.map(_.render) ++
       computed.map { case (n0, e) => s"$n0 AS $e" } ++
       Some(pk).filter(_.nonEmpty)
         .map(k => s"PRIMARY KEY (${k.mkString(", ")}) NOT ENFORCED").toSeq
@@ -883,6 +961,7 @@ object FlinkDdl {
     partRegistry(spark).remove(name.toLowerCase)
     pkRegistry(spark).remove(name.toLowerCase)
     computedRegistry(spark).remove(name.toLowerCase)
+    metaRegistry(spark).remove(name.toLowerCase)
     val df = spark.sql(select)
     df.write.format(fmt).mode("overwrite").save(path)
     readFs(spark, fmt, df.schema, path, opts).createOrReplaceTempView(name)
@@ -900,12 +979,13 @@ object FlinkDdl {
     partRegistry(spark).remove(name.toLowerCase)
     pkRegistry(spark).remove(name.toLowerCase)
     computedRegistry(spark).remove(name.toLowerCase)
+    metaRegistry(spark).remove(name.toLowerCase)
     optsRegistry(spark).remove(name.toLowerCase)
     val colsClose = WindowTvf.matchParen(sqlText, m.end - 1)
     // Flink DDL may backtick-quote identifiers (SHOW CREATE TABLE emits
     // them); plain-identifier quotes carry no information — strip before
     // the definition regexes
-    val colDefs = WindowTvf.splitArgs(sqlText.substring(m.end, colsClose))
+    val colDefs = splitColDefs(sqlText.substring(m.end, colsClose))
       .map(raw"`([A-Za-z_]\w*)`".r.replaceAllIn(_, "$1"))
     // Flink's partitioned filesystem table: PARTITIONED BY between the
     // column list and WITH — written as Spark partition directories, so
@@ -925,6 +1005,7 @@ object FlinkDdl {
 
     var physical = Vector.empty[(String, String)] // (name, spark type DDL)
     var computed = Vector.empty[(String, String)] // (name, expr)
+    var metaCols = Vector.empty[MetadataCol]
     var primaryKey = Seq.empty[String]
     colDefs.foreach {
       case w if watermarkRe.findFirstIn(w).isDefined =>
@@ -937,22 +1018,26 @@ object FlinkDdl {
         }
       case pkRe(cols) => // not enforced (Flink doesn't either); CDC formats key on it
         primaryKey = cols.split(",").toSeq.map(_.trim)
-      case md if raw"(?is)^\w+\s+.+\bMETADATA\b".r.findFirstIn(md).isDefined =>
-        // Flink metadata columns are connector-specific (Kafka offsets,
-        // file paths); the filesystem translation has none to offer —
-        // same error Flink raises for an unsupported metadata key
-        fail(s"METADATA columns are not supported (no connector metadata " +
-          s"in the filesystem translation): `$md`")
+      case metadataColRe(n, tpe, key, virtual) =>
+        metaCols :+= MetadataCol(n,
+          sparkType(tpe.trim.replaceAll(raw"(?i)\s+NOT\s+NULL$$", "")),
+          Option(key).getOrElse(n), virtual != null)
       case computedRe(n, expr) if !raw"(?is)^(NOT|COMMENT)\b".r.findFirstIn(expr).isDefined =>
         computed :+= (n -> expr)
       case physicalRe(n, tpe, _, _) => physical :+= (n -> sparkType(tpe.trim))
       case other => fail(s"unsupported column definition `$other`")
     }
     if (physical.isEmpty) fail("at least one physical column is required")
+    // duplicate names across the three column kinds would otherwise
+    // silently shadow (withColumn replaces same-named columns)
+    val allNames = physical.map(_._1) ++ metaCols.map(_.name) ++ computed.map(_._1)
+    allNames.map(_.toLowerCase).diff(allNames.map(_.toLowerCase).distinct)
+      .headOption.foreach(d => fail(s"duplicate column name `$d`"))
     val schema = StructType.fromDDL(physical.map { case (n, t) => s"$n $t" }.mkString(", "))
 
     val connector = opts.getOrElse("connector", fail("'connector' option is required"))
-    val base = connectorRead(spark, schema, physical, primaryKey, opts)
+    validateMetadata(connector, opts, metaCols)
+    val base = connectorRead(spark, schema, physical, primaryKey, opts, metaCols)
     val df = if (computed.isEmpty) base
       else base.selectExpr("*" +: computed.map { case (n, e) => s"($e) AS $n" }: _*)
     df.createOrReplaceTempView(name)
@@ -962,6 +1047,7 @@ object FlinkDdl {
     recordTableNs(spark, name)
     if (primaryKey.nonEmpty) pkRegistry(spark).put(name.toLowerCase, primaryKey)
     if (computed.nonEmpty) computedRegistry(spark).put(name.toLowerCase, computed)
+    if (metaCols.nonEmpty) metaRegistry(spark).put(name.toLowerCase, metaCols)
     if (partitionCols.nonEmpty) {
       partitionCols.find(c => !schema.fieldNames.contains(c)).foreach(c =>
         fail(s"PARTITIONED BY column `$c` is not a physical column"))
@@ -999,11 +1085,23 @@ object FlinkDdl {
     * count (Flink's INSERT result is a job handle; a count is the batch
     * analog).
     */
+  /** A table used as an INSERT sink must declare its METADATA columns
+    * VIRTUAL — Flink's own rule for read-only metadata, and this
+    * translation persists none (no writable connector metadata here).
+    */
+  private def requireVirtualMetadata(spark: SparkSession, name: String): Unit =
+    metadataColumnsOf(spark, name).find(!_.virtual).foreach(m =>
+      fail(s"INSERT INTO $name: metadata column `${m.name}` is not VIRTUAL — " +
+        "metadata persistence is not modeled here; declare it " +
+        s"`${m.name} ${m.typeDdl} METADATA FROM '${m.key}' VIRTUAL` to exclude " +
+        "it from the sink schema"))
+
   def executeInsert(spark: SparkSession, sqlText: String): Long = {
     val m = insertRe.findFirstMatchIn(sqlText).getOrElse(fail("not an INSERT INTO"))
     val overwrite = m.group(1).equalsIgnoreCase("OVERWRITE")
     val name = m.group(2)
     val (connector, path, fmt, schema) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
+    requireVirtualMetadata(spark, name)
     val selected = spark.sql(applyOptionsHints(spark, m.group(5)))
     // Flink's STATIC partition clause: `PARTITION (k='v')` pins the
     // listed partition columns to literals; the SELECT supplies the rest
@@ -1058,10 +1156,9 @@ object FlinkDdl {
           .option("partitionOverwriteMode", "dynamic")
           .mode(if (overwrite) "overwrite" else "append").save(path)
         // the view may have been registered over a then-absent path;
-        // re-point it at the written data (physical columns only)
-        registered(spark, name).foreach { case (_, _, _, schema) =>
-          readFs(spark, fmt, schema, path, Map.empty).createOrReplaceTempView(name)
-        }
+        // re-point it at the written data (full view: metadata +
+        // computed columns re-attach, reader options re-apply)
+        rebindView(spark, name)
       case "kafka" | "upsert-kafka" =>
         // plan-level encode (graft.sources.KafkaDdl), then Spark's own
         // kafka batch writer — which needs spark-sql-kafka on the
@@ -1157,7 +1254,7 @@ object FlinkDdl {
     if (!fs.delete(target, true) && fs.exists(target))
       fail(s"could not replace '$path'")
     if (!fs.rename(stage, target)) fail(s"could not swap staged rewrite into '$path'")
-    readFs(spark, fmt, schema, path, Map.empty).createOrReplaceTempView(name)
+    rebindView(spark, name)
     spark.catalog.refreshTable(name)
     affected
   }
@@ -1181,13 +1278,17 @@ object FlinkDdl {
     val m = insertRe.findFirstMatchIn(sqlText).getOrElse(fail("not an INSERT INTO"))
     if (m.group(1).equalsIgnoreCase("OVERWRITE"))
       fail("INSERT OVERWRITE is a batch statement; streaming sinks append")
-    if (m.group(3) != null)
-      fail("static PARTITION clauses are not supported for streaming INSERT")
-    if (m.group(4) != null)
-      fail("column lists are not supported for streaming INSERT; select every sink column")
+    // static PARTITION pins and column lists deploy on the generic path
+    // (mapped exactly like batch executeInsert); the windowed deployment
+    // shapes (CUMULATE / windowed Top-N) re-run the user's statement
+    // verbatim inside foreachBatch and cannot re-map it — clear error
+    val statics = Option(m.group(3)).map(staticPartitionSpec).getOrElse(Seq.empty)
+    val listed = Option(m.group(4))
+      .map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty)
     val name = m.group(2)
     val select = applyOptionsHints(spark, m.group(5))
     val (connector, path, fmt, _) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
+    requireVirtualMetadata(spark, name)
     // Flink jobs layer views over sources: collect the views the SELECT
     // references (transitively) so their bodies join the source scan AND
     // the view chain can re-bind onto the streaming sources below
@@ -1231,6 +1332,13 @@ object FlinkDdl {
     // global per-window rank. Routed before the generic path.
     val winTopNRe =
       raw"(?is)ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*PARTITION\s+BY[^)]*\bwindow_start\b".r
+    val isWindowedDeploy = WindowTvf.containsClause(select) &&
+      (WindowTvf.firstSpanFn(select).contains("CUMULATE") ||
+        winTopNRe.findFirstIn(select).isDefined)
+    if (isWindowedDeploy && (statics.nonEmpty || listed.nonEmpty))
+      fail("static PARTITION clauses / column lists are not supported for " +
+        "the windowed streaming deployment shapes (CUMULATE, windowed " +
+        "Top-N); select every sink column")
     val dfOrQuery = try {
       if (WindowTvf.containsClause(select) &&
           WindowTvf.firstSpanFn(select).contains("CUMULATE"))
@@ -1258,9 +1366,8 @@ object FlinkDdl {
       // restore batch views for subsequent statements; the started
       // query keeps its own resolved streaming plan
       sources.foreach { t =>
-        val (_, p, f, schema) = registered(spark, t).get
-        if (pathExists(spark, p)) readFs(spark, f, schema, p, Map.empty)
-          .createOrReplaceTempView(t)
+        val (_, p, _, _) = registered(spark, t).get
+        if (pathExists(spark, p)) rebindView(spark, t)
       }
       // re-bind the view chain back onto the batch sources (best-effort:
       // a source whose path does not exist yet stays stream-bound)
@@ -1269,34 +1376,70 @@ object FlinkDdl {
       }
     }
     val df = dfOrQuery match {
-      case Right(q) => return q
+      case Right(q) => return rebindOnTermination(spark, name, q)
       case Left(d) => d
     }
-    // Flink's INSERT maps the SELECT positionally onto the sink's
-    // declared columns (same contract as the batch path): rename so the
-    // files carry the DECLARED names whatever the SELECT aliases were
+    // Flink's INSERT maps the SELECT onto the sink's declared columns
+    // with the SAME contract as the batch executeInsert: positionally
+    // (or through the column list by name, unlisted fill NULL), static
+    // PARTITION pins as literals, then cast to the declared types — an
+    // INT expression into a BIGINT sink must write int64 files matching
+    // the registered read schema
     val sinkSchema = registered(spark, name).get._4
-    if (df.columns.length != sinkSchema.fields.length)
-      fail(s"streaming INSERT selects ${df.columns.length} columns; " +
-        s"sink $name declares ${sinkSchema.fields.length}")
-    // positional rename THEN cast to the declared types, same contract
-    // as the batch executeInsert — an INT expression into a BIGINT sink
-    // must write int64 files matching the registered read schema
-    val out = df.toDF(sinkSchema.fieldNames.toIndexedSeq: _*)
-      .select(sinkSchema.fields.toIndexedSeq
-        .map(f => org.apache.spark.sql.functions.col(s"`${f.name}`")
-          .cast(f.dataType).as(f.name)): _*)
+    statics.foreach { case (k, _) =>
+      if (!partitionsOf(spark, name).contains(k))
+        fail(s"PARTITION ($k=...): `$k` is not a partition column of $name")
+    }
+    val staticKeys = statics.map(_._1).toSet
+    val dynFields = sinkSchema.fields.toSeq.filterNot(f => staticKeys.contains(f.name))
+    def withStatics(d: DataFrame): DataFrame =
+      statics.foldLeft(d) { case (acc, (k, v)) =>
+        val dt = sinkSchema.fields.find(_.name == k).get.dataType
+        acc.withColumn(k, org.apache.spark.sql.functions.lit(v).cast(dt))
+      }
+    val mapped =
+      if (listed.isEmpty) {
+        if (df.columns.length != dynFields.length)
+          fail(s"streaming INSERT selects ${df.columns.length} columns; " +
+            s"sink $name expects ${dynFields.length}" +
+            (if (staticKeys.nonEmpty) s" (besides the static PARTITION keys)" else ""))
+        withStatics(df.toDF(dynFields.map(_.name): _*))
+      } else {
+        listed.find(c => !sinkSchema.fieldNames.contains(c)).foreach(c =>
+          fail(s"INSERT column `$c` is not declared on $name"))
+        listed.find(staticKeys.contains).foreach(c =>
+          fail(s"INSERT column `$c` is already pinned by the PARTITION clause"))
+        if (listed.length != df.columns.length)
+          fail(s"INSERT column list has ${listed.length} columns but the " +
+            s"query produces ${df.columns.length}")
+        val byName = listed.zip(df.columns).toMap
+        withStatics(df.select(dynFields.map { f =>
+          byName.get(f.name)
+            .map(src => org.apache.spark.sql.functions.col(s"`$src`")
+              .cast(f.dataType).as(f.name))
+            .getOrElse(org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name))
+        }: _*))
+      }
+    val out = mapped.select(sinkSchema.fields.toIndexedSeq
+      .map(f => org.apache.spark.sql.functions.col(s"`${f.name}`")
+        .cast(f.dataType).as(f.name)): _*)
     val ckpt = checkpointDir.getOrElse(
       java.nio.file.Files.createTempDirectory(s"graft_ins_$name").toString)
     val appendOnly = df.queryExecution.analyzed.collectFirst {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.isEmpty
     val w = out.writeStream.trigger(trigger).option("checkpointLocation", ckpt)
-    connector match {
+    rebindOnTermination(spark, name, connector match {
       case "filesystem" =>
         // file sinks are append-only; aggregates need a watermark so
-        // closed windows emit as appends (Flink's file-sink constraint)
-        w.outputMode("append").format(fmt).start(path)
+        // closed windows emit as appends (Flink's file-sink constraint).
+        // A PARTITIONED BY table writes partition directories, same as
+        // the batch path — the 100 TB pruning layout must not depend on
+        // which mode wrote the files
+        val parts = partitionsOf(spark, name)
+        val wp = if (parts.isEmpty) w else w.partitionBy(parts: _*)
+        wp.outputMode("append").format(fmt).start(path)
       case "blackhole" =>
         w.outputMode(if (appendOnly) "append" else "update").format("noop").start()
       case "print" =>
@@ -1317,7 +1460,37 @@ object FlinkDdl {
           case e: NoClassDefFoundError => kafkaClasspathFail(e)
         }
       case other => fail(s"streaming INSERT INTO a '$other' table is not supported")
+    })
+  }
+
+  /** After the streaming job terminates, re-derive the SINK's batch view
+    * — a sink-role table usually registers over a then-absent path, so
+    * without this a script's follow-up `SELECT ... FROM sink` after
+    * `awaitTermination` reads the stale empty relation. Fires once (the
+    * listener removes itself) and only rebinds when the path now exists;
+    * errors are swallowed — a failed rebind must not mask the query's
+    * own terminal state.
+    */
+  private def rebindOnTermination(spark: SparkSession, sinkName: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          try {
+            val path = registered(spark, sinkName).map(_._2).getOrElse("")
+            if (path.nonEmpty && pathExists(spark, path)) rebindView(spark, sinkName)
+          } catch { case _: Exception => () }
+          finally spark.streams.removeListener(this)
+        }
     }
+    spark.streams.addListener(listener)
+    q
   }
 
   /** Deploy a streaming INSERT whose window-TVF span is CUMULATE — the
@@ -1618,9 +1791,75 @@ object FlinkDdl {
     * shared read path of CREATE TABLE registration and the dynamic
     * table-options hint ([[applyOptionsHints]]).
     */
+  /** Flink's filesystem metadata keys ([U] flink-connector-files
+    * FileSystemTableSource readable metadata) → Spark's hidden
+    * `_metadata` file-scan struct. All read-only upstream too.
+    */
+  private val fsMetadataKeys: Map[String, String] = Map(
+    "file.path" -> "file_path", "file.name" -> "file_name",
+    "file.size" -> "file_size", "file.modification-time" -> "file_modification_time")
+
+  /** CREATE-time validation of the declared METADATA columns against
+    * the connector's readable keys, so a bad key fails at DDL time the
+    * way Flink's own validation does.
+    */
+  private def validateMetadata(connector: String, opts: Map[String, String],
+      metaCols: Seq[MetadataCol]): Unit = {
+    if (metaCols.isEmpty) return
+    connector match {
+      case "filesystem" =>
+        metaCols.find(m => !fsMetadataKeys.contains(m.key)).foreach(m =>
+          fail(s"unknown filesystem metadata key '${m.key}' for column " +
+            s"`${m.name}` (readable: ${fsMetadataKeys.keys.toSeq.sorted.mkString(", ")})"))
+        val fmt = opts.getOrElse("format", "")
+        if (cdcDecoders.contains(fmt))
+          fail(s"METADATA columns are not supported over the '$fmt' value " +
+            "format (CDC decoders explode one message into several rows)")
+      case "kafka" | "upsert-kafka" =>
+        metaCols.foreach(m => graft.sources.KafkaDdl.metadataExpr(m.key))
+      case other =>
+        fail(s"connector '$other' exposes no metadata keys " +
+          s"(METADATA column `${metaCols.head.name}`)")
+    }
+  }
+
+  /** Append the filesystem METADATA columns from Spark's `_metadata`
+    * file-scan struct (available on every file-source relation, batch
+    * and streaming).
+    */
+  private def attachFsMeta(df: DataFrame, metaCols: Seq[MetadataCol]): DataFrame =
+    metaCols.foldLeft(df)((d, m) =>
+      d.withColumn(m.name, col(s"_metadata.${fsMetadataKeys(m.key)}").cast(m.typeDdl)))
+
+  /** METADATA columns as typed NULLs — the shape for empty relations
+    * (missing sink-role paths) where no scan serves `_metadata`.
+    */
+  private def nullMeta(df: DataFrame, metaCols: Seq[MetadataCol]): DataFrame =
+    metaCols.foldLeft(df)((d, m) =>
+      d.withColumn(m.name, lit(null).cast(m.typeDdl)))
+
+  /** Re-derive a registered table's FULL reading view from the
+    * registries — connector read + METADATA columns + computed columns.
+    * The single rebind path for every site that must refresh the view
+    * (post-INSERT, row-level rewrite, TRUNCATE, stream→batch restore);
+    * re-deriving from the physical schema alone would silently drop the
+    * computed/metadata columns from the view.
+    */
+  private def rebindView(spark: SparkSession, name: String): Unit = {
+    val (_, _, _, schema) = registered(spark, name).getOrElse(
+      fail(s"cannot rebind unregistered table $name"))
+    val physical = schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
+    val base = connectorRead(spark, schema, physical, primaryKeyOf(spark, name),
+      optionsOf(spark, name), metadataColumnsOf(spark, name))
+    val computed = computedColumnsOf(spark, name)
+    val df = if (computed.isEmpty) base
+      else base.selectExpr("*" +: computed.map { case (n, e) => s"($e) AS $n" }: _*)
+    df.createOrReplaceTempView(name)
+  }
+
   private def connectorRead(spark: SparkSession, schema: StructType,
       physical: Seq[(String, String)], primaryKey: Seq[String],
-      opts: Map[String, String]): DataFrame =
+      opts: Map[String, String], metaCols: Seq[MetadataCol] = Seq.empty): DataFrame =
     opts.getOrElse("connector", fail("'connector' option is required")) match {
       case "filesystem" =>
         val path = opts.getOrElse("path", fail("filesystem connector requires 'path'"))
@@ -1628,9 +1867,9 @@ object FlinkDdl {
         // a sink-role table's path may not exist yet (Flink's filesystem
         // table is source and sink in one) — start empty; INSERT INTO
         // re-registers the view over the written data
-        if (!pathExists(spark, path)) empty(spark, schema)
+        if (!pathExists(spark, path)) nullMeta(empty(spark, schema), metaCols)
         else if (cdcDecoders.contains(fmt)) readCdc(spark, fmt, physical, path, primaryKey)
-        else readFs(spark, fmt, schema, path, opts)
+        else attachFsMeta(readFs(spark, fmt, schema, path, opts), metaCols)
       case "datagen" =>
         datagen(spark, schema, opts.getOrElse("number-of-rows", "1000").toLong)
       case "print" | "blackhole" =>
@@ -1647,10 +1886,19 @@ object FlinkDdl {
         // untested); see FlinkDdl.readStream.
         graft.sources.KafkaDdl.translate(opts)
         graft.sources.KafkaDdl.decode(
-          empty(spark, graft.sources.KafkaDdl.scanSchema), opts, schema, primaryKey)
+          empty(spark, kafkaScanSchema(metaCols)), opts, schema, primaryKey,
+          metaCols.map(m => (m.name, m.typeDdl, m.key)))
       case other => fail(s"unsupported connector '$other' " +
         "(supported: filesystem, kafka, upsert-kafka, datagen, print, blackhole)")
     }
+
+  /** The Kafka scan shape for a table's declared metadata — `headers`
+    * only arrives when asked for (`includeHeaders = true`).
+    */
+  private def kafkaScanSchema(metaCols: Seq[MetadataCol]): StructType =
+    if (metaCols.exists(_.key == "headers"))
+      graft.sources.KafkaDdl.scanSchemaWithHeaders
+    else graft.sources.KafkaDdl.scanSchema
 
   private val tableHintRe =
     raw"(?is)\b([A-Za-z_]\w*)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/(?:\s+AS\s+([A-Za-z_]\w*))?".r
@@ -1683,7 +1931,7 @@ object FlinkDdl {
             if (!spark.catalog.tableExists(view)) {
               val physical = schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
               val base = connectorRead(spark, schema, physical,
-                primaryKeyOf(spark, name), merged)
+                primaryKeyOf(spark, name), merged, metadataColumnsOf(spark, name))
               val computed = computedColumnsOf(spark, name)
               val df = if (computed.isEmpty) base
                 else base.selectExpr(
@@ -1726,18 +1974,24 @@ object FlinkDdl {
       // carries no spark-sql-kafka jar and no broker; with the package
       // on the classpath this is the standard Spark Kafka source.
       val opts = optionsOf(spark, table)
+      val metaCols = metadataColumnsOf(spark, table)
+      val scanOpts = graft.sources.KafkaDdl.translate(opts) ++
+        (if (metaCols.exists(_.key == "headers")) Map("includeHeaders" -> "true")
+         else Map.empty)
       val raw = try
-        spark.readStream.format("kafka")
-          .options(graft.sources.KafkaDdl.translate(opts)).load()
+        spark.readStream.format("kafka").options(scanOpts).load()
       catch {
         case e: Exception => kafkaClasspathFail(e)
         case e: NoClassDefFoundError => kafkaClasspathFail(e)
       }
       val df = graft.sources.KafkaDdl.decode(raw, opts, schema,
-        primaryKeyOf(spark, table))
+        primaryKeyOf(spark, table), metaCols.map(m => (m.name, m.typeDdl, m.key)))
+      val computedK = computedColumnsOf(spark, table)
+      val fullK = if (computedK.isEmpty) df
+        else df.selectExpr("*" +: computedK.map { case (n, e) => s"($e) AS $n" }: _*)
       return watermarkOf(spark, table) match {
-        case Some((c, delay)) => df.withWatermark(c, delay)
-        case None => df
+        case Some((c, delay)) => fullK.withWatermark(c, delay)
+        case None => fullK
       }
     }
     if (connector != "filesystem") fail(s"readStream supports filesystem tables, not '$connector'")
@@ -1749,10 +2003,17 @@ object FlinkDdl {
         // KeepLastDedup keep the same row_kind convention)
         val raw = spark.readStream.text(path).withColumnRenamed("value", "__json")
         cdcDecoders(fmt)(raw, "__json", schema.toDDL)
-      } else spark.readStream.schema(schema).format(fmt).load(path)
+      } else attachFsMeta(spark.readStream.schema(schema).format(fmt).load(path),
+        metadataColumnsOf(spark, table))
+    // computed columns attach BEFORE the watermark: a Flink rowtime is
+    // routinely a computed column (TO_TIMESTAMP over a string field),
+    // and the watermark clause may name it
+    val computed = computedColumnsOf(spark, table)
+    val full = if (computed.isEmpty) df
+      else df.selectExpr("*" +: computed.map { case (n, e) => s"($e) AS $n" }: _*)
     watermarkOf(spark, table) match {
-      case Some((c, delay)) => df.withWatermark(c, delay)
-      case None => df
+      case Some((c, delay)) => full.withWatermark(c, delay)
+      case None => full
     }
   }
 

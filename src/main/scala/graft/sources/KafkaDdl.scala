@@ -45,6 +45,45 @@ object KafkaDdl {
     "key BINARY, value BINARY, topic STRING, partition INT, " +
       "offset BIGINT, timestamp TIMESTAMP, timestampType INT")
 
+  /** [[scanSchema]] plus the `headers` column Spark serves under
+    * `includeHeaders = true` — the scan shape when a `headers` METADATA
+    * column is declared.
+    */
+  val scanSchemaWithHeaders: StructType = StructType(scanSchema.fields :+
+    org.apache.spark.sql.types.StructField("headers",
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "ARRAY<STRUCT<key: STRING, value: BINARY>>")))
+
+  /** Flink kafka metadata keys readable here, mapped onto Spark's scan
+    * columns ([U] flink-connector-kafka KafkaDynamicSource readable
+    * metadata). `leader-epoch` is the one upstream key with no Spark
+    * scan analog and fails clearly.
+    */
+  val readableMetadataKeys: Set[String] =
+    Set("topic", "partition", "offset", "timestamp", "timestamp-type", "headers")
+
+  /** A Flink kafka metadata key as an expression over the Spark scan
+    * shape. `timestamp-type` renders Kafka's enum names the way Flink
+    * exposes them; `headers` converts Spark's entry-array to Flink's
+    * MAP<STRING, BYTES> (last entry wins on duplicate header keys, the
+    * map conversion's rule).
+    */
+  def metadataExpr(key: String): org.apache.spark.sql.Column = key match {
+    case "topic"     => col("topic")
+    case "partition" => col("partition")
+    case "offset"    => col("offset")
+    case "timestamp" => col("timestamp")
+    case "timestamp-type" =>
+      when(col("timestampType") === 1, "CreateTime")
+        .when(col("timestampType") === 2, "LogAppendTime")
+        .otherwise("NoTimestampType")
+    case "headers" => map_from_entries(col("headers"))
+    case "leader-epoch" =>
+      fail("metadata key 'leader-epoch' has no Spark kafka scan analog")
+    case other => fail(s"unknown kafka metadata key '$other' " +
+      s"(readable: ${readableMetadataKeys.toSeq.sorted.mkString(", ")})")
+  }
+
   /** Flink kafka/upsert-kafka WITH options → Spark kafka source options.
     * Unsupported scan modes fail clearly; sink-side and consumer-tuning
     * options that have no Spark analog are accepted and dropped (a
@@ -185,9 +224,18 @@ object KafkaDdl {
     * source serves it) into rows of the declared `schema`. For
     * `upsert-kafka` the output carries the row_kind convention
     * (`+U` upserts, `-D` tombstones); CDC value formats likewise.
+    * `meta` appends the declared METADATA columns — (name, spark type
+    * DDL, kafka metadata key) — computed from the scan columns via
+    * [[metadataExpr]]; CDC value formats cannot carry them (their
+    * decoders explode one message into several rows through a dedicated
+    * pipeline) and fail clearly.
     */
   def decode(df: DataFrame, opts: Map[String, String], schema: StructType,
-      primaryKey: Seq[String]): DataFrame = {
+      primaryKey: Seq[String],
+      meta: Seq[(String, String, String)] = Seq.empty): DataFrame = {
+    val metaCols: Seq[org.apache.spark.sql.Column] =
+      meta.map { case (n, t, k) => metadataExpr(k).cast(t).as(n) }
+    val metaNames = meta.map(_._1)
     val connector = opts.getOrElse("connector", "kafka")
     val valueFmt = opts.get("value.format").orElse(opts.get("format"))
       .getOrElse(fail("requires 'format' or 'value.format'"))
@@ -221,12 +269,19 @@ object KafkaDdl {
       if (keyFields.nonEmpty || connector == "upsert-kafka")
         fail("avro decode supports the plain value path " +
           "(no key.fields / upsert-kafka) — use json for keyed shapes")
+      // decodeAvro preserves the non-binary input columns, so the
+      // metadata expressions ride through the codec untouched
       return AvroFormat
-        .decodeAvro(df.select(col("value")), "value", AvroFormat.avroJson(schema))
-        .select(schema.fields.toSeq.map(f => col(s"`${f.name}`")): _*)
+        .decodeAvro(df.select(col("value") +: metaCols: _*), "value",
+          AvroFormat.avroJson(schema))
+        .select(schema.fields.toSeq.map(f => col(s"`${f.name}`")) ++
+          metaNames.map(n => col(s"`$n`")): _*)
     }
     if (cdcFormats.contains(valueFmt)) {
       if (connector == "upsert-kafka") fail("upsert-kafka takes a plain value format")
+      if (meta.nonEmpty)
+        fail(s"METADATA columns are not supported over the '$valueFmt' value " +
+          "format (CDC decoders explode one message into several rows)")
       val raw = df.select(col("value").cast("string").as("__json"))
       val dec: (DataFrame, String, String) => DataFrame = valueFmt match {
         case "debezium-json" => graft.operators.Changelog.fromDebeziumJson
@@ -248,7 +303,8 @@ object KafkaDdl {
           .otherwise(col(s"__v.`${f.name}`")).as(f.name)
       }
       return keyed.select(
-        when(col("value").isNull, "-D").otherwise("+U").as("row_kind") +: cols: _*)
+        (when(col("value").isNull, "-D").otherwise("+U").as("row_kind") +: cols) ++
+          metaCols: _*)
     }
     if (exceptKey && keyFields.nonEmpty) {
       val stitched = df
@@ -257,8 +313,9 @@ object KafkaDdl {
       stitched.select(schema.fields.toSeq.map { f =>
         if (keyFields.contains(f.name)) col(s"__k.`${f.name}`").as(f.name)
         else col(s"__v.`${f.name}`").as(f.name)
-      }: _*)
+      } ++ metaCols: _*)
     } else
-      df.select(parse("value", schema).as("__v")).select(col("__v.*"))
+      df.select(parse("value", schema).as("__v") +: metaCols: _*)
+        .select(col("__v.*") +: metaNames.map(n => col(s"`$n`")): _*)
   }
 }

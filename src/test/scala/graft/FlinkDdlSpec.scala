@@ -880,6 +880,185 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(plain.head().getLong(0) == 5L)
   }
 
+  test("filesystem METADATA columns serve file.path/name/size/mtime from Spark's _metadata") {
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE meta_ord (
+         |  o_orderkey BIGINT,
+         |  o_totalprice DOUBLE,
+         |  fpath STRING METADATA FROM 'file.path' VIRTUAL,
+         |  fname STRING METADATA FROM 'file.name' VIRTUAL,
+         |  fsize BIGINT METADATA FROM 'file.size' VIRTUAL,
+         |  mtime TIMESTAMP(3) METADATA FROM 'file.modification-time' VIRTUAL,
+         |  src AS upper(fname)
+         |) WITH ('connector' = 'filesystem',
+         |        'path' = '${TestSpark.sfDir}/orders.parquet', 'format' = 'parquet')""".stripMargin)
+    val got = spark.table("meta_ord")
+    assert(got.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_totalprice", "fpath", "fname", "fsize", "mtime", "src"))
+    val one = got.head()
+    assert(one.getAs[String]("fpath").contains("orders.parquet"))
+    assert(one.getAs[String]("fname").endsWith(".parquet"))
+    assert(one.getAs[Long]("fsize") > 0L)
+    assert(one.getAs[java.sql.Timestamp]("mtime") != null)
+    // computed column over a metadata column analyzes and evaluates
+    assert(one.getAs[String]("src") == one.getAs[String]("fname").toUpperCase)
+    // DESCRIBE carries the Flink extras shape; SHOW CREATE round-trips
+    val desc = FlinkSql.sql(spark, "DESCRIBE meta_ord").collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(desc("fpath") == "METADATA FROM 'file.path' VIRTUAL")
+    val ddl = FlinkSql.sql(spark, "SHOW CREATE TABLE meta_ord").head().getString(0)
+    assert(ddl.contains("METADATA FROM 'file.size' VIRTUAL"))
+    assert(ddl.contains("AS upper(fname)"))
+    FlinkSql.sql(spark, "DROP TABLE meta_ord")
+    FlinkSql.run(spark, ddl + "; SELECT 1")
+    assert(spark.table("meta_ord").head().getAs[Long]("fsize") > 0L)
+    // bad metadata key / metadata on a connector without any → clear DDL-time errors
+    val bad = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      s"""CREATE TABLE meta_bad (id BIGINT, x STRING METADATA FROM 'file.nope' VIRTUAL)
+         |WITH ('connector' = 'filesystem',
+         |      'path' = '${TestSpark.sfDir}/orders.parquet', 'format' = 'parquet')""".stripMargin))
+    assert(bad.getMessage.contains("file.nope"))
+    val none = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      """CREATE TABLE meta_dg (id BIGINT, x STRING METADATA VIRTUAL)
+        |WITH ('connector' = 'datagen')""".stripMargin))
+    assert(none.getMessage.contains("no metadata"))
+    // a metadata column shadowing a physical one must fail, not silently
+    // overwrite it (withColumn replaces same-named columns)
+    val dup = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      s"""CREATE TABLE meta_dup (id BIGINT, id STRING METADATA FROM 'file.path' VIRTUAL)
+         |WITH ('connector' = 'filesystem',
+         |      'path' = '${TestSpark.sfDir}/orders.parquet', 'format' = 'parquet')""".stripMargin))
+    assert(dup.getMessage.contains("duplicate column name"))
+  }
+
+  test("METADATA survives INSERT/TRUNCATE rebinds; non-VIRTUAL sinks are rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("ddl_meta_sink").toString
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE meta_sink (
+         |  id BIGINT, v DOUBLE,
+         |  fname STRING METADATA FROM 'file.name' VIRTUAL,
+         |  vx2 AS v * 2
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')""".stripMargin)
+    // sink-role table starts empty — metadata/computed columns still analyze
+    assert(spark.table("meta_sink").schema.fieldNames.toSeq ==
+      Seq("id", "v", "fname", "vx2"))
+    FlinkDdl.executeInsert(spark, "INSERT INTO meta_sink SELECT 1, 2.5")
+    // the post-INSERT rebind keeps the FULL view (metadata + computed)
+    val r = spark.table("meta_sink").head()
+    assert(r.getAs[String]("fname").endsWith(".parquet") && r.getAs[Double]("vx2") == 5.0)
+    FlinkSql.sql(spark, "TRUNCATE TABLE meta_sink")
+    assert(spark.table("meta_sink").count() == 0 &&
+      spark.table("meta_sink").schema.fieldNames.contains("vx2"))
+    // a NON-virtual metadata column blocks the table's sink role
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE meta_nv (id BIGINT, fname STRING METADATA FROM 'file.name')
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/nv', 'format' = 'parquet')""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      FlinkDdl.executeInsert(spark, "INSERT INTO meta_nv SELECT 7"))
+    assert(e.getMessage.contains("VIRTUAL"))
+  }
+
+  test("METADATA rides ALTER (ADD/DROP/rename-to) and LIKE merge modes") {
+    val dir = java.nio.file.Files.createTempDirectory("ddl_meta_alter").toString
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE meta_alt (id BIGINT,
+         |  fp STRING METADATA FROM 'file.path' VIRTUAL)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')""".stripMargin)
+    FlinkDdl.executeAlter(spark,
+      "ALTER TABLE meta_alt ADD (fs BIGINT METADATA FROM 'file.size' VIRTUAL, w DOUBLE)")
+    assert(FlinkDdl.metadataColumnsOf(spark, "meta_alt").map(_.name) == Seq("fp", "fs"))
+    assert(spark.table("meta_alt").schema.fieldNames.toSeq == Seq("id", "w", "fp", "fs"))
+    FlinkDdl.executeAlter(spark, "ALTER TABLE meta_alt DROP fp")
+    assert(FlinkDdl.metadataColumnsOf(spark, "meta_alt").map(_.name) == Seq("fs"))
+    FlinkDdl.executeAlter(spark, "ALTER TABLE meta_alt RENAME TO meta_alt2")
+    assert(FlinkDdl.metadataColumnsOf(spark, "meta_alt2").map(_.key) == Seq("file.size"))
+    // LIKE inherits metadata by default; EXCLUDING METADATA drops it
+    FlinkDdl.execute(spark, "CREATE TABLE meta_like WITH ('path' = '" + dir +
+      "/l') LIKE meta_alt2")
+    assert(FlinkDdl.metadataColumnsOf(spark, "meta_like").map(_.name) == Seq("fs"))
+    FlinkDdl.execute(spark, "CREATE TABLE meta_like2 WITH ('path' = '" + dir +
+      "/l2') LIKE meta_alt2 (EXCLUDING METADATA)")
+    assert(FlinkDdl.metadataColumnsOf(spark, "meta_like2").isEmpty)
+  }
+
+  test("kafka METADATA columns decode from the scan shape incl. timestamp-type and headers") {
+    import spark.implicits._
+    import graft.sources.KafkaDdl
+    val base = Seq(
+      (null: Array[Byte], """{"id":1,"v":2.0}""".getBytes("UTF-8"), "t1", 3, 42L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 1,
+        Seq(("h1", "a".getBytes("UTF-8")), ("h2", "b".getBytes("UTF-8")))),
+      (null: Array[Byte], """{"id":2,"v":4.0}""".getBytes("UTF-8"), "t1", 5, 43L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:20"), 2, Seq.empty))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp",
+        "timestampType", "hraw")
+      .withColumn("headers",
+        expr("transform(hraw, h -> struct(h._1 AS key, h._2 AS value))")).drop("hraw")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v DOUBLE")
+    val out = KafkaDdl.decode(base,
+      Map("connector" -> "kafka", "format" -> "json"), schema, Seq.empty,
+      Seq(("mtopic", "STRING", "topic"), ("mpart", "INT", "partition"),
+        ("moff", "BIGINT", "offset"), ("mts", "TIMESTAMP", "timestamp"),
+        ("mtt", "STRING", "timestamp-type"), ("mhdr", "MAP<STRING,BINARY>", "headers")))
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("moff")).toSeq == Seq(42L, 43L))
+    assert(out.map(_.getAs[String]("mtt")).toSeq == Seq("CreateTime", "LogAppendTime"))
+    assert(out.map(_.getAs[String]("mtopic")).toSeq == Seq("t1", "t1"))
+    val hdr = out(0).getAs[Map[String, Array[Byte]]]("mhdr")
+    assert(hdr.keySet == Set("h1", "h2") && new String(hdr("h1"), "UTF-8") == "a")
+    assert(out(1).getAs[Map[String, Array[Byte]]]("mhdr").isEmpty)
+    // leader-epoch has no Spark scan analog — clear error
+    val le = intercept[IllegalArgumentException](KafkaDdl.metadataExpr("leader-epoch"))
+    assert(le.getMessage.contains("leader-epoch"))
+    // DDL level: a kafka table with metadata dry-analyzes incl. headers
+    FlinkDdl.execute(spark,
+      """CREATE TABLE meta_kafka (
+        |  id BIGINT, v DOUBLE,
+        |  off BIGINT METADATA FROM 'offset' VIRTUAL,
+        |  hm MAP<STRING, BYTES> METADATA FROM 'headers' VIRTUAL,
+        |  ts TIMESTAMP(3) METADATA FROM 'timestamp' VIRTUAL
+        |) WITH ('connector' = 'kafka', 'topic' = 't',
+        |        'properties.bootstrap.servers' = 'b:9092',
+        |        'scan.startup.mode' = 'earliest-offset', 'format' = 'json')""".stripMargin)
+    assert(spark.table("meta_kafka").schema.fieldNames.toSeq ==
+      Seq("id", "v", "off", "hm", "ts"))
+  }
+
+  test("readStream serves computed columns and METADATA (a computed rowtime can carry the watermark)") {
+    val dir = java.nio.file.Files.createTempDirectory("ddl_stream_comp").toString
+    spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(1L, "2024-01-01 00:00:05", 2.0),
+        org.apache.spark.sql.Row(2L, "2024-01-01 00:00:15", 3.0)),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, ts_raw STRING, v DOUBLE"))
+      .write.mode("overwrite").parquet(s"$dir/src")
+    // the Flink-idiomatic shape: STRING event time + computed rowtime +
+    // watermark ON the computed column — readStream must attach the
+    // computed column BEFORE applying the watermark
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE comp_rowtime (
+         |  id BIGINT, ts_raw STRING, v DOUBLE,
+         |  fname STRING METADATA FROM 'file.name' VIRTUAL,
+         |  rt AS CAST(ts_raw AS TIMESTAMP),
+         |  WATERMARK FOR rt AS rt - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/src',
+         |        'format' = 'parquet')""".stripMargin)
+    val stream = FlinkDdl.readStream(spark, "comp_rowtime")
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq == Seq("id", "ts_raw", "v", "fname", "rt"))
+    // drive it: the computed rowtime and file metadata land in the sink
+    val out = java.nio.file.Files.createTempDirectory("ddl_stream_comp_out").toString
+    val q = stream.select("id", "rt", "fname").writeStream
+      .format("parquet").option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.read.parquet(s"$out/data").orderBy("id").collect()
+    assert(rows.map(_.getAs[java.sql.Timestamp]("rt").toString).toSeq ==
+      Seq("2024-01-01 00:00:05.0", "2024-01-01 00:00:15.0"))
+    assert(rows.forall(_.getAs[String]("fname").endsWith(".parquet")))
+  }
+
   test("dynamic csv options hint switches the delimiter per query") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hint_csv").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.csv"),
