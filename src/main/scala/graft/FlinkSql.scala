@@ -429,7 +429,7 @@ object FlinkSql {
         // Flink DESCRIBE shapes for both)
         val metaRows = graft.plans.FlinkDdl.metadataColumnsOf(spark, name).map { m =>
           (m.name, flinkTypeName(
-            org.apache.spark.sql.types.DataType.fromDDL(m.typeDdl)), true,
+            org.apache.spark.sql.types.DataType.fromDDL(m.typeDdl)), !m.notNull,
             null: String,
             s"METADATA FROM '${m.key}'" + (if (m.virtual) " VIRTUAL" else ""),
             null: String)
@@ -561,7 +561,8 @@ object FlinkSql {
     val cols = schema.fields.map(f => s"  `${f.name}` ${flinkTypeName(f.dataType)}")
     val metaLines = graft.plans.FlinkDdl.metadataColumnsOf(spark, name).map(m =>
       s"  `${m.name}` ${flinkTypeName(
-        org.apache.spark.sql.types.DataType.fromDDL(m.typeDdl))} METADATA FROM " +
+        org.apache.spark.sql.types.DataType.fromDDL(m.typeDdl))}" +
+        (if (m.notNull) " NOT NULL" else "") + s" METADATA FROM " +
         s"'${m.key}'" + (if (m.virtual) " VIRTUAL" else ""))
     val compLines = graft.plans.FlinkDdl.computedColumnsOf(spark, name)
       .map { case (n, e) => s"  `$n` AS $e" }

@@ -51,7 +51,8 @@ object AsyncIO {
     * (a wave-barrier shape would degrade to the slowest call per wave).
     */
   def mapUnordered[I, O: Encoder](ds: Dataset[I], capacity: Int, timeout: Duration)(
-      f: (I, ExecutionContext) => Future[O]): Dataset[O] =
+      f: (I, ExecutionContext) => Future[O]): Dataset[O] = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
     ds.mapPartitions { it =>
       val pool = poolFor(capacity)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -86,4 +87,5 @@ object AsyncIO {
         }
       }
     }
+  }
 }

@@ -102,16 +102,16 @@ object TableAgg {
         // (negative/validating accumulators break nondeterministically).
         // For a BATCH changelog the net state is inserts minus retracts
         // whatever the interleaving — apply every accumulate first, then
-        // every retract, a deterministic valid order.
-        val rows = it.toArray
-        val afterIns = rows.foldLeft(f.createAccumulator()) {
-          case (a, ("-D" | "-U", _)) => a
-          case (a, (_, in))          => f.accumulate(a, in)
+        // every retract, a deterministic valid order. One streaming pass:
+        // inserts fold inline, only the retracts (typically a small
+        // minority of a changelog) buffer — O(retracts) memory, not
+        // O(group)
+        val retracts = scala.collection.mutable.ArrayBuffer.empty[IN]
+        val afterIns = it.foldLeft(f.createAccumulator()) {
+          case (a, ("-D" | "-U", in)) => retracts += in; a
+          case (a, (_, in))           => f.accumulate(a, in)
         }
-        val acc = rows.foldLeft(afterIns) {
-          case (a, ("-D" | "-U", in)) => f.retract(a, in)
-          case (a, _)                 => a
-        }
+        val acc = retracts.foldLeft(afterIns)(f.retract)
         f.emitValue(acc).iterator.map(o => (k, o))
       }
 }

@@ -56,7 +56,10 @@ object FlinkDdl {
   private val metadataColRe =
     raw"(?is)^([A-Za-z_]\w*)\s+(.+?)\s+METADATA(?:\s+FROM\s+'([^']+)')?(\s+VIRTUAL)?\s*$$".r
 
-  private val genericTailRe = raw"(?i)(ARRAY|MAP|ROW|MULTISET|STRUCT)\s*$$".r
+  // whole-word match: `flag AS escrow < 10` must NOT read `...row` as a
+  // ROW< generic opening
+  private val genericTailRe =
+    raw"(?i)(?<![A-Za-z0-9_])(ARRAY|MAP|ROW|MULTISET|STRUCT)\s*$$".r
 
   /** Split a column-definition list on top-level commas, tracking () AND
     * the generic-type brackets of `MAP<STRING, BYTES>`-style
@@ -376,9 +379,11 @@ object FlinkDdl {
     * ([U] flink-sql-parser SqlTableColumn.SqlMetadataColumn). `typeDdl`
     * is the mapped Spark type; `key` defaults to the column name.
     */
-  case class MetadataCol(name: String, typeDdl: String, key: String, virtual: Boolean) {
+  case class MetadataCol(name: String, typeDdl: String, key: String, virtual: Boolean,
+      notNull: Boolean = false) {
     def render: String =
-      s"$name $typeDdl METADATA FROM '$key'" + (if (virtual) " VIRTUAL" else "")
+      s"$name $typeDdl" + (if (notNull) " NOT NULL" else "") +
+        s" METADATA FROM '$key'" + (if (virtual) " VIRTUAL" else "")
   }
 
   private val metaColsBySession =
@@ -833,9 +838,11 @@ object FlinkDdl {
           if (watermarkRe.findFirstIn(spec0).isDefined) parseWatermark(spec0)
           else if (metadataColRe.findFirstIn(spec0).isDefined) {
             val mm = metadataColRe.findFirstMatchIn(spec0).get
+            val rawT = mm.group(2).trim
             val mc = MetadataCol(mm.group(1),
-              sparkType(mm.group(2).trim.replaceAll(raw"(?i)\s+NOT\s+NULL$$", "")),
-              Option(mm.group(3)).getOrElse(mm.group(1)), mm.group(4) != null)
+              sparkType(rawT.replaceAll(raw"(?i)\s+NOT\s+NULL$$", "")),
+              Option(mm.group(3)).getOrElse(mm.group(1)), mm.group(4) != null,
+              notNull = raw"(?i)\s+NOT\s+NULL$$".r.findFirstIn(rawT).isDefined)
             if (verb == "ADD") {
               if (exists(mc.name))
                 fail(s"ALTER TABLE $name: column `${mc.name}` already exists")
@@ -1019,9 +1026,11 @@ object FlinkDdl {
       case pkRe(cols) => // not enforced (Flink doesn't either); CDC formats key on it
         primaryKey = cols.split(",").toSeq.map(_.trim)
       case metadataColRe(n, tpe, key, virtual) =>
+        val rawT = tpe.trim
         metaCols :+= MetadataCol(n,
-          sparkType(tpe.trim.replaceAll(raw"(?i)\s+NOT\s+NULL$$", "")),
-          Option(key).getOrElse(n), virtual != null)
+          sparkType(rawT.replaceAll(raw"(?i)\s+NOT\s+NULL$$", "")),
+          Option(key).getOrElse(n), virtual != null,
+          notNull = raw"(?i)\s+NOT\s+NULL$$".r.findFirstIn(rawT).isDefined)
       case computedRe(n, expr) if !raw"(?is)^(NOT|COMMENT)\b".r.findFirstIn(expr).isDefined =>
         computed :+= (n -> expr)
       case physicalRe(n, tpe, _, _) => physical :+= (n -> sparkType(tpe.trim))
@@ -1096,16 +1105,17 @@ object FlinkDdl {
         s"`${m.name} ${m.typeDdl} METADATA FROM '${m.key}' VIRTUAL` to exclude " +
         "it from the sink schema"))
 
-  def executeInsert(spark: SparkSession, sqlText: String): Long = {
-    val m = insertRe.findFirstMatchIn(sqlText).getOrElse(fail("not an INSERT INTO"))
-    val overwrite = m.group(1).equalsIgnoreCase("OVERWRITE")
-    val name = m.group(2)
-    val (connector, path, fmt, schema) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
-    requireVirtualMetadata(spark, name)
-    val selected = spark.sql(applyOptionsHints(spark, m.group(5)))
-    // Flink's STATIC partition clause: `PARTITION (k='v')` pins the
-    // listed partition columns to literals; the SELECT supplies the rest
-    val statics = Option(m.group(3)).map(staticPartitionSpec).getOrElse(Seq.empty)
+  /** Map an INSERT SELECT's output onto the sink's declared schema —
+    * POSITIONALLY (Flink/SQL semantics: query names don't matter), or
+    * through a `(col, ...)` list by name with NULL fill for unlisted
+    * columns — with `PARTITION (k='v')` static pins as typed literals
+    * and declared-type casts; output arrives in declared column order.
+    * The ONE sink-mapping contract, shared by the batch and streaming
+    * INSERT paths.
+    */
+  private def mapSelectToSink(spark: SparkSession, name: String, schema: StructType,
+      selected: DataFrame, statics: Seq[(String, String)],
+      listed: Seq[String]): DataFrame = {
     statics.foreach { case (k, _) =>
       if (!partitionsOf(spark, name).contains(k))
         fail(s"PARTITION ($k=...): `$k` is not a partition column of $name")
@@ -1116,37 +1126,45 @@ object FlinkDdl {
       statics.foldLeft(d) { case (acc, (k, v)) =>
         val dt = schema.fields.find(_.name == k).get.dataType
         acc.withColumn(k, lit(v).cast(dt))
-      }.select(schema.fields.toSeq.map(f => col(f.name)): _*)
-    // INSERT maps the SELECT's outputs POSITIONALLY onto the declared
-    // schema (Flink/SQL semantics — names in the query don't matter);
-    // a partial column list maps positionally onto the named columns
-    // and fills unlisted columns with NULL
-    val df = Option(m.group(4)) match {
-      case None =>
-        if (selected.columns.length != dynFields.length)
-          fail(s"INSERT query produces ${selected.columns.length} columns " +
-            s"but $name declares ${dynFields.length}" +
-            (if (statics.nonEmpty) s" (after the static PARTITION clause)" else ""))
-        // rename positionally first (duplicate query-output names are
-        // legal SQL), then cast to the declared types
-        withStatics(selected.toDF(dynFields.map(_.name): _*)
-          .select(dynFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*))
-      case Some(colList) =>
-        val listed = colList.split(",").toSeq.map(_.trim)
-        listed.find(c => !schema.fieldNames.contains(c)).foreach(c =>
-          fail(s"INSERT column `$c` is not a column of $name"))
-        listed.find(staticKeys.contains).foreach(c =>
-          fail(s"INSERT column `$c` is already pinned by the PARTITION clause"))
-        if (listed.length != selected.columns.length)
-          fail(s"INSERT column list has ${listed.length} columns but the " +
-            s"query produces ${selected.columns.length}")
-        val byName = listed.zip(selected.columns).toMap
-        withStatics(selected.select(dynFields.map { f =>
-          byName.get(f.name)
-            .map(src => col(s"`$src`").cast(f.dataType).as(f.name))
-            .getOrElse(lit(null).cast(f.dataType).as(f.name))
-        }: _*))
+      }.select(schema.fields.toSeq.map(f => col(s"`${f.name}`")): _*)
+    if (listed.isEmpty) {
+      if (selected.columns.length != dynFields.length)
+        fail(s"INSERT query produces ${selected.columns.length} columns " +
+          s"but $name declares ${dynFields.length}" +
+          (if (statics.nonEmpty) s" (after the static PARTITION clause)" else ""))
+      // rename positionally first (duplicate query-output names are
+      // legal SQL), then cast to the declared types
+      withStatics(selected.toDF(dynFields.map(_.name): _*)
+        .select(dynFields.map(f => col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*))
+    } else {
+      listed.find(c => !schema.fieldNames.contains(c)).foreach(c =>
+        fail(s"INSERT column `$c` is not a column of $name"))
+      listed.find(staticKeys.contains).foreach(c =>
+        fail(s"INSERT column `$c` is already pinned by the PARTITION clause"))
+      if (listed.length != selected.columns.length)
+        fail(s"INSERT column list has ${listed.length} columns but the " +
+          s"query produces ${selected.columns.length}")
+      val byName = listed.zip(selected.columns).toMap
+      withStatics(selected.select(dynFields.map { f =>
+        byName.get(f.name)
+          .map(src => col(s"`$src`").cast(f.dataType).as(f.name))
+          .getOrElse(lit(null).cast(f.dataType).as(f.name))
+      }: _*))
     }
+  }
+
+  def executeInsert(spark: SparkSession, sqlText: String): Long = {
+    val m = insertRe.findFirstMatchIn(sqlText).getOrElse(fail("not an INSERT INTO"))
+    val overwrite = m.group(1).equalsIgnoreCase("OVERWRITE")
+    val name = m.group(2)
+    val (connector, path, fmt, schema) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
+    requireVirtualMetadata(spark, name)
+    val selected = spark.sql(applyOptionsHints(spark, m.group(5)))
+    // Flink's STATIC partition clause: `PARTITION (k='v')` pins the
+    // listed partition columns to literals; the SELECT supplies the rest
+    val statics = Option(m.group(3)).map(staticPartitionSpec).getOrElse(Seq.empty)
+    val df = mapSelectToSink(spark, name, schema, selected, statics,
+      Option(m.group(4)).map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty))
     connector match {
       case "blackhole" => df.write.format("noop").mode("overwrite").save()
       case "print" => df.show(20, truncate = false)
@@ -1289,6 +1307,17 @@ object FlinkDdl {
     val select = applyOptionsHints(spark, m.group(5))
     val (connector, path, fmt, _) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
     requireVirtualMetadata(spark, name)
+    // the windowed deployment shapes (CUMULATE / windowed Top-N) re-run
+    // the user's statement verbatim inside foreachBatch and cannot
+    // re-map a column list / static PARTITION pin — fail BEFORE any
+    // source view is stream-bound, so the session state stays clean
+    if ((statics.nonEmpty || listed.nonEmpty) && WindowTvf.containsClause(select) &&
+        (WindowTvf.firstSpanFn(select).contains("CUMULATE") ||
+          raw"(?is)ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*PARTITION\s+BY[^)]*\bwindow_start\b".r
+            .findFirstIn(select).isDefined))
+      fail("static PARTITION clauses / column lists are not supported for " +
+        "the windowed streaming deployment shapes (CUMULATE, windowed " +
+        "Top-N); select every sink column")
     // Flink jobs layer views over sources: collect the views the SELECT
     // references (transitively) so their bodies join the source scan AND
     // the view chain can re-bind onto the streaming sources below
@@ -1332,13 +1361,6 @@ object FlinkDdl {
     // global per-window rank. Routed before the generic path.
     val winTopNRe =
       raw"(?is)ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*PARTITION\s+BY[^)]*\bwindow_start\b".r
-    val isWindowedDeploy = WindowTvf.containsClause(select) &&
-      (WindowTvf.firstSpanFn(select).contains("CUMULATE") ||
-        winTopNRe.findFirstIn(select).isDefined)
-    if (isWindowedDeploy && (statics.nonEmpty || listed.nonEmpty))
-      fail("static PARTITION clauses / column lists are not supported for " +
-        "the windowed streaming deployment shapes (CUMULATE, windowed " +
-        "Top-N); select every sink column")
     val dfOrQuery = try {
       if (WindowTvf.containsClause(select) &&
           WindowTvf.firstSpanFn(select).contains("CUMULATE"))
@@ -1380,50 +1402,13 @@ object FlinkDdl {
       case Left(d) => d
     }
     // Flink's INSERT maps the SELECT onto the sink's declared columns
-    // with the SAME contract as the batch executeInsert: positionally
-    // (or through the column list by name, unlisted fill NULL), static
-    // PARTITION pins as literals, then cast to the declared types — an
-    // INT expression into a BIGINT sink must write int64 files matching
-    // the registered read schema
+    // with the SAME contract as the batch path — one shared mapping
+    // (mapSelectToSink): positional or column-list-by-name with NULL
+    // fill, static PARTITION pins, declared-type casts (an INT
+    // expression into a BIGINT sink must write int64 files matching the
+    // registered read schema)
     val sinkSchema = registered(spark, name).get._4
-    statics.foreach { case (k, _) =>
-      if (!partitionsOf(spark, name).contains(k))
-        fail(s"PARTITION ($k=...): `$k` is not a partition column of $name")
-    }
-    val staticKeys = statics.map(_._1).toSet
-    val dynFields = sinkSchema.fields.toSeq.filterNot(f => staticKeys.contains(f.name))
-    def withStatics(d: DataFrame): DataFrame =
-      statics.foldLeft(d) { case (acc, (k, v)) =>
-        val dt = sinkSchema.fields.find(_.name == k).get.dataType
-        acc.withColumn(k, org.apache.spark.sql.functions.lit(v).cast(dt))
-      }
-    val mapped =
-      if (listed.isEmpty) {
-        if (df.columns.length != dynFields.length)
-          fail(s"streaming INSERT selects ${df.columns.length} columns; " +
-            s"sink $name expects ${dynFields.length}" +
-            (if (staticKeys.nonEmpty) s" (besides the static PARTITION keys)" else ""))
-        withStatics(df.toDF(dynFields.map(_.name): _*))
-      } else {
-        listed.find(c => !sinkSchema.fieldNames.contains(c)).foreach(c =>
-          fail(s"INSERT column `$c` is not declared on $name"))
-        listed.find(staticKeys.contains).foreach(c =>
-          fail(s"INSERT column `$c` is already pinned by the PARTITION clause"))
-        if (listed.length != df.columns.length)
-          fail(s"INSERT column list has ${listed.length} columns but the " +
-            s"query produces ${df.columns.length}")
-        val byName = listed.zip(df.columns).toMap
-        withStatics(df.select(dynFields.map { f =>
-          byName.get(f.name)
-            .map(src => org.apache.spark.sql.functions.col(s"`$src`")
-              .cast(f.dataType).as(f.name))
-            .getOrElse(org.apache.spark.sql.functions.lit(null)
-              .cast(f.dataType).as(f.name))
-        }: _*))
-      }
-    val out = mapped.select(sinkSchema.fields.toIndexedSeq
-      .map(f => org.apache.spark.sql.functions.col(s"`${f.name}`")
-        .cast(f.dataType).as(f.name)): _*)
+    val out = mapSelectToSink(spark, name, sinkSchema, df, statics, listed)
     val ckpt = checkpointDir.getOrElse(
       java.nio.file.Files.createTempDirectory(s"graft_ins_$name").toString)
     val appendOnly = df.queryExecution.analyzed.collectFirst {
@@ -1474,6 +1459,11 @@ object FlinkDdl {
   private def rebindOnTermination(spark: SparkSession, sinkName: String,
       q: org.apache.spark.sql.streaming.StreamingQuery)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    def rebindSink(): Unit =
+      try {
+        val path = registered(spark, sinkName).map(_._2).getOrElse("")
+        if (path.nonEmpty && pathExists(spark, path)) rebindView(spark, sinkName)
+      } catch { case _: Exception => () }
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -1482,14 +1472,17 @@ object FlinkDdl {
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == q.id) {
-          try {
-            val path = registered(spark, sinkName).map(_._2).getOrElse("")
-            if (path.nonEmpty && pathExists(spark, path)) rebindView(spark, sinkName)
-          } catch { case _: Exception => () }
-          finally spark.streams.removeListener(this)
+          try rebindSink() finally spark.streams.removeListener(this)
         }
     }
     spark.streams.addListener(listener)
+    // the query started before the listener registered: a fast
+    // AvailableNow job may already have terminated, with its event
+    // delivered (or delivering) to a bus we were not yet on — rebind
+    // synchronously and drop the listener (a double rebind is idempotent)
+    if (!q.isActive) {
+      try rebindSink() finally spark.streams.removeListener(listener)
+    }
     q
   }
 

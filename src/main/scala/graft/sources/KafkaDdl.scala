@@ -74,8 +74,10 @@ object KafkaDdl {
     case "offset"    => col("offset")
     case "timestamp" => col("timestamp")
     case "timestamp-type" =>
-      when(col("timestampType") === 1, "CreateTime")
-        .when(col("timestampType") === 2, "LogAppendTime")
+      // Kafka TimestampType ids: NO_TIMESTAMP_TYPE=-1, CREATE_TIME=0,
+      // LOG_APPEND_TIME=1 (Spark's scan column carries the raw id)
+      when(col("timestampType") === 0, "CreateTime")
+        .when(col("timestampType") === 1, "LogAppendTime")
         .otherwise("NoTimestampType")
     case "headers" => map_from_entries(col("headers"))
     case "leader-epoch" =>

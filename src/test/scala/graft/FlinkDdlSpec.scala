@@ -929,6 +929,18 @@ class FlinkDdlSpec extends AnyFunSuite {
          |WITH ('connector' = 'filesystem',
          |      'path' = '${TestSpark.sfDir}/orders.parquet', 'format' = 'parquet')""".stripMargin))
     assert(dup.getMessage.contains("duplicate column name"))
+    // generic-aware column splitting: an identifier ENDING in a
+    // constructor name (escrow) before `<` must not open a phantom
+    // generic that swallows the following columns (MAP<K, V> mid-type
+    // commas are covered by the kafka metadata DDL case)
+    FlinkDdl.execute(spark,
+      """CREATE TABLE esc_t (id BIGINT, escrow BIGINT,
+        |  flag AS escrow < 10, v DOUBLE)
+        |WITH ('connector' = 'datagen', 'number-of-rows' = '3')""".stripMargin)
+    assert(spark.table("esc_t").schema.fieldNames.toSeq ==
+      Seq("id", "escrow", "v", "flag"))
+    assert(spark.table("esc_t").schema("flag").dataType ==
+      org.apache.spark.sql.types.BooleanType)
   }
 
   test("METADATA survives INSERT/TRUNCATE rebinds; non-VIRTUAL sinks are rejected") {
@@ -985,11 +997,12 @@ class FlinkDdlSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.sources.KafkaDdl
     val base = Seq(
+      // Kafka TimestampType ids: CREATE_TIME=0, LOG_APPEND_TIME=1
       (null: Array[Byte], """{"id":1,"v":2.0}""".getBytes("UTF-8"), "t1", 3, 42L,
-        java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 1,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 0,
         Seq(("h1", "a".getBytes("UTF-8")), ("h2", "b".getBytes("UTF-8")))),
       (null: Array[Byte], """{"id":2,"v":4.0}""".getBytes("UTF-8"), "t1", 5, 43L,
-        java.sql.Timestamp.valueOf("2024-01-01 00:00:20"), 2, Seq.empty))
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:20"), 1, Seq.empty))
       .toDF("key", "value", "topic", "partition", "offset", "timestamp",
         "timestampType", "hraw")
       .withColumn("headers",

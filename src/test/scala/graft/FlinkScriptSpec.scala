@@ -761,6 +761,16 @@ class FlinkScriptSpec extends AnyFunSuite {
     val bad = intercept[IllegalArgumentException](FlinkSql.runStream(spark,
       "INSERT INTO cl_sink PARTITION (note='x') SELECT event_id, value, 's' FROM cl_src"))
     assert(bad.getMessage.contains("not a partition column"))
+    // the windowed deployment shapes reject pins/lists BEFORE any source
+    // view is stream-bound — the session must stay batch after the error
+    val badW = intercept[IllegalArgumentException](FlinkSql.runStream(spark,
+      """INSERT INTO cl_sink PARTITION (dt='x')
+        |SELECT window_start, COUNT(*), 's'
+        |FROM TABLE(CUMULATE(TABLE cl_src, DESCRIPTOR(ts), INTERVAL '30' MINUTE, INTERVAL '2' HOUR))
+        |GROUP BY window_start""".stripMargin))
+    assert(badW.getMessage.contains("windowed streaming deployment"))
+    assert(!spark.table("cl_src").isStreaming,
+      "guard fired after the source view was stream-bound")
   }
 
   test("runStreamSet: a statement set starts one streaming query per sink") {

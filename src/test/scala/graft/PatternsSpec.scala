@@ -46,6 +46,10 @@ class PatternsSpec extends AnyFunSuite {
     // the slow element cannot be first; fast elements overtook it
     assert(out.head != 1, s"slow call head-of-line-blocked: ${out.toSeq}")
     assert(out.indexOf(1) >= 7, s"expected 1 to finish late, got order ${out.toSeq}")
+    // capacity <= 0 must error, not silently emit an empty dataset
+    intercept[IllegalArgumentException](
+      AsyncIO.mapUnordered(ds, capacity = 0, timeout = 1.second)((i, ec) =>
+        Future(i)(ec)))
   }
 
   test("debezium json decodes to row_kind changelog; updates expand to -U/+U") {
