@@ -88,6 +88,20 @@ object FlinkDdl {
   private val physicalRe = raw"(?is)^([A-Za-z_]\w*)\s+(.+?)(\s+NOT\s+NULL)?(\s+COMMENT\s+'[^']*')?$$".r
   private val delayRe = raw"(?is)^([A-Za-z_]\w*)\s*-\s*INTERVAL\s+'([\d.]+)'\s+(\w+)$$".r
 
+  /** Parse a WATERMARK expression body against its FOR column into the
+    * withWatermark delay string: `col - INTERVAL 'n' unit` (bounded
+    * out-of-orderness) or the bare `col` — Flink's ascending-timestamps
+    * declaration, delay 0.
+    */
+  private def watermarkDelay(forCol: String, body: String): String = body.trim match {
+    case delayRe(c, n, unit) if c == forCol =>
+      s"$n ${unit.toLowerCase.stripSuffix("s")}s"
+    case b if b.equalsIgnoreCase(forCol) => "0 seconds"
+    case other => fail(s"unsupported watermark expression `$other` " +
+      "(supported: <col> - INTERVAL '<n>' <unit>, or the bare <col> for " +
+      "ascending timestamps)")
+  }
+
   /** Registries are scoped to the owning SparkSession (weak keys — the
     * metadata dies with the session, like the temp views it describes),
     * with tables keyed by lowercased name inside each session. A
@@ -823,13 +837,10 @@ object FlinkDdl {
       }
     }
     def parseWatermark(spec: String): Unit = watermarkRe.findFirstMatchIn(spec) match {
-      case Some(wmm) => wmm.group(2).trim match {
-        case delayRe(c, n0, unit) if c == wmm.group(1) =>
-          if (!exists(c)) fail(s"ALTER TABLE $name: WATERMARK column `$c` does not exist")
-          wm = Some((c, s"$n0 ${unit.toLowerCase.stripSuffix("s")}s"))
-        case other => fail(s"unsupported watermark expression `$other` " +
-          "(supported: <col> - INTERVAL '<n>' <unit>)")
-      }
+      case Some(wmm) =>
+        val c = wmm.group(1)
+        if (!exists(c)) fail(s"ALTER TABLE $name: WATERMARK column `$c` does not exist")
+        wm = Some((c, watermarkDelay(c, wmm.group(2))))
       case None => fail(s"ALTER TABLE $name: malformed WATERMARK clause")
     }
     verb match {
@@ -1017,12 +1028,8 @@ object FlinkDdl {
     colDefs.foreach {
       case w if watermarkRe.findFirstIn(w).isDefined =>
         val wmm = watermarkRe.findFirstMatchIn(w).get
-        wmm.group(2).trim match {
-          case delayRe(c, n, unit) if c == wmm.group(1) =>
-            wmRegistry(spark).put(name.toLowerCase, (c, s"$n ${unit.toLowerCase}s"))
-          case other => fail(s"unsupported watermark expression `$other` " +
-            "(supported: <col> - INTERVAL '<n>' <unit>)")
-        }
+        wmRegistry(spark).put(name.toLowerCase,
+          (wmm.group(1), watermarkDelay(wmm.group(1), wmm.group(2))))
       case pkRe(cols) => // not enforced (Flink doesn't either); CDC formats key on it
         primaryKey = cols.split(",").toSeq.map(_.trim)
       case metadataColRe(n, tpe, key, virtual) =>

@@ -66,6 +66,15 @@ class FlinkDdlSpec extends AnyFunSuite {
          |      'path' = '${TestSpark.sfDir}/orders.parquet',
          |      'format' = 'parquet')""".stripMargin)
     assert(FlinkDdl.watermarkOf(spark, "ddl_events").isEmpty)
+    // the bare-column form (Flink's ascending-timestamps watermark)
+    // records a zero delay
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE wm_asc (id BIGINT, ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts)
+         |WITH ('connector' = 'filesystem',
+         |      'path' = '${TestSpark.sfDir}/orders.parquet',
+         |      'format' = 'parquet')""".stripMargin)
+    assert(FlinkDdl.watermarkOf(spark, "wm_asc") == Some(("ts", "0 seconds")))
   }
 
   test("datagen connector shapes deterministic rows to the declared schema") {
