@@ -296,6 +296,44 @@ object Text {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-prefiltered benchmark decontamination (north_star curation —
+    * the SCALE path for the q93-style shingle join when one side is a
+    * small benchmark/eval set, the shape of every real decontamination
+    * run): eval docs (doc_id % 97 == 0) contribute their distinct
+    * 5-gram shingles to a Bloom filter built by a distributed aggregate
+    * (`df.stat.bloomFilter`, `org.apache.spark.util.sketch` — bounded
+    * by the eval shingle count, not the corpus); the CORPUS shingle
+    * stream is pruned by the broadcast Bloom BEFORE the confirming
+    * broadcast join against the exact eval shingle set. At 100 TB the
+    * corpus side never shuffles: a Bloom false positive costs one
+    * wasted probe in the confirming join (never a wrong row), false
+    * negatives don't exist — so the result is EXACT and DuckDB-oracled,
+    * unlike a sketch-only pass.
+    */
+  val q142_bloom_decontamination: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    // eval set = every 13th doc; 3-gram shingles (the n is a free
+    // parameter — 3 gives the fixture corpus enough genuine collisions
+    // to hash-check the whole pipeline)
+    val isEval = pmod($"doc_id", lit(13)) === 0
+    val evalSh = explodedWordShingles(docs.filter(isEval), Seq("doc_id"), "text", 3)
+      .select($"shingle").distinct().localCheckpoint(true)
+    // size the filter from the measured eval shingle count (a cheap job
+    // over the checkpointed SMALL side); 1% fpp keeps the confirming
+    // join's probe waste negligible
+    val nEval = math.max(evalSh.count(), 1L)
+    val bloom = evalSh.stat.bloomFilter("shingle", nEval, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightHave = udf((sh: String) => sh != null && bloomB.value.mightContain(sh))
+    explodedWordShingles(docs.filter(!isEval), Seq("doc_id"), "text", 3)
+      .filter(mightHave($"shingle"))
+      .join(broadcast(evalSh), "shingle")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .select($"doc_id", $"n_shared")
+  }
+
   /** Fixed-size token chunking with stride (north_star curation: the
     * context-window splitting step every pre-training pipeline runs
     * before packing): 64-token chunks every 48 tokens (16-token overlap),
@@ -708,6 +746,7 @@ object Text {
   }
 
   val queries: Map[String, Q] = Map(
+    "q142_bloom_decontamination" -> q142_bloom_decontamination,
     "q141_bpe_encode" -> q141_bpe_encode,
     "q140_bpe_train" -> q140_bpe_train,
     "q139_dsir_weights" -> q139_dsir_weights,
@@ -910,6 +949,19 @@ object Text {
         |      FROM w)
         |SELECT doc_id, term, tf, df, round(tfidf, 4) AS tfidf, CAST(rn AS INTEGER) AS rn
         |FROM r WHERE rn <= 3""".stripMargin,
+    "q142_bloom_decontamination" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |f AS (SELECT * FROM t WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id,
+        |              list_distinct([array_to_string(t[i:i+2], ' ')
+        |                             for i in range(1, len(t)-1)]) AS s
+        |       FROM f),
+        |ex AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+        |ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 13 = 0),
+        |corp AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 13 <> 0)
+        |SELECT corp.doc_id, count(*) AS n_shared
+        |FROM corp JOIN ev USING (shingle)
+        |GROUP BY 1""".stripMargin,
     "q93_contamination" ->
       """WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t FROM documents),
         |f AS (SELECT * FROM t WHERE len(t) >= 5),

@@ -28,6 +28,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"))
   }
 
+  test("q142: bloom decontamination never shuffles the corpus — broadcast confirm join only") {
+    val p = planOf("q142_bloom_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must not sort-merge — at 100 TB that shuffle is the whole cost")
+    // the Bloom prefilter sits on the corpus stream before the join
+    assert(p.contains("UDF"), "bloom prefilter missing from the corpus scan side")
+  }
+
   test("q09: top-n compiles to a rank-limited window (WindowGroupLimit), not a full sort+filter") {
     val p = planOf("q09_topn_per_group")
     assert(p.contains("WindowGroupLimit"))
