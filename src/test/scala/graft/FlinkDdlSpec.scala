@@ -921,6 +921,13 @@ class FlinkDdlSpec extends AnyFunSuite {
     FlinkSql.sql(spark, "DROP TABLE meta_ord")
     FlinkSql.run(spark, ddl + "; SELECT 1")
     assert(spark.table("meta_ord").head().getAs[Long]("fsize") > 0L)
+    // a dynamic OPTIONS hint re-derives the view WITH its metadata and
+    // computed columns
+    val hinted = FlinkSql.sql(spark,
+      "SELECT fname, src FROM meta_ord /*+ OPTIONS('format' = 'parquet') */ LIMIT 2")
+      .collect()
+    assert(hinted.length == 2 && hinted.forall(r =>
+      r.getString(1) == r.getString(0).toUpperCase))
     // bad metadata key / metadata on a connector without any → clear DDL-time errors
     val bad = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
       s"""CREATE TABLE meta_bad (id BIGINT, x STRING METADATA FROM 'file.nope' VIRTUAL)
