@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.plans.FlinkDdl
+
+/** Fuzz the connector-DDL entry point: every CREATE TABLE a migrating
+  * script can contain must either register (and the view must resolve)
+  * or fail with a CLEAN typed error — IllegalArgumentException from the
+  * dialect's own validation, or Spark's AnalysisException for
+  * expressions Spark itself rejects. Never a MatchError, NPE, or
+  * index-out-of-bounds from the splitter/regex layer. The generator
+  * mixes valid pieces with the hostile ones: malformed column specs,
+  * unknown metadata keys, garbage watermarks, missing WITH clauses,
+  * unbalanced generics.
+  */
+class DdlFuzzSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def forAllSeeded[A](gen: Gen[A], n: Int)(check: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
+    }
+
+  private val colDef: Gen[String] = Gen.oneOf(
+    Gen.const("id BIGINT"),
+    Gen.const("v DOUBLE NOT NULL"),
+    Gen.const("ts TIMESTAMP(3)"),
+    Gen.const("m MAP<STRING, INT>"),
+    Gen.const("r ROW<a INT, b STRING>"),
+    Gen.const("c AS v * 2"),
+    Gen.const("c2 AS CASE WHEN v < 1 THEN 0 ELSE 1 END"),
+    Gen.const("bad AS nonexistent_col + 1"),
+    Gen.const("fp STRING METADATA FROM 'file.path' VIRTUAL"),
+    Gen.const("fx STRING METADATA FROM 'no.such.key' VIRTUAL"),
+    Gen.const("off BIGINT METADATA VIRTUAL"),
+    Gen.const("WATERMARK FOR ts AS ts - INTERVAL '5' SECOND"),
+    Gen.const("WATERMARK FOR ts AS ts"),
+    Gen.const("WATERMARK FOR nope AS nope - INTERVAL '1' HOUR"),
+    Gen.const("WATERMARK FOR ts AS garbage(ts)"),
+    Gen.const("PRIMARY KEY (id) NOT ENFORCED"),
+    Gen.const("x"),
+    Gen.const("y <"),
+    Gen.const("AS"),
+    Gen.const("id BIGINT METADATA FROM"),
+    Gen.const("'quoted junk'"),
+    Gen.const("z ARRAY<"),
+    Gen.const("w MAP<STRING,"))
+
+  private val withClause: Gen[String] = Gen.oneOf(
+    Gen.const("WITH ('connector' = 'datagen', 'number-of-rows' = '5')"),
+    Gen.const("WITH ('connector' = 'blackhole')"),
+    Gen.const("WITH ('connector' = 'filesystem', 'path' = '/tmp/fz_nonexistent', 'format' = 'parquet')"),
+    Gen.const("WITH ('connector' = 'filesystem', 'path' = '/tmp/fz_nonexistent')"),
+    Gen.const("WITH ('connector' = 'kafka', 'topic' = 't', " +
+      "'properties.bootstrap.servers' = 'b:9092', 'format' = 'json', " +
+      "'scan.startup.mode' = 'earliest-offset')"),
+    Gen.const("WITH ('connector' = 'kafka')"),
+    Gen.const("WITH ('connector' = 'nope')"),
+    Gen.const("WITH ()"),
+    Gen.const(""))
+
+  private val stmt: Gen[String] = for {
+    n    <- Gen.choose(1, 5)
+    cols <- Gen.listOfN(n, colDef)
+    w    <- withClause
+    part <- Gen.oneOf("", " PARTITIONED BY (id)", " PARTITIONED BY (ghost)")
+  } yield s"CREATE TABLE fz_t (${cols.mkString(", ")})$part $w"
+
+  test("every generated CREATE TABLE registers cleanly or fails with a typed error") {
+    forAllSeeded(stmt, 400) { s =>
+      try {
+        FlinkDdl.execute(spark, s)
+        // success ⇒ the view must resolve and analyze
+        spark.table("fz_t").schema
+      } catch {
+        case _: IllegalArgumentException => () // dialect validation
+        case _: org.apache.spark.sql.AnalysisException => () // Spark's own rejection
+        case e: Throwable =>
+          fail(s"unclean failure ${e.getClass.getName} on <$s>: ${e.getMessage}")
+      }
+    }
+    spark.catalog.dropTempView("fz_t")
+  }
+}
