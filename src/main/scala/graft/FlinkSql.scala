@@ -558,7 +558,8 @@ object FlinkSql {
         s"SHOW CREATE TABLE: '$name' is not a DDL-registered table"))
     val wm = graft.plans.FlinkDdl.watermarkOf(spark, name)
     val parts = graft.plans.FlinkDdl.partitionsOf(spark, name)
-    val cols = schema.fields.map(f => s"  `${f.name}` ${flinkTypeName(f.dataType)}")
+    val cols = schema.fields.map(f => s"  `${f.name}` ${flinkTypeName(f.dataType)}" +
+      (if (!f.nullable) " NOT NULL" else ""))
     val metaLines = graft.plans.FlinkDdl.metadataColumnsOf(spark, name).map(m =>
       s"  `${m.name}` ${flinkTypeName(
         org.apache.spark.sql.types.DataType.fromDDL(m.typeDdl))}" +

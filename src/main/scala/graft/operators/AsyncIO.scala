@@ -31,7 +31,8 @@ object AsyncIO {
   }
 
   def mapOrdered[I, O: Encoder](ds: Dataset[I], capacity: Int, timeout: Duration)(
-      f: (I, ExecutionContext) => Future[O]): Dataset[O] =
+      f: (I, ExecutionContext) => Future[O]): Dataset[O] = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
     ds.mapPartitions { it =>
       val pool = poolFor(capacity)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -44,6 +45,7 @@ object AsyncIO {
         def next(): O = { fill(); Await.result(inFlight.dequeue(), timeout) }
       }
     }
+  }
 
   /** Unordered async map — Flink's unorderedWait: results emit in
     * COMPLETION order and the in-flight window refills continuously, so

@@ -94,7 +94,7 @@ object FlinkDdl {
     * declaration, delay 0.
     */
   private def watermarkDelay(forCol: String, body: String): String = body.trim match {
-    case delayRe(c, n, unit) if c == forCol =>
+    case delayRe(c, n, unit) if c.equalsIgnoreCase(forCol) =>
       s"$n ${unit.toLowerCase.stripSuffix("s")}s"
     case b if b.equalsIgnoreCase(forCol) => "0 seconds"
     case other => fail(s"unsupported watermark expression `$other` " +
@@ -400,6 +400,26 @@ object FlinkDdl {
         s" METADATA FROM '$key'" + (if (virtual) " VIRTUAL" else "")
   }
 
+  private val notNullTailRe = raw"(?i)\s+NOT\s+NULL$$".r
+
+  /** Render a registry-schema field back to its DDL line, preserving a
+    * declared NOT NULL (the constraint is declarative — NOT ENFORCED —
+    * but must round-trip through ALTER/LIKE/SHOW CREATE).
+    */
+  private def physicalLine(f: org.apache.spark.sql.types.StructField): String =
+    s"${f.name} ${f.dataType.sql}" + (if (!f.nullable) " NOT NULL" else "")
+
+  /** One MetadataCol construction from a [[metadataColRe]] match —
+    * shared by CREATE and ALTER so the parse cannot drift.
+    */
+  private def metadataColOf(m: scala.util.matching.Regex.Match): MetadataCol = {
+    val rawT = m.group(2).trim
+    MetadataCol(m.group(1),
+      sparkType(notNullTailRe.replaceAllIn(rawT, "")),
+      Option(m.group(3)).getOrElse(m.group(1)), m.group(4) != null,
+      notNull = notNullTailRe.findFirstIn(rawT).isDefined)
+  }
+
   private val metaColsBySession =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, Seq[MetadataCol]]]()
@@ -655,7 +675,7 @@ object FlinkDdl {
         baseOpts ++ newOpts
       case _ /* overwriting */ => baseOpts ++ newOpts
     }
-    val basePhysical = bSchema.fields.map(f => s"${f.name} ${f.dataType.sql}")
+    val basePhysical = bSchema.fields.map(physicalLine)
     val baseComputed =
       if (modes("generated") == "excluding") Seq.empty
       else computedColumnsOf(spark, base)
@@ -732,7 +752,7 @@ object FlinkDdl {
     def meta(name: String) = {
       val (c, p, f, schema) = registered(spark, name).getOrElse(
         fail(s"ALTER TABLE: `$name` is not DDL-registered in this session"))
-      val colLines = schema.fields.map(f0 => s"${f0.name} ${f0.dataType.sql}").toSeq ++
+      val colLines = schema.fields.map(physicalLine).toSeq ++
         metadataColumnsOf(spark, name).map(_.render) ++
         computedColumnsOf(spark, name).map { case (n, e) => s"$n AS $e" } ++
         Some(primaryKeyOf(spark, name)).filter(_.nonEmpty)
@@ -795,7 +815,8 @@ object FlinkDdl {
       payloadRaw: String): String = {
     val (connector, path, fmt, schema) = registered(spark, name).get
     var phys = scala.collection.mutable.ArrayBuffer(
-      schema.fields.map(f0 => (f0.name, f0.dataType.sql)): _*)
+      schema.fields.map(f0 => (f0.name,
+        f0.dataType.sql + (if (!f0.nullable) " NOT NULL" else ""))): _*)
     var computed = computedColumnsOf(spark, name)
     var metaC = metadataColumnsOf(spark, name)
     var pk = primaryKeyOf(spark, name)
@@ -848,12 +869,7 @@ object FlinkDdl {
         splitSpecs(payloadRaw).foreach { spec0 =>
           if (watermarkRe.findFirstIn(spec0).isDefined) parseWatermark(spec0)
           else if (metadataColRe.findFirstIn(spec0).isDefined) {
-            val mm = metadataColRe.findFirstMatchIn(spec0).get
-            val rawT = mm.group(2).trim
-            val mc = MetadataCol(mm.group(1),
-              sparkType(rawT.replaceAll(raw"(?i)\s+NOT\s+NULL$$", "")),
-              Option(mm.group(3)).getOrElse(mm.group(1)), mm.group(4) != null,
-              notNull = raw"(?i)\s+NOT\s+NULL$$".r.findFirstIn(rawT).isDefined)
+            val mc = metadataColOf(metadataColRe.findFirstMatchIn(spec0).get)
             if (verb == "ADD") {
               if (exists(mc.name))
                 fail(s"ALTER TABLE $name: column `${mc.name}` already exists")
@@ -1024,6 +1040,7 @@ object FlinkDdl {
     var physical = Vector.empty[(String, String)] // (name, spark type DDL)
     var computed = Vector.empty[(String, String)] // (name, expr)
     var metaCols = Vector.empty[MetadataCol]
+    var notNullCols = Set.empty[String] // lowercase names declared NOT NULL
     var primaryKey = Seq.empty[String]
     colDefs.foreach {
       case w if watermarkRe.findFirstIn(w).isDefined =>
@@ -1032,15 +1049,13 @@ object FlinkDdl {
           (wmm.group(1), watermarkDelay(wmm.group(1), wmm.group(2))))
       case pkRe(cols) => // not enforced (Flink doesn't either); CDC formats key on it
         primaryKey = cols.split(",").toSeq.map(_.trim)
-      case metadataColRe(n, tpe, key, virtual) =>
-        val rawT = tpe.trim
-        metaCols :+= MetadataCol(n,
-          sparkType(rawT.replaceAll(raw"(?i)\s+NOT\s+NULL$$", "")),
-          Option(key).getOrElse(n), virtual != null,
-          notNull = raw"(?i)\s+NOT\s+NULL$$".r.findFirstIn(rawT).isDefined)
+      case md if metadataColRe.findFirstIn(md).isDefined =>
+        metaCols :+= metadataColOf(metadataColRe.findFirstMatchIn(md).get)
       case computedRe(n, expr) if !raw"(?is)^(NOT|COMMENT)\b".r.findFirstIn(expr).isDefined =>
         computed :+= (n -> expr)
-      case physicalRe(n, tpe, _, _) => physical :+= (n -> sparkType(tpe.trim))
+      case physicalRe(n, tpe, notNull, _) =>
+        physical :+= (n -> sparkType(tpe.trim))
+        if (notNull != null) notNullCols += n.toLowerCase
       case other => fail(s"unsupported column definition `$other`")
     }
     if (physical.isEmpty) fail("at least one physical column is required")
@@ -1049,7 +1064,12 @@ object FlinkDdl {
     val allNames = physical.map(_._1) ++ metaCols.map(_.name) ++ computed.map(_._1)
     allNames.map(_.toLowerCase).diff(allNames.map(_.toLowerCase).distinct)
       .headOption.foreach(d => fail(s"duplicate column name `$d`"))
-    val schema = StructType.fromDDL(physical.map { case (n, t) => s"$n $t" }.mkString(", "))
+    // NOT NULL rides into the registry schema (DESCRIBE's null column,
+    // SHOW CREATE's round-trip); file scans still read nullably — the
+    // constraint is declarative, as in Flink (NOT ENFORCED semantics)
+    val schema = StructType.fromDDL(physical.map { case (n, t) =>
+      s"$n $t" + (if (notNullCols.contains(n.toLowerCase)) " NOT NULL" else "")
+    }.mkString(", "))
 
     val connector = opts.getOrElse("connector", fail("'connector' option is required"))
     validateMetadata(connector, opts, metaCols)
@@ -1101,6 +1121,21 @@ object FlinkDdl {
     * count (Flink's INSERT result is a job handle; a count is the batch
     * analog).
     */
+  // Flink's WINDOWED TOP-N streaming statement shape: ROW_NUMBER() OVER
+  // (PARTITION BY ... window_start ...) over a window-TVF aggregate
+  private val winTopNRe =
+    raw"(?is)ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*PARTITION\s+BY[^)]*\bwindow_start\b".r
+
+  /** The two foreachBatch deployment shapes — one definition each,
+    * shared by the pre-binding guard and the routing so a future change
+    * to either predicate cannot desynchronize them.
+    */
+  private def isCumulateDeploy(select: String): Boolean =
+    WindowTvf.containsClause(select) &&
+      WindowTvf.firstSpanFn(select).contains("CUMULATE")
+  private def isWinTopNDeploy(select: String): Boolean =
+    WindowTvf.containsClause(select) && winTopNRe.findFirstIn(select).isDefined
+
   /** A table used as an INSERT sink must declare its METADATA columns
     * VIRTUAL — Flink's own rule for read-only metadata, and this
     * translation persists none (no writable connector metadata here).
@@ -1318,10 +1353,9 @@ object FlinkDdl {
     // the user's statement verbatim inside foreachBatch and cannot
     // re-map a column list / static PARTITION pin — fail BEFORE any
     // source view is stream-bound, so the session state stays clean
-    if ((statics.nonEmpty || listed.nonEmpty) && WindowTvf.containsClause(select) &&
-        (WindowTvf.firstSpanFn(select).contains("CUMULATE") ||
-          raw"(?is)ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*PARTITION\s+BY[^)]*\bwindow_start\b".r
-            .findFirstIn(select).isDefined))
+    // (same predicates as the routing below, shared so they cannot drift)
+    if ((statics.nonEmpty || listed.nonEmpty) &&
+        (isCumulateDeploy(select) || isWinTopNDeploy(select)))
       fail("static PARTITION clauses / column lists are not supported for " +
         "the windowed streaming deployment shapes (CUMULATE, windowed " +
         "Top-N); select every sink column")
@@ -1366,15 +1400,12 @@ object FlinkDdl {
     // closed window's rows ALL emit in one micro-batch — so ranking
     // inside foreachBatch (batch SQL over the micro-batch) IS the
     // global per-window rank. Routed before the generic path.
-    val winTopNRe =
-      raw"(?is)ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*PARTITION\s+BY[^)]*\bwindow_start\b".r
     val dfOrQuery = try {
-      if (WindowTvf.containsClause(select) &&
-          WindowTvf.firstSpanFn(select).contains("CUMULATE"))
+      if (isCumulateDeploy(select))
         Right(startCumulate(spark, name, select, connector, path, fmt, trigger,
           checkpointDir,
           sources.flatMap(t => watermarkOf(spark, t).map(_._2)).headOption))
-      else if (WindowTvf.containsClause(select) && winTopNRe.findFirstIn(select).isDefined)
+      else if (isWinTopNDeploy(select))
         Right(startWindowTopN(spark, name, select, connector, path, fmt, trigger,
           checkpointDir))
       else if (MatchRecognize.containsClause(select))

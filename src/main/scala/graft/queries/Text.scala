@@ -299,8 +299,8 @@ object Text {
   /** Bloom-prefiltered benchmark decontamination (north_star curation —
     * the SCALE path for the q93-style shingle join when one side is a
     * small benchmark/eval set, the shape of every real decontamination
-    * run): eval docs (doc_id % 97 == 0) contribute their distinct
-    * 5-gram shingles to a Bloom filter built by a distributed aggregate
+    * run): eval docs (doc_id % 13 == 0) contribute their distinct
+    * 3-gram shingles to a Bloom filter built by a distributed aggregate
     * (`df.stat.bloomFilter`, `org.apache.spark.util.sketch` — bounded
     * by the eval shingle count, not the corpus); the CORPUS shingle
     * stream is pruned by the broadcast Bloom BEFORE the confirming

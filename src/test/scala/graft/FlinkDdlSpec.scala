@@ -67,14 +67,33 @@ class FlinkDdlSpec extends AnyFunSuite {
          |      'format' = 'parquet')""".stripMargin)
     assert(FlinkDdl.watermarkOf(spark, "ddl_events").isEmpty)
     // the bare-column form (Flink's ascending-timestamps watermark)
-    // records a zero delay
+    // records a zero delay; the INTERVAL form is case-insensitive on
+    // the column reference
     FlinkDdl.execute(spark,
-      s"""CREATE TABLE wm_asc (id BIGINT, ts TIMESTAMP(3),
+      s"""CREATE TABLE wm_asc (id BIGINT NOT NULL, ts TIMESTAMP(3),
          |  WATERMARK FOR ts AS ts)
          |WITH ('connector' = 'filesystem',
          |      'path' = '${TestSpark.sfDir}/orders.parquet',
          |      'format' = 'parquet')""".stripMargin)
     assert(FlinkDdl.watermarkOf(spark, "wm_asc") == Some(("ts", "0 seconds")))
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE wm_ci (id BIGINT, ts TIMESTAMP(3),
+         |  WATERMARK FOR ts AS TS - INTERVAL '7' SECOND)
+         |WITH ('connector' = 'filesystem',
+         |      'path' = '${TestSpark.sfDir}/orders.parquet',
+         |      'format' = 'parquet')""".stripMargin)
+    assert(FlinkDdl.watermarkOf(spark, "wm_ci") == Some(("ts", "7 seconds")))
+    // declared NOT NULL round-trips: registry schema, DESCRIBE's null
+    // column, and the re-rendered DDL all carry it
+    assert(!FlinkDdl.registered(spark, "wm_asc").get._4("id").nullable)
+    val descNN = FlinkSql.sql(spark, "DESCRIBE wm_asc").collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!descNN("id") && descNN("ts"))
+    val ddlNN = FlinkSql.sql(spark, "SHOW CREATE TABLE wm_asc").head().getString(0)
+    assert(ddlNN.contains("`id` BIGINT NOT NULL"), ddlNN)
+    FlinkSql.sql(spark, "DROP TABLE wm_asc")
+    FlinkSql.run(spark, ddlNN + "; SELECT 1")
+    assert(!FlinkDdl.registered(spark, "wm_asc").get._4("id").nullable)
   }
 
   test("datagen connector shapes deterministic rows to the declared schema") {
