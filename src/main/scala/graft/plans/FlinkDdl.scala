@@ -718,8 +718,30 @@ object FlinkDdl {
     val ddl =
       s"CREATE TABLE $name (\n  ${colLines.mkString(",\n  ")}\n)$partClause WITH ($optLines)"
     val m = createRe.findFirstMatchIn(ddl).getOrElse(fail("internal: bad synthesized DDL"))
-    executeCreate(spark, ddl, m)
-    wm.foreach(w => wmRegistry(spark).put(name.toLowerCase, w))
+    // ATOMIC for the ALTER/LIKE-SET callers: executeCreate pre-cleans
+    // the name's registrations before validating, so a failed
+    // re-registration would otherwise UNREGISTER the table (and the next
+    // statement against it would crash on the missing entry). Snapshot
+    // the registries and restore them on any failure.
+    val key = name.toLowerCase
+    val saved = (Option(wmRegistry(spark).get(key)),
+      Option(tableRegistry(spark).get(key)), Option(partRegistry(spark).get(key)),
+      Option(pkRegistry(spark).get(key)), Option(computedRegistry(spark).get(key)),
+      Option(metaRegistry(spark).get(key)), Option(optsRegistry(spark).get(key)))
+    try {
+      executeCreate(spark, ddl, m)
+      wm.foreach(w => wmRegistry(spark).put(key, w))
+    } catch {
+      case e: Throwable =>
+        saved._1.foreach(wmRegistry(spark).put(key, _))
+        saved._2.foreach(tableRegistry(spark).put(key, _))
+        saved._3.foreach(partRegistry(spark).put(key, _))
+        saved._4.foreach(pkRegistry(spark).put(key, _))
+        saved._5.foreach(computedRegistry(spark).put(key, _))
+        saved._6.foreach(metaRegistry(spark).put(key, _))
+        saved._7.foreach(optsRegistry(spark).put(key, _))
+        throw e
+    }
   }
 
   private val alterSetRe =

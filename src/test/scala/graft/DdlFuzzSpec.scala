@@ -83,4 +83,82 @@ class DdlFuzzSpec extends AnyFunSuite {
     }
     spark.catalog.dropTempView("fz_t")
   }
+
+  private val alterPayload: Gen[String] = Gen.oneOf(
+    Gen.const("ADD w DOUBLE"),
+    Gen.const("ADD (w DOUBLE, w2 STRING AFTER id)"),
+    Gen.const("ADD w DOUBLE FIRST"),
+    Gen.const("ADD c3 AS v + 1"),
+    Gen.const("ADD fm STRING METADATA FROM 'file.name' VIRTUAL"),
+    Gen.const("ADD fb STRING METADATA FROM 'bogus' VIRTUAL"),
+    Gen.const("ADD WATERMARK FOR ts AS ts - INTERVAL '1' SECOND"),
+    Gen.const("ADD WATERMARK FOR ghost AS ghost - INTERVAL '1' SECOND"),
+    Gen.const("ADD PRIMARY KEY (id) NOT ENFORCED"),
+    Gen.const("MODIFY id STRING"),
+    Gen.const("MODIFY ghost BIGINT"),
+    Gen.const("MODIFY id BIGINT AFTER v"),
+    Gen.const("DROP v"),
+    Gen.const("DROP ghost"),
+    Gen.const("DROP (id, v)"),
+    Gen.const("DROP WATERMARK"),
+    Gen.const("DROP PRIMARY KEY"),
+    Gen.const("RENAME id TO id2"),
+    Gen.const("RENAME ghost TO g2"),
+    Gen.const("ADD"),
+    Gen.const("MODIFY"),
+    Gen.const("ADD x <"),
+    Gen.const("ADD 'junk'"))
+
+  test("every generated ALTER TABLE evolves cleanly or fails with a typed error") {
+    forAllSeeded(Gen.listOfN(3, alterPayload), 150) { payloads =>
+      FlinkDdl.execute(spark,
+        """CREATE TABLE fz_alt (id BIGINT, v DOUBLE, ts TIMESTAMP(3))
+          |WITH ('connector' = 'datagen', 'number-of-rows' = '3')""".stripMargin)
+      payloads.foreach { p =>
+        try {
+          FlinkDdl.executeAlter(spark, s"ALTER TABLE fz_alt $p")
+          spark.table("fz_alt").schema // evolved view must still analyze
+        } catch {
+          case _: IllegalArgumentException => ()
+          case _: org.apache.spark.sql.AnalysisException => ()
+          case e: Throwable =>
+            fail(s"unclean failure ${e.getClass.getName} on <ALTER TABLE fz_alt $p>: ${e.getMessage}")
+        }
+      }
+    }
+    spark.catalog.dropTempView("fz_alt")
+  }
+
+  private val insertTail: Gen[String] = Gen.oneOf(
+    Gen.const("SELECT 1, 2.5"),
+    Gen.const("SELECT 1"),
+    Gen.const("(v, id) SELECT 2.5, 1"),
+    Gen.const("(v) SELECT 2.5"),
+    Gen.const("(ghost) SELECT 1"),
+    Gen.const("(id, id) SELECT 1, 2"),
+    Gen.const("PARTITION (id=1) SELECT 2.5"),
+    Gen.const("SELECT 'not_a_number', 'nope'"),
+    Gen.const("VALUES (1, 2.5)"),
+    Gen.const("SELECT * FROM fz_missing_src"))
+
+  test("every generated INSERT maps cleanly or fails with a typed error") {
+    val dir = java.nio.file.Files.createTempDirectory("fz_ins").toString
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE fz_ins (id BIGINT, v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')""".stripMargin)
+    forAllSeeded(insertTail, 60) { tail =>
+      val s = s"INSERT INTO fz_ins $tail"
+      try {
+        FlinkDdl.executeInsert(spark, s)
+        spark.table("fz_ins").schema
+      } catch {
+        case _: IllegalArgumentException => ()
+        case _: org.apache.spark.sql.AnalysisException => ()
+        case _: org.apache.spark.SparkException => () // runtime cast failures surface typed
+        case e: Throwable =>
+          fail(s"unclean failure ${e.getClass.getName} on <$s>: ${e.getMessage}")
+      }
+    }
+    spark.catalog.dropTempView("fz_ins")
+  }
 }

@@ -1028,6 +1028,24 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(FlinkDdl.metadataColumnsOf(spark, "meta_like2").isEmpty)
   }
 
+  test("a failed ALTER is atomic: the table stays registered and usable") {
+    FlinkDdl.execute(spark,
+      """CREATE TABLE alt_atomic (id BIGINT, v DOUBLE, ts TIMESTAMP(3),
+        |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+        |WITH ('connector' = 'datagen', 'number-of-rows' = '4')""".stripMargin)
+    // datagen exposes no metadata keys -> the synthesized re-CREATE
+    // fails validation; the PRIOR registration must survive intact
+    intercept[IllegalArgumentException](FlinkDdl.executeAlter(spark,
+      "ALTER TABLE alt_atomic ADD fm STRING METADATA FROM 'file.name' VIRTUAL"))
+    assert(FlinkDdl.registered(spark, "alt_atomic").isDefined,
+      "failed ALTER unregistered the table")
+    assert(FlinkDdl.watermarkOf(spark, "alt_atomic") == Some(("ts", "5 seconds")))
+    assert(spark.table("alt_atomic").count() == 4)
+    // and a subsequent VALID alter still works
+    FlinkDdl.executeAlter(spark, "ALTER TABLE alt_atomic ADD w DOUBLE")
+    assert(FlinkDdl.registered(spark, "alt_atomic").get._4.fieldNames.contains("w"))
+  }
+
   test("kafka METADATA columns decode from the scan shape incl. timestamp-type and headers") {
     import spark.implicits._
     import graft.sources.KafkaDdl
