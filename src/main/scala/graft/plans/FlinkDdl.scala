@@ -835,7 +835,8 @@ object FlinkDdl {
     */
   private def alterColumns(spark: SparkSession, name: String, verb: String,
       payloadRaw: String): String = {
-    val (connector, path, fmt, schema) = registered(spark, name).get
+    val (connector, path, fmt, schema) = registered(spark, name).getOrElse(
+      fail(s"ALTER TABLE: `$name` is not DDL-registered in this session"))
     var phys = scala.collection.mutable.ArrayBuffer(
       schema.fields.map(f0 => (f0.name,
         f0.dataType.sql + (if (!f0.nullable) " NOT NULL" else ""))): _*)
