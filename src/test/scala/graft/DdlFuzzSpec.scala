@@ -129,6 +129,61 @@ class DdlFuzzSpec extends AnyFunSuite {
     spark.catalog.dropTempView("fz_alt")
   }
 
+  private val dialectStmt: Gen[String] = Gen.oneOf(
+    Gen.const("SHOW TABLES"),
+    Gen.const("SHOW TABLES FROM ghost_db"),
+    Gen.const("SHOW TABLES LIKE 'fz%'"),
+    Gen.const("SHOW CREATE TABLE fz_ghost"),
+    Gen.const("SHOW CREATE VIEW fz_ghost"),
+    Gen.const("SHOW COLUMNS FROM fz_ghost"),
+    Gen.const("SHOW PARTITIONS fz_ghost"),
+    Gen.const("SHOW FUNCTIONS"),
+    Gen.const("SHOW VIEWS"),
+    Gen.const("SHOW JOBS"),
+    Gen.const("SHOW JARS"),
+    Gen.const("SHOW CURRENT CATALOG"),
+    Gen.const("DESCRIBE fz_ghost"),
+    Gen.const("SET"),
+    Gen.const("SET 'x' = 'y'"),
+    Gen.const("SET 'table.local-time-zone' = 'UTC'"),
+    Gen.const("RESET"),
+    Gen.const("RESET 'x'"),
+    Gen.const("USE CATALOG c1"),
+    Gen.const("USE ghost_db"),
+    Gen.const("EXPLAIN SELECT 1"),
+    Gen.const("EXPLAIN PLAN FOR SELECT 1"),
+    Gen.const("EXPLAIN garbage garbage"),
+    Gen.const("CREATE VIEW fz_v AS SELECT 1 AS a"),
+    Gen.const("CREATE VIEW fz_v2 (x) AS SELECT 2"),
+    Gen.const("DROP VIEW IF EXISTS fz_v"),
+    Gen.const("DROP TEMPORARY VIEW IF EXISTS fz_v2"),
+    Gen.const("DROP TABLE IF EXISTS fz_ghost_t"),
+    Gen.const("TRUNCATE TABLE fz_ghost"),
+    Gen.const("ANALYZE TABLE fz_ghost COMPUTE STATISTICS"),
+    Gen.const("STOP JOB 'nope'"),
+    Gen.const("SELECT SPLIT_INDEX('a,b,c', ',', 1)"),
+    Gen.const("SELECT ARRAY[1, 2, 3][1]"),
+    Gen.const("INSERT INTO fz_ghost SELECT 1"),
+    Gen.const("LOAD MODULE hive"),
+    Gen.const("garbage statement ;;"),
+    Gen.const("CREATE TABLE"),
+    Gen.const(""))
+
+  test("every dialect statement through FlinkSql.sql answers or fails typed") {
+    forAllSeeded(dialectStmt, 200) { s =>
+      if (s.trim.nonEmpty) {
+        try FlinkSql.sql(spark, s).schema
+        catch {
+          case _: IllegalArgumentException => ()
+          case _: IllegalStateException => () // session-state commands (STOP JOB on no job)
+          case _: org.apache.spark.sql.AnalysisException => ()
+          case e: Throwable =>
+            fail(s"unclean failure ${e.getClass.getName} on <$s>: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
   private val insertTail: Gen[String] = Gen.oneOf(
     Gen.const("SELECT 1, 2.5"),
     Gen.const("SELECT 1"),
