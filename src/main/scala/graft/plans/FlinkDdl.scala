@@ -402,12 +402,16 @@ object FlinkDdl {
 
   private val notNullTailRe = raw"(?i)\s+NOT\s+NULL$$".r
 
-  /** Render a registry-schema field back to its DDL line, preserving a
-    * declared NOT NULL (the constraint is declarative — NOT ENFORCED —
-    * but must round-trip through ALTER/LIKE/SHOW CREATE).
+  /** Render a registry-schema field's TYPE back to DDL, preserving a
+    * declared NOT NULL (declarative — NOT ENFORCED — but it must
+    * round-trip through ALTER/LIKE/SHOW CREATE).
     */
+  private def typeLine(f: org.apache.spark.sql.types.StructField): String =
+    f.dataType.sql + (if (!f.nullable) " NOT NULL" else "")
+
+  /** Full `name TYPE [NOT NULL]` DDL line for a registry-schema field. */
   private def physicalLine(f: org.apache.spark.sql.types.StructField): String =
-    s"${f.name} ${f.dataType.sql}" + (if (!f.nullable) " NOT NULL" else "")
+    s"${f.name} ${typeLine(f)}"
 
   /** One MetadataCol construction from a [[metadataColRe]] match —
     * shared by CREATE and ALTER so the parse cannot drift.
@@ -718,30 +722,11 @@ object FlinkDdl {
     val ddl =
       s"CREATE TABLE $name (\n  ${colLines.mkString(",\n  ")}\n)$partClause WITH ($optLines)"
     val m = createRe.findFirstMatchIn(ddl).getOrElse(fail("internal: bad synthesized DDL"))
-    // ATOMIC for the ALTER/LIKE-SET callers: executeCreate pre-cleans
-    // the name's registrations before validating, so a failed
-    // re-registration would otherwise UNREGISTER the table (and the next
-    // statement against it would crash on the missing entry). Snapshot
-    // the registries and restore them on any failure.
-    val key = name.toLowerCase
-    val saved = (Option(wmRegistry(spark).get(key)),
-      Option(tableRegistry(spark).get(key)), Option(partRegistry(spark).get(key)),
-      Option(pkRegistry(spark).get(key)), Option(computedRegistry(spark).get(key)),
-      Option(metaRegistry(spark).get(key)), Option(optsRegistry(spark).get(key)))
-    try {
-      executeCreate(spark, ddl, m)
-      wm.foreach(w => wmRegistry(spark).put(key, w))
-    } catch {
-      case e: Throwable =>
-        saved._1.foreach(wmRegistry(spark).put(key, _))
-        saved._2.foreach(tableRegistry(spark).put(key, _))
-        saved._3.foreach(partRegistry(spark).put(key, _))
-        saved._4.foreach(pkRegistry(spark).put(key, _))
-        saved._5.foreach(computedRegistry(spark).put(key, _))
-        saved._6.foreach(metaRegistry(spark).put(key, _))
-        saved._7.foreach(optsRegistry(spark).put(key, _))
-        throw e
-    }
+    // executeCreate is validate-first / commit-last, so a failing
+    // synthesized re-CREATE leaves the table's previous registration
+    // (and view) untouched — the ALTER/LIKE-SET callers are atomic
+    executeCreate(spark, ddl, m)
+    wm.foreach(w => wmRegistry(spark).put(name.toLowerCase, w))
   }
 
   private val alterSetRe =
@@ -789,6 +774,13 @@ object FlinkDdl {
     alterRenameRe.findFirstMatchIn(sqlText) match {
       case Some(m) =>
         val (oldName, newName) = (m.group(1), m.group(2))
+        // Flink rejects both: a self-rename would re-register then DROP
+        // the very same key (destroying the table), and renaming onto an
+        // existing table would silently clobber its definition
+        if (oldName.equalsIgnoreCase(newName))
+          fail(s"RENAME TO: `$newName` is the table's current name")
+        if (registered(spark, newName).isDefined)
+          fail(s"RENAME TO: a table named `$newName` already exists")
         val (colLines, parts, opts, wm) = meta(oldName)
         registerFromMeta(spark, newName, colLines, parts, opts, wm)
         executeDrop(spark, s"DROP TABLE $oldName")
@@ -838,8 +830,7 @@ object FlinkDdl {
     val (connector, path, fmt, schema) = registered(spark, name).getOrElse(
       fail(s"ALTER TABLE: `$name` is not DDL-registered in this session"))
     var phys = scala.collection.mutable.ArrayBuffer(
-      schema.fields.map(f0 => (f0.name,
-        f0.dataType.sql + (if (!f0.nullable) " NOT NULL" else ""))): _*)
+      schema.fields.map(f0 => (f0.name, typeLine(f0))): _*)
     var computed = computedColumnsOf(spark, name)
     var metaC = metadataColumnsOf(spark, name)
     var pk = primaryKeyOf(spark, name)
@@ -966,6 +957,10 @@ object FlinkDdl {
           .findFirstMatchIn(payloadRaw).getOrElse(fail("malformed RENAME col TO col"))
         val (from, to) = (rm.group(1), rm.group(2))
         if (exists(to)) fail(s"ALTER TABLE $name: column `$to` already exists")
+        // the on-disk partition directories carry the OLD name — a
+        // renamed partition column would orphan them (same guard as DROP)
+        if (parts.exists(_.equalsIgnoreCase(from)))
+          fail(s"ALTER TABLE $name: cannot rename partition column `$from`")
         val i = phys.indexWhere(_._1.equalsIgnoreCase(from))
         if (i >= 0) phys(i) = (to, phys(i)._2)
         else if (computed.exists(_._1.equalsIgnoreCase(from)))
@@ -1014,30 +1009,32 @@ object FlinkDdl {
       fail("CTAS is supported for the filesystem connector only")
     val path = opts.getOrElse("path", fail("filesystem connector requires 'path'"))
     val fmt = opts.getOrElse("format", fail("filesystem connector requires 'format'"))
+    val df = spark.sql(select)
+    df.write.format(fmt).mode("overwrite").save(path)
+    // commit-last, like executeCreate: a failed SELECT or write leaves
+    // any previous registration of the name untouched
+    readFs(spark, fmt, df.schema, path, opts).createOrReplaceTempView(name)
     wmRegistry(spark).remove(name.toLowerCase)
     partRegistry(spark).remove(name.toLowerCase)
     pkRegistry(spark).remove(name.toLowerCase)
     computedRegistry(spark).remove(name.toLowerCase)
     metaRegistry(spark).remove(name.toLowerCase)
-    val df = spark.sql(select)
-    df.write.format(fmt).mode("overwrite").save(path)
-    readFs(spark, fmt, df.schema, path, opts).createOrReplaceTempView(name)
     tableRegistry(spark).put(name.toLowerCase, ("filesystem", path, fmt, df.schema))
+    optsRegistry(spark).put(name.toLowerCase, opts)
     recordTableNs(spark, name)
     name
   }
 
+  /** Execute a CREATE TABLE: parse, validate, build the reading plan —
+    * ALL without touching session state — then commit the view swap and
+    * the seven registries as the last step. A failing CREATE therefore
+    * leaves any previous registration of the name EXACTLY as it was,
+    * which makes the ALTER/LIKE callers (synthesized re-CREATEs through
+    * [[registerFromMeta]]) atomic for free.
+    */
   private def executeCreate(spark: SparkSession, sqlText: String,
       m: scala.util.matching.Regex.Match): String = {
     val name = m.group(1)
-    // re-registering a name drops its old metadata even if this DDL fails
-    wmRegistry(spark).remove(name.toLowerCase)
-    tableRegistry(spark).remove(name.toLowerCase)
-    partRegistry(spark).remove(name.toLowerCase)
-    pkRegistry(spark).remove(name.toLowerCase)
-    computedRegistry(spark).remove(name.toLowerCase)
-    metaRegistry(spark).remove(name.toLowerCase)
-    optsRegistry(spark).remove(name.toLowerCase)
     val colsClose = WindowTvf.matchParen(sqlText, m.end - 1)
     // Flink DDL may backtick-quote identifiers (SHOW CREATE TABLE emits
     // them); plain-identifier quotes carry no information — strip before
@@ -1065,11 +1062,11 @@ object FlinkDdl {
     var metaCols = Vector.empty[MetadataCol]
     var notNullCols = Set.empty[String] // lowercase names declared NOT NULL
     var primaryKey = Seq.empty[String]
+    var watermark: Option[(String, String)] = None // held locally until commit
     colDefs.foreach {
       case w if watermarkRe.findFirstIn(w).isDefined =>
         val wmm = watermarkRe.findFirstMatchIn(w).get
-        wmRegistry(spark).put(name.toLowerCase,
-          (wmm.group(1), watermarkDelay(wmm.group(1), wmm.group(2))))
+        watermark = Some((wmm.group(1), watermarkDelay(wmm.group(1), wmm.group(2))))
       case pkRe(cols) => // not enforced (Flink doesn't either); CDC formats key on it
         primaryKey = cols.split(",").toSeq.map(_.trim)
       case md if metadataColRe.findFirstIn(md).isDefined =>
@@ -1094,24 +1091,36 @@ object FlinkDdl {
       s"$n $t" + (if (notNullCols.contains(n.toLowerCase)) " NOT NULL" else "")
     }.mkString(", "))
 
+    if (partitionCols.nonEmpty)
+      partitionCols.find(c => !schema.fieldNames.contains(c)).foreach(c =>
+        fail(s"PARTITIONED BY column `$c` is not a physical column"))
     val connector = opts.getOrElse("connector", fail("'connector' option is required"))
     validateMetadata(connector, opts, metaCols)
+    // building the DataFrame analyzes the whole reading plan (connector
+    // options, metadata expressions, computed-column references) —
+    // every remaining failure mode fires HERE, before any state change
     val base = connectorRead(spark, schema, physical, primaryKey, opts, metaCols)
     val df = if (computed.isEmpty) base
       else base.selectExpr("*" +: computed.map { case (n, e) => s"($e) AS $n" }: _*)
+
+    // ---- COMMIT: nothing above mutates session state ----
     df.createOrReplaceTempView(name)
-    tableRegistry(spark).put(name.toLowerCase,
+    val key = name.toLowerCase
+    // a re-registration drops every stale attribute of the old name
+    wmRegistry(spark).remove(key)
+    partRegistry(spark).remove(key)
+    pkRegistry(spark).remove(key)
+    computedRegistry(spark).remove(key)
+    metaRegistry(spark).remove(key)
+    tableRegistry(spark).put(key,
       (connector, opts.getOrElse("path", ""), opts.getOrElse("format", ""), schema))
-    optsRegistry(spark).put(name.toLowerCase, opts)
+    optsRegistry(spark).put(key, opts)
     recordTableNs(spark, name)
-    if (primaryKey.nonEmpty) pkRegistry(spark).put(name.toLowerCase, primaryKey)
-    if (computed.nonEmpty) computedRegistry(spark).put(name.toLowerCase, computed)
-    if (metaCols.nonEmpty) metaRegistry(spark).put(name.toLowerCase, metaCols)
-    if (partitionCols.nonEmpty) {
-      partitionCols.find(c => !schema.fieldNames.contains(c)).foreach(c =>
-        fail(s"PARTITIONED BY column `$c` is not a physical column"))
-      partRegistry(spark).put(name.toLowerCase, partitionCols)
-    }
+    watermark.foreach(wmRegistry(spark).put(key, _))
+    if (primaryKey.nonEmpty) pkRegistry(spark).put(key, primaryKey)
+    if (computed.nonEmpty) computedRegistry(spark).put(key, computed)
+    if (metaCols.nonEmpty) metaRegistry(spark).put(key, metaCols)
+    if (partitionCols.nonEmpty) partRegistry(spark).put(key, partitionCols)
     name
   }
 

@@ -1044,6 +1044,36 @@ class FlinkDdlSpec extends AnyFunSuite {
     // and a subsequent VALID alter still works
     FlinkDdl.executeAlter(spark, "ALTER TABLE alt_atomic ADD w DOUBLE")
     assert(FlinkDdl.registered(spark, "alt_atomic").get._4.fieldNames.contains("w"))
+    // view/registry consistency: a failed re-CREATE touches NEITHER (the
+    // commit-last discipline), so the view still serves the old columns
+    // and no phantom watermark leaks from the failed statement's parse
+    val dir = java.nio.file.Files.createTempDirectory("alt_atomic_fs").toString
+    FlinkDdl.execute(spark,
+      s"""CREATE TABLE alt_part (id BIGINT, p STRING, ts TIMESTAMP(3))
+         |PARTITIONED BY (p)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')""".stripMargin)
+    intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      s"""CREATE TABLE alt_part (id BIGINT,
+         |  WATERMARK FOR ts AS ts - INTERVAL '9' SECOND,
+         |  bad STRING METADATA FROM 'nope' VIRTUAL)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/t2', 'format' = 'parquet')""".stripMargin))
+    assert(FlinkDdl.watermarkOf(spark, "alt_part").isEmpty,
+      "phantom watermark leaked from the failed CREATE")
+    assert(spark.table("alt_part").schema.fieldNames.toSeq == Seq("id", "p", "ts"))
+    assert(FlinkDdl.partitionsOf(spark, "alt_part") == Seq("p"))
+    // rename guards: self-rename, clobbering rename, partition-column
+    // rename all fail clearly and change nothing
+    val selfR = intercept[IllegalArgumentException](
+      FlinkDdl.executeAlter(spark, "ALTER TABLE alt_part RENAME TO ALT_PART"))
+    assert(selfR.getMessage.contains("current name"))
+    val clobber = intercept[IllegalArgumentException](
+      FlinkDdl.executeAlter(spark, "ALTER TABLE alt_part RENAME TO alt_atomic"))
+    assert(clobber.getMessage.contains("already exists"))
+    val pRen = intercept[IllegalArgumentException](
+      FlinkDdl.executeAlter(spark, "ALTER TABLE alt_part RENAME p TO p2"))
+    assert(pRen.getMessage.contains("partition column"))
+    assert(FlinkDdl.registered(spark, "alt_part").isDefined &&
+      FlinkDdl.registered(spark, "alt_atomic").isDefined)
   }
 
   test("kafka METADATA columns decode from the scan shape incl. timestamp-type and headers") {
