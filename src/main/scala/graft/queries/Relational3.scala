@@ -358,6 +358,46 @@ object Relational3 {
         max($"l_orderkey").as("max_ok"))
   }
 
+  /** Debezium CDC decode, oracled end-to-end (SURVEY.md §2.1 "CDC
+    * formats", [U] flink-formats/flink-json debezium): orders rows
+    * ENCODE into debezium-json envelopes (op by key residue — u / c /
+    * d / snapshot-READ r) and decode through
+    * [[graft.operators.Changelog.fromDebeziumJson]] into the row_kind
+    * changelog; the DuckDB oracle states the expected expansion
+    * directly in SQL (u → -U before + +U after, c/r → +I, d → -D), so
+    * the JSON envelope build AND the decoder are both hash-gated.
+    */
+  val q143_cdc_decode: Q = (s, d) => {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_orderkey", $"o_totalprice",
+      pmod($"o_orderkey", lit(4)).as("r"))
+    val op = when($"r" === 0, "u").when($"r" === 1, "c")
+      .when($"r" === 2, "d").otherwise("r")
+    val before = struct($"o_orderkey", ($"o_totalprice" - 1).as("o_totalprice"))
+    val after = struct($"o_orderkey", $"o_totalprice")
+    val js = o.select(to_json(struct(
+      when(op.isin("u", "d"), before).as("before"),
+      when(op =!= "d", after).as("after"),
+      op.as("op"))).as("json"))
+    graft.operators.Changelog.fromDebeziumJson(js, "json",
+      "o_orderkey BIGINT, o_totalprice DOUBLE")
+  }
+
+  /** Avro binary round trip (SURVEY.md §2.1 "formats: avro",
+    * [U] flink-formats/flink-avro): orders columns encode to Avro
+    * binary records and decode back via the from-scratch
+    * [[graft.sources.AvroFormat]] codec; the oracle is the identity
+    * SELECT, so any wire-level corruption fails the hash.
+    */
+  val q144_avro_roundtrip: Q = (s, d) => {
+    import graft.sources.AvroFormat
+    val src = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val schemaJson = AvroFormat.avroJson(src.schema)
+    AvroFormat.decodeAvro(
+      AvroFormat.encodeAvro(src, schemaJson).select("avro"), "avro", schemaJson)
+  }
+
   /** Flink-named scalar functions (SURVEY.md §2.8; [U] flink-table-planner
     * BuiltInFunctionDefinitions): SPLIT_INDEX / JSON_VALUE / JSON_EXISTS /
     * FROM_BASE64 / TO_BASE64 / TRUNCATE / TO_TIMESTAMP_LTZ registered by
@@ -488,6 +528,8 @@ object Relational3 {
     "q80_flink_funcs" -> q80_flink_funcs,
     "q99_flink_funcs2" -> q99_flink_funcs2,
     "q74_protobuf_roundtrip" -> q74_protobuf_roundtrip,
+    "q143_cdc_decode" -> q143_cdc_decode,
+    "q144_avro_roundtrip" -> q144_avro_roundtrip,
     "q71_lateral" -> sharedSql(Seq("nation", "customer"), lateralText),
     "q72_exists" -> sharedSql(Seq("supplier", "customer", "nation"), existsText),
     "q70_null_funcs" -> q70_null_funcs,
@@ -577,6 +619,18 @@ object Relational3 {
         | CAST(max(l_orderkey) AS BIGINT) AS max_ok
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q143_cdc_decode" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderkey % 4 AS r FROM orders),
+        |ex AS (
+        |  SELECT '-U' AS row_kind, o_orderkey, o_totalprice - 1 AS o_totalprice
+        |  FROM o WHERE r = 0
+        |  UNION ALL SELECT '+U', o_orderkey, o_totalprice FROM o WHERE r = 0
+        |  UNION ALL SELECT '+I', o_orderkey, o_totalprice FROM o WHERE r = 1
+        |  UNION ALL SELECT '-D', o_orderkey, o_totalprice - 1 FROM o WHERE r = 2
+        |  UNION ALL SELECT '+I', o_orderkey, o_totalprice FROM o WHERE r = 3
+        |) SELECT row_kind, o_orderkey, o_totalprice FROM ex""".stripMargin,
+    "q144_avro_roundtrip" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "q71_lateral" -> lateralText,
     "q72_exists" -> existsText,
     "q70_null_funcs" ->
