@@ -139,6 +139,37 @@ class RewriteFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("window-TVF rewrite: identity without a trigger, total with one") {
+    import graft.plans.WindowTvf
+    val tvfToken: Gen[String] = Gen.frequency(
+      5 -> junk,
+      4 -> Gen.oneOf("TABLE(", "TUMBLE(", "TABLE(TUMBLE(", "TABLE ( HOP (",
+        "TABLE(CUMULATE(", "TABLE(SESSION(", "TABLE t", "DESCRIPTOR(ts)",
+        "DESCRIPTOR(", "INTERVAL '5' MINUTE", "INTERVAL 'x' MINUTE",
+        "DATA => TABLE t", "TIMECOL => DESCRIPTOR(ts)", "SIZE =>",
+        "SIZE => INTERVAL '10' MINUTE", "PARTITION BY k", "))", ")",
+        "'TABLE(TUMBLE('", "GROUP BY window_start"),
+      2 -> Gen.oneOf(
+        "TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTE))",
+        "TABLE(HOP(TABLE t, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))",
+        "TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), INTERVAL '5' MINUTE))"))
+    val tvfStmt: Gen[String] =
+      Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, tvfToken).map(_.mkString(" ")))
+    forAllSeeded(tvfStmt, 600) { s =>
+      try {
+        val out = WindowTvf.rewrite(s)
+        if (!WindowTvf.containsClause(s))
+          assert(out == s, s"altered a trigger-free statement: <$s> -> <$out>")
+      } catch {
+        case _: IllegalArgumentException =>
+          assert(WindowTvf.containsClause(s),
+            s"threw on a trigger-free statement: <$s>")
+        case e: Throwable =>
+          fail(s"unclean failure ${e.getClass.getName} on <$s>: ${e.getMessage}")
+      }
+    }
+  }
+
   test("UNNEST rewrite: identity without a trigger, total with one") {
     forAllSeeded(stmt, 600) { s =>
       try {
