@@ -127,6 +127,41 @@ class PatternsSpec extends AnyFunSuite {
     assert(c2 == Set(("-U", 30L, 8.0), ("+U", 3L, 8.0)), c2.toString)
   }
 
+  test("CDC decoders drop malformed/unknown-op messages, never throw (dirty-feed contract)") {
+    import spark.implicits._
+    // a crawl-scale CDC feed carries broken lines; the decoders must keep
+    // the well-formed rows and silently drop the rest (Flink's
+    // ignore-parse-errors posture), not fail the task
+    val dirt = Seq(
+      "not json at all", "", "{", """{"unrelated": 1}""",
+      """{"before": null, "after": {"id": 7, "v": 1.0}, "op": "zz"}""",
+      """{"data": "scalar-not-array", "type": "INSERT"}""",
+      """{"data": [{"id": 7, "v": 1.0}], "old": null, "type": "TRUNCATE"}""",
+      """{"data": {"id": 7, "v": 1.0}, "old": null, "type": "bootstrap"}""",
+      """{"before": {"id": 7, "v": 1.0}, "after": null, "op_type": "X"}""")
+    def feed(valid: String) = (dirt :+ valid).toDF("json")
+    val dz = Changelog.fromDebeziumJson(
+      feed("""{"before": null, "after": {"id": 1, "v": 2.0}, "op": "c"}"""),
+      "json", "id BIGINT, v DOUBLE")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(dz == Set(("+I", 1L, 2.0)), dz.toString)
+    val cn = Changelog.fromCanalJson(
+      feed("""{"data": [{"id": 1, "v": 2.0}], "old": null, "type": "INSERT"}"""),
+      "json", "id BIGINT, v DOUBLE")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cn == Set(("+I", 1L, 2.0)), cn.toString)
+    val mx = Changelog.fromMaxwellJson(
+      feed("""{"data": {"id": 1, "v": 2.0}, "old": null, "type": "insert"}"""),
+      "json", "id BIGINT, v DOUBLE")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mx == Set(("+I", 1L, 2.0)), mx.toString)
+    val og = Changelog.fromOggJson(
+      feed("""{"before": null, "after": {"id": 1, "v": 2.0}, "op_type": "I"}"""),
+      "json", "id BIGINT, v DOUBLE")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(og == Set(("+I", 1L, 2.0)), og.toString)
+  }
+
   test("ogg json decodes full before/after images; U expands to -U/+U") {
     import spark.implicits._
     val df = Seq(

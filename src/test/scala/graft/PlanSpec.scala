@@ -186,6 +186,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("min(struct(doc_id") || p.contains("partial_min"), p.take(500))
   }
 
+  test("q143/q144: CDC decode and avro round trip are shuffle-free row-local scans") {
+    // format codecs must stay per-row at 100 TB: encode + decode + (for
+    // CDC) explode, with no exchange and only the read columns scanned
+    val cdc = planOf("q143_cdc_decode")
+    assert(!cdc.contains("Exchange"), "CDC decode must not shuffle")
+    assert(cdc.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double"),
+      "only the enveloped columns read from the orders scan")
+    val avro = planOf("q144_avro_roundtrip")
+    assert(!avro.contains("Exchange"), "avro round trip must not shuffle")
+  }
+
   test("q125: scrubbing is one shuffle-free codegen projection") {
     val p = planOf("q125_props_scrub")
     assert(!p.contains("Exchange"), "a per-row map must not shuffle")
