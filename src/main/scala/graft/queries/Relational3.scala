@@ -398,6 +398,18 @@ object Relational3 {
       AvroFormat.encodeAvro(src, schemaJson).select("avro"), "avro", schemaJson)
   }
 
+  /** LIMIT/OFFSET pagination (SURVEY.md §2.6 "sort/limit"; [U]
+    * flink-table-planner SqlToRelConverter fetch/offset → SortLimit):
+    * identical SQL text runs on both engines. Spark plans the
+    * offset+fetch as a single TakeOrderedAndProject-style global top-60
+    * then drops 40 — no full sort of the 1.5M-row input at scale.
+    */
+  private val paginationText =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20 OFFSET 40""".stripMargin
+
   /** Flink-named scalar functions (SURVEY.md §2.8; [U] flink-table-planner
     * BuiltInFunctionDefinitions): SPLIT_INDEX / JSON_VALUE / JSON_EXISTS /
     * FROM_BASE64 / TO_BASE64 / TRUNCATE / TO_TIMESTAMP_LTZ registered by
@@ -530,6 +542,7 @@ object Relational3 {
     "q74_protobuf_roundtrip" -> q74_protobuf_roundtrip,
     "q143_cdc_decode" -> q143_cdc_decode,
     "q144_avro_roundtrip" -> q144_avro_roundtrip,
+    "q146_pagination" -> sharedSql(Seq("orders"), paginationText),
     "q71_lateral" -> sharedSql(Seq("nation", "customer"), lateralText),
     "q72_exists" -> sharedSql(Seq("supplier", "customer", "nation"), existsText),
     "q70_null_funcs" -> q70_null_funcs,
@@ -631,6 +644,7 @@ object Relational3 {
         |) SELECT row_kind, o_orderkey, o_totalprice FROM ex""".stripMargin,
     "q144_avro_roundtrip" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "q146_pagination" -> paginationText,
     "q71_lateral" -> lateralText,
     "q72_exists" -> existsText,
     "q70_null_funcs" ->

@@ -745,7 +745,32 @@ object Text {
         rate(sum($"cnt" * $"nchr") / sum($"cnt" * $"ntok")).as("chars_per_token"))
   }
 
+  /** Deterministic epoch reshuffle (north_star curation: the seeded
+    * "global shuffle" a training pipeline runs per epoch — every document
+    * gets a pseudo-random but REPRODUCIBLE shard and in-shard position,
+    * so a re-run or a resumed epoch regenerates byte-identical shard
+    * files): the order key is md5(doc_id || ':' || seed) — collision-free
+    * at corpus scale and engine-portable — and the shard is its first two
+    * hex chars (256 shards). The 100 TB shape: ONE hash exchange on the
+    * shard key plus an in-partition sort, exactly the
+    * repartition(shard).sortWithinPartitions layout the shard writer
+    * needs — no global sort, no driver state; a different seed is an
+    * independent permutation (epoch 2 = ':43').
+    */
+  val q145_epoch_shards: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select($"doc_id", $"n_chars",
+        md5(concat($"doc_id".cast("string"), lit(":42"))).as("h"))
+      .withColumn("shard", substring($"h", 1, 2))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"h")).cast("long"))
+      .select($"doc_id", $"shard", $"pos", $"n_chars")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q145_epoch_shards" -> q145_epoch_shards,
     "q142_bloom_decontamination" -> q142_bloom_decontamination,
     "q141_bpe_encode" -> q141_bpe_encode,
     "q140_bpe_train" -> q140_bpe_train,
@@ -780,6 +805,15 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q145_epoch_shards" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |                  md5(CAST(doc_id AS VARCHAR) || ':42') AS h
+        |           FROM documents)
+        |SELECT doc_id, substr(h, 1, 2) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY substr(h, 1, 2) ORDER BY h)
+        |            AS BIGINT) AS pos,
+        |       n_chars
+        |FROM h""".stripMargin,
     "q139_dsir_weights" ->
       """WITH t AS (SELECT doc_id, lang, source,
         |                  UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS term

@@ -197,6 +197,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!avro.contains("Exchange"), "avro round trip must not shuffle")
   }
 
+  test("q145: epoch reshuffle is one shard exchange + in-partition sort, no global sort") {
+    val p = planOf("q145_epoch_shards")
+    assert(p.split("Exchange").length - 1 == 1,
+      s"exactly one exchange (on the shard key) expected:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a global sort would serialize the corpus through range partitioning")
+  }
+
+  test("q146: LIMIT+OFFSET pagination plans as a global top-k, not a full sort") {
+    val p = planOf("q146_pagination")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"offset+fetch should fold into TakeOrderedAndProject:\n$p")
+  }
+
   test("q125: scrubbing is one shuffle-free codegen projection") {
     val p = planOf("q125_props_scrub")
     assert(!p.contains("Exchange"), "a per-row map must not shuffle")
