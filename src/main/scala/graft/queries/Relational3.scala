@@ -383,6 +383,47 @@ object Relational3 {
       "o_orderkey BIGINT, o_totalprice DOUBLE")
   }
 
+  /** Canal / maxwell / ogg CDC decode, oracled end-to-end (SURVEY.md
+    * §2.1 "CDC formats", [U] flink-formats/flink-json canal/maxwell +
+    * flink-connectors ogg): the q143 construction for the OTHER three
+    * decoders — orders rows encode into each format's envelope (op by
+    * key residue: 0 update, 1 insert, 2 delete; canal/maxwell carry a
+    * partial `old` with only the changed column, exercising the
+    * key-presence overlay; ogg carries full before images) and decode
+    * through [[graft.operators.Changelog]]; the DuckDB oracle states
+    * each format's expected expansion directly in SQL.
+    */
+  val q147_cdc_formats: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Changelog
+    val o = Tables.orders(s, d).select($"o_orderkey", $"o_totalprice",
+      pmod($"o_orderkey", lit(3)).as("r"))
+    val after = struct($"o_orderkey", $"o_totalprice")
+    val oldOne = struct(($"o_totalprice" - 1).as("o_totalprice"))
+    val canal = o.select(to_json(struct(
+      array(after).as("data"),
+      when($"r" === 0, array(oldOne)).as("old"),
+      when($"r" === 0, "UPDATE").when($"r" === 1, "INSERT")
+        .otherwise("DELETE").as("type"))).as("json"))
+    val maxwell = o.select(to_json(struct(
+      after.as("data"),
+      when($"r" === 0, oldOne).as("old"),
+      when($"r" === 0, "update").when($"r" === 1, "insert")
+        .otherwise("delete").as("type"))).as("json"))
+    val ogg = o.select(to_json(struct(
+      when($"r".isin(0, 2),
+        struct($"o_orderkey", ($"o_totalprice" - 1).as("o_totalprice"))).as("before"),
+      when($"r" =!= 2, after).as("after"),
+      when($"r" === 0, "U").when($"r" === 1, "I").otherwise("D")
+        .as("op_type"))).as("json"))
+    val sch = "o_orderkey BIGINT, o_totalprice DOUBLE"
+    Changelog.fromCanalJson(canal, "json", sch).withColumn("fmt", lit("canal"))
+      .unionByName(Changelog.fromMaxwellJson(maxwell, "json", sch)
+        .withColumn("fmt", lit("maxwell")))
+      .unionByName(Changelog.fromOggJson(ogg, "json", sch)
+        .withColumn("fmt", lit("ogg")))
+  }
+
   /** Avro binary round trip (SURVEY.md §2.1 "formats: avro",
     * [U] flink-formats/flink-avro): orders columns encode to Avro
     * binary records and decode back via the from-scratch
@@ -543,6 +584,7 @@ object Relational3 {
     "q143_cdc_decode" -> q143_cdc_decode,
     "q144_avro_roundtrip" -> q144_avro_roundtrip,
     "q146_pagination" -> sharedSql(Seq("orders"), paginationText),
+    "q147_cdc_formats" -> q147_cdc_formats,
     "q71_lateral" -> sharedSql(Seq("nation", "customer"), lateralText),
     "q72_exists" -> sharedSql(Seq("supplier", "customer", "nation"), existsText),
     "q70_null_funcs" -> q70_null_funcs,
@@ -645,6 +687,23 @@ object Relational3 {
     "q144_avro_roundtrip" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "q146_pagination" -> paginationText,
+    "q147_cdc_formats" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderkey % 3 AS r FROM orders),
+        |cm AS (
+        |  SELECT '-U' AS row_kind, o_orderkey, o_totalprice - 1 AS o_totalprice
+        |  FROM o WHERE r = 0
+        |  UNION ALL SELECT '+U', o_orderkey, o_totalprice FROM o WHERE r = 0
+        |  UNION ALL SELECT '+I', o_orderkey, o_totalprice FROM o WHERE r = 1
+        |  UNION ALL SELECT '-D', o_orderkey, o_totalprice FROM o WHERE r = 2),
+        |ogg AS (
+        |  SELECT '-U' AS row_kind, o_orderkey, o_totalprice - 1 AS o_totalprice
+        |  FROM o WHERE r = 0
+        |  UNION ALL SELECT '+U', o_orderkey, o_totalprice FROM o WHERE r = 0
+        |  UNION ALL SELECT '+I', o_orderkey, o_totalprice FROM o WHERE r = 1
+        |  UNION ALL SELECT '-D', o_orderkey, o_totalprice - 1 FROM o WHERE r = 2)
+        |SELECT row_kind, o_orderkey, o_totalprice, 'canal' AS fmt FROM cm
+        |UNION ALL SELECT row_kind, o_orderkey, o_totalprice, 'maxwell' FROM cm
+        |UNION ALL SELECT row_kind, o_orderkey, o_totalprice, 'ogg' FROM ogg""".stripMargin,
     "q71_lateral" -> lateralText,
     "q72_exists" -> existsText,
     "q70_null_funcs" ->
