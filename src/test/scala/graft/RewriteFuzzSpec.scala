@@ -170,6 +170,36 @@ class RewriteFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy group-window rewrite: identity without a trigger, total with one") {
+    import graft.plans.LegacyGroupWindow
+    val lgwToken: Gen[String] = Gen.frequency(
+      5 -> junk,
+      4 -> Gen.oneOf("GROUP BY", "GROUP BY TUMBLE(", "TUMBLE(ts, INTERVAL '5' MINUTE)",
+        "HOP(ts, INTERVAL '1' MINUTE, INTERVAL '5' MINUTE)",
+        "SESSION(ts, INTERVAL '30' SECOND)", "TUMBLE_START(ts, INTERVAL '5' MINUTE)",
+        "TUMBLE_ROWTIME(ts, INTERVAL '5' MINUTE)", "HOP_END(", "SESSION_PROCTIME(ts)",
+        "FROM t", "FROM (SELECT", "SELECT count(*)", "HAVING", "ORDER BY k",
+        "'GROUP BY TUMBLE('", ", k", "))"),
+      2 -> Gen.oneOf(
+        "SELECT k, count(*) FROM t GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE), k",
+        "SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) FROM t GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)"))
+    val lgwStmt: Gen[String] =
+      Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, lgwToken).map(_.mkString(" ")))
+    forAllSeeded(lgwStmt, 600) { s =>
+      try {
+        val out = LegacyGroupWindow.rewrite(s)
+        if (!LegacyGroupWindow.containsClause(s))
+          assert(out == s, s"altered a trigger-free statement: <$s> -> <$out>")
+      } catch {
+        case _: IllegalArgumentException =>
+          assert(LegacyGroupWindow.containsClause(s),
+            s"threw on a trigger-free statement: <$s>")
+        case e: Throwable =>
+          fail(s"unclean failure ${e.getClass.getName} on <$s>: ${e.getMessage}")
+      }
+    }
+  }
+
   test("UNNEST rewrite: identity without a trigger, total with one") {
     forAllSeeded(stmt, 600) { s =>
       try {
