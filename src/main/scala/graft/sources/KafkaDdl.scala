@@ -40,6 +40,28 @@ object KafkaDdl {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"kafka connector: $msg")
 
+  /** The single column Flink's raw format carries ([U]
+    * flink-formats/flink-raw RawFormatFactory): exactly one physical
+    * field of STRING (UTF-8 — the one charset supported here) or BYTES.
+    * Numeric raw encodings ('raw.endianness') are not modeled — clear
+    * error, use json for typed scalars.
+    */
+  private def rawField(target: StructType,
+      opts: Map[String, String]): org.apache.spark.sql.types.StructField = {
+    if (target.fields.length != 1)
+      fail(s"raw format takes exactly one physical column, got ${target.fields.length}")
+    val cs = opts.getOrElse("raw.charset", "UTF-8")
+    if (!cs.equalsIgnoreCase("UTF-8"))
+      fail(s"raw format: only charset UTF-8 is supported, got '$cs'")
+    val f = target.fields(0)
+    f.dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType => f
+      case dt => fail(s"raw format supports STRING and BYTES columns, " +
+        s"got ${dt.sql} (use json for typed scalars)")
+    }
+  }
+
   /** Spark's fixed Kafka scan schema (what `format("kafka")` serves). */
   val scanSchema: StructType = StructType.fromDDL(
     "key BINARY, value BINARY, topic STRING, partition INT, " +
@@ -173,7 +195,7 @@ object KafkaDdl {
     val valueFmt = opts.get("value.format").orElse(opts.get("format"))
       .getOrElse(fail("requires 'format' or 'value.format'"))
     if (cdcFormats.contains(valueFmt))
-      fail(s"kafka sink encode supports json/csv/avro, not '$valueFmt' " +
+      fail(s"kafka sink encode supports json/csv/raw/avro, not '$valueFmt' " +
         "(CDC formats are source-side decodes)")
     if (valueFmt == "avro") {
       // plain value path only, mirroring decode
@@ -206,7 +228,11 @@ object KafkaDdl {
         case "csv"  => to_csv(s0, new java.util.HashMap[String, String] {
           put("sep", opts.getOrElse("csv.field-delimiter", ","))
         })
-        case other => fail(s"unsupported encode format '$other' (supported: json, csv)")
+        case "raw" =>
+          // Flink's raw format: the single column's bytes ARE the message
+          // (UTF-8 for STRING); the caller's cast("binary") finishes it
+          col(s"`${rawField(fields, opts).name}`")
+        case other => fail(s"unsupported encode format '$other' (supported: json, csv, raw)")
       }
     }
     val keySchema = StructType(schema.fields.filter(f => keyFields.contains(f.name)))
@@ -260,8 +286,18 @@ object KafkaDdl {
         case "json" => from_json(col(colName).cast("string"), target)
         case "csv"  => from_csv(col(colName).cast("string"), target,
           Map("sep" -> opts.getOrElse("csv.field-delimiter", ",")))
+        case "raw" =>
+          // Flink's raw format ([U] flink-formats/flink-raw): message
+          // bytes land in the single declared column — BINARY as-is,
+          // STRING via UTF-8
+          val f = rawField(target, opts)
+          val c = f.dataType match {
+            case org.apache.spark.sql.types.BinaryType => col(colName)
+            case _ => col(colName).cast("string")
+          }
+          struct(c.as(f.name))
         case other => fail(s"unsupported decode format '$other' " +
-          "(supported: json, csv, debezium-json, canal-json, maxwell-json, ogg-json)")
+          "(supported: json, csv, raw, avro, debezium-json, canal-json, maxwell-json, ogg-json)")
       }
     if (valueFmt == "avro") {
       // binary Avro records via the from-scratch AvroFormat codec (the

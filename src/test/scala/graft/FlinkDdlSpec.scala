@@ -676,6 +676,56 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(dbz.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("-D", 3L)))
   }
 
+  test("kafka raw format: message bytes are the single declared column, both directions") {
+    import graft.sources.KafkaDdl
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    def kframe(rows: Seq[(Array[Byte], Array[Byte])]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (k, v) =>
+          Row(k, v, "t", 0, 0L, new java.sql.Timestamp(0L), 0) }),
+        KafkaDdl.scanSchema)
+    def toScan(enc: org.apache.spark.sql.DataFrame) =
+      enc.select($"key", $"value", lit("t").as("topic"), lit(0).as("partition"),
+        lit(0L).as("offset"), lit(new java.sql.Timestamp(0L)).as("timestamp"),
+        lit(0).as("timestampType"))
+    val sSchema = org.apache.spark.sql.types.StructType.fromDDL("msg STRING")
+    val bSchema = org.apache.spark.sql.types.StructType.fromDDL("payload BINARY")
+    val opts = Map("connector" -> "kafka", "format" -> "raw", "topic" -> "t",
+      "properties.bootstrap.servers" -> "b:9092")
+    // STRING decodes via UTF-8; BYTES pass through untouched
+    val dec = KafkaDdl.decode(kframe(Seq((null, "héllo".getBytes("UTF-8")))),
+      opts, sSchema, Seq.empty)
+    assert(dec.collect().map(_.getString(0)).toSeq == Seq("héllo"))
+    val blob = Array[Byte](0, 1, -1, 127)
+    val decB = KafkaDdl.decode(kframe(Seq((null, blob))), opts, bSchema, Seq.empty)
+    assert(decB.collect().head.getAs[Array[Byte]](0).toSeq == blob.toSeq)
+    // encode∘decode is the identity
+    val rt = KafkaDdl.decode(
+      toScan(KafkaDdl.encode(Seq("a", "b").toDF("msg"), opts, sSchema, Seq.empty)),
+      opts, sSchema, Seq.empty)
+    assert(rt.as[String].collect().toSet == Set("a", "b"))
+    // raw message KEY alongside a json value, EXCEPT_KEY stitch-back
+    val schema2 = org.apache.spark.sql.types.StructType.fromDDL(
+      "order_id STRING, qty INT")
+    val keyOpts = Map("connector" -> "kafka", "format" -> "json",
+      "key.format" -> "raw", "key.fields" -> "order_id",
+      "value.fields-include" -> "EXCEPT_KEY", "topic" -> "t",
+      "properties.bootstrap.servers" -> "b:9092")
+    val rows2 = Seq(("o-9", 3)).toDF("order_id", "qty")
+    val encK = KafkaDdl.encode(rows2, keyOpts, schema2, Seq.empty)
+    assert(encK.select($"key".cast("string")).as[String].collect().toSeq == Seq("o-9"))
+    val rtK = KafkaDdl.decode(toScan(encK), keyOpts, schema2, Seq.empty)
+    assert(rtK.collect().map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("o-9", 3)))
+    // clear rejections: multi-column raw, typed-scalar raw, exotic charset
+    intercept[IllegalArgumentException](KafkaDdl.decode(kframe(Seq.empty), opts,
+      org.apache.spark.sql.types.StructType.fromDDL("a STRING, b STRING"), Seq.empty))
+    intercept[IllegalArgumentException](KafkaDdl.decode(kframe(Seq.empty), opts,
+      org.apache.spark.sql.types.StructType.fromDDL("n BIGINT"), Seq.empty))
+    intercept[IllegalArgumentException](KafkaDdl.decode(kframe(Seq.empty),
+      opts + ("raw.charset" -> "ISO-8859-1"), sSchema, Seq.empty))
+  }
+
   test("kafka sink encode round-trips through decode; tombstones for -D row_kind") {
     import graft.sources.KafkaDdl
     import spark.implicits._
