@@ -1934,7 +1934,7 @@ object FlinkDdl {
         else if (cdcDecoders.contains(fmt)) readCdc(spark, fmt, physical, path, primaryKey)
         else attachFsMeta(readFs(spark, fmt, schema, path, opts), metaCols)
       case "datagen" =>
-        datagen(spark, schema, opts.getOrElse("number-of-rows", "1000").toLong)
+        datagen(spark, schema, opts.getOrElse("number-of-rows", "1000").toLong, opts)
       case "print" | "blackhole" =>
         // sink-only connectors: register an empty relation so the name
         // resolves; INSERT INTO routing is the caller's concern
@@ -2125,21 +2125,58 @@ object FlinkDdl {
     * hash-derived from the row sequence (deterministic, no RNG), the
     * same posture as [[graft.sources.DataGen]].
     */
-  private def datagen(spark: SparkSession, schema: StructType, n: Long): DataFrame = {
+  private def datagen(spark: SparkSession, schema: StructType, n: Long,
+      opts: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.types._
-    val seq = spark.range(n)
+    def fOpt(f: StructField, k: String): Option[String] = opts.get(s"fields.${f.name}.$k")
+    // Flink's per-field generator options ([U] flink-connector-datagen
+    // DataGenConnectorOptions): kind = random (default) | sequence;
+    // sequence fields run start..end and EXHAUST the source (the bounded
+    // row count is the shortest sequence, capped by number-of-rows);
+    // random numerics honor min/max, random strings honor length.
+    val seqSpans = schema.fields.toSeq.flatMap { f =>
+      fOpt(f, "kind") match {
+        case Some("sequence") =>
+          val start = fOpt(f, "start").map(_.toLong).getOrElse(0L)
+          val end = fOpt(f, "end").map(_.toLong).getOrElse(start + n - 1)
+          if (end < start) fail(s"datagen sequence for ${f.name}: end < start")
+          Some(f.name -> (start, end))
+        case Some("random") | None => None
+        case Some(other) => fail(s"datagen kind '$other' for column ${f.name} " +
+          "(supported: random, sequence)")
+      }
+    }.toMap
+    val rows = (n +: seqSpans.values.toSeq.map { case (s, e) => e - s + 1 }).min
+    val seq = spark.range(rows)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       val h = xxhash64(col("id"), lit(i))
-      val c = f.dataType match {
-        case LongType | IntegerType | ShortType => pmod(h, lit(1000000L)).cast(f.dataType)
-        case DoubleType | FloatType | _: DecimalType =>
-          (pmod(h, lit(100000L)).cast("double") / 100.0).cast(f.dataType)
-        case StringType => concat(lit("v"), pmod(h, lit(1000L)))
-        case BooleanType => pmod(h, lit(2L)) === 0
-        case TimestampType => timestamp_seconds(lit(1700000000L) + pmod(h, lit(86400L)))
-        case DateType => date_add(lit(java.sql.Date.valueOf("2024-01-01")),
-          pmod(h, lit(365L)).cast("int"))
-        case other => fail(s"datagen cannot shape type $other for column ${f.name}")
+      val c = seqSpans.get(f.name) match {
+        case Some((start, _)) => (col("id") + start).cast(f.dataType)
+        case None => f.dataType match {
+          case LongType | IntegerType | ShortType =>
+            val lo = fOpt(f, "min").map(_.toLong).getOrElse(0L)
+            val hi = fOpt(f, "max").map(_.toLong).getOrElse(999999L)
+            if (hi < lo) fail(s"datagen for ${f.name}: max < min")
+            (lit(lo) + pmod(h, lit(hi - lo + 1))).cast(f.dataType)
+          case DoubleType | FloatType | _: DecimalType =>
+            val lo = fOpt(f, "min").map(_.toDouble).getOrElse(0.0)
+            val hi = fOpt(f, "max").map(_.toDouble).getOrElse(1000.0)
+            if (hi < lo) fail(s"datagen for ${f.name}: max < min")
+            (lit(lo) + pmod(h, lit(100000L)).cast("double") / 100000.0 * (hi - lo))
+              .cast(f.dataType)
+          case StringType => fOpt(f, "length") match {
+            case None => concat(lit("v"), pmod(h, lit(1000L)))
+            case Some(l) =>
+              val len = l.toInt
+              // deterministic alphanumeric of exactly `len` chars
+              substring(repeat(lower(hex(h)), len / 16 + 1), 1, len)
+          }
+          case BooleanType => pmod(h, lit(2L)) === 0
+          case TimestampType => timestamp_seconds(lit(1700000000L) + pmod(h, lit(86400L)))
+          case DateType => date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+            pmod(h, lit(365L)).cast("int"))
+          case other => fail(s"datagen cannot shape type $other for column ${f.name}")
+        }
       }
       c.as(f.name)
     }

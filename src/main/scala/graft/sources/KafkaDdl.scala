@@ -44,13 +44,18 @@ object KafkaDdl {
     * flink-formats/flink-raw RawFormatFactory): exactly one physical
     * field of STRING (UTF-8 — the one charset supported here) or BYTES.
     * Numeric raw encodings ('raw.endianness') are not modeled — clear
-    * error, use json for typed scalars.
+    * error, use json for typed scalars. `side` ("key"/"value") picks the
+    * charset option spelling: 'key.raw.charset' / 'value.raw.charset',
+    * with bare 'raw.charset' as the value-side fallback (the
+    * 'format'='raw' declaration form).
     */
-  private def rawField(target: StructType,
-      opts: Map[String, String]): org.apache.spark.sql.types.StructField = {
+  private def rawField(target: StructType, opts: Map[String, String],
+      side: String): org.apache.spark.sql.types.StructField = {
     if (target.fields.length != 1)
       fail(s"raw format takes exactly one physical column, got ${target.fields.length}")
-    val cs = opts.getOrElse("raw.charset", "UTF-8")
+    val cs = opts.get(s"$side.raw.charset")
+      .orElse(if (side == "value") opts.get("raw.charset") else None)
+      .getOrElse("UTF-8")
     if (!cs.equalsIgnoreCase("UTF-8"))
       fail(s"raw format: only charset UTF-8 is supported, got '$cs'")
     val f = target.fields(0)
@@ -221,7 +226,7 @@ object KafkaDdl {
       if (exceptKey && keyFields.nonEmpty)
         StructType(schema.fields.filterNot(f => keyFields.contains(f.name)))
       else schema
-    def ser(fmtName: String, fields: StructType) = {
+    def ser(fmtName: String, fields: StructType, side: String) = {
       val s0 = struct(fields.fields.toSeq.map(f => col(s"`${f.name}`")): _*)
       fmtName match {
         case "json" => to_json(s0)
@@ -231,15 +236,15 @@ object KafkaDdl {
         case "raw" =>
           // Flink's raw format: the single column's bytes ARE the message
           // (UTF-8 for STRING); the caller's cast("binary") finishes it
-          col(s"`${rawField(fields, opts).name}`")
+          col(s"`${rawField(fields, opts, side).name}`")
         case other => fail(s"unsupported encode format '$other' (supported: json, csv, raw)")
       }
     }
     val keySchema = StructType(schema.fields.filter(f => keyFields.contains(f.name)))
     val keyCol =
       if (keyFields.isEmpty) lit(null).cast("binary")
-      else ser(opts.getOrElse("key.format", valueFmt), keySchema).cast("binary")
-    val valueEnc = ser(valueFmt, valueSchema).cast("binary")
+      else ser(opts.getOrElse("key.format", valueFmt), keySchema, "key").cast("binary")
+    val valueEnc = ser(valueFmt, valueSchema, "value").cast("binary")
     val valueCol =
       if (connector == "upsert-kafka" && df.columns.contains("row_kind"))
         when(col("row_kind").isin("-D", "-U"), lit(null).cast("binary"))
@@ -290,14 +295,19 @@ object KafkaDdl {
           // Flink's raw format ([U] flink-formats/flink-raw): message
           // bytes land in the single declared column — BINARY as-is,
           // STRING via UTF-8
-          val f = rawField(target, opts)
+          val f = rawField(target, opts, colName)
           val c = f.dataType match {
             case org.apache.spark.sql.types.BinaryType => col(colName)
             case _ => col(colName).cast("string")
           }
           struct(c.as(f.name))
-        case other => fail(s"unsupported decode format '$other' " +
-          "(supported: json, csv, raw, avro, debezium-json, canal-json, maxwell-json, ogg-json)")
+        case other =>
+          // avro and the CDC formats are handled before this match — and
+          // only on the VALUE side — so the key-side message must not
+          // name them as supported
+          val sup = if (colName == "key") "json, csv, raw"
+            else "json, csv, raw, avro, debezium-json, canal-json, maxwell-json, ogg-json"
+          fail(s"unsupported $colName decode format '$other' (supported: $sup)")
       }
     if (valueFmt == "avro") {
       // binary Avro records via the from-scratch AvroFormat codec (the

@@ -123,6 +123,40 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(df.collect().toSeq == spark.table("ddl_gen2").collect().toSeq)
   }
 
+  test("datagen per-field options: sequence start/end, random min/max, string length") {
+    import spark.implicits._
+    FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen_opts (
+        |  id BIGINT,
+        |  qty INT,
+        |  price DOUBLE,
+        |  code STRING
+        |) WITH ('connector' = 'datagen', 'number-of-rows' = '1000',
+        |        'fields.id.kind' = 'sequence',
+        |        'fields.id.start' = '100', 'fields.id.end' = '149',
+        |        'fields.qty.min' = '5', 'fields.qty.max' = '9',
+        |        'fields.price.min' = '1.5', 'fields.price.max' = '2.5',
+        |        'fields.code.length' = '12')""".stripMargin)
+    val df = spark.table("ddl_gen_opts")
+    // the shortest sequence bounds the source, like Flink's exhaustion rule
+    assert(df.count() == 50)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == (100L to 149L))
+    val qty = df.select("qty").as[Int].collect()
+    assert(qty.forall(q => q >= 5 && q <= 9) && qty.distinct.length > 1)
+    val price = df.select("price").as[Double].collect()
+    assert(price.forall(p => p >= 1.5 && p <= 2.5))
+    assert(df.select("code").as[String].collect().forall(_.length == 12))
+    // bad shapes reject clearly
+    val e1 = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen_bad (v INT) WITH ('connector' = 'datagen',
+        |  'fields.v.kind' = 'gaussian')""".stripMargin))
+    assert(e1.getMessage.contains("kind"))
+    val e2 = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen_bad2 (v INT) WITH ('connector' = 'datagen',
+        |  'fields.v.min' = '9', 'fields.v.max' = '1')""".stripMargin))
+    assert(e2.getMessage.contains("max < min"))
+  }
+
   test("connector DDL parses to a lazy command; execution registers the view") {
     val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
     val ddl =
@@ -724,6 +758,16 @@ class FlinkDdlSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructType.fromDDL("n BIGINT"), Seq.empty))
     intercept[IllegalArgumentException](KafkaDdl.decode(kframe(Seq.empty),
       opts + ("raw.charset" -> "ISO-8859-1"), sSchema, Seq.empty))
+    // Flink's prefixed option spellings guard their own side: a key-side
+    // charset rejects on the key path, and a value-side charset does NOT
+    // leak onto the key-side raw format
+    intercept[IllegalArgumentException](KafkaDdl.decode(kframe(Seq.empty),
+      opts + ("value.raw.charset" -> "UTF-16"), sSchema, Seq.empty))
+    intercept[IllegalArgumentException](KafkaDdl.decode(kframe(Seq.empty),
+      keyOpts + ("key.raw.charset" -> "UTF-16"), schema2, Seq.empty))
+    assert(KafkaDdl.decode(toScan(encK), keyOpts + ("raw.charset" -> "UTF-16"),
+      schema2, Seq.empty).collect().map(_.getString(0)).toSeq == Seq("o-9"),
+      "a bare value-side charset must not govern the raw KEY format")
   }
 
   test("kafka sink encode round-trips through decode; tombstones for -D row_kind") {
