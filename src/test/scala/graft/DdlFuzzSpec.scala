@@ -58,6 +58,13 @@ class DdlFuzzSpec extends AnyFunSuite {
       "'scan.startup.mode' = 'earliest-offset')"),
     Gen.const("WITH ('connector' = 'kafka')"),
     Gen.const("WITH ('connector' = 'nope')"),
+    Gen.const("WITH ('connector' = 'datagen', 'fields.id.kind' = 'sequence', " +
+      "'fields.id.start' = '3', 'fields.id.end' = '1')"),
+    Gen.const("WITH ('connector' = 'datagen', 'fields.id.kind' = 'gaussian')"),
+    Gen.const("WITH ('connector' = 'datagen', 'fields.id.min' = 'abc')"),
+    Gen.const("WITH ('connector' = 'datagen', 'fields.nope.kind' = 'sequence')"),
+    Gen.const("WITH ('connector' = 'kafka', 'topic' = 't', " +
+      "'properties.bootstrap.servers' = 'b:9092', 'format' = 'raw')"),
     Gen.const("WITH ()"),
     Gen.const(""))
 
