@@ -2057,6 +2057,32 @@ object FlinkDdl {
         case None => fullK
       }
     }
+    if (connector == "datagen") {
+      // Flink's unbounded datagen source ([U] flink-connector-datagen):
+      // Spark's rate source drives the row sequence at 'rows-per-second'
+      // (Flink's default 10000), and the declared columns shape from it
+      // with the same per-field generator options as the batch path. A
+      // sequence column with an explicit 'end' makes the Flink source
+      // FINITE — Spark's rate source cannot terminate, so that shape is
+      // a clear error pointing at bounded mode.
+      val opts = optionsOf(spark, table)
+      val seqSpans = datagenSeqSpans(schema, opts)
+      seqSpans.collectFirst { case (n, (_, Some(_))) => n }.foreach { n =>
+        fail(s"streaming datagen: sequence column '$n' declares an end " +
+          "(a finite source) — run it as a bounded batch read instead")
+      }
+      val rps = opts.getOrElse("rows-per-second", "10000").toLong
+      val rate = spark.readStream.format("rate").option("rowsPerSecond", rps)
+        .load().select(col("value").as("id"))
+      val df = datagenShape(rate, schema, opts, seqSpans)
+      val computedG = computedColumnsOf(spark, table)
+      val fullG = if (computedG.isEmpty) df
+        else df.selectExpr("*" +: computedG.map { case (n, e) => s"($e) AS $n" }: _*)
+      return watermarkOf(spark, table) match {
+        case Some((c, delay)) => fullG.withWatermark(c, delay)
+        case None => fullG
+      }
+    }
     if (connector != "filesystem") fail(s"readStream supports filesystem tables, not '$connector'")
     val df =
       if (cdcDecoders.contains(fmt)) {
@@ -2125,29 +2151,47 @@ object FlinkDdl {
     * hash-derived from the row sequence (deterministic, no RNG), the
     * same posture as [[graft.sources.DataGen]].
     */
-  private def datagen(spark: SparkSession, schema: StructType, n: Long,
-      opts: Map[String, String] = Map.empty): DataFrame = {
-    import org.apache.spark.sql.types._
-    def fOpt(f: StructField, k: String): Option[String] = opts.get(s"fields.${f.name}.$k")
-    // Flink's per-field generator options ([U] flink-connector-datagen
-    // DataGenConnectorOptions): kind = random (default) | sequence;
-    // sequence fields run start..end and EXHAUST the source (the bounded
-    // row count is the shortest sequence, capped by number-of-rows);
-    // random numerics honor min/max, random strings honor length.
-    val seqSpans = schema.fields.toSeq.flatMap { f =>
-      fOpt(f, "kind") match {
+  /** Per-field generator spans for `kind = 'sequence'` columns
+    * ([U] flink-connector-datagen DataGenConnectorOptions):
+    * name → (start, explicit end if declared). Other kinds reject.
+    */
+  private def datagenSeqSpans(schema: StructType,
+      opts: Map[String, String]): Map[String, (Long, Option[Long])] =
+    schema.fields.toSeq.flatMap { f =>
+      def fOpt(k: String) = opts.get(s"fields.${f.name}.$k")
+      fOpt("kind") match {
         case Some("sequence") =>
-          val start = fOpt(f, "start").map(_.toLong).getOrElse(0L)
-          val end = fOpt(f, "end").map(_.toLong).getOrElse(start + n - 1)
-          if (end < start) fail(s"datagen sequence for ${f.name}: end < start")
+          val start = fOpt("start").map(_.toLong).getOrElse(0L)
+          val end = fOpt("end").map(_.toLong)
+          if (end.exists(_ < start)) fail(s"datagen sequence for ${f.name}: end < start")
           Some(f.name -> (start, end))
         case Some("random") | None => None
         case Some(other) => fail(s"datagen kind '$other' for column ${f.name} " +
           "(supported: random, sequence)")
       }
     }.toMap
-    val rows = (n +: seqSpans.values.toSeq.map { case (s, e) => e - s + 1 }).min
-    val seq = spark.range(rows)
+
+  private def datagen(spark: SparkSession, schema: StructType, n: Long,
+      opts: Map[String, String] = Map.empty): DataFrame = {
+    // Flink's per-field generator options: kind = random (default) |
+    // sequence; sequence fields run start..end and EXHAUST the source
+    // (the bounded row count is the shortest sequence, capped by
+    // number-of-rows); random numerics honor min/max, random strings
+    // honor length.
+    val seqSpans = datagenSeqSpans(schema, opts)
+    val rows = (n +: seqSpans.values.toSeq.map { case (s, e) =>
+      e.getOrElse(s + n - 1) - s + 1 }).min
+    datagenShape(spark.range(rows).toDF(), schema, opts, seqSpans)
+  }
+
+  /** Shape the declared columns from a row-sequence column `id` — shared
+    * by the bounded range source and the streaming rate source.
+    */
+  private def datagenShape(base: DataFrame, schema: StructType,
+      opts: Map[String, String],
+      seqSpans: Map[String, (Long, Option[Long])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    def fOpt(f: StructField, k: String): Option[String] = opts.get(s"fields.${f.name}.$k")
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       val h = xxhash64(col("id"), lit(i))
       val c = seqSpans.get(f.name) match {
@@ -2180,6 +2224,6 @@ object FlinkDdl {
       }
       c.as(f.name)
     }
-    seq.select(cols.toIndexedSeq: _*)
+    base.select(cols.toIndexedSeq: _*)
   }
 }

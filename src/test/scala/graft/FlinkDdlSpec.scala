@@ -157,6 +157,42 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("max < min"))
   }
 
+  test("streaming datagen: the rate source drives the declared shape with field options") {
+    import spark.implicits._
+    FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen_stream (
+        |  id BIGINT,
+        |  qty INT,
+        |  code STRING
+        |) WITH ('connector' = 'datagen', 'rows-per-second' = '1000',
+        |        'fields.id.kind' = 'sequence', 'fields.id.start' = '7',
+        |        'fields.qty.min' = '2', 'fields.qty.max' = '4',
+        |        'fields.code.length' = '6')""".stripMargin)
+    val src = FlinkDdl.readStream(spark, "ddl_gen_stream")
+    assert(src.isStreaming)
+    assert(src.schema.fieldNames.toSeq == Seq("id", "qty", "code"))
+    val q = src.writeStream.format("memory").queryName("gen_stream_sink")
+      .outputMode("append").start()
+    try {
+      Thread.sleep(1500)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gen_stream_sink").collect()
+    assert(got.nonEmpty, "rate-driven datagen produced no rows in 1.5 s")
+    // sequence follows the rate sequence from its start; options bound the rest
+    assert(got.map(_.getLong(0)).min == 7L)
+    assert(got.forall(r => r.getInt(1) >= 2 && r.getInt(1) <= 4))
+    assert(got.forall(_.getString(2).length == 6))
+    // a finite sequence (explicit end) cannot stream — clear error
+    FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen_stream_fin (id BIGINT)
+        |WITH ('connector' = 'datagen', 'fields.id.kind' = 'sequence',
+        |      'fields.id.start' = '0', 'fields.id.end' = '9')""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      FlinkDdl.readStream(spark, "ddl_gen_stream_fin"))
+    assert(e.getMessage.contains("finite"))
+  }
+
   test("connector DDL parses to a lazy command; execution registers the view") {
     val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
     val ddl =
