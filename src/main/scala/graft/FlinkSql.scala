@@ -49,7 +49,9 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
   * / `USE [CATALOG] ...` (namespace bookkeeping over the one physical
   * catalog — see FlinkDdl.resolveNames for three-part references).
   * `SHOW JARS` answers from Spark's jar registry (ADD JAR passes
-  * through). Job management (FLIP-291): `SHOW JOBS` lists active
+  * through). `LOAD/UNLOAD MODULE`, `USE MODULES`, `SHOW [FULL]
+  * MODULES` keep Flink's module bookkeeping (validation included;
+  * no function-resolution effect — documented at the state holder). Job management (FLIP-291): `SHOW JOBS` lists active
   * Structured Streaming queries, `STOP JOB 'id'` (id or query name;
   * WITH SAVEPOINT/DRAIN accepted) stops one gracefully. `ANALYZE
   * TABLE ... COMPUTE STATISTICS` scans and reports the row count;
@@ -73,6 +75,21 @@ object FlinkSql {
   // them on a bare `SET;` and reverts them on a bare `RESET;`)
   private val setKeysBySession =
     new java.util.WeakHashMap[SparkSession, java.util.LinkedHashMap[String, String]]()
+  // module bookkeeping ([U] flink-table-api ModuleManager): name → used,
+  // insertion-ordered, 'core' loaded+used by default. Modules carry no
+  // function-resolution effect here (one built-in function space, and the
+  // loadable upstream modules — hive — cannot exist in this build), so
+  // the statements are session bookkeeping with Flink's validation rules:
+  // migrating scripts keep working and SHOW MODULES answers truthfully.
+  private val modulesBySession =
+    new java.util.WeakHashMap[SparkSession, java.util.LinkedHashMap[String, Boolean]]()
+  private def modules(spark: SparkSession) = modulesBySession.synchronized {
+    modulesBySession.computeIfAbsent(spark, _ => {
+      val m = new java.util.LinkedHashMap[String, Boolean]()
+      m.put("core", true)
+      m
+    })
+  }
   private def setKeys(spark: SparkSession) = setKeysBySession.synchronized {
     setKeysBySession.computeIfAbsent(spark,
       _ => new java.util.LinkedHashMap[String, String]())
@@ -124,6 +141,11 @@ object FlinkSql {
   private val dropViewRe =
     raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*$$".r
   private val showDatabasesRe = raw"(?is)^\s*SHOW\s+(?:DATABASES|SCHEMAS)\s*$$".r
+  private val loadModuleRe =
+    raw"(?is)^\s*LOAD\s+MODULE\s+`?([A-Za-z_]\w*)`?\s*(?:WITH\s*\(.*\))?\s*$$".r
+  private val unloadModuleRe = raw"(?is)^\s*UNLOAD\s+MODULE\s+`?([A-Za-z_]\w*)`?\s*$$".r
+  private val useModulesRe = raw"(?is)^\s*USE\s+MODULES\s+(.+?)\s*$$".r
+  private val showModulesRe = raw"(?is)^\s*SHOW\s+(FULL\s+)?MODULES\s*$$".r
   private val showPartitionsRe =
     raw"(?is)^\s*SHOW\s+PARTITIONS\s+`?([A-Za-z_]\w*)`?\s*$$".r
   private val createViewRe =
@@ -394,6 +416,44 @@ object FlinkSql {
             }
         walk(new org.apache.hadoop.fs.Path(path), 0)
           .sorted.toDF("partition name")
+      case loadModuleRe(name) =>
+        val m = modules(spark)
+        if (m.containsKey(name))
+          throw new IllegalArgumentException(
+            s"LOAD MODULE: module '$name' is already loaded")
+        m.put(name, true) // Flink appends a newly loaded module to the used list
+        okRow(spark, "module", name)
+      case unloadModuleRe(name) =>
+        val m = modules(spark)
+        if (!m.containsKey(name))
+          throw new IllegalArgumentException(
+            s"UNLOAD MODULE: module '$name' is not loaded")
+        m.remove(name)
+        okRow(spark, "module", name)
+      case useModulesRe(list) =>
+        val names = list.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq
+        if (names.isEmpty)
+          throw new IllegalArgumentException("USE MODULES: empty module list")
+        if (names.distinct.size != names.size)
+          throw new IllegalArgumentException("USE MODULES: duplicate module name")
+        val m = modules(spark)
+        names.find(n => !m.containsKey(n)).foreach(n =>
+          throw new IllegalArgumentException(s"USE MODULES: module '$n' is not loaded"))
+        // used modules take the declared order; loaded-but-unused follow
+        import scala.jdk.CollectionConverters._
+        val loaded = m.keySet().asScala.toSeq
+        m.clear()
+        names.foreach(n => m.put(n, true))
+        loaded.filterNot(names.contains).foreach(n => m.put(n, false))
+        okRow(spark, "modules", names.mkString(", "))
+      case showModulesRe(full) =>
+        import spark.implicits._
+        import scala.jdk.CollectionConverters._
+        val entries = modules(spark).entrySet().asScala.toSeq
+          .map(e => (e.getKey, e.getValue.booleanValue))
+        if (full != null) entries.toDF("module name", "used")
+        else entries.filter(_._2).map(_._1).toDF("module name")
       case useCatalogRe(c) =>
         graft.plans.FlinkDdl.useCatalog(spark, c)
         okRow(spark, "catalog", c)

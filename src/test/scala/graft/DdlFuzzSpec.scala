@@ -157,6 +157,15 @@ class DdlFuzzSpec extends AnyFunSuite {
     Gen.const("RESET 'x'"),
     Gen.const("USE CATALOG c1"),
     Gen.const("USE ghost_db"),
+    Gen.const("SHOW MODULES"),
+    Gen.const("SHOW FULL MODULES"),
+    Gen.const("LOAD MODULE fz_mod"),
+    Gen.const("LOAD MODULE fz_mod WITH ('k' = 'v')"),
+    Gen.const("UNLOAD MODULE fz_ghost_mod"),
+    Gen.const("USE MODULES core"),
+    Gen.const("USE MODULES core, core"),
+    Gen.const("USE MODULES ghost_mod"),
+    Gen.const("USE MODULES"),
     Gen.const("EXPLAIN SELECT 1"),
     Gen.const("EXPLAIN PLAN FOR SELECT 1"),
     Gen.const("EXPLAIN garbage garbage"),

@@ -147,6 +147,44 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(legacy.head().getString(0) == "OK")
   }
 
+  test("module statements: LOAD/UNLOAD/USE MODULES bookkeeping with Flink's validation") {
+    val s2 = spark
+      // shared session: other suites (the dispatcher fuzz) may have
+      // loaded modules — restore the default state first
+      FlinkSql.sql(s2, "SHOW FULL MODULES").collect().map(_.getString(0))
+        .filter(_ != "core")
+        .foreach(m => FlinkSql.sql(s2, s"UNLOAD MODULE $m"))
+      FlinkSql.sql(s2, "USE MODULES core")
+      assert(FlinkSql.sql(s2, "SHOW MODULES").collect().map(_.getString(0)).toSeq ==
+        Seq("core"))
+      FlinkSql.sql(s2, "LOAD MODULE hive WITH ('hive-version' = '2.3.9')")
+      assert(FlinkSql.sql(s2, "SHOW MODULES").collect().map(_.getString(0)).toSeq ==
+        Seq("core", "hive"))
+      // USE MODULES reorders the used list; omitted loaded modules go unused
+      FlinkSql.sql(s2, "USE MODULES hive")
+      assert(FlinkSql.sql(s2, "SHOW MODULES").collect().map(_.getString(0)).toSeq ==
+        Seq("hive"))
+      assert(FlinkSql.sql(s2, "SHOW FULL MODULES").collect()
+        .map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+        Seq(("hive", true), ("core", false)))
+      FlinkSql.sql(s2, "USE MODULES core, hive")
+      assert(FlinkSql.sql(s2, "SHOW MODULES").collect().map(_.getString(0)).toSeq ==
+        Seq("core", "hive"))
+      FlinkSql.sql(s2, "UNLOAD MODULE hive")
+      assert(FlinkSql.sql(s2, "SHOW FULL MODULES").collect()
+        .map(r => (r.getString(0), r.getBoolean(1))).toSeq == Seq(("core", true)))
+      // Flink's validation errors
+      assert(intercept[IllegalArgumentException](
+        FlinkSql.sql(s2, "LOAD MODULE core")).getMessage.contains("already loaded"))
+      assert(intercept[IllegalArgumentException](
+        FlinkSql.sql(s2, "UNLOAD MODULE hive")).getMessage.contains("not loaded"))
+      assert(intercept[IllegalArgumentException](
+        FlinkSql.sql(s2, "USE MODULES core, core")).getMessage.contains("duplicate"))
+      assert(intercept[IllegalArgumentException](
+        FlinkSql.sql(s2, "USE MODULES nope")).getMessage.contains("not loaded"))
+      // ends at the default state (core loaded+used) for the shared session
+  }
+
   test("catalog statements: SHOW TABLES / SHOW CREATE TABLE / DESCRIBE / SHOW FUNCTIONS") {
     val dir = java.nio.file.Files.createTempDirectory("flink_catalog").toString
     Tables.events(spark, TestSpark.sfDir)
