@@ -145,6 +145,7 @@ object FlinkSql {
     raw"(?is)^\s*LOAD\s+MODULE\s+`?([A-Za-z_]\w*)`?\s*(?:WITH\s*\(.*\))?\s*$$".r
   private val unloadModuleRe = raw"(?is)^\s*UNLOAD\s+MODULE\s+`?([A-Za-z_]\w*)`?\s*$$".r
   private val useModulesRe = raw"(?is)^\s*USE\s+MODULES\s+(.+?)\s*$$".r
+  private val useModulesBareRe = raw"(?is)^\s*USE\s+MODULES\s*$$".r
   private val showModulesRe = raw"(?is)^\s*SHOW\s+(FULL\s+)?MODULES\s*$$".r
   private val showPartitionsRe =
     raw"(?is)^\s*SHOW\s+PARTITIONS\s+`?([A-Za-z_]\w*)`?\s*$$".r
@@ -430,6 +431,10 @@ object FlinkSql {
             s"UNLOAD MODULE: module '$name' is not loaded")
         m.remove(name)
         okRow(spark, "module", name)
+      case useModulesBareRe() =>
+        // must not fall through to USE <db> (a database literally named
+        // MODULES); Flink rejects the empty list at parse time
+        throw new IllegalArgumentException("USE MODULES: empty module list")
       case useModulesRe(list) =>
         val names = list.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty).toSeq

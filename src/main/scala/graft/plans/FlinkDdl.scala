@@ -1934,7 +1934,7 @@ object FlinkDdl {
         else if (cdcDecoders.contains(fmt)) readCdc(spark, fmt, physical, path, primaryKey)
         else attachFsMeta(readFs(spark, fmt, schema, path, opts), metaCols)
       case "datagen" =>
-        datagen(spark, schema, opts.getOrElse("number-of-rows", "1000").toLong, opts)
+        datagen(spark, schema, opts)
       case "print" | "blackhole" =>
         // sink-only connectors: register an empty relation so the name
         // resolves; INSERT INTO routing is the caller's concern
@@ -2066,6 +2066,10 @@ object FlinkDdl {
       // FINITE — Spark's rate source cannot terminate, so that shape is
       // a clear error pointing at bounded mode.
       val opts = optionsOf(spark, table)
+      validateDatagenFields(schema, opts)
+      if (opts.contains("number-of-rows"))
+        fail("streaming datagen: 'number-of-rows' declares a finite source " +
+          "— run it as a bounded batch read instead")
       val seqSpans = datagenSeqSpans(schema, opts)
       seqSpans.collectFirst { case (n, (_, Some(_))) => n }.foreach { n =>
         fail(s"streaming datagen: sequence column '$n' declares an end " +
@@ -2171,16 +2175,39 @@ object FlinkDdl {
       }
     }.toMap
 
-  private def datagen(spark: SparkSession, schema: StructType, n: Long,
-      opts: Map[String, String] = Map.empty): DataFrame = {
+  /** Every `fields.<col>.*` option must name a declared column — Flink
+    * rejects unsupported options, and the permissive alternative masks
+    * column-name typos as silently-random data.
+    */
+  private def validateDatagenFields(schema: StructType,
+      opts: Map[String, String]): Unit = {
+    val names = schema.fieldNames.toSet
+    opts.keys.filter(_.startsWith("fields.")).foreach { k =>
+      val c = k.stripPrefix("fields.").takeWhile(_ != '.')
+      if (!names.contains(c))
+        fail(s"datagen option '$k' names unknown column '$c'")
+    }
+  }
+
+  private def datagen(spark: SparkSession, schema: StructType,
+      opts: Map[String, String]): DataFrame = {
     // Flink's per-field generator options: kind = random (default) |
-    // sequence; sequence fields run start..end and EXHAUST the source
-    // (the bounded row count is the shortest sequence, capped by
-    // number-of-rows); random numerics honor min/max, random strings
-    // honor length.
+    // sequence; sequence fields run start..end and EXHAUST the source —
+    // an explicitly declared extent is never truncated by the implicit
+    // 1000-row default, only by a declared number-of-rows; random
+    // numerics honor min/max, random strings honor length.
+    validateDatagenFields(schema, opts)
     val seqSpans = datagenSeqSpans(schema, opts)
-    val rows = (n +: seqSpans.values.toSeq.map { case (s, e) =>
-      e.getOrElse(s + n - 1) - s + 1 }).min
+    val nOpt = opts.get("number-of-rows").map(_.toLong)
+    val extents = seqSpans.values.toSeq.collect { case (s, Some(e)) =>
+      val span = e - s + 1
+      if (span <= 0) fail(s"datagen sequence span $s..$e overflows")
+      span
+    }
+    val rows = (nOpt.toSeq ++ extents) match {
+      case Seq() => 1000L
+      case xs => xs.min
+    }
     datagenShape(spark.range(rows).toDF(), schema, opts, seqSpans)
   }
 
@@ -2201,7 +2228,9 @@ object FlinkDdl {
             val lo = fOpt(f, "min").map(_.toLong).getOrElse(0L)
             val hi = fOpt(f, "max").map(_.toLong).getOrElse(999999L)
             if (hi < lo) fail(s"datagen for ${f.name}: max < min")
-            (lit(lo) + pmod(h, lit(hi - lo + 1))).cast(f.dataType)
+            val span = hi - lo + 1
+            if (span <= 0) fail(s"datagen for ${f.name}: range $lo..$hi overflows")
+            (lit(lo) + pmod(h, lit(span))).cast(f.dataType)
           case DoubleType | FloatType | _: DecimalType =>
             val lo = fOpt(f, "min").map(_.toDouble).getOrElse(0.0)
             val hi = fOpt(f, "max").map(_.toDouble).getOrElse(1000.0)
@@ -2212,8 +2241,10 @@ object FlinkDdl {
             case None => concat(lit("v"), pmod(h, lit(1000L)))
             case Some(l) =>
               val len = l.toInt
-              // deterministic alphanumeric of exactly `len` chars
-              substring(repeat(lower(hex(h)), len / 16 + 1), 1, len)
+              // deterministic hex of EXACTLY `len` chars — hex(bigint)
+              // drops leading zeros, so pad to the full 16 digits before
+              // repeating or short hashes undershoot the length
+              substring(repeat(lpad(lower(hex(h)), 16, "0"), len / 16 + 1), 1, len)
           }
           case BooleanType => pmod(h, lit(2L)) === 0
           case TimestampType => timestamp_seconds(lit(1700000000L) + pmod(h, lit(86400L)))

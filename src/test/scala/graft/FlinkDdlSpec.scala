@@ -146,6 +146,20 @@ class FlinkDdlSpec extends AnyFunSuite {
     val price = df.select("price").as[Double].collect()
     assert(price.forall(p => p >= 1.5 && p <= 2.5))
     assert(df.select("code").as[String].collect().forall(_.length == 12))
+    // a string length past the 16-hex-digit block stays EXACT (hex(bigint)
+    // drops leading zeros — the padding regression)
+    FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen_len (code STRING)
+        |WITH ('connector' = 'datagen', 'number-of-rows' = '200',
+        |      'fields.code.length' = '17')""".stripMargin)
+    assert(spark.table("ddl_gen_len").collect().forall(_.getString(0).length == 17))
+    // an explicit sequence extent is never truncated by the implicit
+    // 1000-row default (Flink's run-to-exhaustion rule)
+    FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen_exh (id BIGINT)
+        |WITH ('connector' = 'datagen', 'fields.id.kind' = 'sequence',
+        |      'fields.id.start' = '0', 'fields.id.end' = '2999')""".stripMargin)
+    assert(spark.table("ddl_gen_exh").count() == 3000)
     // bad shapes reject clearly
     val e1 = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
       """CREATE TABLE ddl_gen_bad (v INT) WITH ('connector' = 'datagen',
@@ -155,6 +169,23 @@ class FlinkDdlSpec extends AnyFunSuite {
       """CREATE TABLE ddl_gen_bad2 (v INT) WITH ('connector' = 'datagen',
         |  'fields.v.min' = '9', 'fields.v.max' = '1')""".stripMargin))
     assert(e2.getMessage.contains("max < min"))
+    // a typo'd column name in a fields.* option rejects (Flink's
+    // unsupported-options rule), instead of silently going random
+    val e3 = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen_bad3 (v INT) WITH ('connector' = 'datagen',
+        |  'fields.vv.kind' = 'sequence')""".stripMargin))
+    assert(e3.getMessage.contains("unknown column"))
+    // overflowing spans/ranges reject instead of registering empty/garbage
+    val e4 = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen_bad4 (v BIGINT) WITH ('connector' = 'datagen',
+        |  'fields.v.kind' = 'sequence', 'fields.v.start' = '0',
+        |  'fields.v.end' = '9223372036854775807')""".stripMargin))
+    assert(e4.getMessage.contains("overflow"))
+    val e5 = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen_bad5 (v BIGINT) WITH ('connector' = 'datagen',
+        |  'fields.v.min' = '-9223372036854775808',
+        |  'fields.v.max' = '9223372036854775807')""".stripMargin))
+    assert(e5.getMessage.contains("overflow"))
   }
 
   test("streaming datagen: the rate source drives the declared shape with field options") {
@@ -191,6 +222,14 @@ class FlinkDdlSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       FlinkDdl.readStream(spark, "ddl_gen_stream_fin"))
     assert(e.getMessage.contains("finite"))
+    // number-of-rows is a finite source too — same clear error, not an
+    // infinite stream that silently drops the declared bound
+    FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen_stream_n (id BIGINT)
+        |WITH ('connector' = 'datagen', 'number-of-rows' = '100')""".stripMargin)
+    val e2 = intercept[IllegalArgumentException](
+      FlinkDdl.readStream(spark, "ddl_gen_stream_n"))
+    assert(e2.getMessage.contains("finite"))
   }
 
   test("connector DDL parses to a lazy command; execution registers the view") {
