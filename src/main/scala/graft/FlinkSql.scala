@@ -96,6 +96,9 @@ object FlinkSql {
   }
   private val stmtSetRe =
     raw"(?is)^\s*(?:EXECUTE\s+STATEMENT\s+SET\s+BEGIN|BEGIN\s+STATEMENT\s+SET)\s*;?\s*(.*?)\s*;?\s*END\s*$$".r
+  private val compilePlanRe =
+    raw"(?is)^\s*COMPILE\s+(AND\s+EXECUTE\s+)?PLAN\s+'([^']+)'\s+FOR\s+(.+)$$".r
+  private val executePlanRe = raw"(?is)^\s*EXECUTE\s+PLAN\s+'([^']+)'\s*$$".r
   private val explainRe = raw"(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.*)$$".r
   // Flink's ExplainDetails + bare `EXPLAIN <stmt>` — Spark's own explain
   // modes (EXTENDED/CODEGEN/COST/FORMATTED/ANALYZE) fall through to Spark
@@ -218,6 +221,90 @@ object FlinkSql {
         val inserts = statements(body)
         require(inserts.nonEmpty, "empty STATEMENT SET")
         inserts.map(sql(spark, _)).reduce(_ unionByName _)
+      case compilePlanRe(andExec, path, body0) =>
+        // FLIP-190 plan persistence (Flink 1.19 `COMPILE PLAN 'f' FOR
+        // <insert>` / `COMPILE AND EXECUTE PLAN`): the compiled artifact
+        // is the name-resolved statement plus the DDL closure it needs
+        // (referenced connector tables + dialect views, transitively),
+        // so EXECUTE PLAN restores the whole pipeline in a session that
+        // never saw the original script. Flink refuses to overwrite an
+        // existing plan file unless table.plan.force-recompile is set;
+        // same contract here through the SET surface.
+        val f = new java.io.File(path)
+        val force = Option(setKeys(spark).get("table.plan.force-recompile"))
+          .exists(_.equalsIgnoreCase("true"))
+        if (f.exists() && !force)
+          throw new IllegalArgumentException(
+            s"COMPILE PLAN: '$path' already exists — " +
+              "SET 'table.plan.force-recompile' = 'true' to overwrite")
+        val body = body0.trim
+        // a statement set compiles as its executable form
+        val stmt =
+          if (raw"(?is)^\s*STATEMENT\s+SET\s+BEGIN\b".r.findFirstIn(body).isDefined)
+            "EXECUTE " + body
+          else body
+        val inners = stmtSetRe.findFirstMatchIn(stmt) match {
+          case Some(m) => statements(m.group(1))
+          case None => Seq(stmt)
+        }
+        require(inners.nonEmpty, "COMPILE PLAN: empty statement set")
+        val insHeadRe =
+          raw"(?is)^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?`?([A-Za-z_]\w*)`?".r
+        inners.foreach { ins =>
+          val m = insHeadRe.findFirstMatchIn(ins).getOrElse(
+            throw new IllegalArgumentException(
+              "COMPILE PLAN supports INSERT statements and statement sets " +
+                s"of INSERTs, got: ${ins.trim.take(60)}"))
+          // self-containment: a sink outside the DDL registry cannot be
+          // replayed into a fresh session, so reject it at compile time
+          // (Flink's compiled ExecNode graph embeds the sink spec too)
+          if (graft.plans.FlinkDdl.registered(spark, m.group(1)).isEmpty)
+            throw new IllegalArgumentException(
+              s"COMPILE PLAN: sink '${m.group(1)}' is not a DDL-registered " +
+                "table — a compiled plan must be self-contained")
+        }
+        val ddls = planDdls(spark, stmt)
+        val ddlJson = ddls.map { case (kind, name, sqlText, vbody) =>
+          s"""{"kind": ${jsonStr(kind)}, "name": ${jsonStr(name)}, """ +
+            s""""sql": ${jsonStr(sqlText)}, "body": ${jsonStr(vbody)}}"""
+        }.mkString("[\n  ", ",\n  ", "\n]")
+        val json = s"""{
+          |"graftPlanVersion": 1,
+          |"dialect": "flink-1.19",
+          |"statement": ${jsonStr(stmt)},
+          |"ddls": $ddlJson
+          |}""".stripMargin
+        Option(f.getParentFile).foreach(_.mkdirs())
+        java.nio.file.Files.writeString(f.toPath, json)
+        if (andExec != null) sql(spark, stmt) else okRow(spark, "plan", path)
+      case executePlanRe(path) =>
+        val f = new java.io.File(path)
+        if (!f.exists())
+          throw new IllegalArgumentException(s"EXECUTE PLAN: no plan file at '$path'")
+        val txt = java.nio.file.Files.readString(f.toPath)
+        import spark.implicits._
+        val parsed = spark.read.json(Seq(txt).toDS())
+        require(parsed.columns.contains("statement") && parsed.columns.contains("ddls"),
+          s"EXECUTE PLAN: '$path' is not a graft-compiled plan")
+        val row = parsed.select("statement", "ddls").head()
+        // replay the DDL closure into THIS session — tables first, views
+        // in their recorded dependency order; already-registered names
+        // are kept (re-running a plan in the compiling session is a
+        // no-op on the catalog, like Flink's restore)
+        row.getSeq[org.apache.spark.sql.Row](1).foreach { d =>
+          val kind = d.getAs[String]("kind")
+          val name = d.getAs[String]("name")
+          val ddl = d.getAs[String]("sql")
+          if (kind == "view") {
+            if (!spark.catalog.tableExists(name)) {
+              graft.plans.FlinkDdl.runDialectSql(spark, ddl)
+              graft.plans.FlinkDdl.registerView(spark, name, ddl,
+                d.getAs[String]("body"))
+            }
+          } else if (graft.plans.FlinkDdl.registered(spark, name).isEmpty)
+            sql(spark, ddl)
+        }
+        sql(spark, row.getString(0))
       case explainRe(body) =>
         okRow(spark, "plan", explainText(spark, body, Nil))
       case explainDetailRe(details, body) =>
@@ -650,6 +737,47 @@ object FlinkSql {
     s"CREATE TABLE `$name` (\n${(cols ++ metaLines ++ compLines ++ pkLine ++ wmLine).mkString(",\n")}\n)$partLine\nWITH (\n${opts.mkString(",\n")}\n)"
   }
 
+  /** COMPILE PLAN's dependency closure: every DDL-registered table and
+    * dialect view the statement references — transitively through view
+    * createSql + bodies — as replayable `(kind, name, ddl, viewBody)`
+    * rows. Tables lead (views read them); views keep registration order
+    * (later views may reference earlier ones).
+    */
+  private def planDdls(spark: SparkSession,
+      text: String): Seq[(String, String, String, String)] = {
+    val tables = graft.plans.FlinkDdl.registeredTables(spark).keySet
+    val views = graft.plans.FlinkDdl.viewDefs(spark)
+    val viewMap = views.map(v => v._1 -> v).toMap
+    def namesIn(s: String): Set[String] =
+      raw"[A-Za-z_]\w*".r.findAllIn(s).map(_.toLowerCase).toSet
+    var need = Set.empty[String]
+    var frontier = namesIn(text)
+    while (frontier.nonEmpty) {
+      val hits = frontier.filter(n =>
+        (tables.contains(n) || viewMap.contains(n)) && !need.contains(n))
+      need ++= hits
+      frontier = hits.flatMap(n => viewMap.get(n)
+        .map(v => namesIn(v._2 + " " + v._3)).getOrElse(Set.empty[String])) -- need
+    }
+    val t = tables.intersect(need).toSeq.sorted
+      .map(n => ("table", n, renderCreateTable(spark, n), ""))
+    val v = views.filter(x => need.contains(x._1))
+      .map(x => ("view", x._1, x._2, x._3))
+    t ++ v
+  }
+
+  // JSON string escape (same contract as Verify's oracle dump: quote,
+  // backslash, all control chars — plan files must survive json.load)
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   private def okRow(spark: SparkSession, col: String, v: String): DataFrame = {
     import spark.implicits._
     Seq(("OK", v)).toDF("result", col)
@@ -771,7 +899,7 @@ object FlinkSql {
   }
 
   private val setOpenRe =
-    raw"(?is)^\s*(EXECUTE\s+STATEMENT\s+SET\s+BEGIN|BEGIN\s+STATEMENT\s+SET)\b".r
+    raw"(?is)^\s*(?:COMPILE\s+(?:AND\s+EXECUTE\s+)?PLAN\s+'[^']*'\s+FOR\s+)?(EXECUTE\s+STATEMENT\s+SET\s+BEGIN|BEGIN\s+STATEMENT\s+SET|STATEMENT\s+SET\s+BEGIN)\b".r
 
   /** `EXECUTE STATEMENT SET BEGIN ...; ...; END` spans `;` boundaries —
     * re-join the split pieces (with `;`) until the closing END so the

@@ -837,7 +837,7 @@ object FlinkDdl {
     val parts = partitionsOf(spark, name)
     var wm = watermarkOf(spark, name)
     // the FULL registered option map (csv delimiters, kafka topics, ...)
-    val opts = optionsOf(spark, name) ++ Map("connector" -> connector) ++
+    var opts = optionsOf(spark, name) ++ Map("connector" -> connector) ++
       (if (path.nonEmpty) Map("path" -> path) else Map.empty) ++
       (if (fmt.nonEmpty) Map("format" -> fmt) else Map.empty)
     def exists(c: String) = phys.exists(_._1.equalsIgnoreCase(c)) ||
@@ -951,6 +951,9 @@ object FlinkDdl {
               fail(s"ALTER TABLE $name: `$c` is referenced by a computed column")
             phys.remove(i)
           }
+          // per-field connector options (datagen fields.<col>.*) go with
+          // the column — a stale key would fail re-registration forever
+          opts = opts.filterNot(_._1.startsWith(s"fields.${c.toLowerCase}."))
         }
       case "RENAME" =>
         val rm = raw"(?is)^([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)$$".r
@@ -977,6 +980,12 @@ object FlinkDdl {
           fail(s"ALTER TABLE $name: `$from` is referenced by a computed column")
         pk = pk.map(c => if (c.equalsIgnoreCase(from)) to else c)
         wm = wm.map { case (c, d) => (if (c.equalsIgnoreCase(from)) to else c, d) }
+        // rename rides the per-field connector options too
+        opts = opts.map { case (k, v) =>
+          val pre = s"fields.${from.toLowerCase}."
+          if (k.startsWith(pre)) (s"fields.${to.toLowerCase}." + k.stripPrefix(pre), v)
+          else (k, v)
+        }
       case other => fail(s"unsupported ALTER TABLE verb $other")
     }
     if (phys.isEmpty) fail(s"ALTER TABLE $name: a table needs at least one physical column")
@@ -2065,7 +2074,7 @@ object FlinkDdl {
       // sequence column with an explicit 'end' makes the Flink source
       // FINITE — Spark's rate source cannot terminate, so that shape is
       // a clear error pointing at bounded mode.
-      val opts = optionsOf(spark, table)
+      val opts = optionsOf(spark, table).map { case (k, v) => k.toLowerCase -> v }
       validateDatagenFields(schema, opts)
       if (opts.contains("number-of-rows"))
         fail("streaming datagen: 'number-of-rows' declares a finite source " +
@@ -2075,7 +2084,7 @@ object FlinkDdl {
         fail(s"streaming datagen: sequence column '$n' declares an end " +
           "(a finite source) — run it as a bounded batch read instead")
       }
-      val rps = opts.getOrElse("rows-per-second", "10000").toLong
+      val rps = numOpt(opts.getOrElse("rows-per-second", "10000"), "rows-per-second")
       val rate = spark.readStream.format("rate").option("rowsPerSecond", rps)
         .load().select(col("value").as("id"))
       val df = datagenShape(rate, schema, opts, seqSpans)
@@ -2162,11 +2171,11 @@ object FlinkDdl {
   private def datagenSeqSpans(schema: StructType,
       opts: Map[String, String]): Map[String, (Long, Option[Long])] =
     schema.fields.toSeq.flatMap { f =>
-      def fOpt(k: String) = opts.get(s"fields.${f.name}.$k")
+      def fOpt(k: String) = opts.get(s"fields.${f.name.toLowerCase}.$k")
       fOpt("kind") match {
         case Some("sequence") =>
-          val start = fOpt("start").map(_.toLong).getOrElse(0L)
-          val end = fOpt("end").map(_.toLong)
+          val start = fOpt("start").map(numOpt(_, s"fields.${f.name}.start")).getOrElse(0L)
+          val end = fOpt("end").map(numOpt(_, s"fields.${f.name}.end"))
           if (end.exists(_ < start)) fail(s"datagen sequence for ${f.name}: end < start")
           Some(f.name -> (start, end))
         case Some("random") | None => None
@@ -2179,12 +2188,23 @@ object FlinkDdl {
     * rejects unsupported options, and the permissive alternative masks
     * column-name typos as silently-random data.
     */
+  // numeric option parses fail with the option name, not a bare
+  // NumberFormatException surfacing from deep inside the planner
+  private def numOpt(v: String, what: String): Long =
+    try v.trim.toLong catch { case _: NumberFormatException =>
+      fail(s"$what must be a number, got `$v`") }
+  private def dblOpt(v: String, what: String): Double =
+    try v.trim.toDouble catch { case _: NumberFormatException =>
+      fail(s"$what must be a number, got `$v`") }
+
   private def validateDatagenFields(schema: StructType,
       opts: Map[String, String]): Unit = {
-    val names = schema.fieldNames.toSet
+    // the DDL parser lowercases option keys; field names keep their
+    // declared case — compare case-insensitively on both sides
+    val names = schema.fieldNames.map(_.toLowerCase).toSet
     opts.keys.filter(_.startsWith("fields.")).foreach { k =>
       val c = k.stripPrefix("fields.").takeWhile(_ != '.')
-      if (!names.contains(c))
+      if (!names.contains(c.toLowerCase))
         fail(s"datagen option '$k' names unknown column '$c'")
     }
   }
@@ -2196,9 +2216,12 @@ object FlinkDdl {
     // an explicitly declared extent is never truncated by the implicit
     // 1000-row default, only by a declared number-of-rows; random
     // numerics honor min/max, random strings honor length.
-    validateDatagenFields(schema, opts)
-    val seqSpans = datagenSeqSpans(schema, opts)
-    val nOpt = opts.get("number-of-rows").map(_.toLong)
+    // normalize option-key case once so the fields.* lookups cannot
+    // depend on which parse site built the map
+    val o = opts.map { case (k, v) => k.toLowerCase -> v }
+    validateDatagenFields(schema, o)
+    val seqSpans = datagenSeqSpans(schema, o)
+    val nOpt = o.get("number-of-rows").map(numOpt(_, "number-of-rows"))
     val extents = seqSpans.values.toSeq.collect { case (s, Some(e)) =>
       val span = e - s + 1
       if (span <= 0) fail(s"datagen sequence span $s..$e overflows")
@@ -2208,7 +2231,7 @@ object FlinkDdl {
       case Seq() => 1000L
       case xs => xs.min
     }
-    datagenShape(spark.range(rows).toDF(), schema, opts, seqSpans)
+    datagenShape(spark.range(rows).toDF(), schema, o, seqSpans)
   }
 
   /** Shape the declared columns from a row-sequence column `id` — shared
@@ -2218,29 +2241,30 @@ object FlinkDdl {
       opts: Map[String, String],
       seqSpans: Map[String, (Long, Option[Long])]): DataFrame = {
     import org.apache.spark.sql.types._
-    def fOpt(f: StructField, k: String): Option[String] = opts.get(s"fields.${f.name}.$k")
+    def fOpt(f: StructField, k: String): Option[String] =
+      opts.get(s"fields.${f.name.toLowerCase}.$k")
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       val h = xxhash64(col("id"), lit(i))
       val c = seqSpans.get(f.name) match {
         case Some((start, _)) => (col("id") + start).cast(f.dataType)
         case None => f.dataType match {
           case LongType | IntegerType | ShortType =>
-            val lo = fOpt(f, "min").map(_.toLong).getOrElse(0L)
-            val hi = fOpt(f, "max").map(_.toLong).getOrElse(999999L)
+            val lo = fOpt(f, "min").map(numOpt(_, s"fields.${f.name}.min")).getOrElse(0L)
+            val hi = fOpt(f, "max").map(numOpt(_, s"fields.${f.name}.max")).getOrElse(999999L)
             if (hi < lo) fail(s"datagen for ${f.name}: max < min")
             val span = hi - lo + 1
             if (span <= 0) fail(s"datagen for ${f.name}: range $lo..$hi overflows")
             (lit(lo) + pmod(h, lit(span))).cast(f.dataType)
           case DoubleType | FloatType | _: DecimalType =>
-            val lo = fOpt(f, "min").map(_.toDouble).getOrElse(0.0)
-            val hi = fOpt(f, "max").map(_.toDouble).getOrElse(1000.0)
+            val lo = fOpt(f, "min").map(dblOpt(_, s"fields.${f.name}.min")).getOrElse(0.0)
+            val hi = fOpt(f, "max").map(dblOpt(_, s"fields.${f.name}.max")).getOrElse(1000.0)
             if (hi < lo) fail(s"datagen for ${f.name}: max < min")
             (lit(lo) + pmod(h, lit(100000L)).cast("double") / 100000.0 * (hi - lo))
               .cast(f.dataType)
           case StringType => fOpt(f, "length") match {
             case None => concat(lit("v"), pmod(h, lit(1000L)))
             case Some(l) =>
-              val len = l.toInt
+              val len = numOpt(l, s"fields.${f.name}.length").toInt
               // deterministic hex of EXACTLY `len` chars — hex(bigint)
               // drops leading zeros, so pad to the full 16 digits before
               // repeating or short hashes undershoot the length

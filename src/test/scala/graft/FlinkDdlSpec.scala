@@ -188,6 +188,33 @@ class FlinkDdlSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("overflow"))
   }
 
+  test("datagen options ride mixed-case columns and ALTER RENAME/DROP") {
+    import spark.implicits._
+    // the DDL parser lowercases option keys; the field lookup must still
+    // match a mixed-case declared column
+    FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen_case (userId BIGINT, v INT)
+        |WITH ('connector' = 'datagen', 'number-of-rows' = '20',
+        |      'fields.userId.kind' = 'sequence', 'fields.userId.start' = '5',
+        |      'fields.v.min' = '1', 'fields.v.max' = '3')""".stripMargin)
+    val df = spark.table("ddl_gen_case")
+    assert(df.select("userId").as[Long].collect().sorted.toSeq == (5L to 24L))
+    assert(df.select("v").as[Int].collect().forall(x => x >= 1 && x <= 3))
+    // RENAME carries the per-field options to the new name; DROP removes
+    // them (a stale fields.* key would fail every later re-registration)
+    FlinkSql.sql(spark, "ALTER TABLE ddl_gen_case RENAME v TO w")
+    assert(spark.table("ddl_gen_case").select("w").as[Int].collect()
+      .forall(x => x >= 1 && x <= 3))
+    FlinkSql.sql(spark, "ALTER TABLE ddl_gen_case DROP w")
+    FlinkSql.sql(spark, "ALTER TABLE ddl_gen_case ADD v2 INT")
+    assert(spark.table("ddl_gen_case").columns.toSeq == Seq("userId", "v2"))
+    // malformed numeric options fail with the option's name
+    val e = intercept[IllegalArgumentException](FlinkDdl.execute(spark,
+      """CREATE TABLE ddl_gen_nan (v INT) WITH ('connector' = 'datagen',
+        |  'number-of-rows' = 'abc')""".stripMargin))
+    assert(e.getMessage.contains("number-of-rows"))
+  }
+
   test("streaming datagen: the rate source drives the declared shape with field options") {
     import spark.implicits._
     FlinkDdl.execute(spark,
