@@ -1242,7 +1242,12 @@ object FlinkDdl {
     val name = m.group(2)
     val (connector, path, fmt, schema) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
     requireVirtualMetadata(spark, name)
-    val selected = spark.sql(applyOptionsHints(spark, m.group(5)))
+    // the SELECT body parses through the DIALECT chain, so an INSERT can
+    // carry the full Flink surface (window TVFs, UNNEST, bracket
+    // constructors, LOOKUP/STATE_TTL hints) on a plain session too
+    val bodyParser = new GraftSqlParser(spark, spark.sessionState.sqlParser)
+    val selected = org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+      bodyParser.parsePlan(applyOptionsHints(spark, m.group(5))))
     // Flink's STATIC partition clause: `PARTITION (k='v')` pins the
     // listed partition columns to literals; the SELECT supplies the rest
     val statics = Option(m.group(3)).map(staticPartitionSpec).getOrElse(Seq.empty)

@@ -1,0 +1,135 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/** Flink's key-value query hints — `LOOKUP` (FLIP-221, [U]
+  * flink-table-planner `hint/LookupJoinHintOptions`) and `STATE_TTL`
+  * (FLIP-292, [U] `hint/StateTtlHint`) — whose `'k'='v'` argument syntax
+  * Spark's hint grammar cannot parse, so they must be consumed by the
+  * dialect chain before the statement reaches Spark.
+  *
+  * `LOOKUP('table'='dim', ...)`: Flink tunes how the lookup join probes
+  * the dimension table (sync/async, ordered/unordered, retry on miss).
+  * The Spark-first execution of a lookup join is a broadcast of the
+  * dimension side — the probe stream never shuffles and every task holds
+  * the dim snapshot, which is exactly the data movement Flink's lookup
+  * cache avoids — so the hint rewrites to Spark's own `BROADCAST(dim)`
+  * hint. The async/retry options are validated with Flink's rules
+  * (option names, enum values, duration formats) and then advisory, like
+  * Flink treats them on a connector without async support.
+  *
+  * `STATE_TTL('t'='1d', ...)`: per-input state retention for streaming
+  * regular joins / group aggregates. Values are validated as Flink
+  * duration strings and recorded per name in session state
+  * ([[stateTtlOf]]); the programmatic stateful operators take the same
+  * TTL via `transformWithState`'s `TTLConfig` (processing-time based,
+  * like Flink's StateTtlConfig — see `streaming/GroupAgg.retractingAgg`).
+  * Spark's stream-stream join state is watermark-evicted, not TTL'd —
+  * documented delta; the recorded TTL is advisory there.
+  */
+object FlinkHints {
+  private val lookupRe = raw"(?is)/\*\+\s*LOOKUP\s*\(([^)]*)\)\s*\*/".r
+  private val stateTtlRe = raw"(?is)/\*\+\s*STATE_TTL\s*\(([^)]*)\)\s*\*/".r
+  private val kvRe = raw"'((?:[^'\\]|\\.)*)'\s*=\s*'((?:[^'\\]|\\.)*)'".r
+
+  def containsClause(sqlText: String): Boolean =
+    lookupRe.findFirstIn(sqlText).isDefined ||
+      stateTtlRe.findFirstIn(sqlText).isDefined
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"Flink hint: $msg")
+
+  /** Flink duration literal → millis ([U] flink-core
+    * util/TimeUtils.parseDuration): `'123'` (ms), `'3 s'`, `'12h'`,
+    * `'1 d'`; singular/plural long unit names accepted.
+    */
+  private[graft] def parseDuration(v: String, what: String): Long = {
+    val m = raw"(?i)^\s*(\d+)\s*([a-zµ]*)\s*$$".r.findFirstMatchIn(v)
+      .getOrElse(fail(s"$what: '$v' is not a duration (like '3 s', '100ms', '1 d')"))
+    val n = m.group(1).toLong
+    m.group(2).toLowerCase match {
+      case "" | "ms" | "milli" | "millisecond" | "milliseconds" => n
+      case "s" | "sec" | "second" | "seconds" => n * 1000L
+      case "min" | "minute" | "minutes" => n * 60000L
+      case "h" | "hour" | "hours" => n * 3600000L
+      case "d" | "day" | "days" => n * 86400000L
+      case u => fail(s"$what: unknown duration unit '$u' in '$v'")
+    }
+  }
+
+  // LookupJoinHintOptions: the option table Flink validates against
+  private val lookupKeys = Set("table", "async", "output-mode", "capacity",
+    "timeout", "retry-predicate", "retry-strategy", "fixed-delay", "max-attempts")
+
+  private def validateLookup(opts: Map[String, String]): String = {
+    opts.keys.find(!lookupKeys.contains(_)).foreach(k =>
+      fail(s"LOOKUP does not support option '$k' " +
+        s"(supported: ${lookupKeys.toSeq.sorted.mkString(", ")})"))
+    val table = opts.getOrElse("table", fail("LOOKUP requires 'table'"))
+    opts.get("async").foreach(v =>
+      if (!Set("true", "false").contains(v.toLowerCase))
+        fail(s"LOOKUP 'async' must be true/false, got '$v'"))
+    opts.get("output-mode").foreach(v =>
+      if (!Set("ordered", "allow_unordered").contains(v.toLowerCase))
+        fail(s"LOOKUP 'output-mode' must be ordered/allow_unordered, got '$v'"))
+    Seq("capacity", "max-attempts").foreach(k => opts.get(k).foreach(v =>
+      if (!v.matches(raw"\d+") || v.toLong <= 0)
+        fail(s"LOOKUP '$k' must be a positive integer, got '$v'")))
+    Seq("timeout", "fixed-delay").foreach(k =>
+      opts.get(k).foreach(parseDuration(_, s"LOOKUP '$k'")))
+    opts.get("retry-predicate").foreach(v =>
+      if (v.toLowerCase != "lookup_miss")
+        fail(s"LOOKUP 'retry-predicate' must be lookup_miss, got '$v'"))
+    opts.get("retry-strategy").foreach(v =>
+      if (v.toLowerCase != "fixed_delay")
+        fail(s"LOOKUP 'retry-strategy' must be fixed_delay, got '$v'"))
+    // `cat.db.dim` hints the same table a qualified reference resolves
+    // to — the broadcast target is the physical (last) name part
+    table.split('.').last
+  }
+
+  private val ttlBySession =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Long]]()
+  private def ttlRegistry(spark: SparkSession) = ttlBySession.synchronized {
+    var r = ttlBySession.get(spark)
+    if (r == null) {
+      r = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      ttlBySession.put(spark, r)
+    }
+    r
+  }
+
+  /** The last STATE_TTL hint recorded for `name` (table or alias) in
+    * this session, as millis — the deployment-layer analog of Flink's
+    * per-input StateTtlConfig.
+    */
+  def stateTtlOf(spark: SparkSession, name: String): Option[Long] =
+    Option(ttlRegistry(spark).get(name.toLowerCase))
+
+  /** Consume every LOOKUP / STATE_TTL hint in `sqlText`: validate with
+    * Flink's option rules, record STATE_TTL durations, and leave either
+    * Spark's `BROADCAST(dim)` (for LOOKUP) or nothing (for STATE_TTL)
+    * in the comment's place.
+    */
+  def rewrite(spark: SparkSession, sqlText: String): String = {
+    val afterLookup = lookupRe.replaceAllIn(sqlText, m => {
+      val opts = kvRe.findAllMatchIn(m.group(1))
+        .map(o => o.group(1).toLowerCase -> o.group(2)).toMap
+      val dim = validateLookup(opts)
+      java.util.regex.Matcher.quoteReplacement(s"/*+ BROADCAST($dim) */")
+    })
+    stateTtlRe.replaceAllIn(afterLookup, m => {
+      val pairs = kvRe.findAllMatchIn(m.group(1))
+        .map(o => o.group(1) -> o.group(2)).toSeq
+      if (pairs.isEmpty) fail("STATE_TTL needs at least one 'table'='duration' pair")
+      pairs.foreach { case (name, dur) =>
+        if (!name.matches(raw"[A-Za-z_][\w.]*"))
+          fail(s"STATE_TTL key '$name' is not a table name or alias")
+        ttlRegistry(spark).put(name.split('.').last.toLowerCase,
+          parseDuration(dur, s"STATE_TTL '$name'"))
+      }
+      " "
+    })
+  }
+}

@@ -42,7 +42,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     // tables (per-query connector override via a derived view), dropped
     // for names the registry doesn't know (other hints pass through to
     // Spark, which understands its own and warns on unknowns)
-    val noOpts = joinHints(FlinkDdl.applyOptionsHints(session, sqlText))
+    // Flink's key-value hints (LOOKUP / STATE_TTL) carry `'k'='v'`
+    // arguments Spark's hint grammar rejects — consume them first
+    val noKv =
+      if (FlinkHints.containsClause(sqlText)) FlinkHints.rewrite(session, sqlText)
+      else sqlText
+    val noOpts = joinHints(FlinkDdl.applyOptionsHints(session, noKv))
     // legacy group windows lower onto the TVF form, so they run first
     val lowered =
       if (LegacyGroupWindow.containsClause(noOpts)) LegacyGroupWindow.rewrite(noOpts)

@@ -36,12 +36,18 @@ case class GroupAggChange(row_kind: String, key: Long, cnt: Long,
   * of stream length. At scale the operator partitions by key hash like
   * any shuffle aggregate; no per-key list state is kept.
   */
-class StreamingGroupAgg extends KeyedProcess[Long, ChangeIn, GroupAggChange] {
+class StreamingGroupAgg(ttlMillis: Option[Long] = None)
+    extends KeyedProcess[Long, ChangeIn, GroupAggChange] {
   @transient private var acc: ValueState[(Long, Double)] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val enc: Encoder[(Long, Double)] = ExpressionEncoder()
-    acc = h.getValueState[(Long, Double)]("acc", enc, TTLConfig.NONE)
+    // Flink's StateTtlConfig analog (the STATE_TTL hint surface): an
+    // idle group's accumulator expires on processing time — both engines
+    // trade exactness of late refinements for bounded state
+    val ttl = ttlMillis.map(ms => TTLConfig(java.time.Duration.ofMillis(ms)))
+      .getOrElse(TTLConfig.NONE)
+    acc = h.getValueState[(Long, Double)]("acc", enc, ttl)
   }
 
   private def out(kind: String, key: Long, c: Long, s: Double): GroupAggChange =
@@ -73,9 +79,15 @@ object GroupAgg {
     * rows must carry row_kind; an append-only stream is the special case
     * where every row is "+I".
     */
-  def retractingAgg(ds: Dataset[ChangeIn]): Dataset[GroupAggChange] = {
+  def retractingAgg(ds: Dataset[ChangeIn],
+      stateTtl: Option[java.time.Duration] = None): Dataset[GroupAggChange] = {
     implicit val out: Encoder[GroupAggChange] = Encoders.product[GroupAggChange]
+    // a TTL'd state variable needs the processing-time clock (Spark
+    // rejects TTLConfig under TimeMode.None; Flink's TTL is also
+    // processing-time based)
+    val tm = if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     ds.groupByKey(_.key)(Encoders.scalaLong)
-      .transformWithState(new StreamingGroupAgg, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new StreamingGroupAgg(stateTtl.map(_.toMillis)),
+        tm, OutputMode.Append())
   }
 }
