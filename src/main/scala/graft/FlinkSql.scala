@@ -228,15 +228,24 @@ object FlinkSql {
         // (referenced connector tables + dialect views, transitively),
         // so EXECUTE PLAN restores the whole pipeline in a session that
         // never saw the original script. Flink refuses to overwrite an
-        // existing plan file unless table.plan.force-recompile is set;
-        // same contract here through the SET surface.
-        val f = new java.io.File(path)
+        // existing plan file unless table.plan.force-recompile is set —
+        // except COMPILE AND EXECUTE PLAN, which treats an existing file
+        // as already-compiled and executes IT (the script-restart path;
+        // [U] CompileAndExecutePlanOperation passes ifNotExists=true).
+        // normalize `a/sub/../p.json` shapes so the parent mkdirs below
+        // creates the REAL directory, not a path with a dot-dot segment
+        val f = new java.io.File(path).toPath.normalize().toFile
+        if (f.isDirectory)
+          throw new IllegalArgumentException(
+            s"COMPILE PLAN: '$path' is a directory, not a plan file")
         val force = Option(setKeys(spark).get("table.plan.force-recompile"))
           .exists(_.equalsIgnoreCase("true"))
-        if (f.exists() && !force)
+        if (f.exists() && !force) {
+          if (andExec != null) return sql(spark, s"EXECUTE PLAN '$path'")
           throw new IllegalArgumentException(
             s"COMPILE PLAN: '$path' already exists — " +
               "SET 'table.plan.force-recompile' = 'true' to overwrite")
+        }
         val body = body0.trim
         // a statement set compiles as its executable form
         val stmt =
@@ -248,13 +257,16 @@ object FlinkSql {
           case None => Seq(stmt)
         }
         require(inners.nonEmpty, "COMPILE PLAN: empty statement set")
+        // the compile-time shape check mirrors the runtime INSERT matcher
+        // exactly (FlinkDdl.insertRe: bare identifier, no TABLE keyword)
+        // — a plan that compiles must also execute
         val insHeadRe =
-          raw"(?is)^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?`?([A-Za-z_]\w*)`?".r
+          raw"(?is)^\s*INSERT\s+(?:INTO|OVERWRITE)\s+([A-Za-z_]\w*)\b".r
         inners.foreach { ins =>
           val m = insHeadRe.findFirstMatchIn(ins).getOrElse(
             throw new IllegalArgumentException(
               "COMPILE PLAN supports INSERT statements and statement sets " +
-                s"of INSERTs, got: ${ins.trim.take(60)}"))
+                s"of INSERTs (INSERT INTO <sink> ...), got: ${ins.trim.take(60)}"))
           // self-containment: a sink outside the DDL registry cannot be
           // replayed into a fresh session, so reject it at compile time
           // (Flink's compiled ExecNode graph embeds the sink spec too)
@@ -275,36 +287,49 @@ object FlinkSql {
           |"ddls": $ddlJson
           |}""".stripMargin
         Option(f.getParentFile).foreach(_.mkdirs())
-        java.nio.file.Files.writeString(f.toPath, json)
+        try java.nio.file.Files.writeString(f.toPath, json)
+        catch { case e: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"COMPILE PLAN: cannot write '$path': ${e.getMessage}")
+        }
         if (andExec != null) sql(spark, stmt) else okRow(spark, "plan", path)
       case executePlanRe(path) =>
         val f = new java.io.File(path)
-        if (!f.exists())
+        if (!f.isFile)
           throw new IllegalArgumentException(s"EXECUTE PLAN: no plan file at '$path'")
         val txt = java.nio.file.Files.readString(f.toPath)
-        import spark.implicits._
-        val parsed = spark.read.json(Seq(txt).toDS())
-        require(parsed.columns.contains("statement") && parsed.columns.contains("ddls"),
+        // any malformation — non-JSON, right names with wrong types, a
+        // truncated edit — surfaces as ONE typed error, never a
+        // ClassCastException from deep inside row access
+        val (stmt, ddls) = try {
+          import spark.implicits._
+          val parsed = spark.read.json(Seq(txt).toDS())
+          val row = parsed.select("statement", "ddls").head()
+          (row.getString(0), row.getSeq[org.apache.spark.sql.Row](1).map { d =>
+            (d.getAs[String]("kind"), d.getAs[String]("name"),
+              d.getAs[String]("sql"), d.getAs[String]("body"))
+          })
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            throw new IllegalArgumentException(
+              s"EXECUTE PLAN: '$path' is not a graft-compiled plan")
+        }
+        require(stmt != null && ddls.forall(d => d._1 != null && d._2 != null && d._3 != null),
           s"EXECUTE PLAN: '$path' is not a graft-compiled plan")
-        val row = parsed.select("statement", "ddls").head()
         // replay the DDL closure into THIS session — tables first, views
         // in their recorded dependency order; already-registered names
         // are kept (re-running a plan in the compiling session is a
         // no-op on the catalog, like Flink's restore)
-        row.getSeq[org.apache.spark.sql.Row](1).foreach { d =>
-          val kind = d.getAs[String]("kind")
-          val name = d.getAs[String]("name")
-          val ddl = d.getAs[String]("sql")
+        ddls.foreach { case (kind, name, ddl, vbody) =>
           if (kind == "view") {
             if (!spark.catalog.tableExists(name)) {
               graft.plans.FlinkDdl.runDialectSql(spark, ddl)
-              graft.plans.FlinkDdl.registerView(spark, name, ddl,
-                d.getAs[String]("body"))
+              graft.plans.FlinkDdl.registerView(spark, name, ddl, vbody)
             }
           } else if (graft.plans.FlinkDdl.registered(spark, name).isEmpty)
             sql(spark, ddl)
         }
-        sql(spark, row.getString(0))
+        sql(spark, stmt)
       case explainRe(body) =>
         okRow(spark, "plan", explainText(spark, body, Nil))
       case explainDetailRe(details, body) =>

@@ -1244,10 +1244,11 @@ object FlinkDdl {
     requireVirtualMetadata(spark, name)
     // the SELECT body parses through the DIALECT chain, so an INSERT can
     // carry the full Flink surface (window TVFs, UNNEST, bracket
-    // constructors, LOOKUP/STATE_TTL hints) on a plain session too
+    // constructors, LOOKUP/STATE_TTL hints, OPTIONS hints — the parser
+    // chain applies applyOptionsHints itself) on a plain session too
     val bodyParser = new GraftSqlParser(spark, spark.sessionState.sqlParser)
     val selected = org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
-      bodyParser.parsePlan(applyOptionsHints(spark, m.group(5))))
+      bodyParser.parsePlan(m.group(5)))
     // Flink's STATIC partition clause: `PARTITION (k='v')` pins the
     // listed partition columns to literals; the SELECT supplies the rest
     val statics = Option(m.group(3)).map(staticPartitionSpec).getOrElse(Seq.empty)
@@ -2269,7 +2270,12 @@ object FlinkDdl {
           case StringType => fOpt(f, "length") match {
             case None => concat(lit("v"), pmod(h, lit(1000L)))
             case Some(l) =>
-              val len = numOpt(l, s"fields.${f.name}.length").toInt
+              val lenL = numOpt(l, s"fields.${f.name}.length")
+              // bounds-check BEFORE .toInt — a Long wrap would silently
+              // generate tiny (or negative-length) strings
+              if (lenL <= 0 || lenL > 1000000)
+                fail(s"fields.${f.name}.length must be in 1..1000000, got $lenL")
+              val len = lenL.toInt
               // deterministic hex of EXACTLY `len` chars — hex(bigint)
               // drops leading zeros, so pad to the full 16 digits before
               // repeating or short hashes undershoot the length

@@ -46,8 +46,16 @@ object FlinkHints {
   private[graft] def parseDuration(v: String, what: String): Long = {
     val m = raw"(?i)^\s*(\d+)\s*([a-zµ]*)\s*$$".r.findFirstMatchIn(v)
       .getOrElse(fail(s"$what: '$v' is not a duration (like '3 s', '100ms', '1 d')"))
-    val n = m.group(1).toLong
+    val digits = m.group(1)
+    if (digits.length > 15) fail(s"$what: '$v' is out of range")
+    val n = digits.toLong
     m.group(2).toLowerCase match {
+      // sub-millisecond units round UP to a whole milli (this layer's
+      // granularity) so a nonzero duration never collapses to zero
+      case "ns" | "nano" | "nanosecond" | "nanoseconds" =>
+        if (n == 0) 0L else math.max(1L, (n + 999999L) / 1000000L)
+      case "us" | "µs" | "micro" | "microsecond" | "microseconds" =>
+        if (n == 0) 0L else math.max(1L, (n + 999L) / 1000L)
       case "" | "ms" | "milli" | "millisecond" | "milliseconds" => n
       case "s" | "sec" | "second" | "seconds" => n * 1000L
       case "min" | "minute" | "minutes" => n * 60000L
@@ -73,7 +81,7 @@ object FlinkHints {
       if (!Set("ordered", "allow_unordered").contains(v.toLowerCase))
         fail(s"LOOKUP 'output-mode' must be ordered/allow_unordered, got '$v'"))
     Seq("capacity", "max-attempts").foreach(k => opts.get(k).foreach(v =>
-      if (!v.matches(raw"\d+") || v.toLong <= 0)
+      if (!v.matches(raw"\d{1,9}") || v.toLong <= 0)
         fail(s"LOOKUP '$k' must be a positive integer, got '$v'")))
     Seq("timeout", "fixed-delay").foreach(k =>
       opts.get(k).foreach(parseDuration(_, s"LOOKUP '$k'")))

@@ -76,6 +76,13 @@ class CompilePlanSpec extends AnyFunSuite {
     FlinkSql.sql(spark, s"EXECUTE PLAN '$plan'")
     assert(spark.table("cps_a").count() == 4)
     assert(spark.table("cps_b").count() == 6)
+    // re-running COMPILE AND EXECUTE against the existing file does NOT
+    // error: it executes the already-compiled plan (Flink's ifNotExists
+    // restart semantics — only plain COMPILE PLAN refuses to overwrite)
+    FlinkSql.sql(spark,
+      s"COMPILE AND EXECUTE PLAN '$plan' FOR INSERT INTO cps_a SELECT k FROM cps_src")
+    assert(spark.table("cps_a").count() == 6)  // the SET ran again (2+2+2)
+    assert(spark.table("cps_b").count() == 9)  // proof it used the FILE, not the new FOR body
   }
 
   test("compile/execute contract errors: non-INSERT body, unregistered sink, missing file") {

@@ -25,6 +25,15 @@ class FlinkHintsSpec extends AnyFunSuite {
     assert(FlinkHints.parseDuration("2min", "t") == 120000L)
     assert(FlinkHints.parseDuration("12 hours", "t") == 12L * 3600000L)
     assert(FlinkHints.parseDuration("1 d", "t") == 86400000L)
+    // sub-milli units (Flink TimeUtils accepts them) round UP to 1ms so
+    // a nonzero TTL never collapses to zero
+    assert(FlinkHints.parseDuration("500 µs", "t") == 1L)
+    assert(FlinkHints.parseDuration("2000us", "t") == 2L)
+    assert(FlinkHints.parseDuration("1 ns", "t") == 1L)
+    assert(FlinkHints.parseDuration("0ns", "t") == 0L)
+    val eBig = intercept[IllegalArgumentException](
+      FlinkHints.parseDuration("99999999999999999999 s", "t"))
+    assert(eBig.getMessage.contains("range"))
     val e = intercept[IllegalArgumentException](FlinkHints.parseDuration("5 weeks", "t"))
     assert(e.getMessage.contains("unit"))
     val e2 = intercept[IllegalArgumentException](FlinkHints.parseDuration("soon", "t"))

@@ -143,9 +143,11 @@ class StatefulOpsSpec extends AnyFunSuite {
       input.addData(KeyedValue(1L, 1, 10.0))
       q.processAllAvailable()
       Thread.sleep(8000) // processing-time TTL elapses
-      input.addData(KeyedValue(1L, 2, 20.0)) // state expired: no -U for id 1
-      q.processAllAvailable()
-      input.addData(KeyedValue(1L, 3, 30.0)) // state live (same instant): -U for id 2
+      // one batch carries both post-expiry rows: the expired read (no -U
+      // for id 1) and the live refinement (-U for id 2) share a batch
+      // timestamp, so the live check can never be starved past the TTL
+      // by a slow machine
+      input.addData(KeyedValue(1L, 2, 20.0), KeyedValue(1L, 3, 30.0))
       q.processAllAvailable()
       val changes = spark.table(name).as[KeepLastOut].collect()
       assert(!changes.exists(c => c.row_kind == "-U" && c.id == 1L),
