@@ -85,6 +85,30 @@ class CompilePlanSpec extends AnyFunSuite {
     assert(spark.table("cps_b").count() == 9)  // proof it used the FILE, not the new FOR body
   }
 
+  test("EXECUTE PLAN restores the pipeline in a NEW session that never saw the script") {
+    val dir = tmp()
+    val plan = s"$dir/fresh.json"
+    FlinkSql.run(spark,
+      s"""CREATE TABLE cpf_src (k BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$dir/src', 'format' = 'parquet');
+         |INSERT INTO cpf_src VALUES (1), (2), (3);
+         |CREATE VIEW cpf_v AS SELECT k + 100 AS k FROM cpf_src WHERE k > 1;
+         |CREATE TABLE cpf_snk (k BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$dir/snk', 'format' = 'parquet');
+         |COMPILE PLAN '$plan' FOR INSERT INTO cpf_snk SELECT k FROM cpf_v
+         |""".stripMargin)
+    // a NEW session: same SparkContext, but its OWN temp-view catalog and
+    // DDL registries — none of the script's state is visible there
+    val fresh = spark.newSession()
+    assert(!fresh.catalog.tableExists("cpf_src"))
+    assert(graft.plans.FlinkDdl.registered(fresh, "cpf_snk").isEmpty)
+    FlinkSql.sql(fresh, s"EXECUTE PLAN '$plan'")
+    assert(fresh.table("cpf_snk").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq == Seq(102L, 103L))
+    // the original session's catalog was never touched by the fresh run
+    assert(spark.table("cpf_snk").count() == 0)
+  }
+
   test("compile/execute contract errors: non-INSERT body, unregistered sink, missing file") {
     val dir = tmp()
     val e1 = intercept[Exception](FlinkSql.sql(spark,
