@@ -49,10 +49,13 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
   * / `USE [CATALOG] ...` (namespace bookkeeping over the one physical
   * catalog — see FlinkDdl.resolveNames for three-part references).
   * `SHOW JARS` answers from Spark's jar registry (ADD JAR passes
-  * through). `LOAD/UNLOAD MODULE`, `USE MODULES`, `SHOW [FULL]
-  * MODULES` keep Flink's module bookkeeping (validation included;
-  * no function-resolution effect — documented at the state holder). Job management (FLIP-291): `SHOW JOBS` lists active
-  * Structured Streaming queries, `STOP JOB 'id'` (id or query name;
+  * through; REMOVE JAR drops from the session listing — classes stay
+  * loaded, documented delta). `LOAD/UNLOAD MODULE`, `USE MODULES`,
+  * `SHOW [FULL] MODULES` keep Flink's module bookkeeping (validation
+  * included; no function-resolution effect — documented at the state
+  * holder). Job management (FLIP-291): `SHOW JOBS` lists active
+  * Structured Streaming queries, `DESCRIBE JOB 'id'` shows one,
+  * `STOP JOB 'id'` (id or query name;
   * WITH SAVEPOINT/DRAIN accepted) stops one gracefully. `ANALYZE
   * TABLE ... COMPUTE STATISTICS` scans and reports the row count;
   * `TRUNCATE TABLE` empties filesystem connector tables; row-level
@@ -94,6 +97,15 @@ object FlinkSql {
     setKeysBySession.computeIfAbsent(spark,
       _ => new java.util.LinkedHashMap[String, String]())
   }
+  // REMOVE JAR bookkeeping: a JVM cannot unload loaded classes, so the
+  // removal is the same session-listing semantics Flink's client gives
+  // (the jar leaves SHOW JARS; already-loaded classes stay resolvable —
+  // documented delta in MIGRATION.md)
+  private val removedJarsBySession =
+    new java.util.WeakHashMap[SparkSession, java.util.HashSet[String]]()
+  private def removedJars(spark: SparkSession) = removedJarsBySession.synchronized {
+    removedJarsBySession.computeIfAbsent(spark, _ => new java.util.HashSet[String]())
+  }
   private val stmtSetRe =
     raw"(?is)^\s*(?:EXECUTE\s+STATEMENT\s+SET\s+BEGIN|BEGIN\s+STATEMENT\s+SET)\s*;?\s*(.*?)\s*;?\s*END\s*$$".r
   private val compilePlanRe =
@@ -108,6 +120,8 @@ object FlinkSql {
     raw"(?is)^\s*EXPLAIN\s+(?!(?:EXTENDED|CODEGEN|COST|FORMATTED|ANALYZE)\b)((?:SELECT|INSERT|WITH|VALUES|TABLE|CREATE|EXECUTE)\b.*)$$".r
   private val showJobsRe = raw"(?is)^\s*SHOW\s+JOBS\s*$$".r
   private val showJarsRe = raw"(?is)^\s*SHOW\s+JARS\s*$$".r
+  private val removeJarRe = raw"(?is)^\s*REMOVE\s+JAR\s+'([^']+)'\s*$$".r
+  private val describeJobRe = raw"(?is)^\s*DESC(?:RIBE)?\s+JOB\s+'([^']+)'\s*$$".r
   private val analyzeRe =
     raw"(?is)^\s*ANALYZE\s+TABLE\s+`?([A-Za-z_]\w*)`?\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+[\w`,\s]+))?\s*$$".r
   private val truncateRe = raw"(?is)^\s*TRUNCATE\s+TABLE\s+`?([A-Za-z_]\w*)`?\s*$$".r
@@ -343,10 +357,28 @@ object FlinkSql {
         okRow(spark, "plan", explainText(spark, body, Nil))
       case showJarsRe() =>
         // Flink's SHOW JARS over Spark's own jar registry (ADD JAR text
-        // is identical in both dialects and passes through to Spark)
+        // is identical in both dialects and passes through to Spark),
+        // minus the session's REMOVE JAR set
         import spark.implicits._
         spark.sql("LIST JARS").collect().map(_.getString(0)).toSeq
+          .filterNot(j => removedJars(spark).contains(j) ||
+            removedJars(spark).contains(j.stripPrefix("file:")))
           .sorted.toDF("jars")
+      case removeJarRe(path) =>
+        // Flink SQL client's REMOVE JAR: the jar leaves the session's
+        // listing. The JVM cannot unload its classes (documented delta);
+        // a path never added errors like Flink's client.
+        // Spark's registry lists added jars under a spark:// serving URL,
+        // so resolve by the jar's file name (unique per add)
+        val base = path.substring(path.lastIndexOf('/') + 1)
+        val listed = spark.sql("LIST JARS").collect().map(_.getString(0))
+          .filterNot(removedJars(spark).contains)
+        val hit = listed.find(j =>
+            j == path || j.substring(j.lastIndexOf('/') + 1) == base)
+          .getOrElse(throw new IllegalArgumentException(
+            s"REMOVE JAR: '$path' was not added in this session"))
+        removedJars(spark).add(hit)
+        okRow(spark, "jar", path)
       case showJobsRe() =>
         // FLIP-291 job management: active Structured Streaming queries
         // ARE this engine's jobs (Flink columns: job id/name/status/
@@ -357,6 +389,17 @@ object FlinkSql {
             if (q.isActive) "RUNNING" else "FINISHED",
             q.recentProgress.headOption.map(_.timestamp).getOrElse(""))
         }.toDF("job id", "job name", "status", "start time")
+      case describeJobRe(id) =>
+        // FLIP-291 DESCRIBE JOB 'id': one job's SHOW JOBS row, resolved
+        // by query id or name like STOP JOB
+        import spark.implicits._
+        val q = spark.streams.active.find(q =>
+          q.id.toString == id || id.equals(q.name)).getOrElse(
+          throw new IllegalArgumentException(s"DESCRIBE JOB '$id': no active job"))
+        Seq((q.id.toString, Option(q.name).getOrElse(""),
+          if (q.isActive) "RUNNING" else "FINISHED",
+          q.recentProgress.headOption.map(_.timestamp).getOrElse("")))
+          .toDF("job id", "job name", "status", "start time")
       case analyzeRe(name) =>
         // Flink 1.18+ ANALYZE TABLE: here the useful side is the scan
         // itself (AQE owns runtime stats); returns the computed row

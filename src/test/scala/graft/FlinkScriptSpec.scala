@@ -111,6 +111,17 @@ class FlinkScriptSpec extends AnyFunSuite {
     FlinkSql.sql(spark, s"ADD JAR '$jarPath'")
     val jars = FlinkSql.sql(spark, "SHOW JARS").collect().map(_.getString(0))
     assert(jars.exists(_.contains(jarPath.getFileName.toString)), jars.mkString(","))
+    // REMOVE JAR drops it from the session's listing (Flink's client
+    // semantics; the JVM keeps loaded classes — documented delta)
+    FlinkSql.sql(spark, s"REMOVE JAR '$jarPath'")
+    assert(!FlinkSql.sql(spark, "SHOW JARS").collect().map(_.getString(0))
+      .exists(_.contains(jarPath.getFileName.toString)))
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, s"REMOVE JAR '$jarPath'") // already removed
+    }
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "REMOVE JAR '/no/such/thing.jar'")
+    }
 
     // a whole script: SET preamble, DDL, multi-sink statement set
     val dir = java.nio.file.Files.createTempDirectory("flink_stmt_set").toString
@@ -678,6 +689,14 @@ class FlinkScriptSpec extends AnyFunSuite {
       // Flink column names verbatim
       assert(FlinkSql.sql(spark, "SHOW JOBS").columns
         .sameElements(Array("job id", "job name", "status", "start time")))
+      // DESCRIBE JOB: the one job's row, by name or id, same columns
+      val one = FlinkSql.sql(spark, "DESCRIBE JOB 'graft_job_spec'").collect()
+      assert(one.length == 1 && one(0).getString(2) == "RUNNING")
+      assert(FlinkSql.sql(spark, s"DESCRIBE JOB '${one(0).getString(0)}'")
+        .collect().length == 1)
+      intercept[IllegalArgumentException] {
+        FlinkSql.sql(spark, "DESCRIBE JOB 'no_such_job'")
+      }
       FlinkSql.sql(spark, "STOP JOB 'graft_job_spec' WITH SAVEPOINT")
       q.awaitTermination(30000)
       assert(!q.isActive)
