@@ -141,6 +141,10 @@ object FlinkSql {
     raw"(?is)^\s*SHOW\s+CURRENT\s+(CATALOG|DATABASE)\s*$$".r
   private val stopJobRe =
     raw"(?is)^\s*STOP\s+JOB\s+'([^']+)'\s*(?:WITH\s+SAVEPOINT\s*)?(?:WITH\s+DRAIN\s*)?$$".r
+  private val alterDbRe =
+    raw"(?is)^\s*ALTER\s+DATABASE\s+(?:`?([A-Za-z_]\w*)`?\s*\.\s*)?`?([A-Za-z_]\w*)`?\s+SET\s*\(.*\)\s*$$".r
+  private val alterFunctionRe =
+    raw"(?is)^\s*ALTER\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s+AS\s+'([^']+)'\s*(?:LANGUAGE\s+(\w+))?\s*$$".r
   private val createFunctionRe =
     raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s+AS\s+'([^']+)'\s*(?:LANGUAGE\s+(\w+))?\s*$$".r
   private val dropFunctionRe =
@@ -168,6 +172,10 @@ object FlinkSql {
     raw"(?is)^\s*SHOW\s+PARTITIONS\s+`?([A-Za-z_]\w*)`?\s*$$".r
   private val createViewRe =
     raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*".r
+  private val alterViewRenameRe =
+    raw"(?is)^\s*ALTER\s+(?:TEMPORARY\s+)?VIEW\s+`?([A-Za-z_]\w*)`?\s+RENAME\s+TO\s+`?([A-Za-z_]\w*)`?\s*$$".r
+  private val alterViewAsRe =
+    raw"(?is)^\s*ALTER\s+(?:TEMPORARY\s+)?VIEW\s+`?([A-Za-z_]\w*)`?\s+AS\s+(.+)$$".r
   private val describeRe = raw"(?is)^\s*DESC(?:RIBE)?\s+([A-Za-z_]\w*)\s*$$".r
   private val createTableHeadRe =
     raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:`?([A-Za-z_]\w*)`?\s*\.\s*)?(?:`?([A-Za-z_]\w*)`?\s*\.\s*)?`?[A-Za-z_]\w*`?".r
@@ -188,7 +196,7 @@ object FlinkSql {
     // to the flat physical one. Catalog-management statements keep their
     // raw text (their dotted operands are namespace names, not tables).
     val statement =
-      if (raw"(?is)^\s*(USE|SHOW|CREATE\s+(?:CATALOG|DATABASE)|DROP\s+(?:CATALOG|DATABASE))\b".r
+      if (raw"(?is)^\s*(USE|SHOW|CREATE\s+(?:CATALOG|DATABASE)|DROP\s+(?:CATALOG|DATABASE)|ALTER\s+DATABASE)\b".r
           .findFirstIn(statement0).isDefined) statement0
       else graft.plans.FlinkDdl.resolveNames(spark, statement0)
     // a head-qualified CREATE TABLE names the table's home database —
@@ -453,6 +461,46 @@ object FlinkSql {
           throw new IllegalArgumentException(s"STOP JOB '$id': no active job"))
         q.stop()
         okRow(spark, "job id", id)
+      case alterDbRe(cat, d) =>
+        // Flink's ALTER DATABASE SET: the declared namespace must exist;
+        // properties carry no meaning over the one physical catalog, so
+        // they are accepted (the SET-of-unknown-keys tolerance)
+        val (curCat, _) = graft.plans.FlinkDdl.currentNamespace(spark)
+        val c = Option(cat).map(_.toLowerCase).getOrElse(curCat)
+        if (!graft.plans.FlinkDdl.listCatalogs(spark).contains(c) ||
+            !graft.plans.FlinkDdl.listDatabasesOf(spark, c).contains(d.toLowerCase))
+          throw new IllegalArgumentException(
+            s"ALTER DATABASE: database `$c.${d.toLowerCase}` does not exist")
+        okRow(spark, "database", d)
+      case alterFunctionRe(ifExists, name, impl, language) =>
+        // Flink's ALTER FUNCTION: re-point an existing session alias at
+        // a new implementation (same resolution rules as CREATE FUNCTION)
+        require(language == null || language.equalsIgnoreCase("JAVA") ||
+          language.equalsIgnoreCase("SCALA"),
+          s"ALTER FUNCTION LANGUAGE $language is not supported — " +
+            "only JVM functions exist in this engine")
+        // the new implementation must resolve BEFORE the old alias is
+        // dropped, so a failing ALTER leaves the function intact
+        val simple = impl.substring(impl.lastIndexOf('.') + 1)
+        // functionExists THROWS on a dotted Java-class name — a
+        // non-resolving implementation must answer false, not explode
+        def resolvable(n: String) = try spark.catalog.functionExists(n)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (!resolvable(impl) && !resolvable(simple))
+          throw new IllegalArgumentException(
+            s"ALTER FUNCTION $name AS '$impl': '$impl' does not resolve to a " +
+              "known function — register the logic first (as CREATE FUNCTION)")
+        val wasAlias = GraftColumnBridge.dropTempFunction(spark, name)
+        if (!wasAlias && ifExists == null)
+          throw new IllegalArgumentException(
+            s"ALTER FUNCTION $name: no such temporary function " +
+              "(CREATE FUNCTION first; builtins cannot be altered)")
+        if (wasAlias) {
+          val resolved = GraftColumnBridge.aliasFunction(spark, name, impl) ||
+            GraftColumnBridge.aliasFunction(spark, name, simple)
+          require(resolved, s"ALTER FUNCTION $name: re-alias failed unexpectedly")
+        }
+        okRow(spark, "function", name)
       case createFunctionRe(ifNotExists, name, impl, language) =>
         require(language == null || language.equalsIgnoreCase("JAVA") ||
           language.equalsIgnoreCase("SCALA"),
@@ -669,6 +717,36 @@ object FlinkSql {
       // is the session temp-view registry — and a PERMANENT Spark view
       // cannot reference the temp views our connector DDL registers, so
       // the dialect maps Flink views onto temp views wholesale
+      // Flink's ALTER VIEW ([U] flink-sql-parser SqlAlterViewRename /
+      // SqlAlterViewAs): these must not reach Spark — its ALTER VIEW
+      // cannot touch temp views, and the dialect registry would go stale
+      case alterViewRenameRe(from, to) =>
+        val d = graft.plans.FlinkDdl.viewDefs(spark)
+          .find(_._1.equalsIgnoreCase(from)).getOrElse(
+            throw new IllegalArgumentException(
+              s"ALTER VIEW $from: view does not exist"))
+        if (spark.catalog.tableExists(to))
+          throw new IllegalArgumentException(
+            s"ALTER VIEW $from RENAME TO $to: '$to' already exists")
+        // swap only the name in the RECORDED definition, so a column
+        // alias list `(a, b)` survives the rename
+        val createSql = raw"(?is)^\s*CREATE\s+OR\s+REPLACE\s+TEMPORARY\s+VIEW\s+`?[A-Za-z_]\w*`?"
+          .r.replaceFirstIn(d._2, s"CREATE OR REPLACE TEMPORARY VIEW $to")
+        graft.plans.FlinkDdl.runDialectSql(spark, createSql)
+        graft.plans.FlinkDdl.registerView(spark, to, createSql, d._3)
+        graft.plans.FlinkDdl.unregisterView(spark, from)
+        spark.catalog.dropTempView(from)
+        okRow(spark, "view", to)
+      case alterViewAsRe(name, body) =>
+        if (!graft.plans.FlinkDdl.viewDefs(spark).exists(_._1.equalsIgnoreCase(name)))
+          throw new IllegalArgumentException(
+            s"ALTER VIEW $name: view does not exist")
+        val createSql = s"CREATE OR REPLACE TEMPORARY VIEW $name AS $body"
+        // the new body must analyze BEFORE the registry commits — a bad
+        // ALTER leaves the old definition fully intact
+        graft.plans.FlinkDdl.runDialectSql(spark, createSql)
+        graft.plans.FlinkDdl.replaceViewBody(spark, name, createSql, body.trim)
+        okRow(spark, "view", name)
       case _ if createViewRe.findFirstIn(statement).isDefined =>
         val m = createViewRe.findFirstMatchIn(statement).get
         val name = m.group(2)

@@ -161,6 +161,12 @@ object FlinkDdl {
     val s = ns(spark)
     s.dbs.getOrElse(s.currentCatalog, scala.collection.mutable.LinkedHashSet.empty[String]).toSeq
   }
+  /** Databases declared under a SPECIFIC catalog (ALTER DATABASE's
+    * existence check — unlike [[listDatabases]], not current-catalog
+    * bound).
+    */
+  def listDatabasesOf(spark: SparkSession, cat: String): Seq[String] =
+    ns(spark).dbs.get(cat.toLowerCase).map(_.toSeq).getOrElse(Seq.empty)
   def createCatalog(spark: SparkSession, c0: String): Unit = {
     val s = ns(spark); val c = c0.toLowerCase
     s.catalogs += c
@@ -333,6 +339,15 @@ object FlinkDdl {
   def unregisterView(spark: SparkSession, name: String): Unit = {
     val r = viewRegistry(spark)
     r.synchronized { r.remove(name.toLowerCase); () }
+  }
+  /** Replace a registered view's definition IN PLACE (ALTER VIEW ... AS):
+    * unlike [[registerView]], the entry keeps its registration position,
+    * so later views that reference it still re-bind in dependency order.
+    */
+  def replaceViewBody(spark: SparkSession, name: String, createSql: String,
+      body: String): Unit = {
+    val r = viewRegistry(spark)
+    r.synchronized { r.put(name.toLowerCase, (createSql, body)); () }
   }
   /** Execute one SQL statement through the DIALECT parser (text rewrites
     * + lazy-command handling), materializing any command eagerly — used

@@ -658,6 +658,19 @@ class FlinkScriptSpec extends AnyFunSuite {
     // IF NOT EXISTS keeps the first registration
     FlinkSql.sql(spark, "CREATE FUNCTION IF NOT EXISTS my_upper AS 'lower'")
     assert(FlinkSql.sql(spark, "SELECT my_upper('ab') AS u").head().getString(0) == "AB")
+    // ALTER FUNCTION re-points an existing alias
+    FlinkSql.sql(spark, "ALTER FUNCTION my_upper AS 'lower'")
+    assert(FlinkSql.sql(spark, "SELECT my_upper('AB') AS u").head().getString(0) == "ab")
+    // an unresolvable new implementation leaves the old alias intact
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "ALTER FUNCTION my_upper AS 'com.example.NoSuch'")
+    }
+    assert(FlinkSql.sql(spark, "SELECT my_upper('AB') AS u").head().getString(0) == "ab")
+    // altering an absent (or builtin) name errors; IF EXISTS tolerates
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "ALTER FUNCTION no_such_fn AS 'upper'")
+    }
+    FlinkSql.sql(spark, "ALTER FUNCTION IF EXISTS no_such_fn AS 'upper'")
     // unresolvable Flink UDF class → migration-guidance error
     val e = intercept[IllegalArgumentException] {
       FlinkSql.sql(spark, "CREATE FUNCTION f AS 'com.example.udfs.NoSuchUdf'")
@@ -730,7 +743,18 @@ class FlinkScriptSpec extends AnyFunSuite {
     // catalog/database preamble statements register real namespaces now
     FlinkSql.sql(spark, "CREATE CATALOG my_cat WITH ('type' = 'generic_in_memory')")
     FlinkSql.sql(spark, "CREATE DATABASE IF NOT EXISTS my_db")
+    // ALTER DATABASE validates existence; properties are accepted
+    FlinkSql.sql(spark, "ALTER DATABASE my_db SET ('k' = 'v')")
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "ALTER DATABASE ghost_db SET ('k' = 'v')")
+    }
     FlinkSql.sql(spark, "USE CATALOG my_cat")
+    // qualified form names another catalog's database explicitly
+    FlinkSql.sql(spark, "ALTER DATABASE default_catalog.my_db SET ('x' = 'y')")
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "ALTER DATABASE my_db SET ('k' = 'v')") // not in my_cat
+    }
+    FlinkSql.sql(spark, "USE CATALOG default_catalog")
     FlinkSql.sql(spark, "DROP DATABASE IF EXISTS my_db")
   }
 
@@ -1246,6 +1270,42 @@ class FlinkScriptSpec extends AnyFunSuite {
     // IF EXISTS on an absent view is a no-op, not an error
     FlinkSql.sql(spark, "DROP TEMPORARY VIEW IF EXISTS dtv_v")
     FlinkSql.sql(spark, "DROP VIEW IF EXISTS dtv_v")
+  }
+
+  test("ALTER VIEW: AS replaces the body in place; RENAME TO moves the definition") {
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("av_src")
+    FlinkSql.run(spark,
+      """CREATE VIEW av_v AS SELECT k FROM av_src WHERE k > 1;
+        |CREATE VIEW av_dep AS SELECT COUNT(*) AS c FROM av_v""".stripMargin)
+    assert(spark.table("av_dep").head().getLong(0) == 2L)
+    // AS replaces the body; the dependent view sees the new definition
+    FlinkSql.sql(spark, "ALTER VIEW av_v AS SELECT k FROM av_src")
+    assert(spark.table("av_v").count() == 3)
+    assert(spark.table("av_dep").head().getLong(0) == 3L)
+    // in place: registration order (the streaming re-bind order) kept
+    val order = graft.plans.FlinkDdl.viewDefs(spark).map(_._1)
+      .filter(Set("av_v", "av_dep"))
+    assert(order == Seq("av_v", "av_dep"), order.toString)
+    // a bad new body leaves the old definition fully intact
+    intercept[Exception](FlinkSql.sql(spark, "ALTER VIEW av_v AS SELECT ghost FROM av_src"))
+    assert(spark.table("av_v").count() == 3)
+    // RENAME TO moves the definition; an alias list survives the move
+    FlinkSql.sql(spark, "ALTER VIEW av_v RENAME TO av_v2")
+    assert(spark.table("av_v2").count() == 3)
+    assert(!spark.catalog.tableExists("av_v"))
+    assert(FlinkSql.sql(spark, "SHOW CREATE VIEW av_v2").collect()(0)
+      .getString(0).contains("av_v2"))
+    FlinkSql.sql(spark, "CREATE VIEW av_al (a) AS SELECT k FROM av_src")
+    FlinkSql.sql(spark, "ALTER VIEW av_al RENAME TO av_al2")
+    assert(spark.table("av_al2").columns.toSeq == Seq("a"))
+    // contract errors: absent view, occupied target
+    intercept[IllegalArgumentException](FlinkSql.sql(spark, "ALTER VIEW nope AS SELECT 1"))
+    intercept[IllegalArgumentException](
+      FlinkSql.sql(spark, "ALTER VIEW nope RENAME TO nope2"))
+    intercept[IllegalArgumentException](
+      FlinkSql.sql(spark, "ALTER VIEW av_v2 RENAME TO av_al2"))
+    FlinkSql.run(spark, "DROP VIEW av_v2; DROP VIEW av_al2; DROP VIEW av_dep")
   }
 
   test("CREATE VIEW with a column alias list records the bare body") {
