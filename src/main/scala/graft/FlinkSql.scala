@@ -106,6 +106,14 @@ object FlinkSql {
   private def removedJars(spark: SparkSession) = removedJarsBySession.synchronized {
     removedJarsBySession.computeIfAbsent(spark, _ => new java.util.HashSet[String]())
   }
+  // names CREATE FUNCTION aliased this session: DROP/ALTER FUNCTION only
+  // operate on these — the session functionRegistry also holds every
+  // BUILTIN, and a registry-level drop would silently destroy one
+  private val funcAliasesBySession =
+    new java.util.WeakHashMap[SparkSession, java.util.HashSet[String]]()
+  private def funcAliases(spark: SparkSession) = funcAliasesBySession.synchronized {
+    funcAliasesBySession.computeIfAbsent(spark, _ => new java.util.HashSet[String]())
+  }
   private val stmtSetRe =
     raw"(?is)^\s*(?:EXECUTE\s+STATEMENT\s+SET\s+BEGIN|BEGIN\s+STATEMENT\s+SET)\s*;?\s*(.*?)\s*;?\s*END\s*$$".r
   private val compilePlanRe =
@@ -120,6 +128,7 @@ object FlinkSql {
     raw"(?is)^\s*EXPLAIN\s+(?!(?:EXTENDED|CODEGEN|COST|FORMATTED|ANALYZE)\b)((?:SELECT|INSERT|WITH|VALUES|TABLE|CREATE|EXECUTE)\b.*)$$".r
   private val showJobsRe = raw"(?is)^\s*SHOW\s+JOBS\s*$$".r
   private val showJarsRe = raw"(?is)^\s*SHOW\s+JARS\s*$$".r
+  private val addJarRe = raw"(?is)^\s*ADD\s+JAR\s+'([^']+)'\s*$$".r
   private val removeJarRe = raw"(?is)^\s*REMOVE\s+JAR\s+'([^']+)'\s*$$".r
   private val describeJobRe = raw"(?is)^\s*DESC(?:RIBE)?\s+JOB\s+'([^']+)'\s*$$".r
   private val analyzeRe =
@@ -316,7 +325,9 @@ object FlinkSql {
         }
         if (andExec != null) sql(spark, stmt) else okRow(spark, "plan", path)
       case executePlanRe(path) =>
-        val f = new java.io.File(path)
+        // same normalization as COMPILE PLAN's write — a dot-dot path
+        // that compiled must also execute
+        val f = new java.io.File(path).toPath.normalize().toFile
         if (!f.isFile)
           throw new IllegalArgumentException(s"EXECUTE PLAN: no plan file at '$path'")
         val txt = java.nio.file.Files.readString(f.toPath)
@@ -364,25 +375,32 @@ object FlinkSql {
         // own EXPLAIN modes are excluded above and fall through
         okRow(spark, "plan", explainText(spark, body, Nil))
       case showJarsRe() =>
-        // Flink's SHOW JARS over Spark's own jar registry (ADD JAR text
-        // is identical in both dialects and passes through to Spark),
-        // minus the session's REMOVE JAR set
+        // Flink's SHOW JARS over Spark's own jar registry (ADD JAR
+        // passes through to Spark after clearing any earlier REMOVE of
+        // the same jar), minus the session's REMOVE JAR set
         import spark.implicits._
         spark.sql("LIST JARS").collect().map(_.getString(0)).toSeq
-          .filterNot(j => removedJars(spark).contains(j) ||
-            removedJars(spark).contains(j.stripPrefix("file:")))
+          .filterNot(removedJars(spark).contains)
           .sorted.toDF("jars")
+      case addJarRe(path) =>
+        // re-adding a previously REMOVEd jar must list again — Spark's
+        // registry keeps one entry per file name, so clear the matching
+        // removal before the pass-through
+        val base = path.substring(path.lastIndexOf('/') + 1)
+        removedJars(spark).removeIf(j => j.substring(j.lastIndexOf('/') + 1) == base)
+        spark.sql(statement)
       case removeJarRe(path) =>
         // Flink SQL client's REMOVE JAR: the jar leaves the session's
         // listing. The JVM cannot unload its classes (documented delta);
         // a path never added errors like Flink's client.
-        // Spark's registry lists added jars under a spark:// serving URL,
-        // so resolve by the jar's file name (unique per add)
+        // Spark's registry lists added jars under a spark:// serving URL
+        // keyed by file name (two adds with one basename share the
+        // entry), so resolution is exact-path first, then by name
         val base = path.substring(path.lastIndexOf('/') + 1)
         val listed = spark.sql("LIST JARS").collect().map(_.getString(0))
           .filterNot(removedJars(spark).contains)
-        val hit = listed.find(j =>
-            j == path || j.substring(j.lastIndexOf('/') + 1) == base)
+        val hit = listed.find(_ == path).orElse(listed.find(j =>
+            j.substring(j.lastIndexOf('/') + 1) == base))
           .getOrElse(throw new IllegalArgumentException(
             s"REMOVE JAR: '$path' was not added in this session"))
         removedJars(spark).add(hit)
@@ -479,28 +497,37 @@ object FlinkSql {
           language.equalsIgnoreCase("SCALA"),
           s"ALTER FUNCTION LANGUAGE $language is not supported — " +
             "only JVM functions exist in this engine")
-        // the new implementation must resolve BEFORE the old alias is
-        // dropped, so a failing ALTER leaves the function intact
-        val simple = impl.substring(impl.lastIndexOf('.') + 1)
-        // functionExists THROWS on a dotted Java-class name — a
-        // non-resolving implementation must answer false, not explode
-        def resolvable(n: String) = try spark.catalog.functionExists(n)
-          catch { case scala.util.control.NonFatal(_) => false }
-        if (!resolvable(impl) && !resolvable(simple))
-          throw new IllegalArgumentException(
-            s"ALTER FUNCTION $name AS '$impl': '$impl' does not resolve to a " +
-              "known function — register the logic first (as CREATE FUNCTION)")
-        val wasAlias = GraftColumnBridge.dropTempFunction(spark, name)
-        if (!wasAlias && ifExists == null)
-          throw new IllegalArgumentException(
+        // existence first (an absent name + IF EXISTS is a full no-op,
+        // like Flink — nothing later may throw); only names this
+        // session's CREATE FUNCTION aliased are alterable — a builtin
+        // lives in the same registry but must not be hijacked
+        if (!funcAliases(spark).contains(name.toLowerCase)) {
+          if (ifExists != null) okRow(spark, "function", name)
+          else throw new IllegalArgumentException(
             s"ALTER FUNCTION $name: no such temporary function " +
               "(CREATE FUNCTION first; builtins cannot be altered)")
-        if (wasAlias) {
+        } else {
+          val simple = impl.substring(impl.lastIndexOf('.') + 1)
+          if (impl.equalsIgnoreCase(name) || simple.equalsIgnoreCase(name))
+            throw new IllegalArgumentException(
+              s"ALTER FUNCTION $name AS '$impl': the implementation " +
+                "references the alias being replaced")
+          // the new implementation must resolve BEFORE the old alias is
+          // dropped, so a failing ALTER leaves the function intact;
+          // functionExists THROWS on a dotted Java-class name — a
+          // non-resolving implementation must answer false, not explode
+          def resolvable(n: String) = try spark.catalog.functionExists(n)
+            catch { case scala.util.control.NonFatal(_) => false }
+          if (!resolvable(impl) && !resolvable(simple))
+            throw new IllegalArgumentException(
+              s"ALTER FUNCTION $name AS '$impl': '$impl' does not resolve to a " +
+                "known function — register the logic first (as CREATE FUNCTION)")
+          GraftColumnBridge.dropTempFunction(spark, name)
           val resolved = GraftColumnBridge.aliasFunction(spark, name, impl) ||
             GraftColumnBridge.aliasFunction(spark, name, simple)
           require(resolved, s"ALTER FUNCTION $name: re-alias failed unexpectedly")
+          okRow(spark, "function", name)
         }
-        okRow(spark, "function", name)
       case createFunctionRe(ifNotExists, name, impl, language) =>
         require(language == null || language.equalsIgnoreCase("JAVA") ||
           language.equalsIgnoreCase("SCALA"),
@@ -523,11 +550,17 @@ object FlinkSql {
                 "known function. Flink UDF classes cannot load here — register " +
                 "the logic as a Spark function (spark.udf.register or a graft " +
                 "native expression) and point AS at its registered name.")
+          funcAliases(spark).add(name.toLowerCase)
           okRow(spark, "function", name)
         }
       case dropFunctionRe(ifExists, name) =>
-        val dropped = GraftColumnBridge.dropTempFunction(spark, name)
-        if (!dropped && ifExists == null)
+        // only this session's CREATE FUNCTION aliases drop — a builtin
+        // shares the registry but DROP must not destroy it
+        val isAlias = funcAliases(spark).contains(name.toLowerCase)
+        if (isAlias) {
+          GraftColumnBridge.dropTempFunction(spark, name)
+          funcAliases(spark).remove(name.toLowerCase)
+        } else if (ifExists == null)
           throw new IllegalArgumentException(
             s"DROP FUNCTION $name: no such temporary function")
         okRow(spark, "function", name)

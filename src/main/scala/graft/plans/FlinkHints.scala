@@ -47,8 +47,13 @@ object FlinkHints {
     val m = raw"(?i)^\s*(\d+)\s*([a-zµ]*)\s*$$".r.findFirstMatchIn(v)
       .getOrElse(fail(s"$what: '$v' is not a duration (like '3 s', '100ms', '1 d')"))
     val digits = m.group(1)
-    if (digits.length > 15) fail(s"$what: '$v' is out of range")
+    if (digits.length > 18) fail(s"$what: '$v' is out of range")
     val n = digits.toLong
+    // checked multiply: a huge count in a big unit must fail typed, not
+    // wrap to a negative TTL
+    def mul(factor: Long): Long =
+      try java.lang.Math.multiplyExact(n, factor)
+      catch { case _: ArithmeticException => fail(s"$what: '$v' is out of range") }
     m.group(2).toLowerCase match {
       // sub-millisecond units round UP to a whole milli (this layer's
       // granularity) so a nonzero duration never collapses to zero
@@ -57,10 +62,10 @@ object FlinkHints {
       case "us" | "µs" | "micro" | "microsecond" | "microseconds" =>
         if (n == 0) 0L else math.max(1L, (n + 999L) / 1000L)
       case "" | "ms" | "milli" | "millisecond" | "milliseconds" => n
-      case "s" | "sec" | "second" | "seconds" => n * 1000L
-      case "min" | "minute" | "minutes" => n * 60000L
-      case "h" | "hour" | "hours" => n * 3600000L
-      case "d" | "day" | "days" => n * 86400000L
+      case "s" | "sec" | "second" | "seconds" => mul(1000L)
+      case "min" | "minute" | "minutes" => mul(60000L)
+      case "h" | "hour" | "hours" => mul(3600000L)
+      case "d" | "day" | "days" => mul(86400000L)
       case u => fail(s"$what: unknown duration unit '$u' in '$v'")
     }
   }
@@ -81,7 +86,7 @@ object FlinkHints {
       if (!Set("ordered", "allow_unordered").contains(v.toLowerCase))
         fail(s"LOOKUP 'output-mode' must be ordered/allow_unordered, got '$v'"))
     Seq("capacity", "max-attempts").foreach(k => opts.get(k).foreach(v =>
-      if (!v.matches(raw"\d{1,9}") || v.toLong <= 0)
+      if (!v.matches(raw"\d{1,10}") || v.toLong <= 0 || v.toLong > Int.MaxValue)
         fail(s"LOOKUP '$k' must be a positive integer, got '$v'")))
     Seq("timeout", "fixed-delay").foreach(k =>
       opts.get(k).foreach(parseDuration(_, s"LOOKUP '$k'")))

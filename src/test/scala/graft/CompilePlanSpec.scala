@@ -125,5 +125,15 @@ class CompilePlanSpec extends AnyFunSuite {
     val e4 = intercept[Exception](FlinkSql.sql(spark,
       s"EXECUTE PLAN '$dir/junk.json'"))
     assert(e4.getMessage.contains("not a graft-compiled plan"))
+    // a dot-dot plan path round-trips: compile normalizes the write and
+    // execute normalizes the read, so the SAME string works for both
+    FlinkSql.run(spark,
+      s"""CREATE TABLE cpn_snk (x BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$dir/nsnk', 'format' = 'parquet');
+         |COMPILE PLAN '$dir/sub/../dots.json' FOR
+         |  INSERT INTO cpn_snk SELECT CAST(7 AS BIGINT) AS x""".stripMargin)
+    FlinkSql.sql(spark, s"EXECUTE PLAN '$dir/sub/../dots.json'")
+    assert(spark.table("cpn_snk").count() == 1)
+    FlinkSql.sql(spark, "DROP TABLE cpn_snk")
   }
 }

@@ -34,6 +34,11 @@ class FlinkHintsSpec extends AnyFunSuite {
     val eBig = intercept[IllegalArgumentException](
       FlinkHints.parseDuration("99999999999999999999 s", "t"))
     assert(eBig.getMessage.contains("range"))
+    // a big-unit multiply that would wrap Long fails typed, never a
+    // negative TTL (999999999999 d ≈ 8.6e19 ms > Long.MaxValue)
+    val eMul = intercept[IllegalArgumentException](
+      FlinkHints.parseDuration("999999999999 d", "t"))
+    assert(eMul.getMessage.contains("range"))
     val e = intercept[IllegalArgumentException](FlinkHints.parseDuration("5 weeks", "t"))
     assert(e.getMessage.contains("unit"))
     val e2 = intercept[IllegalArgumentException](FlinkHints.parseDuration("soon", "t"))
@@ -83,10 +88,14 @@ class FlinkHintsSpec extends AnyFunSuite {
   }
 
   test("LOOKUP options validate with Flink's rules") {
+    // a full 10-digit positive int is valid (Int.MaxValue bound, not 9 digits)
+    assert(FlinkSql.sql(spark,
+      "SELECT /*+ LOOKUP('table'='t', 'capacity'='2000000000') */ 1 AS one").count() == 1)
     val bad = Seq(
       "'async'='yes', 'table'='t'" -> "async",
       "'table'='t', 'output-mode'='fast'" -> "output-mode",
       "'table'='t', 'capacity'='-1'" -> "capacity",
+      "'table'='t', 'capacity'='3000000000'" -> "capacity", // > Int.MaxValue
       "'table'='t', 'retry-predicate'='always'" -> "retry-predicate",
       "'table'='t', 'nope'='x'" -> "'nope'",
       "'async'='true'" -> "table")

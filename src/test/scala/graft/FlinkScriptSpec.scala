@@ -122,6 +122,11 @@ class FlinkScriptSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       FlinkSql.sql(spark, "REMOVE JAR '/no/such/thing.jar'")
     }
+    // re-adding the removed jar lists it again (the removal clears)
+    FlinkSql.sql(spark, s"ADD JAR '$jarPath'")
+    assert(FlinkSql.sql(spark, "SHOW JARS").collect().map(_.getString(0))
+      .exists(_.contains(jarPath.getFileName.toString)))
+    FlinkSql.sql(spark, s"REMOVE JAR '$jarPath'")
 
     // a whole script: SET preamble, DDL, multi-sink statement set
     val dir = java.nio.file.Files.createTempDirectory("flink_stmt_set").toString
@@ -666,11 +671,27 @@ class FlinkScriptSpec extends AnyFunSuite {
       FlinkSql.sql(spark, "ALTER FUNCTION my_upper AS 'com.example.NoSuch'")
     }
     assert(FlinkSql.sql(spark, "SELECT my_upper('AB') AS u").head().getString(0) == "ab")
-    // altering an absent (or builtin) name errors; IF EXISTS tolerates
+    // altering an absent (or builtin) name errors; IF EXISTS tolerates —
+    // even with an unresolvable implementation (Flink's full no-op)
     intercept[IllegalArgumentException] {
       FlinkSql.sql(spark, "ALTER FUNCTION no_such_fn AS 'upper'")
     }
     FlinkSql.sql(spark, "ALTER FUNCTION IF EXISTS no_such_fn AS 'upper'")
+    FlinkSql.sql(spark, "ALTER FUNCTION IF EXISTS no_such_fn AS 'com.x.NoSuch'")
+    // a BUILTIN is not alterable or droppable — the registry holds it,
+    // but hijacking `upper` session-wide must be impossible
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "ALTER FUNCTION upper AS 'lower'")
+    }
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "DROP FUNCTION upper")
+    }
+    assert(FlinkSql.sql(spark, "SELECT upper('ab') AS u").head().getString(0) == "AB")
+    // a self-referencing implementation cannot destroy the alias
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "ALTER FUNCTION my_upper AS 'my_upper'")
+    }
+    assert(FlinkSql.sql(spark, "SELECT my_upper('AB') AS u").head().getString(0) == "ab")
     // unresolvable Flink UDF class → migration-guidance error
     val e = intercept[IllegalArgumentException] {
       FlinkSql.sql(spark, "CREATE FUNCTION f AS 'com.example.udfs.NoSuchUdf'")
