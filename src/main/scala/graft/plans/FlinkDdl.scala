@@ -1757,8 +1757,19 @@ object FlinkDdl {
                   .foreach { case (st, i) =>
                     val n = st.getPath.getName
                     val ext = if (n.contains('.')) n.substring(n.indexOf('.')) else ""
-                    fs.rename(st.getPath,
-                      new org.apache.hadoop.fs.Path(dst, s"graft-batch$batchId-$i$ext"))
+                    val to = new org.apache.hadoop.fs.Path(dst, s"graft-batch$batchId-$i$ext")
+                    // stage lives under the checkpoint dir, which may be a
+                    // different filesystem than the sink — rename() returns
+                    // false across filesystems; losing the batch silently
+                    // would break exactly-once, so fall back to copy
+                    if (!fs.rename(st.getPath, to)) {
+                      val srcFs = st.getPath.getFileSystem(s2.sparkContext.hadoopConfiguration)
+                      val ok = org.apache.hadoop.fs.FileUtil.copy(
+                        srcFs, st.getPath, fs, to, true, true,
+                        s2.sparkContext.hadoopConfiguration)
+                      if (!ok) throw new java.io.IOException(
+                        s"could not move staged ${st.getPath} to $to")
+                    }
                   }
               case "blackhole"  => res.write.mode("append").format("noop").save()
               case "print"      => res.show(false)

@@ -113,12 +113,20 @@ object FlinkHints {
     r
   }
 
-  /** The last STATE_TTL hint recorded for `name` (table or alias) in
-    * this session, as millis — the deployment-layer analog of Flink's
-    * per-input StateTtlConfig.
+  /** The STATE_TTL recorded for `name` (table or alias) by the most
+    * recently parsed statement, as millis — the deployment-layer analog
+    * of Flink's per-input StateTtlConfig. Flink's StateTtlHint is
+    * per-query scope, so the registry is cleared at each statement parse
+    * ([[clearStateTtl]]); a TTL never leaks onto a later statement that
+    * happens to reuse the same alias.
     */
   def stateTtlOf(spark: SparkSession, name: String): Option[Long] =
     Option(ttlRegistry(spark).get(name.toLowerCase))
+
+  /** Reset the per-statement STATE_TTL scope — called by the dialect
+    * parser at the start of every statement rewrite.
+    */
+  def clearStateTtl(spark: SparkSession): Unit = ttlRegistry(spark).clear()
 
   /** Consume every LOOKUP / STATE_TTL hint in `sqlText`: validate with
     * Flink's option rules, record STATE_TTL durations, and leave either

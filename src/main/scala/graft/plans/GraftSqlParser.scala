@@ -44,6 +44,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     // Spark, which understands its own and warns on unknowns)
     // Flink's key-value hints (LOOKUP / STATE_TTL) carry `'k'='v'`
     // arguments Spark's hint grammar rejects — consume them first
+    // STATE_TTL is per-query scope (Flink's StateTtlHint): reset the
+    // recorded TTLs for every statement so none leak across statements
+    FlinkHints.clearStateTtl(session)
     val noKv =
       if (FlinkHints.containsClause(sqlText)) FlinkHints.rewrite(session, sqlText)
       else sqlText

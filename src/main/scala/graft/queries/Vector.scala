@@ -384,7 +384,7 @@ object Vector {
     * documents), so the dedup queries union a deterministic perturbed
     * copy (cos(v, twin) ≈ 0.97) — the corpus a crawl-dedup actually sees.
     */
-  private def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), expr("cast(embedding as array<double>)").as("v"))
     base.unionByName(base.select((col("vec_id") + lit(1000000L)).as("vec_id"),

@@ -94,7 +94,7 @@ class RetractWindowAgg(windowMs: Long)
 
   override def onElement(key: String, v: WinChangeIn, tv: TimerValues,
       emit: WinAggOut => Unit): Unit = {
-    val frontier = Option(closedUpTo.get()).getOrElse(Long.MinValue)
+    val frontier = if (closedUpTo.exists()) closedUpTo.get() else Long.MinValue
     val ws = windowStart(v.ts_ms)
     if (ws + windowMs > frontier) {
       val retract = v.row_kind == "-U" || v.row_kind == "-D"

@@ -95,7 +95,8 @@ class StreamingBoundedOverProcess(rangeMs: Long)
     // a row at-or-behind the emitted frontier is LATE: its emission point
     // passed, and folding it in would put FUTURE rows inside its trailing
     // frame — dropped, Flink's lastTriggeringTs rule
-    if (v.ts_ms > Option(emittedUpTo.get()).getOrElse(Long.MinValue)) {
+    val frontier = if (emittedUpTo.exists()) emittedUpTo.get() else Long.MinValue
+    if (v.ts_ms > frontier) {
       buf.appendValue(v)
       registerTimer(v.ts_ms)
     }
@@ -152,7 +153,8 @@ class StreamingBoundedRowsProcess(nRows: Int)
     // late row (at-or-behind the emitted frontier): appending it now
     // would make its frame contain its successors — dropped, like the
     // reference's lastTriggeringTs rule
-    if (v.ts_ms > Option(emittedUpTo.get()).getOrElse(Long.MinValue)) {
+    val frontier = if (emittedUpTo.exists()) emittedUpTo.get() else Long.MinValue
+    if (v.ts_ms > frontier) {
       buf.appendValue(v)
       registerTimer(v.ts_ms)
     }

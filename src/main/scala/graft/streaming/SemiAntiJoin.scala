@@ -56,7 +56,10 @@ class SemiAntiProcess(boundMs: Long) extends KeyedProcess[Long, TemporalIn, Semi
       // a left whose bound window reaches into pruned right state could
       // get a FALSE anti answer (its match may be gone) — dropped as
       // late, like the reference drops behind-watermark rows
-      if (v.ts_ms - boundMs > Option(prunedUpTo.get()).getOrElse(Long.MinValue)) {
+      // NOTE: must be exists()-guarded — get() on unset ValueState[Long]
+      // null-unboxes to 0, which would silently drop pre-epoch lefts
+      val frontier = if (prunedUpTo.exists()) prunedUpTo.get() else Long.MinValue
+      if (v.ts_ms - boundMs > frontier) {
         val matchedNow = rights.get().exists(r => within(v.ts_ms, r))
         if (matchedNow) emit(SemiAntiOut(key, v.id, v.ts_ms, matched = true))
         lefts.appendValue((v.id, v.ts_ms, matchedNow))
@@ -79,7 +82,8 @@ class SemiAntiProcess(boundMs: Long) extends KeyedProcess[Long, TemporalIn, Semi
     val keep = all.filter(r => r + boundMs > wm - boundMs)
     if (keep.length != all.length) {
       prunedUpTo.update(math.max(
-        Option(prunedUpTo.get()).getOrElse(Long.MinValue), wm - 2 * boundMs))
+        if (prunedUpTo.exists()) prunedUpTo.get() else Long.MinValue,
+        wm - 2 * boundMs))
     }
     rights.clear(); if (keep.nonEmpty) rights.appendList(keep)
   }

@@ -49,7 +49,10 @@ class TemporalJoinProcess extends KeyedProcess[Long, TemporalIn, TemporalMatch] 
       // a probe at-or-behind the prune frontier is LATE: the versions
       // its as-of lookup needs may already be gone, so answering it
       // could be affirmatively wrong — dropped, like the reference
-      if (v.ts_ms >= Option(prunedUpTo.get()).getOrElse(Long.MinValue)) {
+      // exists()-guarded: unset ValueState[Long] null-unboxes to 0,
+      // which would drop pre-epoch probes
+      val frontier = if (prunedUpTo.exists()) prunedUpTo.get() else Long.MinValue
+      if (v.ts_ms >= frontier) {
         probes.appendValue((v.id, v.ts_ms))
         registerTimer(v.ts_ms) // fires once watermark passes probe time
       }
@@ -74,8 +77,9 @@ class TemporalJoinProcess extends KeyedProcess[Long, TemporalIn, TemporalMatch] 
       behind.sorted.init.foreach(versions.removeKey)
       // a probe older than the RETAINED behind-watermark version would
       // need a pruned one for its as-of answer — that ts is the frontier
-      prunedUpTo.update(
-        math.max(Option(prunedUpTo.get()).getOrElse(Long.MinValue), behind.max))
+      prunedUpTo.update(math.max(
+        if (prunedUpTo.exists()) prunedUpTo.get() else Long.MinValue,
+        behind.max))
     }
   }
 }

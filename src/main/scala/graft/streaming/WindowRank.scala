@@ -45,7 +45,7 @@ class StreamingWindowRank(windowMs: Long, n: Int)
 
   override def onElement(key: String, v: WinRankIn, tv: TimerValues,
       emit: WinRankOut => Unit): Unit = {
-    val frontier = Option(closedUpTo.get()).getOrElse(Long.MinValue)
+    val frontier = if (closedUpTo.exists()) closedUpTo.get() else Long.MinValue
     val wEnd = windowStart(v.ts_ms) + windowMs
     if (wEnd > frontier) { // window still open: buffer + arm its closing timer
       buf.appendValue(v)

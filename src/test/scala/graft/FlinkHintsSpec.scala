@@ -118,6 +118,20 @@ class FlinkHintsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duration"))
   }
 
+  test("STATE_TTL is per-statement scope, like Flink's StateTtlHint") {
+    FlinkSql.sql(spark,
+      "SELECT /*+ STATE_TTL('scoped_t'='1d') */ 1 AS one").count()
+    assert(FlinkHints.stateTtlOf(spark, "scoped_t").contains(86400000L))
+    // a later statement re-using the alias must NOT inherit the TTL
+    FlinkSql.sql(spark, "SELECT 2 AS two").count()
+    assert(FlinkHints.stateTtlOf(spark, "scoped_t").isEmpty)
+    // and two hints on the same alias in different queries don't merge:
+    // only the latest statement's value is visible
+    FlinkSql.sql(spark,
+      "SELECT /*+ STATE_TTL('scoped_t'='2 h') */ 3 AS three").count()
+    assert(FlinkHints.stateTtlOf(spark, "scoped_t").contains(7200000L))
+  }
+
   // a TTL'd state variable needs the processing-time clock, and under
   // TimeMode.ProcessingTime the query schedules no-data batches
   // continuously, so neither processAllAvailable nor AvailableNow ever

@@ -128,4 +128,30 @@ class OverOpsSpec extends AnyFunSuite {
       assert(got.contains((1L, 6L, 15.0, 3L)) && got.contains((1L, 5L, 12.0, 3L)))
     } finally q.stop()
   }
+
+  test("a row at epoch (ts_ms = 0) is not treated as late at stream start") {
+    // regression: the emitted frontier must start at Long.MinValue —
+    // get() on unset ValueState[Long] null-unboxes to 0, which made the
+    // late-row guard silently drop rows with ts_ms <= 0
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      Raw(1, 1, new java.sql.Timestamp(0), 1.0),
+      Raw(1, 2, new java.sql.Timestamp(50 * 1000), 2.0))
+    val input = MemoryStream[Raw]
+    val toIn = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"key", $"id", unix_millis($"ts").as("ts_ms"), $"value").as[OverIn]
+    val q = OverOps.boundedRangeAgg(
+        toIn(input.toDF().withWatermark("ts", "5 seconds")), 120000L)
+      .writeStream.outputMode("append").format("memory").queryName("eover_out").start()
+    try {
+      input.addData(rows: _*); q.processAllAvailable()
+      input.addData(Raw(9, 99, new java.sql.Timestamp(9000 * 1000), 0.0)) // close
+      q.processAllAvailable()
+      val got = spark.table("eover_out").as[BoundedOverOut].collect()
+        .filter(_.key != 9)
+        .map(o => (o.key, o.id, o.range_sum, o.range_cnt)).toSet
+      assert(got == Set((1L, 1L, 1.0, 1L), (1L, 2L, 3.0, 2L)))
+    } finally q.stop()
+  }
 }
