@@ -518,14 +518,25 @@ object FlinkSql {
           // non-resolving implementation must answer false, not explode
           def resolvable(n: String) = try spark.catalog.functionExists(n)
             catch { case scala.util.control.NonFatal(_) => false }
-          if (!resolvable(impl) && !resolvable(simple))
+          // a loadable eval-bridge class also resolves (same rules as
+          // CREATE FUNCTION); probed before anything is dropped
+          def bridgeable = try
+            graft.functions.ReflectiveScalar.register(spark, s"__graft_probe_$name", impl)
+          finally GraftColumnBridge.dropTempFunction(spark, s"__graft_probe_$name")
+          if (resolvable(impl) || resolvable(simple)) {
+            GraftColumnBridge.dropTempFunction(spark, name)
+            val resolved = GraftColumnBridge.aliasFunction(spark, name, impl) ||
+              GraftColumnBridge.aliasFunction(spark, name, simple)
+            require(resolved, s"ALTER FUNCTION $name: re-alias failed unexpectedly")
+          } else if (bridgeable) {
+            GraftColumnBridge.dropTempFunction(spark, name)
+            require(graft.functions.ReflectiveScalar.register(spark, name, impl),
+              s"ALTER FUNCTION $name: eval-bridge registration failed unexpectedly")
+          } else
             throw new IllegalArgumentException(
               s"ALTER FUNCTION $name AS '$impl': '$impl' does not resolve to a " +
-                "known function — register the logic first (as CREATE FUNCTION)")
-          GraftColumnBridge.dropTempFunction(spark, name)
-          val resolved = GraftColumnBridge.aliasFunction(spark, name, impl) ||
-            GraftColumnBridge.aliasFunction(spark, name, simple)
-          require(resolved, s"ALTER FUNCTION $name: re-alias failed unexpectedly")
+                "known function or a loadable class with a public eval method — " +
+                "register the logic first (as CREATE FUNCTION) or ADD JAR the class")
           okRow(spark, "function", name)
         }
       case createFunctionRe(ifNotExists, name, impl, language) =>
@@ -543,13 +554,19 @@ object FlinkSql {
         else {
           val simple = impl.substring(impl.lastIndexOf('.') + 1)
           val resolved = GraftColumnBridge.aliasFunction(spark, name, impl) ||
-            GraftColumnBridge.aliasFunction(spark, name, simple)
+            GraftColumnBridge.aliasFunction(spark, name, simple) ||
+            // a classpath-resolvable ScalarFunction-shaped CLASS (ADD JAR)
+            // registers through the reflective eval bridge
+            graft.functions.ReflectiveScalar.register(spark, name, impl)
           if (!resolved)
             throw new IllegalArgumentException(
               s"CREATE FUNCTION $name AS '$impl': '$impl' does not resolve to a " +
-                "known function. Flink UDF classes cannot load here — register " +
-                "the logic as a Spark function (spark.udf.register or a graft " +
-                "native expression) and point AS at its registered name.")
+                "known function or a loadable class with a public eval method. " +
+                "Either ADD JAR the class (ScalarFunction-style: no-arg " +
+                "constructor + one public eval) so the reflective bridge can " +
+                "register it, or register the logic as a Spark function " +
+                "(spark.udf.register or a graft native expression) and point " +
+                "AS at its registered name.")
           funcAliases(spark).add(name.toLowerCase)
           okRow(spark, "function", name)
         }

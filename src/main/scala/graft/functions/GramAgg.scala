@@ -52,4 +52,40 @@ object GramAgg {
 
   /** `gram(embedding)` — one row of d(d+1)/2 upper-triangle sums. */
   def column(c: Column, d: Int): Column = udaf(agg(d)).apply(c)
+
+  /** Double-input variant (same triangle layout) — the Hessian
+    * reduction of the Newton trainer
+    * ([[graft.operators.QualityClassifier.trainNewton]]), whose scaled
+    * feature rows are array<double>.
+    */
+  def aggD(d: Int): Aggregator[Seq[Double], Array[Double], Seq[Double]] =
+    new Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+      private val len = d * (d + 1) / 2
+      def zero: Array[Double] = new Array[Double](len)
+      def reduce(b: Array[Double], v: Seq[Double]): Array[Double] = {
+        if (v != null && v.length == d) {
+          val a = v.toArray
+          var i = 0
+          var k = 0
+          while (i < d) {
+            val vi = a(i)
+            var j = i
+            while (j < d) { b(k) += vi * a(j); k += 1; j += 1 }
+            i += 1
+          }
+        }
+        b
+      }
+      def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+        var k = 0
+        while (k < len) { b1(k) += b2(k); k += 1 }
+        b1
+      }
+      def finish(r: Array[Double]): Seq[Double] = r.toSeq
+      def bufferEncoder: Encoder[Array[Double]] = bufEnc
+      def outputEncoder: Encoder[Seq[Double]] = outEnc
+    }
+
+  /** Double-input `gram(v)` column. */
+  def columnD(c: Column, d: Int): Column = udaf(aggD(d)).apply(c)
 }

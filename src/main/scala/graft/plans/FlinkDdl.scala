@@ -1472,6 +1472,20 @@ object FlinkDdl {
           checkpointDir))
       else if (MatchRecognize.containsClause(select))
         Left(MatchRecognize.sqlStream(spark, select, t => spark.table(t)))
+      else if (RowtimeOver.containsClause(select) && !WindowTvf.containsClause(select)) {
+        // Flink's streaming row-time OVER statement ([U] flink-table-
+        // runtime operators/over/): Spark rejects window functions on a
+        // stream outright, so the declared OVER subset lowers onto the
+        // keyed streaming/OverOps processes (RowtimeOver.lower) and the
+        // result rides the generic sink path below
+        if (sources.length != 1)
+          fail("streaming OVER deploys over exactly one watermarked source table")
+        val src = sources.head
+        val (wmCol, _) = watermarkOf(spark, src).getOrElse(
+          fail(s"streaming OVER needs a declared WATERMARK on '$src' " +
+            "(its ORDER BY column is the event-time frontier)"))
+        Left(RowtimeOver.lower(spark, select, src, wmCol))
+      }
       else {
         // legacy GROUP BY TUMBLE/HOP lowers onto the TVF text first, so a
         // pre-TVF Flink streaming job rides the same native-window path

@@ -1,0 +1,296 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming row-time OVER deployment ([U] flink-table-runtime
+  * `operators/over/` RowTimeRangeBoundedPrecedingFunction /
+  * RowTimeRowsBoundedPrecedingFunction / RowTimeRowsUnboundedPreceding-
+  * Function): a streaming INSERT whose SELECT is an OVER aggregate
+  * ordered by the source's declared watermark rowtime lowers onto the
+  * keyed `streaming/OverOps` processes — Spark has no stateful
+  * window-function operator (a window function over a stream is an
+  * AnalysisException), so the shape is detected in the statement text
+  * and re-planned onto `transformWithState`, the same way CUMULATE and
+  * windowed Top-N ride their deployment shapes.
+  *
+  * Declared subset (anything else fails typed with porting guidance,
+  * like the other deployment shapes):
+  *  - ONE window spec — inline `OVER (...)` (all occurrences identical)
+  *    or one `WINDOW w AS (...)` clause;
+  *  - `PARTITION BY <integral column> ORDER BY <the watermark rowtime>`;
+  *  - frame `RANGE BETWEEN INTERVAL 'n' unit PRECEDING AND CURRENT ROW`,
+  *    `ROWS BETWEEN n PRECEDING AND CURRENT ROW`, or
+  *    `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`;
+  *  - aggregates SUM(v) / AVG(v) / COUNT(*) over one value column,
+  *    plus ROW_NUMBER() on the unbounded frame;
+  *  - the remaining select items must include the row's unique integral
+  *    id column as a PLAIN item (the deterministic-order tiebreak the
+  *    reference takes from the input's order) — other plain items may
+  *    only be the partition column and the rowtime.
+  *
+  * Documented delta: rowtimes are handled at millisecond precision (the
+  * kernel's frontier unit), and late rows behind the emitted frontier
+  * drop — Flink's lastTriggeringTs rule.
+  */
+object RowtimeOver {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"streaming OVER: $msg")
+
+  /** Cheap routing probe — an OVER window-function shape in the text. */
+  def containsClause(sqlText: String): Boolean =
+    raw"(?is)\bOVER\s*\(".r.findFirstIn(sqlText).isDefined ||
+      raw"(?is)\bWINDOW\s+\w+\s+AS\s*\(".r.findFirstIn(sqlText).isDefined
+
+  sealed trait Frame
+  final case class RangeMs(ms: Long) extends Frame
+  final case class RowsN(n: Int) extends Frame
+  case object UnboundedRows extends Frame
+
+  final case class Spec(partCol: String, orderCol: String, frame: Frame,
+      valueCol: Option[String], idCol: String, rewritten: String, usesRn: Boolean)
+
+  private def unitMs(u: String): Long = u.toUpperCase match {
+    case "SECOND" => 1000L
+    case "MINUTE" => 60000L
+    case "HOUR" => 3600000L
+    case "DAY" => 86400000L
+    case other => fail(s"unsupported RANGE interval unit '$other'")
+  }
+
+  private def bare(ident: String): String =
+    ident.split('.').last.replace("`", "")
+
+  /** Parse the declared OVER subset out of `select`, producing the spec
+    * and the rewritten outer text (agg spans replaced with `__over_*`
+    * references, WINDOW clause stripped).
+    */
+  def parse(select: String): Spec = {
+    // ---- locate the window spec (named WINDOW clause or inline) ----
+    val winRe = raw"(?is)\bWINDOW\s+(\w+)\s+AS\s*\(".r
+    val named = winRe.findAllMatchIn(select).toList
+    if (named.size > 1) fail("exactly one WINDOW clause is supported")
+    val (specText, windowName, stripSpan) = named.headOption match {
+      case Some(m) =>
+        val close = WindowTvf.matchParen(select, m.end - 1)
+        (select.substring(m.end, close), Some(m.group(1)), Some((m.start, close + 1)))
+      case None =>
+        val inline = raw"(?is)\bOVER\s*\(".r.findAllMatchIn(select).toList
+        if (inline.isEmpty) fail("no OVER window spec found")
+        val specs = inline.map { m =>
+          val close = WindowTvf.matchParen(select, m.end - 1)
+          select.substring(m.end, close)
+        }
+        val norm = specs.map(_.replaceAll("\\s+", " ").trim.toUpperCase)
+        if (norm.distinct.size > 1)
+          fail("every inline OVER must use the identical window spec " +
+            "(or name one WINDOW clause)")
+        (specs.head, None, None)
+    }
+
+    // ---- parse the spec ----
+    val partM = raw"(?is)\bPARTITION\s+BY\s+([`\w.]+)\s*(,?)".r
+      .findFirstMatchIn(specText)
+      .getOrElse(fail("the spec must PARTITION BY one column"))
+    if (partM.group(2) == ",") fail("a single PARTITION BY column is supported")
+    val partCol = bare(partM.group(1))
+    val orderM = raw"(?is)\bORDER\s+BY\s+([`\w.]+)(\s+(?:ASC|DESC))?\s*(,?)".r
+      .findFirstMatchIn(specText)
+      .getOrElse(fail("the spec must ORDER BY the watermark rowtime"))
+    if (orderM.group(3) == ",") fail("a single ORDER BY column is supported")
+    if (Option(orderM.group(2)).exists(_.trim.equalsIgnoreCase("DESC")))
+      fail("ORDER BY ... DESC has no streaming frontier; order ascending by the rowtime")
+    val orderCol = bare(orderM.group(1))
+    val frame =
+      raw"(?is)\bRANGE\s+BETWEEN\s+INTERVAL\s*'(\d+)'\s+(\w+?)S?\s+PRECEDING\s+AND\s+CURRENT\s+ROW".r
+        .findFirstMatchIn(specText)
+        .map(m => RangeMs(m.group(1).toLong * unitMs(m.group(2))): Frame)
+      .orElse(raw"(?is)\bROWS\s+BETWEEN\s+(\d+)\s+PRECEDING\s+AND\s+CURRENT\s+ROW".r
+        .findFirstMatchIn(specText)
+        .map(m => RowsN(m.group(1).toInt + 1)))
+      .orElse(raw"(?is)\bROWS\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+CURRENT\s+ROW".r
+        .findFirstMatchIn(specText).map(_ => UnboundedRows))
+      .getOrElse {
+        if (raw"(?is)\bRANGE\s+BETWEEN\s+UNBOUNDED\b".r.findFirstIn(specText).isDefined)
+          fail("RANGE UNBOUNDED PRECEDING keeps every row as peer state; " +
+            "use ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW (per-row " +
+            "running aggregate) or a bounded RANGE INTERVAL frame")
+        fail("declare an explicit frame: RANGE BETWEEN INTERVAL 'n' unit " +
+          "PRECEDING AND CURRENT ROW, ROWS BETWEEN n PRECEDING AND CURRENT " +
+          "ROW, or ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+      }
+
+    // ---- locate and replace every aggregate-OVER span ----
+    val aggRe = raw"(?is)\b(SUM|COUNT|AVG|ROW_NUMBER)\s*\(([^()]*)\)\s+OVER\b".r
+    var usesRn = false
+    var valueCol: Option[String] = None
+    def noteValue(c: String): Unit = {
+      val b = bare(c.trim)
+      valueCol match {
+        case Some(v) if !v.equalsIgnoreCase(b) =>
+          fail(s"all aggregates must share one value column (saw '$v' and '$b')")
+        case _ => valueCol = Some(b)
+      }
+    }
+    val repl = aggRe.findAllMatchIn(select).toList.map { m =>
+      // span end: OVER <name> or OVER (...)
+      var i = m.end
+      while (i < select.length && select.charAt(i).isWhitespace) i += 1
+      val end =
+        if (i < select.length && select.charAt(i) == '(') WindowTvf.matchParen(select, i) + 1
+        else {
+          val nm = raw"^\w+".r.findFirstIn(select.substring(i))
+            .getOrElse(fail("OVER must name a WINDOW clause or inline a spec"))
+          if (!windowName.exists(_.equalsIgnoreCase(nm)))
+            fail(s"OVER $nm does not match the declared WINDOW clause")
+          i + nm.length
+        }
+      val arg = m.group(2).trim
+      val out = m.group(1).toUpperCase match {
+        case "SUM" => noteValue(arg); "__over_sum"
+        case "AVG" => noteValue(arg); "(__over_sum / __over_cnt)"
+        case "COUNT" =>
+          if (arg != "*" && arg != "1")
+            fail("COUNT over a stream supports COUNT(*) / COUNT(1); " +
+              "null-skipping COUNT(col) is not modeled")
+          "__over_cnt"
+        case "ROW_NUMBER" =>
+          if (arg.nonEmpty) fail("ROW_NUMBER takes no arguments")
+          if (frame != UnboundedRows)
+            fail("ROW_NUMBER rides the unbounded running frame only")
+          usesRn = true; "__over_rn"
+      }
+      (m.start, end, out)
+    }
+    if (repl.isEmpty) fail("no supported aggregate found " +
+      "(SUM/AVG/COUNT(*) and ROW_NUMBER on the unbounded frame)")
+
+    // splice replacements + strip the WINDOW clause, back to front
+    val cuts = (repl ++ stripSpan.map { case (a, b) => (a, b, "") }.toList)
+      .sortBy(-_._1)
+    var text = select
+    cuts.foreach { case (a, b, out) => text = text.substring(0, a) + out + text.substring(b) }
+    if (raw"(?is)\bOVER\s*\(".r.findFirstIn(text).isDefined ||
+        windowName.exists(n => raw"(?is)\bOVER\s+$n\b".r.findFirstIn(text).isDefined))
+      fail("only SUM/AVG/COUNT(*)/ROW_NUMBER window aggregates are supported " +
+        "over a stream; rewrite the remaining OVER expression")
+
+    // ---- the row-id column: first plain select item that is neither the
+    // partition column nor the rowtime ----
+    val selM = raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(text)
+      .getOrElse(fail("the statement must be a SELECT"))
+    // top-level FROM (aggregate parens are replaced, but scan depth anyway)
+    var depth = 0
+    var fromAt = -1
+    var j = selM.end
+    while (j < text.length && fromAt < 0) {
+      val c = text.charAt(j)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && (c == 'f' || c == 'F') &&
+          text.regionMatches(true, j, "FROM", 0, 4) &&
+          (j == 0 || !Character.isLetterOrDigit(text.charAt(j - 1))) &&
+          (j + 4 >= text.length || !Character.isLetterOrDigit(text.charAt(j + 4))))
+        fromAt = j
+      j += 1
+    }
+    if (fromAt < 0) fail("no FROM clause found")
+    val items = {
+      val list = text.substring(selM.end, fromAt)
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var d = 0
+      var start = 0
+      var k = 0
+      while (k < list.length) {
+        val c = list.charAt(k)
+        if (c == '(') d += 1
+        else if (c == ')') d -= 1
+        else if (c == ',' && d == 0) { out += list.substring(start, k); start = k + 1 }
+        k += 1
+      }
+      out += list.substring(start)
+      out.toList.map(_.trim)
+    }
+    val plainRe = raw"(?is)^([`\w.]+)(?:\s+AS\s+\w+)?$$".r
+    val plain = items.flatMap(plainRe.findFirstMatchIn(_)).map(m => bare(m.group(1)))
+      .filterNot(_.startsWith("__over_")) // the spliced aggregate references
+    val idCol = plain.find(c => !c.equalsIgnoreCase(partCol) && !c.equalsIgnoreCase(orderCol))
+      .getOrElse(fail("select the row's unique integral id column as a plain " +
+        "item — the deterministic per-row order key (Flink orders equal " +
+        "rowtimes by input order; a keyed stream needs an explicit key)"))
+    plain.filter(c => !c.equalsIgnoreCase(partCol) && !c.equalsIgnoreCase(orderCol))
+      .find(!_.equalsIgnoreCase(idCol))
+      .foreach(extra => fail(s"plain select items may be the partition column, " +
+        s"the rowtime, and ONE row-id column (saw '$idCol' and '$extra')"))
+    if (valueCol.isEmpty && !usesRn && frame != UnboundedRows)
+      fail("no value column: add SUM/AVG over the aggregated column")
+
+    Spec(partCol, orderCol, frame, valueCol, idCol, text, usesRn)
+  }
+
+  private def requireIntegral(schema: StructType, c: String, role: String): StructField = {
+    val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+      .getOrElse(fail(s"$role column '$c' is not a source column"))
+    f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => f
+      case t => fail(s"$role column '$c' must be integral (BYTE/SHORT/INT/BIGINT), is ${t.sql}")
+    }
+  }
+
+  /** Lower the statement onto the keyed OverOps kernel: build the
+    * OverIn stream from the (already stream-bound, watermarked) source
+    * view, run the frame's process, and re-apply the outer projection
+    * over the kernel's output view. Returns the streaming DataFrame for
+    * the generic sink path.
+    */
+  def lower(spark: SparkSession, select: String, source: String,
+      rowtimeCol: String): DataFrame = {
+    import graft.streaming.{OverIn, OverOps}
+    val spec = parse(select)
+    if (!spec.orderCol.equalsIgnoreCase(rowtimeCol))
+      fail(s"ORDER BY '${spec.orderCol}' must be the source's declared " +
+        s"watermark rowtime ('$rowtimeCol') — processing-time OVER is not deployed")
+    val src = spark.table(source)
+    val schema = src.schema
+    val partF = requireIntegral(schema, spec.partCol, "PARTITION BY")
+    val idF = requireIntegral(schema, spec.idCol, "row-id")
+    val orderF = schema.fields.find(_.name.equalsIgnoreCase(spec.orderCol))
+      .getOrElse(fail(s"rowtime column '${spec.orderCol}' is not a source column"))
+    val valueExpr = spec.valueCol match {
+      case Some(v) =>
+        if (!schema.fields.exists(_.name.equalsIgnoreCase(v)))
+          fail(s"value column '$v' is not a source column")
+        col(v).cast("double")
+      case None => lit(0.0)
+    }
+    implicit val enc: org.apache.spark.sql.Encoder[OverIn] =
+      org.apache.spark.sql.Encoders.product[OverIn]
+    val in = src.select(
+      col(spec.partCol).cast("long").as("key"),
+      col(spec.idCol).cast("long").as("id"),
+      unix_millis(col(spec.orderCol).cast("timestamp")).as("ts_ms"),
+      valueExpr.as("value")).as[OverIn]
+    val (out, sumCol, cntCol) = spec.frame match {
+      case RangeMs(ms) => (OverOps.boundedRangeAgg(in, ms).toDF(), "range_sum", "range_cnt")
+      case RowsN(n) => (OverOps.boundedRowsAgg(in, n).toDF(), "range_sum", "range_cnt")
+      case UnboundedRows => (OverOps.runningAgg(in).toDF(), "running_sum", "running_cnt")
+    }
+    val restoreCols = Seq(
+      col("key").cast(partF.dataType).as(partF.name),
+      col("id").cast(idF.dataType).as(idF.name),
+      timestamp_millis(col("ts_ms")).cast(orderF.dataType).as(orderF.name),
+      col(sumCol).as("__over_sum"),
+      col(cntCol).as("__over_cnt")) ++
+      (if (spec.usesRn) Seq(col("rn").as("__over_rn")) else Nil)
+    val restored = out.select(restoreCols: _*)
+    restored.createOrReplaceTempView("__graft_over")
+    // outer projection: the original statement with agg spans replaced,
+    // re-pointed at the kernel's output view
+    val outer = raw"(?i)\b${java.util.regex.Pattern.quote(source)}\b".r
+      .replaceAllIn(spec.rewritten, "__graft_over")
+    val parser = new GraftSqlParser(spark, spark.sessionState.sqlParser)
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark, parser.parsePlan(outer))
+  }
+}

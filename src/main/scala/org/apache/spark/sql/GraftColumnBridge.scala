@@ -22,6 +22,21 @@ object GraftColumnBridge {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Load a class through the executor-side Spark classloader chain
+    * (context classloader first — task threads carry ADD JAR'd jars —
+    * then Spark's own). `Utils` is `private[spark]`, hence bridged here.
+    */
+  def loadTaskClass(name: String): Class[_] =
+    Class.forName(name, true, org.apache.spark.util.Utils.getContextOrSparkClassLoader)
+
+  /** Load a class at DRIVER/registration time: the session's shared jar
+    * classloader (where SQL `ADD JAR` lands) first, then the task chain.
+    */
+  def loadSessionClass(spark: SparkSession, name: String): Class[_] =
+    try Class.forName(name, true,
+      spark.asInstanceOf[classic.SparkSession].sharedState.jarClassLoader)
+    catch { case _: ClassNotFoundException => loadTaskClass(name) }
+
   /** Alias an existing session function (builtin, graft-registered, or
     * temp) under a new name — the mapping behind the dialect's
     * `CREATE FUNCTION name AS 'impl'`. Returns false when the target

@@ -710,6 +710,60 @@ class FlinkScriptSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE FUNCTION over an ADD JAR'd class registers via the reflective eval bridge") {
+    // compile a ScalarFunction-shaped class at test time (javac is in the
+    // JDK image), jar it, ADD JAR, register, and call it through SQL
+    val dir = java.nio.file.Files.createTempDirectory("graft_udf_jar")
+    val src = dir.resolve("GraftSuffixUdf.java")
+    java.nio.file.Files.writeString(src,
+      """public class GraftSuffixUdf {
+        |  public String eval(String s, long n) { return s + ":" + n; }
+        |}
+        |""".stripMargin)
+    val src2 = dir.resolve("GraftTwoEvalsUdf.java")
+    java.nio.file.Files.writeString(src2,
+      """public class GraftTwoEvalsUdf {
+        |  public String eval(String s) { return s; }
+        |  public String eval(long n) { return "" + n; }
+        |}
+        |""".stripMargin)
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    assert(javac.run(null, null, null, src.toString, src2.toString) == 0, "javac failed")
+    val jar = dir.resolve("graft-test-udf.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jar))
+    Seq("GraftSuffixUdf.class", "GraftTwoEvalsUdf.class").foreach { n =>
+      jos.putNextEntry(new java.util.zip.ZipEntry(n))
+      jos.write(java.nio.file.Files.readAllBytes(dir.resolve(n)))
+      jos.closeEntry()
+    }
+    jos.close()
+    FlinkSql.sql(spark, s"ADD JAR '$jar'")
+    // Flink's shape: CREATE FUNCTION name AS 'class' → reflective eval
+    FlinkSql.sql(spark, "CREATE FUNCTION suffix_udf AS 'GraftSuffixUdf'")
+    assert(FlinkSql.sql(spark, "SELECT suffix_udf('a', 3) AS r")
+      .head().getString(0) == "a:3")
+    // runs over table data (executor-side invocation), with widening
+    import spark.implicits._
+    val got = Seq(("x", 1), ("y", 2)).toDF("s", "n")
+      .selectExpr("suffix_udf(s, n) AS r").collect().map(_.getString(0)).toSet
+    assert(got == Set("x:1", "y:2"))
+    // ALTER FUNCTION re-points an alias onto a bridged class too
+    FlinkSql.sql(spark, "CREATE FUNCTION alter_target AS 'upper'")
+    FlinkSql.sql(spark, "ALTER FUNCTION alter_target AS 'GraftSuffixUdf'")
+    assert(FlinkSql.sql(spark, "SELECT alter_target('b', 9) AS r")
+      .head().getString(0) == "b:9")
+    // overloaded eval is outside the declared subset — typed error
+    val e = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CREATE FUNCTION two_evals AS 'GraftTwoEvalsUdf'")
+    }
+    assert(e.getMessage.contains("one public eval"), e.getMessage)
+    // DROP unregisters the bridged function like any session alias
+    FlinkSql.sql(spark, "DROP FUNCTION suffix_udf")
+    intercept[Exception] { spark.sql("SELECT suffix_udf('a', 1)").collect() }
+    FlinkSql.sql(spark, "DROP FUNCTION alter_target")
+  }
+
   test("SHOW JOBS lists active streaming queries; STOP JOB stops by id or name") {
     val q = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
       .writeStream.format("noop").queryName("graft_job_spec")
@@ -1348,5 +1402,141 @@ class FlinkScriptSpec extends AnyFunSuite {
     FlinkSql.sql(spark, ddl)
     assert(spark.table("cvl_v").columns.toSeq == Seq("a", "b"))
     FlinkSql.sql(spark, "DROP VIEW cvl_v")
+  }
+
+  test("streaming row-time OVER INSERT lowers onto OverOps: stream equals batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flink_over_stream").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // two keys, out-of-order within the file; sentinel user 9 at 900
+    // drives the final watermark to 895 so every real row's timer fires
+    Seq((3L, 1L, t(130), 3.0), (1L, 1L, t(10), 1.0), (2L, 1L, t(70), 2.0),
+      (4L, 2L, t(40), 10.0), (5L, 2L, t(95), 20.0), (9L, 9L, t(900), 0.0))
+      .toDF("event_id", "user_id", "ts", "v")
+      .write.mode("append").parquet(s"$dir/over_src")
+    val stmt =
+      s"""CREATE TABLE over_src (
+         |  event_id BIGINT, user_id BIGINT, ts TIMESTAMP(3), v DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/over_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE over_sink (event_id BIGINT, user_id BIGINT,
+         |                        sum_1m DOUBLE, n_1m BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/over_sink',
+         |      'format' = 'parquet');
+         |INSERT INTO over_sink
+         |SELECT event_id, user_id, round(sum(v) OVER w, 2) AS sum_1m,
+         |       count(*) OVER w AS n_1m
+         |FROM over_src
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+         |             RANGE BETWEEN INTERVAL '1' MINUTE PRECEDING AND CURRENT ROW)""".stripMargin
+    val q = FlinkSql.runStream(spark, stmt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/over_sink").collect()
+      .filter(_.getLong(1) != 9L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // batch oracle: the SAME statement text over the batch read (q83's
+    // class); the sentinel key is excluded on both sides
+    val batch = FlinkSql.sql(spark,
+      """SELECT event_id, user_id, round(sum(v) OVER w, 2) AS sum_1m,
+        |       count(*) OVER w AS n_1m
+        |FROM over_src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '1' MINUTE PRECEDING AND CURRENT ROW)""".stripMargin)
+      .collect().filter(_.getLong(1) != 9L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == batch && got.nonEmpty, s"stream $got vs batch $batch")
+    // pin the frame shape: user 1 @130 sees 70+130 (10 fell out of the 1m
+    // range), user 2 @95 sees 40+95
+    assert(got.contains((3L, 1L, 5.0, 2L)) && got.contains((5L, 2L, 30.0, 2L)), got.toString)
+    FlinkSql.run(spark, "DROP TABLE over_src; DROP TABLE over_sink")
+  }
+
+  test("streaming ROWS-bounded OVER INSERT resumes from its checkpoint without duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flink_over_resume").toString
+    val ckpt = s"$dir/ckpt"
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    FlinkSql.run(spark,
+      s"""CREATE TABLE ovr_src (
+         |  event_id BIGINT, user_id BIGINT, ts TIMESTAMP(3), v DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/ovr_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE ovr_sink (event_id BIGINT, user_id BIGINT,
+         |                       sum_2r DOUBLE, n_2r BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/ovr_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    val ins =
+      """INSERT INTO ovr_sink
+        |SELECT event_id, user_id,
+        |  sum(v) OVER (PARTITION BY user_id ORDER BY ts
+        |               ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS sum_2r,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS n_2r
+        |FROM ovr_src""".stripMargin
+    // phase A: two rows + a row at 100 (wm 95 emits both)
+    Seq((1L, 1L, t(10), 1.0), (2L, 1L, t(30), 2.0), (3L, 1L, t(100), 4.0))
+      .toDF("event_id", "user_id", "ts", "v")
+      .write.mode("append").parquet(s"$dir/ovr_src")
+    val qa = graft.plans.FlinkDdl.executeInsertStream(spark, ins,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      checkpointDir = Some(ckpt))
+    qa.awaitTermination()
+    val gotA = spark.read.parquet(s"$dir/ovr_sink").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toSet
+    assert(gotA == Set((1L, 1.0, 1L), (2L, 3.0, 2L)), s"phase A got $gotA")
+    // phase B: a later file advances the watermark past 100; the trailing
+    // ROWS frame must span the RESTART (row 3's frame holds phase-A row 2
+    // from the persisted store) and phase-A emissions must not repeat
+    Seq((6L, 1L, t(500), 8.0))
+      .toDF("event_id", "user_id", "ts", "v")
+      .write.mode("append").parquet(s"$dir/ovr_src")
+    val qb = graft.plans.FlinkDdl.executeInsertStream(spark, ins,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      checkpointDir = Some(ckpt))
+    qb.awaitTermination()
+    val all = spark.read.parquet(s"$dir/ovr_sink").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(all.length == all.toSet.size, s"duplicate emissions: ${all.toSeq.sorted}")
+    assert(all.toSet == gotA + ((3L, 6.0, 2L)), s"got ${all.toSet}")
+    FlinkSql.run(spark, "DROP TABLE ovr_src; DROP TABLE ovr_sink")
+  }
+
+  test("streaming OVER outside the declared subset fails typed at deploy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flink_over_err").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    Seq((1L, 1L, t(10), 1.0)).toDF("event_id", "user_id", "ts", "v")
+      .write.mode("append").parquet(s"$dir/oe_src")
+    FlinkSql.run(spark,
+      s"""CREATE TABLE oe_src (
+         |  event_id BIGINT, user_id BIGINT, ts TIMESTAMP(3), v DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/oe_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE oe_sink (a BIGINT, b DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/oe_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    def deployErr(sel: String): String =
+      intercept[IllegalArgumentException](graft.plans.FlinkDdl.executeInsertStream(
+        spark, s"INSERT INTO oe_sink $sel")).getMessage
+    // unsupported aggregate
+    assert(deployErr(
+      """SELECT event_id, max(v) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
+      .contains("SUM/AVG/COUNT"))
+    // ORDER BY must be the declared rowtime
+    assert(deployErr(
+      """SELECT event_id, sum(v) OVER (PARTITION BY user_id ORDER BY v
+        |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
+      .contains("watermark rowtime"))
+    // RANGE UNBOUNDED points at the running-rows form
+    assert(deployErr(
+      """SELECT event_id, sum(v) OVER (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
+      .contains("ROWS BETWEEN UNBOUNDED"))
+    FlinkSql.run(spark, "DROP TABLE oe_src; DROP TABLE oe_sink")
   }
 }

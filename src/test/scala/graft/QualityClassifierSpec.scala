@@ -56,6 +56,15 @@ class QualityClassifierSpec extends AnyFunSuite {
       .select(avg((($"score" > 0.5).cast("double") === $"y").cast("double")))
       .head().getDouble(0)
     assert(acc == 1.0)
+    // Newton/IRLS reaches at least GD's loss in a quarter of the scans
+    val newton = QualityClassifier.trainNewton(feats, "f", "y", 32, iters = 5)
+    assert(newton.losses.head > newton.losses.last)
+    assert(newton.losses.last <= model.losses.last + 1e-9,
+      s"newton ${newton.losses.last} vs gd ${model.losses.last}")
+    val accN = feats.withColumn("score", QualityClassifier.score($"f", newton))
+      .select(avg((($"score" > 0.5).cast("double") === $"y").cast("double")))
+      .head().getDouble(0)
+    assert(accN == 1.0)
   }
 
   test("q134 weak-label training converges and beats the base rate") {
@@ -89,7 +98,8 @@ class QualityClassifierSpec extends AnyFunSuite {
     val feats = QualityClassifier.featurize(labeled, "text", dim)
     val train = feats.where(pmod($"doc_id", lit(5)) =!= 0)
     val heldOut = feats.where(pmod($"doc_id", lit(5)) === 0)
-    val model = QualityClassifier.train(train, "f", "y", dim, iters = 30, lr = 2.0)
+    // the q134 production trainer (Newton/IRLS) is what the gate guards
+    val model = QualityClassifier.trainNewton(train, "f", "y", dim, iters = 5)
     // rank-based AUC (Mann-Whitney) over the held-out scores
     val scored = heldOut.withColumn("score", QualityClassifier.score($"f", model))
       .select($"y", $"score")
