@@ -218,7 +218,15 @@ object Similarity {
     * path at a realistic ≥0.9 near-dup threshold instead.
     */
   def lshParams(n: Long, threshold: Double, targetRecall: Double = 0.99,
-      targetBucket: Int = 64): (Int, Int) = {
+      targetBucket: Int = 8): (Int, Int) = {
+    // targetBucket drives the verify-join volume: random (non-dup) pairs
+    // collide per table at ~bucket/n odds, so candidates ≈ n·bucket/2·T.
+    // Each extra plane halves bucket (and candidates) while T grows only
+    // by the 1/p^b log-factor (p > 0.5 at any positive threshold), so
+    // small buckets strictly win until index rows (n·T) dominate —
+    // bucket ≈ 8 is the knee: the sf10 probe measured the old 64 default
+    // shipping 5.5× the candidate volume into the exact-cosine verify.
+
     val b = math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
     val p = 1.0 - math.acos(threshold) / math.Pi
     val perTable = math.pow(p, b)

@@ -224,8 +224,7 @@ object RowtimeOver {
       .find(!_.equalsIgnoreCase(idCol))
       .foreach(extra => fail(s"plain select items may be the partition column, " +
         s"the rowtime, and ONE row-id column (saw '$idCol' and '$extra')"))
-    if (valueCol.isEmpty && !usesRn && frame != UnboundedRows)
-      fail("no value column: add SUM/AVG over the aggregated column")
+    // COUNT(*)/ROW_NUMBER alone need no value column (the kernel runs on 0.0)
 
     Spec(partCol, orderCol, frame, valueCol, idCol, text, usesRn)
   }

@@ -1504,6 +1504,40 @@ class FlinkScriptSpec extends AnyFunSuite {
     FlinkSql.run(spark, "DROP TABLE ovr_src; DROP TABLE ovr_sink")
   }
 
+  test("streaming unbounded-rows OVER INSERT: AVG + ROW_NUMBER running frame") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flink_over_run").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    Seq((2L, 1L, t(30), 4.0), (1L, 1L, t(10), 2.0), (3L, 1L, t(60), 6.0),
+      (9L, 9L, t(900), 0.0))
+      .toDF("event_id", "user_id", "ts", "v")
+      .write.mode("append").parquet(s"$dir/orun_src")
+    FlinkSql.run(spark,
+      s"""CREATE TABLE orun_src (
+         |  event_id BIGINT, user_id BIGINT, ts TIMESTAMP(3), v DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/orun_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE orun_sink (event_id BIGINT, avg_v DOUBLE, rn BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/orun_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    val q = graft.plans.FlinkDdl.executeInsertStream(spark,
+      """INSERT INTO orun_sink
+        |SELECT event_id,
+        |  avg(v) OVER (PARTITION BY user_id ORDER BY ts
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn
+        |FROM orun_src""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/orun_sink").collect()
+      .filter(_.getLong(0) != 9L)
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2.0, 1L), (2L, 3.0, 2L), (3L, 4.0, 3L)), got.toString)
+    FlinkSql.run(spark, "DROP TABLE orun_src; DROP TABLE orun_sink")
+  }
+
   test("streaming OVER outside the declared subset fails typed at deploy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("flink_over_err").toString
