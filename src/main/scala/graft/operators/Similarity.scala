@@ -134,7 +134,15 @@ object Similarity {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, threshold: Double, trainIters: Int = 2,
       trainSampleCap: Int = 1 << 14): DataFrame = {
-    val cents = trainCentroids(emb, idCol, vecCol, nCells, trainIters, trainSampleCap)
+    // nCells = 0 → cells ∝ n (target cell ≈ 64, clamped): Σ|cell|² stays
+    // LINEAR as the corpus grows — the same auto-scale rule as ivfTopK,
+    // and SemDeDup's own posture (cluster count grows with the corpus).
+    // The sf10 probe measured the fixed-8-cell form at 360× cost on
+    // 100× data (50k-vector cells → 10¹⁰ same-cell pairs).
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(8L, math.min(1L << 16, emb.count() / 64L)).toInt
+    val cents = trainCentroids(emb, idCol, vecCol, cells, trainIters, trainSampleCap)
     val assigned = withNorm(emb, idCol, vecCol).withColumn("cell", element_at(
       graft.functions.CentroidTopKExpr(col("va"), cents.map(_._1), cents.map(_._2), 1), 1))
     val b = assigned.select(col("cell").as("cell_b"), col("a_id").as("b_id"),

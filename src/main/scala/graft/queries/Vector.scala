@@ -374,9 +374,11 @@ object Vector {
     * CepSimilaritySpec.
     */
   val q128_semantic_dedup: Q = (s, d) => {
+    // nCells = 0 → cells ∝ n (SemDeDup's own scale posture): the sf10
+    // probe measured the old fixed-8-cell form at 360× cost on 100× data
     graft.operators.Similarity.semanticDedup(
       plantedCorpus(s, d), "vec_id", "v",
-      nCells = 8, threshold = 0.9)
+      nCells = 0, threshold = 0.9)
   }
 
   /** q119/q120/q128's shared planted-near-dup corpus: the fixture's raw

@@ -423,6 +423,24 @@ class CepSimilaritySpec extends AnyFunSuite {
     assert(capped.length == out.length)
     val cellOf2 = capped.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
     val keep2 = capped.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+
+    // nCells = 0 auto-scales the cell count with the corpus (n/64,
+    // clamped) — the q128 scale posture — and the SAME within-cell drop
+    // rule re-derives exactly at the auto geometry
+    val auto = Similarity.semanticDedup(emb, "vec_id", "v",
+      nCells = 0, threshold = 0.9).collect()
+    assert(auto.length == out.length)
+    val targetCells = math.max(8L, emb.count() / 64L).toInt
+    val usedCells = auto.map(_.getAs[Int]("cell")).distinct.length
+    assert(usedCells >= 2 && usedCells <= targetCells,
+      s"auto cells used $usedCells vs target $targetCells")
+    val cellOfA = auto.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val keepA = auto.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    val expectedDroppedA = pairs
+      .filter { case (a, b) => cellOfA(a) == cellOfA(b) }
+      .map { case (a, b) => math.max(a, b) }.toSet
+    assert(cellOfA.keySet -- keepA == expectedDroppedA,
+      "auto-cell keep set must equal the within-cell dominance rule")
     val expected2 = pairs.filter { case (a, b) => cellOf2(a) == cellOf2(b) }
       .map { case (_, b) => b }.toSet
     assert(cellOf2.keySet -- keep2 == expected2,
