@@ -70,6 +70,7 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
   */
 object FlinkSql {
 
+  private val callRe = raw"(?is)^\s*CALL\b".r
   private val setRe = raw"(?is)^\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*$$".r
   private val resetRe = raw"(?is)^\s*RESET\s+'([^']+)'\s*$$".r
   private val bareSetRe = raw"(?is)^\s*SET\s*$$".r
@@ -519,10 +520,18 @@ object FlinkSql {
           def resolvable(n: String) = try spark.catalog.functionExists(n)
             catch { case scala.util.control.NonFatal(_) => false }
           // a loadable eval-bridge class also resolves (same rules as
-          // CREATE FUNCTION); probed before anything is dropped
+          // CREATE FUNCTION); probed before anything is dropped. The
+          // probe registers under an internal name — an eval-shaped but
+          // unsupported class (e.g. overloaded eval) throws from the
+          // bridge with that internal name and CREATE wording, so
+          // rewrap to the user's statement before surfacing
           def bridgeable = try
             graft.functions.ReflectiveScalar.register(spark, s"__graft_probe_$name", impl)
-          finally GraftColumnBridge.dropTempFunction(spark, s"__graft_probe_$name")
+          catch {
+            case e: IllegalArgumentException => throw new IllegalArgumentException(
+              e.getMessage.replace(
+                s"CREATE FUNCTION __graft_probe_$name", s"ALTER FUNCTION $name"))
+          } finally GraftColumnBridge.dropTempFunction(spark, s"__graft_probe_$name")
           if (resolvable(impl) || resolvable(simple)) {
             GraftColumnBridge.dropTempFunction(spark, name)
             val resolved = GraftColumnBridge.aliasFunction(spark, name, impl) ||
@@ -828,6 +837,16 @@ object FlinkSql {
         // forwarded verbatim; IF EXISTS carries over
         spark.sql(s"DROP VIEW ${if (ifExists) "IF EXISTS " else ""}`${m.group(2)}`")
         okRow(spark, "view", m.group(2))
+      case _ if callRe.findFirstIn(statement).isDefined =>
+        // Flink stored procedures (FLIP-311) are declared out of scope
+        // (SURVEY §2.9): a procedure is catalog-connector code executed
+        // engine-side, and no catalog here ships procedures. Fail typed
+        // with porting guidance instead of a raw Spark parse error.
+        throw new IllegalArgumentException(
+          s"CALL is not supported — Flink stored procedures (FLIP-311) are " +
+            "catalog-provided code and are out of scope here (SURVEY §2.9): " +
+            "port the procedure body to a Spark action or a graft operator " +
+            s"and invoke it directly. Statement: ${statement.trim.take(80)}")
       case _ =>
         val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
         GraftColumnBridge.ofRows(spark, parser.parsePlan(statement))

@@ -1774,9 +1774,15 @@ object FlinkDdl {
                     val to = new org.apache.hadoop.fs.Path(dst, s"graft-batch$batchId-$i$ext")
                     // stage lives under the checkpoint dir, which may be a
                     // different filesystem than the sink — rename() returns
-                    // false across filesystems; losing the batch silently
-                    // would break exactly-once, so fall back to copy
-                    if (!fs.rename(st.getPath, to)) {
+                    // false across filesystems on some implementations and
+                    // THROWS "Wrong FS" (IllegalArgumentException from
+                    // checkPath) on others; both must reach the copy
+                    // fallback — losing the batch silently would break
+                    // exactly-once
+                    val renamed =
+                      try fs.rename(st.getPath, to)
+                      catch { case _: IllegalArgumentException => false }
+                    if (!renamed) {
                       val srcFs = st.getPath.getFileSystem(s2.sparkContext.hadoopConfiguration)
                       val ok = org.apache.hadoop.fs.FileUtil.copy(
                         srcFs, st.getPath, fs, to, true, true,

@@ -758,10 +758,38 @@ class FlinkScriptSpec extends AnyFunSuite {
       FlinkSql.sql(spark, "CREATE FUNCTION two_evals AS 'GraftTwoEvalsUdf'")
     }
     assert(e.getMessage.contains("one public eval"), e.getMessage)
+    // ALTER onto an overloaded-eval class: the bridge probe registers
+    // under an internal name, but the surfaced error must name the
+    // user's statement — neither the probe alias nor CREATE wording
+    FlinkSql.sql(spark, "CREATE FUNCTION alter_ovl AS 'upper'")
+    val e2 = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "ALTER FUNCTION alter_ovl AS 'GraftTwoEvalsUdf'")
+    }
+    assert(e2.getMessage.contains("ALTER FUNCTION alter_ovl"), e2.getMessage)
+    assert(!e2.getMessage.contains("__graft_probe"), e2.getMessage)
+    // and the failing ALTER left the old alias intact
+    assert(FlinkSql.sql(spark, "SELECT alter_ovl('ab') AS u").head().getString(0) == "AB")
+    FlinkSql.sql(spark, "DROP FUNCTION alter_ovl")
     // DROP unregisters the bridged function like any session alias
     FlinkSql.sql(spark, "DROP FUNCTION suffix_udf")
     intercept[Exception] { spark.sql("SELECT suffix_udf('a', 1)").collect() }
     FlinkSql.sql(spark, "DROP FUNCTION alter_target")
+  }
+
+  test("CALL fails typed with porting guidance (procedures out of scope)") {
+    // Flink stored procedures (FLIP-311) are catalog-provided code —
+    // out of scope by declaration; the statement must not fall through
+    // to a raw Spark parse error
+    val e = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CALL compact_table('t1')")
+    }
+    assert(e.getMessage.contains("CALL is not supported"), e.getMessage)
+    assert(e.getMessage.contains("FLIP-311"), e.getMessage)
+    // dotted procedure names route identically
+    val e2 = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CALL sys.rewrite_data_files('db.t')")
+    }
+    assert(e2.getMessage.contains("CALL is not supported"), e2.getMessage)
   }
 
   test("SHOW JOBS lists active streaming queries; STOP JOB stops by id or name") {
