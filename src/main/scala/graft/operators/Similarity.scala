@@ -138,10 +138,17 @@ object Similarity {
     // LINEAR as the corpus grows — the same auto-scale rule as ivfTopK,
     // and SemDeDup's own posture (cluster count grows with the corpus).
     // The sf10 probe measured the fixed-8-cell form at 360× cost on
-    // 100× data (50k-vector cells → 10¹⁰ same-cell pairs).
+    // 100× data (50k-vector cells → 10¹⁰ same-cell pairs). Below a ~4k
+    // knee the Σ|cell|² term is tiny either way (≤ n²/8 ≈ 2M pairs) and
+    // the k-means training scans dominate wall time, so cells hold at 8
+    // there — cells ∝ n takes over above the knee, where it matters.
     val cells =
       if (nCells > 0) nCells
-      else math.max(8L, math.min(1L << 16, emb.count() / 64L)).toInt
+      else {
+        val n = emb.count()
+        if (n <= (1L << 12)) 8
+        else math.max(8L, math.min(1L << 16, n / 64L)).toInt
+      }
     val cents = trainCentroids(emb, idCol, vecCol, cells, trainIters, trainSampleCap)
     val assigned = withNorm(emb, idCol, vecCol).withColumn("cell", element_at(
       graft.functions.CentroidTopKExpr(col("va"), cents.map(_._1), cents.map(_._2), 1), 1))
