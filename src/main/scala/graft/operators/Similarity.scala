@@ -215,8 +215,22 @@ object Similarity {
       .select(col("a_id"), col("b_id"))
       .distinct()
     // re-attach vectors and verify exactly — one dot per distinct pair
+    verifyPairs(emb, idCol, vecCol, threshold, candidates)
+  }
+
+  /** Exact-cosine verification of an explicit candidate pair set
+    * (columns `a_id`, `b_id` over `idCol` values): re-attach vectors,
+    * one codegen'd dot per pair, keep pairs at cosine ≥ `threshold`.
+    * The shared tail of every candidate-generation strategy — LSH
+    * buckets ([[lshNearDupPairs]]), IVF cells, or KNOWN structure (e.g.
+    * a planted-twin id rule) — linear in |candidates|, never all-pairs.
+    */
+  def verifyPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, candidates: DataFrame): DataFrame = {
+    val n = withNorm(emb, idCol, vecCol)
     val bn = n.select(col("a_id").as("b_id"), col("va").as("vb"), col("na").as("nb"))
-    candidates.join(n, "a_id").join(bn, "b_id")
+    candidates.select(col("a_id"), col("b_id"))
+      .join(n, "a_id").join(bn, "b_id")
       .select(col("a_id"), col("b_id"), cosCol.as("cos"))
       .filter(col("cos") >= threshold)
   }

@@ -381,6 +381,54 @@ object Vector {
       nCells = 0, threshold = 0.9)
   }
 
+  /** The PRODUCTION-RECALL dedup chain, end-to-end and scale-safe —
+    * q119/q120's corpus and threshold, but `lshParams` at its DEFAULT
+    * deployment target (recall 0.99) instead of the six-nines
+    * correctness-harness setting: ~3× fewer LSH tables, the parameter
+    * rule a crawl-dedup user actually runs at 100 TB. With recall < 1
+    * the pair SET is not hash-reproducible, so the oracled surface is
+    * the recall CONTRACT itself: the chain's pairs are scored in-engine
+    * against the planted-twin pair subset — a linear `(i, i+1M)`
+    * id-rule join ([[graft.operators.Similarity.verifyPairs]]), never
+    * all-pairs, so this query runs whole at ANY scale (the sf10 probe
+    * times it end-to-end) — then connected components + keep-min-id
+    * dedup run on the found graph and the kept count is checked against
+    * the dedup budget the recall floor implies (kept ≤ n − twins + 1%
+    * of twins). DuckDB replays the corpus construction and twin-pair
+    * count exactly and pins both contract booleans TRUE; AnnRecallSpec
+    * holds the same floor against the FULL exact pair kernel (and
+    * precision = 1) at fixture scale.
+    */
+  val q148_neardup_recall99: Q = (s, d) => {
+    import s.implicits._
+    val corpus = plantedCorpus(s, d).localCheckpoint(true)
+    val n = corpus.count()
+    val (b, t) = graft.operators.Similarity.lshParams(n, 0.95)
+    val found = graft.operators.Similarity
+      .lshNearDupPairs(corpus, "vec_id", "v", 0.95, nPlanes = b, nTables = t)
+      .select($"a_id", $"b_id").localCheckpoint(true)
+    // the known dup structure: candidate (i, i + 1M) for every base id,
+    // verified by exact cosine — the linear twin subset of the exact
+    // pair graph (fixture corpora have no non-twin pairs at 0.95, but
+    // nothing below depends on that)
+    val twinCand = corpus.filter($"vec_id" < 1000000L)
+      .select($"vec_id".as("a_id"), ($"vec_id" + 1000000L).as("b_id"))
+    val twins = graft.operators.Similarity
+      .verifyPairs(corpus, "vec_id", "v", 0.95, twinCand)
+      .select($"a_id", $"b_id").localCheckpoint(true)
+    val nTwins = twins.count()
+    val nHits = twins.join(found, Seq("a_id", "b_id"), "left_semi").count()
+    // dedup the found graph: one survivor per component (min id), plus
+    // every never-paired vector; m missed twin pairs keep m extra rows
+    val cc = graft.operators.Dedup.connectedComponents(found, "a_id", "b_id")
+    val nKept = n - cc.count() + cc.select($"component").distinct().count()
+    val budget = n - nTwins + math.ceil(0.01 * nTwins).toLong
+    Seq((n, nTwins,
+      nTwins == 0L || nHits.toDouble / nTwins >= 0.99,
+      nKept <= budget))
+      .toDF("n_corpus", "n_twin_pairs", "recall_ok", "kept_ok")
+  }
+
   /** q119/q120/q128's shared planted-near-dup corpus: the fixture's raw
     * embeddings have no pairs above cosine 0.7 (they model DISTINCT
     * documents), so the dedup queries union a deterministic perturbed
@@ -435,10 +483,26 @@ object Vector {
     "q45_embedding_neardup" -> q45_embedding_neardup,
     "q119_neardup_production" -> q119_neardup_production,
     "q120_neardup_cc_production" -> q120_neardup_cc_production,
+    "q148_neardup_recall99" -> q148_neardup_recall99,
     "q106_ivf_trained_topk" -> q106_ivf_trained_topk,
   )
 
   val oracle: Map[String, String] = Map(
+    "q148_neardup_recall99" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dup AS (SELECT vec_id + 1000000 AS vec_id,
+        |               list_transform(range(1, len(v) + 1),
+        |                              i -> v[i] + 0.25 * v[(i % len(v)) + 1]) AS v
+        |        FROM base),
+        |c AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c),
+        |tw AS (SELECT a.vec_id AS a_id
+        |       FROM n a JOIN n b ON b.vec_id = a.vec_id + 1000000
+        |       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95)
+        |SELECT (SELECT count(*) FROM n) AS n_corpus,
+        |       (SELECT count(*) FROM tw) AS n_twin_pairs,
+        |       TRUE AS recall_ok,
+        |       TRUE AS kept_ok""".stripMargin,
     "q136_eval_decontam" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |dup AS (SELECT vec_id + 1000000 AS vec_id,

@@ -129,6 +129,33 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.95, f"minhash candidate twin recall $recall%.3f below floor")
   }
 
+  test("q148 production-recall LSH chain: recall floor + precision 1 vs the FULL exact pair kernel") {
+    import spark.implicits._
+    // the deployment parameter rule (lshParams default target 0.99) —
+    // scored against the exhaustive all-pairs oracle, not just the
+    // planted-twin subset the declared query's in-engine contract uses
+    val n = corpus.count()
+    val (b, t) = Similarity.lshParams(n, 0.95)
+    val exact = Similarity.embeddingNearDupPairs(corpus, "vec_id", "v", 0.95)
+      .select(col("a_id"), col("b_id")).cache()
+    val found = Similarity.lshNearDupPairs(corpus, "vec_id", "v", 0.95,
+      nPlanes = b, nTables = t).select(col("a_id"), col("b_id")).cache()
+    val nExact = exact.count()
+    val nFound = found.count()
+    val nHit = found.join(exact, Seq("a_id", "b_id"), "left_semi").count()
+    assert(nHit == nFound,
+      s"precision must be 1 (exact-cosine verify): found=$nFound but only $nHit are exact pairs")
+    val recall = nHit.toDouble / nExact
+    assert(recall >= 0.99,
+      f"production-target recall $recall%.4f below the 0.99 floor (exact=$nExact found=$nFound)")
+    // and the declared query's oracled contract row agrees end-to-end
+    val row = graft.queries.Vector.q148_neardup_recall99(spark, TestSpark.sfDir).head()
+    assert(row.getAs[Long]("n_corpus") == n)
+    assert(row.getAs[Boolean]("recall_ok"), "q148 recall_ok contract violated")
+    assert(row.getAs[Boolean]("kept_ok"), "q148 kept_ok dedup-budget contract violated")
+    exact.unpersist(); found.unpersist()
+  }
+
   test("q31 minhash signature agreement estimates the exact Jaccard") {
     val sigs = Dedup.minHashSignatures(plantedDocs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
