@@ -19,16 +19,29 @@ import org.apache.spark.sql.types._
   * like the other deployment shapes):
   *  - ONE window spec — inline `OVER (...)` (all occurrences identical)
   *    or one `WINDOW w AS (...)` clause;
-  *  - `PARTITION BY <integral column> ORDER BY <the watermark rowtime>`;
+  *  - `PARTITION BY <col> [, <col> ...] ORDER BY <the watermark
+  *    rowtime>` — any number of partition columns of integral, string,
+  *    boolean, or date type (the tuple travels through the kernel as a
+  *    JSON-encoded opaque key and is restored loss-free on the way
+  *    out; fractional keys are rejected — their text round-trip is not
+  *    exact);
   *  - frame `RANGE BETWEEN INTERVAL 'n' unit PRECEDING AND CURRENT ROW`,
   *    `ROWS BETWEEN n PRECEDING AND CURRENT ROW`, or
   *    `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`;
-  *  - aggregates SUM(v) / AVG(v) / COUNT(*) over one value column,
-  *    plus ROW_NUMBER() on the unbounded frame;
+  *  - aggregates SUM(v) / AVG(v) / COUNT(*) / MIN(v) / MAX(v) /
+  *    FIRST_VALUE(v) / LAST_VALUE(v) over one shared value column
+  *    (handled in DOUBLE, like SUM/AVG always were), plus ROW_NUMBER()
+  *    on the unbounded frame;
   *  - the remaining select items must include the row's unique integral
   *    id column as a PLAIN item (the deterministic-order tiebreak the
   *    reference takes from the input's order) — other plain items may
-  *    only be the partition column and the rowtime.
+  *    only be partition columns and the rowtime;
+  *  - after the top-level FROM: exactly `<source> [alias]` (plus the
+  *    stripped WINDOW clause). A WHERE / GROUP BY / join there is
+  *    REJECTED typed rather than silently mis-ordered: the outer
+  *    projection re-applies after the kernel, so a predicate would
+  *    filter AFTER the window while Flink filters BEFORE it — filter
+  *    in a view feeding the source instead.
   *
   * Documented delta: rowtimes are handled at millisecond precision (the
   * kernel's frontier unit), and late rows behind the emitted frontier
@@ -49,8 +62,9 @@ object RowtimeOver {
   final case class RowsN(n: Int) extends Frame
   case object UnboundedRows extends Frame
 
-  final case class Spec(partCol: String, orderCol: String, frame: Frame,
-      valueCol: Option[String], idCol: String, rewritten: String, usesRn: Boolean)
+  final case class Spec(partCols: Seq[String], orderCol: String, frame: Frame,
+      valueCol: Option[String], idCol: String, rewritten: String, usesRn: Boolean,
+      fromTable: String, fromSpan: (Int, Int))
 
   private def unitMs(u: String): Long = u.toUpperCase match {
     case "SECOND" => 1000L
@@ -65,7 +79,8 @@ object RowtimeOver {
 
   /** Parse the declared OVER subset out of `select`, producing the spec
     * and the rewritten outer text (agg spans replaced with `__over_*`
-    * references, WINDOW clause stripped).
+    * references, WINDOW clause stripped, source-table span tracked for
+    * the exact splice in [[lower]]).
     */
   def parse(select: String): Spec = {
     // ---- locate the window spec (named WINDOW clause or inline) ----
@@ -91,11 +106,10 @@ object RowtimeOver {
     }
 
     // ---- parse the spec ----
-    val partM = raw"(?is)\bPARTITION\s+BY\s+([`\w.]+)\s*(,?)".r
+    val partM = raw"(?is)\bPARTITION\s+BY\s+((?:[`\w.]+\s*,\s*)*[`\w.]+)".r
       .findFirstMatchIn(specText)
-      .getOrElse(fail("the spec must PARTITION BY one column"))
-    if (partM.group(2) == ",") fail("a single PARTITION BY column is supported")
-    val partCol = bare(partM.group(1))
+      .getOrElse(fail("the spec must PARTITION BY at least one column"))
+    val partCols = partM.group(1).split(",").map(s => bare(s.trim)).toSeq
     val orderM = raw"(?is)\bORDER\s+BY\s+([`\w.]+)(\s+(?:ASC|DESC))?\s*(,?)".r
       .findFirstMatchIn(specText)
       .getOrElse(fail("the spec must ORDER BY the watermark rowtime"))
@@ -123,7 +137,8 @@ object RowtimeOver {
       }
 
     // ---- locate and replace every aggregate-OVER span ----
-    val aggRe = raw"(?is)\b(SUM|COUNT|AVG|ROW_NUMBER)\s*\(([^()]*)\)\s+OVER\b".r
+    val aggRe =
+      raw"(?is)\b(SUM|COUNT|AVG|MIN|MAX|FIRST_VALUE|LAST_VALUE|ROW_NUMBER)\s*\(([^()]*)\)\s+OVER\b".r
     var usesRn = false
     var valueCol: Option[String] = None
     def noteValue(c: String): Unit = {
@@ -151,6 +166,10 @@ object RowtimeOver {
       val out = m.group(1).toUpperCase match {
         case "SUM" => noteValue(arg); "__over_sum"
         case "AVG" => noteValue(arg); "(__over_sum / __over_cnt)"
+        case "MIN" => noteValue(arg); "__over_min"
+        case "MAX" => noteValue(arg); "__over_max"
+        case "FIRST_VALUE" => noteValue(arg); "__over_first"
+        case "LAST_VALUE" => noteValue(arg); "__over_last"
         case "COUNT" =>
           if (arg != "*" && arg != "1")
             fail("COUNT over a stream supports COUNT(*) / COUNT(1); " +
@@ -165,7 +184,8 @@ object RowtimeOver {
       (m.start, end, out)
     }
     if (repl.isEmpty) fail("no supported aggregate found " +
-      "(SUM/AVG/COUNT(*) and ROW_NUMBER on the unbounded frame)")
+      "(SUM/AVG/COUNT(*)/MIN/MAX/FIRST_VALUE/LAST_VALUE, and ROW_NUMBER " +
+      "on the unbounded frame)")
 
     // splice replacements + strip the WINDOW clause, back to front
     val cuts = (repl ++ stripSpan.map { case (a, b) => (a, b, "") }.toList)
@@ -174,10 +194,11 @@ object RowtimeOver {
     cuts.foreach { case (a, b, out) => text = text.substring(0, a) + out + text.substring(b) }
     if (raw"(?is)\bOVER\s*\(".r.findFirstIn(text).isDefined ||
         windowName.exists(n => raw"(?is)\bOVER\s+$n\b".r.findFirstIn(text).isDefined))
-      fail("only SUM/AVG/COUNT(*)/ROW_NUMBER window aggregates are supported " +
-        "over a stream; rewrite the remaining OVER expression")
+      fail("only SUM/AVG/COUNT(*)/MIN/MAX/FIRST_VALUE/LAST_VALUE/ROW_NUMBER " +
+        "window aggregates are supported over a stream; rewrite the " +
+        "remaining OVER expression")
 
-    // ---- the row-id column: first plain select item that is neither the
+    // ---- the row-id column: first plain select item that is neither a
     // partition column nor the rowtime ----
     val selM = raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(text)
       .getOrElse(fail("the statement must be a SELECT"))
@@ -216,17 +237,40 @@ object RowtimeOver {
     val plainRe = raw"(?is)^([`\w.]+)(?:\s+AS\s+\w+)?$$".r
     val plain = items.flatMap(plainRe.findFirstMatchIn(_)).map(m => bare(m.group(1)))
       .filterNot(_.startsWith("__over_")) // the spliced aggregate references
-    val idCol = plain.find(c => !c.equalsIgnoreCase(partCol) && !c.equalsIgnoreCase(orderCol))
+    def isKeyOrTime(c: String): Boolean =
+      partCols.exists(_.equalsIgnoreCase(c)) || c.equalsIgnoreCase(orderCol)
+    val idCol = plain.find(!isKeyOrTime(_))
       .getOrElse(fail("select the row's unique integral id column as a plain " +
         "item — the deterministic per-row order key (Flink orders equal " +
         "rowtimes by input order; a keyed stream needs an explicit key)"))
-    plain.filter(c => !c.equalsIgnoreCase(partCol) && !c.equalsIgnoreCase(orderCol))
+    plain.filterNot(isKeyOrTime)
       .find(!_.equalsIgnoreCase(idCol))
-      .foreach(extra => fail(s"plain select items may be the partition column, " +
+      .foreach(extra => fail(s"plain select items may be partition columns, " +
         s"the rowtime, and ONE row-id column (saw '$idCol' and '$extra')"))
     // COUNT(*)/ROW_NUMBER alone need no value column (the kernel runs on 0.0)
 
-    Spec(partCol, orderCol, frame, valueCol, idCol, text, usesRn)
+    // ---- after the top-level FROM: exactly '<source> [alias]'. The
+    // outer projection re-applies over the kernel OUTPUT, so any WHERE /
+    // GROUP BY / join here would evaluate after the window — silently
+    // different frames than Flink's filter-before-window. Reject typed.
+    val after = text.substring(fromAt + 4)
+    val srcM = raw"(?s)^\s*(`[^`]+`|[\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*$$".r
+      .findFirstMatchIn(after).getOrElse(
+        fail("after FROM only '<source> [alias]' is supported — a WHERE / " +
+          "GROUP BY / join there would apply AFTER the window aggregation " +
+          "(Flink filters before it); put the predicate in a view feeding " +
+          "the source, or aggregate the sink downstream"))
+    val keywords = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "JOIN",
+      "UNION", "WINDOW", "ON", "LEFT", "RIGHT", "INNER", "FULL", "CROSS")
+    Option(srcM.group(2)).map(_.toUpperCase).filter(keywords.contains).foreach(k =>
+      fail(s"after FROM only '<source> [alias]' is supported (saw '$k ...') — " +
+        "a WHERE / GROUP BY / join there would apply AFTER the window " +
+        "aggregation (Flink filters before it); put the predicate in a view " +
+        "feeding the source, or aggregate the sink downstream"))
+    val fromTable = bare(srcM.group(1))
+    val span = (fromAt + 4 + srcM.start(1), fromAt + 4 + srcM.end(1))
+
+    Spec(partCols, orderCol, frame, valueCol, idCol, text, usesRn, fromTable, span)
   }
 
   private def requireIntegral(schema: StructType, c: String, role: String): StructField = {
@@ -238,11 +282,28 @@ object RowtimeOver {
     }
   }
 
+  /** A partition-key column must survive the JSON key round-trip
+    * loss-free: integral, string, boolean, and date do; fractional
+    * types don't (text round-trip), so they reject typed.
+    */
+  private def requireKeyable(schema: StructType, c: String): StructField = {
+    val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+      .getOrElse(fail(s"PARTITION BY column '$c' is not a source column"))
+    f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           BooleanType | DateType => f
+      case t => fail(s"PARTITION BY column '$c' must be integral, string, " +
+        s"boolean, or date (loss-free key round-trip), is ${t.sql}")
+    }
+  }
+
   /** Lower the statement onto the keyed OverOps kernel: build the
     * OverIn stream from the (already stream-bound, watermarked) source
-    * view, run the frame's process, and re-apply the outer projection
-    * over the kernel's output view. Returns the streaming DataFrame for
-    * the generic sink path.
+    * view — the PARTITION BY tuple JSON-encoded as the kernel's opaque
+    * string key — run the frame's process, decode the key back to the
+    * original columns, and re-apply the outer projection over the
+    * kernel's output view. Returns the streaming DataFrame for the
+    * generic sink path.
     */
   def lower(spark: SparkSession, select: String, source: String,
       rowtimeCol: String): DataFrame = {
@@ -251,9 +312,12 @@ object RowtimeOver {
     if (!spec.orderCol.equalsIgnoreCase(rowtimeCol))
       fail(s"ORDER BY '${spec.orderCol}' must be the source's declared " +
         s"watermark rowtime ('$rowtimeCol') — processing-time OVER is not deployed")
+    if (!spec.fromTable.equalsIgnoreCase(bare(source)))
+      fail(s"FROM '${spec.fromTable}' does not reference the deployment's " +
+        s"single watermarked source '$source'")
     val src = spark.table(source)
     val schema = src.schema
-    val partF = requireIntegral(schema, spec.partCol, "PARTITION BY")
+    val partFs = spec.partCols.map(requireKeyable(schema, _))
     val idF = requireIntegral(schema, spec.idCol, "row-id")
     val orderF = schema.fields.find(_.name.equalsIgnoreCase(spec.orderCol))
       .getOrElse(fail(s"rowtime column '${spec.orderCol}' is not a source column"))
@@ -266,29 +330,37 @@ object RowtimeOver {
     }
     implicit val enc: org.apache.spark.sql.Encoder[OverIn] =
       org.apache.spark.sql.Encoders.product[OverIn]
+    val keySchema = StructType(partFs)
     val in = src.select(
-      col(spec.partCol).cast("long").as("key"),
+      to_json(struct(partFs.map(f => col(f.name)): _*)).as("key"),
       col(spec.idCol).cast("long").as("id"),
       unix_millis(col(spec.orderCol).cast("timestamp")).as("ts_ms"),
       valueExpr.as("value")).as[OverIn]
-    val (out, sumCol, cntCol) = spec.frame match {
-      case RangeMs(ms) => (OverOps.boundedRangeAgg(in, ms).toDF(), "range_sum", "range_cnt")
-      case RowsN(n) => (OverOps.boundedRowsAgg(in, n).toDF(), "range_sum", "range_cnt")
-      case UnboundedRows => (OverOps.runningAgg(in).toDF(), "running_sum", "running_cnt")
+    val (out, pre) = spec.frame match {
+      case RangeMs(ms) => (OverOps.boundedRangeAgg(in, ms).toDF(), "range")
+      case RowsN(n) => (OverOps.boundedRowsAgg(in, n).toDF(), "range")
+      case UnboundedRows => (OverOps.runningAgg(in).toDF(), "running")
     }
-    val restoreCols = Seq(
-      col("key").cast(partF.dataType).as(partF.name),
-      col("id").cast(idF.dataType).as(idF.name),
-      timestamp_millis(col("ts_ms")).cast(orderF.dataType).as(orderF.name),
-      col(sumCol).as("__over_sum"),
-      col(cntCol).as("__over_cnt")) ++
+    val restoreCols =
+      partFs.map(f => from_json(col("key"), keySchema).getField(f.name).as(f.name)) ++
+      Seq(
+        col("id").cast(idF.dataType).as(idF.name),
+        timestamp_millis(col("ts_ms")).cast(orderF.dataType).as(orderF.name),
+        col(s"${pre}_sum").as("__over_sum"),
+        col(s"${pre}_cnt").as("__over_cnt"),
+        col(s"${pre}_min").as("__over_min"),
+        col(s"${pre}_max").as("__over_max"),
+        col("first_v").as("__over_first"),
+        col("last_v").as("__over_last")) ++
       (if (spec.usesRn) Seq(col("rn").as("__over_rn")) else Nil)
     val restored = out.select(restoreCols: _*)
     restored.createOrReplaceTempView("__graft_over")
     // outer projection: the original statement with agg spans replaced,
-    // re-pointed at the kernel's output view
-    val outer = raw"(?i)\b${java.util.regex.Pattern.quote(source)}\b".r
-      .replaceAllIn(spec.rewritten, "__graft_over")
+    // re-pointed at the kernel's output view — by splicing exactly the
+    // FROM table-reference span parse() located, so a same-named column,
+    // alias, or string literal elsewhere in the text is never touched
+    val outer = spec.rewritten.substring(0, spec.fromSpan._1) + "__graft_over" +
+      spec.rewritten.substring(spec.fromSpan._2)
     val parser = new GraftSqlParser(spark, spark.sessionState.sqlParser)
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, parser.parsePlan(outer))
   }

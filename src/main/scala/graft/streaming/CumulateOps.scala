@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming._
 
 /** Cumulate-window emission for a keyed stream. */
-case class CumulateOut(key: Long, window_start: Long, window_end: Long,
+case class CumulateOut(key: String, window_start: Long, window_end: Long,
     sum_value: Double, n: Long)
 
 /** Streaming CUMULATE — the reference's cumulative window aggregate
@@ -26,7 +26,7 @@ case class CumulateOut(key: Long, window_start: Long, window_end: Long,
   * (append semantics).
   */
 class StreamingCumulateProcess(stepMs: Long, maxSizeMs: Long)
-    extends KeyedProcess[Long, OverIn, CumulateOut] {
+    extends KeyedProcess[String, OverIn, CumulateOut] {
   require(maxSizeMs % stepMs == 0, "maxSize must be a multiple of step")
 
   @transient private var buf: ListState[OverIn] = _
@@ -36,7 +36,7 @@ class StreamingCumulateProcess(stepMs: Long, maxSizeMs: Long)
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
   }
 
-  override def onElement(key: Long, v: OverIn, tv: TimerValues,
+  override def onElement(key: String, v: OverIn, tv: TimerValues,
       emit: CumulateOut => Unit): Unit = {
     val span = Math.floorDiv(v.ts_ms, maxSizeMs) * maxSizeMs
     val wm = tv.getCurrentWatermarkInMs()
@@ -57,7 +57,7 @@ class StreamingCumulateProcess(stepMs: Long, maxSizeMs: Long)
     }
   }
 
-  override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
+  override def onTimer(key: String, expiryMs: Long, tv: TimerValues,
       emit: CumulateOut => Unit): Unit = {
     val span = Math.floorDiv(expiryMs - 1, maxSizeMs) * maxSizeMs
     val rows = buf.get().toArray
@@ -81,7 +81,7 @@ object CumulateOps {
     */
   def cumulate(ds: Dataset[OverIn], stepMs: Long, maxSizeMs: Long): Dataset[CumulateOut] = {
     implicit val out: Encoder[CumulateOut] = Encoders.product[CumulateOut]
-    ds.groupByKey(_.key)(Encoders.scalaLong)
+    ds.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(new StreamingCumulateProcess(stepMs, maxSizeMs),
         TimeMode.EventTime(), OutputMode.Append())
   }

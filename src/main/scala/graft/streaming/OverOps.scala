@@ -13,48 +13,60 @@ import org.apache.spark.sql.streaming._
   *  - out-of-order rows buffer in ListState with an event-time timer per
   *    row timestamp;
   *  - when the watermark passes, buffered rows ≤ watermark are sorted by
-  *    (ts, id) and emitted with the running aggregate (sum, count, row
-  *    number) carried in ValueState across emissions — i.e.
-  *    `SUM(v) OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED
-  *    PRECEDING)` with watermark-delayed, in-order emission.
+  *    (ts, id) and emitted with the running aggregate (sum, count, min,
+  *    max, first/last value, row number) carried in ValueState across
+  *    emissions — i.e. `SUM(v) OVER (PARTITION BY key ORDER BY ts ROWS
+  *    UNBOUNDED PRECEDING)` with watermark-delayed, in-order emission.
+  *
+  * The key is an OPAQUE string — the SQL deployment layer encodes the
+  * (possibly composite, possibly non-integral) PARTITION BY tuple as
+  * JSON and decodes it back on the way out, so the kernels stay
+  * key-shape-agnostic ([U] flink-table-runtime over operators key by
+  * an arbitrary RowData key selector).
   *
   * State: pending buffer is watermark-bounded; the running accumulator is
   * O(1) per key. Rows arriving behind the emitted frontier (possible only
   * inside the watermark slack) are folded in at the next firing in
   * arrival order — same best-effort as Flink applies behind its watermark.
   */
-case class OverIn(key: Long, id: Long, ts_ms: Long, value: Double)
-case class OverOut(key: Long, id: Long, ts_ms: Long,
-    running_sum: Double, running_cnt: Long, rn: Long)
+case class OverIn(key: String, id: Long, ts_ms: Long, value: Double)
+case class OverOut(key: String, id: Long, ts_ms: Long,
+    running_sum: Double, running_cnt: Long, rn: Long,
+    running_min: Double, running_max: Double, first_v: Double, last_v: Double)
 
-class StreamingOverProcess extends KeyedProcess[Long, OverIn, OverOut] {
+class StreamingOverProcess extends KeyedProcess[String, OverIn, OverOut] {
   @transient private var buf: ListState[OverIn] = _
-  @transient private var acc: ValueState[(Double, Long)] = _
+  @transient private var acc: ValueState[(Double, Long, Double, Double, Double)] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
-    implicit val accEnc: Encoder[(Double, Long)] = ExpressionEncoder()
+    implicit val accEnc: Encoder[(Double, Long, Double, Double, Double)] =
+      ExpressionEncoder()
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
-    acc = h.getValueState[(Double, Long)]("acc", accEnc, TTLConfig.NONE)
+    acc = h.getValueState[(Double, Long, Double, Double, Double)]("acc", accEnc,
+      TTLConfig.NONE)
   }
 
-  override def onElement(key: Long, v: OverIn, tv: TimerValues,
+  override def onElement(key: String, v: OverIn, tv: TimerValues,
       emit: OverOut => Unit): Unit = {
     buf.appendValue(v)
     registerTimer(v.ts_ms)
   }
 
-  override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
+  override def onTimer(key: String, expiryMs: Long, tv: TimerValues,
       emit: OverOut => Unit): Unit = {
     val wm = math.max(tv.getCurrentWatermarkInMs, expiryMs)
     val (ready, pending) = buf.get().toArray.partition(_.ts_ms <= wm)
     if (ready.nonEmpty) {
-      var (sum, cnt) = Option(acc.get()).getOrElse((0.0, 0L))
+      var (sum, cnt, mn, mx, fst) = Option(acc.get())
+        .getOrElse((0.0, 0L, Double.PositiveInfinity, Double.NegativeInfinity, 0.0))
       ready.sortBy(r => (r.ts_ms, r.id)).foreach { r =>
         sum += r.value; cnt += 1
-        emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt))
+        mn = math.min(mn, r.value); mx = math.max(mx, r.value)
+        if (cnt == 1L) fst = r.value
+        emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, r.value))
       }
-      acc.update((sum, cnt))
+      acc.update((sum, cnt, mn, mx, fst))
       buf.clear()
       if (pending.nonEmpty) buf.appendList(pending)
     }
@@ -63,10 +75,13 @@ class StreamingOverProcess extends KeyedProcess[Long, OverIn, OverOut] {
 
 /** Bounded time-range OVER output: the RANGE [ts − range, ts] frame
   * aggregate for each row (all equal-rowtime peers share one frame, as
-  * in the batch RANGE semantics).
+  * in the batch RANGE semantics). first_v/last_v are the frame's
+  * earliest/latest row value in (ts, id) order — FIRST_VALUE/LAST_VALUE
+  * over the same frame.
   */
-case class BoundedOverOut(key: Long, id: Long, ts_ms: Long,
-    range_sum: Double, range_cnt: Long)
+case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
+    range_sum: Double, range_cnt: Long,
+    range_min: Double, range_max: Double, first_v: Double, last_v: Double)
 
 /** Streaming bounded-range OVER — the reference's
   * RowTimeRangeBoundedPrecedingFunction ([U] flink-table-runtime
@@ -76,9 +91,12 @@ case class BoundedOverOut(key: Long, id: Long, ts_ms: Long,
   * the state retains the rows inside the trailing range window —
   * exactly Flink's retained state for bounded frames, evicted as the
   * frontier advances, so per-key state is O(rows within `rangeMs`).
+  * MIN/MAX/FIRST/LAST fold over the retained window at emission — the
+  * retained rows were already the state shape, so wider agg coverage
+  * costs no new state.
   */
 class StreamingBoundedOverProcess(rangeMs: Long)
-    extends KeyedProcess[Long, OverIn, BoundedOverOut] {
+    extends KeyedProcess[String, OverIn, BoundedOverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var recent: ListState[OverIn] = _
   @transient private var emittedUpTo: ValueState[Long] = _
@@ -90,7 +108,7 @@ class StreamingBoundedOverProcess(rangeMs: Long)
     emittedUpTo = h.getValueState[Long]("emitted", Encoders.scalaLong, TTLConfig.NONE)
   }
 
-  override def onElement(key: Long, v: OverIn, tv: TimerValues,
+  override def onElement(key: String, v: OverIn, tv: TimerValues,
       emit: BoundedOverOut => Unit): Unit = {
     // a row at-or-behind the emitted frontier is LATE: its emission point
     // passed, and folding it in would put FUTURE rows inside its trailing
@@ -102,20 +120,25 @@ class StreamingBoundedOverProcess(rangeMs: Long)
     }
   }
 
-  override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
+  override def onTimer(key: String, expiryMs: Long, tv: TimerValues,
       emit: BoundedOverOut => Unit): Unit = {
     val wm = math.max(tv.getCurrentWatermarkInMs, expiryMs)
     val (ready, pending) = buf.get().toArray.partition(_.ts_ms <= wm)
     if (ready.nonEmpty) {
       var window = recent.get().toArray
       // per distinct rowtime: evict, then every peer shares the frame of
-      // [ts − range, ts] — the batch RANGE-frame peer semantics
+      // [ts − range, ts] — the batch RANGE-frame peer semantics. The
+      // window array stays in (ts, id) order: peers append in sorted
+      // order and eviction drops a prefix.
       ready.sortBy(r => (r.ts_ms, r.id)).groupBy(_.ts_ms).toSeq.sortBy(_._1)
         .foreach { case (ts, peers) =>
           window = (window ++ peers).filter(_.ts_ms >= ts - rangeMs)
-          val sum = window.map(_.value).sum
-          val cnt = window.length.toLong
-          peers.foreach(r => emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt)))
+          val vs = window.map(_.value)
+          val (sum, cnt) = (vs.sum, window.length.toLong)
+          val (mn, mx) = (vs.min, vs.max)
+          val (first, last) = (window.head.value, window.last.value)
+          peers.foreach(r =>
+            emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt, mn, mx, first, last)))
         }
       recent.clear()
       if (window.nonEmpty) recent.appendList(window)
@@ -133,10 +156,10 @@ class StreamingBoundedOverProcess(rangeMs: Long)
   * `ROWS BETWEEN n−1 PRECEDING AND CURRENT ROW` frame — count-based,
   * so unlike the RANGE variant equal-rowtime peers do NOT share
   * frames). State retains exactly the trailing `nRows − 1` emitted
-  * rows per key.
+  * rows per key; MIN/MAX/FIRST/LAST fold over that retained frame.
   */
 class StreamingBoundedRowsProcess(nRows: Int)
-    extends KeyedProcess[Long, OverIn, BoundedOverOut] {
+    extends KeyedProcess[String, OverIn, BoundedOverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var recent: ListState[OverIn] = _
   @transient private var emittedUpTo: ValueState[Long] = _
@@ -148,7 +171,7 @@ class StreamingBoundedRowsProcess(nRows: Int)
     emittedUpTo = h.getValueState[Long]("emitted", Encoders.scalaLong, TTLConfig.NONE)
   }
 
-  override def onElement(key: Long, v: OverIn, tv: TimerValues,
+  override def onElement(key: String, v: OverIn, tv: TimerValues,
       emit: BoundedOverOut => Unit): Unit = {
     // late row (at-or-behind the emitted frontier): appending it now
     // would make its frame contain its successors — dropped, like the
@@ -160,7 +183,7 @@ class StreamingBoundedRowsProcess(nRows: Int)
     }
   }
 
-  override def onTimer(key: Long, expiryMs: Long, tv: TimerValues,
+  override def onTimer(key: String, expiryMs: Long, tv: TimerValues,
       emit: BoundedOverOut => Unit): Unit = {
     val wm = math.max(tv.getCurrentWatermarkInMs, expiryMs)
     val (ready, pending) = buf.get().toArray.partition(_.ts_ms <= wm)
@@ -168,8 +191,9 @@ class StreamingBoundedRowsProcess(nRows: Int)
       var window = recent.get().toArray
       ready.sortBy(r => (r.ts_ms, r.id)).foreach { r =>
         window = (window :+ r).takeRight(nRows)
-        emit(BoundedOverOut(key, r.id, r.ts_ms,
-          window.map(_.value).sum, window.length.toLong))
+        val vs = window.map(_.value)
+        emit(BoundedOverOut(key, r.id, r.ts_ms, vs.sum, window.length.toLong,
+          vs.min, vs.max, window.head.value, window.last.value))
       }
       recent.clear()
       val keep = window.takeRight(math.max(nRows - 1, 0))
@@ -182,34 +206,36 @@ class StreamingBoundedRowsProcess(nRows: Int)
 }
 
 object OverOps {
-  /** Running sum/count/row_number per key ordered by event time, emitted
-    * behind the watermark; `ds` must carry an event-time watermark.
+  /** Running sum/count/min/max/first/row_number per key ordered by event
+    * time, emitted behind the watermark; `ds` must carry an event-time
+    * watermark.
     */
   def runningAgg(ds: Dataset[OverIn]): Dataset[OverOut] = {
     implicit val out: Encoder[OverOut] = Encoders.product[OverOut]
-    ds.groupByKey(_.key)(Encoders.scalaLong)
+    ds.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(new StreamingOverProcess, TimeMode.EventTime(), OutputMode.Append())
   }
 
-  /** Bounded trailing-range aggregate per key: each row's sum/count over
-    * rows with `ts ∈ [ts − rangeMs, ts]` (peers share frames), emitted
-    * behind the watermark; `ds` must carry an event-time watermark.
+  /** Bounded trailing-range aggregate per key: each row's
+    * sum/count/min/max/first/last over rows with `ts ∈ [ts − rangeMs,
+    * ts]` (peers share frames), emitted behind the watermark; `ds` must
+    * carry an event-time watermark.
     */
   def boundedRangeAgg(ds: Dataset[OverIn], rangeMs: Long): Dataset[BoundedOverOut] = {
     implicit val out: Encoder[BoundedOverOut] = Encoders.product[BoundedOverOut]
-    ds.groupByKey(_.key)(Encoders.scalaLong)
+    ds.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(new StreamingBoundedOverProcess(rangeMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
-  /** Count-bounded trailing frame per key: each row's sum/count over
+  /** Count-bounded trailing frame per key: each row's aggregate over
     * itself and the previous `nRows − 1` rows in (ts, id) order,
     * emitted behind the watermark.
     */
   def boundedRowsAgg(ds: Dataset[OverIn], nRows: Int): Dataset[BoundedOverOut] = {
     require(nRows >= 1, "nRows must be >= 1")
     implicit val out: Encoder[BoundedOverOut] = Encoders.product[BoundedOverOut]
-    ds.groupByKey(_.key)(Encoders.scalaLong)
+    ds.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(new StreamingBoundedRowsProcess(nRows),
         TimeMode.EventTime(), OutputMode.Append())
   }

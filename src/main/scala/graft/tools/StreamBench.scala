@@ -75,6 +75,11 @@ object StreamBench {
     // (two-sided symmetric-hash join state keyed by (window, user)) —
     // the BASELINE row for stream-stream join throughput
     val wjoin = args.length > 3 && args(3) == "wjoin"
+    // `over` replays events into the ROWS-bounded OverOps kernel keyed
+    // by user_id (MANY keys, unlike topn's 5 event types — the retained
+    // trailing frame + per-ts timer path under RocksDB) — the BASELINE
+    // row for custom transformWithState-kernel throughput
+    val over = args.length > 3 && args(3) == "over"
     val rows = Tables.events(spark, dir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[E].collect().sortBy(_.ts.getTime)
@@ -86,9 +91,17 @@ object StreamBench {
     val metric =
       if (topn) "stream_topn_rows_per_sec"
       else if (wjoin) "stream_wjoin_rows_per_sec"
+      else if (over) "stream_over_rows_per_sec"
       else "stream_tumble_rows_per_sec"
     val out =
-      if (topn)
+      if (over)
+        graft.streaming.OverOps.boundedRowsAgg(
+          input.toDF().withWatermark("ts", "10 seconds")
+            .select($"user_id".cast("string").as("key"), $"event_id".as("id"),
+              unix_millis($"ts").as("ts_ms"), $"value".as("value"))
+            .as[graft.streaming.OverIn], 10)
+          .toDF()
+      else if (topn)
         graft.streaming.StatefulOps.topN(
           input.toDF().select($"event_type".as("key"), $"event_id".as("id"),
             $"value".as("score")).as[graft.streaming.KeyedScored], 10)

@@ -1566,6 +1566,53 @@ class FlinkScriptSpec extends AnyFunSuite {
     FlinkSql.run(spark, "DROP TABLE orun_src; DROP TABLE orun_sink")
   }
 
+  test("streaming OVER MIN/MAX/FIRST/LAST with a composite string+bigint partition key: stream equals batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flink_over_mm").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    Seq(
+      ("a", 1L, 1L, t(10), 5.0),
+      ("a", 1L, 2L, t(30), 1.0),
+      ("a", 1L, 3L, t(50), 3.0),
+      ("b", 1L, 4L, t(20), 7.0), // same user, different group → own frames
+      ("a", 2L, 5L, t(40), 2.0),
+      ("z", 9L, 9L, t(900), 0.0)) // sentinel advances the watermark
+      .toDF("grp", "user_id", "event_id", "ts", "v")
+      .write.mode("append").parquet(s"$dir/omm_src")
+    FlinkSql.run(spark,
+      s"""CREATE TABLE omm_src (
+         |  grp STRING, user_id BIGINT, event_id BIGINT, ts TIMESTAMP(3), v DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/omm_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE omm_sink (grp STRING, user_id BIGINT, event_id BIGINT,
+         |                       mn DOUBLE, mx DOUBLE, fv DOUBLE, lv DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/omm_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    val sel =
+      """SELECT grp, user_id, event_id,
+        |  min(v) OVER w AS mn, max(v) OVER w AS mx,
+        |  first_value(v) OVER w AS fv, last_value(v) OVER w AS lv
+        |FROM omm_src
+        |WINDOW w AS (PARTITION BY grp, user_id ORDER BY ts
+        |             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin
+    val q = FlinkSql.runStream(spark, s"INSERT INTO omm_sink $sel",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    def tup(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    val got = spark.read.parquet(s"$dir/omm_sink").collect()
+      .filter(_.getString(0) != "z").map(tup).toSet
+    val batch = FlinkSql.sql(spark, sel).collect()
+      .filter(_.getString(0) != "z").map(tup).toSet
+    assert(got == batch && got.nonEmpty, s"stream $got vs batch $batch")
+    // pin a frame: (a,1) event 3's trailing-2 frame is {1.0, 3.0} →
+    // mn 1, mx 3, first 1, last 3; group b is untouched by user 1's rows
+    assert(got.contains(("a", 1L, 3L, 1.0, 3.0, 1.0, 3.0)), got.toString)
+    assert(got.contains(("b", 1L, 4L, 7.0, 7.0, 7.0, 7.0)), got.toString)
+    FlinkSql.run(spark, "DROP TABLE omm_src; DROP TABLE omm_sink")
+  }
+
   test("streaming OVER outside the declared subset fails typed at deploy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("flink_over_err").toString
@@ -1584,11 +1631,29 @@ class FlinkScriptSpec extends AnyFunSuite {
     def deployErr(sel: String): String =
       intercept[IllegalArgumentException](graft.plans.FlinkDdl.executeInsertStream(
         spark, s"INSERT INTO oe_sink $sel")).getMessage
-    // unsupported aggregate
+    // unsupported aggregate (MIN/MAX/FIRST/LAST_VALUE deploy since round
+    // 11 — STDDEV stays outside the declared fold set)
     assert(deployErr(
-      """SELECT event_id, max(v) OVER (PARTITION BY user_id ORDER BY ts
+      """SELECT event_id, stddev(v) OVER (PARTITION BY user_id ORDER BY ts
         |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
       .contains("SUM/AVG/COUNT"))
+    // anything beyond 'FROM <source> [alias]' would apply AFTER the
+    // window (Flink filters BEFORE it) — rejected typed, not mis-ordered
+    assert(deployErr(
+      """SELECT event_id, sum(v) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM oe_src
+        |WHERE v > 0""".stripMargin)
+      .contains("after FROM"))
+    assert(deployErr(
+      """SELECT event_id, sum(v) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM oe_src
+        |GROUP BY event_id""".stripMargin)
+      .contains("after FROM"))
+    // fractional partition keys don't round-trip the opaque key encoding
+    assert(deployErr(
+      """SELECT event_id, sum(v) OVER (PARTITION BY v ORDER BY ts
+        |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
+      .contains("integral, string, boolean, or date"))
     // ORDER BY must be the declared rowtime
     assert(deployErr(
       """SELECT event_id, sum(v) OVER (PARTITION BY user_id ORDER BY v

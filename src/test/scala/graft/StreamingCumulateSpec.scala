@@ -26,7 +26,7 @@ class StreamingCumulateSpec extends AnyFunSuite {
       Raw(1, 6, java.sql.Timestamp.valueOf("2024-01-01 10:11:00"), 6.0)) // next span
     val input = MemoryStream[Raw]
     val toIn = (df: org.apache.spark.sql.DataFrame) => df
-      .select($"key", $"id", unix_millis($"ts").as("ts_ms"), $"value").as[OverIn]
+      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), $"value").as[OverIn]
     val q = CumulateOps.cumulate(
         toIn(input.toDF().withWatermark("ts", "5 seconds")), 120000L, 600000L)
       .writeStream.outputMode("append").format("memory").queryName("cum_out").start()
@@ -36,7 +36,7 @@ class StreamingCumulateSpec extends AnyFunSuite {
       input.addData(Raw(9, 99, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 0.0))
       q.processAllAvailable()
       val got = spark.table("cum_out").as[CumulateOut].collect()
-        .filter(_.key != 9)
+        .filter(_.key != "9")
         .map(o => (o.key, o.window_start, o.window_end, o.sum_value, o.n))
       // append semantics: every (key, window) emitted exactly once
       assert(got.map(t => (t._1, t._2, t._3)).distinct.length == got.length)
@@ -45,7 +45,7 @@ class StreamingCumulateSpec extends AnyFunSuite {
         .groupBy($"key", unix_millis($"w_start").as("ws"), unix_millis($"w_end").as("we"))
         .agg(sum($"value").as("s"), count(lit(1)).as("c"))
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .map(r => (r.getLong(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
       assert(got.toSet == want.toSet, s"got ${got.toSet}\nwant ${want.toSet}")
     } finally q.stop()
   }
