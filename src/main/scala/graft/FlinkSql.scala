@@ -564,8 +564,11 @@ object FlinkSql {
           val simple = impl.substring(impl.lastIndexOf('.') + 1)
           val resolved = GraftColumnBridge.aliasFunction(spark, name, impl) ||
             GraftColumnBridge.aliasFunction(spark, name, simple) ||
-            // a classpath-resolvable ScalarFunction-shaped CLASS (ADD JAR)
-            // registers through the reflective eval bridge
+            // a classpath-resolvable CLASS (ADD JAR) registers through a
+            // reflective eval bridge — the TABLE shape (void eval +
+            // collector field, or Iterable/array return) first, then the
+            // scalar shape; each returns false for the other's domain
+            graft.functions.ReflectiveTable.register(spark, name, impl) ||
             graft.functions.ReflectiveScalar.register(spark, name, impl)
           if (!resolved)
             throw new IllegalArgumentException(
@@ -586,6 +589,7 @@ object FlinkSql {
         if (isAlias) {
           GraftColumnBridge.dropTempFunction(spark, name)
           funcAliases(spark).remove(name.toLowerCase)
+          graft.functions.ReflectiveTable.unregister(spark, name)
         } else if (ifExists == null)
           throw new IllegalArgumentException(
             s"DROP FUNCTION $name: no such temporary function")

@@ -30,7 +30,7 @@ object ReflectiveScalar {
 
   private def sparkTypeOf(c: Class[_]): Option[DataType] = typeTable.get(c)
 
-  private val typeTable: Map[Class[_], DataType] = Map(
+  private[functions] val typeTable: Map[Class[_], DataType] = Map(
     java.lang.Boolean.TYPE -> BooleanType, classOf[java.lang.Boolean] -> BooleanType,
     java.lang.Byte.TYPE -> ByteType, classOf[java.lang.Byte] -> ByteType,
     java.lang.Short.TYPE -> ShortType, classOf[java.lang.Short] -> ShortType,
@@ -124,10 +124,22 @@ private final class EvalBridge(className: String) extends Serializable {
     (inst, m)
   }
 
+  def apply(args: Array[AnyRef]): AnyRef = {
+    val (inst, m) = bound
+    val params = m.getParameterTypes
+    val coerced = new Array[AnyRef](args.length)
+    var i = 0
+    while (i < args.length) { coerced(i) = EvalCoercion.coerce(params(i), args(i)); i += 1 }
+    m.invoke(inst, coerced: _*)
+  }
+}
+
+private[functions] object EvalCoercion {
   /** Java-widening coercion from the external value Spark hands a
-    * java-UDF to the eval parameter's declared type.
+    * java-UDF to the eval parameter's declared type (shared by the
+    * scalar and table bridges).
     */
-  private def coerce(target: Class[_], v: AnyRef): AnyRef = v match {
+  def coerce(target: Class[_], v: AnyRef): AnyRef = v match {
     case null => null
     case n: java.lang.Number =>
       target match {
@@ -151,14 +163,5 @@ private final class EvalBridge(className: String) extends Serializable {
         target == classOf[java.lang.Double] =>
       java.lang.Double.valueOf(d.doubleValue)
     case _ => v
-  }
-
-  def apply(args: Array[AnyRef]): AnyRef = {
-    val (inst, m) = bound
-    val params = m.getParameterTypes
-    val coerced = new Array[AnyRef](args.length)
-    var i = 0
-    while (i < args.length) { coerced(i) = coerce(params(i), args(i)); i += 1 }
-    m.invoke(inst, coerced: _*)
   }
 }

@@ -92,9 +92,16 @@ object TemporalFunctions {
       guard += 1
       val mm = m.get
       val name = mm.group(1).toLowerCase
-      val fn = fns.getOrElse(name,
+      val fnOpt = fns.get(name)
+      // a name registered through the reflective TABLE-function bridge
+      // (CREATE FUNCTION over a TableFunction-shaped class) lowers onto
+      // Spark's own generator path instead of the validity-range join
+      val isUdtf = fnOpt.isEmpty &&
+        graft.functions.ReflectiveTable.isTableFunction(spark, name)
+      if (fnOpt.isEmpty && !isUdtf)
         fail(s"no temporal table function named ${mm.group(1)} is registered " +
-          "(TemporalFunctions.register)"))
+          "(TemporalFunctions.register), and no table function of that name " +
+          "is bridged (CREATE FUNCTION over a TableFunction-shaped class)")
       // balanced argument span from the inner open paren (quote-aware)
       val argStart = mm.end
       var i = argStart
@@ -118,28 +125,50 @@ object TemporalFunctions {
       if (j >= n || out.charAt(j) != ')')
         fail(s"expected `)` closing LATERAL TABLE ($name(...))")
       j += 1
-      // optional `AS alias`; a column list is out of the subset
-      val aliasRe = raw"(?is)^\s+AS\s+([A-Za-z_]\w*)(\s*\()?".r
-      val (alias, end) = aliasRe.findFirstMatchIn(out.substring(j)) match {
-        case Some(am) if am.group(2) != null =>
-          fail("a column-list alias on LATERAL TABLE is not in the subset " +
-            "(alias the columns in the SELECT instead)")
-        case Some(am) => (am.group(1), j + am.end)
-        case None     => (name, j)
-      }
-      val versions =
-        s"(SELECT *, lead(${fn.timeAttr}) OVER (PARTITION BY ${fn.pk.mkString(", ")} " +
-          s"ORDER BY ${fn.timeAttr}) AS __v_to FROM ${fn.table})"
-      val replacement =
-        s" JOIN $versions AS $alias ON ($arg) >= $alias.${fn.timeAttr} " +
-          s"AND ($alias.__v_to IS NULL OR ($arg) < $alias.__v_to)"
+      val replacementAndEnd: (String, Int) =
+        if (isUdtf) {
+          // `, LATERAL TABLE (f(args)) AS t (c)` → ` LATERAL VIEW
+          // explode(f(args)) t AS c` — the bridged UDF returns ARRAY<T>,
+          // so the fan-out is Spark's codegen'd Generate. The column
+          // list names the ONE output column (the bridge's declared
+          // single-scalar row subset).
+          val udtfAliasRe =
+            raw"(?is)^\s+AS\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)".r
+          udtfAliasRe.findFirstMatchIn(out.substring(j)) match {
+            case Some(am) =>
+              (s" LATERAL VIEW explode(${mm.group(1)}($arg)) ${am.group(1)} " +
+                s"AS ${am.group(2)}", j + am.end)
+            case None =>
+              fail(s"LATERAL TABLE($name(...)) over a bridged table function " +
+                "needs `AS alias(col)` — one named output column")
+          }
+        } else {
+          val fn = fnOpt.get
+          // optional `AS alias`; a column list is out of the subset
+          val aliasRe = raw"(?is)^\s+AS\s+([A-Za-z_]\w*)(\s*\()?".r
+          val (alias, end) = aliasRe.findFirstMatchIn(out.substring(j)) match {
+            case Some(am) if am.group(2) != null =>
+              fail("a column-list alias on a temporal LATERAL TABLE is not in " +
+                "the subset (alias the columns in the SELECT instead)")
+            case Some(am) => (am.group(1), j + am.end)
+            case None     => (name, j)
+          }
+          val versions =
+            s"(SELECT *, lead(${fn.timeAttr}) OVER (PARTITION BY ${fn.pk.mkString(", ")} " +
+              s"ORDER BY ${fn.timeAttr}) AS __v_to FROM ${fn.table})"
+          (s" JOIN $versions AS $alias ON ($arg) >= $alias.${fn.timeAttr} " +
+            s"AND ($alias.__v_to IS NULL OR ($arg) < $alias.__v_to)", end)
+        }
+      val (replacement, end) = replacementAndEnd
       out = out.substring(0, mm.start) + replacement + out.substring(end)
       m = callRe.findFirstMatchIn(masked(out))
     }
     if (containsClause(out))
-      fail("only the comma-join form `FROM t, LATERAL TABLE (fn(expr))` of a " +
-        "registered temporal table function is supported (UDTF-style LATERAL " +
-        "TABLE migrates to Spark's LATERAL VIEW explode/inline)")
+      fail("only the comma-join form `FROM t, LATERAL TABLE (fn(expr))` is " +
+        "supported — fn a registered temporal table function " +
+        "(TemporalFunctions.register) or a table function bridged by " +
+        "CREATE FUNCTION; other LATERAL TABLE shapes migrate to Spark's " +
+        "LATERAL VIEW explode/inline")
     out
   }
 }

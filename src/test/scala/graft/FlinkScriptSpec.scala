@@ -776,6 +776,76 @@ class FlinkScriptSpec extends AnyFunSuite {
     FlinkSql.sql(spark, "DROP FUNCTION alter_target")
   }
 
+  test("CREATE FUNCTION over a TableFunction-shaped class bridges LATERAL TABLE onto explode") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_udtf_jar")
+    // returning shape: the zero-dependency POJO port (rows = Iterable<T>)
+    val src1 = dir.resolve("GraftSplitUdtf.java")
+    java.nio.file.Files.writeString(src1,
+      """import java.util.*;
+        |public class GraftSplitUdtf {
+        |  public List<String> eval(String s, String sep) {
+        |    return Arrays.asList(s.split(sep));
+        |  }
+        |}
+        |""".stripMargin)
+    // collect shape: void eval + public Consumer field — the mechanical
+    // port of Flink's TableFunction (collect(x) → collector.accept(x))
+    val src2 = dir.resolve("GraftDupUdtf.java")
+    java.nio.file.Files.writeString(src2,
+      """public class GraftDupUdtf {
+        |  public java.util.function.Consumer<Long> collector;
+        |  public void eval(long n) {
+        |    for (long i = 0; i < n; i++) collector.accept(i);
+        |  }
+        |}
+        |""".stripMargin)
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    assert(javac.run(null, null, null, src1.toString, src2.toString) == 0, "javac failed")
+    val jar = dir.resolve("graft-test-udtf.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jar))
+    Seq("GraftSplitUdtf.class", "GraftDupUdtf.class").foreach { n =>
+      jos.putNextEntry(new java.util.zip.ZipEntry(n))
+      jos.write(java.nio.file.Files.readAllBytes(dir.resolve(n)))
+      jos.closeEntry()
+    }
+    jos.close()
+    FlinkSql.sql(spark, s"ADD JAR '$jar'")
+    FlinkSql.sql(spark, "CREATE FUNCTION split_udtf AS 'GraftSplitUdtf'")
+    FlinkSql.sql(spark, "CREATE FUNCTION dup_udtf AS 'GraftDupUdtf'")
+    Seq(("a-b-c", 1L), ("x", 2L), ("y", 0L)).toDF("s", "n")
+      .createOrReplaceTempView("udtf_src")
+    // Flink's shape end-to-end: comma-join LATERAL TABLE with a column
+    // list, lowered onto LATERAL VIEW explode over the bridged array UDF
+    val got = FlinkSql.sql(spark,
+      "SELECT s, w FROM udtf_src, LATERAL TABLE(split_udtf(s, '-')) AS T(w)")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a-b-c", "a"), ("a-b-c", "b"), ("a-b-c", "c"),
+      ("x", "x"), ("y", "y")), got.toString)
+    // collect-style: per-row fan-out 0..n−1; n = 0 emits NOTHING (the
+    // comma join is CROSS APPLY — the zero-emission row disappears)
+    val got2 = FlinkSql.sql(spark,
+      "SELECT n, i FROM udtf_src, LATERAL TABLE(dup_udtf(n)) AS T(i)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((1L, 0L), (2L, 0L), (2L, 1L)), got2.toString)
+    // the column list is required (one named output column)
+    val e = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark,
+        "SELECT s FROM udtf_src, LATERAL TABLE(split_udtf(s, '-'))")
+    }
+    assert(e.getMessage.contains("AS alias(col)"), e.getMessage)
+    // DROP unregisters the bridge and the LATERAL TABLE routing with it
+    FlinkSql.sql(spark, "DROP FUNCTION split_udtf")
+    val e2 = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark,
+        "SELECT s, w FROM udtf_src, LATERAL TABLE(split_udtf(s, '-')) AS T(w)")
+    }
+    assert(e2.getMessage.contains("no temporal table function"), e2.getMessage)
+    FlinkSql.sql(spark, "DROP FUNCTION dup_udtf")
+    spark.catalog.dropTempView("udtf_src")
+  }
+
   test("CALL fails typed with porting guidance (procedures out of scope)") {
     // Flink stored procedures (FLIP-311) are catalog-provided code —
     // out of scope by declaration; the statement must not fall through
