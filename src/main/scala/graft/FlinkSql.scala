@@ -520,26 +520,34 @@ object FlinkSql {
           def resolvable(n: String) = try spark.catalog.functionExists(n)
             catch { case scala.util.control.NonFatal(_) => false }
           // a loadable eval-bridge class also resolves (same rules as
-          // CREATE FUNCTION); probed before anything is dropped. The
-          // probe registers under an internal name — an eval-shaped but
-          // unsupported class (e.g. overloaded eval) throws from the
-          // bridge with that internal name and CREATE wording, so
-          // rewrap to the user's statement before surfacing
+          // CREATE FUNCTION: table shape first, then scalar); probed
+          // before anything is dropped. The probe registers under an
+          // internal name — an eval-shaped but unsupported class (e.g.
+          // overloaded eval) throws from the bridge with that internal
+          // name and CREATE wording, so rewrap to the user's statement
+          // before surfacing
           def bridgeable = try
-            graft.functions.ReflectiveScalar.register(spark, s"__graft_probe_$name", impl)
+            graft.functions.ReflectiveTable.register(spark, s"__graft_probe_$name", impl) ||
+              graft.functions.ReflectiveScalar.register(spark, s"__graft_probe_$name", impl)
           catch {
             case e: IllegalArgumentException => throw new IllegalArgumentException(
               e.getMessage.replace(
                 s"CREATE FUNCTION __graft_probe_$name", s"ALTER FUNCTION $name"))
-          } finally GraftColumnBridge.dropTempFunction(spark, s"__graft_probe_$name")
+          } finally {
+            GraftColumnBridge.dropTempFunction(spark, s"__graft_probe_$name")
+            graft.functions.ReflectiveTable.unregister(spark, s"__graft_probe_$name")
+          }
           if (resolvable(impl) || resolvable(simple)) {
             GraftColumnBridge.dropTempFunction(spark, name)
+            graft.functions.ReflectiveTable.unregister(spark, name)
             val resolved = GraftColumnBridge.aliasFunction(spark, name, impl) ||
               GraftColumnBridge.aliasFunction(spark, name, simple)
             require(resolved, s"ALTER FUNCTION $name: re-alias failed unexpectedly")
           } else if (bridgeable) {
             GraftColumnBridge.dropTempFunction(spark, name)
-            require(graft.functions.ReflectiveScalar.register(spark, name, impl),
+            graft.functions.ReflectiveTable.unregister(spark, name)
+            require(graft.functions.ReflectiveTable.register(spark, name, impl) ||
+              graft.functions.ReflectiveScalar.register(spark, name, impl),
               s"ALTER FUNCTION $name: eval-bridge registration failed unexpectedly")
           } else
             throw new IllegalArgumentException(

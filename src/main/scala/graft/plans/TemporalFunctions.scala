@@ -84,14 +84,19 @@ object TemporalFunctions {
     */
   def rewrite(spark: SparkSession, sqlText: String): String = {
     val fns = registered(spark)
-    val callRe = raw"(?is),\s*LATERAL\s+TABLE\s*\(\s*([A-Za-z_]\w*)\s*\(".r
+    // comma form (CROSS APPLY), or — bridged UDTFs only — Flink's
+    // `LEFT [OUTER] JOIN LATERAL TABLE(f(x)) AS T(c) ON TRUE` (the
+    // keep-empty-emissions form, lowered onto LATERAL VIEW OUTER)
+    val callRe =
+      raw"(?is)(,|\bLEFT\s+(?:OUTER\s+)?JOIN)\s+LATERAL\s+TABLE\s*\(\s*([A-Za-z_]\w*)\s*\(".r
     var out = sqlText
     var m = callRe.findFirstMatchIn(masked(out))
     var guard = 0
     while (m.isDefined && guard < 64) {
       guard += 1
       val mm = m.get
-      val name = mm.group(1).toLowerCase
+      val isOuter = mm.group(1) != ","
+      val name = mm.group(2).toLowerCase
       val fnOpt = fns.get(name)
       // a name registered through the reflective TABLE-function bridge
       // (CREATE FUNCTION over a TableFunction-shaped class) lowers onto
@@ -99,9 +104,13 @@ object TemporalFunctions {
       val isUdtf = fnOpt.isEmpty &&
         graft.functions.ReflectiveTable.isTableFunction(spark, name)
       if (fnOpt.isEmpty && !isUdtf)
-        fail(s"no temporal table function named ${mm.group(1)} is registered " +
+        fail(s"no temporal table function named ${mm.group(2)} is registered " +
           "(TemporalFunctions.register), and no table function of that name " +
           "is bridged (CREATE FUNCTION over a TableFunction-shaped class)")
+      if (isOuter && !isUdtf)
+        fail(s"LEFT JOIN LATERAL TABLE(${mm.group(2)}(...)) ON TRUE applies " +
+          "to bridged table functions; a temporal table function uses the " +
+          "comma-join form")
       // balanced argument span from the inner open paren (quote-aware)
       val argStart = mm.end
       var i = argStart
@@ -133,11 +142,17 @@ object TemporalFunctions {
           // list names the ONE output column (the bridge's declared
           // single-scalar row subset).
           val udtfAliasRe =
-            raw"(?is)^\s+AS\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)".r
+            if (isOuter)
+              raw"(?is)^\s+AS\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)\s+ON\s+TRUE".r
+            else raw"(?is)^\s+AS\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)".r
           udtfAliasRe.findFirstMatchIn(out.substring(j)) match {
             case Some(am) =>
-              (s" LATERAL VIEW explode(${mm.group(1)}($arg)) ${am.group(1)} " +
+              val outer = if (isOuter) "OUTER " else ""
+              (s" LATERAL VIEW ${outer}explode(${mm.group(2)}($arg)) ${am.group(1)} " +
                 s"AS ${am.group(2)}", j + am.end)
+            case None if isOuter =>
+              fail(s"LEFT JOIN LATERAL TABLE($name(...)) needs " +
+                "`AS alias(col) ON TRUE` (Flink's literal-TRUE join condition)")
             case None =>
               fail(s"LATERAL TABLE($name(...)) over a bridged table function " +
                 "needs `AS alias(col)` — one named output column")

@@ -835,6 +835,33 @@ class FlinkScriptSpec extends AnyFunSuite {
         "SELECT s FROM udtf_src, LATERAL TABLE(split_udtf(s, '-'))")
     }
     assert(e.getMessage.contains("AS alias(col)"), e.getMessage)
+    // Flink's LEFT JOIN ... ON TRUE form: the zero-emission row SURVIVES
+    // with a NULL output column (LATERAL VIEW OUTER explode)
+    val got3 = FlinkSql.sql(spark,
+      "SELECT n, i FROM udtf_src LEFT JOIN LATERAL TABLE(dup_udtf(n)) AS T(i) ON TRUE")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got3 == Set((1L, 0L), (2L, 0L), (2L, 1L), (0L, -1L)), got3.toString)
+    // ...and it requires the literal ON TRUE
+    val e3 = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark,
+        "SELECT n, i FROM udtf_src LEFT JOIN LATERAL TABLE(dup_udtf(n)) AS T(i)")
+    }
+    assert(e3.getMessage.contains("ON TRUE"), e3.getMessage)
+    // ALTER FUNCTION re-points an alias onto a table-function class too,
+    // routing LATERAL TABLE; re-pointing away unroutes it
+    FlinkSql.sql(spark, "CREATE FUNCTION alter_udtf AS 'upper'")
+    FlinkSql.sql(spark, "ALTER FUNCTION alter_udtf AS 'GraftDupUdtf'")
+    val got4 = FlinkSql.sql(spark,
+      "SELECT n, i FROM udtf_src, LATERAL TABLE(alter_udtf(n)) AS T(i)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got4 == Set((1L, 0L), (2L, 0L), (2L, 1L)), got4.toString)
+    FlinkSql.sql(spark, "ALTER FUNCTION alter_udtf AS 'upper'")
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark,
+        "SELECT n, i FROM udtf_src, LATERAL TABLE(alter_udtf(n)) AS T(i)")
+    }
+    assert(FlinkSql.sql(spark, "SELECT alter_udtf('ab') AS u").head().getString(0) == "AB")
+    FlinkSql.sql(spark, "DROP FUNCTION alter_udtf")
     // DROP unregisters the bridge and the LATERAL TABLE routing with it
     FlinkSql.sql(spark, "DROP FUNCTION split_udtf")
     val e2 = intercept[IllegalArgumentException] {
