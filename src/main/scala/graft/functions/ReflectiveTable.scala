@@ -28,14 +28,19 @@ import org.apache.spark.sql.types._
   *
   * Declared subset (typed errors inside the shape): exactly one public
   * `eval`, arity ≤ 6, parameters from the scalar bridge's type set,
-  * SCALAR row type `T` (one output column — the split/explode shape;
-  * multi-column UDTFs port to `inline`/`posexplode` after migration)
-  * read from the generic signature (array component / `Iterable<T>` /
-  * `Consumer<T>` type argument).
+  * row type `T` read from the generic signature (array component /
+  * `Iterable<T>` / `Consumer<T>` type argument) and either a supported
+  * SCALAR (one output column — the split/explode shape) or a RESULT
+  * CLASS whose public fields are all supported scalars (multi-column
+  * rows in field declaration order — Flink's Row-typed TableFunction
+  * ported as a plain POJO).
   *
-  * The registered Spark function returns `ARRAY<T>` — `LATERAL
-  * TABLE(f(x)) AS t(c)` lowers onto `LATERAL VIEW explode(f(x)) t AS c`
-  * (see [[graft.plans.TemporalFunctions.rewrite]]), Spark's native
+  * The registered Spark function returns `ARRAY<T>` (`ARRAY<STRUCT>`
+  * for POJO rows) — `LATERAL TABLE(f(x)) AS t(c)` lowers onto `LATERAL
+  * VIEW explode(f(x)) t AS c` (one column) or `... inline(f(x)) t AS
+  * a, b` (several), and Flink's `LEFT JOIN ... ON TRUE` keep-empty form
+  * onto `LATERAL VIEW OUTER` (see
+  * [[graft.plans.TemporalFunctions.rewrite]]) — Spark's native
   * generator path, so the per-row fan-out runs inside codegen'd
   * Generate, not a custom operator.
   */
@@ -71,6 +76,15 @@ object ReflectiveTable {
       classOf[java.util.function.Consumer[_]].isAssignableFrom(f.getType) &&
       !Modifier.isStatic(f.getModifiers) && !Modifier.isFinal(f.getModifiers))
 
+  /** A row-POJO's struct fields: the class's OWN public non-static
+    * fields in declaration order (getDeclaredFields preserves it on
+    * every shipping JVM; the declared contract is "fields in source
+    * order", like Flink's Row arity).
+    */
+  private[functions] def pojoFields(cls: Class[_]): Seq[java.lang.reflect.Field] =
+    cls.getDeclaredFields.toSeq.filter(f =>
+      Modifier.isPublic(f.getModifiers) && !Modifier.isStatic(f.getModifiers))
+
   /** Register `name` over `impl`'s table-shaped `eval` if the class
     * resolves and IS table-shaped. Returns false when the class does
     * not resolve, has no single public `eval`, or the eval is
@@ -88,8 +102,11 @@ object ReflectiveTable {
     val m = evals.head
     val rt = m.getReturnType
     val isVoid = rt == java.lang.Void.TYPE
+    // byte[] is the SCALAR binary return (ReflectiveScalar's BinaryType),
+    // not an emission of TINYINT rows — leave it to the scalar bridge
     val isIterableRet = classOf[java.lang.Iterable[_]].isAssignableFrom(rt) ||
-      classOf[java.util.Iterator[_]].isAssignableFrom(rt) || rt.isArray
+      classOf[java.util.Iterator[_]].isAssignableFrom(rt) ||
+      (rt.isArray && rt != classOf[Array[Byte]])
     if (!isVoid && !isIterableRet) return false // scalar-shaped
     if (!Modifier.isStatic(m.getModifiers))
       try cls.getDeclaredConstructor()
@@ -111,11 +128,24 @@ object ReflectiveTable {
         .getOrElse(fail(s"CREATE FUNCTION $name AS '$impl': cannot read the " +
           "emitted row type — use a typed array return, or a generic " +
           s"Iterable<T>/Consumer<T> signature (raw types erase T)"))
-    val elemType = ReflectiveScalar.typeTable.getOrElse(elemClass,
-      fail(s"CREATE FUNCTION $name AS '$impl': emitted rows of type " +
-        s"${elemClass.getName} are unsupported — one SCALAR column per row " +
-        "(primitives/boxes, String, byte[], BigDecimal, Timestamp, Date); " +
-        "multi-column UDTFs port to inline/posexplode"))
+    // row type: a supported scalar (one output column, explode path) or
+    // a POJO whose public fields are all supported scalars (multi-column
+    // struct rows, inline path) — Flink's Row-typed TableFunction ported
+    // as a plain result class
+    val elemType = ReflectiveScalar.typeTable.get(elemClass).getOrElse {
+      val fs = ReflectiveTable.pojoFields(elemClass)
+      if (fs.isEmpty)
+        fail(s"CREATE FUNCTION $name AS '$impl': emitted rows of type " +
+          s"${elemClass.getName} are unsupported — a SCALAR (primitives/" +
+          "boxes, String, byte[], BigDecimal, Timestamp, Date) for one " +
+          "output column, or a result class whose PUBLIC fields are all " +
+          "supported scalars for multi-column rows")
+      StructType(fs.map { f =>
+        StructField(f.getName, ReflectiveScalar.typeTable.getOrElse(f.getType,
+          fail(s"CREATE FUNCTION $name AS '$impl': row field " +
+            s"'${f.getName}' has unsupported type ${f.getType.getName}")))
+      })
+    }
     m.getParameterTypes.zipWithIndex.foreach { case (p, i) =>
       if (ReflectiveScalar.typeTable.get(p).isEmpty)
         fail(s"CREATE FUNCTION $name AS '$impl': eval parameter ${i + 1} has " +
@@ -159,8 +189,10 @@ object ReflectiveTable {
   * emissions.
   */
 private final class TableEvalBridge(className: String) extends Serializable {
+  // (instance, eval, emission buffer, struct fields when rows are POJOs)
   @transient private lazy val local =
-    new ThreadLocal[(AnyRef, Method, scala.collection.mutable.ArrayBuffer[AnyRef])] {
+    new ThreadLocal[(AnyRef, Method, scala.collection.mutable.ArrayBuffer[AnyRef],
+        Option[Array[java.lang.reflect.Field]])] {
       override def initialValue() = {
         val cls = org.apache.spark.sql.GraftColumnBridge.loadTaskClass(className)
         val m = ReflectiveScalar.publicEvals(cls).head
@@ -168,40 +200,65 @@ private final class TableEvalBridge(className: String) extends Serializable {
           if (Modifier.isStatic(m.getModifiers)) null
           else cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
         val buf = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
-        if (m.getReturnType == java.lang.Void.TYPE) {
-          val f = cls.getFields.find(f => f.getName == "collector" &&
-            classOf[java.util.function.Consumer[_]].isAssignableFrom(f.getType)).get
-          f.set(inst, new java.util.function.Consumer[AnyRef] {
-            override def accept(x: AnyRef): Unit = { buf += x; () }
-          })
-        }
-        (inst, m, buf)
+        val rt = m.getReturnType
+        val elemClass: Option[Class[_]] =
+          if (rt.isArray) Some(rt.getComponentType)
+          else if (rt == java.lang.Void.TYPE) {
+            val f = cls.getFields.find(f => f.getName == "collector" &&
+              classOf[java.util.function.Consumer[_]].isAssignableFrom(f.getType)).get
+            f.set(inst, new java.util.function.Consumer[AnyRef] {
+              override def accept(x: AnyRef): Unit = { buf += x; () }
+            })
+            f.getGenericType match {
+              case p: java.lang.reflect.ParameterizedType =>
+                p.getActualTypeArguments.headOption.collect { case c: Class[_] => c }
+              case _ => None
+            }
+          } else m.getGenericReturnType match {
+            case p: java.lang.reflect.ParameterizedType =>
+              p.getActualTypeArguments.headOption.collect { case c: Class[_] => c }
+            case _ => None
+          }
+        val rowFields = elemClass
+          .filterNot(ReflectiveScalar.typeTable.contains)
+          .map(c => ReflectiveTable.pojoFields(c).toArray)
+          .filter(_.nonEmpty)
+        (inst, m, buf, rowFields)
       }
     }
 
   def apply(args: Array[AnyRef]): AnyRef = {
-    val (inst, m, buf) = local.get()
+    val (inst, m, buf, rowFields) = local.get()
     val params = m.getParameterTypes
     val coerced = new Array[AnyRef](args.length)
     var i = 0
     while (i < args.length) { coerced(i) = EvalCoercion.coerce(params(i), args(i)); i += 1 }
-    if (m.getReturnType == java.lang.Void.TYPE) {
-      buf.clear()
-      m.invoke(inst, coerced: _*)
-      buf.toSeq
-    } else m.invoke(inst, coerced: _*) match {
-      case null => null
-      case a: Array[_] => a.toSeq.asInstanceOf[Seq[AnyRef]]
-      case it: java.util.Iterator[_] =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
-        while (it.hasNext) out += it.next().asInstanceOf[AnyRef]
-        out.toSeq
-      case it: java.lang.Iterable[_] =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
-        val i2 = it.iterator()
-        while (i2.hasNext) out += i2.next().asInstanceOf[AnyRef]
-        out.toSeq
-      case other => fail(s"table function $className emitted $other")
+    val raw: Seq[AnyRef] =
+      if (m.getReturnType == java.lang.Void.TYPE) {
+        buf.clear()
+        m.invoke(inst, coerced: _*)
+        buf.toSeq
+      } else m.invoke(inst, coerced: _*) match {
+        case null => return null
+        case a: Array[_] => a.toSeq.asInstanceOf[Seq[AnyRef]]
+        case it: java.util.Iterator[_] =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+          while (it.hasNext) out += it.next().asInstanceOf[AnyRef]
+          out.toSeq
+        case it: java.lang.Iterable[_] =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+          val i2 = it.iterator()
+          while (i2.hasNext) out += i2.next().asInstanceOf[AnyRef]
+          out.toSeq
+        case other => fail(s"table function $className emitted $other")
+      }
+    rowFields match {
+      case None => raw
+      case Some(fs) => raw.map { x =>
+        if (x == null) null
+        else org.apache.spark.sql.Row.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(fs.map(_.get(x))))
+      }
     }
   }
 

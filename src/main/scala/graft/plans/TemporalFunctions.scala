@@ -141,21 +141,25 @@ object TemporalFunctions {
           // so the fan-out is Spark's codegen'd Generate. The column
           // list names the ONE output column (the bridge's declared
           // single-scalar row subset).
+          // one column → explode (scalar rows); several → inline (the
+          // bridge emits ARRAY<STRUCT> for POJO rows)
+          val colsPat = raw"([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)"
           val udtfAliasRe =
-            if (isOuter)
-              raw"(?is)^\s+AS\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)\s+ON\s+TRUE".r
-            else raw"(?is)^\s+AS\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)".r
+            if (isOuter) raw"(?is)^\s+AS\s+$colsPat\s+ON\s+TRUE".r
+            else raw"(?is)^\s+AS\s+$colsPat".r
           udtfAliasRe.findFirstMatchIn(out.substring(j)) match {
             case Some(am) =>
+              val cols = am.group(2).split(",").map(_.trim)
+              val gen = if (cols.length == 1) "explode" else "inline"
               val outer = if (isOuter) "OUTER " else ""
-              (s" LATERAL VIEW ${outer}explode(${mm.group(2)}($arg)) ${am.group(1)} " +
-                s"AS ${am.group(2)}", j + am.end)
+              (s" LATERAL VIEW $outer$gen(${mm.group(2)}($arg)) ${am.group(1)} " +
+                s"AS ${cols.mkString(", ")}", j + am.end)
             case None if isOuter =>
               fail(s"LEFT JOIN LATERAL TABLE($name(...)) needs " +
-                "`AS alias(col) ON TRUE` (Flink's literal-TRUE join condition)")
+                "`AS alias(col, ...) ON TRUE` (Flink's literal-TRUE join condition)")
             case None =>
               fail(s"LATERAL TABLE($name(...)) over a bridged table function " +
-                "needs `AS alias(col)` — one named output column")
+                "needs `AS alias(col, ...)` — named output columns")
           }
         } else {
           val fn = fnOpt.get

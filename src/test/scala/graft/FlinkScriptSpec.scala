@@ -834,7 +834,41 @@ class FlinkScriptSpec extends AnyFunSuite {
       FlinkSql.sql(spark,
         "SELECT s FROM udtf_src, LATERAL TABLE(split_udtf(s, '-'))")
     }
-    assert(e.getMessage.contains("AS alias(col)"), e.getMessage)
+    assert(e.getMessage.contains("AS alias(col"), e.getMessage)
+    // multi-column rows: a result POJO's public fields become a STRUCT
+    // (declaration order), and a >1-column list lowers onto inline
+    val src3 = dir.resolve("GraftPairUdtf.java")
+    java.nio.file.Files.writeString(src3,
+      """import java.util.*;
+        |public class GraftPairUdtf {
+        |  public static class Pair { public String word; public long len; }
+        |  public List<Pair> eval(String s) {
+        |    List<Pair> out = new ArrayList<>();
+        |    for (String w : s.split("-")) {
+        |      Pair p = new Pair(); p.word = w; p.len = w.length(); out.add(p);
+        |    }
+        |    return out;
+        |  }
+        |}
+        |""".stripMargin)
+    assert(javac.run(null, null, null, src3.toString) == 0, "javac failed")
+    val jar2 = dir.resolve("graft-test-udtf2.jar")
+    val jos2 = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jar2))
+    Seq("GraftPairUdtf.class", "GraftPairUdtf$Pair.class").foreach { n =>
+      jos2.putNextEntry(new java.util.zip.ZipEntry(n))
+      jos2.write(java.nio.file.Files.readAllBytes(dir.resolve(n)))
+      jos2.closeEntry()
+    }
+    jos2.close()
+    FlinkSql.sql(spark, s"ADD JAR '$jar2'")
+    FlinkSql.sql(spark, "CREATE FUNCTION pair_udtf AS 'GraftPairUdtf'")
+    val gotP = FlinkSql.sql(spark,
+      "SELECT s, w, l FROM udtf_src, LATERAL TABLE(pair_udtf(s)) AS T(w, l)")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotP == Set(("a-b-c", "a", 1L), ("a-b-c", "b", 1L), ("a-b-c", "c", 1L),
+      ("x", "x", 1L), ("y", "y", 1L)), gotP.toString)
+    FlinkSql.sql(spark, "DROP FUNCTION pair_udtf")
     // Flink's LEFT JOIN ... ON TRUE form: the zero-emission row SURVIVES
     // with a NULL output column (LATERAL VIEW OUTER explode)
     val got3 = FlinkSql.sql(spark,
