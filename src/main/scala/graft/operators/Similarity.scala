@@ -280,16 +280,26 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nCells: Int = 32, nProbe: Int = 4): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
-    // nCells <= 0 → auto-scale with the table: n/64 keeps probe work per
-    // query (nProbe × n/nCells dots) bounded as n grows, clamped to
-    // [32, 256] — the lower bound keeps fixture-scale behavior identical
-    // (golden-pinned results), the upper bounds the per-row assignment
-    // fan-out (nCells codegen'd centroid dots). Beyond the cap, use
-    // [[ivfTopK2]]: the two-level coarse-quantizer assignment whose fine
-    // centroids stay a distributed table.
+    // nCells <= 0 → auto-scale with the table. Two regimes, continuous
+    // at their crossover (n = 1024·nProbe — 16384 at the default):
+    //  - small n: n/64 (target-64 cells, min 32 — fixture-scale behavior
+    //    identical, golden-pinned results);
+    //  - large n: √(n·nProbe), single-level IVF's BALANCED point — the
+    //    per-row assignment fan-out (cells centroid dots) equals the
+    //    per-query probe scan (nProbe·n/cells dots), total work Θ(n^1.5):
+    //    the textbook IVF-flat law. The old hard 256 cap froze cells
+    //    while the table grew — the sf10 probe measured 72.8× at 100×
+    //    data (probe scans ∝ n²/256); √(n·nProbe) re-measures ~n^1.5.
+    // Beyond single-level economics, [[ivfTopK2]]: the two-level
+    // coarse-quantizer assignment whose fine centroids stay a
+    // distributed table.
     val cells =
       if (nCells > 0) nCells
-      else math.max(32, math.min(256, (emb.count() / 64L).toInt))
+      else {
+        val n = emb.count()
+        val balanced = math.ceil(math.sqrt(n.toDouble * nProbe)).toLong
+        math.max(32L, math.min(n / 64L, balanced)).toInt
+      }
     val cents = sampleCentroids(n, cells)
     // top-nProbe cell indices in ONE matrix-kernel call per row: all
     // centroid dots in a compiled loop (the per-centroid literal-dot

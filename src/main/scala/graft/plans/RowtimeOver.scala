@@ -28,10 +28,11 @@ import org.apache.spark.sql.types._
   *  - frame `RANGE BETWEEN INTERVAL 'n' unit PRECEDING AND CURRENT ROW`,
   *    `ROWS BETWEEN n PRECEDING AND CURRENT ROW`, or
   *    `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`;
-  *  - aggregates SUM(v) / AVG(v) / COUNT(*) / MIN(v) / MAX(v) /
-  *    FIRST_VALUE(v) / LAST_VALUE(v) over one shared value column
-  *    (handled in DOUBLE, like SUM/AVG always were), plus ROW_NUMBER()
-  *    on the unbounded frame;
+  *  - aggregates SUM / AVG / MIN / MAX / FIRST_VALUE / LAST_VALUE over
+  *    any mix of value columns (each aggregate names its own column —
+  *    the distinct columns ride the kernel as one DOUBLE vector, one
+  *    `element_at` slot per column), COUNT(*), plus ROW_NUMBER() on
+  *    the unbounded frame;
   *  - the remaining select items must include the row's unique integral
   *    id column as a PLAIN item (the deterministic-order tiebreak the
   *    reference takes from the input's order) — other plain items may
@@ -63,7 +64,7 @@ object RowtimeOver {
   case object UnboundedRows extends Frame
 
   final case class Spec(partCols: Seq[String], orderCol: String, frame: Frame,
-      valueCol: Option[String], idCol: String, rewritten: String, usesRn: Boolean,
+      valueCols: Seq[String], idCol: String, rewritten: String, usesRn: Boolean,
       fromTable: String, fromSpan: (Int, Int))
 
   private def unitMs(u: String): Long = u.toUpperCase match {
@@ -140,14 +141,14 @@ object RowtimeOver {
     val aggRe =
       raw"(?is)\b(SUM|COUNT|AVG|MIN|MAX|FIRST_VALUE|LAST_VALUE|ROW_NUMBER)\s*\(([^()]*)\)\s+OVER\b".r
     var usesRn = false
-    var valueCol: Option[String] = None
-    def noteValue(c: String): Unit = {
+    // per-aggregate value columns: each distinct column gets a slot in
+    // the kernel's values vector; the splice reads its slot back with
+    // element_at (1-based)
+    val valueCols = scala.collection.mutable.ArrayBuffer.empty[String]
+    def slot(c: String): Int = {
       val b = bare(c.trim)
-      valueCol match {
-        case Some(v) if !v.equalsIgnoreCase(b) =>
-          fail(s"all aggregates must share one value column (saw '$v' and '$b')")
-        case _ => valueCol = Some(b)
-      }
+      val at = valueCols.indexWhere(_.equalsIgnoreCase(b))
+      if (at >= 0) at + 1 else { valueCols += b; valueCols.length }
     }
     val repl = aggRe.findAllMatchIn(select).toList.map { m =>
       // span end: OVER <name> or OVER (...)
@@ -164,12 +165,12 @@ object RowtimeOver {
         }
       val arg = m.group(2).trim
       val out = m.group(1).toUpperCase match {
-        case "SUM" => noteValue(arg); "__over_sum"
-        case "AVG" => noteValue(arg); "(__over_sum / __over_cnt)"
-        case "MIN" => noteValue(arg); "__over_min"
-        case "MAX" => noteValue(arg); "__over_max"
-        case "FIRST_VALUE" => noteValue(arg); "__over_first"
-        case "LAST_VALUE" => noteValue(arg); "__over_last"
+        case "SUM" => s"element_at(__over_sum, ${slot(arg)})"
+        case "AVG" => s"(element_at(__over_sum, ${slot(arg)}) / __over_cnt)"
+        case "MIN" => s"element_at(__over_min, ${slot(arg)})"
+        case "MAX" => s"element_at(__over_max, ${slot(arg)})"
+        case "FIRST_VALUE" => s"element_at(__over_first, ${slot(arg)})"
+        case "LAST_VALUE" => s"element_at(__over_last, ${slot(arg)})"
         case "COUNT" =>
           if (arg != "*" && arg != "1")
             fail("COUNT over a stream supports COUNT(*) / COUNT(1); " +
@@ -270,7 +271,7 @@ object RowtimeOver {
     val fromTable = bare(srcM.group(1))
     val span = (fromAt + 4 + srcM.start(1), fromAt + 4 + srcM.end(1))
 
-    Spec(partCols, orderCol, frame, valueCol, idCol, text, usesRn, fromTable, span)
+    Spec(partCols, orderCol, frame, valueCols.toSeq, idCol, text, usesRn, fromTable, span)
   }
 
   private def requireIntegral(schema: StructType, c: String, role: String): StructField = {
@@ -321,13 +322,16 @@ object RowtimeOver {
     val idF = requireIntegral(schema, spec.idCol, "row-id")
     val orderF = schema.fields.find(_.name.equalsIgnoreCase(spec.orderCol))
       .getOrElse(fail(s"rowtime column '${spec.orderCol}' is not a source column"))
-    val valueExpr = spec.valueCol match {
-      case Some(v) =>
-        if (!schema.fields.exists(_.name.equalsIgnoreCase(v)))
-          fail(s"value column '$v' is not a source column")
-        col(v).cast("double")
-      case None => lit(0.0)
+    // the aggregates' value columns ride the kernel as ONE vector, one
+    // slot per distinct column (parse assigned the element_at indices);
+    // COUNT/ROW_NUMBER-only statements carry a single zero slot
+    spec.valueCols.foreach { v =>
+      if (!schema.fields.exists(_.name.equalsIgnoreCase(v)))
+        fail(s"value column '$v' is not a source column")
     }
+    val valueExpr =
+      if (spec.valueCols.isEmpty) array(lit(0.0))
+      else array(spec.valueCols.map(v => col(v).cast("double")): _*)
     implicit val enc: org.apache.spark.sql.Encoder[OverIn] =
       org.apache.spark.sql.Encoders.product[OverIn]
     val keySchema = StructType(partFs)
@@ -335,7 +339,7 @@ object RowtimeOver {
       to_json(struct(partFs.map(f => col(f.name)): _*)).as("key"),
       col(spec.idCol).cast("long").as("id"),
       unix_millis(col(spec.orderCol).cast("timestamp")).as("ts_ms"),
-      valueExpr.as("value")).as[OverIn]
+      valueExpr.as("values")).as[OverIn]
     val (out, pre) = spec.frame match {
       case RangeMs(ms) => (OverOps.boundedRangeAgg(in, ms).toDF(), "range")
       case RowsN(n) => (OverOps.boundedRowsAgg(in, n).toDF(), "range")

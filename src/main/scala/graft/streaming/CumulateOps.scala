@@ -63,7 +63,7 @@ class StreamingCumulateProcess(stepMs: Long, maxSizeMs: Long)
     val rows = buf.get().toArray
     val mine = rows.filter(r => r.ts_ms >= span && r.ts_ms < expiryMs)
     if (mine.nonEmpty)
-      emit(CumulateOut(key, span, expiryMs, mine.map(_.value).sum, mine.length.toLong))
+      emit(CumulateOut(key, span, expiryMs, mine.map(_.values.head).sum, mine.length.toLong))
     // after the span's LAST step closes, its rows can never contribute
     // again — evict them; earlier steps keep the buffer (still expanding)
     if (expiryMs == span + maxSizeMs) {

@@ -29,22 +29,25 @@ import org.apache.spark.sql.streaming._
   * inside the watermark slack) are folded in at the next firing in
   * arrival order — same best-effort as Flink applies behind its watermark.
   */
-case class OverIn(key: String, id: Long, ts_ms: Long, value: Double)
+case class OverIn(key: String, id: Long, ts_ms: Long, values: Seq[Double])
 case class OverOut(key: String, id: Long, ts_ms: Long,
-    running_sum: Double, running_cnt: Long, rn: Long,
-    running_min: Double, running_max: Double, first_v: Double, last_v: Double)
+    running_sum: Seq[Double], running_cnt: Long, rn: Long,
+    running_min: Seq[Double], running_max: Seq[Double],
+    first_v: Seq[Double], last_v: Seq[Double])
 
 class StreamingOverProcess extends KeyedProcess[String, OverIn, OverOut] {
   @transient private var buf: ListState[OverIn] = _
-  @transient private var acc: ValueState[(Double, Long, Double, Double, Double)] = _
+  @transient private var acc:
+    ValueState[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double])] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
-    implicit val accEnc: Encoder[(Double, Long, Double, Double, Double)] =
+    implicit val accEnc:
+      Encoder[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double])] =
       ExpressionEncoder()
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
-    acc = h.getValueState[(Double, Long, Double, Double, Double)]("acc", accEnc,
-      TTLConfig.NONE)
+    acc = h.getValueState[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double])](
+      "acc", accEnc, TTLConfig.NONE)
   }
 
   override def onElement(key: String, v: OverIn, tv: TimerValues,
@@ -58,13 +61,18 @@ class StreamingOverProcess extends KeyedProcess[String, OverIn, OverOut] {
     val wm = math.max(tv.getCurrentWatermarkInMs, expiryMs)
     val (ready, pending) = buf.get().toArray.partition(_.ts_ms <= wm)
     if (ready.nonEmpty) {
-      var (sum, cnt, mn, mx, fst) = Option(acc.get())
-        .getOrElse((0.0, 0L, Double.PositiveInfinity, Double.NegativeInfinity, 0.0))
-      ready.sortBy(r => (r.ts_ms, r.id)).foreach { r =>
-        sum += r.value; cnt += 1
-        mn = math.min(mn, r.value); mx = math.max(mx, r.value)
-        if (cnt == 1L) fst = r.value
-        emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, r.value))
+      val sorted = ready.sortBy(r => (r.ts_ms, r.id))
+      val k = sorted.head.values.length
+      var (sum, cnt, mn, mx, fst) = Option(acc.get()).getOrElse((
+        Seq.fill(k)(0.0), 0L, Seq.fill(k)(Double.PositiveInfinity),
+        Seq.fill(k)(Double.NegativeInfinity), Seq.fill(k)(0.0)))
+      sorted.foreach { r =>
+        sum = sum.lazyZip(r.values).map(_ + _)
+        mn = mn.lazyZip(r.values).map(math.min)
+        mx = mx.lazyZip(r.values).map(math.max)
+        cnt += 1
+        if (cnt == 1L) fst = r.values
+        emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, r.values))
       }
       acc.update((sum, cnt, mn, mx, fst))
       buf.clear()
@@ -80,8 +88,9 @@ class StreamingOverProcess extends KeyedProcess[String, OverIn, OverOut] {
   * over the same frame.
   */
 case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
-    range_sum: Double, range_cnt: Long,
-    range_min: Double, range_max: Double, first_v: Double, last_v: Double)
+    range_sum: Seq[Double], range_cnt: Long,
+    range_min: Seq[Double], range_max: Seq[Double],
+    first_v: Seq[Double], last_v: Seq[Double])
 
 /** Streaming bounded-range OVER — the reference's
   * RowTimeRangeBoundedPrecedingFunction ([U] flink-table-runtime
@@ -133,10 +142,12 @@ class StreamingBoundedOverProcess(rangeMs: Long)
       ready.sortBy(r => (r.ts_ms, r.id)).groupBy(_.ts_ms).toSeq.sortBy(_._1)
         .foreach { case (ts, peers) =>
           window = (window ++ peers).filter(_.ts_ms >= ts - rangeMs)
-          val vs = window.map(_.value)
-          val (sum, cnt) = (vs.sum, window.length.toLong)
-          val (mn, mx) = (vs.min, vs.max)
-          val (first, last) = (window.head.value, window.last.value)
+          val k = window.head.values.length
+          val sum = Seq.tabulate(k)(i => window.map(_.values(i)).sum)
+          val mn = Seq.tabulate(k)(i => window.map(_.values(i)).min)
+          val mx = Seq.tabulate(k)(i => window.map(_.values(i)).max)
+          val cnt = window.length.toLong
+          val (first, last) = (window.head.values, window.last.values)
           peers.foreach(r =>
             emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt, mn, mx, first, last)))
         }
@@ -191,9 +202,12 @@ class StreamingBoundedRowsProcess(nRows: Int)
       var window = recent.get().toArray
       ready.sortBy(r => (r.ts_ms, r.id)).foreach { r =>
         window = (window :+ r).takeRight(nRows)
-        val vs = window.map(_.value)
-        emit(BoundedOverOut(key, r.id, r.ts_ms, vs.sum, window.length.toLong,
-          vs.min, vs.max, window.head.value, window.last.value))
+        val k = window.head.values.length
+        emit(BoundedOverOut(key, r.id, r.ts_ms,
+          Seq.tabulate(k)(i => window.map(_.values(i)).sum), window.length.toLong,
+          Seq.tabulate(k)(i => window.map(_.values(i)).min),
+          Seq.tabulate(k)(i => window.map(_.values(i)).max),
+          window.head.values, window.last.values))
       }
       recent.clear()
       val keep = window.takeRight(math.max(nRows - 1, 0))

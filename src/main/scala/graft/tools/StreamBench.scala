@@ -98,7 +98,7 @@ object StreamBench {
         graft.streaming.OverOps.boundedRowsAgg(
           input.toDF().withWatermark("ts", "10 seconds")
             .select($"user_id".cast("string").as("key"), $"event_id".as("id"),
-              unix_millis($"ts").as("ts_ms"), $"value".as("value"))
+              unix_millis($"ts").as("ts_ms"), array($"value").as("values"))
             .as[graft.streaming.OverIn], 10)
           .toDF()
       else if (topn)

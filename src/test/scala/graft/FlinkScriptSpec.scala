@@ -1744,6 +1744,51 @@ class FlinkScriptSpec extends AnyFunSuite {
     FlinkSql.run(spark, "DROP TABLE omm_src; DROP TABLE omm_sink")
   }
 
+  test("streaming OVER with per-aggregate value columns: stream equals batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flink_over_mv").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    Seq(
+      (1L, 1L, t(10), 2.0, 50.0),
+      (2L, 1L, t(30), 6.0, 10.0),
+      (3L, 1L, t(50), 4.0, 30.0),
+      (9L, 9L, t(900), 0.0, 0.0)) // sentinel
+      .toDF("event_id", "user_id", "ts", "v", "w")
+      .write.mode("append").parquet(s"$dir/omv_src")
+    FlinkSql.run(spark,
+      s"""CREATE TABLE omv_src (
+         |  event_id BIGINT, user_id BIGINT, ts TIMESTAMP(3), v DOUBLE, w DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/omv_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE omv_sink (event_id BIGINT, sum_v DOUBLE, max_w DOUBLE,
+         |                       first_w DOUBLE, avg_v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/omv_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    // Flink's real generality: each aggregate names its OWN column
+    val sel =
+      """SELECT event_id,
+        |  sum(v) OVER wd AS sum_v, max(w) OVER wd AS max_w,
+        |  first_value(w) OVER wd AS first_w, avg(v) OVER wd AS avg_v
+        |FROM omv_src
+        |WINDOW wd AS (PARTITION BY user_id ORDER BY ts
+        |              ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin
+    val q = FlinkSql.runStream(spark, s"INSERT INTO omv_sink $sel",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    def tup(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val got = spark.read.parquet(s"$dir/omv_sink").collect()
+      .filter(_.getLong(0) != 9L).map(tup).toSet
+    val batch = FlinkSql.sql(spark, sel).collect()
+      .filter(_.getLong(0) != 9L).map(tup).toSet
+    assert(got == batch && got.nonEmpty, s"stream $got vs batch $batch")
+    // event 3's trailing-2 frame is rows {2, 3}: sum_v 10, max_w 30,
+    // first_w 10 (row 2 is the frame's first), avg_v 5
+    assert(got.contains((3L, 10.0, 30.0, 10.0, 5.0)), got.toString)
+    FlinkSql.run(spark, "DROP TABLE omv_src; DROP TABLE omv_sink")
+  }
+
   test("streaming OVER outside the declared subset fails typed at deploy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("flink_over_err").toString

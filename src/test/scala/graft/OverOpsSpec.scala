@@ -28,7 +28,7 @@ class OverOpsSpec extends AnyFunSuite {
       Raw(2, 6, new java.sql.Timestamp(1040 * 1000), 20.0))
     val input = MemoryStream[Raw]
     val toIn = (df: org.apache.spark.sql.DataFrame) => df
-      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), $"value").as[OverIn]
+      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values")).as[OverIn]
     val q = OverOps.runningAgg(toIn(input.toDF().withWatermark("ts", "5 seconds")))
       .writeStream.outputMode("append").format("memory").queryName("over_out").start()
     try {
@@ -38,11 +38,11 @@ class OverOpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("over_out").as[OverOut].collect()
         .filter(_.key != "9")
-        .map(o => (o.key, o.id, o.running_sum, o.running_cnt, o.rn)).toSet
+        .map(o => (o.key, o.id, o.running_sum.head, o.running_cnt, o.rn)).toSet
       val w = Window.partitionBy($"key").orderBy($"ts_ms", $"id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val want = toIn(rows.toDF())
-        .select($"key", $"id", sum($"value").over(w).as("s"),
+        .select($"key", $"id", sum(element_at($"values", lit(1))).over(w).as("s"),
           count(lit(1)).over(w).as("c"), row_number().over(
             Window.partitionBy($"key").orderBy($"ts_ms", $"id")).as("rn"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
@@ -66,7 +66,7 @@ class OverOpsSpec extends AnyFunSuite {
       Raw(2, 7, new java.sql.Timestamp(1250 * 1000), 10.0))
     val input = MemoryStream[Raw]
     val toIn = (df: org.apache.spark.sql.DataFrame) => df
-      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), $"value").as[OverIn]
+      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values")).as[OverIn]
     val q = OverOps.boundedRangeAgg(
         toIn(input.toDF().withWatermark("ts", "5 seconds")), 120000L)
       .writeStream.outputMode("append").format("memory").queryName("bover_out").start()
@@ -77,7 +77,7 @@ class OverOpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("bover_out").as[BoundedOverOut].collect()
         .filter(_.key != "9")
-        .map(o => (o.key, o.id, o.range_sum, o.range_cnt)).toSet
+        .map(o => (o.key, o.id, o.range_sum.head, o.range_cnt)).toSet
       // batch oracle: the same frame via SQL RANGE BETWEEN INTERVAL
       rows.toDF().createOrReplaceTempView("bover_batch")
       val want = spark.sql(
@@ -107,7 +107,7 @@ class OverOpsSpec extends AnyFunSuite {
       Raw(2, 7, new java.sql.Timestamp(1025 * 1000), 10.0))
     val input = MemoryStream[Raw]
     val toIn = (df: org.apache.spark.sql.DataFrame) => df
-      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), $"value").as[OverIn]
+      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values")).as[OverIn]
     val q = OverOps.boundedRowsAgg(
         toIn(input.toDF().withWatermark("ts", "5 seconds")), 3)
       .writeStream.outputMode("append").format("memory").queryName("rover_out").start()
@@ -118,10 +118,10 @@ class OverOpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("rover_out").as[BoundedOverOut].collect()
         .filter(_.key != "9")
-        .map(o => (o.key, o.id, o.range_sum, o.range_cnt)).toSet
+        .map(o => (o.key, o.id, o.range_sum.head, o.range_cnt)).toSet
       val w = Window.partitionBy($"key").orderBy($"ts_ms", $"id").rowsBetween(-2, 0)
       val want = toIn(rows.toDF())
-        .select($"key", $"id", sum($"value").over(w).as("s"), count(lit(1)).over(w).as("c"))
+        .select($"key", $"id", sum(element_at($"values", lit(1))).over(w).as("s"), count(lit(1)).over(w).as("c"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
       assert(got == want)
       // id 6's frame is {4, 5, 6} — its equal-ts peer 5 counts as one row
@@ -140,7 +140,7 @@ class OverOpsSpec extends AnyFunSuite {
       Raw(1, 2, new java.sql.Timestamp(50 * 1000), 2.0))
     val input = MemoryStream[Raw]
     val toIn = (df: org.apache.spark.sql.DataFrame) => df
-      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), $"value").as[OverIn]
+      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values")).as[OverIn]
     val q = OverOps.boundedRangeAgg(
         toIn(input.toDF().withWatermark("ts", "5 seconds")), 120000L)
       .writeStream.outputMode("append").format("memory").queryName("eover_out").start()
@@ -150,7 +150,7 @@ class OverOpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("eover_out").as[BoundedOverOut].collect()
         .filter(_.key != "9")
-        .map(o => (o.key, o.id, o.range_sum, o.range_cnt)).toSet
+        .map(o => (o.key, o.id, o.range_sum.head, o.range_cnt)).toSet
       assert(got == Set(("1", 1L, 1.0, 1L), ("1", 2L, 3.0, 2L)))
     } finally q.stop()
   }
