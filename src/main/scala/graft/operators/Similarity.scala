@@ -333,8 +333,17 @@ object Similarity {
     * DISTRIBUTED table: fine assignment and probing are equi-joins on
     * the coarse key + `max_by`/rank aggregates. Total centroid count is
     * nCoarse × nFinePerCell — thousands of cells with no driver matrix
-    * and no codegen blowup, which is exactly what the 256-cell cap on
-    * the flat path exists to prevent.
+    * and no codegen blowup, which is exactly what the flat path's
+    * balanced-cell rule exists to avoid paying in assignment fan-out.
+    *
+    * nCoarse ≤ 0 / nFinePerCell ≤ 0 → auto-scale at the two-level
+    * balanced point `nCoarse = round(2·∛n)`, `nFinePerCell = round(∛n)`:
+    * fine cells number ~2·n^⅔, so a probed fine cell holds ~n^⅓/2
+    * vectors and every per-query term (coarse fan-out, fine ranking,
+    * candidate scan) is Θ(n^⅓) — total work Θ(n^4/3), the two-level IVF
+    * law. Fixed small cell counts freeze the geometry while the table
+    * grows (probe scans become ∝ n²/cells — the same defect the sf10
+    * probe measured on the flat path's old 256 cap).
     *
     * Probing: a query ranks its nProbeCoarse nearest coarse cells
     * (matrix kernel), then within those the nProbeFine nearest fine
@@ -348,12 +357,19 @@ object Similarity {
       nProbeCoarse: Int = 4, nProbeFine: Int = 4,
       trainIters: Int = 0): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
+    val (coarseN, finePerCell) =
+      if (nCoarse > 0 && nFinePerCell > 0) (nCoarse, nFinePerCell)
+      else {
+        val cbrt = math.cbrt(emb.count().toDouble)
+        (if (nCoarse > 0) nCoarse else math.max(2, math.round(2.0 * cbrt).toInt),
+         if (nFinePerCell > 0) nFinePerCell else math.max(2, math.round(cbrt).toInt))
+      }
     // trainIters > 0 refines the coarse quantizer with offline k-means
     // ([[trainCentroids]]) — better-balanced cells raise recall at the
     // same probe budget; 0 keeps the deterministic hash sample
     val cents =
-      if (trainIters > 0) trainCentroids(emb, idCol, vecCol, nCoarse, trainIters)
-      else sampleCentroids(n, nCoarse)
+      if (trainIters > 0) trainCentroids(emb, idCol, vecCol, coarseN, trainIters)
+      else sampleCentroids(n, coarseN)
     require(nProbeCoarse >= 1 && nProbeCoarse <= cents.length)
     val assigned = n.withColumn("__cc",
       graft.functions.CentroidTopKExpr(col("va"), cents.map(_._1), cents.map(_._2),
@@ -364,7 +380,7 @@ object Similarity {
     val fineCents = home.filter(col("na") > 0.0)
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("coarse")).orderBy(xxhash64(col("a_id")), col("a_id"))))
-      .filter(col("__r") <= nFinePerCell)
+      .filter(col("__r") <= finePerCell)
       .select(col("coarse"), col("__r").as("fine"),
         col("va").as("fv"), col("na").as("fn"))
     def fineSim = DotProduct(col("va"), col("fv")) / col("fn") // |v| constant per row

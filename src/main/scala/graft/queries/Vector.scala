@@ -238,9 +238,13 @@ object Vector {
     * CepSimilaritySpec.
     */
   val q102_ivf2_topk: Q = (s, d) => {
+    // nCoarse/nFinePerCell = 0 → the balanced two-level auto rule
+    // (2·∛n / ∛n): identical to the old fixed 16/8 at the 500-vector
+    // fixture (round(2·∛500) = 16, round(∛500) = 8 — golden pinned),
+    // Θ(n^4/3) instead of frozen-geometry n²/128 as the table grows
     graft.operators.Similarity.ivfTopK2(
       Tables.embeddings(s, d), "vec_id", "embedding", k = 3,
-      nCoarse = 16, nFinePerCell = 8, nProbeCoarse = 4, nProbeFine = 8)
+      nCoarse = 0, nFinePerCell = 0, nProbeCoarse = 4, nProbeFine = 8)
       .withColumn("cos", round(col("cos"), 6))
   }
 
