@@ -528,7 +528,8 @@ object FlinkSql {
           // before surfacing
           def bridgeable = try
             graft.functions.ReflectiveTable.register(spark, s"__graft_probe_$name", impl) ||
-              graft.functions.ReflectiveScalar.register(spark, s"__graft_probe_$name", impl)
+              graft.functions.ReflectiveScalar.register(spark, s"__graft_probe_$name", impl) ||
+              graft.functions.ReflectiveAggregate.register(spark, s"__graft_probe_$name", impl)
           catch {
             case e: IllegalArgumentException => throw new IllegalArgumentException(
               e.getMessage.replace(
@@ -547,7 +548,8 @@ object FlinkSql {
             GraftColumnBridge.dropTempFunction(spark, name)
             graft.functions.ReflectiveTable.unregister(spark, name)
             require(graft.functions.ReflectiveTable.register(spark, name, impl) ||
-              graft.functions.ReflectiveScalar.register(spark, name, impl),
+              graft.functions.ReflectiveScalar.register(spark, name, impl) ||
+              graft.functions.ReflectiveAggregate.register(spark, name, impl),
               s"ALTER FUNCTION $name: eval-bridge registration failed unexpectedly")
           } else
             throw new IllegalArgumentException(
@@ -577,7 +579,8 @@ object FlinkSql {
             // collector field, or Iterable/array return) first, then the
             // scalar shape; each returns false for the other's domain
             graft.functions.ReflectiveTable.register(spark, name, impl) ||
-            graft.functions.ReflectiveScalar.register(spark, name, impl)
+            graft.functions.ReflectiveScalar.register(spark, name, impl) ||
+            graft.functions.ReflectiveAggregate.register(spark, name, impl)
           if (!resolved)
             throw new IllegalArgumentException(
               s"CREATE FUNCTION $name AS '$impl': '$impl' does not resolve to a " +

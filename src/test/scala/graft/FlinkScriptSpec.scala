@@ -907,6 +907,77 @@ class FlinkScriptSpec extends AnyFunSuite {
     spark.catalog.dropTempView("udtf_src")
   }
 
+  test("CREATE FUNCTION over an AggregateFunction-shaped class bridges onto a typed Aggregator") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_udaf_jar")
+    // Flink's AggregateFunction shape as a plain POJO: weighted average
+    // with an in-place accumulator and the REQUIRED two-phase merge
+    val src = dir.resolve("GraftWAvgUdaf.java")
+    java.nio.file.Files.writeString(src,
+      """public class GraftWAvgUdaf {
+        |  public static class Acc { public double s; public double w; }
+        |  public Acc createAccumulator() { return new Acc(); }
+        |  public void accumulate(Acc a, double v, double w) { a.s += v * w; a.w += w; }
+        |  public void merge(Acc a, java.lang.Iterable<Acc> os) {
+        |    for (Acc o : os) { a.s += o.s; a.w += o.w; }
+        |  }
+        |  public Double getValue(Acc a) { return a.w == 0 ? null : a.s / a.w; }
+        |}
+        |""".stripMargin)
+    // the no-merge shape must fail typed (cannot run two-phase)
+    val src2 = dir.resolve("GraftNoMergeUdaf.java")
+    java.nio.file.Files.writeString(src2,
+      """public class GraftNoMergeUdaf {
+        |  public static class Acc { public long n; }
+        |  public Acc createAccumulator() { return new Acc(); }
+        |  public void accumulate(Acc a, long v) { a.n += v; }
+        |  public Long getValue(Acc a) { return a.n; }
+        |}
+        |""".stripMargin)
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    assert(javac.run(null, null, null, src.toString, src2.toString) == 0, "javac failed")
+    val jar = dir.resolve("graft-test-udaf.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jar))
+    Seq("GraftWAvgUdaf.class", "GraftWAvgUdaf$Acc.class",
+        "GraftNoMergeUdaf.class", "GraftNoMergeUdaf$Acc.class").foreach { n =>
+      jos.putNextEntry(new java.util.zip.ZipEntry(n))
+      jos.write(java.nio.file.Files.readAllBytes(dir.resolve(n)))
+      jos.closeEntry()
+    }
+    jos.close()
+    FlinkSql.sql(spark, s"ADD JAR '$jar'")
+    FlinkSql.sql(spark, "CREATE FUNCTION wavg AS 'GraftWAvgUdaf'")
+    Seq(("a", 1.0, 1.0), ("a", 4.0, 3.0), ("b", 10.0, 2.0), ("b", 20.0, 2.0))
+      .toDF("g", "v", "w").createOrReplaceTempView("udaf_src")
+    // grouped aggregation: the two-phase path (partial accumulate per
+    // partition, merge at final) must equal the SQL expansion
+    val got = FlinkSql.sql(spark,
+      "SELECT g, wavg(v, w) AS wa FROM udaf_src GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("a", 3.25), ("b", 15.0)), got.toString)
+    // global aggregate
+    assert(FlinkSql.sql(spark, "SELECT wavg(v, w) AS wa FROM udaf_src")
+      .head().getDouble(0) == 9.125)
+    // no-merge shape: typed porting error, nothing registered
+    val e = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CREATE FUNCTION bad_agg AS 'GraftNoMergeUdaf'")
+    }
+    assert(e.getMessage.contains("merge"), e.getMessage)
+    // ALTER re-points onto an aggregate class too, and DROP unregisters
+    FlinkSql.sql(spark, "CREATE FUNCTION alter_agg AS 'upper'")
+    FlinkSql.sql(spark, "ALTER FUNCTION alter_agg AS 'GraftWAvgUdaf'")
+    assert(FlinkSql.sql(spark,
+      "SELECT alter_agg(v, w) AS wa FROM udaf_src WHERE g = 'b'")
+      .head().getDouble(0) == 15.0)
+    FlinkSql.sql(spark, "DROP FUNCTION alter_agg")
+    FlinkSql.sql(spark, "DROP FUNCTION wavg")
+    intercept[Exception] {
+      spark.sql("SELECT wavg(v, w) FROM udaf_src").collect()
+    }
+    spark.catalog.dropTempView("udaf_src")
+  }
+
   test("CALL fails typed with porting guidance (procedures out of scope)") {
     // Flink stored procedures (FLIP-311) are catalog-provided code —
     // out of scope by declaration; the statement must not fall through
