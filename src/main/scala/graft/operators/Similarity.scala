@@ -277,6 +277,23 @@ object Similarity {
     * (cell) equi-join. Work ≈ nProbe × n²/nCells vs n² brute — the
     * recall/cost trade is nProbe (and cell count), the standard IVF knobs.
     */
+  /** The flat path's auto cell count (see [[ivfTopK]]): n/64 below the
+    * crossover (n = 1024·nProbe, where both formulas agree), balanced
+    * √(n·nProbe) above — spec-pinned in ScalePostureSpec.
+    */
+  private[graft] def ivfAutoCells(n: Long, nProbe: Int): Int = {
+    val balanced = math.ceil(math.sqrt(n.toDouble * nProbe)).toLong
+    math.max(32L, math.min(n / 64L, balanced)).toInt
+  }
+
+  /** The two-level path's auto geometry (see [[ivfTopK2]]):
+    * (round(2·∛n), round(∛n)) — spec-pinned in ScalePostureSpec.
+    */
+  private[graft] def ivf2AutoCells(n: Long): (Int, Int) = {
+    val cbrt = math.cbrt(n.toDouble)
+    (math.max(2, math.round(2.0 * cbrt).toInt), math.max(2, math.round(cbrt).toInt))
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       nCells: Int = 32, nProbe: Int = 4): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
@@ -293,13 +310,7 @@ object Similarity {
     // Beyond single-level economics, [[ivfTopK2]]: the two-level
     // coarse-quantizer assignment whose fine centroids stay a
     // distributed table.
-    val cells =
-      if (nCells > 0) nCells
-      else {
-        val n = emb.count()
-        val balanced = math.ceil(math.sqrt(n.toDouble * nProbe)).toLong
-        math.max(32L, math.min(n / 64L, balanced)).toInt
-      }
+    val cells = if (nCells > 0) nCells else ivfAutoCells(emb.count(), nProbe)
     val cents = sampleCentroids(n, cells)
     // top-nProbe cell indices in ONE matrix-kernel call per row: all
     // centroid dots in a compiled loop (the per-centroid literal-dot
@@ -360,9 +371,9 @@ object Similarity {
     val (coarseN, finePerCell) =
       if (nCoarse > 0 && nFinePerCell > 0) (nCoarse, nFinePerCell)
       else {
-        val cbrt = math.cbrt(emb.count().toDouble)
-        (if (nCoarse > 0) nCoarse else math.max(2, math.round(2.0 * cbrt).toInt),
-         if (nFinePerCell > 0) nFinePerCell else math.max(2, math.round(cbrt).toInt))
+        val (autoC, autoF) = ivf2AutoCells(emb.count())
+        (if (nCoarse > 0) nCoarse else autoC,
+         if (nFinePerCell > 0) nFinePerCell else autoF)
       }
     // trainIters > 0 refines the coarse quantizer with offline k-means
     // ([[trainCentroids]]) — better-balanced cells raise recall at the

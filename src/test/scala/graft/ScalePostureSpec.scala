@@ -32,6 +32,44 @@ class ScalePostureSpec extends AnyFunSuite {
     assert(tTight < tLoose)
   }
 
+  test("IVF auto geometries: fixture cells pinned, scale laws hold") {
+    import graft.operators.Similarity.{ivfAutoCells, ivf2AutoCells}
+    // flat path: fixture-range inputs give the legacy target-64 counts
+    // (golden stability), the crossover is continuous, and beyond it the
+    // balanced rule keeps total work Θ(n^1.5) — NOT the frozen-geometry
+    // n² the old 256 cap produced (the sf10 probe measured it at 72.8×)
+    assert(ivfAutoCells(500L, 4) == 32)
+    assert(ivfAutoCells(2000L, 4) == 32)
+    assert(ivfAutoCells(16384L, 4) == 256) // both formulas agree here
+    for (n <- Seq(100000L, 1000000L, 100000000L)) {
+      val c = ivfAutoCells(n, 4)
+      val balanced = math.sqrt(n.toDouble * 4)
+      assert(math.abs(c - balanced) <= 1, s"n=$n cells=$c vs √(n·p)=$balanced")
+      // per-query work (assignment + probe scan) stays Θ(√n)
+      val perQuery = c + 4.0 * n / c
+      assert(perQuery <= 2.1 * math.sqrt(n.toDouble * 4), s"n=$n perQuery=$perQuery")
+    }
+    // two-level path: the 500-vector fixture reproduces the historical
+    // 16/8 geometry exactly (q102 golden pinned), and at scale every
+    // per-query term is Θ(∛n)
+    assert(ivf2AutoCells(500L) == ((16, 8)))
+    for (n <- Seq(200000L, 100000000L)) {
+      val (c, f) = ivf2AutoCells(n)
+      val cbrt = math.cbrt(n.toDouble)
+      assert(math.abs(c - 2 * cbrt) <= 1 && math.abs(f - cbrt) <= 1, s"n=$n -> ($c, $f)")
+      val cellSize = n.toDouble / (c.toDouble * f)
+      assert(cellSize <= cbrt, s"n=$n fine-cell size $cellSize above ∛n")
+    }
+    // the production-recall lever the q148 chain deploys: at a tight
+    // threshold the 0.99 deployment target needs ~3× fewer tables than
+    // the six-nines correctness-harness setting (same planes)
+    val (b99, t99) = graft.operators.Similarity.lshParams(400000L, 0.95)
+    val (b6, t6) = graft.operators.Similarity.lshParams(400000L, 0.95,
+      targetRecall = 0.999999)
+    assert(b99 == b6, "same bucket-size rule → same plane count")
+    assert(t6 >= 2 * t99 && t6 <= 4 * t99, s"six-nines T=$t6 vs production T=$t99")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
