@@ -25,9 +25,22 @@ object GraftColumnBridge {
   /** Load a class through the executor-side Spark classloader chain
     * (context classloader first — task threads carry ADD JAR'd jars —
     * then Spark's own). `Utils` is `private[spark]`, hence bridged here.
+    * STREAMING micro-batch threads in local mode don't carry the
+    * session-jar context loader, so in-JVM execution falls back to the
+    * active session's shared jar classloader (on a real cluster ADD JAR
+    * ships the jar into the executor loader, so the first path holds;
+    * executor-side there is no session and the fallback is skipped).
     */
   def loadTaskClass(name: String): Class[_] =
-    Class.forName(name, true, org.apache.spark.util.Utils.getContextOrSparkClassLoader)
+    try Class.forName(name, true, org.apache.spark.util.Utils.getContextOrSparkClassLoader)
+    catch {
+      case e: ClassNotFoundException =>
+        SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+          case Some(s) => Class.forName(name, true,
+            s.asInstanceOf[classic.SparkSession].sharedState.jarClassLoader)
+          case None => throw e
+        }
+    }
 
   /** Load a class at DRIVER/registration time: the session's shared jar
     * classloader (where SQL `ADD JAR` lands) first, then the task chain.

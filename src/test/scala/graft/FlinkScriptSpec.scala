@@ -907,6 +907,52 @@ class FlinkScriptSpec extends AnyFunSuite {
     spark.catalog.dropTempView("udtf_src")
   }
 
+  test("a bridged UDTF deploys in a STREAMING INSERT (LATERAL TABLE over a watermarked source)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_udtf_stream")
+    val src = dir.resolve("GraftCsvUdtf.java")
+    java.nio.file.Files.writeString(src,
+      """import java.util.*;
+        |public class GraftCsvUdtf {
+        |  public List<String> eval(String s) { return Arrays.asList(s.split(",")); }
+        |}
+        |""".stripMargin)
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    assert(javac.run(null, null, null, src.toString) == 0, "javac failed")
+    val jar = dir.resolve("graft-test-udtf-s.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jar))
+    jos.putNextEntry(new java.util.zip.ZipEntry("GraftCsvUdtf.class"))
+    jos.write(java.nio.file.Files.readAllBytes(dir.resolve("GraftCsvUdtf.class")))
+    jos.closeEntry(); jos.close()
+    FlinkSql.sql(spark, s"ADD JAR '$jar'")
+    FlinkSql.sql(spark, "CREATE FUNCTION csv_udtf AS 'GraftCsvUdtf'")
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    Seq((1L, t(10), "a,b"), (2L, t(20), "c"))
+      .toDF("event_id", "ts", "tags")
+      .write.mode("append").parquet(s"$dir/us_src")
+    FlinkSql.run(spark,
+      s"""CREATE TABLE us_src (
+         |  event_id BIGINT, ts TIMESTAMP(3), tags STRING,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/us_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE us_sink (event_id BIGINT, tag STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/us_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    // the UDTF fan-out is a stateless Generate — stream-safe, so the
+    // statement rides the generic streaming path untouched
+    val q = FlinkSql.runStream(spark,
+      """INSERT INTO us_sink
+        |SELECT event_id, tag FROM us_src, LATERAL TABLE(csv_udtf(tags)) AS T(tag)""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$dir/us_sink").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (1L, "b"), (2L, "c")), got.toString)
+    FlinkSql.run(spark, "DROP TABLE us_src; DROP TABLE us_sink; DROP FUNCTION csv_udtf")
+  }
+
   test("CREATE FUNCTION over an AggregateFunction-shaped class bridges onto a typed Aggregator") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_udaf_jar")
