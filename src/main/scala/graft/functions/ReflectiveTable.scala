@@ -121,6 +121,12 @@ object ReflectiveTable {
         "public java.util.function.Consumer field named 'collector' — port " +
         "Flink's TableFunction by declaring the field and rewriting " +
         "collect(x) to collector.accept(x) (or return an Iterable/array)")
+    // a STATIC collect-style eval has no instance to hold the (instance)
+    // collector field — it would NPE at task time; fail at registration
+    if (isVoid && Modifier.isStatic(m.getModifiers))
+      fail(s"CREATE FUNCTION $name AS '$impl': a collect-style (void) eval " +
+        "must be an instance method — the 'collector' field lives on the " +
+        "instance (make eval non-static, or return an Iterable/array)")
     val elemClass: Class[_] =
       (if (rt.isArray) Some(rt.getComponentType)
        else if (isVoid) genericArg(field.get.getGenericType)

@@ -87,15 +87,17 @@ object TemporalFunctions {
     // comma form (CROSS APPLY), or — bridged UDTFs only — Flink's
     // `LEFT [OUTER] JOIN LATERAL TABLE(f(x)) AS T(c) ON TRUE` (the
     // keep-empty-emissions form, lowered onto LATERAL VIEW OUTER)
+    // comma form tolerates zero whitespace (`FROM t,LATERAL TABLE(...)`
+    // is valid Flink SQL); the keyword form still requires a separator
     val callRe =
-      raw"(?is)(,|\bLEFT\s+(?:OUTER\s+)?JOIN)\s+LATERAL\s+TABLE\s*\(\s*([A-Za-z_]\w*)\s*\(".r
+      raw"(?is)(,\s*|\bLEFT\s+(?:OUTER\s+)?JOIN\s+)LATERAL\s+TABLE\s*\(\s*([A-Za-z_]\w*)\s*\(".r
     var out = sqlText
     var m = callRe.findFirstMatchIn(masked(out))
     var guard = 0
     while (m.isDefined && guard < 64) {
       guard += 1
       val mm = m.get
-      val isOuter = mm.group(1) != ","
+      val isOuter = !mm.group(1).startsWith(",")
       val name = mm.group(2).toLowerCase
       val fnOpt = fns.get(name)
       // a name registered through the reflective TABLE-function bridge

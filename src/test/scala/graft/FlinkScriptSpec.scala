@@ -881,6 +881,28 @@ class FlinkScriptSpec extends AnyFunSuite {
         "SELECT n, i FROM udtf_src LEFT JOIN LATERAL TABLE(dup_udtf(n)) AS T(i)")
     }
     assert(e3.getMessage.contains("ON TRUE"), e3.getMessage)
+    // a STATIC collect-style eval can't reach the instance collector
+    // field — fail at CREATE FUNCTION, not with a task-time NPE
+    val src4 = dir.resolve("GraftStaticUdtf.java")
+    java.nio.file.Files.writeString(src4,
+      """public class GraftStaticUdtf {
+        |  public java.util.function.Consumer<Long> collector;
+        |  public static void eval(long n) { }
+        |}
+        |""".stripMargin)
+    assert(javac.run(null, null, null, src4.toString) == 0, "javac failed")
+    val jar3 = dir.resolve("graft-test-udtf3.jar")
+    val jos3 = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jar3))
+    jos3.putNextEntry(new java.util.zip.ZipEntry("GraftStaticUdtf.class"))
+    jos3.write(java.nio.file.Files.readAllBytes(dir.resolve("GraftStaticUdtf.class")))
+    jos3.closeEntry()
+    jos3.close()
+    FlinkSql.sql(spark, s"ADD JAR '$jar3'")
+    val eStatic = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CREATE FUNCTION static_udtf AS 'GraftStaticUdtf'")
+    }
+    assert(eStatic.getMessage.contains("instance method"), eStatic.getMessage)
     // ALTER FUNCTION re-points an alias onto a table-function class too,
     // routing LATERAL TABLE; re-pointing away unroutes it
     FlinkSql.sql(spark, "CREATE FUNCTION alter_udtf AS 'upper'")

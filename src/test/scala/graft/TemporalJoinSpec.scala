@@ -113,6 +113,13 @@ class TemporalJoinSpec extends AnyFunSuite {
         |WHERE r.currency = o.currency""".stripMargin)
     val got = df.collect().map(r => (r.getDouble(0), r.getString(1), r.getLong(2))).toSet
     assert(got == Set((100.0, "USD", 4L), (120.0, "USD", 12L), (100.0, "EUR", 7L)))
+    // valid Flink SQL with NO space after the comma (round-11 ADVICE:
+    // the keyword-form regex had tightened the comma form to \s+)
+    val tight = FlinkSql.sql(spark,
+      """SELECT o.amount * r.rate AS conv
+        |FROM tf_orders AS o,LATERAL TABLE (rates(o.ots)) AS r
+        |WHERE r.currency = o.currency""".stripMargin)
+    assert(tight.collect().map(_.getDouble(0)).toSet == Set(100.0, 120.0))
     // the key equation folds into the join: no cartesian/nested-loop
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
