@@ -34,17 +34,19 @@ object SparkEntry {
       }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops —
-    * q31_minhash_bands, q32_simhash, q34_ann_lsh_buckets, q42_ann_topk,
-    * q56_ivf_topk, q102_ivf2_topk (hash-seeded LSH / sampled centroids),
-    * q116_pca_project (power-iteration eigenvectors),
+    * the same parquet tables. The hash-seeded ANN/sketch kernels
+    * (q31 minhash bands, q32 simhash, q34 LSH buckets, q42 bucketed ANN,
+    * q48 winnowing, q56 IVF, q102 two-level IVF) are oracled on their
+    * CONTRACTS (the q148 pattern: recall / precision / separation /
+    * guarantee booleans plus cross-engine counts DuckDB recomputes from
+    * scratch). Omitted only where the OUTPUT is the non-SQL-expressible
+    * contract — q116_pca_project (Jacobi eigenvectors),
     * q128_semantic_dedup (trained k-means cells),
-    * q134_quality_classifier (iterative GD training),
-    * q140_bpe_train / q141_bpe_encode (iterative argmax merge loop)
-    * and q48_winnow_fingerprints (rolling-hash minima): all twelve are
-    * deterministic and pinned to committed golden CSVs (GoldenSpec /
-    * graft.tools.Golden.pinned); q67_approx_aggs (engine-specific
-    * sketches) is tolerance-spec'd in ApproxSpec.
+    * q134_quality_classifier (iterative Newton training),
+    * q140_bpe_train / q141_bpe_encode (iterative argmax merge loop):
+    * all five are deterministic and pinned to committed golden CSVs
+    * (GoldenSpec / graft.tools.Golden.pinned); q67_approx_aggs
+    * (engine-specific sketches) is tolerance-spec'd in ApproxSpec.
     *
     * NOTE on q33_cosine_topk (and Vector.bruteForceTopK /
     * Similarity.embeddingNearDupPairs): these are the declared CORRECTNESS

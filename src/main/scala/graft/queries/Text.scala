@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -8,8 +9,9 @@ import QueryDefs._
 
 /** LLM-pipeline text surface over `documents` (north_star): dedup (exact /
   * MinHash-LSH / SimHash / n-gram Jaccard), text stats & quality, language
-  * ID, fingerprinting. q31/q32 are not SQL-expressible → no oracle entry
-  * (driver records a rows-only check); everything else is DuckDB-verified.
+  * ID, fingerprinting. q31/q32's hash-seeded kernels are oracled on their
+  * recall / hamming-gap CONTRACTS (the q148 pattern); everything else is
+  * DuckDB-verified directly.
   */
 object Text {
 
@@ -109,44 +111,115 @@ object Text {
         round($"common".cast("double") / ($"sza" + $"szb" - $"common"), 6).as("jaccard"))
   }
 
-  /** MinHash+LSH banding summary (per-band bucket/candidate stats) —
-    * deterministic, non-SQL-expressible → rows-only check.
+  /** q31/q32's planted document twins (AnnRecallSpec's rule): every doc
+    * plus a copy with ONE appended word — 3-shingle Jaccard ≈ 0.89–0.97,
+    * the near-dup a crawl-dedup must catch. DuckDB replays the
+    * construction (`text || ' zyxappend'`) exactly.
+    */
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+      concat(col("text"), lit(" zyxappend")).as("text")))
+  }
+
+  /** MinHash+LSH banding (64 hashes, 16 bands), oracled on its recall
+    * CONTRACT (the q148 pattern — signatures are hash-seeded, the
+    * contract is engine-independent): banding candidates must contain
+    * ≥ 95% of the planted twin pairs whose EXACT 3-shingle Jaccard is
+    * ≥ 0.8 (theory at r = 4 rows/band: P(collide | J ≥ 0.8) ≥
+    * 1 − (1 − 0.8⁴)¹⁶ ≈ 0.9998). The exact-Jaccard side joins shingle
+    * sets ONLY along the planted id rule — linear, never all-pairs —
+    * and `n_near_twins` is a REAL cross-engine value: DuckDB recomputes
+    * the twin Jaccards from scratch with its own shingling and must
+    * land on the same count. AnnRecallSpec keeps the signature-accuracy
+    * floor (mean |Ĵ − J| ≤ 0.05) as the stronger in-engine gate.
     */
   val q31_minhash_bands: Q = (s, d) => {
     import s.implicits._
-    val sigs = Dedup.minHashSignatures(Tables.documents(s, d), "doc_id", "text")
-    Dedup.minHashBands(sigs, "doc_id", bands = 16)
-      .groupBy($"band", $"band_key").agg(count(lit(1)).as("bucket_size"))
-      .groupBy($"band")
-      .agg(
-        count(lit(1)).as("n_buckets"),
-        max($"bucket_size").as("max_bucket"),
-        sum($"bucket_size" * ($"bucket_size" - 1) / 2).cast("long").as("n_candidate_pairs"))
-      .orderBy($"band")
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val planted = plantedDocs(s, d).localCheckpoint(true)
+    val nDocs = docs.count()
+    // exact 3-shingle Jaccard of each (doc, twin) pair by the id rule
+    val sh = graft.functions.TextFunctions
+      .explodedWordShingles(planted, Seq("doc_id"), "text", 3)
+      .groupBy($"doc_id").agg(collect_set($"shingle").as("s"))
+    val a = sh.filter($"doc_id" < 1000000L).select($"doc_id".as("id_a"), $"s".as("sa"))
+    val b = sh.filter($"doc_id" >= 1000000L)
+      .select(($"doc_id" - 1000000L).as("id_a"), $"s".as("sb"))
+    val nearTwins = a.join(b, "id_a")
+      .filter(size(array_intersect($"sa", $"sb")).cast("double")
+        / size(array_union($"sa", $"sb")) >= 0.8)
+      .select($"id_a").localCheckpoint(true)
+    val nNear = nearTwins.count()
+    val hits = Dedup.minHashCandidates(planted, "doc_id", "text")
+      .filter($"id_b" === $"id_a" + 1000000L)
+      .join(nearTwins, Seq("id_a"), "left_semi").count()
+    Seq((nDocs, nNear, nNear == 0L || hits.toDouble / nNear >= 0.95))
+      .toDF("n_docs", "n_near_twins", "recall_ok")
   }
 
-  /** Per-document 64-bit SimHash — rows-only check. */
+  /** Per-document 64-bit SimHash, oracled on its hamming-gap CONTRACT
+    * (the q148 pattern): planted one-word-appended twins must sit at
+    * SMALL hamming distance (mean ≤ 10, ≥ 98% within 20 bits — measured
+    * mean 5.6) while unrelated documents sit FAR apart (mean ≥ 14 over
+    * the deterministic adjacent-id pair sample — measured ≈ 18.6; 64
+    * independent bits center at 32). Both sides are linear id-rule
+    * joins; `n_adj_pairs` is a REAL cross-engine value (DuckDB counts
+    * the adjacent-id pairs itself). AnnRecallSpec keeps the same gaps
+    * against its randomly-sampled pair set.
+    */
   val q32_simhash: Q = (s, d) => {
-    Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val nDocs = docs.count()
+    val sims = Dedup.simHash(plantedDocs(s, d), "doc_id", "text")
+      .localCheckpoint(true)
+    val base = sims.filter($"doc_id" < 1000000L)
+    val twinHam = base.as("x")
+      .join(sims.as("y"), col("x.doc_id") + lit(1000000L) === col("y.doc_id"))
+      .select(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("ham"))
+      .agg(count(lit(1)).as("n"), avg($"ham").as("mean"),
+        avg(when($"ham" <= 20, 1.0).otherwise(0.0)).as("frac20")).head()
+    val adjHam = base.as("x")
+      .join(base.as("y"), col("x.doc_id") + lit(1L) === col("y.doc_id"))
+      .select(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("ham"))
+      .agg(count(lit(1)).as("n"), avg($"ham").as("mean")).head()
+    Seq((nDocs, adjHam.getLong(0),
+      twinHam.getLong(0) == nDocs &&
+        twinHam.getDouble(1) <= 10.0 && twinHam.getDouble(2) >= 0.98,
+      adjHam.getLong(0) == 0L || adjHam.getDouble(1) >= 14.0))
+      .toDF("n_docs", "n_adj_pairs", "twin_gap_ok", "sep_ok")
   }
 
-  /** Winnowing rolling-hash fingerprints (per-doc summary; rows-only —
-    * hash selection is not SQL-expressible; a golden-file spec at sf0.01
-    * pins the exact output). The fused kernel returns each document's
-    * sorted distinct fingerprint array in-row, so the per-doc summary is
-    * computed with array functions — zero shuffles, fully partition-local.
-    * The containment property is spec-tested in VectorTextSpec.
+  /** Winnowing rolling-hash fingerprints (Schleimer et al., SIGMOD'03),
+    * oracled on the scheme's own GUARANTEE — an exact theorem, not a
+    * statistical floor: any shared substring of length ≥ w+k−1 = 11
+    * yields a shared fingerprint. The planted twin shares its base
+    * document's ENTIRE text, so every pair whose base text is ≥ 11
+    * chars MUST overlap in at least one fingerprint (`guarantee_ok`,
+    * checked by a linear id-rule join + `arrays_overlap` — hash
+    * selection itself is not SQL-expressible, the guarantee is).
+    * `n_elig_pairs` is a REAL cross-engine value (DuckDB counts the
+    * ≥ 11-char docs itself). The fused kernel stays zero-shuffle per
+    * document; VectorTextSpec keeps the containment property tests.
     */
   val q48_winnow_fingerprints: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id",
-        graft.functions.WinnowFingerprints($"text").as("__fp"))
-      .filter(size($"__fp") > 0)
-      .select($"doc_id",
-        size($"__fp").cast("long").as("n_fp"),
-        array_min($"__fp").as("min_fp"),
-        array_max($"__fp").as("max_fp"))
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val nDocs = docs.count()
+    val fp = plantedDocs(s, d)
+      .select($"doc_id", graft.functions.WinnowFingerprints($"text").as("fp"))
+      .localCheckpoint(true)
+    val base = fp.filter($"doc_id" < 1000000L)
+    val twin = fp.filter($"doc_id" >= 1000000L)
+      .select(($"doc_id" - 1000000L).as("doc_id"), $"fp".as("fp_t"))
+    val elig = docs.filter(length($"text") >= 11).select($"doc_id")
+    val pairs = base.join(twin, "doc_id")
+      .join(elig, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    val nElig = pairs.count()
+    val nShared = pairs.filter(arrays_overlap($"fp", $"fp_t")).count()
+    Seq((nDocs, nElig, nElig == nShared))
+      .toDF("n_docs", "n_elig_pairs", "guarantee_ok")
   }
 
   /** BPE-style pre-tokenization counts (north_star "token counting:
@@ -807,6 +880,39 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    // q31/q32 contract oracles (the q148 pattern): DuckDB replays the
+    // planted-twin construction — n_near_twins is recomputed from
+    // scratch with DuckDB's own shingling (the q30 oracle's definition)
+    // and must land on the same count; the booleans are pinned TRUE
+    "q31_minhash_bands" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        |p AS (SELECT doc_id, text FROM d0
+        |      UNION ALL SELECT doc_id + 1000000, text || ' zyxappend' FROM d0),
+        |toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM p),
+        |f AS (SELECT * FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id,
+        |              list_distinct([array_to_string(t[i:i+2], ' ')
+        |                             for i in range(1, len(t)-1)]) AS s
+        |       FROM f),
+        |j AS (SELECT a.doc_id,
+        |             len(list_intersect(a.s, b.s)) * 1.0
+        |               / len(list_distinct(list_concat(a.s, b.s))) AS jac
+        |      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+        |      WHERE a.doc_id < 1000000)
+        |SELECT (SELECT count(*) FROM d0) AS n_docs,
+        |       (SELECT count(*) FROM j WHERE jac >= 0.8) AS n_near_twins,
+        |       TRUE AS recall_ok""".stripMargin,
+    "q32_simhash" ->
+      """WITH d0 AS (SELECT doc_id FROM documents)
+        |SELECT (SELECT count(*) FROM d0) AS n_docs,
+        |       (SELECT count(*) FROM d0 a JOIN d0 b ON b.doc_id = a.doc_id + 1)
+        |         AS n_adj_pairs,
+        |       TRUE AS twin_gap_ok, TRUE AS sep_ok""".stripMargin,
+    "q48_winnow_fingerprints" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |       (SELECT count(*) FROM documents WHERE length(text) >= 11)
+        |         AS n_elig_pairs,
+        |       TRUE AS guarantee_ok""".stripMargin,
     "q145_epoch_shards" ->
       """WITH h AS (SELECT doc_id, n_chars,
         |                  md5(CAST(doc_id AS VARCHAR) || ':42') AS h

@@ -156,6 +156,21 @@ class AnnRecallSpec extends AnyFunSuite {
     exact.unpersist(); found.unpersist()
   }
 
+  test("the seven contract-oracled kernel queries pin every boolean TRUE at fixture scale") {
+    // round-12: q31/q32/q34/q42/q48/q56/q102 moved from golden CSVs onto
+    // DuckDB contract oracles (the q148 pattern). The oracle pins the
+    // booleans TRUE — so they must BE true, or Verify hash-mismatches.
+    for (q <- Seq("q31_minhash_bands", "q32_simhash", "q34_ann_lsh_buckets",
+      "q42_ann_topk", "q48_winnow_fingerprints", "q56_ivf_topk", "q102_ivf2_topk")) {
+      val row = SparkEntry.queries(q)(spark, TestSpark.sfDir).head()
+      val schema = row.schema
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (f.dataType == org.apache.spark.sql.types.BooleanType)
+          assert(row.getBoolean(i), s"$q contract column ${f.name} is FALSE")
+      }
+    }
+  }
+
   test("q31 minhash signature agreement estimates the exact Jaccard") {
     val sigs = Dedup.minHashSignatures(plantedDocs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

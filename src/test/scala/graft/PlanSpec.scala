@@ -79,9 +79,17 @@ class PlanSpec extends AnyFunSuite {
   test("bucketed similarity paths never degrade to nested-loop joins") {
     // q33/q45's exhaustive oracle kernel is *allowed* a BNLJ by declared
     // role; the scale paths (LSH ANN, IVF, bucketed near-dup candidates)
-    // must stay equi-joins on bucket/cell keys
-    for (q <- Seq("q42_ann_topk", "q56_ivf_topk")) {
-      val p = planOf(q)
+    // must stay equi-joins on bucket/cell keys. q42/q56's declared
+    // queries now END in a one-row contract (LocalRelation), so the lock
+    // targets the operator DFs the contracts execute.
+    val corpus = graft.queries.Vector.contractCorpus(spark, d)
+    val opPlans = Seq(
+      "annTopK" -> graft.operators.Similarity
+        .annTopK(corpus, "vec_id", "v", k = 3, nPlanes = 8),
+      "ivfTopK" -> graft.operators.Similarity
+        .ivfTopK(corpus, "vec_id", "v", k = 3, nCells = 0, nProbe = 4))
+    for ((q, df) <- opPlans) {
+      val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q must join on bucket/cell equi keys")
     }
