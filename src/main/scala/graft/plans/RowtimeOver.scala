@@ -26,13 +26,21 @@ import org.apache.spark.sql.types._
   *    out; fractional keys are rejected — their text round-trip is not
   *    exact);
   *  - frame `RANGE BETWEEN INTERVAL 'n' unit PRECEDING AND CURRENT ROW`,
-  *    `ROWS BETWEEN n PRECEDING AND CURRENT ROW`, or
-  *    `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`;
+  *    `ROWS BETWEEN n PRECEDING AND CURRENT ROW`,
+  *    `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW` (per-row
+  *    frames), or `RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`
+  *    (equal-rowtime peers share one group-inclusive frame — the SQL
+  *    RANGE tie semantics, running-accumulator state either way);
   *  - aggregates SUM / AVG / MIN / MAX / FIRST_VALUE / LAST_VALUE over
-  *    any mix of value columns (each aggregate names its own column —
-  *    the distinct columns ride the kernel as one DOUBLE vector, one
-  *    `element_at` slot per column), COUNT(*), plus ROW_NUMBER() on
-  *    the unbounded frame;
+  *    any mix of NUMERIC value columns (each aggregate names its own
+  *    column — the distinct columns ride the kernel as one DOUBLE
+  *    vector, one `element_at` slot per column, and results come back
+  *    DOUBLE; non-numeric value columns fail typed), COUNT(*),
+  *    ROW_NUMBER() on the unbounded ROWS frame, plus LAG(col [, n])
+  *    on the unbounded frames (row-based even under RANGE peers, NULL
+  *    before the nth predecessor; LEAD fails typed — a rowtime frame
+  *    ending at CURRENT ROW sees no future rows, and the reference's
+  *    streaming runtime has no rowtime LEAD either);
   *  - the remaining select items must include the row's unique integral
   *    id column as a PLAIN item (the deterministic-order tiebreak the
   *    reference takes from the input's order) — other plain items may
@@ -62,10 +70,11 @@ object RowtimeOver {
   final case class RangeMs(ms: Long) extends Frame
   final case class RowsN(n: Int) extends Frame
   case object UnboundedRows extends Frame
+  case object UnboundedRange extends Frame
 
   final case class Spec(partCols: Seq[String], orderCol: String, frame: Frame,
       valueCols: Seq[String], idCol: String, rewritten: String, usesRn: Boolean,
-      fromTable: String, fromSpan: (Int, Int))
+      maxLag: Int, fromTable: String, fromSpan: (Int, Int))
 
   private def unitMs(u: String): Long = u.toUpperCase match {
     case "SECOND" => 1000L
@@ -127,20 +136,20 @@ object RowtimeOver {
         .map(m => RowsN(m.group(1).toInt + 1)))
       .orElse(raw"(?is)\bROWS\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+CURRENT\s+ROW".r
         .findFirstMatchIn(specText).map(_ => UnboundedRows))
-      .getOrElse {
-        if (raw"(?is)\bRANGE\s+BETWEEN\s+UNBOUNDED\b".r.findFirstIn(specText).isDefined)
-          fail("RANGE UNBOUNDED PRECEDING keeps every row as peer state; " +
-            "use ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW (per-row " +
-            "running aggregate) or a bounded RANGE INTERVAL frame")
+      .orElse(raw"(?is)\bRANGE\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+CURRENT\s+ROW".r
+        .findFirstMatchIn(specText).map(_ => UnboundedRange))
+      .getOrElse(
         fail("declare an explicit frame: RANGE BETWEEN INTERVAL 'n' unit " +
           "PRECEDING AND CURRENT ROW, ROWS BETWEEN n PRECEDING AND CURRENT " +
-          "ROW, or ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
-      }
+          "ROW, or ROWS/RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW " +
+          "(RANGE groups equal-rowtime peers into one shared frame; ROWS " +
+          "gives every row its own)"))
 
     // ---- locate and replace every aggregate-OVER span ----
     val aggRe =
-      raw"(?is)\b(SUM|COUNT|AVG|MIN|MAX|FIRST_VALUE|LAST_VALUE|ROW_NUMBER)\s*\(([^()]*)\)\s+OVER\b".r
+      raw"(?is)\b(SUM|COUNT|AVG|MIN|MAX|FIRST_VALUE|LAST_VALUE|ROW_NUMBER|LAG|LEAD)\s*\(([^()]*)\)\s+OVER\b".r
     var usesRn = false
+    var maxLag = 0
     // per-aggregate value columns: each distinct column gets a slot in
     // the kernel's values vector; the splice reads its slot back with
     // element_at (1-based)
@@ -179,14 +188,39 @@ object RowtimeOver {
         case "ROW_NUMBER" =>
           if (arg.nonEmpty) fail("ROW_NUMBER takes no arguments")
           if (frame != UnboundedRows)
-            fail("ROW_NUMBER rides the unbounded running frame only")
+            fail("ROW_NUMBER rides the unbounded ROWS running frame only")
           usesRn = true; "__over_rn"
+        case "LAG" =>
+          // LAG(col [, offset]) — offset functions ignore the frame in
+          // SQL, but the streaming kernel's trailing snapshot rides the
+          // unbounded running state; bounded frames reject typed
+          if (frame != UnboundedRows && frame != UnboundedRange)
+            fail("LAG rides the unbounded running frames (ROWS/RANGE " +
+              "UNBOUNDED PRECEDING); a bounded frame's retained state is " +
+              "the frame itself — widen the frame or compute lags downstream")
+          val parts = arg.split(",").map(_.trim)
+          if (parts.isEmpty || parts.length > 2 || parts(0).isEmpty)
+            fail("LAG takes (column [, offset]) — a default value argument " +
+              "is not in the subset (COALESCE the result instead)")
+          val off =
+            if (parts.length == 1) 1
+            else parts(1).toIntOption.filter(_ >= 1).getOrElse(
+              fail(s"LAG offset must be a positive integer literal, saw '${parts(1)}'"))
+          maxLag = math.max(maxLag, off)
+          // missing predecessors → NULL (try_element_at, not element_at:
+          // the deploy runs under ANSI)
+          s"try_element_at(try_element_at(__over_lags, $off), ${slot(parts(0))})"
+        case "LEAD" =>
+          fail("LEAD over a rowtime stream sees no future rows (the frame " +
+            "ends at CURRENT ROW) — Flink's streaming runtime has no " +
+            "rowtime LEAD either; restructure with LAG on the later row, " +
+            "or compute leads in a downstream batch pass")
       }
       (m.start, end, out)
     }
     if (repl.isEmpty) fail("no supported aggregate found " +
-      "(SUM/AVG/COUNT(*)/MIN/MAX/FIRST_VALUE/LAST_VALUE, and ROW_NUMBER " +
-      "on the unbounded frame)")
+      "(SUM/AVG/COUNT(*)/MIN/MAX/FIRST_VALUE/LAST_VALUE, LAG and " +
+      "ROW_NUMBER on the unbounded frames)")
 
     // splice replacements + strip the WINDOW clause, back to front
     val cuts = (repl ++ stripSpan.map { case (a, b) => (a, b, "") }.toList)
@@ -195,9 +229,9 @@ object RowtimeOver {
     cuts.foreach { case (a, b, out) => text = text.substring(0, a) + out + text.substring(b) }
     if (raw"(?is)\bOVER\s*\(".r.findFirstIn(text).isDefined ||
         windowName.exists(n => raw"(?is)\bOVER\s+$n\b".r.findFirstIn(text).isDefined))
-      fail("only SUM/AVG/COUNT(*)/MIN/MAX/FIRST_VALUE/LAST_VALUE/ROW_NUMBER " +
-        "window aggregates are supported over a stream; rewrite the " +
-        "remaining OVER expression")
+      fail("only SUM/AVG/COUNT(*)/MIN/MAX/FIRST_VALUE/LAST_VALUE/LAG/" +
+        "ROW_NUMBER window aggregates are supported over a stream; rewrite " +
+        "the remaining OVER expression")
 
     // ---- the row-id column: first plain select item that is neither a
     // partition column nor the rowtime ----
@@ -271,7 +305,8 @@ object RowtimeOver {
     val fromTable = bare(srcM.group(1))
     val span = (fromAt + 4 + srcM.start(1), fromAt + 4 + srcM.end(1))
 
-    Spec(partCols, orderCol, frame, valueCols.toSeq, idCol, text, usesRn, fromTable, span)
+    Spec(partCols, orderCol, frame, valueCols.toSeq, idCol, text, usesRn,
+      maxLag, fromTable, span)
   }
 
   private def requireIntegral(schema: StructType, c: String, role: String): StructField = {
@@ -324,10 +359,21 @@ object RowtimeOver {
       .getOrElse(fail(s"rowtime column '${spec.orderCol}' is not a source column"))
     // the aggregates' value columns ride the kernel as ONE vector, one
     // slot per distinct column (parse assigned the element_at indices);
-    // COUNT/ROW_NUMBER-only statements carry a single zero slot
+    // COUNT/ROW_NUMBER-only statements carry a single zero slot. The
+    // vector is DOUBLE, so non-numeric columns fail TYPED here — a
+    // string/timestamp FIRST_VALUE would otherwise silently null (and
+    // every result comes back DOUBLE: the documented value subset)
     spec.valueCols.foreach { v =>
-      if (!schema.fields.exists(_.name.equalsIgnoreCase(v)))
-        fail(s"value column '$v' is not a source column")
+      val f = schema.fields.find(_.name.equalsIgnoreCase(v))
+        .getOrElse(fail(s"value column '$v' is not a source column"))
+      f.dataType match {
+        case _: NumericType => ()
+        case t => fail(s"aggregate value column '$v' is ${t.sql} — the " +
+          "streaming kernel carries values as a DOUBLE vector, so only " +
+          "numeric columns deploy (results come back DOUBLE); for " +
+          "FIRST_VALUE/LAST_VALUE over strings/timestamps keep the batch " +
+          "path or restructure with a numeric surrogate")
+      }
     }
     val valueExpr =
       if (spec.valueCols.isEmpty) array(lit(0.0))
@@ -343,7 +389,12 @@ object RowtimeOver {
     val (out, pre) = spec.frame match {
       case RangeMs(ms) => (OverOps.boundedRangeAgg(in, ms).toDF(), "range")
       case RowsN(n) => (OverOps.boundedRowsAgg(in, n).toDF(), "range")
-      case UnboundedRows => (OverOps.runningAgg(in).toDF(), "running")
+      case UnboundedRows =>
+        (OverOps.runningAgg(in, peerGrouped = false, lagMax = spec.maxLag).toDF(),
+          "running")
+      case UnboundedRange =>
+        (OverOps.runningAgg(in, peerGrouped = true, lagMax = spec.maxLag).toDF(),
+          "running")
     }
     val restoreCols =
       partFs.map(f => from_json(col("key"), keySchema).getField(f.name).as(f.name)) ++
@@ -356,7 +407,8 @@ object RowtimeOver {
         col(s"${pre}_max").as("__over_max"),
         col("first_v").as("__over_first"),
         col("last_v").as("__over_last")) ++
-      (if (spec.usesRn) Seq(col("rn").as("__over_rn")) else Nil)
+      (if (spec.usesRn) Seq(col("rn").as("__over_rn")) else Nil) ++
+      (if (spec.maxLag > 0) Seq(col("lags").as("__over_lags")) else Nil)
     val restored = out.select(restoreCols: _*)
     restored.createOrReplaceTempView("__graft_over")
     // outer projection: the original statement with agg spans replaced,

@@ -33,21 +33,43 @@ case class OverIn(key: String, id: Long, ts_ms: Long, values: Seq[Double])
 case class OverOut(key: String, id: Long, ts_ms: Long,
     running_sum: Seq[Double], running_cnt: Long, rn: Long,
     running_min: Seq[Double], running_max: Seq[Double],
-    first_v: Seq[Double], last_v: Seq[Double])
+    first_v: Seq[Double], last_v: Seq[Double], lags: Seq[Seq[Double]])
 
-class StreamingOverProcess extends KeyedProcess[String, OverIn, OverOut] {
+/** The unbounded running kernel, two frames in one process:
+  *  - `peerGrouped = false` → `ROWS UNBOUNDED PRECEDING`: every row gets
+  *    its own frame ending at itself;
+  *  - `peerGrouped = true` → `RANGE UNBOUNDED PRECEDING`: rows with the
+  *    SAME rowtime are peers and share one frame that includes the whole
+  *    peer group (the SQL RANGE semantics — the reference's
+  *    RowTimeRangeUnboundedPrecedingFunction buffers a rowtime's rows
+  *    and emits them together for exactly this reason). State stays the
+  *    O(1) accumulator either way — peers are folded before emission.
+  *
+  * `lagMax > 0` additionally retains the last `lagMax` emitted rows'
+  * value vectors per key (most recent first) and stamps each output row
+  * with that trailing snapshot — LAG(col, n ≤ lagMax) is an offset
+  * lookup, ROW-based even under peer grouping (SQL offset functions
+  * ignore the frame; peers are ordered by the deterministic id
+  * tiebreak).
+  */
+class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0)
+    extends KeyedProcess[String, OverIn, OverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var acc:
     ValueState[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double])] = _
+  @transient private var lagState: ValueState[Seq[Seq[Double]]] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
     implicit val accEnc:
       Encoder[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double])] =
       ExpressionEncoder()
+    implicit val lagEnc: Encoder[Seq[Seq[Double]]] = ExpressionEncoder()
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
     acc = h.getValueState[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double])](
       "acc", accEnc, TTLConfig.NONE)
+    if (lagMax > 0)
+      lagState = h.getValueState[Seq[Seq[Double]]]("lags", lagEnc, TTLConfig.NONE)
   }
 
   override def onElement(key: String, v: OverIn, tv: TimerValues,
@@ -66,15 +88,38 @@ class StreamingOverProcess extends KeyedProcess[String, OverIn, OverOut] {
       var (sum, cnt, mn, mx, fst) = Option(acc.get()).getOrElse((
         Seq.fill(k)(0.0), 0L, Seq.fill(k)(Double.PositiveInfinity),
         Seq.fill(k)(Double.NegativeInfinity), Seq.fill(k)(0.0)))
-      sorted.foreach { r =>
+      var lags: Seq[Seq[Double]] =
+        if (lagMax > 0) Option(lagState.get()).getOrElse(Seq.empty) else Seq.empty
+      def fold(r: OverIn): Unit = {
         sum = sum.lazyZip(r.values).map(_ + _)
         mn = mn.lazyZip(r.values).map(math.min)
         mx = mx.lazyZip(r.values).map(math.max)
         cnt += 1
         if (cnt == 1L) fst = r.values
-        emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, r.values))
+      }
+      if (!peerGrouped) {
+        sorted.foreach { r =>
+          fold(r)
+          emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, r.values, lags))
+          if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
+        }
+      } else {
+        // RANGE peers share the group-inclusive frame; LAG stays row-based
+        sorted.groupBy(_.ts_ms).toSeq.sortBy(_._1).foreach { case (_, peers) =>
+          val rowLags = peers.map { r =>
+            val snap = lags
+            if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
+            snap
+          }
+          peers.foreach(fold)
+          val lastV = peers.last.values
+          peers.zip(rowLags).foreach { case (r, l) =>
+            emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, lastV, l))
+          }
+        }
       }
       acc.update((sum, cnt, mn, mx, fst))
+      if (lagMax > 0) lagState.update(lags)
       buf.clear()
       if (pending.nonEmpty) buf.appendList(pending)
     }
@@ -222,12 +267,16 @@ class StreamingBoundedRowsProcess(nRows: Int)
 object OverOps {
   /** Running sum/count/min/max/first/row_number per key ordered by event
     * time, emitted behind the watermark; `ds` must carry an event-time
-    * watermark.
+    * watermark. `peerGrouped = true` switches to the RANGE-UNBOUNDED
+    * peer-frame semantics; `lagMax > 0` stamps each row with the
+    * trailing `lagMax` value vectors (LAG support).
     */
-  def runningAgg(ds: Dataset[OverIn]): Dataset[OverOut] = {
+  def runningAgg(ds: Dataset[OverIn], peerGrouped: Boolean = false,
+      lagMax: Int = 0): Dataset[OverOut] = {
     implicit val out: Encoder[OverOut] = Encoders.product[OverOut]
     ds.groupByKey(_.key)(Encoders.STRING)
-      .transformWithState(new StreamingOverProcess, TimeMode.EventTime(), OutputMode.Append())
+      .transformWithState(new StreamingOverProcess(peerGrouped, lagMax),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Bounded trailing-range aggregate per key: each row's

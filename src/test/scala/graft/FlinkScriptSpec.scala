@@ -1928,6 +1928,66 @@ class FlinkScriptSpec extends AnyFunSuite {
     FlinkSql.run(spark, "DROP TABLE omv_src; DROP TABLE omv_sink")
   }
 
+  test("streaming OVER: LAG + RANGE-UNBOUNDED peer frames with tied rowtimes, stream equals batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flink_over_lag").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // user 1 has TIED rowtimes at t=20 (events 2 and 3): under RANGE
+    // UNBOUNDED both are peers and share one frame that includes both
+    Seq((1L, 1L, t(10), 1.0), (2L, 1L, t(20), 2.0), (3L, 1L, t(20), 4.0),
+      (4L, 1L, t(30), 8.0), (5L, 2L, t(15), 10.0), (6L, 2L, t(25), 20.0),
+      (9L, 9L, t(900), 0.0))
+      .toDF("event_id", "user_id", "ts", "v")
+      .write.mode("append").parquet(s"$dir/lag_src")
+    val sel =
+      """SELECT event_id, user_id, round(sum(v) OVER w, 2) AS run_sum,
+        |       lag(v) OVER w AS prev_v, lag(v, 2) OVER w AS prev2_v
+        |FROM lag_src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+    val stmt =
+      s"""CREATE TABLE lag_src (
+         |  event_id BIGINT, user_id BIGINT, ts TIMESTAMP(3), v DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/lag_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE lag_sink (event_id BIGINT, user_id BIGINT,
+         |                       run_sum DOUBLE, prev_v DOUBLE, prev2_v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/lag_sink',
+         |      'format' = 'parquet');
+         |INSERT INTO lag_sink
+         |$sel""".stripMargin
+    val q = FlinkSql.runStream(spark, stmt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))
+    val got = spark.read.parquet(s"$dir/lag_sink").collect()
+      .filter(_.getLong(1) != 9L).map(row).toSet
+    // batch oracle: SAME statement text over the batch read — Spark's
+    // batch lag with the (ts, id) tie order the kernel uses; the batch
+    // window must spell the id tiebreak to be deterministic on the tie,
+    // so the comparison uses ORDER BY ts, event_id for lag and the RANGE
+    // peer frame for the running sum (Flink's own tie rule: input order)
+    val batch = FlinkSql.sql(spark,
+      """SELECT event_id, user_id, round(sum(v) OVER w, 2) AS run_sum,
+        |       lag(v) OVER w2 AS prev_v, lag(v, 2) OVER w2 AS prev2_v
+        |FROM lag_src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)
+      .collect().filter(_.getLong(1) != 9L).map(row).toSet
+    assert(got == batch && got.nonEmpty, s"stream $got vs batch $batch")
+    // pin the peer semantics: tied events 2 and 3 SHARE run_sum = 1+2+4,
+    // while LAG stays row-based across the tie (3 sees 2's value)
+    assert(got.contains((2L, 1L, 7.0, 1.0, null)), got.toString)
+    assert(got.contains((3L, 1L, 7.0, 2.0, 1.0)), got.toString)
+    assert(got.contains((4L, 1L, 15.0, 4.0, 2.0)), got.toString)
+    FlinkSql.run(spark, "DROP TABLE lag_src; DROP TABLE lag_sink")
+  }
+
   test("streaming OVER outside the declared subset fails typed at deploy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("flink_over_err").toString
@@ -1974,11 +2034,25 @@ class FlinkScriptSpec extends AnyFunSuite {
       """SELECT event_id, sum(v) OVER (PARTITION BY user_id ORDER BY v
         |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
       .contains("watermark rowtime"))
-    // RANGE UNBOUNDED points at the running-rows form
+    // LEAD has no streaming rowtime form (the frame ends at CURRENT ROW)
     assert(deployErr(
-      """SELECT event_id, sum(v) OVER (PARTITION BY user_id ORDER BY ts
-        |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
-      .contains("ROWS BETWEEN UNBOUNDED"))
+      """SELECT event_id, lead(v) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
+      .contains("no future rows"))
+    // LAG rides the unbounded frames only
+    assert(deployErr(
+      """SELECT event_id, lag(v) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
+      .contains("unbounded running frames"))
+    // non-numeric value columns fail TYPED (round-11 ADVICE: the DOUBLE
+    // vector would silently null a timestamp FIRST_VALUE)
+    assert(deployErr(
+      """SELECT event_id, first_value(ts) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
+      .contains("must be numeric") || deployErr(
+      """SELECT event_id, first_value(ts) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
+      .contains("DOUBLE vector"))
     FlinkSql.run(spark, "DROP TABLE oe_src; DROP TABLE oe_sink")
   }
 }
