@@ -529,6 +529,7 @@ object FlinkSql {
           def bridgeable = try
             graft.functions.ReflectiveTable.register(spark, s"__graft_probe_$name", impl) ||
               graft.functions.ReflectiveScalar.register(spark, s"__graft_probe_$name", impl) ||
+              graft.functions.ReflectiveTableAggregate.register(spark, s"__graft_probe_$name", impl) ||
               graft.functions.ReflectiveAggregate.register(spark, s"__graft_probe_$name", impl)
           catch {
             case e: IllegalArgumentException => throw new IllegalArgumentException(
@@ -549,6 +550,7 @@ object FlinkSql {
             graft.functions.ReflectiveTable.unregister(spark, name)
             require(graft.functions.ReflectiveTable.register(spark, name, impl) ||
               graft.functions.ReflectiveScalar.register(spark, name, impl) ||
+              graft.functions.ReflectiveTableAggregate.register(spark, name, impl) ||
               graft.functions.ReflectiveAggregate.register(spark, name, impl),
               s"ALTER FUNCTION $name: eval-bridge registration failed unexpectedly")
           } else
@@ -580,6 +582,9 @@ object FlinkSql {
             // scalar shape; each returns false for the other's domain
             graft.functions.ReflectiveTable.register(spark, name, impl) ||
             graft.functions.ReflectiveScalar.register(spark, name, impl) ||
+            // emitValue(acc, Consumer) — the TableAggregateFunction kind —
+            // is probed before getValue's AggregateFunction shape
+            graft.functions.ReflectiveTableAggregate.register(spark, name, impl) ||
             graft.functions.ReflectiveAggregate.register(spark, name, impl)
           if (!resolved)
             throw new IllegalArgumentException(

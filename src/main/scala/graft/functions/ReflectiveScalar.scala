@@ -66,6 +66,19 @@ object ReflectiveScalar {
         s"one public eval method; '$impl' overloads it ${evals.length} ways — " +
         "split the overloads into one registered function each")
     val m = evals.head
+    // FLIP-400 AsyncScalarFunction shape ([U] flink-table-common
+    // functions/AsyncScalarFunction.java: `void eval(CompletableFuture<T>
+    // result, args...)`) — targeted guidance instead of the generic
+    // eval-shape error
+    val cf = classOf[java.util.concurrent.CompletableFuture[_]]
+    if (cf.isAssignableFrom(m.getReturnType) ||
+        m.getParameterTypes.headOption.exists(cf.isAssignableFrom))
+      fail(s"CREATE FUNCTION $name AS '$impl': eval has the " +
+        "AsyncScalarFunction shape (FLIP-400 — a CompletableFuture result). " +
+        "Async per-row calls deploy through graft.operators.AsyncIO " +
+        "(ordered/unordered pools with capacity + timeout) on the typed " +
+        "API; for SQL, port the body to a synchronous eval — Spark's " +
+        "codegen'd row pipeline has no per-expression async slot")
     if (!Modifier.isStatic(m.getModifiers))
       try cls.getDeclaredConstructor()
       catch {

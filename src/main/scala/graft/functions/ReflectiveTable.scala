@@ -116,6 +116,12 @@ object ReflectiveTable {
             "no-arg constructor (Flink's TableFunction contract)")
       }
     val field = collectorField(cls)
+    // a void eval whose FIRST parameter is a CompletableFuture is the
+    // FLIP-400 AsyncScalarFunction shape, not a collector-less UDTF —
+    // route to the scalar bridge's targeted async guidance
+    if (isVoid && field.isEmpty && m.getParameterTypes.headOption.exists(
+        classOf[java.util.concurrent.CompletableFuture[_]].isAssignableFrom))
+      return false
     if (isVoid && field.isEmpty)
       fail(s"CREATE FUNCTION $name AS '$impl': a void eval emits through a " +
         "public java.util.function.Consumer field named 'collector' — port " +

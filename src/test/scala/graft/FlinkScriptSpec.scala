@@ -1046,6 +1046,93 @@ class FlinkScriptSpec extends AnyFunSuite {
     spark.catalog.dropTempView("udaf_src")
   }
 
+  test("CREATE FUNCTION over a TableAggregateFunction-shaped class: Top2 emits multi-row groups") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_udtagg_jar")
+    // the Flink documentation's canonical table aggregate (Top2), duck-
+    // typed: emitValue(acc, Collector<T>) ports to Consumer<T> like the
+    // table bridge's collector convention; rows are a result POJO
+    val src = dir.resolve("GraftTop2Udtagg.java")
+    java.nio.file.Files.writeString(src,
+      """public class GraftTop2Udtagg {
+        |  public static class Acc {
+        |    public long id1 = -1; public double v1 = Double.NEGATIVE_INFINITY;
+        |    public long id2 = -1; public double v2 = Double.NEGATIVE_INFINITY;
+        |  }
+        |  public static class R { public long id; public double v; public int rnk; }
+        |  public Acc createAccumulator() { return new Acc(); }
+        |  public void accumulate(Acc a, long id, double v) {
+        |    if (v > a.v1 || (v == a.v1 && id < a.id1)) {
+        |      a.id2 = a.id1; a.v2 = a.v1; a.id1 = id; a.v1 = v;
+        |    } else if (v > a.v2 || (v == a.v2 && id < a.id2)) {
+        |      a.id2 = id; a.v2 = v;
+        |    }
+        |  }
+        |  public void merge(Acc a, java.lang.Iterable<Acc> os) {
+        |    for (Acc o : os) {
+        |      if (o.id1 >= 0) accumulate(a, o.id1, o.v1);
+        |      if (o.id2 >= 0) accumulate(a, o.id2, o.v2);
+        |    }
+        |  }
+        |  public void emitValue(Acc a, java.util.function.Consumer<R> out) {
+        |    if (a.id1 >= 0) { R r = new R(); r.id = a.id1; r.v = a.v1; r.rnk = 1; out.accept(r); }
+        |    if (a.id2 >= 0) { R r = new R(); r.id = a.id2; r.v = a.v2; r.rnk = 2; out.accept(r); }
+        |  }
+        |}
+        |""".stripMargin)
+    // FLIP-400 async shape: targeted guidance, not the generic eval error
+    val src2 = dir.resolve("GraftAsyncUdf.java")
+    java.nio.file.Files.writeString(src2,
+      """public class GraftAsyncUdf {
+        |  public void eval(java.util.concurrent.CompletableFuture<String> result, String x) {
+        |    result.complete(x.toUpperCase());
+        |  }
+        |}
+        |""".stripMargin)
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    assert(javac.run(null, null, null, src.toString, src2.toString) == 0, "javac failed")
+    val jar = dir.resolve("graft-test-udtagg.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jar))
+    Seq("GraftTop2Udtagg.class", "GraftTop2Udtagg$Acc.class",
+        "GraftTop2Udtagg$R.class", "GraftAsyncUdf.class").foreach { n =>
+      jos.putNextEntry(new java.util.zip.ZipEntry(n))
+      jos.write(java.nio.file.Files.readAllBytes(dir.resolve(n)))
+      jos.closeEntry()
+    }
+    jos.close()
+    FlinkSql.sql(spark, s"ADD JAR '$jar'")
+    FlinkSql.sql(spark, "CREATE FUNCTION top2 AS 'GraftTop2Udtagg'")
+    Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 7.0),
+        ("b", 4L, 2.0), ("c", 5L, 1.0))
+      .toDF("g", "id", "v").createOrReplaceTempView("udtagg_src")
+    // the declared SQL surface: aggregate call → ARRAY<STRUCT>, fanned
+    // out with the UDTF bridge's generator lowering (inline)
+    val got = FlinkSql.sql(spark,
+      """SELECT g, T.id, T.v, T.rnk
+        |FROM (SELECT g, top2(id, v) AS rows FROM udtagg_src GROUP BY g) x
+        |LATERAL VIEW inline(rows) T AS id, v, rnk""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == Set(("a", 2L, 9.0, 1), ("a", 3L, 7.0, 2),
+      ("b", 4L, 2.0, 1), ("c", 5L, 1.0, 1)), got.toString)
+    // the two-phase path must survive a real shuffle: repartitioned input
+    val got2 = FlinkSql.sql(spark,
+      """SELECT g, size(top2(id, v)) AS n FROM udtagg_src GROUP BY g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got2 == Set(("a", 2), ("b", 1), ("c", 1)), got2.toString)
+    // async scalar shape: the FLIP-400 guidance names the AsyncIO helper
+    val eAsync = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CREATE FUNCTION async_up AS 'GraftAsyncUdf'")
+    }
+    assert(eAsync.getMessage.contains("AsyncScalarFunction") &&
+      eAsync.getMessage.contains("AsyncIO"), eAsync.getMessage)
+    FlinkSql.sql(spark, "DROP FUNCTION top2")
+    intercept[Exception] {
+      spark.sql("SELECT g, top2(id, v) FROM udtagg_src GROUP BY g").collect()
+    }
+    spark.catalog.dropTempView("udtagg_src")
+  }
+
   test("CALL fails typed with porting guidance (procedures out of scope)") {
     // Flink stored procedures (FLIP-311) are catalog-provided code —
     // out of scope by declaration; the statement must not fall through
