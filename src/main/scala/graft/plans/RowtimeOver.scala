@@ -36,11 +36,14 @@ import org.apache.spark.sql.types._
   *    column — the distinct columns ride the kernel as one DOUBLE
   *    vector, one `element_at` slot per column, and results come back
   *    DOUBLE; non-numeric value columns fail typed), COUNT(*),
-  *    ROW_NUMBER() on the unbounded ROWS frame, plus LAG(col [, n])
+  *    ROW_NUMBER() on the unbounded ROWS frame, LAG(col [, n])
   *    on the unbounded frames (row-based even under RANGE peers, NULL
   *    before the nth predecessor; LEAD fails typed — a rowtime frame
   *    ending at CURRENT ROW sees no future rows, and the reference's
-  *    streaming runtime has no rowtime LEAD either);
+  *    streaming runtime has no rowtime LEAD either), plus
+  *    SUM/COUNT/AVG(DISTINCT col) on the unbounded frames (per-key
+  *    distinct-value state, the reference's MapView cardinality;
+  *    MIN/MAX(DISTINCT) strip to the identical plain forms);
   *  - the remaining select items must include the row's unique integral
   *    id column as a PLAIN item (the deterministic-order tiebreak the
   *    reference takes from the input's order) — other plain items may
@@ -74,7 +77,7 @@ object RowtimeOver {
 
   final case class Spec(partCols: Seq[String], orderCol: String, frame: Frame,
       valueCols: Seq[String], idCol: String, rewritten: String, usesRn: Boolean,
-      maxLag: Int, fromTable: String, fromSpan: (Int, Int))
+      maxLag: Int, distinctSlots: Seq[Int], fromTable: String, fromSpan: (Int, Int))
 
   private def unitMs(u: String): Long = u.toUpperCase match {
     case "SECOND" => 1000L
@@ -150,6 +153,8 @@ object RowtimeOver {
       raw"(?is)\b(SUM|COUNT|AVG|MIN|MAX|FIRST_VALUE|LAST_VALUE|ROW_NUMBER|LAG|LEAD)\s*\(([^()]*)\)\s+OVER\b".r
     var usesRn = false
     var maxLag = 0
+    // 1-based slots whose DISTINCT running sum/count the kernel tracks
+    val distinctSlots = scala.collection.mutable.SortedSet.empty[Int]
     // per-aggregate value columns: each distinct column gets a slot in
     // the kernel's values vector; the splice reads its slot back with
     // element_at (1-based)
@@ -172,19 +177,46 @@ object RowtimeOver {
             fail(s"OVER $nm does not match the declared WINDOW clause")
           i + nm.length
         }
-      val arg = m.group(2).trim
+      val rawArg = m.group(2).trim
+      // DISTINCT aggregates ([U] flink-table-runtime distinct MapView
+      // state): running distinct sum/count ride the unbounded frames
+      val isDistinct =
+        raw"(?is)^DISTINCT\s".r.findFirstIn(rawArg).isDefined
+      val arg = if (isDistinct) rawArg.replaceFirst("(?is)^DISTINCT\\s+", "").trim
+        else rawArg
+      def distinctSlot(c: String): Int = {
+        if (frame != UnboundedRows && frame != UnboundedRange)
+          fail("DISTINCT aggregates ride the unbounded running frames — a " +
+            "bounded frame would need per-value eviction refcounts (keep " +
+            "the batch path, or widen the frame)")
+        val n = slot(c)
+        distinctSlots += n
+        n
+      }
       val out = m.group(1).toUpperCase match {
-        case "SUM" => s"element_at(__over_sum, ${slot(arg)})"
-        case "AVG" => s"(element_at(__over_sum, ${slot(arg)}) / __over_cnt)"
+        case "SUM" =>
+          if (isDistinct) s"element_at(__over_dsum, ${distinctSlot(arg)})"
+          else s"element_at(__over_sum, ${slot(arg)})"
+        case "AVG" =>
+          if (isDistinct) {
+            val n = distinctSlot(arg)
+            s"(element_at(__over_dsum, $n) / element_at(__over_dcnt, $n))"
+          } else s"(element_at(__over_sum, ${slot(arg)}) / __over_cnt)"
+        // MIN/MAX are duplicate-insensitive: DISTINCT strips to the plain form
         case "MIN" => s"element_at(__over_min, ${slot(arg)})"
         case "MAX" => s"element_at(__over_max, ${slot(arg)})"
+        case "FIRST_VALUE" | "LAST_VALUE" if isDistinct =>
+          fail(s"${m.group(1).toUpperCase}(DISTINCT ...) is not SQL")
         case "FIRST_VALUE" => s"element_at(__over_first, ${slot(arg)})"
         case "LAST_VALUE" => s"element_at(__over_last, ${slot(arg)})"
         case "COUNT" =>
-          if (arg != "*" && arg != "1")
-            fail("COUNT over a stream supports COUNT(*) / COUNT(1); " +
-              "null-skipping COUNT(col) is not modeled")
-          "__over_cnt"
+          if (isDistinct) s"element_at(__over_dcnt, ${distinctSlot(arg)})"
+          else {
+            if (arg != "*" && arg != "1")
+              fail("COUNT over a stream supports COUNT(*) / COUNT(1) / " +
+                "COUNT(DISTINCT col); null-skipping COUNT(col) is not modeled")
+            "__over_cnt"
+          }
         case "ROW_NUMBER" =>
           if (arg.nonEmpty) fail("ROW_NUMBER takes no arguments")
           if (frame != UnboundedRows)
@@ -194,6 +226,7 @@ object RowtimeOver {
           // LAG(col [, offset]) — offset functions ignore the frame in
           // SQL, but the streaming kernel's trailing snapshot rides the
           // unbounded running state; bounded frames reject typed
+          if (isDistinct) fail("LAG(DISTINCT ...) is not SQL")
           if (frame != UnboundedRows && frame != UnboundedRange)
             fail("LAG rides the unbounded running frames (ROWS/RANGE " +
               "UNBOUNDED PRECEDING); a bounded frame's retained state is " +
@@ -306,7 +339,7 @@ object RowtimeOver {
     val span = (fromAt + 4 + srcM.start(1), fromAt + 4 + srcM.end(1))
 
     Spec(partCols, orderCol, frame, valueCols.toSeq, idCol, text, usesRn,
-      maxLag, fromTable, span)
+      maxLag, distinctSlots.toSeq, fromTable, span)
   }
 
   private def requireIntegral(schema: StructType, c: String, role: String): StructField = {
@@ -390,11 +423,11 @@ object RowtimeOver {
       case RangeMs(ms) => (OverOps.boundedRangeAgg(in, ms).toDF(), "range")
       case RowsN(n) => (OverOps.boundedRowsAgg(in, n).toDF(), "range")
       case UnboundedRows =>
-        (OverOps.runningAgg(in, peerGrouped = false, lagMax = spec.maxLag).toDF(),
-          "running")
+        (OverOps.runningAgg(in, peerGrouped = false, lagMax = spec.maxLag,
+          distinctSlots = spec.distinctSlots.map(_ - 1).toSet).toDF(), "running")
       case UnboundedRange =>
-        (OverOps.runningAgg(in, peerGrouped = true, lagMax = spec.maxLag).toDF(),
-          "running")
+        (OverOps.runningAgg(in, peerGrouped = true, lagMax = spec.maxLag,
+          distinctSlots = spec.distinctSlots.map(_ - 1).toSet).toDF(), "running")
     }
     val restoreCols =
       partFs.map(f => from_json(col("key"), keySchema).getField(f.name).as(f.name)) ++
@@ -408,7 +441,10 @@ object RowtimeOver {
         col("first_v").as("__over_first"),
         col("last_v").as("__over_last")) ++
       (if (spec.usesRn) Seq(col("rn").as("__over_rn")) else Nil) ++
-      (if (spec.maxLag > 0) Seq(col("lags").as("__over_lags")) else Nil)
+      (if (spec.maxLag > 0) Seq(col("lags").as("__over_lags")) else Nil) ++
+      (if (spec.distinctSlots.nonEmpty)
+        Seq(col("dist_sum").as("__over_dsum"), col("dist_cnt").as("__over_dcnt"))
+      else Nil)
     val restored = out.select(restoreCols: _*)
     restored.createOrReplaceTempView("__graft_over")
     // outer projection: the original statement with agg spans replaced,

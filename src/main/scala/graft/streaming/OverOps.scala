@@ -33,7 +33,8 @@ case class OverIn(key: String, id: Long, ts_ms: Long, values: Seq[Double])
 case class OverOut(key: String, id: Long, ts_ms: Long,
     running_sum: Seq[Double], running_cnt: Long, rn: Long,
     running_min: Seq[Double], running_max: Seq[Double],
-    first_v: Seq[Double], last_v: Seq[Double], lags: Seq[Seq[Double]])
+    first_v: Seq[Double], last_v: Seq[Double], lags: Seq[Seq[Double]],
+    dist_sum: Seq[Double], dist_cnt: Seq[Long])
 
 /** The unbounded running kernel, two frames in one process:
   *  - `peerGrouped = false` → `ROWS UNBOUNDED PRECEDING`: every row gets
@@ -51,13 +52,25 @@ case class OverOut(key: String, id: Long, ts_ms: Long,
   * lookup, ROW-based even under peer grouping (SQL offset functions
   * ignore the frame; peers are ordered by the deterministic id
   * tiebreak).
+  *
+  * `distinctSlots` marks value-vector slots whose DISTINCT sum/count
+  * the frame also carries (SUM/COUNT/AVG DISTINCT — [U]
+  * flink-table-runtime keeps the same per-key distinct-value state as
+  * a MapView): per marked slot the seen-value set persists in state
+  * and the running distinct sum/count update only on first sight.
+  * Documented delta vs Flink: the set is rewritten per FIRING (not
+  * per-entry incremental as RocksDB MapState), so state I/O per firing
+  * is O(distinct values) — the CARDINALITY matches the reference's.
   */
-class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0)
+class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
+    distinctSlots: Set[Int] = Set.empty)
     extends KeyedProcess[String, OverIn, OverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var acc:
     ValueState[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double])] = _
   @transient private var lagState: ValueState[Seq[Seq[Double]]] = _
+  @transient private var distState:
+    ValueState[(Seq[Seq[Double]], Seq[Double], Seq[Long])] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
@@ -65,11 +78,16 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0)
       Encoder[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double])] =
       ExpressionEncoder()
     implicit val lagEnc: Encoder[Seq[Seq[Double]]] = ExpressionEncoder()
+    implicit val distEnc: Encoder[(Seq[Seq[Double]], Seq[Double], Seq[Long])] =
+      ExpressionEncoder()
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
     acc = h.getValueState[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double])](
       "acc", accEnc, TTLConfig.NONE)
     if (lagMax > 0)
       lagState = h.getValueState[Seq[Seq[Double]]]("lags", lagEnc, TTLConfig.NONE)
+    if (distinctSlots.nonEmpty)
+      distState = h.getValueState[(Seq[Seq[Double]], Seq[Double], Seq[Long])](
+        "dist", distEnc, TTLConfig.NONE)
   }
 
   override def onElement(key: String, v: OverIn, tv: TimerValues,
@@ -90,17 +108,40 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0)
         Seq.fill(k)(Double.NegativeInfinity), Seq.fill(k)(0.0)))
       var lags: Seq[Seq[Double]] =
         if (lagMax > 0) Option(lagState.get()).getOrElse(Seq.empty) else Seq.empty
+      // distinct tracking: live sets + running distinct sum/count per slot
+      val (dsets, dsum, dcnt) =
+        if (distinctSlots.isEmpty) (null, null, null)
+        else {
+          val (s0, ds0, dc0) = Option(distState.get()).getOrElse(
+            (Seq.fill(k)(Seq.empty[Double]), Seq.fill(k)(0.0), Seq.fill(k)(0L)))
+          (s0.map(s => scala.collection.mutable.HashSet(s: _*)).toArray,
+            ds0.toArray, dc0.toArray)
+        }
       def fold(r: OverIn): Unit = {
         sum = sum.lazyZip(r.values).map(_ + _)
         mn = mn.lazyZip(r.values).map(math.min)
         mx = mx.lazyZip(r.values).map(math.max)
         cnt += 1
         if (cnt == 1L) fst = r.values
+        if (distinctSlots.nonEmpty) {
+          var j = 0
+          while (j < r.values.length) {
+            if (distinctSlots.contains(j) && dsets(j).add(r.values(j))) {
+              dsum(j) += r.values(j); dcnt(j) += 1L
+            }
+            j += 1
+          }
+        }
       }
+      def dsumSnap: Seq[Double] =
+        if (distinctSlots.isEmpty) Seq.empty else dsum.toSeq
+      def dcntSnap: Seq[Long] =
+        if (distinctSlots.isEmpty) Seq.empty else dcnt.toSeq
       if (!peerGrouped) {
         sorted.foreach { r =>
           fold(r)
-          emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, r.values, lags))
+          emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, r.values,
+            lags, dsumSnap, dcntSnap))
           if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
         }
       } else {
@@ -113,13 +154,17 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0)
           }
           peers.foreach(fold)
           val lastV = peers.last.values
+          val (ds, dc) = (dsumSnap, dcntSnap)
           peers.zip(rowLags).foreach { case (r, l) =>
-            emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, lastV, l))
+            emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, lastV,
+              l, ds, dc))
           }
         }
       }
       acc.update((sum, cnt, mn, mx, fst))
       if (lagMax > 0) lagState.update(lags)
+      if (distinctSlots.nonEmpty)
+        distState.update((dsets.map(_.toSeq).toSeq, dsum.toSeq, dcnt.toSeq))
       buf.clear()
       if (pending.nonEmpty) buf.appendList(pending)
     }
@@ -272,10 +317,10 @@ object OverOps {
     * trailing `lagMax` value vectors (LAG support).
     */
   def runningAgg(ds: Dataset[OverIn], peerGrouped: Boolean = false,
-      lagMax: Int = 0): Dataset[OverOut] = {
+      lagMax: Int = 0, distinctSlots: Set[Int] = Set.empty): Dataset[OverOut] = {
     implicit val out: Encoder[OverOut] = Encoders.product[OverOut]
     ds.groupByKey(_.key)(Encoders.STRING)
-      .transformWithState(new StreamingOverProcess(peerGrouped, lagMax),
+      .transformWithState(new StreamingOverProcess(peerGrouped, lagMax, distinctSlots),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -2075,6 +2075,58 @@ class FlinkScriptSpec extends AnyFunSuite {
     FlinkSql.run(spark, "DROP TABLE lag_src; DROP TABLE lag_sink")
   }
 
+  test("streaming OVER: SUM/COUNT/AVG DISTINCT running aggregates over the unbounded frame") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flink_over_dist").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // user 1 sees v = 2, 2, 5, 2 — distinct state must count 2 once
+    Seq((1L, 1L, t(10), 2.0), (2L, 1L, t(20), 2.0), (3L, 1L, t(30), 5.0),
+      (4L, 1L, t(40), 2.0), (9L, 9L, t(900), 0.0))
+      .toDF("event_id", "user_id", "ts", "v")
+      .write.mode("append").parquet(s"$dir/dist_src")
+    FlinkSql.runStream(spark,
+      s"""CREATE TABLE dist_src (
+         |  event_id BIGINT, user_id BIGINT, ts TIMESTAMP(3), v DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/dist_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE dist_sink (event_id BIGINT, ds DOUBLE, dc BIGINT,
+         |                        da DOUBLE, s DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/dist_sink',
+         |      'format' = 'parquet');
+         |INSERT INTO dist_sink
+         |SELECT event_id, sum(DISTINCT v) OVER w AS ds,
+         |       count(DISTINCT v) OVER w AS dc, avg(DISTINCT v) OVER w AS da,
+         |       sum(v) OVER w AS s
+         |FROM dist_src
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    val got = spark.read.parquet(s"$dir/dist_sink").collect()
+      .filter(_.getLong(0) != 9L)
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    // Spark's BATCH planner rejects DISTINCT window aggregates, so the
+    // oracle is the hand expansion: distinct-sum/count/avg vs plain sum
+    assert(got == Set(
+      (1L, 2.0, 1L, 2.0, 2.0),
+      (2L, 2.0, 1L, 2.0, 4.0),   // duplicate 2.0: distinct state unchanged
+      (3L, 7.0, 2L, 3.5, 9.0),
+      (4L, 7.0, 2L, 3.5, 11.0)), got.toString)
+    // bounded frames reject DISTINCT typed (per-value eviction refcounts)
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.FlinkDdl.executeInsertStream(spark,
+        """INSERT INTO dist_sink
+          |SELECT event_id, sum(DISTINCT v) OVER (PARTITION BY user_id ORDER BY ts
+          |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ds,
+          |  CAST(0 AS BIGINT) AS dc, CAST(0 AS DOUBLE) AS da, CAST(0 AS DOUBLE) AS s
+          |FROM dist_src""".stripMargin)
+    }
+    assert(e.getMessage.contains("unbounded running frames"), e.getMessage)
+    FlinkSql.run(spark, "DROP TABLE dist_src; DROP TABLE dist_sink")
+  }
+
   test("streaming OVER outside the declared subset fails typed at deploy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("flink_over_err").toString
