@@ -37,10 +37,11 @@ import org.apache.spark.sql.types._
   *    vector, one `element_at` slot per column, and results come back
   *    DOUBLE; non-numeric value columns fail typed), COUNT(*),
   *    ROW_NUMBER() on the unbounded ROWS frame, LAG(col [, n])
-  *    on the unbounded frames (row-based even under RANGE peers, NULL
-  *    before the nth predecessor; LEAD fails typed — a rowtime frame
-  *    ending at CURRENT ROW sees no future rows, and the reference's
-  *    streaming runtime has no rowtime LEAD either), plus
+  *    on EVERY frame (row-based even under RANGE peers, NULL before
+  *    the nth predecessor — a trailing snapshot rides each kernel's
+  *    state; LEAD fails typed — a rowtime frame ending at CURRENT ROW
+  *    sees no future rows, and the reference's streaming runtime has
+  *    no rowtime LEAD either), plus
   *    SUM/COUNT/AVG(DISTINCT col) on the unbounded frames (per-key
   *    distinct-value state, the reference's MapView cardinality;
   *    MIN/MAX(DISTINCT) strip to the identical plain forms);
@@ -224,13 +225,9 @@ object RowtimeOver {
           usesRn = true; "__over_rn"
         case "LAG" =>
           // LAG(col [, offset]) — offset functions ignore the frame in
-          // SQL, but the streaming kernel's trailing snapshot rides the
-          // unbounded running state; bounded frames reject typed
+          // SQL; every kernel carries a trailing value-vector snapshot
+          // of the last maxLag emitted rows in (ts, id) order
           if (isDistinct) fail("LAG(DISTINCT ...) is not SQL")
-          if (frame != UnboundedRows && frame != UnboundedRange)
-            fail("LAG rides the unbounded running frames (ROWS/RANGE " +
-              "UNBOUNDED PRECEDING); a bounded frame's retained state is " +
-              "the frame itself — widen the frame or compute lags downstream")
           val parts = arg.split(",").map(_.trim)
           if (parts.isEmpty || parts.length > 2 || parts(0).isEmpty)
             fail("LAG takes (column [, offset]) — a default value argument " +
@@ -420,8 +417,10 @@ object RowtimeOver {
       unix_millis(col(spec.orderCol).cast("timestamp")).as("ts_ms"),
       valueExpr.as("values")).as[OverIn]
     val (out, pre) = spec.frame match {
-      case RangeMs(ms) => (OverOps.boundedRangeAgg(in, ms).toDF(), "range")
-      case RowsN(n) => (OverOps.boundedRowsAgg(in, n).toDF(), "range")
+      case RangeMs(ms) =>
+        (OverOps.boundedRangeAgg(in, ms, lagMax = spec.maxLag).toDF(), "range")
+      case RowsN(n) =>
+        (OverOps.boundedRowsAgg(in, n, lagMax = spec.maxLag).toDF(), "range")
       case UnboundedRows =>
         (OverOps.runningAgg(in, peerGrouped = false, lagMax = spec.maxLag,
           distinctSlots = spec.distinctSlots.map(_ - 1).toSet).toDF(), "running")

@@ -180,7 +180,7 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
 case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
     range_sum: Seq[Double], range_cnt: Long,
     range_min: Seq[Double], range_max: Seq[Double],
-    first_v: Seq[Double], last_v: Seq[Double])
+    first_v: Seq[Double], last_v: Seq[Double], lags: Seq[Seq[Double]])
 
 /** Streaming bounded-range OVER — the reference's
   * RowTimeRangeBoundedPrecedingFunction ([U] flink-table-runtime
@@ -194,17 +194,21 @@ case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
   * retained rows were already the state shape, so wider agg coverage
   * costs no new state.
   */
-class StreamingBoundedOverProcess(rangeMs: Long)
+class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0)
     extends KeyedProcess[String, OverIn, BoundedOverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var recent: ListState[OverIn] = _
   @transient private var emittedUpTo: ValueState[Long] = _
+  @transient private var lagState: ValueState[Seq[Seq[Double]]] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
+    implicit val lagEnc: Encoder[Seq[Seq[Double]]] = ExpressionEncoder()
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
     recent = h.getListState[OverIn]("recent", inEnc, TTLConfig.NONE)
     emittedUpTo = h.getValueState[Long]("emitted", Encoders.scalaLong, TTLConfig.NONE)
+    if (lagMax > 0)
+      lagState = h.getValueState[Seq[Seq[Double]]]("lags", lagEnc, TTLConfig.NONE)
   }
 
   override def onElement(key: String, v: OverIn, tv: TimerValues,
@@ -225,12 +229,20 @@ class StreamingBoundedOverProcess(rangeMs: Long)
     val (ready, pending) = buf.get().toArray.partition(_.ts_ms <= wm)
     if (ready.nonEmpty) {
       var window = recent.get().toArray
+      var lags: Seq[Seq[Double]] =
+        if (lagMax > 0) Option(lagState.get()).getOrElse(Seq.empty) else Seq.empty
       // per distinct rowtime: evict, then every peer shares the frame of
       // [ts − range, ts] — the batch RANGE-frame peer semantics. The
       // window array stays in (ts, id) order: peers append in sorted
-      // order and eviction drops a prefix.
+      // order and eviction drops a prefix. LAG stays ROW-based across
+      // the peer group (offset functions ignore the frame).
       ready.sortBy(r => (r.ts_ms, r.id)).groupBy(_.ts_ms).toSeq.sortBy(_._1)
         .foreach { case (ts, peers) =>
+          val rowLags = peers.map { r =>
+            val snap = lags
+            if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
+            snap
+          }
           window = (window ++ peers).filter(_.ts_ms >= ts - rangeMs)
           val k = window.head.values.length
           val sum = Seq.tabulate(k)(i => window.map(_.values(i)).sum)
@@ -238,14 +250,16 @@ class StreamingBoundedOverProcess(rangeMs: Long)
           val mx = Seq.tabulate(k)(i => window.map(_.values(i)).max)
           val cnt = window.length.toLong
           val (first, last) = (window.head.values, window.last.values)
-          peers.foreach(r =>
-            emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt, mn, mx, first, last)))
+          peers.zip(rowLags).foreach { case (r, l) =>
+            emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt, mn, mx, first, last, l))
+          }
         }
       recent.clear()
       if (window.nonEmpty) recent.appendList(window)
       buf.clear()
       if (pending.nonEmpty) buf.appendList(pending)
       emittedUpTo.update(ready.map(_.ts_ms).max)
+      if (lagMax > 0) lagState.update(lags)
     }
   }
 }
@@ -259,17 +273,21 @@ class StreamingBoundedOverProcess(rangeMs: Long)
   * frames). State retains exactly the trailing `nRows − 1` emitted
   * rows per key; MIN/MAX/FIRST/LAST fold over that retained frame.
   */
-class StreamingBoundedRowsProcess(nRows: Int)
+class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0)
     extends KeyedProcess[String, OverIn, BoundedOverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var recent: ListState[OverIn] = _
   @transient private var emittedUpTo: ValueState[Long] = _
+  @transient private var lagState: ValueState[Seq[Seq[Double]]] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
+    implicit val lagEnc: Encoder[Seq[Seq[Double]]] = ExpressionEncoder()
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
     recent = h.getListState[OverIn]("recent", inEnc, TTLConfig.NONE)
     emittedUpTo = h.getValueState[Long]("emitted", Encoders.scalaLong, TTLConfig.NONE)
+    if (lagMax > 0)
+      lagState = h.getValueState[Seq[Seq[Double]]]("lags", lagEnc, TTLConfig.NONE)
   }
 
   override def onElement(key: String, v: OverIn, tv: TimerValues,
@@ -290,6 +308,8 @@ class StreamingBoundedRowsProcess(nRows: Int)
     val (ready, pending) = buf.get().toArray.partition(_.ts_ms <= wm)
     if (ready.nonEmpty) {
       var window = recent.get().toArray
+      var lags: Seq[Seq[Double]] =
+        if (lagMax > 0) Option(lagState.get()).getOrElse(Seq.empty) else Seq.empty
       ready.sortBy(r => (r.ts_ms, r.id)).foreach { r =>
         window = (window :+ r).takeRight(nRows)
         val k = window.head.values.length
@@ -297,7 +317,8 @@ class StreamingBoundedRowsProcess(nRows: Int)
           Seq.tabulate(k)(i => window.map(_.values(i)).sum), window.length.toLong,
           Seq.tabulate(k)(i => window.map(_.values(i)).min),
           Seq.tabulate(k)(i => window.map(_.values(i)).max),
-          window.head.values, window.last.values))
+          window.head.values, window.last.values, lags))
+        if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
       }
       recent.clear()
       val keep = window.takeRight(math.max(nRows - 1, 0))
@@ -305,6 +326,7 @@ class StreamingBoundedRowsProcess(nRows: Int)
       buf.clear()
       if (pending.nonEmpty) buf.appendList(pending)
       emittedUpTo.update(ready.map(_.ts_ms).max)
+      if (lagMax > 0) lagState.update(lags)
     }
   }
 }
@@ -329,10 +351,11 @@ object OverOps {
     * ts]` (peers share frames), emitted behind the watermark; `ds` must
     * carry an event-time watermark.
     */
-  def boundedRangeAgg(ds: Dataset[OverIn], rangeMs: Long): Dataset[BoundedOverOut] = {
+  def boundedRangeAgg(ds: Dataset[OverIn], rangeMs: Long,
+      lagMax: Int = 0): Dataset[BoundedOverOut] = {
     implicit val out: Encoder[BoundedOverOut] = Encoders.product[BoundedOverOut]
     ds.groupByKey(_.key)(Encoders.STRING)
-      .transformWithState(new StreamingBoundedOverProcess(rangeMs),
+      .transformWithState(new StreamingBoundedOverProcess(rangeMs, lagMax),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
@@ -340,11 +363,12 @@ object OverOps {
     * itself and the previous `nRows − 1` rows in (ts, id) order,
     * emitted behind the watermark.
     */
-  def boundedRowsAgg(ds: Dataset[OverIn], nRows: Int): Dataset[BoundedOverOut] = {
+  def boundedRowsAgg(ds: Dataset[OverIn], nRows: Int,
+      lagMax: Int = 0): Dataset[BoundedOverOut] = {
     require(nRows >= 1, "nRows must be >= 1")
     implicit val out: Encoder[BoundedOverOut] = Encoders.product[BoundedOverOut]
     ds.groupByKey(_.key)(Encoders.STRING)
-      .transformWithState(new StreamingBoundedRowsProcess(nRows),
+      .transformWithState(new StreamingBoundedRowsProcess(nRows, lagMax),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -1089,13 +1089,31 @@ class FlinkScriptSpec extends AnyFunSuite {
         |  }
         |}
         |""".stripMargin)
+    // scalar-emitting shape: Consumer<Long> rows → ARRAY<BIGINT> + explode
+    val src3 = dir.resolve("GraftEvensUdtagg.java")
+    java.nio.file.Files.writeString(src3,
+      """import java.util.*;
+        |public class GraftEvensUdtagg {
+        |  public ArrayList<Long> createAccumulator() { return new ArrayList<>(); }
+        |  public void accumulate(ArrayList<Long> a, long v) { if (v % 2 == 0) a.add(v); }
+        |  public void merge(ArrayList<Long> a, java.lang.Iterable<ArrayList<Long>> os) {
+        |    for (ArrayList<Long> o : os) a.addAll(o);
+        |  }
+        |  public void emitValue(ArrayList<Long> a, java.util.function.Consumer<Long> out) {
+        |    ArrayList<Long> s = new ArrayList<>(a); Collections.sort(s);
+        |    for (Long v : s) out.accept(v);
+        |  }
+        |}
+        |""".stripMargin)
     val javac = javax.tools.ToolProvider.getSystemJavaCompiler
-    assert(javac.run(null, null, null, src.toString, src2.toString) == 0, "javac failed")
+    assert(javac.run(null, null, null, src.toString, src2.toString, src3.toString) == 0,
+      "javac failed")
     val jar = dir.resolve("graft-test-udtagg.jar")
     val jos = new java.util.jar.JarOutputStream(
       java.nio.file.Files.newOutputStream(jar))
     Seq("GraftTop2Udtagg.class", "GraftTop2Udtagg$Acc.class",
-        "GraftTop2Udtagg$R.class", "GraftAsyncUdf.class").foreach { n =>
+        "GraftTop2Udtagg$R.class", "GraftAsyncUdf.class",
+        "GraftEvensUdtagg.class").foreach { n =>
       jos.putNextEntry(new java.util.zip.ZipEntry(n))
       jos.write(java.nio.file.Files.readAllBytes(dir.resolve(n)))
       jos.closeEntry()
@@ -1120,6 +1138,15 @@ class FlinkScriptSpec extends AnyFunSuite {
       """SELECT g, size(top2(id, v)) AS n FROM udtagg_src GROUP BY g""".stripMargin)
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     assert(got2 == Set(("a", 2), ("b", 1), ("c", 1)), got2.toString)
+    // scalar-emitting rows: ARRAY<BIGINT> + explode fan-out
+    FlinkSql.sql(spark, "CREATE FUNCTION evens AS 'GraftEvensUdtagg'")
+    val gotE = FlinkSql.sql(spark,
+      """SELECT g, T.e
+        |FROM (SELECT g, evens(id) AS es FROM udtagg_src GROUP BY g) x
+        |LATERAL VIEW explode(es) T AS e""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotE == Set(("a", 2L), ("b", 4L)), gotE.toString)
+    FlinkSql.sql(spark, "DROP FUNCTION evens")
     // async scalar shape: the FLIP-400 guidance names the AsyncIO helper
     val eAsync = intercept[IllegalArgumentException] {
       FlinkSql.sql(spark, "CREATE FUNCTION async_up AS 'GraftAsyncUdf'")
@@ -2072,7 +2099,37 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(got.contains((2L, 1L, 7.0, 1.0, null)), got.toString)
     assert(got.contains((3L, 1L, 7.0, 2.0, 1.0)), got.toString)
     assert(got.contains((4L, 1L, 15.0, 4.0, 2.0)), got.toString)
-    FlinkSql.run(spark, "DROP TABLE lag_src; DROP TABLE lag_sink")
+    // LAG also rides the BOUNDED kernels (offset functions ignore the
+    // frame): ROWS 1 PRECEDING sum alongside lag(v) — stream ≡ batch
+    FlinkSql.run(spark,
+      s"""CREATE TABLE lagb_sink (event_id BIGINT, user_id BIGINT,
+         |                        s2 DOUBLE, prev_v DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/lagb_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    FlinkSql.runStream(spark,
+      """INSERT INTO lagb_sink
+        |SELECT event_id, user_id, sum(v) OVER w AS s2, lag(v) OVER w AS prev_v
+        |FROM lag_src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    val gotB = spark.read.parquet(s"$dir/lagb_sink").collect()
+      .filter(_.getLong(1) != 9L)
+      .map(r => (r.getLong(0), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    val batchB = FlinkSql.sql(spark,
+      """SELECT event_id, round(sum(v) OVER w, 2) AS s2, lag(v) OVER w2 AS prev_v
+        |FROM lag_src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+        |       w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)
+      .collect().filter(_.getLong(0) != 9L)
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(gotB == batchB && gotB.nonEmpty, s"stream $gotB vs batch $batchB")
+    FlinkSql.run(spark,
+      "DROP TABLE lag_src; DROP TABLE lag_sink; DROP TABLE lagb_sink")
   }
 
   test("streaming OVER: SUM/COUNT/AVG DISTINCT running aggregates over the unbounded frame") {
@@ -2178,11 +2235,11 @@ class FlinkScriptSpec extends AnyFunSuite {
       """SELECT event_id, lead(v) OVER (PARTITION BY user_id ORDER BY ts
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
       .contains("no future rows"))
-    // LAG rides the unbounded frames only
+    // LAG offsets must be positive integer literals
     assert(deployErr(
-      """SELECT event_id, lag(v) OVER (PARTITION BY user_id ORDER BY ts
+      """SELECT event_id, lag(v, 0) OVER (PARTITION BY user_id ORDER BY ts
         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
-      .contains("unbounded running frames"))
+      .contains("positive integer"))
     // non-numeric value columns fail TYPED (round-11 ADVICE: the DOUBLE
     // vector would silently null a timestamp FIRST_VALUE)
     assert(deployErr(
