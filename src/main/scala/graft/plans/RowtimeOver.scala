@@ -41,7 +41,10 @@ import org.apache.spark.sql.types._
   *    the nth predecessor — a trailing snapshot rides each kernel's
   *    state; LEAD fails typed — a rowtime frame ending at CURRENT ROW
   *    sees no future rows, and the reference's streaming runtime has
-  *    no rowtime LEAD either), plus
+  *    no rowtime LEAD either), the STDDEV/VARIANCE family
+  *    (STDDEV_POP/STDDEV_SAMP/STDDEV/VAR_POP/VAR_SAMP/VARIANCE — a
+  *    sum-of-squares slot every kernel carries; VAR_SAMP of a 1-row
+  *    frame is NULL), plus
   *    SUM/COUNT/AVG(DISTINCT col) on the unbounded frames (per-key
   *    distinct-value state, the reference's MapView cardinality;
   *    MIN/MAX(DISTINCT) strip to the identical plain forms);
@@ -151,7 +154,7 @@ object RowtimeOver {
 
     // ---- locate and replace every aggregate-OVER span ----
     val aggRe =
-      raw"(?is)\b(SUM|COUNT|AVG|MIN|MAX|FIRST_VALUE|LAST_VALUE|ROW_NUMBER|LAG|LEAD)\s*\(([^()]*)\)\s+OVER\b".r
+      raw"(?is)\b(SUM|COUNT|AVG|MIN|MAX|FIRST_VALUE|LAST_VALUE|ROW_NUMBER|LAG|LEAD|STDDEV_POP|STDDEV_SAMP|STDDEV|VAR_POP|VAR_SAMP|VARIANCE)\s*\(([^()]*)\)\s+OVER\b".r
     var usesRn = false
     var maxLag = 0
     // 1-based slots whose DISTINCT running sum/count the kernel tracks
@@ -206,6 +209,25 @@ object RowtimeOver {
         // MIN/MAX are duplicate-insensitive: DISTINCT strips to the plain form
         case "MIN" => s"element_at(__over_min, ${slot(arg)})"
         case "MAX" => s"element_at(__over_max, ${slot(arg)})"
+        // variance family from the kernels' sum-of-squares slot
+        // (Flink aliases: STDDEV = STDDEV_SAMP, VARIANCE = VAR_SAMP);
+        // greatest(0) clamps the fp-cancellation epsilon before sqrt
+        case v @ ("STDDEV_POP" | "STDDEV_SAMP" | "STDDEV" |
+                  "VAR_POP" | "VAR_SAMP" | "VARIANCE") =>
+          if (isDistinct) fail(s"$v(DISTINCT ...) is outside the declared " +
+            "streaming OVER subset")
+          val n = slot(arg)
+          val varPop = s"greatest(0.0d, element_at(__over_sumsq, $n) / __over_cnt" +
+            s" - pow(element_at(__over_sum, $n) / __over_cnt, 2))"
+          val varSamp = s"greatest(0.0d, (element_at(__over_sumsq, $n)" +
+            s" - pow(element_at(__over_sum, $n), 2) / __over_cnt)" +
+            s" / nullif(__over_cnt - 1, 0))"
+          v match {
+            case "VAR_POP" => s"($varPop)"
+            case "VAR_SAMP" | "VARIANCE" => s"($varSamp)"
+            case "STDDEV_POP" => s"sqrt($varPop)"
+            case _ => s"sqrt($varSamp)"
+          }
         case "FIRST_VALUE" | "LAST_VALUE" if isDistinct =>
           fail(s"${m.group(1).toUpperCase}(DISTINCT ...) is not SQL")
         case "FIRST_VALUE" => s"element_at(__over_first, ${slot(arg)})"
@@ -249,8 +271,8 @@ object RowtimeOver {
       (m.start, end, out)
     }
     if (repl.isEmpty) fail("no supported aggregate found " +
-      "(SUM/AVG/COUNT(*)/MIN/MAX/FIRST_VALUE/LAST_VALUE, LAG and " +
-      "ROW_NUMBER on the unbounded frames)")
+      "(SUM/AVG/COUNT(*)/MIN/MAX/FIRST_VALUE/LAST_VALUE/STDDEV*/VAR*/LAG, " +
+      "and ROW_NUMBER on the unbounded ROWS frame)")
 
     // splice replacements + strip the WINDOW clause, back to front
     val cuts = (repl ++ stripSpan.map { case (a, b) => (a, b, "") }.toList)
@@ -259,9 +281,9 @@ object RowtimeOver {
     cuts.foreach { case (a, b, out) => text = text.substring(0, a) + out + text.substring(b) }
     if (raw"(?is)\bOVER\s*\(".r.findFirstIn(text).isDefined ||
         windowName.exists(n => raw"(?is)\bOVER\s+$n\b".r.findFirstIn(text).isDefined))
-      fail("only SUM/AVG/COUNT(*)/MIN/MAX/FIRST_VALUE/LAST_VALUE/LAG/" +
-        "ROW_NUMBER window aggregates are supported over a stream; rewrite " +
-        "the remaining OVER expression")
+      fail("only SUM/AVG/COUNT(*)/MIN/MAX/FIRST_VALUE/LAST_VALUE/STDDEV*/" +
+        "VAR*/LAG/ROW_NUMBER window aggregates are supported over a stream; " +
+        "rewrite the remaining OVER expression")
 
     // ---- the row-id column: first plain select item that is neither a
     // partition column nor the rowtime ----
@@ -438,7 +460,8 @@ object RowtimeOver {
         col(s"${pre}_min").as("__over_min"),
         col(s"${pre}_max").as("__over_max"),
         col("first_v").as("__over_first"),
-        col("last_v").as("__over_last")) ++
+        col("last_v").as("__over_last"),
+        col("sumsq").as("__over_sumsq")) ++
       (if (spec.usesRn) Seq(col("rn").as("__over_rn")) else Nil) ++
       (if (spec.maxLag > 0) Seq(col("lags").as("__over_lags")) else Nil) ++
       (if (spec.distinctSlots.nonEmpty)

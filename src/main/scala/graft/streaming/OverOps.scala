@@ -34,7 +34,7 @@ case class OverOut(key: String, id: Long, ts_ms: Long,
     running_sum: Seq[Double], running_cnt: Long, rn: Long,
     running_min: Seq[Double], running_max: Seq[Double],
     first_v: Seq[Double], last_v: Seq[Double], lags: Seq[Seq[Double]],
-    dist_sum: Seq[Double], dist_cnt: Seq[Long])
+    dist_sum: Seq[Double], dist_cnt: Seq[Long], sumsq: Seq[Double])
 
 /** The unbounded running kernel, two frames in one process:
   *  - `peerGrouped = false` → `ROWS UNBOUNDED PRECEDING`: every row gets
@@ -67,7 +67,7 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
     extends KeyedProcess[String, OverIn, OverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var acc:
-    ValueState[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double])] = _
+    ValueState[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])] = _
   @transient private var lagState: ValueState[Seq[Seq[Double]]] = _
   @transient private var distState:
     ValueState[(Seq[Seq[Double]], Seq[Double], Seq[Long])] = _
@@ -75,13 +75,13 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
     implicit val accEnc:
-      Encoder[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double])] =
+      Encoder[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])] =
       ExpressionEncoder()
     implicit val lagEnc: Encoder[Seq[Seq[Double]]] = ExpressionEncoder()
     implicit val distEnc: Encoder[(Seq[Seq[Double]], Seq[Double], Seq[Long])] =
       ExpressionEncoder()
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
-    acc = h.getValueState[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double])](
+    acc = h.getValueState[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])](
       "acc", accEnc, TTLConfig.NONE)
     if (lagMax > 0)
       lagState = h.getValueState[Seq[Seq[Double]]]("lags", lagEnc, TTLConfig.NONE)
@@ -103,9 +103,10 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
     if (ready.nonEmpty) {
       val sorted = ready.sortBy(r => (r.ts_ms, r.id))
       val k = sorted.head.values.length
-      var (sum, cnt, mn, mx, fst) = Option(acc.get()).getOrElse((
+      var (sum, cnt, mn, mx, fst, sq) = Option(acc.get()).getOrElse((
         Seq.fill(k)(0.0), 0L, Seq.fill(k)(Double.PositiveInfinity),
-        Seq.fill(k)(Double.NegativeInfinity), Seq.fill(k)(0.0)))
+        Seq.fill(k)(Double.NegativeInfinity), Seq.fill(k)(0.0),
+        Seq.fill(k)(0.0)))
       var lags: Seq[Seq[Double]] =
         if (lagMax > 0) Option(lagState.get()).getOrElse(Seq.empty) else Seq.empty
       // distinct tracking: live sets + running distinct sum/count per slot
@@ -119,6 +120,7 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
         }
       def fold(r: OverIn): Unit = {
         sum = sum.lazyZip(r.values).map(_ + _)
+        sq = sq.lazyZip(r.values).map((a, v) => a + v * v)
         mn = mn.lazyZip(r.values).map(math.min)
         mx = mx.lazyZip(r.values).map(math.max)
         cnt += 1
@@ -141,7 +143,7 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
         sorted.foreach { r =>
           fold(r)
           emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, r.values,
-            lags, dsumSnap, dcntSnap))
+            lags, dsumSnap, dcntSnap, sq))
           if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
         }
       } else {
@@ -157,11 +159,11 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
           val (ds, dc) = (dsumSnap, dcntSnap)
           peers.zip(rowLags).foreach { case (r, l) =>
             emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, lastV,
-              l, ds, dc))
+              l, ds, dc, sq))
           }
         }
       }
-      acc.update((sum, cnt, mn, mx, fst))
+      acc.update((sum, cnt, mn, mx, fst, sq))
       if (lagMax > 0) lagState.update(lags)
       if (distinctSlots.nonEmpty)
         distState.update((dsets.map(_.toSeq).toSeq, dsum.toSeq, dcnt.toSeq))
@@ -180,7 +182,8 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
 case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
     range_sum: Seq[Double], range_cnt: Long,
     range_min: Seq[Double], range_max: Seq[Double],
-    first_v: Seq[Double], last_v: Seq[Double], lags: Seq[Seq[Double]])
+    first_v: Seq[Double], last_v: Seq[Double], lags: Seq[Seq[Double]],
+    sumsq: Seq[Double])
 
 /** Streaming bounded-range OVER — the reference's
   * RowTimeRangeBoundedPrecedingFunction ([U] flink-table-runtime
@@ -246,12 +249,13 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0)
           window = (window ++ peers).filter(_.ts_ms >= ts - rangeMs)
           val k = window.head.values.length
           val sum = Seq.tabulate(k)(i => window.map(_.values(i)).sum)
+          val sq = Seq.tabulate(k)(i => window.map(r => r.values(i) * r.values(i)).sum)
           val mn = Seq.tabulate(k)(i => window.map(_.values(i)).min)
           val mx = Seq.tabulate(k)(i => window.map(_.values(i)).max)
           val cnt = window.length.toLong
           val (first, last) = (window.head.values, window.last.values)
           peers.zip(rowLags).foreach { case (r, l) =>
-            emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt, mn, mx, first, last, l))
+            emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt, mn, mx, first, last, l, sq))
           }
         }
       recent.clear()
@@ -317,7 +321,8 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0)
           Seq.tabulate(k)(i => window.map(_.values(i)).sum), window.length.toLong,
           Seq.tabulate(k)(i => window.map(_.values(i)).min),
           Seq.tabulate(k)(i => window.map(_.values(i)).max),
-          window.head.values, window.last.values, lags))
+          window.head.values, window.last.values, lags,
+          Seq.tabulate(k)(i => window.map(r => r.values(i) * r.values(i)).sum)))
         if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
       }
       recent.clear()

@@ -1833,12 +1833,13 @@ class FlinkScriptSpec extends AnyFunSuite {
          |) WITH ('connector' = 'filesystem', 'path' = '$dir/over_src',
          |        'format' = 'parquet');
          |CREATE TABLE over_sink (event_id BIGINT, user_id BIGINT,
-         |                        sum_1m DOUBLE, n_1m BIGINT)
+         |                        sum_1m DOUBLE, n_1m BIGINT, sd_1m DOUBLE)
          |WITH ('connector' = 'filesystem', 'path' = '$dir/over_sink',
          |      'format' = 'parquet');
          |INSERT INTO over_sink
          |SELECT event_id, user_id, round(sum(v) OVER w, 2) AS sum_1m,
-         |       count(*) OVER w AS n_1m
+         |       count(*) OVER w AS n_1m,
+         |       round(stddev_pop(v) OVER w, 4) AS sd_1m
          |FROM over_src
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
          |             RANGE BETWEEN INTERVAL '1' MINUTE PRECEDING AND CURRENT ROW)""".stripMargin
@@ -1847,21 +1848,25 @@ class FlinkScriptSpec extends AnyFunSuite {
     q.awaitTermination()
     val got = spark.read.parquet(s"$dir/over_sink").collect()
       .filter(_.getLong(1) != 9L)
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4))).toSet
     // batch oracle: the SAME statement text over the batch read (q83's
     // class); the sentinel key is excluded on both sides
     val batch = FlinkSql.sql(spark,
       """SELECT event_id, user_id, round(sum(v) OVER w, 2) AS sum_1m,
-        |       count(*) OVER w AS n_1m
+        |       count(*) OVER w AS n_1m,
+        |       round(stddev_pop(v) OVER w, 4) AS sd_1m
         |FROM over_src
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |             RANGE BETWEEN INTERVAL '1' MINUTE PRECEDING AND CURRENT ROW)""".stripMargin)
       .collect().filter(_.getLong(1) != 9L)
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4))).toSet
     assert(got == batch && got.nonEmpty, s"stream $got vs batch $batch")
     // pin the frame shape: user 1 @130 sees 70+130 (10 fell out of the 1m
-    // range), user 2 @95 sees 40+95
-    assert(got.contains((3L, 1L, 5.0, 2L)) && got.contains((5L, 2L, 30.0, 2L)), got.toString)
+    // range), user 2 @95 sees 40+95 — stddev_pop of {2,3} = 0.5, {10,20} = 5
+    assert(got.contains((3L, 1L, 5.0, 2L, 0.5)) &&
+      got.contains((5L, 2L, 30.0, 2L, 5.0)), got.toString)
     FlinkSql.run(spark, "DROP TABLE over_src; DROP TABLE over_sink")
   }
 
@@ -2202,12 +2207,12 @@ class FlinkScriptSpec extends AnyFunSuite {
     def deployErr(sel: String): String =
       intercept[IllegalArgumentException](graft.plans.FlinkDdl.executeInsertStream(
         spark, s"INSERT INTO oe_sink $sel")).getMessage
-    // unsupported aggregate (MIN/MAX/FIRST/LAST_VALUE deploy since round
-    // 11 — STDDEV stays outside the declared fold set)
+    // unsupported aggregate (the variance family deploys since round 12
+    // — MEDIAN needs retained sorted state, outside the declared set)
     assert(deployErr(
-      """SELECT event_id, stddev(v) OVER (PARTITION BY user_id ORDER BY ts
+      """SELECT event_id, median(v) OVER (PARTITION BY user_id ORDER BY ts
         |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
-      .contains("SUM/AVG/COUNT"))
+      .contains("no supported aggregate"))
     // anything beyond 'FROM <source> [alias]' would apply AFTER the
     // window (Flink filters BEFORE it) — rejected typed, not mis-ordered
     assert(deployErr(
