@@ -72,8 +72,17 @@ object CurationPipeline {
       vecs.unionByName(vecCopies).unionByName(vecTwins))
   }
 
+  /** The stage table plus each stage's surviving id set (ids only —
+    * bounded hand-off state; PipelineSpec re-checks the decontamination
+    * invariant against keepClean with the exact q136 kernel).
+    */
+  final case class Run(stages: DataFrame, keepExact: DataFrame,
+      keepNear: DataFrame, keepClean: DataFrame, keepQual: DataFrame)
+
   /** Run the five stages; returns (stage, rows_in, rows_out). */
-  def run(s: SparkSession, d: String): DataFrame = {
+  def run(s: SparkSession, d: String): DataFrame = runDetailed(s, d).stages
+
+  def runDetailed(s: SparkSession, d: String): Run = {
     import s.implicits._
     val (docs0, vecs0) = plantedCrawl(s, d)
     val docs = docs0.localCheckpoint(true)
@@ -166,12 +175,14 @@ object CurationPipeline {
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
     val n5 = packed.count()
 
-    Seq(
-      ("1_exact_dedup", n0, n1),
-      ("2_neardup_dedup", n1, n2),
-      ("3_decontamination", n2, n3),
-      ("4_quality_filter", n3, n4),
-      ("5_packing_windows", n4, n5))
-      .toDF("stage", "rows_in", "rows_out")
+    Run(
+      Seq(
+        ("1_exact_dedup", n0, n1),
+        ("2_neardup_dedup", n1, n2),
+        ("3_decontamination", n2, n3),
+        ("4_quality_filter", n3, n4),
+        ("5_packing_windows", n4, n5))
+        .toDF("stage", "rows_in", "rows_out"),
+      keepExact, keepNear, keepClean, keepQual.select($"doc_id"))
   }
 }

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
 class PipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  private lazy val run =
+    graft.operators.CurationPipeline.runDetailed(spark, TestSpark.sfDir)
   private lazy val stages: Map[String, (Long, Long)] =
-    graft.operators.CurationPipeline.run(spark, TestSpark.sfDir)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    run.stages.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
 
   private lazy val counts = {
     import spark.implicits._
@@ -56,8 +58,9 @@ class PipelineSpec extends AnyFunSuite {
       s"near-dup recall under target ($removed of $nVecTwins): $stages")
   }
 
-  test("stage 3 removes the benchmark slice and its contaminated neighbors") {
+  test("stage 3 removes the benchmark slice and its contaminated neighbors — verified by the exact kernel") {
     import spark.implicits._
+    import org.apache.spark.sql.functions._
     val (in3, out3) = stages("3_decontamination")
     // the eval ids (< 200) present after stages 1-2 must all leave, plus
     // their surviving TEXT twins (2M+i for i < 200, i % 4 == 0, whose
@@ -66,16 +69,21 @@ class PipelineSpec extends AnyFunSuite {
       .filter($"doc_id" < 200).count()
     assert(in3 - out3 >= nEvalBase, s"decontamination must at least remove " +
       s"the $nEvalBase benchmark docs: $stages")
-    // survivors contain NO doc closer than 0.9 cosine to the eval matrix:
-    // re-derive with the exact q136 kernel over the planted crawl
+    // no benchmark id survives
+    assert(run.keepClean.filter($"doc_id" < 200).count() == 0,
+      "benchmark ids survived decontamination")
+    // the exact q136 kernel re-scores every SURVIVOR with a vector: none
+    // may sit at cosine >= 0.9 to the eval matrix
     val (_, vecs) = graft.operators.CurationPipeline.plantedCrawl(spark, TestSpark.sfDir)
     val eval = vecs.filter($"vec_id" < 200)
       .select($"v").collect().map(_.getSeq[Double](0).toArray)
     val norms = eval.map(v => math.sqrt(v.map(x => x * x).sum))
-    // stage-4 input = stage-3 survivors; check against stage-4's kept set
-    // is not possible from counts alone, so re-run is avoided: the count
-    // bound above plus the near-dup precision test carry the invariant
-    assert(eval.nonEmpty && norms.forall(_ > 0))
+    val contaminated = vecs
+      .join(run.keepClean.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left_semi")
+      .select($"vec_id", graft.functions.MaxCosineExpr($"v", eval, norms).as("mc"))
+      .filter($"mc" >= 0.9).count()
+    assert(contaminated == 0,
+      s"$contaminated surviving vectors sit at cosine >= 0.9 to the eval set")
   }
 
   test("stage 5 conserves tokens: windows sum to the survivors' token count") {
