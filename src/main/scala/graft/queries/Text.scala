@@ -222,6 +222,47 @@ object Text {
       .toDF("n_docs", "n_elig_pairs", "guarantee_ok")
   }
 
+  /** The COMPOSED north-star pipeline as a declared, oracled query
+    * ([[graft.operators.CurationPipeline]] — exact dedup → production
+    * near-dup → decontamination → quality filter → packing, one job,
+    * id-set semi-join hand-offs; the per-stage scale story is the
+    * BASELINE "pipeline at 100×" table, 6.0× wall at 100× data).
+    * Oracled on its CONTRACT (the q148 pattern): DuckDB replays the
+    * planted crawl and recomputes `n_crawl` and the EXACT-dedup
+    * survivor count (`count(DISTINCT md5(text))`) and the planted
+    * twin-vector count from scratch; the approximate stages pin
+    * booleans — near-dup removals within [0.99 · twins, twins]
+    * (production recall target, precision 1 on the fixture), ZERO
+    * survivors at cosine ≥ 0.9 to the eval matrix re-scored by the
+    * exact q136 kernel AND no benchmark id surviving, quality/packing
+    * shape bounds. PipelineSpec holds the per-stage attributions.
+    */
+  val q149_curation_composed: Q = (s, d) => {
+    import s.implicits._
+    val r = graft.operators.CurationPipeline.runDetailed(s, d)
+    val st = r.stages.collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val nTwinVecs = Tables.embeddings(s, d).filter($"vec_id" % 4 === 0).count()
+    val removed2 = st("2_neardup_dedup")._1 - st("2_neardup_dedup")._2
+    // decontamination re-checked with the EXACT kernel over survivors
+    val (_, vecs) = graft.operators.CurationPipeline.plantedCrawl(s, d)
+    val eval = vecs.filter($"vec_id" < 200)
+      .select($"v").collect().map(_.getSeq[Double](0).toArray)
+    val norms = eval.map(v => math.sqrt(v.map(x => x * x).sum))
+    val contaminated = vecs
+      .join(r.keepClean.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left_semi")
+      .filter(graft.functions.MaxCosineExpr($"v", eval, norms) >= 0.9).count()
+    val benchLeft = r.keepClean.filter($"doc_id" < 200).count()
+    val (in4, out4) = st("4_quality_filter")
+    val (in5, out5) = st("5_packing_windows")
+    Seq((st("1_exact_dedup")._1, st("1_exact_dedup")._2, nTwinVecs,
+      removed2 <= nTwinVecs && removed2 >= math.floor(0.99 * nTwinVecs).toLong,
+      contaminated == 0L && benchLeft == 0L,
+      out4 > 0L && out4 <= in4,
+      out5 > 0L && out5 <= in5))
+      .toDF("n_crawl", "n_after_exact", "n_twin_vecs",
+        "neardup_ok", "decontam_ok", "quality_ok", "packing_ok")
+  }
+
   /** BPE-style pre-tokenization counts (north_star "token counting:
     * whitespace + a BPE-ish regex"): the GPT-2-family pre-tokenizer
     * pattern shape — contractions, space-prefixed letter runs, digit
@@ -869,6 +910,7 @@ object Text {
     "q79_quality_score" -> q79_quality_score,
     "q75_bpe_tokens" -> q75_bpe_tokens,
     "q48_winnow_fingerprints" -> q48_winnow_fingerprints,
+    "q149_curation_composed" -> q149_curation_composed,
     "q27_dedup_exact" -> q27_dedup_exact,
     "q28_text_stats" -> q28_text_stats,
     "q29_lang_id" -> q29_lang_id,
@@ -913,6 +955,19 @@ object Text {
         |       (SELECT count(*) FROM documents WHERE length(text) >= 11)
         |         AS n_elig_pairs,
         |       TRUE AS guarantee_ok""".stripMargin,
+    "q149_curation_composed" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        |crawl AS (
+        |  SELECT doc_id, text FROM d0
+        |  UNION ALL SELECT doc_id + 1000000, text FROM d0 WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 2000000, text || ' zyxappend' FROM d0
+        |            WHERE doc_id % 4 = 0)
+        |SELECT (SELECT count(*) FROM crawl) AS n_crawl,
+        |       (SELECT count(DISTINCT md5(text)) FROM crawl) AS n_after_exact,
+        |       (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0)
+        |         AS n_twin_vecs,
+        |       TRUE AS neardup_ok, TRUE AS decontam_ok,
+        |       TRUE AS quality_ok, TRUE AS packing_ok""".stripMargin,
     "q145_epoch_shards" ->
       """WITH h AS (SELECT doc_id, n_chars,
         |                  md5(CAST(doc_id AS VARCHAR) || ':42') AS h
