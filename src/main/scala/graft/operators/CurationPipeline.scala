@@ -44,12 +44,12 @@ import graft.functions.TextFunctions
   */
 object CurationPipeline {
 
-  private val CopyOff = 1000000L
-  private val TwinOff = 2000000L
+  private val CopyOff = 1000000000000000L
+  private val TwinOff = 2000000000000000L
 
   /** The crawl corpus: base docs (+vectors where the fixture has them),
-    * exact copies of every 7th doc at id+1M, near-dup twins of every
-    * 4th at id+2M (text + one word; vector perturbed by the
+    * exact copies of every 7th doc at id+1e15, near-dup twins of every
+    * 4th at id+2e15 (text + one word; vector perturbed by the
     * plantedCorpus rule when the base has one).
     */
   def plantedCrawl(s: SparkSession, d: String): (DataFrame, DataFrame) = {

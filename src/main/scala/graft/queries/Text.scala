@@ -118,7 +118,7 @@ object Text {
     */
   private def plantedDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    docs.unionByName(docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+    docs.unionByName(docs.select((col("doc_id") + lit(1000000000000000L)).as("doc_id"),
       concat(col("text"), lit(" zyxappend")).as("text")))
   }
 
@@ -143,16 +143,16 @@ object Text {
     val sh = graft.functions.TextFunctions
       .explodedWordShingles(planted, Seq("doc_id"), "text", 3)
       .groupBy($"doc_id").agg(collect_set($"shingle").as("s"))
-    val a = sh.filter($"doc_id" < 1000000L).select($"doc_id".as("id_a"), $"s".as("sa"))
-    val b = sh.filter($"doc_id" >= 1000000L)
-      .select(($"doc_id" - 1000000L).as("id_a"), $"s".as("sb"))
+    val a = sh.filter($"doc_id" < 1000000000000000L).select($"doc_id".as("id_a"), $"s".as("sa"))
+    val b = sh.filter($"doc_id" >= 1000000000000000L)
+      .select(($"doc_id" - 1000000000000000L).as("id_a"), $"s".as("sb"))
     val nearTwins = a.join(b, "id_a")
       .filter(size(array_intersect($"sa", $"sb")).cast("double")
         / size(array_union($"sa", $"sb")) >= 0.8)
       .select($"id_a").localCheckpoint(true)
     val nNear = nearTwins.count()
     val hits = Dedup.minHashCandidates(planted, "doc_id", "text")
-      .filter($"id_b" === $"id_a" + 1000000L)
+      .filter($"id_b" === $"id_a" + 1000000000000000L)
       .join(nearTwins, Seq("id_a"), "left_semi").count()
     Seq((nDocs, nNear, nNear == 0L || hits.toDouble / nNear >= 0.95))
       .toDF("n_docs", "n_near_twins", "recall_ok")
@@ -174,9 +174,9 @@ object Text {
     val nDocs = docs.count()
     val sims = Dedup.simHash(plantedDocs(s, d), "doc_id", "text")
       .localCheckpoint(true)
-    val base = sims.filter($"doc_id" < 1000000L)
+    val base = sims.filter($"doc_id" < 1000000000000000L)
     val twinHam = base.as("x")
-      .join(sims.as("y"), col("x.doc_id") + lit(1000000L) === col("y.doc_id"))
+      .join(sims.as("y"), col("x.doc_id") + lit(1000000000000000L) === col("y.doc_id"))
       .select(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("ham"))
       .agg(count(lit(1)).as("n"), avg($"ham").as("mean"),
         avg(when($"ham" <= 20, 1.0).otherwise(0.0)).as("frac20")).head()
@@ -210,9 +210,9 @@ object Text {
     val fp = plantedDocs(s, d)
       .select($"doc_id", graft.functions.WinnowFingerprints($"text").as("fp"))
       .localCheckpoint(true)
-    val base = fp.filter($"doc_id" < 1000000L)
-    val twin = fp.filter($"doc_id" >= 1000000L)
-      .select(($"doc_id" - 1000000L).as("doc_id"), $"fp".as("fp_t"))
+    val base = fp.filter($"doc_id" < 1000000000000000L)
+    val twin = fp.filter($"doc_id" >= 1000000000000000L)
+      .select(($"doc_id" - 1000000000000000L).as("doc_id"), $"fp".as("fp_t"))
     val elig = docs.filter(length($"text") >= 11).select($"doc_id")
     val pairs = base.join(twin, "doc_id")
       .join(elig, Seq("doc_id"), "left_semi").localCheckpoint(true)
@@ -929,7 +929,7 @@ object Text {
     "q31_minhash_bands" ->
       """WITH d0 AS (SELECT doc_id, text FROM documents),
         |p AS (SELECT doc_id, text FROM d0
-        |      UNION ALL SELECT doc_id + 1000000, text || ' zyxappend' FROM d0),
+        |      UNION ALL SELECT doc_id + 1000000000000000, text || ' zyxappend' FROM d0),
         |toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM p),
         |f AS (SELECT * FROM toks WHERE len(t) >= 3),
         |sh AS (SELECT doc_id,
@@ -939,8 +939,8 @@ object Text {
         |j AS (SELECT a.doc_id,
         |             len(list_intersect(a.s, b.s)) * 1.0
         |               / len(list_distinct(list_concat(a.s, b.s))) AS jac
-        |      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
-        |      WHERE a.doc_id < 1000000)
+        |      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000000000000
+        |      WHERE a.doc_id < 1000000000000000)
         |SELECT (SELECT count(*) FROM d0) AS n_docs,
         |       (SELECT count(*) FROM j WHERE jac >= 0.8) AS n_near_twins,
         |       TRUE AS recall_ok""".stripMargin,
@@ -959,8 +959,8 @@ object Text {
       """WITH d0 AS (SELECT doc_id, text FROM documents),
         |crawl AS (
         |  SELECT doc_id, text FROM d0
-        |  UNION ALL SELECT doc_id + 1000000, text FROM d0 WHERE doc_id % 7 = 0
-        |  UNION ALL SELECT doc_id + 2000000, text || ' zyxappend' FROM d0
+        |  UNION ALL SELECT doc_id + 1000000000000000, text FROM d0 WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 2000000000000000, text || ' zyxappend' FROM d0
         |            WHERE doc_id % 4 = 0)
         |SELECT (SELECT count(*) FROM crawl) AS n_crawl,
         |       (SELECT count(DISTINCT md5(text)) FROM crawl) AS n_after_exact,

@@ -58,7 +58,7 @@ object Vector {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), expr("cast(embedding as array<double>)").as("v"))
     base.unionByName(base.filter(col("vec_id") % 4 === 0)
-      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      .select((col("vec_id") + lit(1000000000000000L)).as("vec_id"),
         expr("transform(v, (x, i) -> x + 0.25d * element_at(v, pmod(i + 1, size(v)) + 1))")
           .as("v")))
   }
@@ -80,14 +80,14 @@ object Vector {
       .select($"vec_id", lshBucket($"v", 16, 64).as("bucket"))
       .localCheckpoint(true)
     val n = b.count()
-    val nTwins = b.filter($"vec_id" >= 1000000L).count()
+    val nTwins = b.filter($"vec_id" >= 1000000000000000L).count()
     // s(s−1) stays integral (÷2 after the sum — Spark's `/` is a
     // double division, and the contract needs exact longs)
     val hist = b.groupBy($"bucket").agg(count(lit(1)).as("sz"))
       .agg(sum($"sz").as("total"),
         (sum($"sz" * ($"sz" - lit(1L))) / lit(2L)).cast("long").as("same_pairs")).head()
     val twinColl = b.as("x").join(b.as("y"),
-      col("x.vec_id") + lit(1000000L) === col("y.vec_id") &&
+      col("x.vec_id") + lit(1000000000000000L) === col("y.vec_id") &&
         col("x.bucket") === col("y.bucket")).count()
     val nonTwinColl = hist.getLong(1) - twinColl
     val nonTwinPairs = n * (n - 1) / 2 - nTwins
@@ -114,19 +114,19 @@ object Vector {
     import s.implicits._
     val corpus = contractCorpus(s, d).localCheckpoint(true)
     val n = corpus.count()
-    val nTwins = corpus.filter($"vec_id" >= 1000000L).count()
+    val nTwins = corpus.filter($"vec_id" >= 1000000000000000L).count()
     val ann = graft.operators.Similarity
       .annTopK(corpus, "vec_id", "v", k = 3, nPlanes = 8)
       .select($"a_id", $"neighbor_id", $"rn").localCheckpoint(true)
-    // recall@3 over planted true-NN pairs: (i, i+1M) by id rule
-    val hits3 = ann.filter($"neighbor_id" === $"a_id" + 1000000L).count()
+    // recall@3 over planted true-NN pairs: (i, i+1e15) by id rule
+    val hits3 = ann.filter($"neighbor_id" === $"a_id" + 1000000000000000L).count()
     // precision@1 over answered PLANTED queries (partner = exact top-1)
-    val planted = ($"a_id" >= 1000000L) ||
-      ($"a_id" % 4 === 0 && $"a_id" < 1000000L)
+    val planted = ($"a_id" >= 1000000000000000L) ||
+      ($"a_id" % 4 === 0 && $"a_id" < 1000000000000000L)
     val answered1 = ann.filter($"rn" === 1 && planted).count()
     val hits1 = ann.filter($"rn" === 1 &&
-      ($"neighbor_id" === $"a_id" + 1000000L ||
-        $"neighbor_id" === $"a_id" - 1000000L)).count()
+      ($"neighbor_id" === $"a_id" + 1000000000000000L ||
+        $"neighbor_id" === $"a_id" - 1000000000000000L)).count()
     Seq((n, nTwins, 3L,
       nTwins == 0L || hits3.toDouble / nTwins >= 0.30,
       answered1 == 0L || hits1.toDouble / answered1 >= 0.35))
@@ -227,10 +227,10 @@ object Vector {
     import s.implicits._
     val corpus = contractCorpus(s, d).localCheckpoint(true)
     val n = corpus.count()
-    val nTwins = corpus.filter($"vec_id" >= 1000000L).count()
+    val nTwins = corpus.filter($"vec_id" >= 1000000000000000L).count()
     val ivf = graft.operators.Similarity
       .ivfTopK(corpus, "vec_id", "v", k = 3, nCells = 0, nProbe = 4)
-    val hits3 = ivf.filter($"neighbor_id" === $"a_id" + 1000000L).count()
+    val hits3 = ivf.filter($"neighbor_id" === $"a_id" + 1000000000000000L).count()
     Seq((n, nTwins, 3L, nTwins == 0L || hits3.toDouble / nTwins >= 0.90))
       .toDF("n_corpus", "n_twins", "k", "recall_ok")
   }
@@ -318,11 +318,11 @@ object Vector {
     import s.implicits._
     val corpus = contractCorpus(s, d).localCheckpoint(true)
     val n = corpus.count()
-    val nTwins = corpus.filter($"vec_id" >= 1000000L).count()
+    val nTwins = corpus.filter($"vec_id" >= 1000000000000000L).count()
     val ivf2 = graft.operators.Similarity.ivfTopK2(
       corpus, "vec_id", "v", k = 3,
       nCoarse = 0, nFinePerCell = 0, nProbeCoarse = 4, nProbeFine = 8)
-    val hits3 = ivf2.filter($"neighbor_id" === $"a_id" + 1000000L).count()
+    val hits3 = ivf2.filter($"neighbor_id" === $"a_id" + 1000000000000000L).count()
     Seq((n, nTwins, 3L, nTwins == 0L || hits3.toDouble / nTwins >= 0.85))
       .toDF("n_corpus", "n_twins", "k", "recall_ok")
   }
@@ -490,12 +490,12 @@ object Vector {
     val found = graft.operators.Similarity
       .lshNearDupPairs(corpus, "vec_id", "v", 0.95, nPlanes = b, nTables = t)
       .select($"a_id", $"b_id").localCheckpoint(true)
-    // the known dup structure: candidate (i, i + 1M) for every base id,
+    // the known dup structure: candidate (i, i + 1e15) for every base id,
     // verified by exact cosine — the linear twin subset of the exact
     // pair graph (fixture corpora have no non-twin pairs at 0.95, but
     // nothing below depends on that)
-    val twinCand = corpus.filter($"vec_id" < 1000000L)
-      .select($"vec_id".as("a_id"), ($"vec_id" + 1000000L).as("b_id"))
+    val twinCand = corpus.filter($"vec_id" < 1000000000000000L)
+      .select($"vec_id".as("a_id"), ($"vec_id" + 1000000000000000L).as("b_id"))
     val twins = graft.operators.Similarity
       .verifyPairs(corpus, "vec_id", "v", 0.95, twinCand)
       .select($"a_id", $"b_id").localCheckpoint(true)
@@ -520,7 +520,7 @@ object Vector {
   private[graft] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), expr("cast(embedding as array<double>)").as("v"))
-    base.unionByName(base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+    base.unionByName(base.select((col("vec_id") + lit(1000000000000000L)).as("vec_id"),
       expr("transform(v, (x, i) -> x + 0.25d * element_at(v, pmod(i + 1, size(v)) + 1))")
         .as("v")))
   }
@@ -577,39 +577,39 @@ object Vector {
   private val contractCorpusSql =
     """WITH base AS (SELECT vec_id FROM embeddings),
       |c AS (SELECT vec_id FROM base
-      |      UNION ALL SELECT vec_id + 1000000 FROM base WHERE vec_id % 4 = 0)""".stripMargin
+      |      UNION ALL SELECT vec_id + 1000000000000000 FROM base WHERE vec_id % 4 = 0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q34_ann_lsh_buckets" ->
       s"""$contractCorpusSql
         |SELECT (SELECT count(*) FROM c) AS n_corpus,
-        |       (SELECT count(*) FROM c WHERE vec_id >= 1000000) AS n_twins,
+        |       (SELECT count(*) FROM c WHERE vec_id >= 1000000000000000) AS n_twins,
         |       TRUE AS partition_ok, TRUE AS twin_coll_ok, TRUE AS sep_ok""".stripMargin,
     "q42_ann_topk" ->
       s"""$contractCorpusSql
         |SELECT (SELECT count(*) FROM c) AS n_corpus,
-        |       (SELECT count(*) FROM c WHERE vec_id >= 1000000) AS n_twins,
+        |       (SELECT count(*) FROM c WHERE vec_id >= 1000000000000000) AS n_twins,
         |       CAST(3 AS BIGINT) AS k, TRUE AS recall3_ok, TRUE AS prec1_ok""".stripMargin,
     "q56_ivf_topk" ->
       s"""$contractCorpusSql
         |SELECT (SELECT count(*) FROM c) AS n_corpus,
-        |       (SELECT count(*) FROM c WHERE vec_id >= 1000000) AS n_twins,
+        |       (SELECT count(*) FROM c WHERE vec_id >= 1000000000000000) AS n_twins,
         |       CAST(3 AS BIGINT) AS k, TRUE AS recall_ok""".stripMargin,
     "q102_ivf2_topk" ->
       s"""$contractCorpusSql
         |SELECT (SELECT count(*) FROM c) AS n_corpus,
-        |       (SELECT count(*) FROM c WHERE vec_id >= 1000000) AS n_twins,
+        |       (SELECT count(*) FROM c WHERE vec_id >= 1000000000000000) AS n_twins,
         |       CAST(3 AS BIGINT) AS k, TRUE AS recall_ok""".stripMargin,
     "q148_neardup_recall99" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |dup AS (SELECT vec_id + 1000000 AS vec_id,
+        |dup AS (SELECT vec_id + 1000000000000000 AS vec_id,
         |               list_transform(range(1, len(v) + 1),
         |                              i -> v[i] + 0.25 * v[(i % len(v)) + 1]) AS v
         |        FROM base),
         |c AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c),
         |tw AS (SELECT a.vec_id AS a_id
-        |       FROM n a JOIN n b ON b.vec_id = a.vec_id + 1000000
+        |       FROM n a JOIN n b ON b.vec_id = a.vec_id + 1000000000000000
         |       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.95)
         |SELECT (SELECT count(*) FROM n) AS n_corpus,
         |       (SELECT count(*) FROM tw) AS n_twin_pairs,
@@ -617,7 +617,7 @@ object Vector {
         |       TRUE AS kept_ok""".stripMargin,
     "q136_eval_decontam" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |dup AS (SELECT vec_id + 1000000 AS vec_id,
+        |dup AS (SELECT vec_id + 1000000000000000 AS vec_id,
         |               list_transform(range(1, len(v) + 1),
         |                              i -> v[i] + 0.25 * v[(i % len(v)) + 1]) AS v
         |        FROM base),
@@ -677,7 +677,7 @@ object Vector {
         |FROM sc""".stripMargin,
     "q120_neardup_cc_production" ->
       """WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |dup AS (SELECT vec_id + 1000000 AS vec_id,
+        |dup AS (SELECT vec_id + 1000000000000000 AS vec_id,
         |               list_transform(range(1, len(v) + 1),
         |                              i -> v[i] + 0.25 * v[(i % len(v)) + 1]) AS v
         |        FROM base),
@@ -695,7 +695,7 @@ object Vector {
         |FROM comp""".stripMargin,
     "q119_neardup_production" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |dup AS (SELECT vec_id + 1000000 AS vec_id,
+        |dup AS (SELECT vec_id + 1000000000000000 AS vec_id,
         |               list_transform(range(1, len(v) + 1),
         |                              i -> v[i] + 0.25 * v[(i % len(v)) + 1]) AS v
         |        FROM base),

@@ -1,0 +1,31 @@
+package graft.tools
+
+import graft.GraftSession
+
+/** Dev probe: every contract query's booleans at an arbitrary fixture
+  * dir (the DuckDB gate runs at sf0.01; this confirms the contracts
+  * HOLD at bench scale too, where only timings are recorded).
+  * Usage: runMain graft.tools.CheckContracts [dir]
+  */
+object CheckContracts {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = GraftSession.local(16, "graft-check-contracts")
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = Seq("q31_minhash_bands", "q32_simhash", "q34_ann_lsh_buckets",
+      "q42_ann_topk", "q48_winnow_fingerprints", "q56_ivf_topk",
+      "q102_ivf2_topk", "q148_neardup_recall99", "q149_curation_composed")
+    var bad = 0
+    qs.foreach { q =>
+      val row = graft.SparkEntry.queries(q)(spark, dir).head()
+      val bools = row.schema.fields.zipWithIndex.collect {
+        case (f, i) if f.dataType == org.apache.spark.sql.types.BooleanType =>
+          if (!row.getBoolean(i)) bad += 1
+          s"${f.name}=${row.getBoolean(i)}"
+      }
+      println(s"[contracts] $q: ${bools.mkString(" ")}")
+    }
+    println(s"[contracts] false booleans: $bad")
+    spark.stop()
+  }
+}

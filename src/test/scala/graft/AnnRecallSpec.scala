@@ -24,7 +24,7 @@ import graft.operators.{Dedup, Similarity}
 class AnnRecallSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private val twinOff = 1000000L
+  private val twinOff = 1000000000000000L
 
   // ---- planted vector corpus + exact oracle ----
   private lazy val corpus = {
