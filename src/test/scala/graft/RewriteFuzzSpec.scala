@@ -213,4 +213,35 @@ class RewriteFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- streaming OVER parse (round-12 widened surface: LAG/LEAD,
+  // DISTINCT, STDDEV/VAR family, RANGE-UNBOUNDED peer frames) ----
+  private val overFrag: Gen[String] = Gen.frequency(
+    4 -> junk,
+    4 -> Gen.oneOf("SELECT", "FROM src", "event_id", "user_id,", "ts",
+      "OVER", "OVER (", "OVER w", "WINDOW w AS (", ")", "PARTITION BY",
+      "ORDER BY ts", "ORDER BY ts,", "ASC", "DESC"),
+    4 -> Gen.oneOf("sum(v)", "avg(v)", "count(*)", "count(1)", "count(v)",
+      "min(v)", "max(v)", "first_value(v)", "last_value(v)", "row_number()",
+      "lag(v)", "lag(v, 2)", "lag(v, 0)", "lag(v, x)", "lead(v)",
+      "sum(DISTINCT v)", "count(DISTINCT v)", "avg(DISTINCT v)",
+      "min(DISTINCT v)", "stddev(v)", "stddev_pop(v)", "var_samp(v)",
+      "variance(DISTINCT v)", "median(v)", "lag(DISTINCT v)"),
+    3 -> Gen.oneOf(
+      "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW",
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+      "RANGE BETWEEN INTERVAL '1' MINUTE PRECEDING AND CURRENT ROW",
+      "RANGE BETWEEN INTERVAL 'x' EON PRECEDING AND CURRENT ROW",
+      "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING"))
+  private val overStmt: Gen[String] =
+    Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, overFrag).map(_.mkString(" ")))
+
+  test("streaming OVER parse is total: a Spec or a typed rejection, never a crash") {
+    forAllSeeded(overStmt, 800) { s =>
+      try { graft.plans.RowtimeOver.parse(s); () }
+      catch { case _: IllegalArgumentException => () }
+      // anything else (NPE, index error, regex blowup) fails the test
+    }
+  }
 }
