@@ -68,17 +68,22 @@ object ReflectiveScalar {
     val m = evals.head
     // FLIP-400 AsyncScalarFunction shape ([U] flink-table-common
     // functions/AsyncScalarFunction.java: `void eval(CompletableFuture<T>
-    // result, args...)`) — targeted guidance instead of the generic
-    // eval-shape error
+    // result, args...)`) — BRIDGED: the call invokes eval with a fresh
+    // future per row and awaits it (Flink's async-scalar default timeout,
+    // 3 min). Value semantics are identical to Flink's ORDERED output
+    // mode; the in-flight OVERLAP knob (buffer-capacity) has no slot in
+    // Spark's codegen'd row pipeline — for overlap, the typed
+    // graft.operators.AsyncIO route carries capacity + ordered/unordered.
     val cf = classOf[java.util.concurrent.CompletableFuture[_]]
-    if (cf.isAssignableFrom(m.getReturnType) ||
-        m.getParameterTypes.headOption.exists(cf.isAssignableFrom))
-      fail(s"CREATE FUNCTION $name AS '$impl': eval has the " +
-        "AsyncScalarFunction shape (FLIP-400 — a CompletableFuture result). " +
-        "Async per-row calls deploy through graft.operators.AsyncIO " +
-        "(ordered/unordered pools with capacity + timeout) on the typed " +
-        "API; for SQL, port the body to a synchronous eval — Spark's " +
-        "codegen'd row pipeline has no per-expression async slot")
+    if (cf.isAssignableFrom(m.getReturnType))
+      fail(s"CREATE FUNCTION $name AS '$impl': eval RETURNS a " +
+        "CompletableFuture — not the FLIP-400 AsyncScalarFunction shape, " +
+        "which takes the future as the FIRST PARAMETER: " +
+        "`void eval(CompletableFuture<T> result, args...)`; declare that " +
+        "shape (bridged, awaited per row), or use graft.operators.AsyncIO " +
+        "on the typed API for overlapped calls")
+    if (m.getParameterTypes.headOption.exists(cf.isAssignableFrom))
+      return registerAsync(spark, name, impl, cls, m)
     if (!Modifier.isStatic(m.getModifiers))
       try cls.getDeclaredConstructor()
       catch {
@@ -95,8 +100,58 @@ object ReflectiveScalar {
         fail(s"CREATE FUNCTION $name AS '$impl': eval parameter ${i + 1} has " +
           s"unsupported type ${p.getName}")
     }
-    val b = new EvalBridge(impl)
-    m.getParameterCount match {
+    registerUdf(spark, name, impl, m.getParameterCount, ret, new EvalBridge(impl))
+    true
+  }
+
+  /** The FLIP-400 async-eval bridge: `void eval(CompletableFuture<T>
+    * result, args...)` registers as an N−1-ary scalar function whose
+    * call hands eval a fresh future and awaits it. The result type is
+    * read off the future's declared type argument — a raw
+    * `CompletableFuture` has no result type to map and fails typed.
+    */
+  private def registerAsync(spark: SparkSession, name: String, impl: String,
+      cls: Class[_], m: Method): Boolean = {
+    if (m.getReturnType != java.lang.Void.TYPE)
+      fail(s"CREATE FUNCTION $name AS '$impl': an async eval (FLIP-400) " +
+        s"must return void — the result travels through the future " +
+        s"parameter; saw return type ${m.getReturnType.getName}")
+    val resultCls = m.getGenericParameterTypes.head match {
+      case p: java.lang.reflect.ParameterizedType =>
+        p.getActualTypeArguments.head match {
+          case c: Class[_] => c
+          case t => fail(s"CREATE FUNCTION $name AS '$impl': the future's " +
+            s"result type must be a concrete class, saw $t")
+        }
+      case _ => fail(s"CREATE FUNCTION $name AS '$impl': declare the " +
+        "future's result type — a raw CompletableFuture has no SQL " +
+        "return type to map (use CompletableFuture<String>, " +
+        "CompletableFuture<Long>, ...)")
+    }
+    val ret = sparkTypeOf(resultCls).getOrElse(
+      fail(s"CREATE FUNCTION $name AS '$impl': the future completes with " +
+        s"${resultCls.getName}; supported results are primitives/boxes, " +
+        "String, byte[], BigDecimal, Timestamp, Date"))
+    m.getParameterTypes.drop(1).zipWithIndex.foreach { case (p, i) =>
+      if (sparkTypeOf(p).isEmpty)
+        fail(s"CREATE FUNCTION $name AS '$impl': eval parameter ${i + 2} has " +
+          s"unsupported type ${p.getName}")
+    }
+    if (!Modifier.isStatic(m.getModifiers))
+      try cls.getDeclaredConstructor()
+      catch {
+        case _: NoSuchMethodException =>
+          fail(s"CREATE FUNCTION $name AS '$impl': the class needs a public " +
+            "no-arg constructor (Flink's AsyncScalarFunction contract)")
+      }
+    registerUdf(spark, name, impl, m.getParameterCount - 1, ret,
+      new AsyncEvalBridge(impl))
+    true
+  }
+
+  private def registerUdf(spark: SparkSession, name: String, impl: String,
+      arity: Int, ret: DataType, b: Array[AnyRef] => AnyRef): Unit =
+    arity match {
       case 0 => spark.udf.register(name, new UDF0[Any] {
         override def call(): Any = b(Array.empty) }, ret)
       case 1 => spark.udf.register(name, new UDF1[AnyRef, Any] {
@@ -120,14 +175,13 @@ object ReflectiveScalar {
       case n => fail(s"CREATE FUNCTION $name AS '$impl': eval arity $n exceeds " +
         "the bridge's maximum of 6")
     }
-    true
-  }
 }
 
 /** Serializable per-JVM lazy holder: ships the class NAME, resolves the
   * class/method/instance on first use on whatever JVM invokes it.
   */
-private final class EvalBridge(className: String) extends Serializable {
+private final class EvalBridge(className: String)
+    extends (Array[AnyRef] => AnyRef) with Serializable {
   @transient private lazy val bound: (AnyRef, Method) = {
     val cls = org.apache.spark.sql.GraftColumnBridge.loadTaskClass(className)
     val m = ReflectiveScalar.publicEvals(cls).head
@@ -144,6 +198,46 @@ private final class EvalBridge(className: String) extends Serializable {
     var i = 0
     while (i < args.length) { coerced(i) = EvalCoercion.coerce(params(i), args(i)); i += 1 }
     m.invoke(inst, coerced: _*)
+  }
+}
+
+/** FLIP-400 async-eval holder: hands eval a fresh future per row and
+  * awaits it — Flink's `table.exec.async-scalar.timeout` default
+  * (3 min). Per-row await is the ORDERED output mode's value semantics;
+  * eval may complete the future on any thread (or synchronously).
+  */
+private final class AsyncEvalBridge(className: String)
+    extends (Array[AnyRef] => AnyRef) with Serializable {
+  @transient private lazy val bound: (AnyRef, Method) = {
+    val cls = org.apache.spark.sql.GraftColumnBridge.loadTaskClass(className)
+    val m = ReflectiveScalar.publicEvals(cls).head
+    val inst =
+      if (Modifier.isStatic(m.getModifiers)) null
+      else cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+    (inst, m)
+  }
+
+  def apply(args: Array[AnyRef]): AnyRef = {
+    val (inst, m) = bound
+    val params = m.getParameterTypes
+    val coerced = new Array[AnyRef](args.length + 1)
+    val future = new java.util.concurrent.CompletableFuture[AnyRef]()
+    coerced(0) = future
+    var i = 0
+    while (i < args.length) {
+      coerced(i + 1) = EvalCoercion.coerce(params(i + 1), args(i)); i += 1
+    }
+    m.invoke(inst, coerced: _*)
+    try future.get(180000L, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      // surface the user code's failure, not the future plumbing
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+      case _: java.util.concurrent.TimeoutException =>
+        throw new java.util.concurrent.TimeoutException(
+          s"async eval '$className' did not complete its future within " +
+            "180000 ms (the Flink async-scalar default timeout)")
+    }
   }
 }
 

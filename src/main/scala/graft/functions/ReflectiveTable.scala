@@ -118,7 +118,7 @@ object ReflectiveTable {
     val field = collectorField(cls)
     // a void eval whose FIRST parameter is a CompletableFuture is the
     // FLIP-400 AsyncScalarFunction shape, not a collector-less UDTF —
-    // route to the scalar bridge's targeted async guidance
+    // route to the scalar bridge's async-eval bridge
     if (isVoid && field.isEmpty && m.getParameterTypes.headOption.exists(
         classOf[java.util.concurrent.CompletableFuture[_]].isAssignableFrom))
       return false

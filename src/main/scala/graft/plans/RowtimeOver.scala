@@ -45,8 +45,11 @@ import org.apache.spark.sql.types._
   *    (STDDEV_POP/STDDEV_SAMP/STDDEV/VAR_POP/VAR_SAMP/VARIANCE — a
   *    sum-of-squares slot every kernel carries; VAR_SAMP of a 1-row
   *    frame is NULL), plus
-  *    SUM/COUNT/AVG(DISTINCT col) on the unbounded frames (per-key
-  *    distinct-value state, the reference's MapView cardinality;
+  *    SUM/COUNT/AVG(DISTINCT col) on EVERY frame (unbounded frames keep
+  *    per-key distinct-value state — the reference's MapView
+  *    cardinality; bounded frames fold DISTINCT over the retained
+  *    frame rows at emission, which ARE the bounded kernels' state
+  *    shape already, so no per-value refcounts are needed;
   *    MIN/MAX(DISTINCT) strip to the identical plain forms);
   *  - the remaining select items must include the row's unique integral
   *    id column as a PLAIN item (the deterministic-order tiebreak the
@@ -189,10 +192,6 @@ object RowtimeOver {
       val arg = if (isDistinct) rawArg.replaceFirst("(?is)^DISTINCT\\s+", "").trim
         else rawArg
       def distinctSlot(c: String): Int = {
-        if (frame != UnboundedRows && frame != UnboundedRange)
-          fail("DISTINCT aggregates ride the unbounded running frames — a " +
-            "bounded frame would need per-value eviction refcounts (keep " +
-            "the batch path, or widen the frame)")
         val n = slot(c)
         distinctSlots += n
         n

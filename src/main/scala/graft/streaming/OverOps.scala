@@ -177,13 +177,17 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
   * aggregate for each row (all equal-rowtime peers share one frame, as
   * in the batch RANGE semantics). first_v/last_v are the frame's
   * earliest/latest row value in (ts, id) order — FIRST_VALUE/LAST_VALUE
-  * over the same frame.
+  * over the same frame. dist_sum/dist_cnt are the frame's DISTINCT
+  * sum/count per slot — the bounded kernels RETAIN the frame rows as
+  * their state shape anyway ([U] flink-table-runtime bounded-over
+  * retained state), so frame-DISTINCT is a fold over the retained
+  * window at emission, not new per-value refcount state.
   */
 case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
     range_sum: Seq[Double], range_cnt: Long,
     range_min: Seq[Double], range_max: Seq[Double],
     first_v: Seq[Double], last_v: Seq[Double], lags: Seq[Seq[Double]],
-    sumsq: Seq[Double])
+    sumsq: Seq[Double], dist_sum: Seq[Double], dist_cnt: Seq[Long])
 
 /** Streaming bounded-range OVER — the reference's
   * RowTimeRangeBoundedPrecedingFunction ([U] flink-table-runtime
@@ -254,8 +258,10 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0)
           val mx = Seq.tabulate(k)(i => window.map(_.values(i)).max)
           val cnt = window.length.toLong
           val (first, last) = (window.head.values, window.last.values)
+          val dvals = Seq.tabulate(k)(i => window.map(_.values(i)).distinct)
           peers.zip(rowLags).foreach { case (r, l) =>
-            emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt, mn, mx, first, last, l, sq))
+            emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt, mn, mx, first, last, l, sq,
+              dvals.map(_.sum), dvals.map(_.length.toLong)))
           }
         }
       recent.clear()
@@ -317,12 +323,14 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0)
       ready.sortBy(r => (r.ts_ms, r.id)).foreach { r =>
         window = (window :+ r).takeRight(nRows)
         val k = window.head.values.length
+        val dvals = Seq.tabulate(k)(i => window.map(_.values(i)).distinct)
         emit(BoundedOverOut(key, r.id, r.ts_ms,
           Seq.tabulate(k)(i => window.map(_.values(i)).sum), window.length.toLong,
           Seq.tabulate(k)(i => window.map(_.values(i)).min),
           Seq.tabulate(k)(i => window.map(_.values(i)).max),
           window.head.values, window.last.values, lags,
-          Seq.tabulate(k)(i => window.map(r => r.values(i) * r.values(i)).sum)))
+          Seq.tabulate(k)(i => window.map(r => r.values(i) * r.values(i)).sum),
+          dvals.map(_.sum), dvals.map(_.length.toLong)))
         if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
       }
       recent.clear()

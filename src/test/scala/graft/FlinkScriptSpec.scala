@@ -1085,7 +1085,8 @@ class FlinkScriptSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(src2,
       """public class GraftAsyncUdf {
         |  public void eval(java.util.concurrent.CompletableFuture<String> result, String x) {
-        |    result.complete(x.toUpperCase());
+        |    java.util.concurrent.CompletableFuture.runAsync(
+        |        () -> result.complete(x.toUpperCase()));
         |  }
         |}
         |""".stripMargin)
@@ -1147,12 +1148,13 @@ class FlinkScriptSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(gotE == Set(("a", 2L), ("b", 4L)), gotE.toString)
     FlinkSql.sql(spark, "DROP FUNCTION evens")
-    // async scalar shape: the FLIP-400 guidance names the AsyncIO helper
-    val eAsync = intercept[IllegalArgumentException] {
-      FlinkSql.sql(spark, "CREATE FUNCTION async_up AS 'GraftAsyncUdf'")
-    }
-    assert(eAsync.getMessage.contains("AsyncScalarFunction") &&
-      eAsync.getMessage.contains("AsyncIO"), eAsync.getMessage)
+    // async scalar shape (FLIP-400): bridged — eval gets a fresh future
+    // per row, the call awaits it; values ≡ Flink's ORDERED output mode
+    FlinkSql.sql(spark, "CREATE FUNCTION async_up AS 'GraftAsyncUdf'")
+    val gotA = FlinkSql.sql(spark, "SELECT g, async_up(g) AS u FROM udtagg_src")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotA == Set(("a", "A"), ("b", "B"), ("c", "C")), gotA.toString)
+    FlinkSql.sql(spark, "DROP FUNCTION async_up")
     FlinkSql.sql(spark, "DROP FUNCTION top2")
     intercept[Exception] {
       spark.sql("SELECT g, top2(id, v) FROM udtagg_src GROUP BY g").collect()
@@ -2176,17 +2178,34 @@ class FlinkScriptSpec extends AnyFunSuite {
       (2L, 2.0, 1L, 2.0, 4.0),   // duplicate 2.0: distinct state unchanged
       (3L, 7.0, 2L, 3.5, 9.0),
       (4L, 7.0, 2L, 3.5, 11.0)), got.toString)
-    // bounded frames reject DISTINCT typed (per-value eviction refcounts)
-    val e = intercept[IllegalArgumentException] {
-      graft.plans.FlinkDdl.executeInsertStream(spark,
-        """INSERT INTO dist_sink
-          |SELECT event_id, sum(DISTINCT v) OVER (PARTITION BY user_id ORDER BY ts
-          |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ds,
-          |  CAST(0 AS BIGINT) AS dc, CAST(0 AS DOUBLE) AS da, CAST(0 AS DOUBLE) AS s
-          |FROM dist_src""".stripMargin)
-    }
-    assert(e.getMessage.contains("unbounded running frames"), e.getMessage)
-    FlinkSql.run(spark, "DROP TABLE dist_src; DROP TABLE dist_sink")
+    // bounded frames: DISTINCT folds over the retained frame rows (the
+    // kernels' state shape already), so v = 2,2,5,2 with a 3-row frame
+    // counts the duplicate 2.0 once per frame
+    FlinkSql.runStream(spark,
+      s"""CREATE TABLE distb_sink (event_id BIGINT, ds DOUBLE, dc BIGINT,
+         |                         da DOUBLE, s DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/distb_sink',
+         |      'format' = 'parquet');
+         |INSERT INTO distb_sink
+         |SELECT event_id, sum(DISTINCT v) OVER w AS ds,
+         |       count(DISTINCT v) OVER w AS dc, avg(DISTINCT v) OVER w AS da,
+         |       sum(v) OVER w AS s
+         |FROM dist_src
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    val gotB = spark.read.parquet(s"$dir/distb_sink").collect()
+      .filter(_.getLong(0) != 9L)
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(gotB == Set(
+      (1L, 2.0, 1L, 2.0, 2.0),   // frame {2}
+      (2L, 2.0, 1L, 2.0, 4.0),   // frame {2,2}: duplicate counted once
+      (3L, 7.0, 2L, 3.5, 9.0),   // frame {2,2,5}
+      (4L, 7.0, 2L, 3.5, 9.0)),  // frame {2,5,2}: the first 2 evicted, later 2 remains
+      gotB.toString)
+    FlinkSql.run(spark, "DROP TABLE dist_src; DROP TABLE dist_sink; DROP TABLE distb_sink")
   }
 
   test("streaming OVER outside the declared subset fails typed at deploy") {
