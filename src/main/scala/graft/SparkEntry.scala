@@ -34,19 +34,22 @@ object SparkEntry {
       }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. The hash-seeded ANN/sketch kernels
-    * (q31 minhash bands, q32 simhash, q34 LSH buckets, q42 bucketed ANN,
-    * q48 winnowing, q56 IVF, q102 two-level IVF) are oracled on their
-    * CONTRACTS (the q148 pattern: recall / precision / separation /
-    * guarantee booleans plus cross-engine counts DuckDB recomputes from
-    * scratch). Omitted only where the OUTPUT is the non-SQL-expressible
-    * contract — q116_pca_project (Jacobi eigenvectors),
-    * q128_semantic_dedup (trained k-means cells),
-    * q134_quality_classifier (iterative Newton training),
-    * q140_bpe_train / q141_bpe_encode (iterative argmax merge loop):
-    * all five are deterministic and pinned to committed golden CSVs
-    * (GoldenSpec / graft.tools.Golden.pinned); q67_approx_aggs
-    * (engine-specific sketches) is tolerance-spec'd in ApproxSpec.
+    * the same parquet tables — EVERY declared query carries one (round
+    * 12 closed the no_oracle set). Kernels whose raw output is not
+    * SQL-expressible are oracled on their CONTRACTS (the q148 pattern:
+    * cross-engine counts DuckDB recomputes from scratch + in-engine
+    * certificates pinned TRUE): the hash-seeded ANN/sketch family
+    * (q31/q32/q34/q42/q48/q56/q102), the trained/iterative family
+    * (q116 PCA: orthonormality + energy ordering + Bessel vs the
+    * DuckDB-recomputed Gram trace; q128 SemDeDup: partition/twin-recall/
+    * survivor-cleanliness vs the twin-pair count; q134 classifier:
+    * accuracy floor vs the weak-label counts; q140/q141 BPE: merge
+    * monotonicity + round-trip identity vs the shared-pre-tokenizer
+    * vocabulary counts), and q67's sketch-error tolerances vs the exact
+    * aggregates. The trained/selected kernel surfaces those contracts
+    * certify stay pinned to committed golden CSVs (GoldenSpec /
+    * graft.tools.Golden.kernelSurface) so a kernel drift still fails
+    * the suite even when the contract booleans would hold.
     *
     * NOTE on q33_cosine_topk (and Vector.bruteForceTopK /
     * Similarity.embeddingNearDupPairs): these are the declared CORRECTNESS

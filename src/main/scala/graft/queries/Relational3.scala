@@ -231,21 +231,33 @@ object Relational3 {
   }
 
   /** Approximate aggregates (Flink's APPROX_COUNT_DISTINCT; Spark's HLL++
-    * and approx quantile sketches) — rows-only (sketch outputs are
-    * engine-specific; the ≤5%/≤2% relative error vs exact is locked in
-    * ApproxSpec, which computes the exact counterparts in a separate
-    * scan). Sketch-only on purpose: mixing `countDistinct` into the same
-    * aggregate forces an Expand double-scan of every row — the sketches
-    * alone keep one pass with mergeable partials, the 100 TB shape.
+    * and approx quantile sketches), oracled on their ERROR CONTRACT (the
+    * q148 pattern — sketch outputs are engine-specific, the tolerance is
+    * not): per status the query runs the sketches AND their exact
+    * counterparts, emits the exact values plus the ≤5%/≤2%
+    * relative-error booleans, and DuckDB recomputes the exact side from
+    * scratch and pins the booleans TRUE. The PRODUCTION path is the
+    * sketch-only aggregate — ONE pass with mergeable partials, no
+    * Expand double-scan (the 100 TB shape; ApproxSpec locks the same
+    * tolerances on it in isolation); the exact second scan here is the
+    * correctness harness, deliberately kept out of the hot shape.
     */
   val q67_approx_aggs: Q = (s, d) => {
     import s.implicits._
-    Tables.orders(s, d)
-      .groupBy($"o_orderstatus")
+    val o = Tables.orders(s, d)
+    val approx = o.groupBy($"o_orderstatus")
       .agg(
-        approx_count_distinct($"o_custkey", 0.02).as("approx_custs"),
-        round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 4).as("approx_p50"),
+        approx_count_distinct($"o_custkey", 0.02).as("ac"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap"),
         count(lit(1)).as("n"))
+    val exact = o.groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("exact_custs"),
+        expr("percentile(o_totalprice, 0.5)").as("ep"))
+    approx.join(exact, "o_orderstatus")
+      .select($"o_orderstatus", $"n", $"exact_custs",
+        round($"ep", 4).as("exact_p50"),
+        (abs($"ac" - $"exact_custs") / $"exact_custs" <= 0.05).as("cd_ok"),
+        (abs($"ap" - $"ep") / $"ep" <= 0.02).as("p50_ok"))
   }
 
   /** Calendar functions: add_months / last_day / quarter / weekofyear /
@@ -605,6 +617,15 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    // q67 contract oracle: DuckDB recomputes the EXACT side (distinct
+    // customers, interpolated median) from scratch and pins the sketch
+    // error booleans TRUE; the sketches themselves are engine-specific
+    "q67_approx_aggs" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       count(DISTINCT o_custkey) AS exact_custs,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+        |       TRUE AS cd_ok, TRUE AS p50_ok
+        |FROM orders GROUP BY 1""".stripMargin,
     "q132_table_agg_top2" ->
       """WITH r AS (SELECT event_type, event_id, value,
         |                  row_number() OVER (PARTITION BY event_type

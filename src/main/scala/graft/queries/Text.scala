@@ -745,11 +745,17 @@ object Text {
     * ratio, stopword presence), trained 30 full-batch GD iterations —
     * each ONE scan + ONE mergeable 67-double reduction
     * ([[graft.operators.QualityClassifier]]) — then the whole corpus
-    * scored and rolled up per source. Golden-pinned (iterative float
-    * training is not SQL-expressible); the spec asserts the loss
-    * trajectory decreases and the model separates the weak classes.
+    * scored and rolled up per source. The KERNEL surface (per-source
+    * scores/predictions) stays golden-pinned in GoldenSpec (iterative
+    * float training is not SQL-expressible) and the spec asserts the
+    * loss trajectory decreases and the model separates the weak classes;
+    * the DECLARED query is the training CONTRACT (the q148 pattern):
+    * per-source doc and weak-label counts DuckDB recomputes from scratch
+    * with the same heuristic SQL as the q127 oracle, plus an
+    * accuracy ≥ 0.9 boolean (the trained model must reproduce the weak
+    * labels it distilled — the fasttext-distillation acceptance bar).
     */
-  val q134_quality_classifier: Q = (s, d) => {
+  private[graft] val q134_kernel: Q = (s, d) => {
     import s.implicits._
     import graft.operators.QualityClassifier
     val dim = 64
@@ -775,6 +781,12 @@ object Text {
         sum($"pred").cast("long").as("n_pred_keep"),
         sum($"y").cast("long").as("n_label_keep"),
         round(avg(($"pred" === $"y").cast("double")), 4).as("accuracy"))
+  }
+
+  val q134_quality_classifier: Q = (s, d) => {
+    import s.implicits._
+    q134_kernel(s, d).select($"source", $"n_docs", $"n_label_keep",
+      ($"accuracy" >= 0.9).as("acc_ok"))
   }
 
   /** DSIR-style importance weighting (north_star data selection — the
@@ -823,12 +835,47 @@ object Text {
     * 20 BPE merges learned on the corpus — see [[graft.operators.BpeTrain]]
     * for the algorithm and the 100 TB shape (one corpus scan to a word
     * histogram; the merge loop iterates on the histogram only).
-    * Golden-pinned (iterative argmax training is not SQL-expressible);
-    * BpeSpec re-derives the table with an independent in-memory reference
-    * implementation and checks the greedy-merge contract.
+    * The merge TABLE stays golden-pinned in GoldenSpec (iterative argmax
+    * training is not SQL-expressible) and BpeSpec re-derives it with an
+    * independent in-memory reference; the DECLARED query is the training
+    * CONTRACT (the q148 pattern): vocabulary counts DuckDB recomputes
+    * from scratch with the shared pre-tokenizer regex, plus three
+    * in-engine certificates of the greedy-merge algorithm itself —
+    * merge frequencies are NON-INCREASING by rank (a new pair's count
+    * is bounded by the count of the symbol the previous merge fused),
+    * encoding every vocabulary word with the table and concatenating
+    * the symbols reproduces the word exactly (the BPE round-trip
+    * identity), and no encoding is longer than character-split
+    * (merges only ever shrink).
     */
-  val q140_bpe_train: Q = (s, d) =>
+  private[graft] val q140_kernel: Q = (s, d) =>
     graft.operators.BpeTrain.trainOnCorpus(s, Tables.documents(s, d), "text", 20)
+
+  val q140_bpe_train: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.BpeTrain
+    val words = Tables.documents(s, d)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val merges = BpeTrain.train(s, words, 20)
+    val monotonicOk = merges.size < 2 ||
+      merges.sliding(2).forall(p => p(0).pairCount >= p(1).pairCount)
+    val ms = merges.map(m => (m.left, m.right))
+    // round-trip + shrink certificates over the whole vocabulary (the
+    // encode loop runs on distinct words only — the q141 posture)
+    val enc = words.as[(String, Long)].map { case (w, c) =>
+      var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq :+ "</w>"
+      ms.foreach { case (l, r) => syms = BpeTrain.applyMerge(syms, l, r) }
+      (c, syms.mkString == w + "</w>", syms.length <= w.length + 1)
+    }.toDF("c", "rt", "shrink")
+    val agg = enc.agg(count(lit(1)).as("nw"), sum($"c").as("tw"),
+      min($"rt").as("rt"), min($"shrink").as("sh")).head()
+    Seq((merges.size.toLong, agg.getLong(0), agg.getLong(1),
+      monotonicOk, agg.getBoolean(2), agg.getBoolean(3)))
+      .toDF("n_merges", "n_distinct_words", "total_words",
+        "monotonic_ok", "round_trip_ok", "compress_ok")
+  }
 
   /** Tokenizer application at corpus scale (north_star tokenizer work —
     * the encode side of [[graft.operators.BpeTrain]]): train the 20-merge
@@ -838,10 +885,15 @@ object Text {
     * token totals and chars-per-token compression without ever re-running
     * the merge loop on corpus rows. The 100 TB shape: corpus tokenized
     * once into (doc, word) counts; everything else is vocabulary-keyed.
-    * Golden-pinned like q140 (the trained table itself is not
-    * SQL-expressible).
+    * The per-doc KERNEL surface stays golden-pinned like q140's table;
+    * the DECLARED query is the encode CONTRACT (the q148 pattern):
+    * corpus word/char totals DuckDB recomputes from scratch with the
+    * shared pre-tokenizer, plus the two in-engine bounds every BPE
+    * encode must satisfy per document — token count ≤ char count + word
+    * count (character-split with `</w>` is the worst case) and ≥ word
+    * count (a word is at least one token).
     */
-  val q141_bpe_encode: Q = (s, d) => {
+  private[graft] val q141_kernel: Q = (s, d) => {
     import s.implicits._
     import graft.operators.BpeTrain
     val dw = Tables.documents(s, d)
@@ -859,6 +911,16 @@ object Text {
         sum($"cnt" * $"nchr").cast("long").as("n_chars"),
         sum($"cnt" * $"ntok").cast("long").as("n_bpe_tokens"),
         rate(sum($"cnt" * $"nchr") / sum($"cnt" * $"ntok")).as("chars_per_token"))
+  }
+
+  val q141_bpe_encode: Q = (s, d) => {
+    import s.implicits._
+    q141_kernel(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_words").cast("long").as("total_words"),
+      sum($"n_chars").cast("long").as("total_chars"),
+      min($"n_bpe_tokens" <= $"n_chars" + $"n_words").as("tokens_le_ok"),
+      min($"n_bpe_tokens" >= $"n_words").as("tokens_ge_ok"))
   }
 
   /** Deterministic epoch reshuffle (north_star curation: the seeded
@@ -922,6 +984,39 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    // q134/q140/q141 contract oracles (the q148 pattern): DuckDB
+    // recomputes the corpus-side counts from scratch — the q127 weak-label
+    // heuristic for q134, the shared '[a-z]+' pre-tokenizer for the BPE
+    // pair — and pins the in-engine certificates TRUE
+    "q134_quality_classifier" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |        CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+         |        CAST(len(regexp_extract_all(lower(text), '${markerRe(graft.functions.TextFunctions.enMarkers)}')) AS BIGINT) AS n_stop,
+         |        CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |        CAST(length(text) AS BIGINT) AS len
+         |      FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN n_tok >= 5 AND CAST(n_punct AS DOUBLE) / len <= 0.1
+         |                      AND n_stop > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_label_keep,
+         |       TRUE AS acc_ok
+         |FROM s GROUP BY 1""".stripMargin,
+    "q140_bpe_train" ->
+      """WITH w AS (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |           FROM documents)
+        |SELECT CAST(20 AS BIGINT) AS n_merges,
+        |       count(DISTINCT word) AS n_distinct_words,
+        |       count(*) AS total_words,
+        |       TRUE AS monotonic_ok, TRUE AS round_trip_ok, TRUE AS compress_ok
+        |FROM w""".stripMargin,
+    "q141_bpe_encode" ->
+      """WITH w AS (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |           FROM documents),
+        |d AS (SELECT doc_id, count(*) AS nw, sum(length(word)) AS nc FROM w GROUP BY 1)
+        |SELECT count(*) AS n_docs,
+        |       CAST(sum(nw) AS BIGINT) AS total_words,
+        |       CAST(sum(nc) AS BIGINT) AS total_chars,
+        |       TRUE AS tokens_le_ok, TRUE AS tokens_ge_ok
+        |FROM d""".stripMargin,
     // q31/q32 contract oracles (the q148 pattern): DuckDB replays the
     // planted-twin construction — n_near_twins is recomputed from
     // scratch with DuckDB's own shingling (the q30 oracle's definition)

@@ -14,7 +14,9 @@ object CheckContracts {
     spark.sparkContext.setLogLevel("WARN")
     val qs = Seq("q31_minhash_bands", "q32_simhash", "q34_ann_lsh_buckets",
       "q42_ann_topk", "q48_winnow_fingerprints", "q56_ivf_topk",
-      "q102_ivf2_topk", "q148_neardup_recall99", "q149_curation_composed")
+      "q102_ivf2_topk", "q148_neardup_recall99", "q149_curation_composed",
+      "q67_approx_aggs", "q116_pca_project", "q128_semantic_dedup",
+      "q134_quality_classifier", "q140_bpe_train", "q141_bpe_encode")
     var bad = 0
     qs.foreach { q =>
       val row = graft.SparkEntry.queries(q)(spark, dir).head()

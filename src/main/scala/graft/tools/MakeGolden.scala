@@ -19,7 +19,7 @@ object MakeGolden {
     Files.createDirectories(outDir)
     val spark = GraftSession.local()
     Golden.pinned.foreach { name =>
-      val df    = SparkEntry.queries(name)(spark, sfDir)
+      val df    = Golden.kernelSurface(name)(spark, sfDir)
       val lines = (df.columns.sorted.mkString(",") + "\n") +
         Golden.canonical(df).mkString("\n") + "\n"
       Files.write(outDir.resolve(s"${name}_sf001.csv"),

@@ -14,10 +14,12 @@ class GoldenSpec extends AnyFunSuite {
   // Every declared query therefore carries either a DuckDB oracle entry or
   // one of these committed goldens (regenerate ONLY on intentional contract
   // change: sbt "runMain graft.tools.MakeGolden", then review the diff).
+  // The DECLARED queries are contract-oracled (round 12); the pins run
+  // the underlying KERNEL surfaces those contracts certify.
   graft.tools.Golden.pinned.foreach { name =>
-    test(s"$name matches the committed sf0.01 golden file") {
+    test(s"$name kernel surface matches the committed sf0.01 golden file") {
       val got = graft.tools.Golden.canonical(
-        SparkEntry.queries(name)(spark, "/root/testdata/sf0.01"))
+        graft.tools.Golden.kernelSurface(name)(spark, "/root/testdata/sf0.01"))
       val expected = scala.io.Source
         .fromInputStream(getClass.getResourceAsStream(s"/golden/${name}_sf001.csv"))
         .getLines().drop(1).toVector

@@ -69,7 +69,7 @@ class QualityClassifierSpec extends AnyFunSuite {
 
   test("q134 weak-label training converges and beats the base rate") {
     import spark.implicits._
-    val out = graft.queries.Text.q134_quality_classifier(spark, TestSpark.sfDir)
+    val out = graft.queries.Text.q134_kernel(spark, TestSpark.sfDir)
       .agg(sum($"n_docs").cast("double").as("n"),
         sum($"n_label_keep").cast("double").as("k"),
         sum(($"accuracy" * $"n_docs")).as("accsum"))
