@@ -512,7 +512,10 @@ object Vector {
     import s.implicits._
     val corpus = plantedCorpus(s, d).localCheckpoint(true)
     val n = corpus.count()
-    val res = q128_kernel(s, d).localCheckpoint(true)
+    // same kernel call as q128_kernel, fed the checkpointed corpus so
+    // the planted union isn't rebuilt for the certificate joins
+    val res = graft.operators.Similarity.semanticDedup(
+      corpus, "vec_id", "v", nCells = 0, threshold = 0.9).localCheckpoint(true)
     val partitionOk = res.count() == n &&
       res.select($"vec_id").distinct().count() == n
     val twinCand = corpus.filter($"vec_id" < 1000000000000000L)
