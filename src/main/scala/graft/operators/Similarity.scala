@@ -124,16 +124,19 @@ object Similarity {
     * the quadratic pair work is bounded by Σ_cells |cell|² instead of
     * n²): k-means cells from [[trainCentroids]] (deterministic hash-seed
     * init, broadcast centroid array), one matrix-kernel assignment pass,
-    * then within-cell domination — a vector is dropped iff a LOWER-id
-    * vector in the same cell has cosine ≥ `threshold` (lowest id in each
-    * dominance chain survives; deterministic, no RNG). Cross-cell
-    * near-dups are deliberately not examined — that recall trade IS the
-    * method's scale lever (raise nCells for speed, lower for recall).
-    * Returns one row per input vector: (idCol, cell, keep).
+    * then probe-cell domination — a vector is dropped iff a LOWER-id
+    * vector sharing any of its top-`nProbe` cells has cosine ≥
+    * `threshold` (lowest id in each dominance chain survives;
+    * deterministic, no RNG). Pairs sharing no probe cell are
+    * deliberately not examined — that recall trade IS the method's
+    * scale lever (raise nCells / lower nProbe for speed, the reverse
+    * for recall). Returns one row per input vector:
+    * (idCol, cell, cell2, keep) — the top-2 probe cells and the
+    * survival flag.
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, threshold: Double, trainIters: Int = 2,
-      trainSampleCap: Int = 1 << 14): DataFrame = {
+      trainSampleCap: Int = 1 << 14, nProbe: Int = 2): DataFrame = {
     // nCells = 0 → cells ∝ n (target cell ≈ 64, clamped): Σ|cell|² stays
     // LINEAR as the corpus grows — the same auto-scale rule as ivfTopK,
     // and SemDeDup's own posture (cluster count grows with the corpus).
@@ -150,19 +153,33 @@ object Similarity {
         else math.max(8L, math.min(1L << 16, n / 64L)).toInt
       }
     val cents = trainCentroids(emb, idCol, vecCol, cells, trainIters, trainSampleCap)
-    val assigned = withNorm(emb, idCol, vecCol).withColumn("cell", element_at(
-      graft.functions.CentroidTopKExpr(col("va"), cents.map(_._1), cents.map(_._2), 1), 1))
-    val b = assigned.select(col("cell").as("cell_b"), col("a_id").as("b_id"),
+    // multi-probe assignment (the IVF nProbe counter to boundary loss —
+    // a pair straddling one Voronoi boundary still meets in the other's
+    // second-nearest cell): each vector belongs to its top-`nProbe`
+    // cells for CANDIDATE generation; membership doubles, so the pair
+    // work stays Σ|cell|²-shaped (≈4× at nProbe=2) and LINEAR under the
+    // cells ∝ n rule. The sf10 probe measured single-probe twin recall
+    // collapsing 0.93 → 0.58 as cells grew 8 → 6250; top-2 probing
+    // restores the boundary pairs without touching the scale posture.
+    val probes = math.max(1, math.min(nProbe, cells))
+    val assigned = withNorm(emb, idCol, vecCol).withColumn("cells",
+      graft.functions.CentroidTopKExpr(col("va"), cents.map(_._1), cents.map(_._2), probes))
+    val aExp = assigned.select(col("a_id"), col("va"), col("na"),
+      explode(col("cells")).as("pc"))
+    val bExp = aExp.select(col("pc").as("pc_b"), col("a_id").as("b_id"),
       col("va").as("vb"), col("na").as("nb"))
-    // lower-id same-cell dominators; distinct BEFORE the join back so a
-    // vector dominated by many neighbors still yields one row
-    val dropped = assigned
-      .join(b, col("cell") === col("cell_b") && col("b_id") < col("a_id"))
+    // lower-id dominators across ANY shared probe cell; distinct BEFORE
+    // the join back so a vector dominated by many neighbors (or the same
+    // neighbor in both probe cells) still yields one row
+    val dropped = aExp
+      .join(bExp, col("pc") === col("pc_b") && col("b_id") < col("a_id"))
       .filter(cosCol >= threshold)
       .select(col("a_id")).distinct()
       .withColumn("__dropped", lit(true))
     assigned.join(dropped, Seq("a_id"), "left")
-      .select(col("a_id").as(idCol), col("cell"),
+      .select(col("a_id").as(idCol),
+        element_at(col("cells"), 1).as("cell"),
+        element_at(col("cells"), math.min(2, probes)).as("cell2"),
         coalesce(!col("__dropped"), lit(true)).as("keep"))
   }
 

@@ -23,14 +23,14 @@ object ProbeSemRate {
         .verifyPairs(corpus, "vec_id", "v", 0.9, twinCand)
         .select($"a_id", $"b_id").localCheckpoint(true)
       val nTwins = twins.count()
-      val cells = res.select($"vec_id", $"cell", $"keep")
+      val cells = res.select($"vec_id", array($"cell", $"cell2").as("pcs"), $"keep")
       val tc = twins
-        .join(cells.select($"vec_id".as("a_id"), $"cell".as("ca"), $"keep".as("ka")), "a_id")
-        .join(cells.select($"vec_id".as("b_id"), $"cell".as("cb"), $"keep".as("kb")), "b_id")
+        .join(cells.select($"vec_id".as("a_id"), $"pcs".as("pa"), $"keep".as("ka")), "a_id")
+        .join(cells.select($"vec_id".as("b_id"), $"pcs".as("pb"), $"keep".as("kb")), "b_id")
         .localCheckpoint(true)
-      val nSame = tc.filter($"ca" === $"cb").count()
+      val nSame = tc.filter(arrays_overlap($"pa", $"pb")).count()
       val nDedup = tc.filter(!($"ka" && $"kb")).count()
-      println(f"[semrate] $d nTwins=$nTwins sameCell=$nSame (${nSame.toDouble / nTwins}%.4f) " +
+      println(f"[semrate] $d nTwins=$nTwins sharedProbe=$nSame (${nSame.toDouble / nTwins}%.4f) " +
         f"deduped=$nDedup (${nDedup.toDouble / nTwins}%.4f)")
     }
     spark.stop()

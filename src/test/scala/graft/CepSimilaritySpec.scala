@@ -387,7 +387,7 @@ class CepSimilaritySpec extends AnyFunSuite {
       s"recall/precision drift: missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
   }
 
-  test("semantic dedup: drop rule re-derived from the exact pair kernel within each cell") {
+  test("semantic dedup: drop rule re-derived from the exact pair kernel across probe cells") {
     import org.apache.spark.sql.functions._
     // the q119/q128 planted corpus: base ∪ perturbed twins (cos ≈ 0.97)
     val base = Tables.embeddings(spark, TestSpark.sfDir)
@@ -396,36 +396,40 @@ class CepSimilaritySpec extends AnyFunSuite {
       base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
         expr("transform(v, (x, i) -> x + 0.25d * element_at(v, pmod(i + 1, size(v)) + 1))")
           .as("v")))
+    def probesOf(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Int]] =
+      rows.map(r => r.getAs[Long]("vec_id") ->
+        Set(r.getAs[Int]("cell"), r.getAs[Int]("cell2"))).toMap
     val out = Similarity.semanticDedup(emb, "vec_id", "v",
       nCells = 8, threshold = 0.9).collect()
     assert(out.length == emb.count(), "one row per input vector")
-    val cellOf = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val probeOf = probesOf(out)
     val keep = out.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
     // reference: exact all-pairs at the same threshold, restricted to
-    // same-cell pairs; dropped == exists lower same-cell id with cos >= τ
+    // probe-set-overlapping pairs; dropped == exists lower id sharing a
+    // probe cell with cos >= τ (the top-2 multi-probe rule)
     val pairs = Similarity.embeddingNearDupPairs(emb, "vec_id", "v", 0.9)
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
     val expectedDropped = pairs
-      .filter { case (a, b) => cellOf(a) == cellOf(b) }
+      .filter { case (a, b) => (probeOf(a) & probeOf(b)).nonEmpty }
       .map { case (a, b) => math.max(a, b) }
       .toSet
-    assert(cellOf.keySet -- keep == expectedDropped,
-      "keep set must equal the lowest-id-per-dominance rule within cells")
+    assert(probeOf.keySet -- keep == expectedDropped,
+      "keep set must equal the lowest-id-per-dominance rule across probe cells")
     // the fixture plants near-dups: the dedup must actually drop some
-    assert(expectedDropped.nonEmpty, "fixture should contain same-cell near-dups")
+    assert(expectedDropped.nonEmpty, "fixture should contain probe-shared near-dups")
 
     // training-sample cap: with a tiny cap the quantizer trains on a
     // hash-thinned subset, yet the drop rule re-derived from the ACTUAL
-    // cell assignment still holds exactly — correctness is invariant to
+    // probe assignment still holds exactly — correctness is invariant to
     // the training sample, only cell geometry moves
     val capped = Similarity.semanticDedup(emb, "vec_id", "v",
       nCells = 8, threshold = 0.9, trainSampleCap = 64).collect()
     assert(capped.length == out.length)
-    val cellOf2 = capped.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val probeOf2 = probesOf(capped)
     val keep2 = capped.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
 
     // nCells = 0 auto-scales the cell count with the corpus (n/64,
-    // clamped) — the q128 scale posture — and the SAME within-cell drop
+    // clamped) — the q128 scale posture — and the SAME probe-cell drop
     // rule re-derives exactly at the auto geometry
     val auto = Similarity.semanticDedup(emb, "vec_id", "v",
       nCells = 0, threshold = 0.9).collect()
@@ -434,16 +438,27 @@ class CepSimilaritySpec extends AnyFunSuite {
     val usedCells = auto.map(_.getAs[Int]("cell")).distinct.length
     assert(usedCells >= 2 && usedCells <= targetCells,
       s"auto cells used $usedCells vs target $targetCells")
-    val cellOfA = auto.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val probeOfA = probesOf(auto)
     val keepA = auto.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
     val expectedDroppedA = pairs
-      .filter { case (a, b) => cellOfA(a) == cellOfA(b) }
+      .filter { case (a, b) => (probeOfA(a) & probeOfA(b)).nonEmpty }
       .map { case (a, b) => math.max(a, b) }.toSet
-    assert(cellOfA.keySet -- keepA == expectedDroppedA,
-      "auto-cell keep set must equal the within-cell dominance rule")
-    val expected2 = pairs.filter { case (a, b) => cellOf2(a) == cellOf2(b) }
+    assert(probeOfA.keySet -- keepA == expectedDroppedA,
+      "auto-cell keep set must equal the probe-cell dominance rule")
+    val expected2 = pairs.filter { case (a, b) => (probeOf2(a) & probeOf2(b)).nonEmpty }
       .map { case (_, b) => b }.toSet
-    assert(cellOf2.keySet -- keep2 == expected2,
-      "capped-training dedup must still satisfy the within-cell drop rule")
+    assert(probeOf2.keySet -- keep2 == expected2,
+      "capped-training dedup must still satisfy the probe-cell drop rule")
+
+    // single-probe mode (nProbe = 1) remains available and must obey the
+    // plain same-cell rule — the pre-probing SemDeDup form
+    val single = Similarity.semanticDedup(emb, "vec_id", "v",
+      nCells = 8, threshold = 0.9, nProbe = 1).collect()
+    val cellOf1 = single.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val keep1 = single.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    val expected1 = pairs.filter { case (a, b) => cellOf1(a) == cellOf1(b) }
+      .map { case (a, b) => math.max(a, b) }.toSet
+    assert(cellOf1.keySet -- keep1 == expected1,
+      "nProbe = 1 must reduce to the same-cell dominance rule")
   }
 }
