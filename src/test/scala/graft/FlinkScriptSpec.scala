@@ -1090,6 +1090,15 @@ class FlinkScriptSpec extends AnyFunSuite {
         |  }
         |}
         |""".stripMargin)
+    // eval RETURNING a future is NOT the FLIP-400 shape — must fail typed
+    val srcBad = dir.resolve("GraftBadAsync.java")
+    java.nio.file.Files.writeString(srcBad,
+      """public class GraftBadAsync {
+        |  public java.util.concurrent.CompletableFuture<String> eval(String x) {
+        |    return java.util.concurrent.CompletableFuture.completedFuture(x);
+        |  }
+        |}
+        |""".stripMargin)
     // scalar-emitting shape: Consumer<Long> rows → ARRAY<BIGINT> + explode
     val src3 = dir.resolve("GraftEvensUdtagg.java")
     java.nio.file.Files.writeString(src3,
@@ -1107,14 +1116,14 @@ class FlinkScriptSpec extends AnyFunSuite {
         |}
         |""".stripMargin)
     val javac = javax.tools.ToolProvider.getSystemJavaCompiler
-    assert(javac.run(null, null, null, src.toString, src2.toString, src3.toString) == 0,
-      "javac failed")
+    assert(javac.run(null, null, null, src.toString, src2.toString, src3.toString,
+      srcBad.toString) == 0, "javac failed")
     val jar = dir.resolve("graft-test-udtagg.jar")
     val jos = new java.util.jar.JarOutputStream(
       java.nio.file.Files.newOutputStream(jar))
     Seq("GraftTop2Udtagg.class", "GraftTop2Udtagg$Acc.class",
         "GraftTop2Udtagg$R.class", "GraftAsyncUdf.class",
-        "GraftEvensUdtagg.class").foreach { n =>
+        "GraftEvensUdtagg.class", "GraftBadAsync.class").foreach { n =>
       jos.putNextEntry(new java.util.zip.ZipEntry(n))
       jos.write(java.nio.file.Files.readAllBytes(dir.resolve(n)))
       jos.closeEntry()
@@ -1155,6 +1164,11 @@ class FlinkScriptSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(gotA == Set(("a", "A"), ("b", "B"), ("c", "C")), gotA.toString)
     FlinkSql.sql(spark, "DROP FUNCTION async_up")
+    // an eval RETURNING the future is not FLIP-400 — typed, names the shape
+    val eBad = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CREATE FUNCTION bad_async AS 'GraftBadAsync'")
+    }
+    assert(eBad.getMessage.contains("FIRST PARAMETER"), eBad.getMessage)
     FlinkSql.sql(spark, "DROP FUNCTION top2")
     intercept[Exception] {
       spark.sql("SELECT g, top2(id, v) FROM udtagg_src GROUP BY g").collect()
