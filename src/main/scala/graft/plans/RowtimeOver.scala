@@ -439,9 +439,11 @@ object RowtimeOver {
       valueExpr.as("values")).as[OverIn]
     val (out, pre) = spec.frame match {
       case RangeMs(ms) =>
-        (OverOps.boundedRangeAgg(in, ms, lagMax = spec.maxLag).toDF(), "range")
+        (OverOps.boundedRangeAgg(in, ms, lagMax = spec.maxLag,
+          distinctSlots = spec.distinctSlots.map(_ - 1).toSet).toDF(), "range")
       case RowsN(n) =>
-        (OverOps.boundedRowsAgg(in, n, lagMax = spec.maxLag).toDF(), "range")
+        (OverOps.boundedRowsAgg(in, n, lagMax = spec.maxLag,
+          distinctSlots = spec.distinctSlots.map(_ - 1).toSet).toDF(), "range")
       case UnboundedRows =>
         (OverOps.runningAgg(in, peerGrouped = false, lagMax = spec.maxLag,
           distinctSlots = spec.distinctSlots.map(_ - 1).toSet).toDF(), "running")

@@ -178,10 +178,12 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
   * in the batch RANGE semantics). first_v/last_v are the frame's
   * earliest/latest row value in (ts, id) order — FIRST_VALUE/LAST_VALUE
   * over the same frame. dist_sum/dist_cnt are the frame's DISTINCT
-  * sum/count per slot — the bounded kernels RETAIN the frame rows as
-  * their state shape anyway ([U] flink-table-runtime bounded-over
-  * retained state), so frame-DISTINCT is a fold over the retained
-  * window at emission, not new per-value refcount state.
+  * sum/count for the slots in `distinctSlots` — the bounded kernels
+  * RETAIN the frame rows as their state shape anyway ([U]
+  * flink-table-runtime bounded-over retained state), so frame-DISTINCT
+  * is a fold over the retained window at emission, not new per-value
+  * refcount state; statements without DISTINCT pay nothing (empty
+  * slot set → empty vectors, the fold never runs).
   */
 case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
     range_sum: Seq[Double], range_cnt: Long,
@@ -201,7 +203,8 @@ case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
   * retained rows were already the state shape, so wider agg coverage
   * costs no new state.
   */
-class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0)
+class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
+    distinctSlots: Set[Int] = Set.empty)
     extends KeyedProcess[String, OverIn, BoundedOverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var recent: ListState[OverIn] = _
@@ -258,10 +261,10 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0)
           val mx = Seq.tabulate(k)(i => window.map(_.values(i)).max)
           val cnt = window.length.toLong
           val (first, last) = (window.head.values, window.last.values)
-          val dvals = Seq.tabulate(k)(i => window.map(_.values(i)).distinct)
+          val (dsum, dcnt) = OverOps.distinctFold(window, k, distinctSlots)
           peers.zip(rowLags).foreach { case (r, l) =>
             emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt, mn, mx, first, last, l, sq,
-              dvals.map(_.sum), dvals.map(_.length.toLong)))
+              dsum, dcnt))
           }
         }
       recent.clear()
@@ -283,7 +286,8 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0)
   * frames). State retains exactly the trailing `nRows − 1` emitted
   * rows per key; MIN/MAX/FIRST/LAST fold over that retained frame.
   */
-class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0)
+class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0,
+    distinctSlots: Set[Int] = Set.empty)
     extends KeyedProcess[String, OverIn, BoundedOverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var recent: ListState[OverIn] = _
@@ -323,14 +327,14 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0)
       ready.sortBy(r => (r.ts_ms, r.id)).foreach { r =>
         window = (window :+ r).takeRight(nRows)
         val k = window.head.values.length
-        val dvals = Seq.tabulate(k)(i => window.map(_.values(i)).distinct)
+        val (dsum, dcnt) = OverOps.distinctFold(window, k, distinctSlots)
         emit(BoundedOverOut(key, r.id, r.ts_ms,
           Seq.tabulate(k)(i => window.map(_.values(i)).sum), window.length.toLong,
           Seq.tabulate(k)(i => window.map(_.values(i)).min),
           Seq.tabulate(k)(i => window.map(_.values(i)).max),
           window.head.values, window.last.values, lags,
           Seq.tabulate(k)(i => window.map(r => r.values(i) * r.values(i)).sum),
-          dvals.map(_.sum), dvals.map(_.length.toLong)))
+          dsum, dcnt))
         if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
       }
       recent.clear()
@@ -345,6 +349,17 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0)
 }
 
 object OverOps {
+  /** Frame-DISTINCT sum/count over the retained window, computed only
+    * for the requested slots (0-based); (empty, empty) when none.
+    */
+  private[streaming] def distinctFold(window: Array[OverIn], k: Int,
+      slots: Set[Int]): (Seq[Double], Seq[Long]) =
+    if (slots.isEmpty) (Seq.empty, Seq.empty)
+    else {
+      val dvals = Seq.tabulate(k)(i =>
+        if (slots.contains(i)) window.map(_.values(i)).distinct else Array.empty[Double])
+      (dvals.map(_.sum), dvals.map(_.length.toLong))
+    }
   /** Running sum/count/min/max/first/row_number per key ordered by event
     * time, emitted behind the watermark; `ds` must carry an event-time
     * watermark. `peerGrouped = true` switches to the RANGE-UNBOUNDED
@@ -365,10 +380,10 @@ object OverOps {
     * carry an event-time watermark.
     */
   def boundedRangeAgg(ds: Dataset[OverIn], rangeMs: Long,
-      lagMax: Int = 0): Dataset[BoundedOverOut] = {
+      lagMax: Int = 0, distinctSlots: Set[Int] = Set.empty): Dataset[BoundedOverOut] = {
     implicit val out: Encoder[BoundedOverOut] = Encoders.product[BoundedOverOut]
     ds.groupByKey(_.key)(Encoders.STRING)
-      .transformWithState(new StreamingBoundedOverProcess(rangeMs, lagMax),
+      .transformWithState(new StreamingBoundedOverProcess(rangeMs, lagMax, distinctSlots),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
@@ -377,11 +392,11 @@ object OverOps {
     * emitted behind the watermark.
     */
   def boundedRowsAgg(ds: Dataset[OverIn], nRows: Int,
-      lagMax: Int = 0): Dataset[BoundedOverOut] = {
+      lagMax: Int = 0, distinctSlots: Set[Int] = Set.empty): Dataset[BoundedOverOut] = {
     require(nRows >= 1, "nRows must be >= 1")
     implicit val out: Encoder[BoundedOverOut] = Encoders.product[BoundedOverOut]
     ds.groupByKey(_.key)(Encoders.STRING)
-      .transformWithState(new StreamingBoundedRowsProcess(nRows, lagMax),
+      .transformWithState(new StreamingBoundedRowsProcess(nRows, lagMax, distinctSlots),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }
