@@ -91,6 +91,154 @@ object MatrixKernels {
     new GenericArrayData(picked)
   }
 
+  /** Two-level (coarse → fine) top-k nearest-centroid assignment — the
+    * hierarchical quantizer search every large-scale IVF/SemDeDup
+    * deployment uses: score the ~√m coarse groups, then only the fine
+    * centroids inside the best `kCoarse` groups, so per-row work is
+    * O(√m·d) instead of O(m·d). Approximate exactly where IVF is: a
+    * fine centroid outside every probed coarse group is not considered.
+    */
+  def centroidTopKHier(v: ArrayData, coarse: Array[Array[Double]],
+      coarseNorms: Array[Double], fine: Array[Array[Double]],
+      fineNorms: Array[Double], fineOfCoarse: Array[Array[Int]],
+      kCoarse: Int, k: Int): ArrayData = {
+    val vn = v.numElements()
+    val mc = coarse.length
+    val csims = new Array[Double](mc)
+    var j = 0
+    while (j < mc) {
+      val c = coarse(j)
+      val n = math.min(vn, c.length)
+      var sAcc = 0.0
+      var i = 0
+      while (i < n) { sAcc += v.getDouble(i) * c(i); i += 1 }
+      val sim = sAcc / coarseNorms(j)
+      csims(j) = if (java.lang.Double.isNaN(sim)) Double.NegativeInfinity else sim
+      j += 1
+    }
+    val kc = math.min(kCoarse, mc)
+    val usedC = new Array[Boolean](mc)
+    var nCand = 0
+    val candGroups = new Array[Int](kc)
+    var r = 0
+    while (r < kc) {
+      var best = -1
+      var bestV = Double.NegativeInfinity
+      var i = 0
+      while (i < mc) {
+        if (!usedC(i) && (best < 0 || csims(i) > bestV)) { bestV = csims(i); best = i }
+        i += 1
+      }
+      usedC(best) = true
+      candGroups(r) = best
+      nCand += fineOfCoarse(best).length
+      r += 1
+    }
+    // score only the probed groups' fine centroids
+    val candIdx = new Array[Int](nCand)
+    val candSim = new Array[Double](nCand)
+    var w = 0
+    r = 0
+    while (r < kc) {
+      val members = fineOfCoarse(candGroups(r))
+      var t = 0
+      while (t < members.length) {
+        val fi = members(t)
+        val c = fine(fi)
+        val n = math.min(vn, c.length)
+        var sAcc = 0.0
+        var i = 0
+        while (i < n) { sAcc += v.getDouble(i) * c(i); i += 1 }
+        val sim = sAcc / fineNorms(fi)
+        candIdx(w) = fi
+        candSim(w) = if (java.lang.Double.isNaN(sim)) Double.NegativeInfinity else sim
+        w += 1
+        t += 1
+      }
+      r += 1
+    }
+    val kk = math.min(k, nCand)
+    val picked = new Array[Int](kk)
+    val used = new Array[Boolean](nCand)
+    r = 0
+    while (r < kk) {
+      var best = -1
+      var bestV = Double.NegativeInfinity
+      var i = 0
+      while (i < nCand) {
+        if (!used(i) && (best < 0 || candSim(i) > bestV)) { bestV = candSim(i); best = i }
+        i += 1
+      }
+      used(best) = true
+      picked(r) = candIdx(best)
+      r += 1
+    }
+    new GenericArrayData(picked)
+  }
+
+  /** Driver-side spherical k-means of a FINE centroid array into
+    * ⌈√m⌉ coarse groups (deterministic: strided init, fixed 5 Lloyd
+    * iterations, cosine assignment) — the bounded local step that makes
+    * [[centroidTopKHier]]'s O(√m·d) per-row search possible. Returns
+    * (coarseCents, coarseNorms, fineOfCoarse member lists; every group
+    * non-empty by construction except trailing empties, which keep
+    * their seed centroid and an empty member list).
+    */
+  def clusterCentroids(fine: Array[Array[Double]], fineNorms: Array[Double])
+      : (Array[Array[Double]], Array[Double], Array[Array[Int]]) = {
+    val m = fine.length
+    val g = math.max(1, math.ceil(math.sqrt(m.toDouble)).toInt)
+    val dim = fine.headOption.map(_.length).getOrElse(0)
+    val stride = math.max(1, m / g)
+    var coarse = Array.tabulate(g)(i => fine(math.min(i * stride, m - 1)).clone())
+    var cnorms = coarse.map(c => math.sqrt(c.map(x => x * x).sum))
+    var assign = new Array[Int](m)
+    var iter = 0
+    while (iter < 5) {
+      var i = 0
+      while (i < m) {
+        var best = 0
+        var bestV = Double.NegativeInfinity
+        var j2 = 0
+        while (j2 < g) {
+          var sAcc = 0.0
+          var t = 0
+          while (t < dim) { sAcc += fine(i)(t) * coarse(j2)(t); t += 1 }
+          val sim = sAcc / (cnorms(j2) * fineNorms(i))
+          if (!java.lang.Double.isNaN(sim) && sim > bestV) { bestV = sim; best = j2 }
+          j2 += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(g)(new Array[Double](dim))
+      val cnt = new Array[Int](g)
+      i = 0
+      while (i < m) {
+        val a = assign(i)
+        var t = 0
+        // spherical update: average unit vectors
+        while (t < dim) { sums(a)(t) += fine(i)(t) / fineNorms(i); t += 1 }
+        cnt(a) += 1
+        i += 1
+      }
+      var j3 = 0
+      while (j3 < g) {
+        if (cnt(j3) > 0) {
+          val nv = sums(j3)
+          val nn = math.sqrt(nv.map(x => x * x).sum)
+          if (nn > 0) { coarse(j3) = nv; cnorms(j3) = nn }
+        }
+        j3 += 1
+      }
+      iter += 1
+    }
+    val members = Array.fill(g)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var i = 0
+    while (i < m) { members(assign(i)) += i; i += 1 }
+    (coarse, cnorms, members.map(_.toArray))
+  }
+
   /** max_j cos(v, refs_j) — the decontamination kernel: one compiled
     * loop over a broadcast reference matrix per row, full cosine (both
     * norms), so the value itself is reportable, not just the argmax.
@@ -180,6 +328,45 @@ object CentroidTopKExpr {
       k: Int): Column =
     GraftColumnBridge.column(
       CentroidTopKExpr(GraftColumnBridge.expression(vec), cents, cnorms, k))
+}
+
+/** Hierarchical (coarse → fine) top-k cell assignment — the per-row
+  * [[MatrixKernels.centroidTopKHier]] search over a two-level broadcast
+  * quantizer; O(√m·d) per row where the flat [[CentroidTopKExpr]] is
+  * O(m·d).
+  */
+case class HierTopKExpr(child: Expression, coarse: Array[Array[Double]],
+    coarseNorms: Array[Double], fine: Array[Array[Double]],
+    fineNorms: Array[Double], fineOfCoarse: Array[Array[Int]],
+    kCoarse: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MatrixKernels.centroidTopKHier(input.asInstanceOf[ArrayData], coarse,
+      coarseNorms, fine, fineNorms, fineOfCoarse, kCoarse, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val co = ctx.addReferenceObj("hierCoarse", coarse, "double[][]")
+    val cn = ctx.addReferenceObj("hierCoarseNorms", coarseNorms, "double[]")
+    val fi = ctx.addReferenceObj("hierFine", fine, "double[][]")
+    val fn = ctx.addReferenceObj("hierFineNorms", fineNorms, "double[]")
+    val fo = ctx.addReferenceObj("hierFineOf", fineOfCoarse, "int[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MatrixKernels.centroidTopKHier(" +
+        s"$c, $co, $cn, $fi, $fn, $fo, $kCoarse, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HierTopKExpr {
+  def apply(vec: Column, coarse: Array[Array[Double]], coarseNorms: Array[Double],
+      fine: Array[Array[Double]], fineNorms: Array[Double],
+      fineOfCoarse: Array[Array[Int]], kCoarse: Int, k: Int): Column =
+    GraftColumnBridge.column(
+      HierTopKExpr(GraftColumnBridge.expression(vec), coarse, coarseNorms,
+        fine, fineNorms, fineOfCoarse, kCoarse, k))
 }
 
 /** Max cosine of an array<double> vector column against a broadcast

@@ -162,8 +162,22 @@ object Similarity {
     // collapsing 0.93 → 0.58 as cells grew 8 → 6250; top-2 probing
     // restores the boundary pairs without touching the scale posture.
     val probes = math.max(1, math.min(nProbe, cells))
-    val assigned = withNorm(emb, idCol, vecCol).withColumn("cells",
-      graft.functions.CentroidTopKExpr(col("va"), cents.map(_._1), cents.map(_._2), probes))
+    // assignment: flat O(cells·d) per row below a knee; above it the
+    // centroid array itself is clustered into √cells coarse groups
+    // DRIVER-side (bounded local k-means) and the per-row search is the
+    // hierarchical O(√cells·d) kernel probing the top-2 coarse groups —
+    // with cells ∝ n the flat pass is the kernel's only n·cells term
+    // (measured dominant at sf10), the hierarchy makes it n·√cells
+    val assignExpr =
+      if (cells <= 256)
+        graft.functions.CentroidTopKExpr(col("va"), cents.map(_._1), cents.map(_._2), probes)
+      else {
+        val (coarse, cnorms, fineOf) =
+          graft.functions.MatrixKernels.clusterCentroids(cents.map(_._1), cents.map(_._2))
+        graft.functions.HierTopKExpr(col("va"), coarse, cnorms,
+          cents.map(_._1), cents.map(_._2), fineOf, kCoarse = 3, k = probes)
+      }
+    val assigned = withNorm(emb, idCol, vecCol).withColumn("cells", assignExpr)
     val aExp = assigned.select(col("a_id"), col("va"), col("na"),
       explode(col("cells")).as("pc"))
     val bExp = aExp.select(col("pc").as("pc_b"), col("a_id").as("b_id"),

@@ -534,15 +534,20 @@ object Vector {
     val nSame = twinCells.filter(arrays_overlap($"pa", $"pb")).count()
     val recallOk = nTwins == 0L || nSame.toDouble / nTwins >= 0.75
     // kept×kept across shared probe cells, verified exact —
-    // Σ|kept_cell|² over exploded probe memberships, never all-pairs
+    // Σ|kept_cell|² over exploded probe memberships, never all-pairs;
+    // vectors ride the probe rows INLINE (the kernel's own join shape —
+    // re-attaching them to the candidate pairs afterwards was measured
+    // 4× the whole kernel at sf10)
+    val vd = graft.functions.VectorFunctions.toDouble($"v")
     val kept = corpus.join(res.filter($"keep").select($"vec_id", $"cell", $"cell2"), "vec_id")
-      .select($"vec_id", explode(array($"cell", $"cell2")).as("pc")).distinct()
-    val keptCand = kept.select($"vec_id".as("a_id"), $"pc")
-      .join(kept.select($"vec_id".as("b_id"), $"pc"), "pc")
+      .select($"vec_id", $"v",
+        graft.functions.VectorFunctions.l2Norm(vd).as("nrm"),
+        explode(array_distinct(array($"cell", $"cell2"))).as("pc"))
+    val viol = kept.select($"pc", $"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na"))
+      .join(kept.select($"pc", $"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb")), "pc")
       .filter($"a_id" < $"b_id")
-      .select($"a_id", $"b_id").distinct()
-    val cleanOk = graft.operators.Similarity
-      .verifyPairs(corpus, "vec_id", "v", 0.9, keptCand).isEmpty
+      .filter(graft.functions.DotProduct($"va", $"vb") / ($"na" * $"nb") >= 0.9)
+    val cleanOk = viol.isEmpty
     Seq((n, nTwins, partitionOk, recallOk, cleanOk))
       .toDF("n_corpus", "n_twin_pairs", "partition_ok",
         "twin_recall_ok", "survivors_clean_ok")

@@ -461,4 +461,53 @@ class CepSimilaritySpec extends AnyFunSuite {
     assert(cellOf1.keySet -- keep1 == expected1,
       "nProbe = 1 must reduce to the same-cell dominance rule")
   }
+
+  test("hierarchical assignment: probing every coarse group reproduces the flat kernel") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.MatrixKernels
+    // deterministic fine centroids + query vectors (no RNG)
+    def vec(seed: Int): Array[Double] =
+      Array.tabulate(8)(i => math.sin(seed * 31 + i * 7).abs + 0.01)
+    val fine = Array.tabulate(40)(vec)
+    val fnorms = fine.map(c => math.sqrt(c.map(x => x * x).sum))
+    val (coarse, cnorms, fineOf) = MatrixKernels.clusterCentroids(fine, fnorms)
+    assert(fineOf.map(_.length).sum == fine.length, "membership lists partition the centroids")
+    (100 to 120).foreach { q =>
+      val v = new GenericArrayData(vec(q))
+      val flat = MatrixKernels.centroidTopK(v, fine, fnorms, 2).toIntArray.toSeq
+      val hierAll = MatrixKernels.centroidTopKHier(v, coarse, cnorms, fine, fnorms,
+        fineOf, kCoarse = coarse.length, k = 2).toIntArray.toSeq
+      assert(hierAll == flat,
+        s"probing ALL coarse groups must equal the flat kernel: $hierAll vs $flat")
+    }
+  }
+
+  test("semantic dedup above the hierarchy knee: the probe-rule re-derivation still holds") {
+    import org.apache.spark.sql.functions._
+    // nCells = 300 > the 256 knee → the hierarchical assignment engages;
+    // the DROP RULE stays exact GIVEN the assignment, so the keep set
+    // must still re-derive from the output's probe cells + the exact
+    // pair kernel (assignment approximation moves WHICH cells, never
+    // whether the rule was applied)
+    val base = Tables.embeddings(spark, TestSpark.sfDir)
+      .select(col("vec_id"), expr("cast(embedding as array<double>)").as("v"))
+    val emb = base.unionByName(
+      base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(v, (x, i) -> x + 0.25d * element_at(v, pmod(i + 1, size(v)) + 1))")
+          .as("v")))
+    val out = Similarity.semanticDedup(emb, "vec_id", "v",
+      nCells = 300, threshold = 0.9).collect()
+    assert(out.length == emb.count(), "one row per input vector")
+    val probeOf = out.map(r => r.getAs[Long]("vec_id") ->
+      Set(r.getAs[Int]("cell"), r.getAs[Int]("cell2"))).toMap
+    val keep = out.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    val pairs = Similarity.embeddingNearDupPairs(emb, "vec_id", "v", 0.9)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val expectedDropped = pairs
+      .filter { case (a, b) => (probeOf(a) & probeOf(b)).nonEmpty }
+      .map { case (a, b) => math.max(a, b) }.toSet
+    assert(probeOf.keySet -- keep == expectedDropped,
+      "hier-assigned keep set must equal the probe-cell dominance rule")
+    assert(expectedDropped.nonEmpty, "fixture should still drop probe-shared near-dups")
+  }
 }
