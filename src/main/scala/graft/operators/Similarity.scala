@@ -130,13 +130,17 @@ object Similarity {
     * deterministic, no RNG). Pairs sharing no probe cell are
     * deliberately not examined — that recall trade IS the method's
     * scale lever (raise nCells / lower nProbe for speed, the reverse
-    * for recall). Returns one row per input vector:
+    * for recall; above the 256-cell knee assignment is hierarchical —
+    * `hierCoarseProbes` coarse groups probed, more = closer to the
+    * flat-exact assignment at O(√cells) extra dots). Returns one row
+    * per input vector:
     * (idCol, cell, cell2, keep) — the top-2 probe cells and the
     * survival flag.
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, threshold: Double, trainIters: Int = 2,
-      trainSampleCap: Int = 1 << 14, nProbe: Int = 2): DataFrame = {
+      trainSampleCap: Int = 1 << 14, nProbe: Int = 2,
+      hierCoarseProbes: Int = 3): DataFrame = {
     // nCells = 0 → cells ∝ n (target cell ≈ 64, clamped): Σ|cell|² stays
     // LINEAR as the corpus grows — the same auto-scale rule as ivfTopK,
     // and SemDeDup's own posture (cluster count grows with the corpus).
@@ -175,7 +179,8 @@ object Similarity {
         val (coarse, cnorms, fineOf) =
           graft.functions.MatrixKernels.clusterCentroids(cents.map(_._1), cents.map(_._2))
         graft.functions.HierTopKExpr(col("va"), coarse, cnorms,
-          cents.map(_._1), cents.map(_._2), fineOf, kCoarse = 3, k = probes)
+          cents.map(_._1), cents.map(_._2), fineOf,
+          kCoarse = hierCoarseProbes, k = probes)
       }
     val assigned = withNorm(emb, idCol, vecCol).withColumn("cells", assignExpr)
     val aExp = assigned.select(col("a_id"), col("va"), col("na"),
