@@ -91,7 +91,17 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,""" +
       s""""load":$loadStart,"load_end":$loadavg,"queries":$qs,"failed":$fj,"sf":"$sfDir"}"""
+    // a SHORT summary line around the big one: the driver's stdout
+    // capture has truncated the ~5KB per-query line mid-stream twice
+    // (BENCH_r06, BENCH_r12 "parsed": null) — a sub-200-byte line with
+    // the headline total survives both a tail-bytes cut (printed after)
+    // and a per-line length cap (short either way)
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,""" +
+      s""""n_queries":${results.size},"failed":$fj,"sf":"$sfDir","detail":"tmp/bench_last.json"}"""
+    println(summary)
     println(line)
+    println(summary)
     // the stdout line can be truncated mid-stream by log interleaving
     // (BENCH_r06's tail was); the files are the canonical whole-suite
     // records — one at a caller-set path, one at a stable repo-relative

@@ -97,11 +97,25 @@ object MatrixKernels {
     * centroids inside the best `kCoarse` groups, so per-row work is
     * O(√m·d) instead of O(m·d). Approximate exactly where IVF is: a
     * fine centroid outside every probed coarse group is not considered.
+    *
+    * Selection guarantees (the output is always min(k, m) entries):
+    *  - empty coarse groups are never probed — a dead group (its members
+    *    all drifted to other groups during Lloyd) would otherwise burn a
+    *    probe on zero candidates exactly in the dense regions;
+    *  - probing continues past `kCoarse` until at least k fine candidates
+    *    are gathered (and kCoarse is clamped to ≥ 1), so the caller can
+    *    rely on element_at(out, k) existing;
+    *  - ADAPTIVE tie escalation: every group whose coarse sim is within
+    *    `tieEps` of the kCoarse-th picked group's sim is ALSO probed — a
+    *    query near a coarse Voronoi boundary (the case where the fixed-
+    *    probe search loses its true cell) sees near-tied coarse sims, and
+    *    the escalation recovers it at the cost of extra probes only for
+    *    boundary rows.
     */
   def centroidTopKHier(v: ArrayData, coarse: Array[Array[Double]],
       coarseNorms: Array[Double], fine: Array[Array[Double]],
       fineNorms: Array[Double], fineOfCoarse: Array[Array[Int]],
-      kCoarse: Int, k: Int): ArrayData = {
+      kCoarse: Int, k: Int, tieEps: Double = 0.0): ArrayData = {
     val vn = v.numElements()
     val mc = coarse.length
     val csims = new Array[Double](mc)
@@ -116,30 +130,37 @@ object MatrixKernels {
       csims(j) = if (java.lang.Double.isNaN(sim)) Double.NegativeInfinity else sim
       j += 1
     }
-    val kc = math.min(kCoarse, mc)
+    val kc = math.max(1, math.min(kCoarse, mc))
     val usedC = new Array[Boolean](mc)
     var nCand = 0
-    val candGroups = new Array[Int](kc)
-    var r = 0
-    while (r < kc) {
+    val candGroups = new Array[Int](mc)
+    var picked = 0
+    var tieBar = Double.PositiveInfinity // unset until the kc-th pick
+    var go = true
+    while (go) {
       var best = -1
       var bestV = Double.NegativeInfinity
       var i = 0
       while (i < mc) {
-        if (!usedC(i) && (best < 0 || csims(i) > bestV)) { bestV = csims(i); best = i }
+        if (!usedC(i) && fineOfCoarse(i).length > 0 &&
+            (best < 0 || csims(i) > bestV)) { bestV = csims(i); best = i }
         i += 1
       }
-      usedC(best) = true
-      candGroups(r) = best
-      nCand += fineOfCoarse(best).length
-      r += 1
+      if (best < 0) go = false // non-empty groups exhausted
+      else if (picked < kc || nCand < k || bestV >= tieBar) {
+        usedC(best) = true
+        candGroups(picked) = best
+        nCand += fineOfCoarse(best).length
+        picked += 1
+        if (picked == kc) tieBar = bestV - tieEps
+      } else go = false
     }
     // score only the probed groups' fine centroids
     val candIdx = new Array[Int](nCand)
     val candSim = new Array[Double](nCand)
     var w = 0
-    r = 0
-    while (r < kc) {
+    var r = 0
+    while (r < picked) {
       val members = fineOfCoarse(candGroups(r))
       var t = 0
       while (t < members.length) {
@@ -158,7 +179,7 @@ object MatrixKernels {
       r += 1
     }
     val kk = math.min(k, nCand)
-    val picked = new Array[Int](kk)
+    val out = new Array[Int](kk)
     val used = new Array[Boolean](nCand)
     r = 0
     while (r < kk) {
@@ -170,10 +191,10 @@ object MatrixKernels {
         i += 1
       }
       used(best) = true
-      picked(r) = candIdx(best)
+      out(r) = candIdx(best)
       r += 1
     }
-    new GenericArrayData(picked)
+    new GenericArrayData(out)
   }
 
   /** Driver-side spherical k-means of a FINE centroid array into
@@ -338,12 +359,12 @@ object CentroidTopKExpr {
 case class HierTopKExpr(child: Expression, coarse: Array[Array[Double]],
     coarseNorms: Array[Double], fine: Array[Array[Double]],
     fineNorms: Array[Double], fineOfCoarse: Array[Array[Int]],
-    kCoarse: Int, k: Int) extends UnaryExpression {
+    kCoarse: Int, k: Int, tieEps: Double) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
     MatrixKernels.centroidTopKHier(input.asInstanceOf[ArrayData], coarse,
-      coarseNorms, fine, fineNorms, fineOfCoarse, kCoarse, k)
+      coarseNorms, fine, fineNorms, fineOfCoarse, kCoarse, k, tieEps)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val co = ctx.addReferenceObj("hierCoarse", coarse, "double[][]")
@@ -353,7 +374,7 @@ case class HierTopKExpr(child: Expression, coarse: Array[Array[Double]],
     val fo = ctx.addReferenceObj("hierFineOf", fineOfCoarse, "int[][]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.MatrixKernels.centroidTopKHier(" +
-        s"$c, $co, $cn, $fi, $fn, $fo, $kCoarse, $k);")
+        s"$c, $co, $cn, $fi, $fn, $fo, $kCoarse, $k, $tieEps);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -363,10 +384,11 @@ case class HierTopKExpr(child: Expression, coarse: Array[Array[Double]],
 object HierTopKExpr {
   def apply(vec: Column, coarse: Array[Array[Double]], coarseNorms: Array[Double],
       fine: Array[Array[Double]], fineNorms: Array[Double],
-      fineOfCoarse: Array[Array[Int]], kCoarse: Int, k: Int): Column =
+      fineOfCoarse: Array[Array[Int]], kCoarse: Int, k: Int,
+      tieEps: Double = 0.0): Column =
     GraftColumnBridge.column(
       HierTopKExpr(GraftColumnBridge.expression(vec), coarse, coarseNorms,
-        fine, fineNorms, fineOfCoarse, kCoarse, k))
+        fine, fineNorms, fineOfCoarse, kCoarse, k, tieEps))
 }
 
 /** Max cosine of an array<double> vector column against a broadcast

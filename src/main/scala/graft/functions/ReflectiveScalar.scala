@@ -227,13 +227,21 @@ private final class AsyncEvalBridge(className: String)
     while (i < args.length) {
       coerced(i + 1) = EvalCoercion.coerce(params(i + 1), args(i)); i += 1
     }
-    m.invoke(inst, coerced: _*)
+    // a SYNCHRONOUS throw inside eval must surface as the user code's
+    // failure too — unwrap the reflection wrapper like the sync bridge
+    try m.invoke(inst, coerced: _*)
+    catch {
+      case e: java.lang.reflect.InvocationTargetException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
     try future.get(180000L, java.util.concurrent.TimeUnit.MILLISECONDS)
     catch {
       // surface the user code's failure, not the future plumbing
       case e: java.util.concurrent.ExecutionException =>
         throw Option(e.getCause).getOrElse(e)
       case _: java.util.concurrent.TimeoutException =>
+        // cancel the in-flight call so the abandoned future can't leak
+        future.cancel(true)
         throw new java.util.concurrent.TimeoutException(
           s"async eval '$className' did not complete its future within " +
             "180000 ms (the Flink async-scalar default timeout)")

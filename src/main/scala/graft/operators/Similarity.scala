@@ -132,7 +132,10 @@ object Similarity {
     * scale lever (raise nCells / lower nProbe for speed, the reverse
     * for recall; above the 256-cell knee assignment is hierarchical —
     * `hierCoarseProbes` coarse groups probed, more = closer to the
-    * flat-exact assignment at O(√cells) extra dots). Returns one row
+    * flat-exact assignment at O(√cells) extra dots, and any further
+    * coarse group whose sim is within `hierTieEps` of the last fixed
+    * probe is ALSO probed — boundary rows, exactly the ones the fixed
+    * probe count loses, escalate automatically). Returns one row
     * per input vector:
     * (idCol, cell, cell2, keep) — the top-2 probe cells and the
     * survival flag.
@@ -140,7 +143,7 @@ object Similarity {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, threshold: Double, trainIters: Int = 2,
       trainSampleCap: Int = 1 << 14, nProbe: Int = 2,
-      hierCoarseProbes: Int = 3): DataFrame = {
+      hierCoarseProbes: Int = 8, hierTieEps: Double = 0.05): DataFrame = {
     // nCells = 0 → cells ∝ n (target cell ≈ 64, clamped): Σ|cell|² stays
     // LINEAR as the corpus grows — the same auto-scale rule as ivfTopK,
     // and SemDeDup's own posture (cluster count grows with the corpus).
@@ -180,7 +183,7 @@ object Similarity {
           graft.functions.MatrixKernels.clusterCentroids(cents.map(_._1), cents.map(_._2))
         graft.functions.HierTopKExpr(col("va"), coarse, cnorms,
           cents.map(_._1), cents.map(_._2), fineOf,
-          kCoarse = hierCoarseProbes, k = probes)
+          kCoarse = hierCoarseProbes, k = probes, tieEps = hierTieEps)
       }
     val assigned = withNorm(emb, idCol, vecCol).withColumn("cells", assignExpr)
     val aExp = assigned.select(col("a_id"), col("va"), col("na"),

@@ -1481,10 +1481,30 @@ object FlinkDdl {
         if (sources.length != 1)
           fail("streaming OVER deploys over exactly one watermarked source table")
         val src = sources.head
-        val (wmCol, _) = watermarkOf(spark, src).getOrElse(
-          fail(s"streaming OVER needs a declared WATERMARK on '$src' " +
-            "(its ORDER BY column is the event-time frontier)"))
-        Left(RowtimeOver.lower(spark, select, src, wmCol))
+        val orderCol = RowtimeOver.parse(select).orderCol
+        // proc-time OVER ([U] flink-table-runtime operators/over/
+        // ProcTime{Range,Rows}BoundedPrecedingFunction): ORDER BY a
+        // computed PROCTIME() column deploys onto the SAME kernels with
+        // the documented micro-batch-time coarsening — every row of one
+        // micro-batch carries the batch timestamp (rows within a batch
+        // order by the id tiebreak where Flink uses arrival order), and
+        // a 0-delay watermark on that column is the emission frontier
+        // (a batch's rows emit once a LATER batch advances it)
+        val isProcTime = computedColumnsOf(spark, src).exists { case (n, e) =>
+          n.equalsIgnoreCase(orderCol) &&
+            e.replaceAll("\\s+", "").equalsIgnoreCase("PROCTIME()")
+        }
+        if (isProcTime) {
+          spark.table(src).withWatermark(orderCol, "0 seconds")
+            .createOrReplaceTempView(src)
+          Left(RowtimeOver.lower(spark, select, src, orderCol))
+        } else {
+          val (wmCol, _) = watermarkOf(spark, src).getOrElse(
+            fail(s"streaming OVER needs a declared WATERMARK on '$src' " +
+              "(its ORDER BY column is the event-time frontier) or an " +
+              "ORDER BY on a computed PROCTIME() column (proc-time OVER)"))
+          Left(RowtimeOver.lower(spark, select, src, wmCol))
+        }
       }
       else {
         // legacy GROUP BY TUMBLE/HOP lowers onto the TVF text first, so a

@@ -45,11 +45,14 @@ import org.apache.spark.sql.types._
   *    (STDDEV_POP/STDDEV_SAMP/STDDEV/VAR_POP/VAR_SAMP/VARIANCE — a
   *    sum-of-squares slot every kernel carries; VAR_SAMP of a 1-row
   *    frame is NULL), plus
-  *    SUM/COUNT/AVG(DISTINCT col) on EVERY frame (unbounded frames keep
-  *    per-key distinct-value state — the reference's MapView
-  *    cardinality; bounded frames fold DISTINCT over the retained
-  *    frame rows at emission, which ARE the bounded kernels' state
-  *    shape already, so no per-value refcounts are needed;
+  *    SUM/COUNT/AVG(DISTINCT col) AND the STDDEV/VARIANCE family with
+  *    DISTINCT on EVERY frame (unbounded frames keep per-key
+  *    distinct-value state — the reference's MapView cardinality —
+  *    from which the distinct sum-of-squares also derives; bounded
+  *    frames fold DISTINCT over the retained frame rows at emission,
+  *    which ARE the bounded kernels' state shape already, so no
+  *    per-value refcounts are needed — an evicted-then-repeated value
+  *    re-counts exactly because the fold sees the live frame;
   *    MIN/MAX(DISTINCT) strip to the identical plain forms);
   *  - the remaining select items must include the row's unique integral
   *    id column as a PLAIN item (the deterministic-order tiebreak the
@@ -65,6 +68,19 @@ import org.apache.spark.sql.types._
   * Documented delta: rowtimes are handled at millisecond precision (the
   * kernel's frontier unit), and late rows behind the emitted frontier
   * drop — Flink's lastTriggeringTs rule.
+  *
+  * PROC-TIME OVER ([U] flink-table-runtime `operators/over/`
+  * ProcTime{Range,Rows}BoundedPrecedingFunction /
+  * ProcTimeRowsUnboundedPrecedingFunction): an ORDER BY on a computed
+  * `PROCTIME()` column deploys onto the SAME kernels (the deployment
+  * layer attaches a 0-delay watermark to that column). Documented
+  * coarsening, consistent with PROCTIME()'s batch behavior
+  * (`FlinkFunctions`): processing time is the MICRO-BATCH timestamp,
+  * so all rows of one batch are time peers — they order by the id
+  * tiebreak where Flink uses per-row arrival order, a RANGE frame
+  * groups whole batches, and a batch's rows emit once a later batch
+  * advances the frontier (Flink's proc-time emission is also
+  * timer-deferred, by exactly one timer unit).
   */
 object RowtimeOver {
 
@@ -210,17 +226,28 @@ object RowtimeOver {
         case "MAX" => s"element_at(__over_max, ${slot(arg)})"
         // variance family from the kernels' sum-of-squares slot
         // (Flink aliases: STDDEV = STDDEV_SAMP, VARIANCE = VAR_SAMP);
-        // greatest(0) clamps the fp-cancellation epsilon before sqrt
+        // greatest(0) clamps the fp-cancellation epsilon before sqrt.
+        // DISTINCT variants read the distinct sum/count/sum-of-squares
+        // slots instead (the kernels derive distinct sumsq from the
+        // same seen-value state / retained frame the plain DISTINCT
+        // aggregates already carry — no new state shape)
         case v @ ("STDDEV_POP" | "STDDEV_SAMP" | "STDDEV" |
                   "VAR_POP" | "VAR_SAMP" | "VARIANCE") =>
-          if (isDistinct) fail(s"$v(DISTINCT ...) is outside the declared " +
-            "streaming OVER subset")
-          val n = slot(arg)
-          val varPop = s"greatest(0.0d, element_at(__over_sumsq, $n) / __over_cnt" +
-            s" - pow(element_at(__over_sum, $n) / __over_cnt, 2))"
-          val varSamp = s"greatest(0.0d, (element_at(__over_sumsq, $n)" +
-            s" - pow(element_at(__over_sum, $n), 2) / __over_cnt)" +
-            s" / nullif(__over_cnt - 1, 0))"
+          val (s, q, c) =
+            if (isDistinct) {
+              val n = distinctSlot(arg)
+              (s"element_at(__over_dsum, $n)", s"element_at(__over_dsumsq, $n)",
+                s"element_at(__over_dcnt, $n)")
+            } else {
+              val n = slot(arg)
+              (s"element_at(__over_sum, $n)", s"element_at(__over_sumsq, $n)",
+                "__over_cnt")
+            }
+          val varPop = s"greatest(0.0d, $q / $c - pow($s / $c, 2))"
+          // the 1-row/1-distinct-value frame must be NULL, not clamped:
+          // greatest() SKIPS nulls, so guard the sample division
+          val varSamp = s"(CASE WHEN $c > 1 THEN " +
+            s"greatest(0.0d, ($q - pow($s, 2) / $c) / ($c - 1)) END)"
           v match {
             case "VAR_POP" => s"($varPop)"
             case "VAR_SAMP" | "VARIANCE" => s"($varSamp)"
@@ -397,8 +424,9 @@ object RowtimeOver {
     import graft.streaming.{OverIn, OverOps}
     val spec = parse(select)
     if (!spec.orderCol.equalsIgnoreCase(rowtimeCol))
-      fail(s"ORDER BY '${spec.orderCol}' must be the source's declared " +
-        s"watermark rowtime ('$rowtimeCol') — processing-time OVER is not deployed")
+      fail(s"ORDER BY '${spec.orderCol}' must be the deployment's time " +
+        s"attribute ('$rowtimeCol') — the declared watermark rowtime, or a " +
+        "computed PROCTIME() column for proc-time OVER")
     if (!spec.fromTable.equalsIgnoreCase(bare(source)))
       fail(s"FROM '${spec.fromTable}' does not reference the deployment's " +
         s"single watermarked source '$source'")
@@ -466,7 +494,8 @@ object RowtimeOver {
       (if (spec.usesRn) Seq(col("rn").as("__over_rn")) else Nil) ++
       (if (spec.maxLag > 0) Seq(col("lags").as("__over_lags")) else Nil) ++
       (if (spec.distinctSlots.nonEmpty)
-        Seq(col("dist_sum").as("__over_dsum"), col("dist_cnt").as("__over_dcnt"))
+        Seq(col("dist_sum").as("__over_dsum"), col("dist_cnt").as("__over_dcnt"),
+          col("dist_sumsq").as("__over_dsumsq"))
       else Nil)
     val restored = out.select(restoreCols: _*)
     restored.createOrReplaceTempView("__graft_over")

@@ -34,7 +34,8 @@ case class OverOut(key: String, id: Long, ts_ms: Long,
     running_sum: Seq[Double], running_cnt: Long, rn: Long,
     running_min: Seq[Double], running_max: Seq[Double],
     first_v: Seq[Double], last_v: Seq[Double], lags: Seq[Seq[Double]],
-    dist_sum: Seq[Double], dist_cnt: Seq[Long], sumsq: Seq[Double])
+    dist_sum: Seq[Double], dist_cnt: Seq[Long], sumsq: Seq[Double],
+    dist_sumsq: Seq[Double])
 
 /** The unbounded running kernel, two frames in one process:
   *  - `peerGrouped = false` → `ROWS UNBOUNDED PRECEDING`: every row gets
@@ -109,14 +110,19 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
         Seq.fill(k)(0.0)))
       var lags: Seq[Seq[Double]] =
         if (lagMax > 0) Option(lagState.get()).getOrElse(Seq.empty) else Seq.empty
-      // distinct tracking: live sets + running distinct sum/count per slot
-      val (dsets, dsum, dcnt) =
-        if (distinctSlots.isEmpty) (null, null, null)
+      // distinct tracking: live sets + running distinct sum/count per
+      // slot; the distinct sum-of-squares (the VARIANCE-family DISTINCT
+      // input) re-derives from the persisted set at firing start —
+      // O(distinct) once per firing, the same order as the state
+      // rewrite below, so it needs NO state schema of its own
+      val (dsets, dsum, dcnt, dsq) =
+        if (distinctSlots.isEmpty) (null, null, null, null)
         else {
           val (s0, ds0, dc0) = Option(distState.get()).getOrElse(
             (Seq.fill(k)(Seq.empty[Double]), Seq.fill(k)(0.0), Seq.fill(k)(0L)))
           (s0.map(s => scala.collection.mutable.HashSet(s: _*)).toArray,
-            ds0.toArray, dc0.toArray)
+            ds0.toArray, dc0.toArray,
+            s0.map(_.map(v => v * v).sum).toArray)
         }
       def fold(r: OverIn): Unit = {
         sum = sum.lazyZip(r.values).map(_ + _)
@@ -130,6 +136,7 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
           while (j < r.values.length) {
             if (distinctSlots.contains(j) && dsets(j).add(r.values(j))) {
               dsum(j) += r.values(j); dcnt(j) += 1L
+              dsq(j) += r.values(j) * r.values(j)
             }
             j += 1
           }
@@ -139,11 +146,13 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
         if (distinctSlots.isEmpty) Seq.empty else dsum.toSeq
       def dcntSnap: Seq[Long] =
         if (distinctSlots.isEmpty) Seq.empty else dcnt.toSeq
+      def dsqSnap: Seq[Double] =
+        if (distinctSlots.isEmpty) Seq.empty else dsq.toSeq
       if (!peerGrouped) {
         sorted.foreach { r =>
           fold(r)
           emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, r.values,
-            lags, dsumSnap, dcntSnap, sq))
+            lags, dsumSnap, dcntSnap, sq, dsqSnap))
           if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
         }
       } else {
@@ -156,10 +165,10 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
           }
           peers.foreach(fold)
           val lastV = peers.last.values
-          val (ds, dc) = (dsumSnap, dcntSnap)
+          val (ds, dc, dq) = (dsumSnap, dcntSnap, dsqSnap)
           peers.zip(rowLags).foreach { case (r, l) =>
             emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, lastV,
-              l, ds, dc, sq))
+              l, ds, dc, sq, dq))
           }
         }
       }
@@ -189,7 +198,8 @@ case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
     range_sum: Seq[Double], range_cnt: Long,
     range_min: Seq[Double], range_max: Seq[Double],
     first_v: Seq[Double], last_v: Seq[Double], lags: Seq[Seq[Double]],
-    sumsq: Seq[Double], dist_sum: Seq[Double], dist_cnt: Seq[Long])
+    sumsq: Seq[Double], dist_sum: Seq[Double], dist_cnt: Seq[Long],
+    dist_sumsq: Seq[Double])
 
 /** Streaming bounded-range OVER — the reference's
   * RowTimeRangeBoundedPrecedingFunction ([U] flink-table-runtime
@@ -261,10 +271,10 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
           val mx = Seq.tabulate(k)(i => window.map(_.values(i)).max)
           val cnt = window.length.toLong
           val (first, last) = (window.head.values, window.last.values)
-          val (dsum, dcnt) = OverOps.distinctFold(window, k, distinctSlots)
+          val (dsum, dcnt, dsq) = OverOps.distinctFold(window, k, distinctSlots)
           peers.zip(rowLags).foreach { case (r, l) =>
             emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt, mn, mx, first, last, l, sq,
-              dsum, dcnt))
+              dsum, dcnt, dsq))
           }
         }
       recent.clear()
@@ -327,14 +337,14 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0,
       ready.sortBy(r => (r.ts_ms, r.id)).foreach { r =>
         window = (window :+ r).takeRight(nRows)
         val k = window.head.values.length
-        val (dsum, dcnt) = OverOps.distinctFold(window, k, distinctSlots)
+        val (dsum, dcnt, dsq) = OverOps.distinctFold(window, k, distinctSlots)
         emit(BoundedOverOut(key, r.id, r.ts_ms,
           Seq.tabulate(k)(i => window.map(_.values(i)).sum), window.length.toLong,
           Seq.tabulate(k)(i => window.map(_.values(i)).min),
           Seq.tabulate(k)(i => window.map(_.values(i)).max),
           window.head.values, window.last.values, lags,
           Seq.tabulate(k)(i => window.map(r => r.values(i) * r.values(i)).sum),
-          dsum, dcnt))
+          dsum, dcnt, dsq))
         if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
       }
       recent.clear()
@@ -353,12 +363,13 @@ object OverOps {
     * for the requested slots (0-based); (empty, empty) when none.
     */
   private[streaming] def distinctFold(window: Array[OverIn], k: Int,
-      slots: Set[Int]): (Seq[Double], Seq[Long]) =
-    if (slots.isEmpty) (Seq.empty, Seq.empty)
+      slots: Set[Int]): (Seq[Double], Seq[Long], Seq[Double]) =
+    if (slots.isEmpty) (Seq.empty, Seq.empty, Seq.empty)
     else {
       val dvals = Seq.tabulate(k)(i =>
         if (slots.contains(i)) window.map(_.values(i)).distinct else Array.empty[Double])
-      (dvals.map(_.sum), dvals.map(_.length.toLong))
+      (dvals.map(_.sum), dvals.map(_.length.toLong),
+        dvals.map(_.map(v => v * v).sum))
     }
   /** Running sum/count/min/max/first/row_number per key ordered by event
     * time, emitted behind the watermark; `ds` must carry an event-time

@@ -462,6 +462,72 @@ class CepSimilaritySpec extends AnyFunSuite {
       "nProbe = 1 must reduce to the same-cell dominance rule")
   }
 
+  test("hierarchical assignment: empty-group skip, >=k candidates, tie escalation") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.MatrixKernels
+    // hand-built two-level quantizer: unit-axis coarse groups so the
+    // query's coarse sims are exactly its coordinates
+    val coarse = Array(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 0.0, 1.0))
+    val cnorms = coarse.map(c => math.sqrt(c.map(x => x * x).sum))
+    val fine = Array(
+      Array(0.9, 0.1, 0.0, 0.0), // member of g0
+      Array(0.1, 0.9, 0.0, 0.0), // member of g1
+      Array(0.0, 0.0, 0.9, 0.1), // member of g2
+      Array(0.0, 0.1, 0.0, 0.9)) // member of g3
+    val fnorms = fine.map(c => math.sqrt(c.map(x => x * x).sum))
+
+    // (1) an empty coarse group is never probed, even when it ranks
+    // first: query sits ON g1's axis but g1 has no members — the single
+    // probe must land on the best NON-EMPTY group (g0, sim 0.30 > 0.05)
+    val fineOfEmpty = Array(Array(0), Array.empty[Int], Array(2), Array(3))
+    val q1 = new GenericArrayData(Array(0.30, 0.95, 0.05, 0.0))
+    val got1 = MatrixKernels.centroidTopKHier(q1, coarse, cnorms, fine, fnorms,
+      fineOfEmpty, kCoarse = 1, k = 1).toIntArray.toSeq
+    assert(got1 == Seq(0), s"empty coarse group must be skipped, got $got1")
+
+    // (2) probing continues past kCoarse until k fine candidates exist
+    // (and kCoarse = 0 clamps to 1): singleton groups, k = 3 needs three
+    // groups even at kCoarse = 1 / 0
+    val fineOfSingles = Array(Array(0), Array(1), Array(2), Array(3))
+    val q2 = new GenericArrayData(Array(0.9, 0.6, 0.3, 0.1))
+    Seq(0, 1).foreach { kc =>
+      val got = MatrixKernels.centroidTopKHier(q2, coarse, cnorms, fine, fnorms,
+        fineOfSingles, kCoarse = kc, k = 3).toIntArray.toSeq
+      assert(got.length == 3, s"must return k=3 entries at kCoarse=$kc, got $got")
+      assert(got == Seq(0, 1, 2), s"entries must be the 3 nearest fines, got $got")
+    }
+
+    // (3) tie escalation: coarse sims (0.90, 0.60, 0.59, 0.10) with
+    // kCoarse = 2 — g2 is within tieEps = 0.05 of the 2nd pick (0.60)
+    // so it is ALSO probed, g3 (gap 0.50) is not; without escalation
+    // (tieEps = 0) only g0/g1's members are candidates
+    val q3 = new GenericArrayData(Array(0.90, 0.60, 0.59, 0.10))
+    val flatTop3 = MatrixKernels.centroidTopK(q3, fine, fnorms, 3).toIntArray.toSeq
+    val noTie = MatrixKernels.centroidTopKHier(q3, coarse, cnorms, fine, fnorms,
+      fineOfSingles, kCoarse = 2, k = 3).toIntArray.toSeq
+    val tied = MatrixKernels.centroidTopKHier(q3, coarse, cnorms, fine, fnorms,
+      fineOfSingles, kCoarse = 2, k = 3, tieEps = 0.05).toIntArray.toSeq
+    // k = 3 > the 2 fixed-probe candidates forces a 3rd group either
+    // way, so drop to k = 2 to isolate the tie rule
+    val noTie2 = MatrixKernels.centroidTopKHier(q3, coarse, cnorms, fine, fnorms,
+      fineOfSingles, kCoarse = 2, k = 2).toIntArray.toSeq
+    val tied2 = MatrixKernels.centroidTopKHier(
+      new GenericArrayData(Array(0.10, 0.60, 0.90, 0.59)), coarse, cnorms, fine, fnorms,
+      fineOfSingles, kCoarse = 2, k = 2, tieEps = 0.05).toIntArray.toSeq
+    assert(noTie2 == Seq(0, 1), s"fixed probes see only g0/g1 members: $noTie2")
+    // query nearest fine2 (0.90) then the g1/g3 near-tie (0.60 vs 0.59):
+    // escalation probes g3 too, and fine3's full cosine can compete
+    assert(tied2.contains(3) || tied2 == Seq(2, 1),
+      s"tie escalation must have considered g3's member: $tied2")
+    assert(tied == flatTop3,
+      s"with all near groups probed the top-3 matches flat: $tied vs $flatTop3")
+    assert(noTie.length == 3, "k-guarantee holds without the tie rule too")
+  }
+
   test("hierarchical assignment: probing every coarse group reproduces the flat kernel") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import graft.functions.MatrixKernels

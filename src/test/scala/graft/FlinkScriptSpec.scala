@@ -2219,7 +2219,148 @@ class FlinkScriptSpec extends AnyFunSuite {
       (3L, 7.0, 2L, 3.5, 9.0),   // frame {2,2,5}
       (4L, 7.0, 2L, 3.5, 9.0)),  // frame {2,5,2}: the first 2 evicted, later 2 remains
       gotB.toString)
-    FlinkSql.run(spark, "DROP TABLE dist_src; DROP TABLE dist_sink; DROP TABLE distb_sink")
+    // variance-family DISTINCT on a RANGE-bounded frame with an
+    // evicted-then-repeated value (rows at 10/20/30/40s, 15s range):
+    // event 4's frame is {30s:5, 40s:2} — the 10s duplicate 2 was
+    // EVICTED, so the later 2 must re-enter the distinct fold exactly
+    // once (the live-frame fold, not a first-sight-only seen set)
+    FlinkSql.runStream(spark,
+      s"""CREATE TABLE distv_sink (event_id BIGINT, dv DOUBLE, dsd DOUBLE,
+         |                         ds DOUBLE, dc BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/distv_sink',
+         |      'format' = 'parquet');
+         |INSERT INTO distv_sink
+         |SELECT event_id, var_pop(DISTINCT v) OVER w AS dv,
+         |       stddev_pop(DISTINCT v) OVER w AS dsd,
+         |       sum(DISTINCT v) OVER w AS ds, count(DISTINCT v) OVER w AS dc
+         |FROM dist_src
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+         |             RANGE BETWEEN INTERVAL '15' SECOND PRECEDING AND CURRENT ROW)""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    val gotV = spark.read.parquet(s"$dir/distv_sink").collect()
+      .filter(_.getLong(0) != 9L)
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    assert(gotV == Set(
+      (1L, 0.0, 0.0, 2.0, 1L),      // frame {2}
+      (2L, 0.0, 0.0, 2.0, 1L),      // frame {2,2}: distinct {2}
+      (3L, 2.25, 1.5, 7.0, 2L),     // frame {2,5}: var_pop = ((2-3.5)²+(5-3.5)²)/2
+      (4L, 2.25, 1.5, 7.0, 2L)),    // frame {5,2}: first 2 evicted, repeat re-counted
+      gotV.toString)
+    // and on the UNBOUNDED frame (per-key distinct-value state): event
+    // 4's duplicate 2 does NOT change the distinct variance
+    FlinkSql.runStream(spark,
+      s"""CREATE TABLE distu_sink (event_id BIGINT, dv DOUBLE, dvs DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/distu_sink',
+         |      'format' = 'parquet');
+         |INSERT INTO distu_sink
+         |SELECT event_id, var_pop(DISTINCT v) OVER w AS dv,
+         |       variance(DISTINCT v) OVER w AS dvs
+         |FROM dist_src
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    val gotU = spark.read.parquet(s"$dir/distu_sink").collect()
+      .filter(_.getLong(0) != 9L)
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(gotU == Set(
+      (1L, 0.0, -1.0),              // {2}: VAR_SAMP of 1 distinct value is NULL
+      (2L, 0.0, -1.0),              // {2,2}: distinct {2} — still 1 value
+      (3L, 2.25, 4.5),              // {2,5}: var_samp = 2·var_pop for n=2
+      (4L, 2.25, 4.5)),             // duplicate 2: distinct set unchanged
+      gotU.toString)
+    FlinkSql.run(spark, "DROP TABLE dist_src; DROP TABLE dist_sink; " +
+      "DROP TABLE distb_sink; DROP TABLE distv_sink; DROP TABLE distu_sink")
+  }
+
+  test("streaming proc-time OVER INSERT: running agg + ROWS n PRECEDING on a PROCTIME() column") {
+    import spark.implicits._
+    // [U] flink-table-runtime operators/over/ ProcTime{Range,Rows}-
+    // BoundedPrecedingFunction / ProcTimeRowsUnboundedPrecedingFunction:
+    // ORDER BY a computed PROCTIME() column deploys onto the same
+    // kernels with the documented micro-batch-time coarsening — all
+    // rows of one batch are time peers ordered by the id tiebreak, and
+    // a batch's rows emit once a later batch advances the 0-delay
+    // frontier. The test drives TWO batches through a shared checkpoint
+    // (phase B's sentinel advances processing time past phase A).
+    val dir = java.nio.file.Files.createTempDirectory("flink_over_proc").toString
+    FlinkSql.run(spark,
+      s"""CREATE TABLE proc_src (
+         |  event_id BIGINT, user_id BIGINT, v DOUBLE,
+         |  pt AS PROCTIME()
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/proc_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE proc_sink (event_id BIGINT, user_id BIGINT,
+         |                        run_sum DOUBLE, run_n BIGINT, sum_2r DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/proc_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    // one window spec per statement (the declared subset); the ROWS-
+    // bounded frame runs as its own deployment below. avg fills the
+    // sink's third aggregate slot.
+    val insA =
+      """INSERT INTO proc_sink
+        |SELECT event_id, user_id,
+        |  sum(v) OVER w AS run_sum, count(*) OVER w AS run_n,
+        |  avg(v) OVER w AS sum_2r
+        |FROM proc_src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY pt
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+    // phase A: one micro-batch, two keys — within the batch rows order
+    // by event_id (the documented arrival-order stand-in)
+    Seq((1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 1L, 4.0), (4L, 2L, 10.0), (5L, 2L, 20.0))
+      .toDF("event_id", "user_id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/proc_src")
+    val ckpt = s"$dir/ckpt"
+    graft.plans.FlinkDdl.executeInsertStream(spark, insA,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      checkpointDir = Some(ckpt)).awaitTermination()
+    // phase B: a later batch advances the proc-time frontier so phase
+    // A's timers fire (its own sentinel row stays pending — excluded)
+    Thread.sleep(10) // proc-time is ms-granular batch time; force T2 > T1
+    Seq((9L, 9L, 0.0)).toDF("event_id", "user_id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/proc_src")
+    graft.plans.FlinkDdl.executeInsertStream(spark, insA,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      checkpointDir = Some(ckpt)).awaitTermination()
+    val got = spark.read.parquet(s"$dir/proc_sink").collect()
+      .filter(_.getLong(1) != 9L)
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 1.0, 1L), (2L, 3.0, 2L), (3L, 7.0, 3L),
+      (4L, 10.0, 1L), (5L, 30.0, 2L)),
+      s"proc-time running frame (id order within the batch): $got")
+    // ROWS 1 PRECEDING over the same source — its own sink + checkpoint
+    FlinkSql.run(spark,
+      s"""CREATE TABLE proc_sink2 (event_id BIGINT, user_id BIGINT, sum_2r DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/proc_sink2',
+         |      'format' = 'parquet')""".stripMargin)
+    val insB =
+      """INSERT INTO proc_sink2
+        |SELECT event_id, user_id,
+        |  sum(v) OVER (PARTITION BY user_id ORDER BY pt
+        |               ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS sum_2r
+        |FROM proc_src""".stripMargin
+    val ckpt2 = s"$dir/ckpt2"
+    graft.plans.FlinkDdl.executeInsertStream(spark, insB,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      checkpointDir = Some(ckpt2)).awaitTermination()
+    Thread.sleep(10)
+    Seq((10L, 9L, 0.0)).toDF("event_id", "user_id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/proc_src")
+    graft.plans.FlinkDdl.executeInsertStream(spark, insB,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      checkpointDir = Some(ckpt2)).awaitTermination()
+    val got2 = spark.read.parquet(s"$dir/proc_sink2").collect()
+      .filter(_.getLong(1) != 9L)
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    // phase A's five rows + phase B's first sentinel (event 9, user 9 —
+    // excluded) are in this source; trailing 2-row frames in id order
+    assert(got2 == Set((1L, 1.0), (2L, 3.0), (3L, 6.0), (4L, 10.0), (5L, 30.0)),
+      s"proc-time ROWS 1 PRECEDING: $got2")
+    FlinkSql.run(spark,
+      "DROP TABLE proc_src; DROP TABLE proc_sink; DROP TABLE proc_sink2")
   }
 
   test("streaming OVER outside the declared subset fails typed at deploy") {
