@@ -33,7 +33,12 @@ import org.apache.spark.sql.types.StructType
   * FlinkDdlSpec locks the translation and the decode plan against a
   * hand-built Kafka-shaped frame instead. With the kafka package on the
   * classpath, `spark.readStream.format("kafka").options(translate(o))
-  * .load()` then `decode(...)` is the deployment shape.
+  * .load()` then `decode(...)` is the deployment shape. The runtime
+  * round-trip is SELF-CLOSING: FlinkDdlSpec's "kafka runtime
+  * round-trip" test detects spark-sql-kafka on the classpath and a
+  * GRAFT_KAFKA_BOOTSTRAP broker address, runs the full
+  * batch-INSERT → streaming-scan → decode round-trip when both are
+  * present, and cancels with the missing prerequisite named when not.
   */
 object KafkaDdl {
 

@@ -1,0 +1,224 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.{Dedup, QualityClassifier, Similarity}
+import graft.functions.TextFunctions
+
+/** The north-star pipeline run INCREMENTALLY — continuous curation, the
+  * production shape of [[graft.operators.CurationPipeline]] at 100 TB:
+  * crawl batches arrive as a stream and each micro-batch flows
+  *
+  *   1. EXACT dedup    — md5(text) vs the persistent digest STORE
+  *                       (new-vs-old) plus the same-batch min-id rule
+  *                       (new-vs-new);
+  *   2. NEAR-DUP dedup — the q148 banded-LSH chain with PERSISTENT
+  *                       signature/bucket + vector stores: candidates
+  *                       are new-vs-new AND new-vs-old bucket
+  *                       collisions, verified exact-cosine, connected
+  *                       components over the union — a new document
+  *                       drops iff its component touches anything
+  *                       already seen, or a smaller-id same-batch doc;
+  *   3. DECONTAMINATION— the static eval refs (broadcast vector matrix
+  *                       + 8-gram set) applied per batch — stateless
+  *                       side inputs, identical verdicts at any arrival
+  *                       order;
+  *   4. QUALITY        — a SIDE-INPUT classifier model (the production
+  *                       convention: quality models are refreshed by a
+  *                       periodic batch job, never retrained per
+  *                       micro-batch — online retraining would make
+  *                       published verdicts depend on arrival order);
+  *   5. survivors land partitioned by batch id; PACKING stays a
+  *                       snapshot-time batch pass over the accumulated
+  *                       survivors (bins depend on cumulative token
+  *                       counts, so packing is defined per training
+  *                       snapshot, not per micro-batch).
+  *
+  * [U] anchor: the reference's streaming deduplication keeps FIRST-seen
+  * rows in keyed state (flink-table-runtime operators/deduplicate/);
+  * this extends the same keep-first convention to the multi-store
+  * curation chain. Keep-first vs the batch run's global keep-min-id:
+  * the two agree EXACTLY whenever every duplicate group's minimal
+  * member arrives no later than the rest, and every near-dup
+  * component's members each connect to some earlier-arrived member —
+  * both hold for id-range batch splits (PipelineSpec pins
+  * stream-over-N-batches ≡ the q149 batch result on the planted
+  * crawl); under adversarial arrival the stream may keep MORE (a later
+  * minimal id cannot un-publish an already-kept doc — inherent to any
+  * incremental dedup, Flink's included).
+  *
+  * Exactly-once under at-least-once replay (the [[IncrementalDedup]]
+  * discipline): every store row carries `batch_id`, store reads EXCLUDE
+  * the current batch's own rows (a replay cannot score against its
+  * failed attempt's writes), and all writes are dynamic partition
+  * overwrites on batch_id — a replayed batch replaces its own
+  * partitions. With a durable checkpoint the restarted query resumes
+  * at the committed offset, no batch re-admitted or lost.
+  *
+  * Scale shape: stores are narrow parquet tables (digest, bucket, and
+  * vector rows), membership is equi-joins, nothing collects to the
+  * driver but the bounded side inputs (eval matrix < a few hundred
+  * vectors; model = dim+1 doubles). Store growth is linear in corpus;
+  * at 100 TB the bucket store is partitioned/bucketed by (table,
+  * bucket) so each micro-batch's candidate join prunes to the buckets
+  * the batch actually touches.
+  */
+object StreamingCuration {
+
+  /** Side inputs + near-dup geometry. `nPlanes`/`nTables` tune
+    * candidate RECALL only (pairs are verified exact-cosine), so
+    * production recomputes them periodically from store size
+    * ([[Similarity.lshParams]]) without affecting precision.
+    */
+  final case class Config(
+      nPlanes: Int, nTables: Int, threshold: Double,
+      evalVecs: Array[Array[Double]], evalShingles: Set[String],
+      model: QualityClassifier.Model, dim: Int = 64, shingleN: Int = 8,
+      evalIdMax: Long = 200L)
+
+  /** One micro-batch through all stages against the stores under
+    * `storeDir`; returns the batch's surviving documents
+    * (doc_id, source, text). `batchId` ≥ 0 keys every store write for
+    * idempotent replay; −1 is unmanaged-append for self-sequenced
+    * callers.
+    */
+  def processBatch(batch: DataFrame, cfg: Config, storeDir: String,
+      batchId: Long = -1L): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val docs = batch.select($"doc_id", $"text", $"source", $"v")
+      .localCheckpoint(true)
+
+    // ---- 1. exact dedup: persistent digest store + same-batch min-id
+    val hashes = docs.select($"doc_id", md5($"text").as("__h"))
+    val md5Store = readStore(spark, s"$storeDir/md5", batchId,
+      "h STRING, batch_id BIGINT")
+    val keepExact = hashes
+      .join(md5Store.select($"h".as("__h")).distinct()
+        .withColumn("__seen", lit(true)), Seq("__h"), "left")
+      .withColumn("__min_id", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"__h")))
+      .filter(!coalesce($"__seen", lit(false)) && $"doc_id" === $"__min_id")
+      .select($"doc_id").localCheckpoint(true)
+    writeStore(hashes.select($"__h".as("h")).distinct(), s"$storeDir/md5", batchId)
+
+    // ---- 2. near-dup vs the persistent bucket + vector stores. A doc
+    // with NO vector (the crawl's left join) skips this stage entirely,
+    // exactly like the batch pipeline's vecs-semi-join — it can be
+    // neither a near-dup candidate nor a store entry
+    val newVecs = docs.join(keepExact, Seq("doc_id"), "left_semi")
+      .filter($"v".isNotNull)
+      .select($"doc_id".as("vec_id"), $"v").localCheckpoint(true)
+    val oldVecs = readStore(spark, s"$storeDir/vec", batchId,
+      "vec_id BIGINT, v ARRAY<DOUBLE>, batch_id BIGINT")
+      .select($"vec_id", $"v")
+    val newB = newVecs.select($"vec_id",
+      posexplode(graft.functions.LshBucketsExpr($"v", cfg.nPlanes, cfg.dim, cfg.nTables))
+        .as(Seq("table", "bucket"))).localCheckpoint(true)
+    val oldB = readStore(spark, s"$storeDir/bucket", batchId,
+      "table INT, bucket INT, vec_id BIGINT, batch_id BIGINT")
+      .select($"table", $"bucket", $"vec_id")
+    // candidates: new-vs-new (a < b) and new-vs-old, dedup'd before the
+    // exact verify — the lshNearDupPairs shape with a store side
+    val bSide = newB.select($"table".as("tb"), $"bucket".as("bb"), $"vec_id".as("b_id"))
+    val candNN = newB.join(bSide,
+        $"table" === $"tb" && $"bucket" === $"bb" && $"vec_id" < $"b_id")
+      .select($"vec_id".as("a_id"), $"b_id")
+    val oSide = oldB.select($"table".as("tb"), $"bucket".as("bb"), $"vec_id".as("b_id"))
+    val candNO = newB.join(oSide, $"table" === $"tb" && $"bucket" === $"bb")
+      .select($"vec_id".as("a_id"), $"b_id")
+    val candidates = candNN.unionByName(candNO).distinct()
+    val embAll = newVecs.unionByName(oldVecs)
+    val edges = Similarity
+      .verifyPairs(embAll, "vec_id", "v", cfg.threshold, candidates)
+      .select($"a_id", $"b_id")
+    val comp = Dedup.connectedComponents(edges, "a_id", "b_id")
+      .localCheckpoint(true) // (id, component = min reachable id)
+    // a component touching ANY already-seen vector has a published
+    // representative — all its new members drop; a new-only component
+    // keeps its min id (= the component label)
+    val contamComps = comp
+      .join(oldVecs.select($"vec_id".as("id")), Seq("id"), "left_semi")
+      .select($"component").distinct()
+    val dropNear = comp
+      .join(newVecs.select($"vec_id".as("id")), Seq("id"), "left_semi")
+      .join(contamComps.withColumn("__c", lit(true)), Seq("component"), "left")
+      .filter(coalesce($"__c", lit(false)) || $"id" =!= $"component")
+      .select($"id".as("doc_id"))
+    val keepNear = keepExact.join(dropNear, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // ALL post-exact vectors enter the stores, kept or near-dup-dropped —
+    // a rejected near-dup still blocks its own future copies
+    writeStore(newVecs, s"$storeDir/vec", batchId)
+    writeStore(newB, s"$storeDir/bucket", batchId)
+
+    // ---- 3. decontamination: static eval side inputs (order-free)
+    val evalNorms = cfg.evalVecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    val survDocs = docs.join(keepNear, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val vecContam = survDocs.filter($"doc_id" >= cfg.evalIdMax && $"v".isNotNull)
+      .select($"doc_id",
+        graft.functions.MaxCosineExpr($"v", cfg.evalVecs, evalNorms).as("mc"))
+      .filter($"mc" >= 0.9).select($"doc_id")
+    val shinglesB = spark.sparkContext.broadcast(cfg.evalShingles)
+    val inEval = udf((sh: String) => sh != null && shinglesB.value.contains(sh))
+    val textContam = TextFunctions
+      .explodedWordShingles(survDocs.filter($"doc_id" >= cfg.evalIdMax),
+        Seq("doc_id"), "text", cfg.shingleN)
+      .filter(inEval($"shingle"))
+      .select($"doc_id").distinct()
+    val dropContam = vecContam.unionByName(textContam).distinct()
+      .unionByName(keepNear.filter($"doc_id" < cfg.evalIdMax))
+    val keepClean = keepNear.join(dropContam, Seq("doc_id"), "left_anti")
+
+    // ---- 4. quality: apply the side-input model, keep score > 0.5
+    val feats = QualityClassifier.featurize(
+      survDocs.join(keepClean, Seq("doc_id"), "left_semi"), "text", cfg.dim)
+    feats.withColumn("score", QualityClassifier.score($"f", cfg.model))
+      .filter($"score" > 0.5)
+      .select($"doc_id", $"source", $"text")
+  }
+
+  /** Deploy over a streaming crawl (doc_id, text, source, v): each
+    * micro-batch runs [[processBatch]] and survivors land at `outPath`
+    * partitioned by batch id. Packing a training snapshot is a batch
+    * pass over `outPath` afterwards (q95's window plan).
+    */
+  def run(crawl: DataFrame, cfg: Config, storeDir: String, outPath: String,
+      checkpointLocation: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    crawl.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, cfg, storeDir, batchId)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outPath)
+      }
+      .start()
+
+  /** A store read that can be empty (first batch) and never sees the
+    * current batch's own rows (replay safety).
+    */
+  private def readStore(spark: SparkSession, path: String, batchId: Long,
+      ddl: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      val raw = spark.read.parquet(path)
+      if (batchId >= 0) raw.filter(col("batch_id") =!= batchId) else raw
+    } else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
+
+  /** Idempotent store append: a keyed batch replaces its own partition. */
+  private def writeStore(df: DataFrame, path: String, batchId: Long): Unit = {
+    val out = df.withColumn("batch_id", lit(math.max(batchId, -1L)))
+    if (batchId >= 0)
+      out.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(path)
+    else out.write.mode("append").partitionBy("batch_id").parquet(path)
+  }
+}

@@ -19,13 +19,20 @@ object CheckContracts {
       "q134_quality_classifier", "q140_bpe_train", "q141_bpe_encode")
     var bad = 0
     qs.foreach { q =>
-      val row = graft.SparkEntry.queries(q)(spark, dir).head()
-      val bools = row.schema.fields.zipWithIndex.collect {
-        case (f, i) if f.dataType == org.apache.spark.sql.types.BooleanType =>
-          if (!row.getBoolean(i)) bad += 1
-          s"${f.name}=${row.getBoolean(i)}"
+      // EVERY row's booleans, not head() — q134 is per-source and its
+      // worst source is exactly what a floor sweep must see (the r13
+      // all-rows fix caught q134's sf10 worst source under the old 0.9
+      // floor, which head() had skipped)
+      val rows = graft.SparkEntry.queries(q)(spark, dir).collect()
+      val boolIdx = rows.head.schema.fields.zipWithIndex.collect {
+        case (f, i) if f.dataType == org.apache.spark.sql.types.BooleanType => (f.name, i)
       }
-      println(s"[contracts] $q: ${bools.mkString(" ")}")
+      val bools = boolIdx.map { case (name, i) =>
+        val allTrue = rows.forall(_.getBoolean(i))
+        if (!allTrue) bad += 1
+        s"$name=$allTrue"
+      }
+      println(s"[contracts] $q (${rows.length} rows): ${bools.mkString(" ")}")
     }
     println(s"[contracts] false booleans: $bad")
     spark.stop()

@@ -96,4 +96,88 @@ class PipelineSpec extends AnyFunSuite {
     assert(out4 > in4 / 2, s"quality filter dropped most of the corpus: $stages")
     assert(out4 <= in4)
   }
+
+  test("streaming continuous curation over 4 batches equals the q149 batch result") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    import graft.operators.{CurationPipeline, QualityClassifier, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("stream_curation").toString
+    // the SAME planted crawl, one row per doc with its vector attached
+    val (docs, vecs) = CurationPipeline.plantedCrawl(spark, TestSpark.sfDir)
+    val crawl = docs
+      .join(vecs.select($"vec_id".as("doc_id"), $"v"), Seq("doc_id"), "left")
+      .select($"doc_id", $"text", $"source", $"v")
+
+    // side inputs — the production convention: near-dup geometry and the
+    // quality model are periodic batch refreshes, applied in-stream. The
+    // model retrains on the batch run's keepClean corpus with the exact
+    // stage-4 recipe (deterministic Newton → the same weights q149 used).
+    val (b, t) = Similarity.lshParams(run.keepExact.count(), 0.95)
+    val evalVecs = vecs.filter($"vec_id" < 200)
+      .select($"v").collect().map(_.getSeq[Double](0).toArray)
+    val evalShingles = TextFunctions
+      .explodedWordShingles(docs.filter($"doc_id" < 200), Seq("doc_id"), "text", 8)
+      .select($"shingle").distinct().as[String].collect().toSet
+    val labeled = docs.join(run.keepClean, Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"source", $"text",
+        TextFunctions.tokenCount($"text").cast("long").as("n_tok"),
+        TextFunctions.langScore($"text", TextFunctions.enMarkers).as("n_stop"),
+        TextFunctions.punctCount($"text").as("n_punct"),
+        length($"text").as("len"))
+      .withColumn("y",
+        ($"n_tok" >= 5 && $"n_punct" / $"len" <= 0.1 && $"n_stop" > 0).cast("double"))
+    val model = QualityClassifier.trainNewton(
+      QualityClassifier.featurize(labeled, "text", 64), "f", "y", 64, iters = 5)
+    val cfg = graft.streaming.StreamingCuration.Config(
+      nPlanes = b, nTables = t, threshold = 0.95,
+      evalVecs = evalVecs, evalShingles = evalShingles, model = model)
+
+    // id-range batch splits — base lower half, base upper half, exact
+    // copies (+1e15), near-dup twins (+2e15): every duplicate group's
+    // minimal member arrives no later than the rest, the regime where
+    // incremental keep-first coincides with the batch keep-min-id
+    val rows = crawl.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getSeq[Double](3)))
+    val baseIds = rows.map(_._1).filter(_ < 1000000000000000L).sorted
+    val mid = baseIds(baseIds.length / 2)
+    val splits = Seq(
+      rows.filter(_._1 < mid),
+      rows.filter(r => r._1 >= mid && r._1 < 1000000000000000L),
+      rows.filter(r => r._1 >= 1000000000000000L && r._1 < 2000000000000000L),
+      rows.filter(_._1 >= 2000000000000000L))
+    assert(splits.forall(_.nonEmpty), "all four batches must carry rows")
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String, String, Seq[Double])]
+    val q = graft.streaming.StreamingCuration.run(
+      input.toDF().toDF("doc_id", "text", "source", "v"), cfg,
+      s"$tmp/store", s"$tmp/out", s"$tmp/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      splits.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select($"doc_id").as[Long].collect().toSet
+    val batchKept = run.keepQual.as[Long].collect().toSet
+    assert(streamed == batchKept,
+      s"stream-over-4-batches must equal the q149 batch survivors: " +
+        s"stream-only=${(streamed -- batchKept).take(5)} " +
+        s"batch-only=${(batchKept -- streamed).take(5)}")
+    // packing the accumulated streamed survivors (the snapshot-time
+    // pass) yields the batch run's stage-5 window count
+    val packedN = spark.read.parquet(s"$tmp/out")
+      .select($"doc_id", $"source",
+        expr("CAST(size(regexp_extract_all(text, '\\\\S+', 0)) AS BIGINT)").as("n_tok"))
+      .withColumn("cum_before",
+        sum($"n_tok").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          - $"n_tok")
+      .withColumn("bin", expr("cum_before div 2048"))
+      .groupBy($"source", $"bin").count().count()
+    assert(packedN == stages("5_packing_windows")._2,
+      s"snapshot packing over streamed survivors: $packedN windows vs batch")
+  }
 }
