@@ -179,5 +179,27 @@ class PipelineSpec extends AnyFunSuite {
       .groupBy($"source", $"bin").count().count()
     assert(packedN == stages("5_packing_windows")._2,
       s"snapshot packing over streamed survivors: $packedN windows vs batch")
+
+    // exactly-once under at-least-once replay (the IncrementalDedup
+    // discipline carried to all THREE stores). Spark only ever replays
+    // the LATEST uncommitted batch — never one behind later commits —
+    // so the property to pin is: re-running a batch whose store writes
+    // already landed must not score it against its own failed
+    // attempt's md5/bucket/vector rows (they're batch_id-excluded) and
+    // must reproduce the identical survivor set
+    val batch0 = spark.createDataFrame(spark.sparkContext.parallelize(
+      splits.head.map { case (id, tx, src, v) =>
+        org.apache.spark.sql.Row(id, tx, src, v) }),
+      crawl.schema)
+    val firstRun = graft.streaming.StreamingCuration
+      .processBatch(batch0, cfg, s"$tmp/store2", batchId = 0L)
+      .select($"doc_id").as[Long].collect().toSet
+    val replayed = graft.streaming.StreamingCuration
+      .processBatch(batch0, cfg, s"$tmp/store2", batchId = 0L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(replayed == firstRun && firstRun.nonEmpty,
+      s"a replayed batch must reproduce its committed survivors: " +
+        s"replay-only=${(replayed -- firstRun).take(5)} " +
+        s"lost=${(firstRun -- replayed).take(5)}")
   }
 }
