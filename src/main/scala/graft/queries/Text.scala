@@ -263,6 +263,95 @@ object Text {
         "neardup_ok", "decontam_ok", "quality_ok", "packing_ok")
   }
 
+  /** The INCREMENTAL north-star pipeline as a declared, oracled query
+    * ([[graft.streaming.StreamingCuration]] — q149's five stages run
+    * CONTINUOUSLY: crawl batches dedup against persistent md5 / LSH
+    * bucket / vector stores, decontaminate against static eval side
+    * inputs, and apply a side-input quality model; the streaming
+    * deployment and its exactly-once replay discipline are pinned in
+    * PipelineSpec, and BASELINE records 9,138 docs/s at 100× data).
+    * Here the SAME batch-incremental kernel (`processBatch`, the
+    * foreachBatch body) drives four id-range batches against a fresh
+    * store, and the CONTRACT is the q148 pattern: DuckDB replays the
+    * planted crawl and recomputes `n_crawl` and the exact-dedup
+    * survivor count (`count(DISTINCT md5(text))` — keep-first and
+    * keep-min-id always agree on the COUNT), plus two in-engine
+    * certificates — the accumulated incremental survivors EQUAL the
+    * q149 batch run's survivor set (the stream≡batch law, valid on
+    * id-ordered arrival), and snapshot packing over them yields the
+    * batch run's stage-5 window count.
+    */
+  val q150_curation_incremental: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.{CurationPipeline, QualityClassifier, Similarity}
+    // the batch run: the equality target AND the side-input model's
+    // training basis (the production convention — a periodic batch
+    // refresh applied in-stream; per-batch retraining would make
+    // published verdicts depend on arrival order)
+    val r = CurationPipeline.runDetailed(s, d)
+    val (docs, vecs) = CurationPipeline.plantedCrawl(s, d)
+    val crawl = docs
+      .join(vecs.select($"vec_id".as("doc_id"), $"v"), Seq("doc_id"), "left")
+      .select($"doc_id", $"text", $"source", $"v").localCheckpoint(true)
+    val nCrawl = crawl.count()
+    val nAfterExact = crawl.select(md5($"text")).distinct().count()
+    val (b, t) = Similarity.lshParams(r.keepExact.count(), 0.95)
+    val evalVecs = vecs.filter($"vec_id" < 200)
+      .select($"v").collect().map(_.getSeq[Double](0).toArray)
+    val evalShingles = graft.functions.TextFunctions
+      .explodedWordShingles(docs.filter($"doc_id" < 200), Seq("doc_id"), "text", 8)
+      .select($"shingle").distinct().as[String].collect().toSet
+    val labeled = docs.join(r.keepClean, Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"source", $"text",
+        tokenCount($"text").cast("long").as("n_tok"),
+        langScore($"text", enMarkers).as("n_stop"),
+        punctCount($"text").as("n_punct"),
+        length($"text").as("len"))
+      .withColumn("y",
+        ($"n_tok" >= 5 && $"n_punct" / $"len" <= 0.1 && $"n_stop" > 0).cast("double"))
+    val model = QualityClassifier.trainNewton(
+      QualityClassifier.featurize(labeled, "text", 64), "f", "y", 64, iters = 5)
+    val cfg = graft.streaming.StreamingCuration.Config(
+      nPlanes = b, nTables = t, threshold = 0.95,
+      evalVecs = evalVecs, evalShingles = evalShingles, model = model)
+    // four id-range batches (base lower/upper, exact copies, twins) —
+    // the id-ordered-arrival regime where keep-first ≡ keep-min-id
+    val baseMax = 1000000000000000L
+    val mid = crawl.filter($"doc_id" < baseMax)
+      .agg(max($"doc_id")).head().getLong(0) / 2
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_q150_store").toString
+    val splits = Seq(
+      $"doc_id" < mid,
+      $"doc_id" >= mid && $"doc_id" < baseMax,
+      $"doc_id" >= baseMax && $"doc_id" < 2 * baseMax,
+      $"doc_id" >= 2 * baseMax)
+    val streamKept = splits.zipWithIndex.map { case (p, i) =>
+      graft.streaming.StreamingCuration
+        .processBatch(crawl.filter(p), cfg, storeDir, batchId = i.toLong)
+        .select($"doc_id")
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val nStream = streamKept.count()
+    val equalOk = nStream == r.keepQual.count() &&
+      streamKept.join(r.keepQual, Seq("doc_id"), "left_anti").isEmpty
+    // snapshot packing over the INCREMENTAL survivors reproduces the
+    // batch run's stage-5 window count
+    val st5 = r.stages.collect()
+      .find(_.getString(0) == "5_packing_windows").get.getLong(2)
+    val packedN = docs.join(streamKept, Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"source",
+        tokenCount($"text").cast("long").as("n_tok"))
+      .withColumn("cum_before",
+        sum($"n_tok").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          - $"n_tok")
+      .withColumn("bin", expr("cum_before div 2048"))
+      .groupBy($"source", $"bin").count().count()
+    Seq((nCrawl, nAfterExact, equalOk, packedN == st5))
+      .toDF("n_crawl", "n_after_exact", "stream_equals_batch_ok", "packing_ok")
+  }
+
   /** BPE-style pre-tokenization counts (north_star "token counting:
     * whitespace + a BPE-ish regex"): the GPT-2-family pre-tokenizer
     * pattern shape — contractions, space-prefixed letter runs, digit
@@ -981,6 +1070,7 @@ object Text {
     "q75_bpe_tokens" -> q75_bpe_tokens,
     "q48_winnow_fingerprints" -> q48_winnow_fingerprints,
     "q149_curation_composed" -> q149_curation_composed,
+    "q150_curation_incremental" -> q150_curation_incremental,
     "q27_dedup_exact" -> q27_dedup_exact,
     "q28_text_stats" -> q28_text_stats,
     "q29_lang_id" -> q29_lang_id,
@@ -1071,6 +1161,16 @@ object Text {
         |         AS n_twin_vecs,
         |       TRUE AS neardup_ok, TRUE AS decontam_ok,
         |       TRUE AS quality_ok, TRUE AS packing_ok""".stripMargin,
+    "q150_curation_incremental" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        |crawl AS (
+        |  SELECT doc_id, text FROM d0
+        |  UNION ALL SELECT doc_id + 1000000000000000, text FROM d0 WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id + 2000000000000000, text || ' zyxappend' FROM d0
+        |            WHERE doc_id % 4 = 0)
+        |SELECT (SELECT count(*) FROM crawl) AS n_crawl,
+        |       (SELECT count(DISTINCT md5(text)) FROM crawl) AS n_after_exact,
+        |       TRUE AS stream_equals_batch_ok, TRUE AS packing_ok""".stripMargin,
     "q145_epoch_shards" ->
       """WITH h AS (SELECT doc_id, n_chars,
         |                  md5(CAST(doc_id AS VARCHAR) || ':42') AS h
