@@ -159,6 +159,17 @@ object FlinkSql {
     raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s+AS\s+'([^']+)'\s*(?:LANGUAGE\s+(\w+))?\s*$$".r
   private val dropFunctionRe =
     raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(IF\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*$$".r
+  // FLIP-311 procedures: CALL / SHOW PROCEDURES are Flink statements;
+  // CREATE/DROP PROCEDURE are the documented graft extension standing in
+  // for catalog provisioning (Flink procedures come from catalogs)
+  private val createProcedureRe =
+    raw"(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?PROCEDURE\s+(IF\s+NOT\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s+AS\s+'([^']+)'\s*$$".r
+  private val dropProcedureRe =
+    raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?PROCEDURE\s+(IF\s+EXISTS\s+)?`?([A-Za-z_]\w*)`?\s*$$".r
+  private val showProceduresRe =
+    raw"(?is)^\s*SHOW\s+PROCEDURES\s*(?:(?:FROM|IN)\s+[\w.`]+\s*)?(?:(?:I?LIKE)\s+'([^']*)')?\s*$$".r
+  private val callStmtRe =
+    raw"(?is)^\s*CALL\s+`?([A-Za-z_][\w.]*?)`?\s*\((.*)\)\s*;?\s*$$".r
   private val showTablesRe =
     raw"(?is)^\s*SHOW\s+TABLES\s*(?:(?:FROM|IN)\s+(?:`?([A-Za-z_]\w*)`?\s*\.\s*)?`?([A-Za-z_]\w*)`?\s*)?(?:(NOT\s+)?LIKE\s+'([^']*)')?\s*$$".r
   private val showCreateRe = raw"(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*$$".r
@@ -857,16 +868,56 @@ object FlinkSql {
         // forwarded verbatim; IF EXISTS carries over
         spark.sql(s"DROP VIEW ${if (ifExists) "IF EXISTS " else ""}`${m.group(2)}`")
         okRow(spark, "view", m.group(2))
+      case createProcedureRe(ifNotExists, name, impl) =>
+        // FLIP-311 procedures come from CATALOGS in Flink — this DDL is
+        // the graft porting seam (documented extension): point AS at a
+        // class with a public `call(ctx, args...)` method
+        if (graft.functions.ReflectiveProcedure.isRegistered(spark, name) &&
+            ifNotExists != null) okRow(spark, "procedure", name)
+        else {
+          if (!graft.functions.ReflectiveProcedure.register(spark, name, impl))
+            throw new IllegalArgumentException(
+              s"CREATE PROCEDURE $name AS '$impl': '$impl' does not load or has " +
+                "no public call method with a leading context parameter " +
+                "(the FLIP-311 Procedure shape: `T[] call(ProcedureContext, args...)`) " +
+                "— ADD JAR the class first")
+          okRow(spark, "procedure", name)
+        }
+      case dropProcedureRe(ifExists, name) =>
+        if (!graft.functions.ReflectiveProcedure.isRegistered(spark, name) &&
+            ifExists == null)
+          throw new IllegalArgumentException(
+            s"DROP PROCEDURE $name: no such procedure")
+        graft.functions.ReflectiveProcedure.unregister(spark, name)
+        okRow(spark, "procedure", name)
+      case showProceduresRe(pat) =>
+        import spark.implicits._
+        val names = graft.functions.ReflectiveProcedure.registered(spark)
+        val filtered = Option(pat) match {
+          case Some(p) =>
+            val rx = ("(?i)^" + java.util.regex.Pattern.quote(p)
+              .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r
+            names.filter(n => rx.findFirstIn(n).isDefined)
+          case None => names
+        }
+        filtered.toDF("procedure name")
+      case callStmtRe(fqName, argsSql) =>
+        // Flink's CALL statement ([U] FLIP-311). Catalog/db qualifiers
+        // strip — registration is session-scoped here.
+        val name = fqName.split('.').last
+        if (!graft.functions.ReflectiveProcedure.isRegistered(spark, name))
+          throw new IllegalArgumentException(
+            s"CALL $name: no such procedure. Flink stored procedures " +
+              "(FLIP-311) are catalog-provided code; no catalog here ships " +
+              "procedures, so register the implementation first — " +
+              s"CREATE PROCEDURE $name AS 'your.impl.Class' (a class with a " +
+              "public call(ctx, args...) method) — or port the body to a " +
+              "graft operator and invoke it directly.")
+        graft.functions.ReflectiveProcedure.call(spark, name, argsSql)
       case _ if callRe.findFirstIn(statement).isDefined =>
-        // Flink stored procedures (FLIP-311) are declared out of scope
-        // (SURVEY §2.9): a procedure is catalog-connector code executed
-        // engine-side, and no catalog here ships procedures. Fail typed
-        // with porting guidance instead of a raw Spark parse error.
         throw new IllegalArgumentException(
-          s"CALL is not supported — Flink stored procedures (FLIP-311) are " +
-            "catalog-provided code and are out of scope here (SURVEY §2.9): " +
-            "port the procedure body to a Spark action or a graft operator " +
-            s"and invoke it directly. Statement: ${statement.trim.take(80)}")
+          "CALL syntax: CALL [catalog.][db.]procedure_name(arg, ...) — " +
+            s"could not parse: ${statement.trim.take(80)}")
       case _ =>
         val parser = new graft.plans.GraftSqlParser(spark, spark.sessionState.sqlParser)
         GraftColumnBridge.ofRows(spark, parser.parsePlan(statement))

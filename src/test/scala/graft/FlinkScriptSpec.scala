@@ -776,6 +776,90 @@ class FlinkScriptSpec extends AnyFunSuite {
     FlinkSql.sql(spark, "DROP FUNCTION alter_target")
   }
 
+  test("FLIP-311 procedures: CREATE PROCEDURE + CALL + SHOW PROCEDURES, javac-jar e2e") {
+    import spark.implicits._
+    // a Procedure-shaped class ([U] flink-table-common procedures/
+    // Procedure.java: public T[] call(ProcedureContext, args...)) —
+    // compiled WITHOUT flink on the classpath, so the context slot is
+    // Object on one overload and a user-defined interface on the other
+    // (the bridge hands the interface a failing proxy)
+    val dir = java.nio.file.Files.createTempDirectory("graft_proc_jar")
+    java.nio.file.Files.writeString(dir.resolve("GraftCtx.java"),
+      "public interface GraftCtx { Object getExecutionEnvironment(); }\n")
+    java.nio.file.Files.writeString(dir.resolve("GraftCompactProc.java"),
+      """public class GraftCompactProc {
+        |  public String[] call(Object ctx, String table, Integer n) {
+        |    String[] out = new String[n];
+        |    for (int i = 0; i < n; i++) out[i] = table + "#part-" + i;
+        |    return out;
+        |  }
+        |  public Long[] call(GraftCtx ctx, Long upTo) {
+        |    // touching the context must fail typed, not NPE
+        |    if (upTo < 0) { ctx.getExecutionEnvironment(); }
+        |    Long[] out = new Long[upTo.intValue()];
+        |    for (int i = 0; i < upTo; i++) out[i] = (long) (i * i);
+        |    return out;
+        |  }
+        |}
+        |""".stripMargin)
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    assert(javac.run(null, null, null, dir.resolve("GraftCtx.java").toString,
+      dir.resolve("GraftCompactProc.java").toString) == 0, "javac failed")
+    val jar = dir.resolve("graft-test-proc.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jar))
+    Seq("GraftCtx.class", "GraftCompactProc.class").foreach { n =>
+      jos.putNextEntry(new java.util.zip.ZipEntry(n))
+      jos.write(java.nio.file.Files.readAllBytes(dir.resolve(n)))
+      jos.closeEntry()
+    }
+    jos.close()
+    FlinkSql.sql(spark, s"ADD JAR '$jar'")
+    // an unregistered CALL fails typed with the porting guidance
+    val e0 = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CALL sys.compact('t', 2)")
+    }
+    assert(e0.getMessage.contains("FLIP-311") &&
+      e0.getMessage.contains("CREATE PROCEDURE"), e0.getMessage)
+    FlinkSql.sql(spark, "CREATE PROCEDURE compact AS 'GraftCompactProc'")
+    // positional args evaluate through Spark SQL (casts/functions work);
+    // catalog/db qualifiers strip; arity picks the overload
+    val got = FlinkSql.sql(spark, "CALL cat1.db1.compact('events', 1 + 2)")
+      .as[String].collect().toSeq
+    assert(got == Seq("events#part-0", "events#part-1", "events#part-2"), got)
+    val sq = FlinkSql.sql(spark, "CALL compact(4)")
+      .as[Long].collect().toSeq
+    assert(sq == Seq(0L, 1L, 4L, 9L), sq)
+    // a procedure that touches its context gets the typed proxy failure
+    val e1 = intercept[UnsupportedOperationException] {
+      FlinkSql.sql(spark, "CALL compact(-1)")
+    }
+    assert(e1.getMessage.contains("getExecutionEnvironment"), e1.getMessage)
+    // wrong arity names the available ones
+    val e2 = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CALL compact('a', 'b', 'c')")
+    }
+    assert(e2.getMessage.contains("available arities"), e2.getMessage)
+    // SHOW PROCEDURES lists it (Flink's own statement), LIKE filters
+    assert(FlinkSql.sql(spark, "SHOW PROCEDURES").as[String].collect().toSeq
+      .contains("compact"))
+    assert(FlinkSql.sql(spark, "SHOW PROCEDURES LIKE 'comp%'")
+      .as[String].collect().toSeq == Seq("compact"))
+    assert(FlinkSql.sql(spark, "SHOW PROCEDURES LIKE 'zzz%'").count() == 0)
+    // DROP removes it; IF EXISTS tolerates the gone state
+    FlinkSql.sql(spark, "DROP PROCEDURE compact")
+    intercept[IllegalArgumentException] { FlinkSql.sql(spark, "CALL compact(1)") }
+    FlinkSql.sql(spark, "DROP PROCEDURE IF EXISTS compact")
+    intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "DROP PROCEDURE compact")
+    }
+    // a class with no call shape fails at CREATE, not at CALL time
+    val e3 = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CREATE PROCEDURE nope AS 'GraftCtx'")
+    }
+    assert(e3.getMessage.contains("public call method"), e3.getMessage)
+  }
+
   test("CREATE FUNCTION over a TableFunction-shaped class bridges LATERAL TABLE onto explode") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_udtf_jar")
@@ -1176,20 +1260,22 @@ class FlinkScriptSpec extends AnyFunSuite {
     spark.catalog.dropTempView("udtagg_src")
   }
 
-  test("CALL fails typed with porting guidance (procedures out of scope)") {
-    // Flink stored procedures (FLIP-311) are catalog-provided code —
-    // out of scope by declaration; the statement must not fall through
-    // to a raw Spark parse error
+  test("CALL of an UNREGISTERED procedure fails typed with registration guidance") {
+    // Flink stored procedures (FLIP-311) are catalog-provided code; no
+    // catalog here ships procedures, so an unregistered CALL must fail
+    // typed pointing at the CREATE PROCEDURE porting seam — never a raw
+    // Spark parse error (the registered path is the javac-jar e2e above)
     val e = intercept[IllegalArgumentException] {
       FlinkSql.sql(spark, "CALL compact_table('t1')")
     }
-    assert(e.getMessage.contains("CALL is not supported"), e.getMessage)
-    assert(e.getMessage.contains("FLIP-311"), e.getMessage)
+    assert(e.getMessage.contains("no such procedure"), e.getMessage)
+    assert(e.getMessage.contains("FLIP-311") &&
+      e.getMessage.contains("CREATE PROCEDURE"), e.getMessage)
     // dotted procedure names route identically
     val e2 = intercept[IllegalArgumentException] {
       FlinkSql.sql(spark, "CALL sys.rewrite_data_files('db.t')")
     }
-    assert(e2.getMessage.contains("CALL is not supported"), e2.getMessage)
+    assert(e2.getMessage.contains("no such procedure"), e2.getMessage)
   }
 
   test("SHOW JOBS lists active streaming queries; STOP JOB stops by id or name") {
