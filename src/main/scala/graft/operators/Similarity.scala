@@ -143,7 +143,7 @@ object Similarity {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, threshold: Double, trainIters: Int = 2,
       trainSampleCap: Int = 1 << 14, nProbe: Int = 2,
-      hierCoarseProbes: Int = 8, hierTieEps: Double = 0.05): DataFrame = {
+      hierCoarseProbes: Int = 8, hierTieEps: Double = 0.02): DataFrame = {
     // nCells = 0 → cells ∝ n (target cell ≈ 64, clamped): Σ|cell|² stays
     // LINEAR as the corpus grows — the same auto-scale rule as ivfTopK,
     // and SemDeDup's own posture (cluster count grows with the corpus).

@@ -511,9 +511,10 @@ object Vector {
     * sf0.001/0.01/0.1/10 as cells grew ∝ n, so the kernel probes top-2
     * cells (the IVF nProbe counter), lifting the measured rates to
     * 1.0/0.99/1.0/0.89; above the 256-cell hierarchy knee the
-    * assignment probes 8 coarse groups + tieEps=0.05 escalation —
-    * `tools/ProbeTieEps` measured sf10 recall 0.83 → 0.86 at ~1.1× the
-    * kernel, so the floor tightened 0.75 → 0.80 per the r12 verdict;
+    * assignment probes 8 coarse groups + tieEps=0.02 escalation —
+    * `tools/ProbeTieEps` measured sf10 recall 0.826 → 0.863 at ~1.29×
+    * the kernel (same-JVM ABAB), so the floor tightened 0.75 → 0.80
+    * per the r12 verdict;
     * it holds at every scale with margin and catches real regressions
     * like degenerate centroids or broken assignment), and survivor
     * self-consistency: NO two kept vectors sharing a probe cell at
