@@ -35,8 +35,9 @@ import org.apache.spark.sql.types._
   *    any mix of NUMERIC value columns (each aggregate names its own
   *    column — the distinct columns ride the kernel as one DOUBLE
   *    vector, one `element_at` slot per column, and results come back
-  *    DOUBLE; non-numeric value columns fail typed), COUNT(*),
-  *    ROW_NUMBER() on the unbounded ROWS frame, LAG(col [, n])
+  *    DOUBLE; non-numeric value columns fail typed), COUNT(*) and
+  *    null-skipping COUNT(col), ROW_NUMBER() on the unbounded ROWS
+  *    frame, LAG(col [, n])
   *    on EVERY frame (row-based even under RANGE peers, NULL before
   *    the nth predecessor — a trailing snapshot rides each kernel's
   *    state; LEAD fails typed — a rowtime frame ending at CURRENT ROW
@@ -64,6 +65,16 @@ import org.apache.spark.sql.types._
   *    projection re-applies after the kernel, so a predicate would
   *    filter AFTER the window while Flink filters BEFORE it — filter
   *    in a view feeding the source instead.
+  *
+  * NULL semantics are exact SQL (round 13 — a null value column
+  * previously killed the query on the kernel encoder's not-null
+  * assert): nulls ride a parallel per-slot mask next to the primitive
+  * value vector; SUM/AVG/MIN/MAX/COUNT(col)/the variance family skip
+  * them per slot (NULL over an all-null frame — per-slot non-null
+  * counts ride the kernel output), DISTINCT sets never admit them, and
+  * FIRST_VALUE/LAST_VALUE/LAG are RESPECT NULLS (the SQL default) via
+  * first/last/lag null masks. Stream ≡ batch with null rows is
+  * spec-locked on unbounded and bounded frames.
   *
   * Documented delta: rowtimes are handled at millisecond precision (the
   * kernel's frontier unit), and late rows behind the emitted frontier
@@ -187,6 +198,11 @@ object RowtimeOver {
       val at = valueCols.indexWhere(_.equalsIgnoreCase(b))
       if (at >= 0) at + 1 else { valueCols += b; valueCols.length }
     }
+    // the kernels emit EMPTY null metadata on the no-nulls fast path
+    // (output-encoder cost — see OverNulls.maskOrEmpty), so a missing
+    // per-slot non-null count defaults to the frame row count
+    def nnOf(n: Int): String =
+      s"coalesce(try_element_at(__over_nn, $n), __over_cnt)"
     val repl = aggRe.findAllMatchIn(select).toList.map { m =>
       // span end: OVER <name> or OVER (...)
       var i = m.end
@@ -213,17 +229,34 @@ object RowtimeOver {
         n
       }
       val out = m.group(1).toUpperCase match {
+        // SQL null semantics throughout: the kernels skip masked (NULL)
+        // entries per slot and report per-slot non-null counts
+        // (__over_nn); an aggregate whose frame holds no non-null value
+        // is NULL, exactly like batch SQL
         case "SUM" =>
-          if (isDistinct) s"element_at(__over_dsum, ${distinctSlot(arg)})"
-          else s"element_at(__over_sum, ${slot(arg)})"
+          if (isDistinct) {
+            val n = distinctSlot(arg)
+            s"(CASE WHEN element_at(__over_dcnt, $n) > 0 THEN " +
+              s"element_at(__over_dsum, $n) END)"
+          } else {
+            val n = slot(arg)
+            s"(CASE WHEN ${nnOf(n)} > 0 THEN element_at(__over_sum, $n) END)"
+          }
         case "AVG" =>
           if (isDistinct) {
             val n = distinctSlot(arg)
-            s"(element_at(__over_dsum, $n) / element_at(__over_dcnt, $n))"
-          } else s"(element_at(__over_sum, ${slot(arg)}) / __over_cnt)"
+            s"(element_at(__over_dsum, $n) / nullif(element_at(__over_dcnt, $n), 0))"
+          } else {
+            val n = slot(arg)
+            s"(element_at(__over_sum, $n) / nullif(${nnOf(n)}, 0))"
+          }
         // MIN/MAX are duplicate-insensitive: DISTINCT strips to the plain form
-        case "MIN" => s"element_at(__over_min, ${slot(arg)})"
-        case "MAX" => s"element_at(__over_max, ${slot(arg)})"
+        case "MIN" =>
+          val n = slot(arg)
+          s"(CASE WHEN ${nnOf(n)} > 0 THEN element_at(__over_min, $n) END)"
+        case "MAX" =>
+          val n = slot(arg)
+          s"(CASE WHEN ${nnOf(n)} > 0 THEN element_at(__over_max, $n) END)"
         // variance family from the kernels' sum-of-squares slot
         // (Flink aliases: STDDEV = STDDEV_SAMP, VARIANCE = VAR_SAMP);
         // greatest(0) clamps the fp-cancellation epsilon before sqrt.
@@ -241,11 +274,12 @@ object RowtimeOver {
             } else {
               val n = slot(arg)
               (s"element_at(__over_sum, $n)", s"element_at(__over_sumsq, $n)",
-                "__over_cnt")
+                nnOf(n))
             }
-          val varPop = s"greatest(0.0d, $q / $c - pow($s / $c, 2))"
-          // the 1-row/1-distinct-value frame must be NULL, not clamped:
-          // greatest() SKIPS nulls, so guard the sample division
+          // empty (all-null) frames must be NULL, not clamped:
+          // greatest() SKIPS nulls, so both divisions are guarded
+          val varPop = s"(CASE WHEN $c > 0 THEN " +
+            s"greatest(0.0d, $q / $c - pow($s / $c, 2)) END)"
           val varSamp = s"(CASE WHEN $c > 1 THEN " +
             s"greatest(0.0d, ($q - pow($s, 2) / $c) / ($c - 1)) END)"
           v match {
@@ -256,16 +290,21 @@ object RowtimeOver {
           }
         case "FIRST_VALUE" | "LAST_VALUE" if isDistinct =>
           fail(s"${m.group(1).toUpperCase}(DISTINCT ...) is not SQL")
-        case "FIRST_VALUE" => s"element_at(__over_first, ${slot(arg)})"
-        case "LAST_VALUE" => s"element_at(__over_last, ${slot(arg)})"
+        // positional functions are RESPECT NULLS (the SQL default): a
+        // frame whose first/last row holds NULL in the slot reports NULL
+        case "FIRST_VALUE" =>
+          val n = slot(arg)
+          s"(CASE WHEN coalesce(try_element_at(__over_first_null, $n), false) " +
+            s"THEN CAST(NULL AS DOUBLE) ELSE element_at(__over_first, $n) END)"
+        case "LAST_VALUE" =>
+          val n = slot(arg)
+          s"(CASE WHEN coalesce(try_element_at(__over_last_null, $n), false) " +
+            s"THEN CAST(NULL AS DOUBLE) ELSE element_at(__over_last, $n) END)"
         case "COUNT" =>
           if (isDistinct) s"element_at(__over_dcnt, ${distinctSlot(arg)})"
-          else {
-            if (arg != "*" && arg != "1")
-              fail("COUNT over a stream supports COUNT(*) / COUNT(1) / " +
-                "COUNT(DISTINCT col); null-skipping COUNT(col) is not modeled")
-            "__over_cnt"
-          }
+          else if (arg == "*" || arg == "1") "__over_cnt"
+          // null-skipping COUNT(col): the per-slot non-null count
+          else nnOf(slot(arg))
         case "ROW_NUMBER" =>
           if (arg.nonEmpty) fail("ROW_NUMBER takes no arguments")
           if (frame != UnboundedRows)
@@ -286,8 +325,13 @@ object RowtimeOver {
               fail(s"LAG offset must be a positive integer literal, saw '${parts(1)}'"))
           maxLag = math.max(maxLag, off)
           // missing predecessors → NULL (try_element_at, not element_at:
-          // the deploy runs under ANSI)
-          s"try_element_at(try_element_at(__over_lags, $off), ${slot(parts(0))})"
+          // the deploy runs under ANSI); a predecessor whose slot was
+          // NULL reports NULL too (the parallel lag null-mask)
+          val n = slot(parts(0))
+          s"(CASE WHEN coalesce(try_element_at(" +
+            s"try_element_at(__over_lags_null, $off), $n), false) THEN " +
+            s"CAST(NULL AS DOUBLE) ELSE " +
+            s"try_element_at(try_element_at(__over_lags, $off), $n) END)"
         case "LEAD" =>
           fail("LEAD over a rowtime stream sees no future rows (the frame " +
             "ends at CURRENT ROW) — Flink's streaming runtime has no " +
@@ -454,9 +498,22 @@ object RowtimeOver {
           "path or restructure with a numeric surrogate")
       }
     }
+    // values ride the kernel as a PRIMITIVE double vector; SQL null
+    // semantics ride a parallel mask (a null element in Seq[Double]
+    // fails the encoder's not-null assert) — masked slots carry 0.0
+    // and the kernels skip them per slot
     val valueExpr =
       if (spec.valueCols.isEmpty) array(lit(0.0))
-      else array(spec.valueCols.map(v => col(v).cast("double")): _*)
+      else array(spec.valueCols.map(v =>
+        coalesce(col(v).cast("double"), lit(0.0))): _*)
+    // null-free rows (the common case) ship the EMPTY mask — the
+    // kernels' no-nulls fast path; only rows actually carrying a null
+    // pay for a populated mask array
+    val emptyMask = expr("CAST(array() AS ARRAY<BOOLEAN>)")
+    val nullsExpr =
+      if (spec.valueCols.isEmpty) emptyMask
+      else when(spec.valueCols.map(v => isnull(col(v))).reduce(_ or _),
+        array(spec.valueCols.map(v => isnull(col(v))): _*)).otherwise(emptyMask)
     implicit val enc: org.apache.spark.sql.Encoder[OverIn] =
       org.apache.spark.sql.Encoders.product[OverIn]
     val keySchema = StructType(partFs)
@@ -464,7 +521,8 @@ object RowtimeOver {
       to_json(struct(partFs.map(f => col(f.name)): _*)).as("key"),
       col(spec.idCol).cast("long").as("id"),
       unix_millis(col(spec.orderCol).cast("timestamp")).as("ts_ms"),
-      valueExpr.as("values")).as[OverIn]
+      valueExpr.as("values"),
+      nullsExpr.as("nulls")).as[OverIn]
     val (out, pre) = spec.frame match {
       case RangeMs(ms) =>
         (OverOps.boundedRangeAgg(in, ms, lagMax = spec.maxLag,
@@ -490,9 +548,15 @@ object RowtimeOver {
         col(s"${pre}_max").as("__over_max"),
         col("first_v").as("__over_first"),
         col("last_v").as("__over_last"),
-        col("sumsq").as("__over_sumsq")) ++
+        col("sumsq").as("__over_sumsq"),
+        col("nn_cnt").as("__over_nn"),
+        col("first_null").as("__over_first_null"),
+        col("last_null").as("__over_last_null")) ++
       (if (spec.usesRn) Seq(col("rn").as("__over_rn")) else Nil) ++
-      (if (spec.maxLag > 0) Seq(col("lags").as("__over_lags")) else Nil) ++
+      (if (spec.maxLag > 0)
+        Seq(col("lags").as("__over_lags"),
+          col("lags_null").as("__over_lags_null"))
+      else Nil) ++
       (if (spec.distinctSlots.nonEmpty)
         Seq(col("dist_sum").as("__over_dsum"), col("dist_cnt").as("__over_dcnt"),
           col("dist_sumsq").as("__over_dsumsq"))

@@ -29,13 +29,42 @@ import org.apache.spark.sql.streaming._
   * inside the watermark slack) are folded in at the next firing in
   * arrival order — same best-effort as Flink applies behind its watermark.
   */
-case class OverIn(key: String, id: Long, ts_ms: Long, values: Seq[Double])
+/** `nulls` is the per-slot NULL mask of `values` (SQL semantics can't
+  * ride a primitive Seq[Double] alone — a null value column used to
+  * crash the encoder with NOT_NULL_ASSERT_VIOLATION): values carry 0.0
+  * where the mask is true, aggregates SKIP masked entries (per-slot
+  * non-null counts ride the output as `nn_cnt`), DISTINCT sets ignore
+  * them, and FIRST/LAST/LAG report their own masks so the splice can
+  * restore SQL's RESPECT-NULLS offset/positional semantics. A SHORT or
+  * empty mask means "no nulls" — existing producers stay valid.
+  */
+case class OverIn(key: String, id: Long, ts_ms: Long, values: Seq[Double],
+    nulls: Seq[Boolean])
 case class OverOut(key: String, id: Long, ts_ms: Long,
     running_sum: Seq[Double], running_cnt: Long, rn: Long,
     running_min: Seq[Double], running_max: Seq[Double],
     first_v: Seq[Double], last_v: Seq[Double], lags: Seq[Seq[Double]],
     dist_sum: Seq[Double], dist_cnt: Seq[Long], sumsq: Seq[Double],
-    dist_sumsq: Seq[Double])
+    dist_sumsq: Seq[Double], nn_cnt: Seq[Long],
+    first_null: Seq[Boolean], last_null: Seq[Boolean],
+    lags_null: Seq[Seq[Boolean]])
+
+private[streaming] object OverNulls {
+  /** Tolerant mask read: entries past the mask are non-null. */
+  def isNull(r: OverIn, j: Int): Boolean = j < r.nulls.length && r.nulls(j)
+  /** The row's full-length mask (padded for short producers). */
+  def mask(r: OverIn): Seq[Boolean] =
+    Seq.tabulate(r.values.length)(j => isNull(r, j))
+  /** The no-nulls FAST PATH: an all-false mask emits as the EMPTY seq —
+    * null metadata measurably taxes the per-row output encoder (the
+    * bounded kernel read ~1.6× slower emitting four populated arrays
+    * per row), and the SQL splice reads the null columns through
+    * `coalesce(try_element_at(...), default)`, so emptiness means
+    * "no nulls" for free.
+    */
+  def maskOrEmpty(r: OverIn): Seq[Boolean] =
+    if (r.nulls.exists(identity)) mask(r) else Seq.empty
+}
 
 /** The unbounded running kernel, two frames in one process:
   *  - `peerGrouped = false` → `ROWS UNBOUNDED PRECEDING`: every row gets
@@ -66,26 +95,28 @@ case class OverOut(key: String, id: Long, ts_ms: Long,
 class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
     distinctSlots: Set[Int] = Set.empty)
     extends KeyedProcess[String, OverIn, OverOut] {
+  // acc = (sum, cnt, mn, mx, fst, sq, nn non-null counts, fst null mask)
+  private type Acc = (Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double],
+    Seq[Double], Seq[Long], Seq[Boolean])
   @transient private var buf: ListState[OverIn] = _
-  @transient private var acc:
-    ValueState[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])] = _
-  @transient private var lagState: ValueState[Seq[Seq[Double]]] = _
+  @transient private var acc: ValueState[Acc] = _
+  @transient private var lagState:
+    ValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]])] = _
   @transient private var distState:
     ValueState[(Seq[Seq[Double]], Seq[Double], Seq[Long])] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
-    implicit val accEnc:
-      Encoder[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])] =
+    implicit val accEnc: Encoder[Acc] = ExpressionEncoder()
+    implicit val lagEnc: Encoder[(Seq[Seq[Double]], Seq[Seq[Boolean]])] =
       ExpressionEncoder()
-    implicit val lagEnc: Encoder[Seq[Seq[Double]]] = ExpressionEncoder()
     implicit val distEnc: Encoder[(Seq[Seq[Double]], Seq[Double], Seq[Long])] =
       ExpressionEncoder()
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
-    acc = h.getValueState[(Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double], Seq[Double])](
-      "acc", accEnc, TTLConfig.NONE)
+    acc = h.getValueState[Acc]("acc", accEnc, TTLConfig.NONE)
     if (lagMax > 0)
-      lagState = h.getValueState[Seq[Seq[Double]]]("lags", lagEnc, TTLConfig.NONE)
+      lagState = h.getValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]])](
+        "lags", lagEnc, TTLConfig.NONE)
     if (distinctSlots.nonEmpty)
       distState = h.getValueState[(Seq[Seq[Double]], Seq[Double], Seq[Long])](
         "dist", distEnc, TTLConfig.NONE)
@@ -104,12 +135,13 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
     if (ready.nonEmpty) {
       val sorted = ready.sortBy(r => (r.ts_ms, r.id))
       val k = sorted.head.values.length
-      var (sum, cnt, mn, mx, fst, sq) = Option(acc.get()).getOrElse((
+      var (sum, cnt, mn, mx, fst, sq, nn, fstNull) = Option(acc.get()).getOrElse((
         Seq.fill(k)(0.0), 0L, Seq.fill(k)(Double.PositiveInfinity),
         Seq.fill(k)(Double.NegativeInfinity), Seq.fill(k)(0.0),
-        Seq.fill(k)(0.0)))
-      var lags: Seq[Seq[Double]] =
-        if (lagMax > 0) Option(lagState.get()).getOrElse(Seq.empty) else Seq.empty
+        Seq.fill(k)(0.0), Seq.fill(k)(0L), Seq.fill(k)(false)))
+      var (lags, lagsNull): (Seq[Seq[Double]], Seq[Seq[Boolean]]) =
+        if (lagMax > 0) Option(lagState.get()).getOrElse((Seq.empty, Seq.empty))
+        else (Seq.empty, Seq.empty)
       // distinct tracking: live sets + running distinct sum/count per
       // slot; the distinct sum-of-squares (the VARIANCE-family DISTINCT
       // input) re-derives from the persisted set at firing start —
@@ -125,16 +157,25 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
             s0.map(_.map(v => v * v).sum).toArray)
         }
       def fold(r: OverIn): Unit = {
-        sum = sum.lazyZip(r.values).map(_ + _)
-        sq = sq.lazyZip(r.values).map((a, v) => a + v * v)
-        mn = mn.lazyZip(r.values).map(math.min)
-        mx = mx.lazyZip(r.values).map(math.max)
+        // SQL null semantics: masked slots skip every arithmetic
+        // aggregate and the distinct sets; nn counts non-null per slot
+        sum = Seq.tabulate(k)(j =>
+          if (OverNulls.isNull(r, j)) sum(j) else sum(j) + r.values(j))
+        sq = Seq.tabulate(k)(j =>
+          if (OverNulls.isNull(r, j)) sq(j) else sq(j) + r.values(j) * r.values(j))
+        mn = Seq.tabulate(k)(j =>
+          if (OverNulls.isNull(r, j)) mn(j) else math.min(mn(j), r.values(j)))
+        mx = Seq.tabulate(k)(j =>
+          if (OverNulls.isNull(r, j)) mx(j) else math.max(mx(j), r.values(j)))
+        nn = Seq.tabulate(k)(j =>
+          if (OverNulls.isNull(r, j)) nn(j) else nn(j) + 1L)
         cnt += 1
-        if (cnt == 1L) fst = r.values
+        if (cnt == 1L) { fst = r.values; fstNull = OverNulls.mask(r) }
         if (distinctSlots.nonEmpty) {
           var j = 0
           while (j < r.values.length) {
-            if (distinctSlots.contains(j) && dsets(j).add(r.values(j))) {
+            if (distinctSlots.contains(j) && !OverNulls.isNull(r, j) &&
+                dsets(j).add(r.values(j))) {
               dsum(j) += r.values(j); dcnt(j) += 1L
               dsq(j) += r.values(j) * r.values(j)
             }
@@ -148,32 +189,45 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
         if (distinctSlots.isEmpty) Seq.empty else dcnt.toSeq
       def dsqSnap: Seq[Double] =
         if (distinctSlots.isEmpty) Seq.empty else dsq.toSeq
+      // no-nulls fast path (see OverNulls.maskOrEmpty): empty metadata
+      // arrays when every slot's non-null count equals the row count
+      def nnOut: Seq[Long] = if (nn.forall(_ == cnt)) Seq.empty else nn
+      def fstNullOut: Seq[Boolean] =
+        if (fstNull.exists(identity)) fstNull else Seq.empty
       if (!peerGrouped) {
         sorted.foreach { r =>
           fold(r)
           emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, r.values,
-            lags, dsumSnap, dcntSnap, sq, dsqSnap))
-          if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
+            lags, dsumSnap, dcntSnap, sq, dsqSnap, nnOut, fstNullOut,
+            OverNulls.maskOrEmpty(r), lagsNull))
+          if (lagMax > 0) {
+            lags = (r.values +: lags).take(lagMax)
+            lagsNull = (OverNulls.maskOrEmpty(r) +: lagsNull).take(lagMax)
+          }
         }
       } else {
         // RANGE peers share the group-inclusive frame; LAG stays row-based
         sorted.groupBy(_.ts_ms).toSeq.sortBy(_._1).foreach { case (_, peers) =>
           val rowLags = peers.map { r =>
-            val snap = lags
-            if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
+            val snap = (lags, lagsNull)
+            if (lagMax > 0) {
+              lags = (r.values +: lags).take(lagMax)
+              lagsNull = (OverNulls.maskOrEmpty(r) +: lagsNull).take(lagMax)
+            }
             snap
           }
           peers.foreach(fold)
           val lastV = peers.last.values
+          val lastN = OverNulls.maskOrEmpty(peers.last)
           val (ds, dc, dq) = (dsumSnap, dcntSnap, dsqSnap)
-          peers.zip(rowLags).foreach { case (r, l) =>
+          peers.zip(rowLags).foreach { case (r, (l, ln)) =>
             emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, lastV,
-              l, ds, dc, sq, dq))
+              l, ds, dc, sq, dq, nnOut, fstNullOut, lastN, ln))
           }
         }
       }
-      acc.update((sum, cnt, mn, mx, fst, sq))
-      if (lagMax > 0) lagState.update(lags)
+      acc.update((sum, cnt, mn, mx, fst, sq, nn, fstNull))
+      if (lagMax > 0) lagState.update((lags, lagsNull))
       if (distinctSlots.nonEmpty)
         distState.update((dsets.map(_.toSeq).toSeq, dsum.toSeq, dcnt.toSeq))
       buf.clear()
@@ -199,7 +253,9 @@ case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
     range_min: Seq[Double], range_max: Seq[Double],
     first_v: Seq[Double], last_v: Seq[Double], lags: Seq[Seq[Double]],
     sumsq: Seq[Double], dist_sum: Seq[Double], dist_cnt: Seq[Long],
-    dist_sumsq: Seq[Double])
+    dist_sumsq: Seq[Double], nn_cnt: Seq[Long],
+    first_null: Seq[Boolean], last_null: Seq[Boolean],
+    lags_null: Seq[Seq[Boolean]])
 
 /** Streaming bounded-range OVER — the reference's
   * RowTimeRangeBoundedPrecedingFunction ([U] flink-table-runtime
@@ -219,16 +275,19 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
   @transient private var buf: ListState[OverIn] = _
   @transient private var recent: ListState[OverIn] = _
   @transient private var emittedUpTo: ValueState[Long] = _
-  @transient private var lagState: ValueState[Seq[Seq[Double]]] = _
+  @transient private var lagState:
+    ValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]])] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
-    implicit val lagEnc: Encoder[Seq[Seq[Double]]] = ExpressionEncoder()
+    implicit val lagEnc: Encoder[(Seq[Seq[Double]], Seq[Seq[Boolean]])] =
+      ExpressionEncoder()
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
     recent = h.getListState[OverIn]("recent", inEnc, TTLConfig.NONE)
     emittedUpTo = h.getValueState[Long]("emitted", Encoders.scalaLong, TTLConfig.NONE)
     if (lagMax > 0)
-      lagState = h.getValueState[Seq[Seq[Double]]]("lags", lagEnc, TTLConfig.NONE)
+      lagState = h.getValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]])](
+        "lags", lagEnc, TTLConfig.NONE)
   }
 
   override def onElement(key: String, v: OverIn, tv: TimerValues,
@@ -249,8 +308,9 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
     val (ready, pending) = buf.get().toArray.partition(_.ts_ms <= wm)
     if (ready.nonEmpty) {
       var window = recent.get().toArray
-      var lags: Seq[Seq[Double]] =
-        if (lagMax > 0) Option(lagState.get()).getOrElse(Seq.empty) else Seq.empty
+      var (lags, lagsNull): (Seq[Seq[Double]], Seq[Seq[Boolean]]) =
+        if (lagMax > 0) Option(lagState.get()).getOrElse((Seq.empty, Seq.empty))
+        else (Seq.empty, Seq.empty)
       // per distinct rowtime: evict, then every peer shares the frame of
       // [ts − range, ts] — the batch RANGE-frame peer semantics. The
       // window array stays in (ts, id) order: peers append in sorted
@@ -259,22 +319,25 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
       ready.sortBy(r => (r.ts_ms, r.id)).groupBy(_.ts_ms).toSeq.sortBy(_._1)
         .foreach { case (ts, peers) =>
           val rowLags = peers.map { r =>
-            val snap = lags
-            if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
+            val snap = (lags, lagsNull)
+            if (lagMax > 0) {
+              lags = (r.values +: lags).take(lagMax)
+              lagsNull = (OverNulls.mask(r) +: lagsNull).take(lagMax)
+            }
             snap
           }
           window = (window ++ peers).filter(_.ts_ms >= ts - rangeMs)
           val k = window.head.values.length
-          val sum = Seq.tabulate(k)(i => window.map(_.values(i)).sum)
-          val sq = Seq.tabulate(k)(i => window.map(r => r.values(i) * r.values(i)).sum)
-          val mn = Seq.tabulate(k)(i => window.map(_.values(i)).min)
-          val mx = Seq.tabulate(k)(i => window.map(_.values(i)).max)
+          val (sum, sq, mn, mx, nn0) = OverOps.windowFold(window, k)
           val cnt = window.length.toLong
+          val nn = if (nn0.forall(_ == cnt)) Seq.empty[Long] else nn0
           val (first, last) = (window.head.values, window.last.values)
+          val firstN = OverNulls.maskOrEmpty(window.head)
+          val lastN = OverNulls.maskOrEmpty(window.last)
           val (dsum, dcnt, dsq) = OverOps.distinctFold(window, k, distinctSlots)
-          peers.zip(rowLags).foreach { case (r, l) =>
+          peers.zip(rowLags).foreach { case (r, (l, ln)) =>
             emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt, mn, mx, first, last, l, sq,
-              dsum, dcnt, dsq))
+              dsum, dcnt, dsq, nn, firstN, lastN, ln))
           }
         }
       recent.clear()
@@ -282,7 +345,7 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
       buf.clear()
       if (pending.nonEmpty) buf.appendList(pending)
       emittedUpTo.update(ready.map(_.ts_ms).max)
-      if (lagMax > 0) lagState.update(lags)
+      if (lagMax > 0) lagState.update((lags, lagsNull))
     }
   }
 }
@@ -302,16 +365,19 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0,
   @transient private var buf: ListState[OverIn] = _
   @transient private var recent: ListState[OverIn] = _
   @transient private var emittedUpTo: ValueState[Long] = _
-  @transient private var lagState: ValueState[Seq[Seq[Double]]] = _
+  @transient private var lagState:
+    ValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]])] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
-    implicit val lagEnc: Encoder[Seq[Seq[Double]]] = ExpressionEncoder()
+    implicit val lagEnc: Encoder[(Seq[Seq[Double]], Seq[Seq[Boolean]])] =
+      ExpressionEncoder()
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
     recent = h.getListState[OverIn]("recent", inEnc, TTLConfig.NONE)
     emittedUpTo = h.getValueState[Long]("emitted", Encoders.scalaLong, TTLConfig.NONE)
     if (lagMax > 0)
-      lagState = h.getValueState[Seq[Seq[Double]]]("lags", lagEnc, TTLConfig.NONE)
+      lagState = h.getValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]])](
+        "lags", lagEnc, TTLConfig.NONE)
   }
 
   override def onElement(key: String, v: OverIn, tv: TimerValues,
@@ -332,20 +398,26 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0,
     val (ready, pending) = buf.get().toArray.partition(_.ts_ms <= wm)
     if (ready.nonEmpty) {
       var window = recent.get().toArray
-      var lags: Seq[Seq[Double]] =
-        if (lagMax > 0) Option(lagState.get()).getOrElse(Seq.empty) else Seq.empty
+      var (lags, lagsNull): (Seq[Seq[Double]], Seq[Seq[Boolean]]) =
+        if (lagMax > 0) Option(lagState.get()).getOrElse((Seq.empty, Seq.empty))
+        else (Seq.empty, Seq.empty)
       ready.sortBy(r => (r.ts_ms, r.id)).foreach { r =>
         window = (window :+ r).takeRight(nRows)
         val k = window.head.values.length
+        val cnt = window.length.toLong
+        val (sum, sq, mn, mx, nn0) = OverOps.windowFold(window, k)
+        val nn = if (nn0.forall(_ == cnt)) Seq.empty[Long] else nn0
         val (dsum, dcnt, dsq) = OverOps.distinctFold(window, k, distinctSlots)
         emit(BoundedOverOut(key, r.id, r.ts_ms,
-          Seq.tabulate(k)(i => window.map(_.values(i)).sum), window.length.toLong,
-          Seq.tabulate(k)(i => window.map(_.values(i)).min),
-          Seq.tabulate(k)(i => window.map(_.values(i)).max),
-          window.head.values, window.last.values, lags,
-          Seq.tabulate(k)(i => window.map(r => r.values(i) * r.values(i)).sum),
-          dsum, dcnt, dsq))
-        if (lagMax > 0) lags = (r.values +: lags).take(lagMax)
+          sum, cnt, mn, mx,
+          window.head.values, window.last.values, lags, sq,
+          dsum, dcnt, dsq, nn,
+          OverNulls.maskOrEmpty(window.head), OverNulls.maskOrEmpty(window.last),
+          lagsNull))
+        if (lagMax > 0) {
+          lags = (r.values +: lags).take(lagMax)
+          lagsNull = (OverNulls.maskOrEmpty(r) +: lagsNull).take(lagMax)
+        }
       }
       recent.clear()
       val keep = window.takeRight(math.max(nRows - 1, 0))
@@ -353,21 +425,56 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0,
       buf.clear()
       if (pending.nonEmpty) buf.appendList(pending)
       emittedUpTo.update(ready.map(_.ts_ms).max)
-      if (lagMax > 0) lagState.update(lags)
+      if (lagMax > 0) lagState.update((lags, lagsNull))
     }
   }
 }
 
 object OverOps {
+  /** Null-skipping frame fold over the retained window: per-slot
+    * (sum, sumsq, min, max, non-null count) — masked entries skip every
+    * aggregate (SQL semantics); an all-null slot leaves the ±∞ min/max
+    * placeholders and nn = 0, which the SQL splice turns into NULL.
+    */
+  private[streaming] def windowFold(window: Array[OverIn], k: Int)
+      : (Seq[Double], Seq[Double], Seq[Double], Seq[Double], Seq[Long]) = {
+    val sum = new Array[Double](k)
+    val sq = new Array[Double](k)
+    val mn = Array.fill(k)(Double.PositiveInfinity)
+    val mx = Array.fill(k)(Double.NegativeInfinity)
+    val nn = new Array[Long](k)
+    var i = 0
+    while (i < window.length) {
+      val r = window(i)
+      var j = 0
+      while (j < k) {
+        if (!OverNulls.isNull(r, j)) {
+          val v = r.values(j)
+          sum(j) += v; sq(j) += v * v
+          if (v < mn(j)) mn(j) = v
+          if (v > mx(j)) mx(j) = v
+          nn(j) += 1L
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (sum.toSeq, sq.toSeq, mn.toSeq, mx.toSeq, nn.toSeq)
+  }
+
   /** Frame-DISTINCT sum/count over the retained window, computed only
     * for the requested slots (0-based); (empty, empty) when none.
+    * NULL entries never enter the distinct sets (SQL DISTINCT
+    * aggregates skip them).
     */
   private[streaming] def distinctFold(window: Array[OverIn], k: Int,
       slots: Set[Int]): (Seq[Double], Seq[Long], Seq[Double]) =
     if (slots.isEmpty) (Seq.empty, Seq.empty, Seq.empty)
     else {
       val dvals = Seq.tabulate(k)(i =>
-        if (slots.contains(i)) window.map(_.values(i)).distinct else Array.empty[Double])
+        if (slots.contains(i))
+          window.filter(r => !OverNulls.isNull(r, i)).map(_.values(i)).distinct
+        else Array.empty[Double])
       (dvals.map(_.sum), dvals.map(_.length.toLong),
         dvals.map(_.map(v => v * v).sum))
     }

@@ -98,7 +98,10 @@ object StreamBench {
         graft.streaming.OverOps.boundedRowsAgg(
           input.toDF().withWatermark("ts", "10 seconds")
             .select($"user_id".cast("string").as("key"), $"event_id".as("id"),
-              unix_millis($"ts").as("ts_ms"), array($"value").as("values"))
+              unix_millis($"ts").as("ts_ms"), array($"value").as("values"),
+              // empty mask = "no nulls" (the fast path; a 1-element
+              // false mask would serialize per row for nothing)
+              expr("CAST(array() AS ARRAY<BOOLEAN>)").as("nulls"))
             .as[graft.streaming.OverIn], 10)
           .toDF()
       else if (topn)

@@ -2362,6 +2362,136 @@ class FlinkScriptSpec extends AnyFunSuite {
       "DROP TABLE distb_sink; DROP TABLE distv_sink; DROP TABLE distu_sink")
   }
 
+  test("streaming OVER: SQL NULL semantics — null values skip aggregates, stream equals batch") {
+    import spark.implicits._
+    // a NULL in a value column used to kill the query with the
+    // encoder's NOT_NULL assert; now nulls ride a parallel mask and the
+    // kernels implement exact SQL semantics: SUM/AVG/MIN/MAX/variance
+    // skip them (NULL over an all-null frame), COUNT(col) counts
+    // non-null, FIRST/LAST_VALUE and LAG are RESPECT NULLS
+    val dir = java.nio.file.Files.createTempDirectory("flink_over_null").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // user 1: v = 2, NULL, 5, NULL, 2 — first row non-null, later nulls
+    // interleave; user 2 starts WITH a null (first_value must be NULL)
+    Seq((1L, 1L, t(10), Some(2.0)), (2L, 1L, t(20), None),
+      (3L, 1L, t(30), Some(5.0)), (4L, 1L, t(40), None),
+      (5L, 1L, t(50), Some(2.0)),
+      (6L, 2L, t(10), None), (7L, 2L, t(20), Some(7.0)),
+      (9L, 9L, t(900), Some(0.0)))
+      .toDF("event_id", "user_id", "ts", "v")
+      .write.mode("append").parquet(s"$dir/nul_src")
+    FlinkSql.run(spark,
+      s"""CREATE TABLE nul_src (
+         |  event_id BIGINT, user_id BIGINT, ts TIMESTAMP(3), v DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/nul_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE nul_sink (event_id BIGINT, s DOUBLE, a DOUBLE,
+         |  cs BIGINT, c BIGINT, mn DOUBLE, mx DOUBLE, fv DOUBLE, lv DOUBLE,
+         |  lg DOUBLE, sd DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/nul_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    val sel =
+      """SELECT event_id, sum(v) OVER w AS s, avg(v) OVER w AS a,
+        |  count(v) OVER w AS cs, count(*) OVER w AS c,
+        |  min(v) OVER w AS mn, max(v) OVER w AS mx,
+        |  first_value(v) OVER w AS fv, last_value(v) OVER w AS lv,
+        |  lag(v) OVER w AS lg, stddev_pop(v) OVER w AS sd
+        |FROM nul_src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+    FlinkSql.runStream(spark, s"INSERT INTO nul_sink $sel",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .filter(r => r.getLong(0) != 9L)
+      .map { r =>
+        def d(i: Int) = if (r.isNullAt(i)) None
+          else Some(BigDecimal(r.getDouble(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        (r.getLong(0), d(1), d(2), r.getLong(3), r.getLong(4), d(5), d(6),
+          d(7), d(8), d(9), d(10))
+      }.toSet
+    val got = shape(spark.read.parquet(s"$dir/nul_sink"))
+    // batch Spark implements exact SQL null semantics — the oracle.
+    // Batch-side syntactic delta: Spark's batch planner rejects LAG
+    // with an explicit frame (offset functions are frameless there),
+    // so the oracle text gives LAG its own frameless window
+    val want = shape(FlinkSql.sql(spark, sel.replace("lag(v) OVER w",
+      "lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id)")))
+    assert(got == want && got.nonEmpty,
+      s"null semantics stream vs batch:\n  stream-only=${(got -- want).take(3)}" +
+        s"\n  batch-only=${(want -- got).take(3)}")
+    // pin the load-bearing rows: user 2's first row is NULL — FIRST_VALUE
+    // NULL forever (RESPECT NULLS), COUNT(v)=0 vs COUNT(*)=1, SUM NULL;
+    // user 1 event 2: LAG(v) = 2.0, LAST_VALUE = NULL
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(6L)._2.isEmpty && byId(6L)._4 == 0L && byId(6L)._5 == 1L &&
+      byId(6L)._8.isEmpty, s"all-null frame row: ${byId(6L)}")
+    assert(byId(7L)._8.isEmpty && byId(7L)._2.contains(BigDecimal(7.0).setScale(6)),
+      s"user 2 keeps the NULL first_value: ${byId(7L)}")
+    assert(byId(2L)._9.isEmpty && byId(2L)._10.contains(BigDecimal(2.0).setScale(6)),
+      s"event 2: last_value NULL, lag 2.0: ${byId(2L)}")
+    assert(byId(3L)._10.isEmpty, s"event 3's lag is the NULL row: ${byId(3L)}")
+    // bounded ROWS frame: same statement, 1 PRECEDING — eviction of a
+    // null and an all-null frame are both exercised
+    FlinkSql.run(spark,
+      s"""CREATE TABLE nul_sink2 (event_id BIGINT, s DOUBLE, cs BIGINT,
+         |  mn DOUBLE, sd DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/nul_sink2',
+         |      'format' = 'parquet')""".stripMargin)
+    val sel2 =
+      """SELECT event_id, sum(v) OVER w AS s, count(v) OVER w AS cs,
+        |  min(v) OVER w AS mn, stddev_pop(v) OVER w AS sd
+        |FROM nul_src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin
+    FlinkSql.runStream(spark, s"INSERT INTO nul_sink2 $sel2",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    def shape2(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .filter(r => r.getLong(0) != 9L)
+      .map { r =>
+        def d(i: Int) = if (r.isNullAt(i)) None
+          else Some(BigDecimal(r.getDouble(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        (r.getLong(0), d(1), r.getLong(2), d(3), d(4))
+      }.toSet
+    val got2 = shape2(spark.read.parquet(s"$dir/nul_sink2"))
+    val want2 = shape2(FlinkSql.sql(spark, sel2))
+    assert(got2 == want2 && got2.nonEmpty,
+      s"bounded null semantics stream vs batch:\n  stream-only=${(got2 -- want2).take(3)}" +
+        s"\n  batch-only=${(want2 -- got2).take(3)}")
+    // event 4's frame is {NULL(3? no: 3=5.0), NULL} — frame {5.0, NULL}:
+    // cs=1; event 6's frame is {NULL}: SUM/MIN/SD all NULL, cs=0
+    val byId2 = got2.map(r => r._1 -> r).toMap
+    assert(byId2(6L)._2.isEmpty && byId2(6L)._3 == 0L && byId2(6L)._4.isEmpty,
+      s"all-null bounded frame: ${byId2(6L)}")
+    // DISTINCT with nulls: batch Spark rejects DISTINCT window aggs, so
+    // hand oracle — user 1 values 2, NULL, 5, NULL, 2 → distinct {2, 5}
+    FlinkSql.runStream(spark,
+      s"""CREATE TABLE nul_sink3 (event_id BIGINT, ds DOUBLE, dc BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/nul_sink3',
+         |      'format' = 'parquet');
+         |INSERT INTO nul_sink3
+         |SELECT event_id, sum(DISTINCT v) OVER w AS ds,
+         |       count(DISTINCT v) OVER w AS dc
+         |FROM nul_src
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    val got3 = spark.read.parquet(s"$dir/nul_sink3").collect()
+      .filter(_.getLong(0) != 9L)
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1.0 else r.getDouble(1), r.getLong(2))).toSet
+    assert(got3 == Set(
+      (1L, 2.0, 1L), (2L, 2.0, 1L),   // the NULL joins no distinct set
+      (3L, 7.0, 2L), (4L, 7.0, 2L), (5L, 7.0, 2L),
+      (6L, -1.0, 0L),                  // all-null: SUM DISTINCT is NULL
+      (7L, 7.0, 1L)), got3.toString)
+    FlinkSql.run(spark, "DROP TABLE nul_src; DROP TABLE nul_sink; " +
+      "DROP TABLE nul_sink2; DROP TABLE nul_sink3")
+  }
+
   test("streaming proc-time OVER INSERT: running agg + ROWS n PRECEDING on a PROCTIME() column") {
     import spark.implicits._
     // [U] flink-table-runtime operators/over/ ProcTime{Range,Rows}-

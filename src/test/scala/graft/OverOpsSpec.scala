@@ -28,7 +28,8 @@ class OverOpsSpec extends AnyFunSuite {
       Raw(2, 6, new java.sql.Timestamp(1040 * 1000), 20.0))
     val input = MemoryStream[Raw]
     val toIn = (df: org.apache.spark.sql.DataFrame) => df
-      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values")).as[OverIn]
+      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values"),
+        array(lit(false)).as("nulls")).as[OverIn]
     val q = OverOps.runningAgg(toIn(input.toDF().withWatermark("ts", "5 seconds")))
       .writeStream.outputMode("append").format("memory").queryName("over_out").start()
     try {
@@ -66,7 +67,8 @@ class OverOpsSpec extends AnyFunSuite {
       Raw(2, 7, new java.sql.Timestamp(1250 * 1000), 10.0))
     val input = MemoryStream[Raw]
     val toIn = (df: org.apache.spark.sql.DataFrame) => df
-      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values")).as[OverIn]
+      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values"),
+        array(lit(false)).as("nulls")).as[OverIn]
     val q = OverOps.boundedRangeAgg(
         toIn(input.toDF().withWatermark("ts", "5 seconds")), 120000L)
       .writeStream.outputMode("append").format("memory").queryName("bover_out").start()
@@ -107,7 +109,8 @@ class OverOpsSpec extends AnyFunSuite {
       Raw(2, 7, new java.sql.Timestamp(1025 * 1000), 10.0))
     val input = MemoryStream[Raw]
     val toIn = (df: org.apache.spark.sql.DataFrame) => df
-      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values")).as[OverIn]
+      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values"),
+        array(lit(false)).as("nulls")).as[OverIn]
     val q = OverOps.boundedRowsAgg(
         toIn(input.toDF().withWatermark("ts", "5 seconds")), 3)
       .writeStream.outputMode("append").format("memory").queryName("rover_out").start()
@@ -140,7 +143,8 @@ class OverOpsSpec extends AnyFunSuite {
       Raw(1, 2, new java.sql.Timestamp(50 * 1000), 2.0))
     val input = MemoryStream[Raw]
     val toIn = (df: org.apache.spark.sql.DataFrame) => df
-      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values")).as[OverIn]
+      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values"),
+        array(lit(false)).as("nulls")).as[OverIn]
     val q = OverOps.boundedRangeAgg(
         toIn(input.toDF().withWatermark("ts", "5 seconds")), 120000L)
       .writeStream.outputMode("append").format("memory").queryName("eover_out").start()
