@@ -35,7 +35,10 @@ import org.apache.spark.sql.types._
   *    any mix of NUMERIC value columns (each aggregate names its own
   *    column — the distinct columns ride the kernel as one DOUBLE
   *    vector, one `element_at` slot per column, and results come back
-  *    DOUBLE; non-numeric value columns fail typed), COUNT(*) and
+  *    DOUBLE; FIRST_VALUE / LAST_VALUE / LAG additionally accept
+  *    STRING columns, which ride a separate native-null string vector
+  *    and come back STRING — other non-numeric value columns fail
+  *    typed), COUNT(*) and
   *    null-skipping COUNT(col), ROW_NUMBER() on the unbounded ROWS
   *    frame, LAG(col [, n])
   *    on EVERY frame (row-based even under RANGE peers, NULL before
@@ -111,7 +114,8 @@ object RowtimeOver {
 
   final case class Spec(partCols: Seq[String], orderCol: String, frame: Frame,
       valueCols: Seq[String], idCol: String, rewritten: String, usesRn: Boolean,
-      maxLag: Int, distinctSlots: Seq[Int], fromTable: String, fromSpan: (Int, Int))
+      maxLag: Int, distinctSlots: Seq[Int], fromTable: String, fromSpan: (Int, Int),
+      stringCols: Seq[String])
 
   private def unitMs(u: String): Long = u.toUpperCase match {
     case "SECOND" => 1000L
@@ -127,9 +131,14 @@ object RowtimeOver {
   /** Parse the declared OVER subset out of `select`, producing the spec
     * and the rewritten outer text (agg spans replaced with `__over_*`
     * references, WINDOW clause stripped, source-table span tracked for
-    * the exact splice in [[lower]]).
+    * the exact splice in [[lower]]). `isStringCol` (schema-aware,
+    * supplied by [[lower]]) routes a positional/offset function's
+    * column onto the STRING slot vector; the default (all-numeric)
+    * serves the schema-free callers — the routing probe and the
+    * parse-totality fuzz.
     */
-  def parse(select: String): Spec = {
+  def parse(select: String,
+      isStringCol: String => Boolean = _ => false): Spec = {
     // ---- locate the window spec (named WINDOW clause or inline) ----
     val winRe = raw"(?is)\bWINDOW\s+(\w+)\s+AS\s*\(".r
     val named = winRe.findAllMatchIn(select).toList
@@ -203,6 +212,14 @@ object RowtimeOver {
     // per-slot non-null count defaults to the frame row count
     def nnOf(n: Int): String =
       s"coalesce(try_element_at(__over_nn, $n), __over_cnt)"
+    // STRING slots (FIRST/LAST_VALUE and LAG over string columns) ride
+    // a separate vector — strings hold SQL NULL natively there
+    val stringCols = scala.collection.mutable.ArrayBuffer.empty[String]
+    def sslot(c: String): Int = {
+      val b = bare(c.trim)
+      val at = stringCols.indexWhere(_.equalsIgnoreCase(b))
+      if (at >= 0) at + 1 else { stringCols += b; stringCols.length }
+    }
     val repl = aggRe.findAllMatchIn(select).toList.map { m =>
       // span end: OVER <name> or OVER (...)
       var i = m.end
@@ -293,13 +310,19 @@ object RowtimeOver {
         // positional functions are RESPECT NULLS (the SQL default): a
         // frame whose first/last row holds NULL in the slot reports NULL
         case "FIRST_VALUE" =>
-          val n = slot(arg)
-          s"(CASE WHEN coalesce(try_element_at(__over_first_null, $n), false) " +
-            s"THEN CAST(NULL AS DOUBLE) ELSE element_at(__over_first, $n) END)"
+          if (isStringCol(bare(arg))) s"element_at(__over_first_s, ${sslot(arg)})"
+          else {
+            val n = slot(arg)
+            s"(CASE WHEN coalesce(try_element_at(__over_first_null, $n), false) " +
+              s"THEN CAST(NULL AS DOUBLE) ELSE element_at(__over_first, $n) END)"
+          }
         case "LAST_VALUE" =>
-          val n = slot(arg)
-          s"(CASE WHEN coalesce(try_element_at(__over_last_null, $n), false) " +
-            s"THEN CAST(NULL AS DOUBLE) ELSE element_at(__over_last, $n) END)"
+          if (isStringCol(bare(arg))) s"element_at(__over_last_s, ${sslot(arg)})"
+          else {
+            val n = slot(arg)
+            s"(CASE WHEN coalesce(try_element_at(__over_last_null, $n), false) " +
+              s"THEN CAST(NULL AS DOUBLE) ELSE element_at(__over_last, $n) END)"
+          }
         case "COUNT" =>
           if (isDistinct) s"element_at(__over_dcnt, ${distinctSlot(arg)})"
           else if (arg == "*" || arg == "1") "__over_cnt"
@@ -326,12 +349,17 @@ object RowtimeOver {
           maxLag = math.max(maxLag, off)
           // missing predecessors → NULL (try_element_at, not element_at:
           // the deploy runs under ANSI); a predecessor whose slot was
-          // NULL reports NULL too (the parallel lag null-mask)
-          val n = slot(parts(0))
-          s"(CASE WHEN coalesce(try_element_at(" +
-            s"try_element_at(__over_lags_null, $off), $n), false) THEN " +
-            s"CAST(NULL AS DOUBLE) ELSE " +
-            s"try_element_at(try_element_at(__over_lags, $off), $n) END)"
+          // NULL reports NULL too (the parallel lag null-mask; string
+          // slots hold NULL natively)
+          if (isStringCol(bare(parts(0))))
+            s"try_element_at(try_element_at(__over_lags_s, $off), ${sslot(parts(0))})"
+          else {
+            val n = slot(parts(0))
+            s"(CASE WHEN coalesce(try_element_at(" +
+              s"try_element_at(__over_lags_null, $off), $n), false) THEN " +
+              s"CAST(NULL AS DOUBLE) ELSE " +
+              s"try_element_at(try_element_at(__over_lags, $off), $n) END)"
+          }
         case "LEAD" =>
           fail("LEAD over a rowtime stream sees no future rows (the frame " +
             "ends at CURRENT ROW) — Flink's streaming runtime has no " +
@@ -428,7 +456,7 @@ object RowtimeOver {
     val span = (fromAt + 4 + srcM.start(1), fromAt + 4 + srcM.end(1))
 
     Spec(partCols, orderCol, frame, valueCols.toSeq, idCol, text, usesRn,
-      maxLag, distinctSlots.toSeq, fromTable, span)
+      maxLag, distinctSlots.toSeq, fromTable, span, stringCols.toSeq)
   }
 
   private def requireIntegral(schema: StructType, c: String, role: String): StructField = {
@@ -466,7 +494,9 @@ object RowtimeOver {
   def lower(spark: SparkSession, select: String, source: String,
       rowtimeCol: String): DataFrame = {
     import graft.streaming.{OverIn, OverOps}
-    val spec = parse(select)
+    val srcSchema = spark.table(source).schema
+    val spec = parse(select, c => srcSchema.fields
+      .exists(f => f.name.equalsIgnoreCase(c) && f.dataType == StringType))
     if (!spec.orderCol.equalsIgnoreCase(rowtimeCol))
       fail(s"ORDER BY '${spec.orderCol}' must be the deployment's time " +
         s"attribute ('$rowtimeCol') — the declared watermark rowtime, or a " +
@@ -492,10 +522,11 @@ object RowtimeOver {
       f.dataType match {
         case _: NumericType => ()
         case t => fail(s"aggregate value column '$v' is ${t.sql} — the " +
-          "streaming kernel carries values as a DOUBLE vector, so only " +
-          "numeric columns deploy (results come back DOUBLE); for " +
-          "FIRST_VALUE/LAST_VALUE over strings/timestamps keep the batch " +
-          "path or restructure with a numeric surrogate")
+          "streaming kernel carries arithmetic values as a DOUBLE vector, " +
+          "so only numeric columns deploy there (results come back " +
+          "DOUBLE); FIRST_VALUE/LAST_VALUE/LAG accept STRING columns (a " +
+          "separate string slot vector) — for timestamps keep the batch " +
+          "path or restructure with a numeric surrogate (unix_millis)")
       }
     }
     // values ride the kernel as a PRIMITIVE double vector; SQL null
@@ -514,6 +545,18 @@ object RowtimeOver {
       if (spec.valueCols.isEmpty) emptyMask
       else when(spec.valueCols.map(v => isnull(col(v))).reduce(_ or _),
         array(spec.valueCols.map(v => isnull(col(v))): _*)).otherwise(emptyMask)
+    // STRING slots (FIRST/LAST_VALUE and LAG over string columns):
+    // verified StringType here so a non-string, non-numeric column
+    // still fails typed below
+    spec.stringCols.foreach { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        fail(s"string value column '$c' is not a source column"))
+      if (f.dataType != StringType)
+        fail(s"string slot column '$c' resolved ${f.dataType.sql} — internal routing error")
+    }
+    val svaluesExpr =
+      if (spec.stringCols.isEmpty) expr("CAST(array() AS ARRAY<STRING>)")
+      else array(spec.stringCols.map(col(_)): _*)
     implicit val enc: org.apache.spark.sql.Encoder[OverIn] =
       org.apache.spark.sql.Encoders.product[OverIn]
     val keySchema = StructType(partFs)
@@ -522,7 +565,8 @@ object RowtimeOver {
       col(spec.idCol).cast("long").as("id"),
       unix_millis(col(spec.orderCol).cast("timestamp")).as("ts_ms"),
       valueExpr.as("values"),
-      nullsExpr.as("nulls")).as[OverIn]
+      nullsExpr.as("nulls"),
+      svaluesExpr.as("svalues")).as[OverIn]
     val (out, pre) = spec.frame match {
       case RangeMs(ms) =>
         (OverOps.boundedRangeAgg(in, ms, lagMax = spec.maxLag,
@@ -555,7 +599,13 @@ object RowtimeOver {
       (if (spec.usesRn) Seq(col("rn").as("__over_rn")) else Nil) ++
       (if (spec.maxLag > 0)
         Seq(col("lags").as("__over_lags"),
-          col("lags_null").as("__over_lags_null"))
+          col("lags_null").as("__over_lags_null")) ++
+          (if (spec.stringCols.nonEmpty)
+            Seq(col("lags_s").as("__over_lags_s")) else Nil)
+      else Nil) ++
+      (if (spec.stringCols.nonEmpty)
+        Seq(col("first_s").as("__over_first_s"),
+          col("last_s").as("__over_last_s"))
       else Nil) ++
       (if (spec.distinctSlots.nonEmpty)
         Seq(col("dist_sum").as("__over_dsum"), col("dist_cnt").as("__over_dcnt"),

@@ -37,9 +37,16 @@ import org.apache.spark.sql.streaming._
   * them, and FIRST/LAST/LAG report their own masks so the splice can
   * restore SQL's RESPECT-NULLS offset/positional semantics. A SHORT or
   * empty mask means "no nulls" — existing producers stay valid.
+  *
+  * `svalues` carries STRING value slots — the positional/offset
+  * functions' non-numeric surface (FIRST_VALUE/LAST_VALUE/LAG over a
+  * string column): a separate vector because strings hold SQL NULL
+  * natively (object array — no mask needed) and never enter the
+  * arithmetic folds. Empty when no string slot is requested — the
+  * kernels then carry and emit empty string metadata at ~zero cost.
   */
 case class OverIn(key: String, id: Long, ts_ms: Long, values: Seq[Double],
-    nulls: Seq[Boolean])
+    nulls: Seq[Boolean], svalues: Seq[String])
 case class OverOut(key: String, id: Long, ts_ms: Long,
     running_sum: Seq[Double], running_cnt: Long, rn: Long,
     running_min: Seq[Double], running_max: Seq[Double],
@@ -47,7 +54,8 @@ case class OverOut(key: String, id: Long, ts_ms: Long,
     dist_sum: Seq[Double], dist_cnt: Seq[Long], sumsq: Seq[Double],
     dist_sumsq: Seq[Double], nn_cnt: Seq[Long],
     first_null: Seq[Boolean], last_null: Seq[Boolean],
-    lags_null: Seq[Seq[Boolean]])
+    lags_null: Seq[Seq[Boolean]],
+    first_s: Seq[String], last_s: Seq[String], lags_s: Seq[Seq[String]])
 
 private[streaming] object OverNulls {
   /** Tolerant mask read: entries past the mask are non-null. */
@@ -95,28 +103,27 @@ private[streaming] object OverNulls {
 class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
     distinctSlots: Set[Int] = Set.empty)
     extends KeyedProcess[String, OverIn, OverOut] {
-  // acc = (sum, cnt, mn, mx, fst, sq, nn non-null counts, fst null mask)
+  // acc = (sum, cnt, mn, mx, fst, sq, nn non-null counts, fst null mask,
+  //        fst string slots)
   private type Acc = (Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double],
-    Seq[Double], Seq[Long], Seq[Boolean])
+    Seq[Double], Seq[Long], Seq[Boolean], Seq[String])
+  private type Lags = (Seq[Seq[Double]], Seq[Seq[Boolean]], Seq[Seq[String]])
   @transient private var buf: ListState[OverIn] = _
   @transient private var acc: ValueState[Acc] = _
-  @transient private var lagState:
-    ValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]])] = _
+  @transient private var lagState: ValueState[Lags] = _
   @transient private var distState:
     ValueState[(Seq[Seq[Double]], Seq[Double], Seq[Long])] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
     implicit val accEnc: Encoder[Acc] = ExpressionEncoder()
-    implicit val lagEnc: Encoder[(Seq[Seq[Double]], Seq[Seq[Boolean]])] =
-      ExpressionEncoder()
+    implicit val lagEnc: Encoder[Lags] = ExpressionEncoder()
     implicit val distEnc: Encoder[(Seq[Seq[Double]], Seq[Double], Seq[Long])] =
       ExpressionEncoder()
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
     acc = h.getValueState[Acc]("acc", accEnc, TTLConfig.NONE)
     if (lagMax > 0)
-      lagState = h.getValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]])](
-        "lags", lagEnc, TTLConfig.NONE)
+      lagState = h.getValueState[Lags]("lags", lagEnc, TTLConfig.NONE)
     if (distinctSlots.nonEmpty)
       distState = h.getValueState[(Seq[Seq[Double]], Seq[Double], Seq[Long])](
         "dist", distEnc, TTLConfig.NONE)
@@ -135,13 +142,16 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
     if (ready.nonEmpty) {
       val sorted = ready.sortBy(r => (r.ts_ms, r.id))
       val k = sorted.head.values.length
-      var (sum, cnt, mn, mx, fst, sq, nn, fstNull) = Option(acc.get()).getOrElse((
-        Seq.fill(k)(0.0), 0L, Seq.fill(k)(Double.PositiveInfinity),
-        Seq.fill(k)(Double.NegativeInfinity), Seq.fill(k)(0.0),
-        Seq.fill(k)(0.0), Seq.fill(k)(0L), Seq.fill(k)(false)))
-      var (lags, lagsNull): (Seq[Seq[Double]], Seq[Seq[Boolean]]) =
-        if (lagMax > 0) Option(lagState.get()).getOrElse((Seq.empty, Seq.empty))
-        else (Seq.empty, Seq.empty)
+      var (sum, cnt, mn, mx, fst, sq, nn, fstNull, fstS) =
+        Option(acc.get()).getOrElse((
+          Seq.fill(k)(0.0), 0L, Seq.fill(k)(Double.PositiveInfinity),
+          Seq.fill(k)(Double.NegativeInfinity), Seq.fill(k)(0.0),
+          Seq.fill(k)(0.0), Seq.fill(k)(0L), Seq.fill(k)(false),
+          Seq.empty[String]))
+      var (lags, lagsNull, lagsS): (Seq[Seq[Double]], Seq[Seq[Boolean]], Seq[Seq[String]]) =
+        if (lagMax > 0)
+          Option(lagState.get()).getOrElse((Seq.empty, Seq.empty, Seq.empty))
+        else (Seq.empty, Seq.empty, Seq.empty)
       // distinct tracking: live sets + running distinct sum/count per
       // slot; the distinct sum-of-squares (the VARIANCE-family DISTINCT
       // input) re-derives from the persisted set at firing start —
@@ -170,7 +180,7 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
         nn = Seq.tabulate(k)(j =>
           if (OverNulls.isNull(r, j)) nn(j) else nn(j) + 1L)
         cnt += 1
-        if (cnt == 1L) { fst = r.values; fstNull = OverNulls.mask(r) }
+        if (cnt == 1L) { fst = r.values; fstNull = OverNulls.mask(r); fstS = r.svalues }
         if (distinctSlots.nonEmpty) {
           var j = 0
           while (j < r.values.length) {
@@ -199,35 +209,38 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
           fold(r)
           emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, r.values,
             lags, dsumSnap, dcntSnap, sq, dsqSnap, nnOut, fstNullOut,
-            OverNulls.maskOrEmpty(r), lagsNull))
+            OverNulls.maskOrEmpty(r), lagsNull, fstS, r.svalues, lagsS))
           if (lagMax > 0) {
             lags = (r.values +: lags).take(lagMax)
             lagsNull = (OverNulls.maskOrEmpty(r) +: lagsNull).take(lagMax)
+            lagsS = (r.svalues +: lagsS).take(lagMax)
           }
         }
       } else {
         // RANGE peers share the group-inclusive frame; LAG stays row-based
         sorted.groupBy(_.ts_ms).toSeq.sortBy(_._1).foreach { case (_, peers) =>
           val rowLags = peers.map { r =>
-            val snap = (lags, lagsNull)
+            val snap = (lags, lagsNull, lagsS)
             if (lagMax > 0) {
               lags = (r.values +: lags).take(lagMax)
               lagsNull = (OverNulls.maskOrEmpty(r) +: lagsNull).take(lagMax)
+              lagsS = (r.svalues +: lagsS).take(lagMax)
             }
             snap
           }
           peers.foreach(fold)
           val lastV = peers.last.values
           val lastN = OverNulls.maskOrEmpty(peers.last)
+          val lastS = peers.last.svalues
           val (ds, dc, dq) = (dsumSnap, dcntSnap, dsqSnap)
-          peers.zip(rowLags).foreach { case (r, (l, ln)) =>
+          peers.zip(rowLags).foreach { case (r, (l, ln, ls)) =>
             emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, lastV,
-              l, ds, dc, sq, dq, nnOut, fstNullOut, lastN, ln))
+              l, ds, dc, sq, dq, nnOut, fstNullOut, lastN, ln, fstS, lastS, ls))
           }
         }
       }
-      acc.update((sum, cnt, mn, mx, fst, sq, nn, fstNull))
-      if (lagMax > 0) lagState.update((lags, lagsNull))
+      acc.update((sum, cnt, mn, mx, fst, sq, nn, fstNull, fstS))
+      if (lagMax > 0) lagState.update((lags, lagsNull, lagsS))
       if (distinctSlots.nonEmpty)
         distState.update((dsets.map(_.toSeq).toSeq, dsum.toSeq, dcnt.toSeq))
       buf.clear()
@@ -255,7 +268,8 @@ case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
     sumsq: Seq[Double], dist_sum: Seq[Double], dist_cnt: Seq[Long],
     dist_sumsq: Seq[Double], nn_cnt: Seq[Long],
     first_null: Seq[Boolean], last_null: Seq[Boolean],
-    lags_null: Seq[Seq[Boolean]])
+    lags_null: Seq[Seq[Boolean]],
+    first_s: Seq[String], last_s: Seq[String], lags_s: Seq[Seq[String]])
 
 /** Streaming bounded-range OVER — the reference's
   * RowTimeRangeBoundedPrecedingFunction ([U] flink-table-runtime
@@ -276,17 +290,17 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
   @transient private var recent: ListState[OverIn] = _
   @transient private var emittedUpTo: ValueState[Long] = _
   @transient private var lagState:
-    ValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]])] = _
+    ValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]], Seq[Seq[String]])] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
-    implicit val lagEnc: Encoder[(Seq[Seq[Double]], Seq[Seq[Boolean]])] =
+    implicit val lagEnc: Encoder[(Seq[Seq[Double]], Seq[Seq[Boolean]], Seq[Seq[String]])] =
       ExpressionEncoder()
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
     recent = h.getListState[OverIn]("recent", inEnc, TTLConfig.NONE)
     emittedUpTo = h.getValueState[Long]("emitted", Encoders.scalaLong, TTLConfig.NONE)
     if (lagMax > 0)
-      lagState = h.getValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]])](
+      lagState = h.getValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]], Seq[Seq[String]])](
         "lags", lagEnc, TTLConfig.NONE)
   }
 
@@ -308,9 +322,10 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
     val (ready, pending) = buf.get().toArray.partition(_.ts_ms <= wm)
     if (ready.nonEmpty) {
       var window = recent.get().toArray
-      var (lags, lagsNull): (Seq[Seq[Double]], Seq[Seq[Boolean]]) =
-        if (lagMax > 0) Option(lagState.get()).getOrElse((Seq.empty, Seq.empty))
-        else (Seq.empty, Seq.empty)
+      var (lags, lagsNull, lagsS): (Seq[Seq[Double]], Seq[Seq[Boolean]], Seq[Seq[String]]) =
+        if (lagMax > 0)
+          Option(lagState.get()).getOrElse((Seq.empty, Seq.empty, Seq.empty))
+        else (Seq.empty, Seq.empty, Seq.empty)
       // per distinct rowtime: evict, then every peer shares the frame of
       // [ts − range, ts] — the batch RANGE-frame peer semantics. The
       // window array stays in (ts, id) order: peers append in sorted
@@ -319,10 +334,11 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
       ready.sortBy(r => (r.ts_ms, r.id)).groupBy(_.ts_ms).toSeq.sortBy(_._1)
         .foreach { case (ts, peers) =>
           val rowLags = peers.map { r =>
-            val snap = (lags, lagsNull)
+            val snap = (lags, lagsNull, lagsS)
             if (lagMax > 0) {
               lags = (r.values +: lags).take(lagMax)
-              lagsNull = (OverNulls.mask(r) +: lagsNull).take(lagMax)
+              lagsNull = (OverNulls.maskOrEmpty(r) +: lagsNull).take(lagMax)
+              lagsS = (r.svalues +: lagsS).take(lagMax)
             }
             snap
           }
@@ -334,10 +350,11 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
           val (first, last) = (window.head.values, window.last.values)
           val firstN = OverNulls.maskOrEmpty(window.head)
           val lastN = OverNulls.maskOrEmpty(window.last)
+          val (firstS, lastS) = (window.head.svalues, window.last.svalues)
           val (dsum, dcnt, dsq) = OverOps.distinctFold(window, k, distinctSlots)
-          peers.zip(rowLags).foreach { case (r, (l, ln)) =>
+          peers.zip(rowLags).foreach { case (r, (l, ln, ls)) =>
             emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt, mn, mx, first, last, l, sq,
-              dsum, dcnt, dsq, nn, firstN, lastN, ln))
+              dsum, dcnt, dsq, nn, firstN, lastN, ln, firstS, lastS, ls))
           }
         }
       recent.clear()
@@ -345,7 +362,7 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
       buf.clear()
       if (pending.nonEmpty) buf.appendList(pending)
       emittedUpTo.update(ready.map(_.ts_ms).max)
-      if (lagMax > 0) lagState.update((lags, lagsNull))
+      if (lagMax > 0) lagState.update((lags, lagsNull, lagsS))
     }
   }
 }
@@ -366,17 +383,17 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0,
   @transient private var recent: ListState[OverIn] = _
   @transient private var emittedUpTo: ValueState[Long] = _
   @transient private var lagState:
-    ValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]])] = _
+    ValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]], Seq[Seq[String]])] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
-    implicit val lagEnc: Encoder[(Seq[Seq[Double]], Seq[Seq[Boolean]])] =
+    implicit val lagEnc: Encoder[(Seq[Seq[Double]], Seq[Seq[Boolean]], Seq[Seq[String]])] =
       ExpressionEncoder()
     buf = h.getListState[OverIn]("buf", inEnc, TTLConfig.NONE)
     recent = h.getListState[OverIn]("recent", inEnc, TTLConfig.NONE)
     emittedUpTo = h.getValueState[Long]("emitted", Encoders.scalaLong, TTLConfig.NONE)
     if (lagMax > 0)
-      lagState = h.getValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]])](
+      lagState = h.getValueState[(Seq[Seq[Double]], Seq[Seq[Boolean]], Seq[Seq[String]])](
         "lags", lagEnc, TTLConfig.NONE)
   }
 
@@ -398,9 +415,10 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0,
     val (ready, pending) = buf.get().toArray.partition(_.ts_ms <= wm)
     if (ready.nonEmpty) {
       var window = recent.get().toArray
-      var (lags, lagsNull): (Seq[Seq[Double]], Seq[Seq[Boolean]]) =
-        if (lagMax > 0) Option(lagState.get()).getOrElse((Seq.empty, Seq.empty))
-        else (Seq.empty, Seq.empty)
+      var (lags, lagsNull, lagsS): (Seq[Seq[Double]], Seq[Seq[Boolean]], Seq[Seq[String]]) =
+        if (lagMax > 0)
+          Option(lagState.get()).getOrElse((Seq.empty, Seq.empty, Seq.empty))
+        else (Seq.empty, Seq.empty, Seq.empty)
       ready.sortBy(r => (r.ts_ms, r.id)).foreach { r =>
         window = (window :+ r).takeRight(nRows)
         val k = window.head.values.length
@@ -413,10 +431,11 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0,
           window.head.values, window.last.values, lags, sq,
           dsum, dcnt, dsq, nn,
           OverNulls.maskOrEmpty(window.head), OverNulls.maskOrEmpty(window.last),
-          lagsNull))
+          lagsNull, window.head.svalues, window.last.svalues, lagsS))
         if (lagMax > 0) {
           lags = (r.values +: lags).take(lagMax)
           lagsNull = (OverNulls.maskOrEmpty(r) +: lagsNull).take(lagMax)
+          lagsS = (r.svalues +: lagsS).take(lagMax)
         }
       }
       recent.clear()
@@ -425,7 +444,7 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0,
       buf.clear()
       if (pending.nonEmpty) buf.appendList(pending)
       emittedUpTo.update(ready.map(_.ts_ms).max)
-      if (lagMax > 0) lagState.update((lags, lagsNull))
+      if (lagMax > 0) lagState.update((lags, lagsNull, lagsS))
     }
   }
 }

@@ -101,7 +101,8 @@ object StreamBench {
               unix_millis($"ts").as("ts_ms"), array($"value").as("values"),
               // empty mask = "no nulls" (the fast path; a 1-element
               // false mask would serialize per row for nothing)
-              expr("CAST(array() AS ARRAY<BOOLEAN>)").as("nulls"))
+              expr("CAST(array() AS ARRAY<BOOLEAN>)").as("nulls"),
+              expr("CAST(array() AS ARRAY<STRING>)").as("svalues"))
             .as[graft.streaming.OverIn], 10)
           .toDF()
       else if (topn)

@@ -2492,6 +2492,62 @@ class FlinkScriptSpec extends AnyFunSuite {
       "DROP TABLE nul_sink2; DROP TABLE nul_sink3")
   }
 
+  test("streaming OVER: string FIRST_VALUE/LAST_VALUE/LAG ride the string slot vector, stream equals batch") {
+    import spark.implicits._
+    // strings were a typed rejection ("keep the batch path"); they now
+    // ride a separate native-null string vector next to the numeric
+    // slots, so mixed statements (SUM over a double + LAG over a
+    // status string) deploy in one window
+    val dir = java.nio.file.Files.createTempDirectory("flink_over_str").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    Seq((1L, 1L, t(10), Some("new"), 1.0), (2L, 1L, t(20), None, 2.0),
+      (3L, 1L, t(30), Some("paid"), 4.0), (4L, 1L, t(40), Some("shipped"), 8.0),
+      (9L, 9L, t(900), Some("x"), 0.0))
+      .toDF("event_id", "user_id", "ts", "status", "v")
+      .write.mode("append").parquet(s"$dir/str_src")
+    FlinkSql.run(spark,
+      s"""CREATE TABLE str_src (
+         |  event_id BIGINT, user_id BIGINT, ts TIMESTAMP(3),
+         |  status STRING, v DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/str_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE str_sink (event_id BIGINT, fs STRING, ls STRING,
+         |  pg STRING, s DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/str_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    val sel =
+      """SELECT event_id, first_value(status) OVER w AS fs,
+        |  last_value(status) OVER w AS ls, lag(status) OVER w AS pg,
+        |  sum(v) OVER w AS s
+        |FROM str_src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin
+    FlinkSql.runStream(spark, s"INSERT INTO str_sink $sel",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .filter(_.getLong(0) != 9L)
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)),
+        Option(r.getString(3)), r.getDouble(4))).toSet
+    val got = shape(spark.read.parquet(s"$dir/str_sink"))
+    val want = shape(FlinkSql.sql(spark, sel.replace("lag(status) OVER w",
+      "lag(status) OVER (PARTITION BY user_id ORDER BY ts, event_id)")))
+    assert(got == want && got.nonEmpty,
+      s"string slots stream vs batch: stream-only=${(got -- want).take(3)} " +
+        s"batch-only=${(want -- got).take(3)}")
+    // RESPECT NULLS through the string slot: event 2's status is NULL —
+    // its last_value is NULL, event 3's lag is NULL, and event 2's
+    // frame-first is "new" while its lag reads event 1's "new"
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(2L)._3.isEmpty && byId(2L)._2.contains("new") &&
+      byId(2L)._4.contains("new"), byId(2L).toString)
+    assert(byId(3L)._4.isEmpty && byId(3L)._3.contains("paid"), byId(3L).toString)
+    assert(byId(4L)._2.contains("paid") && byId(4L)._4.contains("paid"),
+      byId(4L).toString)
+    FlinkSql.run(spark, "DROP TABLE str_src; DROP TABLE str_sink")
+  }
+
   test("streaming proc-time OVER INSERT: running agg + ROWS n PRECEDING on a PROCTIME() column") {
     import spark.implicits._
     // [U] flink-table-runtime operators/over/ ProcTime{Range,Rows}-

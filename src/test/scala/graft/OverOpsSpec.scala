@@ -29,7 +29,8 @@ class OverOpsSpec extends AnyFunSuite {
     val input = MemoryStream[Raw]
     val toIn = (df: org.apache.spark.sql.DataFrame) => df
       .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values"),
-        array(lit(false)).as("nulls")).as[OverIn]
+        array(lit(false)).as("nulls"),
+        expr("CAST(array() AS ARRAY<STRING>)").as("svalues")).as[OverIn]
     val q = OverOps.runningAgg(toIn(input.toDF().withWatermark("ts", "5 seconds")))
       .writeStream.outputMode("append").format("memory").queryName("over_out").start()
     try {
@@ -68,7 +69,8 @@ class OverOpsSpec extends AnyFunSuite {
     val input = MemoryStream[Raw]
     val toIn = (df: org.apache.spark.sql.DataFrame) => df
       .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values"),
-        array(lit(false)).as("nulls")).as[OverIn]
+        array(lit(false)).as("nulls"),
+        expr("CAST(array() AS ARRAY<STRING>)").as("svalues")).as[OverIn]
     val q = OverOps.boundedRangeAgg(
         toIn(input.toDF().withWatermark("ts", "5 seconds")), 120000L)
       .writeStream.outputMode("append").format("memory").queryName("bover_out").start()
@@ -110,7 +112,8 @@ class OverOpsSpec extends AnyFunSuite {
     val input = MemoryStream[Raw]
     val toIn = (df: org.apache.spark.sql.DataFrame) => df
       .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values"),
-        array(lit(false)).as("nulls")).as[OverIn]
+        array(lit(false)).as("nulls"),
+        expr("CAST(array() AS ARRAY<STRING>)").as("svalues")).as[OverIn]
     val q = OverOps.boundedRowsAgg(
         toIn(input.toDF().withWatermark("ts", "5 seconds")), 3)
       .writeStream.outputMode("append").format("memory").queryName("rover_out").start()
@@ -144,7 +147,8 @@ class OverOpsSpec extends AnyFunSuite {
     val input = MemoryStream[Raw]
     val toIn = (df: org.apache.spark.sql.DataFrame) => df
       .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values"),
-        array(lit(false)).as("nulls")).as[OverIn]
+        array(lit(false)).as("nulls"),
+        expr("CAST(array() AS ARRAY<STRING>)").as("svalues")).as[OverIn]
     val q = OverOps.boundedRangeAgg(
         toIn(input.toDF().withWatermark("ts", "5 seconds")), 120000L)
       .writeStream.outputMode("append").format("memory").queryName("eover_out").start()
