@@ -26,7 +26,9 @@ class StreamingCumulateSpec extends AnyFunSuite {
       Raw(1, 6, java.sql.Timestamp.valueOf("2024-01-01 10:11:00"), 6.0)) // next span
     val input = MemoryStream[Raw]
     val toIn = (df: org.apache.spark.sql.DataFrame) => df
-      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values")).as[OverIn]
+      .select($"key".cast("string").as("key"), $"id", unix_millis($"ts").as("ts_ms"), array($"value").as("values"),
+        array(lit(false)).as("nulls"),
+        expr("CAST(array() AS ARRAY<STRING>)").as("svalues")).as[OverIn]
     val q = CumulateOps.cumulate(
         toIn(input.toDF().withWatermark("ts", "5 seconds")), 120000L, 600000L)
       .writeStream.outputMode("append").format("memory").queryName("cum_out").start()
