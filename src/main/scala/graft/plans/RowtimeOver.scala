@@ -35,9 +35,11 @@ import org.apache.spark.sql.types._
   *    any mix of NUMERIC value columns (each aggregate names its own
   *    column — the distinct columns ride the kernel as one DOUBLE
   *    vector, one `element_at` slot per column, and results come back
-  *    DOUBLE; FIRST_VALUE / LAST_VALUE / LAG additionally accept
-  *    STRING columns, which ride a separate native-null string vector
-  *    and come back STRING — other non-numeric value columns fail
+  *    DOUBLE; MIN / MAX / FIRST_VALUE / LAST_VALUE / LAG additionally
+  *    accept STRING columns — the reference's String{Min,Max}Agg
+  *    surface — riding a separate native-null string vector with
+  *    UTF-8-binary ordering (Spark's string collation) and coming
+  *    back STRING; other non-numeric value columns fail
   *    typed), COUNT(*) and
   *    null-skipping COUNT(col), ROW_NUMBER() on the unbounded ROWS
   *    frame, LAG(col [, n])
@@ -267,13 +269,22 @@ object RowtimeOver {
             val n = slot(arg)
             s"(element_at(__over_sum, $n) / nullif(${nnOf(n)}, 0))"
           }
-        // MIN/MAX are duplicate-insensitive: DISTINCT strips to the plain form
+        // MIN/MAX are duplicate-insensitive: DISTINCT strips to the plain
+        // form; string columns ride the string slot vector (the
+        // reference's String{Min,Max}AggFunction surface), where SQL
+        // NULL is native — an all-null frame's slot already holds NULL
         case "MIN" =>
-          val n = slot(arg)
-          s"(CASE WHEN ${nnOf(n)} > 0 THEN element_at(__over_min, $n) END)"
+          if (isStringCol(bare(arg))) s"element_at(__over_min_s, ${sslot(arg)})"
+          else {
+            val n = slot(arg)
+            s"(CASE WHEN ${nnOf(n)} > 0 THEN element_at(__over_min, $n) END)"
+          }
         case "MAX" =>
-          val n = slot(arg)
-          s"(CASE WHEN ${nnOf(n)} > 0 THEN element_at(__over_max, $n) END)"
+          if (isStringCol(bare(arg))) s"element_at(__over_max_s, ${sslot(arg)})"
+          else {
+            val n = slot(arg)
+            s"(CASE WHEN ${nnOf(n)} > 0 THEN element_at(__over_max, $n) END)"
+          }
         // variance family from the kernels' sum-of-squares slot
         // (Flink aliases: STDDEV = STDDEV_SAMP, VARIANCE = VAR_SAMP);
         // greatest(0) clamps the fp-cancellation epsilon before sqrt.
@@ -605,7 +616,9 @@ object RowtimeOver {
       else Nil) ++
       (if (spec.stringCols.nonEmpty)
         Seq(col("first_s").as("__over_first_s"),
-          col("last_s").as("__over_last_s"))
+          col("last_s").as("__over_last_s"),
+          col("min_s").as("__over_min_s"),
+          col("max_s").as("__over_max_s"))
       else Nil) ++
       (if (spec.distinctSlots.nonEmpty)
         Seq(col("dist_sum").as("__over_dsum"), col("dist_cnt").as("__over_dcnt"),

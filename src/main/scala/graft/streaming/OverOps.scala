@@ -55,7 +55,8 @@ case class OverOut(key: String, id: Long, ts_ms: Long,
     dist_sumsq: Seq[Double], nn_cnt: Seq[Long],
     first_null: Seq[Boolean], last_null: Seq[Boolean],
     lags_null: Seq[Seq[Boolean]],
-    first_s: Seq[String], last_s: Seq[String], lags_s: Seq[Seq[String]])
+    first_s: Seq[String], last_s: Seq[String], lags_s: Seq[Seq[String]],
+    min_s: Seq[String], max_s: Seq[String])
 
 private[streaming] object OverNulls {
   /** Tolerant mask read: entries past the mask are non-null. */
@@ -72,6 +73,45 @@ private[streaming] object OverNulls {
     */
   def maskOrEmpty(r: OverIn): Seq[Boolean] =
     if (r.nulls.exists(identity)) mask(r) else Seq.empty
+  /** UTF-8 binary "a < b" — Spark compares strings by UTF-8 bytes, so
+    * the streaming MIN/MAX(string) must too (Java compareTo diverges
+    * on supplementary characters); both args non-null.
+    */
+  def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+  /** Null-skipping per-slot string MIN/MAX over a window (SQL
+    * semantics: an all-null slot yields NULL).
+    */
+  def stringMinMax(window: Array[OverIn], ks: Int): (Seq[String], Seq[String]) = {
+    if (ks == 0) return (Seq.empty, Seq.empty)
+    val mn = new Array[String](ks)
+    val mx = new Array[String](ks)
+    var i = 0
+    while (i < window.length) {
+      val sv = window(i).svalues
+      var j = 0
+      while (j < ks && j < sv.length) {
+        val v = sv(j)
+        if (v != null) {
+          if (mn(j) == null || utf8Lt(v, mn(j))) mn(j) = v
+          if (mx(j) == null || utf8Lt(mx(j), v)) mx(j) = v
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (mn.toSeq, mx.toSeq)
+  }
 }
 
 /** The unbounded running kernel, two frames in one process:
@@ -104,9 +144,9 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
     distinctSlots: Set[Int] = Set.empty)
     extends KeyedProcess[String, OverIn, OverOut] {
   // acc = (sum, cnt, mn, mx, fst, sq, nn non-null counts, fst null mask,
-  //        fst string slots)
+  //        fst string slots, running string min, running string max)
   private type Acc = (Seq[Double], Long, Seq[Double], Seq[Double], Seq[Double],
-    Seq[Double], Seq[Long], Seq[Boolean], Seq[String])
+    Seq[Double], Seq[Long], Seq[Boolean], Seq[String], Seq[String], Seq[String])
   private type Lags = (Seq[Seq[Double]], Seq[Seq[Boolean]], Seq[Seq[String]])
   @transient private var buf: ListState[OverIn] = _
   @transient private var acc: ValueState[Acc] = _
@@ -142,12 +182,12 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
     if (ready.nonEmpty) {
       val sorted = ready.sortBy(r => (r.ts_ms, r.id))
       val k = sorted.head.values.length
-      var (sum, cnt, mn, mx, fst, sq, nn, fstNull, fstS) =
+      var (sum, cnt, mn, mx, fst, sq, nn, fstNull, fstS, smin, smax) =
         Option(acc.get()).getOrElse((
           Seq.fill(k)(0.0), 0L, Seq.fill(k)(Double.PositiveInfinity),
           Seq.fill(k)(Double.NegativeInfinity), Seq.fill(k)(0.0),
           Seq.fill(k)(0.0), Seq.fill(k)(0L), Seq.fill(k)(false),
-          Seq.empty[String]))
+          Seq.empty[String], Seq.empty[String], Seq.empty[String]))
       var (lags, lagsNull, lagsS): (Seq[Seq[Double]], Seq[Seq[Boolean]], Seq[Seq[String]]) =
         if (lagMax > 0)
           Option(lagState.get()).getOrElse((Seq.empty, Seq.empty, Seq.empty))
@@ -181,6 +221,21 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
           if (OverNulls.isNull(r, j)) nn(j) else nn(j) + 1L)
         cnt += 1
         if (cnt == 1L) { fst = r.values; fstNull = OverNulls.mask(r); fstS = r.svalues }
+        if (r.svalues.nonEmpty) {
+          val ks = r.svalues.length
+          if (smin.length < ks) smin = smin.padTo(ks, null: String)
+          if (smax.length < ks) smax = smax.padTo(ks, null: String)
+          smin = Seq.tabulate(ks) { j =>
+            val v = r.svalues(j)
+            if (v == null) smin(j)
+            else if (smin(j) == null || OverNulls.utf8Lt(v, smin(j))) v else smin(j)
+          }
+          smax = Seq.tabulate(ks) { j =>
+            val v = r.svalues(j)
+            if (v == null) smax(j)
+            else if (smax(j) == null || OverNulls.utf8Lt(smax(j), v)) v else smax(j)
+          }
+        }
         if (distinctSlots.nonEmpty) {
           var j = 0
           while (j < r.values.length) {
@@ -209,7 +264,8 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
           fold(r)
           emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, r.values,
             lags, dsumSnap, dcntSnap, sq, dsqSnap, nnOut, fstNullOut,
-            OverNulls.maskOrEmpty(r), lagsNull, fstS, r.svalues, lagsS))
+            OverNulls.maskOrEmpty(r), lagsNull, fstS, r.svalues, lagsS,
+            smin, smax))
           if (lagMax > 0) {
             lags = (r.values +: lags).take(lagMax)
             lagsNull = (OverNulls.maskOrEmpty(r) +: lagsNull).take(lagMax)
@@ -235,11 +291,12 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
           val (ds, dc, dq) = (dsumSnap, dcntSnap, dsqSnap)
           peers.zip(rowLags).foreach { case (r, (l, ln, ls)) =>
             emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, lastV,
-              l, ds, dc, sq, dq, nnOut, fstNullOut, lastN, ln, fstS, lastS, ls))
+              l, ds, dc, sq, dq, nnOut, fstNullOut, lastN, ln, fstS, lastS, ls,
+              smin, smax))
           }
         }
       }
-      acc.update((sum, cnt, mn, mx, fst, sq, nn, fstNull, fstS))
+      acc.update((sum, cnt, mn, mx, fst, sq, nn, fstNull, fstS, smin, smax))
       if (lagMax > 0) lagState.update((lags, lagsNull, lagsS))
       if (distinctSlots.nonEmpty)
         distState.update((dsets.map(_.toSeq).toSeq, dsum.toSeq, dcnt.toSeq))
@@ -269,7 +326,8 @@ case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
     dist_sumsq: Seq[Double], nn_cnt: Seq[Long],
     first_null: Seq[Boolean], last_null: Seq[Boolean],
     lags_null: Seq[Seq[Boolean]],
-    first_s: Seq[String], last_s: Seq[String], lags_s: Seq[Seq[String]])
+    first_s: Seq[String], last_s: Seq[String], lags_s: Seq[Seq[String]],
+    min_s: Seq[String], max_s: Seq[String])
 
 /** Streaming bounded-range OVER — the reference's
   * RowTimeRangeBoundedPrecedingFunction ([U] flink-table-runtime
@@ -351,10 +409,11 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
           val firstN = OverNulls.maskOrEmpty(window.head)
           val lastN = OverNulls.maskOrEmpty(window.last)
           val (firstS, lastS) = (window.head.svalues, window.last.svalues)
+          val (sMn, sMx) = OverNulls.stringMinMax(window, window.head.svalues.length)
           val (dsum, dcnt, dsq) = OverOps.distinctFold(window, k, distinctSlots)
           peers.zip(rowLags).foreach { case (r, (l, ln, ls)) =>
             emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt, mn, mx, first, last, l, sq,
-              dsum, dcnt, dsq, nn, firstN, lastN, ln, firstS, lastS, ls))
+              dsum, dcnt, dsq, nn, firstN, lastN, ln, firstS, lastS, ls, sMn, sMx))
           }
         }
       recent.clear()
@@ -426,12 +485,13 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0,
         val (sum, sq, mn, mx, nn0) = OverOps.windowFold(window, k)
         val nn = if (nn0.forall(_ == cnt)) Seq.empty[Long] else nn0
         val (dsum, dcnt, dsq) = OverOps.distinctFold(window, k, distinctSlots)
+        val (sMn, sMx) = OverNulls.stringMinMax(window, window.head.svalues.length)
         emit(BoundedOverOut(key, r.id, r.ts_ms,
           sum, cnt, mn, mx,
           window.head.values, window.last.values, lags, sq,
           dsum, dcnt, dsq, nn,
           OverNulls.maskOrEmpty(window.head), OverNulls.maskOrEmpty(window.last),
-          lagsNull, window.head.svalues, window.last.svalues, lagsS))
+          lagsNull, window.head.svalues, window.last.svalues, lagsS, sMn, sMx))
         if (lagMax > 0) {
           lags = (r.values +: lags).take(lagMax)
           lagsNull = (OverNulls.maskOrEmpty(r) +: lagsNull).take(lagMax)

@@ -2513,12 +2513,13 @@ class FlinkScriptSpec extends AnyFunSuite {
          |) WITH ('connector' = 'filesystem', 'path' = '$dir/str_src',
          |        'format' = 'parquet');
          |CREATE TABLE str_sink (event_id BIGINT, fs STRING, ls STRING,
-         |  pg STRING, s DOUBLE)
+         |  pg STRING, mns STRING, mxs STRING, s DOUBLE)
          |WITH ('connector' = 'filesystem', 'path' = '$dir/str_sink',
          |      'format' = 'parquet')""".stripMargin)
     val sel =
       """SELECT event_id, first_value(status) OVER w AS fs,
         |  last_value(status) OVER w AS ls, lag(status) OVER w AS pg,
+        |  min(status) OVER w AS mns, max(status) OVER w AS mxs,
         |  sum(v) OVER w AS s
         |FROM str_src
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -2529,7 +2530,8 @@ class FlinkScriptSpec extends AnyFunSuite {
     def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
       .filter(_.getLong(0) != 9L)
       .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)),
-        Option(r.getString(3)), r.getDouble(4))).toSet
+        Option(r.getString(3)), Option(r.getString(4)), Option(r.getString(5)),
+        r.getDouble(6))).toSet
     val got = shape(spark.read.parquet(s"$dir/str_sink"))
     val want = shape(FlinkSql.sql(spark, sel.replace("lag(status) OVER w",
       "lag(status) OVER (PARTITION BY user_id ORDER BY ts, event_id)")))
@@ -2538,12 +2540,20 @@ class FlinkScriptSpec extends AnyFunSuite {
         s"batch-only=${(want -- got).take(3)}")
     // RESPECT NULLS through the string slot: event 2's status is NULL —
     // its last_value is NULL, event 3's lag is NULL, and event 2's
-    // frame-first is "new" while its lag reads event 1's "new"
+    // frame-first is "new" while its lag reads event 1's "new".
+    // MIN/MAX(string) skip the NULL: event 2's frame {new, NULL} reads
+    // min=max="new"; event 4's frame {paid, shipped} orders by UTF-8
     val byId = got.map(r => r._1 -> r).toMap
     assert(byId(2L)._3.isEmpty && byId(2L)._2.contains("new") &&
       byId(2L)._4.contains("new"), byId(2L).toString)
+    assert(byId(2L)._5.contains("new") && byId(2L)._6.contains("new"),
+      byId(2L).toString)
     assert(byId(3L)._4.isEmpty && byId(3L)._3.contains("paid"), byId(3L).toString)
+    assert(byId(3L)._5.contains("paid") && byId(3L)._6.contains("paid"),
+      s"event 3's frame {NULL, paid}: ${byId(3L)}")
     assert(byId(4L)._2.contains("paid") && byId(4L)._4.contains("paid"),
+      byId(4L).toString)
+    assert(byId(4L)._5.contains("paid") && byId(4L)._6.contains("shipped"),
       byId(4L).toString)
     FlinkSql.run(spark, "DROP TABLE str_src; DROP TABLE str_sink")
   }
