@@ -39,8 +39,11 @@ import org.apache.spark.sql.types._
   *    accept STRING columns — the reference's String{Min,Max}Agg
   *    surface — riding a separate native-null string vector with
   *    UTF-8-binary ordering (Spark's string collation) and coming
-  *    back STRING; other non-numeric value columns fail
-  *    typed), COUNT(*) and
+  *    back STRING, and TIMESTAMP columns, riding the double vector as
+  *    exact unix millis and cast back at the splice (micros truncate —
+  *    the same documented ms coarsening as rowtimes; SUM/AVG/variance
+  *    over a timestamp fail typed, as in SQL); other non-numeric value
+  *    columns fail typed), COUNT(*) and
   *    null-skipping COUNT(col), ROW_NUMBER() on the unbounded ROWS
   *    frame, LAG(col [, n])
   *    on EVERY frame (row-based even under RANGE peers, NULL before
@@ -117,7 +120,7 @@ object RowtimeOver {
   final case class Spec(partCols: Seq[String], orderCol: String, frame: Frame,
       valueCols: Seq[String], idCol: String, rewritten: String, usesRn: Boolean,
       maxLag: Int, distinctSlots: Seq[Int], fromTable: String, fromSpan: (Int, Int),
-      stringCols: Seq[String])
+      stringCols: Seq[String], tsCols: Seq[String])
 
   private def unitMs(u: String): Long = u.toUpperCase match {
     case "SECOND" => 1000L
@@ -140,7 +143,8 @@ object RowtimeOver {
     * parse-totality fuzz.
     */
   def parse(select: String,
-      isStringCol: String => Boolean = _ => false): Spec = {
+      isStringCol: String => Boolean = _ => false,
+      isTimestampCol: String => Boolean = _ => false): Spec = {
     // ---- locate the window spec (named WINDOW clause or inline) ----
     val winRe = raw"(?is)\bWINDOW\s+(\w+)\s+AS\s*\(".r
     val named = winRe.findAllMatchIn(select).toList
@@ -222,6 +226,22 @@ object RowtimeOver {
       val at = stringCols.indexWhere(_.equalsIgnoreCase(b))
       if (at >= 0) at + 1 else { stringCols += b; stringCols.length }
     }
+    // TIMESTAMP columns for MIN/MAX/FIRST/LAST/LAG ride the DOUBLE
+    // vector as exact unix millis (the kernel's time unit — micros
+    // truncate, the same documented ms coarsening as rowtimes) and
+    // cast back at the splice; arithmetic aggregates over timestamps
+    // fail typed (SQL has no SUM(timestamp) either)
+    val tsCols = scala.collection.mutable.LinkedHashSet.empty[String]
+    def tsWrap(c: String, inner: String): String =
+      if (isTimestampCol(bare(c))) {
+        tsCols += bare(c)
+        s"CAST(timestamp_millis(CAST($inner AS BIGINT)) AS TIMESTAMP)"
+      } else inner
+    def failTsArith(fn: String, c: String): Unit =
+      if (isTimestampCol(bare(c)))
+        fail(s"$fn over TIMESTAMP column '${bare(c)}' is not SQL arithmetic — " +
+          "MIN/MAX/FIRST_VALUE/LAST_VALUE/LAG accept timestamps; for " +
+          "durations aggregate unix_millis differences instead")
     val repl = aggRe.findAllMatchIn(select).toList.map { m =>
       // span end: OVER <name> or OVER (...)
       var i = m.end
@@ -253,6 +273,7 @@ object RowtimeOver {
         // (__over_nn); an aggregate whose frame holds no non-null value
         // is NULL, exactly like batch SQL
         case "SUM" =>
+          failTsArith("SUM", arg)
           if (isDistinct) {
             val n = distinctSlot(arg)
             s"(CASE WHEN element_at(__over_dcnt, $n) > 0 THEN " +
@@ -262,6 +283,7 @@ object RowtimeOver {
             s"(CASE WHEN ${nnOf(n)} > 0 THEN element_at(__over_sum, $n) END)"
           }
         case "AVG" =>
+          failTsArith("AVG", arg)
           if (isDistinct) {
             val n = distinctSlot(arg)
             s"(element_at(__over_dsum, $n) / nullif(element_at(__over_dcnt, $n), 0))"
@@ -277,13 +299,13 @@ object RowtimeOver {
           if (isStringCol(bare(arg))) s"element_at(__over_min_s, ${sslot(arg)})"
           else {
             val n = slot(arg)
-            s"(CASE WHEN ${nnOf(n)} > 0 THEN element_at(__over_min, $n) END)"
+            tsWrap(arg, s"(CASE WHEN ${nnOf(n)} > 0 THEN element_at(__over_min, $n) END)")
           }
         case "MAX" =>
           if (isStringCol(bare(arg))) s"element_at(__over_max_s, ${sslot(arg)})"
           else {
             val n = slot(arg)
-            s"(CASE WHEN ${nnOf(n)} > 0 THEN element_at(__over_max, $n) END)"
+            tsWrap(arg, s"(CASE WHEN ${nnOf(n)} > 0 THEN element_at(__over_max, $n) END)")
           }
         // variance family from the kernels' sum-of-squares slot
         // (Flink aliases: STDDEV = STDDEV_SAMP, VARIANCE = VAR_SAMP);
@@ -294,6 +316,7 @@ object RowtimeOver {
         // aggregates already carry — no new state shape)
         case v @ ("STDDEV_POP" | "STDDEV_SAMP" | "STDDEV" |
                   "VAR_POP" | "VAR_SAMP" | "VARIANCE") =>
+          failTsArith(v, arg)
           val (s, q, c) =
             if (isDistinct) {
               val n = distinctSlot(arg)
@@ -324,15 +347,17 @@ object RowtimeOver {
           if (isStringCol(bare(arg))) s"element_at(__over_first_s, ${sslot(arg)})"
           else {
             val n = slot(arg)
-            s"(CASE WHEN coalesce(try_element_at(__over_first_null, $n), false) " +
-              s"THEN CAST(NULL AS DOUBLE) ELSE element_at(__over_first, $n) END)"
+            tsWrap(arg,
+              s"(CASE WHEN coalesce(try_element_at(__over_first_null, $n), false) " +
+                s"THEN CAST(NULL AS DOUBLE) ELSE element_at(__over_first, $n) END)")
           }
         case "LAST_VALUE" =>
           if (isStringCol(bare(arg))) s"element_at(__over_last_s, ${sslot(arg)})"
           else {
             val n = slot(arg)
-            s"(CASE WHEN coalesce(try_element_at(__over_last_null, $n), false) " +
-              s"THEN CAST(NULL AS DOUBLE) ELSE element_at(__over_last, $n) END)"
+            tsWrap(arg,
+              s"(CASE WHEN coalesce(try_element_at(__over_last_null, $n), false) " +
+                s"THEN CAST(NULL AS DOUBLE) ELSE element_at(__over_last, $n) END)")
           }
         case "COUNT" =>
           if (isDistinct) s"element_at(__over_dcnt, ${distinctSlot(arg)})"
@@ -366,10 +391,11 @@ object RowtimeOver {
             s"try_element_at(try_element_at(__over_lags_s, $off), ${sslot(parts(0))})"
           else {
             val n = slot(parts(0))
-            s"(CASE WHEN coalesce(try_element_at(" +
-              s"try_element_at(__over_lags_null, $off), $n), false) THEN " +
-              s"CAST(NULL AS DOUBLE) ELSE " +
-              s"try_element_at(try_element_at(__over_lags, $off), $n) END)"
+            tsWrap(parts(0),
+              s"(CASE WHEN coalesce(try_element_at(" +
+                s"try_element_at(__over_lags_null, $off), $n), false) THEN " +
+                s"CAST(NULL AS DOUBLE) ELSE " +
+                s"try_element_at(try_element_at(__over_lags, $off), $n) END)")
           }
         case "LEAD" =>
           fail("LEAD over a rowtime stream sees no future rows (the frame " +
@@ -467,7 +493,8 @@ object RowtimeOver {
     val span = (fromAt + 4 + srcM.start(1), fromAt + 4 + srcM.end(1))
 
     Spec(partCols, orderCol, frame, valueCols.toSeq, idCol, text, usesRn,
-      maxLag, distinctSlots.toSeq, fromTable, span, stringCols.toSeq)
+      maxLag, distinctSlots.toSeq, fromTable, span, stringCols.toSeq,
+      tsCols.toSeq)
   }
 
   private def requireIntegral(schema: StructType, c: String, role: String): StructField = {
@@ -506,8 +533,11 @@ object RowtimeOver {
       rowtimeCol: String): DataFrame = {
     import graft.streaming.{OverIn, OverOps}
     val srcSchema = spark.table(source).schema
-    val spec = parse(select, c => srcSchema.fields
-      .exists(f => f.name.equalsIgnoreCase(c) && f.dataType == StringType))
+    val spec = parse(select,
+      c => srcSchema.fields
+        .exists(f => f.name.equalsIgnoreCase(c) && f.dataType == StringType),
+      c => srcSchema.fields
+        .exists(f => f.name.equalsIgnoreCase(c) && f.dataType == TimestampType))
     if (!spec.orderCol.equalsIgnoreCase(rowtimeCol))
       fail(s"ORDER BY '${spec.orderCol}' must be the deployment's time " +
         s"attribute ('$rowtimeCol') — the declared watermark rowtime, or a " +
@@ -532,22 +562,33 @@ object RowtimeOver {
         .getOrElse(fail(s"value column '$v' is not a source column"))
       f.dataType match {
         case _: NumericType => ()
+        // a timestamp slot the PARSE routed here (MIN/MAX/FIRST/LAST/
+        // LAG cast back at the splice; COUNT/COUNT DISTINCT never
+        // decode the value) rides as exact unix millis; timestamps
+        // reaching arithmetic aggregates were already rejected in parse
+        case TimestampType => ()
         case t => fail(s"aggregate value column '$v' is ${t.sql} — the " +
           "streaming kernel carries arithmetic values as a DOUBLE vector, " +
           "so only numeric columns deploy there (results come back " +
-          "DOUBLE); FIRST_VALUE/LAST_VALUE/LAG accept STRING columns (a " +
-          "separate string slot vector) — for timestamps keep the batch " +
-          "path or restructure with a numeric surrogate (unix_millis)")
+          "DOUBLE); MIN/MAX/FIRST_VALUE/LAST_VALUE/LAG also accept STRING " +
+          "and TIMESTAMP columns (string slot vector / exact unix-millis " +
+          "encoding)")
       }
     }
     // values ride the kernel as a PRIMITIVE double vector; SQL null
     // semantics ride a parallel mask (a null element in Seq[Double]
     // fails the encoder's not-null assert) — masked slots carry 0.0
     // and the kernels skip them per slot
+    // timestamp slots encode as exact unix millis (a plain double cast
+    // would give fractional SECONDS); everything else casts to double
+    def slotExpr(v: String) = {
+      val isTs = srcSchema.fields.exists(f =>
+        f.name.equalsIgnoreCase(v) && f.dataType == TimestampType)
+      if (isTs) unix_millis(col(v)).cast("double") else col(v).cast("double")
+    }
     val valueExpr =
       if (spec.valueCols.isEmpty) array(lit(0.0))
-      else array(spec.valueCols.map(v =>
-        coalesce(col(v).cast("double"), lit(0.0))): _*)
+      else array(spec.valueCols.map(v => coalesce(slotExpr(v), lit(0.0))): _*)
     // null-free rows (the common case) ship the EMPTY mask — the
     // kernels' no-nulls fast path; only rows actually carrying a null
     // pay for a populated mask array

@@ -2558,6 +2558,65 @@ class FlinkScriptSpec extends AnyFunSuite {
     FlinkSql.run(spark, "DROP TABLE str_src; DROP TABLE str_sink")
   }
 
+  test("streaming OVER: TIMESTAMP value columns for MIN/MAX/FIRST/LAG via exact unix-millis slots") {
+    import spark.implicits._
+    // timestamps were porting guidance ("numeric surrogate"); they now
+    // encode as exact unix millis on the double vector and cast back at
+    // the splice — MIN/MAX order chronologically, FIRST/LAG return
+    // TIMESTAMP, SUM over a timestamp still fails typed
+    val dir = java.nio.file.Files.createTempDirectory("flink_over_ts").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    Seq((1L, 1L, t(10), Some(t(500))), (2L, 1L, t(20), None),
+      (3L, 1L, t(30), Some(t(100))), (9L, 9L, t(900), Some(t(0))))
+      .toDF("event_id", "user_id", "ts", "seen_at")
+      .write.mode("append").parquet(s"$dir/ts_src")
+    FlinkSql.run(spark,
+      s"""CREATE TABLE ts_src (
+         |  event_id BIGINT, user_id BIGINT, ts TIMESTAMP(3),
+         |  seen_at TIMESTAMP(3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/ts_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE ts_sink (event_id BIGINT, mn TIMESTAMP(3),
+         |  mx TIMESTAMP(3), fv TIMESTAMP(3), pg TIMESTAMP(3), cs BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/ts_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    val sel =
+      """SELECT event_id, min(seen_at) OVER w AS mn, max(seen_at) OVER w AS mx,
+        |  first_value(seen_at) OVER w AS fv, lag(seen_at) OVER w AS pg,
+        |  count(seen_at) OVER w AS cs
+        |FROM ts_src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+    FlinkSql.runStream(spark, s"INSERT INTO ts_sink $sel",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .filter(_.getLong(0) != 9L)
+      .map { r =>
+        def ms(i: Int) = if (r.isNullAt(i)) -1L else r.getTimestamp(i).getTime
+        (r.getLong(0), ms(1), ms(2), ms(3), ms(4), r.getLong(5))
+      }.toSet
+    val got = shape(spark.read.parquet(s"$dir/ts_sink"))
+    val want = shape(FlinkSql.sql(spark, sel.replace("lag(seen_at) OVER w",
+      "lag(seen_at) OVER (PARTITION BY user_id ORDER BY ts, event_id)")))
+    assert(got == want && got.nonEmpty,
+      s"timestamp slots stream vs batch: stream-only=${(got -- want).take(3)} " +
+        s"batch-only=${(want -- got).take(3)}")
+    // chronological min/max with a NULL in between; RESPECT-NULLS lag
+    assert(got.contains((3L, 100000L, 500000L, 500000L, -1L, 2L)), got.toString)
+    assert(got.contains((2L, 500000L, 500000L, 500000L, 500000L, 1L)), got.toString)
+    // arithmetic over a timestamp still fails typed
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.FlinkDdl.executeInsertStream(spark,
+        """INSERT INTO ts_sink
+          |SELECT event_id, sum(seen_at) OVER (PARTITION BY user_id ORDER BY ts
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM ts_src""".stripMargin)
+    }
+    assert(e.getMessage.contains("not SQL arithmetic"), e.getMessage)
+    FlinkSql.run(spark, "DROP TABLE ts_src; DROP TABLE ts_sink")
+  }
+
   test("streaming proc-time OVER INSERT: running agg + ROWS n PRECEDING on a PROCTIME() column") {
     import spark.implicits._
     // [U] flink-table-runtime operators/over/ ProcTime{Range,Rows}-
@@ -2701,15 +2760,30 @@ class FlinkScriptSpec extends AnyFunSuite {
       """SELECT event_id, lag(v, 0) OVER (PARTITION BY user_id ORDER BY ts
         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
       .contains("positive integer"))
-    // non-numeric value columns fail TYPED (round-11 ADVICE: the DOUBLE
-    // vector would silently null a timestamp FIRST_VALUE)
+    // timestamp FIRST_VALUE DEPLOYS since round 13 (exact unix-millis
+    // slots) — the remaining typed type-rejection is an unsupported
+    // value type like BOOLEAN, and SUM over a timestamp (not SQL)
     assert(deployErr(
-      """SELECT event_id, first_value(ts) OVER (PARTITION BY user_id ORDER BY ts
+      """SELECT event_id, sum(ts) OVER (PARTITION BY user_id ORDER BY ts
         |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
-      .contains("must be numeric") || deployErr(
-      """SELECT event_id, first_value(ts) OVER (PARTITION BY user_id ORDER BY ts
-        |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM oe_src""".stripMargin)
-      .contains("DOUBLE vector"))
-    FlinkSql.run(spark, "DROP TABLE oe_src; DROP TABLE oe_sink")
+      .contains("not SQL arithmetic"))
+    import spark.implicits._
+    Seq((1L, true)).toDF("event_id", "flag")
+      .write.mode("append").parquet(s"$dir/oeb_src")
+    FlinkSql.run(spark,
+      s"""CREATE TABLE oeb_src (
+         |  event_id BIGINT, flag BOOLEAN, ts2 TIMESTAMP(3),
+         |  WATERMARK FOR ts2 AS ts2 - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/oeb_src',
+         |        'format' = 'parquet')""".stripMargin)
+    val eB = intercept[IllegalArgumentException](
+      graft.plans.FlinkDdl.executeInsertStream(spark,
+        """INSERT INTO oe_sink
+          |SELECT event_id, first_value(flag) OVER (PARTITION BY flag
+          |  ORDER BY ts2 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+          |FROM oeb_src""".stripMargin)).getMessage
+    assert(eB.contains("DOUBLE vector"), eB)
+    FlinkSql.run(spark,
+      "DROP TABLE oe_src; DROP TABLE oe_sink; DROP TABLE oeb_src")
   }
 }
