@@ -144,7 +144,8 @@ object RowtimeOver {
     */
   def parse(select: String,
       isStringCol: String => Boolean = _ => false,
-      isTimestampCol: String => Boolean = _ => false): Spec = {
+      isTimestampCol: String => Boolean = _ => false,
+      isDateCol: String => Boolean = _ => false): Spec = {
     // ---- locate the window spec (named WINDOW clause or inline) ----
     val winRe = raw"(?is)\bWINDOW\s+(\w+)\s+AS\s*\(".r
     val named = winRe.findAllMatchIn(select).toList
@@ -236,12 +237,16 @@ object RowtimeOver {
       if (isTimestampCol(bare(c))) {
         tsCols += bare(c)
         s"CAST(timestamp_millis(CAST($inner AS BIGINT)) AS TIMESTAMP)"
+      } else if (isDateCol(bare(c))) {
+        // DATE rides as exact epoch days on the same double vector
+        tsCols += bare(c)
+        s"date_from_unix_date(CAST($inner AS INT))"
       } else inner
     def failTsArith(fn: String, c: String): Unit =
-      if (isTimestampCol(bare(c)))
-        fail(s"$fn over TIMESTAMP column '${bare(c)}' is not SQL arithmetic — " +
-          "MIN/MAX/FIRST_VALUE/LAST_VALUE/LAG accept timestamps; for " +
-          "durations aggregate unix_millis differences instead")
+      if (isTimestampCol(bare(c)) || isDateCol(bare(c)))
+        fail(s"$fn over TIMESTAMP/DATE column '${bare(c)}' is not SQL arithmetic — " +
+          "MIN/MAX/FIRST_VALUE/LAST_VALUE/LAG accept time types; for " +
+          "durations aggregate unix_millis/unix_date differences instead")
     val repl = aggRe.findAllMatchIn(select).toList.map { m =>
       // span end: OVER <name> or OVER (...)
       var i = m.end
@@ -537,7 +542,9 @@ object RowtimeOver {
       c => srcSchema.fields
         .exists(f => f.name.equalsIgnoreCase(c) && f.dataType == StringType),
       c => srcSchema.fields
-        .exists(f => f.name.equalsIgnoreCase(c) && f.dataType == TimestampType))
+        .exists(f => f.name.equalsIgnoreCase(c) && f.dataType == TimestampType),
+      c => srcSchema.fields
+        .exists(f => f.name.equalsIgnoreCase(c) && f.dataType == DateType))
     if (!spec.orderCol.equalsIgnoreCase(rowtimeCol))
       fail(s"ORDER BY '${spec.orderCol}' must be the deployment's time " +
         s"attribute ('$rowtimeCol') — the declared watermark rowtime, or a " +
@@ -566,7 +573,7 @@ object RowtimeOver {
         // LAG cast back at the splice; COUNT/COUNT DISTINCT never
         // decode the value) rides as exact unix millis; timestamps
         // reaching arithmetic aggregates were already rejected in parse
-        case TimestampType => ()
+        case TimestampType | DateType => ()
         case t => fail(s"aggregate value column '$v' is ${t.sql} — the " +
           "streaming kernel carries arithmetic values as a DOUBLE vector, " +
           "so only numeric columns deploy there (results come back " +
@@ -581,11 +588,12 @@ object RowtimeOver {
     // and the kernels skip them per slot
     // timestamp slots encode as exact unix millis (a plain double cast
     // would give fractional SECONDS); everything else casts to double
-    def slotExpr(v: String) = {
-      val isTs = srcSchema.fields.exists(f =>
-        f.name.equalsIgnoreCase(v) && f.dataType == TimestampType)
-      if (isTs) unix_millis(col(v)).cast("double") else col(v).cast("double")
-    }
+    def slotExpr(v: String) =
+      srcSchema.fields.find(_.name.equalsIgnoreCase(v)).map(_.dataType) match {
+        case Some(TimestampType) => unix_millis(col(v)).cast("double")
+        case Some(DateType) => unix_date(col(v)).cast("double")
+        case _ => col(v).cast("double")
+      }
     val valueExpr =
       if (spec.valueCols.isEmpty) array(lit(0.0))
       else array(spec.valueCols.map(v => coalesce(slotExpr(v), lit(0.0))): _*)

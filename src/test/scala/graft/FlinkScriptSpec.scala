@@ -2614,7 +2614,38 @@ class FlinkScriptSpec extends AnyFunSuite {
           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM ts_src""".stripMargin)
     }
     assert(e.getMessage.contains("not SQL arithmetic"), e.getMessage)
-    FlinkSql.run(spark, "DROP TABLE ts_src; DROP TABLE ts_sink")
+    // DATE columns ride as exact epoch days the same way
+    Seq((1L, 1L, t(10), java.sql.Date.valueOf("2024-03-01")),
+      (2L, 1L, t(20), java.sql.Date.valueOf("2024-01-15")),
+      (9L, 9L, t(900), java.sql.Date.valueOf("2024-06-01")))
+      .toDF("event_id", "user_id", "ts", "d")
+      .write.mode("append").parquet(s"$dir/dt_src")
+    FlinkSql.run(spark,
+      s"""CREATE TABLE dt_src (
+         |  event_id BIGINT, user_id BIGINT, ts TIMESTAMP(3), d DATE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/dt_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE dt_sink (event_id BIGINT, mn DATE, lg DATE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/dt_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    FlinkSql.runStream(spark,
+      """INSERT INTO dt_sink
+        |SELECT event_id, min(d) OVER w AS mn, lag(d) OVER w AS lg
+        |FROM dt_src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    val gotD = spark.read.parquet(s"$dir/dt_sink").collect()
+      .filter(_.getLong(0) != 9L)
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        Option(r.getDate(2)).map(_.toString))).toSet
+    assert(gotD == Set(
+      (1L, "2024-03-01", None),
+      (2L, "2024-01-15", Some("2024-03-01"))), gotD.toString)
+    FlinkSql.run(spark,
+      "DROP TABLE ts_src; DROP TABLE ts_sink; DROP TABLE dt_src; DROP TABLE dt_sink")
   }
 
   test("streaming proc-time OVER INSERT: running agg + ROWS n PRECEDING on a PROCTIME() column") {
