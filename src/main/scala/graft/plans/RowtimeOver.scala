@@ -133,6 +133,12 @@ object RowtimeOver {
   private def bare(ident: String): String =
     ident.split('.').last.replace("`", "")
 
+  /** SQL identifier word character: `_` counts, so `valid_from`,
+    * `from_city`, and the DATE splice's `date_from_unix_date` never match
+    * a bare FROM token. */
+  private def isWordChar(ch: Char): Boolean =
+    Character.isLetterOrDigit(ch) || ch == '_'
+
   /** Parse the declared OVER subset out of `select`, producing the spec
     * and the rewritten outer text (agg spans replaced with `__over_*`
     * references, WINDOW clause stripped, source-table span tracked for
@@ -439,8 +445,8 @@ object RowtimeOver {
       else if (c == ')') depth -= 1
       else if (depth == 0 && (c == 'f' || c == 'F') &&
           text.regionMatches(true, j, "FROM", 0, 4) &&
-          (j == 0 || !Character.isLetterOrDigit(text.charAt(j - 1))) &&
-          (j + 4 >= text.length || !Character.isLetterOrDigit(text.charAt(j + 4))))
+          (j == 0 || !isWordChar(text.charAt(j - 1))) &&
+          (j + 4 >= text.length || !isWordChar(text.charAt(j + 4))))
         fromAt = j
       j += 1
     }

@@ -220,7 +220,11 @@ class RewriteFuzzSpec extends AnyFunSuite {
     4 -> junk,
     4 -> Gen.oneOf("SELECT", "FROM src", "event_id", "user_id,", "ts",
       "OVER", "OVER (", "OVER w", "WINDOW w AS (", ")", "PARTITION BY",
-      "ORDER BY ts", "ORDER BY ts,", "ASC", "DESC"),
+      "ORDER BY ts", "ORDER BY ts,", "ASC", "DESC",
+      // columns embedding FROM with `_` boundaries must never be taken for
+      // the top-level FROM token (round-13 DATE-splice regression)
+      "valid_from", "from_city,", "valid_from,", "sum(from_qty)",
+      "min(valid_from)", "lag(from_city)"),
     4 -> Gen.oneOf("sum(v)", "avg(v)", "count(*)", "count(1)", "count(v)",
       "min(v)", "max(v)", "first_value(v)", "last_value(v)", "row_number()",
       "lag(v)", "lag(v, 2)", "lag(v, 0)", "lag(v, x)", "lead(v)",
@@ -242,6 +246,23 @@ class RewriteFuzzSpec extends AnyFunSuite {
       try { graft.plans.RowtimeOver.parse(s); () }
       catch { case _: IllegalArgumentException => () }
       // anything else (NPE, index error, regex blowup) fails the test
+    }
+  }
+
+  test("streaming OVER parse: columns embedding FROM never truncate the select list") {
+    // `valid_from` / `from_city` contain FROM at `_` word boundaries; the
+    // top-level FROM scanner must skip them (round-13 DATE-splice regression:
+    // the date_from_unix_date splice was taken for the FROM clause).
+    val specs = Seq(
+      "SELECT event_id, valid_from, sum(v) OVER w FROM src " +
+        "WINDOW w AS (PARTITION BY valid_from ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+      "SELECT from_city, event_id, min(v) OVER w FROM src " +
+        "WINDOW w AS (PARTITION BY from_city ORDER BY ts " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)")
+    specs.foreach { s =>
+      val spec = graft.plans.RowtimeOver.parse(s)
+      assert(spec.idCol == "event_id", s"wrong id column for <$s>: ${spec.idCol}")
     }
   }
 }
