@@ -321,6 +321,7 @@ object Text {
       .agg(max($"doc_id")).head().getLong(0) / 2
     val storeDir = java.nio.file.Files
       .createTempDirectory("graft_q150_store").toString
+    try {
     val splits = Seq(
       $"doc_id" < mid,
       $"doc_id" >= mid && $"doc_id" < baseMax,
@@ -350,6 +351,12 @@ object Text {
       .groupBy($"source", $"bin").count().count()
     Seq((nCrawl, nAfterExact, equalOk, packedN == st5))
       .toDF("n_crawl", "n_after_exact", "stream_equals_batch_ok", "packing_ok")
+    } finally {
+      // every count above is materialized eagerly, so the store is dead
+      // once we return — delete it (a leaked multi-MB dir per invocation
+      // otherwise: 3× per REPEAT=3 bench run)
+      graft.streaming.StreamingCuration.deleteStore(storeDir)
+    }
   }
 
   /** BPE-style pre-tokenization counts (north_star "token counting:

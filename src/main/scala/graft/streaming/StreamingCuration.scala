@@ -59,10 +59,13 @@ import graft.functions.TextFunctions
   * Scale shape: stores are narrow parquet tables (digest, bucket, and
   * vector rows), membership is equi-joins, nothing collects to the
   * driver but the bounded side inputs (eval matrix < a few hundred
-  * vectors; model = dim+1 doubles). Store growth is linear in corpus;
-  * at 100 TB the bucket store is partitioned/bucketed by (table,
-  * bucket) so each micro-batch's candidate join prunes to the buckets
-  * the batch actually touches.
+  * vectors; model = dim+1 doubles). Store growth is linear in corpus
+  * AND in batch count (one parquet partition per batch): the periodic
+  * [[compactStores]] pass folds committed partitions into a few large
+  * files range-partitioned + sorted by the store key — the bucket
+  * store by (table, bucket) — so each micro-batch's candidate join
+  * prunes to the buckets the batch actually touches instead of
+  * listing one small file per past batch.
   */
 object StreamingCuration {
 
@@ -211,6 +214,60 @@ object StreamingCuration {
     } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
+
+  /** Periodic store COMPACTION: fold every batch partition of the
+    * md5/vector/bucket stores into one consolidated partition
+    * (batch_id = −1, the unmanaged slot no replay ever excludes),
+    * deduped on the store key and range-partitioned + sorted by it —
+    * the bucket store by (table, bucket), so a micro-batch's candidate
+    * join reads a few large stat-pruned files instead of one small
+    * file per past batch; md5 by digest, vectors by id, for the same
+    * row-group pruning. Answers are unchanged: every store read goes
+    * through distinct/join semantics, and compaction only dedupes and
+    * re-layouts (PipelineSpec pins compacted ≡ uncompacted survivors).
+    *
+    * Call at a QUIESCENT point where every written batch is committed:
+    * compacted rows lose their batch_id keying, so an uncommitted
+    * batch replayed after compaction would see its own failed
+    * attempt's rows. In the [[run]] deployment that means between
+    * triggers (e.g. from a maintenance job watching the checkpoint's
+    * committed offsets).
+    */
+  def compactStores(spark: SparkSession, storeDir: String): Unit = {
+    compactOne(spark, s"$storeDir/md5", Seq("h"))
+    compactOne(spark, s"$storeDir/vec", Seq("vec_id"))
+    compactOne(spark, s"$storeDir/bucket", Seq("table", "bucket", "vec_id"))
+  }
+
+  private def compactOne(spark: SparkSession, path: String,
+      keys: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val bytes = fs.getContentSummary(p).getLength
+    val nOut = math.max(1, (bytes / (128L << 20)).toInt) // ~128 MB target files
+    val cols = keys.map(col)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    fs.delete(tmp, true)
+    spark.read.parquet(path)
+      .drop("batch_id").dropDuplicates(keys)
+      .repartitionByRange(nOut, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  /** Recursively delete a store directory (q150 / spec teardown). */
+  def deleteStore(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   /** Idempotent store append: a keyed batch replaces its own partition. */

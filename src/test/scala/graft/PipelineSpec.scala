@@ -201,5 +201,54 @@ class PipelineSpec extends AnyFunSuite {
       s"a replayed batch must reproduce its committed survivors: " +
         s"replay-only=${(replayed -- firstRun).take(5)} " +
         s"lost=${(firstRun -- replayed).take(5)}")
+
+    // ---- periodic store compaction: folding committed batch
+    // partitions into one sorted partition changes NOTHING a later
+    // batch observes. Two parallel stores, identical batches 0..1;
+    // compact one; identical batches 2..3 must keep identical survivors
+    // on both, and the compacted store must hold fewer files.
+    def mkBatch(s: Seq[(Long, String, String, Seq[Double])]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        s.map { case (id, tx, src, v) =>
+          org.apache.spark.sql.Row(id, tx, src, v) }), crawl.schema)
+    def fileCount(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .count(f => f.toString.endsWith(".parquet"))
+    }
+    Seq(s"$tmp/storeC", s"$tmp/storeU").foreach { store =>
+      splits.take(2).zipWithIndex.foreach { case (s, i) =>
+        graft.streaming.StreamingCuration
+          .processBatch(mkBatch(s), cfg, store, batchId = i.toLong).count()
+      }
+    }
+    val filesBefore = fileCount(s"$tmp/storeC")
+    graft.streaming.StreamingCuration.compactStores(spark, s"$tmp/storeC")
+    val filesAfter = fileCount(s"$tmp/storeC")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count: $filesBefore -> $filesAfter")
+    splits.drop(2).zipWithIndex.foreach { case (s, i) =>
+      val kc = graft.streaming.StreamingCuration
+        .processBatch(mkBatch(s), cfg, s"$tmp/storeC", batchId = (i + 2).toLong)
+        .select($"doc_id").as[Long].collect().toSet
+      val ku = graft.streaming.StreamingCuration
+        .processBatch(mkBatch(s), cfg, s"$tmp/storeU", batchId = (i + 2).toLong)
+        .select($"doc_id").as[Long].collect().toSet
+      // equality is the property (the copies batch legitimately keeps 0
+      // BECAUSE the store blocks it — lost store rows would surface as
+      // spuriously-kept duplicates here)
+      assert(kc == ku,
+        s"batch ${i + 2} over the compacted store diverged: " +
+          s"compact-only=${(kc -- ku).take(5)} uncompact-only=${(ku -- kc).take(5)}")
+    }
+    // and the stores themselves hold the same logical content
+    Seq(("md5", "h"), ("vec", "vec_id"), ("bucket", "vec_id")).foreach {
+      case (sub, k) =>
+        val a = spark.read.parquet(s"$tmp/storeC/$sub").select(k).distinct().count()
+        val b = spark.read.parquet(s"$tmp/storeU/$sub").select(k).distinct().count()
+        assert(a == b, s"store $sub diverged after compaction: $a vs $b distinct $k")
+    }
+    graft.streaming.StreamingCuration.deleteStore(tmp)
   }
 }
