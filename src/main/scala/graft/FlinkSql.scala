@@ -874,6 +874,13 @@ object FlinkSql {
         // class with a public `call(ctx, args...)` method
         if (graft.functions.ReflectiveProcedure.isRegistered(spark, name) &&
             ifNotExists != null) okRow(spark, "procedure", name)
+        else if (graft.functions.ReflectiveProcedure.isRegistered(spark, name))
+          // Flink-style DDL errors on an existing name rather than
+          // silently replacing the registration
+          throw new IllegalArgumentException(
+            s"CREATE PROCEDURE $name: a procedure with this name is already " +
+              "registered — use CREATE PROCEDURE IF NOT EXISTS to keep it, " +
+              "or DROP PROCEDURE first to replace it")
         else {
           if (!graft.functions.ReflectiveProcedure.register(spark, name, impl))
             throw new IllegalArgumentException(

@@ -26,9 +26,15 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * Arguments are evaluated by Spark SQL (`SELECT <args>`), so literals,
   * casts, and scalar functions all work, then coerce to the chosen
   * overload's parameter types with the same Java-widening rules as the
-  * eval bridges. The returned array/iterable becomes a one-column
-  * `result` DataFrame (scalar elements keep their type; anything else
-  * renders via toString — Flink also renders procedure output as rows).
+  * eval bridges. Same-arity overloads rank by argument-type
+  * compatibility. Named arguments (`pname => expr`, Flink's FLIP-387
+  * convention — [U] flink-table-common annotation/ArgumentHint) map
+  * onto parameter order via the reflected parameter names (record them
+  * with `javac -parameters`); all-positional or all-named, no mixing.
+  * The returned array/iterable becomes a one-column `result` DataFrame
+  * (a homogeneous scalar array keeps its type; mixed element types
+  * render per-element via String.valueOf — Flink also renders procedure
+  * output as rows).
   */
 object ReflectiveProcedure {
 
@@ -69,22 +75,130 @@ object ReflectiveProcedure {
     registry(spark).keySet().asScala.toSeq.sorted
   }
 
-  /** Execute `CALL name(argsSql)` — see the class doc. */
+  /** Split a CALL argument list on top-level commas (string literals
+    * and nested parens/brackets stay intact).
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    if (s.trim.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toList.map(_.trim)
+  }
+
+  private val namedArgRe = raw"(?s)^([A-Za-z_]\w*)\s*=>\s*(.+)$$".r
+
+  /** Argument-type compatibility of one evaluated value against one
+    * declared parameter type: 3 = assignable as-is, 2 = numeric
+    * widening ([[EvalCoercion]]'s surface), 1 = SQL NULL into a
+    * reference slot, Int.MinValue = incompatible.
+    */
+  private def typeScore(param: Class[_], v: AnyRef): Int = {
+    def isNumeric(t: Class[_]): Boolean =
+      (t.isPrimitive && t != java.lang.Boolean.TYPE && t != java.lang.Character.TYPE) ||
+        classOf[java.lang.Number].isAssignableFrom(t)
+    v match {
+      case null => if (param.isPrimitive) Int.MinValue else 1
+      case _ if !param.isPrimitive && param.isInstance(v) => 3
+      case _: java.lang.Number if isNumeric(param) => 2
+      case _: java.lang.Boolean if param == java.lang.Boolean.TYPE => 3
+      case _ => Int.MinValue
+    }
+  }
+
+  /** Execute `CALL name(argsSql)` — see the class doc. Arguments may be
+    * all-positional or all-named (`pname => expr`, the FLIP-387 named-
+    * argument convention the window TVFs already normalize): named
+    * arguments map onto the positional bridge by the call method's
+    * reflected parameter names, which javac records under `-parameters`.
+    * Same-arity overloads are ranked by argument-type compatibility
+    * rather than first-match.
+    */
   def call(spark: SparkSession, name: String, argsSql: String): DataFrame = {
     val className = Option(registry(spark).get(name.toLowerCase)).getOrElse(
       throw new IllegalArgumentException(s"procedure '$name' is not registered"))
     val cls = org.apache.spark.sql.GraftColumnBridge.loadTaskClass(className)
+    val items = splitTopLevel(argsSql)
+    val namedItems = items.map(namedArgRe.findFirstMatchIn(_))
+    val useNamed = namedItems.nonEmpty && namedItems.forall(_.isDefined)
+    if (!useNamed && namedItems.exists(_.isDefined))
+      throw new IllegalArgumentException(
+        s"CALL $name: arguments must be all positional or all named " +
+          "(pname => expr) — mixing is not supported, as in Flink")
+    val argNames: Seq[String] =
+      if (useNamed) namedItems.map(_.get.group(1).toLowerCase) else Seq.empty
+    if (useNamed && argNames.distinct.length != argNames.length)
+      throw new IllegalArgumentException(
+        s"CALL $name: duplicate named argument " +
+          argNames.diff(argNames.distinct).distinct.mkString(", "))
+    val valueSqls: Seq[String] =
+      if (useNamed) namedItems.map(_.get.group(2)) else items
     val args: Array[AnyRef] =
-      if (argsSql.trim.isEmpty) Array.empty
+      if (valueSqls.isEmpty) Array.empty
       else {
-        val row = spark.sql(s"SELECT $argsSql").head()
+        val row = spark.sql(valueSqls.mkString("SELECT ", ", ", "")).head()
         Array.tabulate(row.length)(i => row.get(i).asInstanceOf[AnyRef])
       }
-    val m = callMethods(cls).find(_.getParameterCount == args.length + 1).getOrElse(
+    val byArity = callMethods(cls).filter(_.getParameterCount == args.length + 1)
+    if (byArity.isEmpty)
       throw new IllegalArgumentException(
         s"procedure '$name' ($className) has no public call method taking " +
           s"a context + ${args.length} argument(s); available arities: " +
-          callMethods(cls).map(_.getParameterCount - 1).sorted.mkString(", ")))
+          callMethods(cls).map(_.getParameterCount - 1).sorted.mkString(", "))
+    // per-candidate argument order: named args permute onto the
+    // candidate's reflected parameter names (all-or-nothing, like the
+    // window TVFs' FLIP-387 normalization); positional is identity
+    val usable: Seq[(Method, Array[AnyRef])] = byArity.flatMap { m =>
+      if (!useNamed) Some((m, args))
+      else {
+        val ps = m.getParameters.drop(1)
+        if (!ps.forall(_.isNamePresent)) None
+        else {
+          val pNames = ps.map(_.getName.toLowerCase)
+          if (pNames.toSet != argNames.toSet) None
+          else Some((m, pNames.map(pn => args(argNames.indexOf(pn))).toArray))
+        }
+      }
+    }
+    if (usable.isEmpty) {
+      val detail = byArity.map { m =>
+        val ps = m.getParameters.drop(1)
+        if (ps.forall(_.isNamePresent)) ps.map(_.getName).mkString("(", ", ", ")")
+        else "(parameter names not recorded — compile the procedure with " +
+          "javac -parameters to enable named arguments)"
+      }
+      throw new IllegalArgumentException(
+        s"CALL $name: named arguments ${argNames.mkString("(", ", ", ")")} match " +
+          s"no call method; candidates take ${detail.mkString("; ")}")
+    }
+    // rank same-arity overloads by argument-type compatibility
+    val scored = usable.map { case (m, ordered) =>
+      val ps = m.getParameterTypes.drop(1)
+      val s = ordered.zip(ps).foldLeft(0L) { case (acc, (v, p)) =>
+        acc + typeScore(p, v) }
+      (m, ordered, s)
+    }
+    val best = scored.maxBy(_._3)
+    if (best._3 < 0)
+      throw new IllegalArgumentException(
+        s"CALL $name: no call overload accepts argument types " +
+          args.map(a => if (a == null) "NULL" else a.getClass.getSimpleName)
+            .mkString("(", ", ", ")") + "; candidates: " +
+          byArity.map(_.getParameterTypes.drop(1).map(_.getSimpleName)
+            .mkString("(", ", ", ")")).mkString("; "))
+    val (m, orderedArgs) = (best._1, best._2)
     val params = m.getParameterTypes
     val ctx: AnyRef =
       if (params(0).isInterface)
@@ -102,11 +216,11 @@ object ReflectiveProcedure {
               }
           })
       else null
-    val coerced = new Array[AnyRef](args.length + 1)
+    val coerced = new Array[AnyRef](orderedArgs.length + 1)
     coerced(0) = ctx
     var i = 0
-    while (i < args.length) {
-      coerced(i + 1) = EvalCoercion.coerce(params(i + 1), args(i)); i += 1
+    while (i < orderedArgs.length) {
+      coerced(i + 1) = EvalCoercion.coerce(params(i + 1), orderedArgs(i)); i += 1
     }
     val inst =
       if (Modifier.isStatic(m.getModifiers)) null
@@ -127,18 +241,30 @@ object ReflectiveProcedure {
       case one => Seq(one)
     }
     import spark.implicits._
-    elems.headOption match {
-      case Some(_: String) => elems.map(_.asInstanceOf[String]).toDF("result")
-      case Some(_: java.lang.Long) =>
-        elems.map(_.asInstanceOf[java.lang.Long].longValue).toDF("result")
-      case Some(_: java.lang.Integer) =>
-        elems.map(_.asInstanceOf[java.lang.Integer].longValue).toDF("result")
-      case Some(_: java.lang.Double) =>
-        elems.map(_.asInstanceOf[java.lang.Double].doubleValue).toDF("result")
-      case Some(_: java.lang.Boolean) =>
-        elems.map(_.asInstanceOf[java.lang.Boolean].booleanValue).toDF("result")
-      case Some(_) => elems.map(String.valueOf(_)).toDF("result")
-      case None => Seq.empty[String].toDF("result")
+    // result-type dispatch keys on the first NON-NULL element and only
+    // keeps the typed column when ALL elements agree — a heterogeneous
+    // array renders every element via String.valueOf instead of
+    // ClassCastException-ing on the second one
+    def homog(p: Any => Boolean): Boolean = elems.forall(e => e == null || p(e))
+    elems.find(_ != null) match {
+      case Some(_: String) if homog(_.isInstanceOf[String]) =>
+        elems.map(_.asInstanceOf[String]).toDF("result")
+      case Some(_: java.lang.Long) if homog(_.isInstanceOf[java.lang.Long]) =>
+        elems.map(e => Option(e).map(_.asInstanceOf[java.lang.Long].longValue))
+          .toDF("result")
+      case Some(_: java.lang.Integer) if homog(_.isInstanceOf[java.lang.Integer]) =>
+        elems.map(e => Option(e).map(_.asInstanceOf[java.lang.Integer].longValue))
+          .toDF("result")
+      case Some(_: java.lang.Double) if homog(_.isInstanceOf[java.lang.Double]) =>
+        elems.map(e => Option(e).map(_.asInstanceOf[java.lang.Double].doubleValue))
+          .toDF("result")
+      case Some(_: java.lang.Boolean) if homog(_.isInstanceOf[java.lang.Boolean]) =>
+        elems.map(e => Option(e).map(_.asInstanceOf[java.lang.Boolean].booleanValue))
+          .toDF("result")
+      case Some(_) =>
+        elems.map(e => if (e == null) null else String.valueOf(e)).toDF("result")
+      case None if elems.isEmpty => Seq.empty[String].toDF("result")
+      case None => elems.map(_ => None: Option[String]).toDF("result")
     }
   }
 }

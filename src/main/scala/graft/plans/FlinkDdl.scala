@@ -1495,9 +1495,10 @@ object FlinkDdl {
             e.replaceAll("\\s+", "").equalsIgnoreCase("PROCTIME()")
         }
         if (isProcTime) {
-          spark.table(src).withWatermark(orderCol, "0 seconds")
-            .createOrReplaceTempView(src)
-          Left(RowtimeOver.lower(spark, select, src, orderCol))
+          // pass the watermarked frame directly — never replace the
+          // user's view (a frozen analyzed plan + a leaked watermark)
+          Left(RowtimeOver.lower(spark, select, src, orderCol,
+            sourceDf = Some(spark.table(src).withWatermark(orderCol, "0 seconds"))))
         } else {
           val (wmCol, _) = watermarkOf(spark, src).getOrElse(
             fail(s"streaming OVER needs a declared WATERMARK on '$src' " +

@@ -44,7 +44,10 @@ import org.apache.spark.sql.types._
   *    the same documented ms coarsening as rowtimes; SUM/AVG/variance
   *    over a timestamp fail typed, as in SQL); other non-numeric value
   *    columns fail typed), COUNT(*) and
-  *    null-skipping COUNT(col), ROW_NUMBER() on the unbounded ROWS
+  *    null-skipping COUNT(col) — STRING columns included (the slot
+  *    carries only the null mask; COUNT DISTINCT stays numeric-only,
+  *    and arithmetic aggregates over strings fail typed) —
+  *    ROW_NUMBER() on the unbounded ROWS
   *    frame, LAG(col [, n])
   *    on EVERY frame (row-based even under RANGE peers, NULL before
   *    the nth predecessor — a trailing snapshot rides each kernel's
@@ -248,11 +251,15 @@ object RowtimeOver {
         tsCols += bare(c)
         s"date_from_unix_date(CAST($inner AS INT))"
       } else inner
-    def failTsArith(fn: String, c: String): Unit =
+    def failTsArith(fn: String, c: String): Unit = {
       if (isTimestampCol(bare(c)) || isDateCol(bare(c)))
         fail(s"$fn over TIMESTAMP/DATE column '${bare(c)}' is not SQL arithmetic — " +
           "MIN/MAX/FIRST_VALUE/LAST_VALUE/LAG accept time types; for " +
           "durations aggregate unix_millis/unix_date differences instead")
+      if (isStringCol(bare(c)))
+        fail(s"$fn over STRING column '${bare(c)}' is not SQL arithmetic — " +
+          "COUNT/MIN/MAX/FIRST_VALUE/LAST_VALUE/LAG accept string columns")
+    }
     val repl = aggRe.findAllMatchIn(select).toList.map { m =>
       // span end: OVER <name> or OVER (...)
       var i = m.end
@@ -371,9 +378,20 @@ object RowtimeOver {
                 s"THEN CAST(NULL AS DOUBLE) ELSE element_at(__over_last, $n) END)")
           }
         case "COUNT" =>
-          if (isDistinct) s"element_at(__over_dcnt, ${distinctSlot(arg)})"
+          if (isDistinct) {
+            // distinct sets collect the numeric slot's VALUES, which a
+            // string column doesn't carry — reject rather than mis-count
+            if (isStringCol(bare(arg)))
+              fail(s"COUNT(DISTINCT ${bare(arg)}) over a STRING column is " +
+                "not in the streaming subset — the distinct state rides " +
+                "the numeric value vector; count distinct string keys in " +
+                "a GROUP BY instead")
+            s"element_at(__over_dcnt, ${distinctSlot(arg)})"
+          }
           else if (arg == "*" || arg == "1") "__over_cnt"
-          // null-skipping COUNT(col): the per-slot non-null count
+          // null-skipping COUNT(col): the per-slot non-null count (a
+          // STRING column rides the numeric slot's NULL MASK with value
+          // 0.0 — COUNT never decodes the value)
           else nnOf(slot(arg))
         case "ROW_NUMBER" =>
           if (arg.nonEmpty) fail("ROW_NUMBER takes no arguments")
@@ -540,10 +558,16 @@ object RowtimeOver {
     * kernel's output view. Returns the streaming DataFrame for the
     * generic sink path.
     */
+  /** `sourceDf` overrides the table lookup for `source` — the proc-time
+    * deploy passes `spark.table(src).withWatermark(...)` directly so the
+    * user's view registration is never mutated (a replaced temp view
+    * would pin a frozen analyzed plan and leak the watermark into
+    * unrelated queries on the same name).
+    */
   def lower(spark: SparkSession, select: String, source: String,
-      rowtimeCol: String): DataFrame = {
+      rowtimeCol: String, sourceDf: Option[DataFrame] = None): DataFrame = {
     import graft.streaming.{OverIn, OverOps}
-    val srcSchema = spark.table(source).schema
+    val srcSchema = sourceDf.getOrElse(spark.table(source)).schema
     val spec = parse(select,
       c => srcSchema.fields
         .exists(f => f.name.equalsIgnoreCase(c) && f.dataType == StringType),
@@ -558,7 +582,7 @@ object RowtimeOver {
     if (!spec.fromTable.equalsIgnoreCase(bare(source)))
       fail(s"FROM '${spec.fromTable}' does not reference the deployment's " +
         s"single watermarked source '$source'")
-    val src = spark.table(source)
+    val src = sourceDf.getOrElse(spark.table(source))
     val schema = src.schema
     val partFs = spec.partCols.map(requireKeyable(schema, _))
     val idF = requireIntegral(schema, spec.idCol, "row-id")
@@ -580,12 +604,16 @@ object RowtimeOver {
         // decode the value) rides as exact unix millis; timestamps
         // reaching arithmetic aggregates were already rejected in parse
         case TimestampType | DateType => ()
+        // a string slot the PARSE routed here carries only its NULL
+        // mask (COUNT(string_col) — arithmetic over strings was
+        // already rejected in parse)
+        case StringType => ()
         case t => fail(s"aggregate value column '$v' is ${t.sql} — the " +
           "streaming kernel carries arithmetic values as a DOUBLE vector, " +
           "so only numeric columns deploy there (results come back " +
-          "DOUBLE); MIN/MAX/FIRST_VALUE/LAST_VALUE/LAG also accept STRING " +
-          "and TIMESTAMP columns (string slot vector / exact unix-millis " +
-          "encoding)")
+          "DOUBLE); COUNT/MIN/MAX/FIRST_VALUE/LAST_VALUE/LAG also accept " +
+          "STRING and TIMESTAMP columns (string slot vector / exact " +
+          "unix-millis encoding)")
       }
     }
     // values ride the kernel as a PRIMITIVE double vector; SQL null
@@ -598,6 +626,9 @@ object RowtimeOver {
       srcSchema.fields.find(_.name.equalsIgnoreCase(v)).map(_.dataType) match {
         case Some(TimestampType) => unix_millis(col(v)).cast("double")
         case Some(DateType) => unix_date(col(v)).cast("double")
+        // string slots carry only their NULL mask (COUNT): value 0.0,
+        // nullness preserved — a plain cast would null non-numeric text
+        case Some(StringType) => when(col(v).isNotNull, lit(0.0))
         case _ => col(v).cast("double")
       }
     val valueExpr =

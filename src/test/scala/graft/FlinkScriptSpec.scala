@@ -860,6 +860,70 @@ class FlinkScriptSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("public call method"), e3.getMessage)
   }
 
+  test("FLIP-311 procedures: named arguments, typed overload ranking, heterogeneous results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_proc_named")
+    java.nio.file.Files.writeString(dir.resolve("GraftNamedProc.java"),
+      """public class GraftNamedProc {
+        |  // same arity, different types: first-match would pick wrong
+        |  public String[] call(Object ctx, String table, Long retain) {
+        |    return new String[] { "str:" + table + ":" + retain };
+        |  }
+        |  public String[] call(Object ctx, Long parallelism, Long retain) {
+        |    return new String[] { "num:" + parallelism + ":" + retain };
+        |  }
+        |  public Object[] call(Object ctx, String mixed) {
+        |    return new Object[] { "a", Long.valueOf(7), Double.valueOf(1.5) };
+        |  }
+        |}
+        |""".stripMargin)
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    // -parameters records parameter names — the named-argument mapping
+    assert(javac.run(null, null, null, "-parameters",
+      dir.resolve("GraftNamedProc.java").toString) == 0, "javac failed")
+    val jar = dir.resolve("graft-test-proc-named.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jar))
+    jos.putNextEntry(new java.util.zip.ZipEntry("GraftNamedProc.class"))
+    jos.write(java.nio.file.Files.readAllBytes(dir.resolve("GraftNamedProc.class")))
+    jos.closeEntry()
+    jos.close()
+    FlinkSql.sql(spark, s"ADD JAR '$jar'")
+    FlinkSql.sql(spark, "CREATE PROCEDURE nmd AS 'GraftNamedProc'")
+    // typed overload ranking: a STRING first arg picks the (String, Long)
+    // overload, a numeric first arg the (Long, Long) one — same arity
+    assert(FlinkSql.sql(spark, "CALL nmd('events', 3)")
+      .as[String].head() == "str:events:3")
+    assert(FlinkSql.sql(spark, "CALL nmd(8, 3)")
+      .as[String].head() == "num:8:3")
+    // named arguments, out of order, FLIP-387 style
+    assert(FlinkSql.sql(spark, "CALL nmd(retain => 5, table => 'logs')")
+      .as[String].head() == "str:logs:5")
+    assert(FlinkSql.sql(spark, "CALL nmd(retain => 5, parallelism => 2 * 2)")
+      .as[String].head() == "num:4:5")
+    // all-or-nothing: mixing named and positional fails typed
+    val eMix = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CALL nmd('events', retain => 5)")
+    }
+    assert(eMix.getMessage.contains("all positional or all named"), eMix.getMessage)
+    // an unknown name lists the candidates' parameter names
+    val eName = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CALL nmd(retain => 5, nosuch => 1)")
+    }
+    assert(eName.getMessage.contains("table") ||
+      eName.getMessage.contains("parallelism"), eName.getMessage)
+    // a heterogeneous result array renders via String.valueOf per element
+    assert(FlinkSql.sql(spark, "CALL nmd('x')").as[String].collect().toSeq ==
+      Seq("a", "7", "1.5"))
+    // CREATE on an existing name errors unless IF NOT EXISTS
+    val eDup = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "CREATE PROCEDURE nmd AS 'GraftNamedProc'")
+    }
+    assert(eDup.getMessage.contains("already"), eDup.getMessage)
+    FlinkSql.sql(spark, "CREATE PROCEDURE IF NOT EXISTS nmd AS 'GraftNamedProc'")
+    FlinkSql.sql(spark, "DROP PROCEDURE nmd")
+  }
+
   test("CREATE FUNCTION over a TableFunction-shaped class bridges LATERAL TABLE onto explode") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_udtf_jar")
@@ -2558,6 +2622,67 @@ class FlinkScriptSpec extends AnyFunSuite {
     FlinkSql.run(spark, "DROP TABLE str_src; DROP TABLE str_sink")
   }
 
+  test("streaming OVER: COUNT over a STRING column counts non-nulls, stream equals batch") {
+    import spark.implicits._
+    // COUNT(string_col) never decodes the value — the string rides the
+    // numeric slot's NULL MASK with value 0.0; arithmetic aggregates
+    // over strings and COUNT(DISTINCT string) stay typed rejections
+    val dir = java.nio.file.Files.createTempDirectory("flink_over_cnts").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    Seq((1L, 1L, t(10), Some("new"), 1.0), (2L, 1L, t(20), None, 2.0),
+      (3L, 1L, t(30), Some("paid"), 4.0), (4L, 1L, t(40), None, 8.0),
+      (9L, 9L, t(900), Some("x"), 0.0))
+      .toDF("event_id", "user_id", "ts", "status", "v")
+      .write.mode("append").parquet(s"$dir/cnt_src")
+    FlinkSql.run(spark,
+      s"""CREATE TABLE cnt_src (
+         |  event_id BIGINT, user_id BIGINT, ts TIMESTAMP(3),
+         |  status STRING, v DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/cnt_src',
+         |        'format' = 'parquet');
+         |CREATE TABLE cnt_sink (event_id BIGINT, cs BIGINT, cq BIGINT,
+         |  s DOUBLE)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/cnt_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    val sel =
+      """SELECT event_id, count(status) OVER w AS cs,
+        |  count(*) OVER w AS cq, sum(v) OVER w AS s
+        |FROM cnt_src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+    FlinkSql.runStream(spark, s"INSERT INTO cnt_sink $sel",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .filter(_.getLong(0) != 9L) // the watermark-frontier sentinel row
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = shape(spark.read.parquet(s"$dir/cnt_sink"))
+    val want = shape(FlinkSql.sql(spark, sel))
+    assert(got == want && got.nonEmpty,
+      s"COUNT(string) stream vs batch: stream-only=${(got -- want).take(3)} " +
+        s"batch-only=${(want -- got).take(3)}")
+    // the running non-null count skips events 2 and 4 (NULL status)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(2L)._2 == 1L && byId(2L)._3 == 2L, byId(2L).toString)
+    assert(byId(4L)._2 == 2L && byId(4L)._3 == 4L, byId(4L).toString)
+    // arithmetic over strings and COUNT(DISTINCT string) fail typed
+    Seq("sum(status) OVER w AS x", "avg(status) OVER w AS x",
+        "stddev(status) OVER w AS x", "count(DISTINCT status) OVER w AS x")
+      .foreach { agg =>
+        val e = intercept[IllegalArgumentException] {
+          FlinkSql.runStream(spark,
+            s"""INSERT INTO cnt_sink SELECT event_id, $agg, count(*) OVER w,
+               |sum(v) OVER w FROM cnt_src
+               |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        }
+        assert(e.getMessage.toLowerCase.contains("string"), s"$agg: ${e.getMessage}")
+      }
+    FlinkSql.run(spark, "DROP TABLE cnt_src; DROP TABLE cnt_sink")
+  }
+
   test("streaming OVER: TIMESTAMP value columns for MIN/MAX/FIRST/LAG via exact unix-millis slots") {
     import spark.implicits._
     // timestamps were porting guidance ("numeric surrogate"); they now
@@ -2731,6 +2856,12 @@ class FlinkScriptSpec extends AnyFunSuite {
     // excluded) are in this source; trailing 2-row frames in id order
     assert(got2 == Set((1L, 1.0), (2L, 3.0), (3L, 6.0), (4L, 10.0), (5L, 30.0)),
       s"proc-time ROWS 1 PRECEDING: $got2")
+    // the deploys never mutated the user's view: no leaked watermark
+    // wrapper (four deployments would have nested four), and a fresh
+    // batch read still sees newly appended files (no frozen plan)
+    val viewPlan = spark.table("proc_src").queryExecution.analyzed.toString
+    assert(!viewPlan.contains("EventTimeWatermark"),
+      s"proc-time deploy leaked a watermark into the source view:\n$viewPlan")
     FlinkSql.run(spark,
       "DROP TABLE proc_src; DROP TABLE proc_sink; DROP TABLE proc_sink2")
   }

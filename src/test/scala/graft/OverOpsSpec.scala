@@ -162,4 +162,63 @@ class OverOpsSpec extends AnyFunSuite {
       assert(got == Set(("1", 1L, 1.0, 1L), ("1", 2L, 3.0, 2L)))
     } finally q.stop()
   }
+
+  test("DATE value slots (epoch days + null mask) stream equal batch MIN/MAX/FIRST/LAG") {
+    // the typed-layer pin of the SQL deployment's DATE encoding
+    // (RowtimeOver.lower: unix_date → the double vector, NULL rides the
+    // mask, date_from_unix_date restores at the splice) — so a parser
+    // change can't silently orphan the kernel path
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val rows = Seq( // (key, id, ts, date-or-null)
+      (1L, 1L, new java.sql.Timestamp(1010 * 1000), Some(d("2024-03-01"))),
+      (1L, 2L, new java.sql.Timestamp(1020 * 1000), None),
+      (1L, 3L, new java.sql.Timestamp(1030 * 1000), Some(d("2023-12-31"))),
+      (1L, 4L, new java.sql.Timestamp(1040 * 1000), Some(d("2024-07-15"))))
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, Option[java.sql.Date])]
+    val toIn = (df: org.apache.spark.sql.DataFrame) => df
+      .toDF("key", "id", "ts", "dt")
+      .select($"key".cast("string").as("key"), $"id",
+        unix_millis($"ts").as("ts_ms"),
+        array(coalesce(unix_date($"dt").cast("double"), lit(0.0))).as("values"),
+        when(isnull($"dt"), array(lit(true)))
+          .otherwise(expr("CAST(array() AS ARRAY<BOOLEAN>)")).as("nulls"),
+        expr("CAST(array() AS ARRAY<STRING>)").as("svalues")).as[OverIn]
+    val q = OverOps.runningAgg(
+        toIn(input.toDF().withWatermark("_3", "5 seconds")), lagMax = 1)
+      .writeStream.outputMode("append").format("memory").queryName("dover_out").start()
+    try {
+      input.addData(rows: _*); q.processAllAvailable()
+      input.addData((9L, 99L, new java.sql.Timestamp(9000 * 1000),
+        None: Option[java.sql.Date])) // close the watermark
+      q.processAllAvailable()
+      // decode exactly as the SQL splice does
+      val got = spark.table("dover_out")
+        .filter($"key" =!= "9")
+        .select($"id",
+          // nn_cnt is EMPTY on the no-nulls fast path — mirror nnOf()
+          expr("CASE WHEN coalesce(try_element_at(nn_cnt, 1), running_cnt) > 0 " +
+            "THEN date_from_unix_date(CAST(running_min[0] AS INT)) END").as("mn"),
+          expr("CASE WHEN coalesce(try_element_at(nn_cnt, 1), running_cnt) > 0 " +
+            "THEN date_from_unix_date(CAST(running_max[0] AS INT)) END").as("mx"),
+          expr("CASE WHEN coalesce(try_element_at(first_null, 1), false) THEN CAST(NULL AS DATE) " +
+            "ELSE date_from_unix_date(CAST(first_v[0] AS INT)) END").as("fv"),
+          expr("CASE WHEN coalesce(try_element_at(try_element_at(lags_null, 1), 1), false) THEN CAST(NULL AS DATE) " +
+            "ELSE date_from_unix_date(CAST(try_element_at(try_element_at(lags, 1), 1) AS INT)) END").as("lg"))
+        .collect().map(r => (r.getLong(0), Option(r.getDate(1)), Option(r.getDate(2)),
+          Option(r.getDate(3)), Option(r.getDate(4)))).toSet
+      val w = Window.partitionBy($"key").orderBy($"ts", $"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = rows.toDF("key", "id", "ts", "dt")
+        .select($"id", min($"dt").over(w).as("mn"), max($"dt").over(w).as("mx"),
+          first($"dt").over(w).as("fv"),
+          lag($"dt", 1).over(Window.partitionBy($"key").orderBy($"ts", $"id")).as("lg"))
+        .collect().map(r => (r.getLong(0), Option(r.getDate(1)), Option(r.getDate(2)),
+          Option(r.getDate(3)), Option(r.getDate(4)))).toSet
+      assert(got == want,
+        s"DATE slots stream vs batch: stream-only=${(got -- want).take(3)} " +
+          s"batch-only=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
 }
