@@ -45,8 +45,11 @@ import org.apache.spark.sql.types._
   *    over a timestamp fail typed, as in SQL); other non-numeric value
   *    columns fail typed), COUNT(*) and
   *    null-skipping COUNT(col) — STRING columns included (the slot
-  *    carries only the null mask; COUNT DISTINCT stays numeric-only,
-  *    and arithmetic aggregates over strings fail typed) —
+  *    carries only the null mask; arithmetic aggregates over strings
+  *    fail typed), COUNT(DISTINCT string_col) via exact seen-string
+  *    sets on the string slot vector (unbounded frames keep per-key
+  *    seen-string state under its own state name; bounded frames fold
+  *    over the retained rows' svalues) —
   *    ROW_NUMBER() on the unbounded ROWS
   *    frame, LAG(col [, n])
   *    on EVERY frame (row-based even under RANGE peers, NULL before
@@ -123,7 +126,8 @@ object RowtimeOver {
   final case class Spec(partCols: Seq[String], orderCol: String, frame: Frame,
       valueCols: Seq[String], idCol: String, rewritten: String, usesRn: Boolean,
       maxLag: Int, distinctSlots: Seq[Int], fromTable: String, fromSpan: (Int, Int),
-      stringCols: Seq[String], tsCols: Seq[String])
+      stringCols: Seq[String], tsCols: Seq[String],
+      distinctStrSlots: Seq[Int] = Seq.empty)
 
   private def unitMs(u: String): Long = u.toUpperCase match {
     case "SECOND" => 1000L
@@ -214,6 +218,7 @@ object RowtimeOver {
     var maxLag = 0
     // 1-based slots whose DISTINCT running sum/count the kernel tracks
     val distinctSlots = scala.collection.mutable.SortedSet.empty[Int]
+    val distinctStrSlots = scala.collection.mutable.SortedSet.empty[Int]
     // per-aggregate value columns: each distinct column gets a slot in
     // the kernel's values vector; the splice reads its slot back with
     // element_at (1-based)
@@ -379,14 +384,13 @@ object RowtimeOver {
           }
         case "COUNT" =>
           if (isDistinct) {
-            // distinct sets collect the numeric slot's VALUES, which a
-            // string column doesn't carry — reject rather than mis-count
-            if (isStringCol(bare(arg)))
-              fail(s"COUNT(DISTINCT ${bare(arg)}) over a STRING column is " +
-                "not in the streaming subset — the distinct state rides " +
-                "the numeric value vector; count distinct string keys in " +
-                "a GROUP BY instead")
-            s"element_at(__over_dcnt, ${distinctSlot(arg)})"
+            // a string column's distinct set rides the string slot
+            // vector (exact seen-string state — never a hashed double)
+            if (isStringCol(bare(arg))) {
+              val n = sslot(arg)
+              distinctStrSlots += n
+              s"element_at(__over_dcnt_s, $n)"
+            } else s"element_at(__over_dcnt, ${distinctSlot(arg)})"
           }
           else if (arg == "*" || arg == "1") "__over_cnt"
           // null-skipping COUNT(col): the per-slot non-null count (a
@@ -523,7 +527,7 @@ object RowtimeOver {
 
     Spec(partCols, orderCol, frame, valueCols.toSeq, idCol, text, usesRn,
       maxLag, distinctSlots.toSeq, fromTable, span, stringCols.toSeq,
-      tsCols.toSeq)
+      tsCols.toSeq, distinctStrSlots.toSeq)
   }
 
   private def requireIntegral(schema: StructType, c: String, role: String): StructField = {
@@ -664,19 +668,24 @@ object RowtimeOver {
       valueExpr.as("values"),
       nullsExpr.as("nulls"),
       svaluesExpr.as("svalues")).as[OverIn]
+    val dStr = spec.distinctStrSlots.map(_ - 1).toSet
     val (out, pre) = spec.frame match {
       case RangeMs(ms) =>
         (OverOps.boundedRangeAgg(in, ms, lagMax = spec.maxLag,
-          distinctSlots = spec.distinctSlots.map(_ - 1).toSet).toDF(), "range")
+          distinctSlots = spec.distinctSlots.map(_ - 1).toSet,
+          distinctStrSlots = dStr).toDF(), "range")
       case RowsN(n) =>
         (OverOps.boundedRowsAgg(in, n, lagMax = spec.maxLag,
-          distinctSlots = spec.distinctSlots.map(_ - 1).toSet).toDF(), "range")
+          distinctSlots = spec.distinctSlots.map(_ - 1).toSet,
+          distinctStrSlots = dStr).toDF(), "range")
       case UnboundedRows =>
         (OverOps.runningAgg(in, peerGrouped = false, lagMax = spec.maxLag,
-          distinctSlots = spec.distinctSlots.map(_ - 1).toSet).toDF(), "running")
+          distinctSlots = spec.distinctSlots.map(_ - 1).toSet,
+          distinctStrSlots = dStr).toDF(), "running")
       case UnboundedRange =>
         (OverOps.runningAgg(in, peerGrouped = true, lagMax = spec.maxLag,
-          distinctSlots = spec.distinctSlots.map(_ - 1).toSet).toDF(), "running")
+          distinctSlots = spec.distinctSlots.map(_ - 1).toSet,
+          distinctStrSlots = dStr).toDF(), "running")
     }
     val restoreCols =
       partFs.map(f => from_json(col("key"), keySchema).getField(f.name).as(f.name)) ++
@@ -709,6 +718,9 @@ object RowtimeOver {
       (if (spec.distinctSlots.nonEmpty)
         Seq(col("dist_sum").as("__over_dsum"), col("dist_cnt").as("__over_dcnt"),
           col("dist_sumsq").as("__over_dsumsq"))
+      else Nil) ++
+      (if (spec.distinctStrSlots.nonEmpty)
+        Seq(col("dcnt_s").as("__over_dcnt_s"))
       else Nil)
     val restored = out.select(restoreCols: _*)
     restored.createOrReplaceTempView("__graft_over")

@@ -56,7 +56,7 @@ case class OverOut(key: String, id: Long, ts_ms: Long,
     first_null: Seq[Boolean], last_null: Seq[Boolean],
     lags_null: Seq[Seq[Boolean]],
     first_s: Seq[String], last_s: Seq[String], lags_s: Seq[Seq[String]],
-    min_s: Seq[String], max_s: Seq[String])
+    min_s: Seq[String], max_s: Seq[String], dcnt_s: Seq[Long])
 
 private[streaming] object OverNulls {
   /** Tolerant mask read: entries past the mask are non-null. */
@@ -141,7 +141,7 @@ private[streaming] object OverNulls {
   * is O(distinct values) — the CARDINALITY matches the reference's.
   */
 class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
-    distinctSlots: Set[Int] = Set.empty)
+    distinctSlots: Set[Int] = Set.empty, distinctStrSlots: Set[Int] = Set.empty)
     extends KeyedProcess[String, OverIn, OverOut] {
   // acc = (sum, cnt, mn, mx, fst, sq, nn non-null counts, fst null mask,
   //        fst string slots, running string min, running string max)
@@ -153,6 +153,7 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
   @transient private var lagState: ValueState[Lags] = _
   @transient private var distState:
     ValueState[(Seq[Seq[Double]], Seq[Double], Seq[Long])] = _
+  @transient private var distStrState: ValueState[Seq[Seq[String]]] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
@@ -167,6 +168,13 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
     if (distinctSlots.nonEmpty)
       distState = h.getValueState[(Seq[Seq[Double]], Seq[Double], Seq[Long])](
         "dist", distEnc, TTLConfig.NONE)
+    if (distinctStrSlots.nonEmpty) {
+      implicit val distSEnc: Encoder[Seq[Seq[String]]] = ExpressionEncoder()
+      // its OWN state name: queries without string DISTINCT never
+      // create it, so pre-existing checkpoints stay restorable
+      distStrState = h.getValueState[Seq[Seq[String]]](
+        "dist_s", distSEnc, TTLConfig.NONE)
+    }
   }
 
   override def onElement(key: String, v: OverIn, tv: TimerValues,
@@ -205,6 +213,18 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
           (s0.map(s => scala.collection.mutable.HashSet(s: _*)).toArray,
             ds0.toArray, dc0.toArray,
             s0.map(_.map(v => v * v).sum).toArray)
+        }
+      // string DISTINCT (COUNT(DISTINCT string_col)): seen-string sets
+      // per marked string slot, same MapView-cardinality shape
+      val dsetsS: Array[scala.collection.mutable.HashSet[String]] =
+        if (distinctStrSlots.isEmpty) null
+        else {
+          val ks = (distinctStrSlots.max + 1) max
+            sorted.head.svalues.length
+          val s0 = Option(distStrState.get())
+            .getOrElse(Seq.fill(ks)(Seq.empty[String]))
+            .padTo(ks, Seq.empty[String])
+          s0.map(s => scala.collection.mutable.HashSet(s: _*)).toArray
         }
       def fold(r: OverIn): Unit = {
         // SQL null semantics: masked slots skip every arithmetic
@@ -247,6 +267,15 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
             j += 1
           }
         }
+        if (distinctStrSlots.nonEmpty) {
+          var j = 0
+          while (j < r.svalues.length) {
+            val v = r.svalues(j)
+            if (distinctStrSlots.contains(j) && v != null && j < dsetsS.length)
+              dsetsS(j).add(v)
+            j += 1
+          }
+        }
       }
       def dsumSnap: Seq[Double] =
         if (distinctSlots.isEmpty) Seq.empty else dsum.toSeq
@@ -254,6 +283,9 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
         if (distinctSlots.isEmpty) Seq.empty else dcnt.toSeq
       def dsqSnap: Seq[Double] =
         if (distinctSlots.isEmpty) Seq.empty else dsq.toSeq
+      def dcntSSnap: Seq[Long] =
+        if (distinctStrSlots.isEmpty) Seq.empty
+        else dsetsS.map(_.size.toLong).toSeq
       // no-nulls fast path (see OverNulls.maskOrEmpty): empty metadata
       // arrays when every slot's non-null count equals the row count
       def nnOut: Seq[Long] = if (nn.forall(_ == cnt)) Seq.empty else nn
@@ -265,7 +297,7 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
           emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, r.values,
             lags, dsumSnap, dcntSnap, sq, dsqSnap, nnOut, fstNullOut,
             OverNulls.maskOrEmpty(r), lagsNull, fstS, r.svalues, lagsS,
-            smin, smax))
+            smin, smax, dcntSSnap))
           if (lagMax > 0) {
             lags = (r.values +: lags).take(lagMax)
             lagsNull = (OverNulls.maskOrEmpty(r) +: lagsNull).take(lagMax)
@@ -288,11 +320,11 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
           val lastV = peers.last.values
           val lastN = OverNulls.maskOrEmpty(peers.last)
           val lastS = peers.last.svalues
-          val (ds, dc, dq) = (dsumSnap, dcntSnap, dsqSnap)
+          val (ds, dc, dq, dcs) = (dsumSnap, dcntSnap, dsqSnap, dcntSSnap)
           peers.zip(rowLags).foreach { case (r, (l, ln, ls)) =>
             emit(OverOut(key, r.id, r.ts_ms, sum, cnt, cnt, mn, mx, fst, lastV,
               l, ds, dc, sq, dq, nnOut, fstNullOut, lastN, ln, fstS, lastS, ls,
-              smin, smax))
+              smin, smax, dcs))
           }
         }
       }
@@ -300,6 +332,8 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
       if (lagMax > 0) lagState.update((lags, lagsNull, lagsS))
       if (distinctSlots.nonEmpty)
         distState.update((dsets.map(_.toSeq).toSeq, dsum.toSeq, dcnt.toSeq))
+      if (distinctStrSlots.nonEmpty)
+        distStrState.update(dsetsS.map(_.toSeq).toSeq)
       buf.clear()
       if (pending.nonEmpty) buf.appendList(pending)
     }
@@ -327,7 +361,7 @@ case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
     first_null: Seq[Boolean], last_null: Seq[Boolean],
     lags_null: Seq[Seq[Boolean]],
     first_s: Seq[String], last_s: Seq[String], lags_s: Seq[Seq[String]],
-    min_s: Seq[String], max_s: Seq[String])
+    min_s: Seq[String], max_s: Seq[String], dcnt_s: Seq[Long])
 
 /** Streaming bounded-range OVER — the reference's
   * RowTimeRangeBoundedPrecedingFunction ([U] flink-table-runtime
@@ -342,7 +376,7 @@ case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
   * costs no new state.
   */
 class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
-    distinctSlots: Set[Int] = Set.empty)
+    distinctSlots: Set[Int] = Set.empty, distinctStrSlots: Set[Int] = Set.empty)
     extends KeyedProcess[String, OverIn, BoundedOverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var recent: ListState[OverIn] = _
@@ -411,9 +445,11 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
           val (firstS, lastS) = (window.head.svalues, window.last.svalues)
           val (sMn, sMx) = OverNulls.stringMinMax(window, window.head.svalues.length)
           val (dsum, dcnt, dsq) = OverOps.distinctFold(window, k, distinctSlots)
+          val dcntS = OverOps.distinctStrFold(window, distinctStrSlots)
           peers.zip(rowLags).foreach { case (r, (l, ln, ls)) =>
             emit(BoundedOverOut(key, r.id, r.ts_ms, sum, cnt, mn, mx, first, last, l, sq,
-              dsum, dcnt, dsq, nn, firstN, lastN, ln, firstS, lastS, ls, sMn, sMx))
+              dsum, dcnt, dsq, nn, firstN, lastN, ln, firstS, lastS, ls, sMn, sMx,
+              dcntS))
           }
         }
       recent.clear()
@@ -436,7 +472,7 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
   * rows per key; MIN/MAX/FIRST/LAST fold over that retained frame.
   */
 class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0,
-    distinctSlots: Set[Int] = Set.empty)
+    distinctSlots: Set[Int] = Set.empty, distinctStrSlots: Set[Int] = Set.empty)
     extends KeyedProcess[String, OverIn, BoundedOverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var recent: ListState[OverIn] = _
@@ -485,13 +521,15 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0,
         val (sum, sq, mn, mx, nn0) = OverOps.windowFold(window, k)
         val nn = if (nn0.forall(_ == cnt)) Seq.empty[Long] else nn0
         val (dsum, dcnt, dsq) = OverOps.distinctFold(window, k, distinctSlots)
+        val dcntS = OverOps.distinctStrFold(window, distinctStrSlots)
         val (sMn, sMx) = OverNulls.stringMinMax(window, window.head.svalues.length)
         emit(BoundedOverOut(key, r.id, r.ts_ms,
           sum, cnt, mn, mx,
           window.head.values, window.last.values, lags, sq,
           dsum, dcnt, dsq, nn,
           OverNulls.maskOrEmpty(window.head), OverNulls.maskOrEmpty(window.last),
-          lagsNull, window.head.svalues, window.last.svalues, lagsS, sMn, sMx))
+          lagsNull, window.head.svalues, window.last.svalues, lagsS, sMn, sMx,
+          dcntS))
         if (lagMax > 0) {
           lags = (r.values +: lags).take(lagMax)
           lagsNull = (OverNulls.maskOrEmpty(r) +: lagsNull).take(lagMax)
@@ -557,6 +595,21 @@ object OverOps {
       (dvals.map(_.sum), dvals.map(_.length.toLong),
         dvals.map(_.map(v => v * v).sum))
     }
+  /** Per-string-slot distinct non-null count over the retained frame
+    * (COUNT(DISTINCT string_col)); empty slot set folds nothing.
+    */
+  private[streaming] def distinctStrFold(window: Array[OverIn],
+      slots: Set[Int]): Seq[Long] =
+    if (slots.isEmpty) Seq.empty
+    else {
+      val ks = (slots.max + 1) max window.head.svalues.length
+      Seq.tabulate(ks)(i =>
+        if (slots.contains(i))
+          window.iterator.map(r =>
+            if (i < r.svalues.length) r.svalues(i) else null)
+            .filter(_ != null).toSet.size.toLong
+        else 0L)
+    }
   /** Running sum/count/min/max/first/row_number per key ordered by event
     * time, emitted behind the watermark; `ds` must carry an event-time
     * watermark. `peerGrouped = true` switches to the RANGE-UNBOUNDED
@@ -564,10 +617,12 @@ object OverOps {
     * trailing `lagMax` value vectors (LAG support).
     */
   def runningAgg(ds: Dataset[OverIn], peerGrouped: Boolean = false,
-      lagMax: Int = 0, distinctSlots: Set[Int] = Set.empty): Dataset[OverOut] = {
+      lagMax: Int = 0, distinctSlots: Set[Int] = Set.empty,
+      distinctStrSlots: Set[Int] = Set.empty): Dataset[OverOut] = {
     implicit val out: Encoder[OverOut] = Encoders.product[OverOut]
     ds.groupByKey(_.key)(Encoders.STRING)
-      .transformWithState(new StreamingOverProcess(peerGrouped, lagMax, distinctSlots),
+      .transformWithState(
+        new StreamingOverProcess(peerGrouped, lagMax, distinctSlots, distinctStrSlots),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
@@ -577,10 +632,12 @@ object OverOps {
     * carry an event-time watermark.
     */
   def boundedRangeAgg(ds: Dataset[OverIn], rangeMs: Long,
-      lagMax: Int = 0, distinctSlots: Set[Int] = Set.empty): Dataset[BoundedOverOut] = {
+      lagMax: Int = 0, distinctSlots: Set[Int] = Set.empty,
+      distinctStrSlots: Set[Int] = Set.empty): Dataset[BoundedOverOut] = {
     implicit val out: Encoder[BoundedOverOut] = Encoders.product[BoundedOverOut]
     ds.groupByKey(_.key)(Encoders.STRING)
-      .transformWithState(new StreamingBoundedOverProcess(rangeMs, lagMax, distinctSlots),
+      .transformWithState(
+        new StreamingBoundedOverProcess(rangeMs, lagMax, distinctSlots, distinctStrSlots),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
@@ -589,11 +646,13 @@ object OverOps {
     * emitted behind the watermark.
     */
   def boundedRowsAgg(ds: Dataset[OverIn], nRows: Int,
-      lagMax: Int = 0, distinctSlots: Set[Int] = Set.empty): Dataset[BoundedOverOut] = {
+      lagMax: Int = 0, distinctSlots: Set[Int] = Set.empty,
+      distinctStrSlots: Set[Int] = Set.empty): Dataset[BoundedOverOut] = {
     require(nRows >= 1, "nRows must be >= 1")
     implicit val out: Encoder[BoundedOverOut] = Encoders.product[BoundedOverOut]
     ds.groupByKey(_.key)(Encoders.STRING)
-      .transformWithState(new StreamingBoundedRowsProcess(nRows, lagMax, distinctSlots),
+      .transformWithState(
+        new StreamingBoundedRowsProcess(nRows, lagMax, distinctSlots, distinctStrSlots),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -2666,9 +2666,50 @@ class FlinkScriptSpec extends AnyFunSuite {
     val byId = got.map(r => r._1 -> r).toMap
     assert(byId(2L)._2 == 1L && byId(2L)._3 == 2L, byId(2L).toString)
     assert(byId(4L)._2 == 2L && byId(4L)._3 == 4L, byId(4L).toString)
-    // arithmetic over strings and COUNT(DISTINCT string) fail typed
+    // COUNT(DISTINCT string_col): exact seen-string state, stream == batch
+    FlinkSql.run(spark,
+      s"""CREATE TABLE cntd_sink (event_id BIGINT, cd BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/cntd_sink',
+         |      'format' = 'parquet')""".stripMargin)
+    val selD =
+      """SELECT event_id, count(DISTINCT status) OVER w AS cd
+        |FROM cnt_src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+    FlinkSql.runStream(spark, s"INSERT INTO cntd_sink $selD",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    def shapeD(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .filter(_.getLong(0) != 9L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotD = shapeD(spark.read.parquet(s"$dir/cntd_sink"))
+    // oracle is the hand expansion (Spark batch has no DISTINCT window
+    // aggregates, like the numeric DISTINCT spec above): duplicates and
+    // NULLs never inflate — statuses (new, NULL, paid, NULL) give
+    // running distinct counts 1, 1, 2, 2
+    assert(gotD == Set((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L)), gotD.toString)
+    FlinkSql.run(spark, "DROP TABLE cntd_sink")
+    // and on a BOUNDED frame (the retained-window fold path): frames
+    // {1}, {1,2}, {1,2,3}, {2,3,4} over statuses (new, NULL, paid, NULL)
+    // give distinct counts 1, 1, 2, 1
+    FlinkSql.run(spark,
+      s"""CREATE TABLE cntd_sink2 (event_id BIGINT, cd BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/cntd_sink2',
+         |      'format' = 'parquet')""".stripMargin)
+    val selB =
+      """SELECT event_id, count(DISTINCT status) OVER w AS cd
+        |FROM cnt_src
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+    FlinkSql.runStream(spark, s"INSERT INTO cntd_sink2 $selB",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+    val gotB = shapeD(spark.read.parquet(s"$dir/cntd_sink2"))
+    assert(gotB == Set((1L, 1L), (2L, 1L), (3L, 2L), (4L, 1L)), gotB.toString)
+    FlinkSql.run(spark, "DROP TABLE cntd_sink2")
+    // arithmetic aggregates over strings fail typed
     Seq("sum(status) OVER w AS x", "avg(status) OVER w AS x",
-        "stddev(status) OVER w AS x", "count(DISTINCT status) OVER w AS x")
+        "stddev(status) OVER w AS x")
       .foreach { agg =>
         val e = intercept[IllegalArgumentException] {
           FlinkSql.runStream(spark,
