@@ -617,6 +617,7 @@ object FlinkSql {
           GraftColumnBridge.dropTempFunction(spark, name)
           funcAliases(spark).remove(name.toLowerCase)
           graft.functions.ReflectiveTable.unregister(spark, name)
+          graft.functions.FunctionParams.remove(spark, name)
         } else if (ifExists == null)
           throw new IllegalArgumentException(
             s"DROP FUNCTION $name: no such temporary function")

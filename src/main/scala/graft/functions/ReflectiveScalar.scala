@@ -101,6 +101,7 @@ object ReflectiveScalar {
           s"unsupported type ${p.getName}")
     }
     registerUdf(spark, name, impl, m.getParameterCount, ret, new EvalBridge(impl))
+    FunctionParams.record(spark, name, m.getParameters.toSeq)
     true
   }
 
@@ -146,6 +147,8 @@ object ReflectiveScalar {
       }
     registerUdf(spark, name, impl, m.getParameterCount - 1, ret,
       new AsyncEvalBridge(impl))
+    // the future slot is not SQL-invocable — names cover the rest
+    FunctionParams.record(spark, name, m.getParameters.drop(1).toSeq)
     true
   }
 

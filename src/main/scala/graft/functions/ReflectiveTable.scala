@@ -190,6 +190,7 @@ object ReflectiveTable {
         "the bridge's maximum of 6")
     }
     registryBySession.synchronized { registry(spark).add(name.toLowerCase); () }
+    FunctionParams.record(spark, name, m.getParameters.toSeq)
     true
   }
 }

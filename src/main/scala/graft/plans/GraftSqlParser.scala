@@ -67,7 +67,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       if (JsonObjectRewrite.containsClause(temporal)) JsonObjectRewrite.rewrite(temporal)
       else temporal
     // ARRAY[...] / MAP[...] bracket constructors → array(...) / map(...)
-    BracketConstructors.rewrite(jsonObj)
+    val brackets = BracketConstructors.rewrite(jsonObj)
+    // FLIP-387 named arguments for bridged CREATE FUNCTION invocations
+    if (NamedArgs.containsClause(brackets)) NamedArgs.rewrite(session, brackets)
+    else brackets
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = {

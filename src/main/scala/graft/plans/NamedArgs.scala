@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+/** Named arguments for bridged `CREATE FUNCTION` invocations — Flink's
+  * FLIP-387 convention `f(pname => expr, ...)` ([U] flink-table-common
+  * `annotation/ArgumentHint`), normalized to positional order BEFORE
+  * Spark parses the statement, exactly like the window TVFs' named
+  * parameters. Only invocations of functions recorded in
+  * [[graft.functions.FunctionParams]] rewrite (the reflective
+  * scalar/table bridges record `eval`'s reflected parameter names at
+  * registration); everything else — lambdas use `->` in Spark, and `=>`
+  * appears nowhere else in the dialect — passes through untouched.
+  * All-or-nothing per invocation: mixing named and positional, unknown
+  * or duplicate names, or a class compiled without `-parameters` all
+  * fail typed.
+  */
+object NamedArgs {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"named arguments: $msg")
+
+  /** Cheap probe: a top-level `=>` token anywhere in the text. */
+  def containsClause(sqlText: String): Boolean = sqlText.contains("=>")
+
+  private val namedItemRe = raw"(?s)^([A-Za-z_]\w*)\s*=>\s*(.+)$$".r
+  private val callRe = raw"(?i)\b([A-Za-z_]\w*)\s*\(".r
+
+  /** Split an argument list on top-level commas (quote- and
+    * paren-aware).
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    if (s.trim.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toList.map(_.trim)
+  }
+
+  def rewrite(spark: SparkSession, sqlText: String): String = {
+    if (!containsClause(sqlText)) return sqlText
+    var text = sqlText
+    var guard = 0
+    var changed = true
+    while (changed && guard < 64) {
+      changed = false
+      guard += 1
+      val it = callRe.findAllMatchIn(text)
+      val hit = it.flatMap { m =>
+        graft.functions.FunctionParams.paramsOf(spark, m.group(1)).map(p => (m, p))
+      }.find { case (m, _) =>
+        val close = WindowTvf.matchParen(text, m.end - 1)
+        splitTopLevel(text.substring(m.end, close))
+          .exists(namedItemRe.findFirstMatchIn(_).isDefined)
+      }
+      hit.foreach { case (m, params) =>
+        val fn = m.group(1)
+        val close = WindowTvf.matchParen(text, m.end - 1)
+        val items = splitTopLevel(text.substring(m.end, close))
+        val named = items.map(namedItemRe.findFirstMatchIn(_))
+        if (!named.forall(_.isDefined))
+          fail(s"$fn(...): arguments must be all positional or all named " +
+            "(pname => expr) — mixing is not supported, as in Flink")
+        if (params == null)
+          fail(s"$fn(...): the registered class was compiled without " +
+            "parameter names — rebuild it with `javac -parameters` (or " +
+            "call positionally)")
+        val given = named.map(_.get.group(1).toLowerCase)
+        if (given.distinct.length != given.length)
+          fail(s"$fn(...): duplicate named argument " +
+            given.diff(given.distinct).distinct.mkString(", "))
+        if (given.toSet != params.toSet)
+          fail(s"$fn(...): named arguments ${given.mkString("(", ", ", ")")} " +
+            s"do not match the declared parameters ${params.mkString("(", ", ", ")")}")
+        val byName = given.zip(named.map(_.get.group(2).trim)).toMap
+        val ordered = params.map(byName(_))
+        text = text.substring(0, m.end) + ordered.mkString(", ") +
+          text.substring(close)
+        changed = true
+      }
+    }
+    text
+  }
+}

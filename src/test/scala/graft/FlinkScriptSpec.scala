@@ -776,6 +776,86 @@ class FlinkScriptSpec extends AnyFunSuite {
     FlinkSql.sql(spark, "DROP FUNCTION alter_target")
   }
 
+  test("CREATE FUNCTION invocations take FLIP-387 named arguments (scalar + table)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_udf_named")
+    java.nio.file.Files.writeString(dir.resolve("GraftPadUdf.java"),
+      """public class GraftPadUdf {
+        |  public String eval(String text, long width) {
+        |    StringBuilder b = new StringBuilder(text);
+        |    while (b.length() < width) b.append('.');
+        |    return b.toString();
+        |  }
+        |}
+        |""".stripMargin)
+    java.nio.file.Files.writeString(dir.resolve("GraftRepeatUdtf.java"),
+      """public class GraftRepeatUdtf {
+        |  public java.util.List<String> eval(String item, long times) {
+        |    java.util.ArrayList<String> out = new java.util.ArrayList<>();
+        |    for (long i = 0; i < times; i++) out.add(item);
+        |    return out;
+        |  }
+        |}
+        |""".stripMargin)
+    // a class compiled WITHOUT -parameters has no names to map
+    java.nio.file.Files.writeString(dir.resolve("GraftNoNamesUdf.java"),
+      """public class GraftNoNamesUdf {
+        |  public String eval(String a) { return a; }
+        |}
+        |""".stripMargin)
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    assert(javac.run(null, null, null, "-parameters",
+      dir.resolve("GraftPadUdf.java").toString,
+      dir.resolve("GraftRepeatUdtf.java").toString) == 0, "javac failed")
+    assert(javac.run(null, null, null,
+      dir.resolve("GraftNoNamesUdf.java").toString) == 0, "javac failed")
+    val jar = dir.resolve("graft-test-udf-named.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jar))
+    Seq("GraftPadUdf.class", "GraftRepeatUdtf.class", "GraftNoNamesUdf.class")
+      .foreach { n =>
+        jos.putNextEntry(new java.util.zip.ZipEntry(n))
+        jos.write(java.nio.file.Files.readAllBytes(dir.resolve(n)))
+        jos.closeEntry()
+      }
+    jos.close()
+    FlinkSql.sql(spark, s"ADD JAR '$jar'")
+    FlinkSql.sql(spark, "CREATE FUNCTION pad AS 'GraftPadUdf'")
+    FlinkSql.sql(spark, "CREATE FUNCTION rep AS 'GraftRepeatUdtf'")
+    FlinkSql.sql(spark, "CREATE FUNCTION nonames AS 'GraftNoNamesUdf'")
+    // scalar: out-of-order named args, expressions as values, nested in
+    // a larger statement; positional still works
+    assert(FlinkSql.sql(spark,
+      "SELECT upper(pad(width => 2 + 3, text => 'ab')) AS r")
+      .head().getString(0) == "AB...")
+    assert(FlinkSql.sql(spark, "SELECT pad('ab', 4) AS r")
+      .head().getString(0) == "ab..")
+    // table function through LATERAL TABLE with named args
+    val rows = FlinkSql.sql(spark,
+      """SELECT t.x FROM (SELECT 1 AS one)
+        |LATERAL VIEW explode(rep(times => 3, item => 'z')) t AS x""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("z", "z", "z"), rows.toString)
+    // typed failures: mixing, unknown name, class without -parameters
+    val eMix = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "SELECT pad('ab', width => 4)")
+    }
+    assert(eMix.getMessage.contains("all positional or all named"), eMix.getMessage)
+    val eName = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "SELECT pad(text => 'ab', nosuch => 4)")
+    }
+    assert(eName.getMessage.contains("width"), eName.getMessage)
+    val eNoP = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "SELECT nonames(a => 'x')")
+    }
+    assert(eNoP.getMessage.contains("-parameters"), eNoP.getMessage)
+    // a string literal containing => is never mistaken for a named arg
+    assert(FlinkSql.sql(spark, "SELECT pad('a => b', 8) AS r")
+      .head().getString(0) == "a => b..")
+    FlinkSql.run(spark,
+      "DROP FUNCTION pad; DROP FUNCTION rep; DROP FUNCTION nonames")
+  }
+
   test("FLIP-311 procedures: CREATE PROCEDURE + CALL + SHOW PROCEDURES, javac-jar e2e") {
     import spark.implicits._
     // a Procedure-shaped class ([U] flink-table-common procedures/
