@@ -1051,7 +1051,43 @@ object Text {
       .select($"doc_id", $"shard", $"pos", $"n_chars")
   }
 
+  /** Typed PII detection + redaction (north_star curation: the
+    * C4/RefinedWeb-style scrub pass — emails, IPv4 addresses, phone
+    * numbers counted and replaced with typed placeholders before
+    * training). The fixture corpus carries no PII, so each document is
+    * AUGMENTED with deterministic doc_id-derived PII (both engines
+    * derive the identical text, so the extraction and the redaction
+    * chain are genuinely exercised — the q149-style construct-then-
+    * verify convention). Patterns are RE2-compatible (no lookahead) so
+    * the DuckDB oracle runs the SAME regexes; redaction applies
+    * email → IP → phone in both engines. The 100 TB shape: a narrow
+    * projection inside one WholeStageCodegen span — per-row regex
+    * work, no shuffle, no state.
+    */
+  val q151_pii_redaction: Q = (s, d) => {
+    import s.implicits._
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phoneRe = "\\b555-\\d{4}\\b"
+    val aug = concat($"text",
+      lit(" contact user"), $"doc_id", lit("@ex-"), $"source",
+      lit(".org ip 10."), $"doc_id" % 256, lit("."),
+      ($"doc_id" * 7) % 256, lit("."), ($"doc_id" * 13) % 256,
+      lit(" tel 555-"), lit(1000) + ($"doc_id" % 9000))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
+      aug, emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", $"text")
+      .select($"doc_id",
+        size(regexp_extract_all(aug, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(aug, lit(ipRe), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(aug, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        redacted.as("redacted"),
+        length(redacted).cast("long").as("red_len"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q151_pii_redaction" -> q151_pii_redaction,
     "q145_epoch_shards" -> q145_epoch_shards,
     "q142_bloom_decontamination" -> q142_bloom_decontamination,
     "q141_bpe_encode" -> q141_bpe_encode,
@@ -1089,6 +1125,27 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q151_pii_redaction" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@ex-' || source ||
+        |         '.org ip 10.' || (doc_id % 256) || '.' ||
+        |         ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256) ||
+        |         ' tel 555-' || (1000 + (doc_id % 9000)) AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(a, '\b555-\d{4}\b')) AS BIGINT) AS n_phones,
+        |       regexp_replace(regexp_replace(regexp_replace(a,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |         '\b555-\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |       CAST(length(regexp_replace(regexp_replace(regexp_replace(a,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |         '\b555-\d{4}\b', '<PHONE>', 'g')) AS BIGINT) AS red_len
+        |FROM aug""".stripMargin,
     // q134/q140/q141 contract oracles (the q148 pattern): DuckDB
     // recomputes the corpus-side counts from scratch — the q127 weak-label
     // heuristic for q134, the shared '[a-z]+' pre-tokenizer for the BPE
