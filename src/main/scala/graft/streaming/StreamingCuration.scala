@@ -187,10 +187,17 @@ object StreamingCuration {
     * micro-batch runs [[processBatch]] and survivors land at `outPath`
     * partitioned by batch id. Packing a training snapshot is a batch
     * pass over `outPath` afterwards (q95's window plan).
+    *
+    * `compactEvery = n > 0` runs [[compactStores]] in-stream after
+    * every n-th batch, REPLAY-SAFE: the fold excludes the in-flight
+    * batch's partitions (they stay keyed under their own batch_id), so
+    * a crash between compaction and the checkpoint commit replays the
+    * batch against a store that still excludes its own failed writes.
     */
   def run(crawl: DataFrame, cfg: Config, storeDir: String, outPath: String,
       checkpointLocation: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
     crawl.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointLocation)
@@ -199,6 +206,8 @@ object StreamingCuration {
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(outPath)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactStores(batch.sparkSession, storeDir, exclude = Some(batchId))
       }
       .start()
 
@@ -227,21 +236,24 @@ object StreamingCuration {
     * through distinct/join semantics, and compaction only dedupes and
     * re-layouts (PipelineSpec pins compacted ≡ uncompacted survivors).
     *
-    * Call at a QUIESCENT point where every written batch is committed:
-    * compacted rows lose their batch_id keying, so an uncommitted
-    * batch replayed after compaction would see its own failed
-    * attempt's rows. In the [[run]] deployment that means between
-    * triggers (e.g. from a maintenance job watching the checkpoint's
-    * committed offsets).
+    * With `exclude = None`, call at a QUIESCENT point where every
+    * written batch is committed: compacted rows lose their batch_id
+    * keying, so an uncommitted batch replayed after compaction would
+    * see its own failed attempt's rows. `exclude = Some(batchId)`
+    * makes the pass safe IN-STREAM for the batch currently in flight:
+    * that batch's partitions are carried over verbatim (still keyed,
+    * still replay-excluded on read), only the older committed
+    * partitions fold.
     */
-  def compactStores(spark: SparkSession, storeDir: String): Unit = {
-    compactOne(spark, s"$storeDir/md5", Seq("h"))
-    compactOne(spark, s"$storeDir/vec", Seq("vec_id"))
-    compactOne(spark, s"$storeDir/bucket", Seq("table", "bucket", "vec_id"))
+  def compactStores(spark: SparkSession, storeDir: String,
+      exclude: Option[Long] = None): Unit = {
+    compactOne(spark, s"$storeDir/md5", Seq("h"), exclude)
+    compactOne(spark, s"$storeDir/vec", Seq("vec_id"), exclude)
+    compactOne(spark, s"$storeDir/bucket", Seq("table", "bucket", "vec_id"), exclude)
   }
 
   private def compactOne(spark: SparkSession, path: String,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String], exclude: Option[Long]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
@@ -250,12 +262,19 @@ object StreamingCuration {
     val cols = keys.map(col)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     fs.delete(tmp, true)
-    spark.read.parquet(path)
+    val all = spark.read.parquet(path)
+    val folded = exclude.map(b => all.filter(col("batch_id") =!= b)).getOrElse(all)
       .drop("batch_id").dropDuplicates(keys)
       .repartitionByRange(nOut, cols: _*)
       .sortWithinPartitions(cols: _*)
       .withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
+    val out = exclude match {
+      case Some(b) => folded.unionByName(
+        all.filter(col("batch_id") === b)
+          .select(folded.columns.map(col).toIndexedSeq: _*))
+      case None => folded
+    }
+    out.write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
     fs.delete(p, true)
     fs.rename(tmp, p)
   }

@@ -150,10 +150,14 @@ class PipelineSpec extends AnyFunSuite {
 
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(Long, String, String, Seq[Double])]
+    // compactEvery = 2: the in-stream (replay-safe, exclude-current)
+    // compaction pass runs mid-stream, so the stream ≡ batch equality
+    // below also certifies compaction changes nothing a later batch sees
     val q = graft.streaming.StreamingCuration.run(
       input.toDF().toDF("doc_id", "text", "source", "v"), cfg,
       s"$tmp/store", s"$tmp/out", s"$tmp/ckpt",
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      compactEvery = 2)
     try {
       splits.foreach { s => input.addData(s: _*); q.processAllAvailable() }
     } finally q.stop()
