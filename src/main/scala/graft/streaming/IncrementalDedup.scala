@@ -132,7 +132,8 @@ object IncrementalDedup {
   def run(docs: DataFrame, idCol: String, textCol: String, storePath: String,
       outPath: String, checkpointLocation: String,
       minSharedRatio: Double = 0.5,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery = {
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointLocation)
@@ -142,9 +143,23 @@ object IncrementalDedup {
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(outPath)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactStore(batch.sparkSession, storePath, exclude = Some(batchId))
       }
       .start()
   }
+
+  /** Fold the fingerprint store's batch partitions into one sorted,
+    * deduped partition (batch_id = −1) — the store "is a table,
+    * compactable like any table" claim made real; one small file per
+    * past batch otherwise. Same replay contract as
+    * [[StreamingCuration.compactStores]]: pass `exclude = Some(id)`
+    * for the batch currently in flight (its partitions carry over
+    * verbatim), or None at a quiescent point.
+    */
+  def compactStore(spark: SparkSession, storePath: String,
+      exclude: Option[Long] = None): Unit =
+    StreamingCuration.compactOne(spark, storePath, Seq("fingerprint"), exclude)
 
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

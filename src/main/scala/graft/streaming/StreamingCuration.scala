@@ -252,7 +252,7 @@ object StreamingCuration {
     compactOne(spark, s"$storeDir/bucket", Seq("table", "bucket", "vec_id"), exclude)
   }
 
-  private def compactOne(spark: SparkSession, path: String,
+  private[streaming] def compactOne(spark: SparkSession, path: String,
       keys: Seq[String], exclude: Option[Long]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

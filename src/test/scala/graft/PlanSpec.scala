@@ -225,6 +225,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1) Project"), "projection must sit inside whole-stage codegen")
   }
 
+  test("q151: PII redaction is one shuffle-free codegen projection") {
+    val p = planOf("q151_pii_redaction")
+    assert(!p.contains("Exchange"), "a per-row scrub must not shuffle")
+    assert(p.contains("*(1) Project"), "projection must sit inside whole-stage codegen")
+  }
+
   test("q126: per-source targets join as a broadcast") {
     val p = planOf("q126_mixture_sample")
     assert(p.contains("BroadcastHashJoin"))

@@ -352,10 +352,14 @@ class StreamingSpec extends AnyFunSuite {
     val base = "the quick brown fox jumps over the lazy dog by the river bank in summer light"
     val other = "distributed analytics engines aggregate shuffle and join massive columnar tables"
     val input = MemoryStream[(Long, String)]
+    // compactEvery = 1: the in-stream fp-store compaction runs after
+    // every batch past the first, so batch 3's verdicts below also
+    // certify the folded store answers identically
     val q = graft.streaming.IncrementalDedup.run(
       input.toDF().toDF("doc_id", "text"), "doc_id", "text", store, out,
       s"$tmp/ckpt",
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      compactEvery = 1)
     // batch 1: two distinct docs + one same-batch near-dup of doc 1
     input.addData((1L, base), (2L, other), (3L, "intro " + base))
     q.processAllAvailable()
@@ -363,11 +367,23 @@ class StreamingSpec extends AnyFunSuite {
     val novel = "embedding vectors power approximate nearest neighbor search at corpus scale"
     input.addData((10L, base + " postfix"), (11L, other), (12L, novel))
     q.processAllAvailable()
+    // batch 3 (arrives AFTER a compaction folded batches 0-1's store
+    // partitions): copies of both old and new store content must still
+    // reject, novelty must still pass
+    input.addData((20L, novel + " suffix"), (21L, "fresh unrelated words " +
+      "about gardens orchards and the late autumn harvest moon festival"))
+    q.processAllAvailable()
     q.stop()
     val kept = spark.read.parquet(out).select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    // doc 3 lost to same-batch doc 1; docs 10/11 lost to the store; 12 novel
-    assert(kept == Set(1L, 2L, 12L), s"kept $kept")
+    // doc 3 lost to same-batch doc 1; docs 10/11 lost to the store; 12
+    // novel; doc 20 lost to the COMPACTED store's batch-1 content; 21 novel
+    assert(kept == Set(1L, 2L, 12L, 21L), s"kept $kept")
+    // the store is folded: at most its compacted partition + the last
+    // batch's own partition remain
+    val parts = spark.read.parquet(store).select($"batch_id".cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(parts.subsetOf(Set(-1L, 2L)), s"store partitions after compaction: $parts")
   }
 
   test("incremental dedup: kill-and-resume re-admits nothing and loses nothing") {
