@@ -30,9 +30,16 @@ object FunctionParams {
     */
   def record(spark: SparkSession, name: String,
       params: Seq[java.lang.reflect.Parameter]): Unit =
-    registry(spark).put(name.toLowerCase,
-      if (params.forall(_.isNamePresent)) params.map(_.getName.toLowerCase)
-      else null)
+    put(spark, name,
+      if (params.forall(_.isNamePresent)) Some(params.map(_.getName.toLowerCase))
+      else None)
+
+  /** Direct registration (None = recorded without compiled names) —
+    * the bridges go through [[record]]; exposed for specs.
+    */
+  private[graft] def put(spark: SparkSession, name: String,
+      names: Option[Seq[String]]): Unit =
+    registry(spark).put(name.toLowerCase, names.orNull)
 
   /** Some(names) when `name` is a recorded function with usable names;
     * Some(null) when recorded without compiled names; None when unknown.

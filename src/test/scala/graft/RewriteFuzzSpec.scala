@@ -249,6 +249,40 @@ class RewriteFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("named-args rewrite: identity without a trigger, total with one") {
+    val spark = TestSpark.spark
+    graft.functions.FunctionParams.put(spark, "ffz", Some(Seq("aa", "bb")))
+    graft.functions.FunctionParams.put(spark, "fnp", None) // no -parameters
+    val naToken: Gen[String] = Gen.frequency(
+      5 -> junk,
+      4 -> Gen.oneOf("ffz(", "fnp(", "other(", ")", "aa => 1", "bb => 'x'",
+        "aa=>", "=>", "bb => ffz(aa => 2, bb => 3)", ",", "SELECT", "FROM t",
+        "'a => b'", "ffz(aa => 1, bb => 2)", "ffz(1, 2)", "ffz(aa => 1, 2)",
+        "ffz(cc => 1, dd => 2)", "fnp(aa => 1)"))
+    val naStmt: Gen[String] =
+      Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, naToken).map(_.mkString(" ")))
+    forAllSeeded(naStmt, 800) { s =>
+      try {
+        val out = graft.plans.NamedArgs.rewrite(spark, s)
+        if (!graft.plans.NamedArgs.containsClause(s))
+          assert(out == s, s"altered a trigger-free statement: <$s> -> <$out>")
+      } catch {
+        case _: IllegalArgumentException => () // clean rejection
+        case e: Throwable =>
+          fail(s"unclean failure ${e.getClass.getName} on <$s>: ${e.getMessage}")
+      }
+    }
+    // the canonical mappings hold under fuzz-adjacent shapes
+    assert(graft.plans.NamedArgs.rewrite(spark,
+      "SELECT ffz(bb => 'y', aa => 1 + 2) FROM t") ==
+      "SELECT ffz(1 + 2, 'y') FROM t")
+    assert(graft.plans.NamedArgs.rewrite(spark,
+      "SELECT ffz(bb => ffz(bb => 'i', aa => 0), aa => 9) FROM t") ==
+      "SELECT ffz(9, ffz(0, 'i')) FROM t")
+    graft.functions.FunctionParams.remove(spark, "ffz")
+    graft.functions.FunctionParams.remove(spark, "fnp")
+  }
+
   test("streaming OVER parse: columns embedding FROM never truncate the select list") {
     // `valid_from` / `from_city` contain FROM at `_` word boundaries; the
     // top-level FROM scanner must skip them (round-13 DATE-splice regression:
