@@ -163,6 +163,11 @@ object IncrementalDedup {
 
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a compaction that died between its renames leaves the store at
+    // `__old` — restore before answering, or the store reads as empty
+    // and every past duplicate is silently re-admitted
+    StreamingCuration.recoverStore(fs, p)
+    fs.exists(p)
   }
 }

@@ -212,11 +212,13 @@ object StreamingCuration {
       .start()
 
   /** A store read that can be empty (first batch) and never sees the
-    * current batch's own rows (replay safety).
+    * current batch's own rows (replay safety). Recovers a store whose
+    * compaction crashed between its two renames (see [[recoverStore]]).
     */
   private def readStore(spark: SparkSession, path: String, batchId: Long,
       ddl: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
+    recoverStore(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
     if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
       val raw = spark.read.parquet(path)
       if (batchId >= 0) raw.filter(col("batch_id") =!= batchId) else raw
@@ -252,16 +254,20 @@ object StreamingCuration {
     compactOne(spark, s"$storeDir/bucket", Seq("table", "bucket", "vec_id"), exclude)
   }
 
-  private[streaming] def compactOne(spark: SparkSession, path: String,
-      keys: Seq[String], exclude: Option[Long]): Unit = {
+  private[graft] def compactOne(spark: SparkSession, path: String,
+      keys: Seq[String], exclude: Option[Long],
+      crashAt: Int = 0): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStore(fs, p) // a prior pass may have died between its renames
     if (!fs.exists(p)) return
     val bytes = fs.getContentSummary(p).getLength
     val nOut = math.max(1, (bytes / (128L << 20)).toInt) // ~128 MB target files
     val cols = keys.map(col)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
-    fs.delete(tmp, true)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(tmp, true) // stale failed attempt — live tree is intact
+    fs.delete(old, true) // stale aside from a pass that died pre-cleanup
     val all = spark.read.parquet(path)
     val folded = exclude.map(b => all.filter(col("batch_id") =!= b)).getOrElse(all)
       .drop("batch_id").dropDuplicates(keys)
@@ -275,8 +281,40 @@ object StreamingCuration {
       case None => folded
     }
     out.write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    // CRASH-ORDERED swap ([U] flink-runtime CheckpointCoordinator's
+    // commit-then-cleanup discipline): the live tree is never deleted
+    // before its replacement is in place. Every crash point leaves
+    // either the live tree or a recoverable `__old` aside — the stores
+    // are the pipeline's only memory (NOT reconstructible from replay),
+    // so a lost store would silently re-admit every past duplicate.
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compaction aside rename failed: $p")
+    if (crashAt == 1) throw new InjectedCrash // live at __old, tmp intact
+    if (!fs.rename(tmp, p)) { // put the live tree back before failing
+      fs.rename(old, p)
+      throw new java.io.IOException(s"compaction commit rename failed: $p")
+    }
+    if (crashAt == 2) throw new InjectedCrash // new live in, stale __old
+    fs.delete(old, true)
+  }
+
+  /** Simulated crash between [[compactOne]]'s swap steps (spec hook). */
+  private[graft] final class InjectedCrash
+    extends RuntimeException("injected compaction crash")
+
+  /** Crash recovery for the rename-aside/rename-in/delete-old swap: a
+    * compaction that died between its two renames leaves the live path
+    * missing and the previous tree at `path__old` — restore it (the
+    * compacted `__compacting` attempt is discarded and redone by the
+    * next pass). Idempotent; a no-op whenever the live tree exists
+    * (then a surviving `__old` is just pre-cleanup garbage, removed at
+    * the next compaction).
+    */
+  private[graft] def recoverStore(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(p.toString + "__old")
+    if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
+      throw new java.io.IOException(s"store crash-recovery rename failed: $old -> $p")
   }
 
   /** Recursively delete a store directory (q150 / spec teardown). */

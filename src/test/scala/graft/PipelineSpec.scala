@@ -255,4 +255,82 @@ class PipelineSpec extends AnyFunSuite {
     }
     graft.streaming.StreamingCuration.deleteStore(tmp)
   }
+
+  test("compaction swap is crash-ordered: a kill between the renames loses no store row") {
+    import spark.implicits._
+    import graft.streaming.StreamingCuration
+    val tmp = java.nio.file.Files.createTempDirectory("crash_compaction").toString
+    val store = s"$tmp/store"
+    val dim = 64
+    // deterministic per-seed Gaussian vectors: pairwise cosine ~ N(0, 1/64),
+    // so only the planted identical-vector twin clears the 0.95 threshold
+    def vec(seed: Long): Seq[Double] = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(dim)(rnd.nextGaussian())
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING, v ARRAY<DOUBLE>")
+    def mk(rows: Seq[(Long, String, Long)]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map { case (id, tx, vSeed) =>
+          org.apache.spark.sql.Row(id, tx, "web", vec(vSeed)) }), schema)
+    val evalV = { val r = new scala.util.Random(-1L); Array.fill(dim)(r.nextGaussian()) }
+    val cfg = StreamingCuration.Config(
+      nPlanes = 8, nTables = 2, threshold = 0.95,
+      evalVecs = Array(evalV), evalShingles = Set.empty,
+      model = graft.operators.QualityClassifier.Model(Seq.fill(dim)(0.0), 10.0, Nil),
+      dim = dim, evalIdMax = 0L)
+
+    val batch0 = (1L to 20L).map(i => (i, s"document number $i with its own words", i))
+    StreamingCuration.processBatch(mk(batch0), cfg, store, batchId = 0L).count()
+
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    // kill EVERY store's compaction between rename-aside and rename-in —
+    // the exact window where delete-then-rename had already destroyed
+    // the live tree
+    Seq(("md5", Seq("h")), ("vec", Seq("vec_id")),
+        ("bucket", Seq("table", "bucket", "vec_id"))).foreach { case (sub, keys) =>
+      intercept[StreamingCuration.InjectedCrash] {
+        StreamingCuration.compactOne(spark, s"$store/$sub", keys,
+          exclude = None, crashAt = 1)
+      }
+      assert(!exists(s"$store/$sub") && exists(s"$store/$sub" + "__old"),
+        s"crash window must leave the $sub store aside at __old")
+    }
+    // the next batch leans on every store's memory: 20 exact copies of
+    // batch 0 (md5 store) and one identical-vector twin of doc 1
+    // (vec + bucket stores). A lost store re-admits them silently.
+    val batch1 =
+      (21L to 40L).map(i => (i, s"document number $i with its own words", i)) ++
+      batch0.map { case (id, tx, vs) => (id + 40L, tx, vs + 100L) } :+
+      ((61L, "fresh words but a copied vector", 1L))
+    val survivors = StreamingCuration
+      .processBatch(mk(batch1), cfg, store, batchId = 1L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survivors == (21L to 40L).toSet,
+      s"post-crash batch must still see every store row: " +
+        s"readmitted=${(survivors -- (21L to 40L)).toSeq.sorted.take(5)} " +
+        s"lost=${((21L to 40L).toSet -- survivors).toSeq.sorted.take(5)}")
+
+    // crash AFTER the commit rename: the new tree is live, only a stale
+    // __old aside remains — reads prefer the live tree, and the next
+    // pass cleans the aside and converges
+    val before = spark.read.parquet(s"$store/md5").select($"h").distinct().count()
+    intercept[StreamingCuration.InjectedCrash] {
+      StreamingCuration.compactOne(spark, s"$store/md5", Seq("h"),
+        exclude = None, crashAt = 2)
+    }
+    assert(exists(s"$store/md5") && exists(s"$store/md5__old"),
+      "crash-at-cleanup must leave the new live tree in place")
+    assert(spark.read.parquet(s"$store/md5").select($"h").distinct().count() == before,
+      "the compacted live tree must carry every digest")
+    StreamingCuration.compactOne(spark, s"$store/md5", Seq("h"), exclude = None)
+    assert(exists(s"$store/md5") && !exists(s"$store/md5__old"),
+      "a follow-up pass must clean the stale aside")
+    assert(spark.read.parquet(s"$store/md5").select($"h").distinct().count() == before,
+      "the follow-up pass changed the store's content")
+    StreamingCuration.deleteStore(tmp)
+  }
 }
