@@ -1408,7 +1408,17 @@ object FlinkDdl {
     val listed = Option(m.group(4))
       .map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq.empty)
     val name = m.group(2)
-    val select = applyOptionsHints(spark, m.group(5))
+    // consume Flink's key-value hints (LOOKUP / STATE_TTL) BEFORE the
+    // deployment-shape routing: their 'k'='v' argument text would
+    // confuse the shape parsers, and the recorded STATE_TTL must be
+    // readable when the streaming OVER lowering builds its kernels
+    // (the generic path re-parses through GraftSqlParser, which resets
+    // the per-statement TTL scope itself)
+    FlinkHints.clearStateTtl(spark)
+    val noKv =
+      if (FlinkHints.containsClause(m.group(5))) FlinkHints.rewrite(spark, m.group(5))
+      else m.group(5)
+    val select = applyOptionsHints(spark, noKv)
     val (connector, path, fmt, _) = registered(spark, name).getOrElse(fail(s"unknown table $name"))
     requireVirtualMetadata(spark, name)
     // the windowed deployment shapes (CUMULATE / windowed Top-N) re-run

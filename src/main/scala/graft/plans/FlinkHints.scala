@@ -23,7 +23,11 @@ import org.apache.spark.sql.SparkSession
   * duration strings and recorded per name in session state
   * ([[stateTtlOf]]); the programmatic stateful operators take the same
   * TTL via `transformWithState`'s `TTLConfig` (processing-time based,
-  * like Flink's StateTtlConfig — see `streaming/GroupAgg.retractingAgg`).
+  * like Flink's StateTtlConfig — see `streaming/GroupAgg.retractingAgg`),
+  * and a streaming OVER INSERT honors the hint through
+  * `RowtimeOver.lower` → the OverOps kernels' event-time idle-key
+  * expiry (TTLConfig is processing-time-only, rejected in the kernels'
+  * event-time mode — MIGRATION.md documents the delta).
   * Spark's stream-stream join state is watermark-evicted, not TTL'd —
   * documented delta; the recorded TTL is advisory there.
   */

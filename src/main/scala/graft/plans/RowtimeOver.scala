@@ -127,7 +127,8 @@ object RowtimeOver {
       valueCols: Seq[String], idCol: String, rewritten: String, usesRn: Boolean,
       maxLag: Int, distinctSlots: Seq[Int], fromTable: String, fromSpan: (Int, Int),
       stringCols: Seq[String], tsCols: Seq[String],
-      distinctStrSlots: Seq[Int] = Seq.empty)
+      distinctStrSlots: Seq[Int] = Seq.empty,
+      fromAlias: Option[String] = None)
 
   private def unitMs(u: String): Long = u.toUpperCase match {
     case "SECOND" => 1000L
@@ -527,7 +528,7 @@ object RowtimeOver {
 
     Spec(partCols, orderCol, frame, valueCols.toSeq, idCol, text, usesRn,
       maxLag, distinctSlots.toSeq, fromTable, span, stringCols.toSeq,
-      tsCols.toSeq, distinctStrSlots.toSeq)
+      tsCols.toSeq, distinctStrSlots.toSeq, Option(srcM.group(2)))
   }
 
   private def requireIntegral(schema: StructType, c: String, role: String): StructField = {
@@ -669,23 +670,31 @@ object RowtimeOver {
       nullsExpr.as("nulls"),
       svaluesExpr.as("svalues")).as[OverIn]
     val dStr = spec.distinctStrSlots.map(_ - 1).toSet
+    // STATE_TTL hint (FLIP-292) recorded for the OVER's single input —
+    // by table name or FROM alias, Flink's StateTtlHint keying. The
+    // kernels honor it as EVENT-TIME idle-key expiry (Spark's TTLConfig
+    // is processing-time-only and rejected in event-time mode — see
+    // StreamingOverProcess's scaladoc for the documented delta).
+    val ttlMs = FlinkHints.stateTtlOf(spark, bare(source))
+      .orElse(spec.fromAlias.flatMap(a => FlinkHints.stateTtlOf(spark, a)))
+      .getOrElse(0L)
     val (out, pre) = spec.frame match {
       case RangeMs(ms) =>
         (OverOps.boundedRangeAgg(in, ms, lagMax = spec.maxLag,
           distinctSlots = spec.distinctSlots.map(_ - 1).toSet,
-          distinctStrSlots = dStr).toDF(), "range")
+          distinctStrSlots = dStr, stateTtlMs = ttlMs).toDF(), "range")
       case RowsN(n) =>
         (OverOps.boundedRowsAgg(in, n, lagMax = spec.maxLag,
           distinctSlots = spec.distinctSlots.map(_ - 1).toSet,
-          distinctStrSlots = dStr).toDF(), "range")
+          distinctStrSlots = dStr, stateTtlMs = ttlMs).toDF(), "range")
       case UnboundedRows =>
         (OverOps.runningAgg(in, peerGrouped = false, lagMax = spec.maxLag,
           distinctSlots = spec.distinctSlots.map(_ - 1).toSet,
-          distinctStrSlots = dStr).toDF(), "running")
+          distinctStrSlots = dStr, stateTtlMs = ttlMs).toDF(), "running")
       case UnboundedRange =>
         (OverOps.runningAgg(in, peerGrouped = true, lagMax = spec.maxLag,
           distinctSlots = spec.distinctSlots.map(_ - 1).toSet,
-          distinctStrSlots = dStr).toDF(), "running")
+          distinctStrSlots = dStr, stateTtlMs = ttlMs).toDF(), "running")
     }
     val restoreCols =
       partFs.map(f => from_json(col("key"), keySchema).getField(f.name).as(f.name)) ++

@@ -140,8 +140,25 @@ private[streaming] object OverNulls {
   * per-entry incremental as RocksDB MapState), so state I/O per firing
   * is O(distinct values) — the CARDINALITY matches the reference's.
   */
+/** `stateTtlMs > 0` enables idle-key state expiry — the deployment
+  * surface of Flink's `table.exec.state.ttl` / STATE_TTL hint on OVER
+  * ([U] flink-table-runtime over functions register cleanup timers and
+  * clear accumulator + MapView state after the retention interval).
+  * Spark's `TTLConfig` is processing-time-only and rejected under the
+  * event-time mode these kernels require, so the TTL binds to the
+  * EVENT-TIME frontier instead: a cleanup timer at (last activity +
+  * ttl) clears the accumulator, lag snapshot, and distinct seen-sets
+  * once the watermark passes it with nothing left to emit — a key idle
+  * longer than the TTL in event time restarts from a fresh accumulator
+  * (exactly what expired Flink state does). The watermark-bounded
+  * pending buffer is not TTL state and survives — buffered future rows
+  * re-accumulate from zero. Documented delta: idleness is measured on
+  * watermark progress, not wall-clock (an idle SOURCE freezes both the
+  * watermark and the TTL clock — the replay-deterministic reading).
+  */
 class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
-    distinctSlots: Set[Int] = Set.empty, distinctStrSlots: Set[Int] = Set.empty)
+    distinctSlots: Set[Int] = Set.empty, distinctStrSlots: Set[Int] = Set.empty,
+    stateTtlMs: Long = 0L)
     extends KeyedProcess[String, OverIn, OverOut] {
   // acc = (sum, cnt, mn, mx, fst, sq, nn non-null counts, fst null mask,
   //        fst string slots, running string min, running string max)
@@ -154,6 +171,7 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
   @transient private var distState:
     ValueState[(Seq[Seq[Double]], Seq[Double], Seq[Long])] = _
   @transient private var distStrState: ValueState[Seq[Seq[String]]] = _
+  @transient private var lastAct: ValueState[Long] = _
 
   override def open(h: StatefulProcessorHandle, om: OutputMode, tm: TimeMode): Unit = {
     implicit val inEnc: Encoder[OverIn] = Encoders.product[OverIn]
@@ -175,6 +193,10 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
       distStrState = h.getValueState[Seq[Seq[String]]](
         "dist_s", distSEnc, TTLConfig.NONE)
     }
+    // its OWN state name, created only under a TTL'd deploy — un-hinted
+    // queries' state layout (and their checkpoints) stay byte-identical
+    if (stateTtlMs > 0)
+      lastAct = h.getValueState[Long]("last_act", Encoders.scalaLong, TTLConfig.NONE)
   }
 
   override def onElement(key: String, v: OverIn, tv: TimerValues,
@@ -336,6 +358,24 @@ class StreamingOverProcess(peerGrouped: Boolean = false, lagMax: Int = 0,
         distStrState.update(dsetsS.map(_.toSeq).toSeq)
       buf.clear()
       if (pending.nonEmpty) buf.appendList(pending)
+      if (stateTtlMs > 0) {
+        val act = math.max(
+          if (lastAct.exists()) lastAct.get() else Long.MinValue,
+          sorted.last.ts_ms)
+        lastAct.update(act)
+        registerTimer(act + stateTtlMs)
+      }
+    } else if (stateTtlMs > 0 && lastAct.exists() &&
+        wm >= lastAct.get() + stateTtlMs) {
+      // idle past the TTL in event time with nothing emittable: expire
+      // the key's accumulated state (the Flink state-retention cleanup);
+      // the watermark-bounded buffer survives — any buffered future row
+      // restarts the key from a fresh accumulator
+      acc.clear()
+      if (lagMax > 0) lagState.clear()
+      if (distinctSlots.nonEmpty) distState.clear()
+      if (distinctStrSlots.nonEmpty) distStrState.clear()
+      lastAct.clear()
     }
   }
 }
@@ -376,7 +416,8 @@ case class BoundedOverOut(key: String, id: Long, ts_ms: Long,
   * costs no new state.
   */
 class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
-    distinctSlots: Set[Int] = Set.empty, distinctStrSlots: Set[Int] = Set.empty)
+    distinctSlots: Set[Int] = Set.empty, distinctStrSlots: Set[Int] = Set.empty,
+    stateTtlMs: Long = 0L)
     extends KeyedProcess[String, OverIn, BoundedOverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var recent: ListState[OverIn] = _
@@ -458,6 +499,16 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
       if (pending.nonEmpty) buf.appendList(pending)
       emittedUpTo.update(ready.map(_.ts_ms).max)
       if (lagMax > 0) lagState.update((lags, lagsNull, lagsS))
+      if (stateTtlMs > 0) registerTimer(ready.map(_.ts_ms).max + stateTtlMs)
+    } else if (stateTtlMs > 0 && emittedUpTo.exists() &&
+        wm >= emittedUpTo.get() + stateTtlMs) {
+      // idle-key state expiry (see StreamingOverProcess): the retained
+      // frame, lag snapshot, and emitted frontier expire together —
+      // clearing the frontier also re-opens the late-row gate, exactly
+      // as Flink's state cleanup drops lastTriggeringTs
+      recent.clear()
+      if (lagMax > 0) lagState.clear()
+      emittedUpTo.clear()
     }
   }
 }
@@ -472,7 +523,8 @@ class StreamingBoundedOverProcess(rangeMs: Long, lagMax: Int = 0,
   * rows per key; MIN/MAX/FIRST/LAST fold over that retained frame.
   */
 class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0,
-    distinctSlots: Set[Int] = Set.empty, distinctStrSlots: Set[Int] = Set.empty)
+    distinctSlots: Set[Int] = Set.empty, distinctStrSlots: Set[Int] = Set.empty,
+    stateTtlMs: Long = 0L)
     extends KeyedProcess[String, OverIn, BoundedOverOut] {
   @transient private var buf: ListState[OverIn] = _
   @transient private var recent: ListState[OverIn] = _
@@ -543,6 +595,13 @@ class StreamingBoundedRowsProcess(nRows: Int, lagMax: Int = 0,
       if (pending.nonEmpty) buf.appendList(pending)
       emittedUpTo.update(ready.map(_.ts_ms).max)
       if (lagMax > 0) lagState.update((lags, lagsNull, lagsS))
+      if (stateTtlMs > 0) registerTimer(ready.map(_.ts_ms).max + stateTtlMs)
+    } else if (stateTtlMs > 0 && emittedUpTo.exists() &&
+        wm >= emittedUpTo.get() + stateTtlMs) {
+      // idle-key state expiry — see StreamingBoundedOverProcess
+      recent.clear()
+      if (lagMax > 0) lagState.clear()
+      emittedUpTo.clear()
     }
   }
 }
@@ -618,11 +677,13 @@ object OverOps {
     */
   def runningAgg(ds: Dataset[OverIn], peerGrouped: Boolean = false,
       lagMax: Int = 0, distinctSlots: Set[Int] = Set.empty,
-      distinctStrSlots: Set[Int] = Set.empty): Dataset[OverOut] = {
+      distinctStrSlots: Set[Int] = Set.empty,
+      stateTtlMs: Long = 0L): Dataset[OverOut] = {
     implicit val out: Encoder[OverOut] = Encoders.product[OverOut]
     ds.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(
-        new StreamingOverProcess(peerGrouped, lagMax, distinctSlots, distinctStrSlots),
+        new StreamingOverProcess(peerGrouped, lagMax, distinctSlots, distinctStrSlots,
+          stateTtlMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
@@ -633,11 +694,13 @@ object OverOps {
     */
   def boundedRangeAgg(ds: Dataset[OverIn], rangeMs: Long,
       lagMax: Int = 0, distinctSlots: Set[Int] = Set.empty,
-      distinctStrSlots: Set[Int] = Set.empty): Dataset[BoundedOverOut] = {
+      distinctStrSlots: Set[Int] = Set.empty,
+      stateTtlMs: Long = 0L): Dataset[BoundedOverOut] = {
     implicit val out: Encoder[BoundedOverOut] = Encoders.product[BoundedOverOut]
     ds.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(
-        new StreamingBoundedOverProcess(rangeMs, lagMax, distinctSlots, distinctStrSlots),
+        new StreamingBoundedOverProcess(rangeMs, lagMax, distinctSlots, distinctStrSlots,
+          stateTtlMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 
@@ -647,12 +710,14 @@ object OverOps {
     */
   def boundedRowsAgg(ds: Dataset[OverIn], nRows: Int,
       lagMax: Int = 0, distinctSlots: Set[Int] = Set.empty,
-      distinctStrSlots: Set[Int] = Set.empty): Dataset[BoundedOverOut] = {
+      distinctStrSlots: Set[Int] = Set.empty,
+      stateTtlMs: Long = 0L): Dataset[BoundedOverOut] = {
     require(nRows >= 1, "nRows must be >= 1")
     implicit val out: Encoder[BoundedOverOut] = Encoders.product[BoundedOverOut]
     ds.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(
-        new StreamingBoundedRowsProcess(nRows, lagMax, distinctSlots, distinctStrSlots),
+        new StreamingBoundedRowsProcess(nRows, lagMax, distinctSlots, distinctStrSlots,
+          stateTtlMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -172,4 +172,77 @@ class FlinkHintsSpec extends AnyFunSuite {
       assert(pollTrace("hints_ttl", want) == want)
     } finally q.stop()
   }
+
+  test("STATE_TTL on a streaming OVER INSERT expires an idle key; live keys stream ≡ batch; un-hinted unchanged") {
+    import spark.implicits._
+    val dir = tmp()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    FlinkSql.run(spark,
+      s"""CREATE TABLE ttlov_src (
+         |  event_id BIGINT, user_id BIGINT, ts TIMESTAMP(3), v DOUBLE,
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+         |) WITH ('connector' = 'filesystem', 'path' = '$dir/src',
+         |        'format' = 'parquet');
+         |CREATE TABLE ttlov_sink (event_id BIGINT, user_id BIGINT,
+         |                         sum_v DOUBLE, n BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/sink',
+         |      'format' = 'parquet');
+         |CREATE TABLE ttlov_sink_plain (event_id BIGINT, user_id BIGINT,
+         |                               sum_v DOUBLE, n BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$dir/sink_plain',
+         |      'format' = 'parquet')""".stripMargin)
+    def ins(sink: String, hint: String) =
+      s"""INSERT INTO $sink
+         |SELECT $hint event_id, user_id,
+         |  sum(v) OVER w AS sum_v, count(*) OVER w AS n
+         |FROM ttlov_src
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+    val hinted = ins("ttlov_sink", "/*+ STATE_TTL('ttlov_src'='1 min') */")
+    val plain = ins("ttlov_sink_plain", "")
+    def runBoth(): Unit =
+      Seq((hinted, s"$dir/ckpt_h"), (plain, s"$dir/ckpt_p")).foreach {
+        case (stmt, ck) =>
+          graft.plans.FlinkDdl.executeInsertStream(spark, stmt,
+            trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+            checkpointDir = Some(ck)).awaitTermination()
+      }
+    def got(path: String) = spark.read.parquet(path).collect()
+      .filter(_.getLong(1) != 9L)
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toSet
+    // phase A: user 1 stops at t=20 (idle from here on); user 2 keeps
+    // emitting inside the TTL; sentinel user 9 advances the watermark
+    Seq((1L, 1L, t(10), 1.0), (2L, 1L, t(20), 2.0),
+        (4L, 2L, t(10), 10.0), (5L, 2L, t(50), 20.0),
+        (90L, 9L, t(100), 0.0))
+      .toDF("event_id", "user_id", "ts", "v")
+      .write.mode("append").parquet(s"$dir/src")
+    runBoth()
+    val phaseA = Set((1L, 1.0, 1L), (2L, 3.0, 2L), (4L, 10.0, 1L), (5L, 30.0, 2L))
+    val hA = got(s"$dir/sink"); val pA = got(s"$dir/sink_plain")
+    assert(hA == phaseA && pA == phaseA, s"phase A: hinted=$hA plain=$pA")
+    // phase B: user 1 returns after an event-time gap of 180 s (> the
+    // 1-minute TTL) — its accumulator must have expired; user 2's next
+    // row sits 40 s after its last (inside the TTL) — still accumulating
+    Seq((3L, 1L, t(200), 4.0), (6L, 2L, t(90), 30.0), (91L, 9L, t(300), 0.0))
+      .toDF("event_id", "user_id", "ts", "v")
+      .write.mode("append").parquet(s"$dir/src")
+    runBoth()
+    val hB = got(s"$dir/sink"); val pB = got(s"$dir/sink_plain")
+    assert(hB == phaseA + ((3L, 4.0, 1L)) + ((6L, 60.0, 3L)),
+      s"hinted: the idle key must restart fresh after the TTL: $hB")
+    assert(pB == phaseA + ((3L, 7.0, 3L)) + ((6L, 60.0, 3L)),
+      s"un-hinted twin must keep the no-TTL accumulator: $pB")
+    // the live key's full trace equals the batch OVER on the same data
+    val batch2 = FlinkSql.sql(spark,
+      """SELECT event_id, sum(v) OVER w AS sum_v, count(*) OVER w AS n
+        |FROM ttlov_src WHERE user_id = 2
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(hB.filter(e => Set(4L, 5L, 6L).contains(e._1)) == batch2,
+      s"live key stream vs batch: $batch2")
+    FlinkSql.run(spark,
+      "DROP TABLE ttlov_src; DROP TABLE ttlov_sink; DROP TABLE ttlov_sink_plain")
+  }
 }
