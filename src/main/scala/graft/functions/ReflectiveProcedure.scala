@@ -75,28 +75,13 @@ object ReflectiveProcedure {
     registry(spark).keySet().asScala.toSeq.sorted
   }
 
-  /** Split a CALL argument list on top-level commas (string literals
-    * and nested parens/brackets stay intact).
+  /** Split a CALL argument list on top-level commas — the shared
+    * quote-aware splitter (single/double quotes, backslash and doubled
+    * quote escapes), ONE implementation with the named-args rewrite so
+    * the two scanners can never drift.
     */
-  private def splitTopLevel(s: String): Seq[String] = {
-    if (s.trim.isEmpty) return Seq.empty
-    val out = scala.collection.mutable.ListBuffer.empty[String]
-    var depth = 0; var inStr = false; var start = 0; var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true
-        case '(' | '[' => depth += 1
-        case ')' | ']' => depth -= 1
-        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
-        case _ => ()
-      }
-      i += 1
-    }
-    out += s.substring(start)
-    out.toList.map(_.trim)
-  }
+  private def splitTopLevel(s: String): Seq[String] =
+    graft.plans.NamedArgs.splitTopLevel(s)
 
   private val namedArgRe = raw"(?s)^([A-Za-z_]\w*)\s*=>\s*(.+)$$".r
 

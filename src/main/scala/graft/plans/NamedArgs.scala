@@ -26,18 +26,43 @@ object NamedArgs {
   private val namedItemRe = raw"(?s)^([A-Za-z_]\w*)\s*=>\s*(.+)$$".r
   private val callRe = raw"(?i)\b([A-Za-z_]\w*)\s*\(".r
 
-  /** Split an argument list on top-level commas (quote- and
-    * paren-aware).
+  /** Per-character string-literal mask of `s` under Spark SQL's literal
+    * rules: single- AND double-quoted literals, backslash escapes, and
+    * doubled-quote escapes (`''` / `""`) all stay inside one literal.
+    * Shared by the call-site scan here and the CALL argument splitter
+    * (ReflectiveProcedure) so the two can never drift.
     */
-  private def splitTopLevel(s: String): Seq[String] = {
-    if (s.trim.isEmpty) return Seq.empty
-    val out = scala.collection.mutable.ListBuffer.empty[String]
-    var depth = 0; var inStr = false; var start = 0; var i = 0
+  private[graft] def literalMask(s: String): Array[Boolean] = {
+    val mask = new Array[Boolean](s.length)
+    var q: Char = 0 // 0 = outside a literal, else the opening quote char
+    var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true
+      if (q == 0) {
+        if (c == '\'' || c == '"') { q = c; mask(i) = true }
+      } else {
+        mask(i) = true
+        if (c == '\\' && i + 1 < s.length) { mask(i + 1) = true; i += 1 }
+        else if (c == q) {
+          if (i + 1 < s.length && s.charAt(i + 1) == q) { mask(i + 1) = true; i += 1 }
+          else q = 0
+        }
+      }
+      i += 1
+    }
+    mask
+  }
+
+  /** Split an argument list on top-level commas (quote- and
+    * paren-aware; literal rules per [[literalMask]]).
+    */
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
+    if (s.trim.isEmpty) return Seq.empty
+    val mask = literalMask(s)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      if (!mask(i)) s.charAt(i) match {
         case '(' | '[' => depth += 1
         case ')' | ']' => depth -= 1
         case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
@@ -57,7 +82,12 @@ object NamedArgs {
     while (changed && guard < 64) {
       changed = false
       guard += 1
+      // quote-aware call-site scan: a registered name + `=>` inside a
+      // string LITERAL is data, not an invocation — skip any match whose
+      // span lies inside a quoted region
+      val mask = literalMask(text)
       val it = callRe.findAllMatchIn(text)
+        .filterNot(m => mask(m.start) || mask(m.end - 1))
       val hit = it.flatMap { m =>
         graft.functions.FunctionParams.paramsOf(spark, m.group(1)).map(p => (m, p))
       }.find { case (m, _) =>

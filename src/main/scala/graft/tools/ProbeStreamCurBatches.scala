@@ -62,12 +62,17 @@ object ProbeStreamCurBatches {
           ("copies", $"doc_id" >= baseMax && $"doc_id" < 2 * baseMax),
           ("twins", $"doc_id" >= 2 * baseMax))
       } else {
-        // equal id-ordered ranges — the many-small-files regime
-        val ids = crawl.select($"doc_id").orderBy($"doc_id").as[Long].collect()
-        val step = math.max(1, ids.length / nBatches)
-        (0 until nBatches).map { i =>
-          val lo = ids(i * step)
-          val hiC = if (i == nBatches - 1) lit(true)
+        // equal id-ordered ranges — the many-small-files regime.
+        // DISTINCT boundary ids, batch count clamped to their number:
+        // more batches than ids (or duplicate boundaries) would index
+        // past the array / overlap adjacent slices
+        val ids = crawl.select($"doc_id").orderBy($"doc_id")
+          .distinct().as[Long].collect().sorted
+        val n = math.min(nBatches, ids.length)
+        val step = math.max(1, ids.length / n)
+        (0 until n).map { i =>
+          val lo = ids(math.min(ids.length - 1, i * step))
+          val hiC = if (i == n - 1) lit(true)
             else $"doc_id" < ids(math.min(ids.length - 1, (i + 1) * step))
           (s"slice$i", $"doc_id" >= lo && hiC)
         }

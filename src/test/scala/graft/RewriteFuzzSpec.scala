@@ -258,7 +258,9 @@ class RewriteFuzzSpec extends AnyFunSuite {
       4 -> Gen.oneOf("ffz(", "fnp(", "other(", ")", "aa => 1", "bb => 'x'",
         "aa=>", "=>", "bb => ffz(aa => 2, bb => 3)", ",", "SELECT", "FROM t",
         "'a => b'", "ffz(aa => 1, bb => 2)", "ffz(1, 2)", "ffz(aa => 1, 2)",
-        "ffz(cc => 1, dd => 2)", "fnp(aa => 1)"))
+        "ffz(cc => 1, dd => 2)", "fnp(aa => 1)",
+        "'ffz(aa => 1, bb => 2)'", "\"ffz(bb => 2, aa => 1)\"",
+        "'it''s'", "'esc\\''"))
     val naStmt: Gen[String] =
       Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, naToken).map(_.mkString(" ")))
     forAllSeeded(naStmt, 800) { s =>
@@ -279,8 +281,31 @@ class RewriteFuzzSpec extends AnyFunSuite {
     assert(graft.plans.NamedArgs.rewrite(spark,
       "SELECT ffz(bb => ffz(bb => 'i', aa => 0), aa => 9) FROM t") ==
       "SELECT ffz(9, ffz(0, 'i')) FROM t")
+    // a registered invocation INSIDE a string literal is data, not a
+    // call site: byte-identical pass-through (quote-aware scan), for
+    // single- and double-quoted literals alike
+    Seq("SELECT 'see ffz(aa => 1, bb => 2)' FROM t",
+        "SELECT \"ffz(bb => 2, aa => 1)\" AS s FROM t",
+        "SELECT 'it''s ffz(aa => 1, bb => 2)' FROM t").foreach { s =>
+      assert(graft.plans.NamedArgs.rewrite(spark, s) == s, s"literal rewritten: $s")
+    }
+    // mixed: the literal occurrence stays verbatim while the real
+    // invocation next to it still normalizes (escaped quote in an arg)
+    assert(graft.plans.NamedArgs.rewrite(spark,
+      "SELECT 'ffz(bb => 0, aa => 0)', ffz(bb => 'it''s', aa => 1) FROM t") ==
+      "SELECT 'ffz(bb => 0, aa => 0)', ffz(1, 'it''s') FROM t")
     graft.functions.FunctionParams.remove(spark, "ffz")
     graft.functions.FunctionParams.remove(spark, "fnp")
+  }
+
+  test("shared argument splitter: double-quoted literals and escaped quotes never split") {
+    def st(s: String) = graft.plans.NamedArgs.splitTopLevel(s)
+    assert(st("\"a,b\", 2") == Seq("\"a,b\"", "2"))
+    assert(st("'it\\'s, x', 2") == Seq("'it\\'s, x'", "2"))
+    assert(st("'it''s, x', 2") == Seq("'it''s, x'", "2"))
+    assert(st("\"d,\"\"q\", 'e'") == Seq("\"d,\"\"q\"", "'e'"))
+    assert(st("f(1, 2), [3, 4]") == Seq("f(1, 2)", "[3, 4]"))
+    assert(st("") == Seq.empty && st("  ") == Seq.empty)
   }
 
   test("streaming OVER parse: columns embedding FROM never truncate the select list") {
