@@ -136,33 +136,50 @@ object ReflectiveProcedure {
         val row = spark.sql(valueSqls.mkString("SELECT ", ", ", "")).head()
         Array.tabulate(row.length)(i => row.get(i).asInstanceOf[AnyRef])
       }
-    val byArity = callMethods(cls).filter(_.getParameterCount == args.length + 1)
-    if (byArity.isEmpty)
+    // named calls may omit @ArgumentHint(isOptional) parameters, so a
+    // candidate just needs AT LEAST the supplied count; positional
+    // calls keep the exact-arity filter
+    val candidates =
+      if (useNamed) callMethods(cls).filter(_.getParameterCount - 1 >= argNames.length)
+      else callMethods(cls).filter(_.getParameterCount == args.length + 1)
+    if (candidates.isEmpty)
       throw new IllegalArgumentException(
         s"procedure '$name' ($className) has no public call method taking " +
-          s"a context + ${args.length} argument(s); available arities: " +
+          s"a context + ${if (useNamed) "at least " else ""}${args.length} " +
+          "argument(s); available arities: " +
           callMethods(cls).map(_.getParameterCount - 1).sorted.mkString(", "))
     // per-candidate argument order: named args permute onto the
-    // candidate's reflected parameter names (all-or-nothing, like the
-    // window TVFs' FLIP-387 normalization); positional is identity
-    val usable: Seq[(Method, Array[AnyRef])] = byArity.flatMap { m =>
+    // candidate's parameter names — FunctionParams.paramDef reads a
+    // duck-typed @ArgumentHint (name + isOptional) first, the compiled
+    // `-parameters` name otherwise; omitted OPTIONAL parameters fill
+    // null (FLIP-387's default-less optional argument). Positional is
+    // identity.
+    val usable: Seq[(Method, Array[AnyRef])] = candidates.flatMap { m =>
       if (!useNamed) Some((m, args))
       else {
-        val ps = m.getParameters.drop(1)
-        if (!ps.forall(_.isNamePresent)) None
+        val defs = m.getParameters.drop(1).toSeq.map(FunctionParams.paramDef)
+        if (defs.exists(_.isEmpty)) None
         else {
-          val pNames = ps.map(_.getName.toLowerCase)
-          if (pNames.toSet != argNames.toSet) None
-          else Some((m, pNames.map(pn => args(argNames.indexOf(pn))).toArray))
+          val dd = defs.map(_.get)
+          val names = dd.map(_.name)
+          val unknown = argNames.filterNot(names.contains)
+          val missing = dd.filterNot(d => d.optional || argNames.contains(d.name))
+          if (unknown.nonEmpty || missing.nonEmpty) None
+          else Some((m, dd.map(d =>
+            if (argNames.contains(d.name)) args(argNames.indexOf(d.name))
+            else null: AnyRef).toArray))
         }
       }
     }
     if (usable.isEmpty) {
-      val detail = byArity.map { m =>
-        val ps = m.getParameters.drop(1)
-        if (ps.forall(_.isNamePresent)) ps.map(_.getName).mkString("(", ", ", ")")
+      val detail = candidates.map { m =>
+        val defs = m.getParameters.drop(1).toSeq.map(FunctionParams.paramDef)
+        if (defs.forall(_.isDefined))
+          defs.map(_.get).map(d =>
+            if (d.optional) s"[${d.name}]" else d.name).mkString("(", ", ", ")")
         else "(parameter names not recorded — compile the procedure with " +
-          "javac -parameters to enable named arguments)"
+          "javac -parameters, or annotate each parameter with " +
+          "@ArgumentHint(name = ...), to enable named arguments)"
       }
       throw new IllegalArgumentException(
         s"CALL $name: named arguments ${argNames.mkString("(", ", ", ")")} match " +
@@ -181,7 +198,7 @@ object ReflectiveProcedure {
         s"CALL $name: no call overload accepts argument types " +
           args.map(a => if (a == null) "NULL" else a.getClass.getSimpleName)
             .mkString("(", ", ", ")") + "; candidates: " +
-          byArity.map(_.getParameterTypes.drop(1).map(_.getSimpleName)
+          candidates.map(_.getParameterTypes.drop(1).map(_.getSimpleName)
             .mkString("(", ", ", ")")).mkString("; "))
     val (m, orderedArgs) = (best._1, best._2)
     val params = m.getParameterTypes

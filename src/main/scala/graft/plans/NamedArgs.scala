@@ -12,8 +12,11 @@ import org.apache.spark.sql.SparkSession
   * registration); everything else — lambdas use `->` in Spark, and `=>`
   * appears nowhere else in the dialect — passes through untouched.
   * All-or-nothing per invocation: mixing named and positional, unknown
-  * or duplicate names, or a class compiled without `-parameters` all
-  * fail typed.
+  * or duplicate names, a missing REQUIRED name, or a class compiled
+  * without `-parameters` (and without per-parameter @ArgumentHint
+  * names) all fail typed. Parameters marked optional by a duck-typed
+  * `@ArgumentHint(isOptional = true)` may be omitted from a named
+  * call — their positional slot fills SQL NULL.
   */
 object NamedArgs {
 
@@ -89,7 +92,7 @@ object NamedArgs {
       val it = callRe.findAllMatchIn(text)
         .filterNot(m => mask(m.start) || mask(m.end - 1))
       val hit = it.flatMap { m =>
-        graft.functions.FunctionParams.paramsOf(spark, m.group(1)).map(p => (m, p))
+        graft.functions.FunctionParams.defsOf(spark, m.group(1)).map(p => (m, p))
       }.find { case (m, _) =>
         val close = WindowTvf.matchParen(text, m.end - 1)
         splitTopLevel(text.substring(m.end, close))
@@ -106,16 +109,30 @@ object NamedArgs {
         if (params == null)
           fail(s"$fn(...): the registered class was compiled without " +
             "parameter names — rebuild it with `javac -parameters` (or " +
-            "call positionally)")
+            "an @ArgumentHint(name = ...) per parameter, or call " +
+            "positionally)")
         val given = named.map(_.get.group(1).toLowerCase)
         if (given.distinct.length != given.length)
           fail(s"$fn(...): duplicate named argument " +
             given.diff(given.distinct).distinct.mkString(", "))
-        if (given.toSet != params.toSet)
-          fail(s"$fn(...): named arguments ${given.mkString("(", ", ", ")")} " +
-            s"do not match the declared parameters ${params.mkString("(", ", ", ")")}")
+        val declared = params.map(_.name)
+        val unknown = given.filterNot(declared.contains)
+        if (unknown.nonEmpty)
+          fail(s"$fn(...): unknown named argument${if (unknown.size > 1) "s" else ""} " +
+            s"${unknown.mkString("(", ", ", ")")} — declared parameters are " +
+            declared.mkString("(", ", ", ")"))
+        // FLIP-387 optional parameters ([U] flink-table-common
+        // annotation/ArgumentHint#isOptional): a named call may omit
+        // them; the positional slot fills SQL NULL, Flink's default-less
+        // optional-argument value
+        val missing = params.filterNot(p => p.optional || given.contains(p.name))
+        if (missing.nonEmpty)
+          fail(s"$fn(...): missing required argument" +
+            s"${if (missing.size > 1) "s" else ""} " +
+            missing.map(_.name).mkString("(", ", ", ")") +
+            s" — declared parameters are ${declared.mkString("(", ", ", ")")}")
         val byName = given.zip(named.map(_.get.group(2).trim)).toMap
-        val ordered = params.map(byName(_))
+        val ordered = params.map(p => byName.getOrElse(p.name, "NULL"))
         text = text.substring(0, m.end) + ordered.mkString(", ") +
           text.substring(close)
         changed = true

@@ -856,6 +856,83 @@ class FlinkScriptSpec extends AnyFunSuite {
       "DROP FUNCTION pad; DROP FUNCTION rep; DROP FUNCTION nonames")
   }
 
+  test("FLIP-387 optional named arguments via @ArgumentHint (scalar + procedure, javac-jar e2e)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_udf_opt")
+    // the user jar carries its OWN ArgumentHint annotation (Flink's
+    // lives in flink-table-common, absent here) — the bridge duck-types
+    // it by simple name + name()/isOptional() members
+    java.nio.file.Files.writeString(dir.resolve("ArgumentHint.java"),
+      """import java.lang.annotation.*;
+        |@Retention(RetentionPolicy.RUNTIME)
+        |@Target(ElementType.PARAMETER)
+        |public @interface ArgumentHint {
+        |  String name() default "";
+        |  boolean isOptional() default false;
+        |}
+        |""".stripMargin)
+    // compiled WITHOUT -parameters: names come from the hints alone
+    // (Flink reads hint names first too), and `suffix` is optional
+    java.nio.file.Files.writeString(dir.resolve("GraftTrimUdf.java"),
+      """public class GraftTrimUdf {
+        |  public String eval(@ArgumentHint(name = "text") String a,
+        |      @ArgumentHint(name = "suffix", isOptional = true) String b) {
+        |    return b == null ? a : a + b;
+        |  }
+        |}
+        |""".stripMargin)
+    // procedure: first arg named by -parameters, second hinted optional
+    java.nio.file.Files.writeString(dir.resolve("GraftGreetProc.java"),
+      """public class GraftGreetProc {
+        |  public String[] call(Object ctx, String who,
+        |      @ArgumentHint(name = "greeting", isOptional = true) String greeting) {
+        |    return new String[] {
+        |      (greeting == null ? "hello" : greeting) + " " + who };
+        |  }
+        |}
+        |""".stripMargin)
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    assert(javac.run(null, null, null,
+      dir.resolve("ArgumentHint.java").toString,
+      dir.resolve("GraftTrimUdf.java").toString) == 0, "javac failed")
+    assert(javac.run(null, null, null, "-parameters", "-cp", dir.toString,
+      dir.resolve("GraftGreetProc.java").toString) == 0, "javac failed")
+    val jar = dir.resolve("graft-test-udf-opt.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jar))
+    Seq("ArgumentHint.class", "GraftTrimUdf.class", "GraftGreetProc.class")
+      .foreach { n =>
+        jos.putNextEntry(new java.util.zip.ZipEntry(n))
+        jos.write(java.nio.file.Files.readAllBytes(dir.resolve(n)))
+        jos.closeEntry()
+      }
+    jos.close()
+    FlinkSql.sql(spark, s"ADD JAR '$jar'")
+    FlinkSql.sql(spark, "CREATE FUNCTION trimf AS 'GraftTrimUdf'")
+    FlinkSql.sql(spark, "CREATE PROCEDURE greetp AS 'GraftGreetProc'")
+    // scalar: optional omitted → NULL-filled; supplied (out of order) →
+    // used; positional path byte-unchanged
+    assert(FlinkSql.sql(spark, "SELECT trimf(text => 'x') AS r")
+      .head().getString(0) == "x")
+    assert(FlinkSql.sql(spark, "SELECT trimf(suffix => '!', text => 'x') AS r")
+      .head().getString(0) == "x!")
+    assert(FlinkSql.sql(spark, "SELECT trimf('x', '!') AS r")
+      .head().getString(0) == "x!")
+    // omitting a REQUIRED parameter stays a typed failure
+    val eReq = intercept[IllegalArgumentException] {
+      FlinkSql.sql(spark, "SELECT trimf(suffix => '!')")
+    }
+    assert(eReq.getMessage.contains("text"), eReq.getMessage)
+    // procedure: with and without the optional; positional unchanged
+    assert(FlinkSql.sql(spark, "CALL greetp(who => 'ada')")
+      .head().getString(0) == "hello ada")
+    assert(FlinkSql.sql(spark, "CALL greetp(greeting => 'yo', who => 'ada')")
+      .head().getString(0) == "yo ada")
+    assert(FlinkSql.sql(spark, "CALL greetp('ada', 'hej')")
+      .head().getString(0) == "hej ada")
+    FlinkSql.run(spark, "DROP FUNCTION trimf; DROP PROCEDURE greetp")
+  }
+
   test("FLIP-311 procedures: CREATE PROCEDURE + CALL + SHOW PROCEDURES, javac-jar e2e") {
     import spark.implicits._
     // a Procedure-shaped class ([U] flink-table-common procedures/
