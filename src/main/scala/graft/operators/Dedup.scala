@@ -80,6 +80,87 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Exact-substring dedup, the suffix-array-class pass of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better"):
+    * every maximal token span of length ≥ `n` whose text occurs
+    * elsewhere in the corpus is flagged, EXCEPT the corpus-wide first
+    * occurrence of each substring (keep-one, min-(doc_id, position)
+    * domination — the paper removes all-but-one copy). Returns the
+    * maximal duplicated spans as (doc_id, s, e) TOKEN ranges
+    * (0-based, inclusive).
+    *
+    * Spark-native shape instead of a suffix array: rolling stride-1
+    * `n`-token shingles are content-hashed (the q124 span machinery
+    * generalized from fixed tiles to every offset); a shingle
+    * occurrence that is not its hash's first occurrence marks tokens
+    * [i, i+n−1] duplicated; adjacent/overlapping marked shingles merge
+    * into maximal spans per document (gaps-and-islands — a new span
+    * starts when the next duplicated offset leaves uncovered tokens).
+    * Any duplicated substring of length L ≥ n is the union of its
+    * L−n+1 rolling shingles, so the merged spans are exactly the
+    * maximal duplicated regions — the suffix-array result at n-token
+    * resolution.
+    *
+    * 100 TB shape: the big shuffle keys on the 32-byte shingle digest
+    * (never the text) with a map-side-combined min-struct aggregate;
+    * the join back reuses the digest partitioning; the island merge is
+    * one per-document window sort (state bounded by document length).
+    * Never all-pairs.
+    */
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, "minimum duplicated-substring length n must be >= 2")
+    val sp = df
+      .selectExpr(s"$idCol AS doc_id",
+        s"regexp_extract_all($textCol, '\\\\S+', 0) AS tk")
+      .filter(size(col("tk")) >= n)
+      .selectExpr("doc_id", "tk",
+        s"explode(sequence(0, size(tk) - $n)) AS i")
+      .selectExpr("doc_id", "CAST(i AS BIGINT) AS i",
+        s"md5(concat_ws(' ', slice(tk, CAST(i + 1 AS INT), $n))) AS h")
+    val first = sp.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("f"))
+    val dup = sp.join(first, "h")
+      .filter(!(col("doc_id") === col("f.doc_id") && col("i") === col("f.i")))
+      .select(col("doc_id"), col("i"))
+    // gaps-and-islands over duplicated offsets: offsets i_prev and i
+    // cover contiguous tokens iff i <= i_prev + n, so a NEW island
+    // starts when i - i_prev > n
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    dup
+      .withColumn("__brk",
+        when(coalesce(col("i") - lag(col("i"), 1).over(w),
+          lit(n.toLong + 1L)) > n, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + (n - 1)).as("e"))
+      .select(col("doc_id"), col("s"), col("e"))
+  }
+
+  /** Per-document exact-substring dedup report over
+    * [[exactSubstringSpans]]: token count, maximal duplicated span
+    * count, duplicated-token total, and the surviving token count —
+    * the numbers a curation pass publishes before cutting the spans
+    * out. Every document reports (zero spans for clean or sub-n docs).
+    */
+  def exactSubstringStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = df.selectExpr(s"$idCol AS doc_id",
+      s"CAST(size(regexp_extract_all($textCol, '\\\\S+', 0)) AS BIGINT) AS n_tokens")
+    val agg = exactSubstringSpans(df, idCol, textCol, n)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("n_dup_tokens"))
+    toks.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        (col("n_tokens") - coalesce(col("n_dup_tokens"), lit(0L)))
+          .as("n_kept_tokens"))
+  }
+
   /** End-to-end MinHash near-dup pipeline: LSH candidates verified with
     * exact shingle Jaccard ≥ `threshold` — candidates come from banding
     * (cheap, high recall), verification touches only candidate pairs

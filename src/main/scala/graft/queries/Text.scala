@@ -1086,7 +1086,23 @@ object Text {
         length(redacted).cast("long").as("red_len"))
   }
 
+  /** Exact-substring dedup report (north_star dedup: the
+    * suffix-array-class pass of Lee et al. 2022 — every maximal
+    * duplicated token span ≥ 8 tokens at ANY offset, keep-one by
+    * min-(doc_id, position); q124's fixed 8-token tiles generalized to
+    * rolling stride-1 shingles merged into maximal spans). Per document:
+    * token count, maximal duplicated spans, duplicated tokens, and the
+    * surviving token count a span-cutting pass would keep. The 100 TB
+    * shape: digest-keyed shuffle + map-side-combined min-struct first
+    * occurrence + one per-document window sort — see
+    * [[graft.operators.Dedup.exactSubstringSpans]].
+    */
+  val q152_substring_dedup: Q = (s, d) =>
+    graft.operators.Dedup.exactSubstringStats(
+      Tables.documents(s, d), "doc_id", "text", 8)
+
   val queries: Map[String, Q] = Map(
+    "q152_substring_dedup" -> q152_substring_dedup,
     "q151_pii_redaction" -> q151_pii_redaction,
     "q145_epoch_shards" -> q145_epoch_shards,
     "q142_bloom_decontamination" -> q142_bloom_decontamination,
@@ -1125,6 +1141,34 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q152_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |n0 AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
+        |f AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) >= 8),
+        |sp AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |              md5(array_to_string(tk[i + 1 : i + 8], ' ')) AS h
+        |       FROM f, UNNEST(range(0, n - 7)) AS u(i)),
+        |r AS (SELECT doc_id, i,
+        |             row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+        |      FROM sp),
+        |dup AS (SELECT doc_id, i FROM r WHERE rn > 1),
+        |g AS (SELECT doc_id, i,
+        |             CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+        |                  OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM dup),
+        |isl AS (SELECT doc_id, i,
+        |               sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |        FROM g),
+        |spn AS (SELECT doc_id, island, min(i) AS s, max(i) + 7 AS e
+        |        FROM isl GROUP BY doc_id, island),
+        |a AS (SELECT doc_id, count(*) AS n_dup_spans, sum(e - s + 1) AS n_dup_tokens
+        |      FROM spn GROUP BY doc_id)
+        |SELECT n0.doc_id, n0.n_tokens,
+        |       CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |       CAST(coalesce(a.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |       CAST(n0.n_tokens - coalesce(a.n_dup_tokens, 0) AS BIGINT) AS n_kept_tokens
+        |FROM n0 LEFT JOIN a USING (doc_id)""".stripMargin,
     "q151_pii_redaction" ->
       """WITH aug AS (
         |  SELECT doc_id,

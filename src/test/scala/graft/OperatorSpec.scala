@@ -199,6 +199,57 @@ class OperatorSpec extends AnyFunSuite {
     assert(again.filter(col("n_dups") > 1).count() == 0)
   }
 
+  test("exact-substring dedup: planted duplicated substrings recalled as exact maximal spans") {
+    import spark.implicits._
+    // a 12-token sentence planted across documents; every context token
+    // is unique so no accidental 4-shingle collides
+    val s12 = (1 to 12).map(i => s"dup$i").mkString(" ")
+    def u(p: String, k: Int) = (1 to k).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      // doc 1 carries the FIRST occurrence (kept — min (doc_id, pos))
+      (1L, u("ua", 5) + " " + s12 + " " + u("ub", 4)),
+      // doc 2 repeats it mid-document → one maximal 12-token span
+      (2L, u("va", 7) + " " + s12 + " " + u("vb", 6)),
+      // doc 3 is clean
+      (3L, u("wa", 20)),
+      // doc 4 repeats it TWICE with a unique gap → two maximal spans
+      (4L, s12 + " " + u("xa", 3) + " " + s12),
+      // docs 5 and 6 share a LONGER 15-token run (s12 + 3 extension
+      // tokens); doc 5 introduces the extension, doc 6 duplicates all 15
+      (5L, u("ya", 2) + " " + s12 + " extra1 extra2 extra3"),
+      (6L, u("za", 3) + " " + s12 + " extra1 extra2 extra3 " + u("zb", 2)))
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(docs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sorted.toList).toMap
+    // doc 1: first occurrence everywhere EXCEPT the s12+extra tail it
+    // shares with no one — doc 1 introduces s12, so it reports nothing
+    assert(!spans.contains(1L), s"doc 1 is the kept first occurrence: $spans")
+    // doc 2: exactly the planted 12 tokens at offset 7
+    assert(spans(2L) == List((7L, 18L)), s"doc 2 spans: $spans")
+    assert(!spans.contains(3L), s"doc 3 is clean: $spans")
+    // doc 4: two maximal spans — offsets 0..11 and 15..26
+    assert(spans(4L) == List((0L, 11L), (15L, 26L)), s"doc 4 spans: $spans")
+    // doc 5 introduces 's12 extra1 extra2 extra3' (first occurrence of
+    // the extension shingles) but its s12 core duplicates doc 1 → the
+    // span covers s12 only, at offset 2
+    assert(spans(5L) == List((2L, 13L)), s"doc 5 spans: $spans")
+    // doc 6 duplicates doc 5's full 15-token run → one UNBROKEN maximal
+    // span (the suffix-array property: the union of rolling shingles
+    // merges into the longest duplicated region), offset 3..17
+    assert(spans(6L) == List((3L, 17L)), s"doc 6 spans: $spans")
+    // the stats view agrees with the span list and covers clean docs
+    val stats = Dedup.exactSubstringStats(docs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(stats(3L) == ((20L, 0L, 0L, 20L)), s"clean doc stats: $stats")
+    assert(stats(4L) == ((27L, 2L, 24L, 3L)), s"doc 4 stats: $stats")
+    assert(stats(6L) == ((20L, 1L, 15L, 5L)), s"doc 6 stats: $stats")
+    // recall certificate: every planted duplicated token is covered
+    assert(stats(2L)._3 == 12L && stats(5L)._3 == 12L,
+      s"planted duplicate coverage: $stats")
+  }
+
   test("minhash signatures: identical docs identical, length = numHashes") {
     import spark.implicits._
     val df = Seq(
