@@ -161,6 +161,40 @@ object Dedup {
           .as("n_kept_tokens"))
   }
 
+  /** Cut the duplicated spans OUT — the text-producing half of the Lee
+    * et al. pass: every document's tokens outside its
+    * [[exactSubstringSpans]] ranges, rejoined with single spaces.
+    * Returns (doc_id, kept_text, n_kept_tokens); documents with no
+    * duplicated span keep their full token stream. Single-pass
+    * convention as in the paper: cutting can butt-join previously
+    * separated tokens into NEW n-grams, which a second pass would
+    * catch — corpora run one pass.
+    *
+    * 100 TB shape: the span list per document is bounded by document
+    * length, so the collect_list side of the join is per-doc-bounded
+    * state; the cut itself is a per-row higher-order-function
+    * projection — no extra shuffle beyond [[exactSubstringSpans]]'s.
+    */
+  def cutSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spans = exactSubstringSpans(df, idCol, textCol, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+    df.selectExpr(s"$idCol AS doc_id", s"$textCol AS __text")
+      .join(spans, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        s"regexp_extract_all(__text, '\\\\S+', 0) AS __tk",
+        "coalesce(__spans, array()) AS __sp")
+      .selectExpr("doc_id",
+        // keep token j iff no span [s, e] covers it
+        "filter(transform(__tk, (t, j) -> CASE WHEN exists(__sp, " +
+          "p -> j >= p.s AND j <= p.e) THEN CAST(NULL AS STRING) " +
+          "ELSE t END), x -> x IS NOT NULL) AS __kept")
+      .selectExpr("doc_id",
+        "concat_ws(' ', __kept) AS kept_text",
+        "CAST(size(__kept) AS BIGINT) AS n_kept_tokens")
+  }
+
   /** End-to-end MinHash near-dup pipeline: LSH candidates verified with
     * exact shingle Jaccard ≥ `threshold` — candidates come from banding
     * (cheap, high recall), verification touches only candidate pairs

@@ -248,6 +248,18 @@ class OperatorSpec extends AnyFunSuite {
     // recall certificate: every planted duplicated token is covered
     assert(stats(2L)._3 == 12L && stats(5L)._3 == 12L,
       s"planted duplicate coverage: $stats")
+    // the cutting half: surviving text is exactly the uncovered tokens,
+    // and its token count agrees with the stats view for every doc
+    val cut = Dedup.cutSubstringSpans(docs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(cut(4L)._1 == "xa1 xa2 xa3", s"doc 4 cut: ${cut(4L)}")
+    assert(cut(2L)._1 == u("va", 7) + " " + u("vb", 6), s"doc 2 cut: ${cut(2L)}")
+    assert(cut(1L)._1 == u("ua", 5) + " " + s12 + " " + u("ub", 4),
+      s"kept first occurrence must survive intact: ${cut(1L)}")
+    assert(cut(3L)._1 == u("wa", 20), s"clean doc must be untouched: ${cut(3L)}")
+    stats.foreach { case (id, (_, _, _, kept)) =>
+      assert(cut(id)._2 == kept, s"doc $id cut count ${cut(id)._2} != stats $kept")
+    }
   }
 
   test("minhash signatures: identical docs identical, length = numHashes") {
