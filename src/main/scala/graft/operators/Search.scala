@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked lexical retrieval for the LLM-pipeline surface (north_star
+  * text analysis / similarity search): BM25 top-k search and
+  * reciprocal-rank-fusion hybrid retrieval (BM25 ⊕ embedding cosine).
+  * All pure DataFrame plans — the big shuffle keys on (doc, term) with
+  * map-side combine, corpus statistics are one mergeable reduction
+  * broadcast back, and the query side is always a broadcast — so each
+  * scales linearly with executors at 100 TB.
+  *
+  * BM25 is the Robertson/Spärck Jones probabilistic ranking function in
+  * the Lucene-deployed form (the non-negative
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf); RRF is Cormack et al. 2009
+  * (`Σ_systems 1/(c + rank)`, c = 60), the standard hybrid-search fusion.
+  */
+object Search {
+
+  /** Per-(doc, term) term frequency plus the document token length:
+    * `(id, term, tf, dl)`. One explode + one hash aggregate with map-side
+    * combine; the shuffle carries (id, term) pairs, never document text.
+    */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .selectExpr(s"$idCol AS __id",
+        s"regexp_extract_all($textCol, '\\\\S+', 0) AS __tk")
+      .select(col("__id"), size(col("__tk")).cast("long").as("dl"),
+        explode(col("__tk")).as("term"))
+      .groupBy("__id", "term", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumnRenamed("__id", idCol)
+
+  /** BM25 scores of every matching document for each query in `qTerms`
+    * (a small (query_id, term) frame — broadcast side; callers pass
+    * distinct terms). Output: (query_id, id, score) with
+    * `score = round(Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), 6)`
+    * — rounded on BOTH engines so summation order cannot flip a rank.
+    *
+    * 100 TB shape: corpus stats (N, avgdl) are one mergeable reduction
+    * joined back as a broadcast; df aggregates ONLY over query terms (a
+    * broadcast semi-join prunes the term explode first); the scoring
+    * aggregate keys on (query_id, id) and emits one row per matched
+    * (query, doc) — never corpus × corpus.
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      qTerms: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val stats = docs
+      .selectExpr(s"regexp_count($textCol, '\\\\S+') AS __n")
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("__n").cast("double")).as("avgdl"))
+    val dfreq = tf
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("__w",
+        col("__idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("__w")), 6).as("score"))
+  }
+
+  /** BM25 top-`k` documents per query for an in-memory query list.
+    * Output: (query_id, rank, id, score), rank on (score desc, id asc).
+    */
+  def bm25TopK(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, queries: Seq[(Int, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val qTerms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    bm25Scores(docs, idCol, textCol, qTerms, k1, b)
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col(idCol), col("score"))
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion: each query DOCUMENT
+    * retrieves with (a) BM25 over its own distinct terms
+    * (more-like-this lexical retrieval) and (b) cosine similarity of its
+    * embedding against the vector table, then the two candidate lists
+    * fuse as `rrf = round(Σ_present 1/(60 + rank), 6)` (Cormack et al.
+    * 2009) over the union — a candidate missing from one system simply
+    * contributes nothing for it. Output: the top-`k` fused candidates
+    * per query, `(query_id, rank, cand_id, rrf)`, self-matches excluded,
+    * rank on (rrf desc, cand_id asc).
+    *
+    * `queryDocs` must be SMALL (it broadcasts: its terms into the BM25
+    * probe, its vectors into the cosine probe). `vecs` is (vec_id, v:
+    * array<double>) keyed like the doc ids; docs without a vector (or
+    * vectors without a doc) still fuse from the system that has them.
+    *
+    * 100 TB shape: both probes are broadcast-query × distributed-corpus
+    * scans (the cosine probe is |Q|·N dot products, never N²); each
+    * system's rank is a per-query window over its own candidate rows;
+    * the fusion join keys on (query_id, cand_id) over ≤ 2·`depth`·|Q|
+    * rows.
+    */
+  def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
+      vecs: DataFrame, queryDocs: DataFrame, k: Int,
+      depth: Int = 20): DataFrame = {
+    val qTerms = queryDocs
+      .selectExpr(s"$idCol AS query_id",
+        s"explode(array_distinct(regexp_extract_all($textCol, '\\\\S+', 0))) AS term")
+    val lex = bm25Scores(docs, idCol, textCol, qTerms)
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("lex_rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col(idCol))))
+      .filter(col("lex_rank") <= depth)
+      .select(col("query_id"), col(idCol).as("cand_id"), col("lex_rank"))
+    val qv = queryDocs.select(col(idCol).as("query_id"))
+      .join(vecs.selectExpr("vec_id AS query_id", "v AS qv"), Seq("query_id"))
+    val vec = vecs
+      .crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (graft.functions.DotProduct(col("v"), col("qv")) /
+          (sqrt(graft.functions.DotProduct(col("v"), col("v"))) *
+            sqrt(graft.functions.DotProduct(col("qv"), col("qv"))))).as("cos"))
+      .withColumn("vec_rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("vec_rank") <= depth)
+      .select(col("query_id"), col("cand_id"), col("vec_rank"))
+    lex.join(vec, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf", round(
+        when(col("lex_rank").isNotNull, lit(1.0) / (lit(60.0) + col("lex_rank")))
+          .otherwise(lit(0.0)) +
+        when(col("vec_rank").isNotNull, lit(1.0) / (lit(60.0) + col("vec_rank")))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id"), col("rrf"))
+  }
+}

@@ -1101,7 +1101,42 @@ object Text {
     graft.operators.Dedup.exactSubstringStats(
       Tables.documents(s, d), "doc_id", "text", 8)
 
+  /** BM25 ranked retrieval (north_star text analysis — the lexical half
+    * of a retrieval stack): top-10 documents per query for three
+    * fixed bag-of-words queries, Lucene-form non-negative idf, k1=1.2 /
+    * b=0.75. Scores are rounded to 6 decimals on BOTH engines before
+    * ranking so summation order cannot flip a rank. The 100 TB shape:
+    * broadcast query terms prune the (doc, term) aggregate, corpus
+    * stats are one mergeable reduction — see
+    * [[graft.operators.Search.bm25TopK]].
+    */
+  val q153_bm25_topk: Q = (s, d) =>
+    graft.operators.Search.bm25TopK(s, Tables.documents(s, d), "doc_id",
+      "text", Seq(
+        1 -> Seq("dup", "merge", "batch"),
+        2 -> Seq("vector", "stream", "window"),
+        3 -> Seq("customer", "order", "query")), 10)
+
+  /** Hybrid retrieval by reciprocal-rank fusion (north_star similarity
+    * search): the three lowest-id documents retrieve more-like-this via
+    * BM25 over their own terms AND cosine over their embeddings
+    * (doc_id-keyed vectors); the two depth-20 candidate lists fuse as
+    * Σ 1/(60+rank) and the top-10 fused candidates emit per query.
+    * Documents without a vector (sf0.1 has 5000 docs / 2000 vectors)
+    * still fuse from the lexical system — the full-outer union is the
+    * operator's contract. See [[graft.operators.Search.hybridRrf]].
+    */
+  val q154_hybrid_rrf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val vecs = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+    graft.operators.Search.hybridRrf(docs, "doc_id", "text", vecs,
+      docs.filter(col("doc_id") < 3), 10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q154_hybrid_rrf" -> q154_hybrid_rrf,
+    "q153_bm25_topk" -> q153_bm25_topk,
     "q152_substring_dedup" -> q152_substring_dedup,
     "q151_pii_redaction" -> q151_pii_redaction,
     "q145_epoch_shards" -> q145_epoch_shards,
@@ -1141,6 +1176,79 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q153_bm25_topk" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (1,'dup'),(1,'merge'),(1,'batch'),
+        |  (2,'vector'),(2,'stream'),(2,'window'),
+        |  (3,'customer'),(3,'order'),(3,'query')),
+        |tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, u.term,
+        |              CAST(count(*) AS BIGINT) AS tf
+        |       FROM tk, UNNEST(t) AS u(term) GROUP BY 1, 2, 3),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |              avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM tk),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+        |       WHERE term IN (SELECT term FROM q) GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |              round(sum(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |                        (tf.tf * 2.2) /
+        |                        (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 6) AS score
+        |       FROM tf JOIN q USING (term) JOIN df USING (term), st
+        |       GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY score DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+        |FROM r WHERE rank <= 10""".stripMargin,
+    "q154_hybrid_rrf" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |q AS (SELECT DISTINCT doc_id AS query_id, u.term
+        |      FROM tk, UNNEST(t) AS u(term) WHERE doc_id < 3),
+        |tf AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, u.term,
+        |              CAST(count(*) AS BIGINT) AS tf
+        |       FROM tk, UNNEST(t) AS u(term) GROUP BY 1, 2, 3),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |              avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM tk),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+        |       WHERE term IN (SELECT term FROM q) GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |              round(sum(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |                        (tf.tf * 2.2) /
+        |                        (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 6) AS score
+        |       FROM tf JOIN q USING (term) JOIN df USING (term), st
+        |       GROUP BY 1, 2),
+        |lex AS (SELECT query_id, cand_id, lex_rank FROM (
+        |          SELECT query_id, doc_id AS cand_id,
+        |                 row_number() OVER (PARTITION BY query_id
+        |                                    ORDER BY score DESC, doc_id) AS lex_rank
+        |          FROM sc WHERE query_id <> doc_id)
+        |        WHERE lex_rank <= 20),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv AS (SELECT qq.query_id, e.v AS qv
+        |       FROM (SELECT DISTINCT query_id FROM q) qq
+        |       JOIN e ON e.vec_id = qq.query_id),
+        |vr AS (SELECT query_id, cand_id, vec_rank FROM (
+        |         SELECT qv.query_id, e.vec_id AS cand_id,
+        |                row_number() OVER (PARTITION BY qv.query_id ORDER BY
+        |                  list_dot_product(e.v, qv.qv) /
+        |                  (sqrt(list_dot_product(e.v, e.v)) *
+        |                   sqrt(list_dot_product(qv.qv, qv.qv))) DESC,
+        |                  e.vec_id) AS vec_rank
+        |         FROM e, qv WHERE e.vec_id <> qv.query_id)
+        |       WHERE vec_rank <= 20),
+        |f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+        |             coalesce(l.cand_id, v.cand_id) AS cand_id,
+        |             round(coalesce(1.0 / (60.0 + l.lex_rank), 0.0) +
+        |                   coalesce(1.0 / (60.0 + v.vec_rank), 0.0), 6) AS rrf
+        |      FROM lex l FULL OUTER JOIN vr v
+        |        ON l.query_id = v.query_id AND l.cand_id = v.cand_id),
+        |r AS (SELECT query_id, cand_id, rrf,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY rrf DESC, cand_id) AS rank
+        |      FROM f)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, rrf
+        |FROM r WHERE rank <= 10""".stripMargin,
     "q152_substring_dedup" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
         |n0 AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
