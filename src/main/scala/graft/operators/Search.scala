@@ -47,7 +47,10 @@ object Search {
     */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
       qTerms: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = termFrequencies(docs, idCol, textCol)
+    // the (doc, term) aggregate feeds BOTH the df rollup and the scoring
+    // join: materialize it once (q91's discipline) — recomputing it would
+    // tokenize and shuffle the corpus twice
+    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(true)
     val stats = docs
       .selectExpr(s"regexp_count($textCol, '\\\\S+') AS __n")
       .agg(count(lit(1)).cast("double").as("n_docs"),
