@@ -55,6 +55,17 @@ object Search {
       .selectExpr(s"regexp_count($textCol, '\\\\S+') AS __n")
       .agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("__n").cast("double")).as("avgdl"))
+    bm25FromTf(tf, stats, qTerms, idCol, k1, b)
+  }
+
+  /** The BM25 scoring pipeline over an ALREADY-MATERIALIZED
+    * (id, term, tf, dl) frame plus a 1-row (n_docs, avgdl) stats frame —
+    * shared by the batch path above and the incremental index
+    * ([[graft.streaming.StreamingIndex]]), so stream and batch scores
+    * are the same expression tree by construction.
+    */
+  private[graft] def bm25FromTf(tf: DataFrame, stats: DataFrame,
+      qTerms: DataFrame, idCol: String, k1: Double, b: Double): DataFrame = {
     val dfreq = tf
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
@@ -70,6 +81,18 @@ object Search {
       .agg(round(sum(col("__w")), 6).as("score"))
   }
 
+  /** Per-query top-`k` ranking of a (query_id, id, score) frame on
+    * (score desc, id asc) — shared by every retrieval entry point.
+    */
+  private[graft] def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col(idCol), col("score"))
+
   /** BM25 top-`k` documents per query for an in-memory query list.
     * Output: (query_id, rank, id, score), rank on (score desc, id asc).
     */
@@ -80,13 +103,17 @@ object Search {
     val qTerms = queries
       .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
       .toDF("query_id", "term")
-    bm25Scores(docs, idCol, textCol, qTerms, k1, b)
-      .withColumn("rank",
-        row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col(idCol))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col(idCol), col("score"))
+    rankTopK(bm25Scores(docs, idCol, textCol, qTerms, k1, b), idCol, k)
+  }
+
+  /** The in-memory query list as a (query_id, term) frame (shared by
+    * the batch and incremental-index entry points).
+    */
+  private[graft] def queryTermsDf(spark: SparkSession,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
   }
 
   /** Hybrid retrieval by reciprocal-rank fusion: each query DOCUMENT

@@ -254,9 +254,15 @@ object StreamingCuration {
     compactOne(spark, s"$storeDir/bucket", Seq("table", "bucket", "vec_id"), exclude)
   }
 
+  /** `resolve` (default identity) runs over the committed rows BEFORE
+    * the batch_id drop — a store with upsert semantics (e.g. the
+    * [[StreamingIndex]] postings, where a later batch re-ingesting a
+    * doc supersedes its old rows) resolves versions here so the
+    * keyed dedup below cannot collapse two versions arbitrarily.
+    */
   private[graft] def compactOne(spark: SparkSession, path: String,
       keys: Seq[String], exclude: Option[Long],
-      crashAt: Int = 0): Unit = {
+      crashAt: Int = 0, resolve: DataFrame => DataFrame = identity): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverStore(fs, p) // a prior pass may have died between its renames
@@ -269,7 +275,8 @@ object StreamingCuration {
     fs.delete(tmp, true) // stale failed attempt — live tree is intact
     fs.delete(old, true) // stale aside from a pass that died pre-cleanup
     val all = spark.read.parquet(path)
-    val folded = exclude.map(b => all.filter(col("batch_id") =!= b)).getOrElse(all)
+    val folded = resolve(
+      exclude.map(b => all.filter(col("batch_id") =!= b)).getOrElse(all))
       .drop("batch_id").dropDuplicates(keys)
       .repartitionByRange(nOut, cols: _*)
       .sortWithinPartitions(cols: _*)
