@@ -82,6 +82,16 @@ object StreamingIndex {
         s"$idCol BIGINT, term STRING, dl BIGINT, tf BIGINT, batch_id BIGINT"))
   }
 
+  /** The version-resolved postings restricted to `terms`, as a LITERAL
+    * IN filter so it reaches the parquet scan (row-group pruning on the
+    * (term, id)-sorted compacted files) — the frame [[searchBm25]]
+    * materializes for scoring. Plan-locked in StreamingIndexSpec.
+    */
+  private[graft] def prunedPostings(spark: SparkSession, storePath: String,
+      idCol: String, terms: Seq[String]): DataFrame =
+    latestPostings(spark, storePath, idCol)
+      .filter(col("term").isInCollection(terms))
+
   /** Keep only each document's rows from its highest batch_id (the
     * upsert view). One map-side-combined aggregate + a semi-join on
     * (id, batch_id) — never a window over the full store.
@@ -98,10 +108,21 @@ object StreamingIndex {
   def searchBm25(spark: SparkSession, storePath: String, idCol: String,
       queries: Seq[(Int, Seq[String])], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = latestPostings(spark, storePath, idCol).localCheckpoint(true)
-    val stats = tf.select(col(idCol), col("dl")).distinct()
+    val all = latestPostings(spark, storePath, idCol)
+    // corpus stats read only (id, dl) — a 2-column pruned scan; the
+    // scoring side reads only the query terms' postings, as a literal
+    // IN filter that reaches the parquet scan (the compacted store is
+    // (term, id)-sorted, so row-group stats prune everything else).
+    // Version resolution still sees every id's batches (the max-batch
+    // aggregate runs on the narrow side before the term filter).
+    val stats = all.select(col(idCol), col("dl")).distinct()
       .agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl").cast("double")).as("avgdl"))
+    // materialized once: it feeds both the df rollup and the scoring
+    // join, and re-deriving it would re-run the version-resolution
+    // semi-join over the store
+    val tf = prunedPostings(spark, storePath, idCol,
+      queries.flatMap(_._2).distinct).localCheckpoint(true)
     val qTerms = Search.queryTermsDf(spark, queries)
     Search.rankTopK(
       Search.bm25FromTf(tf, stats, qTerms, idCol, k1, b), idCol, k)

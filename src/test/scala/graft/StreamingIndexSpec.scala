@@ -57,6 +57,23 @@ class StreamingIndexSpec extends AnyFunSuite {
     graft.streaming.StreamingCuration.deleteStore(tmp)
   }
 
+  test("searchBm25 pushes the query-term IN filter to the postings scan; stats scan reads only (id, dl)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_pl").toString
+    StreamingIndex.indexBatch(docsDf(allDocs), "doc_id", "text", s"$tmp/idx", 0L)
+    // the scoring side is materialized (localCheckpoint) inside
+    // searchBm25, so its scan is asserted on the frame it materializes
+    val scoring = StreamingIndex.prunedPostings(spark, s"$tmp/idx",
+      "doc_id", queries.flatMap(_._2).distinct)
+      .queryExecution.executedPlan.toString
+    assert(scoring.contains("PushedFilters: [In(term,"),
+      "the query-term filter must reach the parquet scan for row-group pruning")
+    val p = StreamingIndex.searchBm25(spark, s"$tmp/idx", "doc_id", queries, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,dl:bigint>"),
+      "the corpus-stats pass must scan only (id, dl)")
+    graft.streaming.StreamingCuration.deleteStore(tmp)
+  }
+
   test("upsert: a re-ingested doc_id scores with its newest text only") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_up").toString
     StreamingIndex.indexBatch(docsDf(allDocs), "doc_id", "text", s"$tmp/idx", 0L)
