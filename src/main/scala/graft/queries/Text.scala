@@ -1134,7 +1134,43 @@ object Text {
       docs.filter(col("doc_id") < 3), 10)
   }
 
+  /** Count-min-sketch heavy hitters (north_star text analysis — the
+    * bounded-memory frequency-estimation family next to q67's HLL /
+    * approx-percentile): one mergeable seeded CMS over the corpus token
+    * stream (ε = 0.001, δ = 0.01 → a ~100 KB sketch regardless of
+    * corpus size), the exact top-10 terms re-derived two-phase for the
+    * oracle, and the CONTRACT boolean pins the CMS guarantee per term:
+    * estimate ≥ true count (always) and ≤ true + ε·N (w.p. 1−δ; the
+    * fixed seed makes the estimate deterministic, so the boolean is
+    * stable). At 100 TB only the sketch pass runs — the exact side here
+    * exists to oracle it. Driver state is the sketch + 10 rows.
+    */
+  val q155_cms_heavy_hitters: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("term"))
+    val exact = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds total, top-10, AND the bound check
+    val skBytes = toks
+      .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val total = exact.agg(sum($"cnt")).head().getLong(0)
+    val slack = math.ceil(0.001 * total).toLong
+    val est = udf((t: String) => cms.estimateCount(t))
+    exact
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"cnt".desc, $"term")).cast("long"))
+      .filter($"rank" <= 10)
+      .withColumn("__est", est($"term"))
+      .select($"rank", $"term", $"cnt",
+        ($"__est" >= $"cnt" && $"__est" <= $"cnt" + lit(slack)).as("within_bounds"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q155_cms_heavy_hitters" -> q155_cms_heavy_hitters,
     "q154_hybrid_rrf" -> q154_hybrid_rrf,
     "q153_bm25_topk" -> q153_bm25_topk,
     "q152_substring_dedup" -> q152_substring_dedup,
@@ -1176,6 +1212,14 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q155_cms_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+        |r AS (SELECT term, cnt,
+        |             row_number() OVER (ORDER BY cnt DESC, term) AS rank
+        |      FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, term, cnt, TRUE AS within_bounds
+        |FROM r WHERE rank <= 10""".stripMargin,
     "q153_bm25_topk" ->
       """WITH q(query_id, term) AS (VALUES
         |  (1,'dup'),(1,'merge'),(1,'batch'),

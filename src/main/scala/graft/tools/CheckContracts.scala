@@ -16,7 +16,7 @@ object CheckContracts {
       "q42_ann_topk", "q48_winnow_fingerprints", "q56_ivf_topk",
       "q102_ivf2_topk", "q148_neardup_recall99", "q149_curation_composed",
       "q150_curation_incremental",
-      "q67_approx_aggs", "q116_pca_project", "q128_semantic_dedup",
+      "q67_approx_aggs", "q155_cms_heavy_hitters", "q116_pca_project", "q128_semantic_dedup",
       "q134_quality_classifier", "q140_bpe_train", "q141_bpe_encode")
     var bad = 0
     qs.foreach { q =>
