@@ -67,7 +67,9 @@ object StreamingIndex {
 
   /** The current index contents with upsert resolution applied: each
     * document's rows from its HIGHEST batch_id only (compacted rows
-    * live at batch_id = −1, superseded by any later re-ingest). Columns
+    * live at batch_id = −1, superseded by any later re-ingest), with
+    * tombstoned documents absent (a doc whose winning version is a
+    * `-D` null-term marker reads as not indexed). Columns
     * (id, term, tf, dl, batch_id); empty frame if nothing indexed yet.
     */
   def latestPostings(spark: SparkSession, storePath: String,
@@ -75,12 +77,71 @@ object StreamingIndex {
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     StreamingCuration.recoverStore(fs, p)
-    if (fs.exists(p)) resolveLatest(spark.read.parquet(storePath), idCol)
+    if (fs.exists(p)) resolveLive(spark.read.parquet(storePath), idCol)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
         s"$idCol BIGINT, term STRING, dl BIGINT, tf BIGINT, batch_id BIGINT"))
   }
+
+  /** [[resolveLatest]] + tombstone removal: the winning version's rows,
+    * minus null-term `-D` markers — resolution already discarded every
+    * older real version a tombstone masks, so dropping the marker rows
+    * leaves exactly the LIVE documents.
+    */
+  private[graft] def resolveLive(postings: DataFrame, idCol: String): DataFrame =
+    resolveLatest(postings, idCol).filter(col("term").isNotNull)
+
+  /** Apply one CHANGELOG batch to the index: `+I`/`+U` rows upsert
+    * their document's postings, `-D` rows write a TOMBSTONE (a single
+    * null-term row) that masks every earlier version of the id — the
+    * Flink changelog contract (`row_kind` as produced by
+    * [[graft.operators.Changelog]] / CDC formats) applied to a
+    * materialized index. `-U` (retract-before-update) rows are ignored:
+    * the paired `+U` supersedes by upsert semantics. If one batch
+    * carries both an upsert and a `-D` for the same id, the upsert
+    * wins (a changelog's net effect per key, matching Flink's upsert
+    * materialization).
+    *
+    * A tombstoned document disappears from every read (search, stats)
+    * immediately, and its postings are PHYSICALLY removed from the
+    * store at the next compaction (the resolve hook drops resolved
+    * tombstones after they have masked everything — the
+    * right-to-erasure discipline); a later re-ingest of the id simply
+    * wins by higher batch_id.
+    */
+  def indexChangelog(batch: DataFrame, idCol: String, textCol: String,
+      storePath: String, batchId: Long = -1L): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    StreamingCuration.recoverStore(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    val upserts = batch.filter(col("row_kind").isin("+I", "+U"))
+    val tombstones = batch.filter(col("row_kind") === "-D")
+      .select(col(idCol)).distinct()
+      .join(upserts.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), lit(null).cast("string").as("term"),
+        lit(0L).as("dl"), lit(0L).as("tf"))
+    val out = Search.termFrequencies(upserts, idCol, textCol)
+      .select(col(idCol), col("term"), col("dl"), col("tf"))
+      .unionByName(tombstones)
+      .withColumn("batch_id", lit(math.max(batchId, -1L)))
+    if (batchId >= 0)
+      out.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(storePath)
+    else out.write.mode("append").partitionBy("batch_id").parquet(storePath)
+  }
+
+  /** Delete documents from the index (the GDPR-erasure entry point):
+    * sugar for a changelog batch of pure `-D` rows. Masked immediately,
+    * physically erased at the next compaction.
+    */
+  def deleteDocs(ids: DataFrame, idCol: String, storePath: String,
+      batchId: Long = -1L): Unit =
+    indexChangelog(
+      ids.select(col(idCol)).withColumn("row_kind", lit("-D"))
+        .withColumn("__text", lit("")),
+      idCol, "__text", storePath, batchId)
 
   /** The version-resolved postings restricted to `terms`, as a LITERAL
     * IN filter so it reaches the parquet scan (row-group pruning on the
@@ -129,14 +190,18 @@ object StreamingIndex {
   }
 
   /** Fold committed batch partitions into one consolidated, sorted
-    * partition (batch_id = −1). Versions resolve before the fold;
-    * `exclude = Some(inFlightBatch)` makes the pass replay-safe
-    * in-stream (that batch's partitions carry over verbatim).
+    * partition (batch_id = −1). Versions resolve before the fold and
+    * resolved tombstones are PHYSICALLY dropped (their masking work is
+    * done: every committed version they cover is discarded by
+    * resolution, and any future or in-flight batch outranks the folded
+    * −1 partition by batch_id). `exclude = Some(inFlightBatch)` makes
+    * the pass replay-safe in-stream (that batch's partitions carry
+    * over verbatim).
     */
   def compactIndex(spark: SparkSession, storePath: String, idCol: String,
       exclude: Option[Long] = None): Unit =
     StreamingCuration.compactOne(spark, storePath, Seq("term", idCol),
-      exclude, resolve = resolveLatest(_, idCol))
+      exclude, resolve = resolveLive(_, idCol))
 
   /** Deploy over a streaming Dataset of documents: each micro-batch
     * indexes into the store; `compactEvery = n > 0` compacts in-stream
@@ -153,6 +218,25 @@ object StreamingIndex {
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         indexBatch(batch, idCol, textCol, storePath, batchId)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactIndex(batch.sparkSession, storePath, idCol,
+            exclude = Some(batchId))
+      }
+      .start()
+
+  /** Deploy over a streaming CHANGELOG (`row_kind`, id, text — e.g. a
+    * decoded CDC topic): each micro-batch applies
+    * [[indexChangelog]]; otherwise identical to [[run]].
+    */
+  def runChangelog(changelog: DataFrame, idCol: String, textCol: String,
+      storePath: String, checkpointLocation: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
+    changelog.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        indexChangelog(batch, idCol, textCol, storePath, batchId)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compactIndex(batch.sparkSession, storePath, idCol,
             exclude = Some(batchId))

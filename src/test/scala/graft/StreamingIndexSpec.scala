@@ -65,12 +65,14 @@ class StreamingIndexSpec extends AnyFunSuite {
     val scoring = StreamingIndex.prunedPostings(spark, s"$tmp/idx",
       "doc_id", queries.flatMap(_._2).distinct)
       .queryExecution.executedPlan.toString
-    assert(scoring.contains("PushedFilters: [In(term,"),
+    assert("""PushedFilters: \[[^\]]*In\(term,""".r.findFirstIn(scoring).isDefined,
       "the query-term filter must reach the parquet scan for row-group pruning")
     val p = StreamingIndex.searchBm25(spark, s"$tmp/idx", "doc_id", queries, 10)
       .queryExecution.executedPlan.toString
-    assert(p.contains("ReadSchema: struct<doc_id:bigint,dl:bigint>"),
-      "the corpus-stats pass must scan only (id, dl)")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,term:string,dl:bigint>"),
+      "the corpus-stats pass must scan only (id, term, dl) — term solely for the tombstone mask")
+    assert(!p.contains("tf:bigint"),
+      "the stats pass must not read the tf column")
     graft.streaming.StreamingCuration.deleteStore(tmp)
   }
 
@@ -104,6 +106,47 @@ class StreamingIndexSpec extends AnyFunSuite {
     StreamingIndex.indexBatch(docsDf(b1), "doc_id", "text", s"$tmp/idx", 1L)
     assert(searchRows(s"$tmp/idx") === before)
     assert(before === batchRows(allDocs))
+    graft.streaming.StreamingCuration.deleteStore(tmp)
+  }
+
+  test("changelog -D tombstones: masked immediately, physically erased at compaction, resurrectable") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_del").toString
+    StreamingIndex.indexBatch(docsDf(allDocs), "doc_id", "text", s"$tmp/idx", 0L)
+    // delete docs 3 and 5 (the durian-heavy ones) at batch 1
+    StreamingIndex.deleteDocs(Seq(3L, 5L).toDF("doc_id"), "doc_id", s"$tmp/idx", 1L)
+    val afterDelete = batchRows(allDocs.filterNot(r => r._1 == 3L || r._1 == 5L))
+    assert(searchRows(s"$tmp/idx") === afterDelete,
+      "a tombstoned doc must vanish from ranking AND corpus stats")
+    // physically erased at compaction: no row for the ids remains
+    StreamingIndex.compactIndex(spark, s"$tmp/idx", "doc_id")
+    assert(searchRows(s"$tmp/idx") === afterDelete)
+    val rawIds = spark.read.parquet(s"$tmp/idx")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!rawIds.contains(3L) && !rawIds.contains(5L),
+      "erasure must be physical after compaction, not just masked")
+    // a later re-ingest of a deleted id wins by batch ordering
+    StreamingIndex.indexBatch(docsDf(Seq((3L, "apple apple"))), "doc_id", "text", s"$tmp/idx", 2L)
+    val resurrected = allDocs.filterNot(r => r._1 == 3L || r._1 == 5L) :+ ((3L, "apple apple"))
+    assert(searchRows(s"$tmp/idx") === batchRows(resurrected))
+    graft.streaming.StreamingCuration.deleteStore(tmp)
+  }
+
+  test("changelog batches: +U upserts, -U ignored, same-batch upsert beats -D") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx_cl").toString
+    StreamingIndex.indexChangelog(
+      allDocs.map { case (id, tx) => ("+I", id, tx) }.toDF("row_kind", "doc_id", "text"),
+      "doc_id", "text", s"$tmp/idx", 0L)
+    val v2 = (2L, "durian durian fig fig")
+    StreamingIndex.indexChangelog(Seq(
+      ("-U", 2L, "apple banana"), ("+U", v2._1, v2._2),       // retract+update pair
+      ("-D", 4L, null.asInstanceOf[String]),                  // plain delete
+      ("-D", 6L, null.asInstanceOf[String]), ("+I", 6L, "cherry cherry") // net effect: upsert
+    ).toDF("row_kind", "doc_id", "text"), "doc_id", "text", s"$tmp/idx", 1L)
+    val expected = batchRows(
+      allDocs.filterNot(r => Set(2L, 4L, 6L)(r._1)) :+ v2 :+ ((6L, "cherry cherry")))
+    assert(searchRows(s"$tmp/idx") === expected)
     graft.streaming.StreamingCuration.deleteStore(tmp)
   }
 
