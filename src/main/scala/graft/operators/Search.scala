@@ -116,6 +116,49 @@ object Search {
       .toDF("query_id", "term")
   }
 
+  /** Positional PHRASE search (`match_phrase`): every occurrence of
+    * each exact token sequence, as `(phrase_id, id, n_matches,
+    * first_pos)` per matching document (0-based token offset).
+    *
+    * One-aggregate formulation instead of length−1 self-joins: each
+    * token position joins the broadcast (phrase_id, word, offset k)
+    * table and votes for the aligned START `i − k`; a start collecting
+    * exactly `len(phrase)` votes is a full match (each offset k can
+    * vote at most once per (doc, start) — one token per position — so
+    * the count reaches `len` iff every word sits at its offset;
+    * repeated words in a phrase work because their k's differ).
+    *
+    * 100 TB shape: the position explode is pruned to the phrases'
+    * words BEFORE the shuffle (a literal isin the scan can push), the
+    * phrase table broadcasts, and the one aggregate keys on
+    * (phrase, doc, start) with map-side combine. All-integer output —
+    * hash-exact cross-engine.
+    */
+  def phraseSearch(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, phrases: Seq[(Int, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    val ph = phrases.flatMap { case (pid, ws) =>
+      ws.zipWithIndex.map { case (w, k) => (pid, w, k.toLong) }
+    }.toDF("phrase_id", "term", "k")
+    val lens = phrases.map { case (pid, ws) => (pid, ws.length.toLong) }
+      .toDF("phrase_id", "len")
+    val allTerms = phrases.flatMap(_._2).distinct
+    val pos = docs
+      .selectExpr(s"$idCol AS __id",
+        s"regexp_extract_all($textCol, '\\\\S+', 0) AS __tk")
+      .select(col("__id"), posexplode(col("__tk")).as(Seq("i", "term")))
+      .filter(col("term").isin(allTerms: _*))
+    pos.join(broadcast(ph), Seq("term"))
+      .groupBy(col("phrase_id"), col("__id"),
+        (col("i").cast("long") - col("k")).as("start"))
+      .agg(count(lit(1)).as("hits"))
+      .join(broadcast(lens), Seq("phrase_id"))
+      .filter(col("hits") === col("len"))
+      .groupBy(col("phrase_id"), col("__id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion: each query DOCUMENT
     * retrieves with (a) BM25 over its own distinct terms
     * (more-like-this lexical retrieval) and (b) cosine similarity of its

@@ -1169,7 +1169,22 @@ object Text {
         ($"__est" >= $"cnt" && $"__est" <= $"cnt" + lit(slack)).as("within_bounds"))
   }
 
+  /** Positional phrase search (north_star text analysis — the
+    * `match_phrase` retrieval primitive next to q153's ranked BM25):
+    * exact token-sequence occurrences for three fixed phrases via the
+    * one-aggregate aligned-start vote — see
+    * [[graft.operators.Search.phraseSearch]]. All-integer output,
+    * hash-exact against the oracle's self-join formulation.
+    */
+  val q156_phrase_search: Q = (s, d) =>
+    graft.operators.Search.phraseSearch(s, Tables.documents(s, d),
+      "doc_id", "text", Seq(
+        1 -> Seq("hash", "join"),
+        2 -> Seq("stream", "window"),
+        3 -> Seq("slow", "hash", "batch")))
+
   val queries: Map[String, Q] = Map(
+    "q156_phrase_search" -> q156_phrase_search,
     "q155_cms_heavy_hitters" -> q155_cms_heavy_hitters,
     "q154_hybrid_rrf" -> q154_hybrid_rrf,
     "q153_bm25_topk" -> q153_bm25_topk,
@@ -1212,6 +1227,25 @@ object Text {
   private def markerRe(ms: Seq[String]): String = "\\b(" + ms.mkString("|") + ")\\b"
 
   val oracle: Map[String, String] = Map(
+    "q156_phrase_search" ->
+      """WITH ph(phrase_id, w, k) AS (VALUES
+        |  (1,'hash',0),(1,'join',1),
+        |  (2,'stream',0),(2,'window',1),
+        |  (3,'slow',0),(3,'hash',1),(3,'batch',2)),
+        |tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |p AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, t[u.i + 1] AS term
+        |      FROM tk, UNNEST(range(0, len(t))) AS u(i)),
+        |m AS (SELECT ph.phrase_id, p.doc_id, p.i - ph.k AS start,
+        |             count(*) AS hits
+        |      FROM p JOIN ph ON p.term = ph.w
+        |      GROUP BY 1, 2, 3),
+        |L AS (SELECT phrase_id, CAST(count(*) AS BIGINT) AS len
+        |      FROM (SELECT DISTINCT phrase_id, k FROM ph) GROUP BY 1)
+        |SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |       min(start) AS first_pos
+        |FROM m JOIN L USING (phrase_id)
+        |WHERE hits = L.len
+        |GROUP BY 1, 2""".stripMargin,
     "q155_cms_heavy_hitters" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),

@@ -53,6 +53,23 @@ class SearchSpec extends AnyFunSuite {
     assert(q1.map(_._2).toSeq === Seq(1L, 2L) && q2.map(_._2).toSeq === Seq(1L, 2L))
   }
 
+  test("phraseSearch: exact sequences, overlapping matches, repeated-word phrases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),     // "a b" x3 (overlap-free pairs at 0,2,4)
+      (2L, "a a a"),           // "a a" x2 (overlapping at 0,1); no "a b"
+      (3L, "x a b y a b"),     // "a b" at 1 and 4
+      (4L, "b a")              // reversed — no match
+    ).toDF("doc_id", "text")
+    val out = Search.phraseSearch(spark, docs, "doc_id", "text",
+      Seq(1 -> Seq("a", "b"), 2 -> Seq("a", "a")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      (1, 1L) -> ((3L, 0L)),   // "a b" at 0, 2, 4
+      (1, 3L) -> ((2L, 1L)),   // "a b" at 1, 4
+      (2, 2L) -> ((2L, 0L)))) // overlapping "a a" at 0 and 1; docs 1/4 absent
+  }
+
   test("hybridRrf: fuses lexical and vector ranks, tolerates one-sided candidates") {
     import spark.implicits._
     // doc 2 is lexically close to doc 1 AND vector-close; doc 3 is
