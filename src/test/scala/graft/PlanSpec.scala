@@ -256,10 +256,14 @@ class PlanSpec extends AnyFunSuite {
     // q33: the all-pairs correctness oracle (declared role); q36: theta
     // join is nested-loop by definition; q91/q126/q130: 1-row scalar
     // (corpus count / Σ√count normalizer / global token total / DSIR
-    // raw+target totals) BNLJ broadcast. Everything else must stay
-    // equi-join shaped.
+    // raw+target totals) BNLJ broadcast. q153: the 1-row (n_docs, avgdl)
+    // BM25 stats frame joins the same way. q154: the hybrid probe is
+    // corpus × BROADCAST query-docs by design (|Q|·N dots, documented
+    // bounded side — Search.hybridRrf), plus the q153 stats row.
+    // Everything else must stay equi-join shaped.
     val allowed = Set("q33_cosine_topk", "q36_theta_join", "q91_tfidf_topterms",
-      "q126_mixture_sample", "q130_source_kl", "q139_dsir_weights")
+      "q126_mixture_sample", "q130_source_kl", "q139_dsir_weights",
+      "q153_bm25_topk", "q154_hybrid_rrf")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(allowed)
       .flatMap { name =>
