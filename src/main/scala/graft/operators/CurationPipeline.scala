@@ -106,8 +106,10 @@ object CurationPipeline {
       .lshNearDupPairs(v1, "vec_id", "v", 0.95, nPlanes = b, nTables = t)
       .select($"a_id", $"b_id")
     val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    // dropNear is consumed exactly once (the anti-join below, computed
+    // during keepNear's checkpoint) — an eager checkpoint of it was one
+    // pure-overhead materialization job (§1.2: fewer passes)
     val dropNear = cc.filter($"id" =!= $"component").select($"id".as("doc_id"))
-      .localCheckpoint(true)
     val keepNear = keepExact.join(dropNear, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     val n2 = keepNear.count()
@@ -138,8 +140,9 @@ object CurationPipeline {
       .filter(mightHave($"shingle"))
       .join(broadcast(evalSh), "shingle")
       .select($"doc_id").distinct()
+    // dropContam: same once-used shape as dropNear — no eager checkpoint
     val dropContam = vecContam.unionByName(textContam).distinct()
-      .unionByName(keepNear.filter($"doc_id" < 200)).localCheckpoint(true)
+      .unionByName(keepNear.filter($"doc_id" < 200))
     val keepClean = keepNear.join(dropContam, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     val n3 = keepClean.count()

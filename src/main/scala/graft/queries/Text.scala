@@ -289,13 +289,23 @@ object Text {
     // refresh applied in-stream; per-batch retraining would make
     // published verdicts depend on arrival order)
     val r = CurationPipeline.runDetailed(s, d)
+    // the stage table already carries the two cross-engine counts this
+    // query publishes — n_crawl = stage-1 rows_in (the planted-crawl doc
+    // count; the vec left-join below is 1:1 on unique vec_ids, so crawl
+    // has exactly that many rows) and n_after_exact = stage-1 rows_out
+    // (keep-min-id survivors ≡ count(DISTINCT md5(text)) — recomputing
+    // the digest-distinct over the whole crawl was a full redundant pass
+    // (§1.2 "don't compute things you throw away"); same long either way,
+    // the DuckDB oracle pins it
+    val st = r.stages.collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
     val (docs, vecs) = CurationPipeline.plantedCrawl(s, d)
     val crawl = docs
       .join(vecs.select($"vec_id".as("doc_id"), $"v"), Seq("doc_id"), "left")
       .select($"doc_id", $"text", $"source", $"v").localCheckpoint(true)
-    val nCrawl = crawl.count()
-    val nAfterExact = crawl.select(md5($"text")).distinct().count()
-    val (b, t) = Similarity.lshParams(r.keepExact.count(), 0.95)
+    val nCrawl = st("1_exact_dedup")._1
+    val nAfterExact = st("1_exact_dedup")._2
+    val (b, t) = Similarity.lshParams(nAfterExact, 0.95)
     val evalVecs = vecs.filter($"vec_id" < 200)
       .select($"v").collect().map(_.getSeq[Double](0).toArray)
     val evalShingles = graft.functions.TextFunctions
@@ -333,12 +343,12 @@ object Text {
         .select($"doc_id")
     }.reduce(_ unionByName _).localCheckpoint(true)
     val nStream = streamKept.count()
-    val equalOk = nStream == r.keepQual.count() &&
+    // stage-4 rows_out IS keepQual's count — no extra count job
+    val equalOk = nStream == st("4_quality_filter")._2 &&
       streamKept.join(r.keepQual, Seq("doc_id"), "left_anti").isEmpty
     // snapshot packing over the INCREMENTAL survivors reproduces the
     // batch run's stage-5 window count
-    val st5 = r.stages.collect()
-      .find(_.getString(0) == "5_packing_windows").get.getLong(2)
+    val st5 = st("5_packing_windows")._2
     val packedN = docs.join(streamKept, Seq("doc_id"), "left_semi")
       .select($"doc_id", $"source",
         tokenCount($"text").cast("long").as("n_tok"))
