@@ -102,23 +102,38 @@ object Dedup {
     * resolution.
     *
     * 100 TB shape: the big shuffle keys on the 32-byte shingle digest
-    * (never the text) with a map-side-combined min-struct aggregate;
-    * the join back reuses the digest partitioning; the island merge is
-    * one per-document window sort (state bounded by document length).
-    * Never all-pairs.
+    * (never the text), materialized ONCE — the first-occurrence
+    * min-struct aggregate and the join probe read the same exchange
+    * (AQE stage-level reuse; r15 measured the old two-subtree form
+    * tokenizing + digesting the corpus twice, 2.8 → 1.4 s at sf0.1);
+    * the island merge is one per-document window sort (state bounded
+    * by document length). Never all-pairs.
     */
   def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 2, "minimum duplicated-substring length n must be >= 2")
+    // one explicit digest-keyed exchange feeds BOTH the first-occurrence
+    // aggregate and the join probe (ReusedExchange): the tokenize +
+    // per-offset digest pass runs ONCE instead of once per consumer, and
+    // the join adds no second shuffle (§2.4 "two operations keyed the
+    // same way can share one exchange"). Trade: the aggregate loses its
+    // map-side combine — duplicate digests are rare per map task in a
+    // real crawl, so the saved corpus re-scan dominates the few extra
+    // shuffled rows at every scale. Rows out are identical.
+    // the explicit isNotNull mirrors what the join infers on its probe
+    // side — without it the two Exchange subtrees differ by that one
+    // pushed predicate and cannot unify (ids are declared non-null, so
+    // rows out are unchanged)
     val sp = df
       .selectExpr(s"$idCol AS doc_id",
         s"regexp_extract_all($textCol, '\\\\S+', 0) AS tk")
-      .filter(size(col("tk")) >= n)
+      .filter(size(col("tk")) >= n && col("doc_id").isNotNull)
       .selectExpr("doc_id", "tk",
         s"explode(sequence(0, size(tk) - $n)) AS i")
       .selectExpr("doc_id", "CAST(i AS BIGINT) AS i",
         s"md5(concat_ws(' ', slice(tk, CAST(i + 1 AS INT), $n))) AS h")
+      .repartition(col("h"))
     val first = sp.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("i"))).as("f"))
     val dup = sp.join(first, "h")
