@@ -22,16 +22,30 @@ object Search {
   /** Per-(doc, term) term frequency plus the document token length:
     * `(id, term, tf, dl)`. One explode + one hash aggregate with map-side
     * combine; the shuffle carries (id, term) pairs, never document text.
+    *
+    * `onlyTerms` (optional) prunes the exploded stream to a term set
+    * BEFORE the aggregate — the document length is computed pre-explode,
+    * so `dl` still counts every token while the shuffle carries only the
+    * terms a query actually scores (§2.3 "shuffle fewer bytes"). tf/df
+    * values for the surviving terms are unchanged.
     */
-  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String,
+      onlyTerms: Option[DataFrame] = None): DataFrame = {
+    val exploded = docs
       .selectExpr(s"$idCol AS __id",
         s"regexp_extract_all($textCol, '\\\\S+', 0) AS __tk")
       .select(col("__id"), size(col("__tk")).cast("long").as("dl"),
         explode(col("__tk")).as("term"))
+    val pruned = onlyTerms match {
+      case Some(t) => exploded.join(broadcast(t.select("term").distinct()),
+        Seq("term"), "left_semi")
+      case None => exploded
+    }
+    pruned
       .groupBy("__id", "term", "dl")
       .agg(count(lit(1)).as("tf"))
       .withColumnRenamed("__id", idCol)
+  }
 
   /** BM25 scores of every matching document for each query in `qTerms`
     * (a small (query_id, term) frame — broadcast side; callers pass
@@ -49,8 +63,12 @@ object Search {
       qTerms: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // the (doc, term) aggregate feeds BOTH the df rollup and the scoring
     // join: materialize it once (q91's discipline) — recomputing it would
-    // tokenize and shuffle the corpus twice
-    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(true)
+    // tokenize and shuffle the corpus twice. The explode is pruned to the
+    // query's terms BEFORE the aggregate (r15: the full-vocabulary
+    // aggregate shuffled every corpus term to score a handful — §2.3;
+    // tf/df for the scored terms are identical)
+    val tf = termFrequencies(docs, idCol, textCol, Some(qTerms))
+      .localCheckpoint(true)
     val stats = docs
       .selectExpr(s"regexp_count($textCol, '\\\\S+') AS __n")
       .agg(count(lit(1)).cast("double").as("n_docs"),

@@ -140,6 +140,14 @@ object Similarity {
     * (idCol, cell, cell2, keep) — the top-2 probe cells and the
     * survival flag.
     */
+  /** The cells ∝ n auto-scale rule of [[semanticDedup]] (nCells = 0),
+    * exposed so a caller that already knows the corpus count can pass
+    * the same cell count explicitly instead of paying a recount job.
+    */
+  def semanticAutoCells(n: Long): Int =
+    if (n <= (1L << 12)) 8
+    else math.max(8L, math.min(1L << 16, n / 64L)).toInt
+
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, threshold: Double, trainIters: Int = 2,
       trainSampleCap: Int = 1 << 14, nProbe: Int = 2,
@@ -152,13 +160,7 @@ object Similarity {
     // knee the Σ|cell|² term is tiny either way (≤ n²/8 ≈ 2M pairs) and
     // the k-means training scans dominate wall time, so cells hold at 8
     // there — cells ∝ n takes over above the knee, where it matters.
-    val cells =
-      if (nCells > 0) nCells
-      else {
-        val n = emb.count()
-        if (n <= (1L << 12)) 8
-        else math.max(8L, math.min(1L << 16, n / 64L)).toInt
-      }
+    val cells = if (nCells > 0) nCells else semanticAutoCells(emb.count())
     val cents = trainCentroids(emb, idCol, vecCol, cells, trainIters, trainSampleCap)
     // multi-probe assignment (the IVF nProbe counter to boundary loss —
     // a pair straddling one Voronoi boundary still meets in the other's

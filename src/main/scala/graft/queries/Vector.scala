@@ -79,8 +79,11 @@ object Vector {
     val b = contractCorpus(s, d)
       .select($"vec_id", lshBucket($"v", 16, 64).as("bucket"))
       .localCheckpoint(true)
-    val n = b.count()
-    val nTwins = b.filter($"vec_id" >= 1000000000000000L).count()
+    // corpus + twin counts in one pass (r15 — was two count jobs)
+    val nc = b.agg(count(lit(1)),
+      sum(when($"vec_id" >= 1000000000000000L, 1L).otherwise(0L))).head()
+    val n = nc.getLong(0)
+    val nTwins = if (nc.isNullAt(1)) 0L else nc.getLong(1)
     // s(s−1) stays integral (÷2 after the sum — Spark's `/` is a
     // double division, and the contract needs exact longs)
     val hist = b.groupBy($"bucket").agg(count(lit(1)).as("sz"))
@@ -118,15 +121,24 @@ object Vector {
     val ann = graft.operators.Similarity
       .annTopK(corpus, "vec_id", "v", k = 3, nPlanes = 8)
       .select($"a_id", $"neighbor_id", $"rn").localCheckpoint(true)
-    // recall@3 over planted true-NN pairs: (i, i+1e15) by id rule
-    val hits3 = ann.filter($"neighbor_id" === $"a_id" + 1000000000000000L).count()
-    // precision@1 over answered PLANTED queries (partner = exact top-1)
+    // the three certificate counts fold into ONE pass over the
+    // checkpointed candidates (r15: they were three sequential count
+    // jobs — §1.2 fewer passes; conditional integer sums, same values)
     val planted = ($"a_id" >= 1000000000000000L) ||
       ($"a_id" % 4 === 0 && $"a_id" < 1000000000000000L)
-    val answered1 = ann.filter($"rn" === 1 && planted).count()
-    val hits1 = ann.filter($"rn" === 1 &&
-      ($"neighbor_id" === $"a_id" + 1000000000000000L ||
-        $"neighbor_id" === $"a_id" - 1000000000000000L)).count()
+    val certs = ann.agg(
+      sum(when($"neighbor_id" === $"a_id" + 1000000000000000L, 1L)
+        .otherwise(0L)).as("hits3"),
+      sum(when($"rn" === 1 && planted, 1L).otherwise(0L)).as("answered1"),
+      sum(when($"rn" === 1 &&
+        ($"neighbor_id" === $"a_id" + 1000000000000000L ||
+          $"neighbor_id" === $"a_id" - 1000000000000000L), 1L)
+        .otherwise(0L)).as("hits1")).head()
+    // recall@3 over planted true-NN pairs: (i, i+1e15) by id rule;
+    // precision@1 over answered PLANTED queries (partner = exact top-1)
+    val hits3 = Option(certs.get(0)).map(_ => certs.getLong(0)).getOrElse(0L)
+    val answered1 = Option(certs.get(1)).map(_ => certs.getLong(1)).getOrElse(0L)
+    val hits1 = Option(certs.get(2)).map(_ => certs.getLong(2)).getOrElse(0L)
     Seq((n, nTwins, 3L,
       nTwins == 0L || hits3.toDouble / nTwins >= 0.30,
       answered1 == 0L || hits1.toDouble / answered1 >= 0.35))
@@ -226,10 +238,15 @@ object Vector {
   val q56_ivf_topk: Q = (s, d) => {
     import s.implicits._
     val corpus = contractCorpus(s, d).localCheckpoint(true)
-    val n = corpus.count()
-    val nTwins = corpus.filter($"vec_id" >= 1000000000000000L).count()
+    // corpus + twin counts in one pass (r15 — was two count jobs); the
+    // kernel's auto-cell rule gets the known count so it needn't recount
+    val nc = corpus.agg(count(lit(1)),
+      sum(when($"vec_id" >= 1000000000000000L, 1L).otherwise(0L))).head()
+    val n = nc.getLong(0)
+    val nTwins = if (nc.isNullAt(1)) 0L else nc.getLong(1)
     val ivf = graft.operators.Similarity
-      .ivfTopK(corpus, "vec_id", "v", k = 3, nCells = 0, nProbe = 4)
+      .ivfTopK(corpus, "vec_id", "v", k = 3,
+        nCells = graft.operators.Similarity.ivfAutoCells(n, 4), nProbe = 4)
     val hits3 = ivf.filter($"neighbor_id" === $"a_id" + 1000000000000000L).count()
     Seq((n, nTwins, 3L, nTwins == 0L || hits3.toDouble / nTwins >= 0.90))
       .toDF("n_corpus", "n_twins", "k", "recall_ok")
@@ -317,11 +334,16 @@ object Vector {
   val q102_ivf2_topk: Q = (s, d) => {
     import s.implicits._
     val corpus = contractCorpus(s, d).localCheckpoint(true)
-    val n = corpus.count()
-    val nTwins = corpus.filter($"vec_id" >= 1000000000000000L).count()
+    // corpus + twin counts in one pass (r15 — was two count jobs); the
+    // auto geometry gets the known count so the kernel needn't recount
+    val nc = corpus.agg(count(lit(1)),
+      sum(when($"vec_id" >= 1000000000000000L, 1L).otherwise(0L))).head()
+    val n = nc.getLong(0)
+    val nTwins = if (nc.isNullAt(1)) 0L else nc.getLong(1)
+    val (autoC, autoF) = graft.operators.Similarity.ivf2AutoCells(n)
     val ivf2 = graft.operators.Similarity.ivfTopK2(
       corpus, "vec_id", "v", k = 3,
-      nCoarse = 0, nFinePerCell = 0, nProbeCoarse = 4, nProbeFine = 8)
+      nCoarse = autoC, nFinePerCell = autoF, nProbeCoarse = 4, nProbeFine = 8)
     val hits3 = ivf2.filter($"neighbor_id" === $"a_id" + 1000000000000000L).count()
     Seq((n, nTwins, 3L, nTwins == 0L || hits3.toDouble / nTwins >= 0.85))
       .toDF("n_corpus", "n_twins", "k", "recall_ok")
@@ -528,9 +550,12 @@ object Vector {
     // same kernel call as q128_kernel, fed the checkpointed corpus so
     // the planted union isn't rebuilt for the certificate joins
     val res = graft.operators.Similarity.semanticDedup(
-      corpus, "vec_id", "v", nCells = 0, threshold = 0.9).localCheckpoint(true)
-    val partitionOk = res.count() == n &&
-      res.select($"vec_id").distinct().count() == n
+      corpus, "vec_id", "v",
+      nCells = graft.operators.Similarity.semanticAutoCells(n),
+      threshold = 0.9).localCheckpoint(true)
+    // row + distinct-id counts in one pass (r15 — was two count jobs)
+    val resAgg = res.agg(count(lit(1)), countDistinct($"vec_id")).head()
+    val partitionOk = resAgg.getLong(0) == n && resAgg.getLong(1) == n
     val twinCand = corpus.filter($"vec_id" < 1000000000000000L)
       .select($"vec_id".as("a_id"), ($"vec_id" + 1000000000000000L).as("b_id"))
     val twins = graft.operators.Similarity
@@ -610,9 +635,12 @@ object Vector {
     val nTwins = twins.count()
     val nHits = twins.join(found, Seq("a_id", "b_id"), "left_semi").count()
     // dedup the found graph: one survivor per component (min id), plus
-    // every never-paired vector; m missed twin pairs keep m extra rows
+    // every never-paired vector; m missed twin pairs keep m extra rows.
+    // node + component counts in one pass (r15 — was two jobs, each
+    // re-running the union-find map on the small-graph path)
     val cc = graft.operators.Dedup.connectedComponents(found, "a_id", "b_id")
-    val nKept = n - cc.count() + cc.select($"component").distinct().count()
+    val ccAgg = cc.agg(count(lit(1)), countDistinct($"component")).head()
+    val nKept = n - ccAgg.getLong(0) + ccAgg.getLong(1)
     val budget = n - nTwins + math.ceil(0.01 * nTwins).toLong
     Seq((n, nTwins,
       nTwins == 0L || nHits.toDouble / nTwins >= 0.99,
