@@ -52,25 +52,55 @@ object Changelog {
     */
   def fromCanalJson(df: DataFrame, jsonCol: String, payloadSchema: String): DataFrame = {
     val payload = org.apache.spark.sql.types.StructType.fromDDL(payloadSchema)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      s"data ARRAY<STRUCT<$payloadSchema>>, old ARRAY<STRUCT<$payloadSchema>>, type STRING")
-    // `old` parsed a second time as maps so KEY PRESENCE (not null-ness)
-    // decides which columns changed — a column updated FROM NULL must
-    // reconstruct a NULL before-image, like the reference's decoder
-    val oldKeysSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "old ARRAY<MAP<STRING, STRING>>")
-    val parsed = df.withColumn("__cdc", from_json(col(jsonCol), schema))
-      .withColumn("__oldKeys",
-        from_json(col(jsonCol), oldKeysSchema).getField("old"))
-      .select(col("__cdc.type").as("__t"), col("__cdc.old").as("__old"),
-        col("__oldKeys"),
-        posexplode(col("__cdc.data")).as(Seq("__pos", "__row")))
+    // `old` must be read as maps so KEY PRESENCE (not null-ness) decides
+    // which columns changed — a column updated FROM NULL must reconstruct
+    // a NULL before-image, like the reference's decoder. For all-primitive
+    // payloads ONE parse suffices (r15): the map's string values cast to
+    // the declared field types exactly as the struct parse would read
+    // them, so the second full-document from_json per row is dropped
+    // (§1.2 per-row work — the CDC ingest path parses every message once).
+    // Non-primitive payload fields keep the two-parse shape: a nested
+    // object cannot round-trip through MAP<STRING, STRING>.
+    val allPrimitive = payload.fields.forall { f =>
+      import org.apache.spark.sql.types._
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _ => true
+      }
+    }
+    val parsed = if (allPrimitive) {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        s"data ARRAY<STRUCT<$payloadSchema>>, old ARRAY<MAP<STRING, STRING>>, type STRING")
+      df.withColumn("__cdc", from_json(col(jsonCol), schema))
+        .select(col("__cdc.type").as("__t"), col("__cdc.old").as("__oldMaps"),
+          posexplode(col("__cdc.data")).as(Seq("__pos", "__row")))
+    } else {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        s"data ARRAY<STRUCT<$payloadSchema>>, old ARRAY<STRUCT<$payloadSchema>>, type STRING")
+      val oldKeysSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "old ARRAY<MAP<STRING, STRING>>")
+      df.withColumn("__cdc", from_json(col(jsonCol), schema))
+        .withColumn("__oldKeys",
+          from_json(col(jsonCol), oldKeysSchema).getField("old"))
+        .select(col("__cdc.type").as("__t"), col("__cdc.old").as("__old"),
+          col("__oldKeys"),
+          posexplode(col("__cdc.data")).as(Seq("__pos", "__row")))
+    }
     // UPDATE_BEFORE: changed columns from old(pos), the rest from data(pos)
-    val before = struct(payload.fieldNames.toSeq.map(f =>
-      when(array_contains(
-          map_keys(element_at(col("__oldKeys"), col("__pos") + 1)), f),
-        element_at(col("__old"), col("__pos") + 1).getField(f))
-        .otherwise(col("__row").getField(f)).as(f)): _*)
+    val before =
+      if (allPrimitive)
+        struct(payload.fields.toSeq.map { f =>
+          val om = element_at(col("__oldMaps"), col("__pos") + 1)
+          when(array_contains(map_keys(om), f.name),
+            element_at(om, f.name).cast(f.dataType))
+            .otherwise(col("__row").getField(f.name)).as(f.name)
+        }: _*)
+      else
+        struct(payload.fieldNames.toSeq.map(f =>
+          when(array_contains(
+              map_keys(element_at(col("__oldKeys"), col("__pos") + 1)), f),
+            element_at(col("__old"), col("__pos") + 1).getField(f))
+            .otherwise(col("__row").getField(f)).as(f)): _*)
     val rows = parsed.select(
       explode(
         when(col("__t") === "INSERT",
@@ -92,17 +122,38 @@ object Changelog {
     */
   def fromMaxwellJson(df: DataFrame, jsonCol: String, payloadSchema: String): DataFrame = {
     val payload = org.apache.spark.sql.types.StructType.fromDDL(payloadSchema)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      s"data STRUCT<$payloadSchema>, old STRUCT<$payloadSchema>, type STRING")
     // key presence in `old` (parsed as a map), not null-ness, marks a
-    // changed column — see fromCanalJson
-    val parsed = df.withColumn("__cdc", from_json(col(jsonCol), schema))
-      .withColumn("__oldKeys", map_keys(from_json(col(jsonCol),
-        org.apache.spark.sql.types.StructType.fromDDL("old MAP<STRING, STRING>"))
-        .getField("old")))
-    val before = struct(payload.fieldNames.toSeq.map(f =>
-      when(array_contains(col("__oldKeys"), f), col("__cdc.old").getField(f))
-        .otherwise(col("__cdc.data").getField(f)).as(f)): _*)
+    // changed column — see fromCanalJson (incl. the r15 single-parse
+    // rationale for all-primitive payloads)
+    val allPrimitive = payload.fields.forall { f =>
+      import org.apache.spark.sql.types._
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _ => true
+      }
+    }
+    val parsed = if (allPrimitive) {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        s"data STRUCT<$payloadSchema>, old MAP<STRING, STRING>, type STRING")
+      df.withColumn("__cdc", from_json(col(jsonCol), schema))
+    } else {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        s"data STRUCT<$payloadSchema>, old STRUCT<$payloadSchema>, type STRING")
+      df.withColumn("__cdc", from_json(col(jsonCol), schema))
+        .withColumn("__oldKeys", map_keys(from_json(col(jsonCol),
+          org.apache.spark.sql.types.StructType.fromDDL("old MAP<STRING, STRING>"))
+          .getField("old")))
+    }
+    val before =
+      if (allPrimitive)
+        struct(payload.fields.toSeq.map(f =>
+          when(array_contains(map_keys(col("__cdc.old")), f.name),
+            element_at(col("__cdc.old"), f.name).cast(f.dataType))
+            .otherwise(col("__cdc.data").getField(f.name)).as(f.name)): _*)
+      else
+        struct(payload.fieldNames.toSeq.map(f =>
+          when(array_contains(col("__oldKeys"), f), col("__cdc.old").getField(f))
+            .otherwise(col("__cdc.data").getField(f)).as(f)): _*)
     val t = col("__cdc.type")
     val rows = parsed.select(
       explode(
