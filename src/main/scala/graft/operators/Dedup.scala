@@ -41,11 +41,16 @@ object Dedup {
     // rows explode only by shingle (not shingle × seed), so the shuffle is
     // numHashes× smaller than the naive two-level formulation; shingles
     // come from the codegen'd exploded path (min is duplicate-insensitive,
-    // so the distinct pass is skipped)
+    // so the distinct pass is skipped). The shingle's bytes hash ONCE per
+    // row (__h0) and each seed is one long-step on top — bit-identical to
+    // xxhash64(shingle, i), numHashes× less string hashing
+    // ([[graft.functions.SeededXxHashInt]], r15)
     val shingled = TextFunctions
       .explodedWordShingles(df, Seq(idCol), textCol, shingleLen, distinctShingles = false)
       .withColumnRenamed("shingle", "__s")
-    val minCols = (0 until numHashes).map(i => min(xxhash64(col("__s"), lit(i))).as(s"__mh$i"))
+      .withColumn("__h0", xxhash64(col("__s")))
+    val minCols = (0 until numHashes).map(i =>
+      min(graft.functions.SeededXxHashInt(col("__h0"), i)).as(s"__mh$i"))
     shingled
       .groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
