@@ -913,11 +913,13 @@ object Text {
     * raw distribution from the whole corpus, add-1 smoothed. Per-doc
     * weight = mean over tokens of ln(p_target(b)/p_raw(b)).
     *
-    * The 100 TB shape: TWO corpus passes total — one 256-row bucket
-    * aggregate computing BOTH distributions at once (raw count + an
-    * en-conditional count), and one (doc, bucket)-keyed aggregate the
-    * broadcast log-ratio table joins back onto. The text itself never
-    * joins or re-shuffles, and every reduction is mergeable map-side.
+    * The 100 TB shape: ONE corpus pass total (r15 — the bucket
+    * distributions previously re-tokenized the corpus in their own
+    * aggregate): the (doc, bucket)-keyed aggregate materializes once
+    * (narrow — ≤256 buckets per doc, far smaller than the text) and
+    * both distributions roll up from it as conditional sums — exact
+    * integers, identical counts. The text itself never joins or
+    * re-shuffles, and every reduction is mergeable map-side.
     */
   val q139_dsir_weights: Q = (s, d) => {
     import s.implicits._
@@ -926,13 +928,13 @@ object Text {
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
       .withColumn("b", substring(md5($"term"), 1, 2))
     val db = toks.groupBy($"doc_id", $"lang", $"source", $"b")
-      .agg(count(lit(1)).as("n"))
-    // BOTH distributions from ONE bucket aggregate (one corpus pass — a
-    // conditional count, not a second tokenize): raw = every token,
-    // target = the en slice
-    val stats = toks.groupBy($"b")
-      .agg(count(lit(1)).as("cr"),
-        sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    // BOTH distributions roll up from the per-doc bucket aggregate (sum
+    // of per-doc counts ≡ token counts — exact longs): raw = every
+    // token, target = the en slice
+    val stats = db.groupBy($"b")
+      .agg(sum($"n").as("cr"),
+        sum(when($"lang" === "en", $"n").otherwise(0L)).as("ct"))
     val tot = stats.agg(sum($"cr").as("rt"), sum($"ct").as("tt"))
     val ratio = stats
       .crossJoin(broadcast(tot))
