@@ -244,17 +244,51 @@ object Similarity {
     val n = withNorm(emb, idCol, vecCol)
     // (id, table, bucket) index rows — narrow, one per table per vector;
     // all nTables×nPlanes plane dots in ONE matrix-kernel call per row
-    // (posexplode index = table, matching the historical seeded order)
-    val buckets = n.select(col("a_id"),
-      posexplode(graft.functions.LshBucketsExpr(col("va"), nPlanes, dim, nTables))
-        .as(Seq("table", "bucket")))
-    val bb = buckets.select(col("a_id").as("b_id"), col("table").as("tb"),
-      col("bucket").as("bucket_b"))
+    // (posexplode index = table, matching the historical seeded order).
+    // Each row also carries its vector's FULL bucket array (nTables ints):
+    // a colliding pair is emitted only from its FIRST colliding table
+    // (`firstHit` below), so the candidate set is distinct BY CONSTRUCTION
+    // and the old 4×-duplicated candidate exchange + dedup aggregate
+    // (measured 8.0M rows shuffled to keep 1.97M at nPlanes=2) vanishes —
+    // same distinct-pair set, one fewer full-volume shuffle (§2.4).
+    val buckets0 = n
+      .select(col("a_id"),
+        graft.functions.LshBucketsExpr(col("va"), nPlanes, dim, nTables).as("bs"))
+      .select(col("a_id"), col("bs"),
+        posexplode(col("bs")).as(Seq("table", "bucket")))
+    // The same-bucket self-join EXPLODES (Σ|bucket|² output from a narrow
+    // index) when buckets are large, and AQE's input-size-based coalescing
+    // misjudges that — on a small index it folds the join + the distinct's
+    // partial aggregate into ONE task (measured at nPlanes=2: 8.0M
+    // candidate rows built and pre-aggregated single-threaded). Large
+    // buckets happen exactly when the KEY SPACE (nTables·2^nPlanes) is
+    // small — every id lands in one of few groups — so pin the join's key
+    // distribution only then, sized min(defaultParallelism, keySpace).
+    // A production-sized geometry (lshParams targets ~8-id buckets, key
+    // space ≫ cores) keeps the unpinned plan where AQE's sizing is right —
+    // measured: pinning there cost 1.2-1.6× on the tight-threshold queries
+    // (32 micro-tasks replacing a correctly-coalesced exchange). The gate
+    // derives from geometry alone: no constant tuned to a scale, no
+    // data-size guess.
+    val keySpace = nTables.toLong << math.min(nPlanes, 24)
+    val cores = emb.sparkSession.sparkContext.defaultParallelism.toLong
+    val buckets =
+      if (keySpace <= 4L * cores)
+        buckets0.repartition(math.max(1L, math.min(cores, keySpace)).toInt,
+          col("table"), col("bucket"))
+      else buckets0
+    val bb = buckets.select(col("a_id").as("b_id"), col("bs").as("bsb"),
+      col("table").as("tb"), col("bucket").as("bucket_b"))
+    // emitted iff NO earlier table already collides: exactly one emission
+    // per colliding pair, so no dedup pass is needed afterwards (a tight
+    // codegen int loop — the lambda-chain form allocated per evaluation)
+    val firstHit = graft.functions.NoEarlierCollisionExpr(
+      col("bs"), col("bsb"), col("table"))
     val candidates = buckets
       .join(bb, col("table") === col("tb") && col("bucket") === col("bucket_b") &&
         col("a_id") < col("b_id"))
+      .filter(firstHit)
       .select(col("a_id"), col("b_id"))
-      .distinct()
     // re-attach vectors and verify exactly — one dot per distinct pair
     verifyPairs(emb, idCol, vecCol, threshold, candidates)
   }
