@@ -33,7 +33,15 @@ object Vector {
     import s.implicits._
     val e = Tables.embeddings(s, d).select($"vec_id", toDouble($"embedding").as("v"))
     val n = e.select($"vec_id", $"v", l2Norm($"v").as("nrm"))
+    // Spread the PROBE side across the cores by a_id before the
+    // broadcast-NL join (r15, §2.5): the n-row scan arrives in 1-2
+    // splits, so the n² dot sweep otherwise runs on 1-2 tasks (measured:
+    // one 2.05 s single-task job = 95% of the query). Hashing on a_id
+    // (vs round-robin) ALSO satisfies the top-k window's clustering, so
+    // the n² pair rows never shuffle — only the n probe rows do.
+    val p = s.sparkContext.defaultParallelism
     val a = n.select($"vec_id".as("a_id"), $"v".as("va"), $"nrm".as("na"))
+      .repartition(p, $"a_id")
     val b = n.select($"vec_id".as("b_id"), $"v".as("vb"), $"nrm".as("nb"))
     val pairs = a.join(b, $"a_id" =!= $"b_id")
       .select($"a_id", $"b_id",

@@ -218,13 +218,16 @@ object StreamingCuration {
   private def readStore(spark: SparkSession, path: String, batchId: Long,
       ddl: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
-    recoverStore(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
-      val raw = spark.read.parquet(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverStore(fs, p)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    if (fs.exists(p)) {
+      // the store schema is KNOWN (the ddl arg) — passing it skips the
+      // per-read footer-inference job (3 store reads × every micro-batch)
+      val raw = spark.read.schema(schema).parquet(path)
       if (batchId >= 0) raw.filter(col("batch_id") =!= batchId) else raw
     } else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Periodic store COMPACTION: fold every batch partition of the
