@@ -211,15 +211,20 @@ object Search {
           .orderBy(col("score").desc, col(idCol))))
       .filter(col("lex_rank") <= depth)
       .select(col("query_id"), col(idCol).as("cand_id"), col("lex_rank"))
+    // norms are per-ROW facts: computed once per query vector (broadcast
+    // side) and once per corpus vector, not once per (corpus × query)
+    // pair — 3 dot products per pair become 1 (§4 per-row work; same
+    // IEEE ops in the same order, so cosines are bit-identical)
     val qv = queryDocs.select(col(idCol).as("query_id"))
       .join(vecs.selectExpr("vec_id AS query_id", "v AS qv"), Seq("query_id"))
+      .withColumn("qn", sqrt(graft.functions.DotProduct(col("qv"), col("qv"))))
     val vec = vecs
+      .withColumn("nv", sqrt(graft.functions.DotProduct(col("v"), col("v"))))
       .crossJoin(broadcast(qv))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         (graft.functions.DotProduct(col("v"), col("qv")) /
-          (sqrt(graft.functions.DotProduct(col("v"), col("v"))) *
-            sqrt(graft.functions.DotProduct(col("qv"), col("qv"))))).as("cos"))
+          (col("nv") * col("qn"))).as("cos"))
       .withColumn("vec_rank",
         row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("cand_id"))))
