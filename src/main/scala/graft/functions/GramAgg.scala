@@ -88,4 +88,45 @@ object GramAgg {
 
   /** Double-input `gram(v)` column. */
   def columnD(c: Column, d: Int): Column = udaf(aggD(d)).apply(c)
+
+  /** Gram of the √s-scaled rows with the scale folded INTO the aggregate
+    * (r15, §4 — same motivation as [[VecSumAgg.scaledColumn]]): each row
+    * is scaled into a local buffer first and then accumulated, so the
+    * arithmetic (x·s rounded once, then pairwise products) is
+    * bit-identical to the old `transform(f, x -> x·s)` feed.
+    */
+  def scaledAggD(d: Int): Aggregator[(Seq[Double], Double), Array[Double], Seq[Double]] =
+    new Aggregator[(Seq[Double], Double), Array[Double], Seq[Double]] {
+      private val len = d * (d + 1) / 2
+      def zero: Array[Double] = new Array[Double](len)
+      def reduce(b: Array[Double], in: (Seq[Double], Double)): Array[Double] = {
+        val v = in._1
+        if (v != null && v.length == d) {
+          val s = in._2
+          val t = new Array[Double](d)
+          var i = 0
+          while (i < d) { t(i) = v(i) * s; i += 1 }
+          i = 0
+          var k = 0
+          while (i < d) {
+            val vi = t(i)
+            var j = i
+            while (j < d) { b(k) += vi * t(j); k += 1; j += 1 }
+            i += 1
+          }
+        }
+        b
+      }
+      def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+        var k = 0
+        while (k < len) { b1(k) += b2(k); k += 1 }
+        b1
+      }
+      def finish(r: Array[Double]): Seq[Double] = r.toSeq
+      def bufferEncoder: Encoder[Array[Double]] = bufEnc
+      def outputEncoder: Encoder[Seq[Double]] = outEnc
+    }
+
+  def scaledColumnD(c: Column, scale: Column, d: Int): Column =
+    udaf(scaledAggD(d)).apply(c, scale)
 }

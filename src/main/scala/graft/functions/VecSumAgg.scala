@@ -37,4 +37,36 @@ object VecSumAgg {
     }
 
   def column(c: Column, d: Int): Column = udaf(agg(d)).apply(c)
+
+  /** Σ scale·v — the gradient reduction with the per-row scale folded
+    * INTO the aggregate (r15, §4): the `transform(f, x -> x·g)` feeding
+    * the plain sum ran as an interpreted higher-order function
+    * allocating one array per row in the training hot path. Bit-identical
+    * accumulation (multiply-then-add in the same order).
+    */
+  def scaledAgg(d: Int): Aggregator[(Seq[Double], Double), Array[Double], Seq[Double]] =
+    new Aggregator[(Seq[Double], Double), Array[Double], Seq[Double]] {
+      def zero: Array[Double] = new Array[Double](d)
+      def reduce(b: Array[Double], in: (Seq[Double], Double)): Array[Double] = {
+        val v = in._1
+        if (v != null) {
+          val s = in._2
+          val n = math.min(d, v.length)
+          var i = 0
+          while (i < n) { b(i) += v(i) * s; i += 1 }
+        }
+        b
+      }
+      def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+        var i = 0
+        while (i < d) { b1(i) += b2(i); i += 1 }
+        b1
+      }
+      def finish(r: Array[Double]): Seq[Double] = r.toSeq
+      def bufferEncoder: Encoder[Array[Double]] = bufEnc
+      def outputEncoder: Encoder[Seq[Double]] = outEnc
+    }
+
+  def scaledColumn(c: Column, scale: Column, d: Int): Column =
+    udaf(scaledAgg(d)).apply(c, scale)
 }

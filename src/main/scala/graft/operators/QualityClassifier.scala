@@ -101,9 +101,8 @@ object QualityClassifier {
           .withColumn("ll", -(col("y") * log(greatest(p, lit(eps))) +
             (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(eps)))))
           .select(
-            VecSumAgg.column(transform(col("f"), x => x * col("g")), d1).as("grad"),
-            graft.functions.GramAgg.columnD(
-              transform(col("f"), x => x * col("s")), d1).as("hess"),
+            VecSumAgg.scaledColumn(col("f"), col("g"), d1).as("grad"),
+            graft.functions.GramAgg.scaledColumnD(col("f"), col("s"), d1).as("hess"),
             sum(col("ll")).as("loss"), count(lit(1)).as("n"))
           .head()
         val grad = row.getSeq[Double](0).toArray
