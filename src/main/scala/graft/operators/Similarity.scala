@@ -242,53 +242,69 @@ object Similarity {
       threshold: Double, nPlanes: Int = 2, nTables: Int = 16,
       dim: Int = 64): DataFrame = {
     val n = withNorm(emb, idCol, vecCol)
-    // (id, table, bucket) index rows — narrow, one per table per vector;
-    // all nTables×nPlanes plane dots in ONE matrix-kernel call per row
-    // (posexplode index = table, matching the historical seeded order).
-    // Each row also carries its vector's FULL bucket array (nTables ints):
-    // a colliding pair is emitted only from its FIRST colliding table
-    // (`firstHit` below), so the candidate set is distinct BY CONSTRUCTION
-    // and the old 4×-duplicated candidate exchange + dedup aggregate
-    // (measured 8.0M rows shuffled to keep 1.97M at nPlanes=2) vanishes —
-    // same distinct-pair set, one fewer full-volume shuffle (§2.4).
-    val buckets0 = n
-      .select(col("a_id"),
-        graft.functions.LshBucketsExpr(col("va"), nPlanes, dim, nTables).as("bs"))
-      .select(col("a_id"), col("bs"),
-        posexplode(col("bs")).as(Seq("table", "bucket")))
-    // The same-bucket self-join EXPLODES (Σ|bucket|² output from a narrow
-    // index) when buckets are large, and AQE's input-size-based coalescing
-    // misjudges that — on a small index it folds the join + the distinct's
-    // partial aggregate into ONE task (measured at nPlanes=2: 8.0M
-    // candidate rows built and pre-aggregated single-threaded). Large
-    // buckets happen exactly when the KEY SPACE (nTables·2^nPlanes) is
-    // small — every id lands in one of few groups — so pin the join's key
-    // distribution only then, sized min(defaultParallelism, keySpace).
-    // A production-sized geometry (lshParams targets ~8-id buckets, key
-    // space ≫ cores) keeps the unpinned plan where AQE's sizing is right —
-    // measured: pinning there cost 1.2-1.6× on the tight-threshold queries
-    // (32 micro-tasks replacing a correctly-coalesced exchange). The gate
-    // derives from geometry alone: no constant tuned to a scale, no
-    // data-size guess.
+    // TWO candidate-generation regimes, split by geometry (key space =
+    // nTables·2^nPlanes vs the core count):
+    //
+    //  - FEW-HUGE-BUCKETS regime (key space ≤ 4× cores — the loose-
+    //    threshold oracle/stress geometries): the same-bucket self-join
+    //    EXPLODES (Σ|bucket|² ≈ 8.0M candidate rows from a 32k-row index
+    //    at nPlanes=2, 4× table-duplicated) and AQE coalesces the
+    //    byte-tiny exchange to ONE task. Here each index row carries its
+    //    vector's full bucket array and a codegen int-loop predicate
+    //    emits a colliding pair only from its FIRST colliding table —
+    //    candidates are distinct BY CONSTRUCTION (no dedup exchange) —
+    //    and the join's key distribution is pinned to
+    //    min(cores, keySpace) so the sweep parallelizes. Measured:
+    //    q45 3.56 → 0.99 s, q90 3.86 → 1.23 s.
+    //
+    //  - PRODUCTION regime (key space ≫ cores — lshParams targets ~8-id
+    //    buckets; tight thresholds drive nTables into the tens): index
+    //    rows stay the NARROW (id, table, bucket) shape and duplicates
+    //    dedup in a distinct. Carrying the bucket array here is a SCALE
+    //    DEFECT, not a win: payload grows n·nTables² (at q119's
+    //    six-nines geometry — 68 tables at sf10 — the array-carrying
+    //    join sort spilled the disk at 100×, and q148's wall ratio blew
+    //    from ~13× to 85×), while the duplication the distinct removes
+    //    is small by construction (≈ +1 extra table collision per true
+    //    pair). The sf10 probe (`tmp/probe_r15opt_sf10.json` predecessor
+    //    run) is the pin for this gate.
     val keySpace = nTables.toLong << math.min(nPlanes, 24)
     val cores = emb.sparkSession.sparkContext.defaultParallelism.toLong
-    val buckets =
-      if (keySpace <= 4L * cores)
-        buckets0.repartition(math.max(1L, math.min(cores, keySpace)).toInt,
-          col("table"), col("bucket"))
-      else buckets0
-    val bb = buckets.select(col("a_id").as("b_id"), col("bs").as("bsb"),
-      col("table").as("tb"), col("bucket").as("bucket_b"))
-    // emitted iff NO earlier table already collides: exactly one emission
-    // per colliding pair, so no dedup pass is needed afterwards (a tight
-    // codegen int loop — the lambda-chain form allocated per evaluation)
-    val firstHit = graft.functions.NoEarlierCollisionExpr(
-      col("bs"), col("bsb"), col("table"))
-    val candidates = buckets
-      .join(bb, col("table") === col("tb") && col("bucket") === col("bucket_b") &&
-        col("a_id") < col("b_id"))
-      .filter(firstHit)
-      .select(col("a_id"), col("b_id"))
+    val candidates =
+      if (keySpace <= 4L * cores) {
+        val buckets = n
+          .select(col("a_id"),
+            graft.functions.LshBucketsExpr(col("va"), nPlanes, dim, nTables).as("bs"))
+          .select(col("a_id"), col("bs"),
+            posexplode(col("bs")).as(Seq("table", "bucket")))
+          .repartition(math.max(1L, math.min(cores, keySpace)).toInt,
+            col("table"), col("bucket"))
+        val bb = buckets.select(col("a_id").as("b_id"), col("bs").as("bsb"),
+          col("table").as("tb"), col("bucket").as("bucket_b"))
+        // emitted iff NO earlier table already collides (codegen int
+        // loop — the lambda-chain form allocated 3 arrays per evaluation)
+        val firstHit = graft.functions.NoEarlierCollisionExpr(
+          col("bs"), col("bsb"), col("table"))
+        buckets
+          .join(bb, col("table") === col("tb") && col("bucket") === col("bucket_b") &&
+            col("a_id") < col("b_id"))
+          .filter(firstHit)
+          .select(col("a_id"), col("b_id"))
+      } else {
+        // narrow index rows, one per table per vector; all nTables×nPlanes
+        // plane dots in ONE matrix-kernel call per row (posexplode index =
+        // table, matching the historical seeded order)
+        val buckets = n.select(col("a_id"),
+          posexplode(graft.functions.LshBucketsExpr(col("va"), nPlanes, dim, nTables))
+            .as(Seq("table", "bucket")))
+        val bb = buckets.select(col("a_id").as("b_id"), col("table").as("tb"),
+          col("bucket").as("bucket_b"))
+        buckets
+          .join(bb, col("table") === col("tb") && col("bucket") === col("bucket_b") &&
+            col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"))
+          .distinct()
+      }
     // re-attach vectors and verify exactly — one dot per distinct pair
     verifyPairs(emb, idCol, vecCol, threshold, candidates)
   }
