@@ -74,10 +74,20 @@ object CurationPipeline {
 
   /** The stage table plus each stage's surviving id set (ids only —
     * bounded hand-off state; PipelineSpec re-checks the decontamination
-    * invariant against keepClean with the exact q136 kernel).
+    * invariant against keepClean with the exact q136 kernel), plus the
+    * run's REUSABLE inputs and side artifacts: the checkpointed crawl
+    * frames, the collected eval matrix, the distinct eval-shingle frame
+    * and the trained quality model. q150 drives the SAME crawl through
+    * the incremental kernel against this batch run — before round 16 it
+    * re-derived every one of these from scratch (a second plantedCrawl,
+    * a second eval collect + shingle distinct, and a second IDENTICAL
+    * 5-iteration Newton training = ~10 redundant jobs; §1.2 "don't
+    * compute things you throw away").
     */
   final case class Run(stages: DataFrame, keepExact: DataFrame,
-      keepNear: DataFrame, keepClean: DataFrame, keepQual: DataFrame)
+      keepNear: DataFrame, keepClean: DataFrame, keepQual: DataFrame,
+      docs: DataFrame, vecs: DataFrame, evalVecs: Array[Array[Double]],
+      evalSh: DataFrame, model: QualityClassifier.Model)
 
   /** Run the five stages; returns (stage, rows_in, rows_out). */
   def run(s: SparkSession, d: String): DataFrame = runDetailed(s, d).stages
@@ -85,7 +95,12 @@ object CurationPipeline {
   def runDetailed(s: SparkSession, d: String): Run = {
     import s.implicits._
     val (docs0, vecs0) = plantedCrawl(s, d)
-    val docs = docs0.localCheckpoint(true)
+    // LAZY checkpoint + immediate count: the count's full scan
+    // materializes the checkpoint blocks, so checkpoint-then-count is ONE
+    // job instead of two (§1.2 fewer passes; the same fusion the CC loop
+    // uses for its convergence probe). Applied to every checkpoint whose
+    // next operation is its own full-scan count.
+    val docs = docs0.localCheckpoint(false)
     val vecs = vecs0.localCheckpoint(true)
     val n0 = docs.count()
 
@@ -93,14 +108,14 @@ object CurationPipeline {
     // The shuffle carries the 32-byte digest, never the text (q27).
     val keepExact = docs.select($"doc_id", md5($"text").as("__h"))
       .groupBy($"__h").agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id").localCheckpoint(true)
+      .select($"doc_id").localCheckpoint(false)
     val n1 = keepExact.count()
 
     // ---- 2. embedding near-dup at the production recall target (q148):
     // survivors' vectors only — banded LSH candidates, exact verify,
     // CC, keep min id per component
     val v1 = vecs.join(keepExact.withColumnRenamed("doc_id", "vec_id"),
-      Seq("vec_id"), "left_semi").localCheckpoint(true)
+      Seq("vec_id"), "left_semi").localCheckpoint(false)
     val (b, t) = Similarity.lshParams(v1.count(), 0.95)
     val pairs = Similarity
       .lshNearDupPairs(v1, "vec_id", "v", 0.95, nPlanes = b, nTables = t)
@@ -111,7 +126,7 @@ object CurationPipeline {
     // pure-overhead materialization job (§1.2: fewer passes)
     val dropNear = cc.filter($"id" =!= $"component").select($"id".as("doc_id"))
     val keepNear = keepExact.join(dropNear, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n2 = keepNear.count()
 
     // ---- 3. decontamination: the benchmark slice (ids < 200) leaves,
@@ -130,7 +145,7 @@ object CurationPipeline {
     val survDocs = docs.join(keepNear, Seq("doc_id"), "left_semi")
     val evalSh = TextFunctions
       .explodedWordShingles(docs.filter($"doc_id" < 200), Seq("doc_id"), "text", 8)
-      .select($"shingle").distinct().localCheckpoint(true)
+      .select($"shingle").distinct().localCheckpoint(false)
     val bloom = evalSh.stat.bloomFilter("shingle", math.max(evalSh.count(), 1L), 0.01)
     val bloomB = s.sparkContext.broadcast(bloom)
     val mightHave = udf((sh: String) => sh != null && bloomB.value.mightContain(sh))
@@ -144,7 +159,7 @@ object CurationPipeline {
     val dropContam = vecContam.unionByName(textContam).distinct()
       .unionByName(keepNear.filter($"doc_id" < 200))
     val keepClean = keepNear.join(dropContam, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n3 = keepClean.count()
 
     // ---- 4. quality: q134's weak labels + 5 Newton scans, keep > 0.5
@@ -162,7 +177,7 @@ object CurationPipeline {
     val keepQual = feats
       .withColumn("score", QualityClassifier.score($"f", model))
       .filter($"score" > 0.5)
-      .select($"doc_id", $"source", $"text").localCheckpoint(true)
+      .select($"doc_id", $"source", $"text").localCheckpoint(false)
     val n4 = keepQual.count()
 
     // ---- 5. packing: q95's per-source 2048-token window plan
@@ -186,6 +201,7 @@ object CurationPipeline {
         ("4_quality_filter", n3, n4),
         ("5_packing_windows", n4, n5))
         .toDF("stage", "rows_in", "rows_out"),
-      keepExact, keepNear, keepClean, keepQual.select($"doc_id"))
+      keepExact, keepNear, keepClean, keepQual.select($"doc_id"),
+      docs, vecs, evalVecs, evalSh, model)
   }
 }

@@ -269,9 +269,13 @@ object Dedup {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50, localThresholdEdges: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
+    // compute the candidate graph once, not per round; LAZY checkpoint —
+    // the sizing count below fully materializes it, so checkpoint + count
+    // is ONE job instead of two (r16 §1.2; same fusion as the loop's
+    // convergence probe)
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-      .localCheckpoint(true) // compute the candidate graph once, not per round
+      .localCheckpoint(false)
     // Size the per-round shuffles from the materialized edge count: the
     // label table is ≤ |V| ≤ 2|E| rows per round, so tiny graphs run on a
     // few partitions (micro-job latency, not 32-way shuffles) while big

@@ -243,12 +243,13 @@ object Text {
     val st = r.stages.collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
     val nTwinVecs = Tables.embeddings(s, d).filter($"vec_id" % 4 === 0).count()
     val removed2 = st("2_neardup_dedup")._1 - st("2_neardup_dedup")._2
-    // decontamination re-checked with the EXACT kernel over survivors
-    val (_, vecs) = graft.operators.CurationPipeline.plantedCrawl(s, d)
-    val eval = vecs.filter($"vec_id" < 200)
-      .select($"v").collect().map(_.getSeq[Double](0).toArray)
+    // decontamination re-checked with the EXACT kernel over survivors —
+    // over the run's already-checkpointed crawl vectors and its collected
+    // eval matrix (same deterministic values; re-deriving both was a
+    // second plantedCrawl + a second collect, r16 §1.2)
+    val eval = r.evalVecs
     val norms = eval.map(v => math.sqrt(v.map(x => x * x).sum))
-    val contaminated = vecs
+    val contaminated = r.vecs
       .join(r.keepClean.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left_semi")
       .filter(graft.functions.MaxCosineExpr($"v", eval, norms) >= 0.9).count()
     val benchLeft = r.keepClean.filter($"doc_id" < 200).count()
@@ -299,31 +300,23 @@ object Text {
     // the DuckDB oracle pins it
     val st = r.stages.collect()
       .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
-    val (docs, vecs) = CurationPipeline.plantedCrawl(s, d)
+    // the batch run already computed (and checkpointed / collected) every
+    // side input this kernel needs — the crawl frames, the eval matrix,
+    // the distinct eval shingles and the side-input quality model (the
+    // SAME labeled frame, featurization and 5 Newton iterations, so
+    // retraining here was ~10 redundant jobs; §1.2 "don't compute things
+    // you throw away"). r16: reuse them all.
+    val docs = r.docs
     val crawl = docs
-      .join(vecs.select($"vec_id".as("doc_id"), $"v"), Seq("doc_id"), "left")
-      .select($"doc_id", $"text", $"source", $"v").localCheckpoint(true)
+      .join(r.vecs.select($"vec_id".as("doc_id"), $"v"), Seq("doc_id"), "left")
+      .select($"doc_id", $"text", $"source", $"v").localCheckpoint(false)
     val nCrawl = st("1_exact_dedup")._1
     val nAfterExact = st("1_exact_dedup")._2
     val (b, t) = Similarity.lshParams(nAfterExact, 0.95)
-    val evalVecs = vecs.filter($"vec_id" < 200)
-      .select($"v").collect().map(_.getSeq[Double](0).toArray)
-    val evalShingles = graft.functions.TextFunctions
-      .explodedWordShingles(docs.filter($"doc_id" < 200), Seq("doc_id"), "text", 8)
-      .select($"shingle").distinct().as[String].collect().toSet
-    val labeled = docs.join(r.keepClean, Seq("doc_id"), "left_semi")
-      .select($"doc_id", $"source", $"text",
-        tokenCount($"text").cast("long").as("n_tok"),
-        langScore($"text", enMarkers).as("n_stop"),
-        punctCount($"text").as("n_punct"),
-        length($"text").as("len"))
-      .withColumn("y",
-        ($"n_tok" >= 5 && $"n_punct" / $"len" <= 0.1 && $"n_stop" > 0).cast("double"))
-    val model = QualityClassifier.trainNewton(
-      QualityClassifier.featurize(labeled, "text", 64), "f", "y", 64, iters = 5)
+    val evalShingles = r.evalSh.as[String].collect().toSet
     val cfg = graft.streaming.StreamingCuration.Config(
       nPlanes = b, nTables = t, threshold = 0.95,
-      evalVecs = evalVecs, evalShingles = evalShingles, model = model)
+      evalVecs = r.evalVecs, evalShingles = evalShingles, model = r.model)
     // four id-range batches (base lower/upper, exact copies, twins) —
     // the id-ordered-arrival regime where keep-first ≡ keep-min-id
     val baseMax = 1000000000000000L
@@ -341,7 +334,7 @@ object Text {
       graft.streaming.StreamingCuration
         .processBatch(crawl.filter(p), cfg, storeDir, batchId = i.toLong)
         .select($"doc_id")
-    }.reduce(_ unionByName _).localCheckpoint(true)
+    }.reduce(_ unionByName _).localCheckpoint(false)
     val nStream = streamKept.count()
     // stage-4 rows_out IS keepQual's count — no extra count job
     val equalOk = nStream == st("4_quality_filter")._2 &&

@@ -80,6 +80,20 @@ object StreamingCuration {
       model: QualityClassifier.Model, dim: Int = 64, shingleN: Int = 8,
       evalIdMax: Long = 200L)
 
+  /** Small daemon pool that overlaps the batch's independent store
+    * writes with its compute jobs (guide §2.6 — Spark happily runs
+    * several jobs at once; actions are only sequential because the
+    * driver calls them sequentially). Every write is awaited before
+    * [[processBatch]] returns, so the next batch's store reads — and
+    * any in-stream compaction — still see fully committed stores.
+    */
+  private lazy val storeWriteEc: scala.concurrent.ExecutionContextExecutorService =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-store-write"); t.setDaemon(true); t
+        }))
+
   /** One micro-batch through all stages against the stores under
     * `storeDir`; returns the batch's surviving documents
     * (doc_id, source, text). `batchId` ≥ 0 keys every store write for
@@ -90,6 +104,8 @@ object StreamingCuration {
       batchId: Long = -1L): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = storeWriteEc
     val docs = batch.select($"doc_id", $"text", $"source", $"v")
       .localCheckpoint(true)
 
@@ -97,6 +113,12 @@ object StreamingCuration {
     val hashes = docs.select($"doc_id", md5($"text").as("__h"))
     val md5Store = readStore(spark, s"$storeDir/md5", batchId,
       "h STRING, batch_id BIGINT")
+    // store writes are kicked off async once their read frame is frozen
+    // (readStore listed the files above; a replayed batch's own rows are
+    // excluded by batch_id either way) and awaited before return — the
+    // write job backfills executors while the stage's compute jobs run
+    val md5W = Future(writeStore(
+      hashes.select($"__h".as("h")).distinct(), s"$storeDir/md5", batchId))
     val keepExact = hashes
       .join(md5Store.select($"h".as("__h")).distinct()
         .withColumn("__seen", lit(true)), Seq("__h"), "left")
@@ -104,24 +126,34 @@ object StreamingCuration {
         org.apache.spark.sql.expressions.Window.partitionBy($"__h")))
       .filter(!coalesce($"__seen", lit(false)) && $"doc_id" === $"__min_id")
       .select($"doc_id").localCheckpoint(true)
-    writeStore(hashes.select($"__h".as("h")).distinct(), s"$storeDir/md5", batchId)
 
     // ---- 2. near-dup vs the persistent bucket + vector stores. A doc
     // with NO vector (the crawl's left join) skips this stage entirely,
     // exactly like the batch pipeline's vecs-semi-join — it can be
-    // neither a near-dup candidate nor a store entry
-    val newVecs = docs.join(keepExact, Seq("doc_id"), "left_semi")
+    // neither a near-dup candidate nor a store entry.
+    // ONE checkpoint carries the vectors AND their bucket arrays (the
+    // separate newVecs/newB materializations were two jobs over the same
+    // rows); the exploded index view below is a narrow recompute from it
+    val newVB = docs.join(keepExact, Seq("doc_id"), "left_semi")
       .filter($"v".isNotNull)
-      .select($"doc_id".as("vec_id"), $"v").localCheckpoint(true)
+      .select($"doc_id".as("vec_id"), $"v",
+        graft.functions.LshBucketsExpr($"v", cfg.nPlanes, cfg.dim, cfg.nTables).as("bs"))
+      .localCheckpoint(true)
+    val newVecs = newVB.select($"vec_id", $"v")
     val oldVecs = readStore(spark, s"$storeDir/vec", batchId,
       "vec_id BIGINT, v ARRAY<DOUBLE>, batch_id BIGINT")
       .select($"vec_id", $"v")
-    val newB = newVecs.select($"vec_id",
-      posexplode(graft.functions.LshBucketsExpr($"v", cfg.nPlanes, cfg.dim, cfg.nTables))
-        .as(Seq("table", "bucket"))).localCheckpoint(true)
+    val newB = newVB.select($"vec_id",
+      posexplode($"bs").as(Seq("table", "bucket")))
     val oldB = readStore(spark, s"$storeDir/bucket", batchId,
       "table INT, bucket INT, vec_id BIGINT, batch_id BIGINT")
       .select($"table", $"bucket", $"vec_id")
+    // both stage-2 stores read above — their writes overlap the
+    // candidate/CC work below ([[storeWriteEc]]). ALL post-exact vectors
+    // enter the stores, kept or near-dup-dropped — a rejected near-dup
+    // still blocks its own future copies
+    val vecW = Future(writeStore(newVecs, s"$storeDir/vec", batchId))
+    val bktW = Future(writeStore(newB, s"$storeDir/bucket", batchId))
     // candidates: new-vs-new (a < b) and new-vs-old, dedup'd before the
     // exact verify — the lshNearDupPairs shape with a store side
     val bSide = newB.select($"table".as("tb"), $"bucket".as("bb"), $"vec_id".as("b_id"))
@@ -151,10 +183,6 @@ object StreamingCuration {
       .select($"id".as("doc_id"))
     val keepNear = keepExact.join(dropNear, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    // ALL post-exact vectors enter the stores, kept or near-dup-dropped —
-    // a rejected near-dup still blocks its own future copies
-    writeStore(newVecs, s"$storeDir/vec", batchId)
-    writeStore(newB, s"$storeDir/bucket", batchId)
 
     // ---- 3. decontamination: static eval side inputs (order-free)
     val evalNorms = cfg.evalVecs.map(v => math.sqrt(v.map(x => x * x).sum))
@@ -178,9 +206,14 @@ object StreamingCuration {
     // ---- 4. quality: apply the side-input model, keep score > 0.5
     val feats = QualityClassifier.featurize(
       survDocs.join(keepClean, Seq("doc_id"), "left_semi"), "text", cfg.dim)
-    feats.withColumn("score", QualityClassifier.score($"f", cfg.model))
+    val out = feats.withColumn("score", QualityClassifier.score($"f", cfg.model))
       .filter($"score" > 0.5)
       .select($"doc_id", $"source", $"text")
+    // every store write committed before the batch hands off — the next
+    // batch's reads (and in-stream compaction) see complete stores
+    Await.result(Future.sequence(Seq(md5W, vecW, bktW)),
+      scala.concurrent.duration.Duration.Inf)
+    out
   }
 
   /** Deploy over a streaming crawl (doc_id, text, source, v): each
