@@ -41,6 +41,29 @@ object BpeTrain {
   /** One chosen merge. */
   final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
 
+  /** Symbol comparison for the argmax tie-break: UTF-8 BYTE order (via
+    * UTF8String), exactly the order the original distributed
+    * orderBy($"l", $"r") sorted by. Java String compareTo is UTF-16
+    * code-unit order, which disagrees on unpaired surrogate halves —
+    * and `w.map(_.toString)` splits non-BMP symbols into exactly those —
+    * so a String-order tie-break could pick a different merge than the
+    * pinned Spark sort (r16, ADVICE).
+    */
+  private def u8cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** (count desc, left byte-lexicographic, right byte-lexicographic) —
+    * true iff x wins the argmax against y. */
+  private[graft] def argmaxWins(x: ((String, String), Long), y: ((String, String), Long)): Boolean = {
+    val (((xl, xr), xc), ((yl, yr), yc)) = (x, y)
+    if (xc != yc) xc > yc
+    else {
+      val cl = u8cmp(xl, yl)
+      if (cl != 0) cl < 0 else u8cmp(xr, yr) <= 0
+    }
+  }
+
   /** Train `nMerges` BPE merges on a (word, c) histogram.
     *
     * Per-iteration shape (§1.2 "the distributed algorithm" + §2.4
@@ -61,16 +84,32 @@ object BpeTrain {
     * table is bit-identical to the old formulation (BpeSpec re-derives
     * it against an independent in-memory reference).
     *
+    * The driver-side argmax holds the merged pair-count map, bounded by
+    * (|alphabet| + nMerges)² — a few thousand entries for alphabetic
+    * corpora, but MILLIONS for large-alphabet (CJK) corpora where the
+    * bound itself explodes. `maxDriverPairs` guards that map: the
+    * treeReduce merge is SIZE-CAPPED (an intermediate merge can only
+    * exceed the cap when the total distinct-pair count does, so the cap
+    * fires deterministically, merge-order-independent, at zero cost in
+    * the common case), and once fired every iteration reduces pair
+    * counts distributed (reduceByKey) collecting only one per-partition
+    * argmax candidate — same counts, same byte-order tie-break, merge
+    * table identical (BpeSpec pins the two paths equal); the driver
+    * never holds an over-cap pair map (r16, ADVICE).
+    *
     * @param words DataFrame with a string `word` column and long `c` count
     * @return the ordered merge table
     */
-  def train(spark: SparkSession, words: DataFrame, nMerges: Int): Seq[Merge] = {
+  def train(spark: SparkSession, words: DataFrame, nMerges: Int,
+      maxDriverPairs: Long = 1L << 20): Seq[Merge] = {
     import spark.implicits._
+    // lazy checkpoint: the alphabet-sizing count below fully scans the
+    // frame, materializing the checkpoint in the same job (r16 §1.2)
     var base = words.select($"word", $"c")
       .as[(String, Long)]
       .map { case (w, c) => (w.map(_.toString).toIndexedSeq :+ "</w>", c) }
       .toDF("syms", "c")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // pending merges since the last checkpoint: applied in-closure by the
     // count pass, folded into the frame every few merges so the closure
     // stays small and lineage flat
@@ -89,40 +128,71 @@ object BpeTrain {
       base = next
       pending = Nil
     }
+    // Large-alphabet guard for the merged map (size-capped merge, no
+    // extra sizing job): intermediate merge sizes are unions of subsets
+    // of the total distinct-pair set, so an intermediate can exceed
+    // `maxDriverPairs` iff the TOTAL does — the cap fires
+    // deterministically, independent of treeReduce's merge order. Once
+    // fired, this and every later iteration use the distributed argmax.
+    var driverArgmax = maxDriverPairs > 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var k = 1
     var done = false
     while (k <= nMerges && !done) {
       val ms = pending.reverse
-      val partials = base.as[(Seq[String], Long)].rdd.mapPartitions { it =>
-        val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
-        it.foreach { case (syms0, c) =>
-          var syms = syms0.toIndexedSeq
-          ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
-          var i = 0
-          while (i + 1 < syms.length) {
-            val key = (syms(i), syms(i + 1))
-            m.update(key, m.getOrElse(key, 0L) + c)
-            i += 1
+      // large-alphabet path: pair counts reduce DISTRIBUTED (reduceByKey)
+      // and only one argmax candidate per partition reaches the driver —
+      // the driver never holds the pair map (r16, ADVICE)
+      def distributedTop(): Option[((String, String), Long)] = {
+        val tops = base.as[(Seq[String], Long)].rdd
+          .flatMap { case (syms0, c) =>
+            var syms = syms0.toIndexedSeq
+            ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+            (0 until math.max(0, syms.length - 1)).iterator
+              .map(i => ((syms(i), syms(i + 1)), c))
           }
-        }
-        Iterator.single(m)
+          .reduceByKey(_ + _)
+          .mapPartitions(it =>
+            it.reduceOption((x, y) => if (argmaxWins(x, y)) x else y).iterator)
+          .collect()
+        tops.reduceOption((x, y) => if (argmaxWins(x, y)) x else y)
       }
-      val counts =
-        if (partials.getNumPartitions == 0)
-          scala.collection.mutable.HashMap.empty[(String, String), Long]
-        else partials.treeReduce({ (a, b) =>
-          b.foreach { case (kk, v) => a.update(kk, a.getOrElse(kk, 0L) + v) }
-          a
-        }, depth = 2)
       // argmax with the deterministic tie-break: count desc, then (l, r)
-      // lexicographic — identical to the old orderBy(cnt desc, l, r)
-      val top = counts.iterator.reduceOption[((String, String), Long)] {
-        case (x @ ((xl, xr), xc), y @ ((yl, yr), yc)) =>
-          if (xc != yc) { if (xc > yc) x else y }
-          else if (xl != yl) { if (xl < yl) x else y }
-          else if (xr <= yr) x else y
-      }
+      // byte-lexicographic — identical to the old orderBy(cnt desc, l, r)
+      val top: Option[((String, String), Long)] = if (driverArgmax) {
+        val partials = base.as[(Seq[String], Long)].rdd.mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          it.foreach { case (syms0, c) =>
+            var syms = syms0.toIndexedSeq
+            ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+            var i = 0
+            while (i + 1 < syms.length) {
+              val key = (syms(i), syms(i + 1))
+              m.update(key, m.getOrElse(key, 0L) + c)
+              i += 1
+            }
+          }
+          Iterator.single(m)
+        }
+        val cap = maxDriverPairs
+        val counts: Option[scala.collection.mutable.HashMap[(String, String), Long]] =
+          if (partials.getNumPartitions == 0)
+            Some(scala.collection.mutable.HashMap.empty[(String, String), Long])
+          else partials
+            .map(m => if (m.size > cap) None else Some(m))
+            .treeReduce({
+              case (Some(a), Some(b)) =>
+                b.foreach { case (kk, v) => a.update(kk, a.getOrElse(kk, 0L) + v) }
+                if (a.size > cap) None else Some(a)
+              case _ => None
+            }, depth = 2)
+        counts match {
+          case Some(m) => m.iterator.reduceOption((x, y) => if (argmaxWins(x, y)) x else y)
+          case None => // the pair map outgrew the cap — stay distributed
+            driverArgmax = false
+            distributedTop()
+        }
+      } else distributedTop()
       top match {
         case None => done = true
         case Some(((_, _), cnt)) if cnt < 2 => done = true

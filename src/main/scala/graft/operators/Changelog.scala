@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Changelog {
 
+  /** Payload types eligible for the single-parse fast path of the canal/
+    * maxwell decoders: the before-image is reconstructed by CASTing the
+    * `old` map's string values, so the type must round-trip JSON →
+    * MAP<STRING,STRING> → cast identically to a typed from_json parse.
+    * BINARY (cast = UTF-8 bytes vs parse = base64 decode), TIMESTAMP
+    * (cast of an epoch-number string yields null where the parser reads
+    * epoch seconds) and DATE diverge, so they keep the two-parse shape
+    * (r16, ADVICE).
+    */
+  private def castSafePrimitive(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: StructType | _: ArrayType | _: MapType => false
+      case BinaryType | TimestampType | TimestampNTZType | DateType => false
+      case _ => true
+    }
+  }
+
   /** Decode debezium-style JSON (`{"before":…,"after":…,"op":"c|u|d"}`)
     * into row_kind-tagged payload rows. Updates expand to two rows
     * (UPDATE_BEFORE from `before`, UPDATE_AFTER from `after`), exactly the
@@ -61,13 +79,7 @@ object Changelog {
     // (§1.2 per-row work — the CDC ingest path parses every message once).
     // Non-primitive payload fields keep the two-parse shape: a nested
     // object cannot round-trip through MAP<STRING, STRING>.
-    val allPrimitive = payload.fields.forall { f =>
-      import org.apache.spark.sql.types._
-      f.dataType match {
-        case _: StructType | _: ArrayType | _: MapType => false
-        case _ => true
-      }
-    }
+    val allPrimitive = payload.fields.forall(f => castSafePrimitive(f.dataType))
     val parsed = if (allPrimitive) {
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         s"data ARRAY<STRUCT<$payloadSchema>>, old ARRAY<MAP<STRING, STRING>>, type STRING")
@@ -125,13 +137,7 @@ object Changelog {
     // key presence in `old` (parsed as a map), not null-ness, marks a
     // changed column — see fromCanalJson (incl. the r15 single-parse
     // rationale for all-primitive payloads)
-    val allPrimitive = payload.fields.forall { f =>
-      import org.apache.spark.sql.types._
-      f.dataType match {
-        case _: StructType | _: ArrayType | _: MapType => false
-        case _ => true
-      }
-    }
+    val allPrimitive = payload.fields.forall(f => castSafePrimitive(f.dataType))
     val parsed = if (allPrimitive) {
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         s"data STRUCT<$payloadSchema>, old MAP<STRING, STRING>, type STRING")

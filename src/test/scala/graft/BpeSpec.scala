@@ -82,4 +82,41 @@ class BpeSpec extends AnyFunSuite {
     val merges = BpeTrain.train(spark, words, 10)
     assert(merges.isEmpty)
   }
+
+  test("distributed argmax fallback (large-alphabet guard) yields the identical merge table") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val words = docs
+      .selectExpr("explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS word")
+      .groupBy($"word").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+    // maxDriverPairs = 0 forces every iteration onto the distributed
+    // reduceByKey + per-partition-argmax path the CJK-alphabet guard
+    // routes to; the merge table must be bit-identical to the driver path
+    val driver = BpeTrain.train(spark, words, 12)
+    val dist = BpeTrain.train(spark, words, 12, maxDriverPairs = 0L)
+    assert(dist == driver)
+  }
+
+  test("argmax tie-break is UTF-8 byte order (the original Spark sort), not UTF-16 code-unit order") {
+    // on a count tie, the comparator must rank symbols the way the
+    // original orderBy($"l", $"r") did — UTF8String BYTE order. An
+    // unpaired high surrogate ('\uD835', the left half of a split
+    // non-BMP symbol) UTF-8-encodes as the replacement '?' (0x3F), so
+    // byte order puts it BELOW 'z' (0x7A) while UTF-16 code-unit order
+    // (Java String compareTo) puts it far above (0xD835 > 0x7A) — the
+    // two orders pick opposite winners.
+    assert(BpeTrain.argmaxWins((("\uD835", "x"), 2L), (("z", "x"), 2L)))
+    assert(!BpeTrain.argmaxWins((("z", "x"), 2L), (("\uD835", "x"), 2L)))
+    // counts still dominate the tie-break
+    assert(BpeTrain.argmaxWins((("z", "x"), 3L), (("\uD835", "x"), 2L)))
+    // and inside the engine the split halves are UTF-8-sanitized by the
+    // DataFrame round-trip: the surviving observable is that the loop
+    // stays deterministic on such symbols end-to-end
+    import spark.implicits._
+    val words = Seq(("zx", 2L), ("𝕒x", 2L)).toDF("word", "c")
+    val merges = BpeTrain.train(spark, words, 2)
+    assert(merges.head.left == "x" && merges.head.right == "</w>")
+    assert(merges(1).left == "?" && merges(1).right == "?")
+  }
 }
