@@ -70,14 +70,17 @@ object Similarity {
     */
   def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int, sampleCap: Int = 1 << 14): Array[(Array[Double], Double)] = {
+    // lazy checkpoint + sizing count in ONE job (r16 §1.2); the sample,
+    // when thinning applies, gets its own small eager checkpoint so the
+    // per-iteration scans stay sample-sized
     val all = withNorm(emb, idCol, vecCol).filter(col("na") > 0.0)
       .select(col("a_id"), col("va"), col("na"))
+      .localCheckpoint(false)
     val total = all.count()
-    val thinned =
-      if (total <= sampleCap) all
+    val n =
+      if (total <= sampleCap) all // scanned once per iteration, not recomputed
       else all.filter(pmod(xxhash64(col("a_id")), lit(total / sampleCap + 1)) === 0)
-    val n = thinned
-      .localCheckpoint(true) // scanned once per iteration, not recomputed
+        .localCheckpoint(true)
     var cents = sampleCentroids(n, nCells)
     for (_ <- 0 until iters) {
       val assigned = n.withColumn("cell", element_at(
@@ -104,6 +107,7 @@ object Similarity {
       }.toArray
     }
     n.unpersist() // release the training sample's checkpointed blocks
+    if (n ne all) all.unpersist()
     cents
   }
 

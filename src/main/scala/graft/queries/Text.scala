@@ -88,7 +88,7 @@ object Text {
     // BOTH self-join sides: tokenize the corpus once, not four times
     val shingles = explodedWordShingles(
       Tables.documents(s, d), Seq("doc_id", "source"), "text", 3)
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materializes inside the first consumer's stage
     val sz = shingles.groupBy($"doc_id", $"source").agg(count(lit(1)).as("sz"))
     val ex = shingles.join(sz, Seq("doc_id", "source"))
     val indexed = maxDocFreq match {
@@ -137,7 +137,9 @@ object Text {
   val q31_minhash_bands: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    val planted = plantedDocs(s, d).localCheckpoint(true)
+    // lazy checkpoint: the exact-Jaccard aggregate below is its first
+    // consumer and scans it fully (r16 §1.2 — one job, not two)
+    val planted = plantedDocs(s, d).localCheckpoint(false)
     val nDocs = docs.count()
     // exact 3-shingle Jaccard of each (doc, twin) pair by the id rule
     val sh = graft.functions.TextFunctions
@@ -149,7 +151,7 @@ object Text {
     val nearTwins = a.join(b, "id_a")
       .filter(size(array_intersect($"sa", $"sb")).cast("double")
         / size(array_union($"sa", $"sb")) >= 0.8)
-      .select($"id_a").localCheckpoint(true)
+      .select($"id_a").localCheckpoint(false)
     val nNear = nearTwins.count()
     val hits = Dedup.minHashCandidates(planted, "doc_id", "text")
       .filter($"id_b" === $"id_a" + 1000000000000000L)
@@ -173,7 +175,7 @@ object Text {
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
     val nDocs = docs.count()
     val sims = Dedup.simHash(plantedDocs(s, d), "doc_id", "text")
-      .localCheckpoint(true)
+      .localCheckpoint(false) // the twinHam agg below materializes it
     val base = sims.filter($"doc_id" < 1000000000000000L)
     val twinHam = base.as("x")
       .join(sims.as("y"), col("x.doc_id") + lit(1000000000000000L) === col("y.doc_id"))
@@ -209,13 +211,13 @@ object Text {
     val nDocs = docs.count()
     val fp = plantedDocs(s, d)
       .select($"doc_id", graft.functions.WinnowFingerprints($"text").as("fp"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // the pairs count below materializes it
     val base = fp.filter($"doc_id" < 1000000000000000L)
     val twin = fp.filter($"doc_id" >= 1000000000000000L)
       .select(($"doc_id" - 1000000000000000L).as("doc_id"), $"fp".as("fp_t"))
     val elig = docs.filter(length($"text") >= 11).select($"doc_id")
     val pairs = base.join(twin, "doc_id")
-      .join(elig, Seq("doc_id"), "left_semi").localCheckpoint(true)
+      .join(elig, Seq("doc_id"), "left_semi").localCheckpoint(false)
     val nElig = pairs.count()
     val nShared = pairs.filter(arrays_overlap($"fp", $"fp_t")).count()
     Seq((nDocs, nElig, nElig == nShared))
@@ -474,7 +476,7 @@ object Text {
     // and the final join: materialize it once — recomputing it would
     // repeat the tokenize AND its shuffle
     val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materializes inside the df rollup's stage
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     tf.join(dfreq, "term")
@@ -500,7 +502,7 @@ object Text {
     // explode once instead of tokenizing the corpus on both sides
     val sh = explodedWordShingles(
       Tables.documents(s, d), Seq("doc_id", "source"), "text", 5)
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materializes inside the self-join's first side
     val a = sh.select($"source".as("src_a"), $"doc_id".as("a_id"), $"shingle")
     val b = sh.select($"source".as("src_b"), $"doc_id".as("b_id"),
       $"shingle".as("sh_b"))
@@ -531,7 +533,7 @@ object Text {
     // to hash-check the whole pipeline)
     val isEval = pmod($"doc_id", lit(13)) === 0
     val evalSh = explodedWordShingles(docs.filter(isEval), Seq("doc_id"), "text", 3)
-      .select($"shingle").distinct().localCheckpoint(true)
+      .select($"shingle").distinct().localCheckpoint(false) // sized below — count materializes it
     // size the filter from the measured eval shingle count (a cheap job
     // over the checkpointed SMALL side); 1% fpp keeps the confirming
     // join's probe waste negligible
@@ -628,8 +630,9 @@ object Text {
           |  i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))) AS b""".stripMargin)
       .select($"doc_id", $"b.w1", $"b.w2")
       // three consumers (unigram counts, bigram counts, the scoring
-      // join): materialize the tokenize+explode once, not three times
-      .localCheckpoint(true)
+      // join): materialize the tokenize+explode once, not three times —
+      // lazily, inside the first consumer's stage (all three fully scan)
+      .localCheckpoint(false)
     val uni = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
     val bi = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
     bg.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
@@ -824,7 +827,7 @@ object Text {
       .select($"source",
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
       .groupBy($"source", $"term").agg(count(lit(1)).as("cs"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materializes inside the first consumer's stage
     val gl = st.groupBy($"term").agg(sum($"cs").as("cg"))
     val gtot = st.agg(sum($"cs").as("gt"))
     val stot = st.groupBy($"source").agg(sum($"cs").as("ts"))
@@ -921,7 +924,8 @@ object Text {
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
       .withColumn("b", substring(md5($"term"), 1, 2))
     val db = toks.groupBy($"doc_id", $"lang", $"source", $"b")
-      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // materializes inside the first consumer's stage
     // BOTH distributions roll up from the per-doc bucket aggregate (sum
     // of per-doc counts ≡ token counts — exact longs): raw = every
     // token, target = the en slice
@@ -966,7 +970,7 @@ object Text {
     val words = Tables.documents(s, d)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // train's first full-scan pass materializes it
     val merges = BpeTrain.train(s, words, 20)
     val monotonicOk = merges.size < 2 ||
       merges.sliding(2).forall(p => p(0).pairCount >= p(1).pairCount)
@@ -1005,10 +1009,15 @@ object Text {
   private[graft] val q141_kernel: Q = (s, d) => {
     import s.implicits._
     import graft.operators.BpeTrain
+    // dw feeds BOTH the training histogram and the final per-doc join —
+    // uncheckpointed it tokenized + aggregated the corpus twice (once
+    // inside the merge loop's materialization, once in the final query);
+    // the lazy checkpoint materializes inside training's first pass (r16)
     val dw = Tables.documents(s, d)
       .select($"doc_id", $"lang",
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
       .groupBy($"doc_id", $"lang", $"word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val hist = dw.groupBy($"word").agg(sum($"cnt").as("c"))
     val merges = BpeTrain.train(s, hist, 20).map(m => (m.left, m.right))
     val enc = hist.select($"word").as[String]
@@ -1156,7 +1165,9 @@ object Text {
     val toks = Tables.documents(s, d)
       .select(explode(expr("regexp_extract_all(text, '\\\\S+', 0)")).as("term"))
     val exact = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // feeds total, top-10, AND the bound check
+      // feeds total, top-10, AND the bound check — materialized lazily
+      // inside the first consumer's full scan
+      .localCheckpoint(false)
     val skBytes = toks
       .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"))
       .head().getAs[Array[Byte]](0)

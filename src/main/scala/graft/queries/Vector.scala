@@ -86,7 +86,7 @@ object Vector {
     import s.implicits._
     val b = contractCorpus(s, d)
       .select($"vec_id", lshBucket($"v", 16, 64).as("bucket"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // the nc agg below materializes it (r16)
     // corpus + twin counts in one pass (r15 — was two count jobs)
     val nc = b.agg(count(lit(1)),
       sum(when($"vec_id" >= 1000000000000000L, 1L).otherwise(0L))).head()
@@ -123,12 +123,16 @@ object Vector {
     */
   val q42_ann_topk: Q = (s, d) => {
     import s.implicits._
-    val corpus = contractCorpus(s, d).localCheckpoint(true)
-    val n = corpus.count()
-    val nTwins = corpus.filter($"vec_id" >= 1000000000000000L).count()
+    val corpus = contractCorpus(s, d).localCheckpoint(false) // the nc agg below materializes it
+    // corpus + twin counts in one pass (r16 — was two count jobs; same
+    // longs, and the agg's full scan materializes the lazy checkpoint)
+    val nc = corpus.agg(count(lit(1)),
+      sum(when($"vec_id" >= 1000000000000000L, 1L).otherwise(0L))).head()
+    val n = nc.getLong(0)
+    val nTwins = if (nc.isNullAt(1)) 0L else nc.getLong(1)
     val ann = graft.operators.Similarity
       .annTopK(corpus, "vec_id", "v", k = 3, nPlanes = 8)
-      .select($"a_id", $"neighbor_id", $"rn").localCheckpoint(true)
+      .select($"a_id", $"neighbor_id", $"rn").localCheckpoint(false)
     // the three certificate counts fold into ONE pass over the
     // checkpointed candidates (r15: they were three sequential count
     // jobs — §1.2 fewer passes; conditional integer sums, same values)
@@ -245,7 +249,7 @@ object Vector {
     */
   val q56_ivf_topk: Q = (s, d) => {
     import s.implicits._
-    val corpus = contractCorpus(s, d).localCheckpoint(true)
+    val corpus = contractCorpus(s, d).localCheckpoint(false) // the nc agg below materializes it
     // corpus + twin counts in one pass (r15 — was two count jobs); the
     // kernel's auto-cell rule gets the known count so it needn't recount
     val nc = corpus.agg(count(lit(1)),
@@ -341,7 +345,7 @@ object Vector {
     */
   val q102_ivf2_topk: Q = (s, d) => {
     import s.implicits._
-    val corpus = contractCorpus(s, d).localCheckpoint(true)
+    val corpus = contractCorpus(s, d).localCheckpoint(false) // the nc agg below materializes it
     // corpus + twin counts in one pass (r15 — was two count jobs); the
     // auto geometry gets the known count so the kernel needn't recount
     val nc = corpus.agg(count(lit(1)),
@@ -553,14 +557,17 @@ object Vector {
     */
   val q128_semantic_dedup: Q = (s, d) => {
     import s.implicits._
-    val corpus = plantedCorpus(s, d).localCheckpoint(true)
+    // lazy checkpoint + count fusions throughout (r16 §1.2): each
+    // checkpoint's next operation is its own full-scan aggregate, which
+    // materializes the blocks in the same job
+    val corpus = plantedCorpus(s, d).localCheckpoint(false)
     val n = corpus.count()
     // same kernel call as q128_kernel, fed the checkpointed corpus so
     // the planted union isn't rebuilt for the certificate joins
     val res = graft.operators.Similarity.semanticDedup(
       corpus, "vec_id", "v",
       nCells = graft.operators.Similarity.semanticAutoCells(n),
-      threshold = 0.9).localCheckpoint(true)
+      threshold = 0.9).localCheckpoint(false)
     // row + distinct-id counts in one pass (r15 — was two count jobs)
     val resAgg = res.agg(count(lit(1)), countDistinct($"vec_id")).head()
     val partitionOk = resAgg.getLong(0) == n && resAgg.getLong(1) == n
@@ -568,13 +575,13 @@ object Vector {
       .select($"vec_id".as("a_id"), ($"vec_id" + 1000000000000000L).as("b_id"))
     val twins = graft.operators.Similarity
       .verifyPairs(corpus, "vec_id", "v", 0.9, twinCand)
-      .select($"a_id", $"b_id").localCheckpoint(true)
+      .select($"a_id", $"b_id").localCheckpoint(false)
     val nTwins = twins.count()
     val cells = res.select($"vec_id", array($"cell", $"cell2").as("pcs"), $"keep")
+    // consumed exactly once (the overlap count) — no checkpoint needed
     val twinCells = twins
       .join(cells.select($"vec_id".as("a_id"), $"pcs".as("pa"), $"keep".as("ka")), "a_id")
       .join(cells.select($"vec_id".as("b_id"), $"pcs".as("pb"), $"keep".as("kb")), "b_id")
-      .localCheckpoint(true)
     val nSame = twinCells.filter(arrays_overlap($"pa", $"pb")).count()
     val recallOk = nTwins == 0L || nSame.toDouble / nTwins >= 0.80
     // kept×kept across shared probe cells, verified exact —
@@ -625,8 +632,8 @@ object Vector {
     */
   val q148_neardup_recall99: Q = (s, d) => {
     import s.implicits._
-    val corpus = plantedCorpus(s, d).localCheckpoint(true)
-    val n = corpus.count()
+    val corpus = plantedCorpus(s, d).localCheckpoint(false)
+    val n = corpus.count() // full scan — materializes the lazy checkpoint
     val (b, t) = graft.operators.Similarity.lshParams(n, 0.95)
     val found = graft.operators.Similarity
       .lshNearDupPairs(corpus, "vec_id", "v", 0.95, nPlanes = b, nTables = t)
@@ -639,7 +646,7 @@ object Vector {
       .select($"vec_id".as("a_id"), ($"vec_id" + 1000000000000000L).as("b_id"))
     val twins = graft.operators.Similarity
       .verifyPairs(corpus, "vec_id", "v", 0.95, twinCand)
-      .select($"a_id", $"b_id").localCheckpoint(true)
+      .select($"a_id", $"b_id").localCheckpoint(false)
     val nTwins = twins.count()
     val nHits = twins.join(found, Seq("a_id", "b_id"), "left_semi").count()
     // dedup the found graph: one survivor per component (min id), plus
