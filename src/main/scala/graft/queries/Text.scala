@@ -243,7 +243,6 @@ object Text {
     import s.implicits._
     val r = graft.operators.CurationPipeline.runDetailed(s, d)
     val st = r.stages.collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
-    val nTwinVecs = Tables.embeddings(s, d).filter($"vec_id" % 4 === 0).count()
     val removed2 = st("2_neardup_dedup")._1 - st("2_neardup_dedup")._2
     // decontamination re-checked with the EXACT kernel over survivors —
     // over the run's already-checkpointed crawl vectors and its collected
@@ -251,10 +250,20 @@ object Text {
     // second plantedCrawl + a second collect, r16 §1.2)
     val eval = r.evalVecs
     val norms = eval.map(v => math.sqrt(v.map(x => x * x).sum))
-    val contaminated = r.vecs
+    // the three certificate counts are independent — overlap them (§2.6:
+    // actions are only sequential because the driver calls them so)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val nTwinVecsF = Future(
+      Tables.embeddings(s, d).filter($"vec_id" % 4 === 0).count())
+    val contaminatedF = Future(r.vecs
       .join(r.keepClean.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left_semi")
-      .filter(graft.functions.MaxCosineExpr($"v", eval, norms) >= 0.9).count()
-    val benchLeft = r.keepClean.filter($"doc_id" < 200).count()
+      .filter(graft.functions.MaxCosineExpr($"v", eval, norms) >= 0.9).count())
+    val benchLeftF = Future(r.keepClean.filter($"doc_id" < 200).count())
+    import scala.concurrent.duration.Duration
+    val nTwinVecs = Await.result(nTwinVecsF, Duration.Inf)
+    val contaminated = Await.result(contaminatedF, Duration.Inf)
+    val benchLeft = Await.result(benchLeftF, Duration.Inf)
     val (in4, out4) = st("4_quality_filter")
     val (in5, out5) = st("5_packing_windows")
     Seq((st("1_exact_dedup")._1, st("1_exact_dedup")._2, nTwinVecs,
@@ -338,13 +347,17 @@ object Text {
         .select($"doc_id")
     }.reduce(_ unionByName _).localCheckpoint(false)
     val nStream = streamKept.count()
-    // stage-4 rows_out IS keepQual's count — no extra count job
-    val equalOk = nStream == st("4_quality_filter")._2 &&
-      streamKept.join(r.keepQual, Seq("doc_id"), "left_anti").isEmpty
+    // stage-4 rows_out IS keepQual's count — no extra count job; the
+    // equality anti-join and the packing count are independent — overlap
+    // them (§2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val equalOkF = Future(nStream == st("4_quality_filter")._2 &&
+      streamKept.join(r.keepQual, Seq("doc_id"), "left_anti").isEmpty)
     // snapshot packing over the INCREMENTAL survivors reproduces the
     // batch run's stage-5 window count
     val st5 = st("5_packing_windows")._2
-    val packedN = docs.join(streamKept, Seq("doc_id"), "left_semi")
+    val packedNF = Future(docs.join(streamKept, Seq("doc_id"), "left_semi")
       .select($"doc_id", $"source",
         tokenCount($"text").cast("long").as("n_tok"))
       .withColumn("cum_before",
@@ -353,7 +366,10 @@ object Text {
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
           - $"n_tok")
       .withColumn("bin", expr("cum_before div 2048"))
-      .groupBy($"source", $"bin").count().count()
+      .groupBy($"source", $"bin").count().count())
+    import scala.concurrent.duration.Duration
+    val equalOk = Await.result(equalOkF, Duration.Inf)
+    val packedN = Await.result(packedNF, Duration.Inf)
     Seq((nCrawl, nAfterExact, equalOk, packedN == st5))
       .toDF("n_crawl", "n_after_exact", "stream_equals_batch_ok", "packing_ok")
     } finally {
@@ -877,7 +893,11 @@ object Text {
         length($"text").as("len"))
       .withColumn("y",
         ($"n_tok" >= 5 && $"n_punct" / $"len" <= 0.1 && $"n_stop" > 0).cast("double"))
+    // feats feeds the trainer AND the final scoring aggregate —
+    // uncheckpointed, the tokenize+featurize pass ran twice; the lazy
+    // checkpoint materializes inside the trainer's first scan (r16)
     val feats = QualityClassifier.featurize(labeled, "text", dim)
+      .localCheckpoint(false)
     // Newton/IRLS: 5 corpus scans land past where 30 fixed-rate GD scans
     // approached (iteration count IS the scan count at 100 TB)
     val model = QualityClassifier.trainNewton(feats, "f", "y", dim, iters = 5)

@@ -187,7 +187,9 @@ object Vector {
     * committed result is verified green at sf0.001/0.01/0.1.
     */
   val q119_neardup_production: Q = (s, d) => {
-    val corpus = plantedCorpus(s, d)
+    // lazy checkpoint + sizing count in one job (r16): the LSH chain then
+    // reads the planted union from cache instead of rebuilding it
+    val corpus = plantedCorpus(s, d).localCheckpoint(false)
     val (b, t) = graft.operators.Similarity.lshParams(
       corpus.count(), 0.95, targetRecall = 0.999999)
     graft.operators.Similarity
@@ -205,7 +207,8 @@ object Vector {
     */
   val q120_neardup_cc_production: Q = (s, d) => {
     import s.implicits._
-    val corpus = plantedCorpus(s, d)
+    // same lazy-checkpoint + sizing-count fusion as q119 (r16)
+    val corpus = plantedCorpus(s, d).localCheckpoint(false)
     val (b, t) = graft.operators.Similarity.lshParams(
       corpus.count(), 0.95, targetRecall = 0.999999)
     val pairs = graft.operators.Similarity
