@@ -177,15 +177,22 @@ object Text {
     val sims = Dedup.simHash(plantedDocs(s, d), "doc_id", "text")
       .localCheckpoint(false) // the twinHam agg below materializes it
     val base = sims.filter($"doc_id" < 1000000000000000L)
-    val twinHam = base.as("x")
+    // the two hamming-gap aggregates are independent — overlap them
+    // (§2.6); the first to run materializes the lazy signature checkpoint
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val twinHamF = Future(base.as("x")
       .join(sims.as("y"), col("x.doc_id") + lit(1000000000000000L) === col("y.doc_id"))
       .select(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("ham"))
       .agg(count(lit(1)).as("n"), avg($"ham").as("mean"),
-        avg(when($"ham" <= 20, 1.0).otherwise(0.0)).as("frac20")).head()
-    val adjHam = base.as("x")
+        avg(when($"ham" <= 20, 1.0).otherwise(0.0)).as("frac20")).head())
+    val adjHamF = Future(base.as("x")
       .join(base.as("y"), col("x.doc_id") + lit(1L) === col("y.doc_id"))
       .select(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("ham"))
-      .agg(count(lit(1)).as("n"), avg($"ham").as("mean")).head()
+      .agg(count(lit(1)).as("n"), avg($"ham").as("mean")).head())
+    import scala.concurrent.duration.Duration
+    val twinHam = Await.result(twinHamF, Duration.Inf)
+    val adjHam = Await.result(adjHamF, Duration.Inf)
     Seq((nDocs, adjHam.getLong(0),
       twinHam.getLong(0) == nDocs &&
         twinHam.getDouble(1) <= 10.0 && twinHam.getDouble(2) >= 0.98,
@@ -216,10 +223,14 @@ object Text {
     val twin = fp.filter($"doc_id" >= 1000000000000000L)
       .select(($"doc_id" - 1000000000000000L).as("doc_id"), $"fp".as("fp_t"))
     val elig = docs.filter(length($"text") >= 11).select($"doc_id")
-    val pairs = base.join(twin, "doc_id")
-      .join(elig, Seq("doc_id"), "left_semi").localCheckpoint(false)
-    val nElig = pairs.count()
-    val nShared = pairs.filter(arrays_overlap($"fp", $"fp_t")).count()
+    // eligible-pair and shared-fingerprint counts in ONE aggregate pass
+    // (r16 — was a checkpoint plus two sequential count jobs; same longs)
+    val pc = base.join(twin, "doc_id")
+      .join(elig, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)),
+        sum(when(arrays_overlap($"fp", $"fp_t"), 1L).otherwise(0L))).head()
+    val nElig = pc.getLong(0)
+    val nShared = if (pc.isNullAt(1)) 0L else pc.getLong(1)
     Seq((nDocs, nElig, nElig == nShared))
       .toDF("n_docs", "n_elig_pairs", "guarantee_ok")
   }

@@ -186,8 +186,11 @@ object StreamingCuration {
 
     // ---- 3. decontamination: static eval side inputs (order-free)
     val evalNorms = cfg.evalVecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    // NOT checkpointed (r16): its three consumers all evaluate lazily in
+    // the caller's one output action, and both inputs are already
+    // checkpointed — the semi-join is a cheap in-job recompute, while the
+    // eager materialization sat on the batch's sequential critical path
     val survDocs = docs.join(keepNear, Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
     val vecContam = survDocs.filter($"doc_id" >= cfg.evalIdMax && $"v".isNotNull)
       .select($"doc_id",
         graft.functions.MaxCosineExpr($"v", cfg.evalVecs, evalNorms).as("mc"))
